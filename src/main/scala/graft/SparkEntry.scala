@@ -1,13 +1,169 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Joins, Relational, Windows}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds one entry per implemented operator from SURVEY.md §2
+  * (plus the beyond-reference extensions); `oracleSql` holds the
+  * DuckDB-equivalent SQL for everything SQL-expressible. Column names
+  * and types are aligned on both sides; double aggregates are rounded
+  * to 4 decimals on both sides so hash compare is robust to summation
+  * order.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Joins.starRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference-surface operators (SURVEY §2) mapped onto testdata
+    "q_scan_limit"       -> (Relational.scanLimit _),        // O1
+    "q_latest_events"    -> (Relational.latestEvents _),     // O2
+    "q_project_rename"   -> (Relational.projectRename _),    // P1
+    "q_coalesce_norm"    -> (Relational.coalesceNorm _),     // P2+P3
+    "q_daily_mart"       -> (Relational.dailyMart _),        // A1
+    // Extended relational surface
+    "q_pricing_summary"  -> (Relational.pricingSummary _),
+    "q_filtered_agg"     -> (Relational.filteredAgg _),
+    "q_union_sources"    -> (Relational.unionSources _),
+    "q_distinct_counts"  -> (Relational.distinctCounts _),
+    "q_rollup_mart"      -> (Relational.rollupMart _),
+    // Joins
+    "q_star_revenue"     -> (Joins.starRevenue _),
+    "q_segment_revenue"  -> (Joins.segmentRevenue _),
+    "q_top_customers"    -> (Joins.topCustomers _),
+    "q_semi_join"        -> (Joins.customersWithOrders _),
+    "q_anti_join"        -> (Joins.customersWithoutOrders _),
+    "q_priority_counts"  -> (Joins.priorityLineCounts _),
+    // Windows
+    "q_value_change"     -> (Windows.valueChange _),
+    "q_running_total"    -> (Windows.runningTotal _),
+    "q_top_event_user"   -> (Windows.topEventPerUser _),
+    "q_sessionize"       -> (Windows.sessionize _),
+    "q_daily_type_rank"  -> (Windows.dailyTypeRank _),
+  )
+
+  /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q_latest_events" ->
+      """SELECT event_id, user_id, event_type, value FROM
+        |(SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 5)""".stripMargin,
+    "q_project_rename" ->
+      """SELECT doc_id AS document_id, lang AS language, source AS data_source, n_chars
+        |FROM documents""".stripMargin,
+    "q_coalesce_norm" ->
+      """SELECT event_id, user_id, COALESCE(value, 0.0) AS value_filled,
+        |CAST(ts AS DATE) AS event_date FROM events""".stripMargin,
+    "q_daily_mart" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value,
+        |ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS records
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |ROUND(AVG(l_discount), 4) AS avg_disc,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_filtered_agg" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue, COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q_union_sources" ->
+      """SELECT user_id, ROUND(SUM(value), 4) AS total_value, COUNT(*) AS n_events FROM
+        |(SELECT user_id, value FROM events WHERE event_type = 'purchase'
+        | UNION ALL
+        | SELECT user_id, value FROM events WHERE event_type = 'error')
+        |GROUP BY user_id""".stripMargin,
+    "q_distinct_counts" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(DISTINCT event_type) AS n_types,
+        |COUNT(*) AS n_events FROM events""".stripMargin,
+    "q_rollup_mart" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS records,
+        |ROUND(SUM(value), 4) AS total_value
+        |FROM events GROUP BY ROLLUP(1, 2)""".stripMargin,
+    "q_star_revenue" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_segment_revenue" ->
+      """SELECT c_mktsegment AS segment, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name, revenue, n_orders FROM
+        |(SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS revenue, COUNT(*) AS n_orders
+        | FROM orders GROUP BY 1) t
+        |JOIN customer ON t.o_custkey = c_custkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')""".stripMargin,
+    "q_priority_counts" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines, COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q_value_change" ->
+      """SELECT event_id, user_id,
+        |ROUND(value - COALESCE(LAG(value) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id), value), 4) AS value_change
+        |FROM events""".stripMargin,
+    "q_running_total" ->
+      """SELECT event_id, user_id,
+        |ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events""".stripMargin,
+    "q_top_event_user" ->
+      """SELECT user_id, event_id, event_type, value FROM
+        |(SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |ROUND(SUM(value), 4) AS session_value FROM
+        |(SELECT user_id, value,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        | FROM
+        | (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM
+        |  (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |   FROM events)))
+        |GROUP BY 1, 2""".stripMargin,
+    "q_daily_type_rank" ->
+      """SELECT event_date, event_type, n, rank FROM
+        |(SELECT event_date, event_type, n, CAST(ROW_NUMBER() OVER
+        |  (PARTITION BY event_date ORDER BY n DESC, event_type) AS INTEGER) AS rank
+        | FROM (SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n
+        |       FROM events GROUP BY 1, 2))
+        |WHERE rank <= 3""".stripMargin,
+  )
 }

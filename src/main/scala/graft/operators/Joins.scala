@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join surface. The reference implements zero joins (SURVEY §2.6 — its
+  * mart is a single-table aggregate), but the 100 TB north-star workload
+  * is star-schema enrichment, so joins are first-class here.
+  *
+  * Scale posture:
+  *  - dimension tables (region 5 rows, nation 25, supplier, part) are
+  *    explicitly broadcast — no shuffle of the fact side for those joins;
+  *  - fact⋈fact (lineitem⋈orders) is a shuffled hash join on the key
+  *    both sides are naturally keyed by; AQE handles skew at runtime;
+  *  - semi/anti joins never materialize the probe payload.
+  */
+object Joins {
+
+  /** Star-schema revenue rollup: fact lineitem enriched through
+    * supplier→nation→region, all dims broadcast. One shuffle total
+    * (the final groupBy), zero shuffles for the joins. */
+  def starRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** Fact⋈fact: lineitem⋈orders⋈customer, revenue per market segment by
+    * order year. lineitem⋈orders shuffles on the shared orderkey;
+    * customer is broadcast-joined onto the aggregated side. */
+  def segmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cus = Tables.customer(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+               year(col("o_orderdate")).as("order_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** Top-k join+agg: top 10 customers by total order value.
+    * Aggregate BEFORE the dimension join (shrinks the join input from
+    * |orders| to |customers|), then TakeOrderedAndProject for the top-k. */
+  def topCustomers(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val cus = Tables.customer(s, dir)
+    val perCust = ord.groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+           count(lit(1)).as("n_orders"))
+    perCust.join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Left-semi: customers that placed at least one order. The probe side
+    * (orders) contributes only existence — no payload shuffle. */
+  def customersWithOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** Left-anti: customers with no orders in 1995 (NOT EXISTS over a
+    * date-filtered probe — the filter pushes into the orders scan). */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val ord95 = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(ord95, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Multi-way: order priority vs line count, exercising join + grouped
+    * count with a selective date filter pushed to the orders scan. */
+  def priorityLineCounts(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+           countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational operator surface re-expressed Spark-first.
+  *
+  * Reference parity (SURVEY.md §2): the reference's entire declared query
+  * set is scans (S5), project+rename (P1, README.md:372-381), COALESCE
+  * null-normalization (P2, README.md:375-380), DATE truncation (P3,
+  * README.md:381), one group-by aggregate (A1, README.md:390-399),
+  * LIMIT (O1, README.md:297) and ORDER BY … DESC LIMIT n (O2,
+  * extract_bitcoin_prices.py:203). Each is mapped here onto the driver
+  * testdata tables so the DuckDB oracle can hash-check it; the
+  * reference-faithful Bitcoin versions run in graft.pipeline.
+  *
+  * Scale notes (100 TB posture):
+  *  - every query is a declarative DataFrame plan → Catalyst pushes
+  *    filters/projections into the parquet scan (verified via
+  *    .explain: PushedFilters / ReadSchema);
+  *  - aggregates are partial (map-side) + final automatically
+  *    (HashAggregateExec pair), so the shuffle carries only
+  *    grouped partials, never raw rows;
+  *  - sort+limit fuses to TakeOrderedAndProject — no global sort.
+  *
+  * Double-valued aggregate outputs are rounded to 4 decimals so the
+  * driver's hash compare is insensitive to summation order (Spark
+  * partial-agg tree vs DuckDB's single-node sum).
+  */
+object Relational {
+
+  /** O1+deterministic order: first 10 lineitems by key. LIMIT alone is
+    * non-deterministic across engines, so the oracle-able form orders by
+    * the unique key first (TakeOrderedAndProjectExec — no global sort). */
+  def scanLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  /** O2: the reference's verify query — latest 5 rows by timestamp
+    * (extract_bitcoin_prices.py:203) — on events, with event_id as
+    * tie-break for determinism. */
+  def latestEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(5)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** P1: staging-style project+rename (README.md:372-381 renames
+    * source→data_source etc.), mapped onto documents. */
+  def projectRename(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("document_id"),
+      col("lang").as("language"),
+      col("source").as("data_source"),
+      col("n_chars"))
+
+  /** P2+P3: COALESCE null-normalization + DATE() truncation, the staging
+    * model's whole scalar surface (README.md:375-382), on events. */
+  def coalesceNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      col("user_id"),
+      coalesce(col("value"), lit(0.0)).as("value_filled"),
+      to_date(col("ts")).as("event_date"))
+
+  /** A1: the daily mart aggregate (README.md:388-400) — grain
+    * (date, source-ish key), measures min/max/avg/count — on events.
+    * Partial agg happens map-side; the shuffle carries one row per
+    * (date, event_type) per input partition. */
+  def dailyMart(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"),
+        round(avg(col("value")), 4).as("avg_value"),
+        count(lit(1)).as("records"))
+
+  /** TPC-H Q1-shaped pricing summary: the canonical wide aggregate.
+    * All measures compute in one pass over the scan; only
+    * (returnflag, linestatus) partials shuffle. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Filter pushdown showcase: selective predicate + narrow projection.
+    * .explain shows PushedFilters on l_shipdate/l_quantity and a
+    * 4-column ReadSchema — at 100 TB this is the difference between
+    * scanning 100 TB and scanning a few hundred GB. */
+  def filteredAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  /** Set op: UNION ALL of two filtered projections then re-aggregate
+    * (the reference's multi-source append, extract.py:150-193, is
+    * semantically UNION ALL — SURVEY §2.8). */
+  def unionSources(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("value"))
+    purchases.unionByName(errors)
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 4).as("total_value"),
+           count(lit(1)).as("n_events"))
+  }
+
+  /** DISTINCT aggregates: exact distinct counts (shuffled expand) —
+    * the approx variant for 100 TB lives in approxDistinct. */
+  def distinctCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).agg(
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      count(lit(1)).as("n_events"))
+
+  /** Grouping sets / rollup — beyond-reference but table-stakes for a
+    * mart layer: per (date,type), per date, and grand total in one pass. */
+  def rollupMart(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .rollup(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("records"), round(sum(col("value")), 4).as("total_value"))
+
+  /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
+    * SQL text in. Used by tests; the driver oracle exercises the
+    * DataFrame forms above. */
+  def sql(s: SparkSession, dir: String, query: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(query)
+  }
+}

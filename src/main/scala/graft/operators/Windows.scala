@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function surface. The reference computes no windows — its one
+  * windowed-analytic semantic (24h price change) is outsourced to the
+  * upstream API (SURVEY §2.7, extract_bitcoin_prices.py:63,88). A native
+  * engine computes it itself: `lag` over (partition by source, order by
+  * ts). Mapped here onto events(user_id, ts, value).
+  *
+  * Scale posture: every window partitions by a key (user_id) — one
+  * shuffle on that key, then per-partition sort. No global windows
+  * (a window with no partitionBy pulls 100 TB onto one task — banned).
+  * Ordering always includes event_id as a unique tie-break so results
+  * are deterministic under any physical row order.
+  */
+object Windows {
+
+  private def byUser = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** The reference's outsourced "change since previous observation"
+    * (change_24h_pct analog) computed natively with lag. */
+  def valueChange(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(byUser))
+      .select(col("event_id"), col("user_id"),
+        round(col("value") - coalesce(col("prev_value"), col("value")), 4).as("value_change"))
+
+  /** Per-user running total — cumulative window frame. */
+  def runningTotal(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("running_value",
+        sum(col("value")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("event_id"), col("user_id"), round(col("running_value"), 4).as("running_value"))
+
+  /** Top-1-per-group via row_number: each user's highest-value event.
+    * Deterministic tie-break (value desc, then event_id). */
+  def topEventPerUser(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+  }
+
+  /** Gap-based sessionization: a new session starts when >30 min passes
+    * between a user's consecutive events. Two windows over one shuffle
+    * (same partitioning+ordering reused by Catalyst). Output: one row
+    * per session with bounds and size. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val gapSeconds = 1800L
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val newSession = when(col("prev_ts").isNull ||
+      unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds, 1).otherwise(0)
+    ev.withColumn("prev_ts", prevTs)
+      .withColumn("is_new", newSession)
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("session_value"))
+  }
+
+  /** Daily ranking: rank event types by volume within each day —
+    * dense_rank over an aggregated (already small) input. */
+  def dailyTypeRank(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_date"))
+      .orderBy(col("n").desc, col("event_type"))
+    daily.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("event_date"), col("event_type"), col("n"), col("rank"))
+  }
+}
