@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Joins, Relational, Windows}
+import graft.operators.{Dedup, Joins, Relational, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,6 +45,28 @@ object SparkEntry {
     "q_top_event_user"   -> (Windows.topEventPerUser _),
     "q_sessionize"       -> (Windows.sessionize _),
     "q_daily_type_rank"  -> (Windows.dailyTypeRank _),
+    // Deduplication (LLM-pipeline extensions)
+    "q_dedup_exact"      -> (Dedup.exactGroups _),
+    "q_dedup_survivors"  -> (Dedup.exactSurvivors _),
+    "q_dedup_minhash"    -> (Dedup.minhashPairs _),
+    "q_neardup_survivors"-> (Dedup.nearDupSurvivors _),
+    "q_dedup_simhash"    -> ((s, d) => Dedup.simhashPairs(s, d)),       // rows-only
+    "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardWithinSource(s, d)),
+    // Similarity search
+    "q_knn_brute"        -> (Similarity.knnBrute _),
+    "q_knn_ann"          -> (Similarity.knnAnn _),                       // rows-only
+    "q_embedding_neardup"-> ((s, d) => Similarity.embeddingNearDups(s, d)),
+    "q_embedding_norms"  -> (Similarity.norms _),
+    "q_label_cohesion"   -> (Similarity.labelCohesion _),
+    // Text analysis
+    "q_token_stats"      -> (TextAnalysis.tokenStats _),
+    "q_quality_scores"   -> (TextAnalysis.qualityScores _),
+    "q_corpus_profile"   -> (TextAnalysis.corpusProfile _),
+    "q_lang_predictions" -> (TextAnalysis.langPredictions _),            // rows-only
+    "q_fingerprints"     -> ((s, d) => TextAnalysis.fingerprints(s, d)
+                               .select(org.apache.spark.sql.functions.col("doc_id"),
+                                       org.apache.spark.sql.functions.col("fingerprint_md5"))),
+    "q_top_tokens"       -> (TextAnalysis.topTokens _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -165,5 +187,127 @@ object SparkEntry {
         | FROM (SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n
         |       FROM events GROUP BY 1, 2))
         |WHERE rank <= 3""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |MIN(doc_id) AS keep_id, COUNT(*) AS copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM
+        |(SELECT *, ROW_NUMBER() OVER (PARTITION BY
+        |   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |   ORDER BY doc_id) AS rn FROM documents)
+        |WHERE rn = 1""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard FROM p WHERE j >= 0.8""".stripMargin,
+    "q_neardup_survivors" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |dups AS (SELECT DISTINCT b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.8)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH w AS (SELECT source, doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT source, doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |p AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) AS j
+        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, doc_a, doc_b, ROUND(j, 4) AS jaccard FROM p WHERE j >= 0.8""".stripMargin,
+    "q_knn_brute" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |  list_dot_product(q.qv, e.v)
+        |    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, vec_id, sim, CAST(ROW_NUMBER() OVER
+        |  (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(sim, 4) AS cosine_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, ROUND(sim, 4) AS cosine_sim FROM p WHERE sim >= 0.95""".stripMargin,
+    "q_embedding_norms" ->
+      """SELECT vec_id, label,
+        |ROUND(sqrt(list_dot_product([CAST(x AS DOUBLE) for x in embedding],
+        |                            [CAST(x AS DOUBLE) for x in embedding])), 4) AS l2_norm
+        |FROM embeddings""".stripMargin,
+    "q_label_cohesion" ->
+      """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+        |c AS (SELECT label, i, AVG(x) AS cx FROM u GROUP BY 1, 2),
+        |cent AS (SELECT label, list(cx ORDER BY i) AS centroid FROM c GROUP BY 1),
+        |j AS (SELECT e.label,
+        |  list_dot_product(e.v, cent.centroid)
+        |    / (sqrt(list_dot_product(e.v, e.v))
+        |       * sqrt(list_dot_product(cent.centroid, cent.centroid))) AS sim
+        |  FROM e JOIN cent ON e.label = cent.label)
+        |SELECT label, ROUND(AVG(sim), 4) AS mean_centroid_sim, COUNT(*) AS n_vectors
+        |FROM j GROUP BY label""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |CAST(len(string_split(text, ' ')) + list_sum(
+        |  [CAST(floor((length(x) - 1) / 6) AS INTEGER) for x in string_split(text, ' ')])
+        |  AS INTEGER) AS n_tokens_bpe,
+        |CAST(length(text) AS INTEGER) AS n_chars_measured,
+        |ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |  / len(string_split(text, ' ')), 4) AS avg_word_len
+        |FROM documents""".stripMargin,
+    "q_quality_scores" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS upper_ratio
+        |  FROM documents),
+        |r AS (SELECT doc_id, punct_ratio, upper_ratio,
+        |  CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / len(w) AS stop_ratio,
+        |  least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) AS len_score
+        |  FROM t)
+        |SELECT doc_id, floor(stop_ratio * 10000 + 0.5) / 10000 AS stopword_ratio,
+        |floor(punct_ratio * 10000 + 0.5) / 10000 AS punct_ratio,
+        |floor(upper_ratio * 10000 + 0.5) / 10000 AS upper_ratio,
+        |floor(greatest(0.0, least(1.0,
+        |  len_score * 0.5 + least(stop_ratio * 5.0, 1.0) * 0.5
+        |  - punct_ratio * 2.0 - upper_ratio)) * 10000 + 0.5) / 10000 AS quality
+        |FROM r""".stripMargin,
+    "q_corpus_profile" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |ROUND(AVG(n_chars), 4) AS avg_chars,
+        |ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_fingerprints" ->
+      """SELECT doc_id,
+        |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint_md5
+        |FROM documents""".stripMargin,
+    "q_top_tokens" ->
+      """SELECT token, COUNT(*) AS freq FROM
+        |(SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
   )
 }

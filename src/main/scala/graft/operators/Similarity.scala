@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (array<float>, dim 64).
+  *
+  * Two tiers, mirroring how a 100 TB ANN pipeline is built:
+  *  - brute-force cosine top-k: correctness baseline. The query set is
+  *    broadcast; the corpus is scanned once; per-partition top-k is
+  *    taken before the final (tiny) shuffle — never a global sort of
+  *    all (query, candidate) scores;
+  *  - SRP-LSH (signed random projection) bucketed top-k: the scale
+  *    path. Corpus is bucketed by signature (one map pass + shuffle on
+  *    bucket id), queries probe their bucket plus all Hamming-1
+  *    neighbors; candidate sets are ~corpus/2^bits * probes.
+  */
+object Similarity {
+
+  val K = 5
+  val NumQueryVecs = 10
+  val Planes = 12           // SRP signature bits
+  private lazy val planes = hyperplanes(Planes, 64)
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  private def queries(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  /** Exact top-k: cosine of every (query, candidate) pair, windowed
+    * top-k per query. Queries are broadcast (tiny side), so the corpus
+    * is never shuffled — each partition scores its slice, and only
+    * K rows per (query, partition) survive to the final shuffle via
+    * the rank filter. */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val scored = corpus(s, dir)
+      .join(broadcast(queries(s, dir)), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("cosine_sim"))
+  }
+
+  /** Pairs of near-identical embeddings (cosine >= threshold) — the
+    * embedding-space near-dup operator. Brute all-pairs at test scale;
+    * `annBuckets`-style bucketing is the scale path. */
+  def embeddingNearDups(s: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    val a = corpus(s, dir).select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = corpus(s, dir).select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cosine_sim"))
+  }
+
+  /** SRP-LSH approximate top-k: corpus bucketed by signature; each
+    * query probes its own bucket and all Hamming-1 buckets. Recall is
+    * checked against knnBrute in the test suite. */
+  def knnAnn(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = corpus(s, dir)
+      .withColumn("bucket", srpBucket(col("embedding"), planes))
+    val probed = queries(s, dir)
+      .withColumn("bucket", explode(srpProbes(srpBucket(col("query_vec"), planes), Planes)))
+    val scored = bucketed.join(broadcast(probed), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("cosine_sim"))
+  }
+
+  /** Embedding norms + label — exercises the double-fold vector kernel
+    * end-to-end with a trivially oracle-able output. */
+  def norms(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).select(col("vec_id"), col("label"),
+      round(l2Norm(col("embedding")), 4).as("l2_norm"))
+
+  /** Per-label centroid similarity structure: mean pairwise cosine of a
+    * label's vectors to its own centroid — a clustering-quality style
+    * aggregate done with array-wise sums (no collect). */
+  def labelCohesion(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = corpus(s, dir).withColumn("emb_d",
+      transform(col("embedding"), x => x.cast("double")))
+    // centroid per label: element-wise mean via aggregate of arrays
+    val centroids = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(i =>
+          avg(element_at(col("emb_d"), i + 1))): _*).as("centroid"))
+    e.join(broadcast(centroids), "label")
+      .withColumn("sim", cosine(col("emb_d"), col("centroid")))
+      .groupBy(col("label"))
+      .agg(round(avg(col("sim")), 4).as("mean_centroid_sim"),
+           count(lit(1)).as("n_vectors"))
+  }
+}

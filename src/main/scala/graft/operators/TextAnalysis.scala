@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents`: token counting, quality
+  * scoring, language ID, fingerprinting. All per-row scalar pipelines
+  * (no shuffle except the final aggregates), built from Catalyst
+  * built-ins — the whole stage stays in one map pass over the scan.
+  */
+object TextAnalysis {
+
+  /** Stopwords used by the quality score (matches the corpus
+    * vocabulary's function words). */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Per-document token statistics. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      tokenCountBpe(col("text")).as("n_tokens_bpe"),
+      length(col("text")).as("n_chars_measured"),
+      round(avgWordLength(col("text")), 4).as("avg_word_len"))
+
+  /** Explicit HALF_UP rounding (floor(x*1e4+0.5)/1e4): identical in any
+    * engine, unlike ROUND which is HALF_UP in Spark but half-even in
+    * DuckDB — ratio columns land on exact .5 boundaries (e.g. 301/800),
+    * where the two diverge. */
+  private def round4(c: org.apache.spark.sql.Column) =
+    floor(c * lit(10000) + lit(0.5)) / lit(10000)
+
+  /** Per-document quality metrics + composite score. */
+  def qualityScores(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      round4(stopwordRatio(col("text"), Stopwords)).as("stopword_ratio"),
+      round4(punctRatio(col("text"))).as("punct_ratio"),
+      round4(upperRatio(col("text"))).as("upper_ratio"),
+      round4(qualityScore(col("text"), Stopwords)).as("quality"))
+
+  /** Corpus profile per (lang, source): volume, size and quality
+    * aggregates — the "what's in my training mix" query. */
+  def corpusProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(tokenCount(col("text"))), 4).as("avg_tokens"))
+
+  /** Language-ID predictions (heuristic stopword argmax) with the
+    * labeled lang for later agreement analysis. */
+  def langPredictions(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      langId(col("text")).as("predicted_lang"))
+
+  /** Content fingerprints: portable md5 + fast 64-bit. */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      fingerprintMd5(col("text")).as("fingerprint_md5"),
+      fingerprint64(col("text")).as("fingerprint_64"))
+
+  /** Token histogram: corpus-wide word frequencies, top 20 — explode +
+    * count, the canonical map-side-combinable frequency query. */
+  def topTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+}
