@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Namespaced lakehouse tables over partitioned parquet + a snapshot
+  * commit log — the emulation of the reference's Iceberg REST catalog
+  * surface (SURVEY §1.1, §1.5, §7.4).
+  *
+  * The reference relies on four Iceberg behaviors:
+  *  1. namespaced DDL (`CREATE NAMESPACE`, extract_bitcoin_prices.py:128);
+  *  2. hidden `days(extracted_at)` partitioning (py:144) — emulated with
+  *     a derived `p_date` physical column that readers never see
+  *     (dropped on scan), so the logical schema stays 9-column;
+  *  3. atomic append with one snapshot per commit (py:193) — emulated
+  *     with single-writer parquet append + a JSON-lines commit log;
+  *  4. the `table.snapshots` metadata scan (README.md:301) — served from
+  *     that log as a DataFrame with Iceberg-shaped columns.
+  *
+  * Scale posture: at 100 TB this class IS a real catalog (Iceberg/Delta)
+  * and everything downstream is unchanged — the staging/mart transforms
+  * only see `table(name)` DataFrames. Partitioning by day keeps scans
+  * prunable by date predicates; the partition column is low-cardinality
+  * (1/day) so small files stay bounded by batch cadence, and a compaction
+  * pass would ride on the same log.
+  */
+final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
+
+  private val partitionCol = "p_date"
+
+  private def tablePath(name: String): String = {
+    val parts = name.split('.')
+    require(parts.length == 2, s"expected namespace.table, got $name")
+    s"$warehouseDir/${parts(0)}/${parts(1)}"
+  }
+
+  private def snapshotLogPath(name: String) =
+    Paths.get(s"$warehouseDir/_snapshots/${name.replace('.', '_')}.jsonl")
+
+  /** W1 — idempotent namespace creation (extract_bitcoin_prices.py:128). */
+  def createNamespace(ns: String): Unit = {
+    Files.createDirectories(Paths.get(s"$warehouseDir/$ns"))
+    Files.createDirectories(Paths.get(s"$warehouseDir/_snapshots"))
+  }
+
+  def tableExists(name: String): Boolean =
+    Files.exists(Paths.get(tablePath(name))) &&
+      Files.list(Paths.get(tablePath(name))).findFirst().isPresent
+
+  /** W3 — atomic-enough append partitioned by day of `partitionTs`
+    * (single-writer discipline, SURVEY §7.4), one snapshot per commit. */
+  def append(name: String, df: DataFrame, partitionTs: Option[String] = None): Unit = {
+    val rows = df.count()
+    val writer = partitionTs match {
+      case Some(ts) =>
+        df.withColumn(partitionCol, to_date(col(ts)))
+          .write.partitionBy(partitionCol)
+      case None => df.write
+    }
+    writer.mode(SaveMode.Append).parquet(tablePath(name))
+    logSnapshot(name, "append", rows)
+  }
+
+  /** W4 — full-refresh CTAS (`CREATE OR REPLACE TABLE ... AS SELECT`),
+    * the dbt `materialized='table'` strategy (reference README.md:370,388).
+    * Materializes to a temp dir first so a mid-write failure never leaves
+    * the table truncated, then swaps atomically (rename). */
+  def createOrReplace(name: String, df: DataFrame): Unit = {
+    val path = Paths.get(tablePath(name))
+    val tmp = Paths.get(tablePath(name) + "__ctas_tmp")
+    val rows = df.count()
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (Files.exists(path)) {
+      val trash = Paths.get(tablePath(name) + "__ctas_old")
+      deleteRecursive(trash)
+      Files.move(path, trash)
+      Files.move(tmp, path)
+      deleteRecursive(trash)
+    } else Files.move(tmp, path)
+    logSnapshot(name, "replace", rows)
+  }
+
+  /** S5 — table scan by multi-part name. The physical partition column
+    * is dropped so readers see the declared logical schema (hidden
+    * partitioning emulation, SURVEY §1.4). */
+  def table(name: String): DataFrame = {
+    val df = spark.read.parquet(tablePath(name))
+    if (df.columns.contains(partitionCol)) df.drop(partitionCol) else df
+  }
+
+  /** S6 — the `table.snapshots` metadata scan (reference README.md:301):
+    * one row per commit with Iceberg-shaped columns. */
+  def snapshots(name: String): DataFrame = {
+    val p = snapshotLogPath(name)
+    val schema = StructType(Seq(
+      StructField("committed_at", TimestampType),
+      StructField("snapshot_id", LongType),
+      StructField("operation", StringType),
+      StructField("added_records", LongType)))
+    if (!Files.exists(p)) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(p.toString)
+      .orderBy(col("snapshot_id"))
+  }
+
+  private def logSnapshot(name: String, op: String, rows: Long): Unit = {
+    val p = snapshotLogPath(name)
+    Files.createDirectories(p.getParent)
+    val id = if (Files.exists(p)) Files.lines(p).count() + 1 else 1L
+    val ts = java.time.Instant.now().toString
+    val line =
+      s"""{"committed_at":"$ts","snapshot_id":$id,"operation":"$op","added_records":$rows}\n"""
+    Files.write(p, line.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}

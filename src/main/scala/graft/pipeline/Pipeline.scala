@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Schemas._
+
+/** Ingestion stage — the Scala-native equivalent of
+  * `spark-submit extract_bitcoin_prices.py` (reference dag.py:26-29,
+  * extract_bitcoin_prices.py entry point, SURVEY §3.1).
+  *
+  * Semantics preserved exactly:
+  *  - one shared `extracted_at` stamp per batch (py:151);
+  *  - partial-failure tolerance: failed sources are skipped (py:153-172),
+  *    an all-failed batch aborts without writing (py:174-177);
+  *  - rows→DataFrame with the EXPLICIT raw schema, no inference
+  *    (py:180-192, S4);
+  *  - idempotent namespace + table DDL (py:128,131-145, W1/W2);
+  *  - transactional-append by day partition (py:144,193, W3).
+  */
+object Ingest {
+  val RawTable = "raw.bitcoin_prices"
+
+  /** Run one ingest batch; returns rows appended (0 = aborted). */
+  def run(spark: SparkSession, catalog: LakeCatalog,
+          sources: Seq[PriceSource], tick: Long,
+          extractedAt: Timestamp): Long = {
+    // Driver-side fetch, like the reference — the data is 3 rows/batch;
+    // Spark's involvement starts at createDataFrame (SURVEY §3.1 step 4).
+    val records: Seq[BitcoinPrice] = sources.flatMap { src =>
+      src.fetch(extractedAt, tick) match {
+        case scala.util.Success(row) => Some(row)
+        case scala.util.Failure(e) =>
+          System.err.println(s"[ingest] ${src.name} failed: ${e.getMessage}")
+          None
+      }
+    }
+    if (records.isEmpty) {
+      System.err.println("[ingest] all sources failed; aborting batch")
+      return 0L // py:174-177 — no write, no snapshot
+    }
+    catalog.createNamespace("raw")
+    import spark.implicits._
+    // Dual schema declaration must agree (SURVEY §1.2): build typed,
+    // then conform to the declared StructType (names + types checked).
+    val typed = records.toDS().toDF()
+    val conformed = spark.createDataFrame(typed.rdd, Schemas.rawSchema)
+    catalog.append(RawTable, conformed, partitionTs = Some("extracted_at"))
+    records.size.toLong
+  }
+}
+
+/** Transformation stage — the two dbt models run over Thrift in the
+  * reference (dag.py:32-35, SURVEY §3.2), dependency-ordered stg→fct
+  * like dbt `ref()`. Both are full-refresh table materializations (W4).
+  */
+object Transform {
+  val StgTable = "raw.stg_bitcoin_prices"
+  val FctTable = "raw.fct_bitcoin_daily"
+
+  /** stg_bitcoin_prices (reference README.md:368-384): rename (P1),
+    * COALESCE(_, 0) on the six numeric measures (P2), derived
+    * extraction_date (P3). */
+  def staging(raw: DataFrame): DataFrame =
+    raw.select(
+      col("source").as("data_source"),
+      col("symbol").as("crypto_symbol"),
+      coalesce(col("price_usd"), lit(0.0)).as("price_usd"),
+      coalesce(col("price_eur"), lit(0.0)).as("price_eur"),
+      coalesce(col("price_brl"), lit(0.0)).as("price_brl"),
+      coalesce(col("market_cap_usd"), lit(0.0)).as("market_cap_usd"),
+      coalesce(col("volume_24h_usd"), lit(0.0)).as("volume_24h_usd"),
+      coalesce(col("change_24h_pct"), lit(0.0)).as("price_change_24h_pct"),
+      col("extracted_at"),
+      to_date(col("extracted_at")).as("extraction_date"))
+
+  /** fct_bitcoin_daily (reference README.md:386-400): grain
+    * (extraction_date, data_source, crypto_symbol) with MIN/MAX/AVG
+    * price and COUNT(*) (A1). Partial (map-side) + final aggregation is
+    * Catalyst's HashAggregateExec; AQE coalesces the post-shuffle side
+    * for tiny batches (SURVEY §4). */
+  def dailyMart(stg: DataFrame): DataFrame =
+    stg.groupBy(col("extraction_date"), col("data_source"), col("crypto_symbol"))
+      .agg(
+        min(col("price_usd")).as("min_price_usd"),
+        max(col("price_usd")).as("max_price_usd"),
+        avg(col("price_usd")).as("avg_price_usd"),
+        count(lit(1)).as("records"))
+
+  def run(spark: SparkSession, catalog: LakeCatalog): Unit = {
+    catalog.createOrReplace(StgTable, staging(catalog.table(Ingest.RawTable)))
+    catalog.createOrReplace(FctTable, dailyMart(catalog.table(StgTable)))
+  }
+}
+
+/** The Airflow DAG as a 3-stage sequential driver (reference dag.py:
+  * extract >> transform >> test, C1-C5). `runOnce` is one hourly tick;
+  * the dbt-test stage lives in the ScalaTest suite (SURVEY §5). */
+final class Pipeline(spark: SparkSession, warehouseDir: String,
+                     sources: Seq[PriceSource] = PriceSource.fixtures) {
+  val catalog = new LakeCatalog(spark, warehouseDir)
+  private var tick = 0L
+
+  /** One scheduled run: ingest → staging → mart. Returns rows ingested. */
+  def runOnce(extractedAt: Option[Timestamp] = None): Long = {
+    val ts = extractedAt.getOrElse(
+      // Second-truncated like the reference's datetime.now(timezone.utc)
+      Timestamp.from(java.time.Instant.now()
+        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)))
+    val n = Ingest.run(spark, catalog, sources, tick, ts)
+    tick += 1
+    if (n > 0) Transform.run(spark, catalog)
+    n
+  }
+
+  /** The reference's three canonical ad-hoc queries
+    * (README.md:297-301) + the ingest verify query
+    * (extract_bitcoin_prices.py:203). */
+  def rawLimit10: DataFrame = catalog.table(Ingest.RawTable).limit(10)
+  def martScan: DataFrame = catalog.table(Transform.FctTable)
+  def latest5: DataFrame =
+    catalog.table(Ingest.RawTable).orderBy(col("extracted_at").desc).limit(5)
+  def snapshots: DataFrame = catalog.snapshots(Ingest.RawTable)
+}

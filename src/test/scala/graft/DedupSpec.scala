@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Dedup semantics on a crafted corpus.
+  *
+  * Normalized-exact dedup (md5 of lower/trim/space-collapsed text) and
+  * shingle-based near-dup (raw text, mirroring the DuckDB oracle's
+  * `string_split(text, ' ')`) are DIFFERENT equivalence relations:
+  * doc 2 (case/whitespace variant) collapses with doc 1 under
+  * normalization but shares zero raw shingles with it, while doc 5
+  * (byte-identical copy) and doc 3 (one-word edit of a 40-word text,
+  * 3-shingle Jaccard 37/39 ~ 0.95) are near-dups of doc 1.
+  */
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val base = (1 to 40).map(i => s"w$i").mkString(" ")
+  private val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " CHANGED"
+  private val unrelated = (1 to 40).map(i => s"z$i").mkString(" ")
+
+  private val dir = TestSpark.documentsFixture(Seq(
+    (1L, base, "en", "web"),
+    (2L, "  " + base.toUpperCase + "  ", "en", "web"), // exact dup after normalize only
+    (3L, nearDup, "en", "web"),
+    (4L, unrelated, "en", "books"),
+    (5L, base, "en", "web")))                          // byte-identical dup of 1
+
+  test("exactGroups merges case/whitespace variants and keeps min doc_id") {
+    val groups = Dedup.exactGroups(spark, dir).collect()
+    assert(groups.length === 3) // {1,2,5}, {3}, {4}
+    val dupGroup = groups.filter(_.getAs[Long]("copies") == 3L)
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("exactSurvivors keeps exactly one doc per normalized text") {
+    val ids = TestSpark.collectSet[Long](Dedup.exactSurvivors(spark, dir), "doc_id")
+    assert(ids === Set(1L, 3L, 4L))
+  }
+
+  test("minhashPairs finds identical and near duplicates, nothing else") {
+    val rows = Dedup.minhashPairs(spark, dir).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs === Set((1L, 3L), (1L, 5L), (3L, 5L)))
+    val j15 = rows.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 5L)
+      .get.getAs[Double]("jaccard")
+    assert(j15 === 1.0)
+    val j13 = rows.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 3L)
+      .get.getAs[Double]("jaccard")
+    assert(j13 === math.floor(37.0 / 39.0 * 10000 + 0.5) / 10000)
+  }
+
+  test("nearDupSurvivors keeps the lowest doc_id of each dup cluster") {
+    val ids = TestSpark.collectSet[Long](Dedup.nearDupSurvivors(spark, dir), "doc_id")
+    assert(ids === Set(1L, 2L, 4L)) // 3 and 5 fold into 1; 2 is raw-distinct
+  }
+
+  test("simhashPairs flags the identical pair at hamming 0") {
+    val rows = Dedup.simhashPairs(spark, dir).collect()
+    val exact = rows.find(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 5L)
+    assert(exact.isDefined)
+    assert(exact.get.getAs[Long]("hamming") === 0L)
+  }
+
+  test("ngramJaccardWithinSource respects source partitioning") {
+    // doc 4 is in another source; pairs can only form within 'web'
+    val rows = Dedup.ngramJaccardWithinSource(spark, dir, threshold = 0.5).collect()
+    assert(rows.forall(_.getAs[String]("source") == "web"))
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      === Set((1L, 3L), (1L, 5L), (3L, 5L)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Similarity-search semantics on crafted 64-dim vectors plus an
+  * ANN-vs-brute recall check on the real sf0.001 embeddings. */
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dim = 64
+
+  /** Unit vector along axis `i`, optionally rotated toward axis `j`. */
+  private def axis(i: Int, scale: Float = 1.0f): Array[Float] = {
+    val v = Array.fill(dim)(0.0f); v(i) = scale; v
+  }
+  private def mix(i: Int, j: Int, wj: Float): Array[Float] = {
+    val v = Array.fill(dim)(0.0f); v(i) = 1.0f; v(j) = wj; v
+  }
+
+  // vec 0 (a query: id < 10) along axis 0; 11 near-parallel; 12 scaled copy
+  // (cosine 1); 13 orthogonal; 14 opposite.
+  private val dir = TestSpark.embeddingsFixture(Seq(
+    (0L, axis(0), 0),
+    (11L, mix(0, 1, 0.1f), 0),
+    (12L, axis(0, 3.0f), 0),
+    (13L, axis(1), 1),
+    (14L, axis(0, -1.0f), 1)))
+
+  test("knnBrute ranks by cosine with vec_id tie-break, excludes self") {
+    val rows = Similarity.knnBrute(spark, dir).collect()
+      .filter(_.getAs[Long]("query_id") == 0L).sortBy(_.getAs[Int]("rank"))
+    assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(12L, 11L, 13L, 14L))
+    assert(rows.head.getAs[Double]("cosine_sim") === 1.0) // scaled copy
+    assert(rows(1).getAs[Double]("cosine_sim") > 0.99)    // near-parallel
+    assert(rows(2).getAs[Double]("cosine_sim") === 0.0)   // orthogonal
+    assert(rows(3).getAs[Double]("cosine_sim") === -1.0)  // opposite
+  }
+
+  test("embeddingNearDups finds only the near-parallel pairs") {
+    val pairs = Similarity.embeddingNearDups(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs === Set((0L, 11L), (0L, 12L), (11L, 12L)))
+  }
+
+  test("norms computes exact L2 in double") {
+    val n = Similarity.norms(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("l2_norm")).toMap
+    assert(n(0L) === 1.0)
+    assert(n(12L) === 3.0)
+    assert(n(11L) === math.floor(math.sqrt(1.01) * 10000 + 0.5) / 10000)
+  }
+
+  test("labelCohesion: identical-direction label coheres at 1.0") {
+    val c = Similarity.labelCohesion(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Double]("mean_centroid_sim"), r.getAs[Long]("n_vectors")))).toMap
+    // label 0 = {0, 11, 12}: all within ~6° of axis 0 → cohesion ≈ 1
+    assert(c(0)._2 === 3L)
+    assert(c(0)._1 > 0.99)
+    // label 1 = {13, 14}: orthogonal+opposite → centroid on axis1/2 - axis0/2
+    assert(c(1)._2 === 2L)
+  }
+
+  test("knnAnn achieves >=80% recall@5 against knnBrute on sf0.001") {
+    val sf = TestSpark.sfDir
+    def neighborSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = neighborSet(Similarity.knnBrute(spark, sf))
+    val ann = neighborSet(Similarity.knnAnn(spark, sf))
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"ANN recall@5 too low: $recall")
+  }
+}

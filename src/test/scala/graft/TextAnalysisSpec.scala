@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.operators.TextAnalysis
+import graft.functions.TextFunctions
+
+/** Text-analysis semantics on crafted documents with hand-computable
+  * token/ratio arithmetic. */
+class TextAnalysisSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  // "the cat sat." → 3 tokens, 12 chars, 1 punct char
+  private val dir = TestSpark.documentsFixture(Seq(
+    (1L, "the cat sat.", "en", "web"),
+    (2L, "a a the the a the", "en", "web"),          // all stopwords
+    (3L, "SHOUTING TEXT HERE", "en", "web"),         // high upper ratio
+    (4L, "der hund ist nicht zu der das und ist", "de", "web"),
+    (5L, "internationalization considerations", "en", "books"))) // long words
+
+  test("tokenStats: exact whitespace and BPE-ish token counts") {
+    val t = TextAnalysis.tokenStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(t(1L).getAs[Int]("n_tokens") === 3)
+    assert(t(1L).getAs[Int]("n_chars_measured") === 12)
+    // avg_word_len = (12 - 2) / 3
+    assert(t(1L).getAs[Double]("avg_word_len") === math.floor(10.0 / 3.0 * 10000 + 0.5) / 10000)
+    // "internationalization"(20) → 1 + floor(19/6)=3 extra; "considerations"(14) → 1+2
+    assert(t(5L).getAs[Int]("n_tokens") === 2)
+    assert(t(5L).getAs[Int]("n_tokens_bpe") === 2 + 3 + 2)
+  }
+
+  test("qualityScores: ratios and composite are exact arithmetic") {
+    val q = TextAnalysis.qualityScores(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q(2L).getAs[Double]("stopword_ratio") === 1.0)
+    assert(q(1L).getAs[Double]("punct_ratio") === math.floor(1.0 / 12.0 * 10000 + 0.5) / 10000)
+    assert(q(3L).getAs[Double]("upper_ratio") === math.floor(16.0 / 18.0 * 10000 + 0.5) / 10000)
+    // doc 3: no stopwords, shouting → heavy penalty → quality clamps at 0
+    assert(q(3L).getAs[Double]("quality") === 0.0)
+  }
+
+  test("langId predicts by stopword-profile argmax") {
+    val p = TextAnalysis.langPredictions(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(p(1L) === "en")
+    assert(p(4L) === "de")
+    assert(p(5L) === "und") // no stopword hits anywhere
+  }
+
+  test("fingerprints: md5 matches normalized text, stable across variants") {
+    val f = TextAnalysis.fingerprints(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint_md5")).toMap
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("the cat sat.".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(f(1L) === expected)
+  }
+
+  test("topTokens: corpus-wide frequency with deterministic ordering") {
+    val top = TextAnalysis.topTokens(spark, dir).collect()
+    assert(top.head.getAs[String]("token") === "the") // 3 in doc 2 + 1 in doc 1
+    assert(top.head.getAs[Long]("freq") === 4L)
+    // ordering is (freq desc, token asc) — verify monotone
+    val freqs = top.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs === freqs.sorted.reverse)
+  }
+
+  test("corpusProfile groups by (lang, source) with exact sums") {
+    val rows = TextAnalysis.corpusProfile(spark, dir).collect()
+    val enWeb = rows.find(r => r.getAs[String]("lang") == "en"
+      && r.getAs[String]("source") == "web").get
+    assert(enWeb.getAs[Long]("n_docs") === 3L)
+    assert(enWeb.getAs[Long]("total_chars") === (12L + 17L + 18L))
+  }
+
+  test("wordShingles guards texts shorter than k") {
+    import spark.implicits._
+    val df = Seq("one two").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    assert(df.collect().head.getSeq[String](0) === Seq("one two"))
+  }
+}

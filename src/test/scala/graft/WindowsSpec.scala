@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Windows
+
+/** Window-operator semantics on a crafted event stream: two users, one
+  * with a >30-min gap splitting two sessions. Timestamps are epoch
+  * nanos in the fixture (mirroring the testdata's physical type). */
+class WindowsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def ns(minute: Int): Long = // 2026-08-12 00:MM UTC in nanos
+    (1786838400L + minute * 60L) * 1000000000L
+
+  private val dir = TestSpark.eventsFixture(Seq(
+    // user 1: events at t0, t0+10min, t0+50min (gap 40min > 30min → 2 sessions)
+    (1L, 1L, "view", Double.box(10.0), ns(0)),
+    (2L, 1L, "purchase", Double.box(30.0), ns(10)),
+    (3L, 1L, "view", Double.box(5.0), ns(50)),
+    // user 2: single session, null value on one event
+    (4L, 2L, "view", null, ns(0)),
+    (5L, 2L, "purchase", Double.box(100.0), ns(20))))
+
+  test("valueChange: lag-based delta, first event anchored to itself") {
+    val v = Windows.valueChange(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value_change")).toMap
+    assert(v(1L) === 0.0)    // no previous → value - value
+    assert(v(2L) === 20.0)   // 30 - 10
+    assert(v(3L) === -25.0)  // 5 - 30
+  }
+
+  test("runningTotal: cumulative per-user sum in event order") {
+    val v = Windows.runningTotal(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("running_value")).toMap
+    assert(v(1L) === 10.0)
+    assert(v(2L) === 40.0)
+    assert(v(3L) === 45.0)
+    assert(v(5L) === 100.0) // null value contributes nothing
+  }
+
+  test("topEventPerUser: exactly one row per user, max value wins") {
+    val rows = Windows.topEventPerUser(spark, dir).collect()
+    assert(rows.length === 2)
+    val byUser = rows.map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    assert(byUser(1L) === 2L)
+    assert(byUser(2L) === 5L)
+  }
+
+  test("sessionize: >30-min gap starts a new session") {
+    val rows = Windows.sessionize(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("session_value")))).toMap
+    assert(rows.size === 3)
+    assert(rows((1L, 1L)) === ((2L, 40.0)))  // t0 + t10
+    assert(rows((1L, 2L)) === ((1L, 5.0)))   // t50 after 40-min gap
+    assert(rows((2L, 1L)) === ((2L, 100.0))) // null value sums away
+  }
+
+  test("dailyTypeRank keeps at most 3 types per day, rank 1 = most events") {
+    val rows = Windows.dailyTypeRank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("rank") <= 3))
+    val r1 = rows.filter(_.getAs[Int]("rank") == 1)
+    assert(r1.map(_.getAs[String]("event_type")).toSet === Set("view")) // 3 views > 2 purchases
+  }
+}
