@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+
+/** Native codegen sketch kernels over `array<bigint>` hash columns
+  * (the element hashes come from the built-in, codegen'd `xxhash64`).
+  *
+  * Both replace per-signature-position interpreted array passes
+  * (`array_min(transform(...))` x32 for MinHash, `size(filter(...))`
+  * x64 for SimHash) with ONE pass over the hash array. Long arithmetic
+  * wraps exactly like the Java operators the interpreted formulation
+  * lowered to, so signatures are unchanged.
+  */
+
+/** MinHash signature: out[k] = min_i (h_i * a_k + b_k) for each of the
+  * signature's affine rehash pairs. One pass over the hashes; the
+  * coefficient arrays are codegen reference constants. */
+case class LongMinHashSig(child: Expression, coeffA: Array[Long], coeffB: Array[Long])
+    extends UnaryExpression {
+  require(coeffA.length == coeffB.length)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"LongMinHashSig expects array<bigint>, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = Array.fill(coeffA.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var k = 0
+      while (k < out.length) {
+        val v = h * coeffA(k) + coeffB(k)
+        if (v < out(k)) out(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val ca = ctx.addReferenceObj("minhashA", coeffA, "long[]")
+      val cb = ctx.addReferenceObj("minhashB", coeffB, "long[]")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val k = ctx.freshName("k"); val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = $hs.numElements();
+         |final long[] $out = new long[$ca.length];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $hs.getLong($i);
+         |  for (int $k = 0; $k < $ca.length; $k++) {
+         |    final long $v = $h * $ca[$k] + $cb[$k];
+         |    if ($v < $out[$k]) $out[$k] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): LongMinHashSig =
+    copy(child = c)
+}
+
+/** SimHash: bit b of the output is set iff a strict majority of the
+  * input hashes have bit b set. One pass, 64 counters. */
+case class LongSimHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"LongSimHash expects array<bigint>, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var sig = 0L; var b = 0
+    while (b < 64) { if (counts(b) * 2 > n) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val counts = ctx.freshName("counts"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $hs.numElements();
+         |final int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $hs.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) { $counts[$b] += (int)(($h >>> $b) & 1L); }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($counts[$b] * 2 > $n) $sig |= (1L << $b); }
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): LongSimHash =
+    copy(child = c)
+}

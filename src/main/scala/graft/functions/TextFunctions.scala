@@ -122,18 +122,15 @@ object TextFunctions {
     }
   }
 
-  /** 64-bit SimHash over word unigrams. For each bit b, count words
-    * whose xxhash64 has bit b set; the signature bit is the majority
-    * vote. Composed from built-ins (64 filtered counts over the
-    * precomputed hash array); a fused custom Expression is the
-    * optimization path if this shows up hot in profiles. */
+  /** 64-bit SimHash over word unigrams: for each bit b the signature
+    * bit is the majority vote of the words' xxhash64 bit b. Word
+    * hashing uses the built-in codegen xxhash64; the 64-way majority
+    * vote is one fused native pass (LongSimHash expression) instead of
+    * 64 interpreted filtered counts. */
   def simhash64(text: Column): Column = {
     val hs = transform(words(normalize(text)), w => xxhash64(w))
-    val n = size(hs)
-    (0 until 64).map { b =>
-      val setCount = size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
-      when(setCount * lit(2) > n, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    org.apache.spark.sql.GraftSql.column(
+      LongSimHash(org.apache.spark.sql.GraftSql.expression(hs)))
   }
 
   /** Hamming distance between two 64-bit signatures. */

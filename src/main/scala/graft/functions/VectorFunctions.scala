@@ -1,39 +1,38 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.functions._
 
 /** Vector (embedding) column functions over `array<float>` columns.
   *
-  * All math is done in DOUBLE with left-to-right summation
-  * (`aggregate` folds sequentially), which makes results bit-identical
-  * to a single-node oracle computing the same fold — float32 math or
-  * reassociated SIMD sums would not be. float→double widening is exact.
+  * All math is done in DOUBLE with left-to-right summation, which makes
+  * results bit-identical to a single-node oracle computing the same
+  * fold (DuckDB's `list_dot_product`) — float32 math or reassociated
+  * SIMD sums would not be. float→double widening is exact.
   *
-  * Per-row scalar work only — no shuffle; distributes trivially. The
-  * hot-path optimization (custom codegen Expression over the unsafe
-  * array data) is the upgrade path if profiles demand it.
+  * The kernels are native codegen Catalyst Expressions
+  * (VecExpressions.scala) — a tight primitive loop inside whole-stage
+  * codegen, replacing the interpreted `zip_with`+`aggregate`
+  * higher-order-function formulation that dominated the benchmark
+  * profile. Per-row scalar work only — no shuffle; distributes
+  * trivially.
   */
 object VectorFunctions {
 
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
-  /** Sequential-fold dot product in double. */
+  /** Sequential-fold dot product in double (native codegen kernel). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    GraftSql.column(VecDot(GraftSql.expression(a), GraftSql.expression(b)))
 
   /** L2 norm. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity in double. */
+  /** Cosine similarity in double — fused one-pass dot + norms. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    GraftSql.column(VecCosine(GraftSql.expression(a), GraftSql.expression(b)))
 
-  /** Euclidean (L2) distance. */
+  /** Euclidean (L2) distance — fused one-pass kernel. */
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+    GraftSql.column(VecL2Dist(GraftSql.expression(a), GraftSql.expression(b)))
 
   /** Deterministic random hyperplanes for cosine-LSH signatures:
     * `nPlanes` x `dim` Gaussian-ish components from a fixed seed. */
@@ -45,11 +44,9 @@ object VectorFunctions {
   /** Signed-random-projection LSH bucket id: bit k = sign(v . plane_k).
     * Cosine-similar vectors collide with probability
     * (1 - angle/pi)^nPlanes per bucket. Returns an int in
-    * [0, 2^nPlanes). */
+    * [0, 2^nPlanes). Single fused codegen pass over the plane matrix. */
   def srpBucket(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, k) =>
-      when(dot(v, typedlit(p.toSeq)) > 0, lit(1 << k)).otherwise(lit(0))
-    }.reduce(_ + _)
+    GraftSql.column(VecSrpSignature(GraftSql.expression(v), planes))
 
   /** All bucket ids within Hamming distance 1 of the base bucket
     * (multiprobe LSH): the bucket itself plus each single-bit flip. */

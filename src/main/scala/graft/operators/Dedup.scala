@@ -57,12 +57,16 @@ object Dedup {
   }
 
   /** MinHash signature: for each of NumHashes affine transforms of the
-    * shingle xxhash64, take the min over shingles. Column-only math. */
+    * shingle xxhash64, take the min over shingles. Shingle hashing is
+    * the built-in codegen xxhash64; the 32 affine minima are one fused
+    * native pass (LongMinHashSig) instead of 32 interpreted
+    * array_min(transform(...)) folds. */
   private def minhashSig(shingles: org.apache.spark.sql.Column) = {
     val hs = transform(shingles, sh => xxhash64(sh))
-    array(affine.map { case (a, b) =>
-      array_min(transform(hs, h => h * lit(a) + lit(b)))
-    }: _*)
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.LongMinHashSig(
+        org.apache.spark.sql.GraftSql.expression(hs),
+        affine.map(_._1), affine.map(_._2)))
   }
 
   /** Near-duplicate pairs by MinHash-LSH with exact-Jaccard
@@ -140,18 +144,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Direct n-gram Jaccard for a bounded candidate set (brute force
-    * within a single source partition — the quadratic fallback when the
-    * candidate universe is small, e.g. per-source near-dup audit). */
+  /** Exact n-gram Jaccard pairs within each source, via an inverted
+    * index instead of an all-pairs product: explode distinct shingles,
+    * self-join on (source, shingle) so only pairs sharing >=1 shingle
+    * ever materialize, count shared shingles per pair, and derive
+    * |union| = |A| + |B| - shared. Bit-identical to brute-force pairwise
+    * Jaccard for any threshold > 0 (a pair with j > 0 must share a
+    * shingle), but the work is sum-over-shingles of df^2 instead of
+    * n^2 array intersections.
+    *
+    * 100 TB posture: the shuffle is keyed by shingle; a stopword-like
+    * shingle with document frequency f contributes f^2 candidate rows,
+    * so at scale the standard mitigation is dropping ultra-common
+    * shingles (they only occur in pairs that share many other
+    * shingles). Left exact here because the oracle is exact. */
   def ngramJaccardWithinSource(s: SparkSession, dir: String,
       threshold: Double = JaccardThreshold): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"), wordShingles(col("text"), 3).as("sh"))
-    val a = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("source"))
+      .withColumn("n", size(col("sh")))
+    val ex = d.select(col("source"), col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+    val a = ex.select(col("source"), col("shingle"),
+      col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = ex.select(col("source"), col("shingle"),
+      col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("source", "shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy(col("source"), col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("j", col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("j") >= threshold)
       .select(col("source"), col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
