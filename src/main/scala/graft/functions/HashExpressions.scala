@@ -124,3 +124,54 @@ case class LongSimHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): LongSimHash =
     copy(child = c)
 }
+
+/** Exact Jaccard of two SORTED long arrays via a linear merge —
+  * |A ∩ B| / |A ∪ B| in one O(|A|+|B|) pass, replacing the interpreted
+  * array_intersect + array_union pair (each O(n) with hash-set
+  * allocation per row). Inputs must be sorted ascending and distinct
+  * (sort_array over distinct shingle hashes). */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"SortedLongJaccard expects two array<bigint> args, " +
+        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $na = $a.numElements(); final int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  final long $x = $a.getLong($i); final long $y = $b.getLong($j);
+         |  if ($x == $y) { $inter++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = (double)$inter / (double)($na + $nb - $inter);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongJaccard =
+    copy(left = l, right = r)
+}

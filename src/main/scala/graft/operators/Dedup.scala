@@ -50,24 +50,46 @@ object Dedup {
     Tables.documents(s, dir)
       .select(col("doc_id"), wordShingles(col("text"), 3).as("shingles"))
 
+  /** (doc_id, sorted xxhash64 shingle hashes): the working
+    * representation of a document's shingle set. 8-byte keys instead of
+    * ~20-char strings for every downstream join/explode, and sorted so
+    * pairwise Jaccard is a linear native merge (SortedLongJaccard).
+    * Distinct shingles stay distinct under xxhash64 up to a ~1e-11
+    * corpus-level collision probability. */
+  private def hashShingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      sort_array(transform(wordShingles(col("text"), 3), sh => xxhash64(sh))).as("hs"))
+
+  private def jaccardHs(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftSql.column(graft.functions.SortedLongJaccard(
+      org.apache.spark.sql.GraftSql.expression(a),
+      org.apache.spark.sql.GraftSql.expression(b)))
+
+  /** All unordered id pairs (min, max) from a bucket's id list —
+    * the LSH bucket→candidate-pair expansion, done with array lambdas
+    * inside the bucket row instead of a bucket self-join (which would
+    * re-run the whole upstream pipeline for each side). Bucket sizes
+    * are capped by the caller, so the quadratic is bounded per row. */
+  private def pairCombos(ids: org.apache.spark.sql.Column) =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), y =>
+        struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+
   /** Deterministic affine rehash constants for minhash (seeded). */
   private val affine: Array[(Long, Long)] = {
     val rnd = new scala.util.Random(7L)
     Array.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
   }
 
-  /** MinHash signature: for each of NumHashes affine transforms of the
-    * shingle xxhash64, take the min over shingles. Shingle hashing is
-    * the built-in codegen xxhash64; the 32 affine minima are one fused
+  /** MinHash signature from a document's shingle-hash array: for each
+    * of NumHashes affine transforms, the min over hashes — one fused
     * native pass (LongMinHashSig) instead of 32 interpreted
     * array_min(transform(...)) folds. */
-  private def minhashSig(shingles: org.apache.spark.sql.Column) = {
-    val hs = transform(shingles, sh => xxhash64(sh))
+  private def minhashSig(shingleHashes: org.apache.spark.sql.Column) =
     org.apache.spark.sql.GraftSql.column(
       graft.functions.LongMinHashSig(
-        org.apache.spark.sql.GraftSql.expression(hs),
+        org.apache.spark.sql.GraftSql.expression(shingleHashes),
         affine.map(_._1), affine.map(_._2)))
-  }
 
   /** Near-duplicate pairs by MinHash-LSH with exact-Jaccard
     * verification: returns (doc_a < doc_b, jaccard) for every pair with
@@ -81,7 +103,7 @@ object Dedup {
     * the verified output equals brute-force pairwise Jaccard (which is
     * exactly what the oracle computes). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(s, dir).withColumn("sig", minhashSig(col("shingles")))
+    val docs = hashShingled(s, dir).withColumn("sig", minhashSig(col("hs")))
     val bands = docs.select(
       col("doc_id"),
       posexplode(array((0 until NumBands).map { j =>
@@ -89,23 +111,25 @@ object Dedup {
                  element_at(col("sig"), 2 * j + 2), lit(j))
       }: _*)).as(Seq("band", "key")))
 
-    // Skew guard: drop degenerate buckets (a pathological key shared by
-    // thousands of docs would otherwise force a quadratic explosion).
-    val bucketed = bands.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_n") <= MaxBucket)
-
-    val l = bucketed.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-    val r = bucketed.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-    val candidates = l.join(r, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    // One shuffle keyed by (band, key) gathers each LSH bucket (ids
+    // only — carrying the hash arrays through the quadratic pair
+    // expansion measured 4.5x slower than re-attaching them by join);
+    // pairs expand inside the bucket row, dedupe, then two id-keyed
+    // joins re-attach the shingle hashes for exact verification with
+    // the linear native merge. Skew guard: degenerate buckets (a
+    // pathological key shared by thousands of docs would force a
+    // quadratic explosion) are dropped by the size cap.
+    val candidates = bands.groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
-    val sa = shingled(s, dir).select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val sb = shingled(s, dir).select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val sa = hashShingled(s, dir).select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val sb = hashShingled(s, dir).select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     candidates.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("j", jaccardHs(col("hs_a"), col("hs_b")))
       .filter(col("j") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
@@ -132,14 +156,18 @@ object Dedup {
       posexplode(array((0 until 4).map { j =>
         shiftright(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("chunk", "key")))
-    val l = chunks.select(col("chunk"), col("key"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = chunks.select(col("chunk"), col("key"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+    // Same bucket-gather shape as minhashPairs: one shuffle on
+    // (chunk, key), pair expansion inside the bucket. The signature
+    // rides along in the struct so verification needs no re-join.
+    chunks.groupBy(col("chunk"), col("key"))
+      .agg(collect_list(struct(col("doc_id").as("id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, MaxBucket))
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members"))), y =>
+          struct(least(x("id"), y("id")).as("doc_a"),
+                 greatest(x("id"), y("id")).as("doc_b"),
+                 hamming64(x("sig"), y("sig")).as("hamming")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -161,18 +189,25 @@ object Dedup {
   def ngramJaccardWithinSource(s: SparkSession, dir: String,
       threshold: Double = JaccardThreshold): DataFrame = {
     val d = Tables.documents(s, dir)
-      .select(col("source"), col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .select(col("source"), col("doc_id"),
+        transform(wordShingles(col("text"), 3), sh => xxhash64(sh)).as("sh"))
       .withColumn("n", size(col("sh")))
     val ex = d.select(col("source"), col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
-    val a = ex.select(col("source"), col("shingle"),
-      col("doc_id").as("doc_a"), col("n").as("n_a"))
-    val b = ex.select(col("source"), col("shingle"),
-      col("doc_id").as("doc_b"), col("n").as("n_b"))
-    a.join(b, Seq("source", "shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("source"), col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+    // Gather each shingle's postings once (one shuffle keyed by
+    // (source, shingle)) and expand co-occurring doc pairs inside the
+    // row — a self-join here would re-run the scan+shingle pipeline for
+    // both sides. Then |A ∩ B| = number of shingles listing the pair.
+    ex.groupBy(col("source"), col("shingle"))
+      .agg(collect_list(struct(col("doc_id").as("id"), col("n"))).as("postings"))
+      .filter(size(col("postings")) >= 2)
+      .select(col("source"), explode(flatten(transform(col("postings"), (x, i) =>
+        transform(slice(col("postings"), i + lit(2), size(col("postings"))), y =>
+          struct(least(x("id"), y("id")).as("doc_a"),
+                 greatest(x("id"), y("id")).as("doc_b"),
+                 (x("n") + y("n")).as("n_sum")))))).as("p"))
+      .groupBy(col("source"), col("p.doc_a"), col("p.doc_b"), col("p.n_sum"))
       .agg(count(lit(1)).as("shared"))
-      .withColumn("j", col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .withColumn("j", col("shared").cast("double") / (col("n_sum") - col("shared")))
       .filter(col("j") >= threshold)
       .select(col("source"), col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
   }
