@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Joins, Relational, Similarity, TextAnalysis, Windows}
+import graft.operators.{Dedup, Joins, Multimodal, Relational, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,6 +17,18 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Joins.starRevenue(spark, "/root/testdata/sf0.001")
+
+  /** Deterministic fixture pipeline for the gate's reference-surface
+    * queries: 3 hourly ticks into a fresh temp warehouse, then the
+    * mart / snapshot scans are returned (SURVEY §2.1-2.2, §3). */
+  private def gatePipeline(s: SparkSession): graft.pipeline.Pipeline = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-gate-wh").toString
+    val p = new graft.pipeline.Pipeline(s, wh)
+    (1 to 3).foreach { h =>
+      p.runOnce(Some(java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")))
+    }
+    p
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -58,6 +70,18 @@ object SparkEntry {
     "q_embedding_neardup"-> ((s, d) => Similarity.embeddingNearDups(s, d)),
     "q_embedding_norms"  -> (Similarity.norms _),
     "q_label_cohesion"   -> (Similarity.labelCohesion _),
+    // Multimodal binary columns
+    "q_media_profile"    -> (Multimodal.mediaProfile _),
+    "q_media_norms"      -> ((s, d) => Multimodal.featureNorms(s, d)),   // rows-only (stub decode)
+    // Streaming transforms (batch-mode plan parity; watermark no-ops)
+    "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
+                               .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
+                               .withColumn("total_value",
+                                 org.apache.spark.sql.functions.round(
+                                   org.apache.spark.sql.functions.col("total_value"), 4))),
+    // Reference pipeline surface (own fixture warehouse; rows-only)
+    "q_pipeline_mart"    -> ((s, _) => gatePipeline(s).martScan),
+    "q_pipeline_snapshots" -> ((s, _) => gatePipeline(s).snapshots),
     // Text analysis
     "q_token_stats"      -> (TextAnalysis.tokenStats _),
     "q_quality_scores"   -> (TextAnalysis.qualityScores _),
@@ -267,6 +291,26 @@ object SparkEntry {
         |  FROM e JOIN cent ON e.label = cent.label)
         |SELECT label, ROUND(AVG(sim), 4) AS mean_centroid_sim, COUNT(*) AS n_vectors
         |FROM j GROUP BY label""".stripMargin,
+    "q_media_profile" ->
+      """WITH m AS (SELECT
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  ['png','wav','mp4'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(doc_id % 8 * 160 + 320 AS INTEGER) AS width,
+        |  doc_id % 60 * 1000 + 5000 AS duration_ms
+        |  FROM documents)
+        |SELECT kind, format, COUNT(*) AS n_items,
+        |CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |ROUND(AVG(n_bytes), 4) AS avg_bytes,
+        |MAX(width) AS max_width,
+        |ROUND(AVG(duration_ms), 4) AS avg_duration_ms
+        |FROM m GROUP BY 1, 2""".stripMargin,
+    "q_windowed_counts" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+        |time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+        |event_type, COUNT(*) AS n_events,
+        |ROUND(SUM(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_token_stats" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column operators: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus partition-wise decode /
+  * feature-extract / resize / frame-sample plumbing.
+  *
+  * The container has no media codecs, so the DECODE KERNELS ARE
+  * DETERMINISTIC STUBS (clearly marked below): they derive their
+  * output from the content bytes alone, standing in for libjpeg/ffmpeg
+  * calls. Everything around them — the binary+metadata schema, the
+  * `mapPartitions` batch shape (one codec init per partition, not per
+  * row), partitioning behavior, and output schemas — is the real
+  * plumbing a production decode path uses, and is what the tests
+  * exercise.
+  *
+  * 100 TB posture: media bytes are the dominant payload; operators
+  * never shuffle content (all decode/transform work is map-side after
+  * scan), and aggregates project metadata columns only, so Parquet
+  * column pruning keeps the binary column unread for metadata-only
+  * queries.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque content bytes. */
+  final case class MediaMeta(kind: String, format: String, n_bytes: Long,
+                             width: Int, height: Int, duration_ms: Long)
+
+  final case class MediaRow(media_id: Long, kind: String, format: String,
+                            content: Array[Byte], n_bytes: Long,
+                            width: Int, height: Int, duration_ms: Long)
+
+  final case class MediaFeatures(media_id: Long, kind: String, dim: Int,
+                                 features: Array[Float])
+
+  final case class FrameSample(media_id: Long, frame_no: Int, frame: Array[Byte])
+
+  val FeatureDim = 32
+
+  /** Media table derived deterministically from `documents`: content =
+    * the document's UTF-8 bytes (an opaque stand-in payload), kind/
+    * format/dimensions derived from doc_id. At 100 TB this is
+    * `spark.read.parquet` of a real media table; deriving it keeps the
+    * gate runnable on the driver's testdata. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      element_at(typedlit(Seq("png", "wav", "mp4")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"),
+      encode(col("text"), "UTF-8").as("content"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      (col("doc_id") % 8 * 160 + 320).cast("int").as("width"),
+      (col("doc_id") % 8 * 90 + 180).cast("int").as("height"),
+      (col("doc_id") % 60 * 1000 + 5000).as("duration_ms"))
+
+  /** Metadata-only profile per media kind. Projects no binary column,
+    * so the Parquet scan prunes `content` entirely — the plan to check
+    * with .explain on a real media table. */
+  def mediaProfile(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .groupBy(col("kind"), col("format"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("n_bytes")), 4).as("avg_bytes"),
+        max(col("width")).as("max_width"),
+        round(avg(col("duration_ms")), 4).as("avg_duration_ms"))
+
+  // ---------------------------------------------------------------
+  // STUB decode kernels. Each is the deterministic stand-in for a
+  // native codec call; the real implementation replaces ONLY the body
+  // marked `stub:`, keeping signature, batching and schema.
+  // ---------------------------------------------------------------
+
+  /** stub: "decode" content to a FeatureDim-dim float feature vector.
+    * Real impl: image embed / audio fingerprint via a per-partition
+    * codec+model session. Deterministic: features are a rolling
+    * byte-histogram projection of the content. */
+  private def stubFeatures(content: Array[Byte]): Array[Float] = {
+    val acc = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < content.length) {
+      acc(i % FeatureDim) += ((content(i) & 0xFF) - 127.5f) / 127.5f
+      i += 1
+    }
+    acc
+  }
+
+  /** Partition-wise feature extraction: ONE decoder/model init per
+    * partition (the expensive part of a real codec path), then a
+    * streaming map over the partition's rows — the Scala analog of a
+    * batched pandas UDF. */
+  def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("media_id"), col("kind"), col("content")).as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // real impl: val codec = Codec.open(); TaskContext cleanup hook
+        rows.map { case (id, kind, content) =>
+          MediaFeatures(id, kind, FeatureDim, stubFeatures(content))
+        }
+      }
+  }
+
+  /** stub: resize an image payload to (w, h). Real impl: decode,
+    * scale, re-encode. Deterministic: truncate/cycle content to a
+    * length proportional to the target pixel count. */
+  private def stubResize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, (w.toLong * h / 64).toInt)
+    Array.tabulate(target)(i => content(i % math.max(1, content.length)))
+  }
+
+  /** Image resize over the image subset — filter pushes `kind` down to
+    * the scan; the binary column is only read for matching rows. */
+  def resizeImages(s: SparkSession, dir: String, w: Int, h: Int): Dataset[MediaRow] = {
+    import s.implicits._
+    mediaTable(s, dir).filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val resized = stubResize(r.content, w, h)
+          r.copy(content = resized, n_bytes = resized.length.toLong,
+            width = w, height = h)
+        }
+      }
+  }
+
+  /** stub: sample n frames from a video payload. Real impl: keyframe
+    * extraction. Deterministic: n evenly-spaced 16-byte slices. */
+  private def stubFrames(content: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val len = math.max(1, content.length)
+    (0 until n).map { k =>
+      val off = (len.toLong * k / n).toInt
+      Array.tabulate(math.min(16, len))(i => content((off + i) % len))
+    }
+  }
+
+  /** Frame sampling over the video subset: one input row → n frame
+    * rows (flatMap keeps it map-side; no shuffle). */
+  def sampleFrames(s: SparkSession, dir: String, n: Int = 4): Dataset[FrameSample] = {
+    import s.implicits._
+    mediaTable(s, dir).filter(col("kind") === "video")
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, content) =>
+        stubFrames(content, n).zipWithIndex.map { case (f, k) => FrameSample(id, k, f) }
+      }
+  }
+
+  /** Feature-space profile built on the stub decode: per-kind L2-norm
+    * stats of the extracted features — exercises decode + vector kernel
+    * + aggregate end-to-end. */
+  def featureNorms(s: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(s, dir).toDF()
+    feats.select(col("media_id"), col("kind"),
+        graft.functions.VectorFunctions.l2Norm(col("features")).as("norm"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_items"),
+        round(avg(col("norm")), 4).as("avg_norm"),
+        round(max(col("norm")), 4).as("max_norm"))
+  }
+}

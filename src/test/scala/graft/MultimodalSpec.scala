@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.operators.Multimodal
+
+/** Multimodal plumbing on the sf0.001 testdata-derived media table:
+  * binary content + typed metadata schema, partition-wise decode batch
+  * shape, filter-before-decode, and frame fan-out. */
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("mediaTable: binary content with consistent typed metadata") {
+    val rows = Multimodal.mediaTable(spark, dir).limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]]("content").length.toLong === r.getAs[Long]("n_bytes"))
+      assert(Set("image", "audio", "video").contains(r.getAs[String]("kind")))
+    }
+  }
+
+  test("extractFeatures: fixed-dim deterministic features per row") {
+    val f = Multimodal.extractFeatures(spark, dir).collect()
+    val docs = Tables.documents(spark, dir).count()
+    assert(f.length.toLong === docs)
+    assert(f.forall(_.features.length === Multimodal.FeatureDim))
+    // deterministic: re-running yields identical vectors
+    val f2 = Multimodal.extractFeatures(spark, dir).collect()
+      .map(x => x.media_id -> x.features.toSeq).toMap
+    assert(f.forall(x => f2(x.media_id) === x.features.toSeq))
+  }
+
+  test("resizeImages: only image rows, metadata tracks new content") {
+    val r = Multimodal.resizeImages(spark, dir, 64, 32).collect()
+    assert(r.nonEmpty)
+    r.foreach { m =>
+      assert(m.kind === "image")
+      assert(m.width === 64 && m.height === 32)
+      assert(m.n_bytes === m.content.length.toLong)
+      assert(m.content.length === 64 * 32 / 64)
+    }
+  }
+
+  test("sampleFrames: n frames per video row, map-side fan-out") {
+    val frames = Multimodal.sampleFrames(spark, dir, n = 4).collect()
+    val videos = Multimodal.mediaTable(spark, dir)
+      .filter(col("kind") === "video").count()
+    assert(frames.length.toLong === videos * 4)
+    assert(frames.map(_.frame_no).toSet === Set(0, 1, 2, 3))
+  }
+
+  test("mediaProfile groups by kind with exact byte accounting") {
+    val p = Multimodal.mediaProfile(spark, dir).collect()
+    assert(p.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
+    val total = p.map(_.getAs[Long]("total_bytes")).sum
+    val expected = Multimodal.mediaTable(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_bytes")).collect().head.getLong(0)
+    assert(total === expected)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionOut}
+
+/** Structured Streaming semantics driven through MemoryStream
+  * micro-batches: watermarked windowed aggregation and stateful
+  * sessionization, plus batch/stream plan parity. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-08-12 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowedTypeCounts aggregates per tumbling window under watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedTypeCounts(mem.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(
+        Event(1, 1, "view", 10.0, ts(0)),
+        Event(2, 1, "view", 20.0, ts(10)),
+        Event(3, 2, "purchase", 100.0, ts(40)))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))).toMap
+      assert(rows((ts(0), "view")) === ((2L, 30.0)))
+      assert(rows((ts(30), "purchase")) === ((1L, 100.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream closes a session when the gap passes, across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionizeStream(mem.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two events 10 min apart (one open session)
+      mem.addData(Event(1, 1, "view", 10.0, ts(0)), Event(2, 1, "view", 30.0, ts(10)))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0) // still open
+      // batch 2: 40-min gap -> closes session 1, opens session 2
+      mem.addData(Event(3, 1, "view", 5.0, ts(50)))
+      q.processAllAvailable()
+      val s = spark.table("sessions").as[SessionOut].collect()
+      assert(s.length === 1)
+      assert(s.head === SessionOut(1L, ts(0), ts(10), 2L, 40.0))
+    } finally q.stop()
+  }
+
+  test("windowedTypeCounts logical plan runs identically in batch mode") {
+    val batch = Seq(
+      Event(1, 1, "view", 10.0, ts(0)),
+      Event(2, 1, "view", 20.0, ts(10)),
+      Event(3, 2, "purchase", 100.0, ts(40))).toDF()
+    val rows = EventStreams.windowedTypeCounts(batch, "30 minutes", "1 hour")
+      .collect().map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n_events")).toMap
+    assert(rows((ts(0), "view")) === 2L)
+    assert(rows((ts(30), "purchase")) === 1L)
+  }
+
+  test("priceStreamToLake appends micro-batches as snapshots") {
+    implicit val sc = spark.sqlContext
+    val wh = TestSpark.tempDir("graft-stream-wh")
+    val catalog = new graft.pipeline.LakeCatalog(spark, wh)
+    catalog.createNamespace("raw")
+    val mem = MemoryStream[graft.pipeline.Schemas.BitcoinPrice]
+    val q = EventStreams.priceStreamToLake(mem.toDF(), catalog,
+      TestSpark.tempDir("graft-ckpt"))
+    try {
+      val row = graft.pipeline.Schemas.BitcoinPrice("coingecko", "BTC",
+        Some(50000.0), Some(46000.0), Some(272500.0), Some(1e12), Some(1e10),
+        Some(1.5), ts(0))
+      mem.addData(row)
+      q.processAllAvailable()
+      mem.addData(row.copy(extracted_at = ts(60)))
+      q.processAllAvailable()
+      assert(catalog.table(graft.pipeline.Ingest.RawTable).count() === 2L)
+      assert(catalog.snapshots(graft.pipeline.Ingest.RawTable).count() === 2L)
+    } finally q.stop()
+  }
+}
