@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints the physical plan of the named SparkEntry
+  * queries (default: the flagship joins/aggregates) against sf0.01.
+  * Used to verify the scale-critical plan properties — column-pruned
+  * `ReadSchema`, `PushedFilters` reaching the parquet scan, broadcast
+  * joins on dimension tables, partial+final HashAggregate, and
+  * TakeOrderedAndProject fusion for top-k.
+  *
+  *   sbt "runMain graft.Explain [queryName...]"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_star_revenue", "q_pricing_summary", "q_filtered_agg",
+        "q_semi_join", "q_top_customers")
+    for (n <- names) {
+      println(s"===== $n =====")
+      println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
+    spark.stop()
+  }
+}

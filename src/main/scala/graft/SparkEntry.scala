@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Joins, Multimodal, Relational, Similarity, TextAnalysis, Windows}
+import graft.operators.{Dedup, Joins, Multimodal, Relational, Similarity, TemporalJoins, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,6 +51,9 @@ object SparkEntry {
     "q_semi_join"        -> (Joins.customersWithOrders _),
     "q_anti_join"        -> (Joins.customersWithoutOrders _),
     "q_priority_counts"  -> (Joins.priorityLineCounts _),
+    // Temporal joins (as-of, bounded range)
+    "q_asof_view"        -> (TemporalJoins.lastViewBeforePurchase _),
+    "q_range_errors"     -> (TemporalJoins.errorsBeforePurchase _),
     // Windows
     "q_value_change"     -> (Windows.valueChange _),
     "q_running_total"    -> (Windows.runningTotal _),
@@ -176,6 +179,18 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+    "q_asof_view" ->
+      """SELECT p.event_id, p.user_id,
+        |v.event_id AS view_event_id, ROUND(v.value, 4) AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q_range_errors" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |ON p.user_id = e.user_id
+        |AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts""".stripMargin,
     "q_value_change" ->
       """SELECT event_id, user_id,
         |ROUND(value - COALESCE(LAG(value) OVER

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal join operators Spark lacks natively — as-of join and
+  * bounded range join — composed from built-in operators so Catalyst
+  * keeps full visibility (pushdown, AQE) into the plan.
+  *
+  * Scale posture:
+  *  - asOfJoin is the union+running-last formulation: ONE shuffle on
+  *    the join key and a per-key sort, versus the naive
+  *    join-then-filter-then-argmax which materializes every
+  *    (left, right-before) pair (quadratic per key). This is how
+  *    point-in-time correctness joins (feature stores, trade/quote)
+  *    scale: cost is O(|L|+|R|) rows through one exchange.
+  *  - rangeJoin buckets the time axis at the range width so each left
+  *    row probes exactly 2 buckets: an equi-join on (key, bucket)
+  *    carries the pruning a naive theta-join would leave to a
+  *    post-cross filter. Output-proportional, never cross-product.
+  */
+object TemporalJoins {
+
+  /** Generic as-of join: for each left row, the latest right row with
+    * rTime <= lTime (inclusive), matched within `keys`. Right columns
+    * come back null when no prior right row exists (LEFT OUTER as-of).
+    *
+    * `rightCols` are the right-side payload columns to carry; both
+    * inputs must share the `keys` column names; `lTime`/`rTime` name
+    * each side's event-time column.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               lTime: String, rTime: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == lTime).toSeq
+    // Union schema: keys, t, side (1=left/probe, 0=right/build),
+    // left payload (null on right rows), right payload (null on left).
+    val lNorm = left.select(
+      keys.map(col) ++ Seq(col(lTime).as("_t"), lit(1).as("_side")) ++
+        leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val rNorm = right.select(
+      keys.map(col) ++ Seq(col(rTime).as("_t"), lit(0).as("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"_r_$c")): _*)
+    // Right rows sort before left rows at equal time => inclusive <=.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = lNorm.unionByName(rNorm)
+      .select((keys.map(col) ++ Seq(col("_t"), col("_side")) ++ leftCols.map(col) ++
+        rightCols.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"_r_$c"))): _*)
+    joined.filter(col("_side") === 1)
+      .select(keys.map(col) ++ leftCols.map(col) ++ Seq(col("_t").as(lTime)) ++
+        rightCols.map(c => col(s"_r_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Bounded range join: all (left, right) pairs within `keys` with
+    * rTime in [lTime - rangeSeconds, lTime]. Implemented as an
+    * equi-join on (key, time-bucket) with bucket width = range, so each
+    * left row probes exactly its own and the previous bucket, then the
+    * exact range predicate filters within the bucket-matched pairs. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                lTime: String, rTime: String, rangeSeconds: Long): DataFrame = {
+    val widthMicros = rangeSeconds * 1000000L
+    def bucket(t: Column): Column = floor(unix_micros(t) / widthMicros)
+    val l = left.withColumn("_bucket",
+      explode(array(bucket(col(lTime)), bucket(col(lTime)) - 1)))
+    val r = right.withColumn("_bucket", bucket(col(rTime)))
+    l.join(r, keys :+ "_bucket")
+      .filter(col(rTime) >= col(lTime) - expr(s"INTERVAL $rangeSeconds SECONDS") &&
+        col(rTime) <= col(lTime))
+      .drop("_bucket")
+  }
+
+  /** As-of query over events: each purchase matched to the user's most
+    * recent view at-or-before the purchase time. */
+  def lastViewBeforePurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event_id"),
+        col("value").as("view_value"), col("ts"))
+    asOfJoin(purchases, views, Seq("user_id"), "ts", "ts",
+        Seq("view_event_id", "view_value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_view_event_id").as("view_event_id"),
+        round(col("asof_view_value"), 4).as("view_value"))
+  }
+
+  /** Range query over events: (purchase, error) pairs of the same user
+    * where the error occurred within the hour before the purchase. */
+  def errorsBeforePurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+    rangeJoin(purchases, errors, Seq("user_id"), "p_ts", "e_ts", 3600L)
+      .select(col("user_id"), col("purchase_id"), col("error_id"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TemporalJoins
+
+/** As-of and range join semantics on a crafted event stream. */
+class TemporalJoinsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def ns(minute: Int): Long = (1786838400L + minute * 60L) * 1000000000L
+
+  // user 1: view@0, view@10, purchase@15, error@20, purchase@90
+  // user 2: purchase@5 (no prior view), error@64, purchase@65
+  private val dir = TestSpark.eventsFixture(Seq(
+    (1L, 1L, "view", Double.box(1.0), ns(0)),
+    (2L, 1L, "view", Double.box(2.0), ns(10)),
+    (3L, 1L, "purchase", Double.box(50.0), ns(15)),
+    (4L, 1L, "error", null, ns(20)),
+    (5L, 1L, "purchase", Double.box(60.0), ns(90)),
+    (6L, 2L, "purchase", Double.box(70.0), ns(5)),
+    (7L, 2L, "error", null, ns(64)),
+    (8L, 2L, "purchase", Double.box(80.0), ns(65))))
+
+  test("as-of join picks the latest view at-or-before each purchase") {
+    val rows = TemporalJoins.lastViewBeforePurchase(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("view_event_id")).map(_.longValue)).toMap
+    assert(rows(3L) === Some(2L)) // view@10 beats view@0
+    assert(rows(5L) === Some(2L)) // still the latest view
+    assert(rows(6L) === None)     // user 2 never viewed
+    assert(rows(8L) === None)
+  }
+
+  test("range join pairs purchases with errors in the preceding hour only") {
+    val pairs = TemporalJoins.errorsBeforePurchase(spark, dir).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id"))).toSet
+    // purchase@90 (user 1): error@20 is 70 min earlier -> excluded
+    // purchase@65 (user 2): error@64 is 1 min earlier -> included
+    assert(pairs === Set((8L, 7L)))
+  }
+
+  test("range join is inclusive at both bounds") {
+    val d2 = TestSpark.eventsFixture(Seq(
+      (1L, 1L, "error", Double.box(0.0), ns(0)),
+      (2L, 1L, "purchase", Double.box(1.0), ns(60)), // exactly 1h after
+      (3L, 1L, "error", Double.box(0.0), ns(60))))   // same instant
+    val pairs = TemporalJoins.errorsBeforePurchase(spark, d2).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id"))).toSet
+    assert(pairs === Set((2L, 1L), (2L, 3L)))
+  }
+}
