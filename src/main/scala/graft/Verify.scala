@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // reference ran Spark 3.5 non-ANSI (SURVEY §7.6); also needed for
       // wrapping long arithmetic in minhash rehashing
       .config("spark.sql.ansi.enabled", "false")

@@ -49,18 +49,24 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     Files.exists(Paths.get(tablePath(name))) &&
       Files.list(Paths.get(tablePath(name))).findFirst().isPresent
 
+  private val commitCol = "commit"
+
   /** W3 — atomic-enough append partitioned by day of `partitionTs`
-    * (single-writer discipline, SURVEY §7.4), one snapshot per commit. */
+    * (single-writer discipline, SURVEY §7.4), one snapshot per commit.
+    * Each commit writes under its own `commit=<id>` partition
+    * directory, which is what makes snapshot reads (`tableAsOf`) a
+    * partition-pruned filter instead of a file-level manifest. */
   def append(name: String, df: DataFrame, partitionTs: Option[String] = None): Unit = {
     val rows = df.count()
+    val id = nextSnapshotId(name)
     val writer = partitionTs match {
       case Some(ts) =>
         df.withColumn(partitionCol, to_date(col(ts)))
           .write.partitionBy(partitionCol)
       case None => df.write
     }
-    writer.mode(SaveMode.Append).parquet(tablePath(name))
-    logSnapshot(name, "append", rows)
+    writer.mode(SaveMode.Append).parquet(s"${tablePath(name)}/$commitCol=$id")
+    logSnapshot(name, "append", rows, id)
   }
 
   /** W4 — full-refresh CTAS (`CREATE OR REPLACE TABLE ... AS SELECT`),
@@ -82,12 +88,30 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     logSnapshot(name, "replace", rows)
   }
 
-  /** S5 — table scan by multi-part name. The physical partition column
-    * is dropped so readers see the declared logical schema (hidden
-    * partitioning emulation, SURVEY §1.4). */
+  /** S5 — table scan by multi-part name. The physical partition
+    * columns (`commit`, `p_date`) are dropped so readers see the
+    * declared logical schema (hidden partitioning emulation, SURVEY
+    * §1.4); partition pruning on them still applies underneath (see
+    * graft.plans.HiddenPartitionPruning for the ts→p_date rewrite). */
   def table(name: String): DataFrame = {
     val df = spark.read.parquet(tablePath(name))
-    if (df.columns.contains(partitionCol)) df.drop(partitionCol) else df
+    df.drop(Seq(partitionCol, commitCol).filter(df.columns.contains): _*)
+  }
+
+  /** Time travel: the table as of `snapshotId` (inclusive) — every
+    * append commit up to that snapshot. The filter on the `commit`
+    * partition column prunes later commits' files at the scan, the
+    * same observable semantic as Iceberg `VERSION AS OF` on an
+    * append-only table. CTAS tables (staging/mart) are full-refresh
+    * replacements — their history is the latest state only, so time
+    * travel applies to append tables (matching the reference, where
+    * only raw accumulates snapshots hourly). */
+  def tableAsOf(name: String, snapshotId: Long): DataFrame = {
+    val df = spark.read.parquet(tablePath(name))
+    require(df.columns.contains(commitCol),
+      s"$name has no commit history (CTAS tables hold only their latest state)")
+    val filtered = df.filter(col(commitCol) <= snapshotId)
+    filtered.drop(Seq(partitionCol, commitCol).filter(df.columns.contains): _*)
   }
 
   /** S6 — the `table.snapshots` metadata scan (reference README.md:301):
@@ -105,10 +129,16 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       .orderBy(col("snapshot_id"))
   }
 
-  private def logSnapshot(name: String, op: String, rows: Long): Unit = {
+  private def nextSnapshotId(name: String): Long = {
+    val p = snapshotLogPath(name)
+    if (Files.exists(p)) Files.lines(p).count() + 1 else 1L
+  }
+
+  private def logSnapshot(name: String, op: String, rows: Long,
+                          snapshotId: Long = -1L): Unit = {
     val p = snapshotLogPath(name)
     Files.createDirectories(p.getParent)
-    val id = if (Files.exists(p)) Files.lines(p).count() + 1 else 1L
+    val id = if (snapshotId > 0) snapshotId else nextSnapshotId(name)
     val ts = java.time.Instant.now().toString
     val line =
       s"""{"committed_at":"$ts","snapshot_id":$id,"operation":"$op","added_records":$rows}\n"""

@@ -91,6 +91,50 @@ object Transform {
     catalog.createOrReplace(StgTable, staging(catalog.table(Ingest.RawTable)))
     catalog.createOrReplace(FctTable, dailyMart(catalog.table(StgTable)))
   }
+
+  /** The staging model's SQL text, verbatim from the reference
+    * (README.md:372-383) with dbt's relation resolution applied the
+    * way dbt compiles it: `iceberg.raw.bitcoin_prices` → the registered
+    * view name. Kept alongside the DataFrame transform and asserted
+    * equivalent in PipelineSpec — the SQL surface a Thrift/dbt user
+    * would run against this engine. */
+  val StagingSql: String =
+    """SELECT
+      |    source as data_source,
+      |    symbol as crypto_symbol,
+      |    COALESCE(price_usd, 0) as price_usd,
+      |    COALESCE(price_eur, 0) as price_eur,
+      |    COALESCE(price_brl, 0) as price_brl,
+      |    COALESCE(market_cap_usd, 0) as market_cap_usd,
+      |    COALESCE(volume_24h_usd, 0) as volume_24h_usd,
+      |    COALESCE(change_24h_pct, 0) as price_change_24h_pct,
+      |    extracted_at,
+      |    DATE(extracted_at) as extraction_date
+      |FROM bitcoin_prices""".stripMargin
+
+  /** The mart model's SQL text (reference README.md:390-399);
+    * `{{ ref('stg_bitcoin_prices') }}` resolves to the staging view. */
+  val DailyMartSql: String =
+    """SELECT
+      |    extraction_date,
+      |    data_source,
+      |    crypto_symbol,
+      |    MIN(price_usd) as min_price_usd,
+      |    MAX(price_usd) as max_price_usd,
+      |    AVG(price_usd) as avg_price_usd,
+      |    COUNT(*) as records
+      |FROM stg_bitcoin_prices
+      |GROUP BY extraction_date, data_source, crypto_symbol""".stripMargin
+
+  /** Run both models as SQL text (the dbt-over-Thrift path, SURVEY
+    * §3.2): register the upstream tables as views, execute the model
+    * SQL. Returns (staging, mart) DataFrames. */
+  def runSql(spark: SparkSession, catalog: LakeCatalog): (DataFrame, DataFrame) = {
+    catalog.table(Ingest.RawTable).createOrReplaceTempView("bitcoin_prices")
+    val stg = spark.sql(StagingSql)
+    stg.createOrReplaceTempView("stg_bitcoin_prices")
+    (stg, spark.sql(DailyMartSql))
+  }
 }
 
 /** The Airflow DAG as a 3-stage sequential driver (reference dag.py:

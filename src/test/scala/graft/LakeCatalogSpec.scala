@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.pipeline._
+
+/** Catalog semantics beyond PipelineSpec: SQL-text model parity,
+  * snapshot time travel, and hidden-partition pruning via the
+  * registered optimizer rule. */
+class LakeCatalogSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def ts(day: Int, h: Int): Timestamp =
+    Timestamp.valueOf(f"2026-08-$day%02d $h%02d:00:00")
+
+  private def freshPipeline() = new Pipeline(spark, TestSpark.tempDir("graft-lake"))
+
+  test("reference model SQL text produces exactly the DataFrame transforms") {
+    val p = freshPipeline()
+    p.runOnce(Some(ts(10, 1))); p.runOnce(Some(ts(11, 2)))
+    val (stgSql, fctSql) = Transform.runSql(spark, p.catalog)
+    assert(stgSql.columns.toSeq === p.catalog.table(Transform.StgTable).columns.toSeq)
+    assert(stgSql.collect().toSet === p.catalog.table(Transform.StgTable).collect().toSet)
+    assert(fctSql.collect().toSet === p.catalog.table(Transform.FctTable).collect().toSet)
+  }
+
+  test("tableAsOf reads the table as of an earlier snapshot") {
+    val p = freshPipeline()
+    p.runOnce(Some(ts(10, 1))); p.runOnce(Some(ts(10, 2))); p.runOnce(Some(ts(10, 3)))
+    val cat = p.catalog
+    assert(cat.table(Ingest.RawTable).count() === 9L)
+    assert(cat.tableAsOf(Ingest.RawTable, 1L).count() === 3L)
+    assert(cat.tableAsOf(Ingest.RawTable, 2L).count() === 6L)
+    assert(cat.tableAsOf(Ingest.RawTable, 3L).count() === 9L)
+    // snapshot-1 rows are exactly the first batch
+    val t1 = cat.tableAsOf(Ingest.RawTable, 1L)
+    assert(TestSpark.collectSet[Timestamp](t1.select("extracted_at"), "extracted_at")
+      === Set(ts(10, 1)))
+    // logical schema identical to the live table (no partition leakage)
+    assert(t1.columns.toSeq === cat.table(Ingest.RawTable).columns.toSeq)
+  }
+
+  test("tableAsOf prunes later commits at the scan") {
+    val p = freshPipeline()
+    (1 to 3).foreach(h => p.runOnce(Some(ts(10, h))))
+    val plan = p.catalog.tableAsOf(Ingest.RawTable, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("commit"), s"commit filter missing in:\n$plan")
+  }
+
+  test("timestamp predicates prune hidden day partitions (optimizer rule)") {
+    val p = freshPipeline()
+    p.runOnce(Some(ts(10, 1))); p.runOnce(Some(ts(11, 1))); p.runOnce(Some(ts(12, 1)))
+    val q = p.catalog.table(Ingest.RawTable)
+      .filter(col("extracted_at") >= ts(11, 0) && col("extracted_at") < ts(12, 0))
+    assert(q.count() === 3L) // correctness unchanged
+    val plan = q.queryExecution.executedPlan.toString
+    // the injected p_date bounds must reach the scan's PartitionFilters
+    assert(plan.contains("p_date"), s"p_date pruning missing in:\n$plan")
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.listFiles(s.partitionFilters, s.dataFilters).map(_.files.size).sum
+      }.sum
+    val all = p.catalog.table(Ingest.RawTable)
+      .queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.listFiles(s.partitionFilters, s.dataFilters).map(_.files.size).sum
+      }.sum
+    assert(scanned < all, s"expected fewer files scanned ($scanned) than total ($all)")
+  }
+}
