@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Arbitrary}
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.pipeline.{Schemas, Transform}
+
+/** Property tests (SURVEY §5.4): algebraic invariants checked on
+  * ScalaCheck-generated data pushed through the REAL Spark operators —
+  * one job per property over a generated batch, not per sample.
+  */
+class PropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample[A](gen: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val genPrice: Gen[Schemas.BitcoinPrice] = for {
+    src <- Gen.oneOf("coingecko", "coincap", "blockchain_info")
+    usd <- Gen.option(Gen.choose(1.0, 100000.0))
+    eur <- Gen.option(Gen.choose(1.0, 100000.0))
+    cap <- Gen.option(Gen.choose(1.0, 1e12))
+    chg <- Gen.option(Gen.choose(-50.0, 50.0))
+    dayOffset <- Gen.choose(0, 3)
+    hour <- Gen.choose(0, 23)
+  } yield Schemas.BitcoinPrice(src, "BTC", usd, eur, eur.map(_ * 6.0),
+    cap, cap.map(_ / 100), chg,
+    java.sql.Timestamp.valueOf(f"2026-03-${dayOffset + 1}%02d $hour%02d:00:00"))
+
+  test("staging: coalesced measures are never null; row count preserved") {
+    val rows = sample(genPrice, 300, seed = 1L)
+    val stg = Transform.staging(rows.toDF()).cache()
+    assert(stg.count() === rows.length.toLong)
+    val numeric = Seq("price_usd", "price_eur", "price_brl", "market_cap_usd",
+      "volume_24h_usd", "price_change_24h_pct")
+    val nulls = stg.select(numeric.map(c => sum(col(c).isNull.cast("int")).as(c)): _*)
+      .collect().head
+    numeric.indices.foreach(i => assert(nulls.getLong(i) === 0L, numeric(i)))
+  }
+
+  test("mart: min <= avg <= max and records sums to staging rows per grain") {
+    val rows = sample(genPrice, 300, seed = 2L)
+    val stg = Transform.staging(rows.toDF())
+    val mart = Transform.dailyMart(stg).collect()
+    mart.foreach { r =>
+      val (mn, av, mx) = (r.getAs[Double]("min_price_usd"),
+        r.getAs[Double]("avg_price_usd"), r.getAs[Double]("max_price_usd"))
+      assert(mn <= av + 1e-9 && av <= mx + 1e-9)
+    }
+    assert(mart.map(_.getAs[Long]("records")).sum === rows.length.toLong)
+  }
+
+  test("VecDot/VecCosine agree with the sequential scala fold") {
+    val genVec = Gen.listOfN(16, Gen.choose(-4.0f, 4.0f)).map(_.toArray)
+    val pairs = sample(Gen.zip(genVec, genVec), 200, seed = 3L)
+    val df = pairs.map { case (a, b) => (a.toSeq, b.toSeq) }.toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b")).as("dot"),
+        VectorFunctions.cosine(col("a"), col("b")).as("cos"))
+    val got = df.collect()
+    pairs.zip(got).foreach { case ((a, b), row) =>
+      val dot = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      assert(row.getDouble(0) === dot)
+      assert(math.abs(row.getDouble(1) - dot / (na * nb)) < 1e-12)
+      assert(row.getDouble(1) >= -1.0 - 1e-9 && row.getDouble(1) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("SortedLongJaccard equals set-based Jaccard for arbitrary sets") {
+    val genSet = Gen.nonEmptyListOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    val pairs = sample(Gen.zip(genSet, genSet), 200, seed = 4L)
+    val df = pairs.toDF("a", "b").select(
+      org.apache.spark.sql.GraftSql.column(graft.functions.SortedLongJaccard(
+        org.apache.spark.sql.GraftSql.expression(col("a")),
+        org.apache.spark.sql.GraftSql.expression(col("b")))).as("j"))
+    df.collect().zip(pairs).foreach { case (row, (a, b)) =>
+      val expected = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+      assert(row.getDouble(0) === expected)
+    }
+  }
+
+  test("simhash: identical texts collide; hamming is symmetric and <= 64") {
+    val genText = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+      .map(_.mkString(" "))
+    val texts = sample(genText, 150, seed = 5L)
+    val df = texts.toDF("text")
+      .select(graft.functions.TextFunctions.simhash64(col("text")).as("sig"), col("text"))
+      .collect().map(r => r.getAs[String]("text") -> r.getAs[Long]("sig")).toMap
+    texts.foreach { t =>
+      assert(df(t) === df(t)) // deterministic per text
+    }
+    val sigs = df.values.toSeq
+    sigs.zip(sigs.reverse).foreach { case (a, b) =>
+      val h = java.lang.Long.bitCount(a ^ b)
+      assert(h >= 0 && h <= 64)
+      assert(h === java.lang.Long.bitCount(b ^ a))
+    }
+  }
+}
