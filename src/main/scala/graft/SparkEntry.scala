@@ -44,6 +44,9 @@ object SparkEntry {
     "q_union_sources"    -> (Relational.unionSources _),
     "q_distinct_counts"  -> (Relational.distinctCounts _),
     "q_rollup_mart"      -> (Relational.rollupMart _),
+    "q_cube_mart"        -> (Relational.cubeMart _),
+    "q_percentiles"      -> (Relational.valuePercentiles _),
+    "q_promo_revenue"    -> (Joins.promoRevenue _),
     // Joins
     "q_star_revenue"     -> (Joins.starRevenue _),
     "q_segment_revenue"  -> (Joins.segmentRevenue _),
@@ -145,6 +148,25 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS records,
         |ROUND(SUM(value), 4) AS total_value
         |FROM events GROUP BY ROLLUP(1, 2)""".stripMargin,
+    "q_cube_mart" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS records,
+        |ROUND(SUM(value), 4) AS total_value
+        |FROM events GROUP BY CUBE(1, 2)""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |ROUND(quantile_cont(value, 0.25), 4) AS p25,
+        |ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |ROUND(quantile_cont(value, 0.75), 4) AS p75,
+        |COUNT(value) AS n_valued
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_promo_revenue" ->
+      """SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+        |  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+        |COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
     "q_star_revenue" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
         |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, COUNT(*) AS n_items

@@ -57,8 +57,16 @@ object Dedup {
     * Distinct shingles stay distinct under xxhash64 up to a ~1e-11
     * corpus-level collision probability. */
   private def hashShingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"),
+    Tables.documents(s, dir).select(col("doc_id"), col("source"),
       sort_array(transform(wordShingles(col("text"), 3), sh => xxhash64(sh))).as("hs"))
+      // The shingle index is consumed 3x per near-dup query (banding +
+      // two verification re-attaches) and by both minhashPairs and
+      // nearDupSurvivors — cache it instead of re-running the
+      // scan+shingle+hash pipeline each time. Size is ~2% of corpus
+      // bytes (52 hashes x 8 B per doc), MEMORY_AND_DISK spills at
+      // scale; CacheManager dedupes identical plans so repeated calls
+      // share one entry.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def jaccardHs(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     org.apache.spark.sql.GraftSql.column(graft.functions.SortedLongJaccard(
@@ -188,11 +196,9 @@ object Dedup {
     * shingles). Left exact here because the oracle is exact. */
   def ngramJaccardWithinSource(s: SparkSession, dir: String,
       threshold: Double = JaccardThreshold): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .select(col("source"), col("doc_id"),
-        transform(wordShingles(col("text"), 3), sh => xxhash64(sh)).as("sh"))
-      .withColumn("n", size(col("sh")))
-    val ex = d.select(col("source"), col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+    val ex = hashShingled(s, dir)
+      .select(col("source"), col("doc_id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("shingle"))
     // Gather each shingle's postings once (one shuffle keyed by
     // (source, shingle)) and expand co-occurring doc pairs inside the
     // row — a self-join here would re-run the scan+shingle pipeline for

@@ -94,4 +94,22 @@ object Joins {
       .agg(count(lit(1)).as("n_lines"),
            countDistinct(col("o_orderkey")).as("n_orders"))
   }
+
+  /** Promo revenue share (TPC-H Q14 shape): lineitem⋈part with part
+    * broadcast, a month filter pushed to the fact scan, and a
+    * conditional aggregate — the classic "percentage of revenue from a
+    * part class" rollup exercising the `part` dimension. */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val pt = Tables.part(s, dir)
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct"),
+        count(lit(1)).as("n_items"))
+  }
 }

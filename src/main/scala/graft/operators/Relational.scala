@@ -139,6 +139,27 @@ object Relational {
       .rollup(to_date(col("ts")).as("event_date"), col("event_type"))
       .agg(count(lit(1)).as("records"), round(sum(col("value")), 4).as("total_value"))
 
+  /** CUBE: all grouping-set combinations of (date, type) in one pass —
+    * the remaining multi-dimensional aggregate shape next to rollup. */
+  def cubeMart(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .cube(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("records"), round(sum(col("value")), 4).as("total_value"))
+
+  /** Exact continuous percentiles of event value per type —
+    * `percentile` (exact linear interpolation, matching DuckDB
+    * quantile_cont), not percentile_approx: the oracle hash-compares.
+    * At 100 TB the approx sketch is the right default; exact is the
+    * correctness anchor. */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"),
+        count(col("value")).as("n_valued"))
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */
