@@ -45,6 +45,8 @@ object SparkEntry {
     "q_distinct_counts"  -> (Relational.distinctCounts _),
     "q_rollup_mart"      -> (Relational.rollupMart _),
     "q_cube_mart"        -> (Relational.cubeMart _),
+    "q_approx_distinct"  -> ((s, d) => Relational.approxDistinct(s, d)), // rows-only (sketch)
+    "q_salted_totals"    -> (Relational.saltedTypeTotals(_, _)),
     "q_percentiles"      -> (Relational.valuePercentiles _),
     "q_promo_revenue"    -> (Joins.promoRevenue _),
     // Joins
@@ -148,6 +150,9 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS records,
         |ROUND(SUM(value), 4) AS total_value
         |FROM events GROUP BY ROLLUP(1, 2)""".stripMargin,
+    "q_salted_totals" ->
+      """SELECT event_type, ROUND(SUM(value), 4) AS total_value,
+        |COUNT(*) AS records FROM events GROUP BY 1""".stripMargin,
     "q_cube_mart" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS records,
         |ROUND(SUM(value), 4) AS total_value

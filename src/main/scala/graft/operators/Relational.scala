@@ -139,6 +139,31 @@ object Relational {
       .rollup(to_date(col("ts")).as("event_date"), col("event_type"))
       .agg(count(lit(1)).as("records"), round(sum(col("value")), 4).as("total_value"))
 
+  /** Approximate distinct counts (HyperLogLog++): the 100 TB default
+    * for cardinality questions — one map-side-combinable sketch per
+    * partition instead of the exact variant's shuffled expand. rsd=1%.
+    * Not oracle-hashable (sketch estimates differ across engines);
+    * the spec bounds its error against the exact counts. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).agg(
+      approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"),
+      approx_count_distinct(col("event_type"), 0.01).as("n_types_approx"),
+      count(lit(1)).as("n_events"))
+
+  /** Salted high-cardinality aggregation — the skew pattern for keys
+    * whose row counts are pathological at scale: stage 1 aggregates on
+    * (key, salt) spreading one hot key over `salts` reducers, stage 2
+    * merges the partials per key. Same result as a direct groupBy
+    * (sum/count are associative), two small shuffles instead of one
+    * skewed one. */
+  def saltedTypeTotals(s: SparkSession, dir: String, salts: Int = 8): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("_salt", pmod(hash(col("event_id")), lit(salts)))
+      .groupBy(col("event_type"), col("_salt"))
+      .agg(sum(col("value")).as("pv"), count(lit(1)).as("pc"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("pv")), 4).as("total_value"), sum(col("pc")).as("records"))
+
   /** CUBE: all grouping-set combinations of (date, type) in one pass —
     * the remaining multi-dimensional aggregate shape next to rollup. */
   def cubeMart(s: SparkSession, dir: String): DataFrame =
