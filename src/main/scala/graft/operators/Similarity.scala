@@ -52,14 +52,43 @@ object Similarity {
   }
 
   /** Pairs of near-identical embeddings (cosine >= threshold) — the
-    * embedding-space near-dup operator. Brute all-pairs at test scale;
-    * `annBuckets`-style bucketing is the scale path. */
-  def embeddingNearDups(s: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
-    val a = corpus(s, dir).select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = corpus(s, dir).select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
-      .filter(col("sim") >= threshold)
+    * embedding-space near-dup operator, via the same multi-table
+    * SRP-LSH index as knnAnn: bucket-gather pairs (one shuffle, ids
+    * only), then exact fused-cosine verification on the candidates.
+    * Never an all-pairs product — candidate volume tracks true-dup
+    * density, not corpus^2.
+    *
+    * Miss probability at the default threshold 0.95 (per-bit agreement
+    * q = 1 - acos(0.95)/pi ~ 0.90): a true pair shares at least one of
+    * the 16 exact 8-bit buckets with prob 1-(1-q^8)^16 > 0.9998 — the
+    * LSH recall/cost tradeoff documented for audit. `exact = true`
+    * forces the brute-force all-pairs path (the correctness anchor the
+    * spec compares against). */
+  def embeddingNearDups(s: SparkSession, dir: String, threshold: Double = 0.95,
+                        exact: Boolean = false): DataFrame = {
+    val verified =
+      if (exact) {
+        val a = corpus(s, dir).select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+        val b = corpus(s, dir).select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+        a.join(broadcast(b), col("vec_a") < col("vec_b"))
+          .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      } else {
+        val keyed = corpus(s, dir).select(col("vec_id"),
+          explode(lshKeyArray(col("embedding"), probe = false)).as("key"))
+        val candidates = keyed.groupBy(col("key"))
+          .agg(collect_list(col("vec_id")).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(explode(flatten(transform(col("ids"), (x, i) =>
+            transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+              struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
+          .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+          .distinct()
+        val ea = corpus(s, dir).select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+        val eb = corpus(s, dir).select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+        candidates.join(ea, "vec_a").join(eb, "vec_b")
+          .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      }
+    verified.filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cosine_sim"))
   }
 
@@ -80,22 +109,25 @@ object Similarity {
     * clustered embeddings (cosine >= 0.8 → q >= 0.8) give ~1.0 with
     * candidate sets ~1% of the corpus. Checked against knnBrute in
     * SimilaritySpec. */
-  def knnAnn(s: SparkSession, dir: String): DataFrame = {
-    def tableKeys(v: org.apache.spark.sql.Column, probe: Boolean) = {
-      val keys = (0 until NumTables).flatMap { t =>
-        val sig = srpBucket(v, planes(t))
-        val exact = Seq(lit(t * 1024) + sig)
-        val flips = if (probe)
-          (0 until Bits).map(bit => lit(t * 1024) + sig.bitwiseXOR(lit(1 << bit)))
-        else Nil
-        exact ++ flips
-      }
-      explode(array(keys: _*))
+  /** The (table, bucket) LSH keys of a vector, one per hash table —
+    * plus every Hamming-1 neighbor per table when `probe` is set. */
+  private def lshKeyArray(v: org.apache.spark.sql.Column, probe: Boolean) = {
+    val keys = (0 until NumTables).flatMap { t =>
+      val sig = srpBucket(v, planes(t))
+      val exact = Seq(lit(t * 1024) + sig)
+      val flips = if (probe)
+        (0 until Bits).map(bit => lit(t * 1024) + sig.bitwiseXOR(lit(1 << bit)))
+      else Nil
+      exact ++ flips
     }
+    array(keys: _*)
+  }
+
+  def knnAnn(s: SparkSession, dir: String): DataFrame = {
     val bucketed = corpus(s, dir)
-      .select(col("vec_id"), tableKeys(col("embedding"), probe = false).as("key"))
+      .select(col("vec_id"), explode(lshKeyArray(col("embedding"), probe = false)).as("key"))
     val probed = queries(s, dir)
-      .select(col("query_id"), tableKeys(col("query_vec"), probe = true).as("key"))
+      .select(col("query_id"), explode(lshKeyArray(col("query_vec"), probe = true)).as("key"))
       .distinct()
     val candidates = bucketed.join(broadcast(probed), Seq("key"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -86,6 +86,18 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events already seen within the
+    * watermark horizon, keyed by content fingerprint — the streaming
+    * face of the batch Dedup.exactSurvivors operator, and the standard
+    * exactly-once guard in front of an append-only lake table. State is
+    * one row per distinct key, expired by the watermark (without which
+    * a 100 TB stream's dedup state grows unboundedly). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** The pipeline's ingest stage as a real stream: micro-batch append
     * of raw price rows into the LakeCatalog via foreachBatch — the
     * Trigger.AvailableNow file-stream mapping of SURVEY §2.9. Each

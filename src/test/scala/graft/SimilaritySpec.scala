@@ -42,6 +42,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs === Set((0L, 11L), (0L, 12L), (11L, 12L)))
   }
 
+  test("LSH near-dups: verified candidates are never false positives (sf0.001)") {
+    // Below the 0.95 design point recall drops by design (q^8 per
+    // table), so the cross-check here is the guaranteed direction:
+    // every LSH-reported pair must appear in the exact result.
+    // Exactness AT the design threshold is asserted on the crafted
+    // fixture above (near-parallel pairs, cosine >= 0.99).
+    def pairSet(exact: Boolean) =
+      Similarity.embeddingNearDups(spark, TestSpark.sfDir, threshold = 0.3, exact = exact)
+        .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val exactPairs = pairSet(exact = true)
+    val lshPairs = pairSet(exact = false)
+    assert(exactPairs.nonEmpty)
+    assert((lshPairs -- exactPairs).isEmpty)
+  }
+
   test("norms computes exact L2 in double") {
     val n = Similarity.norms(spark, dir).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("l2_norm")).toMap

@@ -69,6 +69,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows((ts(30), "purchase")) === 1L)
   }
 
+  test("dedupStream drops replayed events within the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupStream(mem.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, 1, "view", 10.0, ts(0)),
+        Event(1, 1, "view", 10.0, ts(0)),  // in-batch replay
+        Event(2, 1, "view", 20.0, ts(5)))
+      q.processAllAvailable()
+      mem.addData(Event(1, 1, "view", 10.0, ts(1))) // cross-batch replay
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("priceStreamToLake appends micro-batches as snapshots") {
     implicit val sc = spark.sqlContext
     val wh = TestSpark.tempDir("graft-stream-wh")
