@@ -134,6 +134,23 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     if (Files.exists(p)) Files.lines(p).count() + 1 else 1L
   }
 
+  /** Bucketed table write into the session catalog: co-locates rows by
+    * `bucketCol` so repeated joins/aggregations on that key run with
+    * ZERO exchanges (SortMergeJoin reads matching buckets directly).
+    * The 100 TB pattern for fact⋈fact joins both keyed by the same
+    * column (lineitem⋈orders on orderkey): pay one layout write, then
+    * every downstream join skips its shuffle. Table name goes through
+    * the session catalog (`saveAsTable` — bucket metadata needs a
+    * catalog entry, plain parquet paths can't carry it). */
+  def writeBucketed(tableName: String, df: DataFrame,
+                    bucketCol: String, numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", s"$warehouseDir/_bucketed/$tableName")
+      .saveAsTable(tableName)
+
   private def logSnapshot(name: String, op: String, rows: Long,
                           snapshotId: Long = -1L): Unit = {
     val p = snapshotLogPath(name)
