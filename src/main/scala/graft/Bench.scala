@@ -51,7 +51,12 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // The pipeline gate entries construct a fixture warehouse (3 ingest
+    // ticks + CTAS rebuilds) rather than running a query over sfDir —
+    // they belong to the correctness gate, not the throughput benchmark.
+    val notQueries = Set("q_pipeline_mart", "q_pipeline_snapshots")
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(notQueries).map(n => n -> run(n))
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -141,13 +141,13 @@ object Relational {
 
   /** Approximate distinct counts (HyperLogLog++): the 100 TB default
     * for cardinality questions — one map-side-combinable sketch per
-    * partition instead of the exact variant's shuffled expand. rsd=1%.
+    * partition instead of the exact variant's shuffled expand. rsd=2%.
     * Not oracle-hashable (sketch estimates differ across engines);
     * the spec bounds its error against the exact counts. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).agg(
-      approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"),
-      approx_count_distinct(col("event_type"), 0.01).as("n_types_approx"),
+      approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+      approx_count_distinct(col("event_type"), 0.02).as("n_types_approx"),
       count(lit(1)).as("n_events"))
 
   /** Salted high-cardinality aggregation — the skew pattern for keys
