@@ -65,6 +65,14 @@ object SparkEntry {
     "q_top_event_user"   -> (Windows.topEventPerUser _),
     "q_sessionize"       -> (Windows.sessionize _),
     "q_daily_type_rank"  -> (Windows.dailyTypeRank _),
+    // Custom physical operator (plans.TopKPerGroup): top-3 per user
+    // without sort/window — partial+final bounded heaps
+    "q_topk_custom"      -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.plans.TopKPerGroup(Tables.events(s, d),
+          Seq(col("user_id")), Seq(col("value").desc, col("event_id")), 3)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
     // Deduplication (LLM-pipeline extensions)
     "q_dedup_exact"      -> (Dedup.exactGroups _),
     "q_dedup_survivors"  -> (Dedup.exactSurvivors _),
@@ -253,6 +261,11 @@ object SparkEntry {
         | FROM (SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n
         |       FROM events GROUP BY 1, 2))
         |WHERE rank <= 3""".stripMargin,
+    "q_topk_custom" ->
+      """SELECT user_id, event_id, event_type, value FROM
+        |(SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events)
+        |WHERE rn <= 3""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |MIN(doc_id) AS keep_id, COUNT(*) AS copies

@@ -89,6 +89,8 @@ object HiddenPartitionPruning extends Rule[LogicalPlan] {
 /** Session extension wiring: register with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HiddenPartitionPruning)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+  }
 }
