@@ -102,7 +102,7 @@ object SparkEntry {
     "q_token_stats"      -> (TextAnalysis.tokenStats _),
     "q_quality_scores"   -> (TextAnalysis.qualityScores _),
     "q_corpus_profile"   -> (TextAnalysis.corpusProfile _),
-    "q_lang_predictions" -> (TextAnalysis.langPredictions _),            // rows-only
+    "q_lang_predictions" -> (TextAnalysis.langPredictions _),
     "q_fingerprints"     -> ((s, d) => TextAnalysis.fingerprints(s, d)
                                .select(org.apache.spark.sql.functions.col("doc_id"),
                                        org.apache.spark.sql.functions.col("fingerprint_md5"))),
@@ -400,6 +400,25 @@ object SparkEntry {
         |ROUND(AVG(n_chars), 4) AS avg_chars,
         |ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_lang_predictions" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+        |  len(list_filter(w, x -> x IN ('le','la','de','et','est','un','une','que'))) AS s_fr,
+        |  len(list_filter(w, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |  FROM w)
+        |SELECT doc_id, lang AS labeled_lang,
+        |CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |     WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+        |     WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+        |     WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+        |     WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+        |     ELSE 'zh' END AS predicted_lang
+        |FROM s""".stripMargin,
     "q_fingerprints" ->
       """SELECT doc_id,
         |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint_md5
