@@ -126,7 +126,8 @@ object SparkEntry {
     "q_daily_mart" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value,
-        |ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS records
+        |floor(AVG(value) * 10000 + 0.5 + 0.000001) / 10000 AS avg_value,
+        |COUNT(*) AS records
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -134,8 +135,8 @@ object SparkEntry {
         |ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
         |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
         |ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |ROUND(AVG(l_extendedprice), 4) AS avg_price,
-        |ROUND(AVG(l_discount), 4) AS avg_disc,
+        |floor(AVG(l_extendedprice) * 10000 + 0.5 + 0.000001) / 10000 AS avg_price,
+        |floor(AVG(l_discount) * 10000 + 0.5 + 0.000001) / 10000 AS avg_disc,
         |COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
@@ -344,7 +345,7 @@ object SparkEntry {
         |    / (sqrt(list_dot_product(e.v, e.v))
         |       * sqrt(list_dot_product(cent.centroid, cent.centroid))) AS sim
         |  FROM e JOIN cent ON e.label = cent.label)
-        |SELECT label, ROUND(AVG(sim), 4) AS mean_centroid_sim, COUNT(*) AS n_vectors
+        |SELECT label, floor(AVG(sim) * 10000 + 0.5 + 0.000001) / 10000 AS mean_centroid_sim, COUNT(*) AS n_vectors
         |FROM j GROUP BY label""".stripMargin,
     "q_media_profile" ->
       """WITH m AS (SELECT
@@ -356,9 +357,9 @@ object SparkEntry {
         |  FROM documents)
         |SELECT kind, format, COUNT(*) AS n_items,
         |CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-        |ROUND(AVG(n_bytes), 4) AS avg_bytes,
+        |floor(AVG(n_bytes) * 10000 + 0.5 + 0.000001) / 10000 AS avg_bytes,
         |MAX(width) AS max_width,
-        |ROUND(AVG(duration_ms), 4) AS avg_duration_ms
+        |floor(AVG(duration_ms) * 10000 + 0.5 + 0.000001) / 10000 AS avg_duration_ms
         |FROM m GROUP BY 1, 2""".stripMargin,
     "q_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
@@ -397,8 +398,8 @@ object SparkEntry {
     "q_corpus_profile" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-        |ROUND(AVG(n_chars), 4) AS avg_chars,
-        |ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+        |floor(AVG(n_chars) * 10000 + 0.5 + 0.000001) / 10000 AS avg_chars,
+        |floor(AVG(len(string_split(text, ' '))) * 10000 + 0.5 + 0.000001) / 10000 AS avg_tokens
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "q_lang_predictions" ->
       """WITH w AS (SELECT doc_id, lang,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Rounding.round4eps
 
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * columns with typed metadata, plus partition-wise decode /
@@ -66,9 +67,9 @@ object Multimodal {
       .groupBy(col("kind"), col("format"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("n_bytes")), 4).as("avg_bytes"),
+        round4eps(avg(col("n_bytes"))).as("avg_bytes"),
         max(col("width")).as("max_width"),
-        round(avg(col("duration_ms")), 4).as("avg_duration_ms"))
+        round4eps(avg(col("duration_ms"))).as("avg_duration_ms"))
 
   // ---------------------------------------------------------------
   // STUB decode kernels. Each is the deterministic stand-in for a

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Rounding.round4eps
 
 /** Core relational operator surface re-expressed Spark-first.
   *
@@ -29,6 +30,7 @@ import graft.Tables
   * partial-agg tree vs DuckDB's single-node sum).
   */
 object Relational {
+
 
   /** O1+deterministic order: first 10 lineitems by key. LIMIT alone is
     * non-deterministic across engines, so the oracle-able form orders by
@@ -77,7 +79,7 @@ object Relational {
       .agg(
         round(min(col("value")), 4).as("min_value"),
         round(max(col("value")), 4).as("max_value"),
-        round(avg(col("value")), 4).as("avg_value"),
+        round4eps(avg(col("value"))).as("avg_value"),
         count(lit(1)).as("records"))
 
   /** TPC-H Q1-shaped pricing summary: the canonical wide aggregate.
@@ -92,8 +94,8 @@ object Relational {
         round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round4eps(avg(col("l_extendedprice"))).as("avg_price"),
+        round4eps(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** Filter pushdown showcase: selective predicate + narrow projection.

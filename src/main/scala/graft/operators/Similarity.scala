@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.functions.Rounding.round4eps
 
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
   *
@@ -166,7 +167,7 @@ object Similarity {
     e.join(broadcast(centroids), "label")
       .withColumn("sim", cosine(col("emb_d"), col("centroid")))
       .groupBy(col("label"))
-      .agg(round(avg(col("sim")), 4).as("mean_centroid_sim"),
+      .agg(round4eps(avg(col("sim"))).as("mean_centroid_sim"),
            count(lit(1)).as("n_vectors"))
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.Rounding.round4eps
 
 /** Text-analysis operators over `documents`: token counting, quality
   * scoring, language ID, fingerprinting. All per-row scalar pipelines
@@ -48,8 +49,8 @@ object TextAnalysis {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(avg(col("n_chars")), 4).as("avg_chars"),
-        round(avg(tokenCount(col("text"))), 4).as("avg_tokens"))
+        round4eps(avg(col("n_chars"))).as("avg_chars"),
+        round4eps(avg(tokenCount(col("text")))).as("avg_tokens"))
 
   /** Language-ID predictions (heuristic stopword argmax) with the
     * labeled lang for later agreement analysis. */
