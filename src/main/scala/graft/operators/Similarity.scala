@@ -35,19 +35,22 @@ object Similarity {
     corpus(s, dir).filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
-  /** Exact top-k: cosine of every (query, candidate) pair, windowed
-    * top-k per query. Queries are broadcast (tiny side), so the corpus
-    * is never shuffled — each partition scores its slice, and only
-    * K rows per (query, partition) survive to the final shuffle via
-    * the rank filter. */
+  /** Exact top-k: cosine of every (query, candidate) pair, reduced by
+    * the custom TopKPerGroup operator (bounded heap per query, partial
+    * pass before the shuffle — each partition forwards at most K rows
+    * per query instead of its whole scored slice, and nothing is ever
+    * sorted corpus-wide). The rank column is then a row_number over
+    * the <= K survivors per query — a window over a K-row set. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val scored = corpus(s, dir)
       .join(broadcast(queries(s, dir)), col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("query_vec"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+    val topk = graft.plans.TopKPerGroup(scored,
+      Seq(col("query_id")), Seq(col("sim").desc, col("vec_id")), K)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    topk.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("sim"), 4).as("cosine_sim"))
   }
