@@ -96,6 +96,20 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cosine_sim"))
   }
 
+  /** The (table, bucket) LSH keys of a vector, one per hash table —
+    * plus every Hamming-1 neighbor per table when `probe` is set. */
+  private def lshKeyArray(v: org.apache.spark.sql.Column, probe: Boolean) = {
+    val keys = (0 until NumTables).flatMap { t =>
+      val sig = srpBucket(v, planes(t))
+      val exact = Seq(lit(t * 1024) + sig)
+      val flips = if (probe)
+        (0 until Bits).map(bit => lit(t * 1024) + sig.bitwiseXOR(lit(1 << bit)))
+      else Nil
+      exact ++ flips
+    }
+    array(keys: _*)
+  }
+
   /** Multi-table SRP-LSH approximate top-k — the ANN scale path.
     *
     * L=16 independent tables of b=8 signed-random-projection bits; the
@@ -113,20 +127,6 @@ object Similarity {
     * clustered embeddings (cosine >= 0.8 → q >= 0.8) give ~1.0 with
     * candidate sets ~1% of the corpus. Checked against knnBrute in
     * SimilaritySpec. */
-  /** The (table, bucket) LSH keys of a vector, one per hash table —
-    * plus every Hamming-1 neighbor per table when `probe` is set. */
-  private def lshKeyArray(v: org.apache.spark.sql.Column, probe: Boolean) = {
-    val keys = (0 until NumTables).flatMap { t =>
-      val sig = srpBucket(v, planes(t))
-      val exact = Seq(lit(t * 1024) + sig)
-      val flips = if (probe)
-        (0 until Bits).map(bit => lit(t * 1024) + sig.bitwiseXOR(lit(1 << bit)))
-      else Nil
-      exact ++ flips
-    }
-    array(keys: _*)
-  }
-
   def knnAnn(s: SparkSession, dir: String): DataFrame = {
     val bucketed = corpus(s, dir)
       .select(col("vec_id"), explode(lshKeyArray(col("embedding"), probe = false)).as("key"))
