@@ -26,14 +26,18 @@ object TextFunctions {
       (acc, w) => acc + floor((length(w) - lit(1)) / lit(6)).cast("int"))
 
   /** Distinct word k-shingles (k consecutive words joined by ' ').
-    * Guarded for texts shorter than k words. */
+    * Texts shorter than k words yield an EMPTY shingle set — they
+    * cannot form a k-shingle, so they participate in no near-dup pair,
+    * matching the oracle's list comprehension which yields [] for
+    * them (a whole-text fallback shingle would make short docs
+    * pairable in Spark but not in the oracle). */
   def wordShingles(text: Column, k: Int): Column = {
     val w = words(text)
     when(size(w) >= k,
       array_distinct(transform(
         sequence(lit(0), size(w) - lit(k)),
         i => concat_ws(" ", slice(w, i + lit(1), lit(k))))))
-      .otherwise(array_distinct(array(concat_ws(" ", w))))
+      .otherwise(typedlit(Seq.empty[String]))
   }
 
   /** Character n-grams of the lowercased text (language-ID features). */

@@ -111,7 +111,10 @@ object Dedup {
     * the verified output equals brute-force pairwise Jaccard (which is
     * exactly what the oracle computes). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = hashShingled(s, dir).withColumn("sig", minhashSig(col("hs")))
+    // Shingle-less docs (<3 words) form no pairs (oracle parity) and
+    // would otherwise all collide into one degenerate bucket.
+    val docs = hashShingled(s, dir).filter(size(col("hs")) > 0)
+      .withColumn("sig", minhashSig(col("hs")))
     val bands = docs.select(
       col("doc_id"),
       posexplode(array((0 until NumBands).map { j =>
@@ -124,15 +127,28 @@ object Dedup {
     // expansion measured 4.5x slower than re-attaching them by join);
     // pairs expand inside the bucket row, dedupe, then two id-keyed
     // joins re-attach the shingle hashes for exact verification with
-    // the linear native merge. Skew guard: degenerate buckets (a
-    // pathological key shared by thousands of docs would force a
-    // quadratic explosion) are dropped by the size cap.
-    val candidates = bands.groupBy(col("band"), col("key"))
+    // the linear native merge.
+    //
+    // Skew handling: buckets up to MaxBucket expand in-row (bounded
+    // quadratic per row); LARGER buckets — e.g. hundreds of identical
+    // documents sharing every band — switch to a row-wise self-join so
+    // the inherent quadratic lands in rows, not in one in-memory
+    // array. No pair is ever dropped (the oracle is exact all-pairs).
+    val buckets = bands.groupBy(col("band"), col("key"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
+      .filter(size(col("ids")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val smallPairs = buckets.filter(size(col("ids")) <= MaxBucket)
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
+    val bigIds = buckets.filter(size(col("ids")) > MaxBucket)
+      .select(col("band"), col("key"), explode(col("ids")).as("id"))
+    val bigPairs = bigIds.select(col("band"), col("key"), col("id").as("doc_a"))
+      .join(bigIds.select(col("band"), col("key"), col("id").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val candidates = smallPairs.unionByName(bigPairs).distinct()
 
     val sa = hashShingled(s, dir).select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val sb = hashShingled(s, dir).select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
@@ -165,17 +181,30 @@ object Dedup {
         shiftright(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("chunk", "key")))
     // Same bucket-gather shape as minhashPairs: one shuffle on
-    // (chunk, key), pair expansion inside the bucket. The signature
-    // rides along in the struct so verification needs no re-join.
-    chunks.groupBy(col("chunk"), col("key"))
+    // (chunk, key), pair expansion inside the bucket (signatures ride
+    // along so verification needs no re-join); oversized buckets
+    // switch to the row-wise self-join path so no pair is dropped.
+    val buckets = chunks.groupBy(col("chunk"), col("key"))
       .agg(collect_list(struct(col("doc_id").as("id"), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, MaxBucket))
+      .filter(size(col("members")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val smallPairs = buckets.filter(size(col("members")) <= MaxBucket)
       .select(explode(flatten(transform(col("members"), (x, i) =>
         transform(slice(col("members"), i + lit(2), size(col("members"))), y =>
           struct(least(x("id"), y("id")).as("doc_a"),
                  greatest(x("id"), y("id")).as("doc_b"),
                  hamming64(x("sig"), y("sig")).as("hamming")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+    val bigIds = buckets.filter(size(col("members")) > MaxBucket)
+      .select(col("chunk"), col("key"), explode(col("members")).as("m"))
+    val bigPairs = bigIds.select(col("chunk"), col("key"),
+        col("m.id").as("id_a"), col("m.sig").as("sig_a"))
+      .join(bigIds.select(col("chunk"), col("key"),
+        col("m.id").as("id_b"), col("m.sig").as("sig_b")), Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+    smallPairs.unionByName(bigPairs)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

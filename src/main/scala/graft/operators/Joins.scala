@@ -71,8 +71,8 @@ object Joins {
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
 
-  /** Left-anti: customers with no orders in 1995 (NOT EXISTS over a
-    * date-filtered probe — the filter pushes into the orders scan). */
+  /** Left-anti: customers with no orders before 1996 (NOT EXISTS over
+    * a date-filtered probe — the filter pushes into the orders scan). */
   def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
     val ord95 = Tables.orders(s, dir)
       .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))

@@ -77,16 +77,30 @@ object Similarity {
         a.join(broadcast(b), col("vec_a") < col("vec_b"))
           .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
       } else {
+        // Bucket gather with the same oversized-bucket fallback as the
+        // Dedup operators: buckets past the cap (e.g. hundreds of
+        // near-identical vectors sharing every table's bucket) expand
+        // through a row-wise self-join instead of one in-row quadratic
+        // array — memory-safe, and no candidate pair is dropped.
+        val maxBucket = 64
         val keyed = corpus(s, dir).select(col("vec_id"),
           explode(lshKeyArray(col("embedding"), probe = false)).as("key"))
-        val candidates = keyed.groupBy(col("key"))
+        val buckets = keyed.groupBy(col("key"))
           .agg(collect_list(col("vec_id")).as("ids"))
           .filter(size(col("ids")) >= 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val smallPairs = buckets.filter(size(col("ids")) <= maxBucket)
           .select(explode(flatten(transform(col("ids"), (x, i) =>
             transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
               struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
           .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
-          .distinct()
+        val bigIds = buckets.filter(size(col("ids")) > maxBucket)
+          .select(col("key"), explode(col("ids")).as("id"))
+        val bigPairs = bigIds.select(col("key"), col("id").as("vec_a"))
+          .join(bigIds.select(col("key"), col("id").as("vec_b")), Seq("key"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"))
+        val candidates = smallPairs.unionByName(bigPairs).distinct()
         val ea = corpus(s, dir).select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
         val eb = corpus(s, dir).select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
         candidates.join(ea, "vec_a").join(eb, "vec_b")

@@ -35,24 +35,30 @@ object TemporalJoins {
                lTime: String, rTime: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == lTime).toSeq
     // Union schema: keys, t, side (1=left/probe, 0=right/build),
-    // left payload (null on right rows), right payload (null on left).
+    // left payload (null on right rows), right payload carried as ONE
+    // struct (null on left rows). A single running-last over the
+    // struct keeps the matched row's columns together — per-column
+    // last(ignoreNulls) would backfill a null payload VALUE from an
+    // older right row, tearing columns from different rows.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     val lNorm = left.select(
-      keys.map(col) ++ Seq(col(lTime).as("_t"), lit(1).as("_side")) ++
-        leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+      keys.map(col) ++ Seq(col(lTime).as("_t"), lit(1).as("_side"),
+        lit(null).cast(rStructType).as("_r")) ++ leftCols.map(col): _*)
     val rNorm = right.select(
-      keys.map(col) ++ Seq(col(rTime).as("_t"), lit(0).as("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"_r_$c")): _*)
+      keys.map(col) ++ Seq(col(rTime).as("_t"), lit(0).as("_side"),
+        struct(rightCols.map(col): _*).as("_r")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // Right rows sort before left rows at equal time => inclusive <=.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = lNorm.unionByName(rNorm)
-      .select((keys.map(col) ++ Seq(col("_t"), col("_side")) ++ leftCols.map(col) ++
-        rightCols.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"_r_$c"))): _*)
+      .select((keys.map(col) ++ Seq(col("_t"), col("_side")) ++ leftCols.map(col) :+
+        last(col("_r"), ignoreNulls = true).over(w).as("_r")): _*)
     joined.filter(col("_side") === 1)
       .select(keys.map(col) ++ leftCols.map(col) ++ Seq(col("_t").as(lTime)) ++
-        rightCols.map(c => col(s"_r_$c").as(s"asof_$c")): _*)
+        rightCols.map(c => col("_r")(c).as(s"asof_$c")): _*)
   }
 
   /** Bounded range join: all (left, right) pairs within `keys` with
@@ -64,13 +70,20 @@ object TemporalJoins {
                 lTime: String, rTime: String, rangeSeconds: Long): DataFrame = {
     val widthMicros = rangeSeconds * 1000000L
     def bucket(t: Column): Column = floor(unix_micros(t) / widthMicros)
-    val l = left.withColumn("_bucket",
-      explode(array(bucket(col(lTime)), bucket(col(lTime)) - 1)))
-    val r = right.withColumn("_bucket", bucket(col(rTime)))
+    // Normalize time columns before the join so the range predicate is
+    // unambiguous even when both inputs name their time column the
+    // same (e.g. events⋈events on "ts"). If the names collide, the
+    // right side's comes back suffixed `_r`.
+    val l = left.withColumnRenamed(lTime, "_lt").withColumn("_bucket",
+      explode(array(bucket(col("_lt")), bucket(col("_lt")) - 1)))
+    val r = right.withColumnRenamed(rTime, "_rt").withColumn("_bucket", bucket(col("_rt")))
+    val rTimeOut = if (rTime == lTime) rTime + "_r" else rTime
     l.join(r, keys :+ "_bucket")
-      .filter(col(rTime) >= col(lTime) - expr(s"INTERVAL $rangeSeconds SECONDS") &&
-        col(rTime) <= col(lTime))
+      .filter(col("_rt") >= col("_lt") - expr(s"INTERVAL $rangeSeconds SECONDS") &&
+        col("_rt") <= col("_lt"))
       .drop("_bucket")
+      .withColumnRenamed("_lt", lTime)
+      .withColumnRenamed("_rt", rTimeOut)
   }
 
   /** As-of query over events: each purchase matched to the user's most

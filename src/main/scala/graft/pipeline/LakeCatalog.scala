@@ -45,9 +45,12 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     Files.createDirectories(Paths.get(s"$warehouseDir/_snapshots"))
   }
 
-  def tableExists(name: String): Boolean =
-    Files.exists(Paths.get(tablePath(name))) &&
-      Files.list(Paths.get(tablePath(name))).findFirst().isPresent
+  def tableExists(name: String): Boolean = {
+    val p = Paths.get(tablePath(name))
+    if (!Files.exists(p)) return false
+    val stream = Files.list(p)
+    try stream.findFirst().isPresent finally stream.close()
+  }
 
   private val commitCol = "commit"
 
@@ -57,16 +60,19 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * directory, which is what makes snapshot reads (`tableAsOf`) a
     * partition-pruned filter instead of a file-level manifest. */
   def append(name: String, df: DataFrame, partitionTs: Option[String] = None): Unit = {
-    val rows = df.count()
     val id = nextSnapshotId(name)
+    val commitPath = s"${tablePath(name)}/$commitCol=$id"
     val writer = partitionTs match {
       case Some(ts) =>
         df.withColumn(partitionCol, to_date(col(ts)))
           .write.partitionBy(partitionCol)
       case None => df.write
     }
-    writer.mode(SaveMode.Append).parquet(s"${tablePath(name)}/$commitCol=$id")
-    logSnapshot(name, "append", rows, id)
+    writer.mode(SaveMode.Append).parquet(commitPath)
+    // Row count for the snapshot log comes from the WRITTEN parquet
+    // footers (a metadata-only count) — counting the input df would
+    // execute its whole plan a second time per commit.
+    logSnapshot(name, "append", spark.read.parquet(commitPath).count(), id)
   }
 
   /** W4 — full-refresh CTAS (`CREATE OR REPLACE TABLE ... AS SELECT`),
@@ -76,8 +82,9 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   def createOrReplace(name: String, df: DataFrame): Unit = {
     val path = Paths.get(tablePath(name))
     val tmp = Paths.get(tablePath(name) + "__ctas_tmp")
-    val rows = df.count()
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // metadata-only count of the written files, not a second plan run
+    val rows = spark.read.parquet(tmp.toString).count()
     if (Files.exists(path)) {
       val trash = Paths.get(tablePath(name) + "__ctas_old")
       deleteRecursive(trash)
@@ -131,7 +138,9 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
 
   private def nextSnapshotId(name: String): Long = {
     val p = snapshotLogPath(name)
-    if (Files.exists(p)) Files.lines(p).count() + 1 else 1L
+    if (!Files.exists(p)) return 1L
+    val lines = Files.lines(p)
+    try lines.count() + 1 finally lines.close()
   }
 
   /** Bucketed table write into the session catalog: co-locates rows by

@@ -53,36 +53,63 @@ object EventStreams {
 
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState): a session closes when >gap passes
-    * between a user's consecutive events, or on processing-timeout.
-    * The streaming analog of Windows.sessionize — same gap semantic,
-    * incremental state instead of a sort-based window. */
-  def sessionizeStream(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+    * between a user's consecutive events, or on EVENT-TIME timeout —
+    * once the watermark passes last-event + gap, a quiet user's
+    * trailing session is flushed and its state dropped. Without the
+    * timeout, final sessions would never emit in Append mode and
+    * per-user state would never expire. Event-time (not
+    * processing-time) timeouts keep the operator deterministic and
+    * data-driven: no wall-clock coupling, no empty trigger loops.
+    *
+    * The streaming analog of Windows.sessionize: the gap is compared
+    * on SECOND-truncated timestamps exactly like the batch operator's
+    * unix_timestamp arithmetic, so the two stay in lockstep on
+    * sub-second data. */
+  def sessionizeStream(events: Dataset[Event], gapSeconds: Long = 1800L,
+                       watermark: String = "2 hours"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    def seconds(t: Timestamp): Long = t.getTime / 1000L
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          // Events within one micro-batch arrive unordered — sort by ts
-          // (bounded: one user's slice of a batch), then fold through
-          // the session state, emitting each closed session.
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val closed = Seq.newBuilder[SessionOut]
-          var st = state.getOption.orNull
-          sorted.foreach { e =>
-            val v = Option(e.value).map(_.doubleValue).getOrElse(0.0)
-            st = st match {
-              case null => SessionState(e.ts, e.ts, 1L, v)
-              case s if e.ts.getTime - s.last.getTime <= gapSeconds * 1000L =>
-                SessionState(s.start, e.ts, s.n + 1, s.total + v)
-              case s =>
-                closed += SessionOut(userId, s.start, s.last, s.n, s.total)
-                SessionState(e.ts, e.ts, 1L, v)
+          if (state.hasTimedOut) {
+            // Watermark passed the open session's gap horizon: close
+            // and emit it, drop the state.
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.last, s.n, s.total))
+          } else {
+            // Events within one micro-batch arrive unordered — sort by
+            // ts (bounded: one user's slice of a batch), then fold
+            // through the session state, emitting each closed session.
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val v = Option(e.value).map(_.doubleValue).getOrElse(0.0)
+              st = st match {
+                case null => SessionState(e.ts, e.ts, 1L, v)
+                case s if seconds(e.ts) - seconds(s.last) <= gapSeconds =>
+                  SessionState(s.start, e.ts, s.n + 1, s.total + v)
+                case s =>
+                  closed += SessionOut(userId, s.start, s.last, s.n, s.total)
+                  SessionState(e.ts, e.ts, 1L, v)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // must stay above the current watermark (late-arriving
+              // groups could otherwise set an already-passed horizon)
+              state.setTimeoutTimestamp(math.max(
+                (seconds(st.last) + gapSeconds + 1) * 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          if (st != null) state.update(st)
-          closed.result().iterator
       }
   }
 

@@ -65,6 +65,27 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.get.getAs[Long]("hamming") === 0L)
   }
 
+  test("minhashPairs finds every pair of a cluster larger than MaxBucket") {
+    // 70 byte-identical docs: all land in the same bucket in all 16
+    // bands (size > MaxBucket=64); the oversized-bucket path must
+    // still emit all C(70,2) pairs at jaccard 1.0 rather than drop it.
+    val n = 70
+    val bigDir = TestSpark.documentsFixture(
+      (1 to n).map(i => (i.toLong, base, "en", "web")))
+    val pairs = Dedup.minhashPairs(spark, bigDir).collect()
+    assert(pairs.length === n * (n - 1) / 2)
+    assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("docs shorter than 3 words never form near-dup pairs (oracle parity)") {
+    val shortDir = TestSpark.documentsFixture(Seq(
+      (1L, "hello world", "en", "web"),
+      (2L, "hello world", "en", "web"),
+      (3L, base, "en", "web")))
+    assert(Dedup.minhashPairs(spark, shortDir).count() === 0L)
+    assert(Dedup.ngramJaccardWithinSource(spark, shortDir, 0.1).count() === 0L)
+  }
+
   test("ngramJaccardWithinSource respects source partitioning") {
     // doc 4 is in another source; pairs can only form within 'web'
     val rows = Dedup.ngramJaccardWithinSource(spark, dir, threshold = 0.5).collect()

@@ -54,6 +54,16 @@ class StreamingSpec extends AnyFunSuite {
       val s = spark.table("sessions").as[SessionOut].collect()
       assert(s.length === 1)
       assert(s.head === SessionOut(1L, ts(0), ts(10), 2L, 40.0))
+      // advance the watermark (2h delay) far past user 1's gap horizon:
+      // ts(300) sets watermark to ts(180) at batch end; the NEXT batch
+      // evaluates timeouts against it and flushes the trailing session
+      mem.addData(Event(4, 2, "view", 1.0, ts(300)))
+      q.processAllAvailable()
+      mem.addData(Event(5, 2, "view", 1.0, ts(301)))
+      q.processAllAvailable()
+      val s2 = spark.table("sessions").as[SessionOut].collect()
+      assert(s2.toSet.contains(SessionOut(1L, ts(50), ts(50), 1L, 5.0)),
+        s2.mkString(", "))
     } finally q.stop()
   }
 

@@ -39,6 +39,34 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(pairs === Set((8L, 7L)))
   }
 
+  test("as-of join keeps matched-row columns together when values are null") {
+    // newest view has a NULL value: the match must return (view_id=2,
+    // value=NULL), not tear value=1.0 from the older view
+    val d = TestSpark.eventsFixture(Seq(
+      (1L, 1L, "view", Double.box(1.0), ns(0)),
+      (2L, 1L, "view", null, ns(10)),
+      (3L, 1L, "purchase", Double.box(9.0), ns(20))))
+    val r = TemporalJoins.lastViewBeforePurchase(spark, d).collect()
+      .find(_.getAs[Long]("event_id") == 3L).get
+    assert(r.getAs[java.lang.Long]("view_event_id") === 2L)
+    assert(r.isNullAt(r.fieldIndex("view_value")))
+  }
+
+  test("generic rangeJoin works when both sides share the time column name") {
+    val ev = Tables.events(spark, TestSpark.eventsFixture(Seq(
+      (1L, 1L, "error", Double.box(0.0), ns(0)),
+      (2L, 1L, "purchase", Double.box(1.0), ns(30)))))
+    import org.apache.spark.sql.functions.col
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts"))
+    val out = TemporalJoins.rangeJoin(purchases, errors, Seq("user_id"), "ts", "ts", 3600L)
+    assert(out.columns.count(_ == "ts") === 1 && out.columns.contains("ts_r"))
+    assert(out.collect().map(r =>
+      (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id"))).toSet === Set((2L, 1L)))
+  }
+
   test("range join is inclusive at both bounds") {
     val d2 = TestSpark.eventsFixture(Seq(
       (1L, 1L, "error", Double.box(0.0), ns(0)),

@@ -74,10 +74,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(enWeb.getAs[Long]("total_chars") === (12L + 17L + 18L))
   }
 
-  test("wordShingles guards texts shorter than k") {
+  test("wordShingles yields an empty set for texts shorter than k (oracle parity)") {
     import spark.implicits._
     val df = Seq("one two").toDF("text")
       .select(TextFunctions.wordShingles(col("text"), 3).as("sh"))
-    assert(df.collect().head.getSeq[String](0) === Seq("one two"))
+    assert(df.collect().head.getSeq[String](0) === Seq.empty)
   }
 }
