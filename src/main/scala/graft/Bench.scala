@@ -43,6 +43,12 @@ object Bench {
     }
 
     def run(name: String): Double = {
+      // Cache hygiene: operators persist shared projections (shingle
+      // index, LSH buckets) with caller-owned lifecycle. Clearing
+      // BEFORE each query isolates it (no free ride on a previous
+      // query's cache); the warmup run then materializes the query's
+      // own persists, so the measured run sees the steady-state plan.
+      spark.catalog.clearCache()
       if (runOnce(name) < 0) return -1.0 // warmup (JIT of generated code)
       runOnce(name)
     }

@@ -83,7 +83,12 @@ object SparkEntry {
     // Similarity search
     "q_knn_brute"        -> (Similarity.knnBrute _),
     "q_knn_ann"          -> (Similarity.knnAnn _),                       // rows-only
-    "q_embedding_neardup"-> ((s, d) => Similarity.embeddingNearDups(s, d)),
+    // exact=true: the DuckDB oracle is exact all-pairs, so the gate
+    // query must be too (LSH recall is ~1 but probabilistic — a reseed
+    // could silently fail the hash compare). The LSH scale path is
+    // gated separately below, rows-only.
+    "q_embedding_neardup"-> ((s, d) => Similarity.embeddingNearDups(s, d, exact = true)),
+    "q_embedding_neardup_lsh" -> ((s, d) => Similarity.embeddingNearDups(s, d)), // rows-only
     "q_embedding_norms"  -> (Similarity.norms _),
     "q_label_cohesion"   -> (Similarity.labelCohesion _),
     // Multimodal binary columns
@@ -95,9 +100,16 @@ object SparkEntry {
                                .withColumn("total_value",
                                  org.apache.spark.sql.functions.round(
                                    org.apache.spark.sql.functions.col("total_value"), 4))),
-    // Reference pipeline surface (own fixture warehouse; rows-only)
+    // Reference pipeline surface (own fixture warehouse). The fixture
+    // sources and tick timestamps are fully deterministic, so the
+    // oracle reconstructs the raw batches as VALUES and re-runs the
+    // mart transform in DuckDB; snapshots project the deterministic
+    // columns (committed_at is wall-clock).
     "q_pipeline_mart"    -> ((s, _) => gatePipeline(s).martScan),
-    "q_pipeline_snapshots" -> ((s, _) => gatePipeline(s).snapshots),
+    "q_pipeline_snapshots" -> ((s, _) => gatePipeline(s).snapshots
+                               .select(org.apache.spark.sql.functions.col("snapshot_id"),
+                                       org.apache.spark.sql.functions.col("operation"),
+                                       org.apache.spark.sql.functions.col("added_records"))),
     // Text analysis
     "q_token_stats"      -> (TextAnalysis.tokenStats _),
     "q_quality_scores"   -> (TextAnalysis.qualityScores _),
@@ -428,5 +440,33 @@ object SparkEntry {
       """SELECT token, COUNT(*) AS freq FROM
         |(SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    // Pipeline gate oracles: the fixture sources are deterministic
+    // (PriceCurve.usd(tick) = 50000 + 250*(tick%17) - 125*(tick%5);
+    // coingecko = usd, coincap = usd+12.5, blockchain_info = usd-7.25;
+    // gate ticks 0,1,2 stamped 2026-01-01 01/02/03:00), so the raw
+    // batches are reconstructed as VALUES and the mart transform
+    // (reference README.md:388-400) re-runs in DuckDB. All price values
+    // are exact binary doubles (multiples of 0.25), so MIN/MAX/AVG are
+    // bit-identical across engines.
+    "q_pipeline_mart" ->
+      """WITH raw(data_source, crypto_symbol, price_usd, extracted_at) AS (VALUES
+        |  ('coingecko', 'BTC', CAST(50000.0  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coincap', 'BTC', CAST(50012.5  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(49992.75 AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coingecko', 'BTC', CAST(50125.0  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coincap', 'BTC', CAST(50137.5  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50117.75 AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coingecko', 'BTC', CAST(50250.0  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('coincap', 'BTC', CAST(50262.5  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50242.75 AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'))
+        |SELECT CAST(extracted_at AS DATE) AS extraction_date, data_source, crypto_symbol,
+        |MIN(price_usd) AS min_price_usd, MAX(price_usd) AS max_price_usd,
+        |AVG(price_usd) AS avg_price_usd, COUNT(*) AS records
+        |FROM raw GROUP BY 1, 2, 3""".stripMargin,
+    "q_pipeline_snapshots" ->
+      """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, operation,
+        |CAST(added_records AS BIGINT) AS added_records
+        |FROM (VALUES (1, 'append', 3), (2, 'append', 3), (3, 'append', 3))
+        |  AS t(snapshot_id, operation, added_records)""".stripMargin,
   )
 }

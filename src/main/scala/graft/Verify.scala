@@ -27,6 +27,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Operators persist shared projections (shingle index, LSH buckets)
+    // with caller-owned lifecycle — release them before shutdown.
+    spark.catalog.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

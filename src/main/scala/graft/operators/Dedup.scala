@@ -15,8 +15,9 @@ import graft.functions.TextFunctions._
   *    shuffle keyed by fingerprint, partial-aggregated map-side;
   *  - MinHash-LSH is the scale path for near-dup: candidates come from
   *    equality joins on band keys (shuffle on band key, never all-pairs);
-  *    bucket size is capped so a degenerate key cannot produce a
-  *    quadratic task;
+  *    oversized buckets switch from in-row pair expansion to a row-wise
+  *    self-join, so a degenerate key spreads its inherent quadratic
+  *    across tasks instead of one in-memory array — no pair is dropped;
   *  - the only all-pairs work is *within* candidate verification,
   *    proportional to true-duplicate density, not corpus size.
   */
@@ -25,7 +26,7 @@ object Dedup {
   val JaccardThreshold = 0.8
   val NumHashes = 32        // minhash signature length
   val NumBands  = 16        // => r = 2 rows per band
-  val MaxBucket = 64        // skew guard: ignore degenerate LSH buckets
+  val MaxBucket = 64        // skew guard: larger buckets use the row-wise self-join path
 
   /** Exact dedup groups: one row per distinct normalized text, with the
     * surviving (minimum) doc_id and the duplicate count. */
@@ -65,7 +66,11 @@ object Dedup {
       // scan+shingle+hash pipeline each time. Size is ~2% of corpus
       // bytes (52 hashes x 8 B per doc), MEMORY_AND_DISK spills at
       // scale; CacheManager dedupes identical plans so repeated calls
-      // share one entry.
+      // share one entry. Cache lifecycle is CALLER-owned: operators
+      // return lazy plans, so they cannot know when downstream actions
+      // finish — long-lived sessions must call
+      // spark.catalog.clearCache() between workloads (Verify and Bench
+      // do; see their cleanup hooks).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def jaccardHs(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

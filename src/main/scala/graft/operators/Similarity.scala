@@ -66,8 +66,10 @@ object Similarity {
     * q = 1 - acos(0.95)/pi ~ 0.90): a true pair shares at least one of
     * the 16 exact 8-bit buckets with prob 1-(1-q^8)^16 > 0.9998 — the
     * LSH recall/cost tradeoff documented for audit. `exact = true`
-    * forces the brute-force all-pairs path (the correctness anchor the
-    * spec compares against). */
+    * forces the brute-force all-pairs path — the correctness anchor the
+    * spec compares against, and what the oracle-checked gate query
+    * runs (the DuckDB oracle is exact all-pairs; hash equality against
+    * a probabilistic-recall path would be a latent gate failure). */
   def embeddingNearDups(s: SparkSession, dir: String, threshold: Double = 0.95,
                         exact: Boolean = false): DataFrame = {
     val verified =

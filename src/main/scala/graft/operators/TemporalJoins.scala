@@ -50,8 +50,13 @@ object TemporalJoins {
         struct(rightCols.map(col): _*).as("_r")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // Right rows sort before left rows at equal time => inclusive <=.
+    // `_r` (the right payload struct, lexicographically ordered) breaks
+    // ties among right rows sharing a key and timestamp, so the matched
+    // row is deterministic across runs and partitionings: the struct
+    // leads with the caller's first rightCol — an id column in every
+    // call site — making "greatest id wins" the documented tie rule.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = lNorm.unionByName(rNorm)
       .select((keys.map(col) ++ Seq(col("_t"), col("_side")) ++ leftCols.map(col) :+

@@ -12,8 +12,8 @@ import org.apache.spark.sql.types._
   * The reference relies on four Iceberg behaviors:
   *  1. namespaced DDL (`CREATE NAMESPACE`, extract_bitcoin_prices.py:128);
   *  2. hidden `days(extracted_at)` partitioning (py:144) — emulated with
-  *     a derived `p_date` physical column that readers never see
-  *     (dropped on scan), so the logical schema stays 9-column;
+  *     a derived `graft_days_extracted_at` physical column that readers
+  *     never see (dropped on scan), so the logical schema stays 9-column;
   *  3. atomic append with one snapshot per commit (py:193) — emulated
   *     with single-writer parquet append + a JSON-lines commit log;
   *  4. the `table.snapshots` metadata scan (README.md:301) — served from
@@ -28,7 +28,13 @@ import org.apache.spark.sql.types._
   */
 final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
 
-  private val partitionCol = "p_date"
+  /** Physical partition column for `days(ts)`: the `graft_days_` prefix
+    * is the derivation contract HiddenPartitionPruning keys on (the
+    * suffix names the source timestamp column) — directory-derived
+    * partition columns can't carry Catalyst metadata, so the name IS
+    * the tag scoping the optimizer rewrite to our tables. */
+  private def partitionColFor(ts: String) =
+    graft.plans.HiddenPartitionPruning.Prefix + ts
 
   private def tablePath(name: String): String = {
     val parts = name.split('.')
@@ -64,8 +70,8 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     val commitPath = s"${tablePath(name)}/$commitCol=$id"
     val writer = partitionTs match {
       case Some(ts) =>
-        df.withColumn(partitionCol, to_date(col(ts)))
-          .write.partitionBy(partitionCol)
+        df.withColumn(partitionColFor(ts), to_date(col(ts)))
+          .write.partitionBy(partitionColFor(ts))
       case None => df.write
     }
     writer.mode(SaveMode.Append).parquet(commitPath)
@@ -96,14 +102,17 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   }
 
   /** S5 — table scan by multi-part name. The physical partition
-    * columns (`commit`, `p_date`) are dropped so readers see the
+    * columns (`commit`, `graft_days_*`) are dropped so readers see the
     * declared logical schema (hidden partitioning emulation, SURVEY
     * §1.4); partition pruning on them still applies underneath (see
-    * graft.plans.HiddenPartitionPruning for the ts→p_date rewrite). */
+    * graft.plans.HiddenPartitionPruning for the ts→date rewrite). */
   def table(name: String): DataFrame = {
     val df = spark.read.parquet(tablePath(name))
-    df.drop(Seq(partitionCol, commitCol).filter(df.columns.contains): _*)
+    df.drop(df.columns.filter(hiddenCol).toSeq: _*)
   }
+
+  private def hiddenCol(c: String): Boolean =
+    c == commitCol || c.startsWith(graft.plans.HiddenPartitionPruning.Prefix)
 
   /** Time travel: the table as of `snapshotId` (inclusive) — every
     * append commit up to that snapshot. The filter on the `commit`
@@ -118,7 +127,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     require(df.columns.contains(commitCol),
       s"$name has no commit history (CTAS tables hold only their latest state)")
     val filtered = df.filter(col(commitCol) <= snapshotId)
-    filtered.drop(Seq(partitionCol, commitCol).filter(df.columns.contains): _*)
+    filtered.drop(df.columns.filter(hiddenCol).toSeq: _*)
   }
 
   /** S6 — the `table.snapshots` metadata scan (reference README.md:301):

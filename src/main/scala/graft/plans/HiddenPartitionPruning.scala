@@ -10,16 +10,26 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   * Iceberg `PARTITIONED BY (days(extracted_at))` emulation (reference
   * extract_bitcoin_prices.py:144; SURVEY §1.4, §4).
   *
-  * LakeCatalog stores a derived `p_date = to_date(extracted_at)`
+  * LakeCatalog stores a derived `graft_days_<ts> = to_date(<ts>)`
   * partition column and hides it behind a projection, so user queries
-  * filter on `extracted_at` only — which Spark cannot use for
+  * filter on the timestamp column only — which Spark cannot use for
   * partition pruning on its own. This rule derives the implied
-  * `p_date` bounds from timestamp predicates and injects them under
+  * partition bounds from timestamp predicates and injects them under
   * the projection, where the standard pushdown rules carry them into
   * the scan's PartitionFilters:
   *
-  *   extracted_at >= T  =>  p_date >= date(T)
-  *   extracted_at <= T  =>  p_date <= date(T)   (>, <, = likewise)
+  *   ts >= T  =>  graft_days_ts >= date(T)
+  *   ts <= T  =>  graft_days_ts <= date(T)   (>, <, = likewise)
+  *
+  * Scoping: the rewrite fires only for DateType columns named with the
+  * `graft_days_` prefix, whose suffix names a TimestampType column in
+  * the same relation. Directory-derived partition columns cannot carry
+  * Catalyst metadata (the partition schema is re-inferred from paths on
+  * read), so the derivation contract is encoded in the physical column
+  * NAME — LakeCatalog.append is the only writer of that prefix, exactly
+  * like Iceberg's `days(x)` transform column. A user table with an
+  * unrelated date column (e.g. its own `p_date` processing date) can
+  * never match.
   *
   * The derivation is sound because to_date is monotone in UTC (all
   * sessions run UTC; build.sbt pins it): ts1 <= ts2 implies
@@ -31,21 +41,25 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   * (`spark.sql.extensions=graft.plans.GraftExtensions`).
   */
 object HiddenPartitionPruning extends Rule[LogicalPlan] {
-  private val PartitionCol = "p_date"
-  private val TsCol = "extracted_at"
+  /** Physical-column prefix marking a LakeCatalog `days()` transform. */
+  val Prefix = "graft_days_"
 
   /** User-provided rules run after the main optimizer batch, so
     * predicate pushdown has already placed the timestamp filter
-    * directly over the relation that exposes p_date; physical planning
-    * (FileSourceStrategy) runs after us and classifies the injected
-    * p_date conjuncts as PartitionFilters. The reference-to-p_date
-    * guard keeps the rewrite idempotent across fixpoint iterations. */
+    * directly over the relation that exposes the partition column;
+    * physical planning (FileSourceStrategy) runs after us and
+    * classifies the injected conjuncts as PartitionFilters. The
+    * references-partition-column guard keeps the rewrite idempotent
+    * across fixpoint iterations. */
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child)
-        if child.output.exists(a => a.name == PartitionCol && a.dataType == DateType) &&
-          !cond.references.exists(_.name == PartitionCol) =>
-      val pDate = child.output.find(_.name == PartitionCol).get
-      val bounds = derive(cond, pDate)
+    case f @ Filter(cond, child) =>
+      val bounds = child.output.collect {
+        case p if p.dataType == DateType && p.name.startsWith(Prefix) &&
+            !cond.references.exists(_.name == p.name) =>
+          child.output.find(t => t.name == p.name.stripPrefix(Prefix) &&
+              t.dataType == TimestampType)
+            .map(ts => derive(cond, p, ts.name)).getOrElse(Nil)
+      }.flatten
       if (bounds.isEmpty) f
       else Filter(And(cond, bounds.reduce(And)), child)
   }
@@ -53,15 +67,16 @@ object HiddenPartitionPruning extends Rule[LogicalPlan] {
   private def toDate(ts: Expression): Expression =
     Cast(ts, DateType, Some("UTC"))
 
-  /** Derive p_date bounds from conjunctive extracted_at predicates. */
-  private def derive(cond: Expression, pDate: Attribute): Seq[Expression] = {
+  /** Derive partition bounds from conjunctive predicates on `tsName`. */
+  private def derive(cond: Expression, pDate: Attribute,
+                     tsName: String): Seq[Expression] = {
     def isTs(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name == TsCol && a.dataType == TimestampType
+      case a: AttributeReference => a.name == tsName && a.dataType == TimestampType
       case _ => false
     }
     def lit(e: Expression): Boolean = e.foldable && e.dataType == TimestampType
     cond match {
-      case And(l, r) => derive(l, pDate) ++ derive(r, pDate)
+      case And(l, r) => derive(l, pDate, tsName) ++ derive(r, pDate, tsName)
       case GreaterThanOrEqual(a, v) if isTs(a) && lit(v) =>
         Seq(GreaterThanOrEqual(pDate, toDate(v)))
       case GreaterThan(a, v) if isTs(a) && lit(v) =>

@@ -57,8 +57,9 @@ class LakeCatalogSpec extends AnyFunSuite {
       .filter(col("extracted_at") >= ts(11, 0) && col("extracted_at") < ts(12, 0))
     assert(q.count() === 3L) // correctness unchanged
     val plan = q.queryExecution.executedPlan.toString
-    // the injected p_date bounds must reach the scan's PartitionFilters
-    assert(plan.contains("p_date"), s"p_date pruning missing in:\n$plan")
+    // the injected partition bounds must reach the scan's PartitionFilters
+    assert(plan.contains("graft_days_extracted_at"),
+      s"hidden-partition pruning missing in:\n$plan")
     val scanned = q.queryExecution.executedPlan.collectLeaves()
       .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.relation.location.listFiles(s.partitionFilters, s.dataFilters).map(_.files.size).sum
@@ -69,5 +70,29 @@ class LakeCatalogSpec extends AnyFunSuite {
         s.relation.location.listFiles(s.partitionFilters, s.dataFilters).map(_.files.size).sum
       }.sum
     assert(scanned < all, s"expected fewer files scanned ($scanned) than total ($all)")
+  }
+
+  test("pruning rule never fires on user tables with unrelated date columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, to_date}
+    // A user table where `p_date`-style column names coexist with an
+    // unrelated TimestampType column: the rewrite must not inject any
+    // partition conjunct (the graft_days_ naming contract is absent),
+    // so no row can be silently dropped.
+    val df = Seq(
+      ("2026-08-10 05:00:00", "2026-01-01"),
+      ("2026-08-11 05:00:00", "2026-02-02")
+    ).toDF("ts_s", "date_s")
+      .select($"ts_s".cast("timestamp").as("extracted_at"),
+        to_date($"date_s").as("p_date"))
+    val filtered = df.filter($"extracted_at" >= lit("2026-08-09").cast("timestamp"))
+    assert(filtered.count() === 2L)
+    // and a graft_days_ column whose suffix names no timestamp column
+    // is likewise left alone
+    val odd = Seq(("2026-08-10 05:00:00", "2026-01-01")).toDF("ts_s", "date_s")
+      .select($"ts_s".cast("timestamp").as("extracted_at"),
+        to_date($"date_s").as("graft_days_missing"))
+    assert(odd.filter($"extracted_at" >= lit("2026-08-09").cast("timestamp"))
+      .count() === 1L)
   }
 }
