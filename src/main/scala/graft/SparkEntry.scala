@@ -49,6 +49,16 @@ object SparkEntry {
     "q_salted_totals"    -> (Relational.saltedTypeTotals(_, _)),
     "q_percentiles"      -> (Relational.valuePercentiles _),
     "q_promo_revenue"    -> (Joins.promoRevenue _),
+    "q_pivot_daily"      -> (Relational.pivotDailyType _),
+    "q_grouping_sets"    -> (Relational.groupingSetsMart _),
+    "q_full_outer"       -> (Relational.fullOuterDaily _),
+    "q_intersect_users"  -> (Relational.intersectUsers _),
+    "q_except_users"     -> (Relational.exceptUsers _),
+    "q_subquery_cust"    -> (Relational.subqueryCustomers _),
+    // Scalar-function suites (string / date / math)
+    "q_string_funcs"     -> (graft.functions.ScalarSuites.stringFuncs _),
+    "q_date_funcs"       -> (graft.functions.ScalarSuites.dateFuncs _),
+    "q_math_funcs"       -> (graft.functions.ScalarSuites.mathFuncs _),
     // Joins
     "q_star_revenue"     -> (Joins.starRevenue _),
     "q_segment_revenue"  -> (Joins.segmentRevenue _),
@@ -185,6 +195,83 @@ object SparkEntry {
         |ROUND(quantile_cont(value, 0.75), 4) AS p75,
         |COUNT(value) AS n_valued
         |FROM events GROUP BY 1""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS u_name, lower(c_mktsegment) AS l_segment,
+        |CAST(length(c_name) AS INTEGER) AS name_len,
+        |substring(c_name, 1, 9) AS name_prefix,
+        |concat_ws('|', c_mktsegment, c_name) AS seg_name,
+        |regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+        |lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+        |reverse(c_name) AS rev_name,
+        |CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+        |string_split(c_name, '#')[1] AS name_stem,
+        |trim(c_name) AS trimmed
+        |FROM customer""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+        |CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS o_day,
+        |CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS o_quarter,
+        |CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INTEGER) AS o_dow,
+        |date_trunc('month', o_orderdate) AS month_start,
+        |CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        |last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+        |  AS days_since_95,
+        |CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |ROUND(sqrt(l_quantity), 4) AS sqrt_qty,
+        |floor(ln(l_extendedprice) * 10000 + 0.5 + 0.000001) / 10000 AS ln_price,
+        |floor(exp(l_discount) * 10000 + 0.5 + 0.000001) / 10000 AS exp_disc,
+        |ROUND(power(l_quantity, 2), 4) AS qty_sq,
+        |ROUND(abs(l_discount - 0.05), 4) AS abs_disc_delta,
+        |CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+        |CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+        |l_orderkey % 7 AS key_mod7,
+        |CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+        |ROUND(greatest(l_quantity, l_tax * 100), 4) AS g_val,
+        |ROUND(least(l_quantity, l_tax * 100), 4) AS l_val
+        |FROM lineitem""".stripMargin,
+    "q_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+        |ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 4) AS "view"
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS records,
+        |ROUND(SUM(value), 4) AS total_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((1, event_type), (event_type), ())""".stripMargin,
+    "q_full_outer" ->
+      """SELECT user_id, event_date, purchase_value, error_value FROM
+        |(SELECT user_id, CAST(ts AS DATE) AS event_date,
+        |   ROUND(SUM(value), 4) AS purchase_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+        |FULL JOIN
+        |(SELECT user_id, CAST(ts AS DATE) AS event_date,
+        |   ROUND(SUM(value), 4) AS error_value
+        | FROM events WHERE event_type = 'error' GROUP BY 1, 2) e
+        |USING (user_id, event_date)""".stripMargin,
+    "q_intersect_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "q_except_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "q_subquery_cust" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+        |                   WHERE c2.c_mktsegment = c.c_mktsegment)
+        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
     "q_promo_revenue" ->
       """SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
         |  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)

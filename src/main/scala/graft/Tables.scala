@@ -40,7 +40,12 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every table as a temp view (used by tests / ad-hoc SQL). */
+  /** Register every table as a temp view (used by tests / ad-hoc SQL).
+    * `events` goes through the nanos→micros conversion above so SQL
+    * users see a real TimestampType ts. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

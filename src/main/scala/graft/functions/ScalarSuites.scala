@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Rounding.round4eps
+
+/** Scalar-function surface: string, date/time and math expression
+  * suites over the testdata tables, each oracle-checked against DuckDB.
+  *
+  * The reference's own scalar surface is tiny (COALESCE, DATE(), FX
+  * arithmetic — SURVEY §2.3/§2.8); a complete engine needs the whole
+  * built-in family. Everything here is `org.apache.spark.sql.functions`
+  * — codegen'd expressions inside whole-stage codegen, never UDFs, so
+  * the projections fuse into the scan at any scale.
+  *
+  * Cross-engine parity notes baked in:
+  *  - transcendentals (ln/exp) are NOT bit-identical across libm
+  *    implementations → round4eps on both sides absorbs the ulp;
+  *  - sqrt/pow(x,2)/abs/sign are IEEE-exact → plain round is safe;
+  *  - day-of-week numbering differs (Spark 1=Sunday; DuckDB dow
+  *    0=Sunday) → oracle shifts;
+  *  - string positions are 1-based in both (instr ↔ strpos).
+  */
+object ScalarSuites {
+
+  /** String-function suite over customer names/segments. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("u_name"),
+      lower(col("c_mktsegment")).as("l_segment"),
+      length(col("c_name")).as("name_len"),
+      substring(col("c_name"), 1, 9).as("name_prefix"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+      reverse(col("c_name")).as("rev_name"),
+      instr(col("c_name"), "#").as("hash_pos"),
+      element_at(split(col("c_name"), "#"), 1).as("name_stem"),
+      trim(col("c_name")).as("trimmed"))
+
+  /** Date/time-function suite over order dates. */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"),
+      month(col("o_orderdate")).as("o_month"),
+      dayofmonth(col("o_orderdate")).as("o_day"),
+      quarter(col("o_orderdate")).as("o_quarter"),
+      dayofweek(col("o_orderdate")).as("o_dow"),          // 1 = Sunday
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      date_add(to_date(col("o_orderdate")), 30).as("plus_30d"),
+      last_day(to_date(col("o_orderdate"))).as("month_end"),
+      datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+        .as("days_since_95"),
+      unix_timestamp(col("o_orderdate")).as("epoch_s"))
+
+  /** Math-function suite over lineitem measures. sqrt/power/abs/sign
+    * are IEEE-exact; ln/exp go through round4eps for libm parity. */
+  def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+      round4eps(log(col("l_extendedprice"))).as("ln_price"),
+      round4eps(exp(col("l_discount"))).as("exp_disc"),
+      round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+      round(abs(col("l_discount") - 0.05), 4).as("abs_disc_delta"),
+      ceil(col("l_tax") * 100).as("tax_pct_ceil"),
+      floor(col("l_extendedprice") / 1000).as("price_k_floor"),
+      (col("l_orderkey") % 7).as("key_mod7"),
+      signum(col("l_discount") - 0.05).as("disc_sign"),
+      round(greatest(col("l_quantity"), col("l_tax") * 100), 4).as("g_val"),
+      round(least(col("l_quantity"), col("l_tax") * 100), 4).as("l_val"))
+}

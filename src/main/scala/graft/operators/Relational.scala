@@ -187,6 +187,80 @@ object Relational {
         round(expr("percentile(value, 0.75)"), 4).as("p75"),
         count(col("value")).as("n_valued"))
 
+  /** Event types present in the testdata — pinned so the pivot schema
+    * is static (a dynamic pivot would need a driver-side distinct scan
+    * before planning; at 100 TB the value list is always declared). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT: one column per event type with the day's summed value.
+    * With explicit pivot values this is a single pass — a conditional
+    * aggregate per output column, no extra shuffle beyond the groupBy. */
+  def pivotDailyType(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .pivot("event_type", EventTypes)
+      .agg(round(sum(col("value")), 4))
+
+  /** GROUPING SETS: the explicit-sets sibling of rollup/cube — per
+    * (date, type), per type, and grand total in ONE aggregation pass
+    * (Expand + single shuffle), not three scans unioned. */
+  def groupingSetsMart(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(to_date(col("ts")).as("event_date"), col("event_type"), col("value"))
+      .groupingSets(
+        Seq(Seq(col("event_date"), col("event_type")), Seq(col("event_type")), Seq()),
+        col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("records"), round(sum(col("value")), 4).as("total_value"))
+
+  /** FULL OUTER join: per-(user, day) purchase totals against error
+    * totals — both sides aggregated BEFORE the join so the shuffle
+    * carries one row per key per side, and the join keys coalesce. */
+  def fullOuterDaily(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("event_date"),
+        col("event_type"), col("value"))
+    def side(t: String, out: String) =
+      ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"), col("event_date"))
+        .agg(round(sum(col("value")), 4).as(out))
+    side("purchase", "purchase_value")
+      .join(side("error", "error_value"), Seq("user_id", "event_date"), "full_outer")
+  }
+
+  /** INTERSECT (set semantics): users who both purchased and errored. */
+  def intersectUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    users("purchase").intersect(users("error"))
+  }
+
+  /** EXCEPT (set semantics): users who purchased but never errored.
+    * Both set ops plan as aggregate/anti-join on the key — one shuffle,
+    * no distinct-then-join two-pass. */
+  def exceptUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    users("purchase").except(users("error"))
+  }
+
+  /** Correlated scalar subquery + EXISTS, through the SQL surface
+    * (entry point C): customers above their segment's average balance
+    * that have at least one order. Catalyst decorrelates both into
+    * joins (the subquery rewrite 100 TB plans depend on — never a
+    * per-row re-execution). */
+  def subqueryCustomers(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                         WHERE c2.c_mktsegment = c.c_mktsegment)
+        AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """)
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import graft.functions.ScalarSuites
+
+/** Specs for the round-2 relational extensions: pivot, grouping sets,
+  * full outer join, set ops, subqueries, and the scalar suites. The
+  * DuckDB oracle hash-checks full outputs; these assert the semantics
+  * that make those outputs right. */
+class RelationalExtSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("pivot equals the manual conditional aggregation") {
+    val pivoted = Relational.pivotDailyType(spark, dir)
+    val aggs = Relational.EventTypes.map(t =>
+      round(sum(when(col("event_type") === t, col("value"))), 4).as(t))
+    val manual = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(aggs.head, aggs.tail: _*)
+    assert(pivoted.columns.toSeq === ("event_date" +: Relational.EventTypes))
+    assert(pivoted.collect().toSet === manual.collect().toSet)
+  }
+
+  test("grouping sets = union of its member aggregations") {
+    val gs = Relational.groupingSetsMart(spark, dir).collect().toSet
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"), col("event_type"), col("value"))
+    val byBoth = ev.groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("records"), round(sum(col("value")), 4).as("total_value"))
+    val byType = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("records"), round(sum(col("value")), 4).as("total_value"))
+      .select(lit(null).cast("date").as("event_date"), col("event_type"),
+        col("records"), col("total_value"))
+    val total = ev.agg(count(lit(1)).as("records"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(lit(null).cast("date").as("event_date"),
+        lit(null).cast("string").as("event_type"), col("records"), col("total_value"))
+    assert(gs === byBoth.unionByName(byType).unionByName(total).collect().toSet)
+  }
+
+  test("full outer keeps keys unique and preserves both exclusive sides") {
+    val fo = Relational.fullOuterDaily(spark, dir)
+    assert(fo.count() ===
+      fo.select(col("user_id"), col("event_date")).distinct().count())
+    // exclusive sides appear with a null other-side measure
+    assert(fo.filter(col("purchase_value").isNull).count() > 0)
+    assert(fo.filter(col("error_value").isNull).count() > 0)
+    // and never both null
+    assert(fo.filter(col("purchase_value").isNull && col("error_value").isNull)
+      .count() === 0)
+  }
+
+  test("intersect/except partition the purchase-user set") {
+    val ev = Tables.events(spark, dir)
+    val purchasers = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    val both = Relational.intersectUsers(spark, dir).count()
+    val only = Relational.exceptUsers(spark, dir).count()
+    assert(both + only === purchasers)
+    // set semantics: no duplicates
+    assert(Relational.intersectUsers(spark, dir).distinct().count() === both)
+  }
+
+  test("correlated scalar subquery decorrelates to a join (no per-row subplan)") {
+    val df = Relational.subqueryCustomers(spark, dir)
+    assert(df.count() > 0)
+    // every returned customer beats its segment average
+    val avgs = Tables.customer(spark, dir).groupBy(col("c_mktsegment"))
+      .agg(avg(col("c_acctbal")).as("seg_avg"))
+    val joined = df.join(Tables.customer(spark, dir), "c_custkey")
+      .join(avgs, "c_mktsegment")
+      .filter(col("c_acctbal") <= col("seg_avg"))
+    assert(joined.count() === 0)
+  }
+
+  test("scalar suites: spot-check semantics against literal expectations") {
+    val sf = ScalarSuites.stringFuncs(spark, dir)
+      .filter(col("c_custkey") === 1).collect()(0)
+    val name = Tables.customer(spark, dir)
+      .filter(col("c_custkey") === 1).select("c_name").collect()(0).getString(0)
+    assert(sf.getAs[String]("u_name") === name.toUpperCase)
+    assert(sf.getAs[Int]("name_len") === name.length)
+    assert(sf.getAs[String]("padded_key") === "0000000001")
+    assert(sf.getAs[Int]("hash_pos") === name.indexOf('#') + 1)
+
+    val dfn = ScalarSuites.dateFuncs(spark, dir).limit(1).collect()(0)
+    assert(dfn.getAs[Int]("o_dow") >= 1 && dfn.getAs[Int]("o_dow") <= 7)
+
+    val mf = ScalarSuites.mathFuncs(spark, dir)
+      .filter(col("l_quantity") === 25.0).limit(1).collect()
+    mf.foreach { r =>
+      assert(r.getAs[Double]("sqrt_qty") === 5.0)
+      assert(r.getAs[Double]("qty_sq") === 625.0)
+    }
+  }
+}
