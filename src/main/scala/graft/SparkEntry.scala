@@ -75,6 +75,8 @@ object SparkEntry {
     "q_top_event_user"   -> (Windows.topEventPerUser _),
     "q_sessionize"       -> (Windows.sessionize _),
     "q_daily_type_rank"  -> (Windows.dailyTypeRank _),
+    "q_window_suite"     -> (Windows.windowSuite _),
+    "q_trailing_hour"    -> (Windows.trailingHour _),
     // Custom physical operator (plans.TopKPerGroup): top-3 per user
     // without sort/window — partial+final bounded heaps
     "q_topk_custom"      -> ((s, d) => {
@@ -90,6 +92,7 @@ object SparkEntry {
     "q_neardup_survivors"-> (Dedup.nearDupSurvivors _),
     "q_dedup_simhash"    -> ((s, d) => Dedup.simhashPairs(s, d)),       // rows-only
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardWithinSource(s, d)),
+    "q_dedup_cc"         -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // Similarity search
     "q_knn_brute"        -> (Similarity.knnBrute _),
     "q_knn_ann"          -> (Similarity.knnAnn _),                       // rows-only
@@ -101,12 +104,19 @@ object SparkEntry {
     "q_embedding_neardup_lsh" -> ((s, d) => Similarity.embeddingNearDups(s, d)), // rows-only
     "q_embedding_norms"  -> (Similarity.norms _),
     "q_label_cohesion"   -> (Similarity.labelCohesion _),
+    "q_embedding_quant"  -> ((s, d) => Similarity.quantizeStats(s, d)),
+    "q_knn_ivf"          -> ((s, d) => Similarity.knnIvf(s, d)),        // rows-only (ANN)
     // Multimodal binary columns
     "q_media_profile"    -> (Multimodal.mediaProfile _),
     "q_media_norms"      -> ((s, d) => Multimodal.featureNorms(s, d)),   // rows-only (stub decode)
     // Streaming transforms (batch-mode plan parity; watermark no-ops)
     "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
                                .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
+                               .withColumn("total_value",
+                                 org.apache.spark.sql.functions.round(
+                                   org.apache.spark.sql.functions.col("total_value"), 4))),
+    "q_sliding_counts"   -> ((s, d) => graft.streaming.EventStreams
+                               .slidingTypeCounts(Tables.events(s, d))
                                .withColumn("total_value",
                                  org.apache.spark.sql.functions.round(
                                    org.apache.spark.sql.functions.col("total_value"), 4))),
@@ -129,6 +139,8 @@ object SparkEntry {
                                .select(org.apache.spark.sql.functions.col("doc_id"),
                                        org.apache.spark.sql.functions.col("fingerprint_md5"))),
     "q_top_tokens"       -> (TextAnalysis.topTokens _),
+    "q_tfidf_top"        -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
+    "q_bigram_counts"    -> (TextAnalysis.bigramCounts _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -361,6 +373,30 @@ object SparkEntry {
         | FROM (SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n
         |       FROM events GROUP BY 1, 2))
         |WHERE rank <= 3""".stripMargin,
+    "q_window_suite" ->
+      """SELECT user_id, event_id,
+        |ROUND(LEAD(value, 1) OVER u, 4) AS next_value,
+        |CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS INTEGER)
+        |  AS type_rank,
+        |CAST(NTILE(4) OVER u AS INTEGER) AS quartile,
+        |ROUND(PERCENT_RANK() OVER v, 4) AS value_prank,
+        |ROUND(CUME_DIST() OVER v, 4) AS value_cdist,
+        |ROUND(FIRST_VALUE(value) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS first_val,
+        |ROUND(NTH_VALUE(value, 2) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS second_val
+        |FROM events
+        |WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       v AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)""".stripMargin,
+    "q_trailing_hour" ->
+      """SELECT event_id, user_id,
+        |ROUND(SUM(value) OVER w, 4) AS hour_value,
+        |COUNT(*) OVER w AS hour_events
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_topk_custom" ->
       """SELECT user_id, event_id, event_type, value FROM
         |(SELECT *, ROW_NUMBER() OVER
@@ -407,6 +443,33 @@ object SparkEntry {
         |    / len(list_distinct(a.sh || b.sh)) AS j
         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT source, doc_a, doc_b, ROUND(j, 4) AS jaccard FROM p WHERE j >= 0.8""".stripMargin,
+    "q_dedup_cc" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a""".stripMargin,
+    "q_embedding_quant" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v, 127.0 / list_max([abs(x) for x in v]) AS scale
+        |      FROM e WHERE list_max([abs(x) for x in v]) > 0),
+        |q AS (SELECT vec_id, scale,
+        |  [CAST(floor(x * scale + 0.5) AS INTEGER) for x in v] AS qv FROM m)
+        |SELECT vec_id,
+        |floor(scale * 10000 + 0.5 + 0.000001) / 10000 AS q_scale,
+        |list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |CAST(list_sum(qv) AS BIGINT) AS q_sum FROM q""".stripMargin,
     "q_knn_brute" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
         |           FROM embeddings),
@@ -466,6 +529,13 @@ object SparkEntry {
         |event_type, COUNT(*) AS n_events,
         |ROUND(SUM(value), 4) AS total_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_sliding_counts" ->
+      """SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end, event_type,
+        |COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+        |FROM (SELECT time_bucket(INTERVAL 1 HOUR, ts) - k * (INTERVAL 1 HOUR)
+        |        AS window_start, event_type, value
+        |      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_token_stats" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -527,6 +597,25 @@ object SparkEntry {
       """SELECT token, COUNT(*) AS freq FROM
         |(SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    "q_tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       WHERE doc_id < 50 GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, token,
+        |  floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000 + 0.5 + 0.000001) / 10000
+        |    AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+        |  (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rank FROM sc)
+        |SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= 3""".stripMargin,
+    "q_bigram_counts" ->
+      """SELECT bigram, COUNT(*) AS freq FROM
+        |(SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+        | FROM (SELECT string_split(text, ' ') AS w FROM documents))
+        |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin,
     // Pipeline gate oracles: the fixture sources are deterministic
     // (PriceCurve.usd(tick) = 50000 + 250*(tick%17) - 125*(tick%5);
     // coingecko = usd, coincap = usd+12.5, blockchain_info = usd-7.25;

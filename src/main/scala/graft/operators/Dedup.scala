@@ -174,6 +174,52 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Connected components over the near-dup pair graph: every document
+    * in a cluster labeled with the cluster's minimum doc_id. Single-hop
+    * survivor logic (nearDupSurvivors) is exact only for pairwise
+    * clusters; chains (a~b, b~c with a!~c) need the transitive closure
+    * — this is THE correctness piece of large-scale fuzzy dedup.
+    *
+    * Algorithm: iterative min-label propagation — each round, every
+    * node takes the min of its own and its neighbors' labels; converges
+    * in O(cluster diameter) rounds (near-dup clusters are shallow).
+    * Each round is one shuffle join keyed by node id; lineage is cut
+    * per round with localCheckpoint so the plan stays constant-size.
+    * The driver-side loop reads back ONE scalar per round (the change
+    * count) — the same control-plane-only pattern AQE uses, never data.
+    * At 100 TB the edge list is the LSH pair output (true-dup-density
+    * sized, not corpus-sized), so rounds are cheap relative to
+    * candidate generation. */
+  def nearDupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")), "doc_b")
+        .groupBy(col("doc_a")).agg(min(col("nbr_label")).as("nbr_label"))
+        .select(col("doc_a").as("doc_id"), col("nbr_label"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label"))
+            .cast("long").as("chg"))
+        .localCheckpoint()
+      changed = updated.agg(sum(col("chg"))).collect()(0).getLong(0)
+      labels = updated.select(col("doc_id"), col("label"))
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures, banded into 4x16-bit
     * chunks for candidate generation (a pair within Hamming distance 3
     * must agree on at least one 16-bit chunk), verified by exact

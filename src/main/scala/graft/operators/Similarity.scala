@@ -165,6 +165,76 @@ object Similarity {
         round(col("sim"), 4).as("cosine_sim"))
   }
 
+  /** Int8 quantization stats: per vector, symmetric-scale int8
+    * quantization (scale = 127/max|x|, q_i = floor(x*scale + 0.5)) with
+    * min/max/sum of the quantized values — the storage-shrink transform
+    * a 100 TB embedding pipeline applies before indexing (4x smaller,
+    * map-only, no shuffle). Rounding is the explicit floor(x+0.5) form,
+    * identical in any engine (ROUND-to-int is half-even in some). Zero
+    * vectors are excluded (scale undefined) on both sides. */
+  def quantizeStats(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * col("scale") + lit(0.5)).cast("int")))
+      .select(col("vec_id"),
+        round4eps(col("scale")).as("q_scale"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"))
+
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path,
+    * complementing the SRP-LSH index (knnAnn): the corpus is assigned
+    * once to its nearest of `nlist` coarse centroids (the inverted
+    * file); each query exactly scores only the `nprobe` nearest cells'
+    * members.
+    *
+    * Build: assignment is a broadcast of the (tiny) centroid set + one
+    * aggregation keyed by vec_id — min(struct(dist, cell)) keeps the
+    * argmin deterministic on ties. At 100 TB this is the one-off index
+    * build; production would Lloyd-refine the centroids on a sample
+    * with the same assignment plan.
+    * Query: candidates = corpus ⋈ (query, probed cell) on cell — an
+    * equality join on the cell id, never an all-pairs product;
+    * candidate volume ~ nprobe/nlist of the corpus.
+    *
+    * Centroid init is deterministic (the first `nlist` vectors by id) —
+    * recall against knnBrute is asserted in SimilaritySpec. */
+  def knnIvf(s: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = corpus(s, dir).filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    def assign(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("dist", l2Distance(col(vecCol), col("centroid")))
+      if (keep == 1)
+        scored.groupBy(col(idCol))
+          .agg(min(struct(col("dist"), col("cell"))).as("best"))
+          .select(col(idCol), col("best.cell").as("cell"))
+      else {
+        val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= keep)
+          .select(col(idCol), col("cell"))
+      }
+    }
+    val invFile = assign(corpus(s, dir), "vec_id", "embedding", keep = 1)
+      .join(corpus(s, dir), "vec_id")
+    val probes = assign(queries(s, dir), "query_id", "query_vec", keep = nprobe)
+    val scored = invFile.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(queries(s, dir)), "query_id")
+      .withColumn("sim", cosine(col("query_vec"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("cosine_sim"))
+  }
+
   /** Embedding norms + label — exercises the double-fold vector kernel
     * end-to-end with a trivially oracle-able output. */
   def norms(s: SparkSession, dir: String): DataFrame =

@@ -75,4 +75,47 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(20)
+
+  /** TF-IDF: top-k distinguishing tokens per document (restricted to a
+    * doc_id slice so the gate output stays bounded; document frequency
+    * is computed over the WHOLE corpus). Plan: one explode pass feeds
+    * both tf (filtered early) and df; the corpus size joins in as a
+    * broadcast scalar — never a driver-side collect. Scores are rounded
+    * BEFORE ranking so the tie-break (token asc) is cross-engine stable
+    * even when libm's ln differs in the last ulp. */
+  def tfidfTop(s: SparkSession, dir: String, k: Int = 3, docLimit: Long = 50): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tokens = docs.select(col("doc_id"), explode(words(col("text"))).as("token"))
+    val tf = tokens.filter(col("doc_id") < docLimit)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round4eps(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
+  }
+
+  /** Bigram histogram: top-20 corpus bigrams — adjacent-token pairs via
+    * zip_with over two array slices (map-side; single-word docs yield
+    * empty arrays and vanish at the explode). */
+  def bigramCounts(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Tables.documents(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bigram"))
+      .limit(20)
+  }
 }

@@ -67,6 +67,45 @@ object Windows {
            round(sum(col("value")), 4).as("session_value"))
   }
 
+  /** The remaining analytic-function family in one query: lead,
+    * dense_rank, ntile, percent_rank, cume_dist, first_value and
+    * nth_value — all over the SAME (user_id) partitioning, so Catalyst
+    * plans ONE shuffle+sort and evaluates the rank-based functions in a
+    * single Window operator. Orderings are total (event_id tie-break;
+    * value orders put NULLS FIRST to match across engines), frames are
+    * explicit ROWS so no engine-default ambiguity exists. */
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").asc_nulls_first, col("event_id"))
+    val cumFrame = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir).select(
+      col("user_id"),
+      col("event_id"),
+      round(lead(col("value"), 1).over(byUser), 4).as("next_value"),
+      dense_rank().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("event_type"))).as("type_rank"),
+      ntile(4).over(byUser).as("quartile"),
+      round(percent_rank().over(byValue), 4).as("value_prank"),
+      round(cume_dist().over(byValue), 4).as("value_cdist"),
+      round(first_value(col("value")).over(cumFrame), 4).as("first_val"),
+      round(nth_value(col("value"), 2).over(cumFrame), 4).as("second_val"))
+  }
+
+  /** Time-RANGE frame: each event's trailing-hour sum/count per user —
+    * the frame is bounded by the ORDER-BY VALUE (epoch seconds), not row
+    * position, so simultaneous events are frame peers regardless of row
+    * order. The sliding-window analytic that doesn't need a self-join. */
+  def trailingHour(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 4).as("hour_value"),
+        count(lit(1)).over(w).as("hour_events"))
+  }
+
   /** Daily ranking: rank event types by volume within each day —
     * dense_rank over an aggregated (already small) input. */
   def dailyTypeRank(s: SparkSession, dir: String): DataFrame = {

@@ -51,6 +51,22 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Sliding-window counts: each event lands in windowLength/slide
+    * overlapping windows (2 here) — the `window()` generator expands
+    * rows BEFORE the aggregation shuffle, so the state/shuffle cost is
+    * (expansion factor × tumbling), the standard overlap trade. */
+  def slidingTypeCounts(events: DataFrame,
+                        windowLength: String = "2 hours",
+                        slide: String = "1 hour",
+                        watermark: String = "3 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState): a session closes when >gap passes
     * between a user's consecutive events, or on EVENT-TIME timeout —

@@ -57,6 +57,29 @@ class DedupSpec extends AnyFunSuite {
     assert(ids === Set(1L, 2L, 4L)) // 3 and 5 fold into 1; 2 is raw-distinct
   }
 
+  test("nearDupClusters labels transitive chains a~b~c with one root") {
+    // Chain by construction (60 words, 58 3-shingles each):
+    //   a~b: 54 shared shingles, j = 54/62 ≈ 0.871  (pair)
+    //   b~c: 52 shared,          j = 52/64 ≈ 0.813  (pair)
+    //   a~c: 50 shared,          j = 50/66 ≈ 0.758  (NOT a pair)
+    val t = (1 to 60).map(i => s"w$i")
+    val a = t.mkString(" ")                                  // w1..w60
+    val b = (t.take(56) ++ Seq("B1", "B2", "B3", "B4")).mkString(" ")
+    val c = (t.take(52) ++ Seq("B1", "B2", "B3", "B4",
+      "C1", "C2", "C3", "C4")).mkString(" ")
+    val chainDir = TestSpark.documentsFixture(Seq(
+      (10L, a, "en", "web"), (11L, b, "en", "web"), (12L, c, "en", "web"),
+      (20L, (1 to 60).map(i => s"q$i").mkString(" "), "en", "web")))
+    val pairs = Dedup.minhashPairs(spark, chainDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // precondition for the transitivity claim: a chain, not a triangle
+    assert(pairs.contains((10L, 11L)) && pairs.contains((11L, 12L)))
+    assert(!pairs.contains((10L, 12L)))
+    val clusters = Dedup.nearDupClusters(spark, chainDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(clusters === Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("simhashPairs flags the identical pair at hamming 0") {
     val rows = Dedup.simhashPairs(spark, dir).collect()
     val exact = rows.find(r =>

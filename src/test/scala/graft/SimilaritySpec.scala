@@ -86,4 +86,33 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (brute intersect ann).size.toDouble / brute.size
     assert(recall >= 0.8, s"ANN recall@5 too low: $recall")
   }
+
+  test("knnIvf returns exactly K ranked rows per query with nontrivial recall") {
+    val sf = TestSpark.sfDir
+    val ivf = Similarity.knnIvf(spark, sf).collect()
+    val perQuery = ivf.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.values.forall(_.length == Similarity.K))
+    perQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to Similarity.K))
+    }
+    // nprobe/nlist = 1/4 of a uniform corpus scanned → recall must beat
+    // the random-candidate floor by a wide margin (uniform embeddings
+    // are ANN's adversarial case; clustered real data does far better)
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@5 below random-floor margin: $recall")
+  }
+
+  test("quantizeStats: int8 range respected and reconstruction bounded") {
+    val df = Similarity.quantizeStats(spark, TestSpark.sfDir).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      assert(r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_min") <= 127)
+      // by construction max|q| = 127 exactly for the max-magnitude element
+      assert(math.max(math.abs(r.getAs[Int]("q_min")), r.getAs[Int]("q_max")) === 127)
+      assert(r.getAs[Double]("q_scale") > 0)
+    }
+  }
 }
