@@ -152,6 +152,22 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     try lines.count() + 1 finally lines.close()
   }
 
+  /** MERGE (upsert) by key: rows in `updates` replace same-key rows in
+    * the target; new keys append — the Iceberg/Delta `MERGE INTO ...
+    * WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT` semantic the
+    * reference's append-only pipeline never needed, but any CDC-fed
+    * lake table does. Copy-on-write implementation: anti-join the
+    * target against the update keys, union the updates, swap atomically
+    * via the CTAS path (one snapshot). At 100 TB the anti-join is
+    * key-partitioned (one shuffle) and partition-pruned to the files
+    * containing matched keys by real table formats; the observable
+    * semantics here are identical. */
+  def mergeInto(name: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    val current = table(name)
+    val kept = current.join(updates.select(keys.map(col): _*), keys, "left_anti")
+    createOrReplace(name, kept.unionByName(updates))
+  }
+
   /** Bucketed table write into the session catalog: co-locates rows by
     * `bucketCol` so repeated joins/aggregations on that key run with
     * ZERO exchanges (SortMergeJoin reads matching buckets directly).

@@ -129,6 +129,28 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's views from the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so the state
+    * store holds only one hour (+watermark slack) of views per user —
+    * the condition every unbounded stream-stream join must satisfy or
+    * state grows with the stream. Batch-mode: the same plan is a plain
+    * range join (the oracle path; watermarks no-op). */
+  def purchaseViewJoin(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    purchases.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+  }
+
   /** Streaming exact dedup: drop events already seen within the
     * watermark horizon, keyed by content fingerprint — the streaming
     * face of the batch Dedup.exactSurvivors operator, and the standard

@@ -72,6 +72,26 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(scanned < all, s"expected fewer files scanned ($scanned) than total ($all)")
   }
 
+  test("mergeInto upserts by key: matched rows replaced, new keys appended") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-merge"))
+    cat.createNamespace("raw")
+    cat.createOrReplace("raw.dim",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "name", "score"))
+    cat.mergeInto("raw.dim",
+      Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("id", "name", "score"),
+      keys = Seq("id"))
+    val got = cat.table("raw.dim").as[(Long, String, Double)].collect().toSet
+    assert(got === Set((1L, "a", 10.0), (2L, "b2", 25.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+    // one replace snapshot per merge on top of the initial CTAS
+    val snaps = cat.snapshots("raw.dim").collect()
+    assert(snaps.length === 2)
+    assert(snaps.forall(_.getAs[String]("operation") == "replace"))
+    assert(snaps.last.getAs[Long]("added_records") === 4L)
+  }
+
   test("pruning rule never fires on user tables with unrelated date columns") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{lit, to_date}

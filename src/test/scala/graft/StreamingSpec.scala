@@ -98,6 +98,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("purchaseViewJoin joins streams within the interval, bounded by watermarks") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val df = mem.toDF()
+    val q = EventStreams.purchaseViewJoin(df)
+      .writeStream.format("memory").queryName("pv_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, 1, "view", 1.0, ts(0)),      // 40 min before purchase → match
+        Event(2, 1, "view", 1.0, ts(30)),     // 10 min before → match
+        Event(3, 2, "view", 1.0, ts(35)),     // other user → no match
+        Event(4, 1, "purchase", 9.0, ts(40)),
+        Event(5, 1, "view", 1.0, ts(45)))     // after purchase → no match
+      q.processAllAvailable()
+      val got = spark.table("pv_join").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))).toSet
+      assert(got === Set((4L, 1L), (4L, 2L)))
+      // batch-mode parity: identical logical plan, identical rows
+      val batch = Seq(
+        Event(1, 1, "view", 1.0, ts(0)), Event(2, 1, "view", 1.0, ts(30)),
+        Event(3, 2, "view", 1.0, ts(35)), Event(4, 1, "purchase", 9.0, ts(40)),
+        Event(5, 1, "view", 1.0, ts(45))).toDF()
+      val batchGot = EventStreams.purchaseViewJoin(batch).collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))).toSet
+      assert(batchGot === got)
+    } finally q.stop()
+  }
+
   test("priceStreamToLake appends micro-batches as snapshots") {
     implicit val sc = spark.sqlContext
     val wh = TestSpark.tempDir("graft-stream-wh")
