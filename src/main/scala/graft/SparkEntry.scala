@@ -90,7 +90,8 @@ object SparkEntry {
     "q_dedup_survivors"  -> (Dedup.exactSurvivors _),
     "q_dedup_minhash"    -> (Dedup.minhashPairs _),
     "q_neardup_survivors"-> (Dedup.nearDupSurvivors _),
-    "q_dedup_simhash"    -> ((s, d) => Dedup.simhashPairs(s, d)),       // rows-only
+    "q_dedup_simhash"    -> ((s, d) => Dedup.simhashPairs(s, d)),       // rows-only (xxhash64)
+    "q_dedup_simhash_md5"-> ((s, d) => Dedup.simhashPortablePairs(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardWithinSource(s, d)),
     "q_dedup_cc"         -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // Similarity search
@@ -443,6 +444,23 @@ object SparkEntry {
         |    / len(list_distinct(a.sh || b.sh)) AS j
         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT source, doc_a, doc_b, ROUND(j, 4) AS jaccard FROM p WHERE j >= 0.8""".stripMargin,
+    // Portable simhash: md5-derived 60-bit token hashes are identical
+    // across engines (verified: conv(substr(md5,1,15),16,10) ==
+    // ('0x'||substr(md5,1,15))::BIGINT), so signature construction and
+    // Hamming verification replay exactly in DuckDB.
+    "q_dedup_simhash_md5" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |             FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+        |b AS (SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS s
+        |      FROM h CROSS JOIN range(60) t(j) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM b GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b2.sig)) AS INTEGER) AS hamming
+        |  FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3""".stripMargin,
     "q_dedup_cc" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id,

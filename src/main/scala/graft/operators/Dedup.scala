@@ -224,12 +224,51 @@ object Dedup {
     * chunks for candidate generation (a pair within Hamming distance 3
     * must agree on at least one 16-bit chunk), verified by exact
     * Hamming distance. Same LSH join shape as minhashPairs. */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), simhash64(col("text")).as("sig"))
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashBandPairs(
+      Tables.documents(s, dir).select(col("doc_id"), simhash64(col("text")).as("sig")),
+      nChunks = 4, chunkBits = 16, maxHamming = maxHamming)
+
+  /** Portable SimHash pairs — same semantics as simhashPairs but the
+    * token hash is the first 15 hex chars of md5 (a 60-bit value any
+    * engine can derive: DuckDB `('0x'||substr(md5(w),1,15))::BIGINT`
+    * equals Spark `conv(substring(md5(w),1,15),16,10)` exactly), so the
+    * WHOLE pipeline — hash, per-bit majority vote, signature assembly,
+    * Hamming verification — is oracle-checkable. The xxhash64 variant
+    * stays the throughput path; this one is the cross-engine anchor
+    * proving the simhash family's semantics.
+    *
+    * Signature: bit j of the 60-bit signature is 1 iff
+    * sum over distinct tokens of (2*((h>>j)&1) - 1) >= 0. The per-bit
+    * vote is an aggregation keyed by (doc, bit) — 60x row expansion of
+    * (id, hash) pairs, partial-aggregated map-side. */
+  def simhashPortablePairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(expr("2 * (shiftright(h, j) & 1) - 1")).as("s"))
+    val sigs = votes.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") >= 0, expr("shiftleft(cast(1 as bigint), j)"))
+        .otherwise(lit(0L))).as("sig"))
+    simhashBandPairs(sigs, nChunks = 4, chunkBits = 15, maxHamming = maxHamming)
+  }
+
+  /** LSH banding for Hamming-space signatures: a pair within
+    * `maxHamming` (< nChunks) must agree on at least one chunk
+    * (pigeonhole), so candidates come from an equality join on
+    * (chunk, chunk-value) — the same single-shuffle bucket gather as
+    * minhashPairs, signatures riding along so verification needs no
+    * re-join. */
+  private def simhashBandPairs(docs: DataFrame, nChunks: Int, chunkBits: Int,
+                               maxHamming: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
     val chunks = docs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map { j =>
-        shiftright(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL))
+      posexplode(array((0 until nChunks).map { j =>
+        shiftright(col("sig"), chunkBits * j).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk", "key")))
     // Same bucket-gather shape as minhashPairs: one shuffle on
     // (chunk, key), pair expansion inside the bucket (signatures ride

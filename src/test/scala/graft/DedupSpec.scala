@@ -88,6 +88,16 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.get.getAs[Long]("hamming") === 0L)
   }
 
+  test("simhashPortablePairs matches the fast variant on identical docs") {
+    val rows = Dedup.simhashPortablePairs(spark, dir).collect()
+    val exact = rows.filter(_.getAs[Int]("hamming") == 0)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.contains((1L, 5L))) // byte-identical pair
+    // signature is 60-bit: any reported hamming is within [0, 60]
+    assert(rows.forall(r => r.getAs[Int]("hamming") >= 0 &&
+      r.getAs[Int]("hamming") <= 3))
+  }
+
   test("minhashPairs finds every pair of a cluster larger than MaxBucket") {
     // 70 byte-identical docs: all land in the same bucket in all 16
     // bands (size > MaxBucket=64); the oversized-bucket path must
