@@ -48,6 +48,7 @@ object SparkEntry {
     "q_approx_distinct"  -> ((s, d) => Relational.approxDistinct(s, d)), // rows-only (sketch)
     "q_salted_totals"    -> (Relational.saltedTypeTotals(_, _)),
     "q_percentiles"      -> (Relational.valuePercentiles _),
+    "q_stats_agg"        -> (Relational.statsAgg _),
     "q_promo_revenue"    -> (Joins.promoRevenue _),
     "q_pivot_daily"      -> (Relational.pivotDailyType _),
     "q_grouping_sets"    -> (Relational.groupingSetsMart _),
@@ -206,6 +207,14 @@ object SparkEntry {
         |ROUND(quantile_cont(value, 0.25), 4) AS p25,
         |ROUND(quantile_cont(value, 0.5), 4) AS p50,
         |ROUND(quantile_cont(value, 0.75), 4) AS p75,
+        |COUNT(value) AS n_valued
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT event_type,
+        |floor(var_samp(value) * 10000 + 0.5 + 0.000001) / 10000 AS var_value,
+        |floor(stddev_samp(value) * 10000 + 0.5 + 0.000001) / 10000 AS std_value,
+        |floor(var_pop(value) * 10000 + 0.5 + 0.000001) / 10000 AS varp_value,
+        |floor(corr(value, epoch(ts)) * 10000 + 0.5 + 0.000001) / 10000 AS corr_ts,
         |COUNT(value) AS n_valued
         |FROM events GROUP BY 1""".stripMargin,
     "q_string_funcs" ->

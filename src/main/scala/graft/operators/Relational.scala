@@ -187,6 +187,23 @@ object Relational {
         round(expr("percentile(value, 0.75)"), 4).as("p75"),
         count(col("value")).as("n_valued"))
 
+  /** Statistical aggregate family: sample/population variance, stddev,
+    * and Pearson correlation against event time. All single-pass
+    * partial-mergeable aggregates (Catalyst computes them with the
+    * same partial+final HashAggregate pair as sum/count — no second
+    * scan); round4eps absorbs the summation-order ulp between Spark's
+    * tree merge and DuckDB's sequential fold. */
+  def statsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round4eps(var_samp(col("value"))).as("var_value"),
+        round4eps(stddev_samp(col("value"))).as("std_value"),
+        round4eps(var_pop(col("value"))).as("varp_value"),
+        round4eps(corr(col("value"),
+          unix_timestamp(col("ts")).cast("double"))).as("corr_ts"),
+        count(col("value")).as("n_valued"))
+
   /** Event types present in the testdata — pinned so the pivot schema
     * is static (a dynamic pivot would need a driver-side distinct scan
     * before planning; at 100 TB the value list is always declared). */
