@@ -102,10 +102,33 @@ object HiddenPartitionPruning extends Rule[LogicalPlan] {
 }
 
 /** Session extension wiring: register with
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * Besides the optimizer rule and the TopKPerGroup strategy, the native
+  * vector/sketch kernels are registered as SQL functions, so the SQL
+  * entry point (SURVEY §3.3) reaches the same codegen expressions the
+  * DataFrame API uses — `SELECT vec_cosine(a.embedding, b.embedding)`
+  * works over Thrift/spark-sql exactly like `VectorFunctions.cosine`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def register(ext: SparkSessionExtensions, name: String, arity: Int,
+                       builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name expects $arity arguments")
+        builder(args)
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HiddenPartitionPruning)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    register(ext, "vec_dot", 2, a => graft.functions.VecDot(a(0), a(1)))
+    register(ext, "vec_cosine", 2, a => graft.functions.VecCosine(a(0), a(1)))
+    register(ext, "vec_l2dist", 2, a => graft.functions.VecL2Dist(a(0), a(1)))
+    register(ext, "sorted_jaccard", 2, a => graft.functions.SortedLongJaccard(a(0), a(1)))
+    // over an array<bigint> of token hashes (e.g. transform(tokens, xxhash64))
+    register(ext, "long_simhash", 1, a => graft.functions.LongSimHash(a(0)))
   }
 }

@@ -76,6 +76,28 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("native kernels are callable from SQL via GraftExtensions") {
+    Tables.registerAll(spark, dir)
+    val r = spark.sql("""
+      SELECT e1.vec_id, vec_cosine(e1.embedding, e2.embedding) AS sim,
+             vec_dot(e1.embedding, e1.embedding) AS self_dot,
+             vec_l2dist(e1.embedding, e1.embedding) AS self_dist
+      FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id = e2.vec_id
+      LIMIT 5""").collect()
+    assert(r.length === 5)
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Double]("sim") - 1.0) < 1e-9)
+      assert(row.getAs[Double]("self_dist") === 0.0)
+      assert(row.getAs[Double]("self_dot") > 0.0)
+    }
+    val sh = spark.sql(
+      """SELECT long_simhash(transform(split('hello world hello', ' '), w -> xxhash64(w))) AS h,
+        |       sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j""".stripMargin)
+      .collect()(0)
+    assert(sh.getAs[Long]("h") !== 0L)   // deterministic 64-bit signature
+    assert(sh.getAs[Double]("j") === 0.5) // |{2,3}| / |{1,2,3,4}|
+  }
+
   test("scalar suites: spot-check semantics against literal expectations") {
     val sf = ScalarSuites.stringFuncs(spark, dir)
       .filter(col("c_custkey") === 1).collect()(0)
