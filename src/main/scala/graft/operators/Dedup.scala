@@ -211,7 +211,9 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (coalesce(col("nbr_label"), col("label")) < col("label"))
             .cast("long").as("chg"))
-        .localCheckpoint()
+        // lazy checkpoint: the convergence-count action right below is
+        // the job that materializes it — one job per round, not two
+        .localCheckpoint(false)
       changed = updated.agg(sum(col("chg"))).collect()(0).getLong(0)
       labels = updated.select(col("doc_id"), col("label"))
       i += 1
