@@ -26,6 +26,12 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Element-wise vector SUM aggregate (TypedImperativeAggregate with
+    * one primitive double[] buffer per group — see VecAggregates).
+    * Mean = transform(vecSum(v), x -> x / count). */
+  def vecSum(v: Column): Column =
+    GraftSql.column(VecSumAgg(GraftSql.expression(v)).toAggregateExpression())
+
   /** Cosine similarity in double — fused one-pass dot + norms. */
   def cosine(a: Column, b: Column): Column =
     GraftSql.column(VecCosine(GraftSql.expression(a), GraftSql.expression(b)))

@@ -243,16 +243,17 @@ object Similarity {
 
   /** Per-label centroid similarity structure: mean pairwise cosine of a
     * label's vectors to its own centroid — a clustering-quality style
-    * aggregate done with array-wise sums (no collect). */
+    * aggregate done with array-wise sums (no collect). The centroid is
+    * ONE vec_sum aggregate (TypedImperativeAggregate, one double[]
+    * buffer per label) divided by the count — dimension-agnostic, and
+    * the shuffle carries one array per (label, partition) instead of
+    * dim separate avg states. */
   def labelCohesion(s: SparkSession, dir: String): DataFrame = {
-    val dim = 64
     val e = corpus(s, dir).withColumn("emb_d",
       transform(col("embedding"), x => x.cast("double")))
-    // centroid per label: element-wise mean via aggregate of arrays
     val centroids = e.groupBy(col("label"))
-      .agg(count(lit(1)).as("n"),
-        array((0 until dim).map(i =>
-          avg(element_at(col("emb_d"), i + 1))): _*).as("centroid"))
+      .agg(count(lit(1)).as("n"), vecSum(col("emb_d")).as("sums"))
+      .withColumn("centroid", transform(col("sums"), x => x / col("n")))
     e.join(broadcast(centroids), "label")
       .withColumn("sim", cosine(col("emb_d"), col("centroid")))
       .groupBy(col("label"))

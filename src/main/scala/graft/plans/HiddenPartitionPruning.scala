@@ -130,5 +130,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "sorted_jaccard", 2, a => graft.functions.SortedLongJaccard(a(0), a(1)))
     // over an array<bigint> of token hashes (e.g. transform(tokens, xxhash64))
     register(ext, "long_simhash", 1, a => graft.functions.LongSimHash(a(0)))
+    // element-wise vector sum aggregate (array<float|double> -> array<double>)
+    register(ext, "vec_sum", 1,
+      a => graft.functions.VecSumAgg(a(0)).toAggregateExpression())
   }
 }

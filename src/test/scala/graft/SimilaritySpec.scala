@@ -105,6 +105,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@5 below random-floor margin: $recall")
   }
 
+  test("vecSum aggregate equals per-element sum() across partitions") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sfDir
+    val e = graft.Tables.embeddings(spark, sf).repartition(4)
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+    val viaAgg = e.groupBy(col("label"))
+      .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("s"))
+      .select(col("label"), explode(col("s")).as("x"))
+      .groupBy(col("label")).agg(sum(col("x")).as("total"))
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Double]("total")).toMap
+    val viaExplode = e.select(col("label"), explode(col("v")).as("x"))
+      .groupBy(col("label")).agg(sum(col("x")).as("total"))
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Double]("total")).toMap
+    viaAgg.foreach { case (l, t) =>
+      assert(math.abs(t - viaExplode(l)) < 1e-6 * math.max(1.0, math.abs(t)))
+    }
+    // SQL surface: registered via GraftExtensions
+    graft.Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT label, vec_sum(embedding) AS s FROM embeddings GROUP BY label")
+    assert(viaSql.count() > 0)
+  }
+
   test("quantizeStats: int8 range respected and reconstruction bounded") {
     val df = Similarity.quantizeStats(spark, TestSpark.sfDir).collect()
     assert(df.nonEmpty)
