@@ -143,6 +143,8 @@ object SparkEntry {
     "q_top_tokens"       -> (TextAnalysis.topTokens _),
     "q_tfidf_top"        -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q_bigram_counts"    -> (TextAnalysis.bigramCounts _),
+    "q_curation_gate"    -> ((s, d) => TextAnalysis.curationGate(s, d)),
+    "q_stratified_cap"   -> ((s, d) => TextAnalysis.stratifiedCap(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -643,6 +645,51 @@ object SparkEntry {
         |(SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
         | FROM (SELECT string_split(text, ' ') AS w FROM documents))
         |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin,
+    // Composite curation gate: exact-dedup survivors ∩ quality floor ∩
+    // lang agreement — each predicate is the already-oracle-validated
+    // expression from q_dedup_survivors / q_quality_scores /
+    // q_lang_predictions, composed.
+    "q_curation_gate" ->
+      """WITH surv AS (SELECT doc_id, lang, text FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY
+        |     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |     ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1),
+        |t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS wl,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS upper_ratio
+        |  FROM surv),
+        |q AS (SELECT doc_id, lang, text,
+        |  floor(greatest(0.0, least(1.0,
+        |    least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+        |    + least(CAST(len(list_filter(wl, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |        / len(wl) * 5.0, 1.0) * 0.5
+        |    - punct_ratio * 2.0 - upper_ratio)) * 10000 + 0.5) / 10000 AS quality
+        |  FROM t),
+        |lw AS (SELECT doc_id, lang, quality,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM q WHERE quality >= 0.5),
+        |sc AS (SELECT doc_id, lang, quality,
+        |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+        |  len(list_filter(w, x -> x IN ('le','la','de','et','est','un','une','que'))) AS s_fr,
+        |  len(list_filter(w, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |  FROM lw)
+        |SELECT doc_id, lang, quality FROM sc
+        |WHERE lang = CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |  WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+        |  WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+        |  WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+        |  WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+        |  ELSE 'zh' END""".stripMargin,
+    "q_stratified_cap" ->
+      """SELECT lang, source, doc_id, rn FROM
+        |(SELECT lang, source, doc_id, CAST(ROW_NUMBER() OVER
+        |  (PARTITION BY lang, source ORDER BY doc_id) AS INTEGER) AS rn
+        | FROM documents)
+        |WHERE rn <= 10""".stripMargin,
     // Pipeline gate oracles: the fixture sources are deterministic
     // (PriceCurve.usd(tick) = 50000 + 250*(tick%17) - 125*(tick%5);
     // coingecko = usd, coincap = usd+12.5, blockchain_info = usd-7.25;

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -75,6 +76,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(20)
+
+  /** The end-to-end training-data curation gate: exact-dedup survivors
+    * that pass the quality floor and whose predicted language agrees
+    * with the label — the composite filter an LLM data pipeline runs
+    * before tokenization. One scan feeds all three predicates (the
+    * dedup survivor check is the only shuffle, keyed by fingerprint);
+    * everything else is map-side scalar work. */
+  def curationGate(s: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("fp", fingerprintMd5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("quality", floor(qualityScore(col("text"), Stopwords) * lit(10000)
+        + lit(0.5)) / lit(10000))
+      .filter(col("quality") >= minQuality)
+      .withColumn("predicted_lang", langId(col("text")))
+      .filter(col("predicted_lang") === col("lang"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
+  /** Stratified per-group cap: at most `perGroup` docs per (lang,
+    * source) stratum, lowest doc_id first — the deterministic
+    * "balance the mixture" sampler (row_number, one shuffle on the
+    * stratum key; at 100 TB the same plan with a hash-ordered
+    * row_number gives a uniform random-but-reproducible draw). */
+  def stratifiedCap(s: SparkSession, dir: String, perGroup: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perGroup)
+      .select(col("lang"), col("source"), col("doc_id"), col("rn"))
+  }
 
   /** TF-IDF: top-k distinguishing tokens per document (restricted to a
     * doc_id slice so the gate output stays bounded; document frequency
