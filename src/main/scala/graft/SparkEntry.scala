@@ -50,6 +50,7 @@ object SparkEntry {
     "q_percentiles"      -> (Relational.valuePercentiles _),
     "q_stats_agg"        -> (Relational.statsAgg _),
     "q_promo_revenue"    -> (Joins.promoRevenue _),
+    "q_salted_join"      -> ((s, d) => Joins.saltedUserTotals(s, d)),
     "q_pivot_daily"      -> (Relational.pivotDailyType _),
     "q_grouping_sets"    -> (Relational.groupingSetsMart _),
     "q_full_outer"       -> (Relational.fullOuterDaily _),
@@ -211,6 +212,12 @@ object SparkEntry {
         |ROUND(quantile_cont(value, 0.75), 4) AS p75,
         |COUNT(value) AS n_valued
         |FROM events GROUP BY 1""".stripMargin,
+    "q_salted_join" ->
+      """SELECT e.event_type, CAST(SUM(u.user_events) AS BIGINT) AS weight,
+        |COUNT(*) AS n
+        |FROM events e JOIN
+        |(SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY 1) u
+        |USING (user_id) GROUP BY 1""".stripMargin,
     "q_stats_agg" ->
       """SELECT event_type,
         |floor(var_samp(value) * 10000 + 0.5 + 0.000001) / 10000 AS var_value,

@@ -95,6 +95,37 @@ object Joins {
            countDistinct(col("o_orderkey")).as("n_orders"))
   }
 
+  /** Salted join — the manual skew-join pattern for when ONE build-side
+    * key holds a pathological share of the probe rows and the build
+    * side is too big to broadcast: the probe side gets a random salt in
+    * [0, salts), the build side is replicated once per salt value, and
+    * the join key becomes (key, salt) — the hot key's probe rows spread
+    * over `salts` reducers instead of one straggler task. Identical
+    * output to the plain join (each probe row matches exactly its
+    * original row in exactly one replica). AQE's skew-join split is the
+    * automatic variant; this is the explicit form for engines/configs
+    * without it, exercised here as events⋈per-user-dimension. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 salts: Int = 8): DataFrame = {
+    val salted = probe.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val replicated = build.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Salted-join demonstration query: per-event user enrichment where
+    * user_id is the (potentially skewed) key. Output equals the plain
+    * broadcast/shuffle join — asserted in the spec. */
+  def saltedUserTotals(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val userDim = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"))
+    saltedJoin(ev, userDim, "user_id", salts)
+      .groupBy(col("event_type"))
+      .agg(sum(col("user_events")).as("weight"), count(lit(1)).as("n"))
+  }
+
   /** Promo revenue share (TPC-H Q14 shape): lineitem⋈part with part
     * broadcast, a month filter pushed to the fact scan, and a
     * conditional aggregate — the classic "percentage of revenue from a

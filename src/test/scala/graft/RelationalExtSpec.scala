@@ -76,6 +76,19 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("saltedJoin output equals the plain join") {
+    val ev = Tables.events(spark, dir)
+    val userDim = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"))
+    val plain = ev.join(userDim, "user_id")
+      .select(col("event_id"), col("user_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = graft.operators.Joins.saltedJoin(ev, userDim, "user_id", salts = 4)
+      .select(col("event_id"), col("user_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === plain)
+  }
+
   test("native kernels are callable from SQL via GraftExtensions") {
     Tables.registerAll(spark, dir)
     val r = spark.sql("""
