@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main (not part of the library surface). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // mimic Bench exactly: alphabetical order, clearCache + warmup +
+    // measured per query
+    def benchLike(name: String): Unit = {
+      spark.catalog.clearCache()
+      noop(SparkEntry.queries(name)(spark, sfDir)) // warmup
+      time(name)(noop(SparkEntry.queries(name)(spark, sfDir)))
+    }
+    benchLike("q_dedup_cc")
+    benchLike("q_dedup_minhash")
+    benchLike("q_dedup_simhash")
+    benchLike("q_neardup_survivors")
+    spark.stop()
+  }
+}

@@ -223,7 +223,7 @@ object SparkEntry {
         |floor(var_samp(value) * 10000 + 0.5 + 0.000001) / 10000 AS var_value,
         |floor(stddev_samp(value) * 10000 + 0.5 + 0.000001) / 10000 AS std_value,
         |floor(var_pop(value) * 10000 + 0.5 + 0.000001) / 10000 AS varp_value,
-        |floor(corr(value, epoch(ts)) * 10000 + 0.5 + 0.000001) / 10000 AS corr_ts,
+        |floor(corr(value, floor(epoch(ts))) * 10000 + 0.5 + 0.000001) / 10000 AS corr_ts,
         |COUNT(value) AS n_valued
         |FROM events GROUP BY 1""".stripMargin,
     "q_string_funcs" ->

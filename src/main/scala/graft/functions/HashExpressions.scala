@@ -125,6 +125,87 @@ case class LongSimHash(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Fused shingle-hash kernel: words -> k-word shingles -> xxhash64 ->
+  * distinct -> sorted, in one pass with one reused byte buffer. The
+  * composed formulation (`sort_array(transform(array_distinct(
+  * transform(sequence(...), concat_ws(slice(...)))), xxhash64))`) runs
+  * interpreted higher-order functions and allocates every shingle
+  * string; this computes the same hashes (byte-identical input to the
+  * same XXH64, seed 42 = builtin xxhash64) without materializing any
+  * shingle string. Distinctness moves from shingle strings to hashes —
+  * identical output modulo 64-bit hash collisions (~1e-11 corpus-wide),
+  * the same equivalence hashShingled already accepts. */
+object ShingleHashKernel {
+  private val buffers = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](256)
+  }
+
+  /** words: array<string>; returns sorted distinct xxhash64 of each
+    * k-word shingle joined by ' ' — [] when fewer than k words. */
+  def compute(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val m = n - k + 1
+    val out = new Array[Long](m)
+    var buf = buffers.get()
+    var i = 0
+    while (i < m) {
+      var len = k - 1 // separator spaces
+      var j = 0
+      while (j < k) { len += words.getUTF8String(i + j).numBytes; j += 1 }
+      if (buf.length < len) {
+        buf = new Array[Byte](java.lang.Integer.highestOneBit(len) * 2)
+        buffers.set(buf)
+      }
+      var off = 0
+      j = 0
+      while (j < k) {
+        val w = words.getUTF8String(i + j)
+        w.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+        off += w.numBytes
+        if (j < k - 1) { buf(off) = ' '; off += 1 }
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, off, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedupe adjacent (sorted)
+    var w = 1; var r = 1
+    while (r < m) {
+      if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
+
+/** Expression wrapper for ShingleHashKernel — codegen emits a single
+  * static call (via the Scala object's static forwarder), so the
+  * kernel runs inside whole-stage codegen without interpreted HOFs. */
+case class WordShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"WordShingleHashes expects array<string>, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashKernel.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ws =>
+      s"${ev.value} = graft.functions.ShingleHashKernel.compute($ws, $k);")
+
+  override protected def withNewChildInternal(c: Expression): WordShingleHashes =
+    copy(child = c)
+}
+
 /** Exact Jaccard of two SORTED long arrays via a linear merge —
   * |A ∩ B| / |A ∪ B| in one O(|A|+|B|) pass, replacing the interpreted
   * array_intersect + array_union pair (each O(n) with hash-set

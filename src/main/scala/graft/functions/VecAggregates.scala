@@ -21,9 +21,10 @@ import org.apache.spark.sql.types._
   * Numerics: per-element double accumulation; partial-merge order
   * matches builtin sum/avg (tree merge), so downstream consumers use
   * the same rounding discipline (round4eps) as any averaged double.
-  * Null array rows are skipped; element counts must agree (dense
-  * embeddings), trailing elements of longer inputs are ignored once
-  * the buffer width is fixed by the first row.
+  * Null array rows are skipped; element counts MUST agree (dense
+  * embeddings) — a length mismatch throws rather than silently
+  * truncating, because truncation would make the sum depend on which
+  * row a partition happened to see first (nondeterministic results).
   */
 case class VecSumAgg(
     child: Expression,
@@ -45,7 +46,11 @@ case class VecSumAgg(
     if (arr == null) return buf
     val a = arr.asInstanceOf[ArrayData]
     val b = if (buf.isEmpty) new Array[Double](a.numElements()) else buf
-    val n = math.min(b.length, a.numElements())
+    if (a.numElements() != b.length)
+      throw new IllegalArgumentException(
+        s"vec_sum: ragged input — row has ${a.numElements()} elements, " +
+        s"group buffer has ${b.length}")
+    val n = b.length
     var i = 0
     elemType match {
       case FloatType => while (i < n) { b(i) += a.getFloat(i); i += 1 }
@@ -57,8 +62,11 @@ case class VecSumAgg(
   override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
     if (b1.isEmpty) return b2
     if (b2.isEmpty) return b1
+    if (b1.length != b2.length)
+      throw new IllegalArgumentException(
+        s"vec_sum: ragged partials — ${b1.length} vs ${b2.length} elements")
     var i = 0
-    val n = math.min(b1.length, b2.length)
+    val n = b1.length
     while (i < n) { b1(i) += b2(i); i += 1 }
     b1
   }

@@ -59,7 +59,8 @@ object Dedup {
     * corpus-level collision probability. */
   private def hashShingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), col("source"),
-      sort_array(transform(wordShingles(col("text"), 3), sh => xxhash64(sh))).as("hs"))
+      org.apache.spark.sql.GraftSql.column(graft.functions.WordShingleHashes(
+        org.apache.spark.sql.GraftSql.expression(words(col("text"))), 3)).as("hs"))
       // The shingle index is consumed 3x per near-dup query (banding +
       // two verification re-attaches) and by both minhashPairs and
       // nearDupSurvivors — cache it instead of re-running the
@@ -174,25 +175,77 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Edge-count bound for the single-task union-find fast path:
+    * 50M edges ≈ 800 MB of (long, long) in one task — comfortably
+    * in-memory. Above it, the distributed label-propagation loop runs. */
+  val SmallGraphEdges = 50_000_000L
+
   /** Connected components over the near-dup pair graph: every document
     * in a cluster labeled with the cluster's minimum doc_id. Single-hop
     * survivor logic (nearDupSurvivors) is exact only for pairwise
     * clusters; chains (a~b, b~c with a!~c) need the transitive closure
     * — this is THE correctness piece of large-scale fuzzy dedup.
     *
-    * Algorithm: iterative min-label propagation — each round, every
-    * node takes the min of its own and its neighbors' labels; converges
-    * in O(cluster diameter) rounds (near-dup clusters are shallow).
-    * Each round is one shuffle join keyed by node id; lineage is cut
-    * per round with localCheckpoint so the plan stays constant-size.
-    * The driver-side loop reads back ONE scalar per round (the change
-    * count) — the same control-plane-only pattern AQE uses, never data.
-    * At 100 TB the edge list is the LSH pair output (true-dup-density
-    * sized, not corpus-sized), so rounds are cheap relative to
-    * candidate generation. */
+    * Size-adaptive execution (the edge list is the LSH pair output —
+    * true-dup-density sized, NOT corpus sized, so even at 100 TB it is
+    * usually orders of magnitude smaller than the corpus):
+    *  - <= SmallGraphEdges: exact union-find with path compression in
+    *    ONE task (`mapPartitions` over the coalesced edge list) — one
+    *    job, no loop. This is the same small-graph shortcut GraphFrames
+    *    takes; the decision needs one driver-side scalar (the count of
+    *    an already-persisted frame), never data.
+    *  - larger: iterative min-label propagation, one shuffle join per
+    *    round, with a pointer-jumping hop (label-of-label) so rounds
+    *    grow with log(diameter) instead of diameter. Lineage is cut per
+    *    round with localCheckpoint so the plan stays constant-size; the
+    *    driver reads back ONE scalar per round (the change count). */
   def nearDupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = pairs.count()
+    val out =
+      if (nEdges <= SmallGraphEdges) unionFindClusters(pairs)
+      else propagateClusters(pairs, maxIters)
+    out
+  }
+
+  /** Exact single-task connected components: union-find with path
+    * compression and union-by-min, so each root is its component's
+    * minimum id. O(E α(E)) in one `mapPartitions` — the whole graph
+    * rides one executor task (bounded by SmallGraphEdges). */
+  private[graft] def unionFindClusters(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent(x) != x) x = parent(x)
+          var y = x0 // second pass: path compression
+          while (parent(y) != y) { val n = parent(y); parent(y) = x; y = n }
+          x
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        parent.keys.toArray.sorted.iterator.map(k => (k, find(k)))
+      }
+      .toDF("doc_id", "cluster")
+  }
+
+  /** Distributed min-label propagation with pointer jumping — the
+    * large-graph CC path. Each round every node takes
+    * min(own, neighbors' labels, label-of-own-label); the third term
+    * (pointer jumping) contracts label chains exponentially, so
+    * convergence is O(log diameter) rounds rather than O(diameter). */
+  private[graft] def propagateClusters(pairs: DataFrame, maxIters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -206,11 +259,20 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")), "doc_b")
         .groupBy(col("doc_a")).agg(min(col("nbr_label")).as("nbr_label"))
         .select(col("doc_a").as("doc_id"), col("nbr_label"))
-      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+      // pointer jumping: my label's CURRENT label (a label is itself a
+      // node id, so this is one more id-keyed join against labels)
+      val grand = labels.select(col("doc_id").as("label"), col("label").as("gp_label"))
+      val updated = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .join(grand, Seq("label"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label"))
+          least(col("label"),
+            coalesce(col("nbr_label"), col("label")),
+            coalesce(col("gp_label"), col("label"))).as("new_label"),
+          (least(coalesce(col("nbr_label"), col("label")),
+                 coalesce(col("gp_label"), col("label"))) < col("label"))
             .cast("long").as("chg"))
+        .withColumnRenamed("new_label", "label")
         // lazy checkpoint: the convergence-count action right below is
         // the job that materializes it — one job per round, not two
         .localCheckpoint(false)
@@ -219,6 +281,14 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // Non-convergence means the labels are NOT the transitive closure —
+    // failing loudly beats returning silently-wrong clusters. Rounds
+    // needed ~ log2(cluster diameter) with the pointer-jumping hop, so
+    // hitting this means a pathologically deep chain: raise maxIters.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge after $maxIters rounds " +
+        s"($changed labels still changing); raise maxIters")
     labels.withColumnRenamed("label", "cluster")
   }
 

@@ -107,11 +107,18 @@ object Joins {
     * without it, exercised here as events⋈per-user-dimension. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salts: Int = 8): DataFrame = {
-    val salted = probe.withColumn("_salt",
+    require(salts > 0, s"saltedJoin needs salts > 0, got $salts")
+    // Internal column: a caller-owned column of the same name would be
+    // silently overwritten (withColumn replaces) and then dropped —
+    // changing the output schema/rows versus the plain join.
+    val saltCol = "__graft_salt"
+    require(!probe.columns.contains(saltCol) && !build.columns.contains(saltCol),
+      s"saltedJoin inputs must not carry a $saltCol column")
+    val salted = probe.withColumn(saltCol,
       pmod(hash(monotonically_increasing_id()), lit(salts)))
-    val replicated = build.withColumn("_salt",
+    val replicated = build.withColumn(saltCol,
       explode(array((0 until salts).map(lit): _*)))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 
   /** Salted-join demonstration query: per-event user enrichment where

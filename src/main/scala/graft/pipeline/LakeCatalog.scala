@@ -163,6 +163,16 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * containing matched keys by real table formats; the observable
     * semantics here are identical. */
   def mergeInto(name: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    // The CTAS rewrite below flattens the physical layout: it drops the
+    // commit=N snapshot partitions and graft_days_* hidden partition
+    // dirs. On a table with append history that would silently destroy
+    // time travel AND leave a mixed root-files/commit=N layout a later
+    // append() would corrupt — so MERGE is restricted to CTAS tables,
+    // mirroring the tableAsOf guard in the opposite direction.
+    val raw = spark.read.parquet(tablePath(name))
+    require(!raw.columns.contains(commitCol),
+      s"mergeInto target $name has append/commit history; MERGE is " +
+      "copy-on-write over CTAS tables only (append history would be lost)")
     val current = table(name)
     val kept = current.join(updates.select(keys.map(col): _*), keys, "left_anti")
     createOrReplace(name, kept.unionByName(updates))

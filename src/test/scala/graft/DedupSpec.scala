@@ -78,6 +78,30 @@ class DedupSpec extends AnyFunSuite {
     val clusters = Dedup.nearDupClusters(spark, chainDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
     assert(clusters === Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // the distributed label-propagation path must agree with the
+    // union-find fast path nearDupClusters chose for this small graph
+    val pairsDf = Dedup.minhashPairs(spark, chainDir)
+      .select(org.apache.spark.sql.functions.col("doc_a"),
+              org.apache.spark.sql.functions.col("doc_b"))
+    val propagated = Dedup.propagateClusters(pairsDf, maxIters = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(propagated === clusters)
+  }
+
+  test("propagateClusters converges on a deep chain via pointer jumping") {
+    // 40-node path graph 0-1-2-...-39: diameter 39. Plain min-label
+    // propagation needs ~39 rounds; with the label-of-label hop the
+    // loop must finish well inside maxIters=12 (log-diameter rounds).
+    import spark.implicits._
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateClusters(chain, maxIters = 12).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(labels.size === 40)
+    assert(labels.values.toSet === Set(0L))
+    // and union-find on the same graph agrees
+    val uf = Dedup.unionFindClusters(chain).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(uf === labels)
   }
 
   test("simhashPairs flags the identical pair at hamming 0") {

@@ -80,4 +80,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(TextFunctions.wordShingles(col("text"), 3).as("sh"))
     assert(df.collect().head.getSeq[String](0) === Seq.empty)
   }
+
+  test("WordShingleHashes kernel equals the composed shingle+xxhash64 chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{sort_array, transform, xxhash64}
+    // covers: repeated shingles (distinct), multi-byte UTF-8, short
+    // text (< k words -> empty), empty-string words from double spaces
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a b a b a b",               // heavy shingle repetition
+      "héllo wörld ünïcode tæxt 中文 分词 测试",
+      "one two",                                // < 3 words
+      "x  y z w")                               // double space -> empty word
+    val df = texts.toDF("text")
+    val composed = df.select(sort_array(transform(
+        TextFunctions.wordShingles(col("text"), 3), sh => xxhash64(sh))).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    val fused = df.select(org.apache.spark.sql.GraftSql.column(
+        graft.functions.WordShingleHashes(org.apache.spark.sql.GraftSql.expression(
+          TextFunctions.words(col("text"))), 3)).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(fused.toSeq === composed.toSeq)
+  }
 }
