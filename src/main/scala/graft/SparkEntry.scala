@@ -50,6 +50,9 @@ object SparkEntry {
     "q_percentiles"      -> (Relational.valuePercentiles _),
     "q_stats_agg"        -> (Relational.statsAgg _),
     "q_promo_revenue"    -> (Joins.promoRevenue _),
+    "q_bloom_semi"       -> ((s, d) => Joins.bloomHighValueLines(s, d)),
+    "q_zscore_outliers"  -> ((s, d) => Relational.zscoreOutliers(s, d)),
+    "q_char_histogram"   -> ((s, d) => Relational.charHistogram(s, d)),
     "q_salted_join"      -> ((s, d) => Joins.saltedUserTotals(s, d)),
     "q_pivot_daily"      -> (Relational.pivotDailyType _),
     "q_grouping_sets"    -> (Relational.groupingSetsMart _),
@@ -146,6 +149,9 @@ object SparkEntry {
     "q_bigram_counts"    -> (TextAnalysis.bigramCounts _),
     "q_curation_gate"    -> ((s, d) => TextAnalysis.curationGate(s, d)),
     "q_stratified_cap"   -> ((s, d) => TextAnalysis.stratifiedCap(s, d)),
+    "q_word_entropy"     -> (TextAnalysis.wordEntropy _),
+    "q_repetition"       -> (TextAnalysis.repetitionStats _),
+    "q_winnow_fp"        -> (TextAnalysis.winnowFingerprints _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -697,6 +703,61 @@ object SparkEntry {
         |  (PARTITION BY lang, source ORDER BY doc_id) AS INTEGER) AS rn
         | FROM documents)
         |WHERE rn <= 10""".stripMargin,
+    "q_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |ROUND(SUM(l_extendedprice), 4) AS sum_price
+        |FROM lineitem WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_totalprice > 300000)
+        |GROUP BY 1""".stripMargin,
+    "q_zscore_outliers" ->
+      """WITH st AS (SELECT event_type, AVG(value) AS mean_v,
+        |  stddev_samp(value) AS std_v FROM events GROUP BY 1),
+        |z AS (SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |  floor((e.value - mean_v) / std_v * 10000 + 0.5 + 0.000001) / 10000 AS z
+        |  FROM events e JOIN st USING (event_type))
+        |SELECT event_id, user_id, event_type, ROUND(value, 4) AS value, z
+        |FROM z WHERE abs(z) > 2.5""".stripMargin,
+    "q_char_histogram" ->
+      """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+        |COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_word_entropy" ->
+      """WITH t AS (SELECT doc_id, w, COUNT(*) AS c FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |floor((ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)) * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS entropy,
+        |CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct
+        |FROM t GROUP BY 1""".stripMargin,
+    "q_repetition" ->
+      """WITH wc AS (SELECT doc_id, w, COUNT(*) AS c FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c,
+        |  COUNT(*) AS n_distinct_words FROM wc GROUP BY 1),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM
+        |  (SELECT doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |  GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, SUM(c) AS n_bigrams,
+        |  COUNT(*) AS n_distinct_bigrams FROM bc GROUP BY 1)
+        |SELECT ws.doc_id,
+        |floor((1.0 - CAST(n_distinct_words AS DOUBLE) / n_words) * 10000 + 0.5)
+        |  / 10000 AS dup_word_frac,
+        |floor((CAST(top_c AS DOUBLE) / n_words) * 10000 + 0.5) / 10000 AS top_word_frac,
+        |floor((1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams) * 10000 + 0.5)
+        |  / 10000 AS dup_bigram_frac
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin,
+    "q_winnow_fp" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |f AS (SELECT doc_id, w FROM w WHERE len(w) >= 6),
+        |sh AS (SELECT doc_id,
+        |  [('0x' || substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]), 1, 15))::BIGINT
+        |   for i in range(1, len(w) - 1)] AS hs FROM f),
+        |m AS (SELECT doc_id, list_distinct(
+        |  [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]) AS fps FROM sh)
+        |SELECT doc_id, unnest(fps) AS fingerprint FROM m""".stripMargin,
     // Pipeline gate oracles: the fixture sources are deterministic
     // (PriceCurve.usd(tick) = 50000 + 250*(tick%17) - 125*(tick%5);
     // coingecko = usd, coincap = usd+12.5, blockchain_info = usd-7.25;

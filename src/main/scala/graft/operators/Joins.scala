@@ -133,6 +133,41 @@ object Joins {
       .agg(sum(col("user_events")).as("weight"), count(lit(1)).as("n"))
   }
 
+  /** Bloom-filtered semi-join — the runtime-filter pattern for a
+    * fact⋈selective-dimension join where the dimension key set is too
+    * big to broadcast as rows but tiny as a sketch: build a Bloom
+    * filter over the build-side keys (one partial-mergeable aggregate,
+    * ~1 MB for 10^6 keys at 1% fpp), probe it in the fact scan (a
+    * codegen'd scalar, false positives only), then run the exact semi
+    * join over the ~99% smaller survivor set. This is what Spark's own
+    * InjectRuntimeFilter does for shuffle joins; the explicit form
+    * works on engines/configs without it and composes with any
+    * downstream operator. Output is EXACTLY the plain semi join (the
+    * bloom only pre-filters; the semi join removes false positives). */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame,
+                    probeKey: String, buildKey: String,
+                    expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val pre = probe.filter(org.apache.spark.sql.GraftSql.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.GraftSql.expression(col(probeKey)), bloom)))
+    pre.join(build.select(col(buildKey)),
+      col(probeKey) === col(buildKey), "left_semi")
+  }
+
+  /** Bloom semi-join demonstration query: lineitem rows belonging to
+    * high-value orders. Equals the plain EXISTS semi join (the oracle). */
+  def bloomHighValueLines(s: SparkSession, dir: String,
+                          minTotal: Double = 300000.0): DataFrame = {
+    val hot = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > minTotal)
+      .select(col("o_orderkey"))
+    bloomSemiJoin(Tables.lineitem(s, dir), hot, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+  }
+
   /** Promo revenue share (TPC-H Q14 shape): lineitem⋈part with part
     * broadcast, a month filter pushed to the fact scan, and a
     * conditional aggregate — the classic "percentage of revenue from a

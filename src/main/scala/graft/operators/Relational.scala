@@ -278,6 +278,34 @@ object Relational {
     """)
   }
 
+  /** Two-pass standardization + outlier gate: per-type mean/stddev
+    * aggregate (tiny — one row per type) broadcast back onto the fact
+    * stream, flag |z| above the threshold. The aggregate side never
+    * shuffles the fact table a second time — the join is a broadcast
+    * of a handful of rows, so at 100 TB this is one fact scan + one
+    * map-side join. z is eps-rounded BEFORE the threshold compare so
+    * the flag is stable across engines' summation order. */
+  def zscoreOutliers(s: SparkSession, dir: String, threshold: Double = 2.5): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mean_v"), stddev_samp(col("value")).as("std_v"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", round4eps((col("value") - col("mean_v")) / col("std_v")))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"), col("z"))
+  }
+
+  /** Fixed-width histogram of document lengths: bucket lower bound,
+    * count, and per-bucket min/max — one partial-aggregated pass
+    * (bucketing is a scalar floor, the groupBy key is dense and tiny). */
+  def charHistogram(s: SparkSession, dir: String, width: Int = 100): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy((floor(col("n_chars") / width) * width).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

@@ -152,4 +152,79 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("bigram"))
       .limit(20)
   }
+
+  /** Per-document Shannon entropy over the word distribution —
+    * H = ln(n) - Σ c·ln(c) / n — the "is this real text or a repeated
+    * template" diversity signal (low entropy = degenerate/repetitive,
+    * a standard pre-training filter). One explode + two aggregations,
+    * both partial-mergeable (map-side combined); entropy derives from
+    * (Σc, Σ c·ln c) so there is no second pass over the data. */
+  def wordEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round4eps(log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c"))).as("entropy"),
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+
+  /** Gopher-style repetition signals per document: duplicate-word
+    * fraction, top-word fraction, and duplicate-bigram fraction —
+    * high values flag boilerplate / keyword-stuffed / looping text.
+    * Word and bigram counts are two explode+aggregate pipelines joined
+    * back on doc_id; docs with no bigrams (single-word) carry NULL
+    * bigram fractions. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wstats = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_c"),
+        count(lit(1)).as("n_distinct_words"))
+    val w = words(col("text"))
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bstats = docs
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct_bigrams"))
+    wstats.join(bstats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round4(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        round4(col("top_c").cast("double") / col("n_words")).as("top_word_frac"),
+        round4(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    * positional 3-word shingles hashed to 60-bit md5-derived values
+    * (portable: DuckDB derives bit-identical hashes), then the minimum
+    * of every 4-hash sliding window, deduplicated — the guarantee is
+    * any shared run of >= 6 shingles between two documents shares a
+    * fingerprint. Output is relational (doc_id, fingerprint) rows, the
+    * shape an inverted fingerprint index ingests; docs shorter than 6
+    * words (< 4 shingles, no full window) are excluded. Map-side only
+    * — no shuffle at all. */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    // positional (NOT distinct) shingle hashes, in document order
+    val hs = transform(
+      sequence(lit(0), size(w) - lit(3)),
+      i => conv(substring(md5(concat_ws(" ", slice(w, i + lit(1), lit(3)))), 1, 15), 16, 10)
+        .cast("long"))
+    Tables.documents(s, dir)
+      .filter(size(w) >= 6)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("hs")) - lit(4)),
+          i => array_min(slice(col("hs"), i + lit(1), lit(4)))))).as("fingerprint"))
+  }
 }

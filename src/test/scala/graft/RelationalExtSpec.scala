@@ -111,6 +111,48 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(sh.getAs[Double]("j") === 0.5) // |{2,3}| / |{1,2,3,4}|
   }
 
+  test("bloomSemiJoin output equals the plain left-semi join") {
+    import graft.operators.Joins
+    val hot = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000.0).select(col("o_orderkey"))
+    val viaBloom = Joins.bloomSemiJoin(
+        Tables.lineitem(spark, dir), hot, "l_orderkey", "o_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val plain = Tables.lineitem(spark, dir)
+      .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    assert(viaBloom.collect().toSet === plain.collect().toSet)
+  }
+
+  test("zscoreOutliers flags exactly the rows beyond the rounded threshold") {
+    val out = Relational.zscoreOutliers(spark, dir).collect()
+    assert(out.nonEmpty) // heavy-tailed fixture has |z| > 2.5 rows
+    assert(out.forall(r => math.abs(r.getAs[Double]("z")) > 2.5))
+    // spot-check one z against a direct computation
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val one = out.head
+    val (m, s) = stats(one.getAs[String]("event_type"))
+    val raw = Tables.events(spark, dir)
+      .filter(col("event_id") === one.getAs[Long]("event_id"))
+      .collect()(0).getAs[Double]("value")
+    val expected = math.floor((raw - m) / s * 10000 + 0.5 + 0.000001) / 10000
+    assert(one.getAs[Double]("z") === expected)
+  }
+
+  test("charHistogram buckets cover every doc and bounds sit inside buckets") {
+    val docs = Tables.documents(spark, dir)
+    val hist = Relational.charHistogram(spark, dir).collect()
+    assert(hist.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    hist.foreach { r =>
+      val lo = r.getAs[Long]("bucket_lo")
+      assert(r.getAs[Long]("min_chars") >= lo)
+      assert(r.getAs[Long]("max_chars") < lo + 100)
+    }
+  }
+
   test("scalar suites: spot-check semantics against literal expectations") {
     val sf = ScalarSuites.stringFuncs(spark, dir)
       .filter(col("c_custkey") === 1).collect()(0)

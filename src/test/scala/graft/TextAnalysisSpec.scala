@@ -81,6 +81,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.collect().head.getSeq[String](0) === Seq.empty)
   }
 
+  test("wordEntropy: uniform text hits ln(n_distinct), constant text hits 0") {
+    val edir = TestSpark.documentsFixture(Seq(
+      (1L, "a b c d", "en", "web"),       // 4 distinct words -> H = ln 4
+      (2L, "a a a a", "en", "web"),       // constant -> H = 0
+      (3L, "a a b b", "en", "web")))      // H = ln 2
+    val rows = TextAnalysis.wordEntropy(spark, edir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5 + 0.000001) / 10000
+    assert(rows(1L) === r4(math.log(4)))
+    assert(rows(2L) === r4(0.0))
+    assert(rows(3L) === r4(math.log(2)))
+  }
+
+  test("repetitionStats: fractions match hand-computed values") {
+    val rdir = TestSpark.documentsFixture(Seq(
+      (1L, "x y x y x y", "en", "web"),   // 6 words {x:3,y:3}; 5 bigrams {xy:3, yx:2}
+      (2L, "a b c", "en", "web")))        // all distinct
+    val rows = TextAnalysis.repetitionStats(spark, rdir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val d1 = rows(1L)
+    assert(d1.getAs[Double]("dup_word_frac") === r4(1.0 - 2.0 / 6.0))
+    assert(d1.getAs[Double]("top_word_frac") === r4(3.0 / 6.0))
+    assert(d1.getAs[Double]("dup_bigram_frac") === r4(1.0 - 2.0 / 5.0))
+    val d2 = rows(2L)
+    assert(d2.getAs[Double]("dup_word_frac") === 0.0)
+    assert(d2.getAs[Double]("dup_bigram_frac") === 0.0)
+  }
+
+  test("winnowFingerprints: identical docs share all fingerprints; " +
+       "a shared run of >= 6 words shares at least one") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val overlap = ((1 to 8).map(i => s"w$i") ++ (1 to 12).map(i => s"v$i")).mkString(" ")
+    val wdir = TestSpark.documentsFixture(Seq(
+      (1L, base, "en", "web"),
+      (2L, base, "en", "web"),            // identical
+      (3L, overlap, "en", "web"),         // shares w1..w8 (6 shingles) with 1
+      (4L, "one two three", "en", "web"))) // < 6 words -> excluded
+    val fp = TextAnalysis.winnowFingerprints(spark, wdir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("fingerprint")).toSet).toMap
+    assert(fp(1L) === fp(2L))
+    assert((fp(1L) intersect fp(3L)).nonEmpty)
+    assert(!fp.contains(4L))
+  }
+
   test("WordShingleHashes kernel equals the composed shingle+xxhash64 chain") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{sort_array, transform, xxhash64}
