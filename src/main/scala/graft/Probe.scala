@@ -35,10 +35,9 @@ object Probe {
       noop(SparkEntry.queries(name)(spark, sfDir)) // warmup
       time(name)(noop(SparkEntry.queries(name)(spark, sfDir)))
     }
-    benchLike("q_dedup_cc")
-    benchLike("q_dedup_minhash")
-    benchLike("q_dedup_simhash")
-    benchLike("q_neardup_survivors")
+    benchLike("q_ngram_jaccard")
+    benchLike("q_winnow_fp")
+    benchLike("q_repetition")
     spark.stop()
   }
 }

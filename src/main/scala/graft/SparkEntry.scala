@@ -60,10 +60,12 @@ object SparkEntry {
     "q_intersect_users"  -> (Relational.intersectUsers _),
     "q_except_users"     -> (Relational.exceptUsers _),
     "q_subquery_cust"    -> (Relational.subqueryCustomers _),
-    // Scalar-function suites (string / date / math)
+    // Scalar-function suites (string / date / math / json / array)
     "q_string_funcs"     -> (graft.functions.ScalarSuites.stringFuncs _),
     "q_date_funcs"       -> (graft.functions.ScalarSuites.dateFuncs _),
     "q_math_funcs"       -> (graft.functions.ScalarSuites.mathFuncs _),
+    "q_json_funcs"       -> (graft.functions.ScalarSuites.jsonFuncs _),
+    "q_array_funcs"      -> (graft.functions.ScalarSuites.arrayFuncs _),
     // Joins
     "q_star_revenue"     -> (Joins.starRevenue _),
     "q_segment_revenue"  -> (Joins.segmentRevenue _),
@@ -126,6 +128,13 @@ object SparkEntry {
                                .withColumn("total_value",
                                  org.apache.spark.sql.functions.round(
                                    org.apache.spark.sql.functions.col("total_value"), 4))),
+    "q_session_window"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.streaming.EventStreams.sessionWindowValues(Tables.events(s, d))
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("session_start_s"),
+          col("n_events"), round(col("session_value"), 4).as("session_value"))
+    }),
     // Reference pipeline surface (own fixture warehouse). The fixture
     // sources and tick timestamps are fully deterministic, so the
     // oracle reconstructs the raw batches as VALUES and re-runs the
@@ -136,6 +145,17 @@ object SparkEntry {
                                .select(org.apache.spark.sql.functions.col("snapshot_id"),
                                        org.apache.spark.sql.functions.col("operation"),
                                        org.apache.spark.sql.functions.col("added_records"))),
+    // Time travel (Iceberg VERSION AS OF emulation): the raw table as of
+    // snapshot 2 — commits 3+ pruned at the scan by the commit=N
+    // partition filter. Deterministic fixture prices make it oracle-able.
+    "q_pipeline_asof"    -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      gatePipeline(s).catalog.tableAsOf("raw.bitcoin_prices", 2L)
+        .groupBy(col("source").as("data_source"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("price_usd")).as("min_usd"),
+          max(col("price_usd")).as("max_usd"))
+    }),
     // Text analysis
     "q_token_stats"      -> (TextAnalysis.tokenStats _),
     "q_quality_scores"   -> (TextAnalysis.qualityScores _),
@@ -749,6 +769,49 @@ object SparkEntry {
         |floor((1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams) * 10000 + 0.5)
         |  / 10000 AS dup_bigram_frac
         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(js, '$.user') AS BIGINT) AS j_user,
+        |json_extract_string(js, '$.type') AS j_type,
+        |CAST(json_extract_string(js, '$.cents') AS BIGINT) AS j_cents,
+        |json_extract_string(js, '$.missing') AS j_missing,
+        |CAST(length(js) AS INTEGER) AS js_len
+        |FROM (SELECT event_id,
+        |  '{"user": ' || user_id || ', "type": "' || event_type ||
+        |  '", "cents": ' || CAST(floor(COALESCE(value, -1.0) * 100) AS BIGINT) ||
+        |  '}' AS js FROM events)""".stripMargin,
+    "q_array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |CAST(len(w) AS INTEGER) AS n_words,
+        |CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+        |array_to_string(w[1:3], '-') AS first3,
+        |list_contains(w, 'the') AS has_the,
+        |list_min(w) AS min_word,
+        |list_max(w) AS max_word,
+        |list_sort(w)[1] AS sorted_first,
+        |list_reverse_sort(w)[1] AS sorted_last,
+        |array_to_string(list_sort(list_distinct(w[1:5])), ' ') AS norm5
+        |FROM t""".stripMargin,
+    "q_session_window" ->
+      """WITH o AS (SELECT user_id, value, ts, event_id,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |n AS (SELECT user_id, value, ts,
+        |  CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |       THEN 1 ELSE 0 END AS is_new, event_id FROM o),
+        |s AS (SELECT user_id, value, ts,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM n)
+        |SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+        |COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+    "q_pipeline_asof" ->
+      """SELECT data_source, n_rows, min_usd, max_usd FROM (VALUES
+        |  ('coingecko', CAST(2 AS BIGINT), CAST(50000.0 AS DOUBLE), CAST(50125.0 AS DOUBLE)),
+        |  ('coincap', CAST(2 AS BIGINT), CAST(50012.5 AS DOUBLE), CAST(50137.5 AS DOUBLE)),
+        |  ('blockchain_info', CAST(2 AS BIGINT), CAST(49992.75 AS DOUBLE), CAST(50117.75 AS DOUBLE)))
+        |  AS t(data_source, n_rows, min_usd, max_usd)""".stripMargin,
     "q_winnow_fp" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |f AS (SELECT doc_id, w FROM w WHERE len(w) >= 6),

@@ -56,6 +56,48 @@ object ScalarSuites {
         .as("days_since_95"),
       unix_timestamp(col("o_orderdate")).as("epoch_s"))
 
+  /** JSON-function suite: build a JSON document per event with plain
+    * string concat (byte-identical in any engine — to_json key order /
+    * whitespace is NOT portable, and neither is double→string
+    * formatting, so the numeric payload is an integer cent value),
+    * then extract typed fields back out with JSONPath. Exercises
+    * get_json_object string/number extraction and null-for-missing-path
+    * semantics. */
+  def jsonFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        concat(lit("{\"user\": "), col("user_id"),
+          lit(", \"type\": \""), col("event_type"),
+          lit("\", \"cents\": "),
+          floor(coalesce(col("value"), lit(-1.0)) * 100).cast("long"),
+          lit("}")).as("js"))
+      .select(
+        col("event_id"),
+        get_json_object(col("js"), "$.user").cast("long").as("j_user"),
+        get_json_object(col("js"), "$.type").as("j_type"),
+        get_json_object(col("js"), "$.cents").cast("long").as("j_cents"),
+        get_json_object(col("js"), "$.missing").as("j_missing"),
+        length(col("js")).as("js_len"))
+
+  /** Array-function suite over the documents word lists: slicing,
+    * sorting, distinct, membership, min/max, joining back to a string —
+    * the array algebra a list-typed column needs (DuckDB list_* mirror
+    * on the oracle side; string comparisons are binary in both). */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      size(array_distinct(w)).as("n_distinct"),
+      concat_ws("-", slice(w, 1, 3)).as("first3"),
+      array_contains(w, "the").as("has_the"),
+      array_min(w).as("min_word"),
+      array_max(w).as("max_word"),
+      element_at(sort_array(w), 1).as("sorted_first"),
+      element_at(reverse(sort_array(w)), 1).as("sorted_last"),
+      concat_ws(" ", array_sort(array_distinct(slice(w, 1, 5)))).as("norm5"))
+  }
+
   /** Math-function suite over lineitem measures. sqrt/power/abs/sign
     * are IEEE-exact; ln/exp go through round4eps for libm parity. */
   def mathFuncs(s: SparkSession, dir: String): DataFrame =

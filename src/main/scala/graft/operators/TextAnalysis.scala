@@ -215,16 +215,30 @@ object TextAnalysis {
     * — no shuffle at all. */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
     val w = words(col("text"))
-    // positional (NOT distinct) shingle hashes, in document order
-    val hs = transform(
-      sequence(lit(0), size(w) - lit(3)),
-      i => conv(substring(md5(concat_ws(" ", slice(w, i + lit(1), lit(3)))), 1, 15), 16, 10)
-        .cast("long"))
+    // Row-wise formulation: one posexplode, then shingle assembly (lead)
+    // and the 4-window sliding min as window functions over the same
+    // (doc_id, pos) sort — everything stays codegen'd, versus building
+    // per-document hash arrays with interpreted array lambdas (the
+    // md5+conv chain inside a `transform` runs interpreted per element;
+    // as plain per-row projections it compiles). One shuffle keyed by
+    // doc_id serves both window passes (partitioning and order survive
+    // the intermediate filter), plus the output distinct.
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val next4 = byDoc.rowsBetween(Window.currentRow, 3)
     Tables.documents(s, dir)
       .filter(size(w) >= 6)
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("hs")) - lit(4)),
-          i => array_min(slice(col("hs"), i + lit(1), lit(4)))))).as("fingerprint"))
+      .select(col("doc_id"), posexplode(w).as(Seq("pos", "w")))
+      // concat (not concat_ws) so trailing positions without 2
+      // successors yield NULL, not a truncated shingle
+      .withColumn("shingle", concat(col("w"), lit(" "),
+        lead(col("w"), 1).over(byDoc), lit(" "),
+        lead(col("w"), 2).over(byDoc)))
+      .filter(col("shingle").isNotNull)
+      .withColumn("h", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
+      .withColumn("fingerprint", min(col("h")).over(next4))
+      .withColumn("win_n", count(col("h")).over(next4))
+      .filter(col("win_n") === 4) // complete windows only
+      .select(col("doc_id"), col("fingerprint"))
+      .distinct()
   }
 }

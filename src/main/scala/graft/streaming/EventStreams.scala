@@ -67,6 +67,22 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Native session windows: Spark's `session_window` merges a user's
+    * events whose 30-minute windows overlap — the declarative sibling
+    * of sessionizeStream (which carries explicit state for custom
+    * close/flush logic). Runs identically in batch and streaming (with
+    * a watermark the state store expires closed sessions). Boundary
+    * semantics (verified in StreamingSpec): an exact-gap successor
+    * MERGES — a new session opens only when delta > gap, matching the
+    * batch Windows.sessionize cutover. One shuffle on (user_id, merged
+    * window) via the dedicated SessionWindow operator. */
+  def sessionWindowValues(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState): a session closes when >gap passes
     * between a user's consecutive events, or on EVENT-TIME timeout —

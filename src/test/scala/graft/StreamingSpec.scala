@@ -147,4 +147,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(catalog.snapshots(graft.pipeline.Ingest.RawTable).count() === 2L)
     } finally q.stop()
   }
+
+  test("sessionWindowValues merges by gap; an exact-gap successor still merges") {
+    val base = 1700000000L // epoch seconds; fixture ts column is nanos
+    def ns(offsetS: Long) = (base + offsetS) * 1000000000L
+    val dir = TestSpark.eventsFixture(Seq(
+      (1L, 7L, "click", java.lang.Double.valueOf(1.0), ns(0)),
+      (2L, 7L, "click", java.lang.Double.valueOf(2.0), ns(600)),   // +10 min: same
+      (3L, 7L, "click", java.lang.Double.valueOf(4.0), ns(2400)),  // exactly +30 min: merges
+      (4L, 7L, "click", java.lang.Double.valueOf(8.0), ns(4201)))) // +30:01: NEW session
+    val out = EventStreams.sessionWindowValues(Tables.events(spark, dir)).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").getTime / 1000L - base,
+                 r.getAs[Long]("n_events"), r.getAs[Double]("session_value")))
+      .toSet
+    assert(out === Set((0L, 3L, 7.0), (4201L, 1L, 8.0)))
+  }
 }
