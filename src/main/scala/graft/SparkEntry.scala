@@ -156,6 +156,8 @@ object SparkEntry {
           min(col("price_usd")).as("min_usd"),
           max(col("price_usd")).as("max_usd"))
     }),
+    // Data-quality report (the reference's dbt-test stage, queryable)
+    "q_dq_checks"        -> (graft.pipeline.Checks.eventsReport _),
     // Text analysis
     "q_token_stats"      -> (TextAnalysis.tokenStats _),
     "q_quality_scores"   -> (TextAnalysis.qualityScores _),
@@ -769,6 +771,19 @@ object SparkEntry {
         |floor((1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams) * 10000 + 0.5)
         |  / 10000 AS dup_bigram_frac
         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin,
+    "q_dq_checks" ->
+      """SELECT check_name, n_violations, n_violations = 0 AS passed FROM (
+        |  SELECT 'not_null_event_id' AS check_name,
+        |    COUNT(*) FILTER (event_id IS NULL) AS n_violations FROM events
+        |  UNION ALL SELECT 'not_null_user_id',
+        |    COUNT(*) FILTER (user_id IS NULL) FROM events
+        |  UNION ALL SELECT 'accepted_values_event_type',
+        |    COUNT(*) FILTER (event_type IS NOT NULL AND event_type NOT IN
+        |      ('click', 'error', 'purchase', 'signup', 'view')) FROM events
+        |  UNION ALL SELECT 'non_negative_value',
+        |    COUNT(*) FILTER (value IS NOT NULL AND value < 0) FROM events
+        |  UNION ALL SELECT 'unique_event_id',
+        |    COUNT(*) - COUNT(DISTINCT event_id) FROM events)""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id,
         |CAST(json_extract_string(js, '$.user') AS BIGINT) AS j_user,

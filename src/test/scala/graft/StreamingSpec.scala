@@ -148,6 +148,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionWindowValues runs as a streaming aggregation (MemoryStream)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionWindowValues(mem.toDF())
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(
+        Event(1, 1, "view", 1.0, ts(0)),
+        Event(2, 1, "view", 2.0, ts(10)),  // +10 min: merges
+        Event(3, 1, "view", 4.0, ts(50)))  // +40 min gap: new session
+      q.processAllAvailable()
+      val rows = spark.table("sess_win").collect()
+        .map(r => (r.getAs[Timestamp]("session_start"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("session_value"))).toSet
+      assert(rows === Set((ts(0), 2L, 3.0), (ts(50), 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("sessionWindowValues merges by gap; an exact-gap successor still merges") {
     val base = 1700000000L // epoch seconds; fixture ts column is nanos
     def ns(offsetS: Long) = (base + offsetS) * 1000000000L
