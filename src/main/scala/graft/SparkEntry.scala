@@ -49,6 +49,9 @@ object SparkEntry {
     "q_salted_totals"    -> (Relational.saltedTypeTotals(_, _)),
     "q_percentiles"      -> (Relational.valuePercentiles _),
     "q_stats_agg"        -> (Relational.statsAgg _),
+    "q_covar_agg"        -> (Relational.covarAgg _),
+    "q_user_types"       -> (Relational.userTypeProfile _),
+    "q_cross_small"      -> (Relational.regionNationCross _),
     "q_promo_revenue"    -> (Joins.promoRevenue _),
     "q_bloom_semi"       -> ((s, d) => Joins.bloomHighValueLines(s, d)),
     "q_zscore_outliers"  -> ((s, d) => Relational.zscoreOutliers(s, d)),
@@ -254,6 +257,23 @@ object SparkEntry {
         |floor(corr(value, floor(epoch(ts))) * 10000 + 0.5 + 0.000001) / 10000 AS corr_ts,
         |COUNT(value) AS n_valued
         |FROM events GROUP BY 1""".stripMargin,
+    "q_covar_agg" ->
+      """SELECT event_type,
+        |floor(covar_samp(value, floor(epoch(ts))) * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS covs_ts,
+        |floor(covar_pop(value, floor(epoch(ts))) * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS covp_ts,
+        |COUNT(value) AS n_valued
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_user_types" ->
+      """SELECT user_id,
+        |array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+        |CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types,
+        |min_by(event_type, event_id) AS first_type,
+        |COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_cross_small" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_custkey, upper(c_name) AS u_name, lower(c_mktsegment) AS l_segment,
         |CAST(length(c_name) AS INTEGER) AS name_len,

@@ -278,6 +278,41 @@ object Relational {
     """)
   }
 
+  /** Collecting aggregates: per-user distinct event types as a SORTED
+    * csv (collect_set is unordered — sort before joining so output is
+    * deterministic and portable), plus min_by (the value at the minimal
+    * unique ordering key — argmin, deterministic because event_id is
+    * unique). collect_set state is bounded by the value domain, not the
+    * group size — safe at 100 TB for low-cardinality columns only. */
+  def userTypeProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("types_csv"),
+        size(collect_set(col("event_type"))).as("n_types"),
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        count(lit(1)).as("n_events"))
+
+  /** Covariance family against event time — completes the two-variable
+    * statistical aggregates next to corr in statsAgg. Same single-pass
+    * partial-merge shape. */
+  def covarAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = unix_timestamp(col("ts")).cast("double")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round4eps(covar_samp(col("value"), t)).as("covs_ts"),
+        round4eps(covar_pop(col("value"), t)).as("covp_ts"),
+        count(col("value")).as("n_valued"))
+  }
+
+  /** CROSS JOIN (cartesian product) of the two smallest dimensions —
+    * the one join type the matrix was missing; only ever sane when one
+    * side is tiny, so the plan must be a broadcast nested loop. */
+  def regionNationCross(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select(col("r_name"))
+      .crossJoin(Tables.nation(s, dir).select(col("n_name")))
+
   /** Two-pass standardization + outlier gate: per-type mean/stddev
     * aggregate (tiny — one row per type) broadcast back onto the fact
     * stream, flag |z| above the threshold. The aggregate side never
