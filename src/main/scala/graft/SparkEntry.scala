@@ -50,6 +50,7 @@ object SparkEntry {
     "q_percentiles"      -> (Relational.valuePercentiles _),
     "q_stats_agg"        -> (Relational.statsAgg _),
     "q_covar_agg"        -> (Relational.covarAgg _),
+    "q_approx_quantiles" -> (Relational.approxQuantiles _),     // rows-only (sketch)
     "q_user_types"       -> (Relational.userTypeProfile _),
     "q_cross_small"      -> (Relational.regionNationCross _),
     "q_promo_revenue"    -> (Joins.promoRevenue _),
@@ -284,6 +285,7 @@ object SparkEntry {
         |reverse(c_name) AS rev_name,
         |CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
         |string_split(c_name, '#')[1] AS name_stem,
+        |COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
         |trim(c_name) AS trimmed
         |FROM customer""".stripMargin,
     "q_date_funcs" ->

@@ -38,6 +38,7 @@ object ScalarSuites {
       reverse(col("c_name")).as("rev_name"),
       instr(col("c_name"), "#").as("hash_pos"),
       element_at(split(col("c_name"), "#"), 1).as("name_stem"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
       trim(col("c_name")).as("trimmed"))
 
   /** Date/time-function suite over order dates. */
@@ -71,11 +72,19 @@ object ScalarSuites {
           lit("\", \"cents\": "),
           floor(coalesce(col("value"), lit(-1.0)) * 100).cast("long"),
           lit("}")).as("js"))
+      // ONE parse per row: from_json with an explicit schema feeds all
+      // typed fields (N get_json_object calls would re-parse the
+      // document N times — Catalyst only fuses from_json, not JSONPath
+      // extraction). get_json_object kept for the path-miss semantics
+      // it is the API for.
+      .withColumn("j", from_json(col("js"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user BIGINT, type STRING, cents BIGINT")))
       .select(
         col("event_id"),
-        get_json_object(col("js"), "$.user").cast("long").as("j_user"),
-        get_json_object(col("js"), "$.type").as("j_type"),
-        get_json_object(col("js"), "$.cents").cast("long").as("j_cents"),
+        col("j.user").as("j_user"),
+        col("j.type").as("j_type"),
+        col("j.cents").as("j_cents"),
         get_json_object(col("js"), "$.missing").as("j_missing"),
         length(col("js")).as("js_len"))
 

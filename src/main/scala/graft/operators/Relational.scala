@@ -278,6 +278,21 @@ object Relational {
     """)
   }
 
+  /** Approximate quantiles (KLL-style sketch): the 100 TB companion to
+    * the exact percentile query — mergeable fixed-size sketch per
+    * partition instead of a full sort/collect of the group. No oracle
+    * (DuckDB's approx_quantile is a different sketch); the exact
+    * valuePercentiles query anchors correctness, this anchors the
+    * sketch API. */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("ap50"),
+        round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("ap90"),
+        round(expr("approx_percentile(value, 0.99, 10000)"), 4).as("ap99"),
+        count(col("value")).as("n_valued"))
+
   /** Collecting aggregates: per-user distinct event types as a SORTED
     * csv (collect_set is unordered — sort before joining so output is
     * deterministic and portable), plus min_by (the value at the minimal
