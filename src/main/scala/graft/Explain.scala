@@ -26,7 +26,8 @@ object Explain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_star_revenue", "q_pricing_summary", "q_filtered_agg",
-        "q_semi_join", "q_top_customers")
+        "q_semi_join", "q_top_customers", "q_dedup_minhash", "q_knn_brute",
+        "q_bloom_semi", "q_zscore_outliers", "q_topk_custom")
     for (n <- names) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
