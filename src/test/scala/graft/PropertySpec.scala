@@ -83,6 +83,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: union-find and label propagation agree on random graphs") {
+    val genEdge = Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L))
+      .suchThat { case (a, b) => a != b }
+    (0 until 5).foreach { round =>
+      val edges = sample(genEdge, 60, seed = 100L + round)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val df = edges.toDF("doc_a", "doc_b")
+      val uf = graft.operators.Dedup.unionFindClusters(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lp = graft.operators.Dedup.propagateClusters(df, maxIters = 15).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(uf === lp, s"round $round, edges $edges")
+      // labels are component minima: every node's label <= itself and
+      // label nodes are their own label (roots are canonical)
+      uf.foreach { case (n, l) => assert(l <= n && uf(l) == l) }
+    }
+  }
+
   test("simhash: identical texts collide; hamming is symmetric and <= 64") {
     val genText = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
       .map(_.mkString(" "))
