@@ -66,6 +66,7 @@ object SparkEntry {
     "q_subquery_cust"    -> (Relational.subqueryCustomers _),
     // Scalar-function suites (string / date / math / json / array)
     "q_string_funcs"     -> (graft.functions.ScalarSuites.stringFuncs _),
+    "q_string_funcs2"    -> (graft.functions.ScalarSuites.stringFuncs2 _),
     "q_date_funcs"       -> (graft.functions.ScalarSuites.dateFuncs _),
     "q_math_funcs"       -> (graft.functions.ScalarSuites.mathFuncs _),
     "q_json_funcs"       -> (graft.functions.ScalarSuites.jsonFuncs _),
@@ -287,6 +288,21 @@ object SparkEntry {
         |string_split(c_name, '#')[1] AS name_stem,
         |COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
         |trim(c_name) AS trimmed
+        |FROM customer""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT c_custkey,
+        |left(c_name, 8) AS name_left8,
+        |right(c_name, 3) AS name_right3,
+        |repeat(substring(c_mktsegment, 1, 2), 2) AS seg_rep,
+        |replace(c_name, 'Customer', 'Cust') AS name_replaced,
+        |starts_with(c_name, 'Customer') AS is_customer,
+        |ends_with(c_name, '0') AS ends_zero,
+        |contains(c_name, '#') AS has_hash,
+        |CAST(ascii(c_mktsegment) AS INTEGER) AS seg_ascii,
+        |chr(CAST(65 + c_custkey % 26 AS INTEGER)) AS key_chr,
+        |split_part(c_name, '#', 2) AS name_num,
+        |nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+        |ifnull(nullif(c_mktsegment, 'BUILDING'), 'n/a') AS seg_or_na
         |FROM customer""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,

@@ -41,6 +41,26 @@ object ScalarSuites {
       regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
       trim(col("c_name")).as("trimmed"))
 
+  /** Second string/null-function suite: slicing (left/right/split_part),
+    * predicates (starts_with/ends_with/contains), char codes, repeat/
+    * replace, and the NULL algebra (nullif/ifnull) — the remainder of
+    * the portable string surface after stringFuncs. */
+  def stringFuncs2(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      expr("left(c_name, 8)").as("name_left8"),
+      expr("right(c_name, 3)").as("name_right3"),
+      expr("repeat(substring(c_mktsegment, 1, 2), 2)").as("seg_rep"),
+      expr("replace(c_name, 'Customer', 'Cust')").as("name_replaced"),
+      expr("startswith(c_name, 'Customer')").as("is_customer"),
+      expr("endswith(c_name, '0')").as("ends_zero"),
+      expr("contains(c_name, '#')").as("has_hash"),
+      ascii(col("c_mktsegment")).as("seg_ascii"),
+      expr("char(65 + c_custkey % 26)").as("key_chr"),
+      expr("split_part(c_name, '#', 2)").as("name_num"),
+      expr("nullif(c_mktsegment, 'BUILDING')").as("seg_nb"),
+      expr("ifnull(nullif(c_mktsegment, 'BUILDING'), 'n/a')").as("seg_or_na"))
+
   /** Date/time-function suite over order dates. */
   def dateFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).select(
