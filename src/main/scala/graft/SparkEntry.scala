@@ -89,6 +89,7 @@ object SparkEntry {
     "q_daily_type_rank"  -> (Windows.dailyTypeRank _),
     "q_window_suite"     -> (Windows.windowSuite _),
     "q_trailing_hour"    -> (Windows.trailingHour _),
+    "q_forward_fill"     -> (Windows.forwardFill _),
     // Custom physical operator (plans.TopKPerGroup): top-3 per user
     // without sort/window — partial+final bounded heaps
     "q_topk_custom"      -> ((s, d) => {
@@ -482,6 +483,12 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_forward_fill" ->
+      """SELECT event_id, user_id, ROUND(value, 4) AS value,
+        |ROUND(LAST_VALUE(value IGNORE NULLS) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_filled
+        |FROM events""".stripMargin,
     "q_topk_custom" ->
       """SELECT user_id, event_id, event_type, value FROM
         |(SELECT *, ROW_NUMBER() OVER

@@ -106,6 +106,21 @@ object Windows {
         count(lit(1)).over(w).as("hour_events"))
   }
 
+  /** Forward fill (LOCF — last observation carried forward): each null
+    * value takes the most recent non-null value in its user's event
+    * order; leading nulls stay null. `last(ignoreNulls)` over a
+    * running frame — the canonical gap-filling operator for sparse
+    * sensor/metric streams, one shuffle on the partition key. */
+  def forwardFill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 4).as("value"),
+        round(last(col("value"), ignoreNulls = true).over(w), 4).as("value_filled"))
+  }
+
   /** Daily ranking: rank event types by volume within each day —
     * dense_rank over an aggregated (already small) input. */
   def dailyTypeRank(s: SparkSession, dir: String): DataFrame = {
