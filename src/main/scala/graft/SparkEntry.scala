@@ -317,7 +317,7 @@ object SparkEntry {
         |last_day(CAST(o_orderdate AS DATE)) AS month_end,
         |CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
         |  AS days_since_95,
-        |CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
         |FROM orders""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
@@ -481,7 +481,7 @@ object SparkEntry {
         |ROUND(SUM(value) OVER w, 4) AS hour_value,
         |COUNT(*) OVER w AS hour_events
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_forward_fill" ->
       """SELECT event_id, user_id, ROUND(value, 4) AS value,

@@ -178,6 +178,36 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     createOrReplace(name, kept.unionByName(updates))
   }
 
+  /** The table restricted to commits AFTER `snapshotId` — the change
+    * feed an incremental transform consumes. Commit-partition pruned
+    * like tableAsOf. */
+  def tableSince(name: String, snapshotId: Long): DataFrame = {
+    val df = spark.read.parquet(tablePath(name))
+    require(df.columns.contains(commitCol),
+      s"$name has no commit history (CTAS tables hold only their latest state)")
+    df.filter(col(commitCol) > snapshotId)
+      .drop(df.columns.filter(hiddenCol).toSeq: _*)
+  }
+
+  /** Latest snapshot id of an append table (0 when empty). */
+  def currentSnapshotId(name: String): Long = nextSnapshotId(name) - 1
+
+  /** Partition-scoped overwrite: replaces ONLY the partitions present
+    * in `df` (dynamic partition overwrite), leaving every other
+    * partition's files untouched — the incremental-materialization
+    * write primitive. The partition column is a VISIBLE column here
+    * (the mart's own grain column), unlike the hidden day-partitions of
+    * append tables. One snapshot logged per call. */
+  def overwritePartitions(name: String, df: DataFrame, partitionCol: String): Unit = {
+    val path = tablePath(name)
+    df.write
+      .partitionBy(partitionCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+    logSnapshot(name, "overwrite_partitions", spark.read.parquet(path).count())
+  }
+
   /** Bucketed table write into the session catalog: co-locates rows by
     * `bucketCol` so repeated joins/aggregations on that key run with
     * ZERO exchanges (SortMergeJoin reads matching buckets directly).
