@@ -92,6 +92,41 @@ object Transform {
     catalog.createOrReplace(FctTable, dailyMart(catalog.table(StgTable)))
   }
 
+  /** Incremental mart materialization — the scale upgrade of the
+    * reference's full-refresh CTAS (W4), which rebuilds the WHOLE mart
+    * from all history every hour (~fine at 72 rows/day, ruinous at
+    * 100 TB where a day's partition is the natural rebuild unit).
+    *
+    * Semantics: the mart grain contains `extraction_date`, so the mart
+    * is exactly partition-decomposable by date — rebuilding only the
+    * dates touched by raw commits AFTER `sinceSnapshot` (read via the
+    * commit-pruned change feed) and dynamic-partition-overwriting them
+    * yields byte-identical results to the full refresh (asserted in
+    * PipelineSpec). Reads: new commits only + the touched dates'
+    * full raw slice (day-partition pruned); writes: touched date
+    * partitions only. This is dbt `incremental` +
+    * `insert_overwrite` re-expressed on the snapshot log.
+    *
+    * The incremental mart table (`FctIncTable`) is partitioned by its
+    * grain date; the CTAS mart stays for the verbatim-reference path. */
+  def runIncremental(spark: SparkSession, catalog: LakeCatalog,
+                     sinceSnapshot: Long): Long = {
+    val nowSnapshot = catalog.currentSnapshotId(Ingest.RawTable)
+    if (nowSnapshot <= sinceSnapshot) return nowSnapshot // nothing new
+    val changed = staging(catalog.tableSince(Ingest.RawTable, sinceSnapshot))
+      .select(col("extraction_date")).distinct()
+    val raw = staging(catalog.table(Ingest.RawTable))
+    // join (broadcast: touched dates are few) restricts the rebuild to
+    // affected day partitions; day-partition pruning keeps the raw scan
+    // from touching other days' files once pushed through the
+    // HiddenPartitionPruning rewrite
+    val rebuilt = dailyMart(raw.join(broadcast(changed), Seq("extraction_date")))
+    catalog.overwritePartitions(FctIncTable, rebuilt, "extraction_date")
+    nowSnapshot
+  }
+
+  val FctIncTable = "raw.fct_bitcoin_daily_inc"
+
   /** The staging model's SQL text, verbatim from the reference
     * (README.md:372-383) with dbt's relation resolution applied the
     * way dbt compiles it: `iceberg.raw.bitcoin_prices` → the registered
@@ -156,6 +191,24 @@ final class Pipeline(spark: SparkSession, warehouseDir: String,
     if (n > 0) Transform.run(spark, catalog)
     n
   }
+
+  private var lastIncSnapshot = 0L
+
+  /** One scheduled run with the INCREMENTAL mart: ingest, then rebuild
+    * only the date partitions touched since the last processed raw
+    * snapshot (Transform.runIncremental). */
+  def runOnceIncremental(extractedAt: Option[Timestamp] = None): Long = {
+    val ts = extractedAt.getOrElse(
+      Timestamp.from(java.time.Instant.now()
+        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)))
+    val n = Ingest.run(spark, catalog, sources, tick, ts)
+    tick += 1
+    if (n > 0)
+      lastIncSnapshot = Transform.runIncremental(spark, catalog, lastIncSnapshot)
+    n
+  }
+
+  def incMartScan: DataFrame = catalog.table(Transform.FctIncTable)
 
   /** The reference's three canonical ad-hoc queries
     * (README.md:297-301) + the ingest verify query

@@ -57,6 +57,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(mart("blockchain_info") === ((49992.75, 50117.75, 50055.25, 2L)))
   }
 
+  test("incremental mart equals the full-refresh mart across multi-day ticks") {
+    val p = new Pipeline(spark, TestSpark.tempDir("graft-wh"))
+    def dayTs(d: Int, h: Int) = Timestamp.valueOf(f"2026-08-$d%02d $h%02d:00:00")
+    // ticks across two dates; incremental pipeline maintains FctIncTable
+    p.runOnceIncremental(Some(dayTs(10, 1)))
+    p.runOnceIncremental(Some(dayTs(10, 2)))
+    p.runOnceIncremental(Some(dayTs(11, 1)))
+    // full refresh over the same raw history for comparison
+    Transform.run(spark, p.catalog)
+    val cols = Seq("extraction_date", "data_source", "crypto_symbol",
+      "min_price_usd", "max_price_usd", "avg_price_usd", "records")
+    val full = p.catalog.table(Transform.FctTable)
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSet
+    val inc = p.incMartScan.selectExpr(cols: _*).collect().map(_.toSeq).toSet
+    assert(inc === full)
+    assert(inc.map(_.head).size === 2) // two date partitions
+  }
+
+  test("incremental run rewrites only the touched date partition") {
+    val wh = TestSpark.tempDir("graft-wh")
+    val p = new Pipeline(spark, wh)
+    def dayTs(d: Int, h: Int) = Timestamp.valueOf(f"2026-08-$d%02d $h%02d:00:00")
+    p.runOnceIncremental(Some(dayTs(10, 1)))
+    p.runOnceIncremental(Some(dayTs(11, 1)))
+    val day10Dir = java.nio.file.Paths.get(
+      s"$wh/raw/fct_bitcoin_daily_inc/extraction_date=2026-08-10")
+    import scala.jdk.CollectionConverters._
+    def listing = {
+      val s = java.nio.file.Files.list(day10Dir)
+      try s.iterator().asScala.map(f =>
+        f.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(f))
+        .toMap
+      finally s.close()
+    }
+    val before = listing
+    p.runOnceIncremental(Some(dayTs(11, 2))) // touches only day 11
+    assert(listing === before) // day-10 partition files untouched
+    // and day 11 reflects both its ticks
+    val day11 = p.incMartScan
+      .filter(org.apache.spark.sql.functions.col("extraction_date") === "2026-08-11")
+      .collect().map(r => r.getAs[Long]("records")).toSeq
+    assert(day11.forall(_ == 2L))
+  }
+
   test("transform re-run is idempotent (full-refresh CTAS, W4)") {
     val p = new Pipeline(spark, TestSpark.tempDir("graft-wh"))
     p.runOnce(Some(ts(1)))
