@@ -60,7 +60,8 @@ object Bench {
     // The pipeline gate entries construct a fixture warehouse (3 ingest
     // ticks + CTAS rebuilds) rather than running a query over sfDir —
     // they belong to the correctness gate, not the throughput benchmark.
-    val notQueries = Set("q_pipeline_mart", "q_pipeline_snapshots", "q_pipeline_asof")
+    val notQueries = Set("q_pipeline_mart", "q_pipeline_snapshots",
+      "q_pipeline_asof", "q_pipeline_incmart")
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(notQueries).map(n => n -> run(n))
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

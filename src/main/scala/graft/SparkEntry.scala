@@ -20,15 +20,26 @@ object SparkEntry {
 
   /** Deterministic fixture pipeline for the gate's reference-surface
     * queries: 3 hourly ticks into a fresh temp warehouse, then the
-    * mart / snapshot scans are returned (SURVEY §2.1-2.2, §3). */
-  private def gatePipeline(s: SparkSession): graft.pipeline.Pipeline = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-gate-wh").toString
-    val p = new graft.pipeline.Pipeline(s, wh)
-    (1 to 3).foreach { h =>
-      p.runOnce(Some(java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")))
-    }
-    p
-  }
+    * mart / snapshot scans are returned (SURVEY §2.1-2.2, §3).
+    * Memoized per session — the four q_pipeline_* gate queries share
+    * one fixture build instead of each re-running 3 ingest ticks + 2
+    * CTAS rebuilds. */
+  private val gateCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.pipeline.Pipeline]()
+  private def gatePipeline(s: SparkSession): graft.pipeline.Pipeline =
+    gateCache.computeIfAbsent(s, { s2 =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-gate-wh").toString
+      val p = new graft.pipeline.Pipeline(s2, wh)
+      // incremental ticks maintain the partition-overwrite mart; the
+      // final full refresh produces the CTAS mart over the SAME 3 raw
+      // batches — so the gate checks both materialization strategies
+      // against one oracle.
+      (1 to 3).foreach { h =>
+        p.runOnceIncremental(Some(java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")))
+      }
+      graft.pipeline.Transform.run(s2, p.catalog)
+      p
+    })
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -151,6 +162,16 @@ object SparkEntry {
                                .select(org.apache.spark.sql.functions.col("snapshot_id"),
                                        org.apache.spark.sql.functions.col("operation"),
                                        org.apache.spark.sql.functions.col("added_records"))),
+    // Incremental mart (dynamic partition overwrite per touched date)
+    // must equal the full-refresh mart — same oracle as q_pipeline_mart.
+    "q_pipeline_incmart" -> ((s, _) => gatePipeline(s).incMartScan
+                               .select(org.apache.spark.sql.functions.col("extraction_date"),
+                                       org.apache.spark.sql.functions.col("data_source"),
+                                       org.apache.spark.sql.functions.col("crypto_symbol"),
+                                       org.apache.spark.sql.functions.col("min_price_usd"),
+                                       org.apache.spark.sql.functions.col("max_price_usd"),
+                                       org.apache.spark.sql.functions.col("avg_price_usd"),
+                                       org.apache.spark.sql.functions.col("records"))),
     // Time travel (Iceberg VERSION AS OF emulation): the raw table as of
     // snapshot 2 — commits 3+ pruned at the scan by the commit=N
     // partition filter. Deterministic fixture prices make it oracle-able.
@@ -890,6 +911,21 @@ object SparkEntry {
     // are exact binary doubles (multiples of 0.25), so MIN/MAX/AVG are
     // bit-identical across engines.
     "q_pipeline_mart" ->
+      """WITH raw(data_source, crypto_symbol, price_usd, extracted_at) AS (VALUES
+        |  ('coingecko', 'BTC', CAST(50000.0  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coincap', 'BTC', CAST(50012.5  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(49992.75 AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coingecko', 'BTC', CAST(50125.0  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coincap', 'BTC', CAST(50137.5  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50117.75 AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coingecko', 'BTC', CAST(50250.0  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('coincap', 'BTC', CAST(50262.5  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50242.75 AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'))
+        |SELECT CAST(extracted_at AS DATE) AS extraction_date, data_source, crypto_symbol,
+        |MIN(price_usd) AS min_price_usd, MAX(price_usd) AS max_price_usd,
+        |AVG(price_usd) AS avg_price_usd, COUNT(*) AS records
+        |FROM raw GROUP BY 1, 2, 3""".stripMargin,
+    "q_pipeline_incmart" ->
       """WITH raw(data_source, crypto_symbol, price_usd, extracted_at) AS (VALUES
         |  ('coingecko', 'BTC', CAST(50000.0  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
         |  ('coincap', 'BTC', CAST(50012.5  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
