@@ -383,10 +383,15 @@ object Dedup {
     * 100 TB posture: the shuffle is keyed by shingle; a stopword-like
     * shingle with document frequency f contributes f^2 candidate rows,
     * so at scale the standard mitigation is dropping ultra-common
-    * shingles (they only occur in pairs that share many other
-    * shingles). Left exact here because the oracle is exact. */
+    * shingles — `maxDocFreq` implements it (postings longer than the
+    * cap are discarded BEFORE pair expansion). With the cap the shared
+    * count is a lower bound, so reported pairs are a high-precision
+    * subset (jaccard is underestimated, never overestimated — pairs
+    * can be missed, never invented). Default keeps it exact (the
+    * oracle is exact). */
   def ngramJaccardWithinSource(s: SparkSession, dir: String,
-      threshold: Double = JaccardThreshold): DataFrame = {
+      threshold: Double = JaccardThreshold,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val ex = hashShingled(s, dir)
       .select(col("source"), col("doc_id"), size(col("hs")).as("n"),
         explode(col("hs")).as("shingle"))
@@ -396,7 +401,7 @@ object Dedup {
     // both sides. Then |A ∩ B| = number of shingles listing the pair.
     ex.groupBy(col("source"), col("shingle"))
       .agg(collect_list(struct(col("doc_id").as("id"), col("n"))).as("postings"))
-      .filter(size(col("postings")) >= 2)
+      .filter(size(col("postings")) >= 2 && size(col("postings")) <= maxDocFreq)
       .select(col("source"), explode(flatten(transform(col("postings"), (x, i) =>
         transform(slice(col("postings"), i + lit(2), size(col("postings"))), y =>
           struct(least(x("id"), y("id")).as("doc_a"),

@@ -143,6 +143,21 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardWithinSource(spark, shortDir, 0.1).count() === 0L)
   }
 
+  test("ngramJaccard maxDocFreq cap never invents pairs; generous cap is exact") {
+    val rows = Dedup.ngramJaccardWithinSource(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // generous cap (>= corpus size) changes nothing
+    val capped = Dedup.ngramJaccardWithinSource(spark, dir, threshold = 0.5,
+        maxDocFreq = 100)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(capped === rows)
+    // tight cap yields a subset (high precision, possible misses)
+    val tight = Dedup.ngramJaccardWithinSource(spark, dir, threshold = 0.5,
+        maxDocFreq = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(tight.subsetOf(rows))
+  }
+
   test("ngramJaccardWithinSource respects source partitioning") {
     // doc 4 is in another source; pairs can only form within 'web'
     val rows = Dedup.ngramJaccardWithinSource(spark, dir, threshold = 0.5).collect()
