@@ -24,8 +24,10 @@ object SparkEntry {
     * Memoized per session — the four q_pipeline_* gate queries share
     * one fixture build instead of each re-running 3 ingest ticks + 2
     * CTAS rebuilds. */
-  private val gateCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.pipeline.Pipeline]()
+  // weak keys: a stopped SparkSession must not be pinned (with its
+  // fixture Pipeline) for the JVM lifetime by this memo
+  private val gateCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, graft.pipeline.Pipeline]())
   private def gatePipeline(s: SparkSession): graft.pipeline.Pipeline =
     gateCache.computeIfAbsent(s, { s2 =>
       val wh = java.nio.file.Files.createTempDirectory("graft-gate-wh").toString

@@ -175,10 +175,14 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
-  /** Edge-count bound for the single-task union-find fast path:
-    * 50M edges ≈ 800 MB of (long, long) in one task — comfortably
-    * in-memory. Above it, the distributed label-propagation loop runs. */
-  val SmallGraphEdges = 50_000_000L
+  /** Edge-count bound for the single-task union-find fast path. The
+    * task's footprint is dominated by the node map, not the edge
+    * stream: up to 2 nodes/edge in an open-addressed LongMap (~32 B
+    * per entry at 0.5 load factor) plus the sorted output key array —
+    * ~700 MB at this bound with all-distinct endpoints, safe in a
+    * standard 4 GB executor. Above it, the distributed
+    * label-propagation loop runs. */
+  val SmallGraphEdges = 10_000_000L
 
   /** Connected components over the near-dup pair graph: every document
     * in a cluster labeled with the cluster's minimum doc_id. Single-hop
@@ -204,9 +208,16 @@ object Dedup {
     val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = pairs.count()
+    // The pairs cache exists only for this operator's own passes —
+    // unpersist before returning (the union-find output is first
+    // localCheckpointed so the returned plan no longer reads pairs;
+    // the propagation path materializes per round and checkpoints its
+    // labels). Leaving it cached would leak a session-lifetime entry
+    // per call, squeezing the deliberately-shared hashShingled cache.
     val out =
-      if (nEdges <= SmallGraphEdges) unionFindClusters(pairs)
+      if (nEdges <= SmallGraphEdges) unionFindClusters(pairs).localCheckpoint()
       else propagateClusters(pairs, maxIters)
+    pairs.unpersist()
     out
   }
 

@@ -151,8 +151,14 @@ object Joins {
     val pre = probe.filter(org.apache.spark.sql.GraftSql.column(
       graft.functions.BloomMightContain(
         org.apache.spark.sql.GraftSql.expression(col(probeKey)), bloom)))
-    pre.join(build.select(col(buildKey)),
-      col(probeKey) === col(buildKey), "left_semi")
+    // alias the build key to an internal name so probeKey == buildKey
+    // (the common fact⋈dimension call) doesn't make the join condition
+    // ambiguous between the two sides
+    val buildAlias = "__graft_bloom_key"
+    require(!probe.columns.contains(buildAlias),
+      s"bloomSemiJoin probe must not carry a $buildAlias column")
+    pre.join(build.select(col(buildKey).as(buildAlias)),
+      col(probeKey) === col(buildAlias), "left_semi")
   }
 
   /** Bloom semi-join demonstration query: lineitem rows belonging to

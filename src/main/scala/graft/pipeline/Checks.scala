@@ -37,8 +37,11 @@ object Checks {
     * distinct is the 100 TB variant, exact kept here for the oracle). */
   def report(df: DataFrame, rowChecks: Seq[RowCheck],
              uniqueCols: Seq[String] = Nil): DataFrame = {
+    // coalesce: sum() over an EMPTY table is NULL in Spark — an empty
+    // table has zero violations, not unknown ones (and the DuckDB
+    // oracle's COUNT(*) FILTER returns 0 there)
     val rowAggs = rowChecks.map(c =>
-      sum(when(!c.valid, 1L).otherwise(0L)).as(c.name))
+      coalesce(sum(when(!c.valid, 1L).otherwise(0L)), lit(0L)).as(c.name))
     val uniqAggs = uniqueCols.map(c =>
       (count(lit(1)) - countDistinct(col(c))).as(s"unique_$c"))
     val aggs = rowAggs ++ uniqAggs

@@ -63,4 +63,27 @@ class WindowsSpec extends AnyFunSuite {
     val r1 = rows.filter(_.getAs[Int]("rank") == 1)
     assert(r1.map(_.getAs[String]("event_type")).toSet === Set("view")) // 3 views > 2 purchases
   }
+
+  test("forwardFill carries the last non-null value; leading nulls stay null") {
+    // the shipped testdata has no null values, so the oracle gate can't
+    // exercise LOCF semantics — this fixture can
+    val ns0 = 1700000000L * 1000000000L
+    def ns(offsetS: Long) = ns0 + offsetS * 1000000000L
+    val fdir = TestSpark.eventsFixture(Seq(
+      (1L, 5L, "view", null, ns(0)),                              // leading null
+      (2L, 5L, "view", java.lang.Double.valueOf(3.0), ns(10)),
+      (3L, 5L, "view", null, ns(20)),                             // filled with 3.0
+      (4L, 5L, "view", null, ns(30)),                             // still 3.0
+      (5L, 5L, "view", java.lang.Double.valueOf(7.0), ns(40)),
+      (6L, 6L, "view", null, ns(0))))                             // other user: null
+    val rows = Windows.forwardFill(spark, fdir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("value_filled")).map(_.doubleValue)).toMap
+    assert(rows(1L) === None)
+    assert(rows(2L) === Some(3.0))
+    assert(rows(3L) === Some(3.0))
+    assert(rows(4L) === Some(3.0))
+    assert(rows(5L) === Some(7.0))
+    assert(rows(6L) === None)
+  }
 }
