@@ -77,6 +77,8 @@ object SparkEntry {
     "q_intersect_users"  -> (Relational.intersectUsers _),
     "q_except_users"     -> (Relational.exceptUsers _),
     "q_subquery_cust"    -> (Relational.subqueryCustomers _),
+    "q_lateral_topn"     -> (Relational.lateralTopOrders _),
+    "q_except_all"       -> (Relational.exceptAllUsers _),
     // Scalar-function suites (string / date / math / json / array)
     "q_string_funcs"     -> (graft.functions.ScalarSuites.stringFuncs _),
     "q_string_funcs2"    -> (graft.functions.ScalarSuites.stringFuncs2 _),
@@ -283,6 +285,16 @@ object SparkEntry {
         |floor(corr(value, floor(epoch(ts))) * 10000 + 0.5 + 0.000001) / 10000 AS corr_ts,
         |COUNT(value) AS n_valued
         |FROM events GROUP BY 1""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c_custkey, o_orderkey, o_total
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_total
+        |         FROM orders WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin,
+    "q_except_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT ALL
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
     "q_covar_agg" ->
       """SELECT event_type,
         |floor(covar_samp(value, floor(epoch(ts))) * 10000 + 0.5 + 0.000001)

@@ -321,6 +321,32 @@ object Relational {
         count(col("value")).as("n_valued"))
   }
 
+  /** LATERAL correlated subquery through the SQL surface: top-2 orders
+    * per customer, the "top-N related rows per outer row" idiom.
+    * Catalyst decorrelates the lateral limit into a window/join plan —
+    * no per-row subplan execution at any scale. */
+  def lateralTopOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT c_custkey, o_orderkey, o_total
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_total
+               FROM orders WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """)
+  }
+
+  /** EXCEPT ALL — bag (multiset) difference, keeping surplus
+    * multiplicity: event occurrences by purchase users minus error
+    * users. The bag variants plan as one aggregation computing both
+    * sides' counts, not a distinct-then-join. */
+  def exceptAllUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    users("purchase").exceptAll(users("error"))
+  }
+
   /** CROSS JOIN (cartesian product) of the two smallest dimensions —
     * the one join type the matrix was missing; only ever sane when one
     * side is tiny, so the plan must be a broadcast nested loop. */
