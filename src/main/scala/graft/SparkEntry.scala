@@ -205,6 +205,7 @@ object SparkEntry {
     "q_word_entropy"     -> (TextAnalysis.wordEntropy _),
     "q_repetition"       -> (TextAnalysis.repetitionStats _),
     "q_winnow_fp"        -> (TextAnalysis.winnowFingerprints _),
+    "q_shingle_index"    -> (TextAnalysis.shingleIndex _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -907,6 +908,13 @@ object SparkEntry {
         |  ('coincap', CAST(2 AS BIGINT), CAST(50012.5 AS DOUBLE), CAST(50137.5 AS DOUBLE)),
         |  ('blockchain_info', CAST(2 AS BIGINT), CAST(49992.75 AS DOUBLE), CAST(50117.75 AS DOUBLE)))
         |  AS t(data_source, n_rows, min_usd, max_usd)""".stripMargin,
+    "q_shingle_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, unnest(
+        |  [{'pos': i - 1, 'shingle': w[i]||' '||w[i+1]||' '||w[i+2]}
+        |   for i in range(1, len(w) - 1)], recursive := true)
+        |  FROM t)
+        |SELECT doc_id, CAST(pos AS INTEGER) AS pos, shingle FROM s""".stripMargin,
     "q_winnow_fp" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |f AS (SELECT doc_id, w FROM w WHERE len(w) >= 6),

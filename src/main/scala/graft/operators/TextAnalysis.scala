@@ -204,6 +204,19 @@ object TextAnalysis {
           .as("dup_bigram_frac"))
   }
 
+  /** Positional shingle index via the custom WordShingleGenerate
+    * table-valued expression: one (doc_id, pos, shingle) row per
+    * positional 3-word shingle — the exploded representation a
+    * positional inverted index or plagiarism aligner ingests. The
+    * generator runs inside a Generate node (map-side, no shuffle);
+    * docs shorter than k words emit nothing. */
+  def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftSql.column(graft.functions.WordShingleGenerate(
+          org.apache.spark.sql.GraftSql.expression(words(col("text"))), 3))
+          .as(Seq("pos", "shingle")))
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * positional 3-word shingles hashed to 60-bit md5-derived values
     * (portable: DuckDB derives bit-identical hashes), then the minimum

@@ -127,6 +127,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!fp.contains(4L))
   }
 
+  test("WordShingleGenerate emits positional (not distinct) shingles; short docs none") {
+    val gdir = TestSpark.documentsFixture(Seq(
+      (1L, "a b a b a", "en", "web"),   // repeated shingles must stay
+      (2L, "one two", "en", "web")))    // < 3 words -> no rows
+    val rows = TextAnalysis.shingleIndex(spark, gdir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[String]("shingle")))
+    assert(rows.toSeq.sorted === Seq(
+      (1L, 0, "a b a"), (1L, 1, "b a b"), (1L, 2, "a b a")).sorted)
+    assert(!rows.exists(_._1 == 2L))
+  }
+
   test("WordShingleHashes kernel equals the composed shingle+xxhash64 chain") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{sort_array, transform, xxhash64}
