@@ -122,6 +122,7 @@ object SparkEntry {
     "q_dedup_simhash_md5"-> ((s, d) => Dedup.simhashPortablePairs(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardWithinSource(s, d)),
     "q_dedup_cc"         -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q_dup_spans"        -> ((s, d) => Dedup.duplicateSpanStats(s, d)),
     // Similarity search
     "q_knn_brute"        -> (Similarity.knnBrute _),
     "q_knn_ann"          -> (Similarity.knnAnn _),                       // rows-only
@@ -604,6 +605,20 @@ object SparkEntry {
         |  UNION
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a""".stripMargin,
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, unnest(
+        |  [{'pos': i - 1,
+        |    'h': ('0x' || substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+        |          w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]), 1, 15))::BIGINT}
+        |   for i in range(1, len(w) - 6)], recursive := true)
+        |  FROM t),
+        |dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS h_docs FROM idx GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |CAST(SUM(CASE WHEN h_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |floor(SUM(CASE WHEN h_docs >= 2 THEN 1 ELSE 0 END)
+        |  / COUNT(*) * 10000 + 0.5) / 10000 AS dup_frac
+        |FROM idx JOIN dfreq USING (h) GROUP BY doc_id""".stripMargin,
     "q_embedding_quant" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
         |           FROM embeddings),

@@ -382,6 +382,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Cross-document duplicate-span statistics — passage-level dedup
+    * (the span metric of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", minus suffix-array exactness: fixed
+    * k-word windows instead of maximal repeats). Per document: how many
+    * of its positional k-word shingles also occur in ANOTHER document,
+    * and the covered fraction — the signal for excising boilerplate
+    * passages rather than dropping whole near-dup documents.
+    *
+    * Plan: positional shingles from the WordShingleGenerate table-
+    * valued expression, md5-derived 60-bit hashes (portable — the
+    * oracle replays them), one aggregation keyed by hash for document
+    * frequency, one hash-keyed join back, one per-doc rollup. Work is
+    * linear in corpus token count; the hash join is the only wide
+    * exchange and its key space is the shingle vocabulary. Docs shorter
+    * than k words have no spans and are absent. */
+  def duplicateSpanStats(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val idx = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftSql.column(graft.functions.WordShingleGenerate(
+          org.apache.spark.sql.GraftSql.expression(
+            graft.functions.TextFunctions.words(col("text"))), k))
+          .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    val docFreq = idx.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("h_docs"))
+    idx.join(docFreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("h_docs") >= 2).cast("long")).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        floor(col("n_dup_spans") / col("n_spans") * lit(10000) + lit(0.5)) / lit(10000))
+  }
+
   /** Exact n-gram Jaccard pairs within each source, via an inverted
     * index instead of an all-pairs product: explode distinct shingles,
     * self-join on (source, shingle) so only pairs sharing >=1 shingle

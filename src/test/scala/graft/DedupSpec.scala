@@ -158,6 +158,25 @@ class DedupSpec extends AnyFunSuite {
     assert(tight.subsetOf(rows))
   }
 
+  test("duplicateSpanStats: shared passages count, unique docs score 0") {
+    // docs 1 and 2 share the 10-word prefix (3 positional 8-grams each
+    // over 10 words: positions 0..2 — all shared); doc 3 is disjoint
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val sdir = TestSpark.documentsFixture(Seq(
+      (1L, shared, "en", "web"),
+      (2L, shared + " tail1 tail2", "en", "web"),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" "), "en", "web"),
+      (4L, "too short", "en", "web")))
+    val rows = Dedup.duplicateSpanStats(spark, sdir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(rows(1L) === ((3L, 3L, 1.0)))      // fully covered by shared spans
+    assert(rows(2L) === ((5L, 3L, 0.6)))      // 3 of 5 spans shared
+    assert(rows(3L) === ((5L, 0L, 0.0)))      // unique content
+    assert(!rows.contains(4L))                // < 8 words: no spans
+  }
+
   test("ngramJaccardWithinSource respects source partitioning") {
     // doc 4 is in another source; pairs can only form within 'web'
     val rows = Dedup.ngramJaccardWithinSource(spark, dir, threshold = 0.5).collect()
