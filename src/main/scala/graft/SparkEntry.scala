@@ -203,6 +203,7 @@ object SparkEntry {
     "q_bigram_counts"    -> (TextAnalysis.bigramCounts _),
     "q_curation_gate"    -> ((s, d) => TextAnalysis.curationGate(s, d)),
     "q_stratified_cap"   -> ((s, d) => TextAnalysis.stratifiedCap(s, d)),
+    "q_stratified_hash"  -> ((s, d) => TextAnalysis.stratifiedHashSample(s, d)),
     "q_word_entropy"     -> (TextAnalysis.wordEntropy _),
     "q_repetition"       -> (TextAnalysis.repetitionStats _),
     "q_winnow_fp"        -> (TextAnalysis.winnowFingerprints _),
@@ -923,6 +924,13 @@ object SparkEntry {
         |  ('coincap', CAST(2 AS BIGINT), CAST(50012.5 AS DOUBLE), CAST(50137.5 AS DOUBLE)),
         |  ('blockchain_info', CAST(2 AS BIGINT), CAST(49992.75 AS DOUBLE), CAST(50117.75 AS DOUBLE)))
         |  AS t(data_source, n_rows, min_usd, max_usd)""".stripMargin,
+    "q_stratified_hash" ->
+      """SELECT lang, source, doc_id, rn FROM
+        |(SELECT lang, source, doc_id, CAST(ROW_NUMBER() OVER
+        |  (PARTITION BY lang, source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        | FROM documents)
+        |WHERE rn <= 5""".stripMargin,
     "q_shingle_index" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, unnest(

@@ -204,6 +204,21 @@ object TextAnalysis {
           .as("dup_bigram_frac"))
   }
 
+  /** Stratified pseudo-random draw: at most `perGroup` docs per
+    * (lang, source), ordered by md5(doc_id) — a uniform
+    * random-but-reproducible sample (the hash is the seed), unlike
+    * stratifiedCap's lowest-id-first determinism which biases toward
+    * early ids. Portable: both engines hash the same decimal string.
+    * Same one-shuffle row_number plan as stratifiedCap. */
+  def stratifiedHashSample(s: SparkSession, dir: String, perGroup: Int = 5): DataFrame = {
+    val hkey = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(hkey, col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perGroup)
+      .select(col("lang"), col("source"), col("doc_id"), col("rn"))
+  }
+
   /** Positional shingle index via the custom WordShingleGenerate
     * table-valued expression: one (doc_id, pos, shingle) row per
     * positional 3-word shingle — the exploded representation a
