@@ -46,15 +46,22 @@ case class WordShingleGenerate(child: Expression, k: Int)
     val n = words.numElements()
     if (n < k) return Iterator.empty
     val sep = UTF8String.fromString(" ")
-    (0 to n - k).iterator.map { i =>
+    // windows touching a null element are skipped (a shingle containing
+    // null is meaningless, and emitting null would violate the declared
+    // non-nullable element schema)
+    (0 to n - k).iterator.flatMap { i =>
       val parts = new Array[UTF8String](2 * k - 1)
       var j = 0
+      var hasNull = false
       while (j < k) {
-        parts(2 * j) = words.getUTF8String(i + j)
+        val w = words.getUTF8String(i + j)
+        if (w == null) hasNull = true
+        parts(2 * j) = w
         if (j < k - 1) parts(2 * j + 1) = sep
         j += 1
       }
-      InternalRow(i, UTF8String.concat(parts: _*))
+      if (hasNull) Iterator.empty
+      else Iterator.single(InternalRow(i, UTF8String.concat(parts: _*)))
     }
   }
 

@@ -139,4 +139,13 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Positional k-word shingle rows via the WordShingleGenerate
+    * table-valued expression: select this column `.as(Seq("pos",
+    * "shingle"))` and the analyzer plans a Generate node emitting one
+    * row per shingle. Shared bridge for every positional-shingle
+    * consumer (shingle index, duplicate-span stats). */
+  def wordShingleRows(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSql.column(WordShingleGenerate(
+      org.apache.spark.sql.GraftSql.expression(words(text)), k))
 }

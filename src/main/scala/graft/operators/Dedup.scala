@@ -392,26 +392,25 @@ object Dedup {
     *
     * Plan: positional shingles from the WordShingleGenerate table-
     * valued expression, md5-derived 60-bit hashes (portable — the
-    * oracle replays them), one aggregation keyed by hash for document
-    * frequency, one hash-keyed join back, one per-doc rollup. Work is
-    * linear in corpus token count; the hash join is the only wide
-    * exchange and its key space is the shingle vocabulary. Docs shorter
-    * than k words have no spans and are absent. */
+    * oracle replays them). ONE pass over the corpus: the expensive
+    * scan+generate+md5 pipeline feeds a single (h, doc) aggregation;
+    * document frequency is then a window count over that already-tiny
+    * aggregate (partitioned by h), and the per-doc rollup sums
+    * occurrence counts — no self-join that would re-run the shingle
+    * pipeline for a second side. Docs shorter than k words have no
+    * spans and are absent. */
   def duplicateSpanStats(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val idx = Tables.documents(s, dir)
+      .select(col("doc_id"), wordShingleRows(col("text"), k).as(Seq("pos", "sh")))
       .select(col("doc_id"),
-        org.apache.spark.sql.GraftSql.column(graft.functions.WordShingleGenerate(
-          org.apache.spark.sql.GraftSql.expression(
-            graft.functions.TextFunctions.words(col("text"))), k))
-          .as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
-    val docFreq = idx.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("h_docs"))
-    idx.join(docFreq, "h")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum((col("h_docs") >= 2).cast("long")).as("n_dup_spans"))
+    val perDocHash = idx.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+    val withDf = perDocHash.withColumn("h_docs",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
+    withDf.groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_spans"),
+        sum(when(col("h_docs") >= 2, col("occ")).otherwise(lit(0L))).as("n_dup_spans"))
       .withColumn("dup_frac",
         floor(col("n_dup_spans") / col("n_spans") * lit(10000) + lit(0.5)) / lit(10000))
   }

@@ -227,10 +227,7 @@ object TextAnalysis {
     * docs shorter than k words emit nothing. */
   def shingleIndex(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        org.apache.spark.sql.GraftSql.column(graft.functions.WordShingleGenerate(
-          org.apache.spark.sql.GraftSql.expression(words(col("text"))), 3))
-          .as(Seq("pos", "shingle")))
+      .select(col("doc_id"), wordShingleRows(col("text"), 3).as(Seq("pos", "shingle")))
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * positional 3-word shingles hashed to 60-bit md5-derived values
