@@ -161,6 +161,23 @@ object Transform {
       |FROM stg_bitcoin_prices
       |GROUP BY extraction_date, data_source, crypto_symbol""".stripMargin
 
+  /** Transform with observed metrics (`Dataset.observe`): row count
+    * and null-price count ride the SAME job that materializes staging
+    * — zero extra passes, the production pattern for emitting pipeline
+    * health metrics (a dbt-style post-hoc test query would re-scan).
+    * Returns (staging_rows, null_price_rows). */
+  def runObserved(spark: SparkSession, catalog: LakeCatalog): (Long, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val stg = staging(catalog.table(Ingest.RawTable))
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(col("price_usd").isNull.cast("long")).as("null_prices"))
+    catalog.createOrReplace(StgTable, stg)
+    catalog.createOrReplace(FctTable, dailyMart(catalog.table(StgTable)))
+    val m = obs.get
+    (m("rows").asInstanceOf[Long],
+      Option(m("null_prices")).map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+
   /** Run both models as SQL text (the dbt-over-Thrift path, SURVEY
     * §3.2): register the upstream tables as views, execute the model
     * SQL. Returns (staging, mart) DataFrames. */

@@ -101,6 +101,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(day11.forall(_ == 2L))
   }
 
+  test("runObserved emits metrics from the materialization job itself") {
+    val p = new Pipeline(spark, TestSpark.tempDir("graft-wh"))
+    p.runOnce(Some(ts(1)))
+    p.runOnce(Some(ts(2)))
+    val (rows, nullPrices) = Transform.runObserved(spark, p.catalog)
+    assert(rows === p.catalog.table(Ingest.RawTable).count())
+    assert(nullPrices === 0L) // staging coalesces nulls before observe
+  }
+
   test("transform re-run is idempotent (full-refresh CTAS, W4)") {
     val p = new Pipeline(spark, TestSpark.tempDir("graft-wh"))
     p.runOnce(Some(ts(1)))
