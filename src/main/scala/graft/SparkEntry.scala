@@ -341,7 +341,9 @@ object SparkEntry {
         |chr(CAST(65 + c_custkey % 26 AS INTEGER)) AS key_chr,
         |split_part(c_name, '#', 2) AS name_num,
         |nullif(c_mktsegment, 'BUILDING') AS seg_nb,
-        |ifnull(nullif(c_mktsegment, 'BUILDING'), 'n/a') AS seg_or_na
+        |ifnull(nullif(c_mktsegment, 'BUILDING'), 'n/a') AS seg_or_na,
+        |c_name LIKE '%00%' AS like_00,
+        |c_mktsegment ILIKE 'bui%' AS ilike_bui
         |FROM customer""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,

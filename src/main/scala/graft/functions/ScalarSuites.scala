@@ -59,7 +59,9 @@ object ScalarSuites {
       expr("char(65 + c_custkey % 26)").as("key_chr"),
       expr("split_part(c_name, '#', 2)").as("name_num"),
       expr("nullif(c_mktsegment, 'BUILDING')").as("seg_nb"),
-      expr("ifnull(nullif(c_mktsegment, 'BUILDING'), 'n/a')").as("seg_or_na"))
+      expr("ifnull(nullif(c_mktsegment, 'BUILDING'), 'n/a')").as("seg_or_na"),
+      col("c_name").like("%00%").as("like_00"),
+      col("c_mktsegment").ilike("bui%").as("ilike_bui"))
 
   /** Date/time-function suite over order dates. */
   def dateFuncs(s: SparkSession, dir: String): DataFrame =
