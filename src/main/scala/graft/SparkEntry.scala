@@ -95,6 +95,7 @@ object SparkEntry {
     "q_priority_counts"  -> (Joins.priorityLineCounts _),
     // Temporal joins (as-of, bounded range)
     "q_asof_view"        -> (TemporalJoins.lastViewBeforePurchase _),
+    "q_asof_forward"     -> (TemporalJoins.firstViewAfterPurchase _),
     "q_range_errors"     -> (TemporalJoins.errorsBeforePurchase _),
     // Windows
     "q_value_change"     -> (Windows.valueChange _),
@@ -458,6 +459,12 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT p.event_id, p.user_id,
+        |v.event_id AS view_event_id, ROUND(v.value, 4) AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND p.ts <= v.ts""".stripMargin,
     "q_range_errors" ->
       """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -91,6 +91,20 @@ object TemporalJoins {
       .withColumnRenamed("_rt", rTimeOut)
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row
+    * with rTime >= lTime (inclusive) within `keys` — the "next
+    * observation" direction (e.g. first fill after an order). Reduced
+    * to the backward kernel by negating event time to epoch micros:
+    * latest(-t_r <= -t_l) == earliest(t_r >= t_l), so it inherits the
+    * same one-shuffle union + running-last plan and tie rule. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      lTime: String, rTime: String,
+                      rightCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("_negt", -unix_micros(col(lTime)))
+    val r = right.withColumn("_negt_r", -unix_micros(col(rTime)))
+    asOfJoin(l, r, keys, "_negt", "_negt_r", rightCols).drop("_negt")
+  }
+
   /** As-of query over events: each purchase matched to the user's most
     * recent view at-or-before the purchase time. */
   def lastViewBeforePurchase(s: SparkSession, dir: String): DataFrame = {
@@ -101,6 +115,22 @@ object TemporalJoins {
       .select(col("user_id"), col("event_id").as("view_event_id"),
         col("value").as("view_value"), col("ts"))
     asOfJoin(purchases, views, Seq("user_id"), "ts", "ts",
+        Seq("view_event_id", "view_value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_view_event_id").as("view_event_id"),
+        round(col("asof_view_value"), 4).as("view_value"))
+  }
+
+  /** Forward as-of query: each purchase matched to the user's FIRST
+    * view at-or-after the purchase time (follow-up behavior). */
+  def firstViewAfterPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event_id"),
+        col("value").as("view_value"), col("ts"))
+    asOfJoinForward(purchases, views, Seq("user_id"), "ts", "ts",
         Seq("view_event_id", "view_value"))
       .select(col("event_id"), col("user_id"),
         col("asof_view_event_id").as("view_event_id"),

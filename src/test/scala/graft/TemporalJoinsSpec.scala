@@ -31,6 +31,24 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(rows(8L) === None)
   }
 
+  test("forward as-of picks the earliest view at-or-after; exact-time matches count") {
+    // extra fixture: user 3 has a view exactly at the purchase instant
+    val fdir = TestSpark.eventsFixture(Seq(
+      (1L, 1L, "view", Double.box(1.0), ns(0)),
+      (2L, 1L, "purchase", Double.box(50.0), ns(15)),
+      (3L, 1L, "view", Double.box(2.0), ns(20)),   // first view after
+      (4L, 1L, "view", Double.box(3.0), ns(30)),
+      (5L, 2L, "purchase", Double.box(70.0), ns(5)), // no later view
+      (6L, 3L, "purchase", Double.box(80.0), ns(40)),
+      (7L, 3L, "view", Double.box(4.0), ns(40))))  // same instant: inclusive
+    val rows = TemporalJoins.firstViewAfterPurchase(spark, fdir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("view_event_id")).map(_.longValue)).toMap
+    assert(rows(2L) === Some(3L)) // earliest AFTER, not latest overall
+    assert(rows(5L) === None)
+    assert(rows(6L) === Some(7L)) // rTime >= lTime is inclusive
+  }
+
   test("range join pairs purchases with errors in the preceding hour only") {
     val pairs = TemporalJoins.errorsBeforePurchase(spark, dir).collect()
       .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id"))).toSet
