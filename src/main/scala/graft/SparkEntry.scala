@@ -151,6 +151,8 @@ object SparkEntry {
                                .withColumn("total_value",
                                  org.apache.spark.sql.functions.round(
                                    org.apache.spark.sql.functions.col("total_value"), 4))),
+    "q_stream_join"      -> ((s, d) => graft.streaming.EventStreams
+                               .purchaseViewJoin(Tables.events(s, d))),
     "q_session_window"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.streaming.EventStreams.sessionWindowValues(Tables.events(s, d))
@@ -914,6 +916,12 @@ object SparkEntry {
         |list_reverse_sort(w)[1] AS sorted_last,
         |array_to_string(list_sort(list_distinct(w[1:5])), ' ') AS norm5
         |FROM t""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id
+        |AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".stripMargin,
     "q_session_window" ->
       """WITH o AS (SELECT user_id, value, ts, event_id,
         |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
