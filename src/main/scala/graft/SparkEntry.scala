@@ -137,6 +137,7 @@ object SparkEntry {
     "q_label_cohesion"   -> (Similarity.labelCohesion _),
     "q_embedding_quant"  -> ((s, d) => Similarity.quantizeStats(s, d)),
     "q_knn_ivf"          -> ((s, d) => Similarity.knnIvf(s, d)),        // rows-only (ANN)
+    "q_ivf_cells"        -> ((s, d) => Similarity.ivfCellProfile(s, d)),
     // Multimodal binary columns
     "q_media_profile"    -> (Multimodal.mediaProfile _),
     "q_media_norms"      -> ((s, d) => Multimodal.featureNorms(s, d)),   // rows-only (stub decode)
@@ -681,6 +682,17 @@ object SparkEntry {
         |  FROM e JOIN cent ON e.label = cent.label)
         |SELECT label, floor(AVG(sim) * 10000 + 0.5 + 0.000001) / 10000 AS mean_centroid_sim, COUNT(*) AS n_vectors
         |FROM j GROUP BY label""".stripMargin,
+    "q_ivf_cells" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, c.cell, list_distance(e.v, c.cv) AS dist
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, cell, dist, ROW_NUMBER() OVER
+        |  (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d)
+        |SELECT cell, COUNT(*) AS n_vectors,
+        |floor(AVG(dist) * 10000 + 0.5 + 0.000001) / 10000 AS avg_dist
+        |FROM a WHERE rn = 1 GROUP BY cell""".stripMargin,
     "q_media_profile" ->
       """WITH m AS (SELECT
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,

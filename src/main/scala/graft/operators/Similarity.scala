@@ -235,6 +235,26 @@ object Similarity {
         round(col("sim"), 4).as("cosine_sim"))
   }
 
+  /** IVF cell profile — the ORACLE-CHECKED face of the IVF index build
+    * (knnIvf itself is rows-only: ANN output is recall-probabilistic,
+    * but the assignment step is deterministic): each vector assigned to
+    * its nearest coarse centroid (argmin over L2, ties to the lower
+    * cell id), rolled up to per-cell population and mean distance —
+    * the index-balance diagnostic an IVF build emits. Same broadcast
+    * assignment plan as knnIvf's build. */
+  def ivfCellProfile(s: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val cents = corpus(s, dir).filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    corpus(s, dir).crossJoin(broadcast(cents))
+      .withColumn("dist", l2Distance(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.dist").as("dist"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round4eps(avg(col("dist"))).as("avg_dist"))
+  }
+
   /** Embedding norms + label — exercises the double-fold vector kernel
     * end-to-end with a trivially oracle-able output. */
   def norms(s: SparkSession, dir: String): DataFrame =
