@@ -72,6 +72,8 @@ object SparkEntry {
     "q_char_histogram"   -> ((s, d) => Relational.charHistogram(s, d)),
     "q_salted_join"      -> ((s, d) => Joins.saltedUserTotals(s, d)),
     "q_pivot_daily"      -> (Relational.pivotDailyType _),
+    "q_unpivot_daily"    -> (Relational.unpivotDaily _),
+    "q_price_histogram"  -> ((s, d) => Relational.priceHistogram(s, d)),
     "q_grouping_sets"    -> (Relational.groupingSetsMart _),
     "q_full_outer"       -> (Relational.fullOuterDaily _),
     "q_intersect_users"  -> (Relational.intersectUsers _),
@@ -106,6 +108,7 @@ object SparkEntry {
     "q_window_suite"     -> (Windows.windowSuite _),
     "q_trailing_hour"    -> (Windows.trailingHour _),
     "q_forward_fill"     -> (Windows.forwardFill _),
+    "q_scd2_types"       -> (Windows.scd2UserTypes _),
     // Custom physical operator (plans.TopKPerGroup): top-3 per user
     // without sort/window — partial+final bounded heaps
     "q_topk_custom"      -> ((s, d) => {
@@ -212,6 +215,11 @@ object SparkEntry {
     "q_repetition"       -> (TextAnalysis.repetitionStats _),
     "q_winnow_fp"        -> (TextAnalysis.winnowFingerprints _),
     "q_shingle_index"    -> (TextAnalysis.shingleIndex _),
+    "q_train_split"      -> (TextAnalysis.trainValTestSplit _),
+    "q_bm25"             -> ((s, d) => TextAnalysis.bm25Scores(s, d)),
+    "q_pmi_bigrams"      -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
+    "q_pii_mask"         -> (TextAnalysis.piiMask _),
+    "q_stream_dedup"     -> (graft.streaming.EventStreams.dedupStreamGateKeys _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -976,6 +984,84 @@ object SparkEntry {
         |m AS (SELECT doc_id, list_distinct(
         |  [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]) AS fps FROM sh)
         |SELECT doc_id, unnest(fps) AS fingerprint FROM m""".stripMargin,
+    "q_scd2_types" ->
+      """WITH l AS (SELECT user_id, event_id, ts, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT * FROM l WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT user_id, event_type, ts,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+        |  FROM c)
+        |SELECT user_id, event_type, version,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+        |CAST(floor(epoch(valid_to_ts)) AS BIGINT) AS valid_to_s,
+        |valid_to_ts IS NULL AS is_current FROM v""".stripMargin,
+    "q_price_histogram" ->
+      """SELECT CAST(LEAST(floor(l_extendedprice / 10000.0), 9) AS INT) AS bucket,
+        |COUNT(*) AS n_items,
+        |ROUND(SUM(l_extendedprice), 4) AS sum_price,
+        |floor(AVG(l_extendedprice) * 10000 + 0.5 + 0.000001) / 10000 AS avg_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_unpivot_daily" ->
+      """WITH m AS (SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |  ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value,
+        |  floor(AVG(value) * 10000 + 0.5 + 0.000001) / 10000 AS avg_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_date, event_type, 'min_value' AS metric, min_value AS metric_value FROM m
+        |UNION ALL
+        |SELECT event_date, event_type, 'max_value' AS metric, max_value AS metric_value FROM m
+        |UNION ALL
+        |SELECT event_date, event_type, 'avg_value' AS metric, avg_value AS metric_value FROM m""".stripMargin,
+    "q_train_split" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |lang, COUNT(*) AS n_docs,
+        |floor(AVG(n_chars) * 10000 + 0.5 + 0.000001) / 10000 AS avg_chars
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    // BM25: k1=1.5, b=0.75 (binary-exact doubles — see TextAnalysis.Bm25K1)
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id, token FROM toks WHERE token IN ('spark','join','merge')),
+        |idf AS (SELECT token,
+        |  ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |  FROM (SELECT token, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY token)
+        |  CROSS JOIN stats),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM q GROUP BY doc_id, token),
+        |c AS (SELECT tf.doc_id,
+        |  idf.idf * (tf.tf * (1.5 + 1)) /
+        |    (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+        |  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, floor(SUM(contrib) * 10000 + 0.5 + 0.000001) / 10000 AS bm25
+        |FROM c GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT token, COUNT(*) AS c1 FROM
+        |  (SELECT unnest(w) AS token FROM w) GROUP BY token),
+        |nu AS (SELECT SUM(c1) AS nu FROM uni),
+        |bi AS (SELECT w1, w2, COUNT(*) AS cxy FROM
+        |  (SELECT unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))],
+        |     recursive := true) FROM w)
+        |  GROUP BY w1, w2),
+        |nb AS (SELECT SUM(cxy) AS nb FROM bi)
+        |SELECT bi.w1 || ' ' || bi.w2 AS bigram, bi.cxy AS freq,
+        |floor(ln((CAST(bi.cxy AS DOUBLE) / nb.nb) /
+        |  ((CAST(x.c1 AS DOUBLE) / nu.nu) * (CAST(y.c1 AS DOUBLE) / nu.nu)))
+        |  * 10000 + 0.5 + 0.000001) / 10000 AS pmi
+        |FROM bi JOIN uni x ON bi.w1 = x.token JOIN uni y ON bi.w2 = y.token
+        |CROSS JOIN nu CROSS JOIN nb WHERE bi.cxy >= 50""".stripMargin,
+    "q_pii_mask" ->
+      """SELECT doc_id,
+        |md5(regexp_replace(text, '\bcustomer\b|[0-9]+', '[PII]', 'g')) AS masked_md5,
+        |CAST(len(regexp_extract_all(text, '\bcustomer\b|[0-9]+')) AS INT) AS n_redactions
+        |FROM documents""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     // Pipeline gate oracles: the fixture sources are deterministic
     // (PriceCurve.usd(tick) = 50000 + 250*(tick%17) - 125*(tick%5);
     // coingecko = usd, coincap = usd+12.5, blockchain_info = usd-7.25;

@@ -382,6 +382,30 @@ object Relational {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** Fixed-width price histogram with a clamped top bucket: bucket id =
+    * min(floor(price/width), buckets-1). The bucketing is a scalar
+    * projection, so the aggregate is one partial-merged pass with a
+    * ~`buckets`-row result — the distribution profile that sizes
+    * range-partition boundaries before a 100 TB sort/write. */
+  def priceHistogram(s: SparkSession, dir: String,
+                     width: Double = 10000.0, buckets: Int = 10): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(least(floor(col("l_extendedprice") / width), lit(buckets - 1))
+        .cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"),
+        round4eps(avg(col("l_extendedprice"))).as("avg_price"))
+
+  /** Unpivot (wide→long melt) of the daily mart: each metric column
+    * becomes a (metric, metric_value) row — the inverse of pivot,
+    * via the native Dataset.unpivot operator (a Generate-based
+    * row-expansion, no shuffle beyond the mart's own aggregate). */
+  def unpivotDaily(s: SparkSession, dir: String): DataFrame =
+    dailyMart(s, dir).unpivot(
+      Array(col("event_date"), col("event_type")),
+      Array(col("min_value"), col("max_value"), col("avg_value")),
+      "metric", "metric_value")
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

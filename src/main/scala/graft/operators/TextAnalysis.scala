@@ -266,4 +266,106 @@ object TextAnalysis {
       .select(col("doc_id"), col("fingerprint"))
       .distinct()
   }
+
+  /** Deterministic train/val/test assignment: bucket = md5(doc_id)
+    * mod 100, split 80/10/10. Hash-based (not random) so the split is
+    * stable across runs, machines, and re-partitioning — the property
+    * a training pipeline needs so no document ever migrates between
+    * train and eval. Scalar projection + tiny aggregate; no extra
+    * shuffle beyond the rollup. */
+  def trainValTestSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 6), 16, 10).cast("long") % 100
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val")).otherwise(lit("test")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round4eps(avg(col("n_chars"))).as("avg_chars"))
+  }
+
+  /** BM25 constants — k1=1.5 and b=0.75 are chosen inside the standard
+    * ranges AND binary-exact as doubles, so the Spark and DuckDB oracle
+    * arithmetic is bit-identical (1.2 would round differently as a
+    * decimal literal). */
+  val Bm25K1 = 1.5
+  val Bm25B  = 0.75
+
+  /** BM25 relevance scores for a fixed query over the corpus: the
+    * classic retrieval scorer (idf · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))).
+    * Corpus stats (N, avgdl) and per-term df are tiny aggregates —
+    * broadcast to the tf stream, so the only real shuffles are the two
+    * doc-keyed aggregates. At 100 TB the tf/dl aggregation partials
+    * combine map-side; the broadcast sides are O(query terms). */
+  def bm25Scores(s: SparkSession, dir: String,
+                 query: Seq[String] = Seq("spark", "join", "merge"),
+                 k: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qtoks = toks.filter(col("token").isin(query: _*))
+    val idf = qtoks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+    qtoks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), "token")
+      .join(dl, "doc_id")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round4eps(sum(col("contrib"))).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Pointwise mutual information of adjacent word pairs:
+    * PMI = ln( p(xy) / (p(x)·p(y)) ) — the collocation detector that
+    * finds multi-word expressions worth keeping intact during
+    * tokenization. Unigram and bigram counts are two partial-merged
+    * aggregates over a vocabulary-sized key space; the count joins are
+    * broadcasts (the vocabulary is tiny relative to the corpus). */
+  def pmiBigrams(s: SparkSession, dir: String, minFreq: Long = 50): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = words(col("text"))
+    val uni = docs.select(explode(w).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val nU = uni.agg(sum(col("c1")).as("nu"))
+    val bi = docs.select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cxy"))
+    val nB = bi.agg(sum(col("cxy")).as("nb"))
+    bi.filter(col("cxy") >= minFreq)
+      .join(broadcast(uni.select(col("token").as("w1"), col("c1").as("cx"))), "w1")
+      .join(broadcast(uni.select(col("token").as("w2"), col("c1").as("cy"))), "w2")
+      .crossJoin(broadcast(nU)).crossJoin(broadcast(nB))
+      .withColumn("pmi", log(
+        (col("cxy").cast("double") / col("nb")) /
+          ((col("cx").cast("double") / col("nu")) * (col("cy").cast("double") / col("nu")))))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("cxy").as("freq"), round4eps(col("pmi")).as("pmi"))
+  }
+
+  /** PII-redaction pattern: named-entity-ish tokens plus any digit run.
+    * The corpus is synthetic, so the "entity" class stands in for the
+    * email/phone/SSN patterns a production pipeline would list; the
+    * mechanics (global regex replace + redaction count, fingerprint of
+    * the masked text for downstream exact-dedup) are the real surface. */
+  val PiiPattern = "\\bcustomer\\b|[0-9]+"
+
+  /** Mask PII-class substrings and report per-document redaction
+    * stats: masked-text fingerprint (so dedup runs on the redacted
+    * corpus) + how many spans were redacted. Pure scalar pipeline —
+    * stays in one codegen'd map pass over the scan. */
+  def piiMask(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(regexp_replace(col("text"), PiiPattern, "[PII]").cast("binary")).as("masked_md5"),
+      size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0))).as("n_redactions"))
 }

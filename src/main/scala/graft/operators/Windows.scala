@@ -121,6 +121,28 @@ object Windows {
         round(last(col("value"), ignoreNulls = true).over(w), 4).as("value_filled"))
   }
 
+  /** SCD Type-2 dimension build: collapse each user's event stream into
+    * versioned (event_type, valid_from, valid_to] intervals — keep only
+    * rows where the tracked attribute changed (lag-compare), then close
+    * each version with the next change's timestamp (lead). The open
+    * version (valid_to NULL) is current. This is the standard
+    * warehouse dimension-history operator the reference's full-refresh
+    * CTAS mart cannot express. Two window passes over ONE shuffle on
+    * user_id (same partitioning and ordering, so Spark plans a single
+    * exchange + sort); event_id tie-breaks equal timestamps. */
+  def scd2UserTypes(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("version"),
+        unix_timestamp(col("ts")).as("valid_from_s"),
+        unix_timestamp(col("valid_to_ts")).as("valid_to_s"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
+
   /** Daily ranking: rank event types by volume within each day —
     * dense_rank over an aggregated (already small) input. */
   def dailyTypeRank(s: SparkSession, dir: String): DataFrame = {

@@ -179,6 +179,34 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Real-execution gate for [[dedupStream]]: pipe the events table
+    * through a MemoryStream micro-batch, run the watermarked
+    * dropDuplicatesWithinWatermark plan to completion against a memory
+    * sink, and return the surviving keys. One batch means the initial
+    * watermark (epoch 0) drops nothing, so the streaming result is
+    * exactly the batch DISTINCT over the key columns — which is what
+    * the DuckDB oracle checks. (Production path: readStream instead of
+    * the in-memory source; the plan is identical.) */
+  def dedupStreamGateKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sink = s"dedup_gate_${System.nanoTime()}"
+    val q = dedupStream(mem.toDF(), Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(graft.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .as[Event].collect().toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the query is stopped, so the memory sink table is now static
+    s.table(sink)
+  }
+
   /** The pipeline's ingest stage as a real stream: micro-batch append
     * of raw price rows into the LakeCatalog via foreachBatch — the
     * Trigger.AvailableNow file-stream mapping of SURVEY §2.9. Each

@@ -153,6 +153,27 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("priceHistogram: buckets partition lineitem, top bucket clamps") {
+    val hist = Relational.priceHistogram(spark, dir).collect()
+    assert(hist.map(_.getAs[Long]("n_items")).sum === Tables.lineitem(spark, dir).count())
+    val buckets = hist.map(_.getAs[Int]("bucket"))
+    assert(buckets.forall(b => b >= 0 && b <= 9))
+    assert(buckets.distinct.length === buckets.length)
+  }
+
+  test("unpivotDaily: 3 metric rows per mart row, values preserved") {
+    val wide = Relational.dailyMart(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Date]("event_date").toString, r.getAs[String]("event_type")) -> r)
+      .toMap
+    val long = Relational.unpivotDaily(spark, dir).collect()
+    assert(long.length === wide.size * 3)
+    long.foreach { r =>
+      val key = (r.getAs[java.sql.Date]("event_date").toString, r.getAs[String]("event_type"))
+      val metric = r.getAs[String]("metric")
+      assert(r.getAs[Double]("metric_value") === wide(key).getAs[Double](metric))
+    }
+  }
+
   test("scalar suites: spot-check semantics against literal expectations") {
     val sf = ScalarSuites.stringFuncs(spark, dir)
       .filter(col("c_custkey") === 1).collect()(0)

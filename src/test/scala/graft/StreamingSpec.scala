@@ -181,4 +181,18 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(out === Set((0L, 3L, 7.0), (4201L, 1L, 8.0)))
   }
+
+  test("dedupStreamGateKeys: streaming dedup equals batch DISTINCT over the keys") {
+    val base = 1786838400L
+    def ns(offsetS: Long) = (base + offsetS) * 1000000000L
+    val dir = TestSpark.eventsFixture(Seq(
+      (1L, 1L, "view", java.lang.Double.valueOf(1.0), ns(0)),
+      (2L, 1L, "view", java.lang.Double.valueOf(2.0), ns(10)),   // dup key
+      (3L, 1L, "purchase", java.lang.Double.valueOf(3.0), ns(20)),
+      (4L, 2L, "view", java.lang.Double.valueOf(4.0), ns(30)),
+      (5L, 2L, "view", java.lang.Double.valueOf(5.0), ns(40)))) // dup key
+    val keys = EventStreams.dedupStreamGateKeys(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet
+    assert(keys === Set((1L, "view"), (1L, "purchase"), (2L, "view")))
+  }
 }

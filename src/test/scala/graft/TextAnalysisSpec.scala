@@ -159,4 +159,55 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(_.getSeq[Long](0))
     assert(fused.toSeq === composed.toSeq)
   }
+
+  test("trainValTestSplit: exhaustive, deterministic, hash-stable") {
+    val r1 = TextAnalysis.trainValTestSplit(spark, dir).collect()
+    assert(r1.map(_.getAs[Long]("n_docs")).sum === 5)
+    assert(r1.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    val r2 = TextAnalysis.trainValTestSplit(spark, dir).collect()
+    assert(r1.map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq ===
+      r2.map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq)
+  }
+
+  test("bm25Scores: single-term query matches the hand formula") {
+    // 'cat' appears once, in doc 1 only. N=5 docs, dl=3, avgdl=23/5.
+    val scores = TextAnalysis.bm25Scores(spark, dir, query = Seq("cat")).collect()
+    assert(scores.length === 1 && scores.head.getAs[Long]("doc_id") === 1L)
+    val (n, df, tf, dl) = (5.0, 1.0, 1.0, 3.0)
+    val avgdl = (3 + 6 + 3 + 9 + 2) / 5.0
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    val raw = idf * (tf * (TextAnalysis.Bm25K1 + 1)) /
+      (tf + TextAnalysis.Bm25K1 * (1 - TextAnalysis.Bm25B + TextAnalysis.Bm25B * dl / avgdl))
+    val expected = math.floor(raw * 10000 + 0.5 + 0.000001) / 10000
+    assert(scores.head.getAs[Double]("bm25") === expected)
+  }
+
+  test("pmiBigrams: frequency and PMI match first-principles counts") {
+    // corpus: Nu=23 unigrams, Nb=18 bigrams; "a the" occurs twice
+    // (doc 2: a,a,the,the,a,the), c(a)=3, c(the)=1+3=4
+    val rows = TextAnalysis.pmiBigrams(spark, dir, minFreq = 1).collect()
+      .map(r => r.getAs[String]("bigram") ->
+        ((r.getAs[Long]("freq"), r.getAs[Double]("pmi")))).toMap
+    val (freq, pmi) = rows("a the")
+    assert(freq === 2L)
+    val raw = math.log((2.0 / 18) / ((3.0 / 23) * (4.0 / 23)))
+    assert(pmi === math.floor(raw * 10000 + 0.5 + 0.000001) / 10000)
+  }
+
+  test("piiMask: digit runs and entity tokens redacted, count exact") {
+    val pdir = TestSpark.documentsFixture(Seq(
+      (1L, "call 555 1234 customer now", "en", "web"),
+      (2L, "customers keep their suffix", "en", "web"))) // \b guards the partial match
+    val rows = TextAnalysis.piiMask(spark, pdir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_redactions")).toMap
+    assert(rows(1L) === 3)
+    assert(rows(2L) === 0)
+    // fingerprint = md5 of the literally masked text
+    val masked = "call [PII] [PII] [PII] now"
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(masked.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = TextAnalysis.piiMask(spark, pdir).collect()
+      .find(_.getAs[Long]("doc_id") == 1L).get.getAs[String]("masked_md5")
+    assert(got === expected)
+  }
 }

@@ -86,4 +86,24 @@ class WindowsSpec extends AnyFunSuite {
     assert(rows(5L) === Some(7.0))
     assert(rows(6L) === None)
   }
+
+  test("scd2UserTypes: change rows become versioned intervals, open version is current") {
+    // user 1: view → purchase → view = 3 versions; user 2: view → purchase = 2
+    val rows = Windows.scd2UserTypes(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version")) ->
+        ((r.getAs[String]("event_type"),
+          Option(r.getAs[java.lang.Long]("valid_to_s")).map(_.longValue),
+          r.getAs[Boolean]("is_current")))).toMap
+    assert(rows.size === 5)
+    val t0 = 1786838400L
+    assert(rows((1L, 1)) === (("view", Some(t0 + 600), false)))
+    assert(rows((1L, 2)) === (("purchase", Some(t0 + 3000), false)))
+    assert(rows((1L, 3)) === (("view", None, true)))
+    assert(rows((2L, 1)) === (("view", Some(t0 + 1200), false)))
+    assert(rows((2L, 2)) === (("purchase", None, true)))
+    // exactly one current version per user
+    val currents = Windows.scd2UserTypes(spark, dir).collect()
+      .filter(_.getAs[Boolean]("is_current")).map(_.getAs[Long]("user_id"))
+    assert(currents.sorted.toSeq === Seq(1L, 2L))
+  }
 }
