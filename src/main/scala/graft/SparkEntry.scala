@@ -109,6 +109,9 @@ object SparkEntry {
     "q_trailing_hour"    -> (Windows.trailingHour _),
     "q_forward_fill"     -> (Windows.forwardFill _),
     "q_scd2_types"       -> (Windows.scd2UserTypes _),
+    "q_funnel"           -> ((s, d) => graft.operators.Behavior.funnelStages(s, d)),
+    "q_cohort_retention" -> (graft.operators.Behavior.cohortRetention _),
+    "q_format_roundtrip" -> (graft.sources.FormatRoundTrip.roundTripProfile _),
     // Custom physical operator (plans.TopKPerGroup): top-3 per user
     // without sort/window — partial+final bounded heaps
     "q_topk_custom"      -> ((s, d) => {
@@ -997,6 +1000,39 @@ object SparkEntry {
         |CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
         |CAST(floor(epoch(valid_to_ts)) AS BIGINT) AS valid_to_s,
         |valid_to_ts IS NULL AS is_current FROM v""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS ts0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS ts1 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.ts0 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.ts1 GROUP BY e.user_id),
+        |c AS (SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3),
+        |b AS (SELECT CAST(n_users AS DOUBLE) AS base FROM c WHERE stage = 1)
+        |SELECT stage, event_type, n_users,
+        |floor(n_users / b.base * 10000 + 0.5 + 0.000001) / 10000 AS conversion
+        |FROM c CROSS JOIN b""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH cohort AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        |  FROM events GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT cohort_date,
+        |CAST(date_diff('day', cohort_date, d) AS INT) AS day_offset,
+        |COUNT(*) AS n_users
+        |FROM active JOIN cohort USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q_format_roundtrip" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
+        |  FROM events)
+        |SELECT 'csv' AS format, * FROM a
+        |UNION ALL SELECT 'json', * FROM a
+        |UNION ALL SELECT 'orc', * FROM a""".stripMargin,
     "q_price_histogram" ->
       """SELECT CAST(LEAST(floor(l_extendedprice / 10000.0), 9) AS INT) AS bucket,
         |COUNT(*) AS n_items,

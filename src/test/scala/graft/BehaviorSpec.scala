@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Behavior
+
+/** Funnel and cohort semantics on a crafted event stream. */
+class BehaviorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val day = 86400L
+  private val base = 1786838400L // 2026-08-12 00:00 UTC
+  private def ns(offsetS: Long) = (base + offsetS) * 1000000000L
+
+  private val dir = TestSpark.eventsFixture(Seq(
+    // user 1: full funnel in order
+    (1L, 1L, "view", Double.box(1.0), ns(0)),
+    (2L, 1L, "click", Double.box(1.0), ns(10)),
+    (3L, 1L, "purchase", Double.box(1.0), ns(20)),
+    // user 2: view then purchase WITHOUT click → stops at stage 1
+    (4L, 2L, "view", Double.box(1.0), ns(0)),
+    (5L, 2L, "purchase", Double.box(1.0), ns(5)),
+    // user 3: click only (no view) → not in the funnel at all
+    (6L, 3L, "click", Double.box(1.0), ns(0)),
+    // user 1 again next day (for cohort retention)
+    (7L, 1L, "view", Double.box(1.0), ns(day + 100))))
+
+  test("funnelStages: ordered earliest-path counts and conversions") {
+    val rows = Behavior.funnelStages(spark, dir).collect()
+      .map(r => r.getAs[Int]("stage") ->
+        ((r.getAs[String]("event_type"), r.getAs[Long]("n_users"),
+          r.getAs[Double]("conversion")))).toMap
+    assert(rows(1) === (("view", 2L, 1.0)))
+    assert(rows(2) === (("click", 1L, 0.5)))
+    assert(rows(3) === (("purchase", 1L, 0.5)))
+  }
+
+  test("cohortRetention: day-offset activity per first-seen cohort") {
+    val collected = Behavior.cohortRetention(spark, dir).collect()
+    val day0 = java.time.Instant.ofEpochSecond(base)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val rows = collected
+      .map(r => (r.getAs[java.sql.Date]("cohort_date").toString,
+        r.getAs[Int]("day_offset")) -> r.getAs[Long]("n_users")).toMap
+    // all three users first seen on day 0; only user 1 returns on day 1
+    assert(rows((day0, 0)) === 3L)
+    assert(rows((day0, 1)) === 1L)
+    assert(rows.size === 2)
+  }
+}
