@@ -110,6 +110,8 @@ object SparkEntry {
     "q_forward_fill"     -> (Windows.forwardFill _),
     "q_scd2_types"       -> (Windows.scd2UserTypes _),
     "q_funnel"           -> ((s, d) => graft.operators.Behavior.funnelStages(s, d)),
+    "q_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
+    "q_stream_enrich"    -> (graft.streaming.EventStreams.enrichStreamGate _),
     "q_cohort_retention" -> (graft.operators.Behavior.cohortRetention _),
     "q_format_roundtrip" -> (graft.sources.FormatRoundTrip.roundTripProfile _),
     // Custom physical operator (plans.TopKPerGroup): top-3 per user
@@ -1098,6 +1100,49 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // PageRank: 5 unrolled power iterations, damping 0.85 (CAST AS
+    // DOUBLE so DuckDB's decimal literals reproduce Spark's binary
+    // doubles exactly)
+    "q_pagerank" ->
+      """WITH cs AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT a, b FROM cs UNION ALL SELECT b, a FROM cs),
+        |deg AS (SELECT a, COUNT(*) AS outdeg FROM edges GROUP BY a),
+        |nodes AS (SELECT a AS node FROM deg),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.b, SUM(r.rank / d.outdeg) AS mass FROM edges e
+        |  JOIN deg d ON e.a = d.a JOIN r0 r ON e.a = r.node GROUP BY e.b),
+        |r1 AS (SELECT node, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+        |  + CAST(0.85 AS DOUBLE) * COALESCE(c1.mass, CAST(0 AS DOUBLE)) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON node = c1.b),
+        |c2 AS (SELECT e.b, SUM(r.rank / d.outdeg) AS mass FROM edges e
+        |  JOIN deg d ON e.a = d.a JOIN r1 r ON e.a = r.node GROUP BY e.b),
+        |r2 AS (SELECT node, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+        |  + CAST(0.85 AS DOUBLE) * COALESCE(c2.mass, CAST(0 AS DOUBLE)) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON node = c2.b),
+        |c3 AS (SELECT e.b, SUM(r.rank / d.outdeg) AS mass FROM edges e
+        |  JOIN deg d ON e.a = d.a JOIN r2 r ON e.a = r.node GROUP BY e.b),
+        |r3 AS (SELECT node, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+        |  + CAST(0.85 AS DOUBLE) * COALESCE(c3.mass, CAST(0 AS DOUBLE)) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = c3.b),
+        |c4 AS (SELECT e.b, SUM(r.rank / d.outdeg) AS mass FROM edges e
+        |  JOIN deg d ON e.a = d.a JOIN r3 r ON e.a = r.node GROUP BY e.b),
+        |r4 AS (SELECT node, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+        |  + CAST(0.85 AS DOUBLE) * COALESCE(c4.mass, CAST(0 AS DOUBLE)) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c4 ON node = c4.b),
+        |c5 AS (SELECT e.b, SUM(r.rank / d.outdeg) AS mass FROM edges e
+        |  JOIN deg d ON e.a = d.a JOIN r4 r ON e.a = r.node GROUP BY e.b),
+        |r5 AS (SELECT node, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+        |  + CAST(0.85 AS DOUBLE) * COALESCE(c5.mass, CAST(0 AS DOUBLE)) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c5 ON node = c5.b)
+        |SELECT node, floor(rank * 10000 + 0.5 + 0.000001) / 10000 AS rank
+        |FROM r5""".stripMargin,
     // Pipeline gate oracles: the fixture sources are deterministic
     // (PriceCurve.usd(tick) = 50000 + 250*(tick%17) - 125*(tick%5);
     // coingecko = usd, coincap = usd+12.5, blockchain_info = usd-7.25;

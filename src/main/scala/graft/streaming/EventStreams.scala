@@ -207,6 +207,41 @@ object EventStreams {
     s.table(sink)
   }
 
+  /** Stream-static enrichment: a streaming event feed joined against a
+    * static (batch) dimension table — the standard "enrich the firehose
+    * with reference data" topology. The static side re-plans per
+    * micro-batch (so dimension updates between batches are picked up)
+    * and broadcasts, so the stream side never shuffles. */
+  def enrichBySegment(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("value_c"))
+
+  /** Real-execution gate for [[enrichBySegment]]: run the stream-static
+    * join + aggregation through a MemoryStream in Complete mode and
+    * return the final per-segment profile (deterministic: all events in
+    * one batch, integer value checksum). */
+  def enrichStreamGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sink = s"enrich_gate_${System.nanoTime()}"
+    val q = enrichBySegment(mem.toDF(), graft.Tables.customer(s, dir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(graft.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .as[Event].collect().toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+  }
+
   /** The pipeline's ingest stage as a real stream: micro-batch append
     * of raw price rows into the LakeCatalog via foreachBatch — the
     * Trigger.AvailableNow file-stream mapping of SURVEY §2.9. Each

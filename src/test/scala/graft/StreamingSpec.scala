@@ -182,6 +182,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Set((0L, 3L, 7.0), (4201L, 1L, 8.0)))
   }
 
+  test("enrichStreamGate: stream-static join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val got = EventStreams.enrichStreamGate(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getAs[String]("c_mktsegment"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("value_c"))).toSet
+    val want = EventStreams.enrichBySegment(
+        Tables.events(spark, TestSpark.sfDir), Tables.customer(spark, TestSpark.sfDir))
+      .collect()
+      .map(r => (r.getAs[String]("c_mktsegment"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("value_c"))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("dedupStreamGateKeys: streaming dedup equals batch DISTINCT over the keys") {
     val base = 1786838400L
     def ns(offsetS: Long) = (base + offsetS) * 1000000000L
