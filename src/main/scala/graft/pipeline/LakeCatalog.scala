@@ -106,8 +106,14 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * declared logical schema (hidden partitioning emulation, SURVEY
     * §1.4); partition pruning on them still applies underneath (see
     * graft.plans.HiddenPartitionPruning for the ts→date rewrite). */
+  /** Reads merge parquet footers across commits so an appended batch
+    * may ADD columns (schema evolution): older commits surface the new
+    * column as NULL, mirroring Iceberg's add-column semantics. */
+  private def readMerged(path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def table(name: String): DataFrame = {
-    val df = spark.read.parquet(tablePath(name))
+    val df = readMerged(tablePath(name))
     df.drop(df.columns.filter(hiddenCol).toSeq: _*)
   }
 
@@ -123,7 +129,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * travel applies to append tables (matching the reference, where
     * only raw accumulates snapshots hourly). */
   def tableAsOf(name: String, snapshotId: Long): DataFrame = {
-    val df = spark.read.parquet(tablePath(name))
+    val df = readMerged(tablePath(name))
     require(df.columns.contains(commitCol),
       s"$name has no commit history (CTAS tables hold only their latest state)")
     val filtered = df.filter(col(commitCol) <= snapshotId)
@@ -182,7 +188,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * feed an incremental transform consumes. Commit-partition pruned
     * like tableAsOf. */
   def tableSince(name: String, snapshotId: Long): DataFrame = {
-    val df = spark.read.parquet(tablePath(name))
+    val df = readMerged(tablePath(name))
     require(df.columns.contains(commitCol),
       s"$name has no commit history (CTAS tables hold only their latest state)")
     df.filter(col(commitCol) > snapshotId)

@@ -115,4 +115,19 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(odd.filter($"extracted_at" >= lit("2026-08-09").cast("timestamp"))
       .count() === 1L)
   }
+
+  test("schema evolution: an appended batch may add a column; old commits read NULL") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-evo"))
+    cat.createNamespace("raw")
+    cat.append("raw.t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    cat.append("raw.t", Seq((3L, "c", 9.5)).toDF("id", "name", "score"))
+    val t = cat.table("raw.t")
+    assert(t.columns.sorted.toSeq === Seq("id", "name", "score"))
+    val byId = t.collect().map(r => r.getAs[Long]("id") ->
+      Option(r.getAs[java.lang.Double]("score")).map(_.doubleValue)).toMap
+    assert(byId(1L) === None && byId(2L) === None && byId(3L) === Some(9.5))
+    // time travel before the evolution sees only the original columns' data
+    assert(cat.tableAsOf("raw.t", 1L).count() === 2L)
+  }
 }
