@@ -74,6 +74,13 @@ object SparkEntry {
     "q_pivot_daily"      -> (Relational.pivotDailyType _),
     "q_unpivot_daily"    -> (Relational.unpivotDaily _),
     "q_price_histogram"  -> ((s, d) => Relational.priceHistogram(s, d)),
+    "q_zorder"           -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrder.interleave2(
+          pmod(col("l_partkey"), lit(65536L)),
+          pmod(col("l_suppkey"), lit(65536L))).as("zval"))
+    }),
     "q_grouping_sets"    -> (Relational.groupingSetsMart _),
     "q_full_outer"       -> (Relational.fullOuterDaily _),
     "q_intersect_users"  -> (Relational.intersectUsers _),
@@ -1041,6 +1048,13 @@ object SparkEntry {
         |ROUND(SUM(l_extendedprice), 4) AS sum_price,
         |floor(AVG(l_extendedprice) * 10000 + 0.5 + 0.000001) / 10000 AS avg_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // Morton interleave (even bits = partkey, odd bits = suppkey)
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(list_sum([((((l_partkey % 65536) >> i) & 1) << (2 * i))
+        |             + ((((l_suppkey % 65536) >> i) & 1) << (2 * i + 1))
+        |  for i in range(0, 16)]) AS BIGINT) AS zval
+        |FROM lineitem""".stripMargin,
     "q_unpivot_daily" ->
       """WITH m AS (SELECT CAST(ts AS DATE) AS event_date, event_type,
         |  ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value,

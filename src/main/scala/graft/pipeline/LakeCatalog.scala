@@ -132,6 +132,9 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     val df = readMerged(tablePath(name))
     require(df.columns.contains(commitCol),
       s"$name has no commit history (CTAS tables hold only their latest state)")
+    require(snapshotId >= rewriteFloor(name),
+      s"$name snapshot $snapshotId predates the last compaction " +
+        s"(rewrite snapshot ${rewriteFloor(name)}) — its files were folded away")
     val filtered = df.filter(col(commitCol) <= snapshotId)
     filtered.drop(df.columns.filter(hiddenCol).toSeq: _*)
   }
@@ -191,12 +194,69 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     val df = readMerged(tablePath(name))
     require(df.columns.contains(commitCol),
       s"$name has no commit history (CTAS tables hold only their latest state)")
+    require(snapshotId >= rewriteFloor(name),
+      s"$name change feed from $snapshotId predates the last compaction " +
+        s"(rewrite snapshot ${rewriteFloor(name)}) — deltas were folded away")
     df.filter(col(commitCol) > snapshotId)
       .drop(df.columns.filter(hiddenCol).toSeq: _*)
   }
 
   /** Latest snapshot id of an append table (0 when empty). */
   def currentSnapshotId(name: String): Long = nextSnapshotId(name) - 1
+
+  /** Small-files compaction (the Iceberg `rewrite_data_files`
+    * maintenance action): rewrites every live commit into ONE new
+    * commit (preserving the hidden day-partitioning), deletes the old
+    * commit directories, and logs a `rewrite` snapshot. An hourly
+    * 3-row append cadence produces thousands of tiny files per year —
+    * at 100 TB this action is what keeps file counts (and scan
+    * planning time) bounded. Time travel to snapshots BEFORE the
+    * rewrite is no longer possible (their files are gone) and is
+    * guarded in tableAsOf. Single-writer discipline, like append: a
+    * crash between write and delete leaves duplicate rows that the
+    * next compact would fold again — acceptable for the emulation
+    * (real Iceberg gets atomicity from its metadata swap). */
+  def compact(name: String): Unit = {
+    val path = tablePath(name)
+    val raw = readMerged(path)
+    require(raw.columns.contains(commitCol),
+      s"$name has no commit history (compact applies to append tables)")
+    val oldCommits = {
+      import scala.jdk.CollectionConverters._
+      val stream = Files.list(Paths.get(path))
+      try stream.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith(s"$commitCol="))
+      finally stream.close()
+    }
+    val id = nextSnapshotId(name)
+    val partCols = raw.columns
+      .filter(_.startsWith(graft.plans.HiddenPartitionPruning.Prefix)).toSeq
+    val data = raw.drop(commitCol)
+    val writer =
+      if (partCols.nonEmpty) data.write.partitionBy(partCols: _*) else data.write
+    // the write executes against the file index captured above, so it
+    // reads only the pre-existing commit dirs
+    writer.mode(SaveMode.Append).parquet(s"$path/$commitCol=$id")
+    oldCommits.foreach(deleteRecursive)
+    logSnapshot(name, "rewrite",
+      spark.read.parquet(s"$path/$commitCol=$id").count(), id)
+  }
+
+  /** Highest `rewrite` snapshot id (0 if never compacted): snapshots
+    * below it were physically folded together and cannot be read. */
+  private def rewriteFloor(name: String): Long = {
+    val p = snapshotLogPath(name)
+    if (!Files.exists(p)) return 0L
+    val idRe = """"snapshot_id":(\d+)""".r
+    val lines = Files.lines(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      lines.iterator().asScala
+        .filter(_.contains("\"operation\":\"rewrite\""))
+        .flatMap(l => idRe.findFirstMatchIn(l).map(_.group(1).toLong))
+        .foldLeft(0L)(math.max)
+    } finally lines.close()
+  }
 
   /** Partition-scoped overwrite: replaces ONLY the partitions present
     * in `df` (dynamic partition overwrite), leaving every other

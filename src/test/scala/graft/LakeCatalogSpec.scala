@@ -130,4 +130,28 @@ class LakeCatalogSpec extends AnyFunSuite {
     // time travel before the evolution sees only the original columns' data
     assert(cat.tableAsOf("raw.t", 1L).count() === 2L)
   }
+
+  test("compact folds all commits into one; pre-rewrite time travel is refused") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-compact"))
+    cat.createNamespace("raw")
+    (1 to 3).foreach(i => cat.append("raw.t", Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    cat.compact("raw.t")
+    assert(cat.table("raw.t").count() === 3L)
+    assert(cat.table("raw.t").select("id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+    // one rewrite snapshot on top of the three appends
+    val snaps = cat.snapshots("raw.t").collect()
+    assert(snaps.length === 4)
+    assert(snaps.last.getAs[String]("operation") === "rewrite")
+    assert(snaps.last.getAs[Long]("added_records") === 3L)
+    // the rewrite snapshot is readable; earlier ones are gone
+    assert(cat.tableAsOf("raw.t", 4L).count() === 3L)
+    intercept[IllegalArgumentException](cat.tableAsOf("raw.t", 2L))
+    intercept[IllegalArgumentException](cat.tableSince("raw.t", 1L))
+    // appends continue normally after a compaction
+    cat.append("raw.t", Seq((4L, "v4")).toDF("id", "name"))
+    assert(cat.table("raw.t").count() === 4L)
+    assert(cat.tableSince("raw.t", 4L).count() === 1L)
+  }
 }
