@@ -1123,7 +1123,7 @@ object SparkEntry {
     // DOUBLE so DuckDB's decimal literals reproduce Spark's binary
     // doubles exactly)
     "q_pagerank" ->
-      """WITH cs AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      """WITH cs AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |edges AS (SELECT a, b FROM cs UNION ALL SELECT b, a FROM cs),
         |deg AS (SELECT a, COUNT(*) AS outdeg FROM edges GROUP BY a),

@@ -26,15 +26,18 @@ object Graph {
     * ways so the graph is undirected and free of dangling nodes).
     * Fixed `iters` power iterations with damping 0.85:
     * r'(v) = (1-d)/N + d · Σ_{u~v} r(u)/deg(u).
-    * Node ids are namespaced ('c123' / 's45') since customer and
-    * supplier keys share the integer space. */
+    * Node ids are LONGS namespaced by parity (customer k → 2k,
+    * supplier k → 2k+1): customer and supplier keys share the integer
+    * space, and an 8-byte key shuffles and hashes far cheaper than a
+    * string — at 100 TB the iteration shuffles dominate, so key width
+    * is the lever. */
   def pageRank(s: SparkSession, dir: String,
                iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
     val withDeg = edges
@@ -46,11 +49,17 @@ object Graph {
     val nSize = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nSize))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    // The rank vector is node-cardinality (the dimension side of this
+    // graph: customers + suppliers), orders of magnitude smaller than
+    // the edge list — broadcast it so each iteration streams the edges
+    // once with NO edge shuffle or sort. (A graph whose node set
+    // outgrows the broadcast limit would flip these to hash joins
+    // partitioned on node id — same plan shape, one extra exchange.)
     for (_ <- 1 to iters) {
-      val contrib = withDeg.join(ranks, col("a") === col("node"))
+      val contrib = withDeg.join(broadcast(ranks), col("a") === col("node"))
         .groupBy(col("b")).agg(sum(col("rank") / col("outdeg")).as("mass"))
       ranks = nodes.crossJoin(broadcast(nSize))
-        .join(contrib, col("node") === col("b"), "left")
+        .join(broadcast(contrib), col("node") === col("b"), "left")
         .select(col("node"),
           (lit(1) - lit(damping)) / col("n") +
             lit(damping) * coalesce(col("mass"), lit(0.0)) as "rank")

@@ -14,9 +14,9 @@ class GraphSpec extends AnyFunSuite {
     // undirected graph has no dangling nodes → total rank stays 1
     // (up to the 4-decimal output rounding across n nodes)
     assert(math.abs(ranks.sum - 1.0) < rows.length * 1e-4)
-    assert(rows.map(_.getAs[String]("node")).distinct.length === rows.length)
-    // both namespaces present
-    assert(rows.exists(_.getAs[String]("node").startsWith("c")))
-    assert(rows.exists(_.getAs[String]("node").startsWith("s")))
+    assert(rows.map(_.getAs[Long]("node")).distinct.length === rows.length)
+    // both parity namespaces present (even = customer, odd = supplier)
+    assert(rows.exists(_.getAs[Long]("node") % 2 == 0))
+    assert(rows.exists(_.getAs[Long]("node") % 2 == 1))
   }
 }
