@@ -82,6 +82,8 @@ object SparkEntry {
           pmod(col("l_suppkey"), lit(65536L))).as("zval"))
     }),
     "q_grouping_sets"    -> (Relational.groupingSetsMart _),
+    "q_local_supplier"   -> (Joins.localSupplierVolume _),
+    "q_ship_priority"    -> ((s, d) => Joins.shippingPriority(s, d)),
     "q_full_outer"       -> (Relational.fullOuterDaily _),
     "q_intersect_users"  -> (Relational.intersectUsers _),
     "q_except_users"     -> (Relational.exceptUsers _),
@@ -1048,6 +1050,27 @@ object SparkEntry {
         |ROUND(SUM(l_extendedprice), 4) AS sum_price,
         |floor(AVG(l_extendedprice) * 10000 + 0.5 + 0.000001) / 10000 AS avg_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_local_supplier" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_ship_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     // Morton interleave (even bits = partkey, odd bits = suppkey)
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber,

@@ -191,4 +191,50 @@ object Joins {
           sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct"),
         count(lit(1)).as("n_items"))
   }
+
+  /** TPC-H Q5 shape — local-supplier volume: the 6-table join
+    * (customer⋈orders⋈lineitem⋈supplier⋈nation⋈region) with the
+    * correlation predicate c_nationkey = s_nationkey and a date-range
+    * filter pushed to the orders scan. The two fact tables shuffle
+    * once on orderkey; all four dimensions broadcast, so the only
+    * exchanges in the plan are that one co-partitioning and the final
+    * tiny rollup — the join order a 100 TB star schema demands. */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q3 shape — shipping priority: BUILDING-segment customers'
+    * orders placed before the cutoff, restricted to lineitems shipped
+    * after it, top 10 by revenue. All three predicates push into their
+    * scans; the sort+limit fuses to TakeOrderedAndProject (no global
+    * sort of the aggregate). */
+  def shippingPriority(s: SparkSession, dir: String, cutoff: String = "1997-06-01"): DataFrame = {
+    val cus = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
 }

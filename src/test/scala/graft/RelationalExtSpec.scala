@@ -153,6 +153,22 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("flagship joins: Q5-shape broadcasts all dims; Q3-shape fuses top-k") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q5 = graft.operators.Joins.localSupplierVolume(spark, dir)
+        .queryExecution.executedPlan.toString
+      // the only exchanges: lineitem⋈orders co-partitioning + final rollup
+      assert("Exchange hashpartitioning".r.findAllIn(q5).length <= 2, q5)
+      // all four dims broadcast; the orders side may broadcast too at
+      // tiny SF (5 broadcast joins, zero fact-side shuffles)
+      assert("BroadcastHashJoin".r.findAllIn(q5).length >= 4, q5)
+      val q3 = graft.operators.Joins.shippingPriority(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(q3.contains("TakeOrderedAndProject"), q3)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("priceHistogram: buckets partition lineitem, top bucket clamps") {
     val hist = Relational.priceHistogram(spark, dir).collect()
     assert(hist.map(_.getAs[Long]("n_items")).sum === Tables.lineitem(spark, dir).count())
