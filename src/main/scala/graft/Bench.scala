@@ -62,8 +62,12 @@ object Bench {
     // they belong to the correctness gate, not the throughput benchmark.
     val notQueries = Set("q_pipeline_mart", "q_pipeline_snapshots",
       "q_pipeline_asof", "q_pipeline_incmart")
+    // optional args: bench only the named queries (local iteration aid)
+    val wanted = args.toSet
     val results = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(notQueries).map(n => n -> run(n))
+      .filterNot(notQueries)
+      .filter(n => wanted.isEmpty || wanted(n))
+      .map(n => n -> run(n))
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

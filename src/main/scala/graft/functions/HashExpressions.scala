@@ -18,10 +18,21 @@ import org.apache.spark.sql.types._
 
 /** MinHash signature: out[k] = min_i (h_i * a_k + b_k) for each of the
   * signature's affine rehash pairs. One pass over the hashes; the
-  * coefficient arrays are codegen reference constants. */
-case class LongMinHashSig(child: Expression, coeffA: Array[Long], coeffB: Array[Long])
+  * coefficient arrays are codegen reference constants.
+  *
+  * Coefficients are `Seq[Long]` (value equality), NOT `Array[Long]`:
+  * case-class equality on arrays is reference equality, which would
+  * make two plans built from equal-but-distinct coefficient arrays
+  * canonicalize UNEQUAL — silently defeating CacheManager reuse of any
+  * persisted frame whose plan contains this expression (measured 4x on
+  * the minhash-LSH pipeline, where the bucket cache was rebuilt on
+  * every call). */
+case class LongMinHashSig(child: Expression, coeffA: Seq[Long], coeffB: Seq[Long])
     extends UnaryExpression {
   require(coeffA.length == coeffB.length)
+
+  private lazy val arrA: Array[Long] = coeffA.toArray
+  private lazy val arrB: Array[Long] = coeffB.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -34,13 +45,13 @@ case class LongMinHashSig(child: Expression, coeffA: Array[Long], coeffB: Array[
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
-    val out = Array.fill(coeffA.length)(Long.MaxValue)
+    val out = Array.fill(arrA.length)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val h = hs.getLong(i)
       var k = 0
       while (k < out.length) {
-        val v = h * coeffA(k) + coeffB(k)
+        val v = h * arrA(k) + arrB(k)
         if (v < out(k)) out(k) = v
         k += 1
       }
@@ -51,8 +62,8 @@ case class LongMinHashSig(child: Expression, coeffA: Array[Long], coeffB: Array[
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, hs => {
-      val ca = ctx.addReferenceObj("minhashA", coeffA, "long[]")
-      val cb = ctx.addReferenceObj("minhashB", coeffB, "long[]")
+      val ca = ctx.addReferenceObj("minhashA", arrA, "long[]")
+      val cb = ctx.addReferenceObj("minhashB", arrB, "long[]")
       val out = ctx.freshName("out"); val i = ctx.freshName("i")
       val k = ctx.freshName("k"); val h = ctx.freshName("h"); val v = ctx.freshName("v")
       val n = ctx.freshName("n")

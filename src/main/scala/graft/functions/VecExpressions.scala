@@ -155,10 +155,17 @@ case class VecL2Dist(left: Expression, right: Expression) extends VecBinaryExpre
   * v . planes[k], packed into an int. One fused pass over nPlanes x dim
   * multiply-adds per row — replaces nPlanes separate interpreted dot
   * folds (the knnAnn map-side hot spot). The plane matrix is baked into
-  * the generated code as a reference-object constant. */
-case class VecSrpSignature(child: Expression, planes: Array[Array[Double]])
+  * the generated code as a reference-object constant.
+  *
+  * The matrix parameter is `Seq[Seq[Double]]` (value equality), not a
+  * raw array: array reference-equality in a case class would make two
+  * plans built from equal-but-distinct matrices canonicalize unequal,
+  * defeating CacheManager plan matching (see LongMinHashSig). */
+case class VecSrpSignature(child: Expression, planeRows: Seq[Seq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = IntegerType
+
+  private lazy val planes: Array[Array[Double]] = planeRows.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess

@@ -41,17 +41,19 @@ object VectorFunctions {
     GraftSql.column(VecL2Dist(GraftSql.expression(a), GraftSql.expression(b)))
 
   /** Deterministic random hyperplanes for cosine-LSH signatures:
-    * `nPlanes` x `dim` Gaussian-ish components from a fixed seed. */
-  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    * `nPlanes` x `dim` Gaussian-ish components from a fixed seed.
+    * Value-equality Seqs so plans embedding the same seed's planes
+    * canonicalize equal (cache reuse across calls). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
   /** Signed-random-projection LSH bucket id: bit k = sign(v . plane_k).
     * Cosine-similar vectors collide with probability
     * (1 - angle/pi)^nPlanes per bucket. Returns an int in
     * [0, 2^nPlanes). Single fused codegen pass over the plane matrix. */
-  def srpBucket(v: Column, planes: Array[Array[Double]]): Column =
+  def srpBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     GraftSql.column(VecSrpSignature(GraftSql.expression(v), planes))
 
   /** All bucket ids within Hamming distance 1 of the base bucket

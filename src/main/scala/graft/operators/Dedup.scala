@@ -89,10 +89,14 @@ object Dedup {
       transform(slice(ids, i + lit(2), size(ids)), y =>
         struct(least(x, y).as("a"), greatest(x, y).as("b")))))
 
-  /** Deterministic affine rehash constants for minhash (seeded). */
-  private val affine: Array[(Long, Long)] = {
+  /** Deterministic affine rehash constants for minhash (seeded).
+    * Value-equality Seqs, built once: every minhashSig call must embed
+    * EQUAL coefficients so repeated calls produce canonically-equal
+    * plans (cache reuse — see LongMinHashSig's scaladoc). */
+  private val (affineA, affineB): (Seq[Long], Seq[Long]) = {
     val rnd = new scala.util.Random(7L)
-    Array.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val pairs = Seq.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    (pairs.map(_._1), pairs.map(_._2))
   }
 
   /** MinHash signature from a document's shingle-hash array: for each
@@ -103,7 +107,7 @@ object Dedup {
     org.apache.spark.sql.GraftSql.column(
       graft.functions.LongMinHashSig(
         org.apache.spark.sql.GraftSql.expression(shingleHashes),
-        affine.map(_._1), affine.map(_._2)))
+        affineA, affineB))
 
   /** Near-duplicate pairs by MinHash-LSH with exact-Jaccard
     * verification: returns (doc_a < doc_b, jaccard) for every pair with

@@ -25,8 +25,8 @@ object Similarity {
   val NumQueryVecs = 10
   val Bits = 8              // SRP bits per hash table
   val NumTables = 16        // independent hash tables
-  private lazy val planes: Array[Array[Array[Double]]] =
-    Array.tabulate(NumTables)(t => hyperplanes(Bits, 64, seed = 42L + t))
+  private lazy val planes: IndexedSeq[Seq[Seq[Double]]] =
+    IndexedSeq.tabulate(NumTables)(t => hyperplanes(Bits, 64, seed = 42L + t))
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
