@@ -234,6 +234,12 @@ object SparkEntry {
     "q_pmi_bigrams"      -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
     "q_pii_mask"         -> (TextAnalysis.piiMask _),
     "q_stream_dedup"     -> (graft.streaming.EventStreams.dedupStreamGateKeys _),
+    // Round-3 additions: clustering, robust outliers, record linkage,
+    // domain-mixture planning
+    "q_kmeans"           -> ((s, d) => Similarity.kmeansCells(s, d)),
+    "q_mad_outliers"     -> ((s, d) => Relational.madOutliers(s, d)),
+    "q_fuzzy_parts"      -> ((s, d) => Joins.fuzzyNamePairs(s, d)),
+    "q_mixture_weights"  -> (TextAnalysis.mixtureWeights _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1137,6 +1143,58 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // K-means, 2 Lloyd iterations, k=8, seeds = first 8 vectors.
+    // Centroids are quantized to the 1e-6 grid between iterations on
+    // BOTH sides, so cross-engine summation-order ulps cannot flip an
+    // argmin assignment (see Similarity.kmeansCells).
+    "q_kmeans" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cell, v FROM (
+        |  SELECT e.vec_id, c0.cell, e.v, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_distance(e.v, c0.cv), c0.cell) AS rn
+        |  FROM e CROSS JOIN c0) WHERE rn = 1),
+        |u AS (SELECT cell, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM a1),
+        |m AS (SELECT cell, i, AVG(x) AS cx FROM u GROUP BY 1, 2),
+        |c1 AS (SELECT cell,
+        |  list(floor(cx * 1000000 + 0.5 + 0.000001) / 1000000 ORDER BY i) AS cv
+        |  FROM m GROUP BY cell),
+        |a2 AS (SELECT vec_id, cell, dist FROM (
+        |  SELECT e.vec_id, c1.cell, list_distance(e.v, c1.cv) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c1.cv), c1.cell) AS rn
+        |  FROM e CROSS JOIN c1) WHERE rn = 1)
+        |SELECT cell, COUNT(*) AS n_vectors,
+        |floor(AVG(dist) * 10000 + 0.5 + 0.000001) / 10000 AS avg_dist
+        |FROM a2 GROUP BY cell""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),
+        |dev AS (SELECT ev.event_type, value, abs(value - med) AS adev
+        |        FROM ev JOIN med USING (event_type)),
+        |mads AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT event_type, COUNT(*) AS n_outliers,
+        |ROUND(MIN(value), 4) AS min_outlier, ROUND(MAX(value), 4) AS max_outlier
+        |FROM dev JOIN mads USING (event_type)
+        |WHERE adev > 3.0 * mad
+        |GROUP BY 1""".stripMargin,
+    "q_fuzzy_parts" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand,
+        |           string_split(p_name, ' ')[1] AS w1 FROM part)
+        |SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    "q_mixture_weights" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs, SUM(n_docs) OVER () AS total,
+        |      sqrt(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()) AS w_raw FROM c)
+        |SELECT lang, n_docs,
+        |floor(w_raw / SUM(w_raw) OVER () * 10000 + 0.5 + 0.000001) / 10000 AS mix_weight,
+        |CAST(floor(w_raw / SUM(w_raw) OVER () * total + 0.5) AS BIGINT) AS target_docs
+        |FROM w""".stripMargin,
     "q_stream_enrich" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
         |CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_c

@@ -192,6 +192,35 @@ object Joins {
         count(lit(1)).as("n_items"))
   }
 
+  /** Blocked edit-distance fuzzy join — record linkage over part names:
+    * pairs of parts in the same block (brand + first name word) whose
+    * names are within `maxDist` Levenshtein edits. The standard
+    * entity-resolution shape: blocking keys turn the quadratic
+    * all-pairs into an equality join (ONE shuffle keyed by block), and
+    * the expensive string metric runs only inside blocks — candidate
+    * volume is sum of block_size^2, tracking true-match density, not
+    * corpus^2. Levenshtein is the built-in codegen'd expression, so
+    * verification stays inside whole-stage codegen.
+    *
+    * Blocking is part of the declared semantics here (pairs straddling
+    * blocks are by definition not candidates) — the honest contract of
+    * every blocked linkage system; recall beyond the block requires
+    * more blocking passes (e.g. second word, phonetic key), each the
+    * same plan. */
+  def fuzzyNamePairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"),
+      col("p_brand"), split(col("p_name"), " ").getItem(0).as("w1"))
+    val a = p.select(col("p_brand"), col("w1"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("w1"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "w1"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("p_brand"), col("key_a"), col("key_b"), col("dist"))
+  }
+
   /** TPC-H Q5 shape — local-supplier volume: the 6-table join
     * (customer⋈orders⋈lineitem⋈supplier⋈nation⋈region) with the
     * correlation predicate c_nationkey = s_nationkey and a date-range

@@ -406,6 +406,39 @@ object Relational {
       Array(col("min_value"), col("max_value"), col("avg_value")),
       "metric", "metric_value")
 
+  /** MAD-based robust outlier profile: per event type, values whose
+    * absolute deviation from the median exceeds 3x the median absolute
+    * deviation (MAD) — the standard robust alternative to z-scores
+    * (zscoreOutliers), immune to the outliers inflating their own
+    * threshold, which is what a curation gate wants on heavy-tailed
+    * quality signals.
+    *
+    * Plan: two exact-percentile aggregation passes (median, then MAD of
+    * deviations), each a tiny per-type result broadcast back onto the
+    * events scan — the fact table is scanned twice, shuffled never
+    * (both joins are broadcasts, both aggregates partial-merge to
+    * #types rows). Exact percentile keeps the oracle bit-comparable
+    * (same linear interpolation as DuckDB quantile_cont, proven by
+    * q_percentiles); at 100 TB the drop-in scale path is
+    * approx_percentile with documented error, same plan shape. */
+  def madOutliers(s: SparkSession, dir: String, nMads: Double = 3.0): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mads = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mads), "event_type")
+      .filter(col("adev") > lit(nMads) * col("mad"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"),
+        round(min(col("value")), 4).as("min_outlier"),
+        round(max(col("value")), 4).as("max_outlier"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

@@ -255,6 +255,61 @@ object Similarity {
         round4eps(avg(col("dist"))).as("avg_dist"))
   }
 
+  /** K-means (Lloyd) over the embedding corpus — the clustering pass a
+    * training-data curation pipeline runs for diversity sampling /
+    * cluster-balanced mixtures (and the refinement step a production
+    * IVF index applies to its coarse quantizer, cf. knnIvf's scaladoc).
+    *
+    * Deterministic and oracle-replayable by construction:
+    *  - init: the first `k` vectors by id (no sampling);
+    *  - assignment: argmin over L2 distance, ties to the lower cell id
+    *    — distances come from the fused VecL2Dist kernel whose
+    *    left-to-right fold is bit-identical to DuckDB's list_distance;
+    *  - update: element-wise mean via ONE vec_sum aggregate per cell,
+    *    then QUANTIZED to 6 decimals (floor(x*1e6+0.5+eps)/1e6). The
+    *    quantization is what makes iteration 2 cross-engine exact:
+    *    Spark's partial-merge summation and a sequential fold differ by
+    *    ~1 ulp, and an unquantized centroid would let that ulp flip an
+    *    argmin on a near-equidistant vector. Snapping both engines to
+    *    the same 1e-6 grid absorbs it (same discipline as round4eps).
+    *
+    * Scale shape per iteration: centroids broadcast (k x dim, tiny by
+    * definition), one map-side-combined shuffle keyed by vec_id for the
+    * argmin (the broadcast join leaves all k candidate rows of a vector
+    * in one partition, so partial aggregation collapses them before the
+    * exchange), one k-row shuffle for the centroid update. No iteration
+    * ever materializes corpus x corpus. */
+  def kmeansCells(s: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    val e = corpus(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      // argmin cell per vector; v rides inside the min-struct so the
+      // centroid update needs no join back to the corpus ((dist, cell)
+      // is unique within a vec_id group — cell is — so v is never
+      // compared)
+      assigned = e.crossJoin(broadcast(cents))
+        .withColumn("dist", l2Distance(col("v"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cell"), col("v"))).as("best"))
+        .select(col("vec_id"), col("best.cell").as("cell"),
+          col("best.dist").as("dist"), col("best.v").as("v"))
+      if (i < iters)
+        cents = assigned.groupBy(col("cell"))
+          .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("sums"),
+            count(lit(1)).as("n"))
+          .select(col("cell"), transform(col("sums"), x =>
+            floor(x / col("n") * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000))
+            .as("cv"))
+    }
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round4eps(avg(col("dist"))).as("avg_dist"))
+  }
+
   /** Embedding norms + label — exercises the double-fold vector kernel
     * end-to-end with a trivially oracle-able output. */
   def norms(s: SparkSession, dir: String): DataFrame =

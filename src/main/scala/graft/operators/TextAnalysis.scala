@@ -368,4 +368,29 @@ object TextAnalysis {
       col("doc_id"),
       md5(regexp_replace(col("text"), PiiPattern, "[PII]").cast("binary")).as("masked_md5"),
       size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0))).as("n_redactions"))
+
+  /** Temperature-scaled domain mixture plan (alpha = 0.5): per
+    * language, the sampling weight w_i = share_i^0.5 / sum_j share_j^0.5
+    * and the resulting target document count — the standard
+    * low-resource-upsampling mixture (multilingual corpora are sampled
+    * at p^alpha, alpha in [0.2, 0.7], to keep head languages from
+    * drowning the tail; alpha=1 is proportional, alpha=0 uniform).
+    *
+    * alpha is fixed at 0.5 so the power is sqrt — IEEE
+    * correctly-rounded in every engine, unlike libm pow/exp whose
+    * cross-engine ulp drift would need epsilon rounding on every
+    * intermediate. The whole computation after the per-language count
+    * is a window over that #langs-row aggregate — scale cost is ONE
+    * count shuffle over the corpus, everything else is constant-size. */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum(col("n_docs")).over(all))
+      .withColumn("w_raw", sqrt(col("n_docs").cast("double") / col("total")))
+      .withColumn("w_norm", col("w_raw") / sum(col("w_raw")).over(all))
+      .select(col("lang"), col("n_docs"),
+        round4eps(col("w_norm")).as("mix_weight"),
+        floor(col("w_norm") * col("total") + lit(0.5)).cast("long").as("target_docs"))
+  }
 }

@@ -210,4 +210,42 @@ class RelationalExtSpec extends AnyFunSuite {
       assert(r.getAs[Double]("qty_sq") === 625.0)
     }
   }
+
+  test("madOutliers flags only deviations beyond 3x the MAD") {
+    // type "a": median 10, MAD = median(1,0,0,0,1,90) = 0.5 → threshold
+    // 1.5: only the 100 qualifies. Type "b": constant values → MAD 0,
+    // adev 0 → 0 > 0 false, so the type is absent from the output.
+    val ts0 = 1700000000000000000L
+    val edir = TestSpark.eventsFixture(Seq(
+      (1L, 1L, "a", 9.0, ts0), (2L, 1L, "a", 10.0, ts0),
+      (3L, 1L, "a", 10.0, ts0), (4L, 1L, "a", 10.0, ts0),
+      (5L, 1L, "a", 11.0, ts0), (6L, 1L, "a", 100.0, ts0),
+      (7L, 2L, "b", 5.0, ts0), (8L, 2L, "b", 5.0, ts0)))
+    val rows = Relational.madOutliers(spark, edir).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("event_type") === "a")
+    assert(rows(0).getAs[Long]("n_outliers") === 1L)
+    assert(rows(0).getAs[Double]("min_outlier") === 100.0)
+    assert(rows(0).getAs[Double]("max_outlier") === 100.0)
+  }
+
+  test("fuzzyNamePairs links within blocks only, by edit distance") {
+    // Block = (brand, first word). Same block, dist 1 → pair; same
+    // block, dist > 3 → no pair; same name in ANOTHER brand → no pair
+    // (blocking is the declared semantics).
+    val pdir = TestSpark.tempDir("graft-part")
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "red widget", "Brand#1"),
+      (2L, "red widgit", "Brand#1"),
+      (3L, "red gizmos", "Brand#1"),
+      (4L, "red widget", "Brand#2"))
+      .toDF("p_partkey", "p_name", "p_brand")
+      .write.mode("overwrite").parquet(s"$pdir/part.parquet")
+    val pairs = graft.operators.Joins.fuzzyNamePairs(spark, pdir).collect()
+      .map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
+        r.getAs[Int]("dist"))).toSet
+    assert(pairs === Set((1L, 2L, 1)))
+  }
 }

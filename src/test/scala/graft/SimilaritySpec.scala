@@ -138,4 +138,25 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Double]("q_scale") > 0)
     }
   }
+
+  test("kmeansCells separates two crafted clusters and partitions the corpus") {
+    // Seeds are vec 0 (axis 0) and vec 1 (axis 1); even ids cluster
+    // near axis 0, odd near axis 1. After 2 Lloyd iterations every
+    // vector must sit in its axis's cell and counts must partition.
+    def near(i: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(dim)(0.0f); v(i) = 1.0f; v((i + 2) % dim) = eps; v
+    }
+    val kdir = TestSpark.embeddingsFixture(Seq(
+      (0L, near(0, 0.00f), 0), (1L, near(1, 0.00f), 1),
+      (2L, near(0, 0.05f), 0), (3L, near(1, 0.05f), 1),
+      (4L, near(0, 0.10f), 0), (5L, near(1, 0.10f), 1),
+      (6L, near(0, 0.15f), 0), (7L, near(1, 0.15f), 1)))
+    val cells = Similarity.kmeansCells(spark, kdir, k = 2, iters = 2).collect()
+    assert(cells.map(_.getAs[Long]("n_vectors")).sum === 8L)
+    assert(cells.map(_.getAs[Int]("cell")).toSet === Set(0, 1))
+    cells.foreach { r => assert(r.getAs[Long]("n_vectors") === 4L) }
+    // tight clusters: mean distance to own centroid well under the
+    // inter-cluster distance (sqrt(2) between the two axes)
+    cells.foreach { r => assert(r.getAs[Double]("avg_dist") < 0.2) }
+  }
 }

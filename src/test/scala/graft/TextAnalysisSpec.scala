@@ -210,4 +210,19 @@ class TextAnalysisSpec extends AnyFunSuite {
       .find(_.getAs[Long]("doc_id") == 1L).get.getAs[String]("masked_md5")
     assert(got === expected)
   }
+
+  test("mixtureWeights: alpha=0.5 temperature scaling, weights sum to 1") {
+    // 4 en + 1 de: shares (0.8, 0.2); sqrt-scaled weights are exactly
+    // (2/3, 1/3) because sqrt(0.2)/sqrt(0.8) = 1/2.
+    val mdir = TestSpark.documentsFixture(Seq(
+      (1L, "a", "en", "s"), (2L, "b", "en", "s"), (3L, "c", "en", "s"),
+      (4L, "d", "en", "s"), (5L, "e", "de", "s")))
+    val rows = TextAnalysis.mixtureWeights(spark, mdir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mix_weight"),
+          r.getAs[Long]("target_docs"))).toMap
+    assert(rows("en") === ((4L, 0.6667, 3L)))
+    assert(rows("de") === ((1L, 0.3333, 2L)))
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 0.001)
+  }
 }
