@@ -240,6 +240,9 @@ object SparkEntry {
     "q_mad_outliers"     -> ((s, d) => Relational.madOutliers(s, d)),
     "q_fuzzy_parts"      -> ((s, d) => Joins.fuzzyNamePairs(s, d)),
     "q_mixture_weights"  -> (TextAnalysis.mixtureWeights _),
+    "q_unigram_ll"       -> (TextAnalysis.unigramLogLoss _),
+    "q_winsorized"       -> (Relational.winsorizedStats _),
+    "q_global_sort"      -> (Relational.globalSort _), // ordering asserted in spec
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1195,6 +1198,33 @@ object SparkEntry {
         |floor(w_raw / SUM(w_raw) OVER () * 10000 + 0.5 + 0.000001) / 10000 AS mix_weight,
         |CAST(floor(w_raw / SUM(w_raw) OVER () * total + 0.5) AS BIGINT) AS target_docs
         |FROM w""".stripMargin,
+    "q_unigram_ll" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |              FROM documents),
+        |freqs AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_total FROM toks)
+        |SELECT doc_id,
+        |floor(-AVG(ln(CAST(c AS DOUBLE) / n_total)) * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS nll,
+        |COUNT(*) AS n_tokens
+        |FROM toks JOIN freqs USING (w) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+    "q_winsorized" ->
+      """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |      quantile_cont(value, 0.95) AS hi FROM ev GROUP BY 1),
+        |c AS (SELECT ev.event_type, value,
+        |      greatest(lo, least(hi, value)) AS clamped
+        |      FROM ev JOIN b USING (event_type))
+        |SELECT event_type, COUNT(*) AS n_valued,
+        |floor(AVG(clamped) * 10000 + 0.5 + 0.000001) / 10000 AS avg_wins,
+        |ROUND(MIN(clamped), 4) AS min_wins,
+        |ROUND(MAX(clamped), 4) AS max_wins,
+        |COUNT(CASE WHEN clamped <> value THEN 1 END) AS n_clamped
+        |FROM c GROUP BY 1""".stripMargin,
+    "q_global_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity, l_extendedprice
+        |FROM lineitem""".stripMargin,
     "q_stream_enrich" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
         |CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_c

@@ -439,6 +439,43 @@ object Relational {
         round(max(col("value")), 4).as("max_outlier"))
   }
 
+  /** Winsorized statistics: per event type, values CLAMPED to the
+    * [p05, p95] band before aggregating — the transformation sibling of
+    * the outlier filters (madOutliers drops rows; winsorizing keeps
+    * them at the boundary, the usual choice when the row itself is
+    * valid and only the magnitude is suspect). Same plan shape:
+    * exact-percentile aggregate → broadcast back → one clamped pass. */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("clamped", greatest(col("lo"), least(col("hi"), col("value"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_valued"),
+        round4eps(avg(col("clamped"))).as("avg_wins"),
+        round(min(col("clamped")), 4).as("min_wins"),
+        round(max(col("clamped")), 4).as("max_wins"),
+        count(when(col("clamped") =!= col("value"), lit(1))).as("n_clamped"))
+  }
+
+  /** Global multi-column sort — the one ordering operator the hash
+    * oracle cannot see (it sorts both sides before comparing), so the
+    * ordering contract is asserted in RelationalExtSpec instead; the
+    * gate checks content, the bench measures the sort. Spark executes
+    * this as a RangePartitioning exchange (sampled split points) +
+    * per-partition sort — the 100 TB total-order primitive (no single
+    * reducer ever sees the whole data), and what a sorted-parquet
+    * export rides on. */
+  def globalSort(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

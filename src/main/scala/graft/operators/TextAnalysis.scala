@@ -369,6 +369,32 @@ object TextAnalysis {
       md5(regexp_replace(col("text"), PiiPattern, "[PII]").cast("binary")).as("masked_md5"),
       size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0))).as("n_redactions"))
 
+  /** Per-document unigram language-model score — the CCNet-style
+    * quality signal: nll(doc) = -mean_w ln p(w), with p() the corpus's
+    * own unigram distribution (production trains the LM on a trusted
+    * corpus — e.g. Wikipedia — and scores the crawl with it; the
+    * mechanism, a frequency-table join + per-doc aggregate, is
+    * identical). Low = fluent/common words, high = junk.
+    *
+    * Plan: one token explode, one count aggregate for the frequency
+    * table, one join keyed by word to attach ln p, one per-doc
+    * aggregate. The frequency table is Zipf-skewed: the join's
+    * word-keyed shuffle handles it via AQE skew split; at 100 TB the
+    * standard upgrade is broadcasting the top-K head vocabulary and
+    * joining only the tail. */
+  def unigramLogLoss(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val freqs = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = freqs.agg(sum(col("c")).as("n_total"))
+    toks.join(freqs, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("logp", log(col("c").cast("double") / col("n_total")))
+      .groupBy(col("doc_id"))
+      .agg(round4eps(-avg(col("logp"))).as("nll"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Temperature-scaled domain mixture plan (alpha = 0.5): per
     * language, the sampling weight w_i = share_i^0.5 / sum_j share_j^0.5
     * and the resulting target document count — the standard

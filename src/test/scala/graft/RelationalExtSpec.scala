@@ -229,6 +229,30 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(rows(0).getAs[Double]("max_outlier") === 100.0)
   }
 
+  test("globalSort produces a total order (the hash oracle cannot see order)") {
+    val rows = Relational.globalSort(spark, dir).collect()
+    assert(rows.length === Tables.lineitem(spark, dir).count())
+    val keys = rows.map(r => (r.getAs[java.time.LocalDateTime]("l_shipdate"),
+      r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber")))
+    keys.sliding(2).foreach { case Array(a, b) =>
+      val c = a._1.compareTo(b._1)
+      assert(c < 0 || (c == 0 && (a._2 < b._2 || (a._2 == b._2 && a._3 <= b._3))),
+        s"out of order: $a then $b")
+    }
+  }
+
+  test("winsorizedStats: clamped aggregates respect the [p05,p95] band") {
+    val rows = Relational.winsorizedStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_wins") <= r.getAs[Double]("avg_wins"))
+      assert(r.getAs[Double]("avg_wins") <= r.getAs[Double]("max_wins"))
+      // ~10% of rows sit outside [p05,p95] by construction of exact
+      // percentiles (ties can shrink it, never grow it much)
+      assert(r.getAs[Long]("n_clamped") <= r.getAs[Long]("n_valued") * 15 / 100)
+    }
+  }
+
   test("fuzzyNamePairs links within blocks only, by edit distance") {
     // Block = (brand, first word). Same block, dist 1 → pair; same
     // block, dist > 3 → no pair; same name in ANOTHER brand → no pair
