@@ -123,6 +123,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HiddenPartitionPruning)
+    ext.injectOptimizerRule(_ => FoldSortIntoWindow)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     register(ext, "vec_dot", 2, a => graft.functions.VecDot(a(0), a(1)))
     register(ext, "vec_cosine", 2, a => graft.functions.VecCosine(a(0), a(1)))
