@@ -55,7 +55,7 @@ object Graph {
     // once with NO edge shuffle or sort. (A graph whose node set
     // outgrows the broadcast limit would flip these to hash joins
     // partitioned on node id — same plan shape, one extra exchange.)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg.join(broadcast(ranks), col("a") === col("node"))
         .groupBy(col("b")).agg(sum(col("rank") / col("outdeg")).as("mass"))
       ranks = nodes.crossJoin(broadcast(nSize))
@@ -63,6 +63,14 @@ object Graph {
         .select(col("node"),
           (lit(1) - lit(damping)) / col("n") +
             lit(damping) * coalesce(col("mass"), lit(0.0)) as "rank")
+      // Cut lineage each round: without this the final plan nests
+      // `iters` broadcast-join trees (optimizer time grows with the
+      // plan, and each broadcast subtree re-plans the whole prefix).
+      // The rank vector is node-cardinality — checkpointing it is one
+      // tiny job per round, the same constant-plan discipline as the
+      // CC label loop. Skip the last round: the caller's action
+      // materializes it.
+      if (i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), round4eps(col("rank")).as("rank"))
   }

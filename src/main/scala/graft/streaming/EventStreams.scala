@@ -187,24 +187,41 @@ object EventStreams {
     * exactly the batch DISTINCT over the key columns — which is what
     * the DuckDB oracle checks. (Production path: readStream instead of
     * the in-memory source; the plan is identical.) */
-  def dedupStreamGateKeys(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-    val sink = s"dedup_gate_${System.nanoTime()}"
-    val q = dedupStream(mem.toDF(), Seq("user_id", "event_type"))
-      .select(col("user_id"), col("event_type"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
-      mem.addData(graft.Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), col("ts"))
-        .as[Event].collect().toIndexedSeq)
-      q.processAllAvailable()
-    } finally q.stop()
-    // the query is stopped, so the memory sink table is now static
-    s.table(sink)
+  def dedupStreamGateKeys(s: SparkSession, dir: String): DataFrame =
+    withGatePartitions(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      val sink = s"dedup_gate_${System.nanoTime()}"
+      val q = dedupStream(mem.toDF(), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(graft.Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts"))
+          .as[Event].collect().toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the query is stopped, so the memory sink table is now static
+      s.table(sink)
+    }
+
+  /** Gate-scoped shuffle-partition override. A stateful streaming op
+    * instantiates ONE state store (with its own checkpoint dir,
+    * maintenance thread, and commit files) per shuffle partition — for
+    * a gate's single small micro-batch that is pure fixed overhead, so
+    * the gates run with a handful of state partitions. Production
+    * streams size this to the key cardinality instead; the number is
+    * locked into the checkpoint at first start either way. Restores the
+    * session conf afterwards (the conf is read at stream START, so
+    * scoping it around start()..stop() is race-free for this session). */
+  private def withGatePartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
   }
 
   /** Stream-static enrichment: a streaming event feed joined against a
@@ -224,23 +241,24 @@ object EventStreams {
     * join + aggregation through a MemoryStream in Complete mode and
     * return the final per-segment profile (deterministic: all events in
     * one batch, integer value checksum). */
-  def enrichStreamGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-    val sink = s"enrich_gate_${System.nanoTime()}"
-    val q = enrichBySegment(mem.toDF(), graft.Tables.customer(s, dir))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete).start()
-    try {
-      mem.addData(graft.Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), col("ts"))
-        .as[Event].collect().toIndexedSeq)
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(sink)
-  }
+  def enrichStreamGate(s: SparkSession, dir: String): DataFrame =
+    withGatePartitions(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      val sink = s"enrich_gate_${System.nanoTime()}"
+      val q = enrichBySegment(mem.toDF(), graft.Tables.customer(s, dir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete).start()
+      try {
+        mem.addData(graft.Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts"))
+          .as[Event].collect().toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    }
 
   /** The pipeline's ingest stage as a real stream: micro-batch append
     * of raw price rows into the LakeCatalog via foreachBatch — the
