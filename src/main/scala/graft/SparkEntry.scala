@@ -241,6 +241,7 @@ object SparkEntry {
     "q_fuzzy_parts"      -> ((s, d) => Joins.fuzzyNamePairs(s, d)),
     "q_mixture_weights"  -> (TextAnalysis.mixtureWeights _),
     "q_unigram_ll"       -> (TextAnalysis.unigramLogLoss _),
+    "q_heavy_hitters"    -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "q_winsorized"       -> (Relational.winsorizedStats _),
     "q_global_sort"      -> (Relational.globalSort _), // ordering asserted in spec
   )
@@ -812,6 +813,15 @@ object SparkEntry {
       """SELECT token, COUNT(*) AS freq FROM
         |(SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    // The sketch+verify pipeline is exactly the full HAVING filter
+    // (Misra-Gries guarantees no false negatives above N/(k+1); the
+    // verify pass removes false positives with exact counts).
+    "q_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |n AS (SELECT COUNT(*) AS n_total FROM toks)
+        |SELECT token, COUNT(*) AS cnt FROM toks CROSS JOIN n
+        |GROUP BY token, n_total HAVING COUNT(*) * 100 > n_total""".stripMargin,
     "q_tfidf_top" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |            FROM documents),

@@ -1,0 +1,141 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries frequent-items sketch as a partial-mergeable aggregate:
+  * `mg_topk(string_col, k) -> array<string>` — the candidate set of
+  * heavy hitters, using k counters of bounded memory per partial.
+  *
+  * This is the single-pass scale path for "which tokens appear more
+  * than N/t times" over a 100 TB corpus: a full `GROUP BY token` must
+  * shuffle every distinct token (vocabulary-sized state); the sketch
+  * carries a CONSTANT k-entry map per map task, merges like any
+  * aggregate partial, and guarantees (Misra–Gries 1982; merge rule and
+  * proof: Agarwal et al. 2012, "Mergeable Summaries") that every item
+  * with true count > N/(k+1) survives. False positives are possible —
+  * the standard second pass re-counts exactly ONLY the ≤k candidates
+  * (a broadcast semi-join, no vocabulary shuffle) and applies the real
+  * threshold, making the end-to-end result deterministic and exact.
+  *
+  * update: counter hit → +1; free slot → insert 1; full → decrement
+  * all (amortized O(1)). merge: sum counts, then subtract the (k+1)-th
+  * largest count and drop non-positives — the mergeable-summaries rule
+  * that preserves the N/(k+1) guarantee under any merge tree.
+  * eval: candidate items sorted lexicographically (deterministic
+  * output order; estimated counts are merge-order dependent and
+  * deliberately NOT exposed).
+  */
+case class MisraGriesTopK(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+
+  require(k > 0, s"mg_topk needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long](k * 2)
+
+  override def update(buf: java.util.HashMap[String, Long],
+                      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val item = v.asInstanceOf[UTF8String].toString
+    val cur = buf.get(item)
+    if (cur != 0L || buf.containsKey(item)) buf.put(item, cur + 1L)
+    else if (buf.size < k) buf.put(item, 1L)
+    else decrementAll(buf, 1L)
+    buf
+  }
+
+  override def merge(b1: java.util.HashMap[String, Long],
+                     b2: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      // stored counts are always >= 1, so get()==0 means absent
+      b1.put(e.getKey, b1.get(e.getKey) + e.getValue)
+    }
+    if (b1.size > k) {
+      // subtract the (k+1)-th largest count from everything, drop <= 0
+      val counts = new Array[Long](b1.size)
+      var i = 0
+      val vs = b1.values().iterator()
+      while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      decrementAll(b1, counts(b1.size - k - 1))
+    }
+    b1
+  }
+
+  private def decrementAll(buf: java.util.HashMap[String, Long], d: Long): Unit = {
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - d
+      if (nv <= 0L) it.remove() else e.setValue(nv)
+    }
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val items = new Array[AnyRef](buf.size)
+    var i = 0
+    val ks = buf.keySet().iterator()
+    while (ks.hasNext) { items(i) = UTF8String.fromString(ks.next()); i += 1 }
+    java.util.Arrays.sort(items, (a: AnyRef, b: AnyRef) =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
+    new GenericArrayData(items)
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    var bytes = 4
+    val it0 = buf.entrySet().iterator()
+    while (it0.hasNext) {
+      bytes += 4 + 8 + it0.next().getKey.getBytes(StandardCharsets.UTF_8).length
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes(StandardCharsets.UTF_8)
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = new java.util.HashMap[String, Long](math.max(n * 2, k * 2))
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](bb.getInt)
+      bb.get(kb)
+      m.put(new String(kb, StandardCharsets.UTF_8), bb.getLong)
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesTopK =
+    copy(child = newChildren.head)
+  override def prettyName: String = "mg_topk"
+}

@@ -419,4 +419,38 @@ object TextAnalysis {
         round4eps(col("w_norm")).as("mix_weight"),
         floor(col("w_norm") * col("total") + lit(0.5)).cast("long").as("target_docs"))
   }
+
+  /** Heavy hitters over the token stream via the Misra–Gries sketch +
+    * exact re-count: every token appearing in more than 1% of the
+    * corpus's token occurrences, with its exact count.
+    *
+    * Two passes, NEITHER of which shuffles the vocabulary:
+    *  1. sketch pass — `mg_topk(token, 256)` folds the whole stream
+    *     into one 256-counter summary per map partition, merged like
+    *     any aggregate partial. Tokens with count > N/257 are
+    *     GUARANTEED present (mergeable-summaries bound), so with a 1%
+    *     (> 1/257) threshold the candidate set has no false negatives.
+    *  2. verify pass — exact counts for the ≤256 candidates only,
+    *     via broadcast semi-join, then the real threshold.
+    * Result is deterministic and EQUAL to the full
+    * `GROUP BY token HAVING count > N/100` — which is the oracle — but
+    * the state carried through shuffles is O(k), not O(vocabulary):
+    * the difference between a bounded sketch and a 100 TB wordcount.
+    */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("token"))
+    val mg = org.apache.spark.sql.GraftSql.column(
+      graft.functions.MisraGriesTopK(
+        org.apache.spark.sql.GraftSql.expression(col("token")), k)
+        .toAggregateExpression())
+    val candidates = toks
+      .agg(mg.as("cands"), count(lit(1)).as("n_total"))
+      .select(explode(col("cands")).as("token"), col("n_total"))
+    toks.join(broadcast(candidates), "token")
+      .groupBy(col("token"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 100 > col("n_total"))
+      .select(col("token"), col("cnt"))
+  }
 }

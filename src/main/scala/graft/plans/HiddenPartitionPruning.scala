@@ -134,5 +134,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // element-wise vector sum aggregate (array<float|double> -> array<double>)
     register(ext, "vec_sum", 1,
       a => graft.functions.VecSumAgg(a(0)).toAggregateExpression())
+    // Misra-Gries frequent-items sketch: mg_topk(col, k) -> array<string>
+    ext.injectFunction((FunctionIdentifier("mg_topk"),
+      new ExpressionInfo("graft.functions", "mg_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "mg_topk expects (column, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"mg_topk k must be an integer literal, got $other")
+        }
+        graft.functions.MisraGriesTopK(args(0), k).toAggregateExpression()
+      }))
   }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries frequent-items sketch: guarantee, merge behavior, and
+  * end-to-end equality of heavyHitters with the exact GROUP BY. */
+class FreqSketchSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+
+  test("mg_topk guarantees items above N/(k+1) survive tiny k") {
+    // 60 'hot' + 40 singletons, k=4: hot has count 60 > 100/5
+    val data = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"w$i"))
+    val df = data.toDF("token").repartition(7) // force partial merges
+    val out = df.agg(expr("mg_topk(token, 4)").as("c"))
+      .select(explode(col("c")).as("token")).as[String].collect().toSet
+    assert(out.contains("hot"), s"guaranteed heavy item missing from $out")
+    assert(out.size <= 4)
+  }
+
+  test("sketch handles k larger than vocabulary (exact mode)") {
+    val df = Seq("a", "b", "a", "c", "a").toDF("token").repartition(3)
+    val out = df.agg(expr("mg_topk(token, 100)").as("c"))
+      .select(explode(col("c")).as("token")).as[String].collect().toSet
+    assert(out === Set("a", "b", "c")) // nothing evicted, sorted set
+  }
+
+  test("heavyHitters equals the exact HAVING-filter wordcount") {
+    val dir = TestSpark.sfDir
+    val exact = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = exact.count()
+    val expect = exact.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 100 > n)
+      .select(col("token"), col("cnt"))
+    val got = operators.TextAnalysis.heavyHitters(s, dir)
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    assert(got.count() > 0, "fixture should contain at least one heavy token")
+  }
+}
