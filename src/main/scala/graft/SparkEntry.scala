@@ -155,6 +155,7 @@ object SparkEntry {
     "q_embedding_quant"  -> ((s, d) => Similarity.quantizeStats(s, d)),
     "q_knn_ivf"          -> ((s, d) => Similarity.knnIvf(s, d)),        // rows-only (ANN)
     "q_ivf_cells"        -> ((s, d) => Similarity.ivfCellProfile(s, d)),
+    "q_gram_matrix"      -> ((s, d) => Similarity.gramMatrix(s, d)),
     // Multimodal binary columns
     "q_media_profile"    -> (Multimodal.mediaProfile _),
     "q_media_norms"      -> ((s, d) => Multimodal.featureNorms(s, d)),   // rows-only (stub decode)
@@ -675,6 +676,17 @@ object SparkEntry {
         |floor(scale * 10000 + 0.5 + 0.000001) / 10000 AS q_scale,
         |list_min(qv) AS q_min, list_max(qv) AS q_max,
         |CAST(list_sum(qv) AS BIGINT) AS q_sum FROM q""".stripMargin,
+    // Second-moment matrix of the leading 8 dims; summation-order
+    // drift absorbed by the shared boundary-stable rounding.
+    "q_gram_matrix" ->
+      """WITH e AS (SELECT [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |u AS (SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+        |             v[CAST(i.i AS INTEGER) + 1] * v[CAST(j.j AS INTEGER) + 1] AS p
+        |      FROM e CROSS JOIN range(0, 8) i(i) CROSS JOIN range(0, 8) j(j)
+        |      WHERE i.i <= j.j)
+        |SELECT i, j, floor(AVG(p) * 10000 + 0.5 + 0.000001) / 10000 AS m2
+        |FROM u GROUP BY i, j""".stripMargin,
     "q_knn_brute" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
         |           FROM embeddings),

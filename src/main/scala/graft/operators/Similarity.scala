@@ -323,6 +323,32 @@ object Similarity {
     * buffer per label) divided by the count — dimension-agnostic, and
     * the shuffle carries one array per (label, partition) instead of
     * dim separate avg states. */
+  /** Second-moment (Gram) matrix of the leading `d` embedding
+    * dimensions: M2[i][j] = avg over the corpus of v[i]*v[j] — the
+    * input to PCA/whitening and the standard embedding-drift monitor.
+    *
+    * Distributed linear algebra as ONE aggregation: each row maps to
+    * its d*d outer-product array (upper triangle kept after the
+    * explode), vec_sum folds them element-wise with a single double[]
+    * buffer per partial — the d^2-wide analog of labelCohesion's
+    * centroid sum. Nothing is ever collected: at 100 TB the shuffle
+    * carries one d^2 array per map partition, and the result is d^2
+    * rows regardless of corpus size. (Full PCA would eigendecompose
+    * this d x d result driver-side — a constant-size step.) */
+  def gramMatrix(s: SparkSession, dir: String, d: Int = 8): DataFrame = {
+    val prods = array((for (i <- 0 until d; j <- 0 until d) yield
+      element_at(col("v"), i + 1) * element_at(col("v"), j + 1)): _*)
+    corpus(s, dir)
+      .withColumn("v", slice(transform(col("embedding"), x => x.cast("double")), 1, d))
+      .select(prods.as("p"))
+      .agg(vecSum(col("p")).as("sums"), count(lit(1)).as("n"))
+      .select(posexplode(col("sums")).as(Seq("idx", "ssum")), col("n"))
+      .select((col("idx") / lit(d)).cast("int").as("i"),
+        pmod(col("idx"), lit(d)).cast("int").as("j"),
+        round4eps(col("ssum") / col("n")).as("m2"))
+      .filter(col("i") <= col("j"))
+  }
+
   def labelCohesion(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir).withColumn("emb_d",
       transform(col("embedding"), x => x.cast("double")))

@@ -159,4 +159,19 @@ class SimilaritySpec extends AnyFunSuite {
     // inter-cluster distance (sqrt(2) between the two axes)
     cells.foreach { r => assert(r.getAs[Double]("avg_dist") < 0.2) }
   }
+
+  test("gramMatrix: hand-checkable second moments on axis vectors") {
+    // vectors: (1,0,...), (1,0.5,0...), dims 2..7 all zero
+    val gdir = TestSpark.embeddingsFixture(Seq(
+      (0L, axis(0), 0), (1L, mix(0, 1, 0.5f), 0)))
+    val g = Similarity.gramMatrix(spark, gdir, d = 8).collect()
+      .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")), r.getAs[Double]("m2")))
+      .toMap
+    assert(g.size === 36) // upper triangle of 8x8
+    assert(g((0, 0)) === 1.0)          // avg(1, 1)
+    assert(g((0, 1)) === 0.25)         // avg(0, 0.5)
+    assert(g((1, 1)) === 0.125)        // avg(0, 0.25)
+    assert(g((2, 2)) === 0.0)
+    assert(g.forall { case ((i, j), _) => i <= j })
+  }
 }
