@@ -120,6 +120,7 @@ object SparkEntry {
     "q_scd2_types"       -> (Windows.scd2UserTypes _),
     "q_funnel"           -> ((s, d) => graft.operators.Behavior.funnelStages(s, d)),
     "q_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
+    "q_triangles"        -> ((s, d) => graft.operators.Graph.triangleCounts(s, d)),
     "q_stream_enrich"    -> (graft.streaming.EventStreams.enrichStreamGate _),
     "q_cohort_retention" -> (graft.operators.Behavior.cohortRetention _),
     "q_format_roundtrip" -> (graft.sources.FormatRoundTrip.roundTripProfile _),
@@ -1290,6 +1291,16 @@ object SparkEntry {
         |  FROM nodes CROSS JOIN nn LEFT JOIN c5 ON node = c5.b)
         |SELECT node, floor(rank * 10000 + 0.5 + 0.000001) / 10000 AS rank
         |FROM r5""".stripMargin,
+    "q_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |            WHERE l_quantity >= 48),
+        |e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |      FROM ps x JOIN ps y ON x.l_partkey = y.l_partkey
+        |      WHERE x.l_suppkey < y.l_suppkey)
+        |SELECT e1.a AS supplier, COUNT(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |GROUP BY e1.a""".stripMargin,
     // Pipeline gate oracles: the fixture sources are deterministic
     // (PriceCurve.usd(tick) = 50000 + 250*(tick%17) - 125*(tick%5);
     // coingecko = usd, coincap = usd+12.5, blockchain_info = usd-7.25;
