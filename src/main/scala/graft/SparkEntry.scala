@@ -246,6 +246,17 @@ object SparkEntry {
     "q_heavy_hitters"    -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "q_winsorized"       -> (Relational.winsorizedStats _),
     "q_global_sort"      -> (Relational.globalSort _), // ordering asserted in spec
+    // Round-3 batch 2: regression/moment aggregates, bool/bit aggs,
+    // exact decimal arithmetic, BFS, corpus shape + regex profiling,
+    // inter-class centroid separation
+    "q_regr"             -> (Relational.regrAgg _),
+    "q_skew_kurt"        -> (Relational.skewKurt _),
+    "q_flags_agg"        -> (Relational.flagsAgg _),
+    "q_decimal_sums"     -> (Relational.decimalSums _),
+    "q_bfs_hops"         -> ((s, d) => graft.operators.Graph.bfsHops(s, d)),
+    "q_zipf_slope"       -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
+    "q_regex_stats"      -> (TextAnalysis.regexStats _),
+    "q_centroid_cosine"  -> (Similarity.centroidCosine _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1344,5 +1355,91 @@ object SparkEntry {
         |CAST(added_records AS BIGINT) AS added_records
         |FROM (VALUES (1, 'append', 3), (2, 'append', 3), (3, 'append', 3))
         |  AS t(snapshot_id, operation, added_records)""".stripMargin,
+    "q_regr" ->
+      """SELECT event_type,
+        |floor(regr_slope(value, floor(epoch(ts))) * 1e6 * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS slope_us,
+        |floor(regr_intercept(value, floor(epoch(ts))) * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS intercept,
+        |floor(regr_r2(value, floor(epoch(ts))) * 10000 + 0.5 + 0.000001) / 10000 AS r2,
+        |CAST(regr_count(value, floor(epoch(ts))) AS BIGINT) AS n_pairs
+        |FROM events GROUP BY 1""".stripMargin,
+    // Two-pass central moments replaying Spark's one-pass population
+    // g1 / excess-g2 (skew = m3/m2^1.5, kurt = m4/m2^2 - 3).
+    "q_skew_kurt" ->
+      """WITH s AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, AVG(value) AS mu FROM s GROUP BY 1),
+        |c AS (SELECT s.event_type,
+        |  AVG(POW(value - mu, 2)) AS m2, AVG(POW(value - mu, 3)) AS m3,
+        |  AVG(POW(value - mu, 4)) AS m4, COUNT(*) AS n
+        |  FROM s JOIN m USING (event_type) GROUP BY 1)
+        |SELECT event_type,
+        |floor(m3 / POW(m2, 1.5) * 10000 + 0.5 + 0.000001) / 10000 AS skew,
+        |floor((m4 / (m2 * m2) - 3.0) * 10000 + 0.5 + 0.000001) / 10000 AS kurt,
+        |n AS n_valued FROM c""".stripMargin,
+    "q_flags_agg" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+        |bool_and(l_quantity > 0) AS all_pos_qty,
+        |bool_or(l_tax > 0.07) AS any_hi_tax,
+        |bit_and(l_linenumber) AS line_mask_and,
+        |bit_or(l_linenumber) AS line_mask_or,
+        |bit_xor(l_orderkey) AS key_xor,
+        |COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_decimal_sums" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sum_disc,
+        |CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+        |CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+        |COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_bfs_hops" ->
+      """WITH RECURSIVE cs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a, b FROM cs UNION ALL SELECT b, a FROM cs),
+        |seeds AS (SELECT DISTINCT a AS node FROM e WHERE a % 100 = 0),
+        |reach(node, d) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.b, r.d + 1 FROM reach r JOIN e ON r.node = e.a WHERE r.d < 3)
+        |SELECT node, CAST(MIN(d) AS INTEGER) AS dist FROM reach GROUP BY 1""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH f AS (SELECT token, COUNT(*) AS freq FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token ORDER BY freq DESC, token LIMIT 100),
+        |r AS (SELECT freq,
+        |  ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank FROM f)
+        |SELECT
+        |floor(regr_slope(ln(freq), ln(rank)) * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS zipf_slope,
+        |floor(regr_r2(ln(freq), ln(rank)) * 10000 + 0.5 + 0.000001) / 10000 AS r2,
+        |COUNT(*) AS n_tokens FROM r""".stripMargin,
+    "q_regex_stats" ->
+      """WITH d AS (SELECT lang,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS digit_runs,
+        |  len(regexp_extract_all(text, '[A-Z][a-z]+')) AS cap_words,
+        |  len(regexp_extract_all(text, '[.!?]')) AS sentence_marks
+        |  FROM documents)
+        |SELECT lang,
+        |CAST(SUM(digit_runs) AS BIGINT) AS n_digit_runs,
+        |CAST(SUM(cap_words) AS BIGINT) AS n_cap_words,
+        |CAST(SUM(sentence_marks) AS BIGINT) AS n_sentence_marks,
+        |floor(AVG(cap_words) * 10000 + 0.5 + 0.000001) / 10000 AS avg_cap_words,
+        |COUNT(*) AS n_docs FROM d GROUP BY 1""".stripMargin,
+    "q_centroid_cosine" ->
+      """WITH e AS (SELECT label, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |u AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+        |c AS (SELECT label, i, AVG(x) AS cx FROM u GROUP BY 1, 2),
+        |cent AS (SELECT label, list(cx ORDER BY i) AS centroid FROM c GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |floor(list_dot_product(a.centroid, b.centroid)
+        |  / (sqrt(list_dot_product(a.centroid, a.centroid))
+        |     * sqrt(list_dot_product(b.centroid, b.centroid)))
+        |  * 10000 + 0.5 + 0.000001) / 10000 AS centroid_cosine
+        |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin,
   )
 }

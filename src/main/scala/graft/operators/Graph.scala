@@ -104,4 +104,42 @@ object Graph {
       .groupBy(col("a")).agg(count(lit(1)).as("n_triangles"))
       .select(col("a").as("supplier"), col("n_triangles"))
   }
+
+  /** Multi-source BFS: shortest hop distance from the seed set over the
+    * customer–supplier trade graph (same parity-namespaced long ids as
+    * pageRank; seeds = nodes with id % 100 == 0). Frontier expansion:
+    * each round joins ONLY the previous frontier against the edge list
+    * (never the full visited set), anti-joins out already-settled
+    * nodes, and checkpoints the two small node-sets — so a round costs
+    * one edge-keyed hash join over frontier-sized input plus one
+    * anti-join, the textbook distributed-BFS plan. Rounds are bounded
+    * by maxHops (settled distances are final — BFS layers are optimal
+    * on unweighted graphs, no re-relaxation needed). */
+  def bfsHops(s: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = edges.select(col("a").as("node")).distinct()
+      .filter(col("node") % 100 === 0)
+      .withColumn("dist", lit(0))
+      .localCheckpoint()
+    var frontier = dist.select(col("node"))
+    var h = 1
+    while (h <= maxHops) {
+      val next = frontier.join(edges, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint()
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next.select(col("node"))
+      h += 1
+    }
+    edges.unpersist()
+    dist
+  }
 }

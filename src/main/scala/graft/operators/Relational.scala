@@ -476,6 +476,69 @@ object Relational {
         col("l_quantity"), col("l_extendedprice"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
 
+  /** Linear-regression aggregates: value regressed on event time per
+    * event type (slope = drift per second). The regr_* family is one
+    * pass of partial-mergeable moment sums — the same shuffle shape as
+    * any hash aggregate, so it scales like SUM, not like a solver. */
+  def regrAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = unix_timestamp(col("ts")).cast("double")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round4eps(regr_slope(col("value"), t) * lit(1e6)).as("slope_us"),
+        round4eps(regr_intercept(col("value"), t)).as("intercept"),
+        round4eps(regr_r2(col("value"), t)).as("r2"),
+        regr_count(col("value"), t).cast("long").as("n_pairs"))
+  }
+
+  /** Higher-moment shape statistics per event type. Spark's skewness /
+    * kurtosis are the population g1 and excess-g2 moments computed with
+    * single-pass stable recurrences; the oracle replays them two-pass
+    * (mean join + central-moment averages), so agreement also validates
+    * the numerics across summation orders. */
+  def skewKurt(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        round4eps(skewness(col("value"))).as("skew"),
+        round4eps(kurtosis(col("value"))).as("kurt"),
+        count(col("value")).as("n_valued"))
+
+  /** Boolean + bitwise aggregate suite: count_if / bool_and / bool_or
+    * and bit_and / bit_or / bit_xor — all partial-mergeable single-pass
+    * aggregates (XOR doubles as a cheap order-independent checksum for
+    * partition-movement audits at scale). */
+  def flagsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_if(col("l_discount") > 0.05).as("n_disc"),
+        bool_and(col("l_quantity") > 0).as("all_pos_qty"),
+        bool_or(col("l_tax") > 0.07).as("any_hi_tax"),
+        bit_and(col("l_linenumber")).as("line_mask_and"),
+        bit_or(col("l_linenumber")).as("line_mask_or"),
+        bit_xor(col("l_orderkey")).as("key_xor"),
+        count(lit(1)).as("n_rows"))
+
+  /** Exact decimal aggregation: money as DECIMAL(12,2)/(12,4) instead
+    * of DOUBLE — sums are exact and order-independent (integer
+    * arithmetic underneath), the right type for a 100 TB ledger where
+    * double summation drift compounds. Result cast back to DOUBLE only
+    * for the cross-engine compare. */
+  def decimalSums(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price_d"),
+        col("l_discount").cast("decimal(12,4)").as("disc_d"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("price_d")).cast("double").as("sum_price"),
+        sum(col("disc_d")).cast("double").as("sum_disc"),
+        min(col("price_d")).cast("double").as("min_price"),
+        max(col("price_d")).cast("double").as("max_price"),
+        count(lit(1)).as("n_rows"))
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

@@ -361,4 +361,25 @@ object Similarity {
       .agg(round4eps(avg(col("sim"))).as("mean_centroid_sim"),
            count(lit(1)).as("n_vectors"))
   }
+
+  /** Inter-class separation: cosine similarity between every pair of
+    * label centroids — the companion to labelCohesion (within-class
+    * tightness vs between-class distance = a cluster-quality report).
+    * Centroids come from ONE vec_sum aggregation over the corpus; the
+    * pairing is a self-join of the label-cardinality centroid set
+    * (trivially small however big the corpus — all the quadratic work
+    * happens on the reduced side). */
+  def centroidCosine(s: SparkSession, dir: String): DataFrame = {
+    val centroids = corpus(s, dir)
+      .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), vecSum(col("emb_d")).as("sums"))
+      .withColumn("centroid", transform(col("sums"), x => x / col("n")))
+      .select(col("label"), col("centroid"))
+    val a = centroids.select(col("label").as("label_a"), col("centroid").as("ca"))
+    val b = centroids.select(col("label").as("label_b"), col("centroid").as("cb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round4eps(cosine(col("ca"), col("cb"))).as("centroid_cosine"))
+  }
 }

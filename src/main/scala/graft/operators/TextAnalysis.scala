@@ -453,4 +453,44 @@ object TextAnalysis {
       .filter(col("cnt") * 100 > col("n_total"))
       .select(col("token"), col("cnt"))
   }
+
+  /** Zipf fit: slope of log(freq) vs log(rank) over the top `topN`
+    * corpus tokens — the one-number summary of vocabulary shape
+    * (natural text ≈ -1; templated/boilerplate corpora flatten toward
+    * 0, a cheap corpus-health metric). Wordcount shuffle → top-N fused
+    * sort-limit → single-row regression aggregate over N rows. */
+  def zipfSlope(s: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val freqs = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topN)
+    val ranked = freqs.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("token"))))
+    ranked.agg(
+      round4eps(regr_slope(log(col("freq")), log(col("rank")))).as("zipf_slope"),
+      round4eps(regr_r2(log(col("freq")), log(col("rank")))).as("r2"),
+      count(lit(1)).as("n_tokens"))
+  }
+
+  /** Regex feature profile per language: counts of digit runs,
+    * capitalized words, and sentence-ending punctuation across each
+    * lang's documents — the pattern-mining face of quality filtering
+    * (all three regexes run inside one codegen'd projection; the only
+    * shuffle is the tiny per-lang rollup). */
+  def regexStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("digit_runs"),
+        size(regexp_extract_all(col("text"), lit("[A-Z][a-z]+"), lit(0))).as("cap_words"),
+        size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))).as("sentence_marks"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("digit_runs")).as("n_digit_runs"),
+        sum(col("cap_words")).as("n_cap_words"),
+        sum(col("sentence_marks")).as("n_sentence_marks"),
+        round4eps(avg(col("cap_words"))).as("avg_cap_words"),
+        count(lit(1)).as("n_docs"))
 }

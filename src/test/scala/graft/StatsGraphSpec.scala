@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Relational, Similarity, TextAnalysis}
+
+/** Specs for the regression/moment/bool-bit/decimal aggregates, BFS,
+  * Zipf fit, regex profile, and centroid-separation operators. */
+class StatsGraphSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("regrAgg: slope/intercept reproduce the closed-form least squares") {
+    val rows = Relational.regrAgg(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // closed form on one event type, computed driver-side
+    val et = rows.head.getAs[String]("event_type")
+    val pts = Tables.events(spark, dir)
+      .filter(col("event_type") === et && col("value").isNotNull)
+      .select(unix_timestamp(col("ts")).cast("double"), col("value"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = pts.length.toDouble
+    val mx = pts.map(_._1).sum / n
+    val my = pts.map(_._2).sum / n
+    val sxy = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    val want = sxy / sxx * 1e6
+    val got = rows.find(_.getAs[String]("event_type") == et).get
+      .getAs[Double]("slope_us")
+    assert(math.abs(got - want) < 1e-2, s"slope_us $got vs $want")
+    assert(rows.forall(_.getAs[Long]("n_pairs") > 0))
+  }
+
+  test("skewKurt: symmetric two-point distribution has skew 0, kurt -2") {
+    val fx = TestSpark.eventsFixture((1L to 8L).map { i =>
+      (i, i % 2, "t", java.lang.Double.valueOf(if (i % 2 == 0) 1.0 else -1.0),
+        1700000000000000000L + i * 1000000000L)
+    })
+    val r = Relational.skewKurt(spark, fx).collect()
+    assert(r.length == 1)
+    assert(math.abs(r.head.getAs[Double]("skew")) < 1e-9)
+    assert(math.abs(r.head.getAs[Double]("kurt") - (-2.0)) < 1e-9)
+    assert(r.head.getAs[Long]("n_valued") == 8L)
+  }
+
+  test("flagsAgg: xor checksum is order-independent and self-inverse") {
+    val rows = Relational.flagsAgg(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // xor of all per-group xors == xor over the whole table
+    val whole = Tables.lineitem(spark, dir)
+      .agg(bit_xor(col("l_orderkey"))).collect()(0).getLong(0)
+    val folded = rows.map(_.getAs[Long]("key_xor")).reduce(_ ^ _)
+    assert(folded == whole)
+    assert(rows.forall(_.getAs[Boolean]("all_pos_qty")))
+  }
+
+  test("decimalSums: decimal sum equals exact cents arithmetic") {
+    val rows = Relational.decimalSums(spark, dir).collect()
+    val exact = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_returnflag")).agg(sum(col("cents")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val got = BigDecimal(r.getAs[Double]("sum_price")) * 100
+      assert(got.toLong == exact(r.getAs[String]("l_returnflag")))
+    }
+  }
+
+  test("bfsHops: dist 0 exactly on seeds; every dist-h node has a dist-(h-1) neighbor") {
+    val d = Graph.bfsHops(spark, dir, maxHops = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Int]("dist")).toMap
+    assert(d.nonEmpty)
+    d.foreach { case (n, h) => if (n % 100 == 0) assert(h == 0) }
+    assert(d.filter(_._2 == 0).keys.forall(_ % 100 == 0))
+    // reconstruct edges and check layer consistency
+    val cs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (cs ++ cs.map(_.swap)).groupMap(_._1)(_._2)
+    d.foreach { case (n, h) =>
+      if (h > 0)
+        assert(adj.getOrElse(n, Array.empty[Long]).exists(m => d.get(m).contains(h - 1)),
+          s"node $n at dist $h lacks a dist-${h - 1} neighbor")
+    }
+  }
+
+  test("zipfSlope: slope negative on natural-ish text, r2 in [0,1]") {
+    val r = TextAnalysis.zipfSlope(spark, dir).collect()(0)
+    assert(r.getAs[Double]("zipf_slope") < 0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0 && r2 <= 1)
+    assert(r.getAs[Long]("n_tokens") > 10)
+  }
+
+  test("regexStats: crafted doc counts digits/caps/sentence marks exactly") {
+    val fx = TestSpark.documentsFixture(Seq(
+      (1L, "Al saw 12 cats and 7 dogs. Did Bo? Yes!", "en", "web")))
+    val r = TextAnalysis.regexStats(spark, fx).collect()(0)
+    assert(r.getAs[Long]("n_digit_runs") == 2)   // 12, 7
+    assert(r.getAs[Long]("n_cap_words") == 4)    // Al, Did, Bo, Yes
+    assert(r.getAs[Long]("n_sentence_marks") == 3) // . ? !
+  }
+
+  test("centroidCosine: identical labels' centroids have cosine 1") {
+    val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
+    val v2 = v1.map(_ * 2) // same direction, different norm
+    val fx = TestSpark.embeddingsFixture(Seq(
+      (1L, v1, 0), (2L, v1, 0), (3L, v2, 1), (4L, v2, 1)))
+    val r = Similarity.centroidCosine(spark, fx).collect()
+    assert(r.length == 1)
+    assert(math.abs(r.head.getAs[Double]("centroid_cosine") - 1.0) < 1e-4)
+  }
+}
