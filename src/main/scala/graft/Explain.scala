@@ -20,6 +20,14 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Spark 4 per-session artifact isolation routes EVERY Janino
+      // class-resolution probe during codegen compilation through an
+      // ExecutorClassLoader RPC fetch (even in local mode) and adds
+      // per-task isolated-classloader setup: measured 5x wall on the
+      // minhash-LSH query (38 codegen units, 15.2s -> 3.0s compile).
+      // This engine runs one library in one JVM - no session-isolated
+      // artifacts to protect.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

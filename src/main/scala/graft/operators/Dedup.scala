@@ -218,8 +218,9 @@ object Dedup {
     // the propagation path materializes per round and checkpoints its
     // labels). Leaving it cached would leak a session-lifetime entry
     // per call, squeezing the deliberately-shared hashShingled cache.
+    Graph.ensureCheckpointDir(s)
     val out =
-      if (nEdges <= SmallGraphEdges) unionFindClusters(pairs).localCheckpoint()
+      if (nEdges <= SmallGraphEdges) unionFindClusters(pairs).checkpoint()
       else propagateClusters(pairs, maxIters)
     pairs.unpersist()
     out
@@ -264,9 +265,10 @@ object Dedup {
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    Graph.ensureCheckpointDir(pairs.sparkSession)
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+      .checkpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -288,9 +290,10 @@ object Dedup {
                  coalesce(col("gp_label"), col("label"))) < col("label"))
             .cast("long").as("chg"))
         .withColumnRenamed("new_label", "label")
-        // lazy checkpoint: the convergence-count action right below is
-        // the job that materializes it — one job per round, not two
-        .localCheckpoint(false)
+        // lazy reliable checkpoint: the convergence-count action right
+        // below is the job that materializes it — one job per round,
+        // not two (reliable, not local: see Graph.ensureCheckpointDir)
+        .checkpoint(false)
       changed = updated.agg(sum(col("chg"))).collect()(0).getLong(0)
       labels = updated.select(col("doc_id"), col("label"))
       i += 1

@@ -21,6 +21,19 @@ import graft.functions.Rounding.round4eps
   */
 object Graph {
 
+  /** Reliable checkpointing for iterative loops. `localCheckpoint`
+    * pins blocks in executor storage that are NOT recomputable — on a
+    * real cluster an executor loss mid-iteration kills the job. A
+    * reliable checkpoint writes the (node-cardinality, tiny relative to
+    * edges) per-round vector to a fault-tolerant scratch dir instead:
+    * the 100 TB deployment sets SPARK_GRAFT_CHECKPOINT_DIR to a DFS
+    * path; locally a temp dir serves. Set once per JVM. */
+  private[graft] def ensureCheckpointDir(s: SparkSession): Unit =
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR",
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
+
   /** PageRank over the customer–supplier trade graph (an edge per
     * distinct (customer, supplier) order relationship, traversed both
     * ways so the graph is undirected and free of dangling nodes).
@@ -33,6 +46,7 @@ object Graph {
     * is the lever. */
   def pageRank(s: SparkSession, dir: String,
                iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    ensureCheckpointDir(s)
     val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -66,11 +80,11 @@ object Graph {
       // Cut lineage each round: without this the final plan nests
       // `iters` broadcast-join trees (optimizer time grows with the
       // plan, and each broadcast subtree re-plans the whole prefix).
-      // The rank vector is node-cardinality — checkpointing it is one
-      // tiny job per round, the same constant-plan discipline as the
-      // CC label loop. Skip the last round: the caller's action
-      // materializes it.
-      if (i < iters) ranks = ranks.localCheckpoint()
+      // The rank vector is node-cardinality — reliably checkpointing it
+      // is one tiny write per round (see ensureCheckpointDir: survives
+      // executor loss, unlike localCheckpoint blocks). Skip the last
+      // round: the caller's action materializes it.
+      if (i < iters) ranks = ranks.checkpoint()
     }
     ranks.select(col("node"), round4eps(col("rank")).as("rank"))
   }
@@ -116,6 +130,7 @@ object Graph {
     * by maxHops (settled distances are final — BFS layers are optimal
     * on unweighted graphs, no re-relaxation needed). */
   def bfsHops(s: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    ensureCheckpointDir(s)
     val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -126,7 +141,7 @@ object Graph {
     var dist = edges.select(col("a").as("node")).distinct()
       .filter(col("node") % 100 === 0)
       .withColumn("dist", lit(0))
-      .localCheckpoint()
+      .checkpoint()
     var frontier = dist.select(col("node"))
     var h = 1
     while (h <= maxHops) {
@@ -134,8 +149,11 @@ object Graph {
         .select(col("b").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
-        .localCheckpoint()
-      dist = dist.unionByName(next).localCheckpoint()
+        .checkpoint()
+      // the superseded union is re-checkpointed each round; files live
+      // in the scratch dir (no executor-pinned blocks to leak — the
+      // round-2 advice's localCheckpoint block accumulation is moot)
+      dist = dist.unionByName(next).checkpoint()
       frontier = next.select(col("node"))
       h += 1
     }

@@ -45,6 +45,53 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   private def snapshotLogPath(name: String) =
     Paths.get(s"$warehouseDir/_snapshots/${name.replace('.', '_')}.jsonl")
 
+  private def schemaPath(name: String) =
+    Paths.get(s"$warehouseDir/_schemas/${name.replace('.', '_')}.json")
+
+  /** Schema sidecar: the table's full READ schema (data columns then
+    * hidden partition columns), recorded at WRITE time so reads never
+    * pay a footer-merge job. At 100 TB `mergeSchema=true` per read is a
+    * scan-all-footers-per-query design — exactly the planning cost
+    * Iceberg's metadata layer exists to avoid; this sidecar is the
+    * emulation of that metadata (schema evolution is folded in once,
+    * on append, driver-side). */
+  private def saveSchema(name: String, schema: StructType): Unit = {
+    val p = schemaPath(name)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, schema.json.getBytes("UTF-8"))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def savedSchema(name: String): Option[StructType] = {
+    val p = schemaPath(name)
+    if (!Files.exists(p)) None
+    else Some(DataType.fromJson(
+      new String(Files.readAllBytes(p), "UTF-8")).asInstanceOf[StructType])
+  }
+
+  /** Driver-side row count from the written parquet footers — a pure
+    * metadata read (no Spark job, no task scheduling, no output-commit
+    * churn), replacing the per-commit `spark.read.parquet(..).count()`
+    * job the snapshot log used to pay. */
+  private def parquetRowCount(dir: String): Long = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return 0L
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.jdk.CollectionConverters._
+    val stream = Files.walk(root)
+    try stream.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    finally stream.close()
+  }
+
   /** W1 — idempotent namespace creation (extract_bitcoin_prices.py:128). */
   def createNamespace(ns: String): Unit = {
     Files.createDirectories(Paths.get(s"$warehouseDir/$ns"))
@@ -75,10 +122,40 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       case None => df.write
     }
     writer.mode(SaveMode.Append).parquet(commitPath)
+    // Fold this commit's schema into the sidecar (add-column evolution
+    // happens HERE, once, driver-side — not on every read).
+    saveSchema(name, appendReadSchema(name, df.schema, partitionTs))
     // Row count for the snapshot log comes from the WRITTEN parquet
-    // footers (a metadata-only count) — counting the input df would
-    // execute its whole plan a second time per commit.
-    logSnapshot(name, "append", spark.read.parquet(commitPath).count(), id)
+    // footers (a driver-side metadata read) — counting the input df
+    // would execute its whole plan a second time per commit.
+    logSnapshot(name, "append", parquetRowCount(commitPath), id)
+  }
+
+  /** The read schema after an append of `incoming` data columns:
+    * existing data columns (sidecar order), any NEW columns appended
+    * (older commits surface them as NULL — Iceberg add-column
+    * semantics), hidden partition columns last (partition-discovery
+    * order: outer `commit` dir, then the day dir). Type changes on an
+    * existing column are rejected loudly — this emulation supports
+    * add-column evolution only. */
+  private def appendReadSchema(name: String, incoming: StructType,
+                               partitionTs: Option[String]): StructType = {
+    val newData = incoming.fields.map(_.copy(nullable = true)).toSeq
+    val data = savedSchema(name) match {
+      case None => newData
+      case Some(old) =>
+        val oldData = old.fields.filterNot(f => hiddenCol(f.name)).toSeq
+        val oldNames = oldData.map(_.name).toSet
+        for (f <- oldData; nf <- newData.find(_.name == f.name))
+          require(nf.dataType == f.dataType,
+            s"$name column ${f.name} type changed " +
+              s"(${f.dataType.catalogString} -> ${nf.dataType.catalogString}); " +
+              "only add-column evolution is supported")
+        oldData ++ newData.filterNot(f => oldNames(f.name))
+    }
+    val hidden = StructField(commitCol, LongType) +:
+      partitionTs.map(ts => StructField(partitionColFor(ts), DateType)).toSeq
+    StructType(data ++ hidden)
   }
 
   /** W4 — full-refresh CTAS (`CREATE OR REPLACE TABLE ... AS SELECT`),
@@ -89,8 +166,9 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     val path = Paths.get(tablePath(name))
     val tmp = Paths.get(tablePath(name) + "__ctas_tmp")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // metadata-only count of the written files, not a second plan run
-    val rows = spark.read.parquet(tmp.toString).count()
+    saveSchema(name, StructType(df.schema.fields.map(_.copy(nullable = true))))
+    // footer metadata count of the written files, not a second plan run
+    val rows = parquetRowCount(tmp.toString)
     if (Files.exists(path)) {
       val trash = Paths.get(tablePath(name) + "__ctas_old")
       deleteRecursive(trash)
@@ -106,14 +184,23 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * declared logical schema (hidden partitioning emulation, SURVEY
     * §1.4); partition pruning on them still applies underneath (see
     * graft.plans.HiddenPartitionPruning for the ts→date rewrite). */
-  /** Reads merge parquet footers across commits so an appended batch
-    * may ADD columns (schema evolution): older commits surface the new
-    * column as NULL, mirroring Iceberg's add-column semantics. */
-  private def readMerged(path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
+  /** Reads use the sidecar schema recorded at write time — no
+    * footer-merge job per read. Add-column evolution still works:
+    * commits written before a column existed surface it as NULL (the
+    * parquet reader clips the requested schema per file). The
+    * mergeSchema footer scan survives only as the REPAIR path for a
+    * warehouse with no sidecar (e.g. produced by an older build); its
+    * result is then saved so the cost is paid at most once. */
+  private def readTable(name: String): DataFrame = savedSchema(name) match {
+    case Some(sc) => spark.read.schema(sc).parquet(tablePath(name))
+    case None =>
+      val df = spark.read.option("mergeSchema", "true").parquet(tablePath(name))
+      saveSchema(name, df.schema)
+      df
+  }
 
   def table(name: String): DataFrame = {
-    val df = readMerged(tablePath(name))
+    val df = readTable(name)
     df.drop(df.columns.filter(hiddenCol).toSeq: _*)
   }
 
@@ -129,7 +216,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * travel applies to append tables (matching the reference, where
     * only raw accumulates snapshots hourly). */
   def tableAsOf(name: String, snapshotId: Long): DataFrame = {
-    val df = readMerged(tablePath(name))
+    val df = readTable(name)
     require(df.columns.contains(commitCol),
       s"$name has no commit history (CTAS tables hold only their latest state)")
     require(snapshotId >= rewriteFloor(name),
@@ -178,8 +265,9 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     // time travel AND leave a mixed root-files/commit=N layout a later
     // append() would corrupt — so MERGE is restricted to CTAS tables,
     // mirroring the tableAsOf guard in the opposite direction.
-    val raw = spark.read.parquet(tablePath(name))
-    require(!raw.columns.contains(commitCol),
+    val rawCols = savedSchema(name).map(_.fieldNames.toSeq)
+      .getOrElse(spark.read.parquet(tablePath(name)).columns.toSeq)
+    require(!rawCols.contains(commitCol),
       s"mergeInto target $name has append/commit history; MERGE is " +
       "copy-on-write over CTAS tables only (append history would be lost)")
     val current = table(name)
@@ -191,7 +279,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * feed an incremental transform consumes. Commit-partition pruned
     * like tableAsOf. */
   def tableSince(name: String, snapshotId: Long): DataFrame = {
-    val df = readMerged(tablePath(name))
+    val df = readTable(name)
     require(df.columns.contains(commitCol),
       s"$name has no commit history (CTAS tables hold only their latest state)")
     require(snapshotId >= rewriteFloor(name),
@@ -218,7 +306,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * (real Iceberg gets atomicity from its metadata swap). */
   def compact(name: String): Unit = {
     val path = tablePath(name)
-    val raw = readMerged(path)
+    val raw = readTable(name)
     require(raw.columns.contains(commitCol),
       s"$name has no commit history (compact applies to append tables)")
     val oldCommits = {
@@ -238,8 +326,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     // reads only the pre-existing commit dirs
     writer.mode(SaveMode.Append).parquet(s"$path/$commitCol=$id")
     oldCommits.foreach(deleteRecursive)
-    logSnapshot(name, "rewrite",
-      spark.read.parquet(s"$path/$commitCol=$id").count(), id)
+    logSnapshot(name, "rewrite", parquetRowCount(s"$path/$commitCol=$id"), id)
   }
 
   /** Highest `rewrite` snapshot id (0 if never compacted): snapshots
@@ -271,7 +358,12 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .parquet(path)
-    logSnapshot(name, "overwrite_partitions", spark.read.parquet(path).count())
+    val dataFields = df.schema.fields.filterNot(_.name == partitionCol)
+      .map(_.copy(nullable = true)).toSeq
+    saveSchema(name, StructType(
+      dataFields :+ StructField(partitionCol,
+        df.schema(partitionCol).dataType)))
+    logSnapshot(name, "overwrite_partitions", parquetRowCount(path))
   }
 
   /** Bucketed table write into the session catalog: co-locates rows by

@@ -42,10 +42,16 @@ object Ingest {
     catalog.createNamespace("raw")
     import spark.implicits._
     // Dual schema declaration must agree (SURVEY §1.2): build typed,
-    // then conform to the declared StructType (names + types checked).
-    val typed = records.toDS().toDF()
-    val conformed = spark.createDataFrame(typed.rdd, Schemas.rawSchema)
-    catalog.append(RawTable, conformed, partitionTs = Some("extracted_at"))
+    // then conform to the declared StructType with `to(schema)` —
+    // column-level resolution that stays inside codegen (an
+    // rdd-round-trip `createDataFrame(typed.rdd, schema)` would detour
+    // through row serialization and break plan fusion).
+    val conformed = records.toDS().toDF().to(Schemas.rawSchema)
+    // A batch is ≤3 rows by construction (one per source, py:150-172);
+    // one file per commit keeps the local-FS metadata churn (and at
+    // scale, the small-file count) at its floor.
+    catalog.append(RawTable, conformed.coalesce(1),
+      partitionTs = Some("extracted_at"))
     records.size.toLong
   }
 }

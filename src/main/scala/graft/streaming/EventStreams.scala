@@ -179,31 +179,43 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Real-execution gate for [[dedupStream]]: pipe the events table
-    * through a MemoryStream micro-batch, run the watermarked
-    * dropDuplicatesWithinWatermark plan to completion against a memory
-    * sink, and return the surviving keys. One batch means the initial
-    * watermark (epoch 0) drops nothing, so the streaming result is
+  /** File-based streaming source over the events table — the
+    * production ingest topology (`readStream` on arriving files, here
+    * with Trigger.AvailableNow draining everything then stopping). The
+    * executor-side scan replaces the earlier collect-into-MemoryStream
+    * gate plumbing, which pulled the whole fact table to the driver —
+    * a scale-killer at 100 TB and unnecessary even for the gate.
+    * Schema is declared (streaming file sources don't infer); nanos
+    * epoch → microsecond timestamp exactly like Tables.events. */
+  private def eventsReadStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)))
+    s.readStream.schema(sch).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Real-execution gate for [[dedupStream]]: run the watermarked
+    * dropDuplicatesWithinWatermark plan over the file-stream source to
+    * completion (Trigger.AvailableNow) against a memory sink, and
+    * return the surviving keys. A single drain from the epoch-0
+    * watermark drops nothing by lateness, so the streaming result is
     * exactly the batch DISTINCT over the key columns — which is what
-    * the DuckDB oracle checks. (Production path: readStream instead of
-    * the in-memory source; the plan is identical.) */
+    * the DuckDB oracle checks. */
   def dedupStreamGateKeys(s: SparkSession, dir: String): DataFrame =
     withGatePartitions(s) {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
       val sink = s"dedup_gate_${System.nanoTime()}"
-      val q = dedupStream(mem.toDF(), Seq("user_id", "event_type"))
+      val q = dedupStream(eventsReadStream(s, dir), Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"))
         .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append).start()
-      try {
-        mem.addData(graft.Tables.events(s, dir)
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"), col("ts"))
-          .as[Event].collect().toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000L) finally q.stop()
       // the query is stopped, so the memory sink table is now static
       s.table(sink)
     }
@@ -238,25 +250,18 @@ object EventStreams {
         sum(floor(col("value") * 100).cast("long")).as("value_c"))
 
   /** Real-execution gate for [[enrichBySegment]]: run the stream-static
-    * join + aggregation through a MemoryStream in Complete mode and
-    * return the final per-segment profile (deterministic: all events in
-    * one batch, integer value checksum). */
+    * join + aggregation over the file-stream source in Complete mode
+    * (Trigger.AvailableNow) and return the final per-segment profile
+    * (deterministic: one drain, integer value checksum). */
   def enrichStreamGate(s: SparkSession, dir: String): DataFrame =
     withGatePartitions(s) {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
       val sink = s"enrich_gate_${System.nanoTime()}"
-      val q = enrichBySegment(mem.toDF(), graft.Tables.customer(s, dir))
+      val q = enrichBySegment(eventsReadStream(s, dir), graft.Tables.customer(s, dir))
         .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Complete).start()
-      try {
-        mem.addData(graft.Tables.events(s, dir)
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"), col("ts"))
-          .as[Event].collect().toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+        .outputMode(OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000L) finally q.stop()
       s.table(sink)
     }
 

@@ -20,6 +20,9 @@ object TestSpark {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // See Bench.scala: artifact isolation makes every codegen compile
+      // pay RPC classloader probes; single-JVM test runs don't need it.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
