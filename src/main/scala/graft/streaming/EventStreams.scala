@@ -186,7 +186,12 @@ object EventStreams {
     * gate plumbing, which pulled the whole fact table to the driver —
     * a scale-killer at 100 TB and unnecessary even for the gate.
     * Schema is declared (streaming file sources don't infer); nanos
-    * epoch → microsecond timestamp exactly like Tables.events. */
+    * epoch → microsecond timestamp exactly like Tables.events.
+    *
+    * The source path is the sf DIRECTORY (Spark's streaming file source
+    * requires a directory to monitor — pointing it at the
+    * `events.parquet` file fails with "Option 'basePath' must be a
+    * directory"), narrowed to the events table by pathGlobFilter. */
   private def eventsReadStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sch = org.apache.spark.sql.types.StructType(Seq(
@@ -195,7 +200,10 @@ object EventStreams {
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)))
-    s.readStream.schema(sch).parquet(s"$dir/events.parquet")
+    s.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet")
+      .option("recursiveFileLookup", "false")
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -215,7 +223,10 @@ object EventStreams {
         .outputMode(OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination(120000L) finally q.stop()
+      // A partial drain must fail loudly, not hand a truncated memory
+      // sink to the correctness gate as if it were the full answer.
+      try require(q.awaitTermination(120000L),
+        s"stream gate $sink did not drain within 120 s") finally q.stop()
       // the query is stopped, so the memory sink table is now static
       s.table(sink)
     }
@@ -261,7 +272,8 @@ object EventStreams {
         .outputMode(OutputMode.Complete)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination(120000L) finally q.stop()
+      try require(q.awaitTermination(120000L),
+        s"stream gate $sink did not drain within 120 s") finally q.stop()
       s.table(sink)
     }
 
