@@ -16,9 +16,19 @@ import org.apache.spark.sql.SparkSession
   * long-running engine, where per-query warmup amortizes to nothing).
   *
   * Timeout-proofing (the round-3 bench died at rc=124 with NOTHING
-  * written because results only materialized at the end):
+  * written because results only materialized at the end; the round-4
+  * bench crashed mid-suite when a load spike starved the heartbeat and
+  * stopped the SparkContext):
   *  - every run is bounded by SPARK_GRAFT_BENCH_CAP_SEC (default 60 s)
-  *    via job-group cancellation; a breached query reports -1;
+  *    via job-group cancellation; a breached query reports -1 and the
+  *    SparkSession is REBUILT (a cancelled group leaves the shared JVM
+  *    degraded — round 4 showed trivial queries timing out right after
+  *    heavy ones);
+  *  - queries run cheapest-first by last observed Verify wall time
+  *    (tools/verify_costs.tsv), so the expensive iterative tail cannot
+  *    sink the cheap majority;
+  *  - heartbeat/network timeouts are raised so load spikes do not kill
+  *    the context;
   *  - BENCH_FULL.json is rewritten after EVERY query;
   *  - the compact stdout line is re-printed every 10 queries, so a
   *    harness kill still leaves a parseable last line with partials.
@@ -28,54 +38,70 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_SEC", "60").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Spark 4 per-session artifact isolation routes EVERY Janino
-      // class-resolution probe during codegen compilation through an
-      // ExecutorClassLoader RPC fetch (even in local mode) and adds
-      // per-task isolated-classloader setup: measured 5x wall on the
-      // minhash-LSH query (38 codegen units, 15.2s -> 3.0s compile).
-      // This engine runs one library in one JVM - no session-isolated
-      // artifacts to protect.
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        // Spark 4 per-session artifact isolation routes EVERY Janino
+        // class-resolution probe during codegen compilation through an
+        // ExecutorClassLoader RPC fetch (even in local mode) and adds
+        // per-task isolated-classloader setup: measured 5x wall on the
+        // minhash-LSH query (38 codegen units, 15.2s -> 3.0s compile).
+        // This engine runs one library in one JVM - no session-isolated
+        // artifacts to protect.
+        .config("spark.sql.artifact.isolation.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "600s")
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
 
     /** One bounded run: construction + noop materialization inside a
       * watchdog thread. On cap breach the query's job group is
       * cancelled (the worker unblocks on the SparkException) and -1 is
       * reported; the suite moves on instead of eating the whole
-      * harness budget on one regression. */
-    def runOnce(name: String): Double = {
+      * harness budget on one regression. Returns (seconds, breached). */
+    def runOnce(name: String): (Double, Boolean) = {
       @volatile var res = -1.0
+      val sc = spark.sparkContext
       val t0 = System.nanoTime()
       val worker = new Thread(() => {
         try {
-          spark.sparkContext.setJobGroup(s"bench-$name", name,
-            interruptOnCancel = true)
+          sc.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           res = (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        } finally spark.sparkContext.clearJobGroup()
+        } finally sc.clearJobGroup()
       }, s"bench-$name")
       worker.setDaemon(true)
       worker.start()
       worker.join(capSec * 1000L)
       if (worker.isAlive) {
         System.err.println(s"[bench] $name exceeded ${capSec}s cap; cancelling")
-        spark.sparkContext.cancelJobGroup(s"bench-$name")
+        sc.cancelJobGroup(s"bench-$name")
         worker.join(30000L)
-      }
-      res
+        if (worker.isAlive) {
+          // driver-side hang: no cancellable job — interrupt; the
+          // caller rebuilds the session, so a zombie cannot skew
+          // later measurements.
+          System.err.println(s"[bench] $name unresponsive to job-group " +
+            "cancel; interrupting worker")
+          worker.interrupt()
+        }
+        (res, true)
+      } else (res, false)
     }
 
     def run(name: String): Double = {
@@ -90,9 +116,23 @@ object Bench {
       // across the suite and late queries pay GC pressure for early
       // queries' blocks.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      val t1 = runOnce(name)
-      if (t1 < 0 || t1 < 1.0) return t1 // failed/capped, or cheap: one run
-      runOnce(name) // steady-state measurement for the heavy queries
+      val (t1, breached1) = runOnce(name)
+      if (breached1) {
+        // cancelled job groups degrade the shared JVM (round 4: trivial
+        // queries hit the cap right after heavy ones) — start clean
+        System.err.println(s"[bench] rebuilding SparkSession after $name")
+        try spark.stop() catch { case _: Throwable => () }
+        spark = newSession()
+        return t1
+      }
+      if (t1 < 0 || t1 < 1.0) return t1 // failed, or cheap: one run
+      val (t2, breached2) = runOnce(name) // steady-state for heavy queries
+      if (breached2) {
+        System.err.println(s"[bench] rebuilding SparkSession after $name")
+        try spark.stop() catch { case _: Throwable => () }
+        spark = newSession()
+      }
+      t2
     }
 
     // JVM / codegen / parquet-footer warmup (not measured)
@@ -104,11 +144,28 @@ object Bench {
     // they belong to the correctness gate, not the throughput benchmark.
     val notQueries = Set("q_pipeline_mart", "q_pipeline_snapshots",
       "q_pipeline_asof", "q_pipeline_incmart")
+    // Cheapest-first by last observed Verify time (unknown → 0): the
+    // iterative graph tail runs last, after every cheap query has
+    // already landed its number.
+    val costs: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_COSTS",
+        "/root/repo/tools/verify_costs.tsv"))
+      if (java.nio.file.Files.exists(p))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.flatMap { line =>
+            line.split('\t') match {
+              case Array(n, t) => scala.util.Try(n -> t.toDouble).toOption
+              case _ => None
+            }
+          }.toMap
+      else Map.empty
+    }
     // optional args: bench only the named queries (local iteration aid)
     val wanted = args.toSet
-    val todo = SparkEntry.queries.keys.toSeq.sorted
+    val todo = SparkEntry.queries.keys.toSeq
       .filterNot(notQueries)
       .filter(n => wanted.isEmpty || wanted(n))
+      .sortBy(n => (costs.getOrElse(n, 0.0), n))
 
     // Locale-pinned formatting: f"$v%.3f" is locale-sensitive (a
     // comma-decimal JVM locale would emit unparseable JSON).

@@ -8,7 +8,25 @@ import java.nio.file.{Files, Paths}
   * partial correctness rows, not `{}`): oracle_sql.json is written
   * FIRST, each query runs under a watchdog cap (default 120 s,
   * SPARK_GRAFT_VERIFY_CAP_SEC) with job-group cancellation, and
-  * progress is logged per query. */
+  * progress is logged per query.
+  *
+  * Budget-proofing (rounds 3 and 4 both died mid-alphabet with ~half
+  * the registry unreported):
+  *  - queries run CHEAPEST-FIRST by last observed wall time
+  *    (tools/verify_costs.tsv, refreshed from each run's times.tsv) —
+  *    unknown queries first (they are the never-verified ones), known
+  *    slow ones last, so an overall budget kill costs the tail, not a
+  *    random alphabetic half;
+  *  - a cap breach leaves the shared local JVM degraded (cancelled job
+  *    groups + zombie codegen have 0-rowed innocent later queries), so
+  *    the SparkSession is REBUILT before the next query;
+  *  - caches and persisted/checkpointed RDD blocks are released
+  *    between queries, so storage pressure cannot ratchet across 134
+  *    sequential queries;
+  *  - heartbeat/network timeouts are raised: under sandbox load spikes
+  *    the default 10 s executor heartbeat misses and kills the
+  *    context ("Cannot call methods on a stopped SparkContext").
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — extra names restrict the
@@ -17,26 +35,37 @@ object Verify {
     val wanted = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val capSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CAP_SEC", "120").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // reference ran Spark 3.5 non-ANSI (SURVEY §7.6); also needed for
-      // wrapping long arithmetic in minhash rehashing
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Spark 4 per-session artifact isolation routes EVERY Janino
-      // class-resolution probe during codegen compilation through an
-      // ExecutorClassLoader RPC fetch (even in local mode) and adds
-      // per-task isolated-classloader setup: measured 5x wall on the
-      // minhash-LSH query (38 codegen units, 15.2s -> 3.0s compile).
-      // This engine runs one library in one JVM - no session-isolated
-      // artifacts to protect.
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        // reference ran Spark 3.5 non-ANSI (SURVEY §7.6); also needed for
+        // wrapping long arithmetic in minhash rehashing
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        // Spark 4 per-session artifact isolation routes EVERY Janino
+        // class-resolution probe during codegen compilation through an
+        // ExecutorClassLoader RPC fetch (even in local mode) and adds
+        // per-task isolated-classloader setup: measured 5x wall on the
+        // minhash-LSH query (38 codegen units, 15.2s -> 3.0s compile).
+        // This engine runs one library in one JVM - no session-isolated
+        // artifacts to protect.
+        .config("spark.sql.artifact.isolation.enabled", "false")
+        // A machine-load spike that starves the single-JVM heartbeat
+        // thread for >10 s must not kill the context mid-suite.
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.network.timeout", "600s")
+        // reclaim reliable-checkpoint files of GC'd iterative rounds
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
     new java.io.File(outDir).mkdirs()
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -56,39 +85,87 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
-    def runCapped(name: String, body: => Unit): Unit = {
+    /** Last-observed per-query seconds, committed as
+      * tools/verify_costs.tsv ("name\tseconds"); absent file or rows →
+      * cost 0 (run first). */
+    val costs: Map[String, Double] = {
+      val p = Paths.get(sys.env.getOrElse("SPARK_GRAFT_COSTS",
+        "/root/repo/tools/verify_costs.tsv"))
+      if (Files.exists(p))
+        scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(p))
+          .asScala.flatMap { line =>
+            line.split('\t') match {
+              case Array(n, t) => scala.util.Try(n -> t.toDouble).toOption
+              case _ => None
+            }
+          }.toMap
+      else Map.empty
+    }
+
+    /** Run under the cap; returns true if the cap was breached (the
+      * session must then be considered poisoned). */
+    def runCapped(name: String, body: => Unit): Boolean = {
+      val sc = spark.sparkContext
       val worker = new Thread(() => {
         try {
-          spark.sparkContext.setJobGroup(s"verify-$name", name,
-            interruptOnCancel = true)
+          sc.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
           body
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        } finally spark.sparkContext.clearJobGroup()
+        } finally sc.clearJobGroup()
       }, s"verify-$name")
       worker.setDaemon(true)
       worker.start()
       worker.join(capSec * 1000L)
       if (worker.isAlive) {
         System.err.println(s"[verify] $name exceeded ${capSec}s cap; cancelling")
-        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        sc.cancelJobGroup(s"verify-$name")
         worker.join(30000L)
-      }
+        if (worker.isAlive) {
+          // driver-side hang (planning/codegen): no cancellable job —
+          // interrupt the thread; the session is rebuilt by the caller
+          // either way, so a surviving zombie cannot contaminate
+          // later queries.
+          System.err.println(s"[verify] $name unresponsive to job-group " +
+            "cancel; interrupting worker")
+          worker.interrupt()
+        }
+        true
+      } else false
     }
 
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = new StringBuilder
+    SparkEntry.queries.toSeq
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }
+      .sortBy { case (name, _) => (costs.getOrElse(name, 0.0), name) }
       .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        runCapped(name,
+        val breached = runCapped(name,
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name"))
+        val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(String.format(java.util.Locale.ROOT,
-          "[verify] %s done in %.1f s", name,
-          Double.box((System.nanoTime() - t0) / 1e9)))
+          "[verify] %s done in %.1f s", name, Double.box(secs)))
+        times.append(String.format(java.util.Locale.ROOT,
+          "%s\t%.1f%n", name, Double.box(secs)))
+        try Files.writeString(Paths.get(s"$outDir/times.tsv"), times.toString)
+        catch { case _: Throwable => () }
+        if (breached) {
+          // A cancelled job group leaves the shared JVM degraded (this
+          // 0-rowed a trivial query in round 4) — start clean.
+          System.err.println(s"[verify] rebuilding SparkSession after $name")
+          try spark.stop() catch { case _: Throwable => () }
+          spark = newSession()
+        } else {
+          // Operators persist shared projections (shingle index, LSH
+          // buckets) with caller-owned lifecycle; iterative ops leave
+          // checkpoint blocks. Release both so storage cannot ratchet
+          // across the suite.
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       }
-    // Operators persist shared projections (shingle index, LSH buckets)
-    // with caller-owned lifecycle — release them before shutdown.
     spark.catalog.clearCache()
     spark.stop()
   }

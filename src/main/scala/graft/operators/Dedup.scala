@@ -220,7 +220,7 @@ object Dedup {
     // per call, squeezing the deliberately-shared hashShingled cache.
     Graph.ensureCheckpointDir(s)
     val out =
-      if (nEdges <= SmallGraphEdges) unionFindClusters(pairs).checkpoint()
+      if (nEdges <= SmallGraphEdges) Graph.cutLineage(s, unionFindClusters(pairs))
       else propagateClusters(pairs, maxIters)
     pairs.unpersist()
     out
@@ -265,10 +265,11 @@ object Dedup {
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    Graph.ensureCheckpointDir(pairs.sparkSession)
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .checkpoint()
+    val s = pairs.sparkSession
+    Graph.ensureCheckpointDir(s)
+    var labels = Graph.cutLineage(s, edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
+    var prevRound: DataFrame = labels
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -290,12 +291,15 @@ object Dedup {
                  coalesce(col("gp_label"), col("label"))) < col("label"))
             .cast("long").as("chg"))
         .withColumnRenamed("new_label", "label")
-        // lazy reliable checkpoint: the convergence-count action right
-        // below is the job that materializes it — one job per round,
-        // not two (reliable, not local: see Graph.ensureCheckpointDir)
-        .checkpoint(false)
-      changed = updated.agg(sum(col("chg"))).collect()(0).getLong(0)
-      labels = updated.select(col("doc_id"), col("label"))
+      // Lazy lineage cut: the convergence-count action right below is
+      // the job that materializes it — one job per round (see
+      // Graph.cutLineage for the local-vs-cluster checkpoint modes).
+      val cut = Graph.cutLineage(s, updated, eager = false)
+      changed = cut.agg(sum(col("chg"))).collect()(0).getLong(0)
+      labels = cut.select(col("doc_id"), col("label"))
+      // round h-1's labels fed only this round, now materialized
+      prevRound.unpersist(blocking = false)
+      prevRound = cut
       i += 1
     }
     edges.unpersist()

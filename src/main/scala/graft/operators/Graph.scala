@@ -21,18 +21,60 @@ import graft.functions.Rounding.round4eps
   */
 object Graph {
 
-  /** Reliable checkpointing for iterative loops. `localCheckpoint`
-    * pins blocks in executor storage that are NOT recomputable — on a
-    * real cluster an executor loss mid-iteration kills the job. A
-    * reliable checkpoint writes the (node-cardinality, tiny relative to
-    * edges) per-round vector to a fault-tolerant scratch dir instead:
-    * the 100 TB deployment sets SPARK_GRAFT_CHECKPOINT_DIR to a DFS
-    * path; locally a temp dir serves. Set once per JVM. */
+  /** Checkpointing for iterative loops, mode-switched on deployment:
+    *
+    *  - **Cluster** (SPARK_GRAFT_CHECKPOINT_DIR set to a DFS path):
+    *    reliable `checkpoint()` — `localCheckpoint` pins blocks in
+    *    executor storage that are NOT recomputable, so an executor
+    *    loss mid-iteration kills the job; a reliable checkpoint of the
+    *    (node-cardinality, tiny relative to edges) per-round vector
+    *    survives it. The input is persisted first: an unpersisted
+    *    reliable checkpoint runs a SECOND write job that recomputes
+    *    the whole round (RDD.checkpoint semantics) — persist makes the
+    *    write job a cache read, halving per-round cost.
+    *  - **Single JVM** (env unset — the local gate): `localCheckpoint`,
+    *    which materializes once into local storage blocks. No
+    *    executor-loss exposure exists in one JVM, and skipping the
+    *    file round-trip removes the dominant fixed cost per round.
+    *
+    * Either way the per-round vector is coalesced to a few partitions
+    * first (node vectors are orders of magnitude smaller than the edge
+    * list — at 32 tasks/round the scheduling overhead exceeds the
+    * compute), and the caller unpersists superseded rounds. */
+  private[graft] def reliableDir: Option[String] = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+
   private[graft] def ensureCheckpointDir(s: SparkSession): Unit =
     if (s.sparkContext.getCheckpointDir.isEmpty)
-      s.sparkContext.setCheckpointDir(
-        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR",
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
+      s.sparkContext.setCheckpointDir(reliableDir.getOrElse {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt")
+        // single-JVM scratch: reclaim on exit (checkpoint files are
+        // otherwise never deleted — unbounded disk growth over a
+        // 100+-query harness run)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(tmp.toFile)
+        }))
+        tmp.toString
+      })
+
+  /** Cut lineage on a small (node-cardinality) per-round vector; see
+    * [[ensureCheckpointDir]]. Returns the checkpointed frame; free it
+    * with `unpersist()` once the next round is materialized. With
+    * `eager = false` the next action on the result materializes the
+    * cut (one job total) — local mode only. */
+  private[graft] def cutLineage(s: SparkSession, df: DataFrame,
+                                eager: Boolean = true): DataFrame = {
+    val parts = math.max(1, s.sparkContext.defaultParallelism / 8)
+    val small = df.coalesce(parts)
+    if (reliableDir.isDefined) {
+      val cached = small.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint()
+      cached.unpersist(blocking = false)
+      out
+    } else small.localCheckpoint(eager)
+  }
 
   /** PageRank over the customer–supplier trade graph (an edge per
     * distinct (customer, supplier) order relationship, traversed both
@@ -45,7 +87,7 @@ object Graph {
     * string — at 100 TB the iteration shuffles dominate, so key width
     * is the lever. */
   def pageRank(s: SparkSession, dir: String,
-               iters: Int = 5, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
     ensureCheckpointDir(s)
     val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
@@ -69,6 +111,7 @@ object Graph {
     // once with NO edge shuffle or sort. (A graph whose node set
     // outgrows the broadcast limit would flip these to hash joins
     // partitioned on node id — same plan shape, one extra exchange.)
+    var prevRound: DataFrame = null
     for (i <- 1 to iters) {
       val contrib = withDeg.join(broadcast(ranks), col("a") === col("node"))
         .groupBy(col("b")).agg(sum(col("rank") / col("outdeg")).as("mass"))
@@ -77,14 +120,18 @@ object Graph {
         .select(col("node"),
           (lit(1) - lit(damping)) / col("n") +
             lit(damping) * coalesce(col("mass"), lit(0.0)) as "rank")
-      // Cut lineage each round: without this the final plan nests
-      // `iters` broadcast-join trees (optimizer time grows with the
-      // plan, and each broadcast subtree re-plans the whole prefix).
-      // The rank vector is node-cardinality — reliably checkpointing it
-      // is one tiny write per round (see ensureCheckpointDir: survives
-      // executor loss, unlike localCheckpoint blocks). Skip the last
-      // round: the caller's action materializes it.
-      if (i < iters) ranks = ranks.checkpoint()
+      // Cut lineage EVERY OTHER round: without any cut the final plan
+      // nests `iters` broadcast-join trees (optimizer time grows with
+      // the plan, and each broadcast subtree re-plans the whole
+      // prefix); cutting every round doubles the job count for no
+      // benefit — a 2-round lineage of broadcast joins is still tiny.
+      // Skip the last round (the caller's action materializes it) and
+      // free the superseded cut — its blocks fed only rounds since.
+      if (i % 2 == 0 && i < iters) {
+        ranks = cutLineage(s, ranks)
+        if (prevRound != null) prevRound.unpersist(blocking = false)
+        prevRound = ranks
+      }
     }
     ranks.select(col("node"), round4eps(col("rank")).as("rank"))
   }
@@ -138,10 +185,10 @@ object Graph {
       .distinct()
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = edges.select(col("a").as("node")).distinct()
+    var dist = cutLineage(s, edges.select(col("a").as("node")).distinct()
       .filter(col("node") % 100 === 0)
-      .withColumn("dist", lit(0))
-      .checkpoint()
+      .withColumn("dist", lit(0)))
+    var lastCut = dist
     var frontier = dist.select(col("node"))
     var h = 1
     while (h <= maxHops) {
@@ -149,15 +196,23 @@ object Graph {
         .select(col("b").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
-        .checkpoint()
-      // the superseded union is re-checkpointed each round; files live
-      // in the scratch dir (no executor-pinned blocks to leak — the
-      // round-2 advice's localCheckpoint block accumulation is moot)
-      dist = dist.unionByName(next).checkpoint()
-      frontier = next.select(col("node"))
+      dist = dist.unionByName(next)
+      // Cut lineage every OTHER round, deriving the next frontier from
+      // the union by its dist label instead of materializing it
+      // separately: between cuts the plan is at most two rounds of
+      // frontier-sized joins over the cached edge list — recomputing
+      // that beats paying a materialization job per round. The
+      // superseded cut fed only the rounds since, now materialized —
+      // free it; storage stays flat at one node-set at any depth.
+      if (h % 2 == 0 && h < maxHops) {
+        dist = cutLineage(s, dist)
+        lastCut.unpersist(blocking = false)
+        lastCut = dist
+      }
+      frontier = dist.filter(col("dist") === h).select(col("node"))
       h += 1
     }
-    edges.unpersist()
+    edges.unpersist(blocking = false)
     dist
   }
 }

@@ -153,8 +153,19 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
               "only add-column evolution is supported")
         oldData ++ newData.filterNot(f => oldNames(f.name))
     }
-    val hidden = StructField(commitCol, LongType) +:
+    // Hidden partition columns are a property of the TABLE, not of one
+    // append: a partitionTs=None append onto a day-partitioned table
+    // must keep the saved graft_days_* column (dropping it from the
+    // sidecar would lose the day column on later reads — breaking
+    // HiddenPartitionPruning — because user-specified read schemas
+    // omit undeclared partition columns).
+    val savedHidden = savedSchema(name).toSeq
+      .flatMap(_.fields.filter(f => hiddenCol(f.name) && f.name != commitCol))
+    val currentHidden =
       partitionTs.map(ts => StructField(partitionColFor(ts), DateType)).toSeq
+    val hidden = StructField(commitCol, LongType) +:
+      (savedHidden ++ currentHidden.filterNot(f =>
+        savedHidden.exists(_.name == f.name)))
     StructType(data ++ hidden)
   }
 
