@@ -152,6 +152,25 @@ object Relational {
       approx_count_distinct(col("event_type"), 0.02).as("n_types_approx"),
       count(lit(1)).as("n_events"))
 
+  /** Oracle-checkable error gate over [[approxDistinct]]: the HLL
+    * estimate itself is sketch-implementation-specific (no cross-engine
+    * hash), but its BOUNDED-ERROR property is checkable — compute both
+    * the sketch and the exact count in one pass and assert the
+    * relative error stays within 5% (2.5x the configured rsd=2%;
+    * observed ≤0.4% on the test corpus). The oracle recomputes the
+    * exact counts and replays the expected verdicts. */
+  def approxDistinctGate(s: SparkSession, dir: String, relTol: Double = 0.05): DataFrame =
+    Tables.events(s, dir).agg(
+      countDistinct(col("user_id")).as("n_users_exact"),
+      countDistinct(col("event_type")).as("n_types_exact"),
+      count(lit(1)).as("n_events"),
+      (abs(approx_count_distinct(col("user_id"), 0.02).cast("double")
+          - countDistinct(col("user_id")))
+        <= countDistinct(col("user_id")) * relTol).as("users_err_ok"),
+      (abs(approx_count_distinct(col("event_type"), 0.02).cast("double")
+          - countDistinct(col("event_type")))
+        <= countDistinct(col("event_type")) * relTol).as("types_err_ok"))
+
   /** Salted high-cardinality aggregation — the skew pattern for keys
     * whose row counts are pathological at scale: stage 1 aggregates on
     * (key, salt) spreading one hot key over `salts` reducers, stage 2
@@ -292,6 +311,32 @@ object Relational {
         round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("ap90"),
         round(expr("approx_percentile(value, 0.99, 10000)"), 4).as("ap99"),
         count(col("value")).as("n_valued"))
+
+  /** Oracle-checkable rank-error gate over [[approxQuantiles]]: a GK
+    * sketch at accuracy 10000 guarantees rank error ≤ n/10000, so each
+    * approximate percentile must land between the exact percentiles at
+    * p ± 0.02 — a 100x margin. The sketch values themselves are
+    * implementation-specific; the bounded-rank-error property is the
+    * portable contract, asserted per group as a boolean the oracle
+    * replays. */
+  def approxQuantilesGate(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("value")).as("n_valued"),
+        expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("ap90"),
+        expr("approx_percentile(value, 0.99, 10000)").as("ap99"),
+        expr("percentile(value, 0.48)").as("lo50"),
+        expr("percentile(value, 0.52)").as("hi50"),
+        expr("percentile(value, 0.88)").as("lo90"),
+        expr("percentile(value, 0.92)").as("hi90"),
+        expr("percentile(value, 0.97)").as("lo99"),
+        expr("percentile(value, 1.0)").as("hi99"))
+      .select(col("event_type"), col("n_valued"),
+        col("ap50").between(col("lo50"), col("hi50")).as("ok50"),
+        col("ap90").between(col("lo90"), col("hi90")).as("ok90"),
+        col("ap99").between(col("lo99"), col("hi99")).as("ok99"))
 
   /** Collecting aggregates: per-user distinct event types as a SORTED
     * csv (collect_set is unordered — sort before joining so output is

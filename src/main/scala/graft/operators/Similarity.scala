@@ -165,6 +165,48 @@ object Similarity {
         round(col("sim"), 4).as("cosine_sim"))
   }
 
+  /** Oracle-checkable recall gate over [[knnAnn]]: per query, the
+    * number of its exact (brute-force) top-K neighbors the LSH index
+    * recovered, thresholded to a boolean. The ANN output itself is
+    * recall-probabilistic — no engine-independent oracle can hash it —
+    * but the RECALL PROPERTY is deterministic here (fixed SRP seeds,
+    * fixed corpus), so the gate asserts it row-by-row and the oracle
+    * replays the expected verdicts. minHits=3 (recall 0.6/query) is
+    * the observed floor on the adversarial uniform-random test corpus
+    * (top-5 cosine ~0.3 → per-table collision prob ~0.6^8; measured
+    * min 3, avg ~4.3 across sf0.001/0.01/0.1); clustered real
+    * embeddings sit near 1.0 (see knnAnn scaladoc for the math). */
+  def annRecallGate(s: SparkSession, dir: String, minHits: Int = 3): DataFrame = {
+    val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val ann = knnAnn(s, dir).select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1))
+    brute.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("query_id"), (col("n_hits") >= minHits).as("recall_ok"))
+  }
+
+  /** Oracle-checkable completeness gate over the LSH path of
+    * [[embeddingNearDups]]: full-outer-join the LSH pairs against the
+    * exact all-pairs ground truth and count misses/spurious hits.
+    * Spurious pairs are impossible by construction (candidates are
+    * verified with the exact cosine), and the documented multi-table
+    * collision bound puts P(miss) < 2e-4 per true pair — so the gate
+    * emits (n_exact, 0, 0), which the oracle recomputes exactly
+    * (n_exact from its own all-pairs scan, the zeros as the asserted
+    * property). */
+  def lshNearDupGate(s: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    val exact = embeddingNearDups(s, dir, threshold, exact = true)
+      .select(col("vec_a"), col("vec_b")).withColumn("e", lit(1))
+    val lsh = embeddingNearDups(s, dir, threshold)
+      .select(col("vec_a"), col("vec_b")).withColumn("l", lit(1))
+    exact.join(lsh, Seq("vec_a", "vec_b"), "full_outer")
+      .agg(
+        count(col("e")).as("n_exact"),
+        count(when(col("e").isNotNull && col("l").isNull, lit(1))).as("n_missed"),
+        count(when(col("e").isNull, lit(1))).as("n_spurious"))
+  }
+
   /** Int8 quantization stats: per vector, symmetric-scale int8
     * quantization (scale = 127/max|x|, q_i = floor(x*scale + 0.5)) with
     * min/max/sum of the quantized values — the storage-shrink transform
