@@ -179,29 +179,39 @@ object Bench {
     // restricts the per-query map to the headline subset.
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json"))
-    def writeFull(): Unit = {
+    // Honest partials (ADVICE r5): a snapshot with -1 sentinels or an
+    // unfinished run must be machine-detectable as such, not mistaken
+    // for a full benchmark — so every emission carries the failed-query
+    // count and a complete flag (all queries attempted AND none failed).
+    def suffix(done: Boolean): String = {
+      val failed = results.values.count(_ < 0)
+      val complete = done && failed == 0 && results.size == todo.size
+      s""""failed":$failed,"complete":$complete,"sf":"$sfDir"}"""
+    }
+    def writeFull(done: Boolean): Unit = {
       val total = results.values.filter(_ >= 0).sum
       val json = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
         .mkString(
           s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""",
-          ",", s"""},"sf":"$sfDir"}""")
+          ",", s"""},${suffix(done)}""")
       try java.nio.file.Files.write(fullPath, json.getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] cannot write $fullPath: ${e.getMessage}") }
     }
-    def printCompact(): Unit = {
+    def printCompact(done: Boolean): Unit = {
       val total = results.values.filter(_ >= 0).sum
       val qs = headline.filter(results.contains)
         .map(k => s""""$k":${fmt(results(k))}""").mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,${suffix(done)}""")
     }
 
     todo.zipWithIndex.foreach { case (n, i) =>
       results(n) = run(n)
-      writeFull()
-      if ((i + 1) % 10 == 0) printCompact()
+      writeFull(done = false)
+      if ((i + 1) % 10 == 0) printCompact(done = false)
     }
-    printCompact()
+    writeFull(done = true)
+    printCompact(done = true)
     spark.stop()
   }
 

@@ -25,17 +25,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects. Read it as raw nanos (legacy conf) and convert to a
-    * microsecond TimestampType — lossless for this data (verified: no
-    * sub-microsecond components at any sf) and exact integer math
-    * (`div`, not double division, which would lose precision on
-    * ~1.7e18 ns epochs). */
+  /** The events table's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects; the legacy conf surfaces it as a raw nanos LONG) and
+    * TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize both to a session-zone TimestampType so
+    * every downstream query sees one stable type. The nanos→micros
+    * conversion is exact integer math (`div`, not double division,
+    * which would lose precision on ~1.7e18 ns epochs) and lossless for
+    * this data (no sub-microsecond components at any sf); the NTZ cast
+    * is value-preserving under the engine's pinned UTC session zone. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a session-zone timestamp
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

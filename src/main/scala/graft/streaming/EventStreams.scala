@@ -194,17 +194,24 @@ object EventStreams {
     * directory"), narrowed to the events table by pathGlobFilter. */
   private def eventsReadStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)))
-    s.readStream.schema(sch)
+    // Streaming file sources don't infer schemas, and the testdata's ts
+    // physical type has varied across generations (nanos-as-long vs
+    // micros-NTZ — see Tables.events). Declare the schema from one
+    // batch footer read (a metadata-only operation) so the stream's
+    // declared types always match the files, then apply the same
+    // ts normalization as the batch loader.
+    val batch = graft.Tables.load(s, dir, "events")
+    val stream = s.readStream.schema(batch.schema)
       .option("pathGlobFilter", "events.parquet")
       .option("recursiveFileLookup", "false")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    stream.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
   }
 
   /** Real-execution gate for [[dedupStream]]: run the watermarked
