@@ -201,10 +201,21 @@ object EventStreams {
     // declared types always match the files, then apply the same
     // ts normalization as the batch loader.
     val batch = graft.Tables.load(s, dir, "events")
-    val stream = s.readStream.schema(batch.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("recursiveFileLookup", "false")
-      .parquet(dir)
+    // Two on-disk layouts exist: the driver testdata ships events as a
+    // single FLAT FILE $dir/events.parquet (stream the parent dir,
+    // narrowed by pathGlobFilter — a streaming source must be given a
+    // directory), while standard Spark writers produce a DIRECTORY
+    // named events.parquet of part files (stream that directory as-is;
+    // pathGlobFilter matches leaf file names, so the flat-file filter
+    // would exclude every part-*.parquet inside it).
+    val eventsPath = java.nio.file.Paths.get(dir, "events.parquet")
+    val reader = s.readStream.schema(batch.schema)
+    val stream =
+      if (java.nio.file.Files.isDirectory(eventsPath)) reader.parquet(eventsPath.toString)
+      else reader
+        .option("pathGlobFilter", "events.parquet")
+        .option("recursiveFileLookup", "false")
+        .parquet(dir)
     stream.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
