@@ -266,10 +266,31 @@ object SparkEntry {
     "q_zipf_slope"       -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
     "q_regex_stats"      -> (TextAnalysis.regexStats _),
     "q_centroid_cosine"  -> (Similarity.centroidCosine _),
+    "q_seq_pack"         -> ((s, d) => TextAnalysis.sequencePack(s, d)),
+    "q_chunk_split"      -> ((s, d) => TextAnalysis.chunkSplit(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
   def oracleSql: Map[String, String] = Map(
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS start FROM t)
+        |SELECT doc_id, n_tokens,
+        |CAST(start // 512 AS BIGINT) AS pack_id,
+        |CAST(start % 512 AS BIGINT) AS pack_off,
+        |((start + n_tokens - 1) // 512) > (start // 512) AS spans_boundary
+        |FROM c""".stripMargin,
+    "q_chunk_split" ->
+      """SELECT doc_id,
+        |CAST(s // 150 AS INTEGER) AS chunk_idx,
+        |CAST(s AS INTEGER) AS chunk_off,
+        |CAST(length(substr(text, s + 1, 200)) AS INTEGER) AS n_chunk_chars,
+        |md5(substr(text, s + 1, 200)) AS chunk_md5
+        |FROM (SELECT doc_id, text,
+        |      unnest(generate_series(0, length(text) - 1, 150)) AS s
+        |      FROM documents WHERE length(text) > 0)""".stripMargin,
     "q_scan_limit" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10""".stripMargin,

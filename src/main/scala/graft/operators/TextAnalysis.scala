@@ -475,6 +475,75 @@ object TextAnalysis {
       count(lit(1)).as("n_tokens"))
   }
 
+  /** Sequence packing — assign each document a position in the
+    * concatenated fixed-size context windows an LLM trainer consumes:
+    * documents are laid out in deterministic doc_id order, the token
+    * stream is cut every `windowTokens` tokens, and each document
+    * reports the window (pack) its first token lands in, its offset
+    * inside that window, and whether it spans a window boundary.
+    *
+    * The global running token count is a distributed two-phase prefix
+    * sum, NOT a single-partition global window (the classic
+    * Window.orderBy-without-partitionBy scale-killer):
+    *   1. docs are range-bucketed by doc_id (`buckets` contiguous id
+    *      ranges, width from one bounded 1-row max(doc_id) scalar —
+    *      the same driver-side-scalar budget as the dedup-CC
+    *      convergence check);
+    *   2. a KEYED window (partitionBy bucket) computes within-bucket
+    *      running sums in parallel;
+    *   3. per-bucket totals (`buckets` rows, KB-scale at any corpus
+    *      size) get their exclusive prefix on a single tiny partition
+    *      and broadcast-join back.
+    * At 100 TB this is one scan + one keyed window + one broadcast
+    * join; bucket count scales with cluster width, never with rows. */
+  def sequencePack(s: SparkSession, dir: String,
+                   windowTokens: Int = 512, buckets: Int = 64): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val width = math.max(1L, maxId / buckets + 1L)
+    val perDoc = docs.withColumn("bucket", floor(col("doc_id") / lit(width)).cast("long"))
+      .withColumn("within",
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+    val prefixes = perDoc.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("bprefix", coalesce(
+        sum(col("btot")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("btot")
+    val start = col("bprefix") + col("within") - col("n_tokens")
+    perDoc.join(broadcast(prefixes), Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(start / lit(windowTokens)).cast("long").as("pack_id"),
+        (start % lit(windowTokens)).as("pack_off"),
+        (floor((start + col("n_tokens") - 1) / lit(windowTokens)) >
+          floor(start / lit(windowTokens))).as("spans_boundary"))
+  }
+
+  /** RAG-style sliding-window chunking: each document is split into
+    * overlapping character windows of `chunk` chars every `stride`
+    * chars (offsets 0, stride, 2*stride, … while inside the text).
+    * Pure map-side generate (sequence + explode) over a two-column
+    * scan — no shuffle at any scale, and the parquet reader prunes to
+    * (doc_id, text). Chunk text is emitted as md5 so the result stays
+    * rows-of-metadata (the hash pins the content for the oracle
+    * without materializing 1.3x of the corpus in the gate output). */
+  def chunkSplit(s: SparkSession, dir: String,
+                 chunk: Int = 200, stride: Int = 150): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") > 0) // sequence(0, -1) is illegal; empty docs chunk to nothing
+      .withColumn("chunk_off",
+        explode(sequence(lit(0), col("n") - lit(1), lit(stride))))
+      .select(col("doc_id"),
+        (col("chunk_off") / lit(stride)).cast("int").as("chunk_idx"),
+        col("chunk_off"),
+        length(col("text").substr(col("chunk_off") + lit(1), lit(chunk)))
+          .as("n_chunk_chars"),
+        md5(col("text").substr(col("chunk_off") + lit(1), lit(chunk)))
+          .as("chunk_md5"))
+
   /** Regex feature profile per language: counts of digit runs,
     * capitalized words, and sentence-ending punctuation across each
     * lang's documents — the pattern-mining face of quality filtering

@@ -225,4 +225,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows("de") === ((1L, 0.3333, 2L)))
     assert(math.abs(rows.values.map(_._2).sum - 1.0) < 0.001)
   }
+
+  test("sequencePack: distributed prefix sum equals the sequential layout") {
+    // token counts in doc_id order: 3, 6, 3, 9, 2 — window 8 tokens.
+    // starts: 0, 3, 9, 12, 21 → packs 0,0,1,1,2; offsets 0,3,1,4,5.
+    val got = TextAnalysis.sequencePack(spark, dir, windowTokens = 8, buckets = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("pack_id"), r.getAs[Long]("pack_off"),
+          r.getAs[Boolean]("spans_boundary")))).toMap
+    assert(got(1L) === ((0L, 0L, false)))
+    assert(got(2L) === ((0L, 3L, true)))   // 6 tokens from offset 3 cross pack 0→1
+    assert(got(3L) === ((1L, 1L, false)))
+    assert(got(4L) === ((1L, 4L, true)))   // 9 tokens from offset 4 cross pack 1→2
+    assert(got(5L) === ((2L, 5L, false)))
+  }
+
+  test("chunkSplit: offsets, lengths and hashes match brute-force slicing") {
+    val text = "der hund ist nicht zu der das und ist" // 37 chars, doc 4
+    val got = TextAnalysis.chunkSplit(spark, dir, chunk = 10, stride = 8)
+      .filter(col("doc_id") === 4L).collect()
+      .map(r => (r.getAs[Int]("chunk_idx"), r.getAs[Int]("chunk_off"),
+        r.getAs[Int]("n_chunk_chars"), r.getAs[String]("chunk_md5")))
+      .sortBy(_._1)
+    val want = Iterator.from(0).map(_ * 8).takeWhile(_ < text.length).zipWithIndex
+      .map { case (off, idx) =>
+        val slice = text.substring(off, math.min(off + 10, text.length))
+        (idx, off, slice.length,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }.toSeq
+    assert(got.toSeq === want)
+    // final short chunk: 37 chars, last offset 32 → 5-char tail
+    assert(got.last._3 === 5)
+  }
 }
