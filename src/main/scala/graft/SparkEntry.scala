@@ -268,6 +268,7 @@ object SparkEntry {
     "q_centroid_cosine"  -> (Similarity.centroidCosine _),
     "q_seq_pack"         -> ((s, d) => TextAnalysis.sequencePack(s, d)),
     "q_chunk_split"      -> ((s, d) => TextAnalysis.chunkSplit(s, d)),
+    "q_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -282,6 +283,21 @@ object SparkEntry {
         |CAST(start % 512 AS BIGINT) AS pack_off,
         |((start + n_tokens - 1) // 512) > (start // 512) AS spans_boundary
         |FROM c""".stripMargin,
+    "q_contamination" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM s
+        |      WHERE source = 'src0'),
+        |t AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS shingle FROM s
+        |      WHERE source <> 'src0')
+        |SELECT t.doc_id,
+        |CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
+        |CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared_shingles,
+        |floor(COUNT(DISTINCT t.shingle) / ANY_VALUE(t.n_shingles) * 10000
+        |  + 0.5 + 0.000001) / 10000 AS contaminated_frac
+        |FROM t JOIN b USING (shingle) GROUP BY t.doc_id""".stripMargin,
     "q_chunk_split" ->
       """SELECT doc_id,
         |CAST(s // 150 AS INTEGER) AS chunk_idx,

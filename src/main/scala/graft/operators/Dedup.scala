@@ -444,6 +444,39 @@ object Dedup {
     * subset (jaccard is underestimated, never overestimated — pairs
     * can be missed, never invented). Default keeps it exact (the
     * oracle is exact). */
+  /** Benchmark decontamination — the pre-training hygiene check that
+    * flags training documents sharing verbatim n-grams with an eval/
+    * benchmark set (here: the documents of `benchmarkSource`; in
+    * production, the benchmark suite loaded as its own table). A doc
+    * that shares even one shingle is reported with how many benchmark
+    * docs it collides with, how many of its shingles are contaminated,
+    * and the contaminated fraction — the triage columns a curation
+    * pipeline thresholds on.
+    *
+    * 100 TB posture: the benchmark shingle index is eval-suite-sized
+    * (MBs against a 100 TB corpus), so it is BROADCAST — contamination
+    * is one map-side hash join over the training-corpus shingle
+    * explode, then one aggregation keyed by doc_id. No all-pairs, no
+    * big-side shuffle before the join; the train side's only shuffle
+    * is the final per-doc rollup. Shingles travel as 8-byte xxhash64
+    * keys (WordShingleHashes), not ~20-char strings. */
+  def contamination(s: SparkSession, dir: String,
+      benchmarkSource: String = "src0"): DataFrame = {
+    val sh = hashShingled(s, dir)
+    val bench = sh.filter(col("source") === benchmarkSource)
+      .select(col("doc_id").as("bench_id"), explode(col("hs")).as("shingle"))
+    val train = sh.filter(col("source") =!= benchmarkSource)
+      .select(col("doc_id"), size(col("hs")).as("n_shingles"),
+        explode(col("hs")).as("shingle"))
+    train.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+           countDistinct(col("shingle")).as("n_shared_shingles"))
+      .select(col("doc_id"), col("n_bench_docs"), col("n_shared_shingles"),
+        (floor(col("n_shared_shingles") / col("n_shingles") * 10000 + 0.5 + 1e-6)
+          / 10000).as("contaminated_frac"))
+  }
+
   def ngramJaccardWithinSource(s: SparkSession, dir: String,
       threshold: Double = JaccardThreshold,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {

@@ -184,4 +184,19 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
       === Set((1L, 3L), (1L, 5L), (3L, 5L)))
   }
+
+  test("contamination flags exactly the train docs sharing a benchmark shingle") {
+    val cdir = TestSpark.documentsFixture(Seq(
+      (1L, "alpha beta gamma delta", "en", "bench"),  // shingles: abg, bgd
+      (2L, "alpha beta gamma other words here", "en", "train"), // shares "alpha beta gamma"
+      (3L, "completely different text entirely", "en", "train"), // clean
+      (4L, "x alpha beta gamma delta y", "en", "train"))) // shares both bench shingles
+    val rows = Dedup.contamination(spark, cdir, benchmarkSource = "bench").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bench_docs"), r.getAs[Long]("n_shared_shingles"),
+          r.getAs[Double]("contaminated_frac")))).toMap
+    assert(rows.keySet === Set(2L, 4L)) // doc 3 is clean: absent, not zero-rowed
+    assert(rows(2L) === ((1L, 1L, 0.25))) // 1 of its 4 shingles contaminated
+    assert(rows(4L) === ((1L, 2L, 0.5)))  // 2 of its 4 shingles contaminated
+  }
 }
