@@ -231,6 +231,37 @@ final class Pipeline(spark: SparkSession, warehouseDir: String,
     n
   }
 
+  /** The Airflow scheduler knobs the reference DAG pins
+    * (dags/bitcoin_pipeline_dag.py:8,19: retries=0, catchup=False,
+    * schedule_interval=hourly) as a deterministic replay over a window
+    * of interval ticks. catchup=false runs ONLY the latest due
+    * interval and records the backlog as "skipped" (Airflow does not
+    * backfill with catchup off); catchup=true backfills every tick in
+    * order. A tick whose extract aborts (all sources down → 0 rows,
+    * extract_bitcoin_prices.py:174-177 exits the task) or throws is
+    * re-attempted up to `retries` times and then recorded "failed" —
+    * later ticks still run, because Airflow dag-runs are independent.
+    * Returns (tick, status) per interval: skipped/success/failed. */
+  def runSchedule(ticks: Seq[Timestamp], catchup: Boolean = false,
+                  retries: Int = 0): Seq[(Timestamp, String)] = {
+    val due: Set[Timestamp] = if (catchup) ticks.toSet else ticks.lastOption.toSet
+    ticks.map { t =>
+      if (!due(t)) t -> "skipped"
+      else {
+        var attempts = 0
+        var outcome = "failed"
+        while (outcome == "failed" && attempts <= retries) {
+          attempts += 1
+          outcome = scala.util.Try(runOnce(Some(t))) match {
+            case scala.util.Success(n) if n > 0 => "success"
+            case _ => "failed"
+          }
+        }
+        t -> outcome
+      }
+    }
+  }
+
   def incMartScan: DataFrame = catalog.table(Transform.FctIncTable)
 
   /** The reference's three canonical ad-hoc queries

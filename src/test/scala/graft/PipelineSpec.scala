@@ -159,4 +159,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(enc.schema.fields.map(_.dataType).toSeq
       === Schemas.rawSchema.fields.map(_.dataType).toSeq)
   }
+
+  test("runSchedule: catchup=false runs only the latest interval (dag.py:19)") {
+    val p = new Pipeline(spark, TestSpark.tempDir("graft-wh"))
+    val got = p.runSchedule(Seq(ts(1), ts(2), ts(3)))
+    assert(got === Seq(ts(1) -> "skipped", ts(2) -> "skipped", ts(3) -> "success"))
+    // only ONE batch landed — the backlog was not backfilled
+    assert(p.catalog.snapshots(Ingest.RawTable).count() === 1L)
+    assert(p.runSchedule(Seq(ts(1), ts(2), ts(3)), catchup = true)
+      .forall(_._2 == "success")) // backfill runs every tick
+    assert(p.catalog.snapshots(Ingest.RawTable).count() === 4L)
+  }
+
+  test("runSchedule: retries re-attempt an aborted extract; retries=0 fails it") {
+    // fails on the first fetch, succeeds afterwards — a transient outage
+    class FlakySource extends PriceSource {
+      val name = "flaky_api"
+      private var calls = 0
+      def fetch(extractedAt: Timestamp, tick: Long) = {
+        calls += 1
+        if (calls == 1) scala.util.Failure(new java.io.IOException("502"))
+        else (new CoinGeckoFixture).fetch(extractedAt, tick)
+      }
+    }
+    val noRetry = new Pipeline(spark, TestSpark.tempDir("graft-wh"),
+      sources = Seq(new FlakySource))
+    assert(noRetry.runSchedule(Seq(ts(1))) === Seq(ts(1) -> "failed"))
+
+    val withRetry = new Pipeline(spark, TestSpark.tempDir("graft-wh"),
+      sources = Seq(new FlakySource))
+    assert(withRetry.runSchedule(Seq(ts(1)), retries = 1)
+      === Seq(ts(1) -> "success"))
+    assert(withRetry.catalog.table(Ingest.RawTable).count() === 1L)
+  }
 }
