@@ -71,6 +71,9 @@ object ScaleSmoke {
     run("winnowFingerprints")(operators.TextAnalysis.winnowFingerprints(spark, dir))
     run("embeddingNearDupsLsh")(operators.Similarity.embeddingNearDups(spark, dir))
     run("knnAnn")(operators.Similarity.knnAnn(spark, dir))
+    run("contamination")(operators.Dedup.contamination(spark, dir))
+    run("sequencePack")(operators.TextAnalysis.sequencePack(spark, dir))
+    run("chunkSplit")(operators.TextAnalysis.chunkSplit(spark, dir))
 
     spark.stop()
   }

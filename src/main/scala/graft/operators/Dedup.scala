@@ -444,6 +444,71 @@ object Dedup {
     * subset (jaccard is underestimated, never overestimated — pairs
     * can be missed, never invented). Default keeps it exact (the
     * oracle is exact). */
+  /** Incremental (cross-snapshot) dedup: adjudicate a NEW document
+    * batch against the EXISTING deduped corpus without ever pairing
+    * index docs with each other — the production dedup shape at
+    * 100 TB, where the corpus is deduped once and each daily increment
+    * probes persisted fingerprint and LSH band indexes. The testdata
+    * split derives from doc_id (ids below `splitFrac` of the id space
+    * are the index, the rest the batch); in production these are two
+    * tables.
+    *
+    * Verdict per batch doc:
+    *   exact_dup — normalized-text md5 equality with an index doc;
+    *   near_dup  — an LSH band collision with an index doc, verified
+    *               at shingle jaccard >= [[JaccardThreshold]];
+    *   new       — neither.
+    * match_id is the LOWEST colliding index id (deterministic). With
+    * the r=2, b=16 banding the per-pair miss probability at j>=0.8 is
+    * <= 4e-7 (see [[minhashPairs]]), so the output equals the oracle's
+    * exact batch-cross-index comparison.
+    *
+    * 100 TB posture: both probes are equality joins keyed by
+    * fingerprint / (band, key) — the index NEVER self-pairs, so the
+    * increment's cost scales with batch size and collision volume,
+    * not corpus size; verification re-attaches shingle arrays by id
+    * join exactly like [[minhashPairs]]. */
+  def incrementalDedup(s: SparkSession, dir: String,
+      splitFrac: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val splitId = (splitFrac * (maxId + 1)).toLong
+
+    val fp = docs.select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
+    val exact = fp.filter(col("doc_id") >= splitId)
+      .join(fp.filter(col("doc_id") < splitId)
+        .withColumnRenamed("doc_id", "idx_id"), Seq("fingerprint"))
+      .groupBy(col("doc_id")).agg(min(col("idx_id")).as("exact_match"))
+
+    val sh = hashShingled(s, dir).filter(size(col("hs")) > 0)
+    def bandKeys(side: DataFrame) = side
+      .withColumn("sig", minhashSig(col("hs")))
+      .select(col("doc_id"),
+        posexplode(array((0 until NumBands).map { j =>
+          xxhash64(element_at(col("sig"), 2 * j + 1),
+                   element_at(col("sig"), 2 * j + 2), lit(j))
+        }: _*)).as(Seq("band", "key")))
+    val cand = bandKeys(sh.filter(col("doc_id") >= splitId))
+      .join(bandKeys(sh.filter(col("doc_id") < splitId))
+        .withColumnRenamed("doc_id", "idx_id"), Seq("band", "key"))
+      .select(col("doc_id"), col("idx_id")).distinct()
+    val near = cand
+      .join(sh.select(col("doc_id"), col("hs")), Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("idx_id"), col("hs").as("hs_i")), Seq("idx_id"))
+      .withColumn("j", jaccardHs(col("hs"), col("hs_i")))
+      .filter(col("j") >= JaccardThreshold)
+      .groupBy(col("doc_id")).agg(min(col("idx_id")).as("near_match"))
+
+    docs.filter(col("doc_id") >= splitId).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact_dup"))
+          .when(col("near_match").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
+
   /** Benchmark decontamination — the pre-training hygiene check that
     * flags training documents sharing verbatim n-grams with an eval/
     * benchmark set (here: the documents of `benchmarkSource`; in

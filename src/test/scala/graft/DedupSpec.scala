@@ -185,6 +185,27 @@ class DedupSpec extends AnyFunSuite {
       === Set((1L, 3L), (1L, 5L), (3L, 5L)))
   }
 
+  test("incrementalDedup adjudicates the batch against the index only") {
+    // ids 0..7 (max 7, splitFrac 0.5 → split 4): index {0..3}, batch {4..7}
+    val idir = TestSpark.documentsFixture(Seq(
+      (0L, base, "en", "web"),
+      (1L, unrelated, "en", "web"),
+      (2L, "tiny", "en", "web"),                       // < 3 words: no shingles
+      (3L, nearDup, "en", "web"),                      // near-dup of 0 (index-internal: ignored)
+      (4L, "  " + base.toUpperCase + "  ", "en", "web"), // exact_dup of 0 after normalize
+      (5L, nearDup, "en", "web"),                      // exact_dup of 3 AND near-dup of 0
+      (6L, (1 to 40).map(i => s"q$i").mkString(" "), "en", "web"), // genuinely new
+      (7L, (2 to 40).map(i => s"w$i").mkString(" "), "en", "web"))) // near-dup of 0 only
+    val got = Dedup.incrementalDedup(spark, idir, splitFrac = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), Option(r.getAs[Any]("match_id"))))).toMap
+    assert(got(4L) === (("exact_dup", Some(0L))))
+    assert(got(5L) === (("exact_dup", Some(3L))))
+    assert(got(6L) === (("new", None)))
+    assert(got(7L) === (("near_dup", Some(0L))))
+    assert(got.size === 4) // index docs are never adjudicated
+  }
+
   test("contamination flags exactly the train docs sharing a benchmark shingle") {
     val cdir = TestSpark.documentsFixture(Seq(
       (1L, "alpha beta gamma delta", "en", "bench"),  // shingles: abg, bgd
