@@ -270,10 +270,30 @@ object SparkEntry {
     "q_chunk_split"      -> ((s, d) => TextAnalysis.chunkSplit(s, d)),
     "q_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     "q_dedup_incremental"-> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "q_budget_sample"    -> ((s, d) => TextAnalysis.budgetSample(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
   def oracleSql: Map[String, String] = Map(
+    "q_budget_sample" ->
+      """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS w,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS upper_ratio
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  floor(greatest(0.0, least(1.0,
+        |    least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+        |    + least(CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |            / len(w) * 5.0, 1.0) * 0.5
+        |    - punct_ratio * 2.0 - upper_ratio)) * 10000 + 0.5) / 10000 AS quality
+        |  FROM t),
+        |c AS (SELECT doc_id, source, n_tokens, quality,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens FROM q)
+        |SELECT doc_id, source, n_tokens, quality, cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < 500""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

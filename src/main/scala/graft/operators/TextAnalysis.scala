@@ -475,6 +475,34 @@ object TextAnalysis {
       count(lit(1)).as("n_tokens"))
   }
 
+  /** Token-budget curated sampling — materialize a training mix: per
+    * source, fill a token budget with the source's highest-quality
+    * documents. Docs are ranked (quality desc, doc_id) inside each
+    * source — ordering uses the ROUNDED quality, which is engine-
+    * stable, with the id tie-break making the running sum
+    * deterministic — and a doc is kept while its predecessors' token
+    * total is still under the budget (the budget-crossing doc is the
+    * last one kept). This is the selection step downstream of
+    * [[mixtureWeights]]: weights say how much each slice contributes;
+    * this picks WHICH documents fill the slice.
+    *
+    * 100 TB posture: one keyed window per source (quality ranking +
+    * running token sum in the same partition pass) over a pruned
+    * 3-column scan — no global ordering anywhere. */
+  def budgetSample(s: SparkSession, dir: String,
+                   budgetTokens: Long = 500): DataFrame = {
+    val ranked = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      round4(qualityScore(col("text"), Stopwords)).as("quality"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    ranked.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality"), col("cum_tokens"))
+  }
+
   /** Sequence packing — assign each document a position in the
     * concatenated fixed-size context windows an LLM trainer consumes:
     * documents are laid out in deterministic doc_id order, the token

@@ -226,6 +226,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(rows.values.map(_._2).sum - 1.0) < 0.001)
   }
 
+  test("budgetSample: per-source quality-ranked greedy fill to the token budget") {
+    // web qualities: doc2 .5213 > doc1 .3483 > doc4 .0463 > doc3 0.0;
+    // token counts doc2=6, doc1=3, doc4=9, doc3=3. books: doc5 (2 tokens).
+    val all = TextAnalysis.budgetSample(spark, dir, budgetTokens = 100).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("cum_tokens")))).toMap
+    assert(all(2L) === (("web", 6L)))   // best quality fills first
+    assert(all(1L) === (("web", 9L)))
+    assert(all(4L) === (("web", 18L)))
+    assert(all(3L) === (("web", 21L)))
+    assert(all(5L) === (("books", 2L)))
+    // budget 7: doc2 starts at 0, doc1 at 6 (<7, kept — the crossing
+    // doc), doc4 at 15 (cut); books keeps its only doc
+    val cut = TextAnalysis.budgetSample(spark, dir, budgetTokens = 7).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(cut === Set(2L, 1L, 5L))
+    // budget 1 degenerates to argmax-quality per source
+    val top = TextAnalysis.budgetSample(spark, dir, budgetTokens = 1).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(top === Set(("web", 2L), ("books", 5L)))
+  }
+
   test("sequencePack: distributed prefix sum equals the sequential layout") {
     // token counts in doc_id order: 3, 6, 3, 9, 2 — window 8 tokens.
     // starts: 0, 3, 9, 12, 21 → packs 0,0,1,1,2; offsets 0,3,1,4,5.
