@@ -47,7 +47,28 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Defensive-normalization philosophy: the DuckDB oracle recomputes
+    * every gate from the RAW parquet, so queries should follow the
+    * file's types the way the oracle does — pinning types here could
+    * manufacture Spark-vs-oracle drift. The exceptions are columns a
+    * native kernel hard-requires: `embedding` must be array<float>
+    * (SortedLongJaccard-style vector kernels and VecAggregates resolve
+    * on FloatType); a testdata regeneration that widens it to
+    * list<double> would otherwise fail analysis for the whole
+    * similarity family — the same failure mode that broke all 51
+    * events queries when `ts` changed physical type (see [[events]]). */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val raw = load(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(_, _) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case _ => raw
+    }
+  }
 
   /** Register every table as a temp view (used by tests / ad-hoc SQL).
     * `events` goes through the nanos→micros conversion above so SQL

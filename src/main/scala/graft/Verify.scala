@@ -102,6 +102,19 @@ object Verify {
       else Map.empty
     }
 
+    // Per-query failures persisted next to the results: a query that
+    // ERRORS writes no parquet, so without this it is indistinguishable
+    // in the correctness report from one the run never reached (round 5
+    // lost 51 rows to exactly that ambiguity when a testdata
+    // regeneration changed a column's physical type).
+    val errors = new StringBuilder
+    def recordError(name: String, msg: String): Unit = {
+      errors.append(name).append('\t')
+        .append(Option(msg).getOrElse("null").replace('\n', ' ')).append('\n')
+      try Files.writeString(Paths.get(s"$outDir/errors.tsv"), errors.toString)
+      catch { case _: Throwable => () }
+    }
+
     /** Run under the cap; returns true if the cap was breached (the
       * session must then be considered poisoned). */
     def runCapped(name: String, body: => Unit): Boolean = {
@@ -112,6 +125,7 @@ object Verify {
           body
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          recordError(name, e.getMessage)
         } finally sc.clearJobGroup()
       }, s"verify-$name")
       worker.setDaemon(true)
