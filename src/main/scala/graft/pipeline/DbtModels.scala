@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal dbt-model compiler — the Jinja subset the reference project
+  * actually uses (Iceberg-dbt-project's models exist only as README
+  * listings, README.md:366-400):
+  *
+  *   - `{{ config(materialized='...') }}` extraction (both reference
+  *     models pin `table`, i.e. full-refresh CTAS — W4);
+  *   - `{{ ref('model') }}` resolution to the upstream model's
+  *     relation, which also induces the dependency graph;
+  *   - source-relation rendering: dbt renders database/schema-qualified
+  *     relations against the target profile (profiles.yml:4-11); here
+  *     the profile maps the reference's `iceberg.raw.*` identifiers
+  *     onto the emulated catalog's registered views.
+  *
+  * This closes the "templating step absent" gap: the RAW model text
+  * from the reference README is what executes — compiled, ordered by
+  * ref edges, and materialized per its own config — instead of
+  * hand-compiled SQL baked into the engine. `Transform.StagingSql` /
+  * `DailyMartSql` remain as the expected compiler OUTPUT and the spec
+  * asserts compile(raw) produces exactly those semantics.
+  */
+object DbtModels {
+
+  /** A model as dbt sees it: file name (minus .sql) + raw Jinja text. */
+  final case class Model(name: String, raw: String)
+
+  /** Compiler output: executable SQL, materialization, ref edges. */
+  final case class Compiled(name: String, sql: String,
+                            materialized: String, refs: Seq[String])
+
+  private val ConfigRe =
+    """\{\{\s*config\(\s*materialized\s*=\s*'([^']+)'\s*\)\s*\}\}""".r
+  private val RefRe = """\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""".r
+
+  /** Compile one model: pull the config block out of the SQL, resolve
+    * `ref()` through `relationFor`, rewrite source relations through
+    * the profile map (longest identifier first, so a nested qualifier
+    * cannot be clobbered by a prefix). */
+  def compile(m: Model, relationFor: String => String,
+              sourceRelations: Map[String, String] = Map.empty): Compiled = {
+    val materialized =
+      ConfigRe.findFirstMatchIn(m.raw).map(_.group(1)).getOrElse("view")
+    val refs = RefRe.findAllMatchIn(m.raw).map(_.group(1)).toSeq.distinct
+    var sql = RefRe.replaceAllIn(ConfigRe.replaceAllIn(m.raw, ""),
+      mm => java.util.regex.Matcher.quoteReplacement(relationFor(mm.group(1))))
+    sourceRelations.toSeq.sortBy(-_._1.length).foreach { case (from, to) =>
+      sql = sql.replace(from, to)
+    }
+    Compiled(m.name, sql.trim, materialized, refs)
+  }
+
+  /** Kahn topological order over ref edges (a ref to a non-model
+    * relation — a source — is no edge). Cycles are a compile error,
+    * exactly as in dbt. */
+  def order(models: Seq[Compiled]): Seq[Compiled] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val indeg = scala.collection.mutable.Map(
+      models.map(m => m.name -> m.refs.count(byName.contains)): _*)
+    val queue = scala.collection.mutable.Queue(
+      models.filter(m => indeg(m.name) == 0).map(_.name).sorted: _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Compiled]
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      out += byName(n)
+      models.filter(_.refs.contains(n)).foreach { child =>
+        indeg(child.name) -= 1
+        if (indeg(child.name) == 0) queue += child.name
+      }
+    }
+    require(out.size == models.size,
+      s"ref cycle among: ${models.map(_.name).diff(out.map(_.name).toSeq).mkString(", ")}")
+    out.toSeq
+  }
+
+  /** `dbt run`: compile every model, order by refs, execute each
+    * against the session, materialize per its config — `table` is a
+    * full-refresh CTAS into the emulated catalog (the reference's only
+    * materialization, W4); anything else registers a temp view.
+    * Downstream refs always read the just-built relation. Returns the
+    * built DataFrames by model name. */
+  def run(s: SparkSession, catalog: LakeCatalog, models: Seq[Model],
+          sourceRelations: Map[String, String],
+          namespace: String = "raw"): Map[String, DataFrame] = {
+    val compiled = order(models.map(compile(_, name => name, sourceRelations)))
+    compiled.map { c =>
+      val df = s.sql(c.sql)
+      if (c.materialized == "table") catalog.createOrReplace(s"$namespace.${c.name}", df)
+      // ref('x') compiles to the bare relation `x`; register it so
+      // downstream models resolve (dbt's relation cache equivalent)
+      df.createOrReplaceTempView(c.name)
+      c.name -> df
+    }.toMap
+  }
+
+  /** The reference's two models, RAW — verbatim from the README
+    * listings (PT section README.md:369-400; EN duplicate 777-811). */
+  val ReferenceModels: Seq[Model] = Seq(
+    Model("stg_bitcoin_prices",
+      """{{ config(materialized='table') }}
+        |
+        |SELECT
+        |    source as data_source,
+        |    symbol as crypto_symbol,
+        |    COALESCE(price_usd, 0) as price_usd,
+        |    COALESCE(price_eur, 0) as price_eur,
+        |    COALESCE(price_brl, 0) as price_brl,
+        |    COALESCE(market_cap_usd, 0) as market_cap_usd,
+        |    COALESCE(volume_24h_usd, 0) as volume_24h_usd,
+        |    COALESCE(change_24h_pct, 0) as price_change_24h_pct,
+        |    extracted_at,
+        |    DATE(extracted_at) as extraction_date
+        |FROM iceberg.raw.bitcoin_prices""".stripMargin),
+    Model("fct_bitcoin_daily",
+      """{{ config(materialized='table') }}
+        |
+        |SELECT
+        |    extraction_date,
+        |    data_source,
+        |    crypto_symbol,
+        |    MIN(price_usd) as min_price_usd,
+        |    MAX(price_usd) as max_price_usd,
+        |    AVG(price_usd) as avg_price_usd,
+        |    COUNT(*) as records
+        |FROM {{ ref('stg_bitcoin_prices') }}
+        |GROUP BY extraction_date, data_source, crypto_symbol""".stripMargin))
+
+  /** The reference profile's relation rendering for this engine: the
+    * raw layer's Iceberg identifier maps to the registered view. */
+  val ReferenceSources: Map[String, String] =
+    Map("iceberg.raw.bitcoin_prices" -> "bitcoin_prices")
+}
