@@ -143,7 +143,7 @@ object Bench {
     // ticks + CTAS rebuilds) rather than running a query over sfDir —
     // they belong to the correctness gate, not the throughput benchmark.
     val notQueries = Set("q_pipeline_mart", "q_pipeline_snapshots",
-      "q_pipeline_asof", "q_pipeline_incmart")
+      "q_pipeline_asof", "q_pipeline_incmart", "q_pipeline_dbtrun")
     // Cheapest-first by last observed Verify time (unknown → 0): the
     // iterative graph tail runs last, after every cheap query has
     // already landed its number.

@@ -195,6 +195,17 @@ object SparkEntry {
     // mart transform in DuckDB; snapshots project the deterministic
     // columns (committed_at is wall-clock).
     "q_pipeline_mart"    -> ((s, _) => gatePipeline(s).martScan),
+    // dbt-templating gate: the mart built by COMPILING the reference's
+    // raw Jinja model text (DbtModels) must equal the fixture-replay
+    // oracle — same oracle as q_pipeline_mart by construction.
+    "q_pipeline_dbtrun"  -> ((s, _) => {
+      val p = gatePipeline(s)
+      p.catalog.table(graft.pipeline.Ingest.RawTable)
+        .createOrReplaceTempView("bitcoin_prices")
+      graft.pipeline.DbtModels.run(s, p.catalog,
+        graft.pipeline.DbtModels.ReferenceModels,
+        graft.pipeline.DbtModels.ReferenceSources)("fct_bitcoin_daily")
+    }),
     "q_pipeline_snapshots" -> ((s, _) => gatePipeline(s).snapshots
                                .select(org.apache.spark.sql.functions.col("snapshot_id"),
                                        org.apache.spark.sql.functions.col("operation"),
@@ -1468,6 +1479,21 @@ object SparkEntry {
     // are exact binary doubles (multiples of 0.25), so MIN/MAX/AVG are
     // bit-identical across engines.
     "q_pipeline_mart" ->
+      """WITH raw(data_source, crypto_symbol, price_usd, extracted_at) AS (VALUES
+        |  ('coingecko', 'BTC', CAST(50000.0  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coincap', 'BTC', CAST(50012.5  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(49992.75 AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coingecko', 'BTC', CAST(50125.0  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coincap', 'BTC', CAST(50137.5  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50117.75 AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coingecko', 'BTC', CAST(50250.0  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('coincap', 'BTC', CAST(50262.5  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50242.75 AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'))
+        |SELECT CAST(extracted_at AS DATE) AS extraction_date, data_source, crypto_symbol,
+        |MIN(price_usd) AS min_price_usd, MAX(price_usd) AS max_price_usd,
+        |AVG(price_usd) AS avg_price_usd, COUNT(*) AS records
+        |FROM raw GROUP BY 1, 2, 3""".stripMargin,
+    "q_pipeline_dbtrun" ->
       """WITH raw(data_source, crypto_symbol, price_usd, extracted_at) AS (VALUES
         |  ('coingecko', 'BTC', CAST(50000.0  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
         |  ('coincap', 'BTC', CAST(50012.5  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
