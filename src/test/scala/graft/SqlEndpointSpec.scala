@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.DriverManager
+
+/** Real-connection test of the Thrift/JDBC endpoint: start the server
+  * in-process, connect with the Hive JDBC driver (the same driver
+  * dbt-spark's thrift method uses), and run SQL — a parquet-backed
+  * view and one of the engine's registered kernel functions. */
+class SqlEndpointSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("JDBC client runs SQL (incl. a graft kernel) over the thrift endpoint") {
+    val port = 10123
+    val server = graft.pipeline.SqlEndpoint.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      // the server comes up asynchronously; retry the connect briefly
+      var conn: java.sql.Connection = null
+      var attempts = 0
+      while (conn == null && attempts < 40) {
+        try conn = DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/default", "anonymous", "")
+        catch { case _: Exception => attempts += 1; Thread.sleep(500) }
+      }
+      assert(conn != null, "could not connect to the thrift endpoint")
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TEMPORARY VIEW docs USING parquet OPTIONS " +
+          "(path '/root/testdata/sf0.001/documents.parquet')")
+        val rs = st.executeQuery("SELECT COUNT(*) AS n FROM docs")
+        assert(rs.next() && rs.getLong(1) > 0)
+        // engine kernel functions are served through the endpoint
+        val rk = st.executeQuery(
+          "SELECT vec_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c")
+        assert(rk.next() && math.abs(rk.getDouble(1) - 1.0) < 1e-9)
+      } finally conn.close()
+    } finally server.stop()
+  }
+}
