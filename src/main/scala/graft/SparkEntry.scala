@@ -125,6 +125,7 @@ object SparkEntry {
     "q_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
     "q_triangles"        -> ((s, d) => graft.operators.Graph.triangleCounts(s, d)),
     "q_stream_enrich"    -> (graft.streaming.EventStreams.enrichStreamGate _),
+    "q_stream_stateful"  -> (graft.streaming.EventStreams.statefulProfileGate _),
     "q_cohort_retention" -> (graft.operators.Behavior.cohortRetention _),
     "q_format_roundtrip" -> (graft.sources.FormatRoundTrip.roundTripProfile _),
     // Custom physical operator (plans.TopKPerGroup): top-3 per user
@@ -1429,6 +1430,13 @@ object SparkEntry {
         |CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
+    // transformWithState running profile: a full AvailableNow drain of
+    // the file stream equals the batch GROUP BY (integer value
+    // checksum keeps the sum order-independent).
+    "q_stream_stateful" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // PageRank: 3 unrolled power iterations, damping 0.85 (CAST AS
     // DOUBLE so DuckDB's decimal literals reproduce Spark's binary
     // doubles exactly). 3 gate iterations, not 5: each round is a

@@ -249,6 +249,88 @@ object EventStreams {
       s.table(sink)
     }
 
+  /** Output row of [[RunningProfileProcessor]]: per (user, type)
+    * running event count and integer value checksum (cents — integer
+    * sums are order-independent, so the gate hashes deterministically
+    * where a double sum would not). */
+  final case class KeyProfile(user_id: Long, event_type: String,
+                              n_events: Long, value_cents: Long)
+
+  /** Arbitrary-state streaming on the MODERN API: Spark 4's
+    * `transformWithState` StatefulProcessor (the successor of
+    * mapGroupsWithState, RocksDB-backed, TTL-capable per state var).
+    * Keeps one ValueState per (user, type) and emits the updated
+    * running profile each time the key sees input — the canonical
+    * "maintain a per-entity profile over the firehose" shape. At
+    * 100 TB the state distributes by key; TTLConfig bounds per-key
+    * state lifetime where the domain allows forgetting. */
+  final class RunningProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), (Long, String, Double), KeyProfile] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("profile",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String),
+        rows: Iterator[(Long, String, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyProfile] = {
+      var (n, cents) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { r => n += 1; cents += math.floor(r._3 * 100).toLong }
+      state.update((n, cents))
+      Iterator.single(KeyProfile(key._1, key._2, n, cents))
+    }
+  }
+
+  /** Real-execution gate for [[RunningProfileProcessor]]: drain the
+    * file stream through transformWithState (RocksDB state store — the
+    * only provider the API supports) and reduce the Update-mode sink
+    * to each key's FINAL state (n_events is monotone, so max_by is the
+    * last update even if the drain split into several micro-batches).
+    * One full drain ≡ the batch GROUP BY — the DuckDB oracle. */
+  def statefulProfileGate(s: SparkSession, dir: String): DataFrame =
+    withGatePartitions(s) {
+      // provider is read at stream START; scope it so the other gates
+      // keep the session default
+      val pKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(pKey)
+      s.conf.set(pKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try statefulProfileGateInner(s, dir)
+      finally prevProvider match {
+        case Some(v) => s.conf.set(pKey, v)
+        case None => s.conf.unset(pKey)
+      }
+    }
+
+  private def statefulProfileGateInner(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val sink = s"profile_gate_${System.nanoTime()}"
+      val src = eventsReadStream(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)]
+      val q = src.groupByKey(r => (r._1, r._2))
+        .transformWithState(new RunningProfileProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[KeyProfile])
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000L),
+        s"stream gate $sink did not drain within 120 s") finally q.stop()
+      s.table(sink).groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("value_cents"), col("n_events")).as("value_cents"))
+    }
+
   /** Gate-scoped shuffle-partition override. A stateful streaming op
     * instantiates ONE state store (with its own checkpoint dir,
     * maintenance thread, and commit files) per shuffle partition — for

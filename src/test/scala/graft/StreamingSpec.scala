@@ -208,4 +208,20 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet
     assert(keys === Set((1L, "view"), (1L, "purchase"), (2L, "view")))
   }
+
+  test("statefulProfileGate: transformWithState drain equals batch GROUP BY") {
+    val base = 1786838400L
+    def ns(offsetS: Long) = (base + offsetS) * 1000000000L
+    val dir = TestSpark.eventsFixture(Seq(
+      (1L, 1L, "view", java.lang.Double.valueOf(1.25), ns(0)),
+      (2L, 1L, "view", java.lang.Double.valueOf(2.50), ns(10)),
+      (3L, 1L, "purchase", java.lang.Double.valueOf(9.99), ns(20)),
+      (4L, 2L, "view", java.lang.Double.valueOf(-0.75), ns(30))))
+    val got = EventStreams.statefulProfileGate(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("value_cents")))).toMap
+    assert(got((1L, "view")) === ((2L, 375L)))      // floor(125)+floor(250)
+    assert(got((1L, "purchase")) === ((1L, 999L)))
+    assert(got((2L, "view")) === ((1L, -75L)))      // floor(-75.0) = -75
+  }
 }
