@@ -185,7 +185,11 @@ object Bench {
     // count and a complete flag (all queries attempted AND none failed).
     def suffix(done: Boolean): String = {
       val failed = results.values.count(_ < 0)
-      val complete = done && failed == 0 && results.size == todo.size
+      // an arg-restricted run (local iteration) is never "complete":
+      // it must not overwrite the committed full-registry artifact
+      // with a machine-flagged-complete subset
+      val complete = done && failed == 0 && wanted.isEmpty &&
+        results.size == todo.size
       s""""failed":$failed,"complete":$complete,"sf":"$sfDir"}"""
     }
     def writeFull(done: Boolean): Unit = {

@@ -75,7 +75,15 @@ object Tables {
     * users see a real TimestampType ts. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach { n =>
-      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      // route through the per-table loaders so SQL users get the same
+      // normalizations (events ts flavor, embeddings element type) as
+      // DataFrame callers — a raw load here would reintroduce the
+      // type-drift failure mode for the view path only
+      val df = n match {
+        case "events" => events(spark, dir)
+        case "embeddings" => embeddings(spark, dir)
+        case _ => load(spark, dir, n)
+      }
       df.createOrReplaceTempView(n)
     }
 }

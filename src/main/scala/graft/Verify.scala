@@ -108,7 +108,14 @@ object Verify {
     // lost 51 rows to exactly that ambiguity when a testdata
     // regeneration changed a column's physical type).
     val errors = new StringBuilder
-    def recordError(name: String, msg: String): Unit = {
+    // stale errors from a previous run in a reused outDir must not
+    // misreport fixed queries; every other output file is rewritten
+    // unconditionally, so clear this one too
+    try Files.deleteIfExists(Paths.get(s"$outDir/errors.tsv"))
+    catch { case _: Throwable => () }
+    // synchronized: a zombie worker surviving a cap breach can throw —
+    // and record — concurrently with the current query's worker
+    def recordError(name: String, msg: String): Unit = errors.synchronized {
       errors.append(name).append('\t')
         .append(Option(msg).getOrElse("null").replace('\n', ' ')).append('\n')
       try Files.writeString(Paths.get(s"$outDir/errors.tsv"), errors.toString)

@@ -87,11 +87,19 @@ object DbtModels {
     val compiled = order(models.map(compile(_, name => name, sourceRelations)))
     compiled.map { c =>
       val df = s.sql(c.sql)
-      if (c.materialized == "table") catalog.createOrReplace(s"$namespace.${c.name}", df)
-      // ref('x') compiles to the bare relation `x`; register it so
-      // downstream models resolve (dbt's relation cache equivalent)
-      df.createOrReplaceTempView(c.name)
-      c.name -> df
+      // ref('x') compiles to the bare relation `x`; register the BUILT
+      // relation under that name (dbt's relation cache): for a table
+      // materialization that is the catalog table just written — a
+      // downstream model must read the materialized data, not re-execute
+      // the upstream plan (and a non-deterministic model would
+      // otherwise diverge from its own table)
+      val built =
+        if (c.materialized == "table") {
+          catalog.createOrReplace(s"$namespace.${c.name}", df)
+          catalog.table(s"$namespace.${c.name}")
+        } else df
+      built.createOrReplaceTempView(c.name)
+      c.name -> built
     }.toMap
   }
 

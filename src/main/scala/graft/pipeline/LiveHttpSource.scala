@@ -28,6 +28,9 @@ private[graft] object Http {
   /** GET url → parsed JSON; non-2xx raises (requests.raise_for_status). */
   def getJson(url: String, timeoutMs: Int): JsonNode = {
     val client = java.net.http.HttpClient.newBuilder()
+      // requests follows redirects (CoinCap 301s to its new host);
+      // java.net.http defaults to NEVER
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
@@ -70,9 +73,15 @@ final class CoinCapLive(timeoutMs: Int = 10000) extends PriceSource {
 
   private[graft] def parsePayload(root: JsonNode, ts: Timestamp): BitcoinPrice = {
     val d = root.get("data")
-    // float(data.get(k, 0)): missing → 0.0; string value → parsed
-    def num(k: String): Double =
-      Option(d.get(k)).filterNot(_.isNull).map(_.asText.toDouble).getOrElse(0.0)
+    // float(data.get(k, 0)): MISSING key → 0.0 default, but a key
+    // PRESENT with null raises in Python (float(None) TypeError) and
+    // must fail the source here too, not fabricate a 0.0 price
+    def num(k: String): Double = d.get(k) match {
+      case null => 0.0
+      case n if n.isNull =>
+        throw new IllegalArgumentException(s"$k is null (float(None) raises)")
+      case n => n.asText.toDouble
+    }
     val usd = num("priceUsd")
     BitcoinPrice(name, "BTC", Some(usd), Some(usd * 0.85), Some(usd * 5.50),
       Some(num("marketCapUsd")), Some(num("volumeUsd24Hr")),

@@ -266,7 +266,7 @@ object EventStreams {
     * state lifetime where the domain allows forgetting. */
   final class RunningProfileProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        (Long, String), (Long, String, Double), KeyProfile] {
+        (Long, String), (Long, String, java.lang.Double), KeyProfile] {
     @transient private var state:
       org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
 
@@ -279,10 +279,16 @@ object EventStreams {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
     override def handleInputRows(key: (Long, String),
-        rows: Iterator[(Long, String, Double)],
+        rows: Iterator[(Long, String, java.lang.Double)],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyProfile] = {
       var (n, cents) = if (state.exists()) state.get() else (0L, 0L)
-      rows.foreach { r => n += 1; cents += math.floor(r._3 * 100).toLong }
+      // events carry nulls (see Event scaladoc): a null value counts
+      // the event but adds nothing — SQL SUM semantics, so the batch
+      // oracle stays exact if a regeneration introduces null values
+      rows.foreach { r =>
+        n += 1
+        if (r._3 != null) cents += math.floor(r._3.doubleValue * 100).toLong
+      }
       state.update((n, cents))
       Iterator.single(KeyProfile(key._1, key._2, n, cents))
     }
@@ -314,7 +320,11 @@ object EventStreams {
       val sink = s"profile_gate_${System.nanoTime()}"
       val src = eventsReadStream(s, dir)
         .select(col("user_id"), col("event_type"), col("value"))
-        .as[(Long, String, Double)]
+        .as[(Long, String, java.lang.Double)](
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.DOUBLE))
       val q = src.groupByKey(r => (r._1, r._2))
         .transformWithState(new RunningProfileProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),

@@ -33,6 +33,11 @@ class LiveHttpSourceSpec extends AnyFunSuite {
     assert(row.volume_24h_usd === Some(0.0)) // float(data.get(k, 0))
   }
 
+  test("CoinCap payload: present-but-null field fails the source (float(None) raises)") {
+    val p = Http.parse("""{"data":{"priceUsd":null}}""")
+    assertThrows[IllegalArgumentException](new CoinCapLive().parsePayload(p, ts))
+  }
+
   test("Blockchain.info payload: last prices, null cap/volume/change") {
     val p = Http.parse(
       """{"USD":{"last":49992.75},"EUR":{"last":45743.37},"BRL":{"last":274960.13}}""")
