@@ -283,6 +283,7 @@ object SparkEntry {
     "q_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     "q_dedup_incremental"-> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q_budget_sample"    -> ((s, d) => TextAnalysis.budgetSample(s, d)),
+    "q_cluster_survivors"-> ((s, d) => Dedup.clusterSurvivors(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -768,6 +769,38 @@ object SparkEntry {
         |  UNION
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a""".stripMargin,
+    "q_cluster_survivors" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+        |q AS (SELECT doc_id,
+        |  floor(greatest(0.0, least(1.0,
+        |    least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+        |    + least(CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |            / len(w) * 5.0, 1.0) * 0.5
+        |    - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) * 2.0
+        |    - CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text))) * 10000 + 0.5) / 10000 AS quality
+        |  FROM w),
+        |sel AS (SELECT cl.cluster, cl.doc_id, q.quality,
+        |  MAX(q.quality) OVER (PARTITION BY cl.cluster) AS best
+        |  FROM cl JOIN q USING (doc_id))
+        |SELECT cluster, COUNT(*) AS n_members, MAX(quality) AS best_quality,
+        |MIN(CASE WHEN quality = best THEN doc_id END) AS survivor_id
+        |FROM sel GROUP BY cluster""".stripMargin,
     "q_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |idx AS (SELECT doc_id, unnest(

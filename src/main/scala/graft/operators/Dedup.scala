@@ -153,7 +153,11 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
     val bigIds = buckets.filter(size(col("ids")) > MaxBucket)
       .select(col("band"), col("key"), explode(col("ids")).as("id"))
+    // SHUFFLE_MERGE: quadratic-OUTPUT self-join must not ride an
+    // AQE-chosen broadcast build (input is broadcast-sized, output is
+    // bucket-size squared per key) — sort-merge spills and streams
     val bigPairs = bigIds.select(col("band"), col("key"), col("id").as("doc_a"))
+      .hint("SHUFFLE_MERGE")
       .join(bigIds.select(col("band"), col("key"), col("id").as("doc_b")),
         Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
@@ -383,6 +387,7 @@ object Dedup {
       .select(col("chunk"), col("key"), explode(col("members")).as("m"))
     val bigPairs = bigIds.select(col("chunk"), col("key"),
         col("m.id").as("id_a"), col("m.sig").as("sig_a"))
+      .hint("SHUFFLE_MERGE") // see minhashPairs: quadratic-output join
       .join(bigIds.select(col("chunk"), col("key"),
         col("m.id").as("id_b"), col("m.sig").as("sig_b")), Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
@@ -444,6 +449,32 @@ object Dedup {
     * subset (jaccard is underestimated, never overestimated — pairs
     * can be missed, never invented). Default keeps it exact (the
     * oracle is exact). */
+  /** Quality-aware survivorship: per near-dup cluster, keep the
+    * HIGHEST-QUALITY member (lowest doc_id on rounded-quality ties) —
+    * the production policy, where min-id survivorship ([[
+    * nearDupSurvivors]]) throws away better-written duplicates. The
+    * survivor rule is max-quality-then-min-id expressed as "min id
+    * among members equal to the cluster's max quality": rounded
+    * quality makes the equality engine-stable, so the oracle replays
+    * it exactly.
+    *
+    * 100 TB posture: clustering cost is [[nearDupClusters]]; the
+    * survivorship itself is one keyed window + one aggregation over
+    * the cluster assignment (cluster-keyed shuffles, cardinality =
+    * clustered docs, a small fraction of the corpus). */
+  def clusterSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val clusters = nearDupClusters(s, dir).select(col("doc_id"), col("cluster"))
+    val quality = TextAnalysis.qualityScores(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("best", max(col("quality")).over(w))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("quality")).as("best_quality"),
+        min(when(col("quality") === col("best"), col("doc_id"))).as("survivor_id"))
+  }
+
   /** Incremental (cross-snapshot) dedup: adjudicate a NEW document
     * batch against the EXISTING deduped corpus without ever pairing
     * index docs with each other — the production dedup shape at

@@ -98,7 +98,13 @@ object Similarity {
           .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
         val bigIds = buckets.filter(size(col("ids")) > maxBucket)
           .select(col("key"), explode(col("ids")).as("id"))
+        // SHUFFLE_MERGE: the INPUT is broadcast-sized but the OUTPUT is
+        // quadratic per bucket — AQE's size-based broadcast choice
+        // multiplies that expansion against an in-memory hash build in
+        // every task (measured OOM at 100x replication); a sort-merge
+        // join spills and streams each bucket's product
         val bigPairs = bigIds.select(col("key"), col("id").as("vec_a"))
+          .hint("SHUFFLE_MERGE")
           .join(bigIds.select(col("key"), col("id").as("vec_b")), Seq("key"))
           .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"))

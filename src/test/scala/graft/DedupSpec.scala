@@ -185,6 +185,21 @@ class DedupSpec extends AnyFunSuite {
       === Set((1L, 3L), (1L, 5L), (3L, 5L)))
   }
 
+  test("clusterSurvivors keeps the highest-quality member, min id on ties") {
+    // cluster {1,3,5}: docs 1 and 5 are byte-identical (equal quality,
+    // tie broken to id 1); doc 3's trailing " CHANGED" adds uppercase
+    // penalty, so it can never be the survivor.
+    val rows = Dedup.clusterSurvivors(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("cluster") === 1L)
+    assert(r.getAs[Long]("n_members") === 3L)
+    assert(r.getAs[Long]("survivor_id") === 1L)
+    val q1 = graft.operators.TextAnalysis.qualityScores(spark, dir).collect()
+      .find(_.getAs[Long]("doc_id") == 1L).get.getAs[Double]("quality")
+    assert(r.getAs[Double]("best_quality") === q1)
+  }
+
   test("incrementalDedup adjudicates the batch against the index only") {
     // ids 0..7 (max 7, splitFrac 0.5 → split 4): index {0..3}, batch {4..7}
     val idir = TestSpark.documentsFixture(Seq(
