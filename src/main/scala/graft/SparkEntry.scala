@@ -284,6 +284,7 @@ object SparkEntry {
     "q_dedup_incremental"-> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q_budget_sample"    -> ((s, d) => TextAnalysis.budgetSample(s, d)),
     "q_cluster_survivors"-> ((s, d) => Dedup.clusterSurvivors(s, d)),
+    "q_safe_split"       -> ((s, d) => TextAnalysis.leakageSafeSplit(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -769,6 +770,31 @@ object SparkEntry {
         |  UNION
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a""".stripMargin,
+    "q_safe_split" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+        |k AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS split_key
+        |      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+        |b AS (SELECT doc_id, split_key,
+        |  ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket
+        |  FROM k)
+        |SELECT doc_id, split_key,
+        |CASE WHEN bucket < 80 THEN 'train'
+        |     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     "q_cluster_survivors" ->
       """WITH RECURSIVE w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id,

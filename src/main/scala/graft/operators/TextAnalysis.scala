@@ -285,6 +285,31 @@ object TextAnalysis {
         round4eps(avg(col("n_chars"))).as("avg_chars"))
   }
 
+  /** Leakage-safe train/val/test split: hash-stable like
+    * [[trainValTestSplit]], but keyed by the document's NEAR-DUP
+    * CLUSTER representative (its own id when unclustered) — so a
+    * document and its near-duplicates always land in the SAME split.
+    * Splitting near-dups independently leaks eval content into
+    * training (the classic benchmark-inflation bug dedup exists to
+    * prevent); clustering first makes the split safe by construction.
+    *
+    * 100 TB posture: clustering cost is [[Dedup.nearDupClusters]]
+    * (amortized — the cluster map is a persisted pipeline artifact);
+    * the split itself is one left join against that map plus a
+    * map-side hash bucket. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.nearDupClusters(s, dir)
+      .select(col("doc_id"), col("cluster"))
+    val keyed = Tables.documents(s, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster"), col("doc_id")))
+    val bucket = conv(substring(md5(col("split_key").cast("string").cast("binary")),
+      1, 6), 16, 10).cast("long") % 100
+    keyed.select(col("doc_id"), col("split_key"),
+      when(bucket < 80, lit("train"))
+        .when(bucket < 90, lit("val")).otherwise(lit("test")).as("split"))
+  }
+
   /** BM25 constants — k1=1.5 and b=0.75 are chosen inside the standard
     * ranges AND binary-exact as doubles, so the Spark and DuckDB oracle
     * arithmetic is bit-identical (1.2 would round differently as a

@@ -200,6 +200,18 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Double]("best_quality") === q1)
   }
 
+  test("leakageSafeSplit puts every near-dup cluster member in one split") {
+    val rows = graft.operators.TextAnalysis.leakageSafeSplit(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("split_key"), r.getAs[String]("split")))).toMap
+    assert(rows.size === 5)
+    // cluster {1,3,5} shares one split_key (the min member) → one split
+    assert(rows(1L)._1 === 1L && rows(3L)._1 === 1L && rows(5L)._1 === 1L)
+    assert(Set(rows(1L)._2, rows(3L)._2, rows(5L)._2).size === 1)
+    // unclustered docs key by their own id
+    assert(rows(2L)._1 === 2L && rows(4L)._1 === 4L)
+  }
+
   test("incrementalDedup adjudicates the batch against the index only") {
     // ids 0..7 (max 7, splitFrac 0.5 → split 4): index {0..3}, batch {4..7}
     val idir = TestSpark.documentsFixture(Seq(
