@@ -39,32 +39,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_SEC", "60").toInt
 
-    def newSession(): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.ansi.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
-        // Spark 4 per-session artifact isolation routes EVERY Janino
-        // class-resolution probe during codegen compilation through an
-        // ExecutorClassLoader RPC fetch (even in local mode) and adds
-        // per-task isolated-classloader setup: measured 5x wall on the
-        // minhash-LSH query (38 codegen units, 15.2s -> 3.0s compile).
-        // This engine runs one library in one JVM - no session-isolated
-        // artifacts to protect.
-        .config("spark.sql.artifact.isolation.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
-        .config("spark.executor.heartbeatInterval", "60s")
-        .config("spark.network.timeout", "600s")
-        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
-    var spark = newSession()
+    var spark = Sessions.build(cpus)
 
     /** One bounded run: construction + noop materialization inside a
       * watchdog thread. On cap breach the query's job group is
@@ -122,7 +97,7 @@ object Bench {
         // queries hit the cap right after heavy ones) — start clean
         System.err.println(s"[bench] rebuilding SparkSession after $name")
         try spark.stop() catch { case _: Throwable => () }
-        spark = newSession()
+        spark = Sessions.build(cpus)
         return t1
       }
       if (t1 < 0 || t1 < 1.0) return t1 // failed, or cheap: one run
@@ -130,7 +105,7 @@ object Bench {
       if (breached2) {
         System.err.println(s"[bench] rebuilding SparkSession after $name")
         try spark.stop() catch { case _: Throwable => () }
-        spark = newSession()
+        spark = Sessions.build(cpus)
       }
       t2
     }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+
 
 /** Long-running server mode — the reference's deployment shape (a
   * Spark cluster serving a Thrift endpoint that dbt and ad-hoc SQL
@@ -20,16 +20,10 @@ object Serve {
     val port = args.headOption.map(_.toInt).getOrElse(10000)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared hardened session (heartbeat/network timeouts included — a
+    // long-lived server has strictly more exposure to load-spike
+    // context death than the bounded harness runs)
+    val spark = Sessions.build(cpus)
     Tables.registerAll(spark, sfDir)
     graft.pipeline.SqlEndpoint.start(spark, port)
     System.err.println(s"[serve] thrift endpoint on localhost:$port " +

@@ -36,36 +36,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val capSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CAP_SEC", "120").toInt
 
-    def newSession(): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-        // reference ran Spark 3.5 non-ANSI (SURVEY §7.6); also needed for
-        // wrapping long arithmetic in minhash rehashing
-        .config("spark.sql.ansi.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
-        // Spark 4 per-session artifact isolation routes EVERY Janino
-        // class-resolution probe during codegen compilation through an
-        // ExecutorClassLoader RPC fetch (even in local mode) and adds
-        // per-task isolated-classloader setup: measured 5x wall on the
-        // minhash-LSH query (38 codegen units, 15.2s -> 3.0s compile).
-        // This engine runs one library in one JVM - no session-isolated
-        // artifacts to protect.
-        .config("spark.sql.artifact.isolation.enabled", "false")
-        // A machine-load spike that starves the single-JVM heartbeat
-        // thread for >10 s must not kill the context mid-suite.
-        .config("spark.executor.heartbeatInterval", "60s")
-        .config("spark.network.timeout", "600s")
-        // reclaim reliable-checkpoint files of GC'd iterative rounds
-        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
-    var spark = newSession()
+    var spark = Sessions.build(cpus)
     new java.io.File(outDir).mkdirs()
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -176,7 +147,7 @@ object Verify {
           // 0-rowed a trivial query in round 4) — start clean.
           System.err.println(s"[verify] rebuilding SparkSession after $name")
           try spark.stop() catch { case _: Throwable => () }
-          spark = newSession()
+          spark = Sessions.build(cpus)
         } else {
           // Operators persist shared projections (shingle index, LSH
           // buckets) with caller-owned lifecycle; iterative ops leave

@@ -449,32 +449,6 @@ object Dedup {
     * subset (jaccard is underestimated, never overestimated — pairs
     * can be missed, never invented). Default keeps it exact (the
     * oracle is exact). */
-  /** Quality-aware survivorship: per near-dup cluster, keep the
-    * HIGHEST-QUALITY member (lowest doc_id on rounded-quality ties) —
-    * the production policy, where min-id survivorship ([[
-    * nearDupSurvivors]]) throws away better-written duplicates. The
-    * survivor rule is max-quality-then-min-id expressed as "min id
-    * among members equal to the cluster's max quality": rounded
-    * quality makes the equality engine-stable, so the oracle replays
-    * it exactly.
-    *
-    * 100 TB posture: clustering cost is [[nearDupClusters]]; the
-    * survivorship itself is one keyed window + one aggregation over
-    * the cluster assignment (cluster-keyed shuffles, cardinality =
-    * clustered docs, a small fraction of the corpus). */
-  def clusterSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val clusters = nearDupClusters(s, dir).select(col("doc_id"), col("cluster"))
-    val quality = TextAnalysis.qualityScores(s, dir)
-      .select(col("doc_id"), col("quality"))
-    val w = Window.partitionBy(col("cluster"))
-    clusters.join(quality, Seq("doc_id"))
-      .withColumn("best", max(col("quality")).over(w))
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_members"),
-        max(col("quality")).as("best_quality"),
-        min(when(col("quality") === col("best"), col("doc_id"))).as("survivor_id"))
-  }
-
   /** Incremental (cross-snapshot) dedup: adjudicate a NEW document
     * batch against the EXISTING deduped corpus without ever pairing
     * index docs with each other — the production dedup shape at
@@ -538,6 +512,32 @@ object Dedup {
           .when(col("near_match").isNotNull, lit("near_dup"))
           .otherwise(lit("new")).as("verdict"),
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
+
+  /** Quality-aware survivorship: per near-dup cluster, keep the
+    * HIGHEST-QUALITY member (lowest doc_id on rounded-quality ties) —
+    * the production policy, where min-id survivorship ([[
+    * nearDupSurvivors]]) throws away better-written duplicates. The
+    * survivor rule is max-quality-then-min-id expressed as "min id
+    * among members equal to the cluster's max quality": rounded
+    * quality makes the equality engine-stable, so the oracle replays
+    * it exactly.
+    *
+    * 100 TB posture: clustering cost is [[nearDupClusters]]; the
+    * survivorship itself is one keyed window + one aggregation over
+    * the cluster assignment (cluster-keyed shuffles, cardinality =
+    * clustered docs, a small fraction of the corpus). */
+  def clusterSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val clusters = nearDupClusters(s, dir).select(col("doc_id"), col("cluster"))
+    val quality = TextAnalysis.qualityScores(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("best", max(col("quality")).over(w))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("quality")).as("best_quality"),
+        min(when(col("quality") === col("best"), col("doc_id"))).as("survivor_id"))
   }
 
   /** Benchmark decontamination — the pre-training hygiene check that

@@ -5,14 +5,47 @@ package org.apache.spark.sql.hive.thriftserver
   * internals. Lives here ONLY to re-export start/stop with public
   * types; all engine-facing API is `graft.pipeline.SqlEndpoint`. */
 object GraftThriftServer {
-  final class Handle private[thriftserver] (server: HiveThriftServer2) {
-    def stop(): Unit = server.stop()
+  final class Handle private[thriftserver] (server: HiveThriftServer2,
+      session: org.apache.spark.sql.classic.SparkSession,
+      jvmDefaultTz: java.util.TimeZone,
+      confBefore: Map[String, String]) {
+    /** Stops the server AND undoes its shared-session side effects.
+      * In singleSession mode the server operates directly on the
+      * owning session, and its startup/operation mutates session confs
+      * — observed: `spark.sql.datetime.java8API.enabled` flips to
+      * true, so a later `collect()` returns java.time.LocalDate where
+      * the engine's callers expect java.sql.Date (cross-suite test
+      * poisoning). Restore every runtime conf the server changed, and
+      * the JVM default timezone (Hive session state can call
+      * TimeZone.setDefault). */
+    def stop(): Unit = {
+      try server.stop()
+      finally {
+        java.util.TimeZone.setDefault(jvmDefaultTz)
+        val after = session.conf.getAll
+        for ((k, v) <- confBefore if after.get(k) != Some(v))
+          try session.conf.set(k, v) catch { case _: Throwable => () }
+        for (k <- after.keySet if !confBefore.contains(k))
+          try session.conf.unset(k) catch { case _: Throwable => () }
+      }
+    }
   }
 
   def start(s: org.apache.spark.sql.SparkSession, port: Int): Handle = {
     val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sqlContext.setConf("hive.server2.thrift.port", port.toString)
     classic.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
-    new Handle(HiveThriftServer2.startWithContext(classic.sqlContext))
+    // singleSession (serve the OWNING session, so its registered temp
+    // views are visible over JDBC) is a STATIC conf — it must be set on
+    // the session builder (Sessions.build and TestSpark do). Fail fast
+    // here instead of letting every table query die with
+    // TABLE_OR_VIEW_NOT_FOUND at the client.
+    require(classic.conf.get("spark.sql.hive.thriftServer.singleSession", "false") == "true",
+      "start the session with spark.sql.hive.thriftServer.singleSession=true " +
+        "(static conf) so the endpoint serves the owning session's tables")
+    val tz = java.util.TimeZone.getDefault
+    val confBefore = classic.conf.getAll
+    new Handle(HiveThriftServer2.startWithContext(classic.sqlContext),
+      classic, tz, confBefore)
   }
 }

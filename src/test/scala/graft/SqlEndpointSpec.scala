@@ -26,6 +26,14 @@ class SqlEndpointSpec extends AnyFunSuite {
       assert(conn != null, "could not connect to the thrift endpoint")
       try {
         val st = conn.createStatement()
+        // a view registered by the OWNING session must be visible over
+        // JDBC (singleSession mode — without it every connection gets
+        // an isolated newSession() and the server's announced tables
+        // all resolve to TABLE_OR_VIEW_NOT_FOUND)
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .createOrReplaceTempView("endpoint_docs")
+        val shared = st.executeQuery("SELECT COUNT(*) AS n FROM endpoint_docs")
+        assert(shared.next() && shared.getLong(1) > 0)
         st.execute("CREATE TEMPORARY VIEW docs USING parquet OPTIONS " +
           "(path '/root/testdata/sf0.001/documents.parquet')")
         val rs = st.executeQuery("SELECT COUNT(*) AS n FROM docs")

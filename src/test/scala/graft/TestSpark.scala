@@ -23,6 +23,9 @@ object TestSpark {
       // See Bench.scala: artifact isolation makes every codegen compile
       // pay RPC classloader probes; single-JVM test runs don't need it.
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // static conf: the thrift endpoint serves the owning session's
+      // temp views only in singleSession mode (see GraftThriftServer)
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
