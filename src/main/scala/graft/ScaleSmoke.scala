@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scale-up validation: replicate the sf0.1 documents/embeddings tables
@@ -22,25 +22,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Spark 4 per-session artifact isolation routes EVERY Janino
-      // class-resolution probe during codegen compilation through an
-      // ExecutorClassLoader RPC fetch (even in local mode) and adds
-      // per-task isolated-classloader setup: measured 5x wall on the
-      // minhash-LSH query (38 codegen units, 15.2s -> 3.0s compile).
-      // This engine runs one library in one JVM - no session-isolated
-      // artifacts to protect.
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.build("32")
 
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
     def replicate(table: String, idCol: String, idStride: Long): Unit = {
