@@ -101,6 +101,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sequencePack: offsets in-window, packs monotone, stream conserved") {
+    val genText = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dd", "e")).map(_.mkString(" ")))
+    val texts = sample(genText, 120, seed = 11L)
+    val dir = TestSpark.documentsFixture(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+    val w = 64
+    val rows = graft.operators.TextAnalysis
+      .sequencePack(spark, dir, windowTokens = w, buckets = 7)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("pack_id"), r.getAs[Long]("pack_off"),
+        r.getAs[Boolean]("spans_boundary")))
+      .sortBy(_._1)
+    assert(rows.length === texts.length)
+    // reconstruct the stream: starts are the exclusive prefix sums
+    var cum = 0L
+    rows.foreach { case (_, n, pack, off, spans) =>
+      assert(off >= 0 && off < w)                  // offset inside its window
+      assert(pack === cum / w && off === cum % w)  // exact layout position
+      assert(spans === ((cum + n - 1) / w > cum / w)) // boundary flag exact
+      cum += n
+    }
+    // pack ids are non-decreasing in doc order (contiguous layout)
+    assert(rows.map(_._3).sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("chunkSplit: chunks tile the text with the configured stride") {
+    val genText = Gen.chooseNum(1, 200).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaNumChar))
+    val texts = sample(genText, 80, seed = 12L)
+    val dir = TestSpark.documentsFixture(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+    val (chunk, stride) = (50, 40)
+    val byDoc = graft.operators.TextAnalysis
+      .chunkSplit(spark, dir, chunk = chunk, stride = stride)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("chunk_off"), r.getAs[Int]("n_chunk_chars")))
+      .groupBy(_._1)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val chunks = byDoc(i.toLong).sortBy(_._2)
+      val expectedN = (t.length + stride - 1) / stride // offsets 0..len-1 step stride
+      assert(chunks.length === expectedN)
+      chunks.foreach { case (_, idx, off, len) =>
+        assert(off === idx * stride)
+        assert(len === math.min(chunk, t.length - off)) // exact tail truncation
+      }
+      // every char position is covered by at least one chunk
+      val covered = chunks.flatMap { case (_, _, off, len) => off until (off + len) }.toSet
+      assert(covered === (0 until t.length).toSet)
+    }
+  }
+
   test("simhash: identical texts collide; hamming is symmetric and <= 64") {
     val genText = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
       .map(_.mkString(" "))
