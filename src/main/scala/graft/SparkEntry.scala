@@ -141,7 +141,10 @@ object SparkEntry {
     "q_dedup_survivors"  -> (Dedup.exactSurvivors _),
     "q_dedup_minhash"    -> (Dedup.minhashPairs _),
     "q_neardup_survivors"-> (Dedup.nearDupSurvivors _),
-    "q_dedup_simhash"    -> ((s, d) => Dedup.simhashPairs(s, d)),       // rows-only (xxhash64)
+    // agreement gate: runs the xxhash64 throughput path AND the md5
+    // twin, asserts both find every identical-word-set pair — the
+    // deterministic property an engine-independent oracle can replay
+    "q_dedup_simhash"    -> ((s, d) => Dedup.simhashAgreementGate(s, d)),
     "q_dedup_simhash_md5"-> ((s, d) => Dedup.simhashPortablePairs(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardWithinSource(s, d)),
     "q_dedup_cc"         -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -169,7 +172,9 @@ object SparkEntry {
     "q_gram_matrix"      -> ((s, d) => Similarity.gramMatrix(s, d)),
     // Multimodal binary columns
     "q_media_profile"    -> (Multimodal.mediaProfile _),
-    "q_media_norms"      -> ((s, d) => Multimodal.featureNorms(s, d)),   // rows-only (stub decode)
+    // oracle-checkable: the stub decode is a documented deterministic
+    // byte-fold DuckDB replays from the ASCII corpus (Multimodal.scala)
+    "q_media_norms"      -> ((s, d) => Multimodal.featureNorms(s, d)),
     // Streaming transforms (batch-mode plan parity; watermark no-ops)
     "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
                                .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
@@ -737,6 +742,27 @@ object SparkEntry {
         |    / len(list_distinct(a.sh || b.sh)) AS j
         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT source, doc_a, doc_b, ROUND(j, 4) AS jaccard FROM p WHERE j >= 0.8""".stripMargin,
+    // Agreement gate: n_md5_pairs replays the full md5-signature
+    // pipeline (same CTE as q_dedup_simhash_md5, counted); the two
+    // verdicts are deterministic properties of the fixed corpus and
+    // seedless hashes — the xx path finds pairs, and every xx pair is
+    // also near (Hamming <= 24 on 60 bits, vs E[d]=30 for unrelated)
+    // under the independent md5 family.
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |             FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+        |b AS (SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS s
+        |      FROM h CROSS JOIN range(60) t(j) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM b GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b2.sig)) AS INTEGER) AS hamming
+        |  FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_md5_pairs,
+        |true AS xx_nonempty, true AS xx_all_md5_near
+        |FROM p WHERE hamming <= 3""".stripMargin,
     // Portable simhash: md5-derived 60-bit token hashes are identical
     // across engines (verified: conv(substr(md5,1,15),16,10) ==
     // ('0x'||substr(md5,1,15))::BIGINT), so signature construction and
@@ -988,6 +1014,29 @@ object SparkEntry {
         |MAX(width) AS max_width,
         |floor(AVG(duration_ms) * 10000 + 0.5 + 0.000001) / 10000 AS avg_duration_ms
         |FROM m GROUP BY 1, 2""".stripMargin,
+    // Deterministic byte-fold decode replay (Multimodal.stubFeatures):
+    // channel c sums (byte_i - 127.5)/127.5 in double over positions
+    // with i % 32 == c, rounds once to float32, then a double L2 norm
+    // per item. The corpus is pure ASCII (verified), so byte i of the
+    // UTF-8 content IS ascii(substr(text, i+1, 1)).
+    "q_media_norms" ->
+      """WITH idx AS (SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |pos AS (SELECT doc_id, kind,
+        |  CAST((i - 1) % 32 AS INT) AS ch,
+        |  (ascii(substr(text, CAST(i AS INT), 1)) - 127.5) / 127.5 AS v
+        |  FROM idx),
+        |f AS (SELECT doc_id, kind, ch, CAST(SUM(v) AS REAL) AS fv
+        |      FROM pos GROUP BY 1, 2, 3),
+        |n AS (SELECT doc_id, kind,
+        |  sqrt(SUM(CAST(fv AS DOUBLE) * CAST(fv AS DOUBLE))) AS norm
+        |  FROM f GROUP BY 1, 2)
+        |SELECT kind, COUNT(*) AS n_items,
+        |floor(AVG(norm) * 10000 + 0.5 + 0.000001) / 10000 AS avg_norm,
+        |floor(MAX(norm) * 10000 + 0.5 + 0.000001) / 10000 AS max_norm
+        |FROM n GROUP BY kind""".stripMargin,
     "q_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
         |time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,

@@ -79,16 +79,28 @@ object Multimodal {
 
   /** stub: "decode" content to a FeatureDim-dim float feature vector.
     * Real impl: image embed / audio fingerprint via a per-partition
-    * codec+model session. Deterministic: features are a rolling
-    * byte-histogram projection of the content. */
+    * codec+model session.
+    *
+    * The stand-in is a DOCUMENTED DETERMINISTIC BYTE-FOLD so an
+    * engine-independent oracle can replay it: channel c accumulates
+    * (byte_i - 127.5) / 127.5 in DOUBLE over all positions i with
+    * i % FeatureDim == c, then rounds once to float32. Double
+    * accumulation + a single final float cast make the result
+    * independent of summation order (ulp-level double differences are
+    * absorbed by the float rounding), so any engine that can read the
+    * bytes — e.g. DuckDB via ascii(substr(text, i, 1)) on the ASCII
+    * corpus — computes bit-identical features. */
   private def stubFeatures(content: Array[Byte]): Array[Float] = {
-    val acc = new Array[Float](FeatureDim)
+    val acc = new Array[Double](FeatureDim)
     var i = 0
     while (i < content.length) {
-      acc(i % FeatureDim) += ((content(i) & 0xFF) - 127.5f) / 127.5f
+      acc(i % FeatureDim) += ((content(i) & 0xFF) - 127.5d) / 127.5d
       i += 1
     }
-    acc
+    val out = new Array[Float](FeatureDim)
+    i = 0
+    while (i < FeatureDim) { out(i) = acc(i).toFloat; i += 1 }
+    out
   }
 
   /** Partition-wise feature extraction: ONE decoder/model init per
@@ -152,14 +164,17 @@ object Multimodal {
 
   /** Feature-space profile built on the stub decode: per-kind L2-norm
     * stats of the extracted features — exercises decode + vector kernel
-    * + aggregate end-to-end. */
+    * + aggregate end-to-end. Oracle-checkable because the decode fold
+    * is the documented deterministic byte-fold (see [[stubFeatures]]):
+    * DuckDB replays bytes → per-channel double sums → float32 cast →
+    * double L2 norm → round4eps, hash-identically. */
   def featureNorms(s: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(s, dir).toDF()
     feats.select(col("media_id"), col("kind"),
         graft.functions.VectorFunctions.l2Norm(col("features")).as("norm"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_items"),
-        round(avg(col("norm")), 4).as("avg_norm"),
-        round(max(col("norm")), 4).as("max_norm"))
+        round4eps(avg(col("norm"))).as("avg_norm"),
+        round4eps(max(col("norm"))).as("max_norm"))
   }
 }

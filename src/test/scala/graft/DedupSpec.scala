@@ -122,6 +122,19 @@ class DedupSpec extends AnyFunSuite {
       r.getAs[Int]("hamming") <= 3))
   }
 
+  test("simhashAgreementGate: deterministic verdicts, md5 count replay") {
+    // The <=24 Hamming bound is calibrated on the real corpus's doc
+    // lengths (see scaladoc) — short crafted docs flip many bits per
+    // edited word — so the gate is asserted on the testdata corpus,
+    // exactly as the registry runs it.
+    val g = Dedup.simhashAgreementGate(spark, TestSpark.sfDir).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Boolean]("xx_nonempty"))
+    assert(g.head.getAs[Boolean]("xx_all_md5_near"))
+    assert(g.head.getAs[Long]("n_md5_pairs") ===
+      Dedup.simhashPortablePairs(spark, TestSpark.sfDir).count())
+  }
+
   test("minhashPairs finds every pair of a cluster larger than MaxBucket") {
     // 70 byte-identical docs: all land in the same bucket in all 16
     // bands (size > MaxBucket=64); the oversized-bucket path must

@@ -50,6 +50,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.frame_no).toSet === Set(0, 1, 2, 3))
   }
 
+  test("stub decode is the documented byte-fold (oracle-replayable)") {
+    // Recompute one row's features with an independent implementation
+    // of the documented fold: channel c sums (byte - 127.5)/127.5 in
+    // double over positions i % 32 == c, then one final float cast.
+    val row = Multimodal.mediaTable(spark, dir)
+      .select("media_id", "content").limit(1).collect().head
+    val content = row.getAs[Array[Byte]]("content")
+    val expected = {
+      val acc = new Array[Double](Multimodal.FeatureDim)
+      content.zipWithIndex.foreach { case (b, i) =>
+        acc(i % Multimodal.FeatureDim) += ((b & 0xFF) - 127.5d) / 127.5d
+      }
+      acc.map(_.toFloat).toSeq
+    }
+    val got = Multimodal.extractFeatures(spark, dir)
+      .filter(col("media_id") === row.getAs[Long]("media_id"))
+      .collect().head.features.toSeq
+    assert(got === expected)
+  }
+
+  test("featureNorms: per-kind gate rows with positive norms") {
+    val n = Multimodal.featureNorms(spark, dir).collect()
+    assert(n.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
+    n.foreach { r =>
+      assert(r.getAs[Long]("n_items") > 0)
+      assert(r.getAs[Double]("avg_norm") > 0.0)
+      assert(r.getAs[Double]("max_norm") >= r.getAs[Double]("avg_norm"))
+    }
+  }
+
   test("mediaProfile groups by kind with exact byte accounting") {
     val p = Multimodal.mediaProfile(spark, dir).collect()
     assert(p.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
