@@ -22,6 +22,13 @@ import graft.functions.Rounding.round4eps
 object Similarity {
 
   val K = 5
+
+  /** Fail-fast bound for the deliberate O(n^2) exact-verification
+    * anchors: 20k rows ~ 2e8 candidate pairs, the most a single-job
+    * correctness anchor should ever attempt. Past it, the LSH path is
+    * the only sane plan — the guard exists so a misconfigured 100 TB
+    * run cannot silently schedule a quadratic broadcast join. */
+  val ExactAllPairsMaxRows = 20000L
   val NumQueryVecs = 10
   val Bits = 8              // SRP bits per hash table
   val NumTables = 16        // independent hash tables
@@ -74,6 +81,17 @@ object Similarity {
                         exact: Boolean = false): DataFrame = {
     val verified =
       if (exact) {
+        // Deliberate O(n^2) correctness anchor — guarded so a
+        // misconfigured large-scale run fails fast instead of silently
+        // burning a cluster on a quadratic broadcast NLJ.
+        val n = corpus(s, dir).count()
+        if (n > ExactAllPairsMaxRows)
+          throw new IllegalStateException(
+            s"embeddingNearDups(exact = true) is an all-pairs verification " +
+            s"anchor bounded at $ExactAllPairsMaxRows rows; corpus has $n. " +
+            "Use the default LSH path (exact = false) at scale — it has " +
+            "documented recall > 0.9998 at threshold 0.95 and candidate " +
+            "volume proportional to true-duplicate density, not corpus^2.")
         val a = corpus(s, dir).select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
         val b = corpus(s, dir).select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
         a.join(broadcast(b), col("vec_a") < col("vec_b"))

@@ -57,6 +57,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert((lshPairs -- exactPairs).isEmpty)
   }
 
+  test("exact all-pairs anchor fails fast above the documented bound") {
+    // A corpus one row past ExactAllPairsMaxRows must be rejected at
+    // plan-construction time with a pointer to the LSH path — the
+    // guard that keeps a misconfigured large-scale run from silently
+    // scheduling a quadratic broadcast join.
+    val big = TestSpark.embeddingsFixture(
+      (0L to Similarity.ExactAllPairsMaxRows).map(i =>
+        (i, Array(1.0f, i.toFloat), (i % 3).toInt)))
+    val e = intercept[IllegalStateException] {
+      Similarity.embeddingNearDups(spark, big, exact = true)
+    }
+    assert(e.getMessage.contains("exact = true"))
+    assert(e.getMessage.contains("LSH"))
+    // the scale path accepts the same corpus (plan construction only)
+    Similarity.embeddingNearDups(spark, big, exact = false)
+  }
+
   test("norms computes exact L2 in double") {
     val n = Similarity.norms(spark, dir).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("l2_norm")).toMap
