@@ -3,10 +3,9 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Scale-up validation: replicate the sf0.1 documents/embeddings tables
-  * `factor`× (ids shifted so every copy is distinct) into a temp dir,
-  * then run the heavy dedup/similarity operators end-to-end and report
-  * rows + seconds per operator.
+/** Scale-up validation: replicate the sf0.1 tables `factor`× (ids
+  * shifted so every copy is distinct) into a temp dir, then run the
+  * heavy operators end-to-end and report rows + seconds per operator.
   *
   * The point is catching super-linear blowups before a real cluster
   * does: replication multiplies every duplicate cluster's size by
@@ -16,7 +15,17 @@ import org.apache.spark.sql.functions._
   * or in-memory-bucket designs. A healthy run shows per-operator time
   * growing ~linearly with candidate volume (not corpus²).
   *
+  * The graph/iterative family (pageRank, bfsHops, incrementalDedup,
+  * clusterSurvivors) is covered too — lineitem/orders replicate with
+  * consistent key shifts, so each copy is a disconnected component:
+  * node count, frontier size, and the broadcast rank vector all grow
+  * `factor`×, which is precisely the iteration-loop economics
+  * (checkpoint cadence, broadcast thresholds, per-round shuffles)
+  * that change at cluster scale.
+  *
   *   SPARK_GRAFT_SCALE_FACTOR=10 sbt "runMain graft.ScaleSmoke"
+  *   # optional args restrict to named operators:
+  *   sbt "runMain graft.ScaleSmoke pageRank bfsHops"
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -25,25 +34,36 @@ object ScaleSmoke {
     val spark = Sessions.build("32")
 
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
-    def replicate(table: String, idCol: String, idStride: Long): Unit = {
+    // Shift every listed id column by the same per-copy stride: join
+    // keys stay consistent within a copy, disjoint across copies.
+    def replicate(table: String, idCols: Seq[String], idStride: Long): Unit = {
       val base = spark.read.parquet(s"$baseDir/$table.parquet")
       val copies = (0 until factor).map { k =>
-        base.withColumn(idCol, col(idCol) + lit(k * idStride))
+        idCols.foldLeft(base) { (df, c) =>
+          df.withColumn(c, col(c) + lit(k * idStride))
+        }
       }.reduce(_ unionByName _)
       copies.write.mode("overwrite").parquet(s"$dir/$table.parquet")
     }
-    replicate("documents", "doc_id", 10000000L)
-    replicate("embeddings", "vec_id", 10000000L)
+    replicate("documents", Seq("doc_id"), 10000000L)
+    replicate("embeddings", Seq("vec_id"), 10000000L)
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 10000000L)
+    replicate("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
     println(s"[scale] corpus ${factor}x at $dir: " +
       s"${Tables.documents(spark, dir).count()} docs, " +
-      s"${Tables.embeddings(spark, dir).count()} vectors")
+      s"${Tables.embeddings(spark, dir).count()} vectors, " +
+      s"${Tables.lineitem(spark, dir).count()} lineitems")
 
-    def run(label: String)(df: => DataFrame): Unit = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[scale] $label: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
+    val wanted = args.toSet
+    def run(label: String)(df: => DataFrame): Unit =
+      if (wanted.isEmpty || wanted(label)) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"[scale] $label: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
 
     run("exactGroups")(operators.Dedup.exactGroups(spark, dir))
     run("minhashPairs")(operators.Dedup.minhashPairs(spark, dir))
@@ -56,6 +76,12 @@ object ScaleSmoke {
     run("contamination")(operators.Dedup.contamination(spark, dir))
     run("sequencePack")(operators.TextAnalysis.sequencePack(spark, dir))
     run("chunkSplit")(operators.TextAnalysis.chunkSplit(spark, dir))
+    // Iterative family: per-round joins/broadcasts/checkpoints must
+    // track frontier/node volume, not explode with corpus size.
+    run("pageRank")(operators.Graph.pageRank(spark, dir))
+    run("bfsHops")(operators.Graph.bfsHops(spark, dir))
+    run("incrementalDedup")(operators.Dedup.incrementalDedup(spark, dir))
+    run("clusterSurvivors")(operators.Dedup.clusterSurvivors(spark, dir))
 
     spark.stop()
   }

@@ -44,11 +44,13 @@ private[graft] object Http {
 }
 
 /** CoinGecko live (py:40-67): nullable native numerics via .get(). */
-final class CoinGeckoLive(timeoutMs: Int = 10000) extends PriceSource {
+final class CoinGeckoLive(timeoutMs: Int = 10000,
+                          urlOverride: Option[String] = None) extends PriceSource {
   val name = "coingecko"
-  private val url = "https://api.coingecko.com/api/v3/simple/price" +
+  private val url = urlOverride.getOrElse(
+    "https://api.coingecko.com/api/v3/simple/price" +
     "?ids=bitcoin&vs_currencies=usd,eur,brl" +
-    "&include_market_cap=true&include_24hr_vol=true&include_24hr_change=true"
+    "&include_market_cap=true&include_24hr_vol=true&include_24hr_change=true")
 
   def fetch(extractedAt: Timestamp, tick: Long): Try[BitcoinPrice] =
     Try(parsePayload(Http.getJson(url, timeoutMs), extractedAt))
@@ -64,9 +66,10 @@ final class CoinGeckoLive(timeoutMs: Int = 10000) extends PriceSource {
 
 /** CoinCap live (py:70-92): string payloads through float() with 0
   * defaults; EUR/BRL derived from USD with hardcoded FX. */
-final class CoinCapLive(timeoutMs: Int = 10000) extends PriceSource {
+final class CoinCapLive(timeoutMs: Int = 10000,
+                        urlOverride: Option[String] = None) extends PriceSource {
   val name = "coincap"
-  private val url = "https://api.coincap.io/v2/assets/bitcoin"
+  private val url = urlOverride.getOrElse("https://api.coincap.io/v2/assets/bitcoin")
 
   def fetch(extractedAt: Timestamp, tick: Long): Try[BitcoinPrice] =
     Try(parsePayload(Http.getJson(url, timeoutMs), extractedAt))
@@ -91,9 +94,10 @@ final class CoinCapLive(timeoutMs: Int = 10000) extends PriceSource {
 
 /** Blockchain.info live (py:95-115): per-currency `last`; market cap,
   * volume and change are ALWAYS null — the COALESCE-forcing rows. */
-final class BlockchainInfoLive(timeoutMs: Int = 10000) extends PriceSource {
+final class BlockchainInfoLive(timeoutMs: Int = 10000,
+                               urlOverride: Option[String] = None) extends PriceSource {
   val name = "blockchain_info"
-  private val url = "https://blockchain.info/ticker"
+  private val url = urlOverride.getOrElse("https://blockchain.info/ticker")
 
   def fetch(extractedAt: Timestamp, tick: Long): Try[BitcoinPrice] =
     Try(parsePayload(Http.getJson(url, timeoutMs), extractedAt))
@@ -108,8 +112,13 @@ final class BlockchainInfoLive(timeoutMs: Int = 10000) extends PriceSource {
 
 object LiveSources {
   /** The reference's live roster (py:153-172). Offline this degrades
-    * to the all-failed abort path by construction. */
-  def all(timeoutMs: Int = 10000): Seq[PriceSource] = Seq(
-    new CoinGeckoLive(timeoutMs), new CoinCapLive(timeoutMs),
-    new BlockchainInfoLive(timeoutMs))
+    * to the all-failed abort path by construction. `urlOverride`
+    * points every source at one test endpoint (e.g. an unroutable
+    * localhost port) so the degradation path is testable
+    * deterministically, with or without egress. */
+  def all(timeoutMs: Int = 10000,
+          urlOverride: Option[String] = None): Seq[PriceSource] = Seq(
+    new CoinGeckoLive(timeoutMs, urlOverride),
+    new CoinCapLive(timeoutMs, urlOverride),
+    new BlockchainInfoLive(timeoutMs, urlOverride))
 }

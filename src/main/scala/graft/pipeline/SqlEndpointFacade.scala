@@ -12,9 +12,18 @@ import org.apache.spark.sql.SparkSession
   * SQL functions (vec_cosine, sorted_jaccard, mg_topk, …). A dbt
   * profile pointed at this host:port runs its models unchanged.
   *
-  * Each JDBC connection gets a cloned session (Spark's standard
-  * multi-session thrift mode): endpoint users create their own temp
-  * views while shared state stays shared. */
+  * The endpoint REQUIRES and runs in singleSession mode
+  * (`spark.sql.hive.thriftServer.singleSession=true`, a static conf
+  * set at session build time in Sessions.build/TestSpark and enforced
+  * by GraftThriftServer.start): every JDBC connection shares the
+  * owning session, which is what lets clients see the engine's temp
+  * views (and lets the engine see client-built tables — the dbt write
+  * path, JdbcWritePathSpec). The caveat is the flip side: client temp
+  * views and SET statements are visible across clients and to the
+  * engine session itself, so a multi-client Serve deployment shares
+  * one mutable session namespace — fine for the reference's
+  * single-threaded dbt profile (threads: 1, profiles.yml:10), but a
+  * multi-tenant deployment would front this with per-tenant sessions. */
 object SqlEndpoint {
   type Handle = org.apache.spark.sql.hive.thriftserver.GraftThriftServer.Handle
 

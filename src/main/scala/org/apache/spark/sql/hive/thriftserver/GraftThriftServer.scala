@@ -35,6 +35,11 @@ object GraftThriftServer {
     val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sqlContext.setConf("hive.server2.thrift.port", port.toString)
     classic.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
+    // A RESTARTED endpoint (second start in one JVM) reads the port
+    // from the JVM-cached Hive execution-client conf, NOT the
+    // sqlContext conf above — observed: a second start on a new port
+    // silently re-binds the FIRST port. The post-start probe below
+    // turns that silent wrong-port serve into a fail-fast error.
     // singleSession (serve the OWNING session, so its registered temp
     // views are visible over JDBC) is a STATIC conf — it must be set on
     // the session builder (Sessions.build and TestSpark do). Fail fast
@@ -45,7 +50,27 @@ object GraftThriftServer {
         "(static conf) so the endpoint serves the owning session's tables")
     val tz = java.util.TimeZone.getDefault
     val confBefore = classic.conf.getAll
-    new Handle(HiveThriftServer2.startWithContext(classic.sqlContext),
+    val handle = new Handle(HiveThriftServer2.startWithContext(classic.sqlContext),
       classic, tz, confBefore)
+    // Verify the server answers on the REQUESTED port. Hive's
+    // execution-client conf is constructed once per JVM, so a restart
+    // on a different port serves the original one — fail fast with the
+    // actual constraint instead of letting clients time out against a
+    // port nothing listens on.
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var up = false
+    while (!up && System.nanoTime() < deadline) {
+      try { new java.net.Socket("localhost", port).close(); up = true }
+      catch { case _: Exception => Thread.sleep(250) }
+    }
+    if (!up) {
+      try handle.stop() catch { case _: Throwable => () }
+      throw new IllegalStateException(
+        s"thrift endpoint did not come up on requested port $port. The Hive " +
+        "execution-client conf is cached per JVM, so an endpoint restarted in " +
+        "the same JVM serves the FIRST configured port — reuse that port (or " +
+        "a fresh JVM) instead.")
+    }
+    handle
   }
 }

@@ -38,14 +38,15 @@ class JdbcWritePathSpec extends AnyFunSuite {
     p.catalog.table(Ingest.RawTable).createOrReplaceTempView("bitcoin_prices")
 
     val dbLoc = TestSpark.tempDir("graft-jdbc-db")
-    val server = SqlEndpoint.start(spark, 10124)
+    val port = TestSpark.endpointPort
+    val server = SqlEndpoint.start(spark, port)
     try {
       Class.forName("org.apache.hive.jdbc.HiveDriver")
       var conn: java.sql.Connection = null
       var attempts = 0
       while (conn == null && attempts < 40) {
         try conn = DriverManager.getConnection(
-          "jdbc:hive2://localhost:10124/default", "anonymous", "")
+          s"jdbc:hive2://localhost:$port/default", "anonymous", "")
         catch { case _: Exception => attempts += 1; Thread.sleep(500) }
       }
       assert(conn != null, "could not connect to the thrift endpoint")

@@ -48,10 +48,15 @@ class LiveHttpSourceSpec extends AnyFunSuite {
     assert(row.change_24h_pct === None)
   }
 
-  test("offline, the live roster degrades to the all-failed abort path") {
+  test("all sources down: the live roster degrades to the all-failed abort path") {
+    // An unroutable endpoint (nothing listens on localhost:1) makes
+    // every fetch fail fast and deterministically — with or without
+    // machine egress — instead of depending on the sandbox having no
+    // network and burning connect timeouts against the real APIs.
     val spark = TestSpark.spark
     val p = new Pipeline(spark, TestSpark.tempDir("graft-wh"),
-      sources = LiveSources.all(timeoutMs = 1500))
+      sources = LiveSources.all(timeoutMs = 1500,
+        urlOverride = Some("http://127.0.0.1:1/down")))
     assert(p.runOnce(Some(ts)) === 0L) // every fetch Failure → abort, no write
   }
 }

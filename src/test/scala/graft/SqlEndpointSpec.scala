@@ -11,7 +11,7 @@ class SqlEndpointSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
   test("JDBC client runs SQL (incl. a graft kernel) over the thrift endpoint") {
-    val port = 10123
+    val port = TestSpark.endpointPort
     val server = graft.pipeline.SqlEndpoint.start(spark, port)
     try {
       Class.forName("org.apache.hive.jdbc.HiveDriver")
@@ -44,5 +44,21 @@ class SqlEndpointSpec extends AnyFunSuite {
         assert(rk.next() && math.abs(rk.getDouble(1) - 1.0) < 1e-9)
       } finally conn.close()
     } finally server.stop()
+  }
+
+  test("endpoint restart on a different port fails fast, not silently") {
+    // Hive's execution-client conf is cached per JVM: a restarted
+    // endpoint serves the FIRST configured port no matter what the new
+    // start requests. The guard must surface that as an error instead
+    // of letting clients time out against a dead port.
+    // pin the JVM's endpoint port (idempotent if a prior test already did)
+    graft.pipeline.SqlEndpoint.start(spark, TestSpark.endpointPort).stop()
+    val e = intercept[IllegalStateException] {
+      graft.pipeline.SqlEndpoint.start(spark, TestSpark.endpointPort + 76)
+    }
+    assert(e.getMessage.contains("FIRST configured port"))
+    // and the endpoint still works on the pinned port afterwards
+    val again = graft.pipeline.SqlEndpoint.start(spark, TestSpark.endpointPort)
+    again.stop()
   }
 }

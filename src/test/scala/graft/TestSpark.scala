@@ -35,6 +35,12 @@ object TestSpark {
     * specs; fixtures below for semantics specs. */
   val sfDir = "/root/testdata/sf0.001"
 
+  /** The ONE thrift endpoint port for the whole test JVM: Hive's
+    * execution-client conf is cached per JVM, so every suite that
+    * starts SqlEndpoint must reuse the same port (GraftThriftServer
+    * fails fast on a mismatch). */
+  val endpointPort = 10123
+
   def tempDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
