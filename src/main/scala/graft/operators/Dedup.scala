@@ -388,8 +388,14 @@ object Dedup {
     * single-shuffle shape; the verdict join is two id-keyed hash joins
     * of pair rows against signatures, then a single-row aggregate. */
   def simhashAgreementGate(s: SparkSession, dir: String): DataFrame = {
+    // One materialization of the md5 signatures feeds both the banded
+    // pair count and the verdict joins (the 60x per-bit vote explode
+    // is the dominant cost; caller-owned cache lifecycle, like
+    // hashShingled).
     val sigs = portableSigs(s, dir)
-    val md5Count = simhashPortablePairs(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val md5Count = simhashBandPairs(sigs, nChunks = 4, chunkBits = 15,
+        maxHamming = 3)
       .agg(count(lit(1)).as("n_md5_pairs"))
     val xxJudged = simhashPairs(s, dir)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
