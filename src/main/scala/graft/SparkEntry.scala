@@ -175,6 +175,11 @@ object SparkEntry {
     // oracle-checkable: the stub decode is a documented deterministic
     // byte-fold DuckDB replays from the ASCII corpus (Multimodal.scala)
     "q_media_norms"      -> ((s, d) => Multimodal.featureNorms(s, d)),
+    // cyclic-slice frame extraction and prefix-truncation resize are
+    // likewise documented deterministic folds — the whole multimodal
+    // kernel surface (features/profile/frames/resize) is oracle-gated
+    "q_media_frames"     -> ((s, d) => Multimodal.frameGate(s, d)),
+    "q_media_resize"     -> ((s, d) => Multimodal.resizeGate(s, d)),
     // Streaming transforms (batch-mode plan parity; watermark no-ops)
     "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
                                .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
@@ -1037,6 +1042,22 @@ object SparkEntry {
         |floor(AVG(norm) * 10000 + 0.5 + 0.000001) / 10000 AS avg_norm,
         |floor(MAX(norm) * 10000 + 0.5 + 0.000001) / 10000 AS max_norm
         |FROM n GROUP BY kind""".stripMargin,
+    // Frame k of an L-byte video payload is the 16-byte cyclic slice
+    // at offset floor(L*k/4); text||text realizes the single wrap.
+    "q_media_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id, text, length(text) AS len
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, CAST(k AS INT) AS frame_no,
+        |  substr(text || text, CAST((len * k) // 4 AS INT) + 1,
+        |         LEAST(16, len)) AS fb
+        |  FROM v CROSS JOIN range(4) t(k))
+        |SELECT media_id, frame_no, md5(fb) AS frame_md5 FROM f""".stripMargin,
+    // Resize to 64x32 = cyclic truncation to 32 bytes; 32 < the
+    // corpus's 48-byte minimum, so the replay is a plain prefix.
+    "q_media_resize" ->
+      """SELECT doc_id AS media_id, CAST(32 AS BIGINT) AS n_bytes,
+        |md5(substr(text, 1, 32)) AS content_md5
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "q_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
         |time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,

@@ -162,6 +162,28 @@ object Multimodal {
       }
   }
 
+  /** Oracle-checkable gate over [[sampleFrames]]: every video's n
+    * frames identified by md5. The stub frame extraction is the
+    * documented cyclic slice — frame k of an L-byte payload is the
+    * 16-byte window at offset floor(L*k/n), wrapping at the end — so
+    * DuckDB replays it on the ASCII corpus as
+    * substr(text || text, off+1, least(16, len)) (the doubled string
+    * realizes the single wrap; off < len always). */
+  def frameGate(s: SparkSession, dir: String, n: Int = 4): DataFrame =
+    sampleFrames(s, dir, n).toDF()
+      .select(col("media_id"), col("frame_no"),
+        md5(col("frame")).as("frame_md5"))
+
+  /** Oracle-checkable gate over [[resizeImages]]: the stub resize of
+    * an L-byte payload to (w, h) is the documented cyclic truncation
+    * to max(1, w*h/64) bytes. The gate pins 64x32 (target 32 bytes,
+    * below the corpus's 48-byte minimum), so the oracle replays it as
+    * a plain prefix: substr(text, 1, 32). */
+  def resizeGate(s: SparkSession, dir: String): DataFrame =
+    resizeImages(s, dir, 64, 32).toDF()
+      .select(col("media_id"), col("n_bytes"),
+        md5(col("content")).as("content_md5"))
+
   /** Feature-space profile built on the stub decode: per-kind L2-norm
     * stats of the extracted features — exercises decode + vector kernel
     * + aggregate end-to-end. Oracle-checkable because the decode fold
