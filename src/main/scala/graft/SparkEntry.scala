@@ -292,12 +292,45 @@ object SparkEntry {
     "q_chunk_split"      -> ((s, d) => TextAnalysis.chunkSplit(s, d)),
     "q_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     "q_dedup_incremental"-> ((s, d) => Dedup.incrementalDedup(s, d)),
+    // real streaming execution (file stream -> stream-static probes ->
+    // watermarked verdict fold -> memory sink); verdict semantics
+    // equal the batch incrementalDedup, which the oracle recomputes
+    "q_stream_docdedup"  -> ((s, d) => Dedup.streamingDedupGateVerdicts(s, d)),
     "q_budget_sample"    -> ((s, d) => TextAnalysis.budgetSample(s, d)),
     "q_cluster_survivors"-> ((s, d) => Dedup.clusterSurvivors(s, d)),
     "q_safe_split"       -> ((s, d) => TextAnalysis.leakageSafeSplit(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
+  /** Shared by q_dedup_incremental and q_stream_docdedup: the
+    * streaming probe reproduces the batch verdicts exactly. */
+  private val IncrementalDedupOracle: String =
+    """WITH mx AS (SELECT CAST(floor(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS split
+        |           FROM documents),
+        |n AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents),
+        |ex AS (SELECT b.doc_id, MIN(i.doc_id) AS m
+        |  FROM n b CROSS JOIN mx JOIN n i ON b.fp = i.fp
+        |  WHERE b.doc_id >= mx.split AND i.doc_id < mx.split GROUP BY 1),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |nr AS (SELECT b.doc_id, MIN(i.doc_id) AS m
+        |  FROM s b CROSS JOIN mx JOIN s i
+        |    ON CAST(len(list_intersect(b.sh, i.sh)) AS DOUBLE)
+        |       / len(list_distinct(b.sh || i.sh)) >= 0.8
+        |  WHERE b.doc_id >= mx.split AND i.doc_id < mx.split
+        |    AND len(b.sh) > 0 AND len(i.sh) > 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |CASE WHEN ex.m IS NOT NULL THEN 'exact_dup'
+        |     WHEN nr.m IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict,
+        |COALESCE(ex.m, nr.m) AS match_id
+        |FROM documents d CROSS JOIN mx
+        |LEFT JOIN ex ON ex.doc_id = d.doc_id
+        |LEFT JOIN nr ON nr.doc_id = d.doc_id
+        |WHERE d.doc_id >= mx.split""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_budget_sample" ->
       """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS w,
@@ -328,32 +361,11 @@ object SparkEntry {
         |CAST(start % 512 AS BIGINT) AS pack_off,
         |((start + n_tokens - 1) // 512) > (start // 512) AS spans_boundary
         |FROM c""".stripMargin,
-    "q_dedup_incremental" ->
-      """WITH mx AS (SELECT CAST(floor(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS split
-        |           FROM documents),
-        |n AS (SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents),
-        |ex AS (SELECT b.doc_id, MIN(i.doc_id) AS m
-        |  FROM n b CROSS JOIN mx JOIN n i ON b.fp = i.fp
-        |  WHERE b.doc_id >= mx.split AND i.doc_id < mx.split GROUP BY 1),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id,
-        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
-        |  FROM w),
-        |nr AS (SELECT b.doc_id, MIN(i.doc_id) AS m
-        |  FROM s b CROSS JOIN mx JOIN s i
-        |    ON CAST(len(list_intersect(b.sh, i.sh)) AS DOUBLE)
-        |       / len(list_distinct(b.sh || i.sh)) >= 0.8
-        |  WHERE b.doc_id >= mx.split AND i.doc_id < mx.split
-        |    AND len(b.sh) > 0 AND len(i.sh) > 0 GROUP BY 1)
-        |SELECT d.doc_id,
-        |CASE WHEN ex.m IS NOT NULL THEN 'exact_dup'
-        |     WHEN nr.m IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict,
-        |COALESCE(ex.m, nr.m) AS match_id
-        |FROM documents d CROSS JOIN mx
-        |LEFT JOIN ex ON ex.doc_id = d.doc_id
-        |LEFT JOIN nr ON nr.doc_id = d.doc_id
-        |WHERE d.doc_id >= mx.split""".stripMargin,
+    "q_dedup_incremental" -> IncrementalDedupOracle,
+    // the streaming probe has identical verdict semantics at the same
+    // 0.8 split — one oracle serves both gates
+    "q_stream_docdedup" -> IncrementalDedupOracle,
+
     "q_contamination" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, source,

@@ -567,6 +567,128 @@ object Dedup {
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
   }
 
+  /** The 16 LSH band hashes of a minhash signature — shared by the
+    * batch and streaming band-key producers. */
+  private def bandHashArray(sig: org.apache.spark.sql.Column) =
+    array((0 until NumBands).map { j =>
+      xxhash64(element_at(sig, 2 * j + 1), element_at(sig, 2 * j + 2), lit(j))
+    }: _*)
+
+  /** Attach the xxhash64 3-word-shingle array to ANY documents-shaped
+    * frame (streaming or batch) — the df-generic sibling of the
+    * dir-based cached [[hashShingled]]. */
+  private def withShingleHashes(docs: DataFrame): DataFrame =
+    docs.withColumn("hs",
+      org.apache.spark.sql.GraftSql.column(graft.functions.WordShingleHashes(
+        org.apache.spark.sql.GraftSql.expression(words(col("text"))), 3)))
+
+  /** Continuous dedup-on-ingest: the STREAMING version of
+    * [[incrementalDedup]]. A stream of new documents (doc_id, text,
+    * ts) is probed against a STATIC already-deduped index via
+    * stream-static equality joins only:
+    *
+    *  - exact: fingerprint join against a PRE-AGGREGATED
+    *    (fp -> min idx id) index, so the probe is a pure left join —
+    *    no stream-side state;
+    *  - near: stream-side band keys joined against the static band
+    *    index, candidates verified by exact shingle Jaccard against
+    *    the index doc's shingle array (same banding + verification as
+    *    the batch path, so verdict semantics are identical);
+    *  - one watermark-bounded windowed aggregation folds the collision
+    *    rows into per-document verdicts (exact_dup / near_dup / new,
+    *    match_id = lowest colliding index id).
+    *
+    * 100 TB posture: the stream never self-pairs and never shuffles
+    * against corpus volume — every join is keyed by fingerprint /
+    * (band, key) / idx_id, costs track batch size × collision density,
+    * and state is bounded by the watermark (one window of per-doc
+    * partial verdicts). The static index re-plans per micro-batch; in
+    * production it is a persisted table maintained by the batch dedup. */
+  def streamingDedupProbe(newDocs: DataFrame, indexDocs: DataFrame,
+                          watermark: String = "1 hour"): DataFrame = {
+    val fpIdx = indexDocs
+      .select(fingerprintMd5(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("exact_id"))
+    val idxSh = withShingleHashes(indexDocs).filter(size(col("hs")) > 0)
+    val bandIdx = idxSh
+      .withColumn("sig", minhashSig(col("hs")))
+      .select(col("doc_id").as("idx_id"),
+        posexplode(bandHashArray(col("sig"))).as(Seq("band", "key")))
+    val idxHs = idxSh.select(col("doc_id").as("idx_id"), col("hs").as("hs_i"))
+
+    val s0 = withShingleHashes(
+      newDocs.withWatermark("ts", watermark)
+        .withColumn("fp", fingerprintMd5(col("text"))))
+    val exactRows = s0.join(fpIdx, Seq("fp"), "left")
+      .select(col("doc_id"), col("ts"), col("exact_id"),
+        lit(null).cast("long").as("near_id"))
+    val nearRows = s0.filter(size(col("hs")) > 0)
+      .withColumn("sig", minhashSig(col("hs")))
+      .select(col("doc_id"), col("ts"), col("hs"),
+        posexplode(bandHashArray(col("sig"))).as(Seq("band", "key")))
+      .join(bandIdx, Seq("band", "key"))
+      .join(idxHs, Seq("idx_id"))
+      .withColumn("j", jaccardHs(col("hs"), col("hs_i")))
+      .filter(col("j") >= JaccardThreshold)
+      .select(col("doc_id"), col("ts"),
+        lit(null).cast("long").as("exact_id"), col("idx_id").as("near_id"))
+    exactRows.unionByName(nearRows)
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(min(col("exact_id")).as("exact_match"),
+        min(col("near_id")).as("near_match"))
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact_dup"))
+          .when(col("near_match").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
+
+  /** Streaming file source over the documents table (flat-file or
+    * directory layout, like EventStreams' events source). */
+  private def docsReadStream(s: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.documents(s, dir)
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    val reader = s.readStream.schema(batch.schema)
+    if (java.nio.file.Files.isDirectory(p)) reader.parquet(p.toString)
+    else reader.option("pathGlobFilter", "documents.parquet")
+      .option("recursiveFileLookup", "false").parquet(dir)
+  }
+
+  /** Real-execution gate for [[streamingDedupProbe]]: stream the
+    * batch half of the corpus (synthetic event time from doc_id)
+    * against the index half, drain with Trigger.AvailableNow into a
+    * memory sink in Update mode (each doc's verdict finalizes in its
+    * single micro-batch, so Update emits exactly one row per doc
+    * without waiting for watermark closure), and return the verdicts.
+    * Semantics equal [[incrementalDedup]] at the same split — which
+    * is exactly what the DuckDB oracle recomputes. */
+  def streamingDedupGateVerdicts(s: SparkSession, dir: String,
+                                 splitFrac: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val splitId = (splitFrac * (maxId + 1)).toLong
+    val index = docs.filter(col("doc_id") < splitId)
+    val stream = docsReadStream(s, dir)
+      .filter(col("doc_id") >= splitId)
+      .withColumn("ts", timestamp_seconds(col("doc_id")))
+    // few-partition streaming shuffles (EventStreams gate convention):
+    // the conf is read at stream START; restore afterwards
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try {
+      val sink = s"stream_docdedup_${System.nanoTime()}"
+      val q = streamingDedupProbe(stream, index)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000L),
+        s"stream gate $sink did not drain within 120 s") finally q.stop()
+      s.table(sink)
+    } finally s.conf.set(key, prev)
+  }
+
   /** Quality-aware survivorship: per near-dup cluster, keep the
     * HIGHEST-QUALITY member (lowest doc_id on rounded-quality ties) —
     * the production policy, where min-id survivorship ([[

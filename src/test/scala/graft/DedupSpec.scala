@@ -135,6 +135,22 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simhashPortablePairs(spark, TestSpark.sfDir).count())
   }
 
+  test("streamingDedupProbe reproduces the batch incremental verdicts") {
+    // Real streaming execution (file stream -> stream-static probes ->
+    // watermarked fold) must equal the batch path doc for doc.
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"),
+        Option(r.getAs[java.lang.Long]("match_id")))).toSet
+    val streamed = collect(Dedup.streamingDedupGateVerdicts(spark, TestSpark.sfDir))
+    val batch = collect(Dedup.incrementalDedup(spark, TestSpark.sfDir))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the sf0.001 corpus exercises near_dup and new at the 0.8 split
+    // (exact dups all fall in the index half there; sf0.01 covers all
+    // three via the oracle-gated q_stream_docdedup)
+    assert(Set("near_dup", "new").subsetOf(streamed.map(_._2)))
+  }
+
   test("minhashPairs finds every pair of a cluster larger than MaxBucket") {
     // 70 byte-identical docs: all land in the same bucket in all 16
     // bands (size > MaxBucket=64); the oversized-bucket path must
