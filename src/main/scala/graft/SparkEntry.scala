@@ -299,6 +299,14 @@ object SparkEntry {
     "q_budget_sample"    -> ((s, d) => TextAnalysis.budgetSample(s, d)),
     "q_cluster_survivors"-> ((s, d) => Dedup.clusterSurvivors(s, d)),
     "q_safe_split"       -> ((s, d) => TextAnalysis.leakageSafeSplit(s, d)),
+    // Round-7 batch 2: semantic dedup (SemDeDup keep-most-central rule),
+    // distributed PCA (gram aggregate + unrolled power iteration).
+    // The synthetic embeddings are near-orthogonal (max pairwise cosine
+    // ~0.51 at sf0.01), so the gate runs at threshold 0.4 to exercise
+    // the drop rule on real data; the operator default stays at the
+    // paper's 0.95.
+    "q_semdedup"         -> ((s, d) => Similarity.semDedup(s, d, threshold = 0.4)),
+    "q_pca_scores"       -> ((s, d) => Similarity.pcaScores(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1512,6 +1520,51 @@ object SparkEntry {
         |SELECT cell, COUNT(*) AS n_vectors,
         |floor(AVG(dist) * 10000 + 0.5 + 0.000001) / 10000 AS avg_dist
         |FROM a2 GROUP BY cell""".stripMargin,
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cell, v FROM (
+        |  SELECT e.vec_id, c0.cell, e.v, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_distance(e.v, c0.cv), c0.cell) AS rn
+        |  FROM e CROSS JOIN c0) WHERE rn = 1),
+        |u AS (SELECT cell, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM a1),
+        |m AS (SELECT cell, i, AVG(x) AS cx FROM u GROUP BY 1, 2),
+        |c1 AS (SELECT cell,
+        |  list(floor(cx * 1000000 + 0.5 + 0.000001) / 1000000 ORDER BY i) AS cv
+        |  FROM m GROUP BY cell),
+        |d AS (SELECT a1.vec_id, a1.cell, a1.v,
+        |  floor(list_distance(a1.v, c1.cv) * 1000000 + 0.5 + 0.000001) / 1000000 AS dq
+        |  FROM a1 JOIN c1 USING (cell)),
+        |drops AS (SELECT DISTINCT x.vec_id FROM d x JOIN d y ON x.cell = y.cell
+        |  AND x.vec_id <> y.vec_id
+        |  AND list_dot_product(x.v, y.v)
+        |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
+        |  AND (y.dq < x.dq OR (y.dq = x.dq AND y.vec_id < x.vec_id)))
+        |SELECT d.vec_id, d.cell, ROUND(d.dq, 4) AS centroid_dist,
+        |CASE WHEN drops.vec_id IS NULL THEN 'kept' ELSE 'dropped' END AS verdict
+        |FROM d LEFT JOIN drops ON d.vec_id = drops.vec_id""".stripMargin,
+    "q_pca_scores" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  ([CAST(x AS DOUBLE) for x in embedding])[1:8] AS v FROM embeddings),
+        |ux AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+        |g AS (SELECT a.i AS i, b.i AS j,
+        |  floor(AVG(a.x * b.x) * 1000000 + 0.5 + 0.000001) / 1000000 AS gv
+        |  FROM ux a JOIN ux b USING (vec_id) GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS vv FROM g),
+        |mv1 AS (SELECT g.i, SUM(g.gv * v0.vv) AS mv FROM g JOIN v0 ON g.j = v0.i GROUP BY 1),
+        |v1 AS (SELECT i, floor(mv / (SELECT sqrt(SUM(mv * mv)) FROM mv1) * 1000000
+        |  + 0.5 + 0.000001) / 1000000 AS vv FROM mv1),
+        |mv2 AS (SELECT g.i, SUM(g.gv * v1.vv) AS mv FROM g JOIN v1 ON g.j = v1.i GROUP BY 1),
+        |v2 AS (SELECT i, floor(mv / (SELECT sqrt(SUM(mv * mv)) FROM mv2) * 1000000
+        |  + 0.5 + 0.000001) / 1000000 AS vv FROM mv2),
+        |mv3 AS (SELECT g.i, SUM(g.gv * v2.vv) AS mv FROM g JOIN v2 ON g.j = v2.i GROUP BY 1),
+        |v3 AS (SELECT i, floor(mv / (SELECT sqrt(SUM(mv * mv)) FROM mv3) * 1000000
+        |  + 0.5 + 0.000001) / 1000000 AS vv FROM mv3),
+        |proj AS (SELECT ux.vec_id, SUM(ux.x * v3.vv) AS score
+        |  FROM ux JOIN v3 ON ux.i = v3.i GROUP BY 1)
+        |SELECT e.vec_id, e.label, ROUND(proj.score, 4) AS pc1_score
+        |FROM e JOIN proj USING (vec_id)""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),

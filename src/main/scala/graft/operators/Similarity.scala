@@ -415,6 +415,48 @@ object Similarity {
       .filter(col("i") <= col("j"))
   }
 
+  /** Distributed PCA, first principal direction: the d x d second-moment
+    * (gram) matrix is computed by the SAME single vec_sum aggregation
+    * as [[gramMatrix]] (one d^2-array partial per partition — constant
+    * shuffle regardless of corpus size), the dominant eigenvector is
+    * extracted by `iters` power-iteration steps on that d x d result
+    * (a constant-size step, driver-side by design — the verdict-blessed
+    * "eigendecompose the d x d result" seam), and every embedding is
+    * then projected onto it in one map-only pass (no shuffle: the
+    * eigenvector rides into the scan as a literal).
+    *
+    * Determinism discipline: the gram entries and every intermediate
+    * eigenvector are quantized to the 1e-6 grid (floor(x*1e6+0.5+1e-6))
+    * so cross-engine summation-order ulps can't drift the iteration;
+    * v0 = e1 fixes the sign. The DuckDB oracle replays the identical
+    * unrolled iterations in SQL. */
+  def pcaScores(s: SparkSession, dir: String, d: Int = 8, iters: Int = 3): DataFrame = {
+    val q6 = (x: Double) => math.floor(x * 1e6 + 0.5 + 1e-6) / 1e6
+    val prods = array((for (i <- 0 until d; j <- 0 until d) yield
+      element_at(col("v"), i + 1) * element_at(col("v"), j + 1)): _*)
+    val e = corpus(s, dir).select(col("vec_id"), col("label"),
+        slice(transform(col("embedding"), x => x.cast("double")), 1, d).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one constant-size row: the averaged, quantized second moments
+    val flat = e.select(prods.as("p"))
+      .agg(vecSum(col("p")).as("sums"), count(lit(1)).as("n"))
+      .select(transform(col("sums"), x =>
+        floor(x / col("n") * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)).as("g"))
+      .head().getSeq[Double](0)
+    val g = Array.tabulate(d, d)((i, j) => flat(i * d + j))
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      // sequential-fold matvec — the same j=0..d-1 order the oracle's
+      // tiny single-threaded SUM produces, then quantized normalization
+      val mv = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + g(i)(j) * v(j)))
+      val nrm = math.sqrt(mv.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = mv.map(x => q6(x / nrm))
+    }
+    e.select(col("vec_id"), col("label"),
+      round(dot(lit(v), col("v")), 4).as("pc1_score"))
+  }
+
   def labelCohesion(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir).withColumn("emb_d",
       transform(col("embedding"), x => x.cast("double")))
@@ -447,5 +489,65 @@ object Similarity {
     a.join(b, col("label_a") < col("label_b"))
       .select(col("label_a"), col("label_b"),
         round4eps(cosine(col("ca"), col("cb"))).as("centroid_cosine"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering first, then pruning near-identical
+    * pairs WITHIN each cluster only — the trick that turns embedding
+    * dedup from corpus^2 into sum-over-clusters(|cluster|^2). A
+    * document is dropped when some same-cluster neighbor has cosine >=
+    * `threshold` AND sits strictly closer to the cluster centroid
+    * (ties broken by lower vec_id) — i.e. each semantic-duplicate
+    * group keeps its most central member, the paper's keep rule.
+    *
+    * Determinism discipline (same as [[kmeansCells]], which this
+    * shares its assignment round with): seed centroids are the first k
+    * vectors, the refined centroids are 1e-6-quantized so cross-engine
+    * ulps can't move one, and the keep rule compares 1e-6-QUANTIZED
+    * centroid distances — a raw double comparison between two engines'
+    * independently-summed distances would be a latent gate flake.
+    *
+    * 100 TB posture: assignment is a broadcast of k centroids + one
+    * map-side-combined argmin shuffle; the within-cluster pair join is
+    * cluster-keyed and SHUFFLE_MERGE-hinted so each cluster's
+    * quadratic product streams through sort-merge tasks instead of
+    * multiplying inside a broadcast hash build (the measured OOM mode
+    * of the big-bucket LSH paths). Real deployments size k ~ sqrt(n)
+    * (the paper uses 50k clusters for LAION) so |cluster| stays
+    * bounded; k is the caller's scale knob. */
+  def semDedup(s: SparkSession, dir: String, k: Int = 8,
+               threshold: Double = 0.95): DataFrame = {
+    val quant = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val e = corpus(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("dist", l2Distance(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"), col("v"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.v").as("v"))
+    val cents = assigned.groupBy(col("cell"))
+      .agg(vecSum(col("v")).as("sums"), count(lit(1)).as("n"))
+      .select(col("cell"), transform(col("sums"), x => quant(x / col("n"))).as("cv"))
+    val d = assigned.join(broadcast(cents), "cell")
+      .withColumn("dq", quant(l2Distance(col("v"), col("cv"))))
+      .select(col("cell"), col("vec_id"), col("v"), col("dq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val neighbors = d.select(col("cell"), col("vec_id").as("y_id"),
+      col("v").as("y_v"), col("dq").as("y_dq"))
+    val drops = d.hint("SHUFFLE_MERGE").join(neighbors, Seq("cell"))
+      .filter(col("vec_id") =!= col("y_id"))
+      .filter(cosine(col("v"), col("y_v")) >= threshold)
+      .filter(col("y_dq") < col("dq") ||
+        (col("y_dq") === col("dq") && col("y_id") < col("vec_id")))
+      .select(col("vec_id")).distinct()
+    d.join(drops.withColumn("is_drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("dq"), 4).as("centroid_dist"),
+        when(col("is_drop").isNotNull, lit("dropped"))
+          .otherwise(lit("kept")).as("verdict"))
   }
 }

@@ -177,6 +177,25 @@ class SimilaritySpec extends AnyFunSuite {
     cells.foreach { r => assert(r.getAs[Double]("avg_dist") < 0.2) }
   }
 
+  test("semDedup keeps the most-central member of each semantic group") {
+    // Cluster 0 (seed vec 0 on axis 0): vecs 0, 10 (scaled copy,
+    // cosine 1) and 11 (near-parallel, cosine ~0.9988) form one
+    // semantic group; the centroid ~(1.33, 0.017, ...) is closest to
+    // vec 0, so SemDeDup keeps 0 and drops 10 and 11. Cluster 1
+    // (seed vec 1 on axis 1): vec 20 = axis1+axis2 has cosine
+    // 1/sqrt(2) ~ 0.707 with vec 1 — below threshold, both kept.
+    val sdir = TestSpark.embeddingsFixture(Seq(
+      (0L, axis(0), 0),
+      (1L, axis(1), 1),
+      (10L, axis(0, 2.0f), 0),
+      (11L, mix(0, 1, 0.05f), 0),
+      (20L, mix(1, 2, 1.0f), 1)))
+    val verdicts = Similarity.semDedup(spark, sdir, k = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("verdict")).toMap
+    assert(verdicts === Map(0L -> "kept", 1L -> "kept",
+      10L -> "dropped", 11L -> "dropped", 20L -> "kept"))
+  }
+
   test("gramMatrix: hand-checkable second moments on axis vectors") {
     // vectors: (1,0,...), (1,0.5,0...), dims 2..7 all zero
     val gdir = TestSpark.embeddingsFixture(Seq(
