@@ -307,6 +307,9 @@ object SparkEntry {
     // paper's 0.95.
     "q_semdedup"         -> ((s, d) => Similarity.semDedup(s, d, threshold = 0.4)),
     "q_pca_scores"       -> ((s, d) => Similarity.pcaScores(s, d)),
+    // stride-scheduled mixture interleave + DSIR importance weights
+    "q_mix_schedule"     -> ((s, d) => TextAnalysis.mixSchedule(s, d)),
+    "q_dsir_weights"     -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1565,6 +1568,34 @@ object SparkEntry {
         |  FROM ux JOIN v3 ON ux.i = v3.i GROUP BY 1)
         |SELECT e.vec_id, e.label, ROUND(proj.score, 4) AS pc1_score
         |FROM e JOIN proj USING (vec_id)""".stripMargin,
+    "q_mix_schedule" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, sqrt(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()) AS w_raw
+        |      FROM c),
+        |m AS (SELECT source,
+        |  floor(w_raw / SUM(w_raw) OVER () * 10000 + 0.5 + 0.000001) / 10000 AS mix FROM w),
+        |h AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hsh
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |  ORDER BY hsh, doc_id) AS INTEGER) AS rk FROM h),
+        |p AS (SELECT r.doc_id, r.source, r.rk, (r.rk - 0.5) / m.mix AS pos
+        |      FROM r JOIN m USING (source)),
+        |t AS (SELECT * FROM p ORDER BY pos, doc_id LIMIT 100)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pos, doc_id) AS INTEGER) AS global_pos,
+        |doc_id, source, rk AS rank_in_source, ROUND(pos, 4) AS stride_pos FROM t""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS is_tgt,
+        |  unnest(string_split(text, ' ')) AS w FROM documents),
+        |freqs AS (SELECT w, COUNT(*) AS c_all,
+        |  SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt FROM toks GROUP BY 1),
+        |tot AS (SELECT SUM(c_all) AS n_all, SUM(c_tgt) AS n_tgt, COUNT(*) AS vocab
+        |        FROM freqs)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |floor(AVG(ln((c_tgt + 1.0) / (n_tgt + vocab))
+        |        - ln((c_all + 1.0) / (n_all + vocab))) * 10000 + 0.5 + 0.000001) / 10000
+        |  AS dsir_logweight
+        |FROM toks JOIN freqs USING (w), tot GROUP BY doc_id""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),

@@ -529,7 +529,7 @@ object Dedup {
   def incrementalDedup(s: SparkSession, dir: String,
       splitFrac: Double = 0.8): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val splitId = (splitFrac * (maxId + 1)).toLong
 
     val fp = docs.select(col("doc_id"), fingerprintMd5(col("text")).as("fingerprint"))
@@ -665,7 +665,7 @@ object Dedup {
   def streamingDedupGateVerdicts(s: SparkSession, dir: String,
                                  splitFrac: Double = 0.8): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val splitId = (splitFrac * (maxId + 1)).toLong
     val index = docs.filter(col("doc_id") < splitId)
     val stream = docsReadStream(s, dir)

@@ -445,6 +445,84 @@ object TextAnalysis {
         floor(col("w_norm") * col("total") + lit(0.5)).cast("long").as("target_docs"))
   }
 
+  /** Deterministic interleaved mixture schedule — the runtime
+    * counterpart of [[mixtureWeights]]: given per-source sampling
+    * weights (sqrt-temperature over source shares), emit the exact
+    * order a training job should read documents so that every prefix
+    * of the stream observes each source in proportion to its weight.
+    * Classic stride scheduling / weighted fair queueing: document
+    * number `r` of source `s` is released at virtual time
+    * (r - 0.5) / w_s, and the schedule is the ascending sort of
+    * release times. Within a source, documents are ordered by a
+    * portable md5 hash — the same hash-stable shuffle discipline as
+    * [[trainValTestSplit]], so the schedule is reproducible across
+    * runs, engines and partitionings.
+    *
+    * Determinism: weights are 1e-4-quantized before the division (two
+    * engines' window sums of sqrt weights differ in ulps; the grid
+    * absorbs that), and (rank - 0.5) / quantized-weight is a single
+    * IEEE-exact division of identical operands — so the orderings are
+    * identical by construction, no epsilon needed on the sort key.
+    *
+    * 100 TB posture: per-source ranks are one hash-ordered window per
+    * source; the `take`-row prefix is a TakeOrderedAndProject (bounded
+    * per-partition top-N, no global sort shuffle), and the final
+    * global_pos window runs over those `take` rows only. */
+  def mixSchedule(s: SparkSession, dir: String, take: Int = 100): DataFrame = {
+    val all = Window.partitionBy()
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val weights = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", sqrt(col("n_docs").cast("double") / sum(col("n_docs")).over(all)))
+      .select(col("source"), round4eps(col("w_raw") / sum(col("w_raw")).over(all)).as("mix"))
+    val ranked = docs
+      .withColumn("h", conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 8), 16, 10).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+    ranked.join(broadcast(weights), "source")
+      .withColumn("pos", (col("rk") - lit(0.5)) / col("mix"))
+      .orderBy(col("pos"), col("doc_id"))
+      .limit(take)
+      .select(
+        row_number().over(Window.orderBy(col("pos"), col("doc_id"))).as("global_pos"),
+        col("doc_id"), col("source"), col("rk").as("rank_in_source"),
+        round(col("pos"), 4).as("stride_pos"))
+  }
+
+  /** DSIR-style importance weights (data selection via importance
+    * resampling, Xie et al. 2023, arXiv:2302.03169): score every
+    * document by how much more likely its tokens are under a TARGET
+    * domain's unigram LM than under the full corpus's — documents
+    * with high weight read like the target and are upsampled when
+    * curating a training mix. Feature LMs are add-1-smoothed unigram
+    * models over the shared vocabulary; the weight is the per-token
+    * mean log-likelihood ratio (length-normalized, so long documents
+    * aren't favored).
+    *
+    * Scale shape (same as [[unigramLogLoss]], whose oracle discipline
+    * this reuses): ONE token-keyed aggregation builds both LMs
+    * simultaneously (target counts ride along as a conditional sum —
+    * no second corpus pass), one hash join streams tokens past their
+    * frequencies, and the totals row is a broadcast. Nothing driver-
+    * side; vocabulary never collected. */
+  def dsirWeights(s: SparkSession, dir: String, targetLang: String = "en"): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("lang") === targetLang).as("is_tgt"),
+        explode(words(col("text"))).as("w"))
+    val freqs = toks.groupBy(col("w")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("is_tgt"), lit(1L)).otherwise(lit(0L))).as("c_tgt"))
+    val totals = freqs.agg(sum(col("c_all")).as("n_all"),
+      sum(col("c_tgt")).as("n_tgt"), count(lit(1)).as("vocab"))
+    toks.join(freqs, "w").crossJoin(broadcast(totals))
+      .withColumn("llr",
+        log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + col("vocab"))) -
+        log((col("c_all") + lit(1.0)) / (col("n_all") + col("vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round4eps(avg(col("llr"))).as("dsir_logweight"))
+  }
+
   /** Heavy hitters over the token stream via the Misra–Gries sketch +
     * exact re-count: every token appearing in more than 1% of the
     * corpus's token occurrences, with its exact count.
@@ -553,7 +631,7 @@ object TextAnalysis {
                    windowTokens: Int = 512, buckets: Int = 64): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val width = math.max(1L, maxId / buckets + 1L)
     val perDoc = docs.withColumn("bucket", floor(col("doc_id") / lit(width)).cast("long"))
       .withColumn("within",
@@ -616,3 +694,5 @@ object TextAnalysis {
         round4eps(avg(col("cap_words"))).as("avg_cap_words"),
         count(lit(1)).as("n_docs"))
 }
+
+

@@ -226,6 +226,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(rows.values.map(_._2).sum - 1.0) < 0.001)
   }
 
+  test("mixSchedule: stride interleave releases sources in weight proportion") {
+    // sources a (2 docs) and b (6 docs): shares (0.25, 0.75), sqrt
+    // temperature -> quantized weights 0.3660 / 0.6340. Stride release
+    // times (r-0.5)/w merge into the exact sequence b a b b a b b b.
+    val mdir = TestSpark.documentsFixture(Seq(
+      (1L, "t", "en", "a"), (2L, "t", "en", "a"),
+      (3L, "t", "en", "b"), (4L, "t", "en", "b"), (5L, "t", "en", "b"),
+      (6L, "t", "en", "b"), (7L, "t", "en", "b"), (8L, "t", "en", "b")))
+    val rows = TextAnalysis.mixSchedule(spark, mdir).collect()
+      .sortBy(_.getAs[Int]("global_pos"))
+    assert(rows.map(_.getAs[Int]("global_pos")).toSeq === (1 to 8))
+    assert(rows.map(_.getAs[String]("source")).toSeq ===
+      Seq("b", "a", "b", "b", "a", "b", "b", "b"))
+    // release times are the ascending sort key
+    val pos = rows.map(_.getAs[Double]("stride_pos"))
+    assert(pos.sliding(2).forall(p => p(0) <= p(1)))
+    // ranks within a source appear in order (1, 2, ...)
+    val bRanks = rows.filter(_.getAs[String]("source") == "b")
+      .map(_.getAs[Int]("rank_in_source")).toSeq
+    assert(bRanks === (1 to 6))
+  }
+
+  test("dsirWeights: target-like documents score higher, hand-checked LLR") {
+    // en doc is all 'x' (target-favored), de doc all 'y'. Add-1 LMs:
+    // p_t(x)=4/5, p_all(x)=4/8 -> llr ln(1.6); p_t(y)=1/5,
+    // p_all(y)=4/8 -> llr ln(0.4).
+    val ddir = TestSpark.documentsFixture(Seq(
+      (1L, "x x x", "en", "s"), (2L, "y y y", "de", "s")))
+    val rows = TextAnalysis.dsirWeights(spark, ddir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("dsir_logweight")))).toMap
+    assert(rows(1L) === ((3L, 0.47)))     // ln(1.6) rounded to the grid
+    assert(rows(2L) === ((3L, -0.9163)))  // ln(0.4)
+  }
+
   test("budgetSample: per-source quality-ranked greedy fill to the token budget") {
     // web qualities: doc2 .5213 > doc1 .3483 > doc4 .0463 > doc3 0.0;
     // token counts doc2=6, doc1=3, doc4=9, doc3=3. books: doc5 (2 tokens).
