@@ -310,6 +310,8 @@ object SparkEntry {
     // stride-scheduled mixture interleave + DSIR importance weights
     "q_mix_schedule"     -> ((s, d) => TextAnalysis.mixSchedule(s, d)),
     "q_dsir_weights"     -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    // tokenizer vocabulary induction: first 2 BPE merge rounds
+    "q_bpe_merges"       -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1596,6 +1598,30 @@ object SparkEntry {
         |        - ln((c_all + 1.0) / (n_all + vocab))) * 10000 + 0.5 + 0.000001) / 10000
         |  AS dsir_logweight
         |FROM toks JOIN freqs USING (w), tot GROUP BY doc_id""".stripMargin,
+    "q_bpe_merges" ->
+      """WITH wc AS (SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+        |s1 AS (SELECT '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|' AS sym,
+        |       c FROM wc),
+        |p1 AS (SELECT l[i] AS sym_left, l[i+1] AS sym_right, CAST(SUM(c) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(generate_series(1, len(l)-1)) AS i, l, c FROM (
+        |    SELECT string_split(sym, '|')[2:-2] AS l, c FROM s1)) GROUP BY 1, 2),
+        |t1 AS (SELECT sym_left, sym_right, freq,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, sym_left, sym_right) AS INTEGER) AS rank
+        |  FROM p1 QUALIFY rank <= 10),
+        |m1 AS (SELECT '|' || sym_left || '|' || sym_right || '|' AS pat,
+        |              '|' || sym_left || sym_right || '|' AS rep FROM t1 WHERE rank = 1),
+        |s2 AS (SELECT replace(replace(sym, m1.pat, m1.rep), m1.pat, m1.rep) AS sym, c
+        |       FROM s1, m1),
+        |p2 AS (SELECT l[i] AS sym_left, l[i+1] AS sym_right, CAST(SUM(c) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(generate_series(1, len(l)-1)) AS i, l, c FROM (
+        |    SELECT string_split(sym, '|')[2:-2] AS l, c FROM s2)) GROUP BY 1, 2),
+        |t2 AS (SELECT sym_left, sym_right, freq,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, sym_left, sym_right) AS INTEGER) AS rank
+        |  FROM p2 QUALIFY rank <= 10)
+        |SELECT 1 AS bpe_round, rank, sym_left, sym_right, freq FROM t1
+        |UNION ALL
+        |SELECT 2 AS bpe_round, rank, sym_left, sym_right, freq FROM t2""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),

@@ -523,6 +523,69 @@ object TextAnalysis {
         round4eps(avg(col("llr"))).as("dsir_logweight"))
   }
 
+  /** Distributed BPE vocabulary induction — the first `rounds` merge
+    * rounds of byte-pair-encoding tokenizer training over the corpus:
+    * per round, count adjacent symbol pairs (weighted by word
+    * frequency), pick the most frequent pair, fuse it into one symbol
+    * everywhere, repeat. Emits each round's top-`topK` pair table —
+    * the merge list a tokenizer trainer would persist.
+    *
+    * The standard BPE scale trick: all counting runs over the DISTINCT
+    * word table with multiplicities (vocabulary-sized, not
+    * token-stream-sized — at 100 TB the vocabulary is millions of rows
+    * while the stream is trillions). Symbol sequences are kept as
+    * '|'-delimited strings; a merge is applied as TWO successive
+    * literal string replaces of `|s1|s2|` → `|s1s2|` (delimiter-
+    * wrapped, so multi-character symbols can never false-match across
+    * boundaries; the second pass catches adjacent occurrences whose
+    * shared delimiter the first pass consumed — after it, none remain,
+    * and the result equals greedy left-to-right BPE application).
+    * Java's and the oracle engine's replace() are both left-to-right
+    * non-overlapping, so the rewrite is identical by construction.
+    * The winning pair is a 1-row bounded collect; everything heavy is
+    * a vocabulary-keyed explode + aggregate per round. Ranking ties
+    * break on (freq DESC, sym_left, sym_right) — lowercase-ASCII
+    * collation, identical across engines. */
+  def bpeMerges(s: SparkSession, dir: String, rounds: Int = 2, topK: Int = 10): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var wc = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(concat(lit("|"), regexp_replace(col("w"), "(?<=.)(?=.)", "|"), lit("|")).as("sym"),
+        col("c"))
+      .persist(lvl)
+    def pairCounts(df: DataFrame): DataFrame =
+      df.withColumn("l", slice(split(col("sym"), "\\|"), lit(2),
+          size(split(col("sym"), "\\|")) - 2))
+        .filter(size(col("l")) >= 2)
+        .select(col("c"), explode(transform(sequence(lit(1), size(col("l")) - 1),
+          i => struct(element_at(col("l"), i).as("s1"),
+            element_at(col("l"), i + lit(1)).as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("sym_left"), col("p.s2").as("sym_right"))
+        .agg(sum(col("c")).as("freq"))
+    val roundTops = (1 to rounds).map { r =>
+      val top = pairCounts(wc)
+        .orderBy(col("freq").desc, col("sym_left"), col("sym_right"))
+        .limit(topK)
+        .select(lit(r).as("bpe_round"),
+          row_number().over(Window.orderBy(col("freq").desc,
+            col("sym_left"), col("sym_right"))).as("rank"),
+          col("sym_left"), col("sym_right"), col("freq"))
+        .persist(lvl)
+      val winner = top.filter(col("rank") === 1).head()
+      if (r < rounds) {
+        val pat = lit("|" + winner.getAs[String]("sym_left") + "|" +
+          winner.getAs[String]("sym_right") + "|")
+        val rep = lit("|" + winner.getAs[String]("sym_left") +
+          winner.getAs[String]("sym_right") + "|")
+        wc = wc.select(replace(replace(col("sym"), pat, rep), pat, rep).as("sym"), col("c"))
+          .persist(lvl)
+      }
+      top
+    }
+    roundTops.reduce(_ unionByName _)
+  }
+
   /** Heavy hitters over the token stream via the Misra–Gries sketch +
     * exact re-count: every token appearing in more than 1% of the
     * corpus's token occurrences, with its exact count.

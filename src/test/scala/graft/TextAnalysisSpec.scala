@@ -261,6 +261,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(2L) === ((3L, -0.9163)))  // ln(0.4)
   }
 
+  test("bpeMerges: hand-checked merge rounds, adjacent occurrences fuse fully") {
+    // vocabulary: "abab" (x2 docs of one word... built as two docs),
+    // "cd" (x1). Round 1 pairs: (a,b) 2*2=4, (b,a) 2, (c,d) 1 -> merge
+    // (a,b). Applying to |a|b|a|b| must fuse BOTH occurrences (the
+    // adjacent-match case the second replace pass exists for), giving
+    // |ab|ab|. Round 2 top pair is then (ab, ab) freq 2.
+    val bdir = TestSpark.documentsFixture(Seq(
+      (1L, "abab", "en", "s"), (2L, "abab", "en", "s"), (3L, "cd", "en", "s")))
+    val rows = TextAnalysis.bpeMerges(spark, bdir).collect()
+      .map(r => (r.getAs[Int]("bpe_round"), r.getAs[Int]("rank")) ->
+        ((r.getAs[String]("sym_left"), r.getAs[String]("sym_right"),
+          r.getAs[Long]("freq")))).toMap
+    assert(rows((1, 1)) === (("a", "b", 4L)))
+    assert(rows((1, 2)) === (("b", "a", 2L)))
+    assert(rows((1, 3)) === (("c", "d", 1L)))
+    assert(rows((2, 1)) === (("ab", "ab", 2L)))
+    assert(rows((2, 2)) === (("c", "d", 1L)))
+    assert(rows.keys.count(_._1 == 2) === 2) // (b,a) is gone after the merge
+  }
+
   test("budgetSample: per-source quality-ranked greedy fill to the token budget") {
     // web qualities: doc2 .5213 > doc1 .3483 > doc4 .0463 > doc3 0.0;
     // token counts doc2=6, doc1=3, doc4=9, doc3=3. books: doc5 (2 tokens).
