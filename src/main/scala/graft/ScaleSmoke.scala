@@ -82,6 +82,18 @@ object ScaleSmoke {
     run("bfsHops")(operators.Graph.bfsHops(spark, dir))
     run("incrementalDedup")(operators.Dedup.incrementalDedup(spark, dir))
     run("clusterSurvivors")(operators.Dedup.clusterSurvivors(spark, dir))
+    // Round-7 additions. semDedup: replication multiplies every cell's
+    // membership by factor, so the within-cell pair join grows
+    // factor² — the k-as-scale-knob story must hold (k is raised with
+    // the corpus so cells stay bounded; here k stays at 8 deliberately
+    // to measure the worst case). bpeMerges: the working set is the
+    // DISTINCT word table, which replication barely grows — time
+    // should stay near-flat, the vocabulary-not-stream claim.
+    run("semDedup")(operators.Similarity.semDedup(spark, dir, threshold = 0.4))
+    run("pcaScores")(operators.Similarity.pcaScores(spark, dir))
+    run("bpeMerges")(operators.TextAnalysis.bpeMerges(spark, dir))
+    run("dsirWeights")(operators.TextAnalysis.dsirWeights(spark, dir))
+    run("mixSchedule")(operators.TextAnalysis.mixSchedule(spark, dir))
 
     spark.stop()
   }

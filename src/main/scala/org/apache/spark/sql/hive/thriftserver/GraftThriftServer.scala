@@ -50,8 +50,8 @@ object GraftThriftServer {
         "(static conf) so the endpoint serves the owning session's tables")
     val tz = java.util.TimeZone.getDefault
     val confBefore = classic.conf.getAll
-    val handle = new Handle(HiveThriftServer2.startWithContext(classic.sqlContext),
-      classic, tz, confBefore)
+    val server = HiveThriftServer2.startWithContext(classic.sqlContext)
+    val handle = new Handle(server, classic, tz, confBefore)
     // Verify the server answers on the REQUESTED port. Hive's
     // execution-client conf is constructed once per JVM, so a restart
     // on a different port serves the original one — fail fast with the
@@ -64,6 +64,27 @@ object GraftThriftServer {
       catch { case _: Exception => Thread.sleep(250) }
     }
     if (!up) {
+      // The server IS still coming up — just on the JVM-cached (first
+      // configured) port, not the requested one. Stopping it mid-startup
+      // is fatal to the whole JVM: Hive's ThriftCLIService.run() holds
+      // the server in a field that stop() nulls, and if the race lands
+      // between construction and serve() the NPE is caught by run()'s
+      // catch-all, which calls System.exit(-1) (observed killing an
+      // entire test fork). Wait for the port the service ACTUALLY bound
+      // to accept connections — serve() is then running and stop() is
+      // an ordinary clean shutdown.
+      import scala.jdk.CollectionConverters._
+      val boundPort = server.getServices.asScala.collectFirst {
+        case t: org.apache.hive.service.cli.thrift.ThriftCLIService => t.getPortNumber
+      }.getOrElse(0)
+      if (boundPort > 0) {
+        val settle = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        var served = false
+        while (!served && System.nanoTime() < settle) {
+          try { new java.net.Socket("localhost", boundPort).close(); served = true }
+          catch { case _: Exception => Thread.sleep(250) }
+        }
+      }
       try handle.stop() catch { case _: Throwable => () }
       throw new IllegalStateException(
         s"thrift endpoint did not come up on requested port $port. The Hive " +
