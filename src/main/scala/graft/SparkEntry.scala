@@ -312,6 +312,8 @@ object SparkEntry {
     "q_dsir_weights"     -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     // tokenizer vocabulary induction: first 2 BPE merge rounds
     "q_bpe_merges"       -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    // DataSketches HLL mergeability: union-of-parts == sketch-of-whole
+    "q_hll_union"        -> ((s, d) => Relational.hllUnionGate(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1622,6 +1624,9 @@ object SparkEntry {
         |SELECT 1 AS bpe_round, rank, sym_left, sym_right, freq FROM t1
         |UNION ALL
         |SELECT 2 AS bpe_round, rank, sym_left, sym_right, freq FROM t2""".stripMargin,
+    "q_hll_union" ->
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        |true AS union_eq_direct, true AS est_err_ok FROM events""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),

@@ -171,6 +171,34 @@ object Relational {
           - countDistinct(col("event_type")))
         <= countDistinct(col("event_type")) * relTol).as("types_err_ok"))
 
+  /** Mergeable-sketch gate (Apache DataSketches HLL, built into Spark
+    * 4 as `hll_sketch_agg`/`hll_union_agg`): the property that makes
+    * sketches THE 100 TB cardinality tool is that partial sketches are
+    * persistable artifacts — build one per source/partition/day, union
+    * them later, and the union of the parts IS the sketch of the whole
+    * (register state is max-merge associative). This gate proves that
+    * exactly: per-event-type sketches unioned must estimate IDENTICALLY
+    * (not approximately — same registers, same estimate to the bit) to
+    * one sketch built directly over the corpus, and that estimate must
+    * sit within 5% of the exact distinct count. The estimates
+    * themselves are sketch-implementation-specific, so (like
+    * [[approxDistinctGate]]) the oracle replays the exact count and
+    * the expected verdicts. */
+  def hllUnionGate(s: SparkSession, dir: String, relTol: Double = 0.05): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+    val unioned = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+    val direct = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+      countDistinct(col("user_id")).as("n_users_exact"))
+    direct.crossJoin(unioned).select(
+      col("n_users_exact"),
+      (col("est_union") === col("est_direct")).as("union_eq_direct"),
+      (abs(col("est_direct").cast("double") - col("n_users_exact"))
+        <= col("n_users_exact") * relTol).as("est_err_ok"))
+  }
+
   /** Salted high-cardinality aggregation — the skew pattern for keys
     * whose row counts are pathological at scale: stage 1 aggregates on
     * (key, salt) spreading one hot key over `salts` reducers, stage 2

@@ -19,6 +19,14 @@ class RelationalSpec extends AnyFunSuite {
     assert(approx.getAs[Long]("n_events") === exact.getAs[Long]("n_events"))
   }
 
+  test("hllUnionGate: union of per-group sketches equals the direct sketch") {
+    val r = Relational.hllUnionGate(spark, dir).collect().head
+    assert(r.getAs[Boolean]("union_eq_direct"),
+      "per-type HLL sketches unioned must estimate identically to one direct sketch")
+    assert(r.getAs[Boolean]("est_err_ok"))
+    assert(r.getAs[Long]("n_users_exact") > 0)
+  }
+
   test("salted aggregation equals the direct groupBy exactly") {
     val salted = Relational.saltedTypeTotals(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") ->
