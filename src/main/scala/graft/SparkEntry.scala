@@ -314,6 +314,8 @@ object SparkEntry {
     "q_bpe_merges"       -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     // DataSketches HLL mergeability: union-of-parts == sketch-of-whole
     "q_hll_union"        -> ((s, d) => Relational.hllUnionGate(s, d)),
+    // perceptual near-dup media pairs over the decode features
+    "q_media_neardup"    -> ((s, d) => Multimodal.mediaNearDups(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1627,6 +1629,21 @@ object SparkEntry {
     "q_hll_union" ->
       """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
         |true AS union_eq_direct, true AS est_err_ok FROM events""".stripMargin,
+    "q_media_neardup" ->
+      """WITH idx AS (SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  text, unnest(range(1, length(text) + 1)) AS i FROM documents),
+        |pos AS (SELECT doc_id, kind, CAST((i - 1) % 32 AS INT) AS ch,
+        |  (ascii(substr(text, CAST(i AS INT), 1)) - 127.5) / 127.5 AS v FROM idx),
+        |f AS (SELECT doc_id, kind, ch, CAST(SUM(v) AS REAL) AS fv FROM pos GROUP BY 1, 2, 3),
+        |vec AS (SELECT doc_id, kind, list(CAST(fv AS DOUBLE) ORDER BY ch) AS v
+        |        FROM f GROUP BY 1, 2),
+        |p AS (SELECT a.kind, a.doc_id AS media_a, b.doc_id AS media_b,
+        |  list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM vec a JOIN vec b ON a.kind = b.kind AND a.doc_id < b.doc_id)
+        |SELECT kind, media_a, media_b, ROUND(sim, 4) AS feature_cosine
+        |FROM p WHERE sim >= 0.98""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),

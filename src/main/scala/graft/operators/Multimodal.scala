@@ -199,4 +199,33 @@ object Multimodal {
         round4eps(avg(col("norm"))).as("avg_norm"),
         round4eps(max(col("norm"))).as("max_norm"))
   }
+
+  /** Perceptual near-duplicate media pairs: decode each item to its
+    * feature vector (the stub byte-fold standing in for an image/audio
+    * embedding), then report same-kind pairs whose feature cosine
+    * meets `threshold` — the multimodal analog of embedding dedup
+    * (perceptual-hash image dedup, audio fingerprint matching).
+    *
+    * The pair join is kind-keyed and SHUFFLE_MERGE-hinted (the exact
+    * verification shape — streams each kind's product through
+    * sort-merge tasks). At 100 TB the candidate step is NOT this
+    * quadratic: bucket the feature column with the same SRP-LSH tables
+    * as [[graft.operators.Similarity.embeddingNearDups]] (features are
+    * just vectors — the whole LSH/banding machinery applies unchanged)
+    * and keep this exact cosine as the per-candidate verify. The
+    * binary content column never enters the join — only the
+    * FeatureDim-float vectors move. */
+  def mediaNearDups(s: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
+    val f = extractFeatures(s, dir).toDF()
+      .select(col("kind"), col("media_id"), col("features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = f.select(col("kind"), col("media_id").as("media_a"), col("features").as("fa"))
+    val b = f.select(col("kind"), col("media_id").as("media_b"), col("features").as("fb"))
+    a.hint("SHUFFLE_MERGE").join(b, Seq("kind"))
+      .filter(col("media_a") < col("media_b"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosine(col("fa"), col("fb")))
+      .filter(col("sim") >= threshold)
+      .select(col("kind"), col("media_a"), col("media_b"),
+        round(col("sim"), 4).as("feature_cosine"))
+  }
 }

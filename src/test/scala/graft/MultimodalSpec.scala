@@ -80,6 +80,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mediaNearDups: byte-identical payloads pair at cosine 1, cross-kind never pairs") {
+    // doc_ids 0 and 3 are both kind=image (id % 3 == 0) with identical
+    // text -> identical byte-fold features -> cosine exactly 1.
+    // doc 6 (image) has disjoint character content; docs 1/2 are other
+    // kinds and must never pair with images regardless of similarity.
+    val mdir = TestSpark.documentsFixture(Seq(
+      (0L, "aaaa bbbb cccc dddd", "en", "s"),
+      (3L, "aaaa bbbb cccc dddd", "en", "s"),
+      (6L, "zz!? 019 ZZZZ !!!!", "en", "s"),
+      (1L, "aaaa bbbb cccc dddd", "en", "s"),
+      (2L, "aaaa bbbb cccc dddd", "en", "s")))
+    val pairs = Multimodal.mediaNearDups(spark, mdir, threshold = 0.99).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
+        r.getAs[String]("kind"), r.getAs[Double]("feature_cosine")))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == "image" && p._4 == 1.0))
+    // no cross-kind pair can exist by construction
+    assert(pairs.forall(p => (p._1 % 3) == (p._2 % 3)))
+  }
+
   test("mediaProfile groups by kind with exact byte accounting") {
     val p = Multimodal.mediaProfile(spark, dir).collect()
     assert(p.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
