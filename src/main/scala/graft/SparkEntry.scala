@@ -316,6 +316,8 @@ object SparkEntry {
     "q_hll_union"        -> ((s, d) => Relational.hllUnionGate(s, d)),
     // perceptual near-dup media pairs over the decode features
     "q_media_neardup"    -> ((s, d) => Multimodal.mediaNearDups(s, d)),
+    // capstone: dedup -> quality -> shard -> pack materialization manifest
+    "q_training_shards"  -> ((s, d) => TextAnalysis.trainingShards(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1644,6 +1646,36 @@ object SparkEntry {
         |  FROM vec a JOIN vec b ON a.kind = b.kind AND a.doc_id < b.doc_id)
         |SELECT kind, media_a, media_b, ROUND(sim, 4) AS feature_cosine
         |FROM p WHERE sim >= 0.98""".stripMargin,
+    "q_training_shards" ->
+      """WITH surv AS (SELECT doc_id, source, text FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY
+        |     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |     ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1),
+        |t AS (SELECT doc_id, source, text, string_split(text, ' ') AS wl,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS upper_ratio
+        |  FROM surv),
+        |q AS (SELECT doc_id, source, text,
+        |  floor(greatest(0.0, least(1.0,
+        |    least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+        |    + least(CAST(len(list_filter(wl, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |        / len(wl) * 5.0, 1.0) * 0.5
+        |    - punct_ratio * 2.0 - upper_ratio)) * 10000 + 0.5) / 10000 AS quality
+        |  FROM t),
+        |k AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM q WHERE quality >= 0.3),
+        |sh AS (SELECT *, CAST(h % 8 AS INT) AS shard FROM k),
+        |c AS (SELECT shard, doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id) AS cum FROM sh),
+        |p AS (SELECT shard, doc_id, source, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id FROM c)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |MAX(pack_id) + 1 AS n_packs, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM p GROUP BY shard""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),

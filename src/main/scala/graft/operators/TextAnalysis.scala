@@ -97,6 +97,65 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("quality"))
   }
 
+  /** End-to-end training-shard materialization — the capstone chain a
+    * pretraining data job runs: exact-dedup survivors → quality gate →
+    * hash-sharded, hash-shuffled, context-window-packed shards. Each
+    * document lands in shard `md5(doc_id) % nShards`, is ordered
+    * within its shard by the same portable hash (the reproducible
+    * global shuffle), and is assigned the `ctx`-token pack its
+    * cumulative offset falls in — exactly [[sequencePack]]'s layout,
+    * but per shard. Returns the per-document frame; [[trainingShards]]
+    * is the gate summary and [[writeTrainingShards]] the partitioned
+    * parquet writer.
+    *
+    * 100 TB shape: one fingerprint-keyed window (dedup), a map-only
+    * quality filter, then ONE shard-keyed window for the prefix sum —
+    * every stage is keyed or map-side; no global sort, no collect.
+    * nShards is the parallelism knob: each output file group is an
+    * independent, internally-ordered stream a trainer can consume. */
+  def shardedTrainingDocs(s: SparkSession, dir: String, nShards: Int = 8,
+                          ctx: Int = 512, minQuality: Double = 0.3): DataFrame = {
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val wShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("fp", fingerprintMd5(col("text")))
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1)
+      .withColumn("quality", floor(qualityScore(col("text"), Stopwords) * lit(10000)
+        + lit(0.5)) / lit(10000))
+      .filter(col("quality") >= minQuality)
+      .withColumn("h", conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 8), 16, 10).cast("long"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(wShard))
+      .withColumn("pack_id", ((col("cum") - col("n_tokens")) / lit(ctx)).cast("long"))
+      .select(col("shard"), col("doc_id"), col("source"), col("n_tokens"),
+        col("h"), col("pack_id"))
+  }
+
+  /** Gate summary over [[shardedTrainingDocs]]: per-shard document /
+    * token / pack / source counts — the manifest a training job reads. */
+  def trainingShards(s: SparkSession, dir: String, nShards: Int = 8,
+                     ctx: Int = 512, minQuality: Double = 0.3): DataFrame =
+    shardedTrainingDocs(s, dir, nShards, ctx, minQuality)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("pack_id")) + 1).as("n_packs"),
+        countDistinct(col("source")).as("n_sources"))
+
+  /** Materialize the shards as a `shard=`-partitioned parquet layout,
+    * each file internally ordered by the shuffle hash (one file per
+    * shard via in-partition repartition — at 100 TB raise nShards
+    * instead of file count; a shard IS the unit of consumption). */
+  def writeTrainingShards(s: SparkSession, dir: String, outDir: String,
+                          nShards: Int = 8): Unit =
+    shardedTrainingDocs(s, dir, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Stratified per-group cap: at most `perGroup` docs per (lang,
     * source) stratum, lowest doc_id first — the deterministic
     * "balance the mixture" sampler (row_number, one shuffle on the

@@ -261,6 +261,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(2L) === ((3L, -0.9163)))  // ln(0.4)
   }
 
+  test("writeTrainingShards: partitioned layout agrees with the manifest") {
+    val out = TestSpark.tempDir("graft-shards")
+    TextAnalysis.writeTrainingShards(spark, TestSpark.sfDir, out)
+    val written = spark.read.parquet(out)
+    val manifest = TextAnalysis.trainingShards(spark, TestSpark.sfDir).collect()
+      .map(r => r.getAs[Int]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    // shard= partition dirs exist and carry exactly the manifest counts
+    val perShard = written.groupBy(col("shard"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("n_tokens")).as("tok"))
+      .collect().map(r => r.getAs[Int]("shard") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("tok")))).toMap
+    assert(perShard === manifest)
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("shard=")))
+    // within a shard file, rows are stored in shuffle-hash order
+    val shard0 = spark.read.parquet(s"$out/shard=0").collect()
+      .map(r => (r.getAs[Long]("h"), r.getAs[Long]("doc_id")))
+    assert(shard0.sliding(2).forall(p => p.length < 2 ||
+      (p(0)._1 < p(1)._1 || (p(0)._1 == p(1)._1 && p(0)._2 < p(1)._2))))
+  }
+
   test("bpeMerges: hand-checked merge rounds, adjacent occurrences fuse fully") {
     // vocabulary: "abab" (x2 docs of one word... built as two docs),
     // "cd" (x1). Round 1 pairs: (a,b) 2*2=4, (b,a) 2, (c,d) 1 -> merge
