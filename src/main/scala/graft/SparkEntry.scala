@@ -318,6 +318,8 @@ object SparkEntry {
     "q_media_neardup"    -> ((s, d) => Multimodal.mediaNearDups(s, d)),
     // capstone: dedup -> quality -> shard -> pack materialization manifest
     "q_training_shards"  -> ((s, d) => TextAnalysis.trainingShards(s, d)),
+    // record linkage closed under transitivity (blocking + CC)
+    "q_entity_clusters"  -> ((s, d) => Joins.entityClusters(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1676,6 +1678,23 @@ object SparkEntry {
         |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         |MAX(pack_id) + 1 AS n_packs, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
         |FROM p GROUP BY shard""".stripMargin,
+    "q_entity_clusters" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey, p_name, p_brand,
+        |  string_split(p_name, ' ')[1] AS w1 FROM part),
+        |pairs AS (SELECT a.p_partkey AS ka, b.p_partkey AS kb
+        |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS (SELECT ka AS a, kb AS b FROM pairs
+        |          UNION ALL SELECT kb, ka FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cl AS (SELECT a AS p_partkey, LEAST(a, MIN(b)) AS entity_id FROM reach GROUP BY a)
+        |SELECT entity_id, p_partkey,
+        |CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+        |FROM cl""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),

@@ -211,9 +211,19 @@ object Dedup {
     *    grow with log(diameter) instead of diameter. Lineage is cut per
     *    round with localCheckpoint so the plan stays constant-size; the
     *    driver reads back ONE scalar per round (the change count). */
-  def nearDupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+  def nearDupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
+    componentsOf(s, minhashPairs(s, dir), maxIters)
+
+  /** Size-adaptive connected components over an arbitrary undirected
+    * pair list (`doc_a`, `doc_b`) — the shared primitive behind
+    * [[nearDupClusters]] and record-linkage entity resolution
+    * ([[Joins.entityClusters]]). Single-task union-find up to
+    * [[SmallGraphEdges]] edges, pointer-jumping label propagation
+    * above; either way each node maps to its component's minimum id. */
+  private[graft] def componentsOf(s: SparkSession, rawPairs: DataFrame,
+                                  maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = pairs.count()
     // The pairs cache exists only for this operator's own passes —

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -219,6 +220,25 @@ object Joins {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .select(col("p_brand"), col("key_a"), col("key_b"), col("dist"))
+  }
+
+  /** Record-linkage entity resolution: [[fuzzyNamePairs]]'s blocked
+    * match pairs closed under transitivity — if A~B and B~C, all three
+    * are one entity even when A and C differ by more than the edit
+    * bound. The classic ER pipeline (blocking → pairwise verify →
+    * transitive closure), with the closure running on the same
+    * size-adaptive connected-components primitive as near-dup
+    * clustering ([[Dedup.componentsOf]]): single-task union-find for
+    * small match graphs, pointer-jumping label propagation at scale.
+    * Each entity is named by its minimum member key; n_members comes
+    * from one entity-keyed window over the (tiny) clustered subset. */
+  def entityClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyNamePairs(s, dir)
+      .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
+    val cc = graft.operators.Dedup.componentsOf(s, pairs)
+    cc.select(col("cluster").as("entity_id"), col("doc_id").as("p_partkey"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("entity_id"))))
   }
 
   /** TPC-H Q5 shape — local-supplier volume: the 6-table join

@@ -272,4 +272,33 @@ class RelationalExtSpec extends AnyFunSuite {
         r.getAs[Int]("dist"))).toSet
     assert(pairs === Set((1L, 2L, 1)))
   }
+
+  test("entityClusters closes fuzzy matches under transitivity") {
+    // The closure case: "madgyz" (key 4) is edit distance 4 from
+    // "widget" (key 1) — beyond the maxDist=3 verify bound, so no
+    // direct pair — but distance 3 from "widgyt" (key 3), so it joins
+    // key 1's entity ONLY through the chain. All four must land in one
+    // entity named by the min key. Key 9 is distance 6 from everything
+    // and stays unclustered (absent: CC covers edge-touched nodes only).
+    val pdir = TestSpark.tempDir("graft-part-er")
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "red widget", "Brand#1"),
+      (2L, "red widgit", "Brand#1"),
+      (3L, "red widgyt", "Brand#1"),
+      (4L, "red madgyz", "Brand#1"),
+      (9L, "red zzzzzz", "Brand#1"))
+      .toDF("p_partkey", "p_name", "p_brand")
+      .write.mode("overwrite").parquet(s"$pdir/part.parquet")
+    val rows = graft.operators.Joins.entityClusters(spark, pdir).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        ((r.getAs[Long]("entity_id"), r.getAs[Long]("n_members")))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L))
+    assert(rows.values.toSet === Set((1L, 4L)))
+    // transitivity generally: every pair's endpoints share an entity
+    val pairEnt = graft.operators.Joins.fuzzyNamePairs(spark, pdir).collect()
+      .forall(p => rows(p.getAs[Long]("key_a"))._1 == rows(p.getAs[Long]("key_b"))._1)
+    assert(pairEnt)
+  }
 }
