@@ -320,6 +320,8 @@ object SparkEntry {
     "q_training_shards"  -> ((s, d) => TextAnalysis.trainingShards(s, d)),
     // record linkage closed under transitivity (blocking + CC)
     "q_entity_clusters"  -> ((s, d) => Joins.entityClusters(s, d)),
+    // CCNet-style per-domain perplexity-quantile filtering
+    "q_ppl_filter"       -> ((s, d) => TextAnalysis.pplFilter(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1695,6 +1697,22 @@ object SparkEntry {
         |SELECT entity_id, p_partkey,
         |CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
         |FROM cl""".stripMargin,
+    "q_ppl_filter" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |              FROM documents),
+        |freqs AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_total FROM toks),
+        |ll AS (SELECT doc_id,
+        |  floor(-AVG(ln(CAST(c AS DOUBLE) / n_total)) * 10000 + 0.5 + 0.000001)
+        |    / 10000 AS nll
+        |  FROM toks JOIN freqs USING (w) CROSS JOIN tot GROUP BY doc_id),
+        |sc AS (SELECT ll.doc_id, ll.nll, d.source FROM ll
+        |       JOIN documents d ON ll.doc_id = d.doc_id),
+        |th AS (SELECT source, quantile_cont(nll, 0.9) AS nll_cut FROM sc GROUP BY 1)
+        |SELECT sc.source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN sc.nll <= th.nll_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |ROUND(MAX(th.nll_cut), 4) AS nll_cut
+        |FROM sc JOIN th USING (source) GROUP BY 1""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),

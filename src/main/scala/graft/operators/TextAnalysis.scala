@@ -479,6 +479,34 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** CCNet-style per-domain perplexity filtering: score every document
+    * with the corpus unigram-LM negative log-likelihood
+    * ([[unigramLogLoss]]), cut each SOURCE at its own `cut`-quantile —
+    * the domain-relative threshold is the CCNet insight: an absolute
+    * perplexity bar would keep easy domains wholesale and gut hard
+    * ones; a per-domain quantile keeps the best `cut` fraction of
+    * EVERY domain. Reports the per-source manifest (docs, kept,
+    * threshold).
+    *
+    * Determinism: the per-doc nll is already grid-quantized; the
+    * threshold is `percentile` (exact linear interpolation — the same
+    * cross-engine-identical arithmetic as q_percentiles) over those
+    * quantized values, so the keep comparison is exact on both sides.
+    * Scale shape: unigramLogLoss's one token aggregation + hash join,
+    * then one source-keyed exact-percentile aggregation and a
+    * broadcast join-back of the ~#sources-row threshold table. */
+  def pplFilter(s: SparkSession, dir: String, cut: Double = 0.9): DataFrame = {
+    val scored = unigramLogLoss(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    val thresholds = scored.groupBy(col("source"))
+      .agg(expr(s"percentile(nll, $cut)").as("nll_cut"))
+    scored.join(broadcast(thresholds), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nll") <= col("nll_cut"), 1L).otherwise(0L)).as("n_kept"),
+        round(max(col("nll_cut")), 4).as("nll_cut"))
+  }
+
   /** Temperature-scaled domain mixture plan (alpha = 0.5): per
     * language, the sampling weight w_i = share_i^0.5 / sum_j share_j^0.5
     * and the resulting target document count — the standard

@@ -261,6 +261,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(2L) === ((3L, -0.9163)))  // ln(0.4)
   }
 
+  test("pplFilter: per-source quantile cut keeps all but the worst-perplexity tail") {
+    // source s1: nine docs of corpus-common tokens (low nll) plus one
+    // doc of corpus-rare tokens (highest nll). The p90 threshold
+    // interpolates between the 9th and 10th sorted nll, so exactly the
+    // rare-token doc is cut. Source s2 exists to prove the cut is
+    // PER-source (its single doc is kept at its own threshold).
+    val common = (1L to 9L).map(i => (i, "the the the the", "en", "s1"))
+    val pdir = TestSpark.documentsFixture(common ++ Seq(
+      (10L, "qqq www eee rrr", "en", "s1"),
+      (20L, "zzz xxx ccc vvv", "en", "s2")))
+    val rows = TextAnalysis.pplFilter(spark, pdir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept")))).toMap
+    assert(rows("s1") === ((10L, 9L)))
+    assert(rows("s2") === ((1L, 1L)))
+  }
+
   test("writeTrainingShards: partitioned layout agrees with the manifest") {
     val out = TestSpark.tempDir("graft-shards")
     TextAnalysis.writeTrainingShards(spark, TestSpark.sfDir, out)
