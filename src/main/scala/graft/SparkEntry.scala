@@ -322,6 +322,10 @@ object SparkEntry {
     "q_entity_clusters"  -> ((s, d) => Joins.entityClusters(s, d)),
     // CCNet-style per-domain perplexity-quantile filtering
     "q_ppl_filter"       -> ((s, d) => TextAnalysis.pplFilter(s, d)),
+    // population-stability-index drift monitor (even/odd cohorts)
+    "q_psi_drift"        -> ((s, d) => Relational.psiDrift(s, d)),
+    // cross-snapshot semantic dedup: batch probes the cell index
+    "q_semdedup_incr"    -> ((s, d) => Similarity.semDedupIncremental(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -1713,6 +1717,59 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN sc.nll <= th.nll_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |ROUND(MAX(th.nll_cut), 4) AS nll_cut
         |FROM sc JOIN th USING (source) GROUP BY 1""".stripMargin,
+    "q_psi_drift" ->
+      """WITH ev AS (SELECT event_type, value, event_id % 2 = 0 AS is_ref
+        |            FROM events WHERE value IS NOT NULL),
+        |bounds AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |           FROM ev GROUP BY 1),
+        |counts AS (SELECT ev.event_type,
+        |  CAST(CASE WHEN hi = lo THEN 0 ELSE
+        |    least(floor((value - lo) / ((hi - lo) / 10)), 9) END AS INT) AS bin,
+        |  SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+        |  SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cur
+        |  FROM ev JOIN bounds USING (event_type) GROUP BY 1, 2),
+        |spine AS (SELECT event_type, unnest(generate_series(0, 9)) AS bin FROM bounds),
+        |tot AS (SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+        |        CAST(SUM(c_cur) AS BIGINT) AS n_cur FROM counts GROUP BY 1),
+        |j AS (SELECT spine.event_type, spine.bin,
+        |  COALESCE(c_ref, 0) AS c_ref, COALESCE(c_cur, 0) AS c_cur, n_ref, n_cur
+        |  FROM spine LEFT JOIN counts ON spine.event_type = counts.event_type
+        |    AND spine.bin = counts.bin
+        |  JOIN tot ON spine.event_type = tot.event_type)
+        |SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+        |floor(SUM(((c_ref + 1.0) / (n_ref + 10) - (c_cur + 1.0) / (n_cur + 10))
+        |  * ln(((c_ref + 1.0) / (n_ref + 10)) / ((c_cur + 1.0) / (n_cur + 10))))
+        |  * 10000 + 0.5 + 0.000001) / 10000 AS psi
+        |FROM j GROUP BY 1""".stripMargin,
+    "q_semdedup_incr" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |mx AS (SELECT CAST(floor(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS split FROM e),
+        |idx AS (SELECT vec_id, v FROM e, mx WHERE vec_id < split),
+        |bat AS (SELECT vec_id, v FROM e, mx WHERE vec_id >= split),
+        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM idx WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id AS y_id, cell, v AS y_v FROM (
+        |  SELECT idx.vec_id, c0.cell, idx.v, ROW_NUMBER() OVER (PARTITION BY idx.vec_id
+        |    ORDER BY list_distance(idx.v, c0.cv), c0.cell) AS rn
+        |  FROM idx CROSS JOIN c0) WHERE rn = 1),
+        |u AS (SELECT cell, generate_subscripts(y_v, 1) AS i, unnest(y_v) AS x FROM a1),
+        |m AS (SELECT cell, i, AVG(x) AS cx FROM u GROUP BY 1, 2),
+        |c1 AS (SELECT cell,
+        |  list(floor(cx * 1000000 + 0.5 + 0.000001) / 1000000 ORDER BY i) AS cv
+        |  FROM m GROUP BY cell),
+        |ba AS (SELECT vec_id, cell, v FROM (
+        |  SELECT bat.vec_id, c1.cell, bat.v, ROW_NUMBER() OVER (PARTITION BY bat.vec_id
+        |    ORDER BY list_distance(bat.v, c1.cv), c1.cell) AS rn
+        |  FROM bat CROSS JOIN c1) WHERE rn = 1),
+        |pr AS (SELECT ba.vec_id, ba.cell, COUNT(*) AS n_matches
+        |  FROM ba JOIN a1 ON ba.cell = a1.cell
+        |  AND list_dot_product(ba.v, a1.y_v)
+        |    / (sqrt(list_dot_product(ba.v, ba.v))
+        |       * sqrt(list_dot_product(a1.y_v, a1.y_v))) >= 0.4
+        |  GROUP BY 1, 2)
+        |SELECT ba.vec_id, ba.cell, COALESCE(pr.n_matches, 0) AS n_matches,
+        |CASE WHEN pr.n_matches IS NULL THEN 'new' ELSE 'dup' END AS verdict
+        |FROM ba LEFT JOIN pr ON ba.vec_id = pr.vec_id AND ba.cell = pr.cell""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),

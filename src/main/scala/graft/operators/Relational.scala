@@ -199,6 +199,52 @@ object Relational {
         <= col("n_users_exact") * relTol).as("est_err_ok"))
   }
 
+  /** Population stability index — the standard data-drift monitor a
+    * production pipeline runs between a reference cohort and the
+    * current one (feature monitoring / training-serving skew): bin the
+    * value range, compare the two cohorts' bin shares with
+    * PSI = Σ (p−q)·ln(p/q). Cohorts here are the deterministic
+    * even/odd event_id halves (scale-free stand-ins for
+    * yesterday-vs-today snapshots); bins are `bins` fixed-width cells
+    * over the per-type [min,max], with add-1 smoothing over the FULL
+    * bin spine so empty cells contribute their smoothed mass instead
+    * of silently vanishing (the spine is generated, not grouped — a
+    * groupBy would drop absent bins and understate drift).
+    *
+    * Rule of thumb the output feeds: PSI < 0.1 stable, 0.1–0.25
+    * moderate shift, > 0.25 investigate.
+    *
+    * Scale shape: one count aggregation per (type, bin), a broadcast
+    * of the #types-row bounds, and a #types×bins spine join — nothing
+    * scales with row count except the first aggregation. */
+  def psiDrift(s: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        (col("event_id") % 2 === 0).as("is_ref"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val counts = ev.join(broadcast(bounds), "event_type")
+      .withColumn("bin", when(col("hi") === col("lo"), lit(0)).otherwise(
+        least(floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / bins)),
+          lit(bins - 1))).cast("int"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    val spine = bounds.select(col("event_type"),
+      explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    spine.join(counts, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+      .join(broadcast(totals), "event_type")
+      .withColumn("p", (col("c_ref") + lit(1.0)) / (col("n_ref") + lit(bins)))
+      .withColumn("q", (col("c_cur") + lit(1.0)) / (col("n_cur") + lit(bins)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        graft.functions.Rounding.round4eps(
+          sum((col("p") - col("q")) * log(col("p") / col("q")))).as("psi"))
+  }
+
   /** Salted high-cardinality aggregation — the skew pattern for keys
     * whose row counts are pathological at scale: stage 1 aggregates on
     * (key, salt) spreading one hot key over `salts` reducers, stage 2

@@ -515,6 +515,55 @@ object Similarity {
     * of the big-bucket LSH paths). Real deployments size k ~ sqrt(n)
     * (the paper uses 50k clusters for LAION) so |cluster| stays
     * bounded; k is the caller's scale knob. */
+  /** Incremental SemDeDup — the cross-snapshot version of [[semDedup]]
+    * (the embedding-family sibling of [[Dedup.incrementalDedup]]): the
+    * existing corpus (vec_id below the 0.8 split) is the INDEX — its
+    * cell assignment and refined quantized centroids are the persisted
+    * pipeline artifacts — and each new-batch vector probes ONLY the
+    * index members of the one cell it lands in. Verdict `dup` when any
+    * index member meets the cosine threshold, with the match count
+    * reported. The index never self-pairs, so an increment's cost
+    * scales with batch-size × cell-occupancy, not corpus². */
+  def semDedupIncremental(s: SparkSession, dir: String, k: Int = 8,
+                          threshold: Double = 0.4,
+                          splitFrac: Double = 0.8): DataFrame = {
+    val quant = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val e = corpus(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val splitId = math.floor(splitFrac * (maxId + 1)).toLong
+    val index = e.filter(col("vec_id") < splitId)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = index.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val idxCells = index.crossJoin(broadcast(seeds))
+      .withColumn("dist", l2Distance(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"), col("v"))).as("best"))
+      .select(col("vec_id").as("y_id"), col("best.cell").as("cell"),
+        col("best.v").as("y_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = idxCells.groupBy(col("cell"))
+      .agg(vecSum(col("y_v")).as("sums"), count(lit(1)).as("n"))
+      .select(col("cell"), transform(col("sums"), x => quant(x / col("n"))).as("cv"))
+    val bAssigned = e.filter(col("vec_id") >= splitId)
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", l2Distance(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"), col("v"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.v").as("v"))
+    val matches = bAssigned.hint("SHUFFLE_MERGE").join(idxCells, Seq("cell"))
+      .filter(cosine(col("v"), col("y_v")) >= threshold)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(count(lit(1)).as("n_matches"))
+    bAssigned.join(matches, Seq("vec_id", "cell"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        when(col("n_matches").isNotNull, lit("dup"))
+          .otherwise(lit("new")).as("verdict"))
+  }
+
   def semDedup(s: SparkSession, dir: String, k: Int = 8,
                threshold: Double = 0.95): DataFrame = {
     val quant = (c: org.apache.spark.sql.Column) =>

@@ -273,6 +273,24 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L, 1)))
   }
 
+  test("psiDrift: separated cohorts alarm, identical cohorts read zero") {
+    // 'shift': even-id (ref) values cluster in bin 0, odd-id (cur) in
+    // bin 9 -> maximal distribution shift, PSI far above the 0.25
+    // investigate bar. 'same': both cohorts identical -> p == q in
+    // every bin -> PSI exactly 0.
+    val edir = TestSpark.eventsFixture(Seq(
+      (0L, 1L, "shift", 0.0, 1000L), (2L, 1L, "shift", 0.5, 1000L),
+      (4L, 1L, "shift", 1.0, 1000L), (6L, 1L, "shift", 0.8, 1000L),
+      (1L, 1L, "shift", 99.0, 1000L), (3L, 1L, "shift", 100.0, 1000L),
+      (5L, 1L, "shift", 98.0, 1000L), (7L, 1L, "shift", 97.0, 1000L),
+      (10L, 1L, "same", 5.0, 1000L), (12L, 1L, "same", 10.0, 1000L),
+      (11L, 1L, "same", 5.0, 1000L), (13L, 1L, "same", 10.0, 1000L)))
+    val psi = graft.operators.Relational.psiDrift(spark, edir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("psi")).toMap
+    assert(psi("shift") > 0.25, s"expected alarm, got ${psi("shift")}")
+    assert(psi("same") === 0.0)
+  }
+
   test("entityClusters closes fuzzy matches under transitivity") {
     // The closure case: "madgyz" (key 4) is edit distance 4 from
     // "widget" (key 1) — beyond the maxDist=3 verify bound, so no

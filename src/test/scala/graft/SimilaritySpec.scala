@@ -196,6 +196,23 @@ class SimilaritySpec extends AnyFunSuite {
       10L -> "dropped", 11L -> "dropped", 20L -> "kept"))
   }
 
+  test("semDedupIncremental: batch probes only its cell's index members") {
+    // split = 0.8*(9+1) = 8: index {0, 1, 2}, batch {8, 9}. Vec 8 is
+    // near-parallel to axis 0 -> lands in cell 0 and matches BOTH
+    // index members there (0 and its scaled copy 2): dup, n_matches=2.
+    // Vec 9 (axis 2) is orthogonal to everything: new, 0 matches.
+    val idir = TestSpark.embeddingsFixture(Seq(
+      (0L, axis(0), 0),
+      (1L, axis(1), 1),
+      (2L, axis(0, 2.0f), 0),
+      (8L, mix(0, 1, 0.05f), 0),
+      (9L, axis(2), 1)))
+    val rows = Similarity.semDedupIncremental(spark, idir, k = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("n_matches")))).toMap
+    assert(rows === Map(8L -> (("dup", 2L)), 9L -> (("new", 0L))))
+  }
+
   test("gramMatrix: hand-checkable second moments on axis vectors") {
     // vectors: (1,0,...), (1,0.5,0...), dims 2..7 all zero
     val gdir = TestSpark.embeddingsFixture(Seq(
