@@ -1560,7 +1560,8 @@ object SparkEntry {
         |  AND list_dot_product(x.v, y.v)
         |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
         |  AND (y.dq < x.dq OR (y.dq = x.dq AND y.vec_id < x.vec_id)))
-        |SELECT d.vec_id, d.cell, ROUND(d.dq, 4) AS centroid_dist,
+        |SELECT d.vec_id, d.cell,
+        |floor(d.dq * 10000 + 0.5 + 0.000001) / 10000 AS centroid_dist,
         |CASE WHEN drops.vec_id IS NULL THEN 'kept' ELSE 'dropped' END AS verdict
         |FROM d LEFT JOIN drops ON d.vec_id = drops.vec_id""".stripMargin,
     "q_pca_scores" ->
@@ -1582,7 +1583,8 @@ object SparkEntry {
         |  + 0.5 + 0.000001) / 1000000 AS vv FROM mv3),
         |proj AS (SELECT ux.vec_id, SUM(ux.x * v3.vv) AS score
         |  FROM ux JOIN v3 ON ux.i = v3.i GROUP BY 1)
-        |SELECT e.vec_id, e.label, ROUND(proj.score, 4) AS pc1_score
+        |SELECT e.vec_id, e.label,
+        |floor(proj.score * 10000 + 0.5 + 0.000001) / 10000 AS pc1_score
         |FROM e JOIN proj USING (vec_id)""".stripMargin,
     "q_mix_schedule" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
@@ -1599,7 +1601,8 @@ object SparkEntry {
         |      FROM r JOIN m USING (source)),
         |t AS (SELECT * FROM p ORDER BY pos, doc_id LIMIT 100)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pos, doc_id) AS INTEGER) AS global_pos,
-        |doc_id, source, rk AS rank_in_source, ROUND(pos, 4) AS stride_pos FROM t""".stripMargin,
+        |doc_id, source, rk AS rank_in_source,
+        |floor(pos * 10000 + 0.5 + 0.000001) / 10000 AS stride_pos FROM t""".stripMargin,
     "q_dsir_weights" ->
       """WITH toks AS (SELECT doc_id, lang = 'en' AS is_tgt,
         |  unnest(string_split(text, ' ')) AS w FROM documents),
@@ -1652,7 +1655,8 @@ object SparkEntry {
         |  list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
         |  FROM vec a JOIN vec b ON a.kind = b.kind AND a.doc_id < b.doc_id)
-        |SELECT kind, media_a, media_b, ROUND(sim, 4) AS feature_cosine
+        |SELECT kind, media_a, media_b,
+        |floor(sim * 10000 + 0.5 + 0.000001) / 10000 AS feature_cosine
         |FROM p WHERE sim >= 0.98""".stripMargin,
     "q_training_shards" ->
       """WITH surv AS (SELECT doc_id, source, text FROM
@@ -1715,7 +1719,7 @@ object SparkEntry {
         |th AS (SELECT source, quantile_cont(nll, 0.9) AS nll_cut FROM sc GROUP BY 1)
         |SELECT sc.source, COUNT(*) AS n_docs,
         |CAST(SUM(CASE WHEN sc.nll <= th.nll_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |ROUND(MAX(th.nll_cut), 4) AS nll_cut
+        |floor(MAX(th.nll_cut) * 10000 + 0.5 + 0.000001) / 10000 AS nll_cut
         |FROM sc JOIN th USING (source) GROUP BY 1""".stripMargin,
     "q_psi_drift" ->
       """WITH ev AS (SELECT event_type, value, event_id % 2 = 0 AS is_ref

@@ -226,6 +226,6 @@ object Multimodal {
       .withColumn("sim", graft.functions.VectorFunctions.cosine(col("fa"), col("fb")))
       .filter(col("sim") >= threshold)
       .select(col("kind"), col("media_a"), col("media_b"),
-        round(col("sim"), 4).as("feature_cosine"))
+        round4eps(col("sim")).as("feature_cosine"))
   }
 }

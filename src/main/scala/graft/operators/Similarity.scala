@@ -454,7 +454,7 @@ object Similarity {
       v = mv.map(x => q6(x / nrm))
     }
     e.select(col("vec_id"), col("label"),
-      round(dot(lit(v), col("v")), 4).as("pc1_score"))
+      round4eps(dot(lit(v), col("v"))).as("pc1_score"))
   }
 
   def labelCohesion(s: SparkSession, dir: String): DataFrame = {
@@ -595,7 +595,7 @@ object Similarity {
       .select(col("vec_id")).distinct()
     d.join(drops.withColumn("is_drop", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
-        round(col("dq"), 4).as("centroid_dist"),
+        round4eps(col("dq")).as("centroid_dist"),
         when(col("is_drop").isNotNull, lit("dropped"))
           .otherwise(lit("kept")).as("verdict"))
   }

@@ -77,6 +77,20 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(20)
 
+  /** Exact-dedup survivors (lowest doc_id per md5-normalized
+    * fingerprint) with the 1e-4-quantized composite quality score —
+    * the shared head of [[curationGate]] and [[shardedTrainingDocs]];
+    * keeping it in one place keeps the two operators and their oracle
+    * replays from desynchronizing. */
+  private def qualityScoredSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("fp", fingerprintMd5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("quality", round4(qualityScore(col("text"), Stopwords)))
+  }
+
   /** The end-to-end training-data curation gate: exact-dedup survivors
     * that pass the quality floor and whose predicted language agrees
     * with the label — the composite filter an LLM data pipeline runs
@@ -84,13 +98,7 @@ object TextAnalysis {
     * dedup survivor check is the only shuffle, keyed by fingerprint);
     * everything else is map-side scalar work. */
   def curationGate(s: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    Tables.documents(s, dir)
-      .withColumn("fp", fingerprintMd5(col("text")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .withColumn("quality", floor(qualityScore(col("text"), Stopwords) * lit(10000)
-        + lit(0.5)) / lit(10000))
+    qualityScoredSurvivors(s, dir)
       .filter(col("quality") >= minQuality)
       .withColumn("predicted_lang", langId(col("text")))
       .filter(col("predicted_lang") === col("lang"))
@@ -115,14 +123,8 @@ object TextAnalysis {
     * independent, internally-ordered stream a trainer can consume. */
   def shardedTrainingDocs(s: SparkSession, dir: String, nShards: Int = 8,
                           ctx: Int = 512, minQuality: Double = 0.3): DataFrame = {
-    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val wShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    Tables.documents(s, dir)
-      .withColumn("fp", fingerprintMd5(col("text")))
-      .withColumn("rn", row_number().over(wFp))
-      .filter(col("rn") === 1)
-      .withColumn("quality", floor(qualityScore(col("text"), Stopwords) * lit(10000)
-        + lit(0.5)) / lit(10000))
+    qualityScoredSurvivors(s, dir)
       .filter(col("quality") >= minQuality)
       .withColumn("h", conv(substring(md5(col("doc_id").cast("string").cast("binary")),
         1, 8), 16, 10).cast("long"))
@@ -504,7 +506,7 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("nll") <= col("nll_cut"), 1L).otherwise(0L)).as("n_kept"),
-        round(max(col("nll_cut")), 4).as("nll_cut"))
+        round4eps(max(col("nll_cut"))).as("nll_cut"))
   }
 
   /** Temperature-scaled domain mixture plan (alpha = 0.5): per
@@ -573,7 +575,7 @@ object TextAnalysis {
       .select(
         row_number().over(Window.orderBy(col("pos"), col("doc_id"))).as("global_pos"),
         col("doc_id"), col("source"), col("rk").as("rank_in_source"),
-        round(col("pos"), 4).as("stride_pos"))
+        round4eps(col("pos")).as("stride_pos"))
   }
 
   /** DSIR-style importance weights (data selection via importance
@@ -625,10 +627,16 @@ object TextAnalysis {
     * literal string replaces of `|s1|s2|` → `|s1s2|` (delimiter-
     * wrapped, so multi-character symbols can never false-match across
     * boundaries; the second pass catches adjacent occurrences whose
-    * shared delimiter the first pass consumed — after it, none remain,
-    * and the result equals greedy left-to-right BPE application).
+    * shared delimiter the first pass consumed — after it none remain).
+    * For distinct-symbol pairs this equals greedy left-to-right BPE
+    * application exactly. For a SELF-adjacent pair (s1 == s2) on an
+    * odd run of length >= 5 the leftover singleton lands mid-run
+    * instead of at the end ("aaaaa" → [aa, a, aa], greedy BPE gives
+    * [aa, aa, a]) — the merged-pair COUNT is identical, only the
+    * leftover's position differs, which can shift later rounds'
+    * neighbor counts on such runs. The rewrite is deterministic and
     * Java's and the oracle engine's replace() are both left-to-right
-    * non-overlapping, so the rewrite is identical by construction.
+    * non-overlapping, so both sides compute the identical table.
     * The winning pair is a 1-row bounded collect; everything heavy is
     * a vocabulary-keyed explode + aggregate per round. Ranking ties
     * break on (freq DESC, sym_left, sym_right) — lowercase-ASCII
@@ -650,7 +658,10 @@ object TextAnalysis {
             element_at(col("l"), i + lit(1)).as("s2")))).as("p"))
         .groupBy(col("p.s1").as("sym_left"), col("p.s2").as("sym_right"))
         .agg(sum(col("c")).as("freq"))
-    val roundTops = (1 to rounds).map { r =>
+    val roundTops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val top = pairCounts(wc)
         .orderBy(col("freq").desc, col("sym_left"), col("sym_right"))
         .limit(topK)
@@ -659,18 +670,33 @@ object TextAnalysis {
             col("sym_left"), col("sym_right"))).as("rank"),
           col("sym_left"), col("sym_right"), col("freq"))
         .persist(lvl)
-      val winner = top.filter(col("rank") === 1).head()
-      if (r < rounds) {
-        val pat = lit("|" + winner.getAs[String]("sym_left") + "|" +
-          winner.getAs[String]("sym_right") + "|")
-        val rep = lit("|" + winner.getAs[String]("sym_left") +
-          winner.getAs[String]("sym_right") + "|")
-        wc = wc.select(replace(replace(col("sym"), pat, rep), pat, rep).as("sym"), col("c"))
-          .persist(lvl)
+      // A corpus can run out of pairs (every word reduced to one
+      // symbol): stop cleanly instead of head()-crashing on nothing.
+      top.filter(col("rank") === 1).collect().headOption match {
+        case None => top.unpersist(); exhausted = true
+        case Some(winner) =>
+          roundTops += top
+          if (r < rounds) {
+            val pat = lit("|" + winner.getAs[String]("sym_left") + "|" +
+              winner.getAs[String]("sym_right") + "|")
+            val rep = lit("|" + winner.getAs[String]("sym_left") +
+              winner.getAs[String]("sym_right") + "|")
+            val next = wc
+              .select(replace(replace(col("sym"), pat, rep), pat, rep).as("sym"), col("c"))
+              .persist(lvl)
+            next.count() // materialize before dropping the parent cache
+            wc.unpersist()
+            wc = next
+          }
       }
-      top
+      r += 1
     }
-    roundTops.reduce(_ unionByName _)
+    wc.unpersist() // tops are materialized; the word table is done
+    if (roundTops.isEmpty) {
+      import s.implicits._
+      Seq.empty[(Int, Int, String, String, Long)]
+        .toDF("bpe_round", "rank", "sym_left", "sym_right", "freq")
+    } else roundTops.reduce(_ unionByName _)
   }
 
   /** Heavy hitters over the token stream via the Misra–Gries sketch +

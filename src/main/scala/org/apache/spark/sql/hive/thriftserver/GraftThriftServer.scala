@@ -77,20 +77,33 @@ object GraftThriftServer {
       val boundPort = server.getServices.asScala.collectFirst {
         case t: org.apache.hive.service.cli.thrift.ThriftCLIService => t.getPortNumber
       }.getOrElse(0)
+      var served = false
       if (boundPort > 0) {
         val settle = System.nanoTime() + 15L * 1000 * 1000 * 1000
-        var served = false
         while (!served && System.nanoTime() < settle) {
           try { new java.net.Socket("localhost", boundPort).close(); served = true }
           catch { case _: Exception => Thread.sleep(250) }
         }
       }
-      try handle.stop() catch { case _: Throwable => () }
-      throw new IllegalStateException(
-        s"thrift endpoint did not come up on requested port $port. The Hive " +
-        "execution-client conf is cached per JVM, so an endpoint restarted in " +
-        "the same JVM serves the FIRST configured port — reuse that port (or " +
-        "a fresh JVM) instead.")
+      if (served && boundPort == port) {
+        // Slow start, right port: the server just needed more than the
+        // first probe window — it is up and correct; fall through to
+        // the normal return below.
+      } else {
+        // Stop ONLY a fully-started server (served on its bound port).
+        // If it never served — boundPort unknown or 30 s of silence —
+        // stopping now is the System.exit race itself; leak the
+        // half-started service and fail loudly instead (the error names
+        // the per-JVM port constraint, which is the only recovery).
+        if (served) { try handle.stop() catch { case _: Throwable => () } }
+        throw new IllegalStateException(
+          s"thrift endpoint did not come up on requested port $port" +
+          (if (boundPort > 0 && boundPort != port) s" (it bound JVM-cached port $boundPort)"
+           else "") +
+          ". The Hive execution-client conf is cached per JVM, so an endpoint " +
+          "restarted in the same JVM serves the FIRST configured port — reuse " +
+          "that port (or a fresh JVM) instead.")
+      }
     }
     handle
   }
