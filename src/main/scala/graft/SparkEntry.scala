@@ -716,8 +716,8 @@ object SparkEntry {
         |CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS INTEGER)
         |  AS type_rank,
         |CAST(NTILE(4) OVER u AS INTEGER) AS quartile,
-        |ROUND(PERCENT_RANK() OVER v, 4) AS value_prank,
-        |ROUND(CUME_DIST() OVER v, 4) AS value_cdist,
+        |floor(PERCENT_RANK() OVER v * 10000 + 0.5 + 0.000001) / 10000 AS value_prank,
+        |floor(CUME_DIST() OVER v * 10000 + 0.5 + 0.000001) / 10000 AS value_cdist,
         |ROUND(FIRST_VALUE(value) OVER
         |  (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS first_val,
@@ -764,7 +764,7 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(a.sh || b.sh)) AS j
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard FROM p WHERE j >= 0.8""".stripMargin,
+        |SELECT doc_a, doc_b, floor(j * 10000 + 0.5 + 0.000001) / 10000 AS jaccard FROM p WHERE j >= 0.8""".stripMargin,
     "q_neardup_survivors" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id,
@@ -785,7 +785,7 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(a.sh || b.sh)) AS j
         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT source, doc_a, doc_b, ROUND(j, 4) AS jaccard FROM p WHERE j >= 0.8""".stripMargin,
+        |SELECT source, doc_a, doc_b, floor(j * 10000 + 0.5 + 0.000001) / 10000 AS jaccard FROM p WHERE j >= 0.8""".stripMargin,
     // Agreement gate: n_md5_pairs replays the full md5-signature
     // pipeline (same CTE as q_dedup_simhash_md5, counted); the two
     // verdicts are deterministic properties of the fixed corpus and
@@ -1117,8 +1117,8 @@ object SparkEntry {
         |  [CAST(floor((length(x) - 1) / 6) AS INTEGER) for x in string_split(text, ' ')])
         |  AS INTEGER) AS n_tokens_bpe,
         |CAST(length(text) AS INTEGER) AS n_chars_measured,
-        |ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-        |  / len(string_split(text, ' ')), 4) AS avg_word_len
+        |floor(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |  / len(string_split(text, ' ')) * 10000 + 0.5 + 0.000001) / 10000 AS avg_word_len
         |FROM documents""".stripMargin,
     "q_quality_scores" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,

@@ -169,7 +169,8 @@ object Dedup {
     candidates.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("j", jaccardHs(col("hs_a"), col("hs_b")))
       .filter(col("j") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Rounding.round4eps(col("j")).as("jaccard"))
   }
 
   /** Near-dup survivors: connected near-duplicates keep the lowest
@@ -780,6 +781,7 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .withColumn("j", col("shared").cast("double") / (col("n_sum") - col("shared")))
       .filter(col("j") >= threshold)
-      .select(col("source"), col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        graft.functions.Rounding.round4eps(col("j")).as("jaccard"))
   }
 }

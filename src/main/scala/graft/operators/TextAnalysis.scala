@@ -25,7 +25,7 @@ object TextAnalysis {
       tokenCount(col("text")).as("n_tokens"),
       tokenCountBpe(col("text")).as("n_tokens_bpe"),
       length(col("text")).as("n_chars_measured"),
-      round(avgWordLength(col("text")), 4).as("avg_word_len"))
+      round4eps(avgWordLength(col("text"))).as("avg_word_len"))
 
   /** Explicit HALF_UP rounding (floor(x*1e4+0.5)/1e4): identical in any
     * engine, unlike ROUND which is HALF_UP in Spark but half-even in

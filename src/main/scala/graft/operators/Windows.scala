@@ -85,8 +85,8 @@ object Windows {
       dense_rank().over(Window.partitionBy(col("user_id"))
         .orderBy(col("event_type"))).as("type_rank"),
       ntile(4).over(byUser).as("quartile"),
-      round(percent_rank().over(byValue), 4).as("value_prank"),
-      round(cume_dist().over(byValue), 4).as("value_cdist"),
+      graft.functions.Rounding.round4eps(percent_rank().over(byValue)).as("value_prank"),
+      graft.functions.Rounding.round4eps(cume_dist().over(byValue)).as("value_cdist"),
       round(first_value(col("value")).over(cumFrame), 4).as("first_val"),
       round(nth_value(col("value"), 2).over(cumFrame), 4).as("second_val"))
   }
