@@ -326,6 +326,10 @@ object SparkEntry {
     "q_psi_drift"        -> ((s, d) => Relational.psiDrift(s, d)),
     // cross-snapshot semantic dedup: batch probes the cell index
     "q_semdedup_incr"    -> ((s, d) => Similarity.semDedupIncremental(s, d)),
+    // where does the duplication live: source-pair dup matrix
+    "q_source_overlap"   -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    // top-2 PCA by gram deflation (whole loop oracle-replayed)
+    "q_pca_top2"         -> ((s, d) => Similarity.pcaTop2(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -765,6 +769,25 @@ object SparkEntry {
         |    / len(list_distinct(a.sh || b.sh)) AS j
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, floor(j * 10000 + 0.5 + 0.000001) / 10000 AS jaccard FROM p WHERE j >= 0.8""".stripMargin,
+    "q_source_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |pj AS (SELECT doc_a, doc_b,
+        |  floor(j * 10000 + 0.5 + 0.000001) / 10000 AS jaccard FROM p WHERE j >= 0.8),
+        |sp AS (SELECT pj.jaccard,
+        |  least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b
+        |  FROM pj JOIN documents da ON pj.doc_a = da.doc_id
+        |          JOIN documents db ON pj.doc_b = db.doc_id)
+        |SELECT source_a, source_b, COUNT(*) AS n_dup_pairs,
+        |floor(AVG(jaccard) * 10000 + 0.5 + 0.000001) / 10000 AS avg_jaccard
+        |FROM sp GROUP BY 1, 2""".stripMargin,
     "q_neardup_survivors" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id,
@@ -1586,6 +1609,47 @@ object SparkEntry {
         |SELECT e.vec_id, e.label,
         |floor(proj.score * 10000 + 0.5 + 0.000001) / 10000 AS pc1_score
         |FROM e JOIN proj USING (vec_id)""".stripMargin,
+    "q_pca_top2" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  ([CAST(x AS DOUBLE) for x in embedding])[1:8] AS v FROM embeddings),
+        |ux AS MATERIALIZED (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+        |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+        |  floor(AVG(a.x * b.x) * 1000000 + 0.5 + 0.000001) / 1000000 AS gv
+        |  FROM ux a JOIN ux b USING (vec_id) GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS vv FROM g),
+        |mv1 AS (SELECT g.i, SUM(g.gv * v0.vv) AS mv FROM g JOIN v0 ON g.j = v0.i GROUP BY 1),
+        |v1 AS (SELECT i, floor(mv / (SELECT sqrt(SUM(mv * mv)) FROM mv1) * 1000000
+        |  + 0.5 + 0.000001) / 1000000 AS vv FROM mv1),
+        |mv2 AS (SELECT g.i, SUM(g.gv * v1.vv) AS mv FROM g JOIN v1 ON g.j = v1.i GROUP BY 1),
+        |v2 AS (SELECT i, floor(mv / (SELECT sqrt(SUM(mv * mv)) FROM mv2) * 1000000
+        |  + 0.5 + 0.000001) / 1000000 AS vv FROM mv2),
+        |mv3 AS (SELECT g.i, SUM(g.gv * v2.vv) AS mv FROM g JOIN v2 ON g.j = v2.i GROUP BY 1),
+        |v3 AS MATERIALIZED (SELECT i, floor(mv / (SELECT sqrt(SUM(mv * mv)) FROM mv3) * 1000000
+        |  + 0.5 + 0.000001) / 1000000 AS vv FROM mv3),
+        |gv AS (SELECT g.i, SUM(g.gv * v3.vv) AS gv FROM g JOIN v3 ON g.j = v3.i GROUP BY 1),
+        |lam AS (SELECT floor(SUM(v3.vv * gv.gv) * 1000000 + 0.5 + 0.000001) / 1000000 AS l
+        |        FROM v3 JOIN gv ON v3.i = gv.i),
+        |g2 AS MATERIALIZED (SELECT g.i, g.j,
+        |  floor((g.gv - lam.l * a.vv * b.vv) * 1000000 + 0.5 + 0.000001) / 1000000 AS gv
+        |  FROM g JOIN v3 a ON g.i = a.i JOIN v3 b ON g.j = b.i, lam),
+        |w0 AS (SELECT DISTINCT i, CASE WHEN i = 2 THEN 1.0 ELSE 0.0 END AS vv FROM g2),
+        |mw1 AS (SELECT g2.i, SUM(g2.gv * w0.vv) AS mv FROM g2 JOIN w0 ON g2.j = w0.i GROUP BY 1),
+        |w1 AS (SELECT i, floor(mv / (SELECT sqrt(SUM(mv * mv)) FROM mw1) * 1000000
+        |  + 0.5 + 0.000001) / 1000000 AS vv FROM mw1),
+        |mw2 AS (SELECT g2.i, SUM(g2.gv * w1.vv) AS mv FROM g2 JOIN w1 ON g2.j = w1.i GROUP BY 1),
+        |w2 AS (SELECT i, floor(mv / (SELECT sqrt(SUM(mv * mv)) FROM mw2) * 1000000
+        |  + 0.5 + 0.000001) / 1000000 AS vv FROM mw2),
+        |mw3 AS (SELECT g2.i, SUM(g2.gv * w2.vv) AS mv FROM g2 JOIN w2 ON g2.j = w2.i GROUP BY 1),
+        |w3 AS MATERIALIZED (SELECT i, floor(mv / (SELECT sqrt(SUM(mv * mv)) FROM mw3) * 1000000
+        |  + 0.5 + 0.000001) / 1000000 AS vv FROM mw3),
+        |proj AS (SELECT ux.vec_id, SUM(ux.x * v3.vv) AS score
+        |  FROM ux JOIN v3 ON ux.i = v3.i GROUP BY 1),
+        |proj2 AS (SELECT ux.vec_id, SUM(ux.x * w3.vv) AS score
+        |  FROM ux JOIN w3 ON ux.i = w3.i GROUP BY 1)
+        |SELECT e.vec_id, e.label,
+        |floor(proj.score * 10000 + 0.5 + 0.000001) / 10000 AS pc1_score,
+        |floor(proj2.score * 10000 + 0.5 + 0.000001) / 10000 AS pc2_score
+        |FROM e JOIN proj USING (vec_id) JOIN proj2 USING (vec_id)""".stripMargin,
     "q_mix_schedule" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
         |w AS (SELECT source, sqrt(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()) AS w_raw

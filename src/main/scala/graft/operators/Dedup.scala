@@ -759,6 +759,27 @@ object Dedup {
           / 10000).as("contaminated_frac"))
   }
 
+  /** Cross-source duplication matrix: near-dup pairs (exact-verified
+    * MinHash-LSH output) aggregated by unordered source pair — the
+    * corpus diagnostic that tells a data team WHERE its duplication
+    * lives: a hot (src_a, src_b) cell off the diagonal means two feeds
+    * overlap (same crawl, mirrored site, re-scraped dump) and one of
+    * them can be dropped wholesale; a hot diagonal cell means a feed
+    * re-serves its own content. Cost on top of [[minhashPairs]] is two
+    * id-keyed joins of the (small) pair set against the doc→source map
+    * and one #sources²-bounded aggregate. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    minhashPairs(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        graft.functions.Rounding.round4eps(avg(col("jaccard"))).as("avg_jaccard"))
+  }
+
   def ngramJaccardWithinSource(s: SparkSession, dir: String,
       threshold: Double = JaccardThreshold,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {

@@ -430,31 +430,69 @@ object Similarity {
     * so cross-engine summation-order ulps can't drift the iteration;
     * v0 = e1 fixes the sign. The DuckDB oracle replays the identical
     * unrolled iterations in SQL. */
-  def pcaScores(s: SparkSession, dir: String, d: Int = 8, iters: Int = 3): DataFrame = {
-    val q6 = (x: Double) => math.floor(x * 1e6 + 0.5 + 1e-6) / 1e6
+  private val q6 = (x: Double) => math.floor(x * 1e6 + 0.5 + 1e-6) / 1e6
+
+  /** d-dim slice of the corpus + its averaged, 1e-6-quantized second
+    * moments as a driver-side d x d array (constant-size; the ONLY
+    * collected object in the PCA family). */
+  private def gramAndSlice(s: SparkSession, dir: String, d: Int): (DataFrame, Array[Array[Double]]) = {
     val prods = array((for (i <- 0 until d; j <- 0 until d) yield
       element_at(col("v"), i + 1) * element_at(col("v"), j + 1)): _*)
     val e = corpus(s, dir).select(col("vec_id"), col("label"),
         slice(transform(col("embedding"), x => x.cast("double")), 1, d).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one constant-size row: the averaged, quantized second moments
     val flat = e.select(prods.as("p"))
       .agg(vecSum(col("p")).as("sums"), count(lit(1)).as("n"))
       .select(transform(col("sums"), x =>
         floor(x / col("n") * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)).as("g"))
       .head().getSeq[Double](0)
-    val g = Array.tabulate(d, d)((i, j) => flat(i * d + j))
-    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    (e, Array.tabulate(d, d)((i, j) => flat(i * d + j)))
+  }
+
+  /** Sequential-fold matvec — the same j=0..d-1 order the oracle's
+    * tiny single-threaded SUM produces. */
+  private def matvec(g: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    Array.tabulate(v.length)(i =>
+      (0 until v.length).foldLeft(0.0)((acc, j) => acc + g(i)(j) * v(j)))
+
+  /** `iters` power-iteration steps from `v0`, every step's result
+    * 1e-6-quantized after normalization (cross-engine drift control). */
+  private def powerIterate(g: Array[Array[Double]], v0: Array[Double],
+                           iters: Int): Array[Double] = {
+    var v = v0
     for (_ <- 1 to iters) {
-      // sequential-fold matvec — the same j=0..d-1 order the oracle's
-      // tiny single-threaded SUM produces, then quantized normalization
-      val mv = Array.tabulate(d)(i =>
-        (0 until d).foldLeft(0.0)((acc, j) => acc + g(i)(j) * v(j)))
+      val mv = matvec(g, v)
       val nrm = math.sqrt(mv.foldLeft(0.0)((acc, x) => acc + x * x))
       v = mv.map(x => q6(x / nrm))
     }
+    v
+  }
+
+  def pcaScores(s: SparkSession, dir: String, d: Int = 8, iters: Int = 3): DataFrame = {
+    val (e, g) = gramAndSlice(s, dir, d)
+    val v = powerIterate(g, Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0), iters)
     e.select(col("vec_id"), col("label"),
       round4eps(dot(lit(v), col("v"))).as("pc1_score"))
+  }
+
+  /** Top-2 PCA projection by deflation: after extracting v1
+    * ([[pcaScores]]'s dominant direction), the gram matrix is deflated
+    * (G2 = G − λ·v1·v1ᵀ with λ = v1ᵀGv1 — removing the first
+    * component's variance) and the power iteration reruns from e2 to
+    * find the second direction. λ and every G2 entry are
+    * 1e-6-quantized like all other PCA intermediates, so the whole
+    * two-component loop is oracle-replayable; the projection is still
+    * one map-only pass with both directions riding in as literals. */
+  def pcaTop2(s: SparkSession, dir: String, d: Int = 8, iters: Int = 3): DataFrame = {
+    val (e, g) = gramAndSlice(s, dir, d)
+    val v1 = powerIterate(g, Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0), iters)
+    val gv = matvec(g, v1)
+    val lam = q6((0 until d).foldLeft(0.0)((acc, i) => acc + v1(i) * gv(i)))
+    val g2 = Array.tabulate(d, d)((i, j) => q6(g(i)(j) - lam * v1(i) * v1(j)))
+    val v2 = powerIterate(g2, Array.tabulate(d)(i => if (i == 1) 1.0 else 0.0), iters)
+    e.select(col("vec_id"), col("label"),
+      round4eps(dot(lit(v1), col("v"))).as("pc1_score"),
+      round4eps(dot(lit(v2), col("v"))).as("pc2_score"))
   }
 
   def labelCohesion(s: SparkSession, dir: String): DataFrame = {

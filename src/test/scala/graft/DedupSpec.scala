@@ -52,6 +52,25 @@ class DedupSpec extends AnyFunSuite {
     assert(j13 === math.floor(37.0 / 39.0 * 10000 + 0.5) / 10000)
   }
 
+  test("sourceOverlap localizes duplication to the right source-pair cell") {
+    // minhash dup pairs in the fixture: (1,5) byte-identical and
+    // (1,3), (3,5) near-dups — all inside 'web' (doc 2 is an
+    // exact-normalized dup only: its UPPERCASE shingles don't collide,
+    // the declared minhash semantics). Doc 4 ('books') never pairs.
+    // Expect exactly one (web, web) cell with 3 pairs.
+    val cells = Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_dup_pairs")).toMap
+    assert(cells === Map(("web", "web") -> 3L))
+    // a cross-source duplicate shows up off-diagonal
+    val xdir = TestSpark.documentsFixture(Seq(
+      (1L, base, "en", "crawl_a"), (2L, base, "en", "crawl_b")))
+    val xcells = Dedup.sourceOverlap(spark, xdir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_dup_pairs"), r.getAs[Double]("avg_jaccard")))).toMap
+    assert(xcells === Map(("crawl_a", "crawl_b") -> ((1L, 1.0))))
+  }
+
   test("nearDupSurvivors keeps the lowest doc_id of each dup cluster") {
     val ids = TestSpark.collectSet[Long](Dedup.nearDupSurvivors(spark, dir), "doc_id")
     assert(ids === Set(1L, 2L, 4L)) // 3 and 5 fold into 1; 2 is raw-distinct

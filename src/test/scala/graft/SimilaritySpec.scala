@@ -196,6 +196,23 @@ class SimilaritySpec extends AnyFunSuite {
       10L -> "dropped", 11L -> "dropped", 20L -> "kept"))
   }
 
+  test("pcaTop2: deflation recovers the second variance direction") {
+    // Axis-0 carries variance 2, axis-1 variance 0.5, zero means and
+    // zero cross-moments: the gram is diagonal, so v1 = e1 exactly and
+    // after deflation v2 = e2 exactly — projections are the raw
+    // coordinates.
+    val pdir = TestSpark.embeddingsFixture(Seq(
+      (1L, axis(0, 2.0f), 0), (2L, axis(0, -2.0f), 0),
+      (3L, axis(1), 1), (4L, axis(1, -1.0f), 1)))
+    val rows = Similarity.pcaTop2(spark, pdir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("pc1_score"), r.getAs[Double]("pc2_score")))).toMap
+    assert(rows(1L) === ((2.0, 0.0)))
+    assert(rows(2L) === ((-2.0, 0.0)))
+    assert(rows(3L) === ((0.0, 1.0)))
+    assert(rows(4L) === ((0.0, -1.0)))
+  }
+
   test("semDedupIncremental: batch probes only its cell's index members") {
     // split = 0.8*(9+1) = 8: index {0, 1, 2}, batch {8, 9}. Vec 8 is
     // near-parallel to axis 0 -> lands in cell 0 and matches BOTH
