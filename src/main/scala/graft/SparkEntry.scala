@@ -330,6 +330,9 @@ object SparkEntry {
     "q_source_overlap"   -> ((s, d) => Dedup.sourceOverlap(s, d)),
     // top-2 PCA by gram deflation (whole loop oracle-replayed)
     "q_pca_top2"         -> ((s, d) => Similarity.pcaTop2(s, d)),
+    // behavioral models: Markov transitions + top user journeys
+    "q_transition_matrix"-> ((s, d) => graft.operators.Behavior.transitionMatrix(s, d)),
+    "q_top_paths"        -> ((s, d) => graft.operators.Behavior.topPaths(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -788,6 +791,26 @@ object SparkEntry {
         |SELECT source_a, source_b, COUNT(*) AS n_dup_pairs,
         |floor(AVG(jaccard) * 10000 + 0.5 + 0.000001) / 10000 AS avg_jaccard
         |FROM sp GROUP BY 1, 2""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH t AS (SELECT event_type AS cur_type,
+        |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS next_type
+        |  FROM events),
+        |c AS (SELECT cur_type, next_type, COUNT(*) AS n_transitions FROM t
+        |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur_type, next_type, n_transitions,
+        |floor(CAST(n_transitions AS DOUBLE)
+        |  / SUM(n_transitions) OVER (PARTITION BY cur_type)
+        |  * 10000 + 0.5 + 0.000001) / 10000 AS p_next
+        |FROM c""".stripMargin,
+    "q_top_paths" ->
+      """WITH p AS (SELECT user_id,
+        |  array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS INTEGER) AS rank,
+        |path, n_users
+        |FROM c ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
     "q_neardup_survivors" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id,

@@ -67,4 +67,45 @@ object Behavior {
       .groupBy(col("cohort_date"), datediff(col("d"), col("cohort_date")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over each user's event
+    * stream: P(next event type | current type), estimated from every
+    * adjacent pair in (ts, event_id) order. The behavioral model
+    * behind next-action prediction and funnel leak analysis ("after
+    * `view`, 40% `click` but 20% bounce to another `view`").
+    * One lead() window per user + one (cur, next)-keyed count; the
+    * row-probability normalizer is a window over the #types² result.
+    * Probabilities are grid-quantized for cross-engine hash parity. */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byCur = org.apache.spark.sql.expressions.Window.partitionBy(col("cur_type"))
+    Tables.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_next", round4eps(col("n_transitions") /
+        sum(col("n_transitions")).over(byCur)))
+  }
+
+  /** Top user journeys: each user's first `k` events (in (ts,
+    * event_id) order) joined into a `>`-separated path, ranked by how
+    * many users share it — the "what do people actually do" report.
+    * The per-user collect is one grouped sort_array over structs (no
+    * window pre-pass), and the top-N is a TakeOrdered with the path
+    * string as tie-break so the cutoff set is deterministic. */
+  def topPaths(s: SparkSession, dir: String, k: Int = 5, topN: Int = 10): DataFrame = {
+    val paths = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        slice(transform(col("evs"), e => e.getField("event_type")), 1, k)).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+    paths.orderBy(col("n_users").desc, col("path")).limit(topN)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_users").desc, col("path"))).as("rank"),
+        col("path"), col("n_users"))
+  }
 }

@@ -34,6 +34,30 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows(3) === (("purchase", 1L, 0.5)))
   }
 
+  test("transitionMatrix: row-normalized adjacent-pair probabilities") {
+    // transitions: u1 view>click>purchase>view(next day), u2
+    // view>purchase, u3 none. From 'view': click and purchase once
+    // each -> p 0.5/0.5; the other rows are single certain hops.
+    val m = Behavior.transitionMatrix(spark, dir).collect()
+      .map(r => (r.getAs[String]("cur_type"), r.getAs[String]("next_type")) ->
+        ((r.getAs[Long]("n_transitions"), r.getAs[Double]("p_next")))).toMap
+    assert(m(("view", "click")) === ((1L, 0.5)))
+    assert(m(("view", "purchase")) === ((1L, 0.5)))
+    assert(m(("click", "purchase")) === ((1L, 1.0)))
+    assert(m(("purchase", "view")) === ((1L, 1.0)))
+    assert(m.size === 4)
+  }
+
+  test("topPaths: ordered first-k journeys ranked with path tie-break") {
+    val rows = Behavior.topPaths(spark, dir).collect()
+      .map(r => r.getAs[Int]("rank") ->
+        ((r.getAs[String]("path"), r.getAs[Long]("n_users")))).toMap
+    assert(rows(1) === (("click", 1L)))
+    assert(rows(2) === (("view>click>purchase>view", 1L)))
+    assert(rows(3) === (("view>purchase", 1L)))
+    assert(rows.size === 3)
+  }
+
   test("cohortRetention: day-offset activity per first-seen cohort") {
     val collected = Behavior.cohortRetention(spark, dir).collect()
     val day0 = java.time.Instant.ofEpochSecond(base)
