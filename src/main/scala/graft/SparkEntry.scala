@@ -333,6 +333,9 @@ object SparkEntry {
     // behavioral models: Markov transitions + top user journeys
     "q_transition_matrix"-> ((s, d) => graft.operators.Behavior.transitionMatrix(s, d)),
     "q_top_paths"        -> ((s, d) => graft.operators.Behavior.topPaths(s, d)),
+    // TPC-H Q10 shape + lang-ID evaluation report
+    "q_returned_revenue" -> ((s, d) => Joins.returnedRevenue(s, d)),
+    "q_lang_confusion"   -> (TextAnalysis.langConfusion _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -811,6 +814,36 @@ object SparkEntry {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS INTEGER) AS rank,
         |path, n_users
         |FROM c ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
+    "q_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue,
+        |COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+        |  len(list_filter(w, x -> x IN ('le','la','de','et','est','un','une','que'))) AS s_fr,
+        |  len(list_filter(w, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |  FROM w),
+        |pr AS (SELECT lang AS labeled_lang,
+        |CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |     WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+        |     WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+        |     WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+        |     WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+        |     ELSE 'zh' END AS predicted_lang FROM s)
+        |SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs,
+        |labeled_lang = predicted_lang AS correct
+        |FROM pr GROUP BY 1, 2""".stripMargin,
     "q_neardup_survivors" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id,

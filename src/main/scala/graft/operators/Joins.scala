@@ -271,6 +271,23 @@ object Joins {
     * after it, top 10 by revenue. All three predicates push into their
     * scans; the sort+limit fuses to TakeOrderedAndProject (no global
     * sort of the aggregate). */
+  /** TPC-H Q10 shape — returned-item revenue: which customers drive
+    * the most lost revenue through returns. Fact⋈fact (lineitem⋈orders)
+    * co-partitions on orderkey with the returnflag filter pushed to the
+    * lineitem scan; the customer dimension broadcasts; top-N is a
+    * TakeOrdered with custkey tie-break. */
+  def returnedRevenue(s: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("lost_revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(topN)
+  }
+
   def shippingPriority(s: SparkSession, dir: String, cutoff: String = "1997-06-01"): DataFrame = {
     val cus = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, dir)

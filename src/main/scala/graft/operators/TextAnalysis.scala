@@ -60,6 +60,18 @@ object TextAnalysis {
       col("doc_id"), col("lang").as("labeled_lang"),
       langId(col("text")).as("predicted_lang"))
 
+  /** Language-ID confusion matrix: labeled vs predicted counts with a
+    * correctness flag per cell — the evaluation report for the
+    * heuristic classifier (precision/recall per language fall straight
+    * out of the cells). One map-side prediction + one #langs²-bounded
+    * count. */
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang").as("labeled_lang"),
+        langId(col("text")).as("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("correct", col("labeled_lang") === col("predicted_lang"))
+
   /** Content fingerprints: portable md5 + fast 64-bit. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
