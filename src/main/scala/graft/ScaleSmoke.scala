@@ -90,6 +90,10 @@ object ScaleSmoke {
     // DISTINCT word table, which replication barely grows — time
     // should stay near-flat, the vocabulary-not-stream claim.
     run("semDedup")(operators.Similarity.semDedup(spark, dir, threshold = 0.4))
+    // the incremental path's claim: cost scales with the 20% batch x
+    // cell occupancy (the probe join), never index x index
+    run("semDedupIncremental")(
+      operators.Similarity.semDedupIncremental(spark, dir, threshold = 0.4))
     run("pcaScores")(operators.Similarity.pcaScores(spark, dir))
     run("bpeMerges")(operators.TextAnalysis.bpeMerges(spark, dir))
     run("dsirWeights")(operators.TextAnalysis.dsirWeights(spark, dir))
