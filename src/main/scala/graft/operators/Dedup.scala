@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.Rounding.round4eps
 
 /** Deduplication operators over the `documents` table — the core
   * LLM-training-data pipeline surface (exact, MinHash-LSH, SimHash,
@@ -170,7 +171,7 @@ object Dedup {
       .withColumn("j", jaccardHs(col("hs_a"), col("hs_b")))
       .filter(col("j") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"),
-        graft.functions.Rounding.round4eps(col("j")).as("jaccard"))
+        round4eps(col("j")).as("jaccard"))
   }
 
   /** Near-dup survivors: connected near-duplicates keep the lowest
@@ -777,7 +778,7 @@ object Dedup {
         greatest(col("src_a"), col("src_b")).as("source_b"), col("jaccard"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_dup_pairs"),
-        graft.functions.Rounding.round4eps(avg(col("jaccard"))).as("avg_jaccard"))
+        round4eps(avg(col("jaccard"))).as("avg_jaccard"))
   }
 
   def ngramJaccardWithinSource(s: SparkSession, dir: String,
@@ -803,6 +804,6 @@ object Dedup {
       .withColumn("j", col("shared").cast("double") / (col("n_sum") - col("shared")))
       .filter(col("j") >= threshold)
       .select(col("source"), col("doc_a"), col("doc_b"),
-        graft.functions.Rounding.round4eps(col("j")).as("jaccard"))
+        round4eps(col("j")).as("jaccard"))
   }
 }

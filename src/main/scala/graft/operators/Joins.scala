@@ -266,11 +266,6 @@ object Joins {
         count(lit(1)).as("n_items"))
   }
 
-  /** TPC-H Q3 shape — shipping priority: BUILDING-segment customers'
-    * orders placed before the cutoff, restricted to lineitems shipped
-    * after it, top 10 by revenue. All three predicates push into their
-    * scans; the sort+limit fuses to TakeOrderedAndProject (no global
-    * sort of the aggregate). */
   /** TPC-H Q10 shape — returned-item revenue: which customers drive
     * the most lost revenue through returns. Fact⋈fact (lineitem⋈orders)
     * co-partitions on orderkey with the returnflag filter pushed to the
@@ -288,6 +283,11 @@ object Joins {
       .limit(topN)
   }
 
+  /** TPC-H Q3 shape — shipping priority: BUILDING-segment customers'
+    * orders placed before the cutoff, restricted to lineitems shipped
+    * after it, top 10 by revenue. All three predicates push into their
+    * scans; the sort+limit fuses to TakeOrderedAndProject (no global
+    * sort of the aggregate). */
   def shippingPriority(s: SparkSession, dir: String, cutoff: String = "1997-06-01"): DataFrame = {
     val cus = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, dir)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Rounding.round4eps
 
 /** Window-function surface. The reference computes no windows — its one
   * windowed-analytic semantic (24h price change) is outsourced to the
@@ -85,8 +86,8 @@ object Windows {
       dense_rank().over(Window.partitionBy(col("user_id"))
         .orderBy(col("event_type"))).as("type_rank"),
       ntile(4).over(byUser).as("quartile"),
-      graft.functions.Rounding.round4eps(percent_rank().over(byValue)).as("value_prank"),
-      graft.functions.Rounding.round4eps(cume_dist().over(byValue)).as("value_cdist"),
+      round4eps(percent_rank().over(byValue)).as("value_prank"),
+      round4eps(cume_dist().over(byValue)).as("value_cdist"),
       round(first_value(col("value")).over(cumFrame), 4).as("first_val"),
       round(nth_value(col("value"), 2).over(cumFrame), 4).as("second_val"))
   }
