@@ -336,6 +336,8 @@ object SparkEntry {
     // TPC-H Q10 shape + lang-ID evaluation report
     "q_returned_revenue" -> ((s, d) => Joins.returnedRevenue(s, d)),
     "q_lang_confusion"   -> (TextAnalysis.langConfusion _),
+    // the custom physical as-of operator (merge-scan, one buffered row)
+    "q_asof_custom"      -> (TemporalJoins.lastViewBeforePurchaseCustom _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -668,6 +670,13 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
     "q_asof_view" ->
+      """SELECT p.event_id, p.user_id,
+        |v.event_id AS view_event_id, ROUND(v.value, 4) AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    // identical semantics through the custom physical operator
+    "q_asof_custom" ->
       """SELECT p.event_id, p.user_id,
         |v.event_id AS view_event_id, ROUND(v.value, 4) AS view_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

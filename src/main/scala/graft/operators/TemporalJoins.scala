@@ -121,6 +121,27 @@ object TemporalJoins {
         round(col("asof_view_value"), 4).as("view_value"))
   }
 
+  /** [[lastViewBeforePurchase]] through the CUSTOM physical as-of
+    * operator ([[graft.plans.AsOfJoin]]) instead of the
+    * union+running-last composition — the same semantics (and the same
+    * DuckDB ASOF JOIN oracle), executed as one forward-only merge over
+    * co-partitioned sorted children with a single buffered row of
+    * state. The gate proves the custom operator end-to-end; the
+    * tie-break column makes equal-timestamp matches deterministic
+    * (greatest view_event_id, the composition's documented rule). */
+  def lastViewBeforePurchaseCustom(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_event_id"),
+        col("value").as("view_value"), col("ts").as("v_ts"))
+    graft.plans.AsOfJoin(purchases, views,
+        Seq("user_id"), Seq("v_user_id"), "ts", "v_ts", Seq("view_event_id"))
+      .select(col("event_id"), col("user_id"), col("view_event_id"),
+        round(col("view_value"), 4).as("view_value"))
+  }
+
   /** Forward as-of query: each purchase matched to the user's FIRST
     * view at-or-after the purchase time (follow-up behavior). */
   def firstViewAfterPurchase(s: SparkSession, dir: String): DataFrame = {

@@ -125,6 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => HiddenPartitionPruning)
     ext.injectOptimizerRule(_ => FoldSortIntoWindow)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     register(ext, "vec_dot", 2, a => graft.functions.VecDot(a(0), a(1)))
     register(ext, "vec_cosine", 2, a => graft.functions.VecCosine(a(0), a(1)))
     register(ext, "vec_l2dist", 2, a => graft.functions.VecL2Dist(a(0), a(1)))

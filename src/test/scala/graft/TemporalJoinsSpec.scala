@@ -31,6 +31,33 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(rows(8L) === None)
   }
 
+  test("custom AsOfJoinExec: same verdicts as the composition, merge-scan plan") {
+    val custom = TemporalJoins.lastViewBeforePurchaseCustom(spark, dir)
+    val rows = custom.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("view_event_id")).map(_.longValue)).toMap
+    assert(rows === Map(3L -> Some(2L), 5L -> Some(2L), 6L -> None, 8L -> None))
+    // the plan actually runs the custom operator (not a window rewrite),
+    // with EnsureRequirements-inserted exchanges+sorts under it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TemporalJoins.lastViewBeforePurchaseCustom(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,
+        s"expected AsOfJoinExec in:\n$plan")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.size >= 2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // equal-timestamp tie: two views at the purchase instant -> the
+    // greatest view_event_id wins (the declared tie rule)
+    val tdir = TestSpark.eventsFixture(Seq(
+      (1L, 1L, "view", Double.box(1.0), ns(15)),
+      (2L, 1L, "view", Double.box(2.0), ns(15)),
+      (3L, 1L, "purchase", Double.box(50.0), ns(15))))
+    val tie = TemporalJoins.lastViewBeforePurchaseCustom(spark, tdir).collect()
+    assert(tie.head.getAs[java.lang.Long]("view_event_id") === 2L)
+  }
+
   test("forward as-of picks the earliest view at-or-after; exact-time matches count") {
     // extra fixture: user 3 has a view exactly at the purchase instant
     val fdir = TestSpark.eventsFixture(Seq(
