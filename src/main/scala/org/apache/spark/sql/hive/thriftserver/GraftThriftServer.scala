@@ -5,6 +5,56 @@ package org.apache.spark.sql.hive.thriftserver
   * internals. Lives here ONLY to re-export start/stop with public
   * types; all engine-facing API is `graft.pipeline.SqlEndpoint`. */
 object GraftThriftServer {
+  import scala.jdk.CollectionConverters._
+
+  private def cliService(server: HiveThriftServer2)
+      : Option[org.apache.hive.service.cli.thrift.ThriftCLIService] =
+    server.getServices.asScala.collectFirst {
+      case t: org.apache.hive.service.cli.thrift.ThriftCLIService => t
+    }
+
+  // ThriftBinaryCLIService holds its thrift TServer in a protected
+  // field with no serving-state accessor on the Hive side (the
+  // ThriftCLIService.isServing flag is never set in this build —
+  // verified by decompiling every setServing call site), so the only
+  // truthful signal is the TServer's OWN isServing flag, read
+  // reflectively.
+  private val serverField: java.lang.reflect.Field = {
+    val f = classOf[org.apache.hive.service.cli.thrift.ThriftBinaryCLIService]
+      .getDeclaredField("server")
+    f.setAccessible(true)
+    f
+  }
+
+  private def isServing(server: HiveThriftServer2): Boolean =
+    cliService(server).exists {
+      case b: org.apache.hive.service.cli.thrift.ThriftBinaryCLIService =>
+        serverField.get(b) match {
+          case t: org.apache.thrift.server.TServer => t.isServing
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** Waits until the thrift service's serve() loop is actually running
+    * (libthrift sets `TServer.isServing` inside serve()'s preServe,
+    * after the blocking-accept loop is committed to). A raw socket
+    * connect is NOT that signal: the listening socket is bound and
+    * accepting kernel-backlog connections BEFORE `server.serve()` is
+    * invoked, and a stop() landing in that gap nulls the service's
+    * TServer field, so run() hits an NPE whose catch-all calls
+    * System.exit(-1) — observed killing a whole test fork. Every stop
+    * in this object is gated on this wait. */
+  private def awaitServing(server: HiveThriftServer2, timeoutMs: Long): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000 * 1000
+    var serving = isServing(server)
+    while (!serving && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      serving = isServing(server)
+    }
+    serving
+  }
+
   final class Handle private[thriftserver] (server: HiveThriftServer2,
       session: org.apache.spark.sql.classic.SparkSession,
       jvmDefaultTz: java.util.TimeZone,
@@ -17,9 +67,17 @@ object GraftThriftServer {
       * the engine's callers expect java.sql.Date (cross-suite test
       * poisoning). Restore every runtime conf the server changed, and
       * the JVM default timezone (Hive session state can call
-      * TimeZone.setDefault). */
+      * TimeZone.setDefault).
+      *
+      * Stopping is gated on the serve() loop actually running (see
+      * awaitServing) — a stop in the bind-to-serve() gap is a JVM-
+      * killing race. If serving is never observed, the server is
+      * LEAKED deliberately (it will serve until JVM exit) and an
+      * IllegalStateException names the condition: a leaked listener
+      * beats a dead JVM. */
     def stop(): Unit = {
-      try server.stop()
+      val safe = awaitServing(server, 15000)
+      try { if (safe) server.stop() }
       finally {
         java.util.TimeZone.setDefault(jvmDefaultTz)
         val after = session.conf.getAll
@@ -27,6 +85,10 @@ object GraftThriftServer {
           try session.conf.set(k, v) catch { case _: Throwable => () }
         for (k <- after.keySet if !confBefore.contains(k))
           try session.conf.unset(k) catch { case _: Throwable => () }
+        if (!safe) throw new IllegalStateException(
+          "thrift endpoint never reached serving state within 15 s; " +
+            "leaking the server (it will serve until JVM exit) instead of " +
+            "risking the stop-during-startup System.exit race")
       }
     }
   }
@@ -50,60 +112,39 @@ object GraftThriftServer {
         "(static conf) so the endpoint serves the owning session's tables")
     val tz = java.util.TimeZone.getDefault
     val confBefore = classic.conf.getAll
+    // Belt and braces for the embedded use: Spark's patched
+    // ThriftBinaryCLIService.run consults this flag in its Throwable
+    // catch-all — default true means ANY startup failure (port race,
+    // bind error) calls System.exit(-1) and takes the host JVM (an
+    // engine, a test fork) with it. With it false the failure is
+    // thrown as a ServiceException on the runner thread instead,
+    // which is the right blast radius for an in-process endpoint.
+    HiveThriftServer2.systemExitOnError.set(false)
     val server = HiveThriftServer2.startWithContext(classic.sqlContext)
     val handle = new Handle(server, classic, tz, confBefore)
-    // Verify the server answers on the REQUESTED port. Hive's
-    // execution-client conf is constructed once per JVM, so a restart
-    // on a different port serves the original one — fail fast with the
-    // actual constraint instead of letting clients time out against a
-    // port nothing listens on.
-    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-    var up = false
-    while (!up && System.nanoTime() < deadline) {
-      try { new java.net.Socket("localhost", port).close(); up = true }
-      catch { case _: Exception => Thread.sleep(250) }
-    }
-    if (!up) {
-      // The server IS still coming up — just on the JVM-cached (first
-      // configured) port, not the requested one. Stopping it mid-startup
-      // is fatal to the whole JVM: Hive's ThriftCLIService.run() holds
-      // the server in a field that stop() nulls, and if the race lands
-      // between construction and serve() the NPE is caught by run()'s
-      // catch-all, which calls System.exit(-1) (observed killing an
-      // entire test fork). Wait for the port the service ACTUALLY bound
-      // to accept connections — serve() is then running and stop() is
-      // an ordinary clean shutdown.
-      import scala.jdk.CollectionConverters._
-      val boundPort = server.getServices.asScala.collectFirst {
-        case t: org.apache.hive.service.cli.thrift.ThriftCLIService => t.getPortNumber
-      }.getOrElse(0)
-      var served = false
-      if (boundPort > 0) {
-        val settle = System.nanoTime() + 15L * 1000 * 1000 * 1000
-        while (!served && System.nanoTime() < settle) {
-          try { new java.net.Socket("localhost", boundPort).close(); served = true }
-          catch { case _: Exception => Thread.sleep(250) }
-        }
-      }
-      if (served && boundPort == port) {
-        // Slow start, right port: the server just needed more than the
-        // first probe window — it is up and correct; fall through to
-        // the normal return below.
-      } else {
-        // Stop ONLY a fully-started server (served on its bound port).
-        // If it never served — boundPort unknown or 30 s of silence —
-        // stopping now is the System.exit race itself; leak the
-        // half-started service and fail loudly instead (the error names
-        // the per-JVM port constraint, which is the only recovery).
-        if (served) { try handle.stop() catch { case _: Throwable => () } }
-        throw new IllegalStateException(
-          s"thrift endpoint did not come up on requested port $port" +
-          (if (boundPort > 0 && boundPort != port) s" (it bound JVM-cached port $boundPort)"
-           else "") +
-          ". The Hive execution-client conf is cached per JVM, so an endpoint " +
-          "restarted in the same JVM serves the FIRST configured port — reuse " +
-          "that port (or a fresh JVM) instead.")
-      }
+    // Wait for the serve() loop itself (awaitServing) — NOT a raw
+    // socket connect, which succeeds from the moment the listening
+    // socket is bound, strictly before serve() runs, and so cannot
+    // make a subsequent stop() safe. Then verify the service bound the
+    // REQUESTED port: Hive's execution-client conf is constructed once
+    // per JVM, so a restart on a different port silently serves the
+    // original one — fail fast with the actual constraint instead of
+    // letting clients time out against a port nothing listens on.
+    val serving = awaitServing(server, 30000)
+    val boundPort = cliService(server).map(_.getPortNumber).getOrElse(0)
+    if (!serving || boundPort != port) {
+      // Stop ONLY a serving server — a stop before serve() runs is the
+      // System.exit race itself. If serving was never observed, leak
+      // the half-started service and fail loudly (the error names the
+      // per-JVM port constraint, which is the only recovery).
+      if (serving) { try handle.stop() catch { case _: Throwable => () } }
+      throw new IllegalStateException(
+        s"thrift endpoint did not come up on requested port $port" +
+        (if (boundPort > 0 && boundPort != port) s" (it bound JVM-cached port $boundPort)"
+         else "") +
+        ". The Hive execution-client conf is cached per JVM, so an endpoint " +
+        "restarted in the same JVM serves the FIRST configured port — reuse " +
+        "that port (or a fresh JVM) instead.")
     }
     handle
   }
