@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Joins, Multimodal, Relational, Similarity, TemporalJoins, TextAnalysis, Windows}
+import graft.operators.{Dedup, Joins, Multimodal, Relational, SetSimJoin, Similarity, TemporalJoins, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -147,6 +147,9 @@ object SparkEntry {
     "q_dedup_simhash"    -> ((s, d) => Dedup.simhashAgreementGate(s, d)),
     "q_dedup_simhash_md5"-> ((s, d) => Dedup.simhashPortablePairs(s, d)),
     "q_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardWithinSource(s, d)),
+    // prefix-filtered AllPairs threshold join: exactly complete with
+    // no df cap (frequent tokens sort out of the indexed prefix)
+    "q_setsim_join"      -> ((s, d) => SetSimJoin.prefixFilteredJaccardJoin(s, d)),
     "q_dedup_cc"         -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_dup_spans"        -> ((s, d) => Dedup.duplicateSpanStats(s, d)),
     // Similarity search
@@ -864,6 +867,17 @@ object SparkEntry {
         |    / len(list_distinct(a.sh || b.sh)) >= 0.8)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin,
+    "q_setsim_join" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, floor(j * 10000 + 0.5 + 0.000001) / 10000 AS jaccard
+        |FROM p WHERE j >= 0.9""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH w AS (SELECT source, doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT source, doc_id,
