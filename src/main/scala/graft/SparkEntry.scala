@@ -154,6 +154,8 @@ object SparkEntry {
     "q_dup_spans"        -> ((s, d) => Dedup.duplicateSpanStats(s, d)),
     // Similarity search
     "q_knn_brute"        -> (Similarity.knnBrute _),
+    // RRF fusion of a BM25 list and a cosine list — rank-only combiner
+    "q_rrf_fusion"       -> ((s, d) => Similarity.rrfFusion(s, d)),
     // recall gate: ANN output is recall-probabilistic, the recall
     // property vs knnBrute is deterministic and oracle-checkable
     "q_knn_ann"          -> ((s, d) => Similarity.annRecallGate(s, d)),
@@ -261,6 +263,9 @@ object SparkEntry {
     "q_curation_gate"    -> ((s, d) => TextAnalysis.curationGate(s, d)),
     "q_stratified_cap"   -> ((s, d) => TextAnalysis.stratifiedCap(s, d)),
     "q_stratified_hash"  -> ((s, d) => TextAnalysis.stratifiedHashSample(s, d)),
+    // Efraimidis–Spirtes keys from md5-derived uniforms: an exact
+    // weighted sample without replacement as a map pass + top-k
+    "q_weighted_sample"  -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "q_word_entropy"     -> (TextAnalysis.wordEntropy _),
     "q_repetition"       -> (TextAnalysis.repetitionStats _),
     "q_winnow_fp"        -> (TextAnalysis.winnowFingerprints _),
@@ -1035,6 +1040,40 @@ object SparkEntry {
         |      WHERE i.i <= j.j)
         |SELECT i, j, floor(AVG(p) * 10000 + 0.5 + 0.000001) / 10000 AS m2
         |FROM u GROUP BY i, j""".stripMargin,
+    "q_rrf_fusion" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |q AS (SELECT doc_id, token FROM toks WHERE token IN ('spark','join','merge')),
+        |idf AS (SELECT token,
+        |  ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |  FROM (SELECT token, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY token)
+        |  CROSS JOIN stats),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM q GROUP BY doc_id, token),
+        |c AS (SELECT tf.doc_id,
+        |  idf.idf * (tf.tf * (1.5 + 1)) /
+        |    (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+        |  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bm AS (SELECT doc_id, floor(SUM(contrib) * 10000 + 0.5 + 0.000001) / 10000 AS bm25
+        |  FROM c GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |  (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex FROM bm),
+        |e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |sims AS (SELECT e.vec_id AS doc_id,
+        |  list_dot_product(qv.qv, e.v)
+        |    / (sqrt(list_dot_product(qv.qv, qv.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+        |  FROM e CROSS JOIN qv WHERE e.vec_id <> 0),
+        |vtop AS (SELECT doc_id, sim FROM sims ORDER BY sim DESC, doc_id LIMIT 50),
+        |vec AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |  (ORDER BY sim DESC, doc_id) AS INTEGER) AS r_vec FROM vtop),
+        |f AS (SELECT doc_id,
+        |  COALESCE(1.0 / (60 + r_lex), 0) + COALESCE(1.0 / (60 + r_vec), 0) AS rrf_score,
+        |  COALESCE(r_lex, 0) AS r_lex, COALESCE(r_vec, 0) AS r_vec
+        |  FROM lex FULL OUTER JOIN vec USING (doc_id))
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank,
+        |  doc_id, rrf_score, r_lex, r_vec
+        |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
     "q_knn_brute" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
         |           FROM embeddings),
@@ -1454,6 +1493,18 @@ object SparkEntry {
         |  ('coincap', CAST(2 AS BIGINT), CAST(50012.5 AS DOUBLE), CAST(50137.5 AS DOUBLE)),
         |  ('blockchain_info', CAST(2 AS BIGINT), CAST(49992.75 AS DOUBLE), CAST(50117.75 AS DOUBLE)))
         |  AS t(data_source, n_rows, min_usd, max_usd)""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, n_chars,
+        |  ln((h + 1) / 1152921504606846976.0) / n_chars AS es_key FROM h),
+        |r AS (SELECT doc_id, n_chars, es_key,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS INTEGER) AS rank
+        |  FROM k)
+        |SELECT rank, doc_id, n_chars AS weight,
+        |  floor(es_key * 10000 + 0.5 + 0.000001) / 10000 AS es_key
+        |FROM r WHERE rank <= 50""".stripMargin,
     "q_stratified_hash" ->
       """SELECT lang, source, doc_id, rn FROM
         |(SELECT lang, source, doc_id, CAST(ROW_NUMBER() OVER

@@ -637,4 +637,47 @@ object Similarity {
         when(col("is_drop").isNotNull, lit("dropped"))
           .otherwise(lit("kept")).as("verdict"))
   }
+
+  /** Hybrid-retrieval fusion via Reciprocal Rank Fusion (Cormack,
+    * Clarke & Büttcher, SIGIR 2009): fuse a lexical (BM25) and a
+    * vector (cosine) top-list by rrf(d) = Σ_lists 1/(k + rank_list(d)),
+    * the standard score-free combiner for RAG retrieval stacks —
+    * robust to the two lists' incomparable score scales because only
+    * ranks enter the sum.
+    *
+    * Both input rankings are bounded BEFORE fusion (listK each), so
+    * fusion touches at most 2·listK rows per query regardless of
+    * corpus size: BM25's top-k comes from its own aggregate pipeline
+    * (TextAnalysis.bm25Scores), the vector ranking from a broadcast
+    * query vector + TakeOrdered partial top-k. The rank windows run
+    * over <= listK rows, never the corpus. Absent-from-list documents
+    * contribute 0 for that list (rank reported as 0 = "not retrieved").
+    * rrf_score stays unrounded: it is a sum of reciprocals of small
+    * integers, bit-identical in any IEEE engine. */
+  def rrfFusion(s: SparkSession, dir: String, listK: Int = 50,
+      outK: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex = TextAnalysis.bm25Scores(s, dir, k = listK)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    val qv = corpus(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    val vec = corpus(s, dir).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("sim", cosine(col("query_vec"), col("embedding")))
+      .orderBy(col("sim").desc, col("vec_id")).limit(listK)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("r_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0)))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(outK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("rrf_score"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_vec"), lit(0)).as("r_vec"))
+  }
 }

@@ -292,6 +292,41 @@ object TextAnalysis {
       .select(col("lang"), col("source"), col("doc_id"), col("rn"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirtes,
+    * IPL 2006): assign every row the key u^(1/w) with u ~ Uniform(0,1]
+    * and take the k largest keys — provably an exact weighted sample
+    * without replacement, in one pass, with no sequential state. The
+    * distributed-systems win over naive cumulative-weight sampling is
+    * exactly that: no prefix sums, no rejection loop — a map-side key
+    * and a top-k.
+    *
+    * Determinism/portability: u is derived from md5(doc_id) (60-bit
+    * prefix, +1 so u ∈ (0,1] and ln(u) is finite), the same
+    * hash-as-seed trick as stratifiedHashSample — DuckDB replays it
+    * bit-identically. Ranking uses the monotone transform
+    * ln(u)/w (maximized iff u^(1/w) is), which avoids pow() and its
+    * cross-engine rounding.
+    *
+    * 100 TB shape: key computation is map-side; the global top-k plans
+    * as TakeOrderedAndProject — each partition forwards at most k rows
+    * to one final merge, never a corpus-wide sort. The rank window then
+    * runs over the k survivors only. */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(1.152921504606846976e18) // 2^60
+    val ranked = Tables.documents(s, dir)
+      .filter(col("n_chars") > 0) // w <= 0 has no ES key (ln(u)/w flips sign)
+      .withColumn("es_key", log(u) / col("n_chars"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+    ranked
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("es_key").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_chars").as("weight"),
+        round4eps(col("es_key")).as("es_key"))
+  }
+
   /** Positional shingle index via the custom WordShingleGenerate
     * table-valued expression: one (doc_id, pos, shingle) row per
     * positional 3-word shingle — the exploded representation a

@@ -230,6 +230,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows === Map(8L -> (("dup", 2L)), 9L -> (("new", 0L))))
   }
 
+  test("rrfFusion: scores decompose into rank reciprocals, ordered") {
+    val rows = Similarity.rrfFusion(spark, TestSpark.sfDir).collect()
+    assert(rows.length === 20)
+    var prev = Double.MaxValue
+    rows.sortBy(_.getAs[Int]("rank")).foreach { r =>
+      val (rl, rv) = (r.getAs[Int]("r_lex"), r.getAs[Int]("r_vec"))
+      val want = (if (rl > 0) 1.0 / (60 + rl) else 0.0) +
+        (if (rv > 0) 1.0 / (60 + rv) else 0.0)
+      assert(r.getAs[Double]("rrf_score") === want)
+      assert(r.getAs[Double]("rrf_score") <= prev)
+      prev = r.getAs[Double]("rrf_score")
+      assert(rl > 0 || rv > 0, "a fused doc must come from at least one list")
+    }
+    // fusion is genuinely hybrid on this corpus: some doc appears in both
+    assert(rows.exists(r => r.getAs[Int]("r_lex") > 0 && r.getAs[Int]("r_vec") > 0))
+  }
+
   test("gramMatrix: hand-checkable second moments on axis vectors") {
     // vectors: (1,0,...), (1,0.5,0...), dims 2..7 all zero
     val gdir = TestSpark.embeddingsFixture(Seq(

@@ -357,6 +357,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) === ((2L, 5L, false)))
   }
 
+  test("weightedSample: ES top-k matches an in-memory replay, plan is a TakeOrdered") {
+    val got = TextAnalysis.weightedSample(spark, TestSpark.sfDir, k = 20)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id")))
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def esKey(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      math.log((h + 1).toDouble / math.pow(2, 60)) / w
+    }
+    val want = docs.filter(_._2 > 0)
+      .map { case (id, w) => (id, esKey(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => (i + 1, id) }
+    assert(got.toSeq === want.toSeq)
+    // no corpus-wide sort: the global top-k must plan as TakeOrdered
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextAnalysis.weightedSample(spark, TestSpark.sfDir, k = 20)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("chunkSplit: offsets, lengths and hashes match brute-force slicing") {
     val text = "der hund ist nicht zu der das und ist" // 37 chars, doc 4
     val got = TextAnalysis.chunkSplit(spark, dir, chunk = 10, stride = 8)
