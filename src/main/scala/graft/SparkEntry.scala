@@ -156,6 +156,9 @@ object SparkEntry {
     "q_knn_brute"        -> (Similarity.knnBrute _),
     // RRF fusion of a BM25 list and a cosine list — rank-only combiner
     "q_rrf_fusion"       -> ((s, d) => Similarity.rrfFusion(s, d)),
+    // greedy MMR inside per-query group tasks; oracle unrolls the
+    // 5 selection steps as chained argmax CTEs
+    "q_mmr_rerank"       -> ((s, d) => Similarity.mmrRerank(s, d)),
     // recall gate: ANN output is recall-probabilistic, the recall
     // property vs knnBrute is deterministic and oracle-checkable
     "q_knn_ann"          -> ((s, d) => Similarity.annRecallGate(s, d)),
@@ -1040,6 +1043,61 @@ object SparkEntry {
         |      WHERE i.i <= j.j)
         |SELECT i, j, floor(AVG(p) * 10000 + 0.5 + 0.000001) / 10000 AS m2
         |FROM u GROUP BY i, j""".stripMargin,
+    "q_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |  list_dot_product(q.qv, e.v)/(sqrt(list_dot_product(q.qv,q.qv))*sqrt(list_dot_product(e.v,e.v))) AS rel
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |cand AS (SELECT query_id, vec_id, rel FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn FROM scored) WHERE rn <= 20),
+        |pair AS (SELECT c1.query_id, c1.vec_id AS a, c2.vec_id AS b,
+        |  list_dot_product(e1.v, e2.v)/(sqrt(list_dot_product(e1.v,e1.v))*sqrt(list_dot_product(e2.v,e2.v))) AS sim
+        |  FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id AND c1.vec_id <> c2.vec_id
+        |  JOIN e e1 ON e1.vec_id = c1.vec_id JOIN e e2 ON e2.vec_id = c2.vec_id),
+        |s1 AS (SELECT query_id, vec_id, 0.7*rel AS score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+        |sel1 AS (SELECT query_id, vec_id FROM s1),
+        |c2 AS (SELECT c.query_id, c.vec_id, 0.7*c.rel - 0.3*MAX(p.sim) AS score
+        |  FROM cand c JOIN pair p ON p.query_id=c.query_id AND p.a=c.vec_id
+        |  JOIN sel1 s ON s.query_id=p.query_id AND s.vec_id=p.b
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1 WHERE query_id=c.query_id)
+        |  GROUP BY c.query_id, c.vec_id, c.rel),
+        |s2 AS (SELECT query_id, vec_id, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM c2) WHERE rn = 1),
+        |sel2 AS (SELECT * FROM sel1 UNION ALL SELECT query_id, vec_id FROM s2),
+        |c3 AS (SELECT c.query_id, c.vec_id, 0.7*c.rel - 0.3*MAX(p.sim) AS score
+        |  FROM cand c JOIN pair p ON p.query_id=c.query_id AND p.a=c.vec_id
+        |  JOIN sel2 s ON s.query_id=p.query_id AND s.vec_id=p.b
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2 WHERE query_id=c.query_id)
+        |  GROUP BY c.query_id, c.vec_id, c.rel),
+        |s3 AS (SELECT query_id, vec_id, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM c3) WHERE rn = 1),
+        |sel3 AS (SELECT * FROM sel2 UNION ALL SELECT query_id, vec_id FROM s3),
+        |c4 AS (SELECT c.query_id, c.vec_id, 0.7*c.rel - 0.3*MAX(p.sim) AS score
+        |  FROM cand c JOIN pair p ON p.query_id=c.query_id AND p.a=c.vec_id
+        |  JOIN sel3 s ON s.query_id=p.query_id AND s.vec_id=p.b
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3 WHERE query_id=c.query_id)
+        |  GROUP BY c.query_id, c.vec_id, c.rel),
+        |s4 AS (SELECT query_id, vec_id, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM c4) WHERE rn = 1),
+        |sel4 AS (SELECT * FROM sel3 UNION ALL SELECT query_id, vec_id FROM s4),
+        |c5 AS (SELECT c.query_id, c.vec_id, 0.7*c.rel - 0.3*MAX(p.sim) AS score
+        |  FROM cand c JOIN pair p ON p.query_id=c.query_id AND p.a=c.vec_id
+        |  JOIN sel4 s ON s.query_id=p.query_id AND s.vec_id=p.b
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4 WHERE query_id=c.query_id)
+        |  GROUP BY c.query_id, c.vec_id, c.rel),
+        |s5 AS (SELECT query_id, vec_id, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM c5) WHERE rn = 1),
+        |allsel AS (
+        |  SELECT query_id, 1 AS mmr_rank, vec_id, score FROM s1 UNION ALL
+        |  SELECT query_id, 2, vec_id, score FROM s2 UNION ALL
+        |  SELECT query_id, 3, vec_id, score FROM s3 UNION ALL
+        |  SELECT query_id, 4, vec_id, score FROM s4 UNION ALL
+        |  SELECT query_id, 5, vec_id, score FROM s5)
+        |SELECT query_id, mmr_rank, vec_id AS neighbor_id,
+        |  floor(score * 10000 + 0.5 + 0.000001) / 10000 AS mmr_score
+        |FROM allsel""".stripMargin,
     "q_rrf_fusion" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),

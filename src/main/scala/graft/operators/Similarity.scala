@@ -638,6 +638,75 @@ object Similarity {
           .otherwise(lit("kept")).as("verdict"))
   }
 
+  /** Left-to-right double cosine, bit-identical to the VecCosine
+    * codegen kernel (and to DuckDB's list_dot_product fold) — used for
+    * candidate-candidate sims inside the MMR group task, where the
+    * vectors are already local. */
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    * SIGIR'98): from each query's top-`candK` cosine candidates,
+    * greedily select `outK` maximizing
+    * `lambda * rel(c) - mu * max_{s in selected} sim(c, s)` — the
+    * relevance/diversity tradeoff every RAG retrieval stack applies
+    * after ANN recall. `mu` is 1-lambda by intent but passed as its own
+    * exact decimal literal: computing 1.0 - 0.7 yields
+    * 0.30000000000000004, and the oracle must replay the arithmetic
+    * bit-for-bit.
+    *
+    * Distribution shape: candidate generation is the bounded
+    * TopKPerGroup pass (partial heaps, no corpus sort); the greedy
+    * loop — inherently sequential in `outK` — runs per-query inside
+    * flatMapGroups on candK rows, so a million queries parallelize
+    * across the cluster with zero driver involvement. Candidate
+    * vectors ride along into the group task (candK * dim floats per
+    * query); the corpus-sized scored stream never carries them past
+    * the top-k reduction. */
+  def mmrRerank(s: SparkSession, dir: String, candK: Int = 20, outK: Int = 5,
+      lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val scored = corpus(s, dir)
+      .join(broadcast(queries(s, dir)), col("vec_id") =!= col("query_id"))
+      .withColumn("rel", cosine(col("query_vec"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
+    val cands = graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("rel").desc, col("vec_id")), candK)
+    val picked = cands.as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cs = it.toArray
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Float])]
+        val remaining = scala.collection.mutable.LinkedHashMap(
+          cs.map(c => c._2 -> c): _*)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Double)]
+        while (selected.length < outK && remaining.nonEmpty) {
+          val (bestId, bestScore) = remaining.valuesIterator.map { c =>
+            val pen =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(sl => cosineLocal(c._4, sl._2)).max
+            (c._2, lambda * c._3 - mu * pen)
+          }.minBy { case (id, score) => (-score, id) }
+          val c = remaining.remove(bestId).get
+          selected += ((bestId, c._4))
+          out += ((q, selected.length, bestId, bestScore))
+        }
+        out
+      }
+      .toDF("query_id", "mmr_rank", "neighbor_id", "mmr_score")
+    picked.select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
+      round4eps(col("mmr_score")).as("mmr_score"))
+  }
+
   /** Hybrid-retrieval fusion via Reciprocal Rank Fusion (Cormack,
     * Clarke & Büttcher, SIGIR 2009): fuse a lexical (BM25) and a
     * vector (cosine) top-list by rrf(d) = Σ_lists 1/(k + rank_list(d)),

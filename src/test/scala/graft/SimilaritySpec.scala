@@ -230,6 +230,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows === Map(8L -> (("dup", 2L)), 9L -> (("new", 0L))))
   }
 
+  test("mmrRerank: diversity penalty picks the orthogonal doc over the duplicate") {
+    // query 0 = [1,1,0,...]; candidates: 1 = axis0, 2 = axis0 + tiny
+    // axis1 (near-duplicate of 1, highest relevance), 3 = axis1
+    // (equal relevance to 1, orthogonal to it). Pure relevance order is
+    // 2, 1, 3 (tie 1-before-3 on id); MMR must pick 3 at rank 2 —
+    // candidate 1's similarity to the already-picked 2 is ~1 and eats
+    // its margin — and leave the duplicate last.
+    val q = Array.fill(dim)(0.0f); q(0) = 1.0f; q(1) = 1.0f
+    val c2 = axis(0).clone(); c2(1) = 0.01f
+    val mdir = TestSpark.embeddingsFixture(Seq(
+      (0L, q, 0), (1L, axis(0), 0), (2L, c2, 0), (3L, axis(1), 0)))
+    val got = Similarity.mmrRerank(spark, mdir)
+      .filter(org.apache.spark.sql.functions.col("query_id") === 0L)
+      .collect()
+      .map(r => r.getAs[Int]("mmr_rank") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(got === Map(1 -> 2L, 2 -> 3L, 3 -> 1L))
+  }
+
   test("rrfFusion: scores decompose into rank reciprocals, ordered") {
     val rows = Similarity.rrfFusion(spark, TestSpark.sfDir).collect()
     assert(rows.length === 20)
