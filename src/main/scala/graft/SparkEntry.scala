@@ -123,6 +123,8 @@ object SparkEntry {
     "q_scd2_types"       -> (Windows.scd2UserTypes _),
     "q_funnel"           -> ((s, d) => graft.operators.Behavior.funnelStages(s, d)),
     "q_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
+    // deterministic sync LPA, 4 rounds, plurality label w/ min tie-break
+    "q_lpa_communities"  -> ((s, d) => graft.operators.Graph.lpaCommunities(s, d)),
     "q_triangles"        -> ((s, d) => graft.operators.Graph.triangleCounts(s, d)),
     "q_stream_enrich"    -> (graft.streaming.EventStreams.enrichStreamGate _),
     "q_stream_stateful"  -> (graft.streaming.EventStreams.statefulProfileGate _),
@@ -269,6 +271,8 @@ object SparkEntry {
     // Efraimidis–Spirtes keys from md5-derived uniforms: an exact
     // weighted sample without replacement as a map pass + top-k
     "q_weighted_sample"  -> ((s, d) => TextAnalysis.weightedSample(s, d)),
+    // first-occurrence novelty: shingle-keyed min + join back, linear
+    "q_novelty"          -> ((s, d) => TextAnalysis.noveltyScores(s, d)),
     "q_word_entropy"     -> (TextAnalysis.wordEntropy _),
     "q_repetition"       -> (TextAnalysis.repetitionStats _),
     "q_winnow_fp"        -> (TextAnalysis.winnowFingerprints _),
@@ -1551,6 +1555,18 @@ object SparkEntry {
         |  ('coincap', CAST(2 AS BIGINT), CAST(50012.5 AS DOUBLE), CAST(50137.5 AS DOUBLE)),
         |  ('blockchain_info', CAST(2 AS BIGINT), CAST(49992.75 AS DOUBLE), CAST(50117.75 AS DOUBLE)))
         |  AS t(data_source, n_rows, min_usd, max_usd)""".stripMargin,
+    "q_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, unnest(
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])) AS sh
+        |  FROM w),
+        |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM s GROUP BY sh)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  floor(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |    / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5 + 0.000001) / 10000 AS novelty
+        |FROM s JOIN f USING (sh) GROUP BY s.doc_id""".stripMargin,
     "q_weighted_sample" ->
       """WITH h AS (SELECT doc_id, n_chars,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -2098,6 +2114,29 @@ object SparkEntry {
     // fixed number of jobs whose constant overhead dwarfs sf0.01 data,
     // and 3 rounds exercise the identical plan shape; production picks
     // iters by convergence tolerance.
+    "q_lpa_communities" ->
+      """WITH ed AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity >= 48),
+        |edges AS (SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges),
+        |c1 AS (SELECT e.a AS node, l.label, COUNT(*) AS c FROM edges e
+        |  JOIN l0 l ON l.node = e.b GROUP BY e.a, l.label),
+        |l1 AS (SELECT node, label FROM (SELECT node, label,
+        |  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.a AS node, l.label, COUNT(*) AS c FROM edges e
+        |  JOIN l1 l ON l.node = e.b GROUP BY e.a, l.label),
+        |l2 AS (SELECT node, label FROM (SELECT node, label,
+        |  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.a AS node, l.label, COUNT(*) AS c FROM edges e
+        |  JOIN l2 l ON l.node = e.b GROUP BY e.a, l.label),
+        |l3 AS (SELECT node, label FROM (SELECT node, label,
+        |  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM c3) WHERE rn = 1),
+        |c4 AS (SELECT e.a AS node, l.label, COUNT(*) AS c FROM edges e
+        |  JOIN l3 l ON l.node = e.b GROUP BY e.a, l.label),
+        |l4 AS (SELECT node, label FROM (SELECT node, label,
+        |  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM c4) WHERE rn = 1)
+        |SELECT node AS node_id, label AS community FROM l4""".stripMargin,
     "q_pagerank" ->
       """WITH cs AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -215,4 +215,61 @@ object Graph {
     edges.unpersist(blocking = false)
     dist
   }
+
+  /** Synchronous label propagation communities (Raghavan, Albert &
+    * Kumara, 2007) over the customer–supplier trade graph, sparsified
+    * by the same high-quantity guard as [[triangles]] (the dense
+    * bipartite graph collapses to a monolith in two rounds; the
+    * sparsified projection carries real community structure —
+    * measured: 129 communities vs 2 unsparsified at sf0.01). Labels
+    * init to the node id; each round every node adopts its neighbors'
+    * plurality label, ties to the SMALLEST label — fully deterministic,
+    * so a fixed round count is an oracle-replayable gate (async LPA's
+    * visit-order dependence is not).
+    *
+    * Per round: one edge join against the broadcast label vector + one
+    * (node, label)-keyed count + one node-keyed argmax — the argmax is
+    * max(struct(count, -label)), a partial-merged aggregate, never a
+    * window. Same broadcast rationale and every-other-round lineage
+    * cuts as [[pageRank]]; a node set past the broadcast limit flips
+    * the join to hash-partitioned on node id, same shape. */
+  def lpaCommunities(s: SparkSession, dir: String, iters: Int = 4,
+      minQuantity: Double = 48): DataFrame = {
+    val cs = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= minQuantity)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    lpaOnEdges(s, cs.unionByName(cs.select(col("b").as("a"), col("a").as("b"))),
+      iters)
+  }
+
+  /** LPA core over an already-undirected (a, b) edge frame — the spec
+    * drives crafted graphs through the identical iteration. */
+  private[graft] def lpaOnEdges(s: SparkSession, undirected: DataFrame,
+      iters: Int): DataFrame = {
+    ensureCheckpointDir(s)
+    val edges = undirected.persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var prevRound: DataFrame = null
+    for (i <- 1 to iters) {
+      val counts = edges.join(broadcast(labels), col("b") === col("node"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+      labels = counts.groupBy(col("a"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("a").as("node"), (-col("m.nl")).as("label"))
+      if (i % 2 == 0 && i < iters) {
+        labels = cutLineage(s, labels)
+        if (prevRound != null) prevRound.unpersist(blocking = false)
+        prevRound = labels
+      }
+    }
+    // edges stays persisted through the caller's action (the last two
+    // un-cut rounds re-join it on materialization); lifecycle is
+    // caller-owned like pageRank's withDeg — Verify/Bench clearCache.
+    labels.select(col("node").as("node_id"), col("label").as("community"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextFunctions.words
+import graft.functions.TextFunctions.wordShingles
 import graft.functions.Rounding.round4eps
 
 /** Threshold set-similarity self-join via prefix filtering — the
@@ -66,15 +66,8 @@ object SetSimJoin {
     // Distinct word 3-grams as plain strings (portable to the oracle's
     // string_split formulation — no engine-specific hashing in the gate
     // path; the hashed-shingle family lives in Dedup).
-    val w = words(col("text"))
-    val shingles = array_distinct(
-      when(size(w) >= 3,
-        transform(sequence(lit(1), size(w) - lit(2)), i =>
-          concat_ws(" ", element_at(w, i), element_at(w, i + lit(1)),
-            element_at(w, i + lit(2)))))
-        .otherwise(array()))
     val toks = docs
-      .select(col("doc_id"), explode(shingles).as("tok"))
+      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("tok"))
     // Global element order = (document frequency asc, shingle asc).
     // The df aggregate is corpus-wide but vocabulary-sized; joining it
     // back onto the token stream is left to AQE — small vocabularies

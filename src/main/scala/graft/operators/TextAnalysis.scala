@@ -292,6 +292,31 @@ object TextAnalysis {
       .select(col("lang"), col("source"), col("doc_id"), col("rn"))
   }
 
+  /** Per-document novelty: the fraction of a document's distinct
+    * 3-gram shingles whose FIRST corpus occurrence (minimum doc_id over
+    * documents containing the shingle) is this document. The standard
+    * redundancy-growth diagnostic for a crawl: ingest order's marginal
+    * new-content rate, and a ranking signal for dedup-aware curation
+    * (a doc that introduces nothing is a candidate to drop even when
+    * no single pair crosses the near-dup threshold).
+    *
+    * 100 TB shape: one shingle-keyed aggregate for first occurrences,
+    * a join back on the same key (co-partitioned with the aggregate's
+    * shuffle, so AQE reuses the exchange), one doc-keyed aggregate.
+    * Never pairwise — cost is linear in total shingle volume. */
+  def noveltyScores(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sh"))
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round4eps(col("n_novel").cast("double") / col("n_shingles")))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirtes,
     * IPL 2006): assign every row the key u^(1/w) with u ~ Uniform(0,1]
     * and take the k largest keys — provably an exact weighted sample

@@ -20,6 +20,42 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("node") % 2 == 1))
   }
 
+  test("lpaCommunities matches an in-memory sync-LPA reference on a crafted graph") {
+    val s = spark
+    import s.implicits._
+    // two triangles bridged by one edge: LPA must keep them distinct
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+        (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("a", "b")
+    val got = Graph.lpaOnEdges(spark, und, iters = 4).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("community")).toMap
+    // reference: synchronous plurality with min-label tie-break
+    val adj = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+        (3L, 4L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      lab = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(lab).view.mapValues(_.size).toSeq
+        v -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got === lab)
+    assert(got.values.toSet.size >= 2, "bridged triangles must not collapse")
+  }
+
+  test("lpaCommunities: every label is a member node, deterministic across runs") {
+    val a = Graph.lpaCommunities(spark, TestSpark.sfDir).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("community"))
+    val b = Graph.lpaCommunities(spark, TestSpark.sfDir).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("community"))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    val nodes = a.map(_._1).toSet
+    assert(a.forall { case (_, label) => nodes(label) })
+  }
+
   test("triangleCounts equals the brute-force 3-clique enumeration") {
     val dir = TestSpark.sfDir
     val got = Graph.triangleCounts(spark, dir).collect()

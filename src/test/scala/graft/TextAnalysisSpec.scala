@@ -357,6 +357,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) === ((2L, 5L, false)))
   }
 
+  test("noveltyScores: first-occurrence fractions on a crafted overlap chain") {
+    // doc 1 introduces both its shingles; doc 2 is a verbatim dup
+    // (novelty 0); doc 3 shares exactly its first shingle with doc 1
+    // (novelty 2/3); doc 4 is too short to shingle and must be absent.
+    val ndir = TestSpark.documentsFixture(Seq(
+      (1L, "x y z w", "en", "web"),
+      (2L, "x y z w", "en", "web"),
+      (3L, "x y z q r", "en", "web"),
+      (4L, "too short", "en", "web")))
+    val got = TextAnalysis.noveltyScores(spark, ndir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 0L, 0.0)))
+    assert(got(3L) === ((3L, 2L, math.floor(2.0 / 3.0 * 10000 + 0.5 + 1e-6) / 10000)))
+  }
+
   test("weightedSample: ES top-k matches an in-memory replay, plan is a TakeOrdered") {
     val got = TextAnalysis.weightedSample(spark, TestSpark.sfDir, k = 20)
       .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id")))
