@@ -98,6 +98,22 @@ object ScaleSmoke {
     run("bpeMerges")(operators.TextAnalysis.bpeMerges(spark, dir))
     run("dsirWeights")(operators.TextAnalysis.dsirWeights(spark, dir))
     run("mixSchedule")(operators.TextAnalysis.mixSchedule(spark, dir))
+    // This session's additions. setSimJoin: replication multiplies
+    // every shingle's df by factor, so prefix postings grow factor×
+    // and within-cluster candidates factor² — the df-ascending prefix
+    // order must keep candidate volume tracking true-dup density.
+    // lpaCommunities: node/label vectors grow factor×; per-round cost
+    // must track the (sparsified) edge list. noveltyScores: linear in
+    // shingle volume by construction. mmrRerank: query count is fixed
+    // (10) — the claim is candidate generation stays a bounded top-k
+    // over a factor×-larger corpus. weightedSample: map pass + top-k,
+    // must stay near-flat vs corpus growth in per-row terms.
+    run("setSimJoin")(operators.SetSimJoin.prefixFilteredJaccardJoin(spark, dir))
+    run("lpaCommunities")(operators.Graph.lpaCommunities(spark, dir))
+    run("noveltyScores")(operators.TextAnalysis.noveltyScores(spark, dir))
+    run("mmrRerank")(operators.Similarity.mmrRerank(spark, dir))
+    run("weightedSample")(operators.TextAnalysis.weightedSample(spark, dir))
+    run("rrfFusion")(operators.Similarity.rrfFusion(spark, dir))
 
     spark.stop()
   }

@@ -298,6 +298,11 @@ object SparkEntry {
     "q_regr"             -> (Relational.regrAgg _),
     "q_skew_kurt"        -> (Relational.skewKurt _),
     "q_flags_agg"        -> (Relational.flagsAgg _),
+    // Benford leading-digit conformance of order totals
+    "q_benford"          -> (Relational.benfordProfile _),
+    // TPC-H Q17/Q18 shapes: decorrelated scalar subquery; HAVING semi-join
+    "q_small_qty_rev"    -> ((s, d) => Relational.smallQtyRevenue(s, d)),
+    "q_big_orders"       -> ((s, d) => Relational.largeVolumeCustomers(s, d)),
     "q_decimal_sums"     -> (Relational.decimalSums _),
     "q_bfs_hops"         -> ((s, d) => graft.operators.Graph.bfsHops(s, d)),
     "q_zipf_slope"       -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
@@ -2252,6 +2257,38 @@ object SparkEntry {
         |floor(m3 / POW(m2, 1.5) * 10000 + 0.5 + 0.000001) / 10000 AS skew,
         |floor((m4 / (m2 * m2) - 3.0) * 10000 + 0.5 + 0.000001) / 10000 AS kurt,
         |n AS n_valued FROM c""".stripMargin,
+    "q_small_qty_rev" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        |bl AS (SELECT l.* FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey),
+        |a AS (SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM bl GROUP BY l_partkey)
+        |SELECT floor(SUM(l_extendedprice) / 7.0 * 10000 + 0.5 + 0.000001) / 10000
+        |    AS avg_yearly,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM bl JOIN a USING (l_partkey)
+        |WHERE l_quantity < 0.2 * a.avg_qty""".stripMargin,
+    "q_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+        |x AS (SELECT digit, n, total,
+        |  ln(1.0 + 1.0 / digit) / ln(10.0) AS exp_frac_raw,
+        |  ln(1.0 + 1.0 / digit) / ln(10.0) * total AS exp_n
+        |  FROM c CROSS JOIN t)
+        |SELECT digit, n,
+        |  floor(n / total * 10000 + 0.5 + 0.000001) / 10000 AS obs_frac,
+        |  floor(exp_frac_raw * 10000 + 0.5 + 0.000001) / 10000 AS exp_frac,
+        |  floor((n - exp_n) * (n - exp_n) / exp_n * 10000 + 0.5 + 0.000001) / 10000
+        |    AS chi2_term
+        |FROM x""".stripMargin,
     "q_flags_agg" ->
       """SELECT l_returnflag,
         |CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,

@@ -624,6 +624,73 @@ object Relational {
         round4eps(kurtosis(col("value"))).as("kurt"),
         count(col("value")).as("n_valued"))
 
+  /** TPC-H Q17 shape — small-quantity-order revenue for one brand
+    * (`README.md` of the reference has no TPC-H surface; this is
+    * beyond-reference analytics breadth). The classic formulation is a
+    * correlated scalar subquery (avg quantity per part); the scalable
+    * plan is its decorrelation: restrict lineitem to the brand's parts
+    * FIRST (broadcast the brand key set — parts-of-one-brand is
+    * dimension-sized), compute the per-part average once as a
+    * partkey-keyed aggregate, and hash-join it back — never a per-row
+    * subquery execution, and the full-table average work is skipped
+    * for the ~99% of parts outside the brand. */
+  def smallQtyRevenue(s: SparkSession, dir: String,
+      brand: String = "Brand#1"): DataFrame = {
+    val brandParts = Tables.part(s, dir)
+      .filter(col("p_brand") === brand).select(col("p_partkey"))
+    val brandLines = Tables.lineitem(s, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val avgQty = brandLines.groupBy(col("l_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    brandLines.join(avgQty, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round4eps(sum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q18 shape — large-volume customers: orders whose summed
+    * line quantity clears a threshold (the HAVING subquery), joined
+    * back to orders and customers, top-k by order value. The
+    * order-keyed quantity aggregate doubles as the semi-join filter —
+    * one shuffle keyed by orderkey feeds both the HAVING and the join,
+    * and the top-k is a TakeOrdered, never a global sort. */
+  def largeVolumeCustomers(s: SparkSession, dir: String,
+      minQty: Double = 180, k: Int = 100): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(s, dir).join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(k)
+  }
+
+  /** Benford's-law conformance profile of order totals: observed
+    * leading-digit frequencies vs the log-law expectation
+    * P(d) = log10(1 + 1/d), with per-digit chi-square contributions
+    * ((O_d - E_d)^2 / E_d on counts) — the standard fraud/synthetic-
+    * data screen for financial magnitude columns. One map pass to the
+    * leading digit, one 9-key aggregate, a broadcast of the scalar
+    * total; constants are computed as ln(1+1/d)/ln(10) so the oracle
+    * replays them bit-for-bit. */
+  def benfordProfile(s: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("exp_frac_raw", log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+      .withColumn("exp_n", col("exp_frac_raw") * col("total"))
+      .select(col("digit"), col("n"),
+        round4eps(col("n").cast("double") / col("total")).as("obs_frac"),
+        round4eps(col("exp_frac_raw")).as("exp_frac"),
+        round4eps((col("n") - col("exp_n")) * (col("n") - col("exp_n"))
+          / col("exp_n")).as("chi2_term"))
+  }
+
   /** Boolean + bitwise aggregate suite: count_if / bool_and / bool_or
     * and bit_and / bit_or / bit_xor — all partial-mergeable single-pass
     * aggregates (XOR doubles as a cheap order-independent checksum for

@@ -87,6 +87,25 @@ class StatsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("benfordProfile: exact digit counts, log-law expectations, chi2 >= 0") {
+    val rows = Relational.benfordProfile(spark, dir).collect()
+      .map(r => r.getAs[Int]("digit") -> r).toMap
+    // brute-force digit histogram over the same table
+    val prices = Tables.orders(spark, dir)
+      .select(org.apache.spark.sql.functions.col("o_totalprice"))
+      .collect().map(_.getDouble(0)).filter(_ > 0)
+    val want = prices.map(p => math.floor(p).toLong.toString.head.asDigit)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.keySet === want.keySet)
+    rows.foreach { case (d, r) =>
+      assert(r.getAs[Long]("n") === want(d))
+      val expFrac = math.log(1.0 + 1.0 / d) / math.log(10.0)
+      assert(r.getAs[Double]("exp_frac") ===
+        math.floor(expFrac * 10000 + 0.5 + 1e-6) / 10000)
+      assert(r.getAs[Double]("chi2_term") >= 0.0)
+    }
+  }
+
   test("zipfSlope: slope negative on natural-ish text, r2 in [0,1]") {
     val r = TextAnalysis.zipfSlope(spark, dir).collect()(0)
     assert(r.getAs[Double]("zipf_slope") < 0)
