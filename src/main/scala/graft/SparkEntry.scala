@@ -121,6 +121,14 @@ object SparkEntry {
     "q_trailing_hour"    -> (Windows.trailingHour _),
     "q_forward_fill"     -> (Windows.forwardFill _),
     "q_scd2_types"       -> (Windows.scd2UserTypes _),
+    // per-user EWMA as a strict left fold over the sorted history
+    "q_ewma"             -> ((s, d) => Windows.ewmaSmoothed(s, d)),
+    // 2-D Pareto frontier via the sort-sweep decomposition
+    "q_skyline"          -> (Relational.skyline _),
+    // one-pass multi-column ANALYZE statistics
+    "q_analyze_stats"    -> (Relational.analyzeStats _),
+    // bounded k-core peel (4 rounds, k=3) on the sparsified trade graph
+    "q_kcore"            -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
     "q_funnel"           -> ((s, d) => graft.operators.Behavior.funnelStages(s, d)),
     "q_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
     // deterministic sync LPA, 4 rounds, plurality label w/ min tie-break
@@ -714,6 +722,56 @@ object SparkEntry {
         |JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |ON p.user_id = e.user_id
         |AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts""".stripMargin,
+    // EWMA: DuckDB's list_reduce seeds with the first element and
+    // left-folds — the identical IEEE accumulation order as Spark's
+    // aggregate() over the sorted, trailing-512-capped history.
+    "q_ewma" ->
+      """WITH l AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |c AS (SELECT user_id, len(vals) AS n_events,
+        |  list_slice(vals, greatest(1, len(vals) - 511), len(vals)) AS capped
+        |  FROM l)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  floor(list_reduce(capped, (acc, x) -> 0.9*acc + 0.1*x) * 10000
+        |    + 0.5 + 0.000001) / 10000 AS ewma
+        |FROM c""".stripMargin,
+    // Skyline: the quadratic NOT-EXISTS dominance formulation — the
+    // semantic definition the sort-sweep plan must reproduce.
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_size,
+        |  floor(p.p_retailprice * 10000 + 0.5 + 0.000001) / 10000 AS price
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))""".stripMargin,
+    "q_analyze_stats" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT($c) AS BIGINT) AS n_values,
+           |CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+           |floor(MIN($c) * 10000 + 0.5 + 0.000001) / 10000 AS min_val,
+           |floor(MAX($c) * 10000 + 0.5 + 0.000001) / 10000 AS max_val,
+           |floor(AVG($c) * 10000 + 0.5 + 0.000001) / 10000 AS mean_val
+           |FROM lineitem""".stripMargin
+      }.mkString("\n UNION ALL \n"),
+    // k-core: 4 unrolled peel rounds (degree filter on both endpoints),
+    // then the surviving subgraph's degrees.
+    "q_kcore" ->
+      """WITH cs AS (SELECT DISTINCT CAST(o_custkey*2 AS BIGINT) AS a,
+        |    CAST(l_suppkey*2+1 AS BIGINT) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity >= 48),
+        |e0 AS (SELECT a, b FROM cs UNION ALL SELECT b AS a, a AS b FROM cs),
+        |k1 AS (SELECT a FROM e0 GROUP BY a HAVING COUNT(*) >= 3),
+        |e1 AS (SELECT e.a, e.b FROM e0 e JOIN k1 x ON e.a = x.a JOIN k1 y ON e.b = y.a),
+        |k2 AS (SELECT a FROM e1 GROUP BY a HAVING COUNT(*) >= 3),
+        |e2 AS (SELECT e.a, e.b FROM e1 e JOIN k2 x ON e.a = x.a JOIN k2 y ON e.b = y.a),
+        |k3 AS (SELECT a FROM e2 GROUP BY a HAVING COUNT(*) >= 3),
+        |e3 AS (SELECT e.a, e.b FROM e2 e JOIN k3 x ON e.a = x.a JOIN k3 y ON e.b = y.a),
+        |k4 AS (SELECT a FROM e3 GROUP BY a HAVING COUNT(*) >= 3),
+        |e4 AS (SELECT e.a, e.b FROM e3 e JOIN k4 x ON e.a = x.a JOIN k4 y ON e.b = y.a)
+        |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+        |FROM e4 GROUP BY a""".stripMargin,
     "q_value_change" ->
       """SELECT event_id, user_id,
         |ROUND(value - COALESCE(LAG(value) OVER

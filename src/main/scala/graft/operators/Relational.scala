@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Rounding.round4eps
@@ -689,6 +690,65 @@ object Relational {
         round4eps(col("exp_frac_raw")).as("exp_frac"),
         round4eps((col("n") - col("exp_n")) * (col("n") - col("exp_n"))
           / col("exp_n")).as("chi2_term"))
+  }
+
+  /** 2-D skyline (Pareto frontier) — parts no other part dominates,
+    * minimizing p_retailprice while maximizing p_size (Börzsönyi,
+    * Kossmann & Stocker, ICDE 2001). The naive formulation is a
+    * quadratic NOT-EXISTS self-join; the scalable plan is the
+    * sort-sweep decomposition: (1) one aggregate collapses the table
+    * to ndv(size) rows (best price per size), (2) a sweep over that
+    * tiny frame keeps sizes whose best price strictly beats every
+    * larger size's running minimum, (3) a broadcast join recovers the
+    * winning rows. The table is touched exactly twice, both times as a
+    * streamed scan — no self-join of the fact ever happens. The sweep
+    * window runs over the post-aggregate frame (cardinality = distinct
+    * sizes, bounded), not the raw table — a continuous dominance
+    * dimension would be quantized or range-partition-swept the same
+    * way. Ties: equal (size, price) rows don't dominate each other
+    * (dominance is strict in at least one dimension), so all survive. */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val best = Tables.part(s, dir).groupBy(col("p_size"))
+      .agg(min(col("p_retailprice")).as("best_price"))
+    val sweep = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = best
+      .withColumn("better_above", min(col("best_price")).over(sweep))
+      .filter(col("better_above").isNull ||
+        col("best_price") < col("better_above"))
+      .select(col("p_size").as("sky_size"), col("best_price"))
+    Tables.part(s, dir)
+      .join(broadcast(frontier), col("p_size") === col("sky_size") &&
+        col("p_retailprice") === col("best_price"))
+      .select(col("p_partkey"), col("p_size"),
+        round4eps(col("p_retailprice")).as("price"))
+  }
+
+  /** ANALYZE-style table statistics in one pass — per numeric column:
+    * value/null counts, exact NDV, min, max, mean. This is the stats
+    * collection a cost-based optimizer feeds on, and the first thing a
+    * data-quality sweep runs over a new 100 TB drop. All aggregates
+    * for all columns ride ONE aggregation over one scan: Spark
+    * rewrites the multi-column COUNT(DISTINCT) into a single Expand
+    * (rows ×#cols tagged by group id) feeding one shuffle partitioned
+    * by (gid, value) — evenly distributed, no per-column table scans.
+    * The wide 1-row result is then unpivoted driver-free via `stack`. */
+  def analyzeStats(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        round4eps(min(col(c))).as(s"${c}_min"),
+        round4eps(max(col(c))).as(s"${c}_max"),
+        round4eps(avg(col(c))).as(s"${c}_mean"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_n, ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max, ${c}_mean")
+      .mkString(", ")
+    Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_values, n_nulls, ndv, min_val, max_val, mean_val)")
   }
 
   /** Boolean + bitwise aggregate suite: count_if / bool_and / bool_or

@@ -144,6 +144,47 @@ object Windows {
         col("valid_to_ts").isNull.as("is_current"))
   }
 
+  /** Per-user exponentially-weighted moving average of event values —
+    * the standard smoothing/trend statistic for telemetry streams
+    * (acc' = (1-α)·acc + α·v over the ts-ordered history, seeded with
+    * the first value). Computed as a codegen'd higher-order
+    * `aggregate` fold over the user's sorted value array — no UDF, no
+    * driver loop; the fold is a strict left fold so the IEEE
+    * accumulation order is fully determined and oracle-replayable.
+    *
+    * Scale posture: one shuffle keyed by user_id (the collect_list
+    * aggregate), then per-user map work. A user's history must fit in
+    * a task — true for behavioral data (thousands of events/user), and
+    * enforced here by folding only the trailing `cap` events: with
+    * α=0.1 the weight of anything past 512 steps is < 10⁻²³, so the
+    * cap changes nothing numerically while bounding task memory
+    * against pathological power users. (A genuinely unbounded stream
+    * would move this to the streaming surface — mapGroupsWithState
+    * carries the same recurrence with O(1) state.) */
+  def ewmaSmoothed(s: SparkSession, dir: String,
+      alpha: Double = 0.1, cap: Int = 512): DataFrame = {
+    val q = lit(1.0 - alpha)
+    val a = lit(alpha)
+    // valued events only, explicitly: collect_list drops nulls anyway,
+    // but the filter pins the semantics (a user with no valued events
+    // has no smoothed series) and pushes to the scan
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("hist"))
+      .select(col("user_id"), size(col("hist")).cast("long").as("n_events"),
+        transform(col("hist"), x => x.getField("value")).as("vals"))
+      .withColumn("capped",
+        slice(col("vals"), greatest(lit(1), size(col("vals")) - (cap - 1)),
+          lit(cap)))
+      .select(col("user_id"), col("n_events"),
+        round4eps(aggregate(
+          slice(col("capped"), 2, cap),
+          element_at(col("capped"), 1),
+          (acc, x) => q * acc + a * x)).as("ewma"))
+  }
+
   /** Daily ranking: rank event types by volume within each day —
     * dense_rank over an aggregated (already small) input. */
   def dailyTypeRank(s: SparkSession, dir: String): DataFrame = {

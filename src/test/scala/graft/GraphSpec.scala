@@ -20,6 +20,28 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("node") % 2 == 1))
   }
 
+  test("kCoreOnEdges: K4 plus a pendant chain peels to exactly the K4") {
+    val s = spark
+    import s.implicits._
+    // K4 on 1..4 (3-core), chain 4-5-6 (peels away at k=3)
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val und = (k4 ++ Seq((4L, 5L), (5L, 6L)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("a", "b")
+    val got = Graph.kCoreOnEdges(und, k = 3, rounds = 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCoreOnEdges: a chain fully peels to the empty core") {
+    val s = spark
+    import s.implicits._
+    val und = Seq((1L, 2L), (2L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("a", "b")
+    assert(Graph.kCoreOnEdges(und, k = 2, rounds = 3).count() === 0)
+  }
+
   test("lpaCommunities matches an in-memory sync-LPA reference on a crafted graph") {
     val s = spark
     import s.implicits._

@@ -106,6 +106,38 @@ class StatsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("skyline: sort-sweep result equals brute-force dominance") {
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val want = parts.filter { case (_, sz, pr) =>
+      !parts.exists { case (_, sz2, pr2) =>
+        sz2 >= sz && pr2 <= pr && (sz2 > sz || pr2 < pr)
+      }
+    }.map(_._1).toSet
+    val got = Relational.skyline(spark, dir).collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("analyzeStats: per-column rows reproduce directly computed aggregates") {
+    val rows = Relational.analyzeStats(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.keySet === Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val qs = Tables.lineitem(spark, dir)
+      .select(org.apache.spark.sql.functions.col("l_quantity"))
+      .collect().map(_.getDouble(0))
+    val r = rows("l_quantity")
+    assert(r.getAs[Long]("n_values") === qs.length.toLong)
+    assert(r.getAs[Long]("n_nulls") === 0L)
+    assert(r.getAs[Long]("ndv") === qs.distinct.length.toLong)
+    assert(r.getAs[Double]("min_val") === math.floor(qs.min * 10000 + 0.5 + 1e-6) / 10000)
+    assert(r.getAs[Double]("max_val") === math.floor(qs.max * 10000 + 0.5 + 1e-6) / 10000)
+    val mean = qs.sum / qs.length
+    assert(math.abs(r.getAs[Double]("mean_val") - mean) < 1e-3)
+  }
+
   test("zipfSlope: slope negative on natural-ish text, r2 in [0,1]") {
     val r = TextAnalysis.zipfSlope(spark, dir).collect()(0)
     assert(r.getAs[Double]("zipf_slope") < 0)

@@ -87,6 +87,26 @@ class WindowsSpec extends AnyFunSuite {
     assert(rows(6L) === None)
   }
 
+  test("ewmaSmoothed: left fold seeded with first value, null values excluded") {
+    val rows = Windows.ewmaSmoothed(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("ewma")))).toMap
+    // user 1: [10, 30, 5] → 10 → 0.9*10+0.1*30 = 12 → 0.9*12+0.1*5 = 11.3
+    assert(rows(1L) === ((3L, 11.3)))
+    // user 2: null dropped → [100] → seed only
+    assert(rows(2L) === ((1L, 100.0)))
+  }
+
+  test("ewmaSmoothed: cap folds only the trailing events") {
+    val d2 = TestSpark.eventsFixture(
+      (1 to 6).map(i => (i.toLong, 9L, "view", Double.box(i.toDouble), ns(i))))
+    // cap=3 → fold [4,5,6]: 4 → 0.9*4+0.1*5 = 4.1 → 0.9*4.1+0.1*6 = 4.29
+    val r = Windows.ewmaSmoothed(spark, d2, cap = 3).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("ewma")))).toMap
+    assert(r(9L) === ((6L, 4.29)))
+  }
+
   test("scd2UserTypes: change rows become versioned intervals, open version is current") {
     // user 1: view → purchase → view = 3 versions; user 2: view → purchase = 2
     val rows = Windows.scd2UserTypes(spark, dir).collect()
