@@ -49,6 +49,8 @@ object ScaleSmoke {
     replicate("embeddings", Seq("vec_id"), 10000000L)
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 10000000L)
     replicate("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
+    replicate("events", Seq("event_id", "user_id"), 10000000L)
+    replicate("part", Seq("p_partkey"), 10000000L)
     println(s"[scale] corpus ${factor}x at $dir: " +
       s"${Tables.documents(spark, dir).count()} docs, " +
       s"${Tables.embeddings(spark, dir).count()} vectors, " +
@@ -114,6 +116,22 @@ object ScaleSmoke {
     run("mmrRerank")(operators.Similarity.mmrRerank(spark, dir))
     run("weightedSample")(operators.TextAnalysis.weightedSample(spark, dir))
     run("rrfFusion")(operators.Similarity.rrfFusion(spark, dir))
+    // ewma: user count grows factor× at constant per-user history depth
+    // — one user-keyed shuffle, per-task fold cost flat. kCore: same
+    // edge growth as lpaCommunities; per-round cost must track the
+    // shrinking alive edge list. analyzeStats: one scan + one Expand
+    // shuffle — strictly linear. skyline: the sweep input stays
+    // ndv(size) no matter how many part rows feed the aggregate.
+    run("ewma")(operators.Windows.ewmaSmoothed(spark, dir))
+    run("kCore")(operators.Graph.kCorePeel(spark, dir))
+    run("analyzeStats")(operators.Relational.analyzeStats(spark, dir))
+    run("skyline")(operators.Relational.skyline(spark, dir))
+    // activityBitmap: partials OR-combine map-side — the shuffle
+    // carries one long per user-month regardless of event volume.
+    // logisticGd: 3 constant-size parameter rows, each round one
+    // streamed aggregate over the persisted standardized input.
+    run("activityBitmap")(operators.Behavior.activityBitmap(spark, dir))
+    run("logisticGd")(operators.Relational.logisticGd(spark, dir))
 
     spark.stop()
   }

@@ -129,6 +129,10 @@ object SparkEntry {
     "q_analyze_stats"    -> (Relational.analyzeStats _),
     // bounded k-core peel (4 rounds, k=3) on the sparsified trade graph
     "q_kcore"            -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
+    // day-of-month presence packed into a BIGINT bitmap per user-month
+    "q_activity_bitmap"  -> (graft.operators.Behavior.activityBitmap _),
+    // full-batch logistic GD, 3 oracle-replayed iterations
+    "q_logreg"           -> ((s, d) => Relational.logisticGd(s, d)),
     "q_funnel"           -> ((s, d) => graft.operators.Behavior.funnelStages(s, d)),
     "q_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
     // deterministic sync LPA, 4 rounds, plurality label w/ min tie-break
@@ -754,6 +758,48 @@ object SparkEntry {
            |floor(AVG($c) * 10000 + 0.5 + 0.000001) / 10000 AS mean_val
            |FROM lineitem""".stripMargin
       }.mkString("\n UNION ALL \n"),
+    "q_activity_bitmap" ->
+      """SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month,
+        |  bit_or(CAST(1 AS BIGINT) << (CAST(extract(day FROM ts) AS INTEGER) - 1))
+        |    AS days_bitmap,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT)
+        |    << (CAST(extract(day FROM ts) AS INTEGER) - 1))) AS BIGINT)
+        |    AS n_active_days
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // Logistic GD: 3 unrolled iterations; parameters 1e-6-quantized
+    // between rounds so cross-engine libm ulps can't compound.
+    "q_logreg" ->
+      """WITH o AS (SELECT o_totalprice AS tp,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1.0 ELSE 0.0 END AS y FROM orders),
+        |st AS (SELECT floor(AVG(tp)*1000000 + 0.5 + 0.000001)/1000000 AS mu,
+        |  floor(STDDEV_POP(tp)*1000000 + 0.5 + 0.000001)/1000000 AS sigma FROM o),
+        |xy AS (SELECT (tp - mu)/sigma AS x, y FROM o CROSS JOIN st),
+        |t0 AS (SELECT 0.0 AS w, 0.0 AS b),
+        |t1 AS (SELECT
+        |  floor((MAX(w) - 0.5*AVG((1.0/(1.0+exp(-(w*x+b))) - y)*x))*1000000
+        |    + 0.5 + 0.000001)/1000000 AS w,
+        |  floor((MAX(b) - 0.5*AVG(1.0/(1.0+exp(-(w*x+b))) - y))*1000000
+        |    + 0.5 + 0.000001)/1000000 AS b
+        |  FROM xy CROSS JOIN t0),
+        |t2 AS (SELECT
+        |  floor((MAX(w) - 0.5*AVG((1.0/(1.0+exp(-(w*x+b))) - y)*x))*1000000
+        |    + 0.5 + 0.000001)/1000000 AS w,
+        |  floor((MAX(b) - 0.5*AVG(1.0/(1.0+exp(-(w*x+b))) - y))*1000000
+        |    + 0.5 + 0.000001)/1000000 AS b
+        |  FROM xy CROSS JOIN t1),
+        |t3 AS (SELECT
+        |  floor((MAX(w) - 0.5*AVG((1.0/(1.0+exp(-(w*x+b))) - y)*x))*1000000
+        |    + 0.5 + 0.000001)/1000000 AS w,
+        |  floor((MAX(b) - 0.5*AVG(1.0/(1.0+exp(-(w*x+b))) - y))*1000000
+        |    + 0.5 + 0.000001)/1000000 AS b
+        |  FROM xy CROSS JOIN t2)
+        |SELECT w, b,
+        |  floor(AVG(-(y*ln(p) + (1.0-y)*ln(1.0-p)))*10000 + 0.5 + 0.000001)/10000
+        |    AS log_loss,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT y, 1.0/(1.0+exp(-(w*x+b))) AS p, w, b
+        |  FROM xy CROSS JOIN t3) GROUP BY w, b""".stripMargin,
     // k-core: 4 unrolled peel rounds (degree filter on both endpoints),
     // then the surviving subgraph's degrees.
     "q_kcore" ->

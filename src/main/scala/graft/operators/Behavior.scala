@@ -108,4 +108,20 @@ object Behavior {
           .orderBy(col("n_users").desc, col("path"))).as("rank"),
         col("path"), col("n_users"))
   }
+
+  /** Per-user monthly activity bitmap: day-of-month presence packed
+    * into one BIGINT via `bit_or(1 << (day-1))` — the roaring-bitmap
+    * idea at word width, the standard trick for cheap
+    * retention/streak analytics (set ops between periods become
+    * bitwise AND/OR on 8-byte values instead of day-grain joins;
+    * active-day counts become popcounts). One (user, month)-keyed
+    * aggregate whose partials OR-combine map-side — at 100 TB the
+    * shuffle carries one long per user-month, not one row per event. */
+  def activityBitmap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), trunc(col("ts"), "month").as("month"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), dayofmonth(ts) - 1)"))
+        .as("days_bitmap"))
+      .select(col("user_id"), col("month"), col("days_bitmap"),
+        bit_count(col("days_bitmap")).cast("long").as("n_active_days"))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -749,6 +749,45 @@ object Relational {
     Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_values, n_nulls, ndv, min_val, max_val, mean_val)")
+  }
+
+  /** Full-batch logistic regression by gradient descent — predict
+    * urgent order priority from the standardized order total. The
+    * point is the iterative-optimization loop as an engine primitive
+    * (the same dataflow as any distributed GD/L-BFGS fit): each round
+    * is ONE aggregate over the corpus producing a constant-size
+    * parameter row that broadcasts into the next round — never a
+    * driver-side collect, never a per-row model join. Parameters are
+    * 1e-6-quantized between rounds (the kmeans/PCA trick) so
+    * cross-engine libm ulps can't compound across iterations, making
+    * the whole fit oracle-replayable. The standardized input is
+    * persisted once and re-streamed per round. */
+  def logisticGd(s: SparkSession, dir: String,
+      iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val o = Tables.orders(s, dir).select(col("o_totalprice"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1.0))
+        .otherwise(lit(0.0)).as("y"))
+    val stats = o.agg(q6(avg(col("o_totalprice"))).as("mu"),
+      q6(stddev_pop(col("o_totalprice"))).as("sigma"))
+    val xy = o.crossJoin(broadcast(stats))
+      .select(((col("o_totalprice") - col("mu")) / col("sigma")).as("x"),
+        col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def p: Column =
+      lit(1.0) / (lit(1.0) + exp(-(col("w") * col("x") + col("b"))))
+    var params = s.range(1).select(lit(0.0).as("w"), lit(0.0).as("b"))
+    for (_ <- 1 to iters)
+      params = xy.crossJoin(broadcast(params))
+        .agg(q6(max(col("w")) - lit(lr) * avg((p - col("y")) * col("x"))).as("w"),
+          q6(max(col("b")) - lit(lr) * avg(p - col("y"))).as("b"))
+    xy.crossJoin(broadcast(params))
+      .groupBy(col("w"), col("b"))
+      .agg(round4eps(avg(-(col("y") * log(p) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - p)))).as("log_loss"),
+        count(lit(1)).as("n"))
+      .select(col("w"), col("b"), col("log_loss"), col("n"))
   }
 
   /** Boolean + bitwise aggregate suite: count_if / bool_and / bool_or

@@ -8,7 +8,7 @@ class BehaviorSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
   private val day = 86400L
-  private val base = 1786838400L // 2026-08-12 00:00 UTC
+  private val base = 1786838400L // 2026-08-16 00:00 UTC
   private def ns(offsetS: Long) = (base + offsetS) * 1000000000L
 
   private val dir = TestSpark.eventsFixture(Seq(
@@ -69,5 +69,15 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows((day0, 0)) === 3L)
     assert(rows((day0, 1)) === 1L)
     assert(rows.size === 2)
+  }
+
+  test("activityBitmap: day-of-month bits OR together, popcount = distinct days") {
+    // base is 2026-08-16 UTC → day 16 sets bit 15; user 1 also day 17
+    val rows = Behavior.activityBitmap(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("days_bitmap"), r.getAs[Long]("n_active_days")))).toMap
+    assert(rows(1L) === (((1L << 15) | (1L << 16), 2L)))
+    assert(rows(2L) === ((1L << 15, 1L)))
+    assert(rows(3L) === ((1L << 15, 1L)))
   }
 }

@@ -138,6 +138,34 @@ class StatsGraphSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("mean_val") - mean) < 1e-3)
   }
 
+  test("logisticGd: matches a driver-side replay of the quantized GD loop") {
+    val r = Relational.logisticGd(spark, dir).collect()(0)
+    val data = Tables.orders(spark, dir)
+      .select(col("o_totalprice"), col("o_orderpriority")).collect()
+      .map(row => (row.getDouble(0),
+        if (Set("1-URGENT", "2-HIGH")(row.getString(1))) 1.0 else 0.0))
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5 + 1e-6) / 1e6
+    val mu = q6(data.map(_._1).sum / data.length)
+    val sg = q6(math.sqrt(
+      data.map(p => math.pow(p._1 - mu, 2)).sum / data.length))
+    val xy = data.map { case (t, y) => ((t - mu) / sg, y) }
+    var (w, b) = (0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val gs = xy.map { case (x, y) =>
+        val p = 1.0 / (1.0 + math.exp(-(w * x + b))); ((p - y) * x, p - y)
+      }
+      val (w2, b2) = (q6(w - 0.5 * gs.map(_._1).sum / gs.length),
+        q6(b - 0.5 * gs.map(_._2).sum / gs.length))
+      w = w2; b = b2
+    }
+    // driver-side sums accumulate in a different order than Spark's
+    // partial aggregation — agreement is up to the 1e-6 quantization
+    assert(math.abs(r.getAs[Double]("w") - w) < 1e-5, s"w ${r.getAs[Double]("w")} vs $w")
+    assert(math.abs(r.getAs[Double]("b") - b) < 1e-5)
+    assert(r.getAs[Double]("log_loss") > 0 && r.getAs[Double]("log_loss") < 0.6932)
+    assert(r.getAs[Long]("n") === data.length.toLong)
+  }
+
   test("zipfSlope: slope negative on natural-ish text, r2 in [0,1]") {
     val r = TextAnalysis.zipfSlope(spark, dir).collect()(0)
     assert(r.getAs[Double]("zipf_slope") < 0)

@@ -9,7 +9,7 @@ import graft.operators.Windows
 class WindowsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  private def ns(minute: Int): Long = // 2026-08-12 00:MM UTC in nanos
+  private def ns(minute: Int): Long = // 2026-08-16 00:MM UTC in nanos
     (1786838400L + minute * 60L) * 1000000000L
 
   private val dir = TestSpark.eventsFixture(Seq(
