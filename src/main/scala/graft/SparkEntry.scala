@@ -133,6 +133,8 @@ object SparkEntry {
     "q_activity_bitmap"  -> (graft.operators.Behavior.activityBitmap _),
     // full-batch logistic GD, 3 oracle-replayed iterations
     "q_logreg"           -> ((s, d) => Relational.logisticGd(s, d)),
+    // KMV distinct sketch: deterministic mins, oracle = ORDER BY LIMIT k
+    "q_kmv_distinct"     -> ((s, d) => Relational.kmvDistinct(s, d)),
     "q_funnel"           -> ((s, d) => graft.operators.Behavior.funnelStages(s, d)),
     "q_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
     // deterministic sync LPA, 4 rounds, plurality label w/ min tie-break
@@ -758,6 +760,22 @@ object SparkEntry {
            |floor(AVG($c) * 10000 + 0.5 + 0.000001) / 10000 AS mean_val
            |FROM lineitem""".stripMargin
       }.mkString("\n UNION ALL \n"),
+    // KMV: the sketch's retained mins are a pure function of the input
+    // set, so the oracle replays them as ORDER BY hash LIMIT k; the
+    // estimator arithmetic is written with the same expression tree.
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |m AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_retained, MAX(h) AS mk FROM m),
+        |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_ndv FROM h)
+        |SELECT CAST(256 AS BIGINT) AS k, n_retained,
+        |  floor((CASE WHEN n_retained < 256 THEN CAST(n_retained AS DOUBLE)
+        |    ELSE 255.0 / (CAST(mk AS DOUBLE) / POW(2.0, 60)) END) * 10000
+        |    + 0.5 + 0.000001) / 10000 AS est_ndv,
+        |  exact_ndv
+        |FROM a CROSS JOIN e""".stripMargin,
     "q_activity_bitmap" ->
       """SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month,
         |  bit_or(CAST(1 AS BIGINT) << (CAST(extract(day FROM ts) AS INTEGER) - 1))

@@ -139,3 +139,102 @@ case class MisraGriesTopK(
     copy(child = newChildren.head)
   override def prettyName: String = "mg_topk"
 }
+
+/** KMV (k-minimum-values) distinct-count sketch as a partial-mergeable
+  * aggregate: `kmv_mins(hash_col, k) -> array<bigint>` — the k smallest
+  * DISTINCT hash values seen (Bar-Yossef et al. 2002; mergeability:
+  * Agarwal et al. 2012). With hashes uniform on [0, 2^60) the
+  * estimator is NDV ≈ (k-1) / (m_k / 2^60) where m_k is the k-th
+  * minimum — standard error ~ 1/√k.
+  *
+  * This is the scale path for join-key cardinality stats over 100 TB:
+  * an exact COUNT(DISTINCT key) shuffles every distinct key; the
+  * sketch carries a CONSTANT k-entry ordered set per partial and
+  * merges like any aggregate (union + trim — the k smallest of a union
+  * are among the k smallest of each side, so merging loses nothing).
+  * Unlike HLL the result is a deterministic function of the input SET
+  * — same hashes in, same mins out, regardless of partitioning or
+  * merge order — so a SQL oracle replays it exactly with
+  * ORDER BY hash LIMIT k. eval returns the retained mins ascending;
+  * the caller applies the estimator (and keeps the max-as-threshold
+  * for set-operation sketches: union = merge, intersection via the
+  * ρ-section rule). */
+case class KmvMins(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k > 0, s"kmv_mins needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val h = v.asInstanceOf[Long]
+    // only admit values that can displace the current k-th minimum —
+    // steady-state updates are one comparison, no tree mutation
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) {
+      if (buf.add(h)) { buf.remove(buf.last()); () }
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+                     b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    b1.addAll(b2)
+    while (b1.size > k) b1.remove(b1.last())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val mins = new Array[Any](buf.size)
+    var i = 0
+    val it = buf.iterator() // TreeSet iterates ascending
+    while (it.hasNext) { mins(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(mins)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMins =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMins =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvMins =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_mins"
+}
+
+object FreqSketchFunctions {
+  import org.apache.spark.sql.{Column, GraftSql}
+
+  /** KMV sketch aggregate as a Column — k smallest distinct longs. */
+  def kmvMins(h: Column, k: Int): Column =
+    GraftSql.column(KmvMins(GraftSql.expression(h), k).toAggregateExpression())
+}

@@ -751,6 +751,34 @@ object Relational {
         "(col_name, n_values, n_nulls, ndv, min_val, max_val, mean_val)")
   }
 
+  /** KMV distinct-count sketch over a join key ([[graft.functions.KmvMins]]):
+    * estimate NDV(l_partkey) from the k smallest portable-md5 hash
+    * values — the constant-state alternative to COUNT(DISTINCT) for
+    * CBO cardinality stats at 100 TB (the exact path shuffles every
+    * distinct key; the sketch's partials are k longs each and merge
+    * losslessly). The exact NDV rides along as the verification
+    * column — production drops it; here the gate asserts the estimate
+    * lands within the sketch's analytic error, and the oracle replays
+    * the mins deterministically as ORDER BY hash LIMIT k (KMV's output
+    * is a pure function of the input set — no seed, no merge-order
+    * dependence, unlike HLL registers). */
+  def kmvDistinct(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val h = Tables.lineitem(s, dir).select(
+      conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    h.agg(
+        graft.functions.FreqSketchFunctions.kmvMins(col("h"), k).as("mins"),
+        countDistinct(col("h")).as("exact_ndv"))
+      .select(lit(k.toLong).as("k"),
+        size(col("mins")).cast("long").as("n_retained"),
+        round4eps(when(size(col("mins")) < k,
+          size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("mins"), k).cast("double") / lit(math.pow(2.0, 60)))))
+          .as("est_ndv"),
+        col("exact_ndv"))
+  }
+
   /** Full-batch logistic regression by gradient descent — predict
     * urgent order priority from the standardized order total. The
     * point is the iterative-optimization loop as an engine primitive

@@ -147,5 +147,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.MisraGriesTopK(args(0), k).toAggregateExpression()
       }))
+    // KMV distinct-count sketch: kmv_mins(hash_col, k) -> array<bigint>
+    ext.injectFunction((FunctionIdentifier("kmv_mins"),
+      new ExpressionInfo("graft.functions", "kmv_mins"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_mins expects (column, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_mins k must be an integer literal, got $other")
+        }
+        graft.functions.KmvMins(args(0), k).toAggregateExpression()
+      }))
   }
 }

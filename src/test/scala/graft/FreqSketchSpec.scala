@@ -39,4 +39,32 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
     assert(got.count() > 0, "fixture should contain at least one heavy token")
   }
+
+  test("kmv_mins: k smallest distinct values, invariant under partitioning") {
+    val vals = Seq(9L, 3L, 3L, 7L, 1L, 5L, 5L, 8L, 2L, 6L)
+    def mins(parts: Int): Seq[Long] =
+      vals.toDF("h").repartition(parts)
+        .agg(expr("kmv_mins(h, 4)").as("m"))
+        .select(explode(col("m")).as("v")).as[Long].collect().toSeq
+    // ascending, distinct, exactly the 4 smallest
+    assert(mins(1) === Seq(1L, 2L, 3L, 5L))
+    assert(mins(7) === Seq(1L, 2L, 3L, 5L)) // merge path, same result
+  }
+
+  test("kmv_mins: exact mode when vocabulary smaller than k") {
+    val out = Seq(5L, 5L, 1L).toDF("h")
+      .agg(expr("kmv_mins(h, 16)").as("m"))
+      .select(explode(col("m")).as("v")).as[Long].collect().toSeq
+    assert(out === Seq(1L, 5L))
+  }
+
+  test("kmvDistinct estimator lands within the analytic error band") {
+    val r = operators.Relational.kmvDistinct(s, TestSpark.sfDir).collect()(0)
+    val exact = r.getAs[Long]("exact_ndv").toDouble
+    val est = r.getAs[Double]("est_ndv")
+    if (r.getAs[Long]("n_retained") < r.getAs[Long]("k"))
+      assert(est === exact) // sketch not full → exact by construction
+    else // 5σ at k=256 ≈ 31% — loose enough to never flake, still real
+      assert(math.abs(est - exact) / exact < 0.3125, s"est $est vs $exact")
+  }
 }
