@@ -135,6 +135,8 @@ object SparkEntry {
     "q_logreg"           -> ((s, d) => Relational.logisticGd(s, d)),
     // KMV distinct sketch: deterministic mins, oracle = ORDER BY LIMIT k
     "q_kmv_distinct"     -> ((s, d) => Relational.kmvDistinct(s, d)),
+    // equi-depth CBO histogram: quantized exact-quantile boundaries
+    "q_equidepth_hist"   -> ((s, d) => Relational.equiDepthHist(s, d)),
     "q_funnel"           -> ((s, d) => graft.operators.Behavior.funnelStages(s, d)),
     "q_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
     // deterministic sync LPA, 4 rounds, plurality label w/ min tie-break
@@ -760,6 +762,22 @@ object SparkEntry {
            |floor(AVG($c) * 10000 + 0.5 + 0.000001) / 10000 AS mean_val
            |FROM lineitem""".stripMargin
       }.mkString("\n UNION ALL \n"),
+    "q_equidepth_hist" ->
+      """WITH b AS (SELECT list_transform(
+        |    [quantile_cont(o_totalprice, 0.125), quantile_cont(o_totalprice, 0.25),
+        |     quantile_cont(o_totalprice, 0.375), quantile_cont(o_totalprice, 0.5),
+        |     quantile_cont(o_totalprice, 0.625), quantile_cont(o_totalprice, 0.75),
+        |     quantile_cont(o_totalprice, 0.875)],
+        |    y -> floor(y * 1000000 + 0.5 + 0.000001) / 1000000) AS bs
+        |  FROM orders),
+        |x AS (SELECT o.o_totalprice AS v,
+        |    CAST(1 + len(list_filter(bs, y -> o.o_totalprice > y)) AS INTEGER)
+        |      AS bucket
+        |  FROM orders o CROSS JOIN b)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  floor(MIN(v) * 10000 + 0.5 + 0.000001) / 10000 AS lo,
+        |  floor(MAX(v) * 10000 + 0.5 + 0.000001) / 10000 AS hi
+        |FROM x GROUP BY bucket""".stripMargin,
     // KMV: the sketch's retained mins are a pure function of the input
     // set, so the oracle replays them as ORDER BY hash LIMIT k; the
     // estimator arithmetic is written with the same expression tree.

@@ -22,4 +22,13 @@ object Rounding {
     * floor(x*10000 + 0.5 + 0.000001)/10000. */
   def round4eps(c: Column): Column =
     floor(c * lit(10000) + lit(0.5) + lit(1e-6)) / lit(10000)
+
+  /** Same boundary logic at 1e-6 — the quantization pin for values
+    * that FEED further arithmetic or comparisons (iterated model
+    * parameters, bucket boundaries): both engines recompute from the
+    * identical quantized double, so ulp drift can't compound or flip
+    * a comparison. Oracle counterpart:
+    * floor(x*1000000 + 0.5 + 0.000001)/1000000. */
+  def round6eps(c: Column): Column =
+    floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
 }

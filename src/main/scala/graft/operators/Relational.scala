@@ -751,6 +751,33 @@ object Relational {
         "(col_name, n_values, n_nulls, ndv, min_val, max_val, mean_val)")
   }
 
+  /** Equi-depth histogram of order totals — the other half of CBO
+    * statistics beside [[analyzeStats]] (equi-depth bounds per-bucket
+    * selectivity error where equi-width collapses under skew; this is
+    * the histogram ANALYZE actually stores). Bucket boundaries are the
+    * exact interpolated k-quantiles, 1e-6-quantized so both engines
+    * compare rows against bit-identical bounds; rows tie to the lower
+    * bucket. Scale shape: one exact-percentile aggregate (production
+    * swaps in approx_percentile, same plan shape), then a map-only
+    * bucket assignment against the broadcast 7-value boundary array
+    * and a k-row aggregate — the table is scanned twice, never
+    * shuffled at row grain. */
+  def equiDepthHist(s: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = Tables.orders(s, dir)
+      .agg(expr(s"percentile(o_totalprice, array(${probs.mkString(", ")}))")
+        .as("bs"))
+      .select(transform(col("bs"), b => round6eps(b)).as("bs"))
+    Tables.orders(s, dir).crossJoin(broadcast(bounds))
+      .select(col("o_totalprice").as("v"),
+        (size(filter(col("bs"), b => col("o_totalprice") > b)) + 1).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round4eps(min(col("v"))).as("lo"),
+        round4eps(max(col("v"))).as("hi"))
+  }
+
   /** KMV distinct-count sketch over a join key ([[graft.functions.KmvMins]]):
     * estimate NDV(l_partkey) from the k smallest portable-md5 hash
     * values — the constant-state alternative to COUNT(DISTINCT) for
