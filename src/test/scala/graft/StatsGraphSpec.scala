@@ -166,6 +166,24 @@ class StatsGraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") === data.length.toLong)
   }
 
+  test("equiDepthHist: 8 near-equal buckets, ordered non-overlapping ranges") {
+    val rows = Relational.equiDepthHist(spark, dir).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq === (1 to 8))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.orders(spark, dir).count())
+    // equi-depth: every bucket within 5% of the ideal share (ties and
+    // interpolation can nudge rows across a boundary, never far)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      assert(math.abs(n - total / 8.0) <= total * 0.05, s"bucket $r")
+    }
+    // ranges ordered and non-overlapping
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+  }
+
   test("zipfSlope: slope negative on natural-ish text, r2 in [0,1]") {
     val r = TextAnalysis.zipfSlope(spark, dir).collect()(0)
     assert(r.getAs[Double]("zipf_slope") < 0)
