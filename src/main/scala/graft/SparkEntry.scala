@@ -137,6 +137,8 @@ object SparkEntry {
     "q_kmv_distinct"     -> ((s, d) => Relational.kmvDistinct(s, d)),
     // equi-depth CBO histogram: quantized exact-quantile boundaries
     "q_equidepth_hist"   -> ((s, d) => Relational.equiDepthHist(s, d)),
+    // 2-itemset association rules: support/confidence/lift, top-k lift
+    "q_basket_rules"     -> ((s, d) => graft.operators.Behavior.basketRules(s, d)),
     "q_funnel"           -> ((s, d) => graft.operators.Behavior.funnelStages(s, d)),
     "q_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
     // deterministic sync LPA, 4 rounds, plurality label w/ min tie-break
@@ -762,6 +764,25 @@ object SparkEntry {
            |floor(AVG($c) * 10000 + 0.5 + 0.000001) / 10000 AS mean_val
            |FROM lineitem""".stripMargin
       }.mkString("\n UNION ALL \n"),
+    "q_basket_rules" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM l),
+        |s AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_one FROM l GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM l a JOIN l b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT pa, pb, n_both,
+        |  floor(CAST(n_both AS DOUBLE) / n_orders * 10000 + 0.5 + 0.000001) / 10000
+        |    AS support,
+        |  floor(CAST(n_both AS DOUBLE) / sa.n_one * 10000 + 0.5 + 0.000001) / 10000
+        |    AS confidence,
+        |  floor(CAST(n_both AS DOUBLE) * n_orders / (sa.n_one * sb.n_one) * 10000
+        |    + 0.5 + 0.000001) / 10000 AS lift
+        |FROM p JOIN s sa ON p.pa = sa.l_partkey
+        |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
+        |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
     "q_equidepth_hist" ->
       """WITH b AS (SELECT list_transform(
         |    [quantile_cont(o_totalprice, 0.125), quantile_cont(o_totalprice, 0.25),

@@ -124,4 +124,42 @@ object Behavior {
         .as("days_bitmap"))
       .select(col("user_id"), col("month"), col("days_bitmap"),
         bit_count(col("days_bitmap")).cast("long").as("n_active_days"))
+
+  /** Market-basket association rules (Agrawal & Srikant's Apriori at
+    * the 2-itemset level): parts co-purchased within an order, scored
+    * by support, confidence and lift, top-k by lift above a minimum
+    * co-occurrence count. The canonical affinity-mining query every
+    * retail warehouse runs.
+    *
+    * Scale posture: the pair enumeration is an order-keyed self-join —
+    * quadratic only in ORDER size (baskets are small and bounded: ≤7
+    * lines here; a size guard would cap pathological baskets), so pair
+    * volume is linear in lineitems. Both metric joins are keyed on
+    * part id against part-cardinality aggregates, and the top-k is a
+    * TakeOrdered — no global sort, no part×part blowup (pairs below
+    * minCount never reach the joins). */
+  def basketRules(s: SparkSession, dir: String,
+      minCount: Long = 3, topK: Int = 20): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = l.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val singles = l.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_one"))
+    val pairs = l.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(l.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCount)
+    pairs
+      .join(singles.select(col("l_partkey").as("pa"), col("n_one").as("n_a")), "pa")
+      .join(singles.select(col("l_partkey").as("pb"), col("n_one").as("n_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_both"),
+        round4eps(col("n_both").cast("double") / col("n_orders")).as("support"),
+        round4eps(col("n_both").cast("double") / col("n_a")).as("confidence"),
+        round4eps(col("n_both").cast("double") * col("n_orders")
+          / (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb")).limit(topK)
+  }
 }

@@ -80,4 +80,29 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows(2L) === ((1L << 15, 1L)))
     assert(rows(3L) === ((1L << 15, 1L)))
   }
+
+  test("basketRules: metrics reproduce a driver-side brute force, lift-ordered") {
+    val sfDir = TestSpark.sfDir
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = baskets.map(_._1).distinct.length.toDouble
+    val nOne = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nBoth = baskets.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def r4(v: Double) = math.floor(v * 1e4 + 0.5 + 1e-6) / 1e4
+    val want = nBoth.filter(_._2 >= 3).map { case ((a, b), n) =>
+      (a, b, n, r4(n / nOrders), r4(n.toDouble / nOne(a)),
+        r4(n.toDouble * nOrders / (nOne(a) * nOne(b))))
+    }.toSeq.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = operators.Behavior.basketRules(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb"),
+        r.getAs[Long]("n_both"), r.getAs[Double]("support"),
+        r.getAs[Double]("confidence"), r.getAs[Double]("lift"))).toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
 }
