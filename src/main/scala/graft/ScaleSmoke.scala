@@ -132,6 +132,13 @@ object ScaleSmoke {
     // streamed aggregate over the persisted standardized input.
     run("activityBitmap")(operators.Behavior.activityBitmap(spark, dir))
     run("logisticGd")(operators.Relational.logisticGd(spark, dir))
+    // kmvDistinct: constant k-long partials regardless of NDV growth.
+    // equiDepthHist: one percentile aggregate + map-only binning.
+    // basketRules: pair volume linear in lineitems (bounded baskets);
+    // replication grows orders factor× at constant basket size.
+    run("kmvDistinct")(operators.Relational.kmvDistinct(spark, dir))
+    run("equiDepthHist")(operators.Relational.equiDepthHist(spark, dir))
+    run("basketRules")(operators.Behavior.basketRules(spark, dir))
 
     spark.stop()
   }

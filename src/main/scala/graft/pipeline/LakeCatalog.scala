@@ -394,6 +394,54 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       .option("path", s"$warehouseDir/_bucketed/$tableName")
       .saveAsTable(tableName)
 
+  /** Write–audit–publish (the Iceberg WAP pattern: write to a staging
+    * branch, audit it, cherry-pick into main only if clean): the
+    * commit is staged OUTSIDE the table directory — invisible to every
+    * reader — audited there with the dbt-test row checks, and only a
+    * clean audit atomically moves it in as a visible commit + snapshot.
+    * A failed audit deletes the staging files and leaves the table
+    * byte-identical: no snapshot, no partial data, and the check
+    * report comes back for the orchestrator's quarantine path. This is
+    * the production answer to "dbt test runs AFTER the bad data is
+    * already live" (the reference's e≫t≫t DAG, dag.py:30-37 — its
+    * test stage can only alarm, never prevent).
+    *
+    * Scale posture: the audit reads back the STAGED files (footer
+    * schema, no extra plan run of `df`), and the checks aggregate in
+    * one pass ([[Checks.report]]); publish is a directory rename —
+    * O(1), the same atomicity story as the CTAS swap. */
+  def writeAuditPublish(name: String, df: DataFrame,
+      rowChecks: Seq[Checks.RowCheck], uniqueCols: Seq[String] = Nil,
+      partitionTs: Option[String] = None): Either[DataFrame, Long] = {
+    val staging = Paths.get(tablePath(name) + s"__wap_${System.nanoTime()}")
+    val writer = partitionTs match {
+      case Some(ts) =>
+        df.withColumn(partitionColFor(ts), to_date(col(ts)))
+          .write.partitionBy(partitionColFor(ts))
+      case None => df.write
+    }
+    writer.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val reportDf = Checks.report(
+      spark.read.parquet(staging.toString), rowChecks, uniqueCols)
+    // one row per check — pin it driver-side BEFORE any staging delete
+    // so the returned report never dangles on removed files
+    val reportRows = reportDf.collect()
+    val clean = reportRows.forall(_.getAs[Boolean]("passed"))
+    if (!clean) {
+      deleteRecursive(staging)
+      Left(spark.createDataFrame(
+        java.util.Arrays.asList(reportRows: _*), reportDf.schema))
+    } else {
+      val id = nextSnapshotId(name)
+      Files.createDirectories(Paths.get(tablePath(name)))
+      val commitPath = Paths.get(s"${tablePath(name)}/$commitCol=$id")
+      Files.move(staging, commitPath)
+      saveSchema(name, appendReadSchema(name, df.schema, partitionTs))
+      logSnapshot(name, "append_wap", parquetRowCount(commitPath.toString), id)
+      Right(id)
+    }
+  }
+
   private def logSnapshot(name: String, op: String, rows: Long,
                           snapshotId: Long = -1L): Unit = {
     val p = snapshotLogPath(name)

@@ -154,4 +154,39 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(cat.table("raw.t").count() === 4L)
     assert(cat.tableSince("raw.t", 4L).count() === 1L)
   }
+
+  test("writeAuditPublish: clean audit publishes a snapshot, dirty audit leaves no trace") {
+    val s = spark
+    import s.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-wap"))
+    cat.createNamespace("raw")
+    val checks = Seq(Checks.notNull("name"), Checks.nonNegative("id"))
+
+    val ok = cat.writeAuditPublish("raw.t",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), checks, Seq("id"))
+    assert(ok === Right(1L))
+    assert(cat.table("raw.t").count() === 2L)
+    val snaps = cat.snapshots("raw.t").collect()
+    assert(snaps.length === 1 &&
+      snaps.head.getAs[String]("operation") === "append_wap")
+
+    // dirty batch: negative id AND duplicate key — audit must block it
+    val bad = cat.writeAuditPublish("raw.t",
+      Seq((-3L, "c"), (4L, "d"), (4L, "e")).toDF("id", "name"), checks, Seq("id"))
+    assert(bad.isLeft)
+    val failed = bad.left.toOption.get.collect()
+      .filter(!_.getAs[Boolean]("passed"))
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations"))
+      .toMap
+    assert(failed === Map("non_negative_id" -> 1L, "unique_id" -> 1L))
+    // table byte-identical: same rows, same snapshot count
+    assert(cat.table("raw.t").count() === 2L)
+    assert(cat.snapshots("raw.t").count() === 1L)
+    assert(cat.currentSnapshotId("raw.t") === 1L)
+
+    // a following clean publish lands as snapshot 2
+    assert(cat.writeAuditPublish("raw.t",
+      Seq((5L, "f")).toDF("id", "name"), checks, Seq("id")) === Right(2L))
+    assert(cat.table("raw.t").count() === 3L)
+  }
 }
