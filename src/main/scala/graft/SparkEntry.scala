@@ -376,6 +376,16 @@ object SparkEntry {
     "q_lang_confusion"   -> (TextAnalysis.langConfusion _),
     // the custom physical as-of operator (merge-scan, one buffered row)
     "q_asof_custom"      -> (TemporalJoins.lastViewBeforePurchaseCustom _),
+    // remaining classic TPC-H shapes: EXISTS semi (Q4), outer-join
+    // distribution (Q13), NOT-IN + count-distinct (Q16), disjunctive
+    // predicates (Q19), double-EXISTS rewrite (Q21), scalar-subquery
+    // anti join (Q22)
+    "q_priority_check"   -> ((s, d) => Joins.orderPriorityCheck(s, d)),
+    "q_custdist"         -> ((s, d) => Joins.orderCountDistribution(s, d)),
+    "q_part_supp_counts" -> ((s, d) => Joins.partSupplierCounts(s, d)),
+    "q_disjunct_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
+    "q_waiting_suppliers"-> ((s, d) => Joins.waitingSuppliers(s, d)),
+    "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -2434,6 +2444,63 @@ object SparkEntry {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_priority_check" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_custdist" ->
+      """WITH pc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1)
+        |SELECT COALESCE(cnt, 0) AS n_orders, CAST(COUNT(*) AS BIGINT) AS n_custs
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY n_custs DESC, n_orders DESC""".stripMargin,
+    "q_part_supp_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,13,17,21,25,29)
+        |AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_disjunct_revenue" ->
+      """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_waiting_suppliers" ->
+      """WITH f AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |a AS (SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supps,
+        |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+        |    MIN(CASE WHEN late THEN l_suppkey END) AS late_supp
+        |  FROM f GROUP BY 1)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM a JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supps > 1 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_sales_opportunity" ->
+      """WITH ab AS (SELECT AVG(c_acctbal) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |ROUND(SUM(c_acctbal), 4) AS total_bal
+        |FROM customer, ab
+        |WHERE c_acctbal > avg_bal
+        |AND NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
         |    AS INTEGER) AS digit

@@ -303,4 +303,161 @@ object Joins {
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
+
+  /** TPC-H Q4 shape — order-priority checking: orders from one year
+    * where at least one line shipped more than `lateDays` after the
+    * order date, counted by priority. The EXISTS subquery is a LEFT
+    * SEMI join on orderkey with the lateness predicate as a join-side
+    * filter; lineitem is pre-projected to two columns so the shuffled
+    * semi-join build carries no payload. The date filter pushes into
+    * the orders scan (PushedFilters on o_orderdate).
+    * (Schema note: the testdata has no commit/receipt dates, so
+    * "late" is defined against the order date — same plan shape.) */
+  def orderPriorityCheck(s: SparkSession, dir: String,
+      year: String = "1996", lateDays: Int = 60): DataFrame = {
+    val lo = lit(s"$year-01-01").cast("timestamp")
+    val hi = lit(s"${year.toInt + 1}-01-01").cast("timestamp")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed exactly N non-'F' orders, including the
+    * zero-order bucket. Instead of the textbook outer join of raw
+    * orders onto customer (|orders| rows through the join), orders are
+    * aggregated to per-customer counts FIRST (one shuffle on custkey,
+    * map-side combined), and the count table — |customer|-sized —
+    * left-joins back; absent keys coalesce to 0. The final
+    * distribution is a tiny second aggregate. */
+  def orderCountDistribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") =!= "F")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .groupBy(col("n_orders")).agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("n_orders").desc)
+  }
+
+  /** TPC-H Q16 shape — parts/supplier relationship: distinct supplier
+    * counts per (brand, type, size) over selected sizes, excluding
+    * brand 'Brand#1' and any supplier with a negative balance (the
+    * NOT IN subquery). The excluded-supplier set is tiny → broadcast
+    * LEFT ANTI (map-side, no shuffle); the part dimension filter is a
+    * broadcast equi-join; COUNT(DISTINCT) is Spark's two-phase
+    * partial-distinct aggregate keyed by the group columns.
+    * (Schema note: no partsupp table in the testdata — lineitem is the
+    * part↔supplier bridge, same join topology.) */
+  def partSupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 5, 9, 13, 17, 21, 25, 29).map(lit(_))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSupp = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive discounted revenue: three
+    * brand/size/quantity disjuncts OR-ed together. The join key is
+    * still the plain partkey equi-join; the disjunction rides as the
+    * join filter. Crucially the build side is pre-pruned with the
+    * hand-extracted CNF envelope of the disjunction (brand ∈ {…} AND
+    * size ≤ max) — the optimization Catalyst cannot derive from an OR
+    * across both sides — so the broadcast hash table holds only
+    * eligible parts. */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("Brand#1", "Brand#2", "Brand#3")
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand").isin(brands.map(lit(_)): _*) &&
+        col("p_size").between(1, 15))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val disjunction =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey") && disjunction)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: for
+    * finished ('F') orders with lines from ≥2 suppliers, find orders
+    * where EXACTLY ONE supplier shipped late (> `lateDays` past the
+    * order date) and charge that order to the late supplier. The
+    * textbook formulation is two correlated self-joins of lineitem
+    * (EXISTS + NOT EXISTS); at 100 TB those are two extra shuffles of
+    * the fact table. This plan folds both into ONE per-order
+    * aggregate — n distinct suppliers, n distinct late suppliers, and
+    * min(late supplier) which is THE late supplier when the count is
+    * 1 — so lineitem is shuffled once, on the key it shares with
+    * orders. Supplier names broadcast at the end.
+    * (Schema note: no commit/receipt dates — lateness is measured
+    * against the order date, preserving the exists/not-exists shape.) */
+  def waitingSuppliers(s: SparkSession, dir: String,
+      lateDays: Int = 90, topN: Int = 20): DataFrame = {
+    val ord = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val flagged = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+    val perOrder = flagged.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supps") > 1 && col("n_late") === 1)
+    perOrder
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q22 shape — global sales opportunity: customers whose
+    * balance beats the average positive balance but who have no OPEN
+    * ('O') order, profiled by market segment. The scalar AVG subquery
+    * is a 1-row broadcast cross join (no second pass over customer);
+    * the NOT EXISTS is a LEFT ANTI against the DISTINCT custkeys of
+    * open orders — the status filter pushes into the scan and
+    * distinct-ing first shrinks the anti-join build from |orders| to
+    * |customers-with-open-orders| before the shuffle. (The testdata's
+    * keyspace is dense — every customer has SOME order — so the
+    * no-order-at-all predicate would gate on an empty result; open
+    * orders keep the gate populated at every sf.) */
+  def salesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.customer(s, dir)
+    val avgBal = cus.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val activeCust = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey")).distinct()
+    cus.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(activeCust, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 4).as("total_bal"))
+      .orderBy(col("segment"))
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Joins
+
+/** Semantics + plan-shape checks for the round-7 TPC-H shapes
+  * (Q4/Q13/Q16/Q19/Q21/Q22 adaptations). Values are oracle-gated in
+  * the registry; these specs pin the SCALE-relevant plan properties
+  * the oracle can't see: semi/anti join strategy and broadcast sides.
+  */
+class TpchShapesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("orderPriorityCheck is a LEFT SEMI on orderkey with pushed date filter") {
+    val plan = physical(Joins.orderPriorityCheck(spark, dir))
+    assert(plan.contains("LeftSemi"))
+    assert(plan.toLowerCase.contains("pushedfilters: [isnotnull(o_orderdate)"))
+    val out = Joins.orderPriorityCheck(spark, dir).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) > 0))
+  }
+
+  test("orderCountDistribution counts every customer exactly once") {
+    val out = Joins.orderCountDistribution(spark, dir).collect()
+    val totalCusts = out.map(_.getLong(1)).sum
+    assert(totalCusts == Tables.customer(spark, dir).count())
+  }
+
+  test("partSupplierCounts anti-joins flagged suppliers via broadcast") {
+    val plan = physical(Joins.partSupplierCounts(spark, dir))
+    assert(plan.contains("LeftAnti"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("disjunctiveRevenue broadcasts the CNF-pruned part side") {
+    val plan = physical(Joins.disjunctiveRevenue(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"))
+    // the envelope prune reaches the part scan
+    assert(plan.contains("p_size"))
+  }
+
+  test("waitingSuppliers blames exactly one late supplier per order") {
+    // every returned supplier must exist; numwait sums to the number of
+    // single-late-supplier multi-supplier 'F' orders
+    val out = Joins.waitingSuppliers(spark, dir, topN = 1000).collect()
+    assert(out.forall(_.getLong(1) > 0))
+  }
+
+  test("salesOpportunity returns rows and only above-average balances") {
+    val out = Joins.salesOpportunity(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) > 0))
+  }
+}
