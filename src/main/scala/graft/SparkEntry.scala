@@ -386,6 +386,10 @@ object SparkEntry {
     "q_disjunct_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
     "q_waiting_suppliers"-> ((s, d) => Joins.waitingSuppliers(s, d)),
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
+    // ML evaluation, privacy audit, and graph link prediction
+    "q_classifier_eval"  -> ((s, d) => Relational.classifierEval(s, d)),
+    "q_kanonymity"       -> ((s, d) => Relational.kAnonymityProfile(s, d)),
+    "q_link_prediction"  -> ((s, d) => graft.operators.Graph.linkPrediction(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -2491,6 +2495,73 @@ object SparkEntry {
         |FROM a JOIN supplier ON late_supp = s_suppkey
         |WHERE n_supps > 1 AND n_late = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_classifier_eval" ->
+      """WITH sc AS (SELECT o_totalprice AS score,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |b AS (SELECT CAST(floor(score / 1000.0) AS BIGINT) AS bucket,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n_neg
+        |  FROM sc GROUP BY 1),
+        |r AS (SELECT n_pos, n_neg, n_pos + n_neg AS n,
+        |    SUM(n_pos + n_neg) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (n_pos + n_neg) AS cum
+        |  FROM b),
+        |a AS (SELECT SUM(n_pos * (CAST(cum AS DOUBLE)
+        |      + (CAST(n AS DOUBLE) + 1.0) / 2.0)) AS rank_sum,
+        |    CAST(SUM(n_pos) AS BIGINT) AS p,
+        |    CAST(SUM(n_neg) AS BIGINT) AS nn FROM r),
+        |t AS (SELECT floor(AVG(score) * 1000000 + 0.5 + 0.000001)
+        |    / 1000000 AS thr FROM sc),
+        |cm AS (SELECT
+        |    CAST(SUM(CASE WHEN score > thr AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN score > thr AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN score <= thr AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN score <= thr AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM sc, t)
+        |SELECT floor((rank_sum - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0)
+        |    / 2.0) / (CAST(p AS DOUBLE) * CAST(nn AS DOUBLE))
+        |    * 10000 + 0.5 + 0.000001) / 10000 AS auc_binned,
+        |p AS n_pos, nn AS n_neg,
+        |floor(CAST(tp AS DOUBLE) / (tp + fp) * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS precision,
+        |floor(CAST(tp AS DOUBLE) / (tp + fn) * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS recall,
+        |floor(2.0 * tp / (2.0 * tp + fp + fn) * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS f1,
+        |floor(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+        |  * 10000 + 0.5 + 0.000001) / 10000 AS accuracy
+        |FROM a, cm""".stripMargin,
+    "q_kanonymity" ->
+      """SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+        |CAST(COUNT(*) AS BIGINT) AS group_size,
+        |COUNT(*) >= 5 AS k_anonymous,
+        |CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+        |  AS BIGINT) AS l_diversity,
+        |COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+        |  AS l_diverse
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_link_prediction" ->
+      """WITH e AS (SELECT o_custkey AS cust, l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderkey) >= 3),
+        |d AS (SELECT supp, CAST(COUNT(*) AS BIGINT) AS deg FROM e
+        |  GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |w AS (SELECT a.cust AS cust_a, b.cust AS cust_b, d.deg
+        |  FROM e a JOIN d ON a.supp = d.supp JOIN e b ON b.supp = d.supp
+        |  WHERE a.cust < b.cust)
+        |SELECT cust_a, cust_b, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+        |floor(SUM(1.0 / ln(deg)) * 10000 + 0.5 + 0.000001) / 10000
+        |  AS adamic_adar
+        |FROM w GROUP BY 1, 2
+        |ORDER BY adamic_adar DESC, common_neighbors DESC, cust_a, cust_b
+        |LIMIT 50""".stripMargin,
     "q_sales_opportunity" ->
       """WITH ab AS (SELECT AVG(c_acctbal) AS avg_bal
         |  FROM customer WHERE c_acctbal > 0)

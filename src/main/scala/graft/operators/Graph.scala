@@ -322,4 +322,43 @@ object Graph {
     // caller-owned like pageRank's withDeg — Verify/Bench clearCache.
     labels.select(col("node").as("node_id"), col("label").as("community"))
   }
+
+  /** Link prediction on the customer–supplier trade graph: score
+    * customer pairs by common neighbors and Adamic–Adar
+    * (Σ_{shared supplier s} 1/ln(deg(s)) — shared RARE suppliers count
+    * more than shared hubs; Adamic & Adar, Social Networks 25, 2003).
+    *
+    * Scale posture — wedge enumeration is quadratic in supplier
+    * degree, so density is controlled TWICE before any pair exists:
+    *  - edges are RepeatEd relationships only (≥ `minOrders` distinct
+    *    orders between the pair) — the signal filter; a one-off
+    *    purchase is noise for affinity anyway;
+    *  - suppliers above `maxDeg` surviving customers are dropped — the
+    *    guard rail. A hub's wedges cost deg² yet each carries weight
+    *    1/ln(deg) → ~0, the classic worst-cost/least-information term
+    *    (same df-cap as the n-gram postings and prefix-filter joins).
+    * What remains is one supplier-keyed self-join whose output is
+    * Σ capped-deg² — tracked by candidate volume, not corpus². */
+  def linkPrediction(s: SparkSession, dir: String, minOrders: Int = 3,
+      maxDeg: Int = 1000, topN: Int = 50): DataFrame = {
+    val edges = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .agg(countDistinct(col("o_orderkey")).as("n_ord"))
+      .filter(col("n_ord") >= minOrders)
+      .select(col("cust"), col("supp"))
+    val deg = edges.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= maxDeg)
+    val wedgeSide = edges.join(deg, "supp")
+    val a = wedgeSide.select(col("supp"), col("cust").as("cust_a"), col("deg"))
+    val b = wedgeSide.select(col("supp"), col("cust").as("cust_b"))
+    a.join(b, Seq("supp"))
+      .filter(col("cust_a") < col("cust_b"))
+      .groupBy(col("cust_a"), col("cust_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        round4eps(sum(lit(1.0) / log(col("deg").cast("double")))).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("common_neighbors").desc,
+        col("cust_a"), col("cust_b"))
+      .limit(topN)
+  }
 }

@@ -879,6 +879,100 @@ object Relational {
         max(col("price_d")).cast("double").as("max_price"),
         count(lit(1)).as("n_rows"))
 
+  /** Classifier evaluation suite — AUC plus thresholded
+    * precision/recall/F1/accuracy for the urgent-priority label scored
+    * by the raw order total (AUC is rank-based, so this equals the AUC
+    * of any monotone 1-feature model fit on that score, including
+    * [[logisticGd]]'s).
+    *
+    * The textbook AUC needs a GLOBAL rank of every row — a full sort
+    * of the corpus. This computes the binned AUC instead: scores are
+    * bucketed to fixed `binWidth` cells, per-bucket (n_pos, n_neg)
+    * counts aggregate in one map-side-combined shuffle, and the
+    * Mann–Whitney rank-sum runs as a window sweep over the BUCKET
+    * table (ndv-sized, thousands of rows at any corpus size) with
+    * average-rank tie handling. Counts are exact integers, so the
+    * whole statistic is bit-deterministic until the single final
+    * division. Binning error is bounded by bucket occupancy; shrink
+    * `binWidth` to trade sweep size for fidelity.
+    *
+    * The confusion-matrix threshold is the q6-quantized global mean
+    * score (one scalar aggregate, broadcast) — the same quantization
+    * [[logisticGd]] uses to keep cross-engine ulps out of
+    * comparisons. */
+  def classifierEval(s: SparkSession, dir: String,
+      binWidth: Double = 1000.0): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val scored = Tables.orders(s, dir).select(
+      col("o_totalprice").as("score"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1L))
+        .otherwise(lit(0L)).as("y"))
+    val buckets = scored
+      .groupBy(floor(col("score") / lit(binWidth)).cast("long").as("bucket"))
+      .agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = buckets
+      .withColumn("n", col("n_pos") + col("n_neg"))
+      .withColumn("cum", sum(col("n")).over(w) - col("n"))
+      .select((col("n_pos") * (col("cum").cast("double") +
+        (col("n").cast("double") + lit(1.0)) / lit(2.0))).as("pos_rank"),
+        col("n_pos"), col("n_neg"))
+    val aucRow = ranked.agg(
+      sum(col("pos_rank")).as("rank_sum"),
+      sum(col("n_pos")).as("p"), sum(col("n_neg")).as("n"))
+      .select(round4eps((col("rank_sum") -
+        col("p").cast("double") * (col("p").cast("double") + lit(1.0)) / lit(2.0))
+        / (col("p").cast("double") * col("n").cast("double"))).as("auc_binned"),
+        col("p").as("n_pos"), col("n").as("n_neg"))
+    val thr = scored.agg(q6(avg(col("score"))).as("thr"))
+    val cm = scored.crossJoin(broadcast(thr))
+      .agg(
+        sum(when(col("score") > col("thr") && col("y") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") > col("thr") && col("y") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") <= col("thr") && col("y") === 1, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("score") <= col("thr") && col("y") === 0, 1L)
+          .otherwise(0L)).as("tn"))
+    aucRow.crossJoin(broadcast(cm))
+      .select(col("auc_binned"), col("n_pos"), col("n_neg"),
+        round4eps(col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+        round4eps(col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+        round4eps(lit(2.0) * col("tp") /
+          (lit(2.0) * col("tp") + col("fp") + col("fn"))).as("f1"),
+        round4eps((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn"))).as("accuracy"))
+  }
+
+  /** k-anonymity / l-diversity privacy audit over the customer table —
+    * the pre-release re-identification screen a training-data pipeline
+    * runs before shipping records keyed by quasi-identifiers.
+    * QI = (market segment, nation); sensitive attribute = account
+    * balance bucketed to $1000 cells. A QI group is k-anonymous when
+    * ≥ k individuals share it and l-diverse when its members span ≥ l
+    * distinct sensitive values — groups failing either are the
+    * re-identification risks to generalize or suppress.
+    * One shuffle keyed by the QI pair; the distinct-sensitive count is
+    * Spark's two-phase partial-distinct aggregate. At 100 TB the group
+    * count is bounded by the QI-domain product, not the corpus. */
+  def kAnonymityProfile(s: SparkSession, dir: String,
+      k: Int = 5, l: Int = 3): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"))
+      .groupBy(col("segment"), col("nationkey"))
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col("bal_bucket")).as("l_diversity"))
+      .select(col("segment"), col("nationkey"), col("group_size"),
+        (col("group_size") >= k).as("k_anonymous"),
+        col("l_diversity"),
+        (col("l_diversity") >= l).as("l_diverse"))
+      .orderBy(col("segment"), col("nationkey"))
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

@@ -210,4 +210,46 @@ class StatsGraphSpec extends AnyFunSuite {
     assert(r.length == 1)
     assert(math.abs(r.head.getAs[Double]("centroid_cosine") - 1.0) < 1e-4)
   }
+
+  test("classifierEval: AUC in [0,1], counts cover the corpus, F1 consistent") {
+    val r = Relational.classifierEval(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val auc = row.getAs[Double]("auc_binned")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(row.getAs[Long]("n_pos") + row.getAs[Long]("n_neg") ==
+      Tables.orders(spark, dir).count())
+    val p = row.getAs[Double]("precision"); val rec = row.getAs[Double]("recall")
+    val f1 = row.getAs[Double]("f1")
+    // F1 is the harmonic mean of P and R (4-decimal rounding slack)
+    assert(math.abs(f1 - 2 * p * rec / (p + rec)) < 1e-3)
+  }
+
+  test("classifierEval: a narrower bin width only refines the AUC") {
+    val coarse = Relational.classifierEval(spark, dir, binWidth = 100000.0)
+      .collect().head.getAs[Double]("auc_binned")
+    val fine = Relational.classifierEval(spark, dir, binWidth = 100.0)
+      .collect().head.getAs[Double]("auc_binned")
+    // same underlying ranking: binned estimates agree within bucket noise
+    assert(math.abs(coarse - fine) < 0.05, s"coarse $coarse vs fine $fine")
+  }
+
+  test("kAnonymityProfile: group sizes sum to the customer count") {
+    val rows = Relational.kAnonymityProfile(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("group_size")).sum ==
+      Tables.customer(spark, dir).count())
+    assert(rows.forall { r =>
+      r.getAs[Boolean]("k_anonymous") == (r.getAs[Long]("group_size") >= 5)
+    })
+  }
+
+  test("linkPrediction: scores rare shared suppliers above hubs") {
+    val rows = Graph.linkPrediction(spark, dir, topN = 1000).collect()
+    assert(rows.nonEmpty)
+    // adamic-adar >= common_neighbors / ln(maxDeg) and every pair ordered
+    assert(rows.forall { r =>
+      r.getAs[Long]("cust_a") < r.getAs[Long]("cust_b") &&
+        r.getAs[Double]("adamic_adar") > 0.0
+    })
+  }
 }
