@@ -386,6 +386,8 @@ object SparkEntry {
     "q_disjunct_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
     "q_waiting_suppliers"-> ((s, d) => Joins.waitingSuppliers(s, d)),
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
+    // multi-touch conversion attribution (first/last/linear models)
+    "q_attribution"      -> ((s, d) => graft.operators.Behavior.attribution(s, d)),
     // ML evaluation, privacy audit, and graph link prediction
     "q_classifier_eval"  -> ((s, d) => Relational.classifierEval(s, d)),
     "q_kanonymity"       -> ((s, d) => Relational.kAnonymityProfile(s, d)),
@@ -2495,6 +2497,29 @@ object SparkEntry {
         |FROM a JOIN supplier ON late_supp = s_suppkey
         |WHERE n_supps > 1 AND n_late = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_attribution" ->
+      """WITH conv AS (SELECT user_id, event_id AS conv_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, event_type AS channel, ts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT c.conv_id, t.channel, t.ts AS ts_r, t.touch_id
+        |  FROM conv c JOIN t ON c.user_id = t.user_id
+        |  AND t.ts >= c.ts - INTERVAL 3600 SECOND AND t.ts < c.ts),
+        |r AS (SELECT channel,
+        |  ROW_NUMBER() OVER (PARTITION BY conv_id
+        |    ORDER BY ts_r DESC, touch_id DESC) AS rn_last,
+        |  ROW_NUMBER() OVER (PARTITION BY conv_id
+        |    ORDER BY ts_r ASC, touch_id ASC) AS rn_first,
+        |  COUNT(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM p)
+        |SELECT channel,
+        |CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS first_touch,
+        |CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS last_touch,
+        |floor(SUM(1.0 / n) * 10000 + 0.5 + 0.000001) / 10000 AS linear_credit,
+        |CAST(COUNT(*) AS BIGINT) AS n_touchpoints
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_classifier_eval" ->
       """WITH sc AS (SELECT o_totalprice AS score,
         |    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')

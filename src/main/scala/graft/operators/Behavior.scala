@@ -162,4 +162,50 @@ object Behavior {
           / (col("n_a") * col("n_b"))).as("lift"))
       .orderBy(col("lift").desc, col("pa"), col("pb")).limit(topK)
   }
+
+  /** Multi-touch conversion attribution: each purchase's credit split
+    * across the view/click touchpoints the same user produced in the
+    * preceding `lookbackSec` window, under the three standard models —
+    * first-touch, last-touch (100% to one touchpoint), and linear
+    * (1/n each). The marketing-analytics query behind every
+    * channel-ROI dashboard.
+    *
+    * Scale posture: conversion–touchpoint candidate pairs come from
+    * [[TemporalJoins.rangeJoin]] — a (user, time-bucket) EQUI-join
+    * probing exactly two buckets per conversion, never a user-keyed
+    * cross product — so pair volume tracks actual temporal
+    * co-occurrence. The model assignments are per-conversion window
+    * functions over those pairs (partitioned by conversion id,
+    * deterministic touch_id tie-break), and the final rollup is a
+    * channel-cardinality aggregate. */
+  def attribution(s: SparkSession, dir: String,
+      lookbackSec: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("ts"))
+    val touch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("ts"))
+    val pairs = TemporalJoins.rangeJoin(conv, touch, Seq("user_id"),
+        "ts", "ts", lookbackSec)
+      .filter(col("ts_r") < col("ts")) // strictly before the conversion
+      .select(col("conv_id"), col("channel"), col("ts_r"), col("touch_id"))
+    val wLast = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts_r").desc, col("touch_id").desc)
+    val wFirst = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts_r").asc, col("touch_id").asc)
+    val wAll = Window.partitionBy(col("conv_id"))
+    pairs
+      .withColumn("rn_last", row_number().over(wLast))
+      .withColumn("rn_first", row_number().over(wFirst))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("channel"))
+      .agg(
+        sum(when(col("rn_first") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("rn_last") === 1, 1L).otherwise(0L)).as("last_touch"),
+        round4eps(sum(lit(1.0) / col("n"))).as("linear_credit"),
+        count(lit(1)).as("n_touchpoints"))
+      .orderBy(col("channel"))
+  }
 }

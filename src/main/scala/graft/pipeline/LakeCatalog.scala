@@ -286,6 +286,54 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     createOrReplace(name, kept.unionByName(updates))
   }
 
+  /** Row-level DELETE (copy-on-write) — `DELETE FROM t WHERE p`, the
+    * action behind GDPR / right-to-be-forgotten purges. Works on both
+    * table flavors:
+    *  - CTAS tables: filtered CTAS swap (one snapshot);
+    *  - append tables: only the commit partitions that actually
+    *    CONTAIN matching rows are rewritten in place — untouched
+    *    commits keep their files byte-identical. At 100 TB a real
+    *    format prunes the rewrite to the few files whose key ranges
+    *    cover the targets; commit granularity is the emulation of
+    *    that file-level pruning. The rewrite is logged as a `rewrite`
+    *    snapshot, deliberately RAISING THE TIME-TRAVEL FLOOR past the
+    *    delete: a purged record must not remain readable through
+    *    tableAsOf either (real Iceberg needs expire_snapshots after a
+    *    COW delete for the same guarantee).
+    * `predicate` ranges over user-visible columns only. Returns the
+    * number of rows deleted. */
+  def deleteWhere(name: String, predicate: org.apache.spark.sql.Column): Long = {
+    val current = table(name)
+    val nDel = current.filter(predicate).count()
+    if (nDel == 0L) return 0L
+    val rawCols = savedSchema(name).map(_.fieldNames.toSeq)
+      .getOrElse(spark.read.parquet(tablePath(name)).columns.toSeq)
+    if (!rawCols.contains(commitCol)) {
+      createOrReplace(name, current.filter(!predicate))
+    } else {
+      val raw = readTable(name)
+      val affected = raw.filter(predicate)
+        .select(col(commitCol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted // bounded by snapshot count
+      var remaining = 0L
+      affected.foreach { cid =>
+        val commitDir = Paths.get(s"${tablePath(name)}/$commitCol=$cid")
+        val cur = spark.read.parquet(commitDir.toString)
+        val partCols = cur.columns.filter(hiddenCol).toSeq
+        val kept = cur.filter(!predicate)
+        val tmp = Paths.get(s"${tablePath(name)}/.delete_tmp_$cid")
+        val writer = if (partCols.nonEmpty) kept.write.partitionBy(partCols: _*)
+          else kept.write
+        writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        remaining += parquetRowCount(tmp.toString)
+        deleteRecursive(commitDir)
+        Files.move(tmp, commitDir)
+      }
+      logSnapshot(name, "rewrite", remaining)
+    }
+    nDel
+  }
+
   /** The table restricted to commits AFTER `snapshotId` — the change
     * feed an incremental transform consumes. Commit-partition pruned
     * like tableAsOf. */

@@ -105,4 +105,16 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got === want)
   }
+
+  test("attribution: every model distributes exactly one credit per converted purchase") {
+    val rows = operators.Behavior.attribution(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    val firstSum = rows.map(_.getAs[Long]("first_touch")).sum
+    val lastSum = rows.map(_.getAs[Long]("last_touch")).sum
+    val linearSum = rows.map(_.getAs[Double]("linear_credit")).sum
+    // one first-touch and one last-touch credit per attributed conversion,
+    // and the linear credits sum to the same conversion count
+    assert(firstSum === lastSum)
+    assert(math.abs(linearSum - firstSum.toDouble) < 0.01 * firstSum)
+  }
 }

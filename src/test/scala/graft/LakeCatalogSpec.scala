@@ -189,4 +189,49 @@ class LakeCatalogSpec extends AnyFunSuite {
       Seq((5L, "f")).toDF("id", "name"), checks, Seq("id")) === Right(2L))
     assert(cat.table("raw.t").count() === 3L)
   }
+
+  test("deleteWhere on an append table rewrites only the commits holding matches") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-del"))
+    cat.createNamespace("raw")
+    // commit 1 holds the target user; commits 2 and 3 do not
+    cat.append("raw.u", Seq((1L, "alice"), (2L, "bob")).toDF("uid", "name"))
+    cat.append("raw.u", Seq((3L, "carol")).toDF("uid", "name"))
+    cat.append("raw.u", Seq((4L, "dave")).toDF("uid", "name"))
+    val tableDir = {
+      // warehouse/<ns>/<table>
+      val w = cat.table("raw.u").inputFiles.head
+      new java.io.File(w.stripPrefix("file:")).getParentFile.getParentFile
+    }
+    val untouched = new java.io.File(tableDir, "commit=2")
+    val before = untouched.listFiles().map(f => f.getName -> f.lastModified()).toMap
+
+    val n = cat.deleteWhere("raw.u", col("uid") === 1L)
+    assert(n === 1L)
+    assert(TestSpark.collectSet[String](cat.table("raw.u").select("name"), "name")
+      === Set("bob", "carol", "dave"))
+    // commit 2's files are byte-identical (not rewritten)
+    val after = untouched.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after === before)
+    // the delete logged a rewrite snapshot, raising the time-travel floor:
+    // the purged row is unreadable through tableAsOf too
+    val snaps = cat.snapshots("raw.u").collect()
+    assert(snaps.last.getAs[String]("operation") === "rewrite")
+    intercept[IllegalArgumentException](cat.tableAsOf("raw.u", 1L))
+    // no-match delete is a no-op: no snapshot, nothing rewritten
+    val snapCount = cat.snapshots("raw.u").count()
+    assert(cat.deleteWhere("raw.u", col("uid") === 999L) === 0L)
+    assert(cat.snapshots("raw.u").count() === snapCount)
+  }
+
+  test("deleteWhere on a CTAS table swaps in the filtered state") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-del-ctas"))
+    cat.createNamespace("mart")
+    cat.createOrReplace("mart.m",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"))
+    assert(cat.deleteWhere("mart.m", col("v") >= 20.0) === 2L)
+    assert(TestSpark.collectSet[Long](cat.table("mart.m").select("k"), "k")
+      === Set(1L))
+  }
 }
