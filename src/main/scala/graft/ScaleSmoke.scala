@@ -51,6 +51,8 @@ object ScaleSmoke {
     replicate("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
     replicate("events", Seq("event_id", "user_id"), 10000000L)
     replicate("part", Seq("p_partkey"), 10000000L)
+    replicate("supplier", Seq("s_suppkey"), 10000000L)
+    replicate("customer", Seq("c_custkey"), 10000000L)
     println(s"[scale] corpus ${factor}x at $dir: " +
       s"${Tables.documents(spark, dir).count()} docs, " +
       s"${Tables.embeddings(spark, dir).count()} vectors, " +
@@ -139,6 +141,19 @@ object ScaleSmoke {
     run("kmvDistinct")(operators.Relational.kmvDistinct(spark, dir))
     run("equiDepthHist")(operators.Relational.equiDepthHist(spark, dir))
     run("basketRules")(operators.Behavior.basketRules(spark, dir))
+    // linkPrediction: replication makes factor× DISJOINT subgraphs
+    // (supplier degree constant), so wedge volume must grow factor×,
+    // never factor² — the minOrders + maxDeg density controls under
+    // test. attribution: disjoint users → rangeJoin pair volume grows
+    // factor×; the per-conversion windows repartition by conv_id, so
+    // partition occupancy stays constant. joinSizeEstimate: sketch
+    // state is depth×width CELLS regardless of input size — time must
+    // track the scan, not the key cardinality. waitingSuppliers: one
+    // orderkey-keyed shuffle of a factor×-larger fact side.
+    run("linkPrediction")(operators.Graph.linkPrediction(spark, dir))
+    run("attribution")(operators.Behavior.attribution(spark, dir))
+    run("joinSizeEstimate")(operators.Relational.joinSizeEstimate(spark, dir))
+    run("waitingSuppliers")(operators.Joins.waitingSuppliers(spark, dir))
 
     spark.stop()
   }

@@ -386,6 +386,8 @@ object SparkEntry {
     "q_disjunct_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
     "q_waiting_suppliers"-> ((s, d) => Joins.waitingSuppliers(s, d)),
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
+    // CMS join-cardinality estimate (the CBO sketch, exactness-anchored)
+    "q_join_estimate"    -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     // multi-touch conversion attribution (first/last/linear models)
     "q_attribution"      -> ((s, d) => graft.operators.Behavior.attribution(s, d)),
     // ML evaluation, privacy audit, and graph link prediction
@@ -2497,6 +2499,31 @@ object SparkEntry {
         |FROM a JOIN supplier ON late_supp = s_suppkey
         |WHERE n_supps > 1 AND n_late = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_join_estimate" ->
+      """WITH lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |rk AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |seeds AS (SELECT UNNEST([0,1,2,3]) AS seed),
+        |la AS (SELECT seed,
+        |    CAST(('0x' || substr(md5(k || '#' || CAST(seed AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 16384 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lk, seeds GROUP BY 1, 2),
+        |rb AS (SELECT seed,
+        |    CAST(('0x' || substr(md5(k || '#' || CAST(seed AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 16384 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_r
+        |  FROM rk, seeds GROUP BY 1, 2),
+        |e AS (SELECT seed, SUM(n * n_r) AS est
+        |  FROM la JOIN rb USING (seed, bucket) GROUP BY 1),
+        |m AS (SELECT CAST(MIN(est) AS BIGINT) AS cms_estimate FROM e),
+        |x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT exact_rows, cms_estimate,
+        |floor(CAST(cms_estimate - exact_rows AS DOUBLE) / exact_rows
+        |  * 10000 + 0.5 + 0.000001) / 10000 AS rel_overestimate
+        |FROM x, m""".stripMargin,
     "q_attribution" ->
       """WITH conv AS (SELECT user_id, event_id AS conv_id, ts
         |  FROM events WHERE event_type = 'purchase'),

@@ -973,6 +973,56 @@ object Relational {
         (col("l_diversity") >= l).as("l_diverse"))
       .orderBy(col("segment"), col("nationkey"))
 
+  /** Count-Min-sketch join-cardinality estimate — the sketch a
+    * cost-based optimizer consults to SIZE a join before picking its
+    * strategy, verified here against the exact answer. |A ⋈_k B| =
+    * Σ_v cntA(v)·cntB(v); the CM estimate replaces the per-key count
+    * vectors with depth×width bucket counts and takes
+    * min_seed Σ_bucket cmA[s,b]·cmB[s,b] — an upper bound that tightens
+    * as width grows (Cormode & Muthukrishnan 2005, §4.2).
+    *
+    * Scale posture: each sketch is ONE map-side-combined aggregate to
+    * depth×width cells (constant state regardless of corpus size, no
+    * key shuffle), and the estimate joins two sketch tables of a few
+    * thousand rows — this is what makes it usable as a PLANNING step
+    * at 100 TB, where the exact Σ cntA·cntB it replaces would cost a
+    * full shuffle of both inputs. The bucket hash is the repo's
+    * portable 60-bit md5 (Dedup.scala simhash convention) so the
+    * oracle replays every cell exactly. Size `width` to the inputs:
+    * the estimate overshoots by ≤ e·|A|·|B|/width with probability
+    * 1 − e^(−depth), so width must exceed |A|·|B| / (acceptable
+    * absolute error) — the default suits ~1e8 cross-products.
+    *
+    * The exact join count (the verification anchor) IS computed here
+    * too — that part is gate-only; a production caller uses the
+    * estimate alone. */
+  def joinSizeEstimate(s: SparkSession, dir: String,
+      width: Int = 16384, depth: Int = 4): DataFrame = {
+    def sketch(df: DataFrame, key: String): DataFrame = df
+      .select(col(key).cast("string").as("k"))
+      .withColumn("seed", explode(array((0 until depth).map(lit(_)): _*)))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("k"), lit("#"),
+          col("seed").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % width)
+      .groupBy(col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val left = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    val right = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val est = sketch(left, "l_orderkey")
+      .join(sketch(right, "o_orderkey")
+        .withColumnRenamed("n", "n_r"), Seq("seed", "bucket"))
+      .groupBy(col("seed")).agg(sum(col("n") * col("n_r")).as("est"))
+      .agg(min(col("est")).as("cms_estimate"))
+    val exact = left.join(right, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_rows"), col("cms_estimate"),
+        round4eps((col("cms_estimate") - col("exact_rows")).cast("double")
+          / col("exact_rows")).as("rel_overestimate"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

@@ -243,6 +243,19 @@ class StatsGraphSpec extends AnyFunSuite {
     })
   }
 
+  test("joinSizeEstimate: CM estimate is an upper bound within the error guarantee") {
+    val row = Relational.joinSizeEstimate(spark, dir).collect().head
+    val exact = row.getAs[Long]("exact_rows")
+    val est = row.getAs[Long]("cms_estimate")
+    // CM inner-product: exact <= est <= exact + e*|A|*|B|/width (w.h.p.)
+    assert(est >= exact)
+    val a = Tables.lineitem(spark, dir).count()
+    val b = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").count()
+    val bound = exact + (math.E * a * b / 16384.0).toLong
+    assert(est <= bound, s"est $est above bound $bound")
+  }
+
   test("linkPrediction: scores rare shared suppliers above hubs") {
     val rows = Graph.linkPrediction(spark, dir, topN = 1000).collect()
     assert(rows.nonEmpty)
