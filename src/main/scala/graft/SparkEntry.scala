@@ -386,6 +386,34 @@ object SparkEntry {
     "q_disjunct_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
     "q_waiting_suppliers"-> ((s, d) => Joins.waitingSuppliers(s, d)),
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
+    // transparent materialized-view substitution: the SAME rollup
+    // query, served by the registered summary (plans.MatViewRewrite);
+    // the oracle recomputes from the raw rows, proving the roll-up
+    // derivability. The base is a private COPY so the registration
+    // can never re-plan other registry queries mid-run.
+    "q_mv_rewrite"       -> ((s, d) => {
+      import graft.plans.MatView
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val basePath = s"$tmp/graft_mv_base_$tag"
+      val mvPath = s"$tmp/graft_mv_sum_$tag"
+      if (!new java.io.File(s"$basePath/_SUCCESS").exists())
+        s.read.parquet(s"$d/lineitem.parquet")
+          .write.mode("overwrite").parquet(basePath)
+      MatView.build(s, basePath, mvPath,
+        keys = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq("l_quantity", "l_extendedprice"))
+      import org.apache.spark.sql.functions._
+      import graft.functions.Rounding.round4eps
+      s.read.parquet(basePath)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          round(min(col("l_extendedprice")), 4).as("min_price"),
+          round(max(col("l_extendedprice")), 4).as("max_price"),
+          round4eps(sum(col("l_extendedprice"))).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
     // CMS join-cardinality estimate (the CBO sketch, exactness-anchored)
     "q_join_estimate"    -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     // multi-touch conversion attribution (first/last/linear models)
@@ -2499,6 +2527,14 @@ object SparkEntry {
         |FROM a JOIN supplier ON late_supp = s_suppkey
         |WHERE n_supps > 1 AND n_late = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |ROUND(MIN(l_extendedprice), 4) AS min_price,
+        |ROUND(MAX(l_extendedprice), 4) AS max_price,
+        |floor(SUM(l_extendedprice) * 10000 + 0.5 + 0.000001) / 10000
+        |  AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_estimate" ->
       """WITH lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
         |rk AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders

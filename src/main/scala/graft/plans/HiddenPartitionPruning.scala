@@ -124,6 +124,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HiddenPartitionPruning)
     ext.injectOptimizerRule(_ => FoldSortIntoWindow)
+    ext.injectOptimizerRule(session => new MatViewRewrite(session))
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     register(ext, "vec_dot", 2, a => graft.functions.VecDot(a(0), a(1)))

@@ -1,0 +1,233 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+
+/** Materialized-view substitution — the lakehouse answer to "this
+  * nightly rollup re-scans 100 TB for numbers the mart already holds".
+  * A summary table registered against a base path is TRANSPARENTLY
+  * substituted into any matching aggregate: the user query is
+  * unchanged, the optimized plan reads the (orders-of-magnitude
+  * smaller) summary instead of the fact table.
+  *
+  * Soundness is classic roll-up derivability (Gupta & Mumick's
+  * materialized-view rewriting; the same algebra behind Iceberg/
+  * Snowflake MV query rewrite): for any grouping G coarser than (a
+  * subset of) the MV grain K,
+  *   SUM(x)  over G = SUM(mv_sum_x)  over G
+  *   COUNT(*) over G = SUM(mv_count) over G
+  *   MIN(x)  over G = MIN(mv_min_x)  over G   (MAX likewise)
+  * because SUM/COUNT/MIN/MAX are decomposable over any partition of
+  * the rows, and the MV partitions them by K. The rewrite fires only
+  * when EVERY output column is derivable:
+  *  - grouping expressions are bare key columns of the MV grain;
+  *  - aggregates are undistinct, unfiltered SUM/COUNT(lit)/MIN/MAX
+  *    over measure columns the MV covers;
+  *  - below the aggregate sit only attribute-pruning Projects and
+  *    Filters whose references are grain keys (a key filter commutes
+  *    with the grouping, so it is replayed on the MV);
+  * otherwise the plan is left untouched. AVG is deliberately absent:
+  * it is not self-decomposable — callers write SUM/COUNT and divide,
+  * which this rule then serves.
+  *
+  * Output attribute ExprIds are preserved (each rewritten column is
+  * re-aliased under its original id), so parent operators — the
+  * rounding projection, sorts, joins — are oblivious to the swap.
+  * The substituted relation comes from `newInstance()` so two
+  * rewrites in one query never collide on attribute ids.
+  *
+  * Freshness is the caller's contract, exactly as in every lakehouse
+  * MV implementation: [[MatView.build]] recomputes the summary and
+  * registration is explicit; nothing here tracks base-table commits.
+  */
+object MatView {
+  /** Registered summary: MV column contract is keys verbatim,
+    * `mv_count`, and `mv_sum_/mv_min_/mv_max_<measure>`. */
+  final case class Def(basePath: String, mvPath: String, keys: Seq[String],
+                       measures: Seq[String], relation: LogicalRelation)
+
+  private val reg = new java.util.concurrent.ConcurrentHashMap[String, Def]()
+
+  private[plans] def norm(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  def clear(): Unit = reg.clear()
+
+  def lookup(rootPaths: Seq[String]): Option[Def] = {
+    val ns = rootPaths.map(norm)
+    // single-root scans only: a multi-path union is not the registered base
+    if (ns.length != 1) None else Option(reg.get(ns.head))
+  }
+
+  /** Compute + persist the summary for `basePath`, register it, and
+    * return the registration. One shuffle keyed by the grain; the MV
+    * is the partial-aggregate state any coarser rollup re-combines. */
+  def build(s: SparkSession, basePath: String, mvPath: String,
+            keys: Seq[String], measures: Seq[String]): Def = {
+    val df = s.read.parquet(basePath)
+    df.groupBy(keys.map(col): _*)
+      .agg(summaryAggs(measures).head, summaryAggs(measures).tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    register(s, basePath, mvPath, keys, measures)
+  }
+
+  private def summaryAggs(measures: Seq[String]) =
+    count(lit(1)).as("mv_count") +: measures.flatMap(m => Seq(
+      sum(col(m)).as(s"mv_sum_$m"),
+      min(col(m)).as(s"mv_min_$m"),
+      max(col(m)).as(s"mv_max_$m")))
+
+  private def register(s: SparkSession, basePath: String, mvPath: String,
+                       keys: Seq[String], measures: Seq[String]): Def = {
+    val rel = s.read.parquet(mvPath).queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }
+      .getOrElse(throw new IllegalStateException(
+        s"MV at $mvPath did not analyze to a file relation"))
+    val d = Def(basePath, mvPath, keys, measures, rel)
+    reg.put(norm(basePath), d)
+    d
+  }
+
+  /** Incremental maintenance: fold an appended `delta` batch into the
+    * summary WITHOUT rescanning the base — the partial-aggregate state
+    * is itself decomposable, so the refresh is
+    * summarize(delta) ⊎ current, recombined per grain key
+    * (sum+=sum, count+=count, min=min-of-mins, max likewise). At
+    * 100 TB this is the difference between an MV that costs one
+    * fact-table scan per refresh and one that costs the BATCH — wire
+    * it to LakeCatalog.tableSince and the mart stays fresh at change-
+    * feed cost. Append-only deltas only: deletes/updates need the
+    * base rescan (min/max are not subtractable). Atomic swap via a
+    * temp dir + re-registration (the old relation stays readable by
+    * in-flight plans until their scan resolves). */
+  def refresh(s: SparkSession, basePath: String,
+              delta: org.apache.spark.sql.DataFrame): Def = {
+    val d = Option(reg.get(norm(basePath))).getOrElse(
+      throw new IllegalArgumentException(s"no MV registered for $basePath"))
+    val deltaSum = delta.groupBy(d.keys.map(col): _*)
+      .agg(summaryAggs(d.measures).head, summaryAggs(d.measures).tail: _*)
+    val combAggs = sum(col("mv_count")).as("mv_count") +:
+      d.measures.flatMap(m => Seq(
+        sum(col(s"mv_sum_$m")).as(s"mv_sum_$m"),
+        min(col(s"mv_min_$m")).as(s"mv_min_$m"),
+        max(col(s"mv_max_$m")).as(s"mv_max_$m")))
+    val merged = s.read.parquet(d.mvPath).unionByName(deltaSum)
+      .groupBy(d.keys.map(col): _*).agg(combAggs.head, combAggs.tail: _*)
+    val tmp = d.mvPath + "_refresh_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val target = java.nio.file.Paths.get(d.mvPath)
+    val del = java.nio.file.Files.walk(target).sorted(
+      java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    try del.forEach(p => { java.nio.file.Files.delete(p); () })
+    finally del.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+    register(s, basePath, d.mvPath, d.keys, d.measures)
+  }
+}
+
+class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(groupings, aggExprs, child, hint) =>
+      rewrite(groupings, aggExprs, child, hint).getOrElse(agg)
+  }
+
+  private def rewrite(groupings: Seq[Expression],
+                      aggExprs: Seq[NamedExpression],
+                      child: LogicalPlan,
+                      hint: Option[AggregateHint]): Option[LogicalPlan] = {
+    // Walk to the scan through attribute-pruning Projects, collecting
+    // Filters; anything else disqualifies the subtree.
+    val filters = Seq.newBuilder[Expression]
+    @annotation.tailrec
+    def strip(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(c)
+      case Filter(cond, c) => filters += cond; strip(c)
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        Some(lr)
+      case _ => None
+    }
+    for {
+      lr <- strip(child)
+      d <- MatView.lookup(lr.relation.asInstanceOf[HadoopFsRelation]
+        .location.rootPaths.map(_.toString))
+      groupKeys <- asGrainKeys(groupings, d)
+      fs = filters.result()
+      if fs.forall(_.references.forall(r => d.keys.contains(r.name)))
+      mv = d.relation.newInstance()
+      mvAttr = mv.output.map(a => a.name -> a).toMap
+      newAggs <- derive(aggExprs, d, mvAttr)
+    } yield {
+      val base = fs.foldLeft(mv: LogicalPlan) { (p, f) =>
+        Filter(remap(f, mvAttr), p)
+      }
+      Aggregate(groupKeys.map(mvAttr(_)), newAggs, base, hint)
+    }
+  }
+
+  private def asGrainKeys(groupings: Seq[Expression],
+                          d: MatView.Def): Option[Seq[String]] = {
+    val names = groupings.map {
+      case a: AttributeReference if d.keys.contains(a.name) => a.name
+      case _ => return None
+    }
+    Some(names)
+  }
+
+  private def remap(e: Expression,
+                    mvAttr: Map[String, AttributeReference]): Expression =
+    e.transform { case a: AttributeReference => mvAttr(a.name) }
+
+  /** Rewrite every output column or give up: grain keys re-alias to
+    * the MV attribute under the ORIGINAL ExprId; decomposable
+    * aggregates re-target their pre-combined MV column. Arbitrary
+    * scalar expressions AROUND the aggregates (CollapseProject folds
+    * `sum(x) * 2`-style projections into the Aggregate before user
+    * rules run) are preserved — only the aggregate leaves and key
+    * references inside them are re-targeted. */
+  private object NotDerivable extends Exception { override def fillInStackTrace(): Throwable = this }
+
+  private def derive(aggExprs: Seq[NamedExpression], d: MatView.Def,
+                     mvAttr: Map[String, AttributeReference])
+      : Option[Seq[NamedExpression]] = {
+    def rewriteAgg(ae: AggregateExpression): AggregateExpression = {
+      if (ae.isDistinct || ae.filter.isDefined) throw NotDerivable
+      val fn = ae.aggregateFunction match {
+        case s: Sum => measureCol(s.child, "mv_sum_", d, mvAttr).map(Sum(_))
+        case m: Min => measureCol(m.child, "mv_min_", d, mvAttr).map(Min(_))
+        case m: Max => measureCol(m.child, "mv_max_", d, mvAttr).map(Max(_))
+        case c: Count if c.children.forall(_.foldable) =>
+          Some(Sum(mvAttr("mv_count")))
+        case _ => None
+      }
+      fn.map(f => ae.copy(aggregateFunction = f)).getOrElse(throw NotDerivable)
+    }
+    def rewriteExpr(e: Expression): Expression = e match {
+      case ae: AggregateExpression => rewriteAgg(ae)
+      case a: AttributeReference =>
+        if (d.keys.contains(a.name)) mvAttr(a.name) else throw NotDerivable
+      case other => other.mapChildren(rewriteExpr)
+    }
+    try Some(aggExprs.map {
+      case a: AttributeReference if d.keys.contains(a.name) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      case al: Alias =>
+        Alias(rewriteExpr(al.child), al.name)(exprId = al.exprId)
+      case _ => throw NotDerivable
+    }) catch { case NotDerivable => None }
+  }
+
+  private def measureCol(child: Expression, prefix: String, d: MatView.Def,
+                         mvAttr: Map[String, AttributeReference])
+      : Option[AttributeReference] = child match {
+    case a: AttributeReference if d.measures.contains(a.name) =>
+      mvAttr.get(prefix + a.name)
+    case _ => None
+  }
+}

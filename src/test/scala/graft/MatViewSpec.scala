@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.MatView
+
+/** Transparent materialized-view substitution: the SAME user query
+  * must produce the SAME rows while the optimized plan reads the
+  * summary parquet instead of the fact table — and must be left
+  * alone whenever derivability fails. */
+class MatViewSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  private val base = s"$dir/lineitem.parquet"
+
+  private def withMv(test: String => Unit): Unit = {
+    val mvPath = TestSpark.tempDir("graft-mv")
+    MatView.build(spark, base, mvPath,
+      keys = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq("l_quantity", "l_extendedprice"))
+    try test(mvPath) finally MatView.clear()
+  }
+
+  private def readsMv(df: DataFrame, mvPath: String): Boolean =
+    df.queryExecution.executedPlan.toString.contains(mvPath) ||
+      df.inputFiles.exists(_.contains(new java.io.File(mvPath).getName))
+
+  private def rollup(): DataFrame =
+    spark.read.parquet(base)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+
+  test("coarser rollup is served by the MV with identical results") {
+    val expected = rollup().collect().toSet // registry empty: fact scan
+    withMv { mvPath =>
+      val q = rollup()
+      assert(readsMv(q, mvPath), "plan should read the MV parquet")
+      assert(q.collect().toSet === expected)
+    }
+  }
+
+  test("a grain-key filter commutes and still hits the MV") {
+    withMv { mvPath =>
+      val q = spark.read.parquet(base)
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"))
+      assert(readsMv(q, mvPath))
+      MatView.clear()
+      val expected = spark.read.parquet(base)
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows")).collect().toSet
+      assert(q.collect().toSet === expected)
+    }
+  }
+
+  test("non-derivable queries are left untouched") {
+    withMv { mvPath =>
+      // AVG is not self-decomposable
+      val avgQ = spark.read.parquet(base).groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("a"))
+      assert(!readsMv(avgQ, mvPath))
+      // measure-column filter cannot be replayed on the summary
+      val filtQ = spark.read.parquet(base)
+        .filter(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(!readsMv(filtQ, mvPath))
+      // grouping outside the grain
+      val keyQ = spark.read.parquet(base)
+        .groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("s"))
+      assert(!readsMv(keyQ, mvPath))
+      // distinct aggregate
+      val dQ = spark.read.parquet(base).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd"))
+      assert(!readsMv(dQ, mvPath))
+    }
+  }
+
+  test("the registry gate shape (rounded aggregates) is served by the MV") {
+    import graft.functions.Rounding.round4eps
+    withMv { mvPath =>
+      val q = spark.read.parquet(base)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          round4eps(sum(col("l_extendedprice"))).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+      assert(readsMv(q, mvPath), "rounded-aggregate shape should still rewrite")
+      assert(q.collect().nonEmpty)
+    }
+  }
+
+  test("incremental refresh equals a full rebuild over base plus delta") {
+    import spark.implicits._
+    val basePath = TestSpark.tempDir("graft-mv-inc-base")
+    val mvPath = TestSpark.tempDir("graft-mv-inc")
+    val part1 = Seq(("A", 1.0), ("A", 2.0), ("B", 5.0)).toDF("k", "v")
+    val part2 = Seq(("A", 10.0), ("C", 7.0)).toDF("k", "v")
+    part1.write.mode("overwrite").parquet(basePath)
+    MatView.build(spark, basePath, mvPath, keys = Seq("k"), measures = Seq("v"))
+    try {
+      MatView.refresh(spark, basePath, part2)
+      val got = spark.read.parquet(mvPath).collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Long]("mv_count"),
+          r.getAs[Double]("mv_sum_v"), r.getAs[Double]("mv_min_v"),
+          r.getAs[Double]("mv_max_v"))).toSet
+      assert(got === Set(
+        ("A", 3L, 13.0, 1.0, 10.0),
+        ("B", 1L, 5.0, 5.0, 5.0),
+        ("C", 1L, 7.0, 7.0, 7.0)))
+      // the refreshed MV still serves queries (re-registration intact):
+      // rows now reflect base ∪ delta, i.e. the MV's contract after append
+      val q = spark.read.parquet(basePath)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(readsMv(q, mvPath))
+    } finally MatView.clear()
+  }
+
+  test("downstream operators survive the swap (ExprIds preserved)") {
+    withMv { mvPath =>
+      val q = rollup()
+        .select(col("l_returnflag"), (col("sum_qty") * 2).as("dbl"))
+        .orderBy(col("l_returnflag"))
+      assert(readsMv(q, mvPath))
+      val rows = q.collect()
+      assert(rows.nonEmpty)
+      MatView.clear()
+      val want = rollup()
+        .select(col("l_returnflag"), (col("sum_qty") * 2).as("dbl"))
+        .orderBy(col("l_returnflag")).collect()
+      assert(rows.toSeq === want.toSeq)
+    }
+  }
+}
