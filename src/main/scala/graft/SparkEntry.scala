@@ -386,6 +386,8 @@ object SparkEntry {
     "q_disjunct_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
     "q_waiting_suppliers"-> ((s, d) => Joins.waitingSuppliers(s, d)),
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
+    // canonicalization profile (normalize → fingerprint, pre-dedup)
+    "q_text_normalize"   -> (TextAnalysis.textNormalize _),
     // transparent materialized-view substitution: the SAME rollup
     // query, served by the registered summary (plans.MatViewRewrite);
     // the oracle recomputes from the raw rows, proving the roll-up
@@ -2527,6 +2529,16 @@ object SparkEntry {
         |FROM a JOIN supplier ON late_supp = s_suppkey
         |WHERE n_supps > 1 AND n_late = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |CAST(length(n) AS INTEGER) AS norm_chars,
+        |CAST(len(string_split(n, ' ')) AS INTEGER) AS norm_tokens,
+        |substr(md5(n), 1, 16) AS norm_key
+        |FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  translate(lower(text),
+        |    'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ', 'aaaaaaceeeeiiiinooooouuuuyy'),
+        |  '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS n
+        |FROM documents)""".stripMargin,
     "q_mv_rewrite" ->
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty,
         |CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -945,6 +945,29 @@ object TextAnalysis {
         sum(col("sentence_marks")).as("n_sentence_marks"),
         round4eps(avg(col("cap_words"))).as("avg_cap_words"),
         count(lit(1)).as("n_docs"))
+
+  /** Text canonicalization profile — the normalization chain every
+    * curation pipeline runs BEFORE exact dedup, so that casing /
+    * accent / punctuation variants of the same document collapse to
+    * one fingerprint: lowercase → Latin-1 accent fold (explicit
+    * translate table, no locale dependence) → non-letter/digit strip →
+    * whitespace collapse → trim. The md5 of the canonical form is the
+    * dedup key; char/token counts are the post-normalization size the
+    * token-budget samplers should use. Entirely codegen'd scalar work
+    * in one projection — zero shuffles, linear scan, the cheapest kind
+    * of 100 TB pass. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val accentsFrom = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+    val accentsTo = "aaaaaaceeeeiiiinooooouuuuyy"
+    val norm = trim(regexp_replace(regexp_replace(
+      translate(lower(col("text")), accentsFrom, accentsTo),
+      "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(norm).as("norm_chars"),
+      size(split(norm, " ")).as("norm_tokens"),
+      substring(md5(norm), 1, 16).as("norm_key"))
+  }
 }
 
 
