@@ -386,6 +386,9 @@ object SparkEntry {
     "q_disjunct_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
     "q_waiting_suppliers"-> ((s, d) => Joins.waitingSuppliers(s, d)),
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
+    // one-pass pairwise correlation matrix + revenue Gini concentration
+    "q_corr_matrix"      -> ((s, d) => Relational.corrMatrix(s, d)),
+    "q_gini_revenue"     -> ((s, d) => Relational.giniRevenue(s, d)),
     // canonicalization profile (normalize → fingerprint, pre-dedup)
     "q_text_normalize"   -> (TextAnalysis.textNormalize _),
     // transparent materialized-view substitution: the SAME rollup
@@ -2529,6 +2532,39 @@ object SparkEntry {
         |FROM a JOIN supplier ON late_supp = s_suppkey
         |WHERE n_supps > 1 AND n_late = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH w AS (SELECT
+        |  corr(l_quantity, l_extendedprice) AS c12,
+        |  corr(l_quantity, l_discount) AS c13,
+        |  corr(l_quantity, l_tax) AS c14,
+        |  corr(l_extendedprice, l_discount) AS c23,
+        |  corr(l_extendedprice, l_tax) AS c24,
+        |  corr(l_discount, l_tax) AS c34
+        |  FROM lineitem)
+        |SELECT col_a, col_b,
+        |floor(c * 10000 + 0.5 + 0.000001) / 10000 AS corr
+        |FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c12 AS c FROM w
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', c13 FROM w
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', c14 FROM w
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', c23 FROM w
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', c24 FROM w
+        |  UNION ALL SELECT 'l_discount', 'l_tax', c34 FROM w)
+        |ORDER BY col_a, col_b""".stripMargin,
+    "q_gini_revenue" ->
+      """WITH pc AS (SELECT c_mktsegment AS segment, c_custkey,
+        |    SUM(o_totalprice) AS spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT segment, spend,
+        |  ROW_NUMBER() OVER (PARTITION BY segment
+        |    ORDER BY spend, c_custkey) AS rk
+        |  FROM pc)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |floor((2.0 * SUM(rk * spend) / (COUNT(*) * SUM(spend))
+        |  - (COUNT(*) + 1.0) / COUNT(*)) * 10000 + 0.5 + 0.000001) / 10000
+        |  AS gini
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_normalize" ->
       """SELECT doc_id,
         |CAST(length(n) AS INTEGER) AS norm_chars,
@@ -2548,18 +2584,15 @@ object SparkEntry {
         |  AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_estimate" ->
-      """WITH lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
-        |rk AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
-        |  WHERE o_orderstatus = 'F'),
+      """WITH lk AS (SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS h FROM lineitem),
+        |rk AS (SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS h FROM orders WHERE o_orderstatus = 'F'),
         |seeds AS (SELECT UNNEST([0,1,2,3]) AS seed),
-        |la AS (SELECT seed,
-        |    CAST(('0x' || substr(md5(k || '#' || CAST(seed AS VARCHAR)), 1, 15))
-        |      AS BIGINT) % 16384 AS bucket,
+        |la AS (SELECT seed, (h // (1::BIGINT << (15 * seed))) % 16384 AS bucket,
         |    CAST(COUNT(*) AS BIGINT) AS n
         |  FROM lk, seeds GROUP BY 1, 2),
-        |rb AS (SELECT seed,
-        |    CAST(('0x' || substr(md5(k || '#' || CAST(seed AS VARCHAR)), 1, 15))
-        |      AS BIGINT) % 16384 AS bucket,
+        |rb AS (SELECT seed, (h // (1::BIGINT << (15 * seed))) % 16384 AS bucket,
         |    CAST(COUNT(*) AS BIGINT) AS n_r
         |  FROM rk, seeds GROUP BY 1, 2),
         |e AS (SELECT seed, SUM(n * n_r) AS est
