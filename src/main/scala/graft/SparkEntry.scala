@@ -386,6 +386,9 @@ object SparkEntry {
     "q_disjunct_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
     "q_waiting_suppliers"-> ((s, d) => Joins.waitingSuppliers(s, d)),
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
+    // seasonality heatmap + fulfillment-delay histogram
+    "q_time_heatmap"     -> ((s, d) => Relational.timeHeatmap(s, d)),
+    "q_ship_delay"       -> ((s, d) => Relational.shipDelayHistogram(s, d)),
     // one-pass pairwise correlation matrix + revenue Gini concentration
     "q_corr_matrix"      -> ((s, d) => Relational.corrMatrix(s, d)),
     "q_gini_revenue"     -> ((s, d) => Relational.giniRevenue(s, d)),
@@ -2532,6 +2535,20 @@ object SparkEntry {
         |FROM a JOIN supplier ON late_supp = s_suppkey
         |WHERE n_supps > 1 AND n_late = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_time_heatmap" ->
+      """SELECT CAST(isodow(ts) AS INTEGER) AS dow_iso,
+        |CAST(hour(ts) AS INTEGER) AS hod,
+        |CAST(COUNT(*) AS BIGINT) AS n_events,
+        |floor(AVG(value) * 10000 + 0.5 + 0.000001) / 10000 AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_ship_delay" ->
+      """SELECT CAST(floor(datediff('day', o_orderdate, l_shipdate) / 7)
+        |  AS BIGINT) AS delay_weeks,
+        |CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |floor(SUM(l_extendedprice * (1 - l_discount)) * 10000 + 0.5
+        |  + 0.000001) / 10000 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_corr_matrix" ->
       """WITH w AS (SELECT
         |  corr(l_quantity, l_extendedprice) AS c12,

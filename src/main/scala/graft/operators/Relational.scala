@@ -1083,6 +1083,44 @@ object Relational {
       .orderBy(col("segment"))
   }
 
+  /** Temporal activity heatmap — events bucketed by (day-of-week ×
+    * hour-of-day), the seasonality fingerprint behind capacity
+    * planning and anomaly baselines. One 168-cell aggregate; the
+    * day-of-week convention is pinned to ISO (1=Monday) explicitly
+    * because engines disagree on the default (Spark dayofweek is
+    * 1=Sunday) — convention drift here is the classic silent
+    * cross-engine bug. */
+  def timeHeatmap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        dayofweek(col("ts")).as("dow_sun1"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        round4eps(avg(col("value"))).as("avg_value"))
+      .select(
+        // ISO re-index: Sunday-1 → Monday-1
+        ((col("dow_sun1") + lit(5)) % 7 + lit(1)).as("dow_iso"),
+        col("hod"), col("n_events"), col("avg_value"))
+      .orderBy(col("dow_iso"), col("hod"))
+
+  /** Ship-delay distribution: days between order placement and line
+    * shipment, bucketed weekly, with per-bucket revenue — the
+    * fulfillment-latency histogram. The orderdate rides the
+    * orderkey-keyed fact⋈fact join (the shuffle both sides already
+    * need); the derived delay dimension is pure map-side arithmetic,
+    * and the final rollup is a few dozen buckets. */
+  def shipDelayHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(floor(datediff(col("l_shipdate"), col("o_orderdate")) / 7)
+        .cast("long").as("delay_weeks"),
+        col("l_extendedprice"), col("l_discount"))
+      .groupBy(col("delay_weeks"))
+      .agg(count(lit(1)).as("n_lines"),
+        round4eps(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+      .orderBy(col("delay_weeks"))
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */
