@@ -403,4 +403,31 @@ object EventStreams {
             partitionTs = Some("extracted_at"))
       }
       .start()
+
+  /** Streaming materialized-view maintenance: each micro-batch appends
+    * to the base table AND folds the same rows into the registered
+    * summary through [[graft.plans.MatView.refresh]] — the MV tracks
+    * the stream at change-feed cost (batch-sized work per trigger,
+    * never a base rescan), while downstream aggregates keep being
+    * served by [[graft.plans.MatViewRewrite]] transparently. The
+    * batch is persisted across its two actions (append + delta
+    * summarize) so the source micro-batch is read once. This is the
+    * streaming closure of the lakehouse MV story: ingest, summary
+    * freshness, and query rewrite in one loop. */
+  def streamToMatView(rows: DataFrame, basePath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try {
+            batch.write.mode("append").parquet(basePath)
+            graft.plans.MatView.refresh(batch.sparkSession, basePath, batch)
+            ()
+          } finally { batch.unpersist(); () }
+        }
+      }
+      .start()
 }

@@ -121,6 +121,41 @@ class MatViewSpec extends AnyFunSuite {
     } finally MatView.clear()
   }
 
+  test("a stream keeps the MV fresh via foreachBatch refresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val basePath = TestSpark.tempDir("graft-mv-stream-base")
+    val ckpt = TestSpark.tempDir("graft-mv-stream-ckpt")
+    val mvPath = TestSpark.tempDir("graft-mv-stream")
+    Seq(("A", 1.0), ("B", 2.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(basePath)
+    MatView.build(spark, basePath, mvPath, keys = Seq("k"), measures = Seq("v"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = graft.streaming.EventStreams.streamToMatView(
+      mem.toDF.toDF("k", "v"), basePath, ckpt)
+    try {
+      mem.addData(("A", 3.0), ("C", 4.0))
+      q.processAllAvailable()
+      mem.addData(("C", 10.0))
+      q.processAllAvailable()
+      // the MV must equal a from-scratch summary over the appended base
+      val want = spark.read.parquet(basePath).groupBy(col("k"))
+        .agg(count(lit(1)).as("mv_count"), sum(col("v")).as("mv_sum_v"),
+          min(col("v")).as("mv_min_v"), max(col("v")).as("mv_max_v"))
+        .collect().map(_.toSeq).toSet
+      val got = spark.read.parquet(mvPath)
+        .select(col("k"), col("mv_count"), col("mv_sum_v"),
+          col("mv_min_v"), col("mv_max_v"))
+        .collect().map(_.toSeq).toSet
+      assert(got === want)
+      // and the rewrite still serves base queries from the fresh MV
+      val served = spark.read.parquet(basePath)
+        .groupBy(col("k")).agg(sum(col("v")).as("s"))
+      assert(readsMv(served, mvPath))
+    } finally { q.stop(); MatView.clear() }
+  }
+
   test("downstream operators survive the swap (ExprIds preserved)") {
     withMv { mvPath =>
       val q = rollup()
