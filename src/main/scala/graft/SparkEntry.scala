@@ -422,6 +422,36 @@ object SparkEntry {
           round4eps(sum(col("l_extendedprice"))).as("sum_price"))
         .orderBy(col("l_returnflag"))
     }),
+    // the INCREMENTAL-refresh path of the MV, oracle-gated end-to-end:
+    // summary built on a partial base, the remainder folded in as an
+    // append-only delta via MatView.refresh, and the rewritten query's
+    // numbers must equal the oracle's full-table rollup
+    "q_mv_rewrite_inc"   -> ((s, d) => {
+      import graft.plans.MatView
+      import org.apache.spark.sql.functions._
+      import graft.functions.Rounding.round4eps
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val basePath = s"$tmp/graft_mvi_base_$tag"
+      val mvPath = s"$tmp/graft_mvi_sum_$tag"
+      val all = s.read.parquet(s"$d/lineitem.parquet")
+      val cut = 2999L
+      // fresh split every run: refresh must converge to the full table
+      all.filter(col("l_orderkey") <= cut)
+        .write.mode("overwrite").parquet(basePath)
+      MatView.build(s, basePath, mvPath,
+        keys = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq("l_quantity", "l_extendedprice"))
+      val delta = all.filter(col("l_orderkey") > cut)
+      delta.write.mode("append").parquet(basePath)
+      MatView.refresh(s, basePath, delta)
+      s.read.parquet(basePath)
+        .groupBy(col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          round4eps(sum(col("l_extendedprice"))).as("sum_price"))
+        .orderBy(col("l_linestatus"))
+    }),
     // CMS join-cardinality estimate (the CBO sketch, exactness-anchored)
     "q_join_estimate"    -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     // multi-touch conversion attribution (first/last/linear models)
@@ -2592,6 +2622,12 @@ object SparkEntry {
         |    'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ', 'aaaaaaceeeeiiiinooooouuuuyy'),
         |  '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS n
         |FROM documents)""".stripMargin,
+    "q_mv_rewrite_inc" ->
+      """SELECT l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |floor(SUM(l_extendedprice) * 10000 + 0.5 + 0.000001) / 10000
+        |  AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mv_rewrite" ->
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty,
         |CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -109,6 +109,11 @@ object MatView {
               delta: org.apache.spark.sql.DataFrame): Def = {
     val d = Option(reg.get(norm(basePath))).getOrElse(
       throw new IllegalArgumentException(s"no MV registered for $basePath"))
+    val needed = d.keys ++ d.measures
+    val missing = needed.filterNot(delta.columns.contains)
+    require(missing.isEmpty,
+      s"delta batch is missing MV columns ${missing.mkString(", ")} — " +
+        s"refresh folds per-key partials and cannot impute them")
     val deltaSum = delta.groupBy(d.keys.map(col): _*)
       .agg(summaryAggs(d.measures).head, summaryAggs(d.measures).tail: _*)
     val combAggs = sum(col("mv_count")).as("mv_count") +:

@@ -121,6 +121,20 @@ class MatViewSpec extends AnyFunSuite {
     } finally MatView.clear()
   }
 
+  test("refresh rejects a delta missing MV columns") {
+    import spark.implicits._
+    val basePath = TestSpark.tempDir("graft-mv-guard-base")
+    val mvPath = TestSpark.tempDir("graft-mv-guard")
+    Seq(("A", 1.0)).toDF("k", "v").write.mode("overwrite").parquet(basePath)
+    MatView.build(spark, basePath, mvPath, keys = Seq("k"), measures = Seq("v"))
+    try {
+      val bad = Seq(("A", 9L)).toDF("k", "other")
+      val e = intercept[IllegalArgumentException](
+        MatView.refresh(spark, basePath, bad))
+      assert(e.getMessage.contains("missing MV columns"))
+    } finally MatView.clear()
+  }
+
   test("a stream keeps the MV fresh via foreachBatch refresh") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
