@@ -386,6 +386,8 @@ object SparkEntry {
     "q_disjunct_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
     "q_waiting_suppliers"-> ((s, d) => Joins.waitingSuppliers(s, d)),
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
+    // filtered vector search: top-k hard negatives under a label predicate
+    "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
     // seasonality heatmap + fulfillment-delay histogram
     "q_time_heatmap"     -> ((s, d) => Relational.timeHeatmap(s, d)),
     "q_ship_delay"       -> ((s, d) => Relational.shipDelayHistogram(s, d)),
@@ -2565,6 +2567,21 @@ object SparkEntry {
         |FROM a JOIN supplier ON late_supp = s_suppkey
         |WHERE n_supps > 1 AND n_late = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_knn_filtered" ->
+      """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+        |  FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |  list_dot_product(q.qv, e.v)
+        |    / (sqrt(list_dot_product(q.qv, q.qv))
+        |       * sqrt(list_dot_product(e.v, e.v))) AS sim
+        |  FROM q JOIN e ON e.label <> q.qlabel),
+        |ranked AS (SELECT query_id, vec_id, sim, CAST(ROW_NUMBER() OVER
+        |  (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id AS negative_id, ROUND(sim, 4) AS cosine_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_time_heatmap" ->
       """SELECT CAST(isodow(ts) AS INTEGER) AS dow_iso,
         |CAST(hour(ts) AS INTEGER) AS hod,

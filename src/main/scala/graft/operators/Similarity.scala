@@ -62,6 +62,32 @@ object Similarity {
         round(col("sim"), 4).as("cosine_sim"))
   }
 
+  /** Filtered vector search — top-k under a metadata predicate: each
+    * query's nearest neighbors restricted to vectors of a DIFFERENT
+    * label, i.e. hard-negative mining for contrastive training (the
+    * retrieval shape behind DPR/Contriever negatives). The predicate
+    * is applied PRE-scoring — the filter-then-score order every
+    * filtered-ANN design wants, because scoring excluded rows is pure
+    * waste and post-filtering top-k can return < k rows. Same bounded-
+    * heap TopKPerGroup reduction as [[knnBrute]]: no corpus-wide sort,
+    * partitions forward at most K rows per query. */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val qs = corpus(s, dir).filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    val scored = corpus(s, dir)
+      .join(broadcast(qs), col("label") =!= col("query_label"))
+      .withColumn("sim", cosine(col("query_vec"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+    val topk = graft.plans.TopKPerGroup(scored,
+      Seq(col("query_id")), Seq(col("sim").desc, col("vec_id")), K)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    topk.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("vec_id").as("negative_id"),
+        round(col("sim"), 4).as("cosine_sim"))
+  }
+
   /** Pairs of near-identical embeddings (cosine >= threshold) — the
     * embedding-space near-dup operator, via the same multi-table
     * SRP-LSH index as knnAnn: bucket-gather pairs (one shuffle, ids

@@ -280,4 +280,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(g((2, 2)) === 0.0)
     assert(g.forall { case ((i, j), _) => i <= j })
   }
+
+  test("knnFiltered: every hard negative has a different label than its query") {
+    import org.apache.spark.sql.functions.col
+    val labels = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.knnFiltered(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      labels(r.getAs[Long]("query_id")) != labels(r.getAs[Long]("negative_id"))
+    })
+    // exactly K negatives per query (pre-filter leaves enough candidates)
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id")).values.map(_.length)
+    assert(perQuery.forall(_ == Similarity.K))
+  }
 }
