@@ -35,7 +35,11 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_star_revenue", "q_pricing_summary", "q_filtered_agg",
         "q_semi_join", "q_top_customers", "q_dedup_minhash", "q_knn_brute",
-        "q_bloom_semi", "q_zscore_outliers", "q_topk_custom")
+        "q_bloom_semi", "q_zscore_outliers", "q_topk_custom",
+        // round-7 flagships: MV substitution (plan must scan the
+        // summary, not the fact table), the folded Q21 (ONE orderkey
+        // shuffle), and filtered vector search (broadcast + TopK)
+        "q_mv_rewrite", "q_waiting_suppliers", "q_knn_filtered")
     for (n <- names) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

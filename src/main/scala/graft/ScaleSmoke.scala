@@ -154,6 +154,25 @@ object ScaleSmoke {
     run("attribution")(operators.Behavior.attribution(spark, dir))
     run("joinSizeEstimate")(operators.Relational.joinSizeEstimate(spark, dir))
     run("waitingSuppliers")(operators.Joins.waitingSuppliers(spark, dir))
+    // mvServe: ONE summary build over the factor×-larger fact table
+    // (linear), after which the served rollup reads the constant-size
+    // summary — the time must be build-dominated and the query share
+    // ~zero regardless of factor. knnFiltered: corpus grows factor×,
+    // query count fixed — broadcast probe + bounded heaps, linear.
+    run("mvServe") {
+      val mvDir = java.nio.file.Files.createTempDirectory("graft-scale-mv").toString
+      graft.plans.MatView.build(spark, s"$dir/lineitem.parquet", mvDir,
+        keys = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq("l_quantity", "l_extendedprice"))
+      import org.apache.spark.sql.functions.{count => cnt, _}
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"), cnt(lit(1)).as("n"))
+    }
+    // de-register so later labels' lineitem aggregates are never
+    // silently served by the summary (order-independent timings)
+    graft.plans.MatView.clear()
+    run("knnFiltered")(operators.Similarity.knnFiltered(spark, dir))
 
     spark.stop()
   }
