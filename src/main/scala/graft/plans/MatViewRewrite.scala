@@ -51,17 +51,24 @@ object MatView {
   final case class Def(basePath: String, mvPath: String, keys: Seq[String],
                        measures: Seq[String], relation: LogicalRelation)
 
-  private val reg = new java.util.concurrent.ConcurrentHashMap[String, Def]()
+  private val reg =
+    new java.util.concurrent.ConcurrentHashMap[String, List[Def]]()
 
   private[plans] def norm(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
 
   def clear(): Unit = reg.clear()
 
-  def lookup(rootPaths: Seq[String]): Option[Def] = {
+  /** All summaries registered for a single-root scan, COARSEST grain
+    * first (fewest keys → fewest rows → cheapest to serve from). The
+    * rewrite tries them in this order and takes the first that covers
+    * the query — textbook MV selection, where serving a day-grain
+    * rollup from the month-grain summary beats re-reading the
+    * day-grain one. A multi-path union is never the registered base. */
+  def lookup(rootPaths: Seq[String]): Seq[Def] = {
     val ns = rootPaths.map(norm)
-    // single-root scans only: a multi-path union is not the registered base
-    if (ns.length != 1) None else Option(reg.get(ns.head))
+    if (ns.length != 1) Nil
+    else Option(reg.get(ns.head)).getOrElse(Nil).sortBy(_.keys.length)
   }
 
   /** Compute + persist the summary for `basePath`, register it, and
@@ -89,7 +96,8 @@ object MatView {
       .getOrElse(throw new IllegalStateException(
         s"MV at $mvPath did not analyze to a file relation"))
     val d = Def(basePath, mvPath, keys, measures, rel)
-    reg.put(norm(basePath), d)
+    reg.compute(norm(basePath), (_, old) =>
+      d :: Option(old).getOrElse(Nil).filterNot(_.mvPath == mvPath))
     d
   }
 
@@ -106,32 +114,34 @@ object MatView {
     * temp dir + re-registration (the old relation stays readable by
     * in-flight plans until their scan resolves). */
   def refresh(s: SparkSession, basePath: String,
-              delta: org.apache.spark.sql.DataFrame): Def = {
-    val d = Option(reg.get(norm(basePath))).getOrElse(
+              delta: org.apache.spark.sql.DataFrame): Seq[Def] = {
+    val ds = Option(reg.get(norm(basePath))).getOrElse(
       throw new IllegalArgumentException(s"no MV registered for $basePath"))
-    val needed = d.keys ++ d.measures
-    val missing = needed.filterNot(delta.columns.contains)
-    require(missing.isEmpty,
-      s"delta batch is missing MV columns ${missing.mkString(", ")} — " +
-        s"refresh folds per-key partials and cannot impute them")
-    val deltaSum = delta.groupBy(d.keys.map(col): _*)
-      .agg(summaryAggs(d.measures).head, summaryAggs(d.measures).tail: _*)
-    val combAggs = sum(col("mv_count")).as("mv_count") +:
-      d.measures.flatMap(m => Seq(
-        sum(col(s"mv_sum_$m")).as(s"mv_sum_$m"),
-        min(col(s"mv_min_$m")).as(s"mv_min_$m"),
-        max(col(s"mv_max_$m")).as(s"mv_max_$m")))
-    val merged = s.read.parquet(d.mvPath).unionByName(deltaSum)
-      .groupBy(d.keys.map(col): _*).agg(combAggs.head, combAggs.tail: _*)
-    val tmp = d.mvPath + "_refresh_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val target = java.nio.file.Paths.get(d.mvPath)
-    val del = java.nio.file.Files.walk(target).sorted(
-      java.util.Comparator.reverseOrder[java.nio.file.Path]())
-    try del.forEach(p => { java.nio.file.Files.delete(p); () })
-    finally del.close()
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
-    register(s, basePath, d.mvPath, d.keys, d.measures)
+    ds.map { d =>
+      val needed = d.keys ++ d.measures
+      val missing = needed.filterNot(delta.columns.contains)
+      require(missing.isEmpty,
+        s"delta batch is missing MV columns ${missing.mkString(", ")} — " +
+          s"refresh folds per-key partials and cannot impute them")
+      val deltaSum = delta.groupBy(d.keys.map(col): _*)
+        .agg(summaryAggs(d.measures).head, summaryAggs(d.measures).tail: _*)
+      val combAggs = sum(col("mv_count")).as("mv_count") +:
+        d.measures.flatMap(m => Seq(
+          sum(col(s"mv_sum_$m")).as(s"mv_sum_$m"),
+          min(col(s"mv_min_$m")).as(s"mv_min_$m"),
+          max(col(s"mv_max_$m")).as(s"mv_max_$m")))
+      val merged = s.read.parquet(d.mvPath).unionByName(deltaSum)
+        .groupBy(d.keys.map(col): _*).agg(combAggs.head, combAggs.tail: _*)
+      val tmp = d.mvPath + "_refresh_tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      val target = java.nio.file.Paths.get(d.mvPath)
+      val del = java.nio.file.Files.walk(target).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      try del.forEach(p => { java.nio.file.Files.delete(p); () })
+      finally del.close()
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+      register(s, basePath, d.mvPath, d.keys, d.measures)
+    }
   }
 }
 
@@ -158,22 +168,25 @@ class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         Some(lr)
       case _ => None
     }
-    for {
-      lr <- strip(child)
+    val scan = strip(child)
+    val fs = filters.result()
+    val candidates = for {
+      lr <- scan.toSeq
+      // coarsest-first: the first derivable candidate is the cheapest
       d <- MatView.lookup(lr.relation.asInstanceOf[HadoopFsRelation]
         .location.rootPaths.map(_.toString))
-      groupKeys <- asGrainKeys(groupings, d)
-      fs = filters.result()
+      groupKeys <- asGrainKeys(groupings, d).toSeq
       if fs.forall(_.references.forall(r => d.keys.contains(r.name)))
       mv = d.relation.newInstance()
       mvAttr = mv.output.map(a => a.name -> a).toMap
-      newAggs <- derive(aggExprs, d, mvAttr)
+      newAggs <- derive(aggExprs, d, mvAttr).toSeq
     } yield {
       val base = fs.foldLeft(mv: LogicalPlan) { (p, f) =>
         Filter(remap(f, mvAttr), p)
       }
       Aggregate(groupKeys.map(mvAttr(_)), newAggs, base, hint)
     }
+    candidates.headOption
   }
 
   private def asGrainKeys(groupings: Seq[Expression],

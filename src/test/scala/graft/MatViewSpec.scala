@@ -121,6 +121,31 @@ class MatViewSpec extends AnyFunSuite {
     } finally MatView.clear()
   }
 
+  test("with two grains registered, the coarsest serving MV wins") {
+    val fine = TestSpark.tempDir("graft-mv-fine")
+    val coarse = TestSpark.tempDir("graft-mv-coarse")
+    MatView.build(spark, base, fine,
+      keys = Seq("l_returnflag", "l_linestatus"), measures = Seq("l_quantity"))
+    MatView.build(spark, base, coarse,
+      keys = Seq("l_returnflag"), measures = Seq("l_quantity"))
+    try {
+      // flag-only rollup: both could serve; the 1-key summary must win
+      val q1 = spark.read.parquet(base).groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"))
+      assert(readsMv(q1, coarse) && !readsMv(q1, fine))
+      // two-key rollup: only the fine grain covers it
+      val q2 = spark.read.parquet(base)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("s"))
+      assert(readsMv(q2, fine) && !readsMv(q2, coarse))
+      // both serve correct numbers
+      MatView.clear()
+      val want1 = spark.read.parquet(base).groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s")).collect().toSet
+      assert(q1.collect().toSet === want1)
+    } finally MatView.clear()
+  }
+
   test("refresh rejects a delta missing MV columns") {
     import spark.implicits._
     val basePath = TestSpark.tempDir("graft-mv-guard-base")
