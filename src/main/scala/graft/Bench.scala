@@ -41,12 +41,38 @@ object Bench {
 
     var spark = Sessions.build(cpus)
 
+    // Per-query shuffle-volume accounting — the direct "which query
+    // would bottleneck the interconnect at 100 TB" signal, reported
+    // alongside seconds in BENCH_FULL.json. A task-end listener
+    // attributes each task's shuffle WRITE bytes to the query whose
+    // job group is active; the counter resets at the start of every
+    // measured run so the number matches the reported (steady-state)
+    // time. Listener delivery is async — a straggler task can land on
+    // the next query's counter; MB-scale noise, documented as such.
+    val shuffleBytes =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    @volatile var currentQuery: String = ""
+    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val q = currentQuery
+        if (te.taskMetrics != null && q.nonEmpty) {
+          shuffleBytes
+            .computeIfAbsent(q, _ => new java.util.concurrent.atomic.LongAdder)
+            .add(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(shuffleListener)
+
     /** One bounded run: construction + noop materialization inside a
       * watchdog thread. On cap breach the query's job group is
       * cancelled (the worker unblocks on the SparkException) and -1 is
       * reported; the suite moves on instead of eating the whole
       * harness budget on one regression. Returns (seconds, breached). */
     def runOnce(name: String): (Double, Boolean) = {
+      shuffleBytes.remove(name)
+      currentQuery = name
       @volatile var res = -1.0
       val sc = spark.sparkContext
       val t0 = System.nanoTime()
@@ -98,6 +124,7 @@ object Bench {
         System.err.println(s"[bench] rebuilding SparkSession after $name")
         try spark.stop() catch { case _: Throwable => () }
         spark = Sessions.build(cpus)
+        spark.sparkContext.addSparkListener(shuffleListener)
         return t1
       }
       if (t1 < 0 || t1 < 1.0) return t1 // failed, or cheap: one run
@@ -106,6 +133,7 @@ object Bench {
         System.err.println(s"[bench] rebuilding SparkSession after $name")
         try spark.stop() catch { case _: Throwable => () }
         spark = Sessions.build(cpus)
+        spark.sparkContext.addSparkListener(shuffleListener)
       }
       t2
     }
@@ -169,10 +197,14 @@ object Bench {
     }
     def writeFull(done: Boolean): Unit = {
       val total = results.values.filter(_ >= 0).sum
+      val shuffles = results.keys.map { k =>
+        val mb = Option(shuffleBytes.get(k)).map(_.sum / 1048576.0).getOrElse(0.0)
+        s""""$k":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(mb))}"""
+      }.mkString(""""shuffle_write_mb":{""", ",", "},")
       val json = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
         .mkString(
           s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{""",
-          ",", s"""},${suffix(done)}""")
+          ",", s"""},$shuffles${suffix(done)}""")
       try java.nio.file.Files.write(fullPath, json.getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] cannot write $fullPath: ${e.getMessage}") }
