@@ -59,14 +59,29 @@ object ScaleSmoke {
       s"${Tables.lineitem(spark, dir).count()} lineitems")
 
     val wanted = args.toSet
+    // Per-label shuffle accounting (same listener pattern as Bench):
+    // the claims in README's scale table — "candidate volume tracks
+    // density", "one orderkey shuffle" — get a measured MB next to the
+    // seconds instead of plan-reading alone.
+    val shuffled = new java.util.concurrent.atomic.LongAdder
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            shuffled.add(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
     def run(label: String)(df: => DataFrame): Unit =
       if (wanted.isEmpty || wanted(label)) {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        shuffled.reset()
         val t0 = System.nanoTime()
         val n = df.count()
-        println(f"[scale] $label: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val secs = (System.nanoTime() - t0) / 1e9
+        val mb = shuffled.sum / 1048576.0
+        println(f"[scale] $label: $n rows in $secs%.1f s, shuffled $mb%.1f MB")
       }
 
     run("exactGroups")(operators.Dedup.exactGroups(spark, dir))

@@ -2682,7 +2682,7 @@ object SparkEntry {
         |  FROM events WHERE event_type IN ('view', 'click')),
         |p AS (SELECT c.conv_id, t.channel, t.ts AS ts_r, t.touch_id
         |  FROM conv c JOIN t ON c.user_id = t.user_id
-        |  AND t.ts >= c.ts - INTERVAL 3600 SECOND AND t.ts < c.ts),
+        |  AND t.ts >= c.ts - INTERVAL 604800 SECOND AND t.ts < c.ts),
         |r AS (SELECT channel,
         |  ROW_NUMBER() OVER (PARTITION BY conv_id
         |    ORDER BY ts_r DESC, touch_id DESC) AS rn_last,

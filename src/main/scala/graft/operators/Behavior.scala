@@ -165,7 +165,9 @@ object Behavior {
 
   /** Multi-touch conversion attribution: each purchase's credit split
     * across the view/click touchpoints the same user produced in the
-    * preceding `lookbackSec` window, under the three standard models —
+    * preceding `lookbackSec` window (default 7 days — on this corpus's
+    * event density that yields ~1.8k multi-touch conversions, so the
+    * three models are actually differentiated), under the standard models —
     * first-touch, last-touch (100% to one touchpoint), and linear
     * (1/n each). The marketing-analytics query behind every
     * channel-ROI dashboard.
@@ -179,7 +181,7 @@ object Behavior {
     * deterministic touch_id tie-break), and the final rollup is a
     * channel-cardinality aggregate. */
   def attribution(s: SparkSession, dir: String,
-      lookbackSec: Long = 3600L): DataFrame = {
+      lookbackSec: Long = 604800L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir)
     val conv = ev.filter(col("event_type") === "purchase")
