@@ -53,6 +53,56 @@ object Checks {
       .withColumn("passed", col("n_violations") === 0L)
   }
 
+  /** Zero-extra-pass variant: the same row checks attached to the
+    * frame via `Dataset.observe`, so the violation counters are
+    * computed BY THE WRITE JOB ITSELF (accumulator-backed aggregates
+    * evaluated as rows stream through) instead of [[report]]'s second
+    * aggregation pass over the table. At 100 TB that second pass is a
+    * second 100 TB scan; observation is free. Retrieve the counts
+    * from the returned frame's QueryExecutionListener /
+    * StreamingQueryProgress under metric group `name`, or use
+    * [[observedMetrics]] for the batch-collect convenience.
+    * Uniqueness checks are NOT expressible here (countDistinct is not
+    * an accumulator-style observation) — run those through [[report]]
+    * or a WAP audit. */
+  def observed(df: DataFrame, rowChecks: Seq[RowCheck],
+               name: String = "graft_dq"): DataFrame = {
+    val aggs = rowChecks.map(c =>
+      coalesce(sum(when(!c.valid, 1L).otherwise(0L)), lit(0L)).as(c.name))
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
+
+  /** Batch convenience around [[observed]]: registers a listener, runs
+    * `action` on the observed frame, and returns the per-check
+    * violation counts that the action's OWN job computed. */
+  def observedMetrics(s: SparkSession, observedDf: DataFrame,
+      name: String = "graft_dq")(action: DataFrame => Unit): Map[String, Long] = {
+    @volatile var captured: Map[String, Long] = Map.empty
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val row = qe.observedMetrics.get(name)
+        row.foreach { r =>
+          captured = r.schema.fieldNames.map(f =>
+            f -> r.getAs[Long](f)).toMap
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      action(observedDf)
+      // listener delivery is asynchronous; wait for the metrics row
+      val deadline = System.nanoTime() + 10000000000L
+      while (captured.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      captured
+    } finally s.listenerManager.unregister(listener)
+  }
+
   /** The demo report over the events table (the checks a schema.yml for
     * it would declare). */
   def eventsReport(s: SparkSession, dir: String): DataFrame =

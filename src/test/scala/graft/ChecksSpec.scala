@@ -38,4 +38,25 @@ class ChecksSpec extends AnyFunSuite {
     }
     assert(scans.size === 1, s"expected one table scan, plan:\n$plan")
   }
+
+  test("observed checks ride the write job itself and match report()") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (-2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "name")
+    val checks = Seq(Checks.notNull("name"), Checks.nonNegative("id"))
+    val out = TestSpark.tempDir("graft-observe")
+    val observedDf = Checks.observed(df, checks)
+    val metrics = Checks.observedMetrics(spark, observedDf) { odf =>
+      odf.write.mode("overwrite").parquet(out) // the ONLY job that runs
+    }
+    assert(metrics === Map("not_null_name" -> 1L, "non_negative_id" -> 1L))
+    // agreement with the second-pass report on the same frame
+    val reported = Checks.report(df, checks).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations"))
+      .toMap
+    assert(metrics === reported)
+    // and the write actually happened (observation is not a blocker)
+    assert(spark.read.parquet(out).count() === 3L)
+  }
 }
