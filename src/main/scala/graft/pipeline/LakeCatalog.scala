@@ -454,31 +454,58 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * already live" (the reference's e≫t≫t DAG, dag.py:30-37 — its
     * test stage can only alarm, never prevent).
     *
-    * Scale posture: the audit reads back the STAGED files (footer
-    * schema, no extra plan run of `df`), and the checks aggregate in
-    * one pass ([[Checks.report]]); publish is a directory rename —
-    * O(1), the same atomicity story as the CTAS swap. */
+    * Scale posture: row-level checks are OBSERVED on the staging
+    * write itself ([[Checks.observed]] — zero extra scans); only the
+    * uniqueness checks re-read the staged files (footer schema, no
+    * extra plan run of `df`, one distinct aggregate). Publish is a
+    * directory rename — O(1), the same atomicity story as the CTAS
+    * swap. */
   def writeAuditPublish(name: String, df: DataFrame,
       rowChecks: Seq[Checks.RowCheck], uniqueCols: Seq[String] = Nil,
       partitionTs: Option[String] = None): Either[DataFrame, Long] = {
     val staging = Paths.get(tablePath(name) + s"__wap_${System.nanoTime()}")
-    val writer = partitionTs match {
-      case Some(ts) =>
-        df.withColumn(partitionColFor(ts), to_date(col(ts)))
-          .write.partitionBy(partitionColFor(ts))
-      case None => df.write
+    val frame = partitionTs match {
+      case Some(ts) => df.withColumn(partitionColFor(ts), to_date(col(ts)))
+      case None => df
     }
-    writer.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val reportDf = Checks.report(
-      spark.read.parquet(staging.toString), rowChecks, uniqueCols)
-    // one row per check — pin it driver-side BEFORE any staging delete
-    // so the returned report never dangles on removed files
-    val reportRows = reportDf.collect()
+    // Row-level checks ride the STAGING WRITE itself (Dataset.observe:
+    // accumulator-backed counters evaluated as rows stream to parquet)
+    // — the audit's row pass costs zero extra scans. Only the
+    // uniqueness checks, which need a distinct aggregate, re-read the
+    // staged files (schema from footers, still never re-planning df).
+    val observedFrame =
+      if (rowChecks.nonEmpty) Checks.observed(frame, rowChecks) else frame
+    def stage(d: DataFrame): Unit = {
+      val w = partitionTs match {
+        case Some(ts) => d.write.partitionBy(partitionColFor(ts))
+        case None => d.write
+      }
+      w.mode(SaveMode.Overwrite).parquet(staging.toString)
+    }
+    val rowViolations: Map[String, Long] =
+      if (rowChecks.nonEmpty)
+        Checks.observedMetrics(spark, observedFrame)(stage)
+      else { stage(frame); Map.empty }
+    val reportSchema = StructType(Seq(
+      StructField("check_name", StringType, nullable = false),
+      StructField("n_violations", LongType, nullable = false),
+      StructField("passed", BooleanType, nullable = false)))
+    val rowReport = rowChecks.map { c =>
+      val n = rowViolations.getOrElse(c.name, 0L)
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](c.name, n, n == 0L), reportSchema): org.apache.spark.sql.Row
+    }
+    val uniqueReport =
+      if (uniqueCols.nonEmpty)
+        Checks.report(spark.read.parquet(staging.toString), Nil, uniqueCols)
+          .collect().toSeq
+      else Nil
+    val reportRows = (rowReport ++ uniqueReport).toArray
     val clean = reportRows.forall(_.getAs[Boolean]("passed"))
     if (!clean) {
       deleteRecursive(staging)
       Left(spark.createDataFrame(
-        java.util.Arrays.asList(reportRows: _*), reportDf.schema))
+        java.util.Arrays.asList(reportRows: _*), reportSchema))
     } else {
       val id = nextSnapshotId(name)
       Files.createDirectories(Paths.get(tablePath(name)))
