@@ -351,6 +351,26 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   /** Latest snapshot id of an append table (0 when empty). */
   def currentSnapshotId(name: String): Long = nextSnapshotId(name) - 1
 
+  /** Row-level diff between two snapshots: what a reader at `to` sees
+    * that a reader at `from` did not (`added`) and vice versa
+    * (`removed`) — the audit query behind "what changed between the
+    * Monday and Tuesday states", needed since [[deleteWhere]] made
+    * history non-monotonic (the change feed only shows appends).
+    * Bag semantics via exceptAll, so duplicate rows diff correctly.
+    * Both snapshots must be at or above the rewrite floor, enforced by
+    * [[tableAsOf]] — deliberately, a diff can never straddle a
+    * [[deleteWhere]] purge (the purged rows would be reconstructable
+    * from the 'removed' side otherwise). One co-partitioned anti-join
+    * per direction at 100 TB — and for append-only ranges, prefer
+    * [[tableSince]], which is partition-pruned instead of comparing
+    * content. */
+  def diffSnapshots(name: String, from: Long, to: Long): DataFrame = {
+    val a = tableAsOf(name, from)
+    val b = tableAsOf(name, to)
+    b.exceptAll(a).withColumn("change", lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
+  }
+
   /** Small-files compaction (the Iceberg `rewrite_data_files`
     * maintenance action): rewrites every live commit into ONE new
     * commit (preserving the hidden day-partitioning), deletes the old

@@ -224,6 +224,27 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(cat.snapshots("raw.u").count() === snapCount)
   }
 
+  test("diffSnapshots reports added rows and never straddles a purge") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-diff"))
+    cat.createNamespace("raw")
+    cat.append("raw.t", Seq((1L, "a")).toDF("id", "name"))
+    cat.append("raw.t", Seq((2L, "b"), (3L, "c")).toDF("id", "name"))
+    cat.append("raw.t", Seq((4L, "d")).toDF("id", "name"))
+    val d13 = cat.diffSnapshots("raw.t", 1L, 3L).collect()
+    assert(d13.count(_.getAs[String]("change") == "added") === 3)
+    assert(!d13.exists(_.getAs[String]("change") == "removed"))
+    assert(d13.map(_.getAs[Long]("id")).sorted.toSeq === Seq(2L, 3L, 4L))
+    // symmetric direction
+    val d31 = cat.diffSnapshots("raw.t", 3L, 1L).collect()
+    assert(d31.count(_.getAs[String]("change") == "removed") === 3)
+    // a purge raises the floor: diffs reaching before it are refused,
+    // so deleted rows can never be reconstructed from a diff
+    cat.deleteWhere("raw.t", col("id") === 2L)
+    intercept[IllegalArgumentException](cat.diffSnapshots("raw.t", 3L, 4L))
+    assert(cat.diffSnapshots("raw.t", 4L, 4L).count() === 0L)
+  }
+
   test("deleteWhere on a CTAS table swaps in the filtered state") {
     import spark.implicits._
     val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-del-ctas"))
