@@ -456,6 +456,8 @@ object SparkEntry {
     }),
     // CMS join-cardinality estimate (the CBO sketch, exactness-anchored)
     "q_join_estimate"    -> ((s, d) => Relational.joinSizeEstimate(s, d)),
+    // strict-window funnel (per-step time budget)
+    "q_funnel_window"    -> ((s, d) => graft.operators.Behavior.funnelStagesWithin(s, d)),
     // multi-touch conversion attribution (first/last/linear models)
     "q_attribution"      -> ((s, d) => graft.operators.Behavior.attribution(s, d)),
     // ML evaluation, privacy audit, and graph link prediction
@@ -2675,6 +2677,26 @@ object SparkEntry {
         |floor(CAST(cms_estimate - exact_rows AS DOUBLE) / exact_rows
         |  * 10000 + 0.5 + 0.000001) / 10000 AS rel_overestimate
         |FROM x, m""".stripMargin,
+    "q_funnel_window" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS ts0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS ts1 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.ts0
+        |    AND e.ts <= s1.ts0 + INTERVAL 604800 SECOND
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.ts1
+        |    AND e.ts <= s2.ts1 + INTERVAL 604800 SECOND
+        |  GROUP BY e.user_id),
+        |c AS (SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3),
+        |b AS (SELECT CAST(n_users AS DOUBLE) AS base FROM c WHERE stage = 1)
+        |SELECT stage, event_type, n_users,
+        |floor(n_users / b.base * 10000 + 0.5 + 0.000001) / 10000 AS conversion
+        |FROM c CROSS JOIN b""".stripMargin,
     "q_attribution" ->
       """WITH conv AS (SELECT user_id, event_id AS conv_id, ts
         |  FROM events WHERE event_type = 'purchase'),

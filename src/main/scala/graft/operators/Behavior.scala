@@ -54,6 +54,41 @@ object Behavior {
         round4eps(col("n_users") / col("base")).as("conversion"))
   }
 
+  /** Strict-window funnel — [[funnelStages]] with a per-step time
+    * budget: stage N counts only users whose earliest qualifying
+    * stage-N event lands within `maxGapSec` AFTER their stage-(N-1)
+    * anchor. The product-analytics default ("converted within 7
+    * days"), where the unbounded funnel answers "ever converted".
+    * Identical dataflow: one user-keyed aggregate per stage, each
+    * stage's output strictly smaller than its input. */
+  def funnelStagesWithin(s: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      maxGapSec: Long = 604800L): DataFrame = {
+    val events = Tables.events(s, dir)
+    val first = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chained = stages.tail.zipWithIndex.foldLeft(Seq(first)) {
+      case (acc, (stage, i)) =>
+        val prev = acc.last
+        acc :+ events.filter(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col(s"ts$i").as("prev_ts")), "user_id")
+          .filter(col("ts") > col("prev_ts") &&
+            col("ts") <= col("prev_ts") + expr(s"INTERVAL $maxGapSec SECONDS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"ts${i + 1}"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val counts = chained.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(stage).as("event_type"), col("n_users"))
+    }.reduce(_.unionByName(_))
+    val base = counts.filter(col("stage") === 1)
+      .select(col("n_users").cast("double").as("base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("stage"), col("event_type"), col("n_users"),
+        round4eps(col("n_users") / col("base")).as("conversion"))
+  }
+
   /** Cohort retention: users bucketed by first-activity date, then
     * counted per (cohort_date, day_offset) of later activity. The
     * (user, day) de-dup happens before the join, so the join input is
