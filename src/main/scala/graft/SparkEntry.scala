@@ -456,6 +456,8 @@ object SparkEntry {
     }),
     // CMS join-cardinality estimate (the CBO sketch, exactness-anchored)
     "q_join_estimate"    -> ((s, d) => Relational.joinSizeEstimate(s, d)),
+    // cohort lifetime-value curve (cumulative revenue per cohort-month)
+    "q_cohort_ltv"       -> ((s, d) => graft.operators.Behavior.cohortLtv(s, d)),
     // strict-window funnel (per-step time budget)
     "q_funnel_window"    -> ((s, d) => graft.operators.Behavior.funnelStagesWithin(s, d)),
     // multi-touch conversion attribution (first/last/linear models)
@@ -2677,6 +2679,30 @@ object SparkEntry {
         |floor(CAST(cms_estimate - exact_rows AS DOUBLE) / exact_rows
         |  * 10000 + 0.5 + 0.000001) / 10000 AS rel_overestimate
         |FROM x, m""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH cohort AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        |  FROM events GROUP BY user_id),
+        |sizes AS (SELECT cohort_date, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |  FROM cohort GROUP BY 1),
+        |rev AS (SELECT c.cohort_date,
+        |    CAST(date_diff('day', c.cohort_date, CAST(e.ts AS DATE)) AS INT)
+        |      AS day_offset,
+        |    SUM(e.value) AS rev_raw
+        |  FROM events e JOIN cohort c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT cohort_date, day_offset, rev_raw,
+        |    SUM(rev_raw) OVER (PARTITION BY cohort_date ORDER BY day_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_raw
+        |  FROM rev)
+        |SELECT cohort_date, day_offset,
+        |floor(rev_raw * 10000 + 0.5 + 0.000001) / 10000 AS revenue,
+        |floor(cum_raw * 10000 + 0.5 + 0.000001) / 10000 AS cum_revenue,
+        |floor(cum_raw / cohort_size * 10000 + 0.5 + 0.000001) / 10000
+        |  AS ltv_per_user,
+        |cohort_size
+        |FROM cum JOIN sizes USING (cohort_date)
+        |ORDER BY cohort_date, day_offset""".stripMargin,
     "q_funnel_window" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS ts0 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -103,6 +103,41 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort LTV curve: cumulative purchase value per signup cohort
+    * over day offsets (the corpus spans one month — day grain is the
+    * informative axis; at multi-year scale swap the truncation for
+    * months), normalized per cohort user — the
+    * lifetime-value report product/finance reads off every event
+    * warehouse. Dataflow: user→cohort assignment (one user-keyed
+    * aggregate), purchase revenue per (cohort, offset) (one more), a
+    * running-sum window over the per-cohort OFFSET axis (days, not
+    * rows — the window input is cohort×offset-sized, thousands of
+    * rows at any corpus scale), and a broadcast of cohort sizes. */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cohort.groupBy(col("cohort_date"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val rev = ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(to_date(col("ts")), col("cohort_date")).as("day_offset"))
+      .agg(sum(col("value")).as("rev_raw"))
+    val w = Window.partitionBy(col("cohort_date")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(sizes), "cohort_date")
+      .withColumn("cum_raw", sum(col("rev_raw")).over(w))
+      .select(col("cohort_date"), col("day_offset"),
+        round4eps(col("rev_raw")).as("revenue"),
+        round4eps(col("cum_raw")).as("cum_revenue"),
+        round4eps(col("cum_raw") / col("cohort_size")).as("ltv_per_user"),
+        col("cohort_size"))
+      .orderBy(col("cohort_date"), col("day_offset"))
+  }
+
   /** First-order Markov transition matrix over each user's event
     * stream: P(next event type | current type), estimated from every
     * adjacent pair in (ts, event_id) order. The behavioral model
