@@ -67,6 +67,7 @@ object Checks {
     * or a WAP audit. */
   def observed(df: DataFrame, rowChecks: Seq[RowCheck],
                name: String = "graft_dq"): DataFrame = {
+    require(rowChecks.nonEmpty, "observed needs at least one row check")
     val aggs = rowChecks.map(c =>
       coalesce(sum(when(!c.valid, 1L).otherwise(0L)), lit(0L)).as(c.name))
     df.observe(name, aggs.head, aggs.tail: _*)

@@ -304,15 +304,20 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * number of rows deleted. */
   def deleteWhere(name: String, predicate: org.apache.spark.sql.Column): Long = {
     val current = table(name)
-    val nDel = current.filter(predicate).count()
+    // three-valued logic: a NULL predicate must mean KEEP, not delete —
+    // filter(p) && filter(!p) would silently drop NULL-evaluating rows
+    // from BOTH sides (deleted by neither count nor retention)
+    val doomed = coalesce(predicate, lit(false))
+    val keep = !doomed
+    val nDel = current.filter(doomed).count()
     if (nDel == 0L) return 0L
     val rawCols = savedSchema(name).map(_.fieldNames.toSeq)
       .getOrElse(spark.read.parquet(tablePath(name)).columns.toSeq)
     if (!rawCols.contains(commitCol)) {
-      createOrReplace(name, current.filter(!predicate))
+      createOrReplace(name, current.filter(keep))
     } else {
       val raw = readTable(name)
-      val affected = raw.filter(predicate)
+      val affected = raw.filter(doomed)
         .select(col(commitCol).cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted // bounded by snapshot count
       var remaining = 0L
@@ -320,7 +325,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
         val commitDir = Paths.get(s"${tablePath(name)}/$commitCol=$cid")
         val cur = spark.read.parquet(commitDir.toString)
         val partCols = cur.columns.filter(hiddenCol).toSeq
-        val kept = cur.filter(!predicate)
+        val kept = cur.filter(keep)
         val tmp = Paths.get(s"${tablePath(name)}/.delete_tmp_$cid")
         val writer = if (partCols.nonEmpty) kept.write.partitionBy(partCols: _*)
           else kept.write

@@ -255,4 +255,18 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(TestSpark.collectSet[Long](cat.table("mart.m").select("k"), "k")
       === Set(1L))
   }
+
+  test("deleteWhere keeps rows whose predicate evaluates to NULL") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-del-null"))
+    cat.createNamespace("raw")
+    // name is NULL for id 2: `name = 'a'` is NULL there — three-valued
+    // logic must treat that as KEEP (a row deleted by neither side of
+    // a naive p / !p split would silently vanish)
+    cat.append("raw.n", Seq((1L, "a"), (2L, null.asInstanceOf[String]),
+      (3L, "b")).toDF("id", "name"))
+    assert(cat.deleteWhere("raw.n", col("name") === "a") === 1L)
+    assert(TestSpark.collectSet[Long](cat.table("raw.n").select("id"), "id")
+      === Set(2L, 3L))
+  }
 }
