@@ -404,7 +404,11 @@ object SparkEntry {
     "q_mv_rewrite"       -> ((s, d) => {
       import graft.plans.MatView
       val tmp = System.getProperty("java.io.tmpdir")
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      // tag carries the SOURCE's mtime+size: regenerating the testdata
+      // invalidates the cached copy instead of silently reusing it
+      val src = new java.io.File(s"$d/lineitem.parquet")
+      val tag = java.lang.Integer.toHexString(
+        (d + "#" + src.lastModified + "#" + src.length).hashCode)
       val basePath = s"$tmp/graft_mv_base_$tag"
       val mvPath = s"$tmp/graft_mv_sum_$tag"
       if (!new java.io.File(s"$basePath/_SUCCESS").exists())

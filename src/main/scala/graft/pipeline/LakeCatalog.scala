@@ -309,23 +309,37 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     // from BOTH sides (deleted by neither count nor retention)
     val doomed = coalesce(predicate, lit(false))
     val keep = !doomed
-    val nDel = current.filter(doomed).count()
-    if (nDel == 0L) return 0L
     val rawCols = savedSchema(name).map(_.fieldNames.toSeq)
       .getOrElse(spark.read.parquet(tablePath(name)).columns.toSeq)
     if (!rawCols.contains(commitCol)) {
+      val nDel = current.filter(doomed).count()
+      if (nDel == 0L) return 0L
       createOrReplace(name, current.filter(keep))
+      nDel
     } else {
+      // ONE pass yields both the deletion count and the affected
+      // commit list (the commit-keyed aggregate is snapshot-bounded);
+      // reading through readTable's sidecar schema means a predicate
+      // on a LATER-added column resolves against every commit (old
+      // commits surface it as NULL → keep, never AnalysisException).
       val raw = readTable(name)
-      val affected = raw.filter(doomed)
-        .select(col(commitCol).cast("long")).distinct()
-        .collect().map(_.getLong(0)).sorted // bounded by snapshot count
+      val perCommit = raw.filter(doomed)
+        .groupBy(col(commitCol).cast("long").as("cid"))
+        .agg(count(lit(1)).as("n")).collect()
+      val nDel = perCommit.map(_.getAs[Long]("n")).sum
+      if (nDel == 0L) return 0L
+      val affected = perCommit.map(_.getAs[Long]("cid")).sorted
+      val partCols = raw.columns.filter(c =>
+        hiddenCol(c) && c != commitCol).toSeq
+      // Crash mid-loop leaves some commits purged and NO snapshot —
+      // the table stays readable and a re-run is idempotent (already-
+      // purged commits simply match nothing); same single-writer
+      // discipline as append/compact.
       var remaining = 0L
       affected.foreach { cid =>
         val commitDir = Paths.get(s"${tablePath(name)}/$commitCol=$cid")
-        val cur = spark.read.parquet(commitDir.toString)
-        val partCols = cur.columns.filter(hiddenCol).toSeq
-        val kept = cur.filter(keep)
+        val kept = raw.filter(col(commitCol) === cid).filter(keep)
+          .drop(commitCol)
         val tmp = Paths.get(s"${tablePath(name)}/.delete_tmp_$cid")
         val writer = if (partCols.nonEmpty) kept.write.partitionBy(partCols: _*)
           else kept.write
@@ -335,8 +349,8 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
         Files.move(tmp, commitDir)
       }
       logSnapshot(name, "rewrite", remaining)
+      nDel
     }
-    nDel
   }
 
   /** The table restricted to commits AFTER `snapshotId` — the change
@@ -515,11 +529,20 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       StructField("check_name", StringType, nullable = false),
       StructField("n_violations", LongType, nullable = false),
       StructField("passed", BooleanType, nullable = false)))
-    val rowReport = rowChecks.map { c =>
-      val n = rowViolations.getOrElse(c.name, 0L)
-      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-        Array[Any](c.name, n, n == 0L), reportSchema): org.apache.spark.sql.Row
-    }
+    val rowReport =
+      if (rowChecks.nonEmpty && rowViolations.isEmpty) {
+        // The observed-metrics row never arrived (listener timeout or a
+        // dropped AsyncEventQueue event under load). Defaulting the
+        // counts to zero would FAIL OPEN — dirty data published as
+        // clean — so fall back to the read-back audit over the staged
+        // files instead: slower, never wrong.
+        Checks.report(spark.read.parquet(staging.toString), rowChecks, Nil)
+          .collect().toSeq
+      } else rowChecks.map { c =>
+        val n = rowViolations.getOrElse(c.name, 0L)
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](c.name, n, n == 0L), reportSchema): org.apache.spark.sql.Row
+      }
     val uniqueReport =
       if (uniqueCols.nonEmpty)
         Checks.report(spark.read.parquet(staging.toString), Nil, uniqueCols)

@@ -54,6 +54,23 @@ object MatView {
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, List[Def]]()
 
+  /** Rewrite suppression for the registry's OWN maintenance plans:
+    * [[build]]'s summary aggregate over an already-registered base
+    * would otherwise be hijacked by [[MatViewRewrite]] and computed
+    * FROM the stale summary it is replacing (confirmed failure:
+    * rebuild after base appends kept old sums and dropped new grain
+    * keys, silently). Same for [[refresh]]'s merge. Thread-local —
+    * only the maintenance computation is exempt, concurrent user
+    * queries on other threads keep being served. */
+  private val bypass = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private[plans] def bypassed: Boolean = bypass.get()
+  private def withBypass[T](body: => T): T = {
+    bypass.set(java.lang.Boolean.TRUE)
+    try body finally bypass.set(java.lang.Boolean.FALSE)
+  }
+
   private[plans] def norm(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
 
@@ -75,7 +92,7 @@ object MatView {
     * return the registration. One shuffle keyed by the grain; the MV
     * is the partial-aggregate state any coarser rollup re-combines. */
   def build(s: SparkSession, basePath: String, mvPath: String,
-            keys: Seq[String], measures: Seq[String]): Def = {
+            keys: Seq[String], measures: Seq[String]): Def = withBypass {
     val df = s.read.parquet(basePath)
     df.groupBy(keys.map(col): _*)
       .agg(summaryAggs(measures).head, summaryAggs(measures).tail: _*)
@@ -89,32 +106,50 @@ object MatView {
       min(col(m)).as(s"mv_min_$m"),
       max(col(m)).as(s"mv_max_$m")))
 
-  private def register(s: SparkSession, basePath: String, mvPath: String,
-                       keys: Seq[String], measures: Seq[String]): Def = {
-    val rel = s.read.parquet(mvPath).queryExecution.analyzed
+  private def analyzedRelation(s: SparkSession, path: String): LogicalRelation =
+    s.read.parquet(path).queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }
       .getOrElse(throw new IllegalStateException(
-        s"MV at $mvPath did not analyze to a file relation"))
-    val d = Def(basePath, mvPath, keys, measures, rel)
+        s"MV at $path did not analyze to a file relation"))
+
+  private def register(s: SparkSession, basePath: String, mvPath: String,
+                       keys: Seq[String], measures: Seq[String]): Def = {
+    val d = Def(basePath, mvPath, keys, measures, analyzedRelation(s, mvPath))
+    // one def per grain: a re-register (same keys) replaces, whatever
+    // versioned path it now lives at
     reg.compute(norm(basePath), (_, old) =>
-      d :: Option(old).getOrElse(Nil).filterNot(_.mvPath == mvPath))
+      d :: Option(old).getOrElse(Nil)
+        .filterNot(x => x.mvPath == mvPath || x.keys == keys))
     d
   }
 
-  /** Incremental maintenance: fold an appended `delta` batch into the
-    * summary WITHOUT rescanning the base — the partial-aggregate state
-    * is itself decomposable, so the refresh is
-    * summarize(delta) ⊎ current, recombined per grain key
+  /** Registered summaries for `basePath` (current versioned paths) —
+    * the accessor tools/specs use instead of assuming the build-time
+    * path, which [[refresh]] advances. */
+  def registered(basePath: String): Seq[Def] =
+    Option(reg.get(norm(basePath))).getOrElse(Nil)
+
+  /** Incremental maintenance: fold an appended `delta` batch into
+    * every summary registered for the base WITHOUT rescanning it —
+    * the partial-aggregate state is itself decomposable, so the
+    * refresh is summarize(delta) ⊎ current, recombined per grain key
     * (sum+=sum, count+=count, min=min-of-mins, max likewise). At
     * 100 TB this is the difference between an MV that costs one
     * fact-table scan per refresh and one that costs the BATCH — wire
     * it to LakeCatalog.tableSince and the mart stays fresh at change-
     * feed cost. Append-only deltas only: deletes/updates need the
-    * base rescan (min/max are not subtractable). Atomic swap via a
-    * temp dir + re-registration (the old relation stays readable by
-    * in-flight plans until their scan resolves). */
+    * base rescan (min/max are not subtractable).
+    *
+    * Each refresh writes a NEW versioned directory (`…_v<n>`) and
+    * re-registers — the previous version's files stay on disk, so a
+    * query planned against the old relation keeps reading intact
+    * files (the same old-snapshot-files discipline as a real MV
+    * store; an in-place swap was measured unsafe — concurrent scans
+    * hit FileNotFoundException mid-delete). The version before the
+    * previous is garbage-collected; the one-version tail is the
+    * bounded leak, expired like Iceberg snapshots. */
   def refresh(s: SparkSession, basePath: String,
-              delta: org.apache.spark.sql.DataFrame): Seq[Def] = {
+              delta: org.apache.spark.sql.DataFrame): Seq[Def] = withBypass {
     val ds = Option(reg.get(norm(basePath))).getOrElse(
       throw new IllegalArgumentException(s"no MV registered for $basePath"))
     ds.map { d =>
@@ -132,25 +167,39 @@ object MatView {
           max(col(s"mv_max_$m")).as(s"mv_max_$m")))
       val merged = s.read.parquet(d.mvPath).unionByName(deltaSum)
         .groupBy(d.keys.map(col): _*).agg(combAggs.head, combAggs.tail: _*)
-      val tmp = d.mvPath + "_refresh_tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      val target = java.nio.file.Paths.get(d.mvPath)
-      val del = java.nio.file.Files.walk(target).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      try del.forEach(p => { java.nio.file.Files.delete(p); () })
-      finally del.close()
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
-      register(s, basePath, d.mvPath, d.keys, d.measures)
+      val VersionRe = "(.*)_v(\\d+)$".r
+      val (root, ver) = d.mvPath match {
+        case VersionRe(r, n) => (r, n.toInt)
+        case p => (p, 0)
+      }
+      val next = s"${root}_v${ver + 1}"
+      merged.write.mode("overwrite").parquet(next)
+      val newDef = register(s, basePath, next, d.keys, d.measures)
+      // GC the version BEFORE the one we just superseded; d.mvPath
+      // itself stays for in-flight readers until the next refresh
+      if (ver >= 1) {
+        val old = java.nio.file.Paths.get(
+          if (ver == 1) root else s"${root}_v${ver - 1}")
+        if (java.nio.file.Files.exists(old)) {
+          val del = java.nio.file.Files.walk(old).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          try del.forEach(p => { java.nio.file.Files.delete(p); () })
+          finally del.close()
+        }
+      }
+      newDef
     }
   }
 }
 
 class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(groupings, aggExprs, child, hint) =>
-      rewrite(groupings, aggExprs, child, hint).getOrElse(agg)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MatView.bypassed) plan
+    else plan.transform {
+      case agg @ Aggregate(groupings, aggExprs, child, hint) =>
+        rewrite(groupings, aggExprs, child, hint).getOrElse(agg)
+    }
 
   private def rewrite(groupings: Seq[Expression],
                       aggExprs: Seq[NamedExpression],

@@ -411,20 +411,37 @@ object EventStreams {
     * never a base rescan), while downstream aggregates keep being
     * served by [[graft.plans.MatViewRewrite]] transparently. The
     * batch is persisted across its two actions (append + delta
-    * summarize) so the source micro-batch is read once. This is the
-    * streaming closure of the lakehouse MV story: ingest, summary
-    * freshness, and query rewrite in one loop. */
+    * summarize) so the source micro-batch is read once.
+    *
+    * Replay safety: foreachBatch delivers AT LEAST once, so the
+    * epoch's batchId is committed to a marker file after the fold and
+    * already-folded epochs are skipped on restart — a replayed
+    * complete epoch is a no-op instead of a double append +
+    * double fold. The residual window is a crash BETWEEN the base
+    * append and the marker commit: that epoch replays
+    * non-idempotently. Closing it needs a transactional base sink
+    * (route the append through LakeCatalog/WAP and fold off its
+    * change feed); this operator demonstrates the maintenance loop,
+    * and the marker documents exactly where the transactional
+    * boundary belongs. */
   def streamToMatView(rows: DataFrame, basePath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.{Files, Paths}
+        val marker = Paths.get(basePath, "_graft_last_folded")
+        val lastFolded =
+          if (Files.exists(marker))
+            new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
+          else -1L
+        if (batchId > lastFolded && !batch.isEmpty) {
           batch.persist()
           try {
             batch.write.mode("append").parquet(basePath)
             graft.plans.MatView.refresh(batch.sparkSession, basePath, batch)
+            Files.write(marker, batchId.toString.getBytes("UTF-8"))
             ()
           } finally { batch.unpersist(); () }
         }

@@ -105,7 +105,10 @@ class MatViewSpec extends AnyFunSuite {
     MatView.build(spark, basePath, mvPath, keys = Seq("k"), measures = Seq("v"))
     try {
       MatView.refresh(spark, basePath, part2)
-      val got = spark.read.parquet(mvPath).collect()
+      // refresh advances to a versioned dir; read the CURRENT one
+      val currentPath = MatView.registered(basePath).head.mvPath
+      assert(currentPath != mvPath && currentPath.startsWith(mvPath))
+      val got = spark.read.parquet(currentPath).collect()
         .map(r => (r.getAs[String]("k"), r.getAs[Long]("mv_count"),
           r.getAs[Double]("mv_sum_v"), r.getAs[Double]("mv_min_v"),
           r.getAs[Double]("mv_max_v"))).toSet
@@ -146,6 +149,26 @@ class MatViewSpec extends AnyFunSuite {
     } finally MatView.clear()
   }
 
+  test("rebuilding an MV after base appends recomputes from the base") {
+    import spark.implicits._
+    val basePath = TestSpark.tempDir("graft-mv-rebuild-base")
+    val mvPath = TestSpark.tempDir("graft-mv-rebuild")
+    Seq(("A", 1.0)).toDF("k", "v").write.mode("overwrite").parquet(basePath)
+    MatView.build(spark, basePath, mvPath, keys = Seq("k"), measures = Seq("v"))
+    try {
+      // base grows OUTSIDE the registry's knowledge; a rebuild is the
+      // documented freshness path and must NOT be served by its own
+      // stale summary (the self-hijack this regression pins)
+      Seq(("A", 10.0), ("C", 7.0)).toDF("k", "v")
+        .write.mode("append").parquet(basePath)
+      MatView.build(spark, basePath, mvPath, keys = Seq("k"), measures = Seq("v"))
+      val got = spark.read.parquet(mvPath).collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Long]("mv_count"),
+          r.getAs[Double]("mv_sum_v"))).toSet
+      assert(got === Set(("A", 2L, 11.0), ("C", 1L, 7.0)))
+    } finally MatView.clear()
+  }
+
   test("refresh rejects a delta missing MV columns") {
     import spark.implicits._
     val basePath = TestSpark.tempDir("graft-mv-guard-base")
@@ -183,7 +206,7 @@ class MatViewSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("mv_count"), sum(col("v")).as("mv_sum_v"),
           min(col("v")).as("mv_min_v"), max(col("v")).as("mv_max_v"))
         .collect().map(_.toSeq).toSet
-      val got = spark.read.parquet(mvPath)
+      val got = spark.read.parquet(MatView.registered(basePath).head.mvPath)
         .select(col("k"), col("mv_count"), col("mv_sum_v"),
           col("mv_min_v"), col("mv_max_v"))
         .collect().map(_.toSeq).toSet
