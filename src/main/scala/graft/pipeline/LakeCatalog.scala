@@ -252,6 +252,48 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       .orderBy(col("snapshot_id"))
   }
 
+  /** The `table.partitions` metadata scan (Iceberg's partitions
+    * metadata table): per physical partition (commit × day dir), the
+    * record count — the operator's view of data layout and skew. One
+    * scan, grouped on the partition columns the directory structure
+    * already encodes (so the aggregate is shuffle-light: partition
+    * values are constant within each input split). */
+  def partitions(name: String): DataFrame = {
+    val df = readTable(name)
+    val partCols = df.columns.filter(hiddenCol).toSeq
+    require(partCols.nonEmpty,
+      s"$name is unpartitioned (CTAS tables have no partitions metadata)")
+    df.groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("record_count"))
+      .orderBy(partCols.map(col): _*)
+  }
+
+  /** Iceberg's `expire_snapshots` analog: fence off time travel below
+    * `olderThan`. In this emulation every commit's files are still
+    * part of the LIVE table (append-only data), so there is nothing
+    * physical to delete until a [[compact]] folds history — expiration
+    * is the metadata fence alone, giving the same user-visible
+    * guarantee (tableAsOf / tableSince / diffSnapshots below the fence
+    * refuse). The fence rides the snapshot log as an `expire` entry
+    * carrying its OWN fence value (the entry's snapshot id keeps
+    * counting commits). Returns the new floor. */
+  def expireSnapshots(name: String, olderThan: Long): Long = {
+    val current = currentSnapshotId(name)
+    require(olderThan <= current,
+      s"cannot expire up to $olderThan: table $name is at snapshot $current")
+    if (olderThan > rewriteFloor(name)) {
+      val p = snapshotLogPath(name)
+      Files.createDirectories(p.getParent)
+      val id = nextSnapshotId(name)
+      val ts = java.time.Instant.now().toString
+      val line = s"""{"committed_at":"$ts","snapshot_id":$id,""" +
+        s""""operation":"expire","added_records":0,"fence":$olderThan}\n"""
+      Files.write(p, line.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+    rewriteFloor(name)
+  }
+
   private def nextSnapshotId(name: String): Long = {
     val p = snapshotLogPath(name)
     if (!Files.exists(p)) return 1L
@@ -433,13 +475,19 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     val p = snapshotLogPath(name)
     if (!Files.exists(p)) return 0L
     val idRe = """"snapshot_id":(\d+)""".r
+    val fenceRe = """"fence":(\d+)""".r
     val lines = Files.lines(p)
     try {
       import scala.jdk.CollectionConverters._
-      lines.iterator().asScala
-        .filter(_.contains("\"operation\":\"rewrite\""))
-        .flatMap(l => idRe.findFirstMatchIn(l).map(_.group(1).toLong))
-        .foldLeft(0L)(math.max)
+      lines.iterator().asScala.flatMap { l =>
+        // physical rewrites fence at their OWN snapshot (earlier files
+        // are gone); expire entries carry an explicit fence value
+        if (l.contains("\"operation\":\"rewrite\""))
+          idRe.findFirstMatchIn(l).map(_.group(1).toLong)
+        else if (l.contains("\"operation\":\"expire\""))
+          fenceRe.findFirstMatchIn(l).map(_.group(1).toLong)
+        else None
+      }.foldLeft(0L)(math.max)
     } finally lines.close()
   }
 

@@ -224,6 +224,37 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(cat.snapshots("raw.u").count() === snapCount)
   }
 
+  test("partitions metadata and expireSnapshots fence") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-meta"))
+    cat.createNamespace("raw")
+    cat.append("raw.t", Seq((1L, ts(10, 1)), (2L, ts(10, 2)), (3L, ts(11, 1)))
+      .toDF("id", "extracted_at"), partitionTs = Some("extracted_at"))
+    cat.append("raw.t", Seq((4L, ts(11, 5)))
+      .toDF("id", "extracted_at"), partitionTs = Some("extracted_at"))
+    // per (commit, day) physical partition record counts
+    val parts = cat.partitions("raw.t").collect()
+      .map(r => (r.get(r.fieldIndex("commit")).toString.toLong,
+        r.getAs[java.sql.Date]("graft_days_extracted_at").toString,
+        r.getAs[Long]("record_count"))).toSet
+    assert(parts === Set((1L, "2026-08-10", 2L), (1L, "2026-08-11", 1L),
+      (2L, "2026-08-11", 1L)))
+    // expire fences time travel below the given snapshot, data intact
+    assert(cat.tableAsOf("raw.t", 1L).count() === 3L)
+    assert(cat.expireSnapshots("raw.t", 2L) === 2L)
+    intercept[IllegalArgumentException](cat.tableAsOf("raw.t", 1L))
+    assert(cat.tableAsOf("raw.t", 2L).count() === 4L)
+    assert(cat.table("raw.t").count() === 4L)
+    // appends continue; the log records the expire entry
+    cat.append("raw.t", Seq((5L, ts(12, 1)))
+      .toDF("id", "extracted_at"), partitionTs = Some("extracted_at"))
+    assert(cat.table("raw.t").count() === 5L)
+    val ops = cat.snapshots("raw.t").collect().map(_.getAs[String]("operation"))
+    assert(ops.count(_ == "expire") === 1)
+    // expiring below the current floor is a no-op
+    assert(cat.expireSnapshots("raw.t", 1L) === 2L)
+  }
+
   test("diffSnapshots reports added rows and never straddles a purge") {
     import spark.implicits._
     val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-diff"))
