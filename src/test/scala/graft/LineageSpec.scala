@@ -36,6 +36,30 @@ class LineageSpec extends AnyFunSuite {
     assert(l("segment") === Set("customer" -> "c_mktsegment"))
   }
 
+  test("lineage extraction covers the whole registry without throwing") {
+    // fixture-building entries do real work at construction (warehouse
+    // ticks, MV builds, stream fixtures) — lineage only needs ANALYSIS,
+    // so restrict the sweep to the direct-query majority
+    val skip = Set("q_pipeline_mart", "q_pipeline_snapshots",
+      "q_pipeline_asof", "q_pipeline_incmart", "q_pipeline_dbtrun",
+      "q_mv_rewrite", "q_mv_rewrite_inc", "q_stream_dedup",
+      "q_stream_enrich", "q_stream_join", "q_stream_stateful",
+      "q_stream_docdedup", "q_windowed_counts", "q_sliding_counts",
+      "q_session_window", "q_format_roundtrip", "q_zorder",
+      "q_dq_checks")
+    val names = SparkEntry.queries.keys.filterNot(skip).toSeq.sorted
+    var covered = 0
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, dir)
+      val l = Lineage.columns(df)
+      assert(l.keySet === df.columns.toSet, s"$n: lineage keys != columns")
+      if (l.values.exists(_.nonEmpty)) covered += 1
+    }
+    // the overwhelming majority of queries must trace at least one
+    // column to a real source leaf
+    assert(covered >= names.size * 9 / 10, s"only $covered/${names.size} traced")
+  }
+
   test("PII audit use: no output of the daily mart touches c_name") {
     val l = Lineage.columns(Relational.dailyMart(spark, dir))
     assert(l.values.flatten.forall { case (_, c) => c != "c_name" })
