@@ -172,4 +172,47 @@ class PropertySpec extends AnyFunSuite {
       assert(h === java.lang.Long.bitCount(b ^ a))
     }
   }
+
+  test("gini is scale-invariant and bounded on generated spend vectors") {
+    // Gini over per-customer spends: invariant under x -> c*x, in
+    // [0, 1), and 0 for perfectly equal spends — checked through the
+    // SAME rank-identity the operator uses, on generated data
+    def gini(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length.toDouble
+      val num = s.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      2.0 * num / (n * s.sum) - (n + 1.0) / n
+    }
+    val gen = Gen.nonEmptyListOf(Gen.choose(1.0, 10000.0))
+    sample(gen, 30, seed = 7L).foreach { xs =>
+      val g = gini(xs)
+      assert(g >= -1e-9 && g < 1.0, s"gini $g out of range for n=${xs.length}")
+      assert(math.abs(gini(xs.map(_ * 3.5)) - g) < 1e-9, "not scale-invariant")
+    }
+    assert(math.abs(gini(Seq.fill(40)(25.0))) < 1e-9, "equal spends must give 0")
+  }
+
+  test("CM join estimate upper-bounds the exact inner product on generated keys") {
+    // the operator's min-over-seeds inner product can only ADD hash
+    // collisions to the true Σ cntA(v)·cntB(v) — never subtract
+    val genKeys = Gen.listOfN(400, Gen.choose(0L, 60L))
+    val width = 64
+    sample(genKeys, 10, seed = 11L).zipWithIndex.foreach { case (ks, i) =>
+      val a = ks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val b = sample(genKeys, 1, seed = 100L + i).head
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val exact = a.keySet.intersect(b.keySet).toSeq
+        .map(k => a(k) * b(k)).sum
+      val est = (0 until 4).map { seed =>
+        def bucket(k: Long): Int =
+          (((k * 2654435761L + seed * 40503L) >>> 16) % width).toInt
+        val ca = a.groupBy { case (k, _) => bucket(k) }.view
+          .mapValues(_.values.sum).toMap
+        val cb = b.groupBy { case (k, _) => bucket(k) }.view
+          .mapValues(_.values.sum).toMap
+        ca.keySet.intersect(cb.keySet).toSeq.map(x => ca(x) * cb(x)).sum
+      }.min
+      assert(est >= exact, s"CM estimate $est below exact $exact")
+    }
+  }
 }
