@@ -268,6 +268,47 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       .orderBy(partCols.map(col): _*)
   }
 
+  private def tagsPath(name: String) =
+    Paths.get(s"$warehouseDir/_tags/${name.replace('.', '_')}.json")
+
+  /** Iceberg tags: a NAMED immutable reference to a snapshot
+    * (`CREATE TAG v1 AS OF VERSION n`). Tags pin releases — "the mart
+    * state we trained v1 on" — and read through [[tableAsOf]], so an
+    * expired/compacted snapshot makes its tags unreadable too (the
+    * fence wins; a tag is a name, not a retention guarantee — real
+    * Iceberg keeps tagged snapshots alive instead, which needs the
+    * file-manifest layer this emulation trades away). */
+  def tagSnapshot(name: String, tag: String, snapshotId: Long): Unit = {
+    require(snapshotId >= 1 && snapshotId <= currentSnapshotId(name),
+      s"cannot tag snapshot $snapshotId of $name " +
+        s"(table is at ${currentSnapshotId(name)})")
+    val p = tagsPath(name)
+    Files.createDirectories(p.getParent)
+    val tags = readTags(name) + (tag -> snapshotId)
+    val json = tags.map { case (k, v) =>
+      s""""${k.replace("\"", "")}":$v""" }.mkString("{", ",", "}")
+    Files.write(p, json.getBytes("UTF-8"))
+  }
+
+  def tags(name: String): Map[String, Long] = readTags(name)
+
+  /** The table as of the TAGGED snapshot. */
+  def tableAtTag(name: String, tag: String): DataFrame = {
+    val id = readTags(name).getOrElse(tag,
+      throw new IllegalArgumentException(s"no tag '$tag' on $name"))
+    tableAsOf(name, id)
+  }
+
+  private def readTags(name: String): Map[String, Long] = {
+    val p = tagsPath(name)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      """"([^"]+)":(\d+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+  }
+
   /** Iceberg's `expire_snapshots` analog: fence off time travel below
     * `olderThan`. In this emulation every commit's files are still
     * part of the LIVE table (append-only data), so there is nothing

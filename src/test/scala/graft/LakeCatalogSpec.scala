@@ -255,6 +255,24 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(cat.expireSnapshots("raw.t", 1L) === 2L)
   }
 
+  test("snapshot tags: named references read through time travel") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-tags"))
+    cat.createNamespace("raw")
+    cat.append("raw.t", Seq((1L, "a")).toDF("id", "name"))
+    cat.append("raw.t", Seq((2L, "b")).toDF("id", "name"))
+    cat.tagSnapshot("raw.t", "train-v1", 1L)
+    cat.append("raw.t", Seq((3L, "c")).toDF("id", "name"))
+    assert(cat.tableAtTag("raw.t", "train-v1").count() === 1L)
+    assert(cat.tags("raw.t") === Map("train-v1" -> 1L))
+    intercept[IllegalArgumentException](cat.tableAtTag("raw.t", "nope"))
+    intercept[IllegalArgumentException](cat.tagSnapshot("raw.t", "future", 9L))
+    // a fence wins over a tag: expired snapshots make their tags
+    // unreadable (tags are names, not retention)
+    cat.expireSnapshots("raw.t", 2L)
+    intercept[IllegalArgumentException](cat.tableAtTag("raw.t", "train-v1"))
+  }
+
   test("diffSnapshots reports added rows and never straddles a purge") {
     import spark.implicits._
     val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-diff"))
