@@ -241,5 +241,8 @@ object Bench {
     "q_gram_matrix", "q_kmeans", "q_tfidf_top", "q_bm25",
     "q_token_stats", "q_corpus_profile", "q_lang_predictions",
     "q_quality_scores", "q_pagerank", "q_triangles",
-    "q_math_funcs", "q_string_funcs", "q_date_funcs")
+    "q_math_funcs", "q_string_funcs", "q_date_funcs",
+    // round-7 flagships
+    "q_mv_rewrite", "q_waiting_suppliers", "q_knn_filtered",
+    "q_join_estimate", "q_link_prediction", "q_attribution")
 }
