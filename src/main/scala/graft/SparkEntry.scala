@@ -388,6 +388,8 @@ object SparkEntry {
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
     // filtered vector search: top-k hard negatives under a label predicate
     "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
+    // classical additive decomposition of the daily series
+    "q_seasonal_decomp"  -> ((s, d) => Relational.seasonalDecompose(s, d)),
     // seasonality heatmap + fulfillment-delay histogram
     "q_time_heatmap"     -> ((s, d) => Relational.timeHeatmap(s, d)),
     "q_ship_delay"       -> ((s, d) => Relational.shipDelayHistogram(s, d)),
@@ -2590,6 +2592,22 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS negative_id, ROUND(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_seasonal_decomp" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT d, n, AVG(n) OVER (ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        |  FROM daily),
+        |se AS (SELECT d, n, trend,
+        |    AVG(n - trend) OVER (PARTITION BY isodow(d)) AS seasonal
+        |  FROM t)
+        |SELECT d, CAST(n AS BIGINT) AS n_events,
+        |floor(trend * 10000 + 0.5 + 0.000001) / 10000 AS trend,
+        |floor(seasonal * 10000 + 0.5 + 0.000001) / 10000 AS seasonal,
+        |floor((n - trend - seasonal) * 10000 + 0.5 + 0.000001) / 10000
+        |  AS remainder
+        |FROM se ORDER BY d""".stripMargin,
     "q_time_heatmap" ->
       """SELECT CAST(isodow(ts) AS INTEGER) AS dow_iso,
         |CAST(hour(ts) AS INTEGER) AS hod,

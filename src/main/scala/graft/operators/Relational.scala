@@ -1121,6 +1121,35 @@ object Relational {
           .as("revenue"))
       .orderBy(col("delay_weeks"))
 
+  /** Classical additive seasonal decomposition of the daily event
+    * series: observed = trend + seasonal + remainder, with trend a
+    * centered 7-day moving average, the seasonal component the mean
+    * detrended value per ISO day-of-week, and the remainder what's
+    * left — the anomaly-detection baseline ("is Tuesday low, or is
+    * EVERY Tuesday low?"). The whole decomposition runs over the
+    * DAILY aggregate (365 rows/year regardless of event volume):
+    * corpus-sized work is the one groupBy; everything after is
+    * windows on a trivially small frame. Endpoint days average their
+    * available neighbors (both engines agree under ROWS frames). */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val byDate = Window.orderBy(col("d"))
+    val trend = daily.withColumn("trend",
+      avg(col("n")).over(byDate.rowsBetween(-3, 3)))
+    val withSeason = trend
+      .withColumn("dow", ((dayofweek(col("d")) + lit(5)) % 7 + lit(1)))
+      .withColumn("seasonal",
+        avg(col("n") - col("trend")).over(Window.partitionBy(col("dow"))))
+    withSeason.select(col("d"),
+        col("n").cast("long").as("n_events"),
+        round4eps(col("trend")).as("trend"),
+        round4eps(col("seasonal")).as("seasonal"),
+        round4eps(col("n") - col("trend") - col("seasonal")).as("remainder"))
+      .orderBy(col("d"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */
