@@ -388,6 +388,9 @@ object SparkEntry {
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
     // filtered vector search: top-k hard negatives under a label predicate
     "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
+    // Pareto/ABC revenue classes + level-shift changepoint screen
+    "q_abc_parts"        -> ((s, d) => Relational.abcParts(s, d)),
+    "q_level_shifts"     -> ((s, d) => Relational.levelShifts(s, d)),
     // classical additive decomposition of the daily series
     "q_seasonal_decomp"  -> ((s, d) => Relational.seasonalDecompose(s, d)),
     // seasonality heatmap + fulfillment-delay histogram
@@ -2592,6 +2595,46 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS negative_id, ROUND(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_abc_parts" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    SUM(l_extendedprice * (1 - l_discount)) AS rev_raw
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(rev_raw) AS total FROM pp),
+        |c AS (SELECT l_partkey, rev_raw,
+        |    floor(SUM(rev_raw) OVER (ORDER BY rev_raw DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total
+        |      * 1000000 + 0.5 + 0.000001) / 1000000 AS cum_share
+        |  FROM pp, t)
+        |SELECT l_partkey,
+        |floor(rev_raw * 10000 + 0.5 + 0.000001) / 10000 AS revenue,
+        |floor(cum_share * 10000 + 0.5 + 0.000001) / 10000 AS cum_share,
+        |CASE WHEN cum_share <= 0.80 THEN 'A'
+        |     WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM c ORDER BY cum_share, l_partkey""".stripMargin,
+    "q_level_shifts" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1),
+        |sg AS (SELECT floor(stddev_pop(n) * 1000000 + 0.5 + 0.000001)
+        |    / 1000000 AS sigma FROM daily),
+        |w AS (SELECT d,
+        |    AVG(n) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |      AS mb_raw,
+        |    AVG(n) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+        |      AS ma_raw,
+        |    COUNT(n) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |      AS n_before,
+        |    COUNT(n) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+        |      AS n_after
+        |  FROM daily),
+        |s AS (SELECT d,
+        |  floor(mb_raw * 10000 + 0.5 + 0.000001) / 10000 AS mean_before,
+        |  floor(ma_raw * 10000 + 0.5 + 0.000001) / 10000 AS mean_after,
+        |  floor((ma_raw - mb_raw) / sigma * 10000 + 0.5 + 0.000001)
+        |    / 10000 AS shift_sigmas
+        |  FROM w, sg WHERE n_before = 7 AND n_after = 7)
+        |SELECT d, mean_before, mean_after, shift_sigmas
+        |FROM s ORDER BY abs(shift_sigmas) DESC, d LIMIT 5""".stripMargin,
     "q_seasonal_decomp" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(COUNT(*) AS DOUBLE) AS n

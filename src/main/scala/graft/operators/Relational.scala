@@ -1150,6 +1150,69 @@ object Relational {
       .orderBy(col("d"))
   }
 
+  /** ABC / Pareto classification: parts ranked by revenue, labeled A
+    * while the cumulative share is under 80%, B under 95%, C after —
+    * the inventory-prioritization standard ("which 20% of parts drive
+    * 80% of revenue"). Revenue first collapses to part grain (the
+    * only corpus-sized pass), then the cumulative-share window runs
+    * over the PART table; the global order-by-revenue is the one
+    * intentionally non-partitioned window here, bounded by part
+    * cardinality, not fact volume. Boundary shares are grid-quantized
+    * so an engine-ulp in the running sum can't flip a class label. */
+  def abcParts(s: SparkSession, dir: String): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("rev_raw"))
+    val w = Window.orderBy(col("rev_raw").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perPart.agg(sum(col("rev_raw")).as("total"))
+    perPart.crossJoin(broadcast(total))
+      .withColumn("cum_share", q6(sum(col("rev_raw")).over(w) / col("total")))
+      .select(col("l_partkey"),
+        round4eps(col("rev_raw")).as("revenue"),
+        round4eps(col("cum_share")).as("cum_share"),
+        when(col("cum_share") <= 0.80, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("cum_share"), col("l_partkey"))
+  }
+
+  /** Level-shift (changepoint) screen over the daily event series:
+    * for each day, the gap between the mean of the NEXT window and
+    * the mean of the PREVIOUS window, normalized by the global std —
+    * the monitoring query that flags "the metric stepped on the 14th"
+    * (a two-sample mean-shift scan; peaks locate CUSUM-style
+    * changepoints). All windows run over the daily aggregate. */
+  def levelShifts(s: SparkSession, dir: String,
+      window: Int = 7, topN: Int = 5): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val byDate = Window.orderBy(col("d"))
+    val scored = daily
+      .withColumn("mean_before",
+        avg(col("n")).over(byDate.rowsBetween(-window, -1)))
+      .withColumn("mean_after",
+        avg(col("n")).over(byDate.rowsBetween(0, window - 1)))
+      .withColumn("n_before",
+        count(col("n")).over(byDate.rowsBetween(-window, -1)))
+      .withColumn("n_after",
+        count(col("n")).over(byDate.rowsBetween(0, window - 1)))
+      .filter(col("n_before") === window && col("n_after") === window)
+      .crossJoin(broadcast(daily.agg(q6(stddev_pop(col("n"))).as("sigma"))))
+      .select(col("d"),
+        round4eps(col("mean_before")).as("mean_before"),
+        round4eps(col("mean_after")).as("mean_after"),
+        round4eps((col("mean_after") - col("mean_before")) / col("sigma"))
+          .as("shift_sigmas"))
+    scored.orderBy(abs(col("shift_sigmas")).desc, col("d")).limit(topN)
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */
