@@ -388,6 +388,10 @@ object SparkEntry {
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
     // filtered vector search: top-k hard negatives under a label predicate
     "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
+    // per-source lexical diversity (TTR + hapax share)
+    "q_vocab_richness"   -> (TextAnalysis.vocabRichness _),
+    // RFM customer segmentation (quintile scores + segment code)
+    "q_rfm"              -> ((s, d) => Relational.rfmSegments(s, d)),
     // Pareto/ABC revenue classes + level-shift changepoint screen
     "q_abc_parts"        -> ((s, d) => Relational.abcParts(s, d)),
     "q_level_shifts"     -> ((s, d) => Relational.levelShifts(s, d)),
@@ -2595,6 +2599,41 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS negative_id, ROUND(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_vocab_richness" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM w GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |floor(CAST(n_types AS DOUBLE) / n_tokens * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS type_token_ratio,
+        |floor(CAST(n_hapax AS DOUBLE) / n_types * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS hapax_share
+        |FROM a ORDER BY 1""".stripMargin,
+    "q_rfm" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    SUM(o_totalprice) AS monetary_raw
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT o_custkey, frequency, monetary_raw,
+        |  CAST(NTILE(5) OVER (ORDER BY last_order ASC, o_custkey)
+        |    AS INTEGER) AS r_score,
+        |  CAST(NTILE(5) OVER (ORDER BY frequency ASC, o_custkey)
+        |    AS INTEGER) AS f_score,
+        |  CAST(NTILE(5) OVER (ORDER BY
+        |    floor(monetary_raw * 1000000 + 0.5 + 0.000001) / 1000000 ASC,
+        |    o_custkey) AS INTEGER) AS m_score
+        |  FROM pc)
+        |SELECT o_custkey AS custkey, r_score, f_score, m_score,
+        |CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |  || CAST(m_score AS VARCHAR) AS rfm,
+        |floor(monetary_raw * 10000 + 0.5 + 0.000001) / 10000 AS monetary
+        |FROM sc ORDER BY custkey""".stripMargin,
     "q_abc_parts" ->
       """WITH pp AS (SELECT l_partkey,
         |    SUM(l_extendedprice * (1 - l_discount)) AS rev_raw

@@ -1213,6 +1213,35 @@ object Relational {
     scored.orderBy(abs(col("shift_sigmas")).desc, col("d")).limit(topN)
   }
 
+  /** RFM segmentation — every CRM's first clustering: customers
+    * scored 1–5 by Recency (days since last order, newer = higher),
+    * Frequency (order count) and Monetary (total spend) quintiles,
+    * concatenated into the segment code ("555" = best). One
+    * orders→customer collapse (the only corpus-sized pass), then
+    * three ntile windows over the CUSTOMER table with custkey
+    * tie-breaks so quintile boundaries are deterministic. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice")).as("monetary_raw"))
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val r = ntile(5).over(Window.orderBy(col("last_order").asc, col("o_custkey")))
+    val f = ntile(5).over(Window.orderBy(col("frequency").asc, col("o_custkey")))
+    // quantized sort key: two equal-decimal spends must compare equal
+    // in BOTH engines or the quintile boundary could flip on an ulp
+    val m = ntile(5).over(Window.orderBy(q6(col("monetary_raw")).asc, col("o_custkey")))
+    perCust
+      .withColumn("r_score", r).withColumn("f_score", f).withColumn("m_score", m)
+      .select(col("o_custkey").as("custkey"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"),
+        round4eps(col("monetary_raw")).as("monetary"))
+      .orderBy(col("custkey"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

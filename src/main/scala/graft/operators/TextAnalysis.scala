@@ -946,6 +946,29 @@ object TextAnalysis {
         round4eps(avg(col("cap_words"))).as("avg_cap_words"),
         count(lit(1)).as("n_docs"))
 
+  /** Vocabulary-richness profile per source: type–token ratio and the
+    * hapax-legomenon share (words occurring exactly once) — the
+    * lexical-diversity screens that separate template/boilerplate
+    * sources (low TTR, few hapaxes) from natural prose, used as
+    * corpus-mixing features alongside perplexity. One explode →
+    * (source, word) count → per-source rollup; the shuffle carries
+    * vocabulary-sized partials, never the token stream. */
+  def vocabRichness(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round4eps(col("n_types").cast("double") / col("n_tokens"))
+          .as("type_token_ratio"),
+        round4eps(col("n_hapax").cast("double") / col("n_types"))
+          .as("hapax_share"))
+      .orderBy(col("source"))
+
   /** Text canonicalization profile — the normalization chain every
     * curation pipeline runs BEFORE exact dedup, so that casing /
     * accent / punctuation variants of the same document collapse to
