@@ -388,6 +388,8 @@ object SparkEntry {
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
     // filtered vector search: top-k hard negatives under a label predicate
     "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
+    // per-source lexical KL from the corpus mixture
+    "q_lexical_kl"       -> (TextAnalysis.lexicalKl _),
     // per-source lexical diversity (TTR + hapax share)
     "q_vocab_richness"   -> (TextAnalysis.vocabRichness _),
     // RFM customer segmentation (quintile scores + segment code)
@@ -2599,6 +2601,22 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS negative_id, ROUND(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_lexical_kl" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n_sw
+        |  FROM w GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(n_sw) AS BIGINT) AS n_s
+        |  FROM sw GROUP BY 1),
+        |cw AS (SELECT w, CAST(SUM(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_c FROM cw)
+        |SELECT source,
+        |floor(SUM((CAST(n_sw AS DOUBLE) / n_s)
+        |    * ln((CAST(n_sw AS DOUBLE) / n_s) / (CAST(n_w AS DOUBLE) / n_c)))
+        |  * 10000 + 0.5 + 0.000001) / 10000 AS kl_nats,
+        |CAST(COUNT(*) AS BIGINT) AS n_types
+        |FROM sw JOIN cw USING (w) JOIN st USING (source), t
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_vocab_richness" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

@@ -969,6 +969,36 @@ object TextAnalysis {
           .as("hapax_share"))
       .orderBy(col("source"))
 
+  /** Per-source lexical KL divergence from the corpus unigram
+    * distribution: D(source ‖ corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w))
+    * — how far each source's word usage drifts from the mixture, the
+    * lexical counterpart of embedding-space PSI and the quantity
+    * domain-reweighting schemes threshold on. Finite by construction
+    * (every source word exists in the corpus, so p_c > 0). Dataflow:
+    * one (source, word) count, one word-keyed join against the
+    * word-cardinality corpus table, one per-source rollup — shuffles
+    * carry vocabulary-sized partials only. */
+  def lexicalKl(s: SparkSession, dir: String): DataFrame = {
+    val sw = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n_sw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcTotals = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("n_s"))
+    val corpus = sw.groupBy(col("w")).agg(sum(col("n_sw")).as("n_w"))
+    val total = corpus.agg(sum(col("n_w")).as("n_c"))
+    sw.join(corpus, "w")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"),
+        (col("n_sw").cast("double") / col("n_s")).as("p_s"),
+        (col("n_w").cast("double") / col("n_c")).as("p_c"))
+      .groupBy(col("source"))
+      .agg(round4eps(sum(col("p_s") * log(col("p_s") / col("p_c"))))
+        .as("kl_nats"),
+        count(lit(1)).as("n_types"))
+      .orderBy(col("source"))
+  }
+
   /** Text canonicalization profile — the normalization chain every
     * curation pipeline runs BEFORE exact dedup, so that casing /
     * accent / punctuation variants of the same document collapse to
