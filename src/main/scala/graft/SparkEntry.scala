@@ -388,6 +388,8 @@ object SparkEntry {
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
     // filtered vector search: top-k hard negatives under a label predicate
     "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
+    // Church-Gale token burstiness (variance-to-mean of doc counts)
+    "q_burstiness"       -> ((s, d) => TextAnalysis.tokenBurstiness(s, d)),
     // per-source lexical KL from the corpus mixture
     "q_lexical_kl"       -> (TextAnalysis.lexicalKl _),
     // per-source lexical diversity (TTR + hapax share)
@@ -2601,6 +2603,22 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS negative_id, ROUND(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_burstiness" ->
+      """WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |wd AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |m AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(n) AS BIGINT) AS tf,
+        |    CAST(SUM(n * n) AS BIGINT) AS tf2
+        |  FROM wd GROUP BY 1 HAVING COUNT(*) >= 20)
+        |SELECT w AS token, df, tf,
+        |floor((CAST(tf2 AS DOUBLE) / n_docs
+        |    - (CAST(tf AS DOUBLE) / n_docs) * (CAST(tf AS DOUBLE) / n_docs))
+        |  / (CAST(tf AS DOUBLE) / n_docs) * 10000 + 0.5 + 0.000001) / 10000
+        |  AS burstiness
+        |FROM m, nd
+        |ORDER BY burstiness DESC, token LIMIT 25""".stripMargin,
     "q_lexical_kl" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

@@ -969,6 +969,37 @@ object TextAnalysis {
           .as("hapax_share"))
       .orderBy(col("source"))
 
+  /** Token burstiness (Church & Gale): variance-to-mean ratio of a
+    * word's per-document counts, zeros included — function words
+    * scatter uniformly (b ≈ 1, Poisson), content words CLUMP into the
+    * few documents about their topic (b ≫ 1). The corpus statistic
+    * behind stopword induction and topical-keyword screens. Zeros
+    * never materialize: with N total docs, mean = Σn/N and
+    * E[x²] = Σn²/N over the (word, doc) count table alone, so the
+    * dataflow is one explode → (word, doc) count → word-keyed moment
+    * rollup. Restricted to words in ≥ `minDocs` docs (rare-word
+    * variance is noise), top-k by burstiness. */
+  def tokenBurstiness(s: SparkSession, dir: String,
+      minDocs: Long = 20, topK: Int = 25): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val wd = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("n"))
+    wd.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("n")).as("tf"),
+        sum(col("n") * col("n")).as("tf2"))
+      .filter(col("df") >= minDocs)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w").as("token"), col("df"), col("tf"),
+        round4eps((col("tf2").cast("double") / col("n_docs") -
+          (col("tf").cast("double") / col("n_docs")) *
+          (col("tf").cast("double") / col("n_docs"))) /
+          (col("tf").cast("double") / col("n_docs"))).as("burstiness"))
+      .orderBy(col("burstiness").desc, col("token"))
+      .limit(topK)
+  }
+
   /** Per-source lexical KL divergence from the corpus unigram
     * distribution: D(source ‖ corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w))
     * — how far each source's word usage drifts from the mixture, the
