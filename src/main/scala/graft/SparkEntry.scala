@@ -388,6 +388,8 @@ object SparkEntry {
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
     // filtered vector search: top-k hard negatives under a label predicate
     "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
+    // two-sample KS drift test (integer cross-multiplied ECDF sweep)
+    "q_ks_drift"         -> ((s, d) => Relational.ksDrift(s, d)),
     // Church-Gale token burstiness (variance-to-mean of doc counts)
     "q_burstiness"       -> ((s, d) => TextAnalysis.tokenBurstiness(s, d)),
     // per-source lexical KL from the corpus mixture
@@ -2603,6 +2605,30 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS negative_id, ROUND(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_ks_drift" ->
+      """WITH ev AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cell,
+        |    (CAST(day(ts) AS INT) <= 15) AS is_a
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT cell,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM ev GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+        |    CAST(SUM(n_b) AS BIGINT) AS tot_b FROM cells),
+        |sw AS (SELECT cell,
+        |    CAST(SUM(n_a) OVER (ORDER BY cell
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_a,
+        |    CAST(SUM(n_b) OVER (ORDER BY cell
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_b
+        |  FROM cells),
+        |d AS (SELECT cell, abs(cum_a * tot_b - cum_b * tot_a) AS d_int
+        |  FROM sw, t)
+        |SELECT tot_a AS n_a, tot_b AS n_b, cell AS argmax_cell,
+        |floor(CAST(d_int AS DOUBLE) / (tot_a * tot_b) * 10000 + 0.5
+        |  + 0.000001) / 10000 AS ks_stat
+        |FROM d, t ORDER BY d_int DESC, cell LIMIT 1""".stripMargin,
     "q_burstiness" ->
       """WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
         |wd AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM

@@ -1242,6 +1242,41 @@ object Relational {
       .orderBy(col("custkey"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test between the first and
+    * second half-month of event values — the nonparametric
+    * distribution-shift gold standard next to the binned PSI gate.
+    * Values are quantized to a 0.01 grid, so the ECDF sweep runs over
+    * GRID CELLS (bounded, thousands) rather than a corpus-sized sort
+    * — the same scale trick as the binned AUC — and the statistic is
+    * computed in INTEGER cross-multiplied form
+    * (D = max |cumA·N_B − cumB·N_A|, then one division), so engines
+    * can't disagree on a float comparison anywhere inside the max.
+    * (At 1e12-row samples the cross products outgrow a long — switch
+    * the two cum columns to DECIMAL(38,0) there.) */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(floor(col("value") * 100).cast("long").as("cell"),
+        (dayofmonth(col("ts")) <= 15).as("is_a"))
+    val cells = ev.groupBy(col("cell"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+    val w = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = cells
+      .withColumn("cum_a", sum(col("n_a")).over(w))
+      .withColumn("cum_b", sum(col("n_b")).over(w))
+    val totals = cells.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    swept.crossJoin(broadcast(totals))
+      .select(col("cell"), col("tot_a"), col("tot_b"),
+        abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")).as("d_int"))
+      .agg(max(struct(col("d_int"), (-col("cell")).as("neg_cell"))).as("m"),
+        max(col("tot_a")).as("n_a"), max(col("tot_b")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        (-col("m.neg_cell")).as("argmax_cell"),
+        round4eps(col("m.d_int").cast("double") /
+          (col("n_a") * col("n_b"))).as("ks_stat"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */
