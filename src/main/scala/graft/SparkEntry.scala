@@ -388,6 +388,8 @@ object SparkEntry {
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
     // filtered vector search: top-k hard negatives under a label predicate
     "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
+    // Dunning LLR collocations (the evidence-weighted PMI complement)
+    "q_llr_bigrams"      -> ((s, d) => TextAnalysis.llrBigrams(s, d)),
     // two-sample KS drift test (integer cross-multiplied ECDF sweep)
     "q_ks_drift"         -> ((s, d) => Relational.ksDrift(s, d)),
     // Church-Gale token burstiness (variance-to-mean of doc counts)
@@ -2008,7 +2010,7 @@ object SparkEntry {
         |  ((CAST(x.c1 AS DOUBLE) / nu.nu) * (CAST(y.c1 AS DOUBLE) / nu.nu)))
         |  * 10000 + 0.5 + 0.000001) / 10000 AS pmi
         |FROM bi JOIN uni x ON bi.w1 = x.token JOIN uni y ON bi.w2 = y.token
-        |CROSS JOIN nu CROSS JOIN nb WHERE bi.cxy >= 50""".stripMargin,
+        |CROSS JOIN nu CROSS JOIN nb WHERE bi.cxy >= 20""".stripMargin,
     "q_pii_mask" ->
       """SELECT doc_id,
         |md5(regexp_replace(text, '\bcustomer\b|[0-9]+', '[PII]', 'g')) AS masked_md5,
@@ -2605,6 +2607,35 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS negative_id, ROUND(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_llr_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cxy FROM
+        |  (SELECT unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))],
+        |     recursive := true) FROM w)
+        |  GROUP BY w1, w2),
+        |f AS (SELECT w1, CAST(SUM(cxy) AS BIGINT) AS cw1 FROM bi GROUP BY 1),
+        |sx AS (SELECT w2, CAST(SUM(cxy) AS BIGINT) AS cw2 FROM bi GROUP BY 1),
+        |n AS (SELECT CAST(SUM(cxy) AS BIGINT) AS nb FROM bi),
+        |k AS (SELECT bi.w1, bi.w2, cxy,
+        |    CAST(cxy AS DOUBLE) AS k11,
+        |    CAST(cw1 - cxy AS DOUBLE) AS k12,
+        |    CAST(cw2 - cxy AS DOUBLE) AS k21,
+        |    CAST(nb - cw1 - cw2 + cxy AS DOUBLE) AS k22,
+        |    CAST(cw1 AS DOUBLE) AS r1, CAST(nb - cw1 AS DOUBLE) AS r2,
+        |    CAST(cw2 AS DOUBLE) AS c1, CAST(nb - cw2 AS DOUBLE) AS c2,
+        |    CAST(nb AS DOUBLE) AS nd
+        |  FROM bi JOIN f USING (w1) JOIN sx USING (w2), n
+        |  WHERE cxy >= 20),
+        |g AS (SELECT w1, w2, cxy,
+        |  floor(2.0 * (
+        |    CASE WHEN k11 > 0 THEN k11 * ln(k11 / (r1 * c1 / nd)) ELSE 0 END +
+        |    CASE WHEN k12 > 0 THEN k12 * ln(k12 / (r1 * c2 / nd)) ELSE 0 END +
+        |    CASE WHEN k21 > 0 THEN k21 * ln(k21 / (r2 * c1 / nd)) ELSE 0 END +
+        |    CASE WHEN k22 > 0 THEN k22 * ln(k22 / (r2 * c2 / nd)) ELSE 0 END)
+        |    * 10000 + 0.5 + 0.000001) / 10000 AS g2
+        |  FROM k)
+        |SELECT w1 || ' ' || w2 AS bigram, cxy AS freq, g2
+        |FROM g ORDER BY g2 DESC, bigram LIMIT 25""".stripMargin,
     "q_ks_drift" ->
       """WITH ev AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cell,
         |    (CAST(day(ts) AS INT) <= 15) AS is_a

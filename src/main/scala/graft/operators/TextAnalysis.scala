@@ -491,7 +491,7 @@ object TextAnalysis {
     * tokenization. Unigram and bigram counts are two partial-merged
     * aggregates over a vocabulary-sized key space; the count joins are
     * broadcasts (the vocabulary is tiny relative to the corpus). */
-  def pmiBigrams(s: SparkSession, dir: String, minFreq: Long = 50): DataFrame = {
+  def pmiBigrams(s: SparkSession, dir: String, minFreq: Long = 20): DataFrame = {
     val docs = Tables.documents(s, dir)
     val w = words(col("text"))
     val uni = docs.select(explode(w).as("token"))
@@ -968,6 +968,53 @@ object TextAnalysis {
         round4eps(col("n_hapax").cast("double") / col("n_types"))
           .as("hapax_share"))
       .orderBy(col("source"))
+
+  /** Collocation extraction by Dunning's log-likelihood ratio (G²,
+    * Dunning 1993) — the statistically sound complement to
+    * [[pmiBigrams]]: PMI overweights rare pairs (two hapaxes
+    * co-occurring once get maximal PMI), while G² tests the full 2×2
+    * contingency of (first word, second word) over the bigram stream,
+    * so high scores need both association AND evidence. Margins come
+    * from the bigram table itself (no unigram/boundary mismatch);
+    * zero cells contribute zero by the k·ln(k/E) → 0 limit. Ranking
+    * uses the grid-rounded score with the bigram string as tie-break
+    * so the top-k cutoff is cross-engine deterministic. */
+  def llrBigrams(s: SparkSession, dir: String,
+      minFreq: Long = 20, topK: Int = 25): DataFrame = {
+    val w = words(col("text"))
+    val bi = Tables.documents(s, dir).select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = bi.groupBy(col("w1")).agg(sum(col("cxy")).as("cw1"))
+    val seconds = bi.groupBy(col("w2")).agg(sum(col("cxy")).as("cw2"))
+    val n = bi.agg(sum(col("cxy")).as("nb"))
+    def term(k: org.apache.spark.sql.Column,
+             e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(k > 0, k * log(k / e)).otherwise(lit(0.0))
+    val scored = bi.filter(col("cxy") >= minFreq)
+      .join(broadcast(firsts), "w1")
+      .join(broadcast(seconds), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("k11", col("cxy").cast("double"))
+      .withColumn("k12", (col("cw1") - col("cxy")).cast("double"))
+      .withColumn("k21", (col("cw2") - col("cxy")).cast("double"))
+      .withColumn("k22",
+        (col("nb") - col("cw1") - col("cw2") + col("cxy")).cast("double"))
+      .withColumn("g2", round4eps(lit(2.0) * (
+        term(col("k11"), col("cw1") * col("cw2") / col("nb")) +
+        term(col("k12"), col("cw1") * (col("nb") - col("cw2")) / col("nb")) +
+        term(col("k21"), (col("nb") - col("cw1")) * col("cw2") / col("nb")) +
+        term(col("k22"),
+          (col("nb") - col("cw1")) * (col("nb") - col("cw2")) / col("nb")))))
+    scored
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("cxy").as("freq"), col("g2"))
+      .orderBy(col("g2").desc, col("bigram"))
+      .limit(topK)
+  }
 
   /** Token burstiness (Church & Gale): variance-to-mean ratio of a
     * word's per-document counts, zeros included — function words
