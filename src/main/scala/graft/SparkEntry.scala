@@ -186,7 +186,13 @@ object SparkEntry {
     // query must be too (LSH recall is ~1 but probabilistic — a reseed
     // could silently fail the hash compare). The LSH scale path is
     // gated separately below, rows-only.
-    "q_embedding_neardup"-> ((s, d) => Similarity.embeddingNearDups(s, d, exact = true)),
+    // threshold 0.4 for the GATE: this corpus plants no true
+    // near-dups (max pairwise cosine 0.51 at sf0.01), so the
+    // production default 0.95 would hash-compare empty against empty;
+    // the low threshold keeps real pairs flowing through the exact
+    // verification path. The LSH property gate stays at 0.95.
+    "q_embedding_neardup"-> ((s, d) =>
+      Similarity.embeddingNearDups(s, d, threshold = 0.4, exact = true)),
     // completeness gate: LSH pairs full-outer-joined against the
     // exact ground truth; misses/spurious must be zero
     "q_embedding_neardup_lsh" -> ((s, d) => Similarity.lshNearDupGate(s, d)),
@@ -767,9 +773,11 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
     "q_except_users" ->
-      """SELECT user_id FROM events WHERE event_type = 'purchase'
+      """SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |WHERE event_type = 'purchase'
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+        |SELECT user_id, CAST(ts AS DATE) FROM events
+        |WHERE event_type = 'error'""".stripMargin,
     "q_subquery_cust" ->
       """SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS acctbal
         |FROM customer c
@@ -1494,7 +1502,7 @@ object SparkEntry {
         |  list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, ROUND(sim, 4) AS cosine_sim FROM p WHERE sim >= 0.95""".stripMargin,
+        |SELECT vec_a, vec_b, ROUND(sim, 4) AS cosine_sim FROM p WHERE sim >= 0.4""".stripMargin,
     "q_embedding_norms" ->
       """SELECT vec_id, label,
         |ROUND(sqrt(list_dot_product([CAST(x AS DOUBLE) for x in embedding],

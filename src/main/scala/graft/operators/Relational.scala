@@ -346,14 +346,18 @@ object Relational {
     users("purchase").intersect(users("error"))
   }
 
-  /** EXCEPT (set semantics): users who purchased but never errored.
-    * Both set ops plan as aggregate/anti-join on the key — one shuffle,
-    * no distinct-then-join two-pass. */
+  /** EXCEPT (set semantics): (user, day) pairs with a purchase but no
+    * error that day. Plans as aggregate/anti-join on the composite key
+    * — one shuffle, no distinct-then-join two-pass. (Keyed at day
+    * grain deliberately: on this corpus every user has every event
+    * TYPE, so a user-level except would compare empty against empty —
+    * a gate that can't catch anything.) */
   def exceptUsers(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    def users(t: String) =
-      ev.filter(col("event_type") === t).select(col("user_id"))
-    users("purchase").except(users("error"))
+    def userDays(t: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+    userDays("purchase").except(userDays("error"))
   }
 
   /** Correlated scalar subquery + EXISTS, through the SQL surface

@@ -53,14 +53,20 @@ class RelationalExtSpec extends AnyFunSuite {
       .count() === 0)
   }
 
-  test("intersect/except partition the purchase-user set") {
+  test("intersect/except partition their key sets") {
+    import org.apache.spark.sql.functions.to_date
     val ev = Tables.events(spark, dir)
-    val purchasers = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id")).distinct().count()
-    val both = Relational.intersectUsers(spark, dir).count()
+    // exceptUsers is (user, day)-grain: purchase days with no error
+    // that day; with-error days + error-free days = all purchase days
+    val purchaseDays = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val errorDays = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val withError = purchaseDays.intersect(errorDays).count()
     val only = Relational.exceptUsers(spark, dir).count()
-    assert(both + only === purchasers)
-    // set semantics: no duplicates
+    assert(withError + only === purchaseDays.count())
+    // intersectUsers stays user-grain set semantics: no duplicates
+    val both = Relational.intersectUsers(spark, dir).count()
     assert(Relational.intersectUsers(spark, dir).distinct().count() === both)
   }
 
