@@ -244,7 +244,12 @@ object Similarity {
     * collision bound puts P(miss) < 2e-4 per true pair — so the gate
     * emits (n_exact, 0, 0), which the oracle recomputes exactly
     * (n_exact from its own all-pairs scan, the zeros as the asserted
-    * property). */
+    * property). NOTE: the synthetic corpus plants no pairs at the
+    * production threshold (max pairwise cosine ≈ 0.51 at sf0.01), so
+    * n_exact is 0 here and the gate's teeth are the zero-spurious
+    * property; positive-pair recall at the design point is proven on
+    * the crafted fixtures in SimilaritySpec, and the row-carrying
+    * exact gate (q_embedding_neardup) runs at threshold 0.4. */
   def lshNearDupGate(s: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
     val exact = embeddingNearDups(s, dir, threshold, exact = true)
       .select(col("vec_a"), col("vec_b")).withColumn("e", lit(1))
