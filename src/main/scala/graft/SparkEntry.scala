@@ -394,6 +394,9 @@ object SparkEntry {
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
     // filtered vector search: top-k hard negatives under a label predicate
     "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
+    // pricing elasticity regression + two-proportion A/B z-test
+    "q_elasticity"       -> ((s, d) => Relational.priceElasticity(s, d)),
+    "q_ab_test"          -> ((s, d) => Relational.abTest(s, d)),
     // Dunning LLR collocations (the evidence-weighted PMI complement)
     "q_llr_bigrams"      -> ((s, d) => TextAnalysis.llrBigrams(s, d)),
     // two-sample KS drift test (integer cross-multiplied ECDF sweep)
@@ -2615,6 +2618,34 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS negative_id, ROUND(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_elasticity" ->
+      """WITH l AS (SELECT p_brand,
+        |    ln(l_extendedprice / l_quantity) AS x, ln(l_quantity) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_quantity > 0 AND l_extendedprice > 0)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |floor((AVG(x * y) - AVG(x) * AVG(y))
+        |    / (AVG(x * x) - AVG(x) * AVG(x)) * 10000 + 0.5 + 0.000001)
+        |  / 10000 AS elasticity
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ab_test" ->
+      """WITH arms AS (SELECT (user_id % 2 = 0) AS arm_a,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT n AS n1, k AS k1 FROM arms WHERE arm_a),
+        |b AS (SELECT n AS n2, k AS k2 FROM arms WHERE NOT arm_a),
+        |j AS (SELECT n1, k1, n2, k2,
+        |    CAST(k1 AS DOUBLE) / n1 AS p1, CAST(k2 AS DOUBLE) / n2 AS p2,
+        |    CAST(k1 + k2 AS DOUBLE) / (n1 + n2) AS pp
+        |  FROM a, b)
+        |SELECT n1, k1, n2, k2,
+        |floor(p1 * 10000 + 0.5 + 0.000001) / 10000 AS p_a,
+        |floor(p2 * 10000 + 0.5 + 0.000001) / 10000 AS p_b,
+        |floor((p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+        |  * 10000 + 0.5 + 0.000001) / 10000 AS z_score
+        |FROM j""".stripMargin,
     "q_llr_bigrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
         |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cxy FROM

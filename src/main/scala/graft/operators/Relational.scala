@@ -1281,6 +1281,58 @@ object Relational {
           (col("n_a") * col("n_b"))).as("ks_stat"))
   }
 
+  /** Per-brand price elasticity of demand: the OLS slope of
+    * ln(quantity) on ln(price) over a brand's order lines — the
+    * constant-elasticity model's exponent, THE pricing-analytics
+    * regression. Closed-form slope Σ(x−x̄)(y−ȳ)/Σ(x−x̄)² computed as
+    * one moment aggregate per brand (E[xy], E[x], E[y], E[x²] — all
+    * partial-mergeable; never a per-brand fit loop). */
+  def priceElasticity(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(col("p_brand"),
+        log(col("l_extendedprice") / col("l_quantity")).as("x"), // unit price
+        log(col("l_quantity")).as("y"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        round4eps((avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))) /
+          (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))))
+          .as("elasticity"))
+      .orderBy(col("p_brand"))
+
+  /** Two-proportion z-test — the A/B experimentation primitive: users
+    * deterministically split into arms by id parity, success = a
+    * purchase event, z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) under the
+    * pooled null. Counts are exact integers (one map-side-combined
+    * aggregate over the corpus), so everything up to the final
+    * formula is bit-deterministic; on an id-parity split of uniform
+    * synthetic traffic the z-score SHOULD hover near 0 — the gate
+    * checks the machinery, the spec checks the null behaves. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(s, dir)
+      .select((col("user_id") % 2 === 0).as("arm_a"),
+        (col("event_type") === "purchase").as("success"))
+      .groupBy(col("arm_a"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("success"), 1L).otherwise(0L)).as("k"))
+    val a = arms.filter(col("arm_a")).select(col("n").as("n1"), col("k").as("k1"))
+    val b = arms.filter(!col("arm_a")).select(col("n").as("n2"), col("k").as("k2"))
+    a.crossJoin(b)
+      .withColumn("p1", col("k1").cast("double") / col("n1"))
+      .withColumn("p2", col("k2").cast("double") / col("n2"))
+      .withColumn("p_pool",
+        (col("k1") + col("k2")).cast("double") / (col("n1") + col("n2")))
+      .select(col("n1"), col("k1"), col("n2"), col("k2"),
+        round4eps(col("p1")).as("p_a"),
+        round4eps(col("p2")).as("p_b"),
+        round4eps((col("p1") - col("p2")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n1") + lit(1.0) / col("n2")))).as("z_score"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */
