@@ -394,6 +394,8 @@ object SparkEntry {
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
     // filtered vector search: top-k hard negatives under a label predicate
     "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
+    // Kaplan-Meier survival over right-censored user lifetimes
+    "q_kaplan_meier"     -> ((s, d) => Relational.kaplanMeier(s, d)),
     // pricing elasticity regression + two-proportion A/B z-test
     "q_elasticity"       -> ((s, d) => Relational.priceElasticity(s, d)),
     "q_ab_test"          -> ((s, d) => Relational.abTest(s, d)),
@@ -2618,6 +2620,48 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS negative_id, ROUND(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_kaplan_meier" ->
+      """WITH sd AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) IS NULL
+        |      OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id), ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sx AS (SELECT user_id, ts, event_id,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM sd),
+        |sess AS (SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+        |  FROM sx GROUP BY 1, 2),
+        |mx AS (SELECT MAX(ts) AS max_ts FROM events),
+        |lt AS (SELECT CAST(floor(date_diff('second', s_start, s_end) / 60.0)
+        |      AS BIGINT) AS t,
+        |    (date_diff('second', s_end, max_ts) < 3600) AS censored
+        |  FROM sess, mx),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM lt),
+        |bt AS (SELECT t,
+        |    CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS ended FROM lt GROUP BY 1),
+        |r AS (SELECT t, d, ended,
+        |    n_sessions - (CAST(SUM(ended) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - ended) AS n_at_risk
+        |  FROM bt, tot),
+        |fx AS (SELECT t, d, n_at_risk,
+        |    1.0 - CAST(d AS DOUBLE) / n_at_risk AS factor
+        |  FROM r WHERE d > 0),
+        |fc AS (SELECT t, d, n_at_risk,
+        |    CASE WHEN SUM(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+        |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) > 0 THEN 0.0
+        |      ELSE exp(SUM(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END)
+        |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW)) END AS surv
+        |  FROM fx)
+        |SELECT t AS duration_min, d AS n_ended,
+        |CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |floor(surv * 10000 + 0.5 + 0.000001) / 10000 AS survival
+        |FROM fc ORDER BY 1""".stripMargin,
     "q_elasticity" ->
       """WITH l AS (SELECT p_brand,
         |    ln(l_extendedprice / l_quantity) AS x, ln(l_quantity) AS y

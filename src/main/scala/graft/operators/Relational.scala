@@ -1333,6 +1333,64 @@ object Relational {
             (lit(1.0) / col("n1") + lit(1.0) / col("n2")))).as("z_score"))
   }
 
+  /** Kaplan–Meier survival curve over SESSION durations — "how long
+    * does a session live", with the estimator's defining feature:
+    * sessions still open near the corpus end are RIGHT-CENSORED
+    * (their true duration is only known to exceed the observation),
+    * entering the at-risk denominator but never the death count —
+    * what a naive duration ECDF gets wrong. Sessions use the
+    * registry's 30-min-gap convention; duration is whole minutes.
+    * S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ), computed as exp(Σ ln(1−dᵢ/nᵢ)) so
+    * the cumulative product is one running-sum window over the
+    * DISTINCT-duration frame (minutes-bounded, never
+    * session-bounded). The sessionization window is the one
+    * corpus-sized pass. */
+  def kaplanMeier(s: SparkSession, dir: String,
+      gapSec: Long = 1800L, censorSec: Long = 3600L): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec,
+        1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val corpusEnd = ev.agg(max(col("ts")).as("max_ts"))
+    val durations = sess.crossJoin(broadcast(corpusEnd))
+      .select(floor((unix_timestamp(col("s_end")) -
+        unix_timestamp(col("s_start"))) / 60).cast("long").as("t"),
+        (unix_timestamp(col("max_ts")) - unix_timestamp(col("s_end")) <
+          censorSec).as("censored"))
+    val total = durations.agg(count(lit(1)).as("n_sessions"))
+    val byT = durations.groupBy(col("t"))
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("ended"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("n_sessions") - (sum(col("ended")).over(w) - col("ended")))
+      .filter(col("d") > 0)
+      // the final death time can have d = n (everyone remaining dies):
+      // factor 0 ends the curve at exactly S=0, which exp-of-log-sum
+      // can't express — carry zero factors as a separate running flag
+      .withColumn("factor",
+        lit(1.0) - col("d").cast("double") / col("n_at_risk"))
+      .withColumn("hit_zero",
+        sum(when(col("factor") <= 0, 1L).otherwise(0L)).over(w))
+      .withColumn("surv", when(col("hit_zero") > 0, lit(0.0)).otherwise(
+        exp(sum(when(col("factor") > 0, log(col("factor")))
+          .otherwise(lit(0.0))).over(w))))
+      .select(col("t").as("duration_min"), col("d").as("n_ended"),
+        col("n_at_risk"),
+        round4eps(col("surv")).as("survival"))
+      .orderBy(col("duration_min"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */
