@@ -394,6 +394,8 @@ object SparkEntry {
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
     // filtered vector search: top-k hard negatives under a label predicate
     "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
+    // rolling 7-day purchase/error correlation (co-movement monitor)
+    "q_rolling_corr"     -> ((s, d) => Relational.rollingCorr(s, d)),
     // Kaplan-Meier survival over right-censored user lifetimes
     "q_kaplan_meier"     -> ((s, d) => Relational.kaplanMeier(s, d)),
     // pricing elasticity regression + two-proportion A/B z-test
@@ -2620,6 +2622,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS negative_id, ROUND(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_rolling_corr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS purchases,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS errors
+        |  FROM events WHERE event_type IN ('purchase', 'error')
+        |  GROUP BY 1),
+        |r AS (SELECT d, purchases, errors,
+        |    COUNT(*) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |      AS n_days,
+        |    corr(purchases, errors) OVER (ORDER BY d
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rc
+        |  FROM daily)
+        |SELECT d, CAST(purchases AS BIGINT) AS purchases,
+        |CAST(errors AS BIGINT) AS errors,
+        |floor(rc * 10000 + 0.5 + 0.000001) / 10000 AS rolling_corr
+        |FROM r WHERE n_days = 7 ORDER BY d""".stripMargin,
     "q_kaplan_meier" ->
       """WITH sd AS (SELECT user_id, ts, event_id,
         |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id

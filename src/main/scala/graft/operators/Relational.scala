@@ -1391,6 +1391,35 @@ object Relational {
       .orderBy(col("duration_min"))
   }
 
+  /** Rolling 7-day correlation between purchase and error daily
+    * volumes — the co-movement monitor ("do failures track load?").
+    * Daily counts pivot to two aligned series (one corpus-sized
+    * groupBy), then `corr` runs AS A WINDOW AGGREGATE over the
+    * trailing week of the daily frame — Pearson is scale-free, so the
+    * sample/population convention cancels and both engines agree up
+    * to ulps, absorbed by the grid rounding. Full windows only
+    * (partial-week correlations are noise). */
+  def rollingCorr(s: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("double").as("purchases"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .cast("double").as("errors"))
+    val w = Window.orderBy(col("d")).rowsBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("r", corr(col("purchases"), col("errors")).over(w))
+      .filter(col("n_days") === windowDays)
+      .select(col("d"), col("purchases").cast("long").as("purchases"),
+        col("errors").cast("long").as("errors"),
+        round4eps(col("r")).as("rolling_corr"))
+      .orderBy(col("d"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */
