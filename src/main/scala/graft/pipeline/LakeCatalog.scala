@@ -386,6 +386,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * `predicate` ranges over user-visible columns only. Returns the
     * number of rows deleted. */
   def deleteWhere(name: String, predicate: org.apache.spark.sql.Column): Long = {
+    recoverDeletes(name) // roll forward any crashed prior rewrite first
     val current = table(name)
     // three-valued logic: a NULL predicate must mean KEEP, not delete —
     // filter(p) && filter(!p) would silently drop NULL-evaluating rows
@@ -414,25 +415,70 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       val affected = perCommit.map(_.getAs[Long]("cid")).sorted
       val partCols = raw.columns.filter(c =>
         hiddenCol(c) && c != commitCol).toSeq
-      // Crash mid-loop leaves some commits purged and NO snapshot —
-      // the table stays readable and a re-run is idempotent (already-
-      // purged commits simply match nothing); same single-writer
-      // discipline as append/compact.
+      // Crash safety: every crash point leaves the commit's rows
+      // discoverable in exactly one of {commitDir, .delete_old (the
+      // pre-delete contents), .delete_tmp (the complete post-delete
+      // contents — written FULLY before the old dir moves aside)}.
+      // [[recoverDeletes]] (run above, and callable standalone) rolls
+      // any interrupted commit forward; a crash between retire and
+      // promote hides that one commit from readers until recovery, but
+      // never loses its kept rows.
       var remaining = 0L
       affected.foreach { cid =>
         val commitDir = Paths.get(s"${tablePath(name)}/$commitCol=$cid")
         val kept = raw.filter(col(commitCol) === cid).filter(keep)
           .drop(commitCol)
         val tmp = Paths.get(s"${tablePath(name)}/.delete_tmp_$cid")
+        val retired = Paths.get(s"${tablePath(name)}/.delete_old_$cid")
         val writer = if (partCols.nonEmpty) kept.write.partitionBy(partCols: _*)
           else kept.write
         writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
         remaining += parquetRowCount(tmp.toString)
-        deleteRecursive(commitDir)
-        Files.move(tmp, commitDir)
+        Files.move(commitDir, retired) // retire (tmp is complete here)
+        Files.move(tmp, commitDir)     // promote
+        deleteRecursive(retired)       // purge the old contents last
       }
       logSnapshot(name, "rewrite", remaining)
       nDel
+    }
+  }
+
+  /** Roll forward any [[deleteWhere]] commit-rewrite interrupted by a
+    * crash, using the on-disk protocol state (dirs are dot-prefixed, so
+    * readers never see them as data):
+    *  - `.delete_old` present + commit dir present → crash after
+    *    promote: the rewrite completed, purge the retired contents;
+    *  - `.delete_old` present + commit dir absent → crash between
+    *    retire and promote: `.delete_tmp` holds the complete rewritten
+    *    contents (it is always fully written before retire) — promote
+    *    it, then purge the retired dir;
+    *  - `.delete_tmp` alone → crash mid-write: the commit dir is
+    *    untouched, drop the partial tmp.
+    * Idempotent; called at the head of [[deleteWhere]] and safe to run
+    * any time under the same single-writer discipline as append. */
+  def recoverDeletes(name: String): Unit = {
+    val root = Paths.get(tablePath(name))
+    if (!Files.exists(root)) return
+    import scala.jdk.CollectionConverters._
+    val entries = Files.list(root)
+    val names = try entries.iterator().asScala.map(_.getFileName.toString).toList
+      finally entries.close()
+    names.filter(_.startsWith(".delete_old_")).foreach { oldName =>
+      val cid = oldName.stripPrefix(".delete_old_")
+      val commitDir = root.resolve(s"$commitCol=$cid")
+      val tmp = root.resolve(s".delete_tmp_$cid")
+      if (!Files.exists(commitDir)) {
+        require(Files.exists(tmp),
+          s"$name commit $cid: retired dir without tmp or commit — " +
+            "protocol invariant broken, manual repair needed")
+        Files.move(tmp, commitDir)
+      }
+      deleteRecursive(root.resolve(oldName))
+    }
+    names.filter(_.startsWith(".delete_tmp_")).foreach { tmpName =>
+      val cid = tmpName.stripPrefix(".delete_tmp_")
+      if (Files.exists(root.resolve(s"$commitCol=$cid")))
+        deleteRecursive(root.resolve(tmpName))
     }
   }
 

@@ -51,8 +51,13 @@ object Lineage {
     }
 
   private def walk(p: LogicalPlan): Map[ExprId, Leaves] = {
+    // each child is walked exactly ONCE — Union consumes the per-branch
+    // maps and SubqueryAlias the merged map from the same traversal
+    // (re-walking children per node is exponential in alias/view depth,
+    // and Spark wraps every view in SubqueryAlias)
+    val childMaps: Seq[Map[ExprId, Leaves]] = p.children.map(walk)
     val fromChildren: Map[ExprId, Leaves] =
-      p.children.map(walk).foldLeft(Map.empty[ExprId, Leaves])(_ ++ _)
+      childMaps.foldLeft(Map.empty[ExprId, Leaves])(_ ++ _)
     def leavesOf(e: Expression): Leaves =
       e.references.toSeq.flatMap(a =>
         fromChildren.getOrElse(a.exprId, Set.empty[(String, String)])).toSet
@@ -75,9 +80,8 @@ object Lineage {
         fromChildren ++ g.generatorOutput.map(a => a.exprId -> src)
       case u: Union =>
         // positional merge: output column i derives from every branch's i-th
-        val byBranch = u.children.map(walk)
         val merged = u.output.zipWithIndex.map { case (a, i) =>
-          a.exprId -> u.children.zip(byBranch).flatMap { case (c, m) =>
+          a.exprId -> u.children.zip(childMaps).flatMap { case (c, m) =>
             m.getOrElse(c.output(i).exprId, Set.empty[(String, String)])
           }.toSet
         }
@@ -86,7 +90,7 @@ object Lineage {
         fromChildren ++ e.output.zipWithIndex.map { case (a, i) =>
           a.exprId -> e.projections.flatMap(proj => leavesOf(proj(i))).toSet
         }
-      case sa: SubqueryAlias => walk(sa.child)
+      case _: SubqueryAlias => fromChildren
       case _ => fromChildren // Filter/Join/Sort/Limit/Distinct/SetOps: pass-through
     }
   }

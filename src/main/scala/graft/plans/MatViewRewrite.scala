@@ -225,7 +225,13 @@ class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       d <- MatView.lookup(lr.relation.asInstanceOf[HadoopFsRelation]
         .location.rootPaths.map(_.toString))
       groupKeys <- asGrainKeys(groupings, d).toSeq
-      if fs.forall(_.references.forall(r => d.keys.contains(r.name)))
+      // determinism gate (same as Spark's own rewrite rules): a
+      // non-deterministic predicate like rand() < 0.1 has an empty /
+      // key-only reference set and would pass the reference check
+      // vacuously — replaying it on the MV samples GROUPS where the
+      // user asked to sample ROWS
+      if fs.forall(f => f.deterministic &&
+        f.references.forall(r => d.keys.contains(r.name)))
       mv = d.relation.newInstance()
       mvAttr = mv.output.map(a => a.name -> a).toMap
       newAggs <- derive(aggExprs, d, mvAttr).toSeq
@@ -263,17 +269,31 @@ class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   private def derive(aggExprs: Seq[NamedExpression], d: MatView.Def,
                      mvAttr: Map[String, AttributeReference])
       : Option[Seq[NamedExpression]] = {
-    def rewriteAgg(ae: AggregateExpression): AggregateExpression = {
+    def rewriteAgg(ae: AggregateExpression): Expression = {
       if (ae.isDistinct || ae.filter.isDefined) throw NotDerivable
-      val fn = ae.aggregateFunction match {
-        case s: Sum => measureCol(s.child, "mv_sum_", d, mvAttr).map(Sum(_))
-        case m: Min => measureCol(m.child, "mv_min_", d, mvAttr).map(Min(_))
-        case m: Max => measureCol(m.child, "mv_max_", d, mvAttr).map(Max(_))
+      ae.aggregateFunction match {
+        case s: Sum =>
+          val c = measureCol(s.child, "mv_sum_", d, mvAttr)
+            .getOrElse(throw NotDerivable)
+          val re = ae.copy(aggregateFunction = Sum(c))
+          // Sum re-applies its type widening to the already-widened MV
+          // column (Decimal(p+10,s) → Decimal(p+20,s)); consumers hold
+          // the ORIGINAL ExprId and dataType, so cast back. (Doubles
+          // and longs are type-stable — the cast folds away.)
+          if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+        case m: Min =>
+          ae.copy(aggregateFunction = Min(measureCol(m.child, "mv_min_", d,
+            mvAttr).getOrElse(throw NotDerivable)))
+        case m: Max =>
+          ae.copy(aggregateFunction = Max(measureCol(m.child, "mv_max_", d,
+            mvAttr).getOrElse(throw NotDerivable)))
         case c: Count if c.children.forall(_.foldable) =>
-          Some(Sum(mvAttr("mv_count")))
-        case _ => None
+          // COUNT is 0 over zero rows, SUM is NULL — diverges for a
+          // global (no grouping keys) aggregate over an empty base
+          Coalesce(Seq(ae.copy(aggregateFunction = Sum(mvAttr("mv_count"))),
+            Literal(0L)))
+        case _ => throw NotDerivable
       }
-      fn.map(f => ae.copy(aggregateFunction = f)).getOrElse(throw NotDerivable)
     }
     def rewriteExpr(e: Expression): Expression = e match {
       case ae: AggregateExpression => rewriteAgg(ae)

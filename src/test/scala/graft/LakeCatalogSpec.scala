@@ -224,6 +224,54 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(cat.snapshots("raw.u").count() === snapCount)
   }
 
+  test("deleteWhere crash points: every protocol state recovers with no lost rows") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-del-crash"))
+    cat.createNamespace("raw")
+    cat.append("raw.c", Seq((1L, "alice"), (2L, "bob")).toDF("uid", "name"))
+    cat.append("raw.c", Seq((3L, "carol")).toDF("uid", "name"))
+    val tableDir = new java.io.File(cat.table("raw.c").inputFiles.head
+      .stripPrefix("file:")).getParentFile.getParentFile
+    def names() = TestSpark.collectSet[String](
+      cat.table("raw.c").select("name"), "name")
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach(f =>
+        Files.copy(f.toPath, Paths.get(dst.toString, f.getName)))
+    }
+    val commit1 = new java.io.File(tableDir, "commit=1")
+
+    // crash mid-tmp-write: commit dir untouched, partial tmp dropped
+    val tmp1 = new java.io.File(tableDir, ".delete_tmp_1")
+    tmp1.mkdirs()
+    Files.write(Paths.get(tmp1.toString, "part-junk.parquet"), Array[Byte](1))
+    cat.recoverDeletes("raw.c")
+    assert(!tmp1.exists() && names() === Set("alice", "bob", "carol"))
+
+    // crash after promote, before purge: retired copy left behind
+    val old1 = new java.io.File(tableDir, ".delete_old_1")
+    cp(commit1, old1)
+    cat.recoverDeletes("raw.c")
+    assert(!old1.exists() && names() === Set("alice", "bob", "carol"))
+
+    // crash between retire and promote: commit dir absent, complete tmp
+    // holds the kept rows — recovery must promote it (the state the old
+    // delete-then-move ordering lost entirely)
+    spark.read.parquet(commit1.toString).filter(col("uid") =!= 1L)
+      .write.mode("overwrite").parquet(tmp1.toString)
+    // retire exactly as deleteWhere would
+    val retired = Files.move(commit1.toPath, old1.toPath)
+    assert(!commit1.exists() && retired.toFile.exists())
+    cat.recoverDeletes("raw.c")
+    assert(commit1.exists() && !old1.exists() && !tmp1.exists())
+    assert(names() === Set("bob", "carol"))
+
+    // and a live deleteWhere on the recovered table still works end-to-end
+    assert(cat.deleteWhere("raw.c", col("uid") === 3L) === 1L)
+    assert(names() === Set("bob"))
+  }
+
   test("partitions metadata and expireSnapshots fence") {
     import spark.implicits._
     val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-meta"))

@@ -60,6 +60,19 @@ class LineageSpec extends AnyFunSuite {
     assert(covered >= names.size * 9 / 10, s"only $covered/${names.size} traced")
   }
 
+  test("deeply nested aliases and unions stay linear (single traversal)") {
+    import org.apache.spark.sql.functions.col
+    // Spark wraps every view in SubqueryAlias; a per-node child re-walk
+    // doubles work at each level — 2^34 visits here would hang
+    var df = spark.range(3).toDF("id").select(col("id").as("x"))
+    for (i <- 1 to 30) df = df.alias(s"a$i")
+    val u = df.union(df).alias("u1").union(df.alias("u2")).alias("u3")
+    val t0 = System.nanoTime()
+    val l = Lineage.columns(u)
+    assert((System.nanoTime() - t0) < 30e9, "lineage walk not linear")
+    assert(l("x").nonEmpty)
+  }
+
   test("PII audit use: no output of the daily mart touches c_name") {
     val l = Lineage.columns(Relational.dailyMart(spark, dir))
     assert(l.values.flatten.forall { case (_, c) => c != "c_name" })

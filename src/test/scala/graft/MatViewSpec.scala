@@ -218,6 +218,54 @@ class MatViewSpec extends AnyFunSuite {
     } finally { q.stop(); MatView.clear() }
   }
 
+  test("a non-deterministic filter blocks the rewrite") {
+    withMv { mvPath =>
+      // rand() references no columns, so the old key-reference check
+      // passed vacuously — yet replaying it on the MV would sample
+      // GROUPS where the user asked to sample ROWS
+      val q = spark.read.parquet(base)
+        .filter(rand(42) < 0.5)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(!readsMv(q, mvPath))
+    }
+  }
+
+  test("SUM over a decimal measure keeps the original result type") {
+    import spark.implicits._
+    val basePath = TestSpark.tempDir("graft-mv-dec-base")
+    val mvPath = TestSpark.tempDir("graft-mv-dec")
+    Seq(("A", "1.50"), ("A", "2.25"), ("B", "7.00")).toDF("k", "raw")
+      .select(col("k"), col("raw").cast("decimal(10,2)").as("v"))
+      .write.mode("overwrite").parquet(basePath)
+    def q() = spark.read.parquet(basePath)
+      .groupBy(col("k")).agg(sum(col("v")).as("s"))
+    val wantType = q().schema("s").dataType // Decimal(20,2): widened ONCE
+    val wantRows = q().collect().map(_.toSeq).toSet
+    MatView.build(spark, basePath, mvPath, keys = Seq("k"), measures = Seq("v"))
+    try {
+      val served = q()
+      assert(readsMv(served, mvPath))
+      assert(served.schema("s").dataType === wantType,
+        "re-aggregated SUM must cast back to the original widened type")
+      assert(served.collect().map(_.toSeq).toSet === wantRows)
+    } finally MatView.clear()
+  }
+
+  test("global COUNT over an empty base serves 0, not NULL") {
+    import spark.implicits._
+    val basePath = TestSpark.tempDir("graft-mv-empty-base")
+    val mvPath = TestSpark.tempDir("graft-mv-empty")
+    Seq.empty[(String, Double)].toDF("k", "v")
+      .write.mode("overwrite").parquet(basePath)
+    MatView.build(spark, basePath, mvPath, keys = Seq("k"), measures = Seq("v"))
+    try {
+      val q = spark.read.parquet(basePath).agg(count(lit(1)).as("n"))
+      assert(readsMv(q, mvPath))
+      val row = q.collect()
+      assert(row.length === 1 && !row(0).isNullAt(0) && row(0).getLong(0) === 0L)
+    } finally MatView.clear()
+  }
+
   test("downstream operators survive the swap (ExprIds preserved)") {
     withMv { mvPath =>
       val q = rollup()
