@@ -174,6 +174,18 @@ object ScaleSmoke {
     // summary — the time must be build-dominated and the query share
     // ~zero regardless of factor. knnFiltered: corpus grows factor×,
     // query count fixed — broadcast probe + bounded heaps, linear.
+    // Hash-path variants of the iterative graph family: ceiling forced
+    // to 0 so every per-round node-vector join runs hash-partitioned —
+    // the path a billion-node graph takes. The comparison row for each
+    // is its broadcast-path twin above; both must complete and stay
+    // round-linear (hash adds one node-vector exchange per round).
+    def hashPath(df: => DataFrame): DataFrame = {
+      spark.conf.set("spark.graft.graph.broadcastMaxNodes", "0")
+      try df finally spark.conf.unset("spark.graft.graph.broadcastMaxNodes")
+    }
+    run("pageRankHashPath")(hashPath(operators.Graph.pageRank(spark, dir)))
+    run("lpaCommunitiesHashPath")(hashPath(operators.Graph.lpaCommunities(spark, dir)))
+    run("kCoreHashPath")(hashPath(operators.Graph.kCorePeel(spark, dir)))
     run("mvServe") {
       val mvDir = java.nio.file.Files.createTempDirectory("graft-scale-mv").toString
       graft.plans.MatView.build(spark, s"$dir/lineitem.parquet", mvDir,

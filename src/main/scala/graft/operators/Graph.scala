@@ -76,6 +76,25 @@ object Graph {
     } else small.localCheckpoint(eager)
   }
 
+  /** Node-count ceiling below which the per-round node vector (ranks /
+    * labels / survivors) is force-broadcast into the edge join. A
+    * forced `broadcast()` hint is obeyed REGARDLESS of size and AQE
+    * cannot override it — past this ceiling the same joins run
+    * hash-partitioned on node id instead (one extra exchange per
+    * round, no driver collect). 10 M nodes ≈ 160 MB of (long, double)
+    * rows — comfortably under the 8 GB broadcast hard limit and a
+    * typical driver heap. Tunable per session via
+    * `spark.graft.graph.broadcastMaxNodes`; specs set it to 0 to force
+    * the hash path. */
+  private[graft] def broadcastMaxNodes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.graph.broadcastMaxNodes")
+      .map(_.toLong).getOrElse(10000000L)
+
+  /** The size-conditional hint: broadcast only when the measured node
+    * count cleared [[broadcastMaxNodes]]. */
+  private[graft] def hintSmall(df: DataFrame, isSmall: Boolean): DataFrame =
+    if (isSmall) broadcast(df) else df
+
   /** PageRank over the customer–supplier trade graph (an edge per
     * distinct (customer, supplier) order relationship, traversed both
     * ways so the graph is undirected and free of dangling nodes).
@@ -102,23 +121,30 @@ object Graph {
     // undirected ⇒ every node appears as a source; outdeg ≥ 1 always
     val nodes = withDeg.select(col("a").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nSize = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(broadcast(nSize))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    // ONE scalar off the persisted node frame decides broadcast-vs-hash
+    // for every round (and doubles as the PageRank N term)
+    val nNodes = nodes.count()
+    val small = nNodes <= broadcastMaxNodes(s)
     // The rank vector is node-cardinality (the dimension side of this
     // graph: customers + suppliers), orders of magnitude smaller than
-    // the edge list — broadcast it so each iteration streams the edges
-    // once with NO edge shuffle or sort. (A graph whose node set
-    // outgrows the broadcast limit would flip these to hash joins
-    // partitioned on node id — same plan shape, one extra exchange.)
+    // the edge list — while it fits the broadcast ceiling, broadcast it
+    // so each iteration streams the edges once with NO edge shuffle or
+    // sort. Past the ceiling the joins run hash-partitioned on node id:
+    // the edge list is pre-repartitioned on its join key ONCE and
+    // persisted, so each round shuffles only the node vector.
+    // (hash path: the repartitioned copy reads the cached withDeg once;
+    // both stay persisted — MEMORY_AND_DISK spills, caller clears)
+    val iterEdges = if (small) withDeg
+      else withDeg.repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
     var prevRound: DataFrame = null
     for (i <- 1 to iters) {
-      val contrib = withDeg.join(broadcast(ranks), col("a") === col("node"))
+      val contrib = iterEdges.join(hintSmall(ranks, small), col("a") === col("node"))
         .groupBy(col("b")).agg(sum(col("rank") / col("outdeg")).as("mass"))
-      ranks = nodes.crossJoin(broadcast(nSize))
-        .join(broadcast(contrib), col("node") === col("b"), "left")
+      ranks = nodes
+        .join(hintSmall(contrib, small), col("node") === col("b"), "left")
         .select(col("node"),
-          (lit(1) - lit(damping)) / col("n") +
+          lit((1 - damping) / nNodes) +
             lit(damping) * coalesce(col("mass"), lit(0.0)) as "rank")
       // Cut lineage EVERY OTHER round: without any cut the final plan
       // nests `iters` broadcast-join trees (optimizer time grows with
@@ -283,12 +309,17 @@ object Graph {
   private[graft] def kCoreOnEdges(undirected: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     var alive = undirected.persist(StorageLevel.MEMORY_AND_DISK)
+    // size-conditional survivor-set hint: measured ONCE on the initial
+    // node set (the survivor set only shrinks, so the decision is
+    // conservative for every later round)
+    val small = alive.select(col("a")).distinct().count() <=
+      broadcastMaxNodes(undirected.sparkSession)
     for (_ <- 1 to rounds) {
       val keep = alive.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("a").as("node"))
       alive = alive
-        .join(broadcast(keep), col("a") === col("node")).drop("node")
-        .join(broadcast(keep.select(col("node").as("nb"))),
+        .join(hintSmall(keep, small), col("a") === col("node")).drop("node")
+        .join(hintSmall(keep.select(col("node").as("nb")), small),
           col("b") === col("nb")).drop("nb")
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
@@ -302,11 +333,18 @@ object Graph {
       iters: Int): DataFrame = {
     ensureCheckpointDir(s)
     val edges = undirected.persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    val nodes = edges.select(col("a").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // size-conditional label-vector hint, one scalar per call; hash
+    // path pre-partitions the edge list on its join key once so each
+    // round shuffles only the label vector
+    val small = nodes.count() <= broadcastMaxNodes(s)
+    val iterEdges = if (small) edges
+      else edges.repartition(col("b")).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("node"), col("node").as("label"))
     var prevRound: DataFrame = null
     for (i <- 1 to iters) {
-      val counts = edges.join(broadcast(labels), col("b") === col("node"))
+      val counts = iterEdges.join(hintSmall(labels, small), col("b") === col("node"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
       labels = counts.groupBy(col("a"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))

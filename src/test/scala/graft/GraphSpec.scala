@@ -68,6 +68,53 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.toSet.size >= 2, "bridged triangles must not collapse")
   }
 
+  test("broadcast ceiling: over-threshold graphs take hash joins, same results") {
+    val s = spark
+    import s.implicits._
+    // ring of 60 with chords: nontrivial structure for LPA and k-core
+    val ring = (0L until 60L).map(i => (i, (i + 1) % 60))
+    val chords = (0L until 60L by 5).map(i => (i, (i + 7) % 60))
+    val und = (ring ++ chords)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+    def lpa() = Graph.lpaOnEdges(spark, und, iters = 4).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("community")).toMap
+    def core() = Graph.kCoreOnEdges(und, k = 2, rounds = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    def ranks() = Graph.pageRank(spark, TestSpark.sfDir, iters = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    val (lpaB, coreB, prB) = (lpa(), core(), ranks())
+    // drop the broadcast-path caches: a reused InMemoryRelation embeds
+    // its ORIGINAL (hinted) plan and would trip the plan-shape check
+    spark.sharedState.cacheManager.clearCache()
+    spark.conf.set("spark.graft.graph.broadcastMaxNodes", "0")
+    // kill every OTHER broadcast source so a BroadcastHashJoin in the
+    // plan could only come from a forced hint that should be gone
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val lpaH = Graph.lpaOnEdges(spark, und, iters = 4)
+      assert(!lpaH.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "label-vector join must not force a broadcast past the ceiling")
+      assert(lpaH.collect()
+        .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("community"))
+        .toMap === lpaB)
+      val coreH = Graph.kCoreOnEdges(und, k = 2, rounds = 3)
+      assert(!coreH.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "survivor-set joins must not force a broadcast past the ceiling")
+      assert(coreH.collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg"))
+        .toMap === coreB)
+      assert(ranks() === prB, "pageRank hash path must match broadcast path")
+    } finally {
+      spark.conf.unset("spark.graft.graph.broadcastMaxNodes")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("lpaCommunities: every label is a member node, deterministic across runs") {
     val a = Graph.lpaCommunities(spark, TestSpark.sfDir).collect()
       .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("community"))
