@@ -2810,21 +2810,40 @@ object SparkEntry {
         |floor(CAST(n_hapax AS DOUBLE) / n_types * 10000 + 0.5 + 0.000001)
         |  / 10000 AS hapax_share
         |FROM a ORDER BY 1""".stripMargin,
+    // boundary-binning quintiles (the equidepth pattern): exact
+    // interpolated 20/40/60/80 boundaries, 1e-6-quantized on both
+    // sides; strict > so boundary ties take the lower score
     "q_rfm" ->
       """WITH pc AS (SELECT o_custkey,
-        |    MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        |    date_diff('day', DATE '1970-01-01', MAX(CAST(o_orderdate AS DATE)))
+        |      AS rec_days,
         |    CAST(COUNT(*) AS BIGINT) AS frequency,
-        |    SUM(o_totalprice) AS monetary_raw
+        |    SUM(o_totalprice) AS monetary_raw,
+        |    floor(SUM(o_totalprice) * 1000000 + 0.5 + 0.000001) / 1000000
+        |      AS monetary_q6
         |  FROM orders GROUP BY 1),
-        |sc AS (SELECT o_custkey, frequency, monetary_raw,
-        |  CAST(NTILE(5) OVER (ORDER BY last_order ASC, o_custkey)
+        |b AS (SELECT
+        |    list_transform([quantile_cont(rec_days, 0.2),
+        |      quantile_cont(rec_days, 0.4), quantile_cont(rec_days, 0.6),
+        |      quantile_cont(rec_days, 0.8)],
+        |      y -> floor(y * 1000000 + 0.5 + 0.000001) / 1000000) AS rb,
+        |    list_transform([quantile_cont(frequency, 0.2),
+        |      quantile_cont(frequency, 0.4), quantile_cont(frequency, 0.6),
+        |      quantile_cont(frequency, 0.8)],
+        |      y -> floor(y * 1000000 + 0.5 + 0.000001) / 1000000) AS fb,
+        |    list_transform([quantile_cont(monetary_q6, 0.2),
+        |      quantile_cont(monetary_q6, 0.4), quantile_cont(monetary_q6, 0.6),
+        |      quantile_cont(monetary_q6, 0.8)],
+        |      y -> floor(y * 1000000 + 0.5 + 0.000001) / 1000000) AS mb
+        |  FROM pc),
+        |sc AS (SELECT o_custkey, monetary_raw,
+        |  CAST(1 + len(list_filter(rb, y -> CAST(rec_days AS DOUBLE) > y))
         |    AS INTEGER) AS r_score,
-        |  CAST(NTILE(5) OVER (ORDER BY frequency ASC, o_custkey)
+        |  CAST(1 + len(list_filter(fb, y -> CAST(frequency AS DOUBLE) > y))
         |    AS INTEGER) AS f_score,
-        |  CAST(NTILE(5) OVER (ORDER BY
-        |    floor(monetary_raw * 1000000 + 0.5 + 0.000001) / 1000000 ASC,
-        |    o_custkey) AS INTEGER) AS m_score
-        |  FROM pc)
+        |  CAST(1 + len(list_filter(mb, y -> monetary_q6 > y))
+        |    AS INTEGER) AS m_score
+        |  FROM pc CROSS JOIN b)
         |SELECT o_custkey AS custkey, r_score, f_score, m_score,
         |CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
         |  || CAST(m_score AS VARCHAR) AS rfm,

@@ -1220,29 +1220,50 @@ object Relational {
   /** RFM segmentation — every CRM's first clustering: customers
     * scored 1–5 by Recency (days since last order, newer = higher),
     * Frequency (order count) and Monetary (total spend) quintiles,
-    * concatenated into the segment code ("555" = best). One
-    * orders→customer collapse (the only corpus-sized pass), then
-    * three ntile windows over the CUSTOMER table with custkey
-    * tie-breaks so quintile boundaries are deterministic. */
+    * concatenated into the segment code ("555" = best).
+    *
+    * Scale shape (the [[equiDepthHist]] percentile-boundary pattern,
+    * replacing three global `ntile(5)` windows — each of which was a
+    * single-partition sort of the full customer table): one
+    * orders→customer collapse (the only corpus-sized shuffle), then
+    * ONE aggregate computes all twelve exact quintile boundaries
+    * (production swaps in approx_percentile, same plan), and scoring
+    * is a map-side comparison against the broadcast 3×4 boundary
+    * array — no corpus-scaling frame is ever sorted on one task.
+    * Boundaries AND the monetary value are 1e-6-quantized so both
+    * engines bin against bit-identical bounds; a value equal to a
+    * boundary ties to the LOWER score (strict `>` advances). Quintile
+    * semantics are boundary-binning (all ties share a score) rather
+    * than ntile's forced-equal-buckets — the statistically standard
+    * definition, and the only one that exists without a global sort. */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    val perCust = Tables.orders(s, dir)
-      .groupBy(col("o_custkey"))
-      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
-        count(lit(1)).as("frequency"),
-        sum(col("o_totalprice")).as("monetary_raw"))
     def q6(c: Column): Column =
       floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
-    val r = ntile(5).over(Window.orderBy(col("last_order").asc, col("o_custkey")))
-    val f = ntile(5).over(Window.orderBy(col("frequency").asc, col("o_custkey")))
-    // quantized sort key: two equal-decimal spends must compare equal
-    // in BOTH engines or the quintile boundary could flip on an ulp
-    val m = ntile(5).over(Window.orderBy(q6(col("monetary_raw")).asc, col("o_custkey")))
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(datediff(max(to_date(col("o_orderdate"))),
+          lit(java.sql.Date.valueOf("1970-01-01"))).as("rec_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice")).as("monetary_raw"))
+      .withColumn("monetary_q6", q6(col("monetary_raw")))
+    val ps = "array(0.2, 0.4, 0.6, 0.8)"
+    val bounds = perCust.agg(
+        expr(s"percentile(rec_days, $ps)").as("rb"),
+        expr(s"percentile(frequency, $ps)").as("fb"),
+        expr(s"percentile(monetary_q6, $ps)").as("mb"))
+    def score(v: Column, bs: Column): Column =
+      size(filter(bs, b => v > b)) + 1
     perCust
-      .withColumn("r_score", r).withColumn("f_score", f).withColumn("m_score", m)
+      .crossJoin(broadcast(bounds))
       .select(col("o_custkey").as("custkey"),
-        col("r_score"), col("f_score"), col("m_score"),
-        concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"),
+        score(col("rec_days").cast("double"), transform(col("rb"), b => q6(b))).as("r_score"),
+        score(col("frequency").cast("double"), transform(col("fb"), b => q6(b))).as("f_score"),
+        score(col("monetary_q6"), transform(col("mb"), b => q6(b))).as("m_score"),
         round4eps(col("monetary_raw")).as("monetary"))
+      .withColumn("rfm",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .select(col("custkey"), col("r_score"), col("f_score"), col("m_score"),
+        col("rfm"), col("monetary"))
       .orderBy(col("custkey"))
   }
 
