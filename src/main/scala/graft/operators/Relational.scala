@@ -915,6 +915,8 @@ object Relational {
     val buckets = scored
       .groupBy(floor(col("score") / lit(binWidth)).cast("long").as("bucket"))
       .agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+    // global window bounded: input is the BUCKET aggregate
+    // (score-range / binWidth cells), not the order rows
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = buckets
@@ -1170,6 +1172,10 @@ object Relational {
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("rev_raw"))
+    // global window over the PART-grain rollup: dimension-cardinality
+    // (catalog size), not fact-scaling; the corpus-sized pass is the
+    // one groupBy above. A billion-part catalog would bucket the
+    // cumulative sweep like sequencePack's two-phase prefix sum.
     val w = Window.orderBy(col("rev_raw").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = perPart.agg(sum(col("rev_raw")).as("total"))
@@ -1390,6 +1396,8 @@ object Relational {
     val byT = durations.groupBy(col("t"))
       .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
         count(lit(1)).as("ended"))
+    // global window bounded: input is the per-DURATION aggregate
+    // (ndv of observed second-grain durations, censor-capped)
     val w = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byT.crossJoin(broadcast(total))
@@ -1430,6 +1438,7 @@ object Relational {
           .cast("double").as("purchases"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .cast("double").as("errors"))
+    // global window bounded: DAILY grain (365 rows/year)
     val w = Window.orderBy(col("d")).rowsBetween(-(windowDays - 1), 0)
     daily
       .withColumn("n_days", count(lit(1)).over(w))

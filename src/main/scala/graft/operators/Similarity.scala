@@ -756,6 +756,8 @@ object Similarity {
     * integers, bit-identical in any IEEE engine. */
   def rrfFusion(s: SparkSession, dir: String, listK: Int = 50,
       outK: Int = 20, rrfK: Int = 60): DataFrame = {
+    // every partition-less window below runs over a frame already
+    // capped at listK/outK rows (top-k lists) — never corpus-scaling
     val lex = TextAnalysis.bm25Scores(s, dir, k = listK)
       .withColumn("r_lex", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))

@@ -349,7 +349,7 @@ object TextAnalysis {
       .withColumn("es_key", log(u) / col("n_chars"))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(k)
-    ranked
+    ranked // global window bounded: input is the top-k frame above
       .withColumn("rank", row_number().over(
         Window.orderBy(col("es_key").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("n_chars").as("weight"),
@@ -648,7 +648,7 @@ object TextAnalysis {
       .withColumn("pos", (col("rk") - lit(0.5)) / col("mix"))
       .orderBy(col("pos"), col("doc_id"))
       .limit(take)
-      .select(
+      .select( // global window bounded by `take` (the limit above)
         row_number().over(Window.orderBy(col("pos"), col("doc_id"))).as("global_pos"),
         col("doc_id"), col("source"), col("rk").as("rank_in_source"),
         round4eps(col("pos")).as("stride_pos"))
@@ -741,7 +741,7 @@ object TextAnalysis {
       val top = pairCounts(wc)
         .orderBy(col("freq").desc, col("sym_left"), col("sym_right"))
         .limit(topK)
-        .select(lit(r).as("bpe_round"),
+        .select(lit(r).as("bpe_round"), // window over the topK frame only
           row_number().over(Window.orderBy(col("freq").desc,
             col("sym_left"), col("sym_right"))).as("rank"),
           col("sym_left"), col("sym_right"), col("freq"))
