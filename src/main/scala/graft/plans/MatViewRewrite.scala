@@ -148,11 +148,33 @@ object MatView {
     * hit FileNotFoundException mid-delete). The version before the
     * previous is garbage-collected; the one-version tail is the
     * bounded leak, expired like Iceberg snapshots. */
+  /** Tag of the last [[refresh]] applied to a summary (None when the
+    * version was built/refreshed untagged) — read from the `_graft_
+    * refresh_tag` sidecar inside the versioned dir, so tag and summary
+    * contents can never disagree across a crash (the tag is written
+    * only after the version's parquet write completes, and a replayed
+    * refresh with the same tag is a no-op). */
+  def refreshTag(d: Def): Option[String] = {
+    val p = java.nio.file.Paths.get(d.mvPath, "_graft_refresh_tag")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
   def refresh(s: SparkSession, basePath: String,
-              delta: org.apache.spark.sql.DataFrame): Seq[Def] = withBypass {
+              delta: org.apache.spark.sql.DataFrame,
+              tag: Option[String] = None): Seq[Def] = withBypass {
     val ds = Option(reg.get(norm(basePath))).getOrElse(
       throw new IllegalArgumentException(s"no MV registered for $basePath"))
     ds.map { d =>
+      if (tag.isDefined && refreshTag(d) == tag) d // idempotent replay
+      else refreshOne(s, basePath, d, delta, tag)
+    }
+  }
+
+  private def refreshOne(s: SparkSession, basePath: String, d: Def,
+                         delta: org.apache.spark.sql.DataFrame,
+                         tag: Option[String]): Def = {
       val needed = d.keys ++ d.measures
       val missing = needed.filterNot(delta.columns.contains)
       require(missing.isEmpty,
@@ -174,6 +196,12 @@ object MatView {
       }
       val next = s"${root}_v${ver + 1}"
       merged.write.mode("overwrite").parquet(next)
+      // tag AFTER the parquet write: a crash mid-write leaves the
+      // partial version untagged and unregistered, so a replayed
+      // refresh overwrites it cleanly instead of skipping
+      tag.foreach(t => java.nio.file.Files.write(
+        java.nio.file.Paths.get(next, "_graft_refresh_tag"),
+        t.getBytes("UTF-8")))
       val newDef = register(s, basePath, next, d.keys, d.measures)
       // GC the version BEFORE the one we just superseded; d.mvPath
       // itself stays for in-flight readers until the next refresh
@@ -188,7 +216,6 @@ object MatView {
         }
       }
       newDef
-    }
   }
 }
 

@@ -430,21 +430,73 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import java.nio.file.{Files, Paths}
-        val marker = Paths.get(basePath, "_graft_last_folded")
-        val lastFolded =
-          if (Files.exists(marker))
-            new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
-          else -1L
-        if (batchId > lastFolded && !batch.isEmpty) {
-          batch.persist()
-          try {
-            batch.write.mode("append").parquet(basePath)
-            graft.plans.MatView.refresh(batch.sparkSession, basePath, batch)
-            Files.write(marker, batchId.toString.getBytes("UTF-8"))
-            ()
-          } finally { batch.unpersist(); () }
-        }
+        foldBatch(basePath, batch, batchId)
       }
       .start()
+
+  /** The [[streamToMatView]] micro-batch body, exactly-once under
+    * crash-replay at EVERY boundary (the r7-documented append-vs-
+    * marker window, now closed). Each step is idempotent per batchId:
+    *  - the base append promotes staged part files under DETERMINISTIC
+    *    `graft-b<batchId>-*` names, deleting a crashed attempt's
+    *    leftovers first — a replay overwrites instead of duplicating;
+    *  - `MatView.refresh` carries the batchId as its tag; the tag is
+    *    written inside the new summary version only after its parquet
+    *    completes, so a replay whose tag already matches skips the
+    *    fold (no double-apply), while a crash mid-fold left the
+    *    version untagged/unregistered and is cleanly overwritten;
+    *  - the `_graft_last_folded` marker is written last and only
+    *    short-circuits fully-applied batches.
+    * Structured Streaming replays the SAME source offsets for an
+    * unacknowledged batch (checkpointed ranges), so replayed content
+    * matches — the precondition for any foreachBatch idempotence. */
+  private[graft] def foldBatch(basePath: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(basePath, "_graft_last_folded")
+    val lastFolded =
+      if (Files.exists(marker))
+        new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
+      else -1L
+    if (batchId > lastFolded && !batch.isEmpty) {
+      batch.persist()
+      try {
+        appendIdempotent(basePath, batch, batchId)
+        graft.plans.MatView.refresh(batch.sparkSession, basePath, batch,
+          tag = Some(batchId.toString))
+        Files.write(marker, batchId.toString.getBytes("UTF-8"))
+        ()
+      } finally { batch.unpersist(); () }
+    }
+  }
+
+  /** Append `batch` to the base under deterministic per-batch file
+    * names: stage (overwrite), purge any `graft-b<id>-*` files a
+    * crashed attempt promoted, promote staged parts in sorted order,
+    * drop the stage. Any replay converges to exactly one copy. */
+  private[graft] def appendIdempotent(basePath: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val stage = Paths.get(basePath, s".graft_stage_$batchId")
+    batch.write.mode("overwrite").parquet(stage.toString)
+    val root = Paths.get(basePath)
+    val prefix = s"graft-b$batchId-"
+    val leftovers = Files.list(root)
+    try leftovers.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(prefix)).toList
+      .foreach(Files.delete(_))
+    finally leftovers.close()
+    val staged = Files.list(stage)
+    val parts = try staged.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toList
+      .sortBy(_.getFileName.toString)
+    finally staged.close()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.move(f, root.resolve(f"$prefix$i%05d.parquet")); ()
+    }
+    val rm = Files.walk(stage).sorted(
+      java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    try rm.forEach(p => { Files.delete(p); () }) finally rm.close()
+  }
 }

@@ -218,6 +218,43 @@ class MatViewSpec extends AnyFunSuite {
     } finally { q.stop(); MatView.clear() }
   }
 
+  test("foldBatch is exactly-once under crash-replay at every boundary") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val basePath = TestSpark.tempDir("graft-mv-fence-base")
+    val mvPath = TestSpark.tempDir("graft-mv-fence")
+    Seq(("A", 1.0), ("B", 2.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(basePath)
+    MatView.build(spark, basePath, mvPath, keys = Seq("k"), measures = Seq("v"))
+    try {
+      val batch = Seq(("A", 3.0), ("C", 4.0)).toDF("k", "v")
+      def baseCount = spark.read.parquet(basePath).count()
+      def mvState = spark.read.parquet(MatView.registered(basePath).head.mvPath)
+        .select("k", "mv_count", "mv_sum_v").collect().map(_.toSeq).toSet
+      val want = Set(Seq("A", 2L, 4.0), Seq("B", 1L, 2.0), Seq("C", 1L, 4.0))
+      // crash AFTER append, BEFORE refresh: the replay re-appends under
+      // the same deterministic names (no duplicate rows) and folds once
+      EventStreams.appendIdempotent(basePath, batch, 7L)
+      EventStreams.foldBatch(basePath, batch, 7L)
+      assert(baseCount === 4L, "replayed append must overwrite, not duplicate")
+      assert(mvState === want)
+      // crash AFTER refresh, BEFORE marker: the refresh tag matches, so
+      // the replay must skip the fold (this was the double-apply window)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(basePath, "_graft_last_folded"))
+      EventStreams.foldBatch(basePath, batch, 7L)
+      assert(baseCount === 4L && mvState === want, "summary double-folded")
+      // fully applied: the marker short-circuits the whole batch
+      EventStreams.foldBatch(basePath, batch, 7L)
+      assert(baseCount === 4L && mvState === want)
+      // and a genuinely new batch still folds
+      EventStreams.foldBatch(basePath, Seq(("B", 8.0)).toDF("k", "v"), 8L)
+      assert(baseCount === 5L)
+      assert(mvState === Set(
+        Seq("A", 2L, 4.0), Seq("B", 2L, 10.0), Seq("C", 1L, 4.0)))
+    } finally MatView.clear()
+  }
+
   test("a non-deterministic filter blocks the rewrite") {
     withMv { mvPath =>
       // rand() references no columns, so the old key-reference check
