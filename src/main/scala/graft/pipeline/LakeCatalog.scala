@@ -499,6 +499,36 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   /** Latest snapshot id of an append table (0 when empty). */
   def currentSnapshotId(name: String): Long = nextSnapshotId(name) - 1
 
+  /** Expose `name` to the SQL surface as temp view `viewName`
+    * (default: the bare table name), wired for SQL-level time travel:
+    * after this, `SELECT … FROM <view> VERSION AS OF n` and
+    * `… TIMESTAMP AS OF '<ts>'` work through spark.sql AND the
+    * Thrift/JDBC endpoint, resolved by [[graft.plans.TimeTravel]] to
+    * [[tableAsOf]] (timestamps resolve driver-side against the
+    * KB-scale snapshot log: the latest snapshot committed at or before
+    * the timestamp — Iceberg's as-of-timestamp semantics). */
+  def exposeSql(name: String, viewName: Option[String] = None): Unit = {
+    val vn = viewName.getOrElse(name.split('.').last)
+    table(name).createOrReplaceTempView(vn)
+    graft.plans.TimeTravel.register(vn, graft.plans.TimeTravel.Target(
+      v => tableAsOf(name, v),
+      inst => tableAsOf(name, snapshotIdAt(name, inst))))
+  }
+
+  /** Latest snapshot id committed at or before `inst` (metadata-only:
+    * one pass over the jsonl snapshot log). */
+  def snapshotIdAt(name: String, inst: java.time.Instant): Long = {
+    val rows = snapshots(name)
+      .filter(col("committed_at") <=
+        lit(java.sql.Timestamp.from(inst)))
+      .agg(max(col("snapshot_id")).as("sid")).collect()
+    val sid = if (rows.isEmpty || rows(0).isNullAt(0)) -1L
+      else rows(0).getLong(0)
+    require(sid >= 1L,
+      s"$name has no snapshot committed at or before $inst")
+    sid
+  }
+
   /** Row-level diff between two snapshots: what a reader at `to` sees
     * that a reader at `from` did not (`added`) and vice versa
     * (`removed`) — the audit query behind "what changed between the

@@ -125,6 +125,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => HiddenPartitionPruning)
     ext.injectOptimizerRule(_ => FoldSortIntoWindow)
     ext.injectOptimizerRule(session => new MatViewRewrite(session))
+    // hint batch: must substitute BEFORE ResolveRelations rejects
+    // time travel over temp views (see TimeTravelResolution)
+    ext.injectHintResolutionRule(session => new TimeTravelResolution(session))
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     register(ext, "vec_dot", 2, a => graft.functions.VecDot(a(0), a(1)))

@@ -46,6 +46,59 @@ class SqlEndpointSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF over spark.sql and JDBC") {
+    import spark.implicits._
+    val cat = new graft.pipeline.LakeCatalog(spark, TestSpark.tempDir("graft-tt"))
+    cat.createNamespace("raw")
+    cat.append("raw.tt", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val afterFirst = java.time.Instant.now()
+    Thread.sleep(1100) // snapshot log stores second-grain-distinct instants
+    cat.append("raw.tt", Seq((3L, "c")).toDF("id", "s"))
+    cat.exposeSql("raw.tt", Some("tt_view"))
+    try {
+      def ids(sqlText: String): Set[Long] =
+        spark.sql(sqlText).collect().map(_.getAs[Long]("id")).toSet
+      assert(ids("SELECT id FROM tt_view VERSION AS OF 1") === Set(1L, 2L))
+      assert(ids("SELECT id FROM tt_view VERSION AS OF 2") === Set(1L, 2L, 3L))
+      assert(ids("SELECT id FROM tt_view") === Set(1L, 2L, 3L))
+      val tsLit = java.sql.Timestamp.from(afterFirst).toString.stripSuffix(".0")
+      assert(ids(s"SELECT id FROM tt_view TIMESTAMP AS OF '$tsLit'")
+        === Set(1L, 2L))
+      // a timestamp before any commit surfaces the catalog's error
+      val e = intercept[Exception](
+        ids("SELECT id FROM tt_view TIMESTAMP AS OF '1999-01-01 00:00:00'"))
+      assert(e.getMessage.contains("no snapshot"))
+      // an UNregistered view still gets Spark's standard rejection
+      Seq((9L, "z")).toDF("id", "s").createOrReplaceTempView("tt_plain")
+      val u = intercept[Exception](ids("SELECT id FROM tt_plain VERSION AS OF 1"))
+      assert(u.getMessage.contains("TIME_TRAVEL"))
+
+      // and the same works over a real JDBC connection (the dbt path)
+      val port = TestSpark.endpointPort
+      val server = graft.pipeline.SqlEndpoint.start(spark, port)
+      try {
+        Class.forName("org.apache.hive.jdbc.HiveDriver")
+        var conn: java.sql.Connection = null
+        var attempts = 0
+        while (conn == null && attempts < 40) {
+          try conn = DriverManager.getConnection(
+            s"jdbc:hive2://localhost:$port/default", "anonymous", "")
+          catch { case _: Exception => attempts += 1; Thread.sleep(500) }
+        }
+        assert(conn != null, "could not connect to the thrift endpoint")
+        try {
+          val st = conn.createStatement()
+          val rs = st.executeQuery(
+            "SELECT COUNT(*) AS n FROM tt_view VERSION AS OF 1")
+          assert(rs.next() && rs.getLong(1) === 2L)
+          val rs2 = st.executeQuery(
+            "SELECT COUNT(*) AS n FROM tt_view VERSION AS OF 2")
+          assert(rs2.next() && rs2.getLong(1) === 3L)
+        } finally conn.close()
+      } finally server.stop()
+    } finally graft.plans.TimeTravel.clear()
+  }
+
   test("endpoint restart on a different port fails fast, not silently") {
     // Hive's execution-client conf is cached per JVM: a restarted
     // endpoint serves the FIRST configured port no matter what the new
