@@ -88,7 +88,12 @@ object ScaleSmoke {
     run("minhashPairs")(operators.Dedup.minhashPairs(spark, dir))
     run("nearDupClusters")(operators.Dedup.nearDupClusters(spark, dir))
     run("simhashPairs")(operators.Dedup.simhashPairs(spark, dir))
+    // capped registry default vs the exact (uncapped) variant: the
+    // df-cap is THE lever for the two former 100× worst cases — the
+    // exact rows exist to measure what the cap buys
     run("ngramJaccard")(operators.Dedup.ngramJaccardWithinSource(spark, dir))
+    run("ngramJaccardExact")(operators.Dedup.ngramJaccardWithinSource(
+      spark, dir, maxDocFreq = Int.MaxValue))
     run("winnowFingerprints")(operators.TextAnalysis.winnowFingerprints(spark, dir))
     run("embeddingNearDupsLsh")(operators.Similarity.embeddingNearDups(spark, dir))
     run("knnAnn")(operators.Similarity.knnAnn(spark, dir))
@@ -128,6 +133,8 @@ object ScaleSmoke {
     // over a factor×-larger corpus. weightedSample: map pass + top-k,
     // must stay near-flat vs corpus growth in per-row terms.
     run("setSimJoin")(operators.SetSimJoin.prefixFilteredJaccardJoin(spark, dir))
+    run("setSimJoinExact")(operators.SetSimJoin.prefixFilteredJaccardJoin(
+      spark, dir, maxPrefixDf = Int.MaxValue))
     run("lpaCommunities")(operators.Graph.lpaCommunities(spark, dir))
     run("noveltyScores")(operators.TextAnalysis.noveltyScores(spark, dir))
     run("mmrRerank")(operators.Similarity.mmrRerank(spark, dir))

@@ -781,9 +781,26 @@ object Dedup {
         round4eps(avg(col("jaccard"))).as("avg_jaccard"))
   }
 
+  /** Document-frequency cap on shingle postings, ON BY DEFAULT — the
+    * production lever the scaladoc always named, now wired: a shingle
+    * on `df` docs expands C(df,2) pairs, so uncapped cost is Σ df² —
+    * quadratic in cluster size under duplication (the measured 100×
+    * ScaleSmoke worst case). Capped, a posting list longer than the
+    * cap is dropped whole; the pairs lost are those sharing only
+    * HIGH-df shingles — the lowest-signal candidates (a shingle on
+    * hundreds of docs identifies no near-pair), the same
+    * worst-cost/least-information trade as linkPrediction's maxDeg and
+    * the LSH banding miss-probability. The cap exceeds every df at
+    * oracle scale (measured max 3 within-source at sf0.01), so the
+    * exact all-pairs DuckDB oracle stays the anchor — the capped
+    * registry default is bit-identical to exact there, and diverges
+    * only where the exact plan stops being runnable anyway. Exact
+    * variant: pass `maxDocFreq = Int.MaxValue`. */
+  val DefaultShingleDfCap = 64
+
   def ngramJaccardWithinSource(s: SparkSession, dir: String,
       threshold: Double = JaccardThreshold,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxDocFreq: Int = DefaultShingleDfCap): DataFrame = {
     val ex = hashShingled(s, dir)
       .select(col("source"), col("doc_id"), size(col("hs")).as("n"),
         explode(col("hs")).as("shingle"))

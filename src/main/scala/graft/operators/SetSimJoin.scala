@@ -26,10 +26,12 @@ import graft.functions.Rounding.round4eps
   *
   * This complements the shingle-postings Jaccard operator
   * (Dedup.ngramJaccardWithinSource): that one expands pairs from EVERY
-  * shingle's postings (and so wants a df cap to stay safe) and scopes
-  * within source; prefix filtering is globally scoped and exactly
-  * complete with no cap, because frequent shingles sort to the suffix
-  * and never generate candidates. 100 TB posture: candidate volume is
+  * shingle's postings and scopes within source; prefix filtering is
+  * globally scoped, and UNCAPPED it is exactly complete because
+  * frequent shingles sort to the suffix and never generate candidates.
+  * The registry default caps prefix postings ([[DefaultPrefixDfCap]])
+  * because completeness-by-rarity breaks under heavy duplication:
+  * cluster growth inflates every df, including the prefix's. 100 TB posture: candidate volume is
   * sum over prefix elements of C(df_prefix, 2), which the df-ascending
   * order keeps near-linear in corpus size for dedup thresholds
   * (t >= 0.7); the verification joins are plain hash joins on doc_id.
@@ -53,15 +55,30 @@ object SetSimJoin {
     * keeps both the prefix length and the length filter on the
     * inclusive side, at worst admitting a few extra candidates that
     * exact verification then discards. */
+  /** Prefix-postings cap, ON BY DEFAULT (same production lever as
+    * Dedup.DefaultShingleDfCap): a prefix element on df docs expands
+    * C(df,2) candidates, and under heavy duplication even RARE-by-rank
+    * elements grow df linearly with cluster size — the measured 100x
+    * ScaleSmoke worst case (805 s uncapped). Dropping posting lists
+    * longer than the cap costs exactly the pairs whose rarest shared
+    * element is still common — the candidates the df-ascending prefix
+    * order already ranks least selective. The cap exceeds every df at
+    * oracle scale (measured max 7 at sf0.01), so the exact all-pairs
+    * DuckDB oracle stays the anchor; pass Int.MaxValue for the
+    * uncapped, provably-complete variant. */
+  val DefaultPrefixDfCap = 64
+
   def prefixFilteredJaccardJoin(s: SparkSession, dir: String,
-      threshold: Double = JaccardThreshold): DataFrame =
-    joinOn(Tables.documents(s, dir), threshold)
+      threshold: Double = JaccardThreshold,
+      maxPrefixDf: Int = DefaultPrefixDfCap): DataFrame =
+    joinOn(Tables.documents(s, dir), threshold, maxPrefixDf)
 
   /** Same join over any (doc_id, text) frame — the spec drives crafted
     * corpora (exact-boundary Jaccard, adversarial vocabularies) through
     * the identical plan. */
   private[graft] def joinOn(docs: DataFrame,
-      threshold: Double = JaccardThreshold): DataFrame = {
+      threshold: Double = JaccardThreshold,
+      maxPrefixDf: Int = Int.MaxValue): DataFrame = {
     val eps = 1e-9
     // Distinct word 3-grams as plain strings (portable to the oracle's
     // string_split formulation — no engine-specific hashing in the gate
@@ -96,12 +113,15 @@ object SetSimJoin {
     // Gather each prefix token's postings once and expand co-occurring
     // pairs in-row (the same idiom as the shingle postings join — a
     // self-join would re-run the scan+order pipeline for both sides).
-    // No df cap: prefix postings are short by construction, and a cap
-    // would break exact completeness against the all-pairs oracle.
+    // Prefix postings are short by construction on long-tailed
+    // corpora; maxPrefixDf bounds them under adversarial duplication
+    // (see DefaultPrefixDfCap — Int.MaxValue restores the exact
+    // completeness guarantee).
     val candidates = prefix
       .groupBy(col("tok"))
       .agg(collect_list(struct(col("doc_id").as("id"), col("n"))).as("postings"))
-      .filter(size(col("postings")) >= 2)
+      .filter(size(col("postings")) >= 2 &&
+        size(col("postings")) <= maxPrefixDf)
       .select(explode(flatten(transform(col("postings"), (x, i) =>
         transform(slice(col("postings"), i + lit(2), size(col("postings"))), y =>
           struct(least(x("id"), y("id")).as("doc_a"),

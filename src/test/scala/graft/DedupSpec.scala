@@ -192,11 +192,12 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("ngramJaccard maxDocFreq cap never invents pairs; generous cap is exact") {
-    val rows = Dedup.ngramJaccardWithinSource(spark, dir, threshold = 0.5)
+    val rows = Dedup.ngramJaccardWithinSource(spark, dir, threshold = 0.5,
+        maxDocFreq = Int.MaxValue)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    // generous cap (>= corpus size) changes nothing
-    val capped = Dedup.ngramJaccardWithinSource(spark, dir, threshold = 0.5,
-        maxDocFreq = 100)
+    // the registry DEFAULT (DefaultShingleDfCap) changes nothing at
+    // gate scale — the exact all-pairs oracle stays the anchor
+    val capped = Dedup.ngramJaccardWithinSource(spark, dir, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(capped === rows)
     // tight cap yields a subset (high precision, possible misses)

@@ -41,6 +41,24 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 0.9)))
   }
 
+  test("prefix df cap: bites only past the cap, default never at oracle scale") {
+    // a 100-doc duplicate cluster: every shared shingle has df=100, so
+    // every prefix posting list is length 100
+    val cluster = (1L to 100L).map(i => (i, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+    val uncapped = SetSimJoin.joinOn(cluster, maxPrefixDf = Int.MaxValue).count()
+    assert(uncapped === 100L * 99 / 2, "exact variant finds all C(100,2) pairs")
+    val capped = SetSimJoin.joinOn(cluster, maxPrefixDf = 64).count()
+    assert(capped === 0L, "df-capped variant drops the hot posting list whole")
+    // registry default == exact at gate scale (cap exceeds every df)
+    val exact = SetSimJoin.prefixFilteredJaccardJoin(spark, TestSpark.sfDir,
+        maxPrefixDf = Int.MaxValue)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val dflt = SetSimJoin.prefixFilteredJaccardJoin(spark, TestSpark.sfDir)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(dflt === exact)
+  }
+
   test("tiny-vocabulary corpus stays correct (shingle space rescues selectivity)") {
     // every doc drawn from 3 words: word-level prefixes would be fully
     // unselective; shingle sets still separate the dissimilar pair
