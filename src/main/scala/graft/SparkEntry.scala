@@ -500,6 +500,13 @@ object SparkEntry {
     "q_classifier_eval"  -> ((s, d) => Relational.classifierEval(s, d)),
     "q_kanonymity"       -> ((s, d) => Relational.kAnonymityProfile(s, d)),
     "q_link_prediction"  -> ((s, d) => graft.operators.Graph.linkPrediction(s, d)),
+    // column-level lineage over three fixed plans: a pure function of
+    // the ANALYZED plans (no data read), so the oracle asserts the
+    // constant edge set verbatim
+    "q_lineage"          -> ((s, d) => graft.plans.Lineage.edges(s, Seq(
+      "star_revenue" -> Joins.starRevenue(s, d),
+      "daily_mart"   -> Relational.dailyMart(s, d),
+      "gini_revenue" -> Relational.giniRevenue(s, d)))),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */

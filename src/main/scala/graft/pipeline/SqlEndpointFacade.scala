@@ -22,11 +22,17 @@ import org.apache.spark.sql.SparkSession
   * views and SET statements are visible across clients and to the
   * engine session itself, so a multi-client Serve deployment shares
   * one mutable session namespace — fine for the reference's
-  * single-threaded dbt profile (threads: 1, profiles.yml:10), but a
-  * multi-tenant deployment would front this with per-tenant sessions. */
+  * single-threaded dbt profile (threads: 1, profiles.yml:10). A
+  * multi-tenant deployment starts the endpoint with
+  * `multiSession = true` from a session built with
+  * `spark.sql.hive.thriftServer.singleSession=false` instead: every
+  * JDBC connection then gets its own cloned session (isolated temp
+  * views and SET state; global temp views and the engine's kernel
+  * functions still shared) — see [[MultiSessionProbe]]. */
 object SqlEndpoint {
   type Handle = org.apache.spark.sql.hive.thriftserver.GraftThriftServer.Handle
 
-  def start(s: SparkSession, port: Int): Handle =
-    org.apache.spark.sql.hive.thriftserver.GraftThriftServer.start(s, port)
+  def start(s: SparkSession, port: Int, multiSession: Boolean = false): Handle =
+    org.apache.spark.sql.hive.thriftserver.GraftThriftServer
+      .start(s, port, multiSession)
 }

@@ -34,6 +34,30 @@ object Lineage {
 
   type Leaves = Set[(String, String)]
 
+  /** Derivation edges of named plans as a (plan, out_col, src_table,
+    * src_col) DataFrame — the registry/oracle surface: lineage is a
+    * pure function of the ANALYZED plan (no execution, no data read),
+    * so for fixed plans the edge set is a constant the DuckDB oracle
+    * can assert verbatim. Driver-built rows: the edge count is
+    * #outputs × #leaves, metadata-scale by construction. */
+  def edges(s: org.apache.spark.sql.SparkSession,
+            plans: Seq[(String, DataFrame)]): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val rows = for {
+      (plan, df) <- plans
+      (out, leaves) <- columns(df).toSeq
+      (t, c) <- leaves.toSeq
+    } yield org.apache.spark.sql.Row(plan, out, t, c)
+    val schema = StructType(Seq(
+      StructField("plan", StringType, nullable = false),
+      StructField("out_col", StringType, nullable = false),
+      StructField("src_table", StringType, nullable = false),
+      StructField("src_col", StringType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+      .orderBy("plan", "out_col", "src_table", "src_col")
+  }
+
   def columns(df: DataFrame): Map[String, Leaves] = {
     val plan = df.queryExecution.analyzed
     val m = walk(plan)

@@ -93,7 +93,24 @@ object GraftThriftServer {
     }
   }
 
-  def start(s: org.apache.spark.sql.SparkSession, port: Int): Handle = {
+  def start(s: org.apache.spark.sql.SparkSession, port: Int): Handle =
+    start(s, port, multiSession = false)
+
+  /** `multiSession = true` starts the endpoint in per-connection
+    * isolation mode: each JDBC connection gets its own cloned Spark
+    * session (Hive's standard singleSession=false behavior), so client
+    * temp views and SET state are scoped to the connection instead of
+    * shared across every client and the engine. Cross-connection
+    * sharing then goes through GLOBAL temp views (`global_temp.x`),
+    * and the engine's kernel functions (extensions) serve every clone.
+    * Because singleSession is a STATIC conf, the mode is fixed at
+    * session build time — a multi-session endpoint needs a session
+    * built with `spark.sql.hive.thriftServer.singleSession=false`
+    * (i.e. a dedicated serving JVM, which is the multi-tenant
+    * deployment shape anyway; MultiSessionProbe + its spec drive
+    * exactly that). */
+  def start(s: org.apache.spark.sql.SparkSession, port: Int,
+      multiSession: Boolean): Handle = {
     val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sqlContext.setConf("hive.server2.thrift.port", port.toString)
     classic.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
@@ -107,9 +124,17 @@ object GraftThriftServer {
     // the session builder (Sessions.build and TestSpark do). Fail fast
     // here instead of letting every table query die with
     // TABLE_OR_VIEW_NOT_FOUND at the client.
-    require(classic.conf.get("spark.sql.hive.thriftServer.singleSession", "false") == "true",
-      "start the session with spark.sql.hive.thriftServer.singleSession=true " +
-        "(static conf) so the endpoint serves the owning session's tables")
+    val single =
+      classic.conf.get("spark.sql.hive.thriftServer.singleSession", "false")
+    if (multiSession)
+      require(single == "false",
+        "multi-session endpoint requires a session built with " +
+          "spark.sql.hive.thriftServer.singleSession=false (static conf); " +
+          "this session was built single-session")
+    else
+      require(single == "true",
+        "start the session with spark.sql.hive.thriftServer.singleSession=true " +
+          "(static conf) so the endpoint serves the owning session's tables")
     val tz = java.util.TimeZone.getDefault
     val confBefore = classic.conf.getAll
     // Belt and braces for the embedded use: Spark's patched

@@ -99,6 +99,40 @@ class SqlEndpointSpec extends AnyFunSuite {
     } finally graft.plans.TimeTravel.clear()
   }
 
+  test("multi-session mode isolates per-connection temp views (forked JVM)") {
+    // singleSession is static and this JVM's session is built with it
+    // true, so the isolation mode runs in a forked JVM (MultiSessionProbe)
+    val e = intercept[IllegalArgumentException](
+      graft.pipeline.SqlEndpoint.start(spark, TestSpark.endpointPort,
+        multiSession = true))
+    assert(e.getMessage.contains("singleSession=false"))
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cmd = (Seq("java", "-Xmx3g", "-cp", s"/opt/spark/jars/*:$classes") ++
+      addOpens ++
+      Seq("graft.pipeline.MultiSessionProbe",
+        (TestSpark.endpointPort + 137).toString))
+    val outFile = java.io.File.createTempFile("graft-msprobe", ".log")
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      .redirectOutput(outFile)
+    val proc = pb.start()
+    val done = proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+    def out = new String(
+      java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+    if (!done) proc.destroyForcibly()
+    assert(done, s"probe timed out; output:\n${out.takeRight(3000)}")
+    assert(proc.exitValue() === 0 && out.contains("MULTI_SESSION_OK"),
+      s"probe failed (exit ${proc.exitValue()}); output:\n${out.takeRight(3000)}")
+  }
+
   test("endpoint restart on a different port fails fast, not silently") {
     // Hive's execution-client conf is cached per JVM: a restarted
     // endpoint serves the FIRST configured port no matter what the new
