@@ -916,6 +916,26 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    // constant expected output: lineage is a pure function of the three
+    // fixed ANALYZED plans (count(1)-style outputs have empty leaf sets
+    // and emit no edge)
+    "q_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('daily_mart', 'avg_value', 'events', 'value'),
+        |  ('daily_mart', 'event_date', 'events', 'ts'),
+        |  ('daily_mart', 'event_type', 'events', 'event_type'),
+        |  ('daily_mart', 'max_value', 'events', 'value'),
+        |  ('daily_mart', 'min_value', 'events', 'value'),
+        |  ('gini_revenue', 'gini', 'customer', 'c_custkey'),
+        |  ('gini_revenue', 'gini', 'customer', 'c_mktsegment'),
+        |  ('gini_revenue', 'gini', 'orders', 'o_totalprice'),
+        |  ('gini_revenue', 'segment', 'customer', 'c_mktsegment'),
+        |  ('star_revenue', 'nation_name', 'nation', 'n_name'),
+        |  ('star_revenue', 'region_name', 'region', 'r_name'),
+        |  ('star_revenue', 'revenue', 'lineitem', 'l_discount'),
+        |  ('star_revenue', 'revenue', 'lineitem', 'l_extendedprice'))
+        |AS t(plan, out_col, src_table, src_col)
+        |ORDER BY plan, out_col, src_table, src_col""".stripMargin,
     "q_equidepth_hist" ->
       """WITH b AS (SELECT list_transform(
         |    [quantile_cont(o_totalprice, 0.125), quantile_cont(o_totalprice, 0.25),
