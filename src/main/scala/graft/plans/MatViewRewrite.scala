@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.types.DoubleType
 
 /** Materialized-view substitution — the lakehouse answer to "this
   * nightly rollup re-scans 100 TB for numbers the mart already holds".
@@ -31,9 +32,10 @@ import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
   *  - below the aggregate sit only attribute-pruning Projects and
   *    Filters whose references are grain keys (a key filter commutes
   *    with the grouping, so it is replayed on the MV);
-  * otherwise the plan is left untouched. AVG is deliberately absent:
-  * it is not self-decomposable — callers write SUM/COUNT and divide,
-  * which this rule then serves.
+  * otherwise the plan is left untouched. AVG is served too — not by
+  * pretending it is self-decomposable (it is not) but by deriving it
+  * from the decomposable pair the MV stores:
+  * SUM(mv_sum_x)/SUM(mv_count), double measures only.
   *
   * Output attribute ExprIds are preserved (each rewritten column is
   * re-aliased under its original id), so parent operators — the
@@ -319,6 +321,25 @@ class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           // global (no grouping keys) aggregate over an empty base
           Coalesce(Seq(ae.copy(aggregateFunction = Sum(mvAttr("mv_count"))),
             Literal(0L)))
+        case a: Average if ae.dataType == DoubleType =>
+          // (double measures only: a decimal AVG's sum-then-divide
+          // precision contract differs from double division)
+          // AVG is not self-decomposable, but it IS derivable from the
+          // decomposable pair the MV already stores:
+          //   AVG(x) over G = SUM(mv_sum_x) / SUM(mv_count)
+          // (weighted by construction — each MV row contributes its
+          // group's total, not its mean). NULL semantics line up: a
+          // served group has mv_count >= 1, and the global-over-empty
+          // case is NULL/NULL = NULL exactly like AVG. Cast back
+          // because Average's result type (e.g. decimal p+4/s+4) is
+          // not Divide-of-Sums' type.
+          val c = measureCol(a.child, "mv_sum_", d, mvAttr)
+            .getOrElse(throw NotDerivable)
+          val div = Divide(
+            Cast(ae.copy(aggregateFunction = Sum(c)), DoubleType),
+            Cast(ae.copy(aggregateFunction = Sum(mvAttr("mv_count")),
+              resultId = NamedExpression.newExprId), DoubleType))
+          if (div.dataType == ae.dataType) div else Cast(div, ae.dataType)
         case _ => throw NotDerivable
       }
     }

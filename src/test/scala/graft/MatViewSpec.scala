@@ -59,12 +59,32 @@ class MatViewSpec extends AnyFunSuite {
     }
   }
 
-  test("non-derivable queries are left untouched") {
+  test("AVG is served from the SUM/COUNT pair the MV stores") {
     withMv { mvPath =>
-      // AVG is not self-decomposable
       val avgQ = spark.read.parquet(base).groupBy(col("l_returnflag"))
         .agg(avg(col("l_quantity")).as("a"))
-      assert(!readsMv(avgQ, mvPath))
+      assert(readsMv(avgQ, mvPath), "double AVG should derive from the MV")
+      val got = avgQ.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      MatView.clear()
+      val want = spark.read.parquet(base).groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("a")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === want.keySet)
+      // sum-of-partials vs row-order accumulation: equal to fp noise
+      got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9) }
+    }
+  }
+
+  test("non-derivable queries are left untouched") {
+    withMv { mvPath =>
+      // a DECIMAL AVG must NOT rewrite (sum-then-divide precision
+      // contract differs from double division) — exercised via cast
+      val avgDecQ = spark.read.parquet(base)
+        .select(col("l_returnflag"), col("l_quantity"))
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity").cast("decimal(12,2)")).as("a"))
+      assert(!readsMv(avgDecQ, mvPath))
       // measure-column filter cannot be replayed on the summary
       val filtQ = spark.read.parquet(base)
         .filter(col("l_quantity") > 10)
