@@ -500,6 +500,8 @@ object SparkEntry {
     "q_classifier_eval"  -> ((s, d) => Relational.classifierEval(s, d)),
     "q_kanonymity"       -> ((s, d) => Relational.kAnonymityProfile(s, d)),
     "q_link_prediction"  -> ((s, d) => graft.operators.Graph.linkPrediction(s, d)),
+    "q_target_encode"    -> ((s, d) => Relational.targetEncode(s, d)),
+    "q_scd2_tiers"       -> ((s, d) => graft.operators.Behavior.tierHistory(s, d)),
     // column-level lineage over three fixed plans: a pure function of
     // the ANALYZED plans (no data read), so the oracle asserts the
     // constant edge set verbatim
@@ -916,6 +918,50 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    // out-of-fold mean with additive smoothing; all arithmetic happens on
+    // the (category x fold) grid, so the only cross-engine float risk is
+    // the per-cell sums, absorbed by the final round4
+    "q_target_encode" ->
+      """WITH r AS (SELECT c_mktsegment AS category,
+        |    CAST(o_custkey % 5 AS INTEGER) AS fold, o_totalprice AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cf AS (SELECT category, fold, SUM(y) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM r GROUP BY 1, 2),
+        |cat AS (SELECT category, SUM(s) AS cs, CAST(SUM(n) AS BIGINT) AS cn
+        |  FROM cf GROUP BY 1),
+        |f AS (SELECT fold, SUM(s) AS fs, CAST(SUM(n) AS BIGINT) AS fn
+        |  FROM cf GROUP BY 1),
+        |tot AS (SELECT SUM(s) AS ts, CAST(SUM(n) AS BIGINT) AS tn FROM cf)
+        |SELECT cf.category AS category, cf.fold AS fold,
+        |  CAST(cat.cn - cf.n AS BIGINT) AS n_oof,
+        |  floor((((cat.cs - cf.s) + 10.0 * ((tot.ts - f.fs) / (tot.tn - f.fn)))
+        |    / ((cat.cn - cf.n) + 10.0)) * 10000 + 0.5 + 0.000001) / 10000
+        |    AS encoded
+        |FROM cf JOIN cat ON cf.category = cat.category
+        |  JOIN f ON cf.fold = f.fold CROSS JOIN tot
+        |ORDER BY cf.category, cf.fold""".stripMargin,
+    // gaps-and-islands SCD2: per-user lag marks tier changes, running
+    // sum numbers the runs, lead closes each interval with its
+    // successor's start
+    "q_scd2_tiers" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(value / 100.0) AS INTEGER) AS tier
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT *, CASE WHEN LAG(tier) OVER w IS NULL
+        |      OR LAG(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run_id FROM m),
+        |iv AS (SELECT user_id, run_id, tier,
+        |    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS valid_from,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, run_id, tier, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS valid_to, n_events
+        |FROM iv ORDER BY user_id, run_id""".stripMargin,
     // constant expected output: lineage is a pure function of the three
     // fixed ANALYZED plans (count(1)-style outputs have empty leaf sets
     // and emit no edge)

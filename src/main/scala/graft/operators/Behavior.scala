@@ -280,4 +280,50 @@ object Behavior {
         count(lit(1)).as("n_touchpoints"))
       .orderBy(col("channel"))
   }
+
+  /** SCD type-2 history build from an event stream — the
+    * gaps-and-islands pattern every warehouse dimension loader runs:
+    * each user's per-event tier (value bucketed by `tierWidth`) is
+    * collapsed into validity intervals [valid_from, valid_to) with
+    * valid_to = the next interval's start (NULL while current) —
+    * i.e. the effective-dated dimension row a MERGE-based SCD2 loader
+    * would maintain, derived set-based in one pass instead of
+    * row-at-a-time upserts.
+    *
+    * Plan: lag-per-user marks tier changes, a running sum of change
+    * marks numbers each run (the island id), one aggregate collapses
+    * runs to intervals, and lead-per-user closes each interval with
+    * its successor's start. Every window and aggregate is keyed by
+    * user_id — the corpus distributes on the natural entity key, no
+    * global ordering anywhere. Timestamps surface as epoch seconds
+    * (engine-portable; the oracle replays with epoch()). Determinism:
+    * (ts, event_id) tie-break, and the tier derives from a pure
+    * bucketing of value. */
+  def tierHistory(s: SparkSession, dir: String,
+      tierWidth: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tiered = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / tierWidth).cast("int").as("tier"))
+    val runs = tiered
+      .withColumn("chg",
+        when(lag(col("tier"), 1).over(byUser).isNull ||
+          lag(col("tier"), 1).over(byUser) =!= col("tier"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = runs.groupBy(col("user_id"), col("run_id"), col("tier"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("run_id"), col("tier"), col("n_events"),
+        unix_timestamp(col("first.ts")).as("valid_from"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    intervals
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .select(col("user_id"), col("run_id"), col("tier"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy(col("user_id"), col("run_id"))
+  }
 }

@@ -1450,6 +1450,53 @@ object Relational {
       .orderBy(col("d"))
   }
 
+  /** Leakage-safe K-fold target encoding — the standard categorical
+    * feature for tabular/LLM-adjacent training data (encode a category
+    * by its target mean) done WITHOUT label leakage: each fold's
+    * encoding is computed from the OTHER folds only
+    * (out-of-fold mean), with additive smoothing toward the
+    * out-of-fold GLOBAL mean so rare categories shrink to the prior
+    * (Micci-Barreca, SIGKDD Explorations 2001):
+    *   enc(c, f) = (Σ_{g≠f} sum_cg + m · prior_oof(f))
+    *             / (Σ_{g≠f} n_cg + m).
+    * Folds are deterministic (custkey mod K) so the gate replays.
+    *
+    * Scale shape: ONE corpus-sized shuffle collapses orders to the
+    * (category × fold) grid (#categories·K cells — KB at any corpus);
+    * category totals, fold totals and the global total all derive from
+    * that grid, and every join after the collapse is a broadcast of a
+    * ≤K·#categories-row frame. The leakage-safe subtraction
+    * (total − own fold) avoids ever materializing K copies of the
+    * corpus — the naive "re-aggregate excluding each fold" plan is K
+    * scans; this is one. */
+  def targetEncode(s: SparkSession, dir: String, folds: Int = 5,
+      smoothing: Double = 10.0): DataFrame = {
+    val cf = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("category"),
+        (col("o_custkey") % folds).cast("int").as("fold"),
+        col("o_totalprice").as("y"))
+      .groupBy(col("category"), col("fold"))
+      .agg(sum(col("y")).as("s"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cat = cf.groupBy(col("category"))
+      .agg(sum(col("s")).as("cs"), sum(col("n")).as("cn"))
+    val perFold = cf.groupBy(col("fold"))
+      .agg(sum(col("s")).as("fs"), sum(col("n")).as("fn"))
+    val tot = cf.agg(sum(col("s")).as("ts"), sum(col("n")).as("tn"))
+    cf.join(broadcast(cat), "category")
+      .join(broadcast(perFold), "fold")
+      .crossJoin(broadcast(tot))
+      .select(col("category"), col("fold"),
+        (col("cn") - col("n")).as("n_oof"),
+        round4eps(((col("cs") - col("s")) +
+            lit(smoothing) * ((col("ts") - col("fs")) / (col("tn") - col("fn")))) /
+          ((col("cn") - col("n")) + lit(smoothing))).as("encoded"))
+      .orderBy(col("category"), col("fold"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

@@ -117,4 +117,37 @@ class BehaviorSpec extends AnyFunSuite {
     assert(firstSum === lastSum)
     assert(math.abs(linearSum - firstSum.toDouble) < 0.01 * firstSum)
   }
+
+  test("tierHistory: intervals partition each user's events, SCD2-closed") {
+    val rows = Behavior.tierHistory(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id"),
+        r.getAs[Int]("tier"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Long]("n_events")))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      // run ids are dense from 1
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      // each interval closes exactly at its successor's start; only the
+      // last is open (the CURRENT SCD2 row)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), "valid_to must equal next valid_from")
+          assert(a._3 != b._3, "consecutive runs must change tier")
+        case _ =>
+      }
+      assert(sorted.last._5.isEmpty, "current row must be open-ended")
+      assert(sorted.init.forall(_._5.nonEmpty))
+    }
+    // events are conserved: interval n_events sums to the user's count
+    val evCounts = graft.Tables.events(spark, TestSpark.sfDir)
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    byUser.foreach { case (u, ivs) =>
+      assert(ivs.map(_._6).sum === evCounts(u), s"user $u event conservation")
+    }
+  }
 }

@@ -325,4 +325,29 @@ class RelationalExtSpec extends AnyFunSuite {
       .forall(p => rows(p.getAs[Long]("key_a"))._1 == rows(p.getAs[Long]("key_b"))._1)
     assert(pairEnt)
   }
+  test("targetEncode: out-of-fold means are leakage-free and smoothed to the prior") {
+    val dirr = dir
+    val got = Relational.targetEncode(spark, dirr).collect()
+      .map(r => (r.getAs[String]("category"), r.getAs[Int]("fold")) ->
+        (r.getAs[Long]("n_oof"), r.getAs[Double]("encoded"))).toMap
+    // brute force the same statistic from raw rows
+    val rows = graft.Tables.orders(spark, dirr)
+      .join(graft.Tables.customer(spark, dirr)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), (col("o_custkey") % 5).cast("int"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    got.foreach { case ((cat, fold), (nOof, enc)) =>
+      val oof = rows.filter(r => r._1 == cat && r._2 != fold)
+      assert(oof.length.toLong === nOof)
+      val others = rows.filter(_._2 != fold)
+      val prior = others.map(_._3).sum / others.length
+      val want = (oof.map(_._3).sum + 10.0 * prior) / (oof.length + 10.0)
+      assert(math.abs(enc - want) < 1e-4, s"($cat,$fold): $enc vs $want")
+      // the encoding never uses the fold's own labels: perturbing them
+      // is invisible by construction (subtraction of the own-fold cell)
+    }
+    assert(got.nonEmpty && got.keySet.map(_._2).size === 5)
+  }
 }
