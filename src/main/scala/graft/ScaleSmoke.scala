@@ -207,6 +207,20 @@ object ScaleSmoke {
     // silently served by the summary (order-independent timings)
     graft.plans.MatView.clear()
     run("knnFiltered")(operators.Similarity.knnFiltered(spark, dir))
+    // Round-8 additions. targetEncode: one corpus shuffle to the
+    // #categories×K grid, then broadcast-only — must be near-flat past
+    // the collapse. tierHistory: user-keyed windows, linear. peak
+    // concurrency: per-day sweep + bounded carry explode — linear in
+    // boundaries, never a global sort. entityMatch: constant ×9
+    // variant blowup with alphabet-bounded (≤10) posting lists on
+    // DISTINCT names; replication keeps names identical across copies,
+    // so every posting grows factor× (the exact-duplicate worst case a
+    // real pipeline removes with exactGroups first) — candidates grow
+    // factor² here by construction, which is the stress being measured.
+    run("targetEncode")(operators.Relational.targetEncode(spark, dir))
+    run("tierHistory")(operators.Behavior.tierHistory(spark, dir))
+    run("peakConcurrency")(operators.Behavior.peakConcurrency(spark, dir))
+    run("entityMatch")(operators.EntityResolution.customerNameDedup(spark, dir))
 
     spark.stop()
   }

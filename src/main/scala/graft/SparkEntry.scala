@@ -502,6 +502,8 @@ object SparkEntry {
     "q_link_prediction"  -> ((s, d) => graft.operators.Graph.linkPrediction(s, d)),
     "q_target_encode"    -> ((s, d) => Relational.targetEncode(s, d)),
     "q_scd2_tiers"       -> ((s, d) => graft.operators.Behavior.tierHistory(s, d)),
+    "q_peak_concurrency" -> ((s, d) => graft.operators.Behavior.peakConcurrency(s, d)),
+    "q_entity_match"     -> ((s, d) => graft.operators.EntityResolution.customerNameDedup(s, d)),
     // column-level lineage over three fixed plans: a pure function of
     // the ANALYZED plans (no data read), so the oracle asserts the
     // constant edge set verbatim
@@ -918,6 +920,51 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    // distributed sweep-line mirror: per-day running sum with the same
+    // (t, delta desc, user) tie order, carry-in from cross-midnight
+    // sessions, argmax = (max conc, earliest instant)
+    "q_peak_concurrency" ->
+      """WITH sq AS (SELECT user_id, value, ts, event_id,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        | FROM
+        | (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM
+        |  (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     AS prev_ts FROM events))),
+        |sess AS (SELECT user_id, sid,
+        |    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0,
+        |    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS t1
+        |  FROM sq GROUP BY 1, 2),
+        |b AS (SELECT user_id, t0 AS t, 1 AS delta FROM sess
+        |  UNION ALL SELECT user_id, t1 AS t, -1 AS delta FROM sess),
+        |bd AS (SELECT *, CAST(epoch_ms(t * 1000) AS DATE) AS d FROM b),
+        |carry AS (SELECT CAST(gs.g AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS carry_in
+        |  FROM sess, LATERAL unnest(generate_series(
+        |    CAST(epoch_ms(t0 * 1000) AS DATE) + 1,
+        |    CAST(epoch_ms(t1 * 1000) AS DATE), INTERVAL 1 DAY)) gs(g)
+        |  GROUP BY 1),
+        |swept AS (SELECT bd.d, bd.t,
+        |    CAST(SUM(bd.delta) OVER (PARTITION BY bd.d
+        |      ORDER BY bd.t, bd.delta DESC, bd.user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      + COALESCE(carry.carry_in, 0) AS conc
+        |  FROM bd LEFT JOIN carry ON bd.d = carry.d)
+        |SELECT d, CAST(conc AS BIGINT) AS peak, t AS peak_at FROM
+        |  (SELECT d, conc, t, ROW_NUMBER() OVER (PARTITION BY d
+        |     ORDER BY conc DESC, t ASC) AS rn FROM swept)
+        |WHERE rn = 1 ORDER BY d""".stripMargin,
+    // exact: equal-length Levenshtein 1 == Hamming 1, so the all-pairs
+    // scan is the ground truth the masked-variant blocking must equal
+    "q_entity_match" ->
+      """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY custkey_a, custkey_b""".stripMargin,
     // out-of-fold mean with additive smoothing; all arithmetic happens on
     // the (category x fold) grid, so the only cross-engine float risk is
     // the per-cell sums, absorbed by the final round4

@@ -281,6 +281,78 @@ object Behavior {
       .orderBy(col("channel"))
   }
 
+  /** Daily peak session concurrency — the distributed sweep-line over
+    * intervals (max-overlap), the capacity-planning query behind "how
+    * many sessions were open at once": sessions (gap-based, same
+    * definition as [[graft.operators.Windows sessionize]]) become
+    * +1/−1 boundary events; the running sum of deltas in time order is
+    * the live concurrency, and its per-day max (with the first instant
+    * achieving it) is the answer.
+    *
+    * Scale shape — the naive formulation is ONE global ORDER BY ts
+    * over every boundary (single-partition sort of a corpus-scaling
+    * frame). This runs the sweep per DAY instead: a day-keyed window
+    * orders only that day's boundaries, and cross-midnight sessions
+    * are handled by a carry-in count per day (sessions that started
+    * before the day and end on/after it), computed by exploding each
+    * session's covered-day range (bounded: gap-based sessions span
+    * few days) into a day-keyed aggregate — the same
+    * partition-then-correct decomposition as sequencePack's two-phase
+    * prefix sum. Tie discipline: at an equal instant, session STARTS
+    * process before ends (closed intervals — a session is live at its
+    * last event, and a single-event session still counts at its one
+    * instant); user_id breaks remaining ties. */
+  def peakConcurrency(s: SparkSession, dir: String,
+      gapSec: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec,
+        1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(unix_timestamp(min(col("ts"))).as("t0"),
+        unix_timestamp(max(col("ts"))).as("t1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = sess
+      .select(col("user_id"), col("t0").as("t"), lit(1).as("delta"))
+      .unionByName(sess
+        .select(col("user_id"), col("t1").as("t"), lit(-1).as("delta")))
+      .withColumn("d", to_date(from_unixtime(col("t"))))
+    // carry-in: a session [t0, t1] is open at the start of every day
+    // AFTER its start day up to and including its end day
+    // guard BEFORE sequence(): Spark's sequence(a, b) DESCENDS when
+    // a > b, so an unguarded same-day session would fabricate two
+    // carry days instead of none
+    val carry = sess
+      .filter(to_date(from_unixtime(col("t1"))) >
+        to_date(from_unixtime(col("t0"))))
+      .select(explode(sequence(
+        date_add(to_date(from_unixtime(col("t0"))), 1),
+        to_date(from_unixtime(col("t1"))))).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("carry_in"))
+    // +1 before −1 at an equal instant (delta desc): closed-interval
+    // semantics, so a single-event session still counts at its instant
+    val byDay = Window.partitionBy(col("d"))
+      .orderBy(col("t"), col("delta").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("run", sum(col("delta")).over(byDay))
+      .join(broadcast(carry), Seq("d"), "left")
+      .select(col("d"),
+        (col("run") + coalesce(col("carry_in"), lit(0L))).as("conc"),
+        col("t"))
+      .groupBy(col("d"))
+      .agg(max(struct(col("conc"), (-col("t")).as("nt"))).as("m"))
+      .select(col("d"), col("m.conc").cast("long").as("peak"),
+        (-col("m.nt")).as("peak_at"))
+      .orderBy(col("d"))
+  }
+
   /** SCD type-2 history build from an event stream — the
     * gaps-and-islands pattern every warehouse dimension loader runs:
     * each user's per-event tier (value bucketed by `tierWidth`) is

@@ -150,4 +150,39 @@ class BehaviorSpec extends AnyFunSuite {
       assert(ivs.map(_._6).sum === evCounts(u), s"user $u event conservation")
     }
   }
+
+  test("peakConcurrency equals brute-force interval overlap per day") {
+    val got = Behavior.peakConcurrency(spark, TestSpark.sfDir).collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString ->
+        (r.getAs[Long]("peak"), r.getAs[Long]("peak_at"))).toMap
+    assert(got.nonEmpty)
+    // re-derive sessions in plain Scala and sweep every boundary instant
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_timestamp(
+          org.apache.spark.sql.functions.col("ts")).as("t"),
+        org.apache.spark.sql.functions.col("event_id"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("t"),
+        r.getAs[Long]("event_id")))
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val runs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var start = ts.head; var last = ts.head
+      ts.tail.foreach { t =>
+        if (t - last > 1800L) { runs += ((start, last)); start = t }
+        last = t
+      }
+      runs += ((start, last)); runs
+    }.toArray
+    def dayOf(t: Long): String =
+      java.time.Instant.ofEpochSecond(t).toString.take(10)
+    val boundaries = sessions.flatMap(s => Seq(s._1, s._2)).distinct
+    val wantPerDay = boundaries.groupBy(dayOf).map { case (d, instants) =>
+      val scored = instants.sorted.map(t =>
+        (sessions.count(s => s._1 <= t && t <= s._2).toLong, t))
+      val peak = scored.map(_._1).max
+      d -> (peak, scored.filter(_._1 == peak).map(_._2).min)
+    }
+    assert(got === wantPerDay)
+  }
 }
