@@ -25,9 +25,20 @@ object Serve {
     // context death than the bounded harness runs)
     val spark = Sessions.build(cpus)
     Tables.registerAll(spark, sfDir)
+    // SPARK_GRAFT_WAREHOUSE: also expose every lake table as a view
+    // wired for SQL time travel (VERSION AS OF / TIMESTAMP AS OF over
+    // JDBC — the Iceberg-user surface)
+    val lake = sys.env.get("SPARK_GRAFT_WAREHOUSE").toSeq.flatMap { wh =>
+      val cat = new graft.pipeline.LakeCatalog(spark, wh)
+      val names = cat.tableNames
+      names.foreach(n => cat.exposeSql(n))
+      names
+    }
     graft.pipeline.SqlEndpoint.start(spark, port)
     System.err.println(s"[serve] thrift endpoint on localhost:$port " +
-      s"(tables: ${Tables.names.mkString(", ")})")
+      s"(tables: ${Tables.names.mkString(", ")}" +
+      (if (lake.nonEmpty) s"; lake views with time travel: ${lake.mkString(", ")}"
+       else "") + ")")
     Thread.currentThread().join() // serve until killed
   }
 }

@@ -504,6 +504,7 @@ object SparkEntry {
     "q_scd2_tiers"       -> ((s, d) => graft.operators.Behavior.tierHistory(s, d)),
     "q_peak_concurrency" -> ((s, d) => graft.operators.Behavior.peakConcurrency(s, d)),
     "q_entity_match"     -> ((s, d) => graft.operators.EntityResolution.customerNameDedup(s, d)),
+    "q_table_fingerprint" -> ((s, d) => Relational.tableFingerprints(s, d)),
     // column-level lineage over three fixed plans: a pure function of
     // the ANALYZED plans (no data read), so the oracle asserts the
     // constant edge set verbatim
@@ -920,6 +921,24 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    // order-independent audit: BIT_XOR of portable row hashes; lineitem
+    // needs the composite (orderkey, linenumber) to be row-unique
+    "q_table_fingerprint" ->
+      """SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(('0x' || substr(md5(
+        |    CAST(c_custkey AS VARCHAR) || '|' || c_name), 1, 15))::BIGINT)
+        |    AS BIGINT) AS xor_fp FROM customer
+        |UNION ALL
+        |SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+        |  CAST(bit_xor(('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+        |    || '|' || l_returnflag), 1, 15))::BIGINT) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+        |  CAST(bit_xor(('0x' || substr(md5(
+        |    CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |    || '|' || o_orderpriority), 1, 15))::BIGINT) AS BIGINT) FROM orders
+        |ORDER BY tbl""".stripMargin,
     // distributed sweep-line mirror: per-day running sum with the same
     // (t, delta desc, user) tie order, carry-in from cross-midnight
     // sessions, argmax = (max conc, earliest instant)

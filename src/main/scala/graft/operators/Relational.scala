@@ -1497,6 +1497,42 @@ object Relational {
       .orderBy(col("category"), col("fold"))
   }
 
+  /** Order-independent table fingerprints — "did the 100 TB copy
+    * arrive intact" without sorting either side: each row hashes to a
+    * 60-bit portable value (same first-15-hex-of-md5 mapping as the
+    * KMV sketch) and a table's fingerprint is the BIT_XOR of its row
+    * hashes — commutative and associative, so the aggregate is
+    * partition-order- and merge-order-independent by construction and
+    * two engines/warehouses can compare fingerprints without any
+    * global ordering. XOR self-cancels rows duplicated an EVEN number
+    * of times, so the row count rides along (count + xor differing ⇒
+    * content differs; the classic replication-audit pairing). Columns
+    * in the canonical string are restricted to types with one textual
+    * form in every engine (ints, strings, dates) — float formatting is
+    * engine-specific and has no place in a portability fingerprint.
+    * One map-side-combined aggregate per table: partials are a single
+    * long each. */
+  private[graft] def fingerprint(df: DataFrame, table: String,
+      canon: Column): DataFrame =
+    df.select(conv(substring(md5(canon), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_fp"))
+      .select(lit(table).as("tbl"), col("n_rows"), col("xor_fp"))
+
+  def tableFingerprints(s: SparkSession, dir: String): DataFrame = {
+    def fp(df: DataFrame, table: String, canon: Column): DataFrame =
+      fingerprint(df, table, canon)
+    fp(Tables.customer(s, dir), "customer",
+        concat_ws("|", col("c_custkey"), col("c_name")))
+      .unionByName(fp(Tables.orders(s, dir), "orders",
+        concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"))))
+      .unionByName(fp(Tables.lineitem(s, dir), "lineitem",
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"))))
+      .orderBy(col("tbl"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

@@ -499,6 +499,25 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   /** Latest snapshot id of an append table (0 when empty). */
   def currentSnapshotId(name: String): Long = nextSnapshotId(name) - 1
 
+  /** All `namespace.table` names present in the warehouse — a
+    * metadata-grain directory scan (the catalog-listing call a serving
+    * endpoint uses to expose everything at startup). */
+  def tableNames: Seq[String] = {
+    val root = Paths.get(warehouseDir)
+    if (!Files.exists(root)) return Nil
+    import scala.jdk.CollectionConverters._
+    def dirs(p: java.nio.file.Path): List[String] = {
+      val st = Files.list(p)
+      try st.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .toList.sorted
+      finally st.close()
+    }
+    for (ns <- dirs(root); t <- dirs(root.resolve(ns))) yield s"$ns.$t"
+  }
+
   /** Expose `name` to the SQL surface as temp view `viewName`
     * (default: the bare table name), wired for SQL-level time travel:
     * after this, `SELECT … FROM <view> VERSION AS OF n` and

@@ -350,4 +350,28 @@ class RelationalExtSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty && got.keySet.map(_._2).size === 5)
   }
+
+  test("tableFingerprints: partition-order independent, content sensitive") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    val canon = concat_ws("|", col("k"), col("v"))
+    def fpOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Relational.fingerprint(df, "t", canon).collect()(0)
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_fp"))
+    }
+    val base = fpOf(rows.toDF("k", "v"))
+    // any partitioning / row order yields the identical fingerprint
+    assert(fpOf(rows.reverse.toDF("k", "v").repartition(7)) === base)
+    assert(fpOf(rows.toDF("k", "v").repartition(1)) === base)
+    // one changed value flips it; a dropped row changes count AND fp
+    assert(fpOf(Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v"))._2 != base._2)
+    val dropped = fpOf(rows.take(3).toDF("k", "v"))
+    assert(dropped._1 === 3L && dropped._2 != base._2)
+    // and the registry op emits one row per audited table
+    val all = Relational.tableFingerprints(spark, dir).collect()
+    assert(all.map(_.getAs[String]("tbl")).toSeq ===
+      Seq("customer", "lineitem", "orders"))
+  }
 }
