@@ -505,6 +505,11 @@ object SparkEntry {
     "q_peak_concurrency" -> ((s, d) => graft.operators.Behavior.peakConcurrency(s, d)),
     "q_entity_match"     -> ((s, d) => graft.operators.EntityResolution.customerNameDedup(s, d)),
     "q_table_fingerprint" -> ((s, d) => Relational.tableFingerprints(s, d)),
+    "q_forecast_revenue" -> ((s, d) => Joins.forecastRevenue(s, d)),
+    "q_volume_shipping"  -> ((s, d) => Joins.volumeShipping(s, d)),
+    "q_market_share"     -> ((s, d) => Joins.marketShare(s, d)),
+    "q_product_profit"   -> ((s, d) => Joins.productProfit(s, d)),
+    "q_top_supplier"     -> ((s, d) => Joins.topSupplier(s, d)),
     // column-level lineage over three fixed plans: a pure function of
     // the ANALYZED plans (no data read), so the oracle asserts the
     // constant edge set verbatim
@@ -921,6 +926,69 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_forecast_revenue" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_market_share" ->
+      """WITH cr AS (SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  ROUND(SUM(CASE WHEN supp_nation = 'NATION_2'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |    / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cr ON o_custkey = cr.c_custkey
+        |  JOIN sn ON l_suppkey = sn.s_suppkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS profit,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    floor(SUM(l_extendedprice * (1 - l_discount)) * 10000
+        |      + 0.5 + 0.000001) / 10000 AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1),
+        |m AS (SELECT MAX(total_rev) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev CROSS JOIN m JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = max_rev
+        |ORDER BY s_suppkey""".stripMargin,
     // order-independent audit: BIT_XOR of portable row hashes; lineitem
     // needs the composite (orderkey, linenumber) to be row-unique
     "q_table_fingerprint" ->

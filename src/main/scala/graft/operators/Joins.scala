@@ -193,6 +193,138 @@ object Joins {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q6 shape — forecasting revenue change: the purest
+    * pushdown showcase. One scan, three range predicates, one global
+    * sum — every filter must reach the parquet reader (PushedFilters)
+    * and the aggregate is a single map-side-combined fold; at 100 TB
+    * this query's cost is IO alone, and any plan that shuffles row
+    * data for it is wrong. */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q7 shape — volume shipping between two trading nations,
+    * both directions, by ship year: the two-fact join co-partitions
+    * on orderkey once; supplier/customer/nation all broadcast, and
+    * the nation-pair filter applies at the (broadcast) dimension join
+    * so the fact stream is filtered before the rollup. */
+  def volumeShipping(s: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape — national market share: of all PROMO-part revenue
+    * sold into one region, what fraction was supplied by one nation,
+    * per order year. The share is a conditional-over-total aggregate
+    * in ONE pass (no self-join of the filtered stream); part/supplier/
+    * customer/nation/region broadcast; the region restriction applies
+    * through the customer side exactly as in the spec query. */
+  def marketShare(s: SparkSession, dir: String, region: String = "ASIA",
+      nation: String = "NATION_2", ptype: String = "PROMO"): DataFrame = {
+    val custRegion = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === ptype)),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === nation,
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape (adapted) — product-line profit by supplier nation
+    * and order year for a part-name class. The testdata carries no
+    * partsupp table, so the spec's supplycost term is absent and
+    * profit reduces to discounted revenue — the JOIN SHAPE (two facts
+    * on orderkey + three broadcast dimensions + LIKE-filtered part) is
+    * the point; the missing term is one more broadcast column in a
+    * warehouse that has it. */
+  def productProfit(s: SparkSession, dir: String,
+      nameFragment: String = "red"): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_name").contains(nameFragment))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q15 shape — top supplier(s) by revenue over a quarter: the
+    * view-then-max-then-equal pattern. The per-supplier rollup is one
+    * shuffle; the scalar max broadcasts back (no window over the
+    * rollup needed); ties all surface, suppkey-ordered, exactly like
+    * the spec's correlated max. Revenue equality is computed within
+    * ONE engine's aggregate output, so float determinism is safe. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    // quantize BEFORE the max/equality so a cross-engine ulp in the
+    // per-supplier sums can never flip which supplier wins
+    def q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 10000 + 0.5 + 1e-6) / 10000
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(q4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Blocked edit-distance fuzzy join — record linkage over part names:
     * pairs of parts in the same block (brand + first name word) whose
     * names are within `maxDist` Levenshtein edits. The standard
