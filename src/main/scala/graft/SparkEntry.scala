@@ -510,6 +510,7 @@ object SparkEntry {
     "q_market_share"     -> ((s, d) => Joins.marketShare(s, d)),
     "q_product_profit"   -> ((s, d) => Joins.productProfit(s, d)),
     "q_top_supplier"     -> ((s, d) => Joins.topSupplier(s, d)),
+    "q_kmv_daily"        -> ((s, d) => Relational.kmvDaily(s, d)),
     // column-level lineage over three fixed plans: a pure function of
     // the ANALYZED plans (no data read), so the oracle asserts the
     // constant edge set verbatim
@@ -926,6 +927,21 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_kmv_daily" ->
+      """WITH h AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |m AS (SELECT d, h, ROW_NUMBER() OVER (PARTITION BY d ORDER BY h) AS rn
+        |  FROM h),
+        |a AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_retained, MAX(h) AS mk
+        |  FROM m WHERE rn <= 64 GROUP BY 1),
+        |e AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS exact_users FROM h GROUP BY 1)
+        |SELECT a.d AS d, n_retained,
+        |  floor((CASE WHEN n_retained < 64 THEN CAST(n_retained AS DOUBLE)
+        |    ELSE 63.0 / (CAST(mk AS DOUBLE) / POW(2.0, 60)) END) * 10000
+        |    + 0.5 + 0.000001) / 10000 AS est_users,
+        |  exact_users
+        |FROM a JOIN e ON a.d = e.d ORDER BY d""".stripMargin,
     "q_forecast_revenue" ->
       """SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
         |  CAST(COUNT(*) AS BIGINT) AS n_lines

@@ -810,6 +810,32 @@ object Relational {
         col("exact_ndv"))
   }
 
+  /** Per-day distinct-user KMV sketches — [[kmvDistinct]] grouped: one
+    * k-long mergeable sketch PER GROUP, the shape a daily-actives
+    * dashboard runs at 100 TB (the exact per-day COUNT(DISTINCT)
+    * shuffles every (day, user) pair; the sketch shuffles k longs per
+    * day regardless of traffic). The exact count rides along as the
+    * verification column, same contract as the global variant; the
+    * oracle replays each day's retained mins as a per-day
+    * ORDER BY hash LIMIT k. */
+  def kmvDaily(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val h = Tables.events(s, dir).select(to_date(col("ts")).as("d"),
+      conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    h.groupBy(col("d"))
+      .agg(graft.functions.FreqSketchFunctions.kmvMins(col("h"), k).as("mins"),
+        countDistinct(col("h")).as("exact_users"))
+      .select(col("d"),
+        size(col("mins")).cast("long").as("n_retained"),
+        round4eps(when(size(col("mins")) < k,
+          size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("mins"), k).cast("double") / lit(math.pow(2.0, 60)))))
+          .as("est_users"),
+        col("exact_users"))
+      .orderBy(col("d"))
+  }
+
   /** Full-batch logistic regression by gradient descent — predict
     * urgent order priority from the standardized order total. The
     * point is the iterative-optimization loop as an engine primitive

@@ -499,6 +499,55 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   /** Latest snapshot id of an append table (0 when empty). */
   def currentSnapshotId(name: String): Long = nextSnapshotId(name) - 1
 
+  /** The `table.files` metadata scan (the Iceberg `files` table
+    * analog, completing the metadata family beside [[snapshots]] and
+    * [[partitions]]): one row per live data file with its commit,
+    * hidden partition values, byte size, and footer record count —
+    * the input to small-files monitoring (compact-when-fragmented
+    * policies) and scan-planning audits. Pure driver-side METADATA:
+    * directory walk + parquet footers, no executor job, no data read
+    * — the same budget class as the snapshot log. */
+  def files(name: String): DataFrame = {
+    val root = Paths.get(tablePath(name))
+    val schema = StructType(Seq(
+      StructField("file_path", StringType),
+      StructField("commit", LongType),
+      StructField("partition_day", StringType),
+      StructField("file_size_bytes", LongType),
+      StructField("record_count", LongType)))
+    if (!Files.exists(root)) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.jdk.CollectionConverters._
+    val stream = Files.walk(root)
+    val rows = try stream.iterator().asScala
+      .filter { f =>
+        val rel = root.relativize(f).toString
+        f.getFileName.toString.endsWith(".parquet") &&
+          !rel.split('/').exists(seg =>
+            seg.startsWith(".") || seg.startsWith("_"))
+      }
+      .map { f =>
+        val rel = root.relativize(f).toString
+        val segs = rel.split('/').toSeq
+        def partVal(prefix: String): Option[String] = segs.collectFirst {
+          case seg if seg.startsWith(prefix) && seg.contains("=") =>
+            seg.substring(seg.indexOf('=') + 1)
+        }
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try r.getRecordCount finally r.close()
+        org.apache.spark.sql.Row(rel,
+          partVal(commitCol + "=").map(_.toLong).getOrElse(0L),
+          partVal(graft.plans.HiddenPartitionPruning.Prefix).orNull,
+          Files.size(f), n)
+      }.toList
+    finally stream.close()
+    spark.createDataFrame(rows.asJava, schema)
+      .orderBy(col("commit"), col("file_path"))
+  }
+
   /** All `namespace.table` names present in the warehouse — a
     * metadata-grain directory scan (the catalog-listing call a serving
     * endpoint uses to expose everything at startup). */

@@ -224,6 +224,25 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(cat.snapshots("raw.u").count() === snapCount)
   }
 
+  test("files metadata: one row per live data file, footer counts conserve") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-files"))
+    cat.createNamespace("raw")
+    cat.append("raw.f", Seq((1L, ts(10, 1)), (2L, ts(11, 2))).toDF("id", "extracted_at"),
+      partitionTs = Some("extracted_at"))
+    cat.append("raw.f", Seq((3L, ts(10, 3))).toDF("id", "extracted_at"),
+      partitionTs = Some("extracted_at"))
+    val fs = cat.files("raw.f").collect()
+    assert(fs.nonEmpty)
+    assert(fs.forall(_.getAs[Long]("file_size_bytes") > 0L))
+    assert(fs.forall(r => r.getAs[String]("partition_day") != null))
+    assert(fs.map(_.getAs[Long]("commit")).toSet === Set(1L, 2L))
+    // footer record counts conserve the table's row count, data unread
+    assert(fs.map(_.getAs[Long]("record_count")).sum === cat.table("raw.f").count())
+    // hidden/protocol dirs are invisible to the files listing
+    assert(fs.forall(r => !r.getAs[String]("file_path").contains("/.")))
+  }
+
   test("deleteWhere crash points: every protocol state recovers with no lost rows") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
