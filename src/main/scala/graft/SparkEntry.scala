@@ -511,6 +511,7 @@ object SparkEntry {
     "q_product_profit"   -> ((s, d) => Joins.productProfit(s, d)),
     "q_top_supplier"     -> ((s, d) => Joins.topSupplier(s, d)),
     "q_kmv_daily"        -> ((s, d) => Relational.kmvDaily(s, d)),
+    "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     // column-level lineage over three fixed plans: a pure function of
     // the ANALYZED plans (no data read), so the oracle asserts the
     // constant edge set verbatim
@@ -927,6 +928,11 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_join_elim" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS revenue
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kmv_daily" ->
       """WITH h AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h

@@ -325,6 +325,25 @@ object Joins {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Join-elimination demonstration query: an orders rollup that joins
+    * the customer dimension "just in case" (the view-building habit)
+    * but uses none of its columns. With customer's primary key
+    * declared ([[graft.plans.Constraints]]), the optimizer deletes the
+    * join AND the customer scan from the plan — asserted in
+    * JoinEliminationSpec; this gate pins that the rewritten plan still
+    * returns exactly the un-eliminated result (the oracle replays the
+    * join faithfully). */
+  def prunedDimRollup(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.Constraints.declareKey(s"$dir/customer.parquet", "c_custkey")
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Blocked edit-distance fuzzy join — record linkage over part names:
     * pairs of parts in the same block (brand + first name word) whose
     * names are within `maxDist` Levenshtein edits. The standard

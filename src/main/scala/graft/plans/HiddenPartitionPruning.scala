@@ -125,6 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => HiddenPartitionPruning)
     ext.injectOptimizerRule(_ => FoldSortIntoWindow)
     ext.injectOptimizerRule(session => new MatViewRewrite(session))
+    ext.injectOptimizerRule(session => new RedundantJoinElimination(session))
     // hint batch: must substitute BEFORE ResolveRelations rejects
     // time travel over temp views (see TimeTravelResolution)
     ext.injectHintResolutionRule(session => new TimeTravelResolution(session))
