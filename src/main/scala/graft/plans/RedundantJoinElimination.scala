@@ -72,7 +72,34 @@ class RedundantJoinElimination(session: SparkSession) extends Rule[LogicalPlan] 
       tryEliminate(j, p.references).map(l => p.copy(child = l)).getOrElse(p)
     case a @ Aggregate(_, _, j: Join, _) =>
       tryEliminate(j, a.references).map(l => a.copy(child = l)).getOrElse(a)
+    // DISTINCT over a declared unique key is the identity: Spark plans
+    // Distinct/dropDuplicates as a grouping-only Aggregate; when the
+    // groupings include the scan's declared key and every output is a
+    // bare grouping attribute, the de-dup shuffle computes nothing —
+    // replace with a Project (same output attrs, zero exchanges).
+    case a @ Aggregate(groupings, aggs, child, _)
+        if aggs.forall(_.isInstanceOf[AttributeReference]) &&
+          aggs.map(_.exprId).toSet == groupings.collect {
+            case ar: AttributeReference => ar.exprId
+          }.toSet &&
+          groupings.forall(_.isInstanceOf[AttributeReference]) &&
+          distinctRedundant(groupings, child) =>
+      Project(aggs, child)
   }
+
+  /** True when `child` strips to a scan whose declared unique key is
+    * among the grouping attributes (filters allowed — a subset of rows
+    * of a unique column is still unique). */
+  private def distinctRedundant(groupings: Seq[Expression],
+      child: LogicalPlan): Boolean =
+    strip(child, allowFilter = true).exists { lr =>
+      pathOf(lr).flatMap(Constraints.keyOf).exists(pk =>
+        groupings.exists {
+          case ar: AttributeReference =>
+            ar.name == pk && lr.outputSet.contains(ar)
+          case _ => false
+        })
+    }
 
   /** The left child when `j`'s right side is provably redundant for a
     * parent referencing only `parentRefs`. */

@@ -69,6 +69,30 @@ class JoinEliminationSpec extends AnyFunSuite {
     } finally Constraints.clear()
   }
 
+  test("DISTINCT over a declared unique key collapses to a projection") {
+    val (_, dim) = fixtures()
+    def q() = spark.read.parquet(dim).select("pk", "label").distinct()
+    def hasAggregate(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty
+    val want = q().collect().map(_.toSeq).toSet
+    assert(hasAggregate(q()), "without a declared key the de-dup must stay")
+    try {
+      Constraints.declareKey(dim, "pk")
+      val served = q()
+      assert(!hasAggregate(served), "unique-key DISTINCT must fold away")
+      assert(served.collect().map(_.toSeq).toSet === want)
+      // filtered scans are still unique
+      val f = spark.read.parquet(dim).filter(col("pk") > 1L)
+        .select("pk", "label").distinct()
+      assert(!hasAggregate(f) && f.collect().length === 2)
+      // distinct WITHOUT the key column keeps its aggregate
+      val noKey = spark.read.parquet(dim).select("label").distinct()
+      assert(hasAggregate(noKey) && noKey.collect().length === 3)
+    } finally Constraints.clear()
+  }
+
   test("soundness guards: dim filter, used dim column, undeclared key") {
     val (fact, dim) = fixtures()
     try {
