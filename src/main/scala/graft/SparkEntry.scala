@@ -512,6 +512,10 @@ object SparkEntry {
     "q_top_supplier"     -> ((s, d) => Joins.topSupplier(s, d)),
     "q_kmv_daily"        -> ((s, d) => Relational.kmvDaily(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
+    "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
+                               .dailyActiveSketch(Tables.events(s, d))
+                               .orderBy(org.apache.spark.sql.functions
+                                 .col("day_start"))),
     // column-level lineage over three fixed plans: a pure function of
     // the ANALYZED plans (no data read), so the oracle asserts the
     // constant edge set verbatim
@@ -928,6 +932,19 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_stream_kmv" ->
+      """WITH h AS (SELECT DISTINCT date_trunc('day', ts) AS day_start,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |m AS (SELECT day_start, h,
+        |    ROW_NUMBER() OVER (PARTITION BY day_start ORDER BY h) AS rn FROM h),
+        |a AS (SELECT day_start, CAST(COUNT(*) AS BIGINT) AS n_retained,
+        |    MAX(h) AS mk FROM m WHERE rn <= 64 GROUP BY 1)
+        |SELECT day_start, n_retained,
+        |  floor((CASE WHEN n_retained < 64 THEN CAST(n_retained AS DOUBLE)
+        |    ELSE 63.0 / (CAST(mk AS DOUBLE) / POW(2.0, 60)) END) * 10000
+        |    + 0.5 + 0.000001) / 10000 AS est_users
+        |FROM a ORDER BY day_start""".stripMargin,
     "q_join_elim" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  ROUND(SUM(o_totalprice), 4) AS revenue

@@ -51,6 +51,33 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming daily-actives sketch — the KMV distinct-user estimate
+    * as a watermarked 1-day windowed aggregate (exact streaming
+    * COUNT(DISTINCT) is unsupported AND unbounded-state by nature; the
+    * sketch is the production answer): per day the state store holds
+    * ONE k-long mergeable KMV partial ([[graft.functions.KmvMins]] is
+    * a TypedImperativeAggregate, so micro-batch partials merge
+    * losslessly in state), k longs per open window regardless of
+    * traffic. Batch-mode twin of `Relational.kmvDaily` — identical
+    * retained mins, so the same per-day ORDER BY hash LIMIT k oracle
+    * replays it, and the spec pins stream ≡ batch. */
+  def dailyActiveSketch(events: DataFrame, k: Int = 64,
+      watermark: String = "2 days"): DataFrame = {
+    val est = when(size(col("mins")) < k, size(col("mins")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (element_at(col("mins"), k).cast("double") / lit(math.pow(2.0, 60))))
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), "1 day").as("w"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("w"))
+      .agg(graft.functions.FreqSketchFunctions.kmvMins(col("h"), k).as("mins"))
+      .select(col("w.start").as("day_start"),
+        size(col("mins")).cast("long").as("n_retained"),
+        (floor(est * 10000 + 0.5 + 1e-6) / 10000).as("est_users"))
+  }
+
   /** Sliding-window counts: each event lands in windowLength/slide
     * overlapping windows (2 here) — the `window()` generator expands
     * rows BEFORE the aggregation shuffle, so the state/shuffle cost is

@@ -37,6 +37,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dailyActiveSketch: KMV partials merge across micro-batches, stream == batch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dailyActiveSketch(mem.toDF(), k = 4)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // 6 distinct users across two micro-batches (forces a state-store
+      // MERGE of serialized KMV partials), one repeated user
+      mem.addData(Event(1, 1, "view", 1.0, ts(0)),
+        Event(2, 2, "view", 1.0, ts(5)), Event(3, 3, "view", 1.0, ts(9)))
+      q.processAllAvailable()
+      mem.addData(Event(4, 4, "view", 1.0, ts(15)),
+        Event(5, 5, "view", 1.0, ts(20)), Event(6, 6, "view", 1.0, ts(25)),
+        Event(7, 1, "view", 1.0, ts(30))) // dup user
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream").collect()
+        .map(r => (r.getAs[Timestamp]("day_start"), r.getAs[Long]("n_retained"),
+          r.getAs[Double]("est_users"))).toSet
+      // batch twin over the identical rows
+      val batch = EventStreams.dailyActiveSketch(
+        Seq(Event(1, 1, "view", 1.0, ts(0)), Event(2, 2, "view", 1.0, ts(5)),
+          Event(3, 3, "view", 1.0, ts(9)), Event(4, 4, "view", 1.0, ts(15)),
+          Event(5, 5, "view", 1.0, ts(20)), Event(6, 6, "view", 1.0, ts(25)),
+          Event(7, 1, "view", 1.0, ts(30))).toDF(), k = 4)
+        .collect().map(r => (r.getAs[Timestamp]("day_start"),
+          r.getAs[Long]("n_retained"), r.getAs[Double]("est_users"))).toSet
+      assert(streamed === batch)
+      assert(streamed.head._2 === 4L, "sketch retains exactly k mins")
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes a session when the gap passes, across micro-batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
