@@ -511,6 +511,7 @@ object SparkEntry {
     "q_product_profit"   -> ((s, d) => Joins.productProfit(s, d)),
     "q_top_supplier"     -> ((s, d) => Joins.topSupplier(s, d)),
     "q_kmv_daily"        -> ((s, d) => Relational.kmvDaily(s, d)),
+    "q_twap_daily"       -> ((s, d) => Windows.twapDaily(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -932,6 +933,22 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_twap_daily" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id,
+        |    value FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT *, LEAD(ts) OVER (PARTITION BY event_type, d
+        |    ORDER BY ts, event_id) AS next_ts FROM ev),
+        |ww AS (SELECT *, CASE WHEN next_ts IS NULL
+        |    THEN CAST(floor(epoch(CAST(d + 1 AS TIMESTAMP))) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT)
+        |    ELSE CAST(floor(epoch(next_ts)) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) END AS wsec FROM l)
+        |SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(wsec) AS BIGINT) AS covered_sec,
+        |  floor(SUM(value * wsec) / SUM(wsec) * 10000 + 0.5 + 0.000001)
+        |    / 10000 AS twap,
+        |  floor(AVG(value) * 10000 + 0.5 + 0.000001) / 10000 AS naive_avg
+        |FROM ww GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_kmv" ->
       """WITH h AS (SELECT DISTINCT date_trunc('day', ts) AS day_start,
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h

@@ -197,4 +197,38 @@ object Windows {
       .filter(col("rank") <= 3)
       .select(col("event_date"), col("event_type"), col("n"), col("rank"))
   }
+
+  /** Daily time-weighted average (TWAP) of the event value per type —
+    * the irregular-sampling mean finance and metering get wrong with a
+    * plain AVG (a value that held for 10 hours must weigh 600× one
+    * that held a minute): each sample's value holds until the next
+    * sample of the same (type, day) — last-observation-carried-forward
+    * — and the day's average integrates that step function, censored
+    * at midnight. Weights are INTEGER seconds (lead arithmetic, ties
+    * weigh 0 under the (ts, event_id) order), so engines agree bit-for
+    * -bit up to the one final division. All windows keyed by
+    * (event_type, day) — corpus distributes on the natural grain, no
+    * global ordering. */
+  def twapDaily(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val ev = graft.Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("ts"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("wsec",
+        when(col("next_ts").isNull,
+          unix_timestamp(date_add(col("d"), 1).cast("timestamp")) -
+            unix_timestamp(col("ts")))
+          .otherwise(unix_timestamp(col("next_ts")) - unix_timestamp(col("ts"))))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("wsec")).as("covered_sec"),
+        round4eps(sum(col("value") * col("wsec")) / sum(col("wsec")))
+          .as("twap"),
+        round4eps(avg(col("value"))).as("naive_avg"))
+      .orderBy(col("event_type"), col("d"))
+  }
 }

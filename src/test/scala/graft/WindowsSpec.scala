@@ -126,4 +126,40 @@ class WindowsSpec extends AnyFunSuite {
       .filter(_.getAs[Boolean]("is_current")).map(_.getAs[Long]("user_id"))
     assert(currents.sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("twapDaily integrates the LOCF step function, censored at midnight") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Windows.twapDaily(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d").toString) ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("covered_sec"),
+          r.getAs[Double]("twap"))))
+      .toMap
+    assert(out.nonEmpty)
+    // brute-force every group from the raw rows
+    val raw = Tables.events(spark, TestSpark.sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("t"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("t"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    val byGroup = raw.groupBy { case (et, t, _, _) =>
+      (et, java.time.Instant.ofEpochSecond(t).toString.take(10))
+    }
+    byGroup.foreach { case ((et, d), rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val dayEnd = java.time.LocalDate.parse(d).plusDays(1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+      val weights = sorted.indices.map { i =>
+        val next = if (i + 1 < sorted.length) sorted(i + 1)._2 else dayEnd
+        next - sorted(i)._2
+      }
+      val twap = sorted.zip(weights).map { case (r, w) => r._4 * w }.sum /
+        weights.sum
+      val (n, cov, gotTwap) = out((et, d))
+      assert(n === sorted.length.toLong && cov === weights.sum)
+      assert(math.abs(gotTwap - twap) < 1e-3, s"($et,$d)")
+    }
+  }
 }
