@@ -512,6 +512,7 @@ object SparkEntry {
     "q_top_supplier"     -> ((s, d) => Joins.topSupplier(s, d)),
     "q_kmv_daily"        -> ((s, d) => Relational.kmvDaily(s, d)),
     "q_twap_daily"       -> ((s, d) => Windows.twapDaily(s, d)),
+    "q_ppr"              -> ((s, d) => graft.operators.Graph.personalizedPageRank(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -933,6 +934,36 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_ppr" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT a, b FROM cs UNION ALL SELECT b, a FROM cs),
+        |deg AS (SELECT a, COUNT(*) AS outdeg FROM edges GROUP BY a),
+        |nodes AS (SELECT a AS node FROM deg),
+        |ns AS (SELECT COUNT(*) AS n FROM nodes WHERE node % 100 = 0),
+        |r0 AS (SELECT node, CASE WHEN node % 100 = 0
+        |    THEN CAST(1 AS DOUBLE) / ns.n ELSE CAST(0 AS DOUBLE) END AS rank
+        |  FROM nodes CROSS JOIN ns),
+        |c1 AS (SELECT e.b, SUM(r.rank / d.outdeg) AS mass FROM edges e
+        |  JOIN deg d ON e.a = d.a JOIN r0 r ON e.a = r.node GROUP BY e.b),
+        |r1 AS (SELECT node, CASE WHEN node % 100 = 0
+        |    THEN (1 - CAST(0.85 AS DOUBLE)) / ns.n ELSE CAST(0 AS DOUBLE) END
+        |  + CAST(0.85 AS DOUBLE) * COALESCE(c1.mass, CAST(0 AS DOUBLE)) AS rank
+        |  FROM nodes CROSS JOIN ns LEFT JOIN c1 ON node = c1.b),
+        |c2 AS (SELECT e.b, SUM(r.rank / d.outdeg) AS mass FROM edges e
+        |  JOIN deg d ON e.a = d.a JOIN r1 r ON e.a = r.node GROUP BY e.b),
+        |r2 AS (SELECT node, CASE WHEN node % 100 = 0
+        |    THEN (1 - CAST(0.85 AS DOUBLE)) / ns.n ELSE CAST(0 AS DOUBLE) END
+        |  + CAST(0.85 AS DOUBLE) * COALESCE(c2.mass, CAST(0 AS DOUBLE)) AS rank
+        |  FROM nodes CROSS JOIN ns LEFT JOIN c2 ON node = c2.b),
+        |c3 AS (SELECT e.b, SUM(r.rank / d.outdeg) AS mass FROM edges e
+        |  JOIN deg d ON e.a = d.a JOIN r2 r ON e.a = r.node GROUP BY e.b),
+        |r3 AS (SELECT node, CASE WHEN node % 100 = 0
+        |    THEN (1 - CAST(0.85 AS DOUBLE)) / ns.n ELSE CAST(0 AS DOUBLE) END
+        |  + CAST(0.85 AS DOUBLE) * COALESCE(c3.mass, CAST(0 AS DOUBLE)) AS rank
+        |  FROM nodes CROSS JOIN ns LEFT JOIN c3 ON node = c3.b)
+        |SELECT node, floor(rank * 10000 + 0.5 + 0.000001) / 10000 AS rank
+        |FROM r3""".stripMargin,
     "q_twap_daily" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id,
         |    value FROM events WHERE value IS NOT NULL),

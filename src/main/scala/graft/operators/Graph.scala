@@ -162,6 +162,56 @@ object Graph {
     ranks.select(col("node"), round4eps(col("rank")).as("rank"))
   }
 
+  /** Personalized PageRank (Haveliwala 2002; the recommender /
+    * trust-propagation variant): teleport mass returns to a SEED SET
+    * (nodes with id % 100 == 0 — the same seed rule as [[bfsHops]])
+    * instead of spreading uniformly, so ranks measure proximity to the
+    * seeds —
+    *   r'(v) = (1−d)·1[v ∈ S]/|S| + d · Σ_{u~v} r(u)/deg(u).
+    * Identical per-round dataflow, broadcast ceiling, and lineage-cut
+    * cadence as [[pageRank]]; unreached nodes surface with rank 0
+    * (they are part of the answer: "no proximity"). */
+  def personalizedPageRank(s: SparkSession, dir: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    ensureCheckpointDir(s)
+    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
+    val withDeg = edges
+      .join(edges.groupBy(col("a")).agg(count(lit(1)).as("outdeg")), "a")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = withDeg.select(col("a").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val small = nodes.count() <= broadcastMaxNodes(s)
+    val seed = col("node") % 100 === 0
+    val nSeeds = nodes.filter(seed).count()
+    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    val iterEdges = if (small) withDeg
+      else withDeg.repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("node"),
+      when(seed, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("rank"))
+    var prevRound: DataFrame = null
+    for (i <- 1 to iters) {
+      val contrib = iterEdges.join(hintSmall(ranks, small), col("a") === col("node"))
+        .groupBy(col("b")).agg(sum(col("rank") / col("outdeg")).as("mass"))
+      ranks = nodes
+        .join(hintSmall(contrib, small), col("node") === col("b"), "left")
+        .select(col("node"),
+          when(seed, lit((1 - damping) / nSeeds)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("mass"), lit(0.0)) as "rank")
+      if (i % 2 == 0 && i < iters) {
+        ranks = cutLineage(s, ranks)
+        if (prevRound != null) prevRound.unpersist(blocking = false)
+        prevRound = ranks
+      }
+    }
+    ranks.select(col("node"), round4eps(col("rank")).as("rank"))
+  }
+
   /** Triangle counting — the canonical two-join graph kernel — over the
     * co-supplier graph (suppliers sharing a high-quantity part are
     * connected; the quantity filter keeps the projected graph sparse,

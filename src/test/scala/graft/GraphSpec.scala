@@ -20,6 +20,22 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("node") % 2 == 1))
   }
 
+  test("personalizedPageRank: mass conserved, concentrated on the seed set") {
+    val rows = Graph.personalizedPageRank(spark, TestSpark.sfDir, iters = 3).collect()
+    val m = rows.map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    // teleport returns to seeds and the graph has no dangling nodes:
+    // total mass stays 1 (up to output rounding)
+    assert(math.abs(m.values.sum - 1.0) < rows.size * 1e-4)
+    assert(m.values.forall(_ >= 0.0))
+    val seeds = m.filter { case (n, _) => n % 100 == 0 }
+    assert(seeds.nonEmpty && seeds.values.forall(_ > 0.0))
+    // versus uniform PageRank, the seed set must hold MORE mass
+    val uni = Graph.pageRank(spark, TestSpark.sfDir, iters = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(seeds.values.sum > seeds.keys.map(uni).sum,
+      "personalization must concentrate mass on the seeds")
+  }
+
   test("kCoreOnEdges: K4 plus a pendant chain peels to exactly the K4") {
     val s = spark
     import s.implicits._
