@@ -513,6 +513,7 @@ object SparkEntry {
     "q_kmv_daily"        -> ((s, d) => Relational.kmvDaily(s, d)),
     "q_twap_daily"       -> ((s, d) => Windows.twapDaily(s, d)),
     "q_ppr"              -> ((s, d) => graft.operators.Graph.personalizedPageRank(s, d)),
+    "q_cdc_compact"      -> ((s, d) => Relational.cdcCompact(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -934,6 +935,20 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_cdc_compact" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type AS op, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops
+        |  FROM events GROUP BY 1)
+        |SELECT r.user_id AS user_id,
+        |  floor(value * 10000 + 0.5 + 0.000001) / 10000 AS last_value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+        |  event_id AS last_event, n_ops
+        |FROM r JOIN n ON r.user_id = n.user_id
+        |WHERE rn = 1 AND op <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "q_ppr" ->
       """WITH cs AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -1559,6 +1559,36 @@ object Relational {
       .orderBy(col("tbl"))
   }
 
+  /** CDC compaction — collapse a change stream to final state by
+    * last-writer-wins, the merge-on-read collapse every CDC-fed lake
+    * table runs (Delta CDF apply / Hudi compaction): the event stream
+    * read as a per-user change feed ('signup'/'view'/'click'/
+    * 'purchase' upsert the value, 'error' deletes the key), ordered by
+    * (ts, event_id). Keys whose LAST op is a delete are absent from
+    * the output — tombstone semantics.
+    *
+    * Scale shape: ONE key-partitioned aggregate — the argmax is
+    * max(struct(ts, event_id, …)), partial-merged map-side, so the
+    * shuffle carries one candidate record per key per map task
+    * regardless of change volume; never a window, never a sort. The
+    * row-at-a-time MERGE formulation of the same collapse costs one
+    * join per batch — this is the set-based form that amortizes a
+    * whole feed in one pass. */
+  def cdcCompact(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          col("event_type").as("op"), col("value")).as("rec"))
+      .groupBy(col("user_id"))
+      .agg(max(col("rec")).as("last"), count(lit(1)).as("n_ops"))
+      .filter(col("last.op") =!= "error") // tombstoned keys drop out
+      .select(col("user_id"),
+        round4eps(col("last.value")).as("last_value"),
+        unix_timestamp(col("last.ts")).as("last_ts"),
+        col("last.event_id").as("last_event"),
+        col("n_ops"))
+      .orderBy(col("user_id"))
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */
