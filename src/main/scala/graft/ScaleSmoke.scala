@@ -218,6 +218,14 @@ object ScaleSmoke {
     // real pipeline removes with exactGroups first) — candidates grow
     // factor² here by construction, which is the stress being measured.
     run("targetEncode")(operators.Relational.targetEncode(spark, dir))
+    // cdcCompact: one key-partitioned argmax — linear, near-flat per
+    // row. twapDaily: (type, day)-keyed windows, linear. kmvDaily: k
+    // longs per day shuffled regardless of traffic — flat. ppr: same
+    // loop economics as pageRank (its broadcast/hash twin rows above).
+    run("cdcCompact")(operators.Relational.cdcCompact(spark, dir))
+    run("twapDaily")(operators.Windows.twapDaily(spark, dir))
+    run("kmvDaily")(operators.Relational.kmvDaily(spark, dir))
+    run("personalizedPageRank")(operators.Graph.personalizedPageRank(spark, dir))
     run("tierHistory")(operators.Behavior.tierHistory(spark, dir))
     run("peakConcurrency")(operators.Behavior.peakConcurrency(spark, dir))
     run("entityMatch")(operators.EntityResolution.customerNameDedup(spark, dir))
