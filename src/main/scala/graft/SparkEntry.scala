@@ -514,6 +514,7 @@ object SparkEntry {
     "q_twap_daily"       -> ((s, d) => Windows.twapDaily(s, d)),
     "q_ppr"              -> ((s, d) => graft.operators.Graph.personalizedPageRank(s, d)),
     "q_cdc_compact"      -> ((s, d) => Relational.cdcCompact(s, d)),
+    "q_theil_sen"        -> ((s, d) => Relational.theilSenTrend(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -935,6 +936,26 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (SELECT a.event_type AS event_type,
+        |    CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d),
+        |sen AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    floor(quantile_cont(slope, 0.5) * 1000000 + 0.5 + 0.000001)
+        |      / 1000000 AS sen_slope
+        |  FROM sl GROUP BY 1)
+        |SELECT d.event_type AS event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days, sen.n_pairs AS n_pairs,
+        |  floor(sen.sen_slope * 10000 + 0.5 + 0.000001) / 10000 AS sen_slope,
+        |  floor(quantile_cont(d.y - sen.sen_slope * d.d, 0.5) * 10000
+        |    + 0.5 + 0.000001) / 10000 AS intercept
+        |FROM daily d JOIN sen ON d.event_type = sen.event_type
+        |GROUP BY 1, 3, sen.sen_slope ORDER BY 1""".stripMargin,
     "q_cdc_compact" ->
       """WITH r AS (SELECT user_id, ts, event_id, event_type AS op, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id

@@ -1559,6 +1559,47 @@ object Relational {
       .orderBy(col("tbl"))
   }
 
+  /** Theil–Sen robust trend per event type — the median-of-pairwise-
+    * slopes estimator (Theil 1950, Sen 1968): immune to the outlier
+    * days that wreck OLS (one traffic spike tilts a least-squares
+    * trend; it moves one slope out of hundreds here). Intercept is the
+    * companion median of (y − slope·d).
+    *
+    * Scale shape: the corpus collapses to the DAILY grain first (one
+    * shuffle); pair enumeration is a self-join of that ≤days-sized
+    * frame per type — C(31,2) pairs per month-type, bounded by the
+    * calendar, not the corpus. Slopes are exact rationals of integer
+    * counts over integer day gaps; only the final medians are
+    * float-interpolated, 1e-6-quantized for the oracle. */
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
+          .as("d"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = daily.select(col("event_type"), col("d").as("di"), col("y").as("yi"))
+    val b = daily.select(col("event_type"), col("d").as("dj"), col("y").as("yj"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("di") < col("dj"))
+      .select(col("event_type"),
+        ((col("yj") - col("yi")).cast("double") /
+          (col("dj") - col("di"))).as("slope"))
+    val sen = slopes.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        q6(expr("percentile(slope, 0.5)")).as("sen_slope"))
+    daily.join(broadcast(sen), "event_type")
+      .groupBy(col("event_type"), col("n_pairs"), col("sen_slope"))
+      .agg(count(lit(1)).as("n_days"),
+        round4eps(expr("percentile(y - sen_slope * d, 0.5)"))
+          .as("intercept"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        round4eps(col("sen_slope")).as("sen_slope"), col("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   /** CDC compaction — collapse a change stream to final state by
     * last-writer-wins, the merge-on-read collapse every CDC-fed lake
     * table runs (Delta CDF apply / Hudi compaction): the event stream
