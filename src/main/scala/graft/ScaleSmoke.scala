@@ -226,6 +226,7 @@ object ScaleSmoke {
     run("twapDaily")(operators.Windows.twapDaily(spark, dir))
     run("kmvDaily")(operators.Relational.kmvDaily(spark, dir))
     run("personalizedPageRank")(operators.Graph.personalizedPageRank(spark, dir))
+    run("theilSen")(operators.Relational.theilSenTrend(spark, dir))
     run("tierHistory")(operators.Behavior.tierHistory(spark, dir))
     run("peakConcurrency")(operators.Behavior.peakConcurrency(spark, dir))
     run("entityMatch")(operators.EntityResolution.customerNameDedup(spark, dir))

@@ -515,6 +515,7 @@ object SparkEntry {
     "q_ppr"              -> ((s, d) => graft.operators.Graph.personalizedPageRank(s, d)),
     "q_cdc_compact"      -> ((s, d) => Relational.cdcCompact(s, d)),
     "q_theil_sen"        -> ((s, d) => Relational.theilSenTrend(s, d)),
+    "q_fd_profile"       -> ((s, d) => Relational.fdProfile(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -936,6 +937,36 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_fd_profile" ->
+      """WITH f1 AS (SELECT o_orderkey AS k, COUNT(DISTINCT o_custkey) AS ndv
+        |  FROM orders GROUP BY 1),
+        |f2 AS (SELECT o_custkey AS k, COUNT(DISTINCT o_orderpriority) AS ndv
+        |  FROM orders GROUP BY 1),
+        |f3 AS (SELECT l_orderkey AS k, COUNT(DISTINCT l_suppkey) AS ndv
+        |  FROM lineitem GROUP BY 1),
+        |f4 AS (SELECT c_custkey AS k, COUNT(DISTINCT c_mktsegment) AS ndv
+        |  FROM customer GROUP BY 1),
+        |u AS (
+        |  SELECT 'orders' AS tbl, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating FROM f1
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', 'o_orderpriority',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM f2
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey', 'l_suppkey',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM f3
+        |  UNION ALL
+        |  SELECT 'customer', 'c_custkey', 'c_mktsegment',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM f4)
+        |SELECT tbl, lhs, rhs, n_keys, n_violating,
+        |  floor(CAST(n_violating AS DOUBLE) / n_keys * 10000 + 0.5 + 0.000001)
+        |    / 10000 AS violation_share
+        |FROM u ORDER BY tbl, lhs, rhs""".stripMargin,
     "q_theil_sen" ->
       """WITH daily AS (SELECT event_type,
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,

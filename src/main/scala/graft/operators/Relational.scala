@@ -1559,6 +1559,33 @@ object Relational {
       .orderBy(col("tbl"))
   }
 
+  /** Functional-dependency audit — does lhs → rhs hold, and how badly
+    * not: for each candidate dependency, the share of lhs keys mapping
+    * to MORE than one rhs value. The data-profiling primitive behind
+    * key discovery, denormalization checks ("is nation really
+    * determined by customer?") and the audit side of
+    * [[graft.plans.Constraints]] declarations. One countDistinct
+    * aggregate per dependency — each is a single (lhs)-keyed shuffle
+    * with map-side partials; no pair of rows is ever compared. */
+  def fdProfile(s: SparkSession, dir: String): DataFrame = {
+    def fd(df: DataFrame, table: String, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("ndv"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(table).as("tbl"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_keys"), col("n_violating"),
+          round4eps(col("n_violating").cast("double") / col("n_keys"))
+            .as("violation_share"))
+    fd(Tables.orders(s, dir), "orders", "o_orderkey", "o_custkey")
+      .unionByName(fd(Tables.orders(s, dir), "orders",
+        "o_custkey", "o_orderpriority"))
+      .unionByName(fd(Tables.lineitem(s, dir), "lineitem",
+        "l_orderkey", "l_suppkey"))
+      .unionByName(fd(Tables.customer(s, dir), "customer",
+        "c_custkey", "c_mktsegment"))
+      .orderBy(col("tbl"), col("lhs"), col("rhs"))
+  }
+
   /** Theil–Sen robust trend per event type — the median-of-pairwise-
     * slopes estimator (Theil 1950, Sen 1968): immune to the outlier
     * days that wreck OLS (one traffic spike tilts a least-squares

@@ -59,6 +59,24 @@ object Constraints {
 
   def clear(): Unit = { keys.clear(); fks.clear() }
 
+  /** Audit-then-declare: verify uniqueness + non-null with ONE
+    * aggregate over the data (rows == non-null == distinct), then
+    * declare. The RELY model with a receipt — run at LOAD time, once,
+    * not per query; throws with the three counts when the audit
+    * fails, declaring nothing. */
+  def verifyAndDeclareKey(s: SparkSession, path: String,
+      keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.{count, countDistinct, col, lit}
+    val r = s.read.parquet(path)
+      .agg(count(lit(1)), count(col(keyCol)), countDistinct(col(keyCol)))
+      .collect()(0)
+    val (n, nn, ndv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(n == nn && n == ndv,
+      s"$keyCol is not a unique non-null key of $path: " +
+        s"rows=$n non_null=$nn distinct=$ndv")
+    declareKey(path, keyCol)
+  }
+
   private[plans] def keyOf(path: String): Option[String] =
     Option(keys.get(norm(path))).flatMap(_.headOption)
   private[plans] def fkTarget(path: String, col: String): Option[String] =

@@ -93,6 +93,28 @@ class JoinEliminationSpec extends AnyFunSuite {
     } finally Constraints.clear()
   }
 
+  test("verifyAndDeclareKey audits before declaring; duplicates refuse") {
+    val s2 = spark
+    import s2.implicits._
+    val good = TestSpark.tempDir("graft-vk-good")
+    val dup = TestSpark.tempDir("graft-vk-dup")
+    Seq((1L, "a"), (2L, "b")).toDF("pk", "v").write.mode("overwrite").parquet(good)
+    Seq((1L, "a"), (1L, "b")).toDF("pk", "v").write.mode("overwrite").parquet(dup)
+    try {
+      Constraints.verifyAndDeclareKey(spark, good, "pk")
+      val q = spark.read.parquet(good).select("pk", "v").distinct()
+      assert(q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty, "audited key must enable the distinct fold")
+      val e = intercept[IllegalArgumentException](
+        Constraints.verifyAndDeclareKey(spark, dup, "pk"))
+      assert(e.getMessage.contains("not a unique non-null key"))
+      // the failed audit declared NOTHING
+      val qd = spark.read.parquet(dup).select("pk").distinct()
+      assert(qd.collect().length === 1)
+    } finally Constraints.clear()
+  }
+
   test("soundness guards: dim filter, used dim column, undeclared key") {
     val (fact, dim) = fixtures()
     try {
