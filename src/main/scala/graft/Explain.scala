@@ -39,7 +39,12 @@ object Explain {
         // round-7 flagships: MV substitution (plan must scan the
         // summary, not the fact table), the folded Q21 (ONE orderkey
         // shuffle), and filtered vector search (broadcast + TopK)
-        "q_mv_rewrite", "q_waiting_suppliers", "q_knn_filtered")
+        "q_mv_rewrite", "q_waiting_suppliers", "q_knn_filtered",
+        // round-8 flagships: pure-pushdown Q6 (every filter at the
+        // scan), join elimination (the plan must contain NO customer
+        // scan), and the alphabet-bounded ER blocking (one
+        // variant-keyed ObjectHashAggregate shuffle)
+        "q_forecast_revenue", "q_join_elim", "q_entity_match")
     for (n <- names) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
