@@ -516,6 +516,7 @@ object SparkEntry {
     "q_cdc_compact"      -> ((s, d) => Relational.cdcCompact(s, d)),
     "q_theil_sen"        -> ((s, d) => Relational.theilSenTrend(s, d)),
     "q_fd_profile"       -> ((s, d) => Relational.fdProfile(s, d)),
+    "q_rake_phrases"     -> ((s, d) => TextAnalysis.rakeKeyphrases(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -937,6 +938,34 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_rake_phrases" ->
+      """WITH t AS (SELECT doc_id, u.w AS w, u.pos AS pos,
+        |    u.w IN ('a','the','of','and','is','to','in') AS is_stop
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |      generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents) u(doc_id, w, pos)),
+        |isl AS (SELECT *, SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM t),
+        |ph AS (SELECT doc_id, island,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |    CAST(COUNT(*) AS BIGINT) AS plen
+        |  FROM isl WHERE NOT is_stop GROUP BY 1, 2),
+        |ws AS (SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM ph),
+        |st AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(plen) AS BIGINT) AS deg FROM ws GROUP BY 1),
+        |dp AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur
+        |  FROM ph GROUP BY 1),
+        |pw AS (SELECT phrase, n_occur, unnest(string_split(phrase, ' ')) AS w
+        |  FROM dp)
+        |SELECT pw.phrase AS phrase, pw.n_occur AS n_occur,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  floor(SUM(CAST(st.deg AS DOUBLE) / st.freq) * 10000 + 0.5 + 0.000001)
+        |    / 10000 AS rake_score
+        |FROM pw JOIN st ON pw.w = st.w
+        |GROUP BY 1, 2
+        |ORDER BY rake_score DESC, phrase LIMIT 30""".stripMargin,
     "q_fd_profile" ->
       """WITH f1 AS (SELECT o_orderkey AS k, COUNT(DISTINCT o_custkey) AS ndv
         |  FROM orders GROUP BY 1),

@@ -1099,6 +1099,51 @@ object TextAnalysis {
       size(split(norm, " ")).as("norm_tokens"),
       substring(md5(norm), 1, 16).as("norm_key"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) (deg = summed length of every phrase occurrence
+    * containing it — co-occurrence favors words that travel in long
+    * phrases; freq alone favors boilerplate), and a phrase scores the
+    * sum of its member words. The unsupervised keyword baseline every
+    * corpus-exploration pass starts with.
+    *
+    * Scale shape: phrase assembly is the gaps-and-islands pattern
+    * (stopword-count running sum per doc — doc-keyed windows only),
+    * in-row sorted collect per island; word statistics collapse to the
+    * VOCABULARY grain and broadcast back; the final ranking is a
+    * TakeOrdered top-N. No corpus-sized sort, no self-join. */
+  def rakeKeyphrases(s: SparkSession, dir: String, topN: Int = 30): DataFrame = {
+    val stop = Seq("a", "the", "of", "and", "is", "to", "in")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isInCollection(stop))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phrases = toks
+      .withColumn("island",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(byDoc))
+      .filter(!col("is_stop"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ws"))
+      .select(
+        concat_ws(" ", transform(col("ws"), x => x("w"))).as("phrase"),
+        size(col("ws")).as("plen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = phrases
+      .select(explode(split(col("phrase"), " ")).as("w"), col("plen"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occur"))
+      .select(col("phrase"), col("n_occur"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(broadcast(stats), "w")
+      .groupBy(col("phrase"), col("n_occur"))
+      .agg(count(lit(1)).as("n_words"),
+        round4eps(sum(col("deg").cast("double") / col("freq")))
+          .as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase"))
+      .limit(topN)
+  }
 }
-
-

@@ -421,4 +421,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     // final short chunk: 37 chars, last offset 32 → 5-char tail
     assert(got.last._3 === 5)
   }
+
+  test("rakeKeyphrases: stopword-free phrases, positive co-occurrence scores") {
+    val stop = Set("a", "the", "of", "and", "is", "to", "in")
+    val rows = graft.operators.TextAnalysis.rakeKeyphrases(spark, dir).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val phrase = r.getAs[String]("phrase")
+      assert(phrase.split(" ").forall(w => !stop(w)),
+        s"stopword leaked into phrase: $phrase")
+      assert(r.getAs[Long]("n_words") === phrase.split(" ").length.toLong)
+      assert(r.getAs[Double]("rake_score") > 0.0)
+      assert(r.getAs[Long]("n_occur") >= 1L)
+    }
+    // scores arrive ranked
+    val scores = rows.map(_.getAs[Double]("rake_score"))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
 }
