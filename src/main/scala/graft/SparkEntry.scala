@@ -517,6 +517,7 @@ object SparkEntry {
     "q_theil_sen"        -> ((s, d) => Relational.theilSenTrend(s, d)),
     "q_fd_profile"       -> ((s, d) => Relational.fdProfile(s, d)),
     "q_rake_phrases"     -> ((s, d) => TextAnalysis.rakeKeyphrases(s, d)),
+    "q_skew_profile"     -> ((s, d) => Relational.skewProfile(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -938,6 +939,38 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_skew_profile" ->
+      """WITH p1 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |p2 AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |p3 AS (SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |p4 AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        |p5 AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT 'lineitem' AS tbl, 'l_orderkey' AS key,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS ndv,
+        |    CAST(MAX(c) AS BIGINT) AS max_rows,
+        |    floor(quantile_cont(c, 0.99) * 1000000 + 0.5 + 0.000001) / 1000000
+        |      AS p99_rows FROM p1
+        |  UNION ALL SELECT 'lineitem', 'l_partkey', CAST(SUM(c) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+        |    floor(quantile_cont(c, 0.99) * 1000000 + 0.5 + 0.000001) / 1000000
+        |    FROM p2
+        |  UNION ALL SELECT 'lineitem', 'l_suppkey', CAST(SUM(c) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+        |    floor(quantile_cont(c, 0.99) * 1000000 + 0.5 + 0.000001) / 1000000
+        |    FROM p3
+        |  UNION ALL SELECT 'orders', 'o_custkey', CAST(SUM(c) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+        |    floor(quantile_cont(c, 0.99) * 1000000 + 0.5 + 0.000001) / 1000000
+        |    FROM p4
+        |  UNION ALL SELECT 'events', 'user_id', CAST(SUM(c) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+        |    floor(quantile_cont(c, 0.99) * 1000000 + 0.5 + 0.000001) / 1000000
+        |    FROM p5)
+        |SELECT tbl, key, n_rows, ndv, max_rows, p99_rows,
+        |  floor(max_rows / (CAST(n_rows AS DOUBLE) / ndv) * 10000
+        |    + 0.5 + 0.000001) / 10000 AS skew_ratio
+        |FROM u ORDER BY tbl, key""".stripMargin,
     "q_rake_phrases" ->
       """WITH t AS (SELECT doc_id, u.w AS w, u.pos AS pos,
         |    u.w IN ('a','the','of','and','is','to','in') AS is_stop

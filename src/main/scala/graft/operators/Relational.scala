@@ -1559,6 +1559,34 @@ object Relational {
       .orderBy(col("tbl"))
   }
 
+  /** Join-key skew profile — the pre-shuffle diagnostic behind "will
+    * this key straggle": per candidate shuffle key, cardinality, the
+    * hottest key's row count, the p99 per-key count, and the skew
+    * ratio max/mean (the multiple of the average reducer the hottest
+    * reducer would carry under hash partitioning). >10 says salt or
+    * rely on AQE skew-join; ~1 says the shuffle balances itself. One
+    * key-grained aggregate per profiled column, partials map-side —
+    * the profile never costs more than the shuffle it predicts. */
+  def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    def prof(df: DataFrame, table: String, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("ndv"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_rows"),
+          q6(expr("percentile(c, 0.99)")).as("p99_rows"))
+        .select(lit(table).as("tbl"), lit(key).as("key"),
+          col("n_rows"), col("ndv"), col("max_rows"), col("p99_rows"),
+          round4eps(col("max_rows") /
+            (col("n_rows").cast("double") / col("ndv"))).as("skew_ratio"))
+    prof(Tables.lineitem(s, dir), "lineitem", "l_orderkey")
+      .unionByName(prof(Tables.lineitem(s, dir), "lineitem", "l_partkey"))
+      .unionByName(prof(Tables.lineitem(s, dir), "lineitem", "l_suppkey"))
+      .unionByName(prof(Tables.orders(s, dir), "orders", "o_custkey"))
+      .unionByName(prof(Tables.events(s, dir), "events", "user_id"))
+      .orderBy(col("tbl"), col("key"))
+  }
+
   /** Functional-dependency audit — does lhs → rhs hold, and how badly
     * not: for each candidate dependency, the share of lhs keys mapping
     * to MORE than one rhs value. The data-profiling primitive behind
