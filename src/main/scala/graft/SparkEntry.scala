@@ -518,6 +518,7 @@ object SparkEntry {
     "q_fd_profile"       -> ((s, d) => Relational.fdProfile(s, d)),
     "q_rake_phrases"     -> ((s, d) => TextAnalysis.rakeKeyphrases(s, d)),
     "q_skew_profile"     -> ((s, d) => Relational.skewProfile(s, d)),
+    "q_hits"             -> ((s, d) => graft.operators.Graph.hits(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -939,6 +940,32 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT c, CAST(1 AS DOUBLE) AS hub FROM e),
+        |ra1 AS (SELECT p, SUM(hub) AS raw FROM e JOIN h0 ON e.c = h0.c
+        |  GROUP BY 1),
+        |a1 AS (SELECT p, floor(raw / t * 1000000 + 0.5 + 0.000001) / 1000000
+        |    AS auth FROM ra1 CROSS JOIN (SELECT SUM(raw) AS t FROM ra1)),
+        |rh1 AS (SELECT c, SUM(auth) AS raw FROM e JOIN a1 ON e.p = a1.p
+        |  GROUP BY 1),
+        |h1 AS (SELECT c, floor(raw / t * 1000000 + 0.5 + 0.000001) / 1000000
+        |    AS hub FROM rh1 CROSS JOIN (SELECT SUM(raw) AS t FROM rh1)),
+        |ra2 AS (SELECT p, SUM(hub) AS raw FROM e JOIN h1 ON e.c = h1.c
+        |  GROUP BY 1),
+        |a2 AS (SELECT p, floor(raw / t * 1000000 + 0.5 + 0.000001) / 1000000
+        |    AS auth FROM ra2 CROSS JOIN (SELECT SUM(raw) AS t FROM ra2)),
+        |rh2 AS (SELECT c, SUM(auth) AS raw FROM e JOIN a2 ON e.p = a2.p
+        |  GROUP BY 1),
+        |h2 AS (SELECT c, floor(raw / t * 1000000 + 0.5 + 0.000001) / 1000000
+        |    AS hub FROM rh2 CROSS JOIN (SELECT SUM(raw) AS t FROM rh2))
+        |SELECT 'hub' AS role, c AS key,
+        |  floor(hub * 10000 + 0.5 + 0.000001) / 10000 AS score FROM h2
+        |UNION ALL
+        |SELECT 'authority' AS role, p AS key,
+        |  floor(auth * 10000 + 0.5 + 0.000001) / 10000 AS score FROM a2
+        |ORDER BY role, key""".stripMargin,
     "q_skew_profile" ->
       """WITH p1 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
         |p2 AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),

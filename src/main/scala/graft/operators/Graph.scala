@@ -411,6 +411,49 @@ object Graph {
     labels.select(col("node").as("node_id"), col("label").as("community"))
   }
 
+  /** HITS hubs and authorities (Kleinberg 1999) on the DIRECTED
+    * customer→supplier trade graph: authorities are suppliers many
+    * strong buyers use, hubs are customers who buy from many strong
+    * suppliers — the mutually-recursive pair PageRank's single score
+    * collapses. Fixed `iters` rounds of
+    *   auth = normalize(Aᵀ·hub),  hub = normalize(A·auth)
+    * with L1 normalization and the score vector 1e-6-quantized after
+    * every normalization (the k-means/logisticGd trick) so the whole
+    * iteration is oracle-replayable despite float division.
+    *
+    * Scale posture: each half-round is one edge-keyed join against
+    * the (node-cardinality) score vector plus one keyed sum — the
+    * identical dataflow and conditional-broadcast ceiling as
+    * [[pageRank]]; normalization totals are 1-row broadcasts. */
+  def hits(s: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val edges = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val small = edges.select(col("c")).distinct().count() <=
+      broadcastMaxNodes(s)
+    var hub = edges.select(col("c")).distinct().withColumn("hub", lit(1.0))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val rawA = edges.join(hintSmall(hub, small), "c")
+        .groupBy(col("p")).agg(sum(col("hub")).as("raw"))
+      auth = rawA.crossJoin(broadcast(rawA.agg(sum(col("raw")).as("t"))))
+        .select(col("p"), q6(col("raw") / col("t")).as("auth"))
+      val rawH = edges.join(hintSmall(auth, small), "p")
+        .groupBy(col("c")).agg(sum(col("auth")).as("raw"))
+      hub = rawH.crossJoin(broadcast(rawH.agg(sum(col("raw")).as("t"))))
+        .select(col("c"), q6(col("raw") / col("t")).as("hub"))
+    }
+    hub.select(lit("hub").as("role"), col("c").as("key"),
+        round4eps(col("hub")).as("score"))
+      .unionByName(auth.select(lit("authority").as("role"),
+        col("p").as("key"), round4eps(col("auth")).as("score")))
+      .orderBy(col("role"), col("key"))
+  }
+
   /** Link prediction on the customer–supplier trade graph: score
     * customer pairs by common neighbors and Adamic–Adar
     * (Σ_{shared supplier s} 1/ln(deg(s)) — shared RARE suppliers count

@@ -36,6 +36,24 @@ class GraphSpec extends AnyFunSuite {
       "personalization must concentrate mass on the seeds")
   }
 
+  test("hits: L1-normalized per role, positive, deterministic") {
+    val rows = Graph.hits(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("key"),
+        r.getAs[Double]("score")))
+    val byRole = rows.groupBy(_._1)
+    assert(byRole.keySet === Set("hub", "authority"))
+    byRole.foreach { case (role, rs) =>
+      assert(rs.forall(_._3 >= 0.0))
+      assert(math.abs(rs.map(_._3).sum - 1.0) < rs.size * 1e-4,
+        s"$role scores must stay L1-normalized")
+    }
+    // authorities live in the supplier key space, hubs in the customer's
+    val again = Graph.hits(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("key"),
+        r.getAs[Double]("score")))
+    assert(rows.toSeq === again.toSeq, "fixed-round HITS must be deterministic")
+  }
+
   test("kCoreOnEdges: K4 plus a pendant chain peels to exactly the K4") {
     val s = spark
     import s.implicits._
