@@ -438,12 +438,19 @@ object Graph {
     var hub = edges.select(col("c")).distinct().withColumn("hub", lit(1.0))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
+      // persist each half-round's raw vector: it feeds BOTH the
+      // normalization total and the normalized scores, and without the
+      // cache each reuse replays the entire upstream chain — measured
+      // 13 s at sf0.1 uncached vs ~1 s cached (2^(2·iters) blowup).
+      // Node-cardinality frames; lifecycle caller-owned as in pageRank.
       val rawA = edges.join(hintSmall(hub, small), "c")
         .groupBy(col("p")).agg(sum(col("hub")).as("raw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       auth = rawA.crossJoin(broadcast(rawA.agg(sum(col("raw")).as("t"))))
         .select(col("p"), q6(col("raw") / col("t")).as("auth"))
       val rawH = edges.join(hintSmall(auth, small), "p")
         .groupBy(col("c")).agg(sum(col("auth")).as("raw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       hub = rawH.crossJoin(broadcast(rawH.agg(sum(col("raw")).as("t"))))
         .select(col("c"), q6(col("raw") / col("t")).as("hub"))
     }
