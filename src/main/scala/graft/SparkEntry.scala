@@ -519,6 +519,8 @@ object SparkEntry {
     "q_rake_phrases"     -> ((s, d) => TextAnalysis.rakeKeyphrases(s, d)),
     "q_skew_profile"     -> ((s, d) => Relational.skewProfile(s, d)),
     "q_hits"             -> ((s, d) => graft.operators.Graph.hits(s, d)),
+    "q_trimmed_mean"     -> ((s, d) => Relational.trimmedMean(s, d)),
+    "q_type_overlap"     -> ((s, d) => graft.operators.Behavior.dailyTypeOverlap(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -940,6 +942,36 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_type_overlap" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS d, user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ha,
+        |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS hb
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d, CAST(SUM(ha) AS BIGINT) AS n_a,
+        |  CAST(SUM(hb) AS BIGINT) AS n_b,
+        |  CAST(SUM(ha * hb) AS BIGINT) AS n_both,
+        |  floor(CAST(SUM(ha * hb) AS DOUBLE)
+        |    / (SUM(ha) + SUM(hb) - SUM(ha * hb)) * 10000 + 0.5 + 0.000001)
+        |    / 10000 AS jaccard
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH b AS (SELECT event_type,
+        |    floor(quantile_cont(value, 0.05) * 1000000 + 0.5 + 0.000001)
+        |      / 1000000 AS lo_v,
+        |    floor(quantile_cont(value, 0.95) * 1000000 + 0.5 + 0.000001)
+        |      / 1000000 AS hi_v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_type AS event_type, b.lo_v AS lo_v, b.hi_v AS hi_v,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN e.value >= b.lo_v AND e.value <= b.hi_v
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  floor(AVG(CASE WHEN e.value >= b.lo_v AND e.value <= b.hi_v
+        |    THEN e.value END) * 10000 + 0.5 + 0.000001) / 10000
+        |    AS trimmed_mean,
+        |  floor(AVG(e.value) * 10000 + 0.5 + 0.000001) / 10000 AS plain_mean
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |WHERE e.value IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q_hits" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -398,4 +398,25 @@ object Behavior {
         col("valid_from"), col("valid_to"), col("n_events"))
       .orderBy(col("user_id"), col("run_id"))
   }
+
+  /** Daily audience overlap between two event types — "how much of the
+    * purchase audience also hit errors that day": per day the distinct
+    * user sets doing each type, their intersection, and the Jaccard.
+    * One (day, user)-keyed aggregate collapses events to presence
+    * flags (the same presence-bitmap economics as activityBitmap —
+    * the shuffle carries two bits per user-day), then a day-grain
+    * rollup; set intersection without ever joining user sets. */
+  def dailyTypeOverlap(s: SparkSession, dir: String,
+      typeA: String = "purchase", typeB: String = "error"): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("user_id"))
+      .agg(max(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ha"),
+        max(when(col("event_type") === typeB, 1L).otherwise(0L)).as("hb"))
+      .groupBy(col("d"))
+      .agg(sum(col("ha")).as("n_a"), sum(col("hb")).as("n_b"),
+        sum(col("ha") * col("hb")).as("n_both"))
+      .select(col("d"), col("n_a"), col("n_b"), col("n_both"),
+        round4eps(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
+      .orderBy(col("d"))
 }

@@ -1559,6 +1559,34 @@ object Relational {
       .orderBy(col("tbl"))
   }
 
+  /** Trimmed mean per event type — the robust-location sibling of
+    * [[winsorized stats]]: rows OUTSIDE the exact [p05, p95] value
+    * band are DROPPED (winsorizing clamps them) before averaging, the
+    * estimator metrics dashboards quote when a handful of instrumented
+    * outliers would drag a plain mean. Two passes: one per-type exact-
+    * percentile aggregate (bounds 1e-6-quantized, broadcast back) and
+    * one filtered mean — never a per-type sort. Boundary rows tie
+    * INSIDE the band (>=, <=) in both engines. */
+  def trimmedMean(s: SparkSession, dir: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(q6(expr(s"percentile(value, $lo)")).as("lo_v"),
+        q6(expr(s"percentile(value, $hi)")).as("hi_v"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("kept", col("value") >= col("lo_v") &&
+        col("value") <= col("hi_v"))
+      .groupBy(col("event_type"), col("lo_v"), col("hi_v"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        round4eps(avg(when(col("kept"), col("value")))).as("trimmed_mean"),
+        round4eps(avg(col("value"))).as("plain_mean"))
+      .orderBy(col("event_type"))
+  }
+
   /** Join-key skew profile — the pre-shuffle diagnostic behind "will
     * this key straggle": per candidate shuffle key, cardinality, the
     * hottest key's row count, the p99 per-key count, and the skew
