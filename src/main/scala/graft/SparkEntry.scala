@@ -521,6 +521,9 @@ object SparkEntry {
     "q_hits"             -> ((s, d) => graft.operators.Graph.hits(s, d)),
     "q_trimmed_mean"     -> ((s, d) => Relational.trimmedMean(s, d)),
     "q_type_overlap"     -> ((s, d) => graft.operators.Behavior.dailyTypeOverlap(s, d)),
+    "q_weighted_median"  -> ((s, d) => Relational.weightedMedian(s, d)),
+    "q_inter_arrival"    -> ((s, d) => Relational.interArrival(s, d)),
+    "q_clustering_coef"  -> ((s, d) => graft.operators.Graph.clusteringCoefficients(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -942,6 +945,55 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    // semantics proof: the oracle ACTUALLY replicates each row `w`
+    // times (unnest range) where Spark uses percentile's frequency arg
+    "q_weighted_median" ->
+      """WITH r AS (SELECT p_brand,
+        |    floor(l_extendedprice / l_quantity * 1000000 + 0.5 + 0.000001)
+        |      / 1000000 AS v,
+        |    CAST(l_quantity AS INTEGER) AS w
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |x AS (SELECT p_brand, v FROM r, UNNEST(range(w)) t(i))
+        |SELECT r2.p_brand AS p_brand,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  floor(x.wm * 10000 + 0.5 + 0.000001) / 10000 AS weighted_median,
+        |  floor(quantile_cont(r2.v, 0.5) * 10000 + 0.5 + 0.000001) / 10000
+        |    AS plain_median
+        |FROM r r2 JOIN (SELECT p_brand, quantile_cont(v, 0.5) AS wm
+        |  FROM x GROUP BY 1) x ON r2.p_brand = x.p_brand
+        |GROUP BY 1, x.wm ORDER BY 1""".stripMargin,
+    "q_inter_arrival" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |      LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |        PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS gap
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  floor(AVG(gap) * 10000 + 0.5 + 0.000001) / 10000 AS mean_gap_sec,
+        |  floor(stddev_pop(gap) / AVG(gap) * 10000 + 0.5 + 0.000001) / 10000
+        |    AS cv
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_clustering_coef" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |            WHERE l_quantity >= 48),
+        |e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |      FROM ps x JOIN ps y ON x.l_partkey = y.l_partkey
+        |      WHERE x.l_suppkey < y.l_suppkey),
+        |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        |SELECT deg.node AS supplier, deg.d AS degree,
+        |  COALESCE(corners.t, 0) AS n_triangles,
+        |  floor(2.0 * COALESCE(corners.t, 0) / (deg.d * (deg.d - 1)) * 10000
+        |    + 0.5 + 0.000001) / 10000 AS clustering_coef
+        |FROM deg LEFT JOIN corners ON deg.node = corners.node
+        |WHERE deg.d >= 2 ORDER BY supplier""".stripMargin,
     "q_type_overlap" ->
       """WITH f AS (SELECT CAST(ts AS DATE) AS d, user_id,
         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ha,

@@ -242,6 +242,43 @@ object Graph {
       .select(col("a").as("supplier"), col("n_triangles"))
   }
 
+  /** Local clustering coefficient per supplier over the co-supplier
+    * graph (same selectivity-guarded projection as [[triangleCounts]]):
+    * c(v) = 2·t(v) / (d(v)·(d(v)−1)) — how close a node's
+    * neighborhood is to a clique, THE local-density feature next to
+    * raw degree. Triangles are enumerated once on low→high-oriented
+    * edges (Cohen's shape) and then credited to all THREE corners via
+    * an in-row explode; degrees are one aggregate over the undirected
+    * edge list. Nodes of degree < 2 are excluded (coefficient
+    * undefined). */
+  def clusteringCoefficients(s: SparkSession, dir: String,
+      minQty: Double = 48.0): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= minQty)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val e = ps.as("x").join(ps.as("y"), "l_partkey")
+      .filter(col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= 2)
+      .join(perNode, Seq("node"), "left")
+      .select(col("node").as("supplier"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        round4eps(lit(2.0) * coalesce(col("t"), lit(0L)) /
+          (col("d") * (col("d") - 1))).as("clustering_coef"))
+      .orderBy(col("supplier"))
+  }
+
   /** Multi-source BFS: shortest hop distance from the seed set over the
     * customer–supplier trade graph (same parity-namespaced long ids as
     * pageRank; seeds = nodes with id % 100 == 0). Frontier expansion:

@@ -1559,6 +1559,57 @@ object Relational {
       .orderBy(col("tbl"))
   }
 
+  /** Weighted median unit price per brand — percentile with a
+    * FREQUENCY argument (each row counts `weight` times), the
+    * quantity-weighted location every pricing report wants where the
+    * unweighted median over-counts small orders. Spark's
+    * `percentile(v, p, freq)` computes the exact interpolated quantile
+    * of the replicated multiset WITHOUT materializing copies — the
+    * oracle proves the semantics by actually replicating each row
+    * `weight` times in DuckDB and taking quantile_cont. Values are
+    * 1e-6-quantized BEFORE the percentile so both engines interpolate
+    * over bit-identical multisets; the unweighted median rides along
+    * to show the weighting bias. */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        q6(col("l_extendedprice") / col("l_quantity")).as("v"),
+        col("l_quantity").cast("int").as("w"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        round4eps(expr("percentile(v, 0.5, w)")).as("weighted_median"),
+        round4eps(expr("percentile(v, 0.5)")).as("plain_median"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Inter-arrival statistics per event type — mean gap and its
+    * coefficient of variation over each user's consecutive same-type
+    * events: cv ≈ 1 is Poisson (memoryless traffic), cv >> 1 is bursty
+    * sessions, cv << 1 is a scheduler's heartbeat — the traffic-shape
+    * screen capacity planning reads first. Gaps come from one
+    * user+type-keyed lag window (integer seconds, engines agree
+    * exactly); moments collapse per type. */
+  def interArrival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"), col("event_id"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round4eps(avg(col("gap"))).as("mean_gap_sec"),
+        round4eps(stddev_pop(col("gap")) / avg(col("gap"))).as("cv"))
+      .orderBy(col("event_type"))
+  }
+
   /** Trimmed mean per event type — the robust-location sibling of
     * [[winsorized stats]]: rows OUTSIDE the exact [p05, p95] value
     * band are DROPPED (winsorizing clamps them) before averaging, the
