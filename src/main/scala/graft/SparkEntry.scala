@@ -524,6 +524,7 @@ object SparkEntry {
     "q_weighted_median"  -> ((s, d) => Relational.weightedMedian(s, d)),
     "q_inter_arrival"    -> ((s, d) => Relational.interArrival(s, d)),
     "q_clustering_coef"  -> ((s, d) => graft.operators.Graph.clusteringCoefficients(s, d)),
+    "q_weekly_churn"     -> ((s, d) => graft.operators.Behavior.weeklyChurn(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -945,6 +946,20 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_weekly_churn" ->
+      """WITH wk AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE)
+        |    AS week, user_id FROM events),
+        |j AS (SELECT a.week, a.user_id,
+        |    CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS ret
+        |  FROM wk a LEFT JOIN wk b
+        |    ON b.week = a.week + 7 AND b.user_id = a.user_id),
+        |m AS (SELECT MAX(week) AS maxw FROM wk)
+        |SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(ret) AS BIGINT) AS n_retained,
+        |  floor((1.0 - CAST(SUM(ret) AS DOUBLE) / COUNT(*)) * 10000
+        |    + 0.5 + 0.000001) / 10000 AS churn_rate
+        |FROM j CROSS JOIN m WHERE week < maxw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // semantics proof: the oracle ACTUALLY replicates each row `w`
     // times (unnest range) where Spark uses percentile's frequency arg
     "q_weighted_median" ->

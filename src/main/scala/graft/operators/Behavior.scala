@@ -419,4 +419,35 @@ object Behavior {
         round4eps(col("n_both").cast("double") /
           (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
       .orderBy(col("d"))
+
+  /** Weekly churn — per ISO week: active users, how many returned the
+    * NEXT week, and the churn rate (1 − retained/active). The
+    * complement of cohort retention every subscription dashboard leads
+    * with. One (week, user) de-dup collapse, then the week-over-week
+    * comparison is a self-join of the (weeks × users)-bounded presence
+    * frame on (user, week+1) — never the raw event stream twice. The
+    * last observed week has no successor and is excluded (its churn is
+    * not yet knowable — the right-censoring trap naive churn queries
+    * fall into). */
+  def weeklyChurn(s: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(s, dir)
+      .select(date_trunc("week", col("ts")).cast("date").as("week"),
+        col("user_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val next = wk.select(date_sub(col("week"), 7).as("week"),
+      col("user_id").as("u2"))
+    val lastWeek = wk.agg(max(col("week")).as("maxw"))
+    wk.join(next, wk("week") === next("week") &&
+        col("user_id") === col("u2"), "left")
+      .groupBy(wk("week").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("u2").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+      .crossJoin(broadcast(lastWeek))
+      .filter(col("week") < col("maxw"))
+      .select(col("week"), col("n_active"), col("n_retained"),
+        round4eps(lit(1.0) - col("n_retained").cast("double") /
+          col("n_active")).as("churn_rate"))
+      .orderBy(col("week"))
+  }
 }
