@@ -227,6 +227,9 @@ object ScaleSmoke {
     run("kmvDaily")(operators.Relational.kmvDaily(spark, dir))
     run("personalizedPageRank")(operators.Graph.personalizedPageRank(spark, dir))
     run("theilSen")(operators.Relational.theilSenTrend(spark, dir))
+    // hits: per half-round one edge join + keyed sum with persisted
+    // raw vectors — same loop economics as pageRank's rows above
+    run("hits")(operators.Graph.hits(spark, dir))
     run("tierHistory")(operators.Behavior.tierHistory(spark, dir))
     run("peakConcurrency")(operators.Behavior.peakConcurrency(spark, dir))
     run("entityMatch")(operators.EntityResolution.customerNameDedup(spark, dir))
