@@ -525,6 +525,8 @@ object SparkEntry {
     "q_inter_arrival"    -> ((s, d) => Relational.interArrival(s, d)),
     "q_clustering_coef"  -> ((s, d) => graft.operators.Graph.clusteringCoefficients(s, d)),
     "q_weekly_churn"     -> ((s, d) => graft.operators.Behavior.weeklyChurn(s, d)),
+    "q_ri_audit"         -> ((s, d) => Relational.riAudit(s, d)),
+    "q_degree_hist"      -> ((s, d) => graft.operators.Graph.degreeHistogram(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -946,6 +948,45 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.pa = sa.l_partkey
         |  JOIN s sb ON p.pb = sb.l_partkey CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_degree_hist" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a, b FROM cs UNION ALL SELECT b, a FROM cs),
+        |d AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1)
+        |SELECT CAST(floor(log2(deg) + 0.000000001) AS INTEGER) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(MIN(deg) AS BIGINT) AS min_deg,
+        |  CAST(MAX(deg) AS BIGINT) AS max_deg
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ri_audit" ->
+      """SELECT 'lineitem' AS child, 'l_orderkey' AS fk, 'orders' AS parent,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    AS n_orphans,
+        |  floor((SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    / (SELECT COUNT(*) FROM lineitem) * 10000 + 0.5 + 0.000001)
+        |    / 10000 AS orphan_share
+        |UNION ALL
+        |SELECT 'lineitem', 'l_partkey', 'part',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+        |  floor((SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem
+        |    WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |    / (SELECT COUNT(*) FROM lineitem) * 10000 + 0.5 + 0.000001)
+        |    / 10000
+        |UNION ALL
+        |SELECT 'orders', 'o_custkey', 'customer',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |  floor((SELECT CAST(COUNT(*) AS DOUBLE) FROM orders
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |    / (SELECT COUNT(*) FROM orders) * 10000 + 0.5 + 0.000001)
+        |    / 10000
+        |ORDER BY child, fk""".stripMargin,
     "q_weekly_churn" ->
       """WITH wk AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE)
         |    AS week, user_id FROM events),

@@ -85,7 +85,12 @@ object Graph {
     * rows — comfortably under the 8 GB broadcast hard limit and a
     * typical driver heap. Tunable per session via
     * `spark.graft.graph.broadcastMaxNodes`; specs set it to 0 to force
-    * the hash path. */
+    * the hash path. Measured (README scale table): the UNHINTED path
+    * was faster than the forced broadcast at both 10× and 100×
+    * (AQE still broadcasts the stages where it pays, with runtime
+    * stats instead of a blanket hint) — so production deployments may
+    * prefer ceiling 0 outright; the conditional default preserves the
+    * no-AQE/no-stats behavior while capping the blast radius. */
   private[graft] def broadcastMaxNodes(s: SparkSession): Long =
     s.conf.getOption("spark.graft.graph.broadcastMaxNodes")
       .map(_.toLong).getOrElse(10000000L)
@@ -446,6 +451,28 @@ object Graph {
     // un-cut rounds re-join it on materialization); lifecycle is
     // caller-owned like pageRank's withDeg — Verify/Bench clearCache.
     labels.select(col("node").as("node_id"), col("label").as("community"))
+  }
+
+  /** Log-binned degree distribution of the trade graph — the first
+    * thing a graph pipeline prints (power-law or not decides every
+    * downstream algorithm's skew posture: hub caps, salting, the
+    * broadcast ceiling). Degrees from one edge aggregate; binning is
+    * map-side floor(log2(deg)) (an epsilon guards the exact powers of
+    * two where two libms could disagree by an ulp); output is one row
+    * per occupied bucket. */
+  def degreeHistogram(s: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
+    edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .groupBy(floor(log2(col("deg")) + lit(1e-9)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .orderBy(col("bucket"))
   }
 
   /** HITS hubs and authorities (Kleinberg 1999) on the DIRECTED

@@ -1638,6 +1638,35 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Referential-integrity audit — orphan rates for the schema's
+    * foreign keys: child rows whose FK value has no parent (the data-
+    * quality receipt behind [[graft.plans.Constraints.declareForeignKey]]
+    * — declare only what this reports clean). Each dependency is one
+    * LEFT ANTI join counting orphans; the parent key set broadcasts
+    * (dimension- or orderkey-grain), the child is streamed once —
+    * never a full outer join materializing matches. */
+  def riAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(child: DataFrame, childName: String, fk: String,
+        parent: DataFrame, parentName: String, pk: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_child"))
+      child.join(broadcast(parent.select(col(pk))),
+          col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(broadcast(total))
+        .select(lit(childName).as("child"), lit(fk).as("fk"),
+          lit(parentName).as("parent"), col("n_child"), col("n_orphans"),
+          round4eps(col("n_orphans").cast("double") / col("n_child"))
+            .as("orphan_share"))
+    }
+    audit(Tables.lineitem(s, dir), "lineitem", "l_orderkey",
+        Tables.orders(s, dir), "orders", "o_orderkey")
+      .unionByName(audit(Tables.lineitem(s, dir), "lineitem", "l_partkey",
+        Tables.part(s, dir), "part", "p_partkey"))
+      .unionByName(audit(Tables.orders(s, dir), "orders", "o_custkey",
+        Tables.customer(s, dir), "customer", "c_custkey"))
+      .orderBy(col("child"), col("fk"))
+  }
+
   /** Join-key skew profile — the pre-shuffle diagnostic behind "will
     * this key straggle": per candidate shuffle key, cardinality, the
     * hottest key's row count, the p99 per-key count, and the skew
