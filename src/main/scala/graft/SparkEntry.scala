@@ -392,6 +392,10 @@ object SparkEntry {
     "q_disjunct_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
     "q_waiting_suppliers"-> ((s, d) => Joins.waitingSuppliers(s, d)),
     "q_sales_opportunity"-> ((s, d) => Joins.salesOpportunity(s, d)),
+    // TPC-H Q2/Q11/Q20 shapes (partsupp-free adaptations)
+    "q_min_cost_supplier"-> ((s, d) => Joins.minCostSupplier(s, d)),
+    "q_important_parts"  -> ((s, d) => Joins.importantParts(s, d)),
+    "q_promo_suppliers"  -> ((s, d) => Joins.promoSuppliers(s, d)),
     // filtered vector search: top-k hard negatives under a label predicate
     "q_knn_filtered"     -> ((s, d) => Similarity.knnFiltered(s, d)),
     // rolling 7-day purchase/error correlation (co-movement monitor)
@@ -1372,6 +1376,46 @@ object SparkEntry {
         |FROM rev CROSS JOIN m JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = max_rev
         |ORDER BY s_suppkey""".stripMargin,
+    "q_min_cost_supplier" ->
+      """WITH rs AS (SELECT s_suppkey, s_name, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |    floor(AVG(l_extendedprice / l_quantity) * 10000
+        |      + 0.5 + 0.000001) / 10000 AS unit_price
+        |  FROM lineitem JOIN rs ON l_suppkey = rs.s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT p_partkey, p_name, s_name, n_name, unit_price AS min_price
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |  JOIN rs ON l_suppkey = rs.s_suppkey
+        |WHERE p_type = 'PROMO'
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
+        |  ORDER BY unit_price, l_suppkey) = 1
+        |ORDER BY min_price DESC, p_partkey LIMIT 50""".stripMargin,
+    "q_important_parts" ->
+      """WITH v AS (SELECT l_partkey AS p_partkey,
+        |    SUM(l_extendedprice * (1 - l_discount)) AS val
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3' GROUP BY 1)
+        |SELECT p_partkey,
+        |  floor(val * 10000 + 0.5 + 0.000001) / 10000 AS part_value
+        |FROM v, (SELECT SUM(val) AS tot FROM v)
+        |WHERE val > 0.002 * tot
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    "q_promo_suppliers" ->
+      """WITH gp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
+        |sq AS (SELECT l_suppkey, SUM(l_quantity) AS qty FROM lineitem
+        |  JOIN gp ON l_partkey = gp.p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name, qty
+        |FROM sq, (SELECT AVG(qty) AS avg_q FROM sq)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE qty > 1.2 * avg_q ORDER BY s_suppkey""".stripMargin,
     // order-independent audit: BIT_XOR of portable row hashes; lineitem
     // needs the composite (orderkey, linenumber) to be row-unique
     "q_table_fingerprint" ->

