@@ -531,6 +531,11 @@ object SparkEntry {
     "q_weekly_churn"     -> ((s, d) => graft.operators.Behavior.weeklyChurn(s, d)),
     "q_ri_audit"         -> ((s, d) => Relational.riAudit(s, d)),
     "q_degree_hist"      -> ((s, d) => graft.operators.Graph.degreeHistogram(s, d)),
+    "q_revenue_acf"      -> ((s, d) => Relational.revenueAcf(s, d)),
+    "q_chi_square"       -> ((s, d) => graft.operators.Behavior.chiSquareTypeDow(s, d)),
+    "q_mann_whitney"     -> ((s, d) => graft.operators.Behavior.mannWhitney(s, d)),
+    "q_longest_streak"   -> ((s, d) => graft.operators.Behavior.longestStreaks(s, d)),
+    "q_bounce_rate"      -> ((s, d) => graft.operators.Behavior.bounceRate(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -1005,6 +1010,99 @@ object SparkEntry {
         |    + 0.5 + 0.000001) / 10000 AS churn_rate
         |FROM j CROSS JOIN m WHERE week < maxw
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_revenue_acf" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |lagged AS (SELECT rev,
+        |    lag(rev,1) OVER (ORDER BY d) AS l1,
+        |    lag(rev,2) OVER (ORDER BY d) AS l2,
+        |    lag(rev,3) OVER (ORDER BY d) AS l3,
+        |    lag(rev,4) OVER (ORDER BY d) AS l4,
+        |    lag(rev,5) OVER (ORDER BY d) AS l5,
+        |    lag(rev,6) OVER (ORDER BY d) AS l6,
+        |    lag(rev,7) OVER (ORDER BY d) AS l7
+        |  FROM daily),
+        |m AS (SELECT AVG(rev) AS mu FROM daily),
+        |agg AS (SELECT SUM((rev-mu)*(rev-mu)) AS denom,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN (rev-mu)*(l1-mu) END) AS n1,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN (rev-mu)*(l2-mu) END) AS n2,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN (rev-mu)*(l3-mu) END) AS n3,
+        |    SUM(CASE WHEN l4 IS NOT NULL THEN (rev-mu)*(l4-mu) END) AS n4,
+        |    SUM(CASE WHEN l5 IS NOT NULL THEN (rev-mu)*(l5-mu) END) AS n5,
+        |    SUM(CASE WHEN l6 IS NOT NULL THEN (rev-mu)*(l6-mu) END) AS n6,
+        |    SUM(CASE WHEN l7 IS NOT NULL THEN (rev-mu)*(l7-mu) END) AS n7
+        |  FROM lagged, m)
+        |SELECT CAST(lag AS INTEGER) AS lag,
+        |  floor([n1,n2,n3,n4,n5,n6,n7][lag] / denom * 10000
+        |    + 0.5 + 0.000001)/10000 AS acf
+        |FROM agg, UNNEST([1,2,3,4,5,6,7]) AS t(lag)
+        |ORDER BY lag""".stripMargin,
+    "q_chi_square" ->
+      """WITH obs AS (SELECT event_type, dayofweek(ts)+1 AS dow,
+        |    CAST(COUNT(*) AS DOUBLE) AS o FROM events GROUP BY 1,2),
+        |tot AS (SELECT SUM(o) AS n FROM obs),
+        |rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY 1)
+        |SELECT floor(SUM((o - r*c/n)*(o - r*c/n)/(r*c/n))*10000
+        |    + 0.5 + 0.000001)/10000 AS chi2,
+        |  CAST((COUNT(DISTINCT obs.event_type)-1)
+        |    * (COUNT(DISTINCT obs.dow)-1) AS BIGINT) AS dof,
+        |  floor(sqrt(SUM((o - r*c/n)*(o - r*c/n)/(r*c/n)) /
+        |    (MAX(n)*LEAST(COUNT(DISTINCT obs.event_type)-1,
+        |      COUNT(DISTINCT obs.dow)-1)))*10000+0.5+0.000001)/10000
+        |    AS cramers_v,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM obs JOIN rt USING(event_type) JOIN ct USING(dow), tot""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH two AS (SELECT value, event_type FROM events
+        |  WHERE event_type IN ('purchase','click')),
+        |g AS (SELECT value,
+        |    SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n2
+        |  FROM two GROUP BY 1),
+        |r AS (SELECT value, n1, n2, n1+n2 AS t,
+        |    COALESCE(SUM(n1+n2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS cb
+        |  FROM g),
+        |s AS (SELECT SUM(n1) AS n1t, SUM(n2) AS n2t, SUM(n1+n2) AS nt,
+        |    SUM(n1*(cb + (t+1)/2.0)) AS r1,
+        |    SUM(t*t*t - t) AS ties FROM r)
+        |SELECT CAST(n1t AS BIGINT) AS n1, CAST(n2t AS BIGINT) AS n2,
+        |  floor((r1 - n1t*(n1t+1)/2.0)*10000+0.5+0.000001)/10000 AS u1,
+        |  floor((r1 - n1t*(n1t+1)/2.0 - n1t*n2t/2.0) /
+        |    sqrt(n1t*n2t/12.0*((nt+1) - ties*1.0/(nt*(nt-1))))
+        |    *10000+0.5+0.000001)/10000 AS z_score
+        |FROM s""".stripMargin,
+    "q_longest_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |isl AS (SELECT user_id, d - CAST(ROW_NUMBER() OVER
+        |    (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+        |  FROM days),
+        |st AS (SELECT user_id, COUNT(*) AS len FROM isl
+        |  GROUP BY user_id, grp)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days
+        |FROM st GROUP BY 1
+        |ORDER BY longest_streak DESC, user_id LIMIT 20""".stripMargin,
+    "q_bounce_rate" ->
+      """WITH e AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      IS NULL OR epoch(ts) - epoch(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts)) > 1800
+        |    THEN 1 ELSE 0 END AS is_new FROM events),
+        |s AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS seq FROM e),
+        |sess AS (SELECT user_id, seq, MIN(ts) AS t0, COUNT(*) AS n
+        |  FROM s GROUP BY 1,2)
+        |SELECT CAST(date_trunc('day', t0) AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  floor(SUM(CASE WHEN n=1 THEN 1 ELSE 0 END)*1.0/COUNT(*)
+        |    *10000+0.5+0.000001)/10000 AS bounce_rate
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
     // semantics proof: the oracle ACTUALLY replicates each row `w`
     // times (unnest range) where Spark uses percentile's frequency arg
     "q_weighted_median" ->

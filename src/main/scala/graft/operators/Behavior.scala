@@ -450,4 +450,125 @@ object Behavior {
           col("n_active")).as("churn_rate"))
       .orderBy(col("week"))
   }
+
+  /** Chi-square test of independence between event type and day of
+    * week, with Cramér's V effect size. One fact-scan count keyed on
+    * (type, dow) — the observed table is bounded by |types| × 7 cells,
+    * so expected counts, the statistic and V all compute on a frame
+    * that never scales with the corpus (row/column margins are
+    * re-aggregates of the cells, not re-scans). All inputs to the
+    * statistic are exact integer counts; only the final sums over
+    * ≤ 7·|types| double terms need the cross-engine rounding pin. */
+  def chiSquareTypeDow(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).cast("double").as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rt = obs.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val ct = obs.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val n = obs.agg(sum(col("o")).as("n"))
+    val e = col("r") * col("c") / col("n")
+    obs.join(broadcast(rt), "event_type")
+      .join(broadcast(ct), "dow")
+      .crossJoin(broadcast(n))
+      .agg(
+        round4eps(sum((col("o") - e) * (col("o") - e) / e)).as("chi2raw"),
+        ((countDistinct(col("event_type")) - 1) *
+          (countDistinct(col("dow")) - 1)).as("dof"),
+        round4eps(sqrt(sum((col("o") - e) * (col("o") - e) / e) /
+          (max(col("n")) * least(countDistinct(col("event_type")) - 1,
+            countDistinct(col("dow")) - 1)))).as("cramers_v"),
+        max(col("n")).cast("long").as("n"))
+      .select(col("chi2raw").as("chi2"), col("dof"), col("cramers_v"), col("n"))
+  }
+
+  /** Mann-Whitney U (rank-sum) test between two event types' value
+    * distributions, with average-rank tie handling and the
+    * tie-corrected normal approximation.
+    *
+    * Scale posture: ranks are NOT computed with a global row window.
+    * The sample collapses to one row per distinct value first (values
+    * are 2-decimal-quantized at the source, so the grouped frame is
+    * bounded by the value range × 100, not by the corpus); cumulative
+    * counts over that bounded, ordered frame assign each distinct
+    * value its average rank, and the rank-sum is a weighted aggregate
+    * of counts × ranks — exact integer/half-integer arithmetic until
+    * the final z. */
+  def mannWhitney(s: SparkSession, dir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("n2"))
+    // bounded frame: one row per distinct 2-decimal value
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("t", col("n1") + col("n2"))
+      .withColumn("cb", coalesce(sum(col("n1") + col("n2")).over(w), lit(0L)))
+    val stats = ranked.agg(
+      sum(col("n1")).as("n1t"), sum(col("n2")).as("n2t"),
+      sum(col("n1") + col("n2")).as("nt"),
+      sum(col("n1") * (col("cb") + (col("t") + 1) / lit(2.0))).as("r1"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    stats.select(
+      col("n1t").as("n1"), col("n2t").as("n2"),
+      round4eps(col("r1") - col("n1t") * (col("n1t") + 1) / lit(2.0)).as("u1"),
+      round4eps((col("r1") - col("n1t") * (col("n1t") + 1) / lit(2.0) -
+        col("n1t") * col("n2t") / lit(2.0)) /
+        sqrt(col("n1t") * col("n2t") / lit(12.0) *
+          ((col("nt") + 1) - col("ties") * lit(1.0) /
+            (col("nt") * (col("nt") - 1))))).as("z_score"))
+  }
+
+  /** Longest consecutive-day activity streak per user (top 20): the
+    * gaps-and-islands idiom — distinct active days, island id =
+    * day − row_number (constant within a run of consecutive days),
+    * island lengths, max per user. Every window is keyed on user_id;
+    * the final top-k is a TakeOrdered over the user-grain rollup. */
+  def longestStreaks(s: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val grp = date_sub(col("d"),
+      row_number().over(Window.partitionBy(col("user_id")).orderBy(col("d"))))
+    days.withColumn("grp", grp)
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy(col("longest_streak").desc, col("user_id"))
+      .limit(topN)
+  }
+
+  /** Daily bounce rate: sessions (30-min inactivity gap, the
+    * [[Windows.sessionize]] definition) that contain a single event,
+    * as a fraction of sessions starting that day. Both windows are
+    * keyed on user_id (one shuffle partitioning serves both); the
+    * daily rollup is calendar-bounded. */
+  def bounceRate(s: SparkSession, dir: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val isNew = when(col("prev_ts").isNull ||
+      unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds,
+      1).otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", isNew)
+      .withColumn("seq", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("seq"))
+      .agg(min(col("ts")).as("t0"), count(lit(1)).as("n"))
+      .groupBy(to_date(col("t0")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        round4eps(col("n_bounces").cast("double") / col("n_sessions"))
+          .as("bounce_rate"))
+      .orderBy(col("day"))
+  }
 }

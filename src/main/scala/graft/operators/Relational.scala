@@ -1793,6 +1793,44 @@ object Relational {
         col("n_ops"))
       .orderBy(col("user_id"))
 
+  /** Autocorrelation function of daily order revenue at lags 1..7 —
+    * the seasonality screen run before fitting any forecast (a weekly
+    * cycle shows as a lag-7 spike). acf(k) = Σ(x_t−x̄)(x_{t−k}−x̄) /
+    * Σ(x_t−x̄)² with the full-series mean.
+    *
+    * Scale shape: the corpus collapses to the DAILY grain in one
+    * shuffle; the lag window orders that calendar-bounded frame
+    * (≤ a few thousand rows at ANY corpus size — the date range, not
+    * the row count, is the bound), and all seven lags come from ONE
+    * window sort. Daily sums are 4-decimal-quantized before the
+    * moments so cross-engine summation order can't leak into the
+    * ratio. */
+  def revenueAcf(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+    // calendar-bounded frame: one row per day
+    val w = Window.orderBy(col("d"))
+    val lagged = (1 to maxLag).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("rev"), k).over(w))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mu = lagged.agg(avg(col("rev")).as("mu"))
+    val withMu = lagged.crossJoin(broadcast(mu))
+    val aggs =
+      sum((col("rev") - col("mu")) * (col("rev") - col("mu"))).as("denom") +:
+      (1 to maxLag).map { k =>
+        sum(when(col(s"l$k").isNotNull,
+          (col("rev") - col("mu")) * (col(s"l$k") - col("mu")))).as(s"n$k")
+      }
+    val moments = withMu.agg(aggs.head, aggs.tail: _*)
+    val stacked = (1 to maxLag).map(k =>
+      s"$k, n$k / denom").mkString(", ")
+    moments.selectExpr(s"stack($maxLag, $stacked) as (lag, acfraw)")
+      .select(col("lag"), round4eps(col("acfraw")).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

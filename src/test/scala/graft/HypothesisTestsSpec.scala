@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Behavior, Relational}
+
+/** Semantics checks for the hypothesis-test / time-series gates
+  * (chi-square, Mann-Whitney, ACF, streaks, bounce rate) against
+  * independently-computed references on sf0.001. Values are
+  * oracle-gated in the registry; these specs pin the STATISTICAL
+  * definitions (tie handling, censoring, full-series mean) with a
+  * from-scratch Scala recomputation.
+  */
+class HypothesisTestsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("mannWhitney matches a from-scratch rank-sum with average ties") {
+    val rows = Tables.events(spark, dir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .filter(r => r._1 == "purchase" || r._1 == "click")
+    val sorted = rows.sortBy(_._2)
+    // average ranks with ties
+    val ranks = scala.collection.mutable.Map[Double, Double]()
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      ranks(sorted(i)._2) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+      i = j
+    }
+    val r1 = sorted.filter(_._1 == "purchase").map(r => ranks(r._2)).sum
+    val n1 = sorted.count(_._1 == "purchase").toLong
+    val u1want = r1 - n1 * (n1 + 1) / 2.0
+    val got = Behavior.mannWhitney(spark, dir).head()
+    assert(got.getAs[Long]("n1") == n1)
+    assert(math.abs(got.getAs[Double]("u1") - u1want) < 1e-6)
+  }
+
+  test("chiSquare dof and margins are consistent") {
+    val got = Behavior.chiSquareTypeDow(spark, dir).head()
+    val nTypes = Tables.events(spark, dir)
+      .select("event_type").distinct().count()
+    // events span every weekday at this sf
+    assert(got.getAs[Long]("dof") == (nTypes - 1) * 6)
+    assert(got.getAs[Double]("chi2") >= 0.0)
+    val v = got.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(got.getAs[Long]("n") == Tables.events(spark, dir).count())
+  }
+
+  test("revenueAcf is 1-bounded and uses the full-series mean") {
+    val out = Relational.revenueAcf(spark, dir).collect()
+    assert(out.length == 7)
+    assert(out.forall(r => math.abs(r.getAs[Double]("acf")) <= 1.0))
+    // reference for lag 1
+    val daily = Tables.orders(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate")).as("d"))
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice").as("rev"))
+      .orderBy("d").collect()
+      .map(r => math.floor(r.getDouble(1) * 10000 + 0.5 + 1e-6) / 10000)
+    val mu = daily.sum / daily.length
+    val denom = daily.map(x => (x - mu) * (x - mu)).sum
+    val num = daily.zip(daily.tail).map { case (a, b) => (a - mu) * (b - mu) }.sum
+    val want = num / denom
+    assert(math.abs(out.head.getAs[Double]("acf") - want) < 1e-3)
+  }
+
+  test("longestStreaks counts maximal consecutive-day runs") {
+    val got = Behavior.longestStreaks(spark, dir, topN = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byUser = Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .groupBy(_._1)
+    val want = byUser.map { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      var best = 1L; var cur = 1L
+      days.zip(days.tail).foreach { case (a, b) =>
+        if (b == a + 1) { cur += 1; best = math.max(best, cur) }
+        else cur = 1
+      }
+      (u, best, days.length.toLong)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
+    val out = Behavior.bounceRate(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val rate = r.getAs[Double]("bounce_rate")
+      r.getLong(2) <= r.getLong(1) && rate >= 0.0 && rate <= 1.0
+    })
+    // total sessions across days equals the sessionize count
+    val totalSessions = out.map(_.getLong(1)).sum
+    assert(totalSessions ==
+      graft.operators.Windows.sessionize(spark, dir).count())
+  }
+}
