@@ -536,6 +536,10 @@ object SparkEntry {
     "q_mann_whitney"     -> ((s, d) => graft.operators.Behavior.mannWhitney(s, d)),
     "q_longest_streak"   -> ((s, d) => graft.operators.Behavior.longestStreaks(s, d)),
     "q_bounce_rate"      -> ((s, d) => graft.operators.Behavior.bounceRate(s, d)),
+    "q_assortativity"    -> ((s, d) => graft.operators.Graph.assortativity(s, d)),
+    "q_reciprocity"      -> ((s, d) => graft.operators.Graph.tradeReciprocity(s, d)),
+    "q_naive_bayes"      -> ((s, d) => TextAnalysis.naiveBayesLang(s, d)),
+    "q_js_divergence"    -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -1103,6 +1107,83 @@ object SparkEntry {
         |  floor(SUM(CASE WHEN n=1 THEN 1 ELSE 0 END)*1.0/COUNT(*)
         |    *10000+0.5+0.000001)/10000 AS bounce_rate
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_assortativity" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a, b FROM cs UNION ALL SELECT b, a FROM cs),
+        |deg AS (SELECT a AS node, count(*) AS d FROM e GROUP BY 1),
+        |ed AS (SELECT da.d AS x, db.d AS y FROM e
+        |  JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node)
+        |SELECT floor(corr(x, y)*10000 + 0.5 + 0.000001)/10000
+        |    AS assortativity,
+        |  CAST(count(*)/2 AS BIGINT) AS n_edges FROM ed""".stripMargin,
+    "q_reciprocity" ->
+      """WITH pr AS (SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+        |    SUM(l_extendedprice*(1-l_discount)) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE cn.n_nationkey <> sn.n_nationkey GROUP BY 1,2),
+        |m AS (SELECT AVG(rev) AS mu FROM pr),
+        |ne AS (SELECT src, dst FROM pr, m WHERE rev > mu)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM ne r
+        |    WHERE r.src = ne.dst AND r.dst = ne.src)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_recip,
+        |  floor(SUM(CASE WHEN EXISTS (SELECT 1 FROM ne r
+        |    WHERE r.src = ne.dst AND r.dst = ne.src)
+        |    THEN 1 ELSE 0 END)*1.0/count(*)*10000 + 0.5 + 0.000001)/10000
+        |    AS reciprocity
+        |FROM ne""".stripMargin,
+    "q_naive_bayes" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT lang AS clang, w, count(*) AS c FROM tok GROUP BY 1,2),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM tok),
+        |ltot AS (SELECT clang, sum(c) AS t FROM cnt GROUP BY 1),
+        |prior AS (SELECT lang AS clang, count(*) AS nd FROM documents GROUP BY 1),
+        |ndocs AS (SELECT count(*) AS n FROM documents),
+        |dt AS (SELECT doc_id, lang AS true_lang, w, count(*) AS dc
+        |  FROM tok GROUP BY 1,2,3),
+        |scored AS (SELECT dt.doc_id, dt.true_lang, ltot.clang,
+        |    SUM(dt.dc * floor(ln((COALESCE(cnt.c,0)+1.0)/(ltot.t+vocab.v))
+        |      *1000000 + 0.5 + 0.000001)/1000000) AS ll
+        |  FROM dt CROSS JOIN ltot CROSS JOIN vocab
+        |  LEFT JOIN cnt ON cnt.clang = ltot.clang AND cnt.w = dt.w
+        |  GROUP BY 1,2,3),
+        |wp AS (SELECT s.doc_id, s.true_lang, s.clang,
+        |    floor((s.ll + floor(ln(prior.nd*1.0/ndocs.n)*1000000
+        |      + 0.5 + 0.000001)/1000000)*1000000 + 0.5 + 0.000001)/1000000
+        |      AS score
+        |  FROM scored s JOIN prior ON prior.clang = s.clang CROSS JOIN ndocs),
+        |best AS (SELECT doc_id, true_lang, clang AS predicted FROM wp
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, clang) = 1)
+        |SELECT true_lang AS labeled_lang, predicted AS predicted_lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM best GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_js_divergence" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1,2),
+        |t AS (SELECT lang, sum(c) AS t FROM c GROUP BY 1),
+        |dist AS (SELECT c.lang, c.w, c.c*1.0/t.t AS p
+        |  FROM c JOIN t ON c.lang = t.lang),
+        |pairs AS (SELECT unnest(['de','es','fr','zh']) AS lb),
+        |j AS (SELECT pairs.lb, w,
+        |    SUM(CASE WHEN dist.lang = 'en' THEN p ELSE 0 END) AS p,
+        |    SUM(CASE WHEN dist.lang = pairs.lb THEN p ELSE 0 END) AS q
+        |  FROM dist JOIN pairs ON dist.lang IN ('en', pairs.lb)
+        |  GROUP BY 1,2)
+        |SELECT 'en' AS lang_a, lb AS lang_b,
+        |  floor(SUM(
+        |    CASE WHEN p > 0 THEN p/2*ln(p/((p+q)/2)) ELSE 0 END +
+        |    CASE WHEN q > 0 THEN q/2*ln(q/((p+q)/2)) ELSE 0 END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS js,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM j GROUP BY 2 ORDER BY 2""".stripMargin,
     // semantics proof: the oracle ACTUALLY replicates each row `w`
     // times (unnest range) where Spark uses percentile's frequency arg
     "q_weighted_median" ->

@@ -563,4 +563,69 @@ object Graph {
         col("cust_a"), col("cust_b"))
       .limit(topN)
   }
+
+  /** Degree assortativity of the undirected trade graph — the Pearson
+    * correlation of endpoint degrees over edges (Newman 2002). A
+    * bipartite customer↔supplier graph is strongly DISASSORTATIVE
+    * (high-degree suppliers connect to many low-degree customers), so
+    * this doubles as a structural sanity gate for the edge builder.
+    * Shape: the degree vector is one node-keyed aggregate of the edge
+    * list; it joins back to the edges twice (both hash joins keyed on
+    * node id — at billions of edges AQE picks broadcast only if the
+    * degree frame fits); `corr` is a single-pass moment aggregate. */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.select(col("node"), col("d").as("x")), col("a") === col("node"))
+      .drop("node")
+      .join(deg.select(col("node"), col("d").as("y")), col("b") === col("node"))
+      .agg(round4eps(corr(col("x").cast("double"), col("y").cast("double")))
+        .as("assortativity"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"))
+  }
+
+  /** Reciprocity of the directed nation-level trade graph: a directed
+    * edge src→dst exists when customers of nation src bought MORE than
+    * the mean pair revenue from suppliers of nation dst; reciprocity
+    * is the share of edges whose reverse also exists. The pair rollup
+    * is bounded by |nations|² at any corpus size, so the mean
+    * threshold, the reverse-edge semi join and the final ratio all run
+    * on a constant-size frame — only the initial revenue rollup
+    * touches the fact table (margin to the mean threshold measured:
+    * 799 at sf0.01, far above cross-engine sum drift). */
+  def tradeReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val pairRev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("src"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mu = pairRev.agg(avg(col("rev")).as("mu"))
+    val ne = pairRev.crossJoin(broadcast(mu))
+      .filter(col("rev") > col("mu"))
+      .select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rev = ne.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1L).as("has_rev"))
+    ne.join(broadcast(rev), Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("has_rev").isNotNull, 1L).otherwise(0L)).as("n_recip"))
+      .select(col("n_edges"), col("n_recip"),
+        round4eps(col("n_recip").cast("double") / col("n_edges"))
+          .as("reciprocity"))
+  }
 }

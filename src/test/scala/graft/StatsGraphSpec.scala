@@ -265,4 +265,22 @@ class StatsGraphSpec extends AnyFunSuite {
         r.getAs[Double]("adamic_adar") > 0.0
     })
   }
+
+  test("assortativity: bipartite trade graph is disassortative") {
+    val r = Graph.assortativity(spark, dir).head()
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+    // customer↔supplier structure: high-degree hubs attach to
+    // low-degree counterparts, so the correlation must be negative
+    assert(a < 0.0)
+    assert(r.getAs[Long]("n_edges") > 0)
+  }
+
+  test("tradeReciprocity: ratio is n_recip/n_edges in [0,1]") {
+    val r = Graph.tradeReciprocity(spark, dir).head()
+    val (e, rec, ratio) = (r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_recip"), r.getAs[Double]("reciprocity"))
+    assert(rec <= e)
+    assert(math.abs(ratio - rec.toDouble / e) < 1e-3)
+  }
 }

@@ -438,4 +438,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     val scores = rows.map(_.getAs[Double]("rake_score"))
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
+
+  test("naiveBayesLang: confusion rows partition the corpus") {
+    val rows = graft.operators.TextAnalysis
+      .naiveBayesLang(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, dir).count())
+    // in-sample NB on a frequency-skewed shared vocab must beat the
+    // majority-class baseline on the diagonal
+    val correct = rows.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getAs[Long]("n_docs")).sum
+    val biggestClass = Tables.documents(spark, dir)
+      .groupBy("lang").count().collect().map(_.getLong(1)).max
+    assert(correct >= biggestClass,
+      s"NB diagonal $correct under majority baseline $biggestClass")
+  }
+
+  test("jsDivergence: bounded by ln 2, symmetric in construction") {
+    val rows = graft.operators.TextAnalysis.jsDivergence(spark, dir).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val js = r.getAs[Double]("js")
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9)
+      assert(r.getAs[Long]("n_terms") > 0)
+    }
+  }
 }
