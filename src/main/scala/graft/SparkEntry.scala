@@ -540,6 +540,16 @@ object SparkEntry {
     "q_reciprocity"      -> ((s, d) => graft.operators.Graph.tradeReciprocity(s, d)),
     "q_naive_bayes"      -> ((s, d) => TextAnalysis.naiveBayesLang(s, d)),
     "q_js_divergence"    -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
+    "q_markov_stationary"-> ((s, d) => graft.operators.Behavior.markovStationary(s, d)),
+    "q_xcorr_daily"      -> ((s, d) => graft.operators.Behavior.crossCorrDaily(s, d)),
+    // compaction dry-run on the fixture warehouse raw table: 3 commits
+    // x 3 records into one day partition, target 4 records/output file
+    "q_compaction_plan"  -> ((s, _) => gatePipeline(s).catalog
+                               .compactionPlan(graft.pipeline.Ingest.RawTable, 4L)
+                               .select(org.apache.spark.sql.functions.col("partition_day"),
+                                       org.apache.spark.sql.functions.col("bin"),
+                                       org.apache.spark.sql.functions.col("n_files"),
+                                       org.apache.spark.sql.functions.col("total_records"))),
     "q_join_elim"        -> ((s, d) => Joins.prunedDimRollup(s, d)),
     "q_stream_kmv"       -> ((s, d) => graft.streaming.EventStreams
                                .dailyActiveSketch(Tables.events(s, d))
@@ -1184,6 +1194,55 @@ object SparkEntry {
         |    *10000 + 0.5 + 0.000001)/10000 AS js,
         |  CAST(count(*) AS BIGINT) AS n_terms
         |FROM j GROUP BY 2 ORDER BY 2""".stripMargin,
+    // the recursive CTE walks the SAME 1e-6-quantized trajectory as the
+    // Spark power iteration (matrix cells and iterates both pinned)
+    "q_markov_stationary" ->
+      """WITH RECURSIVE
+        |pairs AS (SELECT event_type AS cur_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |cnt AS (SELECT cur_type, next_type, count(*) AS c FROM pairs
+        |  WHERE next_type IS NOT NULL GROUP BY 1,2),
+        |p AS (SELECT cur_type, next_type,
+        |    floor(c*1.0/(SUM(c) OVER (PARTITION BY cur_type))
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS pr
+        |  FROM cnt),
+        |states AS (SELECT DISTINCT cur_type AS st FROM p),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM states),
+        |it(i, st, x) AS (
+        |  SELECT 0, st, floor(1.0/n*1000000 + 0.5 + 0.000001)/1000000
+        |  FROM states, ns
+        |  UNION ALL
+        |  SELECT i+1, p.next_type,
+        |    floor(SUM(it.x * p.pr)*1000000 + 0.5 + 0.000001)/1000000
+        |  FROM it JOIN p ON p.cur_type = it.st
+        |  WHERE i < 25
+        |  GROUP BY i+1, p.next_type)
+        |SELECT st AS event_type, x AS stationary_prob
+        |FROM it WHERE i = 25 ORDER BY 1""".stripMargin,
+    "q_xcorr_daily" ->
+      """WITH dx AS (SELECT date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |dy AS (SELECT date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |lags AS (SELECT unnest([-3,-2,-1,0,1,2,3]) AS lag)
+        |SELECT CAST(lag AS INTEGER) AS lag,
+        |  floor(corr(dx.n, dy.n)*10000 + 0.5 + 0.000001)/10000 AS xcorr,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        |FROM lags, dx, dy
+        |WHERE dy.d = dx.d + lag * INTERVAL 1 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fixture-replay oracle: the gate warehouse ingests 3 hourly
+    // commits x 3 records into the 2026-01-01 day partition; packing
+    // to 4 records/file must plan (files 1,2 -> bin 0) (file 3 -> bin 1)
+    "q_compaction_plan" ->
+      """SELECT * FROM (VALUES
+        |  ('2026-01-01', CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+        |    CAST(6 AS BIGINT)),
+        |  ('2026-01-01', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(3 AS BIGINT)))
+        |AS t(partition_day, bin, n_files, total_records)""".stripMargin,
     // semantics proof: the oracle ACTUALLY replicates each row `w`
     // times (unnest range) where Spark uses percentile's frequency arg
     "q_weighted_median" ->

@@ -159,6 +159,80 @@ object Behavior {
         sum(col("n_transitions")).over(byCur)))
   }
 
+  /** Stationary distribution of the event-type Markov chain — where
+    * user behavior settles long-run (the fixed point of
+    * [[transitionMatrix]]): x' = xP iterated to convergence.
+    *
+    * Scale split: the transition COUNTING is the distributed part (one
+    * user-keyed window + one keyed aggregate over the corpus); the
+    * matrix itself is |types|²-bounded — a behavioral taxonomy, not a
+    * corpus dimension — so the power iteration runs on the driver over
+    * the collected matrix (guarded: aborts loudly past 10k states
+    * rather than silently collecting a corpus-scaling frame). Each
+    * matrix cell and each iterate is 1e-6-quantized so both engines
+    * walk the SAME trajectory — cross-engine float drift cannot
+    * compound over the 25 rounds. */
+  def markovStationary(s: SparkSession, dir: String,
+      iters: Int = 25): DataFrame = {
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5 + 1e-6) / 1e6
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    require(counts.length <= 10000,
+      s"markovStationary: ${counts.length} transition cells — the state " +
+        "space is expected to be a bounded taxonomy; refusing to iterate " +
+        "a corpus-scaling matrix on the driver")
+    val rowTot = counts.groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    val p = counts.map { r =>
+      (r.getString(0), r.getString(1),
+        q6(r.getLong(2).toDouble / rowTot(r.getString(0))))
+    }
+    val states = (p.map(_._1) ++ p.map(_._2)).distinct.sorted
+    var x = states.map(st => st -> q6(1.0 / states.length)).toMap
+    for (_ <- 1 to iters) {
+      val nx = states.map { st =>
+        st -> q6(p.filter(_._2 == st).map { case (c, _, pr) => x(c) * pr }.sum)
+      }.toMap
+      x = nx
+    }
+    import s.implicits._
+    states.map(st => (st, x(st))).toSeq
+      .toDF("event_type", "stationary_prob")
+      .orderBy(col("event_type"))
+  }
+
+  /** Cross-correlation between two event types' daily counts at lags
+    * −3..+3 — "do errors lead or lag purchases?" A positive peak at
+    * negative lag means series X moves first. Pearson correlation on
+    * the calendar-aligned join (y shifted by k days); both daily
+    * frames are calendar-bounded, so every join and corr here runs on
+    * constant-size inputs — only the two daily rollups scan the
+    * corpus. */
+  def crossCorrDaily(s: SparkSession, dir: String,
+      typeX: String = "purchase", typeY: String = "error",
+      maxLag: Int = 3): DataFrame = {
+    def daily(t: String) = Tables.events(s, dir)
+      .filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val dx = daily(typeX).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dy = daily(typeY).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perLag = (-maxLag to maxLag).map { k =>
+      dx.select(col("d"), col("n").as("x"))
+        .join(dy.select(date_sub(col("d"), k).as("d"), col("n").as("y")), "d")
+        .agg(round4eps(corr(col("x").cast("double"), col("y").cast("double"))).as("xcorr"),
+          count(lit(1)).as("n_days"))
+        .select(lit(k).as("lag"), col("xcorr"), col("n_days"))
+    }
+    perLag.reduce(_ unionByName _).orderBy(col("lag"))
+  }
+
   /** Top user journeys: each user's first `k` events (in (ts,
     * event_id) order) joined into a `>`-separated path, ranked by how
     * many users share it — the "what do people actually do" report.

@@ -548,6 +548,35 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       .orderBy(col("commit"), col("file_path"))
   }
 
+  /** Small-file compaction plan over [[files]]: contiguous bin-packing
+    * of each partition's live files (in commit, path order — the
+    * rewrite preserves ingest order) into target-sized output groups,
+    * bin = ⌊exclusive-prefix-records / target⌋. One row per planned
+    * output file with its input-file count, record and byte totals —
+    * the dry-run a compaction job (or an operator deciding WHETHER to
+    * compact) consumes. `targetRecords` keys the plan to footer record
+    * counts (deterministic, engine-independent); byte totals ride
+    * along for sizing.
+    *
+    * Scale: the window is PARTITION-KEYED — file lists per partition
+    * are metadata-bounded (thousands, not corpus-scaled), and
+    * partitions pack independently, which is also the correctness
+    * requirement (never merge across partition boundaries). */
+  def compactionPlan(name: String, targetRecords: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("partition_day"))
+      .orderBy(col("commit"), col("file_path"))
+    files(name)
+      .withColumn("cum", sum(col("record_count")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("record_count")) / targetRecords).cast("long"))
+      .groupBy(col("partition_day"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("record_count")).as("total_records"),
+        sum(col("file_size_bytes")).as("total_bytes"))
+      .orderBy(col("partition_day"), col("bin"))
+  }
+
   /** All `namespace.table` names present in the warehouse — a
     * metadata-grain directory scan (the catalog-listing call a serving
     * endpoint uses to expose everything at startup). */

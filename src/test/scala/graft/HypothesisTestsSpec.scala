@@ -89,6 +89,47 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("markovStationary: a probability distribution that is P-invariant") {
+    val out = Behavior.markovStationary(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-3)
+    assert(out.values.forall(p => p >= 0.0 && p <= 1.0))
+    // fixed point: one more application of P moves nothing (within the
+    // 1e-6 quantization the iteration itself uses)
+    val p = Behavior.transitionMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_transitions")))
+    val tot = p.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val next = out.keys.map { st =>
+      st -> p.filter(_._2 == st)
+        .map { case (c, _, n) => out(c) * n / tot(c) }.sum
+    }.toMap
+    out.foreach { case (st, v) => assert(math.abs(v - next(st)) < 1e-3) }
+  }
+
+  test("crossCorrDaily lag 0 equals the aligned-day Pearson correlation") {
+    val out = Behavior.crossCorrDaily(spark, dir).collect()
+    assert(out.length == 7)
+    assert(out.forall(r => math.abs(r.getAs[Double]("xcorr")) <= 1.0))
+    val lag0 = out.find(_.getInt(0) == 0).get
+    // reference: join daily counts in Scala
+    def daily(t: String) = Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === t)
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("d"))
+      .count().collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1).toDouble)).toMap
+    val (dx, dy) = (daily("purchase"), daily("error"))
+    val common = dx.keySet.intersect(dy.keySet).toSeq
+    val (xs, ys) = (common.map(dx), common.map(dy))
+    val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val r = cov / math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+      ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(lag0.getAs[Double]("xcorr") - r) < 1e-3)
+    assert(lag0.getAs[Long]("n_days") == common.length)
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)

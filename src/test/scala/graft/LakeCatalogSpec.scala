@@ -385,4 +385,48 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(TestSpark.collectSet[Long](cat.table("raw.n").select("id"), "id")
       === Set(2L, 3L))
   }
+
+  test("compactionPlan packs within partitions, conserves files and records") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-compact"))
+    cat.createNamespace("raw")
+    // two day-partitions; 3 commits of 2 rows each into day 10, one
+    // commit of 2 rows into day 11
+    (1 to 3).foreach { i =>
+      cat.append("raw.c", Seq((i.toLong, ts(10, i)), (i + 10L, ts(10, i)))
+        .toDF("id", "extracted_at"), partitionTs = Some("extracted_at"))
+    }
+    cat.append("raw.c", Seq((99L, ts(11, 1)), (98L, ts(11, 1)))
+      .toDF("id", "extracted_at"), partitionTs = Some("extracted_at"))
+    val plan = cat.compactionPlan("raw.c", targetRecords = 4L).collect()
+    // never merges across partitions: each plan row has one partition
+    val byDay = plan.groupBy(_.getAs[String]("partition_day"))
+    assert(byDay.keySet.size === 2)
+    // replicate the packing from the raw file listing (appends may
+    // split a batch into multiple task files — derive, don't assume)
+    val want = cat.files("raw.c").collect()
+      .map(r => (r.getAs[String]("partition_day"), r.getAs[Long]("commit"),
+        r.getAs[String]("file_path"), r.getAs[Long]("record_count")))
+      .toSeq
+      .groupBy(_._1).toSeq.flatMap { case (day, fs) =>
+        var cum = 0L
+        fs.sortBy(f => (f._2, f._3)).map { f =>
+          val bin = cum / 4L; cum += f._4; (day, bin, f._4)
+        }
+      }
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((day, bin), fs) =>
+        (day, bin, fs.size.toLong, fs.map(_._3).sum) }
+      .toSet
+    val got = plan.map(r => (r.getAs[String]("partition_day"),
+      r.getAs[Long]("bin"), r.getAs[Long]("n_files"),
+      r.getAs[Long]("total_records"))).toSet
+    assert(got === want)
+    // conservation: plan totals equal the files listing
+    assert(plan.map(_.getAs[Long]("n_files")).sum ===
+      cat.files("raw.c").count())
+    assert(plan.map(_.getAs[Long]("total_records")).sum ===
+      cat.table("raw.c").count())
+    assert(plan.forall(_.getAs[Long]("total_bytes") > 0L))
+  }
 }
