@@ -542,6 +542,10 @@ object SparkEntry {
     "q_js_divergence"    -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
     "q_markov_stationary"-> ((s, d) => graft.operators.Behavior.markovStationary(s, d)),
     "q_xcorr_daily"      -> ((s, d) => graft.operators.Behavior.crossCorrDaily(s, d)),
+    "q_closeness"        -> ((s, d) => graft.operators.Graph.closenessCentrality(s, d)),
+    "q_matryoshka"       -> ((s, d) => Similarity.matryoshkaAgreement(s, d)),
+    "q_rolling_median"   -> ((s, d) => Relational.rollingMedianRevenue(s, d)),
+    "q_temporal_split"   -> ((s, d) => Relational.temporalSplit(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
     // x 3 records into one day partition, target 4 records/output file
     "q_compaction_plan"  -> ((s, _) => gatePipeline(s).catalog
@@ -1233,6 +1237,71 @@ object SparkEntry {
         |FROM lags, dx, dy
         |WHERE dy.d = dx.d + lag * INTERVAL 1 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_closeness" ->
+      """WITH RECURSIVE
+        |cs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a, b FROM cs UNION ALL SELECT b, a FROM cs),
+        |walk(seed, node, d) AS (
+        |  SELECT k*2, k*2, 0 FROM (SELECT unnest([1,2,3,4,5]) AS k)
+        |  UNION ALL
+        |  SELECT DISTINCT w.seed, e.b, w.d + 1
+        |  FROM walk w JOIN e ON e.a = w.node WHERE w.d < 4),
+        |md AS (SELECT seed, node, MIN(d) AS dist FROM walk GROUP BY 1,2)
+        |SELECT CAST(seed/2 AS BIGINT) AS seed_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
+        |  floor(count(*)*1.0/SUM(dist)*10000 + 0.5 + 0.000001)/10000
+        |    AS closeness,
+        |  floor(SUM(1.0/dist)*10000 + 0.5 + 0.000001)/10000 AS harmonic
+        |FROM md WHERE dist > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_matryoshka" ->
+      """WITH e AS (SELECT vec_id,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |    floor(list_dot_product(q.qv, e.v)
+        |      / (sqrt(list_dot_product(q.qv, q.qv))
+        |         * sqrt(list_dot_product(e.v, e.v)))
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS sim_full,
+        |    floor(list_dot_product(list_slice(q.qv,1,32), list_slice(e.v,1,32))
+        |      / (sqrt(list_dot_product(list_slice(q.qv,1,32),
+        |           list_slice(q.qv,1,32)))
+        |         * sqrt(list_dot_product(list_slice(e.v,1,32),
+        |           list_slice(e.v,1,32))))
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS sim_half
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |f AS (SELECT query_id, vec_id AS full_top1, sim_full FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim_full DESC, vec_id) = 1),
+        |h AS (SELECT query_id, vec_id AS trunc_top1, sim_half FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim_half DESC, vec_id) = 1)
+        |SELECT f.query_id, full_top1, trunc_top1,
+        |  full_top1 = trunc_top1 AS agree,
+        |  ROUND(sim_full, 4) AS full_sim, ROUND(sim_half, 4) AS trunc_sim
+        |FROM f JOIN h USING(query_id) ORDER BY f.query_id""".stripMargin,
+    "q_rolling_median" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE)
+        |    AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT a.d AS d, CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(quantile_cont(b.rev, 0.5)*10000 + 0.5 + 0.000001)/10000
+        |    AS rolling_median
+        |FROM daily a JOIN daily b
+        |  ON b.d <= a.d AND b.d >= a.d - INTERVAL 6 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_temporal_split" ->
+      """SELECT CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+        |    WHEN ts >= TIMESTAMP '2024-01-23' THEN 'test'
+        |    ELSE 'embargo' END AS split,
+        |  event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(MIN(date_trunc('day', ts)) AS DATE) AS first_day,
+        |  CAST(MAX(date_trunc('day', ts)) AS DATE) AS last_day
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // fixture-replay oracle: the gate warehouse ingests 3 hourly
     // commits x 3 records into the 2026-01-01 day partition; packing
     // to 4 records/file must plan (files 1,2 -> bin 0) (file 3 -> bin 1)

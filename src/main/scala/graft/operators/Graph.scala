@@ -564,6 +564,62 @@ object Graph {
       .limit(topN)
   }
 
+  /** Closeness and harmonic centrality for a fixed seed set via
+    * multi-source BFS on the undirected trade graph: exact hop
+    * distances from each seed (customers 1..5), closeness =
+    * n_reached / Σdist, harmonic = Σ 1/dist — harmonic being the
+    * variant that stays meaningful on disconnected graphs (Boldi &
+    * Vigna 2014).
+    *
+    * Scale shape: per-round state is (seed × frontier), NEVER
+    * (seed × all-pairs) — the frontier joins the edge list keyed on
+    * node id and a left-anti against the accumulated (seed, node) set
+    * dedupes revisits, so each node enters a seed's state exactly once
+    * (frontier-only BFS, same discipline as [[bfsHops]] with the seed
+    * riding along as a key). Seed count is the multiplier on state
+    * size — a deliberate parameter, not a corpus dimension. */
+  def closenessCentrality(s: SparkSession, dir: String,
+      seedCustkeys: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L),
+      maxHops: Int = 4): DataFrame = {
+    ensureCheckpointDir(s)
+    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    import s.implicits._
+    var dist = cutLineage(s, seedCustkeys.map(k => (k * 2, k * 2, 0))
+      .toDF("seed", "node", "dist"))
+    var lastCut = dist
+    var frontier = dist.select(col("seed"), col("node"))
+    var h = 1
+    while (h <= maxHops) {
+      val next = frontier.join(edges, col("node") === col("a"))
+        .select(col("seed"), col("b").as("node")).distinct()
+        .join(dist.select(col("seed"), col("node")), Seq("seed", "node"),
+          "left_anti")
+        .withColumn("dist", lit(h))
+      dist = dist.unionByName(next)
+      if (h % 2 == 0 && h < maxHops) {
+        dist = cutLineage(s, dist)
+        lastCut.unpersist(blocking = false)
+        lastCut = dist
+      }
+      frontier = dist.filter(col("dist") === h).select(col("seed"), col("node"))
+      h += 1
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy((col("seed") / 2).cast("long").as("seed_custkey"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).as("sum_dist"),
+        round4eps(count(lit(1)).cast("double") / sum(col("dist")))
+          .as("closeness"),
+        round4eps(sum(lit(1.0) / col("dist"))).as("harmonic"))
+      .orderBy(col("seed_custkey"))
+  }
+
   /** Degree assortativity of the undirected trade graph — the Pearson
     * correlation of endpoint degrees over edges (Newman 2002). A
     * bipartite customer↔supplier graph is strongly DISASSORTATIVE

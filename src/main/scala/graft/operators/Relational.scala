@@ -1831,6 +1831,58 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** Rolling 7-day EXACT median of daily order revenue — the robust
+    * smoother (a single spike day moves a 7-day mean by 1/7 of the
+    * spike; it moves the median not at all). The window is CALENDAR
+    * based — each day joins the days in [d−6, d] — so data gaps
+    * shorten the window honestly instead of silently reaching further
+    * back the way a ROWS frame would.
+    *
+    * Scale shape: the corpus collapses to the daily grain first; the
+    * range self-join and percentile run on the calendar-bounded frame
+    * (≤ days × 7 rows at ANY corpus size). Daily sums are quantized
+    * before the median so both engines interpolate identical inputs. */
+  def rollingMedianRevenue(s: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val win = daily.select(col("d").as("wd"), col("rev").as("wrev"))
+    daily.join(win,
+        datediff(col("d"), col("wd")).between(0, windowDays - 1))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_days"),
+        round4eps(expr("percentile(wrev, 0.5)")).as("rolling_median"))
+      .orderBy(col("d"))
+  }
+
+  /** Leakage-safe TEMPORAL split with an embargo gap — train strictly
+    * before `trainEnd`, test strictly from `testStart`, and the days
+    * between quarantined (the purged/embargoed split of financial-ML
+    * practice: rows whose information window straddles the boundary
+    * belong to neither side). Output is the audit summary a training
+    * job logs: per split × event type, row/user counts and the actual
+    * time bounds — the user overlap between train and test is NOT
+    * forced to zero (users persist; time, not identity, is the leakage
+    * axis here — [[TextAnalysis.leakageSafeSplit]] covers the
+    * group-disjoint axis). One scan, one keyed aggregate. */
+  def temporalSplit(s: SparkSession, dir: String,
+      trainEnd: String = "2024-01-20", testStart: String = "2024-01-23"):
+      DataFrame = {
+    val split = when(col("ts") < lit(trainEnd).cast("timestamp"), "train")
+      .when(col("ts") >= lit(testStart).cast("timestamp"), "test")
+      .otherwise("embargo")
+    Tables.events(s, dir)
+      .withColumn("split", split)
+      .groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"))
+      .orderBy(col("split"), col("event_type"))
+  }
+
   /** Ad-hoc SQL entry point (entry point C in SURVEY §3.3): same engine,
     * SQL text in. Used by tests; the driver oracle exercises the
     * DataFrame forms above. */

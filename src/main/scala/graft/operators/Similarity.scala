@@ -782,4 +782,41 @@ object Similarity {
         coalesce(col("r_lex"), lit(0)).as("r_lex"),
         coalesce(col("r_vec"), lit(0)).as("r_vec"))
   }
+
+  /** Matryoshka truncation audit: does the top-1 neighbor under the
+    * FIRST-HALF prefix of each embedding agree with the full-dimension
+    * top-1 (Kusupati et al. 2022 — MRL embeddings are consumed
+    * truncated, and this agreement rate is the acceptance test before
+    * serving the cheaper prefix)? One broadcast of the query rows, one
+    * corpus pass scoring BOTH dimensionalities (the prefix slice is
+    * free — same row, no second scan), two bounded argmin reductions.
+    * Cosines are 1e-6-quantized BEFORE the argmax so the winner (with
+    * vec_id tie-break) is cross-engine deterministic. */
+  def matryoshkaAgreement(s: SparkSession, dir: String,
+      prefixDims: Int = 32): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val qs = queries(s, dir)
+      .select(col("query_id"), col("query_vec"),
+        slice(col("query_vec"), 1, prefixDims).as("query_half"))
+    val scored = corpus(s, dir)
+      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        q6(cosine(col("query_vec"), col("embedding"))).as("sim_full"),
+        q6(cosine(col("query_half"),
+          slice(col("embedding"), 1, prefixDims))).as("sim_half"))
+    def top1(simCol: String) = scored
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col(simCol)).as("ns"), col("vec_id"))).as("w"))
+      .select(col("query_id"), col("w.vec_id").as(s"${simCol}_id"),
+        (-col("w.ns")).as(simCol))
+    top1("sim_full").join(top1("sim_half"), "query_id")
+      .select(col("query_id"),
+        col("sim_full_id").as("full_top1"),
+        col("sim_half_id").as("trunc_top1"),
+        (col("sim_full_id") === col("sim_half_id")).as("agree"),
+        round(col("sim_full"), 4).as("full_sim"),
+        round(col("sim_half"), 4).as("trunc_sim"))
+      .orderBy(col("query_id"))
+  }
 }

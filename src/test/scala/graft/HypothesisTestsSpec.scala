@@ -130,6 +130,31 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(lag0.getAs[Long]("n_days") == common.length)
   }
 
+  test("rollingMedianRevenue: calendar window shortens at the series head") {
+    val out = Relational.rollingMedianRevenue(spark, dir).collect()
+    assert(out.nonEmpty)
+    // the first day has only itself in [d-6, d]
+    val first = out.minBy(_.getDate(0).toLocalDate.toEpochDay)
+    assert(first.getAs[Long]("n_days") === 1L)
+    // no window ever exceeds 7 calendar days
+    assert(out.forall(_.getAs[Long]("n_days") <= 7L))
+  }
+
+  test("temporalSplit: splits partition events, embargo strictly between") {
+    val out = Relational.temporalSplit(spark, dir).collect()
+    val total = out.map(_.getAs[Long]("n_events")).sum
+    assert(total === Tables.events(spark, dir).count())
+    val bySplit = out.groupBy(_.getString(0))
+    for (r <- bySplit.getOrElse("train", Array.empty))
+      assert(r.getAs[java.sql.Date]("last_day").toString < "2024-01-20")
+    for (r <- bySplit.getOrElse("test", Array.empty))
+      assert(r.getAs[java.sql.Date]("first_day").toString >= "2024-01-23")
+    for (r <- bySplit.getOrElse("embargo", Array.empty)) {
+      assert(r.getAs[java.sql.Date]("first_day").toString >= "2024-01-20")
+      assert(r.getAs[java.sql.Date]("last_day").toString < "2024-01-23")
+    }
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)

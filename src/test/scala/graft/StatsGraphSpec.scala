@@ -276,6 +276,50 @@ class StatsGraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_edges") > 0)
   }
 
+  test("closenessCentrality matches a from-scratch BFS per seed") {
+    val got = Graph.closenessCentrality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference BFS over collected edges
+    val cs = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = (cs ++ cs.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = Seq(1L, 2L, 3L, 4L, 5L).map { k =>
+      val seed = k * 2
+      var dist = Map(seed -> 0)
+      var frontier = Set(seed)
+      (1 to 4).foreach { h =>
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(dist.keySet)
+        dist = dist ++ next.map(_ -> h)
+        frontier = next
+      }
+      val reached = dist.filter(_._2 > 0)
+      (k, reached.size.toLong, reached.values.map(_.toLong).sum)
+    }.toSet
+    assert(got === want)
+  }
+
+  test("matryoshkaAgreement: full-dim winner equals the exact brute top-1") {
+    val got = graft.operators.Similarity.matryoshkaAgreement(spark, dir)
+      .collect()
+    assert(got.nonEmpty)
+    val brute = graft.operators.Similarity.knnBrute(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("full_top1") === brute(r.getAs[Long]("query_id")))
+      assert(r.getAs[Boolean]("agree") ===
+        (r.getAs[Long]("full_top1") == r.getAs[Long]("trunc_top1")))
+    }
+  }
+
   test("tradeReciprocity: ratio is n_recip/n_edges in [0,1]") {
     val r = Graph.tradeReciprocity(spark, dir).head()
     val (e, rec, ratio) = (r.getAs[Long]("n_edges"),
