@@ -546,6 +546,8 @@ object SparkEntry {
     "q_matryoshka"       -> ((s, d) => Similarity.matryoshkaAgreement(s, d)),
     "q_rolling_median"   -> ((s, d) => Relational.rollingMedianRevenue(s, d)),
     "q_temporal_split"   -> ((s, d) => Relational.temporalSplit(s, d)),
+    "q_holt_forecast"    -> ((s, d) => Relational.holtForecast(s, d)),
+    "q_session_cooccur"  -> ((s, d) => graft.operators.Behavior.sessionCooccurrence(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
     // x 3 records into one day partition, target 4 records/output file
     "q_compaction_plan"  -> ((s, _) => gatePipeline(s).catalog
@@ -1302,6 +1304,58 @@ object SparkEntry {
         |  CAST(MIN(date_trunc('day', ts)) AS DATE) AS first_day,
         |  CAST(MAX(date_trunc('day', ts)) AS DATE) AS last_day
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the recursive CTE replays the identical 1e-6-quantized Holt
+    // recurrence (level expression duplicated inside the trend update
+    // because l_t feeds b_t within the same step)
+    "q_holt_forecast" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS x
+        |  FROM orders GROUP BY 1),
+        |num AS (SELECT row_number() OVER (ORDER BY d) AS i, x FROM daily),
+        |n AS (SELECT CAST(max(i) AS BIGINT) AS nmax FROM num),
+        |it(i, l, b) AS (
+        |  SELECT 1, n1.x,
+        |    floor((n2.x - n1.x)*1000000 + 0.5 + 0.000001)/1000000
+        |  FROM (SELECT x FROM num WHERE i = 1) n1,
+        |       (SELECT x FROM num WHERE i = 2) n2
+        |  UNION ALL
+        |  SELECT it.i+1,
+        |    floor((0.5*num.x + 0.5*(it.l + it.b))*1000000
+        |      + 0.5 + 0.000001)/1000000,
+        |    floor((0.3*(floor((0.5*num.x + 0.5*(it.l + it.b))*1000000
+        |        + 0.5 + 0.000001)/1000000 - it.l)
+        |      + 0.7*it.b)*1000000 + 0.5 + 0.000001)/1000000
+        |  FROM it JOIN num ON num.i = it.i+1
+        |    JOIN n ON it.i+1 <= n.nmax),
+        |fin AS (SELECT l, b FROM it, n WHERE it.i = n.nmax)
+        |SELECT CAST(h AS INTEGER) AS h,
+        |  floor((l + h*b)*10000 + 0.5 + 0.000001)/10000 AS forecast
+        |FROM fin, (SELECT unnest([1,2,3,4,5,6,7]) AS h) ORDER BY h""".stripMargin,
+    "q_session_cooccur" ->
+      """WITH e AS (SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      IS NULL OR epoch(ts) - epoch(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts)) > 1800
+        |    THEN 1 ELSE 0 END AS is_new FROM events),
+        |s AS (SELECT user_id, event_type, SUM(is_new) OVER
+        |    (PARTITION BY user_id ORDER BY ts
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM e),
+        |st AS (SELECT DISTINCT user_id, seq, event_type FROM s),
+        |n AS (SELECT CAST(count(DISTINCT (user_id, seq)) AS DOUBLE) AS ns
+        |  FROM st),
+        |singles AS (SELECT event_type, count(*) AS c FROM st GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS cab
+        |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.seq = b.seq
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1,2)
+        |SELECT type_a, type_b, CAST(cab AS BIGINT) AS n_sessions_both,
+        |  floor(ln(cab*ns/(sa.c*sb.c))*10000 + 0.5 + 0.000001)/10000 AS pmi
+        |FROM pairs JOIN singles sa ON sa.event_type = type_a
+        |  JOIN singles sb ON sb.event_type = type_b, n
+        |ORDER BY 1, 2""".stripMargin,
     // fixture-replay oracle: the gate warehouse ingests 3 hourly
     // commits x 3 records into the 2026-01-01 day partition; packing
     // to 4 records/file must plan (files 1,2 -> bin 0) (file 3 -> bin 1)

@@ -233,6 +233,55 @@ object Behavior {
     perLag.reduce(_ unionByName _).orderBy(col("lag"))
   }
 
+  /** Event-type co-occurrence PMI within sessions — which behaviors
+    * cluster in the same visit (positive PMI) vs repel (negative):
+    * PMI(a,b) = ln(N·n_ab / (n_a·n_b)) over session type-SETS (presence,
+    * not multiplicity — the association measure, immune to event spam).
+    * Sessions are the 30-min-gap definition shared with
+    * [[bounceRate]]/[[Windows.sessionize]].
+    *
+    * Scale shape: sessionization is user-keyed windows; the pair join
+    * is keyed on (user, session) and each side is the session's
+    * DISTINCT type set — per-session output is ≤ C(|types|,2), a
+    * taxonomy bound, so the join output is sessions × a constant, and
+    * the final PMI table is |types|²-bounded. */
+  def sessionCooccurrence(s: SparkSession, dir: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val isNew = when(col("prev_ts").isNull ||
+      unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds,
+      1).otherwise(0)
+    val st = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", isNew)
+      .withColumn("seq", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("seq"), col("event_type"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSessions = st.select(col("user_id"), col("seq")).distinct()
+      .agg(count(lit(1)).cast("double").as("ns"))
+    val singles = st.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val pairs = st.select(col("user_id"), col("seq"), col("event_type").as("type_a"))
+      .join(st.select(col("user_id"), col("seq"), col("event_type").as("type_b")),
+        Seq("user_id", "seq"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("cab"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"),
+        col("c").as("ca"))), "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"),
+        col("c").as("cb"))), "type_b")
+      .crossJoin(broadcast(nSessions))
+      .select(col("type_a"), col("type_b"),
+        col("cab").as("n_sessions_both"),
+        round4eps(log(col("cab") * col("ns") / (col("ca") * col("cb"))))
+          .as("pmi"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Top user journeys: each user's first `k` events (in (ts,
     * event_id) order) joined into a `>`-separated path, ranked by how
     * many users share it — the "what do people actually do" report.

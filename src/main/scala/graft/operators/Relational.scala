@@ -1831,6 +1831,43 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** Holt's linear (double) exponential smoothing over daily revenue
+    * with a 7-day-ahead forecast — the workhorse short-horizon
+    * forecaster between naive-last-value and a full seasonal model:
+    *   l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    *   b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1},  ŷ(T+h) = l_T + h·b_T.
+    *
+    * Scale split (same contract as the Markov gate): the corpus
+    * collapses to the daily grain DISTRIBUTED; the recurrence is
+    * inherently sequential and calendar-bounded, so it runs on the
+    * driver over the collected series (guarded — a series that scales
+    * with rows rather than the calendar aborts loudly). Inputs are
+    * 4-decimal-quantized and every level/trend 1e-6-quantized, so a
+    * DuckDB recursive CTE reproduces the identical trajectory. */
+  def holtForecast(s: SparkSession, dir: String, alpha: Double = 0.5,
+      beta: Double = 0.3, horizon: Int = 7): DataFrame = {
+    def q6(v: Double): Double = math.floor(v * 1e6 + 0.5 + 1e-6) / 1e6
+    def q4(v: Double): Double = math.floor(v * 1e4 + 0.5 + 1e-6) / 1e4
+    val xs = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("x"))
+      .orderBy(col("d"))
+      .collect().map(_.getDouble(1))
+    require(xs.length >= 2 && xs.length <= 100000,
+      s"holtForecast: ${xs.length} daily points — expected a " +
+        "calendar-bounded series")
+    var l = xs(0); var b = q6(xs(1) - xs(0))
+    var t = 1
+    while (t < xs.length) {
+      val nl = q6(alpha * xs(t) + (1 - alpha) * (l + b))
+      b = q6(beta * (nl - l) + (1 - beta) * b)
+      l = nl
+      t += 1
+    }
+    import s.implicits._
+    (1 to horizon).map(h => (h, q4(l + h * b))).toDF("h", "forecast")
+  }
+
   /** Rolling 7-day EXACT median of daily order revenue — the robust
     * smoother (a single spike day moves a 7-day mean by 1/7 of the
     * spike; it moves the median not at all). The window is CALENDAR

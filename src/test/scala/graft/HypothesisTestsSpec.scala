@@ -130,6 +130,27 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(lag0.getAs[Long]("n_days") == common.length)
   }
 
+  test("holtForecast extrapolates linearly: forecast(h) = l + h*b") {
+    val out = Relational.holtForecast(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(out.length == 7)
+    // second differences of a linear extrapolation are zero (up to the
+    // 1e-4 output quantization)
+    val diffs = out.map(_._2).sliding(2).map(p => p(1) - p(0)).toSeq
+    diffs.sliding(2).foreach { p =>
+      assert(math.abs(p(1) - p(0)) < 2e-4, s"not linear: $diffs")
+    }
+  }
+
+  test("sessionCooccurrence: pair counts bounded by each type's sessions") {
+    val out = Behavior.sessionCooccurrence(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1)) // canonical pair order
+      assert(r.getAs[Long]("n_sessions_both") > 0)
+    }
+  }
+
   test("rollingMedianRevenue: calendar window shortens at the series head") {
     val out = Relational.rollingMedianRevenue(spark, dir).collect()
     assert(out.nonEmpty)
