@@ -233,6 +233,23 @@ object ScaleSmoke {
     run("tierHistory")(operators.Behavior.tierHistory(spark, dir))
     run("peakConcurrency")(operators.Behavior.peakConcurrency(spark, dir))
     run("entityMatch")(operators.EntityResolution.customerNameDedup(spark, dir))
+    // This session's additions. naiveBayes: the model stays
+    // vocab-bounded (replication repeats the same vocab), scoring is
+    // doc-token × |langs| map-side — linear. closeness: multi-source
+    // frontier BFS; replication makes factor× disjoint components, so
+    // only the seeds' own components are ever touched — near-flat.
+    // assortativity: two node-keyed joins over a factor×-larger edge
+    // list — linear. mannWhitney: the ranked frame stays NDV-bounded
+    // (same 2-decimal value domain at any factor) — the corpus scan
+    // dominates, the window never grows. sessionCooccur: sessions grow
+    // factor×, per-session pair fan-out constant. minCostSupplier: one
+    // (part,supplier) rollup then argmin — linear, partials map-side.
+    run("naiveBayes")(operators.TextAnalysis.naiveBayesLang(spark, dir))
+    run("closeness")(operators.Graph.closenessCentrality(spark, dir))
+    run("assortativity")(operators.Graph.assortativity(spark, dir))
+    run("mannWhitney")(operators.Behavior.mannWhitney(spark, dir))
+    run("sessionCooccur")(operators.Behavior.sessionCooccurrence(spark, dir))
+    run("minCostSupplier")(operators.Joins.minCostSupplier(spark, dir))
 
     spark.stop()
   }

@@ -548,6 +548,9 @@ object SparkEntry {
     "q_temporal_split"   -> ((s, d) => Relational.temporalSplit(s, d)),
     "q_holt_forecast"    -> ((s, d) => Relational.holtForecast(s, d)),
     "q_session_cooccur"  -> ((s, d) => graft.operators.Behavior.sessionCooccurrence(s, d)),
+    "q_funnel_latency"   -> ((s, d) => graft.operators.Behavior.funnelLatency(s, d)),
+    "q_session_duration" -> ((s, d) => graft.operators.Behavior.sessionDurations(s, d)),
+    "q_return_wilson"    -> ((s, d) => Joins.returnRateWilson(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
     // x 3 records into one day partition, target 4 records/output file
     "q_compaction_plan"  -> ((s, _) => gatePipeline(s).catalog
@@ -1109,8 +1112,8 @@ object SparkEntry {
     "q_bounce_rate" ->
       """WITH e AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |      IS NULL OR epoch(ts) - epoch(lag(ts) OVER
-        |      (PARTITION BY user_id ORDER BY ts)) > 1800
+        |      IS NULL OR date_diff('second', lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts), ts) > 1800
         |    THEN 1 ELSE 0 END AS is_new FROM events),
         |s AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id
         |    ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1335,8 +1338,8 @@ object SparkEntry {
     "q_session_cooccur" ->
       """WITH e AS (SELECT user_id, ts, event_type,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |      IS NULL OR epoch(ts) - epoch(lag(ts) OVER
-        |      (PARTITION BY user_id ORDER BY ts)) > 1800
+        |      IS NULL OR date_diff('second', lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts), ts) > 1800
         |    THEN 1 ELSE 0 END AS is_new FROM events),
         |s AS (SELECT user_id, event_type, SUM(is_new) OVER
         |    (PARTITION BY user_id ORDER BY ts
@@ -1356,6 +1359,67 @@ object SparkEntry {
         |FROM pairs JOIN singles sa ON sa.event_type = type_a
         |  JOIN singles sb ON sb.event_type = type_b, n
         |ORDER BY 1, 2""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS ts_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, v.ts_view, MIN(e.ts) AS ts_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.ts_view
+        |  GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, c.ts_click, MIN(e.ts) AS ts_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+        |  GROUP BY 1, 2)
+        |SELECT 'view_to_click' AS stage_pair,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  floor(quantile_cont(date_diff('second', ts_view, ts_click), 0.5)
+        |    *10000 + 0.5 + 0.000001)/10000 AS p50_secs,
+        |  floor(quantile_cont(date_diff('second', ts_view, ts_click), 0.9)
+        |    *10000 + 0.5 + 0.000001)/10000 AS p90_secs
+        |FROM c
+        |UNION ALL
+        |SELECT 'click_to_purchase',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  floor(quantile_cont(date_diff('second', ts_click, ts_purchase), 0.5)
+        |    *10000 + 0.5 + 0.000001)/10000,
+        |  floor(quantile_cont(date_diff('second', ts_click, ts_purchase), 0.9)
+        |    *10000 + 0.5 + 0.000001)/10000
+        |FROM p
+        |ORDER BY stage_pair""".stripMargin,
+    "q_session_duration" ->
+      """WITH e AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      IS NULL OR date_diff('second', lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts), ts) > 1800
+        |    THEN 1 ELSE 0 END AS is_new FROM events),
+        |s AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS seq FROM e),
+        |sess AS (SELECT user_id, seq, MIN(ts) AS t0, COUNT(*) AS n,
+        |    date_diff('second', MIN(ts), MAX(ts)) AS duration
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(date_trunc('day', t0) AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_multi,
+        |  floor(quantile_cont(duration, 0.5)*10000 + 0.5 + 0.000001)/10000
+        |    AS p50_secs,
+        |  floor(quantile_cont(duration, 0.9)*10000 + 0.5 + 0.000001)/10000
+        |    AS p90_secs
+        |FROM sess WHERE n > 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_return_wilson" ->
+      """WITH a AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_returned
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, n_lines, n_returned,
+        |  floor(n_returned*1.0/n_lines*10000 + 0.5 + 0.000001)/10000
+        |    AS return_rate,
+        |  floor((n_returned*1.0/n_lines + 1.96*1.96/(2.0*n_lines)
+        |    - 1.96*sqrt(n_returned*1.0/n_lines*(1.0 - n_returned*1.0/n_lines)
+        |        /n_lines + 1.96*1.96/(4.0*n_lines*n_lines)))
+        |    / (1.0 + 1.96*1.96/n_lines)
+        |    *10000 + 0.5 + 0.000001)/10000 AS wilson_lb
+        |FROM a ORDER BY wilson_lb DESC, p_brand""".stripMargin,
     // fixture-replay oracle: the gate warehouse ingests 3 hourly
     // commits x 3 records into the 2026-01-01 day partition; packing
     // to 4 records/file must plan (files 1,2 -> bin 0) (file 3 -> bin 1)

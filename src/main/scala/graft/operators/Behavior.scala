@@ -233,6 +233,74 @@ object Behavior {
     perLag.reduce(_ unionByName _).orderBy(col("lag"))
   }
 
+  /** Time-to-convert percentiles between funnel stages — the latency
+    * companion to [[funnelStages]] (counts say WHETHER users convert;
+    * this says HOW FAST). Same earliest-path semantics: each user's
+    * first view, first click AFTER that view, first purchase AFTER
+    * that click; deltas are integer seconds, so the per-stage
+    * percentile interpolates identical inputs in both engines.
+    * Everything is user-keyed mins then one aggregate per stage pair —
+    * no windows, no self-joins on the raw stream. */
+  def funnelLatency(s: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val events = Tables.events(s, dir)
+    def firstAfter(stage: String, prev: DataFrame, prevTs: String) =
+      events.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col(prevTs)), "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id"), col(prevTs))
+        .agg(min(col("ts")).as(s"ts_$stage"))
+    val v = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_view"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = firstAfter(stages(1), v, "ts_view")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = firstAfter(stages(2), c, s"ts_${stages(1)}")
+    def summary(df: DataFrame, from: String, to: String) =
+      df.select((unix_timestamp(col(s"ts_$to")) -
+          unix_timestamp(col(s"ts_$from"))).as("delta"))
+        .agg(count(lit(1)).as("n_users"),
+          round4eps(expr("percentile(delta, 0.5)")).as("p50_secs"),
+          round4eps(expr("percentile(delta, 0.9)")).as("p90_secs"))
+        .select(lit(s"${from}_to_$to").as("stage_pair"),
+          col("n_users"), col("p50_secs"), col("p90_secs"))
+    summary(c, "view", stages(1))
+      .unionByName(summary(p, stages(1), stages(2)))
+      .orderBy(col("stage_pair"))
+  }
+
+  /** Session duration percentiles per day over MULTI-EVENT sessions —
+    * the engagement-depth companion to [[bounceRate]] (bounces have
+    * duration 0 by definition and are ~95% of sessions here; including
+    * them would pin every quantile at 0 — the degenerate report).
+    * Duration is last−first event seconds within the 30-min-gap
+    * session (truncated-second diffs — integer inputs, so both engines
+    * interpolate identically). User-keyed windows, then a
+    * calendar-bounded day rollup. */
+  def sessionDurations(s: SparkSession, dir: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val isNew = when(col("prev_ts").isNull ||
+      unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds,
+      1).otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", isNew)
+      .withColumn("seq", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("seq"))
+      .agg(min(col("ts")).as("t0"), count(lit(1)).as("n"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration"))
+      .filter(col("n") > 1)
+      .groupBy(to_date(col("t0")).as("day"))
+      .agg(count(lit(1)).as("n_multi"),
+        round4eps(expr("percentile(duration, 0.5)")).as("p50_secs"),
+        round4eps(expr("percentile(duration, 0.9)")).as("p90_secs"))
+      .orderBy(col("day"))
+  }
+
   /** Event-type co-occurrence PMI within sessions — which behaviors
     * cluster in the same visit (positive PMI) vs repel (negative):
     * PMI(a,b) = ln(N·n_ab / (n_a·n_b)) over session type-SETS (presence,

@@ -612,6 +612,36 @@ object Joins {
       .orderBy(col("segment"))
   }
 
+  /** Return rate per brand with a Wilson-score lower confidence bound
+    * (z = 1.96) — ranking brands by RAW return share promotes
+    * small-sample flukes (2/2 returned beats 400/1000); the Wilson
+    * lower bound is the standard shrinkage that makes the ranking
+    * sample-size honest. One broadcast part join + one brand-keyed
+    * aggregate; the bound is closed-form arithmetic on exact integer
+    * counts, 4-decimal-quantized at the output only. */
+  def returnRateWilson(s: SparkSession, dir: String,
+      z: Double = 1.96): DataFrame = {
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + 0.5 + 1e-6) / 10000
+    val agg = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"))
+    val n = col("n_lines").cast("double")
+    val phat = col("n_returned").cast("double") / n
+    val z2 = lit(z * z)
+    val wilson = (phat + z2 / (n * 2) -
+      lit(z) * sqrt(phat * (lit(1.0) - phat) / n + z2 / (n * n * 4))) /
+      (lit(1.0) + z2 / n)
+    agg.select(col("p_brand"), col("n_lines"), col("n_returned"),
+        q4(phat).as("return_rate"), q4(wilson).as("wilson_lb"))
+      .orderBy(col("wilson_lb").desc, col("p_brand"))
+  }
+
   /** TPC-H Q2 shape — minimum-cost supplier per part within a region.
     * The testdata has no partsupp, so "supply cost" is the observed
     * average unit price (extendedprice/quantity) per (part, supplier)

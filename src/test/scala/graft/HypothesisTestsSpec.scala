@@ -176,6 +176,53 @@ class HypothesisTestsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelLatency: user counts agree with funnelStages, deltas positive") {
+    val lat = Behavior.funnelLatency(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(lat.keySet === Set("view_to_click", "click_to_purchase"))
+    lat.values.foreach { r =>
+      assert(r.getAs[Long]("n_users") > 0)
+      assert(r.getAs[Double]("p50_secs") > 0.0)
+      assert(r.getAs[Double]("p90_secs") >= r.getAs[Double]("p50_secs"))
+    }
+    // earliest-path semantics shared with funnelStages: stage-2 user
+    // count equals the funnel's click-stage count
+    val stages = Behavior.funnelStages(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(lat("view_to_click").getAs[Long]("n_users") === stages("click"))
+    assert(lat("click_to_purchase").getAs[Long]("n_users") === stages("purchase"))
+  }
+
+  test("sessionDurations: multi-event counts complement bounceRate's") {
+    val dur = Behavior.sessionDurations(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("n_multi")).toMap
+    val bou = Behavior.bounceRate(spark, dir).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("n_sessions") - r.getAs[Long]("n_bounces"))).toMap
+    // every day with a multi-event session agrees; days of pure bounces
+    // are absent from the duration report
+    dur.foreach { case (d, n) => assert(bou(d) === n) }
+    assert(bou.filter(_._2 > 0).keySet === dur.keySet)
+    // durations are positive for multi-event sessions
+    Behavior.sessionDurations(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Double]("p90_secs") >= r.getAs[Double]("p50_secs"))
+      assert(r.getAs[Double]("p50_secs") >= 0.0)
+    }
+  }
+
+  test("returnRateWilson: bound shrinks toward zero and never exceeds phat") {
+    val out = graft.operators.Joins.returnRateWilson(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (rate, lb) = (r.getAs[Double]("return_rate"),
+        r.getAs[Double]("wilson_lb"))
+      assert(lb <= rate + 1e-9, s"wilson above phat: $lb > $rate")
+      assert(lb >= 0.0 - 1e-9)
+      assert(r.getAs[Long]("n_returned") <= r.getAs[Long]("n_lines"))
+    }
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)
