@@ -53,6 +53,13 @@ object ScaleSmoke {
     replicate("part", Seq("p_partkey"), 10000000L)
     replicate("supplier", Seq("s_suppkey"), 10000000L)
     replicate("customer", Seq("c_custkey"), 10000000L)
+    // fixed-cardinality dimensions copy through unreplicated (every
+    // supplier copy keeps its original nationkey, so the dims still
+    // join) — needed by the region/nation-filtered operators
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
     println(s"[scale] corpus ${factor}x at $dir: " +
       s"${Tables.documents(spark, dir).count()} docs, " +
       s"${Tables.embeddings(spark, dir).count()} vectors, " +

@@ -551,6 +551,8 @@ object SparkEntry {
     "q_funnel_latency"   -> ((s, d) => graft.operators.Behavior.funnelLatency(s, d)),
     "q_session_duration" -> ((s, d) => graft.operators.Behavior.sessionDurations(s, d)),
     "q_return_wilson"    -> ((s, d) => Joins.returnRateWilson(s, d)),
+    "q_sample_quantiles" -> ((s, d) => Relational.hashSampleQuantiles(s, d)),
+    "q_top_p_vocab"      -> ((s, d) => TextAnalysis.topPVocab(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
     // x 3 records into one day partition, target 4 records/output file
     "q_compaction_plan"  -> ((s, _) => gatePipeline(s).catalog
@@ -1420,6 +1422,51 @@ object SparkEntry {
         |    / (1.0 + 1.96*1.96/n_lines)
         |    *10000 + 0.5 + 0.000001)/10000 AS wilson_lb
         |FROM a ORDER BY wilson_lb DESC, p_brand""".stripMargin,
+    // the oracle replays the deterministic reservoir verbatim: values
+    // at the k smallest md5-hashes (collisions deduped to min(value)
+    // exactly as the aggregate's admit rule does)
+    "q_sample_quantiles" ->
+      """WITH h AS (SELECT event_type, value,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM events),
+        |dedup AS (SELECT event_type, h, MIN(value) AS v FROM h GROUP BY 1,2),
+        |samp AS (SELECT event_type, v FROM dedup
+        |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |    <= 128),
+        |ex AS (SELECT event_type,
+        |    floor(quantile_cont(value, 0.5)*10000 + 0.5 + 0.000001)/10000
+        |      AS p50_exact,
+        |    floor(quantile_cont(value, 0.95)*10000 + 0.5 + 0.000001)/10000
+        |      AS p95_exact
+        |  FROM h GROUP BY 1),
+        |sq AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+        |    floor(quantile_cont(v, 0.5)*10000 + 0.5 + 0.000001)/10000
+        |      AS p50_sample,
+        |    floor(quantile_cont(v, 0.95)*10000 + 0.5 + 0.000001)/10000
+        |      AS p95_sample
+        |  FROM samp GROUP BY 1)
+        |SELECT event_type, n_sample, p50_sample, p95_sample,
+        |  p50_exact, p95_exact
+        |FROM sq JOIN ex USING(event_type) ORDER BY event_type""".stripMargin,
+    "q_top_p_vocab" ->
+      """WITH cnt AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT lang, w, count(*) AS c FROM cnt GROUP BY 1,2),
+        |r AS (SELECT lang, w, c,
+        |    COALESCE(SUM(c) OVER (PARTITION BY lang
+        |      ORDER BY c DESC, w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    SUM(c) OVER (PARTITION BY lang) AS total_tokens
+        |  FROM c)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+        |  CAST(MAX(total_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN cum_before*2 < total_tokens THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nucleus,
+        |  floor(SUM(CASE WHEN cum_before*2 < total_tokens THEN c ELSE 0 END)
+        |    *1.0/MAX(total_tokens)*10000 + 0.5 + 0.000001)/10000 AS coverage
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // fixture-replay oracle: the gate warehouse ingests 3 hourly
     // commits x 3 records into the 2026-01-01 day partition; packing
     // to 4 records/file must plan (files 1,2 -> bin 0) (file 3 -> bin 1)

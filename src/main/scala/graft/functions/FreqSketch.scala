@@ -231,10 +231,120 @@ case class KmvMins(
   override def prettyName: String = "kmv_mins"
 }
 
+/** Deterministic hash-reservoir sample as a mergeable aggregate:
+  * `hash_reservoir(hash_col, value_col, k) -> array<double>` — the
+  * values attached to the k SMALLEST hashes, i.e. a uniform sample
+  * whose membership is a pure function of the input SET (same rows in,
+  * same sample out, regardless of partitioning, task order, or merge
+  * tree — the property plain reservoir sampling lacks and the reason
+  * an exact SQL oracle can replay this sketch verbatim).
+  *
+  * This is the mergeable-quantile path at 100 TB: exact per-group
+  * percentiles buffer every row of the group; this carries a CONSTANT
+  * k-entry map per partial (update is one comparison at steady state,
+  * merge is union+trim, identical to [[KmvMins]]). Downstream quantile
+  * interpolation over the k sampled values gives ±O(1/√k) rank error —
+  * and because membership is deterministic, the SAMPLE quantiles
+  * themselves are exactly reproducible. Hash collisions (p ≈ n²/2⁶¹)
+  * keep the MINIMUM value for that hash — commutative, so merge order
+  * still cannot change the result. */
+case class HashReservoir(
+    hashChild: Expression,
+    valueChild: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Double]] {
+
+  require(k > 0, s"hash_reservoir needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(hashChild, valueChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Double] =
+    new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+
+  private def admit(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+                    h: Long, v: Double): Unit = {
+    val prev = buf.get(h)
+    if (prev != null) {
+      if (v < prev) { buf.put(h, v); () } // collision: keep min (commutative)
+    } else if (buf.size < k) { buf.put(h, v); () }
+    else if (h < buf.lastKey()) {
+      buf.put(h, v); buf.remove(buf.lastKey()); ()
+    }
+  }
+
+  override def update(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+                      input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val h = hashChild.eval(input)
+    val v = valueChild.eval(input)
+    if (h != null && v != null)
+      admit(buf, h.asInstanceOf[Long], v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeMap[java.lang.Long, java.lang.Double],
+                     b2: java.util.TreeMap[java.lang.Long, java.lang.Double]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      admit(b1, e.getKey.longValue(), e.getValue.doubleValue())
+    }
+    b1
+  }
+
+  /** Values in ascending-hash order — deterministic, and order is
+    * irrelevant to the quantile interpolation downstream. */
+  override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Any = {
+    val out = new Array[Any](buf.size)
+    var i = 0
+    val it = buf.values().iterator()
+    while (it.hasNext) { out(i) = it.next().doubleValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey.longValue()); bb.putDouble(e.getValue.doubleValue())
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+    var i = 0
+    while (i < n) { m.put(bb.getLong, bb.getDouble); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HashReservoir =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HashReservoir =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HashReservoir =
+    copy(hashChild = newChildren(0), valueChild = newChildren(1))
+  override def prettyName: String = "hash_reservoir"
+}
+
 object FreqSketchFunctions {
   import org.apache.spark.sql.{Column, GraftSql}
 
   /** KMV sketch aggregate as a Column — k smallest distinct longs. */
   def kmvMins(h: Column, k: Int): Column =
     GraftSql.column(KmvMins(GraftSql.expression(h), k).toAggregateExpression())
+
+  /** Deterministic hash-reservoir sample — values at the k smallest
+    * hashes, as a Column aggregate. */
+  def hashReservoir(h: Column, v: Column, k: Int): Column =
+    GraftSql.column(HashReservoir(GraftSql.expression(h),
+      GraftSql.expression(v), k).toAggregateExpression())
 }

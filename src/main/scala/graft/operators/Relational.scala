@@ -1831,6 +1831,37 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** Per-type quantiles from the [[graft.functions.HashReservoir]]
+    * sketch, with the exact quantiles as the error anchor. The sketch
+    * is the 100 TB path — exact per-group percentiles buffer every row
+    * of the group, while the reservoir carries k (value, hash) pairs
+    * per partial and merges like any aggregate; membership is a pure
+    * function of the input set (k smallest md5-hashes), so the sample
+    * quantiles are exactly reproducible and the DuckDB oracle replays
+    * them verbatim with ORDER BY hash LIMIT k. The exact side here is
+    * the gate's comparison anchor, not the production plan. */
+  def hashSampleQuantiles(s: SparkSession, dir: String,
+      k: Int = 128): DataFrame = {
+    val h = conv(substring(md5(col("event_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.FreqSketchFunctions
+          .hashReservoir(h, col("value"), k).as("sample"),
+        round4eps(expr("percentile(value, 0.5)")).as("p50_exact"),
+        round4eps(expr("percentile(value, 0.95)")).as("p95_exact"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        explode(col("sample")).as("v"))
+      .groupBy(col("event_type"), col("p50_exact"), col("p95_exact"))
+      .agg(count(lit(1)).as("n_sample"),
+        round4eps(expr("percentile(v, 0.5)")).as("p50_sample"),
+        round4eps(expr("percentile(v, 0.95)")).as("p95_sample"))
+      .select(col("event_type"), col("n_sample"),
+        col("p50_sample"), col("p95_sample"),
+        col("p50_exact"), col("p95_exact"))
+      .orderBy(col("event_type"))
+  }
+
   /** Holt's linear (double) exponential smoothing over daily revenue
     * with a 7-day-ahead forecast — the workhorse short-horizon
     * forecaster between naive-last-value and a full seasonal model:

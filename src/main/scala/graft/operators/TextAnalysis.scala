@@ -1147,6 +1147,35 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Top-p (nucleus) vocabulary per language at p = 0.5: the smallest
+    * prefix of the frequency-sorted vocabulary covering half the token
+    * mass — how concentrated each language's usage is (a tiny nucleus
+    * = boilerplate-heavy corpus; cf. nucleus sampling, Holtzman 2020).
+    * The keep test is EXACT integer arithmetic (2·cum_before < total —
+    * no float boundary at any scale); the window orders the
+    * vocab-bounded count frame keyed by language. */
+  def topPVocab(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cnt.groupBy(col("lang")).agg(sum(col("c")).as("total_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("w"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cnt
+      .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .join(broadcast(totals), "lang")
+      .withColumn("kept", col("cum_before") * 2 < col("total_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab_size"),
+        max(col("total_tokens")).as("total_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_nucleus"),
+        round4eps(sum(when(col("kept"), col("c")).otherwise(0L))
+          .cast("double") / max(col("total_tokens"))).as("coverage"))
+      .orderBy(col("lang"))
+  }
+
   /** Multinomial Naive Bayes language classifier, trained and
     * evaluated in-corpus (the counts-only classical baseline every
     * fancier lang-ID is benchmarked against). Per-language token

@@ -67,4 +67,43 @@ class FreqSketchSpec extends AnyFunSuite {
     else // 5σ at k=256 ≈ 31% — loose enough to never flake, still real
       assert(math.abs(est - exact) / exact < 0.3125, s"est $est vs $exact")
   }
+
+  test("hash_reservoir: membership is a pure function of the input set") {
+    import graft.functions.FreqSketchFunctions.hashReservoir
+    val data = (1L to 1000L).map(i => (i * 2654435761L % 100003L, i * 0.5))
+    def sample(parts: Int): Seq[Double] = data.toDF("h", "v")
+      .repartition(parts)
+      .agg(hashReservoir(col("h"), col("v"), 32).as("s"))
+      .select(explode(col("s")).as("v")).as[Double].collect().toSeq
+    // identical sample under 1, 3, and 17 partitions (merge-tree shapes)
+    val one = sample(1)
+    assert(sample(3) === one)
+    assert(sample(17) === one)
+    // and it IS the k-smallest-hash rule
+    val want = data.sortBy(_._1).take(32).map(_._2)
+    assert(one.toSet === want.toSet)
+  }
+
+  test("hash_reservoir: collision keeps the minimum value, merge-order-free") {
+    import graft.functions.FreqSketchFunctions.hashReservoir
+    val data = Seq((5L, 9.0), (5L, 1.0), (7L, 3.0), (5L, 4.0))
+    (1 to 4).foreach { parts =>
+      val out = data.toDF("h", "v").repartition(parts)
+        .agg(hashReservoir(col("h"), col("v"), 8).as("s"))
+        .select(explode(col("s")).as("v")).as[Double].collect().toSet
+      assert(out === Set(1.0, 3.0), s"parts=$parts gave $out")
+    }
+  }
+
+  test("hashSampleQuantiles: sample quantiles near exact, counts capped") {
+    val out = operators.Relational.hashSampleQuantiles(s, TestSpark.sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_sample") <= 128L)
+      // rank error O(1/sqrt(k)); values span ~[0,500] — generous band
+      assert(math.abs(r.getAs[Double]("p50_sample") -
+        r.getAs[Double]("p50_exact")) <= 150.0)
+    }
+  }
 }

@@ -454,6 +454,17 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"NB diagonal $correct under majority baseline $biggestClass")
   }
 
+  test("topPVocab: nucleus covers at least half the mass, minimally") {
+    val rows = graft.operators.TextAnalysis.topPVocab(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the crossing token is included, so coverage >= 0.5 ...
+      assert(r.getAs[Double]("coverage") >= 0.5 - 1e-9)
+      assert(r.getAs[Long]("n_nucleus") >= 1L)
+      assert(r.getAs[Long]("n_nucleus") <= r.getAs[Long]("vocab_size"))
+    }
+  }
+
   test("jsDivergence: bounded by ln 2, symmetric in construction") {
     val rows = graft.operators.TextAnalysis.jsDivergence(spark, dir).collect()
     assert(rows.length === 4)
