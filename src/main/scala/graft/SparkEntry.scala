@@ -276,6 +276,25 @@ object SparkEntry {
           min(col("price_usd")).as("min_usd"),
           max(col("price_usd")).as("max_usd"))
     }),
+    // Snapshot rollback: rolling the raw table back to snapshot 2 must
+    // leave EXACTLY the tableAsOf(2) contents (same VALUES oracle as
+    // q_pipeline_asof). Builds its OWN fixture — rollback mutates the
+    // warehouse, and the shared gate fixture must stay pristine.
+    "q_pipeline_rollback" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val wh = java.nio.file.Files.createTempDirectory("graft-rb-wh").toString
+      val p = new graft.pipeline.Pipeline(s, wh)
+      (1 to 3).foreach { h =>
+        p.runOnceIncremental(Some(
+          java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")))
+      }
+      p.catalog.rollbackTo("raw.bitcoin_prices", 2L)
+      p.catalog.table("raw.bitcoin_prices")
+        .groupBy(col("source").as("data_source"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("price_usd")).as("min_usd"),
+          max(col("price_usd")).as("max_usd"))
+    }),
     // Data-quality report (the reference's dbt-test stage, queryable)
     "q_dq_checks"        -> (graft.pipeline.Checks.eventsReport _),
     // Text analysis
@@ -553,6 +572,8 @@ object SparkEntry {
     "q_return_wilson"    -> ((s, d) => Joins.returnRateWilson(s, d)),
     "q_sample_quantiles" -> ((s, d) => Relational.hashSampleQuantiles(s, d)),
     "q_top_p_vocab"      -> ((s, d) => TextAnalysis.topPVocab(s, d)),
+    "q_calendar_fill"    -> ((s, d) => Relational.calendarFill(s, d)),
+    "q_recency_pop"      -> ((s, d) => Relational.recencyPopularity(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
     // x 3 records into one day partition, target 4 records/output file
     "q_compaction_plan"  -> ((s, _) => gatePipeline(s).catalog
@@ -1422,6 +1443,40 @@ object SparkEntry {
         |    / (1.0 + 1.96*1.96/n_lines)
         |    *10000 + 0.5 + 0.000001)/10000 AS wilson_lb
         |FROM a ORDER BY wilson_lb DESC, p_brand""".stripMargin,
+    // rollbackTo(2) must equal tableAsOf(2): same constants as
+    // q_pipeline_asof
+    "q_pipeline_rollback" ->
+      """SELECT data_source, n_rows, min_usd, max_usd FROM (VALUES
+        |  ('coingecko', CAST(2 AS BIGINT), CAST(50000.0 AS DOUBLE),
+        |    CAST(50125.0 AS DOUBLE)),
+        |  ('coincap', CAST(2 AS BIGINT), CAST(50012.5 AS DOUBLE),
+        |    CAST(50137.5 AS DOUBLE)),
+        |  ('blockchain_info', CAST(2 AS BIGINT), CAST(49992.75 AS DOUBLE),
+        |    CAST(50117.75 AS DOUBLE)))
+        |  AS t(data_source, n_rows, min_usd, max_usd)""".stripMargin,
+    "q_calendar_fill" ->
+      """WITH b AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+        |    CAST(date_trunc('day', max(ts)) AS DATE) AS d1 FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::DATE AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT days.day, types.event_type,
+        |  CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+        |FROM days CROSS JOIN types
+        |LEFT JOIN daily ON daily.day = days.day
+        |  AND daily.event_type = types.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "q_recency_pop" ->
+      """WITH m AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS dmax
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  floor(SUM(pow(0.9, date_diff('day',
+        |    CAST(date_trunc('day', ts) AS DATE), dmax)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS decay_score
+        |FROM events, m GROUP BY 1
+        |ORDER BY decay_score DESC, event_type""".stripMargin,
     // the oracle replays the deterministic reservoir verbatim: values
     // at the k smallest md5-hashes (collisions deduped to min(value)
     // exactly as the aggregate's admit rule does)

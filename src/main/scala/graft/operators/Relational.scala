@@ -1831,6 +1831,47 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** Dense calendar × type grid with zero-filled counts — the report
+    * shape dashboards need (a day with no errors must PLOT as 0, not
+    * vanish; gaps silently disappear from a plain GROUP BY). The spine
+    * is generated (sequence + explode from one 2-value scalar row ×
+    * the bounded type dim), never scanned; the fact side collapses to
+    * the daily grain before the left join. */
+  def calendarFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.agg(to_date(min(col("ts"))).as("d0"),
+      to_date(max(col("ts"))).as("d1"))
+    val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val daily = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    days.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Recency-weighted popularity: per event type, Σ decay^(days before
+    * the corpus max day) — yesterday counts 0.9×, last week ~0.48×.
+    * The freshness-aware ranking signal (trending vs merely big). One
+    * scalar for the anchor day, then a single map-side weight per row
+    * into a type-keyed aggregate; the decayed sum partials combine
+    * map-side like any sum. */
+  def recencyPopularity(s: SparkSession, dir: String,
+      decay: Double = 0.9): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val maxDay = ev.agg(to_date(max(col("ts"))).as("dmax"))
+    ev.crossJoin(broadcast(maxDay))
+      .select(col("event_type"),
+        pow(lit(decay), datediff(col("dmax"), to_date(col("ts"))))
+          .as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round4eps(sum(col("w"))).as("decay_score"))
+      .orderBy(col("decay_score").desc, col("event_type"))
+  }
+
   /** Per-type quantiles from the [[graft.functions.HashReservoir]]
     * sketch, with the exact quantiles as the error anchor. The sketch
     * is the 100 TB path — exact per-group percentiles buffer every row

@@ -36,7 +36,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   private def partitionColFor(ts: String) =
     graft.plans.HiddenPartitionPruning.Prefix + ts
 
-  private def tablePath(name: String): String = {
+  private[graft] def tablePath(name: String): String = {
     val parts = name.split('.')
     require(parts.length == 2, s"expected namespace.table, got $name")
     s"$warehouseDir/${parts(0)}/${parts(1)}"
@@ -235,6 +235,56 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
         s"(rewrite snapshot ${rewriteFloor(name)}) — its files were folded away")
     val filtered = df.filter(col(commitCol) <= snapshotId)
     filtered.drop(df.columns.filter(hiddenCol).toSeq: _*)
+  }
+
+  /** Roll an append table back to `snapshotId` — the Iceberg
+    * `rollback_to_snapshot` analog: commits AFTER the target stop
+    * being readable and their files are removed; history at or before
+    * the target is untouched (tableAsOf(m ≤ target) still works; later
+    * ids resolve to the target state, exactly like Iceberg dropping
+    * the rolled-back snapshots). Returns the number of rows removed.
+    *
+    * Crash safety: doomed commits are removed NEWEST FIRST, each by
+    * atomic retire-rename (readers never see a partial dir) then
+    * purge — any crash leaves a contiguous, valid table state and a
+    * re-run completes the rollback; leftover retired dirs are hidden
+    * from readers and swept on entry. */
+  def rollbackTo(name: String, snapshotId: Long): Long = {
+    recoverDeletes(name)
+    val df = readTable(name)
+    require(df.columns.contains(commitCol),
+      s"$name has no commit history (CTAS tables hold only their latest state)")
+    require(snapshotId >= rewriteFloor(name),
+      s"$name snapshot $snapshotId predates the last compaction " +
+        s"(rewrite snapshot ${rewriteFloor(name)}) — its files were folded away")
+    // sweep retired dirs from a previously-crashed rollback
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath(name))
+    val st0 = Files.list(root)
+    try st0.iterator().asScala.toList
+      .filter(_.getFileName.toString.startsWith(".rollback_old_"))
+      .foreach(deleteRecursive)
+    finally st0.close()
+    val st = Files.list(root)
+    val doomed = try st.iterator().asScala.toList
+      .filter { p =>
+        val n0 = p.getFileName.toString
+        n0.startsWith(s"$commitCol=") &&
+          n0.substring(commitCol.length + 1).toLong > snapshotId
+      }
+      .sortBy(p => -p.getFileName.toString.substring(commitCol.length + 1).toLong)
+    finally st.close()
+    if (doomed.isEmpty) return 0L
+    var removed = 0L
+    doomed.foreach { commitDir =>
+      removed += parquetRowCount(commitDir.toString)
+      val retired = Paths.get(
+        s"${tablePath(name)}/.rollback_old_${commitDir.getFileName}")
+      Files.move(commitDir, retired) // atomic retire — readers skip dot-dirs
+      deleteRecursive(retired)       // purge
+    }
+    logSnapshot(name, "rollback", -removed)
+    removed
   }
 
   /** S6 — the `table.snapshots` metadata scan (reference README.md:301):

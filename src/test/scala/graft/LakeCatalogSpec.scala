@@ -386,6 +386,37 @@ class LakeCatalogSpec extends AnyFunSuite {
       === Set(2L, 3L))
   }
 
+  test("rollbackTo drops newer commits, keeps history, and is idempotent") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-rb"))
+    cat.createNamespace("raw")
+    (1 to 3).foreach { i =>
+      cat.append("raw.r", Seq((i.toLong, s"v$i")).toDF("id", "payload"))
+    }
+    assert(cat.table("raw.r").count() === 3L)
+    // simulate a crashed earlier rollback: a leftover retired dir must
+    // be invisible to readers and swept on the next rollback
+    val junk = java.nio.file.Paths.get(
+      cat.tablePath("raw.r"), ".rollback_old_junk")
+    java.nio.file.Files.createDirectories(junk)
+    assert(cat.rollbackTo("raw.r", 2L) === 1L)
+    assert(!java.nio.file.Files.exists(junk))
+    assert(TestSpark.collectSet[Long](cat.table("raw.r").select("id"), "id")
+      === Set(1L, 2L))
+    // history at or before the target is intact
+    assert(TestSpark.collectSet[Long](
+      cat.tableAsOf("raw.r", 1L).select("id"), "id") === Set(1L))
+    // later ids resolve to the target state
+    assert(cat.tableAsOf("raw.r", 3L).count() === 2L)
+    // the log records the rollback; re-running removes nothing
+    assert(cat.snapshots("raw.r").filter(col("operation") === "rollback")
+      .count() === 1L)
+    assert(cat.rollbackTo("raw.r", 2L) === 0L)
+    // appends after a rollback keep working and get fresh ids
+    cat.append("raw.r", Seq((9L, "v9")).toDF("id", "payload"))
+    assert(cat.table("raw.r").count() === 3L)
+  }
+
   test("compactionPlan packs within partitions, conserves files and records") {
     import spark.implicits._
     val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-compact"))
