@@ -574,6 +574,8 @@ object SparkEntry {
     "q_top_p_vocab"      -> ((s, d) => TextAnalysis.topPVocab(s, d)),
     "q_calendar_fill"    -> ((s, d) => Relational.calendarFill(s, d)),
     "q_recency_pop"      -> ((s, d) => Relational.recencyPopularity(s, d)),
+    "q_embedding_drift"  -> ((s, d) => Similarity.embeddingDrift(s, d)),
+    "q_props_profile"    -> ((s, d) => Relational.propsProfile(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
     // x 3 records into one day partition, target 4 records/output file
     "q_compaction_plan"  -> ((s, _) => gatePipeline(s).catalog
@@ -4383,5 +4385,40 @@ object SparkEntry {
         |     * sqrt(list_dot_product(b.centroid, b.centroid)))
         |  * 10000 + 0.5 + 0.000001) / 10000 AS centroid_cosine
         |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin,
+    "q_embedding_drift" ->
+      """WITH e AS (SELECT label,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS half,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |u AS (SELECT label, half, generate_subscripts(v, 1) AS i,
+        |    unnest(v) AS x FROM e),
+        |c AS (SELECT label, half, i, AVG(x) AS cx FROM u GROUP BY 1,2,3),
+        |cent AS (SELECT label, half, list(cx ORDER BY i) AS centroid
+        |  FROM c GROUP BY 1, 2),
+        |n AS (SELECT label, half, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT a.label AS label,
+        |  na.n AS n_even, nb.n AS n_odd,
+        |  floor(list_dot_product(a.centroid, b.centroid)
+        |    / (sqrt(list_dot_product(a.centroid, a.centroid))
+        |       * sqrt(list_dot_product(b.centroid, b.centroid)))
+        |    * 10000 + 0.5 + 0.000001) / 10000 AS half_cosine
+        |FROM cent a JOIN cent b ON a.label = b.label
+        |  AND a.half = 'even' AND b.half = 'odd'
+        |JOIN n na ON na.label = a.label AND na.half = 'even'
+        |JOIN n nb ON nb.label = a.label AND nb.half = 'odd'
+        |ORDER BY a.label""".stripMargin,
+    "q_props_profile" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+        |  CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS ndv_k,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS min_k,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS max_k,
+        |  floor(AVG(CAST(json_extract(props, '$.k') AS BIGINT))
+        |    *10000 + 0.5 + 0.000001)/10000 AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

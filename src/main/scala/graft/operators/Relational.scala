@@ -1831,6 +1831,25 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** Schema-on-read profiling of the `props` JSON payload column: one
+    * typed parse per row (from_json with an explicit schema — N
+    * JSONPath extractions would re-parse N times), then a per-type
+    * profile of the extracted field (null share, ndv, bounds, mean).
+    * The pattern every semi-structured event pipeline starts with:
+    * pin the payload's actual shape before trusting it. */
+  def propsProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("j", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("j.k").isNull.cast("long")).as("n_null_k"),
+        countDistinct(col("j.k")).as("ndv_k"),
+        min(col("j.k")).as("min_k"),
+        max(col("j.k")).as("max_k"),
+        round4eps(avg(col("j.k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+
   /** Dense calendar × type grid with zero-filled counts — the report
     * shape dashboards need (a day with no errors must PLOT as 0, not
     * vanish; gaps silently disappear from a plain GROUP BY). The spine

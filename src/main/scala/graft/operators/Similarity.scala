@@ -783,6 +783,32 @@ object Similarity {
         coalesce(col("r_vec"), lit(0)).as("r_vec"))
   }
 
+  /** Embedding drift monitor: per label, the cosine between the
+    * centroid of the even-id half and the odd-id half of the corpus —
+    * the acceptance check run when a new embedding batch lands (a
+    * healthy homogeneous label shows near-1 self-similarity; a drop
+    * means the new batch moved, e.g. an encoder version change).
+    * Same one-pass keyed vecSum dataflow as [[centroidCosine]] — the
+    * split just adds a map-side half key; centroids are
+    * dimension-bounded rows, everything after is constant-size. */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val halves = corpus(s, dir)
+      .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("half", when(col("vec_id") % 2 === 0, "even").otherwise("odd"))
+      .groupBy(col("label"), col("half"))
+      .agg(count(lit(1)).as("n"), vecSum(col("emb_d")).as("sums"))
+      .withColumn("centroid", transform(col("sums"), x => x / col("n")))
+      .select(col("label"), col("half"), col("n"), col("centroid"))
+    val a = halves.filter(col("half") === "even")
+      .select(col("label"), col("n").as("n_even"), col("centroid").as("ca"))
+    val b = halves.filter(col("half") === "odd")
+      .select(col("label"), col("n").as("n_odd"), col("centroid").as("cb"))
+    a.join(b, "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round4eps(cosine(col("ca"), col("cb"))).as("half_cosine"))
+      .orderBy(col("label"))
+  }
+
   /** Matryoshka truncation audit: does the top-1 neighbor under the
     * FIRST-HALF prefix of each embedding agree with the full-dimension
     * top-1 (Kusupati et al. 2022 — MRL embeddings are consumed

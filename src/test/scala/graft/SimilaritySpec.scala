@@ -295,4 +295,19 @@ class SimilaritySpec extends AnyFunSuite {
     val perQuery = rows.groupBy(_.getAs[Long]("query_id")).values.map(_.length)
     assert(perQuery.forall(_ == Similarity.K))
   }
+
+  test("embeddingDrift: halves partition each label; cosine bounded") {
+    val sf = TestSpark.sfDir
+    val out = Similarity.embeddingDrift(spark, sf).collect()
+    assert(out.nonEmpty)
+    val perLabel = Tables.embeddings(spark, sf)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_even") + r.getAs[Long]("n_odd") ===
+        perLabel(r.getInt(0)))
+      val c = r.getAs[Double]("half_cosine")
+      assert(c >= -1.0 && c <= 1.0 + 1e-9)
+    }
+  }
 }
