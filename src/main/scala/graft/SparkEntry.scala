@@ -576,6 +576,10 @@ object SparkEntry {
     "q_recency_pop"      -> ((s, d) => Relational.recencyPopularity(s, d)),
     "q_embedding_drift"  -> ((s, d) => Similarity.embeddingDrift(s, d)),
     "q_props_profile"    -> ((s, d) => Relational.propsProfile(s, d)),
+    "q_diff_in_diff"     -> ((s, d) => graft.operators.Behavior.diffInDiff(s, d)),
+    "q_runs_test"        -> ((s, d) => Relational.runsTest(s, d)),
+    "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
+    "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
     // x 3 records into one day partition, target 4 records/output file
     "q_compaction_plan"  -> ((s, _) => gatePipeline(s).catalog
@@ -4407,6 +4411,88 @@ object SparkEntry {
         |JOIN n na ON na.label = a.label AND na.half = 'even'
         |JOIN n nb ON nb.label = a.label AND nb.half = 'odd'
         |ORDER BY a.label""".stripMargin,
+    "q_diff_in_diff" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+        |  FROM events WHERE event_type IN ('purchase','view')
+        |  GROUP BY 1, 2),
+        |lab AS (SELECT event_type,
+        |    CASE WHEN d >= DATE '2024-01-16' THEN 'post' ELSE 'pre' END
+        |      AS period, n FROM daily),
+        |m AS (SELECT event_type, period, AVG(n) AS mu, COUNT(*) AS nd,
+        |    var_samp(n) AS v FROM lab GROUP BY 1, 2)
+        |SELECT
+        |  floor(((pa.mu-qa.mu)-(pb.mu-qb.mu))*10000 + 0.5 + 0.000001)/10000
+        |    AS did_estimate,
+        |  floor(sqrt(pa.v/pa.nd + qa.v/qa.nd + pb.v/pb.nd + qb.v/qb.nd)
+        |    *10000 + 0.5 + 0.000001)/10000 AS se,
+        |  CAST(pa.nd + qa.nd + pb.nd + qb.nd AS BIGINT) AS n_days
+        |FROM m pa, m qa, m pb, m qb
+        |WHERE pa.event_type = 'purchase' AND pa.period = 'post'
+        |  AND qa.event_type = 'purchase' AND qa.period = 'pre'
+        |  AND pb.event_type = 'view' AND pb.period = 'post'
+        |  AND qb.event_type = 'view' AND qb.period = 'pre'""".stripMargin,
+    "q_runs_test" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE)
+        |    AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT quantile_cont(rev, 0.5) AS m FROM daily),
+        |s AS (SELECT d, CASE WHEN rev > m THEN 1 ELSE 0 END AS sgn
+        |  FROM daily, med WHERE rev <> m),
+        |r AS (SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY d) IS NULL
+        |    OR sgn <> lag(sgn) OVER (ORDER BY d) THEN 1 ELSE 0 END AS nr
+        |  FROM s),
+        |agg AS (SELECT SUM(nr) AS runs, SUM(sgn) AS n1,
+        |    COUNT(*) - SUM(sgn) AS n2 FROM r)
+        |SELECT CAST(runs AS BIGINT) AS n_runs, CAST(n1 AS BIGINT) AS n_above,
+        |  CAST(n2 AS BIGINT) AS n_below,
+        |  floor((runs - (2.0*n1*n2/(n1+n2) + 1)) /
+        |    sqrt(2.0*n1*n2*(2.0*n1*n2 - n1 - n2)
+        |      / ((n1+n2)*(n1+n2)*(n1+n2-1)))*10000 + 0.5 + 0.000001)/10000
+        |    AS z_score
+        |FROM agg""".stripMargin,
+    "q_modularity" ->
+      """WITH pr AS (SELECT cn.n_nationkey AS a, sn.n_nationkey AS b,
+        |    cn.n_regionkey AS ra, sn.n_regionkey AS rb, count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE cn.n_nationkey <> sn.n_nationkey GROUP BY 1,2,3,4),
+        |e AS (SELECT ra, rb, w FROM pr
+        |  UNION ALL SELECT rb, ra, w FROM pr),
+        |m AS (SELECT SUM(w) AS m2 FROM e),
+        |din AS (SELECT SUM(CASE WHEN ra = rb THEN w ELSE 0 END) AS ein2
+        |  FROM e),
+        |deg AS (SELECT ra, SUM(w) AS dc FROM e GROUP BY 1),
+        |dt AS (SELECT SUM(dc*dc*1.0/(m2*m2)) AS dterm FROM deg, m)
+        |SELECT floor((ein2*1.0/m2 - dterm)*10000 + 0.5 + 0.000001)/10000
+        |    AS modularity,
+        |  CAST(m2/2 AS BIGINT) AS n_edges
+        |FROM din, m, dt""".stripMargin,
+    "q_heaps_law" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(
+        |    [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])
+        |    AS sh FROM w),
+        |first AS (SELECT sh, MIN(doc_id) AS fd FROM tok GROUP BY 1),
+        |mx AS (SELECT MAX(doc_id)+1 AS m FROM documents),
+        |bt AS (SELECT CAST(floor(doc_id*16/m) AS BIGINT) AS b,
+        |    count(*) AS toks FROM tok, mx GROUP BY 1),
+        |bn AS (SELECT CAST(floor(fd*16/m) AS BIGINT) AS b,
+        |    count(*) AS newtoks FROM first, mx GROUP BY 1),
+        |cum AS (SELECT bt.b, SUM(toks) OVER (ORDER BY bt.b) AS cum_tokens,
+        |    SUM(COALESCE(newtoks, 0)) OVER (ORDER BY bt.b) AS cum_vocab
+        |  FROM bt LEFT JOIN bn ON bt.b = bn.b),
+        |lg AS (SELECT ln(cum_tokens) AS x, ln(cum_vocab) AS y FROM cum)
+        |SELECT floor(regr_slope(y, x)*10000 + 0.5 + 0.000001)/10000
+        |    AS heaps_beta,
+        |  floor(regr_intercept(y, x)*10000 + 0.5 + 0.000001)/10000 AS log_k,
+        |  CAST(count(*) AS BIGINT) AS n_points
+        |FROM lg""".stripMargin,
     "q_props_profile" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL

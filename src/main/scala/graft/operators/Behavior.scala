@@ -301,6 +301,39 @@ object Behavior {
       .orderBy(col("day"))
   }
 
+  /** Difference-in-differences estimate between a treated and a
+    * control event series around a cutover date: DiD = (post−pre of
+    * treated) − (post−pre of control), with the unpooled-variance
+    * standard error — the first-line causal read on "did the launch
+    * move purchases beyond the ambient trend views also show". The
+    * corpus collapses to (type, day) means in one pass; the estimate
+    * is arithmetic over FOUR aggregate rows. */
+  def diffInDiff(s: SparkSession, dir: String,
+      treated: String = "purchase", control: String = "view",
+      cutover: String = "2024-01-16"): DataFrame = {
+    val m = Tables.events(s, dir)
+      .filter(col("event_type").isin(treated, control))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("period",
+        when(col("d") >= lit(cutover).cast("date"), "post").otherwise("pre"))
+      .groupBy(col("event_type"), col("period"))
+      .agg(avg(col("n")).as("mu"), count(lit(1)).as("nd"),
+        var_samp(col("n")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    def q4(x: Double): Double = math.floor(x * 1e4 + 0.5 + 1e-6) / 1e4
+    val (pa, qa) = (m((treated, "post")), m((treated, "pre")))
+    val (pb, qb) = (m((control, "post")), m((control, "pre")))
+    val est = (pa._1 - qa._1) - (pb._1 - qb._1)
+    val se = math.sqrt(pa._3 / pa._2 + qa._3 / qa._2 +
+      pb._3 / pb._2 + qb._3 / qb._2)
+    import s.implicits._
+    Seq((q4(est), q4(se), pa._2 + qa._2 + pb._2 + qb._2))
+      .toDF("did_estimate", "se", "n_days")
+  }
+
   /** Event-type co-occurrence PMI within sessions — which behaviors
     * cluster in the same visit (positive PMI) vs repel (negative):
     * PMI(a,b) = ln(N·n_ab / (n_a·n_b)) over session type-SETS (presence,

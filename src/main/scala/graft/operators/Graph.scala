@@ -620,6 +620,49 @@ object Graph {
       .orderBy(col("seed_custkey"))
   }
 
+  /** Newman modularity of the REGION partition over the nation-level
+    * trade multigraph: Q = Σ_c (e_c/m − (d_c/2m)²) — do nations trade
+    * more within their region than a degree-preserving random graph
+    * would (Q>0), or is trade region-blind (Q≈0)? The community
+    * assignment is the known region dimension, so the gate needs no
+    * clustering replay; edges keep multiplicity (each distinct
+    * customer→supplier nation pair per order line), making this the
+    * WEIGHTED modularity of trade volume by count. One fact-scan
+    * rollup to nation-pair grain; everything after is
+    * |nations|²-bounded. */
+  def regionModularity(s: SparkSession, dir: String): DataFrame = {
+    val pr = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("a"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("b"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("a") =!= col("b"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("a"), col("n_regionkey").as("ra"))), "a")
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("b"), col("n_regionkey").as("rb"))), "b")
+      .groupBy(col("a"), col("b"), col("ra"), col("rb"))
+      .agg(count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // doubled (undirected) edge list at nation-pair grain — bounded
+    val e = pr.select(col("ra"), col("rb"), col("w"))
+      .unionByName(pr.select(col("rb").as("ra"), col("ra").as("rb"), col("w")))
+    val m2 = e.agg(sum(col("w")).as("m2"))
+    val ein = e.filter(col("ra") === col("rb")).agg(sum(col("w")).as("ein2"))
+    val deg = e.groupBy(col("ra")).agg(sum(col("w")).as("dc"))
+    val degTerm = deg.crossJoin(broadcast(m2))
+      .agg(sum(col("dc") * col("dc") /
+        (col("m2").cast("double") * col("m2"))).as("dterm"))
+    ein.crossJoin(broadcast(m2)).crossJoin(broadcast(degTerm))
+      .select(
+        round4eps(col("ein2").cast("double") / col("m2") - col("dterm"))
+          .as("modularity"),
+        (col("m2") / 2).cast("long").as("n_edges"))
+  }
+
   /** Degree assortativity of the undirected trade graph — the Pearson
     * correlation of endpoint degrees over edges (Newman 2002). A
     * bipartite customer↔supplier graph is strongly DISASSORTATIVE

@@ -1831,6 +1831,38 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** Wald–Wolfowitz runs test on daily revenue vs its median — the
+    * randomness screen (too FEW runs = sticky regimes/trend, too MANY
+    * = oscillation; |z| < 2 ⇒ consistent with independence). Days
+    * equal to the median are excluded (standard two-sample coding).
+    * The daily collapse is the only corpus-scan; the run count is one
+    * lag over the calendar-bounded series; the z is closed-form in
+    * exact integer counts. */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = daily.agg(expr("percentile(rev, 0.5)").as("m"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("rev") =!= col("m"))
+      .select(col("d"), when(col("rev") > col("m"), 1L).otherwise(0L).as("sgn"))
+    val w = Window.orderBy(col("d")) // calendar-bounded frame
+    val agg = signed
+      .withColumn("nr", when(lag(col("sgn"), 1).over(w).isNull ||
+        col("sgn") =!= lag(col("sgn"), 1).over(w), 1L).otherwise(0L))
+      .agg(sum(col("nr")).as("runs"), sum(col("sgn")).as("n1"),
+        (count(lit(1)) - sum(col("sgn"))).as("n2"))
+    val (r, n1, n2) = (col("runs").cast("double"),
+      col("n1").cast("double"), col("n2").cast("double"))
+    agg.select(col("runs").as("n_runs"), col("n1").as("n_above"),
+      col("n2").as("n_below"),
+      round4eps((r - (n1 * n2 * 2 / (n1 + n2) + 1)) /
+        sqrt(n1 * n2 * 2 * (n1 * n2 * 2 - n1 - n2) /
+          ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))).as("z_score"))
+  }
+
   /** Schema-on-read profiling of the `props` JSON payload column: one
     * typed parse per row (from_json with an explicit schema — N
     * JSONPath extractions would re-parse N times), then a per-type

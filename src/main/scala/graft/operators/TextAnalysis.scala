@@ -1147,6 +1147,48 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Heaps' law fit over trigram shingles: cumulative vocabulary V vs
+    * cumulative tokens N at 16 doc-id checkpoints, log-log regression
+    * → V ≈ K·N^β (β ≈ 0.8 for natural text; β → 0 means the corpus
+    * stopped saying new things — a saturation/duplication signal).
+    *
+    * The prefix-distinct counts that make naive Heaps curves
+    * quadratic are avoided entirely: each shingle contributes ONE row
+    * (its FIRST doc id — a single grouped min), cumulative vocabulary
+    * is then a 16-row running sum of new-shingle counts per bucket.
+    * Corpus work is two keyed aggregates; the regression sees 16
+    * points. */
+  def heapsLaw(s: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sequence(a, b) DESCENDS when a > b (the round-8 gotcha): docs
+    // shorter than the shingle width must yield an empty array, not a
+    // negative-index slice
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
+          "transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) " +
+          "ELSE array() END")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = Tables.documents(s, dir)
+      .agg((max(col("doc_id")) + 1).as("m"))
+    def bucket(c: org.apache.spark.sql.Column) =
+      floor(c * buckets / col("m")).cast("long")
+    val bt = tok.crossJoin(broadcast(mx))
+      .groupBy(bucket(col("doc_id")).as("b")).agg(count(lit(1)).as("toks"))
+    val bn = tok.groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucket(col("fd")).as("b")).agg(count(lit(1)).as("newtoks"))
+    val w = Window.orderBy(col("b")) // `buckets`-row frame
+    val cum = bt.join(bn, Seq("b"), "left")
+      .withColumn("cum_tokens", sum(col("toks")).over(w))
+      .withColumn("cum_vocab", sum(coalesce(col("newtoks"), lit(0L))).over(w))
+      .select(log(col("cum_tokens")).as("x"), log(col("cum_vocab")).as("y"))
+    cum.agg(round4eps(expr("regr_slope(y, x)")).as("heaps_beta"),
+      round4eps(expr("regr_intercept(y, x)")).as("log_k"),
+      count(lit(1)).as("n_points"))
+  }
+
   /** Top-p (nucleus) vocabulary per language at p = 0.5: the smallest
     * prefix of the frequency-sorted vocabulary covering half the token
     * mass — how concentrated each language's usage is (a tiny nucleus

@@ -223,6 +223,38 @@ class HypothesisTestsSpec extends AnyFunSuite {
     }
   }
 
+  test("diffInDiff: estimate equals the four-cell arithmetic identity") {
+    val r = Behavior.diffInDiff(spark, dir).head()
+    // recompute from daily means directly
+    val daily = Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("purchase", "view"))
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("d"))
+      .count().collect()
+      .map(x => (x.getString(0), x.getDate(1).toString, x.getLong(2)))
+    def mean(t: String, post: Boolean) = {
+      val v = daily.filter(x => x._1 == t &&
+        (x._2 >= "2024-01-16") == post).map(_._3.toDouble)
+      v.sum / v.length
+    }
+    val want = (mean("purchase", true) - mean("purchase", false)) -
+      (mean("view", true) - mean("view", false))
+    assert(math.abs(r.getAs[Double]("did_estimate") - want) < 1e-3)
+    assert(r.getAs[Double]("se") > 0.0)
+  }
+
+  test("runsTest: runs bounded by sign count; z finite") {
+    val r = Relational.runsTest(spark, dir).head()
+    val (runs, n1, n2) = (r.getAs[Long]("n_runs"),
+      r.getAs[Long]("n_above"), r.getAs[Long]("n_below"))
+    assert(runs >= 1 && runs <= n1 + n2)
+    // above/below counts of a median split differ by at most the ties
+    assert(math.abs(n1 - n2) <= 2)
+    assert(!r.getAs[Double]("z_score").isNaN)
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)

@@ -320,6 +320,13 @@ class StatsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("regionModularity: bounded in [-1,1]; edges conserve lineitem pairs") {
+    val r = Graph.regionModularity(spark, dir).head()
+    val q = r.getAs[Double]("modularity")
+    assert(q >= -1.0 && q <= 1.0)
+    assert(r.getAs[Long]("n_edges") > 0)
+  }
+
   test("tradeReciprocity: ratio is n_recip/n_edges in [0,1]") {
     val r = Graph.tradeReciprocity(spark, dir).head()
     val (e, rec, ratio) = (r.getAs[Long]("n_edges"),

@@ -465,6 +465,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("heapsLaw: sublinear growth exponent on the shingle vocabulary") {
+    val r = graft.operators.TextAnalysis.heapsLaw(spark, dir).head()
+    val beta = r.getAs[Double]("heaps_beta")
+    // vocabulary growth is at most stream-linear (β = 1 exactly when
+    // the tiny sf0.001 corpus never repeats a shingle; < 1 at sf0.01+)
+    assert(beta > 0.0 && beta <= 1.0 + 1e-9, s"beta=$beta")
+    assert(r.getAs[Long]("n_points") >= 2L)
+  }
+
   test("jsDivergence: bounded by ln 2, symmetric in construction") {
     val rows = graft.operators.TextAnalysis.jsDivergence(spark, dir).collect()
     assert(rows.length === 4)
