@@ -578,6 +578,9 @@ object SparkEntry {
     "q_props_profile"    -> ((s, d) => Relational.propsProfile(s, d)),
     "q_diff_in_diff"     -> ((s, d) => graft.operators.Behavior.diffInDiff(s, d)),
     "q_runs_test"        -> ((s, d) => Relational.runsTest(s, d)),
+    "q_dup_size_hist"    -> ((s, d) => Dedup.dupSizeHistogram(s, d)),
+    "q_negative_sample"  -> ((s, d) => Relational.negativeSample(s, d)),
+    "q_jackknife"        -> ((s, d) => Relational.jackknifeSE(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4472,6 +4475,67 @@ object SparkEntry {
         |    AS modularity,
         |  CAST(m2/2 AS BIGINT) AS n_edges
         |FROM din, m, dt""".stripMargin,
+    "q_dup_size_hist" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |    for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+        |  FROM reach GROUP BY a),
+        |k AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+        |g AS (SELECT cluster, count(*) AS sz FROM k GROUP BY 1)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(sz) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_negative_sample" ->
+      """WITH bought AS (SELECT DISTINCT o_custkey AS custkey,
+        |    l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |mx AS (SELECT MAX(p_partkey) AS mp FROM part),
+        |cand AS (SELECT c.c_custkey AS custkey, i,
+        |    ('0x'||substr(md5(CAST(c.c_custkey AS VARCHAR)||'#'
+        |      ||CAST(i AS VARCHAR)),1,15))::BIGINT % mp + 1 AS p
+        |  FROM customer c, (SELECT unnest(range(1,13)) AS i), mx
+        |  WHERE c.c_custkey <= 20),
+        |neg AS (SELECT cand.custkey, cand.i, cand.p FROM cand
+        |  LEFT JOIN bought ON bought.custkey = cand.custkey
+        |    AND bought.p = cand.p
+        |  WHERE bought.p IS NULL),
+        |top3 AS (SELECT custkey, p, i FROM neg
+        |  QUALIFY row_number() OVER (PARTITION BY custkey ORDER BY i) <= 3)
+        |SELECT CAST(custkey AS BIGINT) AS custkey, CAST(i AS BIGINT) AS draw,
+        |  CAST(p AS BIGINT) AS neg_partkey
+        |FROM top3 ORDER BY 1, 2""".stripMargin,
+    "q_jackknife" ->
+      """WITH b AS (SELECT o_totalprice AS v,
+        |    ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT
+        |      % 32 AS g
+        |  FROM orders),
+        |tot AS (SELECT SUM(v) AS sv, COUNT(*) AS n FROM b),
+        |grp AS (SELECT g, SUM(v) AS sg, COUNT(*) AS ng FROM b GROUP BY 1),
+        |loo AS (SELECT g, (sv - sg)/(n - ng) AS mu_i FROM grp, tot),
+        |m AS (SELECT AVG(mu_i) AS mbar FROM loo)
+        |SELECT floor((SELECT sv/n FROM tot)*10000 + 0.5 + 0.000001)/10000
+        |    AS mean_price,
+        |  floor(sqrt((COUNT(*)-1.0)/COUNT(*)
+        |    * SUM((mu_i-mbar)*(mu_i-mbar)))*10000 + 0.5 + 0.000001)/10000
+        |    AS jackknife_se,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets
+        |FROM loo, m GROUP BY mbar""".stripMargin,
     "q_heaps_law" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),

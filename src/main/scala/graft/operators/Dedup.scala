@@ -216,6 +216,24 @@ object Dedup {
   def nearDupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
     componentsOf(s, minhashPairs(s, dir), maxIters)
 
+  /** Duplicate-cluster size distribution — the one-page report a dedup
+    * run is judged by (how much of the corpus sits in 2-clusters vs a
+    * few mega-clusters decides whether survivors-only retention is
+    * safe or a mega-cluster needs inspection). Singleton docs count as
+    * size-1 clusters. Two keyed aggregates over the
+    * [[nearDupClusters]] output joined to the full corpus — the
+    * histogram itself is bounded by the largest cluster size. */
+  def dupSizeHistogram(s: SparkSession, dir: String): DataFrame = {
+    val cl = nearDupClusters(s, dir)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Size-adaptive connected components over an arbitrary undirected
     * pair list (`doc_a`, `doc_b`) — the shared primitive behind
     * [[nearDupClusters]] and record-linkage entity resolution

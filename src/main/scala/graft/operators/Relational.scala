@@ -1831,6 +1831,70 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** Deterministic negative sampling for recommender/contrastive
+    * training: per customer, `keep` parts they never bought, drawn by
+    * a hash-indexed pseudo-random sequence — membership is a pure
+    * function of (custkey, draw index), so the "random" negatives are
+    * reproducible run-to-run and engine-to-engine (the property that
+    * makes training data auditable; cf. the [[hashSampleQuantiles]]
+    * reservoir). Draw 12 candidates, anti-join the positives, keep the
+    * first 3 by draw order. All joins are keyed on (customer, part);
+    * candidate volume is customers × draws — a constant fan-out. */
+  def negativeSample(s: SparkSession, dir: String, maxCust: Long = 20L,
+      draws: Int = 12, keep: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bought = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("p"))
+      .distinct()
+    val mx = Tables.part(s, dir).agg(max(col("p_partkey")).as("mp"))
+    val cand = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= maxCust)
+      .select(col("c_custkey").as("custkey"),
+        explode(sequence(lit(1), lit(draws))).as("draw"))
+      .crossJoin(broadcast(mx))
+      .select(col("custkey"), col("draw"),
+        (conv(substring(md5(concat(col("custkey").cast("string"), lit("#"),
+          col("draw").cast("string"))), 1, 15), 16, 10).cast("long")
+          % col("mp") + 1).as("p"))
+    cand.join(bought, Seq("custkey", "p"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("custkey")).orderBy(col("draw"))))
+      .filter(col("rk") <= keep)
+      .select(col("custkey"), col("draw").cast("long").as("draw"),
+        col("p").as("neg_partkey"))
+      .orderBy(col("custkey"), col("draw"))
+  }
+
+  /** Hash-bucket (delete-one-group) jackknife standard error for the
+    * mean order price — the distributed answer to "what's the
+    * uncertainty on this aggregate" when a closed form isn't at hand:
+    * rows land in 32 deterministic hash buckets, the leave-one-out
+    * means come from ONE grouped pass plus the global sums, and the
+    * SE is the classic (k−1)/k-scaled spread of the LOO estimates.
+    * No resampling pass over the data, no RNG state — the replicate
+    * structure is a pure function of the keys. */
+  def jackknifeSE(s: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
+    val b = Tables.orders(s, dir).select(col("o_totalprice").as("v"),
+      (conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long") % buckets).as("g"))
+    val grp = b.groupBy(col("g"))
+      .agg(sum(col("v")).as("sg"), count(lit(1)).as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = grp.agg(sum(col("sg")).as("sv"), sum(col("ng")).as("n"))
+    val loo = grp.crossJoin(broadcast(tot))
+      .select(col("sv"), col("n"),
+        ((col("sv") - col("sg")) / (col("n") - col("ng"))).as("mu_i"))
+    val mbar = loo.agg(avg(col("mu_i")).as("mbar"))
+    loo.crossJoin(broadcast(mbar))
+      .agg(
+        round4eps(max(col("sv") / col("n"))).as("mean_price"),
+        round4eps(sqrt((count(lit(1)) - lit(1.0)) / count(lit(1)) *
+          sum((col("mu_i") - col("mbar")) * (col("mu_i") - col("mbar")))))
+          .as("jackknife_se"),
+        count(lit(1)).as("n_buckets"))
+  }
+
   /** Wald–Wolfowitz runs test on daily revenue vs its median — the
     * randomness screen (too FEW runs = sticky regimes/trend, too MANY
     * = oscillation; |z| < 2 ⇒ consistent with independence). Days

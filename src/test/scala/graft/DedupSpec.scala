@@ -296,4 +296,16 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(2L) === ((1L, 1L, 0.25))) // 1 of its 4 shingles contaminated
     assert(rows(4L) === ((1L, 2L, 0.5)))  // 2 of its 4 shingles contaminated
   }
+
+  test("dupSizeHistogram conserves the corpus and counts singletons") {
+    val sf = TestSpark.sfDir
+    val hist = operators.Dedup.dupSizeHistogram(spark, sf).collect()
+    assert(hist.nonEmpty)
+    val totalDocs = hist.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs === Tables.documents(spark, sf).count())
+    hist.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+  }
 }

@@ -255,6 +255,40 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(!r.getAs[Double]("z_score").isNaN)
   }
 
+  test("negativeSample: reproducible, never a positive, exactly k per user") {
+    val out = Relational.negativeSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // run twice: deterministic membership
+    val again = Relational.negativeSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === again.toSeq)
+    // no sampled negative was ever bought
+    val bought = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall { case (c, _, p) => !bought((c, p)) })
+    // per-customer counts never exceed k (k=3)
+    assert(out.groupBy(_._1).values.forall(_.length <= 3))
+  }
+
+  test("jackknifeSE tracks the classical SE of the mean") {
+    val r = Relational.jackknifeSE(spark, dir).head()
+    assert(r.getAs[Long]("n_buckets") === 32L)
+    val vals = Tables.orders(spark, dir).select("o_totalprice")
+      .collect().map(_.getDouble(0))
+    val m = vals.sum / vals.length
+    val sd = math.sqrt(vals.map(v => (v - m) * (v - m)).sum / (vals.length - 1))
+    val classical = sd / math.sqrt(vals.length.toDouble)
+    val jk = r.getAs[Double]("jackknife_se")
+    // same order: jackknife over equal-ish buckets ~ classical SE
+    assert(jk > classical * 0.5 && jk < classical * 2.0,
+      s"jk=$jk classical=$classical")
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)
