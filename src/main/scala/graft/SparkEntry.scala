@@ -581,6 +581,9 @@ object SparkEntry {
     "q_dup_size_hist"    -> ((s, d) => Dedup.dupSizeHistogram(s, d)),
     "q_negative_sample"  -> ((s, d) => Relational.negativeSample(s, d)),
     "q_jackknife"        -> ((s, d) => Relational.jackknifeSE(s, d)),
+    "q_simpson"          -> ((s, d) => Relational.simpsonAudit(s, d)),
+    "q_source_lang_mix"  -> ((s, d) => TextAnalysis.sourceLangMix(s, d)),
+    "q_cohens_d"         -> ((s, d) => graft.operators.Behavior.cohensD(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4536,6 +4539,37 @@ object SparkEntry {
         |    AS jackknife_se,
         |  CAST(COUNT(*) AS BIGINT) AS n_buckets
         |FROM loo, m GROUP BY mbar""".stripMargin,
+    "q_simpson" ->
+      """WITH j AS (SELECT p_brand, l_quantity AS q,
+        |    l_extendedprice/l_quantity AS unit
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |o AS (SELECT corr(q, unit) AS oc FROM j),
+        |g AS (SELECT p_brand, corr(q, unit) AS c FROM j GROUP BY 1)
+        |SELECT floor(oc*10000 + 0.5 + 0.000001)/10000 AS overall_corr,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN sign(c) <> sign(oc) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flipped
+        |FROM g, o GROUP BY oc""".stripMargin,
+    "q_source_lang_mix" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+        |  GROUP BY 1, 2),
+        |t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.source, CAST(MAX(tot) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  floor(-SUM((n*1.0/tot)*ln(n*1.0/tot))*10000 + 0.5 + 0.000001)
+        |    /10000 AS lang_entropy
+        |FROM c JOIN t ON c.source = t.source GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cohens_d" ->
+      """WITH m AS (SELECT event_type, COUNT(*) AS n, AVG(value) AS mu,
+        |    var_samp(value) AS v
+        |  FROM events WHERE event_type IN ('purchase','click')
+        |  GROUP BY 1)
+        |SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  floor((a.mu - b.mu) /
+        |    sqrt(((a.n-1)*a.v + (b.n-1)*b.v)/(a.n + b.n - 2))
+        |    *10000 + 0.5 + 0.000001)/10000 AS cohens_d
+        |FROM m a, m b
+        |WHERE a.event_type = 'purchase' AND b.event_type = 'click'""".stripMargin,
     "q_heaps_law" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),

@@ -301,6 +301,29 @@ object Behavior {
       .orderBy(col("day"))
   }
 
+  /** Cohen's d effect size between two event types' value
+    * distributions — the magnitude companion to the Mann-Whitney /
+    * z-test significance gates (a tiny p with d ≈ 0 is a big-sample
+    * artifact, not a finding). Pooled-SD form; two single-pass moment
+    * aggregates, no row pairing. */
+  def cohensD(s: SparkSession, dir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    val m = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mu"),
+        var_samp(col("value")).as("v"))
+    val a = m.filter(col("event_type") === typeA)
+      .select(col("n").as("na"), col("mu").as("ma"), col("v").as("va"))
+    val b = m.filter(col("event_type") === typeB)
+      .select(col("n").as("nb"), col("mu").as("mb"), col("v").as("vb"))
+    a.crossJoin(broadcast(b))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round4eps((col("ma") - col("mb")) /
+          sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb")) /
+            (col("na") + col("nb") - 2))).as("cohens_d"))
+  }
+
   /** Difference-in-differences estimate between a treated and a
     * control event series around a cutover date: DiD = (post−pre of
     * treated) − (post−pre of control), with the unpooled-variance

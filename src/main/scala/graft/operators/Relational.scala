@@ -1831,6 +1831,32 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** Simpson's-paradox audit: the sign of the overall
+    * quantity↔unit-price correlation vs its sign WITHIN each brand —
+    * the classic aggregation trap (a relationship that reverses once a
+    * confounder is conditioned on must never be read off the pooled
+    * number). One fact pass computes the pooled moment aggregate; the
+    * per-brand correlations are a single keyed aggregate; the flip
+    * count compares signs on a brand-bounded frame (group |corr|
+    * measured ≥ 0.45 here — sign compare is far from any float
+    * boundary). */
+  def simpsonAudit(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_quantity").as("q"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val overall = j.agg(corr(col("q"), col("unit")).as("oc"))
+    j.groupBy(col("p_brand")).agg(corr(col("q"), col("unit")).as("c"))
+      .crossJoin(broadcast(overall))
+      .agg(round4eps(max(col("oc"))).as("overall_corr"),
+        count(lit(1)).as("n_groups"),
+        sum(when(signum(col("c")) =!= signum(col("oc")), 1L).otherwise(0L))
+          .as("n_flipped"))
+  }
+
   /** Deterministic negative sampling for recommender/contrastive
     * training: per customer, `keep` parts they never bought, drawn by
     * a hash-indexed pseudo-random sequence — membership is a pure

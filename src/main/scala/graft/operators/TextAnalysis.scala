@@ -1147,6 +1147,24 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Per-source language composition with Shannon entropy — the
+    * mixture report a multilingual corpus curator reads before
+    * weighting sources (entropy 0 = monolingual source; ln 5 ≈ 1.61 =
+    * uniform over five languages). One (source, lang) count — the
+    * frame is bounded by sources × languages. */
+  def sourceLangMix(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+    c.join(broadcast(t), "source")
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round4eps(-sum((col("n").cast("double") / col("tot")) *
+          log(col("n").cast("double") / col("tot")))).as("lang_entropy"))
+      .orderBy(col("source"))
+  }
+
   /** Heaps' law fit over trigram shingles: cumulative vocabulary V vs
     * cumulative tokens N at 16 doc-id checkpoints, log-log regression
     * → V ≈ K·N^β (β ≈ 0.8 for natural text; β → 0 means the corpus

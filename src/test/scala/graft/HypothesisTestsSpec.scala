@@ -289,6 +289,27 @@ class HypothesisTestsSpec extends AnyFunSuite {
       s"jk=$jk classical=$classical")
   }
 
+  test("cohensD: sign matches the mean difference; pooled SD positive") {
+    val r = Behavior.cohensD(spark, dir).head()
+    val means = Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("purchase", "click"))
+      .groupBy("event_type")
+      .avg("value").collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val d = r.getAs[Double]("cohens_d")
+    assert(math.signum(d) ==
+      math.signum(means("purchase") - means("click")) || d == 0.0)
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+  }
+
+  test("simpsonAudit: flip count bounded by group count") {
+    val r = Relational.simpsonAudit(spark, dir).head()
+    assert(r.getAs[Long]("n_flipped") <= r.getAs[Long]("n_groups"))
+    val oc = r.getAs[Double]("overall_corr")
+    assert(oc >= -1.0 && oc <= 1.0)
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)

@@ -465,6 +465,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceLangMix: entropy bounded by ln(n_langs), docs conserve") {
+    val rows = graft.operators.TextAnalysis.sourceLangMix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      val h = r.getAs[Double]("lang_entropy")
+      assert(h >= 0.0 - 1e-9)
+      assert(h <= math.log(r.getAs[Long]("n_langs").toDouble) + 1e-6)
+    }
+  }
+
   test("heapsLaw: sublinear growth exponent on the shingle vocabulary") {
     val r = graft.operators.TextAnalysis.heapsLaw(spark, dir).head()
     val beta = r.getAs[Double]("heaps_beta")
