@@ -251,6 +251,14 @@ object ScaleSmoke {
     // dominates, the window never grows. sessionCooccur: sessions grow
     // factor×, per-session pair fan-out constant. minCostSupplier: one
     // (part,supplier) rollup then argmin — linear, partials map-side.
+    // heapsLaw: first-occurrence trick keeps the vocab pass one grouped
+    // min; replication repeats shingles so vocabulary stays ~flat while
+    // the token stream grows factor× — β must FALL toward 0, the
+    // saturation signal working as designed. dupSizeHist rides
+    // nearDupClusters (its own stress row above); the histogram adds
+    // two keyed aggregates.
+    run("heapsLaw")(operators.TextAnalysis.heapsLaw(spark, dir))
+    run("dupSizeHist")(operators.Dedup.dupSizeHistogram(spark, dir))
     run("naiveBayes")(operators.TextAnalysis.naiveBayesLang(spark, dir))
     run("closeness")(operators.Graph.closenessCentrality(spark, dir))
     run("assortativity")(operators.Graph.assortativity(spark, dir))

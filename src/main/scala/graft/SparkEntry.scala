@@ -584,6 +584,9 @@ object SparkEntry {
     "q_simpson"          -> ((s, d) => Relational.simpsonAudit(s, d)),
     "q_source_lang_mix"  -> ((s, d) => TextAnalysis.sourceLangMix(s, d)),
     "q_cohens_d"         -> ((s, d) => graft.operators.Behavior.cohensD(s, d)),
+    "q_growth_accounting"-> ((s, d) => graft.operators.Behavior.growthAccounting(s, d)),
+    "q_stickiness"       -> ((s, d) => graft.operators.Behavior.stickiness(s, d)),
+    "q_iqr_fences"       -> ((s, d) => Relational.iqrFences(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4559,6 +4562,54 @@ object SparkEntry {
         |  floor(-SUM((n*1.0/tot)*ln(n*1.0/tot))*10000 + 0.5 + 0.000001)
         |    /10000 AS lang_entropy
         |FROM c JOIN t ON c.source = t.source GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_growth_accounting" ->
+      """WITH wk AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE)
+        |    AS week, user_id FROM events),
+        |fw AS (SELECT user_id, MIN(week) AS first_week FROM wk GROUP BY 1),
+        |lagd AS (SELECT wk.week, wk.user_id, fw.first_week,
+        |    lag(wk.week) OVER (PARTITION BY wk.user_id ORDER BY wk.week)
+        |      AS prev_active
+        |  FROM wk JOIN fw USING(user_id)),
+        |w AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS new_users,
+        |    CAST(SUM(CASE WHEN week > first_week
+        |      AND prev_active = week - 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS retained,
+        |    CAST(SUM(CASE WHEN week > first_week AND (prev_active IS NULL
+        |      OR prev_active < week - 7) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS resurrected
+        |  FROM lagd GROUP BY 1)
+        |SELECT week, n_active, new_users, retained, resurrected,
+        |  CAST(COALESCE(lag(n_active) OVER (ORDER BY week) - retained, 0)
+        |    AS BIGINT) AS churned
+        |FROM w ORDER BY week""".stripMargin,
+    "q_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |wau AS (SELECT days.day, count(DISTINCT ud.user_id) AS wau
+        |  FROM days JOIN ud ON ud.d <= days.day AND ud.d > days.day - 7
+        |  GROUP BY 1),
+        |dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1)
+        |SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT)
+        |    AS wau,
+        |  floor(dau*1.0/wau*10000 + 0.5 + 0.000001)/10000 AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1""".stripMargin,
+    "q_iqr_fences" ->
+      """WITH q AS (SELECT event_type, quantile_cont(value, 0.25) AS q1r,
+        |    quantile_cont(value, 0.75) AS q3r
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  floor(q1r*10000 + 0.5 + 0.000001)/10000 AS q1,
+        |  floor(q3r*10000 + 0.5 + 0.000001)/10000 AS q3,
+        |  CAST(SUM(CASE WHEN value < q1r - 1.5*(q3r-q1r) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN value > q3r + 1.5*(q3r-q1r) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN q ON e.event_type = q.event_type
+        |GROUP BY 1, q1r, q3r ORDER BY 1""".stripMargin,
     "q_cohens_d" ->
       """WITH m AS (SELECT event_type, COUNT(*) AS n, AVG(value) AS mu,
         |    var_samp(value) AS v

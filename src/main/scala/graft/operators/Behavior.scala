@@ -301,6 +301,65 @@ object Behavior {
       .orderBy(col("day"))
   }
 
+  /** Weekly growth accounting — the canonical actives decomposition
+    * (new + retained + resurrected = actives; churned = last week's
+    * actives − retained): the report that distinguishes "growth from
+    * acquisition" from "growth from win-back" that a bare actives
+    * curve hides. One (week, user) presence frame; first-seen week is
+    * a user-keyed min, the previous-active week a user-keyed lag; the
+    * churn column is a calendar-bounded lag over the weekly rollup. */
+  def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Tables.events(s, dir)
+      .select(date_trunc("week", col("ts")).cast("date").as("week"),
+        col("user_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fw = wk.groupBy(col("user_id")).agg(min(col("week")).as("first_week"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val flagged = wk.join(fw, "user_id")
+      .withColumn("prev_active", lag(col("week"), 1).over(byUser))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("week") === col("first_week"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("week") > col("first_week") &&
+          col("prev_active") === date_sub(col("week"), 7), 1L).otherwise(0L))
+          .as("retained"),
+        sum(when(col("week") > col("first_week") &&
+          (col("prev_active").isNull ||
+            col("prev_active") < date_sub(col("week"), 7)), 1L).otherwise(0L))
+          .as("resurrected"))
+    val wWeek = Window.orderBy(col("week")) // weeks-bounded frame
+    flagged
+      .withColumn("churned",
+        coalesce(lag(col("n_active"), 1).over(wWeek) - col("retained"),
+          lit(0L)))
+      .orderBy(col("week"))
+  }
+
+  /** DAU/WAU stickiness per day — how much of the weekly audience
+    * shows up daily (the engagement-quality ratio; 1.0 = everyone
+    * daily, 1/7 = each user once a week). WAU is the trailing-7-day
+    * DISTINCT count via a (user, day) presence frame joined to the
+    * day spine (×7 linear fan-out, then a day-keyed distinct) — never
+    * a sliding COUNT DISTINCT window, which Spark can't partial-merge. */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = ud.select(col("d")).distinct().select(col("d").as("day"))
+    val wau = days.join(ud,
+        col("d") <= col("day") && col("d") > date_sub(col("day"), 7))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round4eps(col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Cohen's d effect size between two event types' value
     * distributions — the magnitude companion to the Mann-Whitney /
     * z-test significance gates (a tiny p with d ≈ 0 is a big-sample

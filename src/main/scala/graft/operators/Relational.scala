@@ -1831,6 +1831,35 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** Tukey IQR fences per event type: [q1 − 1.5·IQR, q3 + 1.5·IQR]
+    * outlier counts — the box-plot screen next to the z-score
+    * ([[zscoreOutliers]]) and MAD variants (each flags a different
+    * contamination shape). Quantiles come from one grouped aggregate;
+    * the fence compare is a broadcast join back — both engines
+    * interpolate identical sorted inputs, so the fences are
+    * bit-identical before any compare. */
+  def iqrFences(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("q1raw"),
+        expr("percentile(value, 0.75)").as("q3raw"))
+    Tables.events(s, dir)
+      .join(broadcast(q), "event_type")
+      .groupBy(col("event_type"), col("q1raw"), col("q3raw"))
+      .agg(
+        sum(when(col("value") <
+          col("q1raw") - (col("q3raw") - col("q1raw")) * 1.5, 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("value") >
+          col("q3raw") + (col("q3raw") - col("q1raw")) * 1.5, 1L)
+          .otherwise(0L)).as("n_high"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        round4eps(col("q1raw")).as("q1"), round4eps(col("q3raw")).as("q3"),
+        col("n_low"), col("n_high"), col("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** Simpson's-paradox audit: the sign of the overall
     * quantity↔unit-price correlation vs its sign WITHIN each brand —
     * the classic aggregation trap (a relationship that reverses once a

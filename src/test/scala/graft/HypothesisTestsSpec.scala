@@ -310,6 +310,45 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(oc >= -1.0 && oc <= 1.0)
   }
 
+  test("growthAccounting: the actives identity holds every week") {
+    val rows = Behavior.growthAccounting(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // actives = new + retained + resurrected, by construction
+      assert(r.getAs[Long]("n_active") ===
+        r.getAs[Long]("new_users") + r.getAs[Long]("retained") +
+          r.getAs[Long]("resurrected"))
+      assert(r.getAs[Long]("churned") >= 0L)
+    }
+    // cross-check against weeklyChurn: churned(t) / actives(t-1)
+    val weeks = rows.sortBy(_.getDate(0).toLocalDate.toEpochDay)
+    weeks.sliding(2).foreach { p =>
+      if (p.length == 2)
+        assert(p(1).getAs[Long]("churned") ===
+          p(0).getAs[Long]("n_active") - p(1).getAs[Long]("retained"))
+    }
+  }
+
+  test("stickiness: DAU never exceeds WAU; ratio in (0,1]") {
+    val rows = Behavior.stickiness(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      val x = r.getAs[Double]("stickiness")
+      assert(x > 0.0 && x <= 1.0 + 1e-9)
+    }
+  }
+
+  test("iqrFences: counts consistent and fences ordered") {
+    val rows = Relational.iqrFences(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("q1") <= r.getAs[Double]("q3"))
+      assert(r.getAs[Long]("n_low") + r.getAs[Long]("n_high") <=
+        r.getAs[Long]("n"))
+    }
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)
