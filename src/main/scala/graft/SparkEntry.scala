@@ -587,6 +587,9 @@ object SparkEntry {
     "q_growth_accounting"-> ((s, d) => graft.operators.Behavior.growthAccounting(s, d)),
     "q_stickiness"       -> ((s, d) => graft.operators.Behavior.stickiness(s, d)),
     "q_iqr_fences"       -> ((s, d) => Relational.iqrFences(s, d)),
+    "q_mde"              -> ((s, d) => graft.operators.Behavior.minDetectableEffect(s, d)),
+    "q_srm"              -> ((s, d) => graft.operators.Behavior.sampleRatioCheck(s, d)),
+    "q_cuped"            -> ((s, d) => graft.operators.Behavior.cupedAdjustment(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4610,6 +4613,46 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events e JOIN q ON e.event_type = q.event_type
         |GROUP BY 1, q1r, q3r ORDER BY 1""".stripMargin,
+    "q_mde" ->
+      """WITH m AS (SELECT event_type, COUNT(*) AS n, var_samp(value) AS v,
+        |    AVG(value) AS mu
+        |  FROM events WHERE event_type IN ('purchase','click')
+        |  GROUP BY 1)
+        |SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  floor(sqrt(((a.n-1)*a.v+(b.n-1)*b.v)/(a.n+b.n-2))
+        |    *10000 + 0.5 + 0.000001)/10000 AS pooled_sd,
+        |  floor((1.96+0.8416)*sqrt(((a.n-1)*a.v+(b.n-1)*b.v)/(a.n+b.n-2))
+        |    *sqrt(1.0/a.n+1.0/b.n)*10000 + 0.5 + 0.000001)/10000 AS mde_abs,
+        |  floor((1.96+0.8416)*sqrt(((a.n-1)*a.v+(b.n-1)*b.v)/(a.n+b.n-2))
+        |    *sqrt(1.0/a.n+1.0/b.n)/a.mu*10000 + 0.5 + 0.000001)/10000
+        |    AS mde_rel
+        |FROM m a, m b
+        |WHERE a.event_type = 'purchase' AND b.event_type = 'click'""".stripMargin,
+    "q_srm" ->
+      """WITH arms AS (SELECT DISTINCT user_id FROM events),
+        |h AS (SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))
+        |    ::BIGINT % 2 AS arm FROM arms),
+        |c AS (SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+        |    COUNT(*) AS n FROM h)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+        |  floor((na - n/2.0)/sqrt(n/4.0)*10000 + 0.5 + 0.000001)/10000
+        |    AS srm_z
+        |FROM c""".stripMargin,
+    "q_cuped" ->
+      """WITH pre AS (SELECT user_id, SUM(value) AS x FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        |post AS (SELECT user_id, SUM(value) AS y FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+        |j AS (SELECT pre.user_id, x, y FROM pre JOIN post USING(user_id)),
+        |s AS (SELECT covar_samp(x, y) AS cxy, var_samp(x) AS vx,
+        |    var_samp(y) AS vy, AVG(x) AS mx, COUNT(*) AS n FROM j),
+        |adj AS (SELECT var_samp(y - (cxy/vx)*(x - mx)) AS vadj FROM j, s)
+        |SELECT CAST((SELECT n FROM s) AS BIGINT) AS n_users,
+        |  floor((SELECT cxy/vx FROM s)*10000 + 0.5 + 0.000001)/10000
+        |    AS theta,
+        |  floor((1 - vadj/(SELECT vy FROM s))*10000 + 0.5 + 0.000001)/10000
+        |    AS var_reduction
+        |FROM adj""".stripMargin,
     "q_cohens_d" ->
       """WITH m AS (SELECT event_type, COUNT(*) AS n, AVG(value) AS mu,
         |    var_samp(value) AS v

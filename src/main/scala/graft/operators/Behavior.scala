@@ -360,6 +360,81 @@ object Behavior {
       .orderBy(col("day"))
   }
 
+  /** Minimum detectable effect for a two-sample mean test at
+    * α = 0.05 (two-sided) and 80% power, given the CURRENT sample
+    * sizes and pooled variance — the pre-registration number every
+    * experiment review asks for ("could this test even see a 5%
+    * move?"). MDE = (z_{α/2}+z_{power})·s_p·√(1/n_a+1/n_b); the z
+    * constants are fixed quantiles, everything else is one moment
+    * aggregate per arm. */
+  def minDetectableEffect(s: SparkSession, dir: String,
+      typeA: String = "purchase", typeB: String = "click",
+      zAlpha: Double = 1.96, zPower: Double = 0.8416): DataFrame = {
+    val m = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), var_samp(col("value")).as("v"),
+        avg(col("value")).as("mu"))
+    val a = m.filter(col("event_type") === typeA)
+      .select(col("n").as("na"), col("v").as("va"), col("mu").as("mua"))
+    val b = m.filter(col("event_type") === typeB)
+      .select(col("n").as("nb"), col("v").as("vb"))
+    val sp = sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb")) /
+      (col("na") + col("nb") - 2))
+    val mde = lit(zAlpha + zPower) * sp *
+      sqrt(lit(1.0) / col("na") + lit(1.0) / col("nb"))
+    a.crossJoin(broadcast(b))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round4eps(sp).as("pooled_sd"),
+        round4eps(mde).as("mde_abs"),
+        round4eps(mde / col("mua")).as("mde_rel"))
+  }
+
+  /** Sample-ratio-mismatch check for a deterministic 50/50 hash split:
+    * users land in arms by md5(user_id) % 2, and the z-statistic tests
+    * the observed ratio against the designed one — the first thing an
+    * experimentation platform alerts on (an SRM means the assignment
+    * or logging is broken and every downstream readout is invalid).
+    * One distinct-user pass; the z is closed-form in exact counts. */
+  def sampleRatioCheck(s: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .select((conv(substring(md5(col("user_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 2).as("arm"))
+    arms.agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        count(lit(1)).as("n"))
+      .select(col("na").as("n_a"), (col("n") - col("na")).as("n_b"),
+        round4eps((col("na") - col("n") / lit(2.0)) /
+          sqrt(col("n") / lit(4.0))).as("srm_z"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013): adjust each user's
+    * post-period metric by their PRE-period covariate,
+    * Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) — the standard trick
+    * that shrinks experiment confidence intervals for free. Reports θ
+    * and the achieved variance reduction. Two user-keyed rollups, one
+    * join, two moment aggregates — no iteration, no resampling. */
+  def cupedAdjustment(s: SparkSession, dir: String,
+      cutover: String = "2024-01-16"): DataFrame = {
+    val pre = Tables.events(s, dir)
+      .filter(col("ts") < lit(cutover).cast("timestamp"))
+      .groupBy(col("user_id")).agg(sum(col("value")).as("x"))
+    val post = Tables.events(s, dir)
+      .filter(col("ts") >= lit(cutover).cast("timestamp"))
+      .groupBy(col("user_id")).agg(sum(col("value")).as("y"))
+    val j = pre.join(post, "user_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = j.agg(covar_samp(col("x"), col("y")).as("cxy"),
+      var_samp(col("x")).as("vx"), var_samp(col("y")).as("vy"),
+      avg(col("x")).as("mx"), count(lit(1)).as("n"))
+    j.crossJoin(broadcast(st))
+      .agg(max(col("n")).as("n_users"),
+        round4eps(max(col("cxy") / col("vx"))).as("theta"),
+        round4eps(lit(1.0) -
+          var_samp(col("y") - (col("cxy") / col("vx")) *
+            (col("x") - col("mx"))) / max(col("vy"))).as("var_reduction"))
+  }
+
   /** Cohen's d effect size between two event types' value
     * distributions — the magnitude companion to the Mann-Whitney /
     * z-test significance gates (a tiny p with d ≈ 0 is a big-sample

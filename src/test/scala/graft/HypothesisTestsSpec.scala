@@ -349,6 +349,25 @@ class HypothesisTestsSpec extends AnyFunSuite {
     }
   }
 
+  test("experiment trio: MDE positive, SRM conserves users, CUPED bounded") {
+    val mde = Behavior.minDetectableEffect(spark, dir).head()
+    assert(mde.getAs[Double]("mde_abs") > 0.0)
+    assert(mde.getAs[Double]("pooled_sd") > 0.0)
+    // MDE shrinks with more samples: rel > abs/mean consistency
+    assert(mde.getAs[Double]("mde_rel") > 0.0)
+
+    val srm = Behavior.sampleRatioCheck(spark, dir).head()
+    assert(srm.getAs[Long]("n_a") + srm.getAs[Long]("n_b") ===
+      Tables.events(spark, dir)
+        .select("user_id").distinct().count())
+
+    val cuped = Behavior.cupedAdjustment(spark, dir).head()
+    val vr = cuped.getAs[Double]("var_reduction")
+    // CUPED with the OLS theta can never increase variance
+    assert(vr >= 0.0 - 1e-9 && vr <= 1.0)
+    assert(cuped.getAs[Long]("n_users") > 0)
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)
