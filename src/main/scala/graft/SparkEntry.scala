@@ -590,6 +590,9 @@ object SparkEntry {
     "q_mde"              -> ((s, d) => graft.operators.Behavior.minDetectableEffect(s, d)),
     "q_srm"              -> ((s, d) => graft.operators.Behavior.sampleRatioCheck(s, d)),
     "q_cuped"            -> ((s, d) => graft.operators.Behavior.cupedAdjustment(s, d)),
+    "q_anova"            -> ((s, d) => graft.operators.Behavior.anovaTypes(s, d)),
+    "q_durbin_watson"    -> ((s, d) => Relational.durbinWatson(s, d)),
+    "q_partial_corr"     -> ((s, d) => Relational.partialCorr(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4613,6 +4616,40 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events e JOIN q ON e.event_type = q.event_type
         |GROUP BY 1, q1r, q3r ORDER BY 1""".stripMargin,
+    "q_anova" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS gn, AVG(value) AS mu,
+        |    SUM(value*value) AS ss FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(mu*gn)/SUM(gn) AS gm FROM g),
+        |parts AS (SELECT COUNT(*) AS kg, SUM(gn) AS tn,
+        |    SUM(gn*(mu-gm)*(mu-gm)) AS ssb,
+        |    SUM(ss - gn*mu*mu) AS ssw FROM g, tot)
+        |SELECT CAST(kg AS BIGINT) AS k, CAST(tn AS BIGINT) AS n,
+        |  floor((ssb/(kg-1))/(ssw/(tn-kg))*10000 + 0.5 + 0.000001)/10000
+        |    AS f_stat,
+        |  floor(ssb/(ssb+ssw)*10000 + 0.5 + 0.000001)/10000 AS eta_sq
+        |FROM parts""".stripMargin,
+    "q_durbin_watson" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE)
+        |    AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT AVG(rev) AS mu FROM daily),
+        |e AS (SELECT d, rev - mu AS e FROM daily, m),
+        |l AS (SELECT e, lag(e) OVER (ORDER BY d) AS pe FROM e)
+        |SELECT floor(SUM(CASE WHEN pe IS NOT NULL
+        |    THEN (e-pe)*(e-pe) END)/SUM(e*e)*10000 + 0.5 + 0.000001)/10000
+        |    AS dw,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days
+        |FROM l""".stripMargin,
+    "q_partial_corr" ->
+      """WITH s AS (SELECT corr(l_quantity, l_extendedprice) AS rxy,
+        |    corr(l_quantity, l_discount) AS rxz,
+        |    corr(l_extendedprice, l_discount) AS ryz,
+        |    COUNT(*) AS cn FROM lineitem)
+        |SELECT floor(rxy*10000 + 0.5 + 0.000001)/10000 AS r_xy,
+        |  floor((rxy - rxz*ryz)/sqrt((1-rxz*rxz)*(1-ryz*ryz))
+        |    *10000 + 0.5 + 0.000001)/10000 AS r_xy_given_z,
+        |  CAST(cn AS BIGINT) AS n FROM s""".stripMargin,
     "q_mde" ->
       """WITH m AS (SELECT event_type, COUNT(*) AS n, var_samp(value) AS v,
         |    AVG(value) AS mu

@@ -360,6 +360,29 @@ object Behavior {
       .orderBy(col("day"))
   }
 
+  /** One-way ANOVA across ALL event types' value distributions:
+    * F = (SSB/(k−1))/(SSW/(n−k)) with η² = SSB/SST as the effect size
+    * — the k-group generalization of the two-sample gates (t/z, MW,
+    * Cohen's d). Everything reduces to per-group moment aggregates
+    * (count, mean, Σx²) — one keyed pass, then arithmetic over k
+    * rows. */
+  def anovaTypes(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("gn"), avg(col("value")).as("mu"),
+        sum(col("value") * col("value")).as("ss"))
+    val tot = g.agg((sum(col("mu") * col("gn")) / sum(col("gn"))).as("gm"))
+    g.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("kg"), sum(col("gn")).as("tn"),
+        sum(col("gn") * (col("mu") - col("gm")) * (col("mu") - col("gm")))
+          .as("ssb"),
+        sum(col("ss") - col("gn") * col("mu") * col("mu")).as("ssw"))
+      .select(col("kg").as("k"), col("tn").as("n"),
+        round4eps((col("ssb") / (col("kg") - 1)) /
+          (col("ssw") / (col("tn") - col("kg")))).as("f_stat"),
+        round4eps(col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+  }
+
   /** Minimum detectable effect for a two-sample mean test at
     * α = 0.05 (two-sided) and 80% power, given the CURRENT sample
     * sizes and pooled variance — the pre-registration number every

@@ -1831,6 +1831,45 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** Durbin–Watson statistic on mean-centered daily revenue — the
+    * serial-correlation screen for regression residuals (DW ≈ 2 means
+    * uncorrelated; < 1 says successive days co-move and OLS standard
+    * errors lie). One daily collapse; the lag runs over the
+    * calendar-bounded series. */
+  def durbinWatson(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+    val mu = daily.agg(avg(col("rev")).as("mu"))
+    val w = Window.orderBy(col("d")) // calendar-bounded frame
+    daily.crossJoin(broadcast(mu))
+      .select(col("d"), (col("rev") - col("mu")).as("e"))
+      .withColumn("pe", lag(col("e"), 1).over(w))
+      .agg(round4eps(
+        sum(when(col("pe").isNotNull,
+          (col("e") - col("pe")) * (col("e") - col("pe")))) /
+          sum(col("e") * col("e"))).as("dw"),
+        count(lit(1)).as("n_days"))
+  }
+
+  /** Partial correlation of quantity↔price CONTROLLING for discount —
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)): does the raw
+    * association survive removing the confounder, the one-step
+    * multivariate upgrade over [[corrMatrix]]-style pairwise reads.
+    * Three single-pass moment correlations, closed-form combine. */
+  def partialCorr(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("rxy"),
+        corr(col("l_quantity"), col("l_discount")).as("rxz"),
+        corr(col("l_extendedprice"), col("l_discount")).as("ryz"),
+        count(lit(1)).as("n"))
+      .select(round4eps(col("rxy")).as("r_xy"),
+        round4eps((col("rxy") - col("rxz") * col("ryz")) /
+          sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+            (lit(1.0) - col("ryz") * col("ryz")))).as("r_xy_given_z"),
+        col("n"))
+
   /** Tukey IQR fences per event type: [q1 − 1.5·IQR, q3 + 1.5·IQR]
     * outlier counts — the box-plot screen next to the z-score
     * ([[zscoreOutliers]]) and MAD variants (each flags a different

@@ -368,6 +368,35 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(cuped.getAs[Long]("n_users") > 0)
   }
 
+  test("anovaTypes: F non-negative, eta_sq in [0,1], groups counted") {
+    val r = Behavior.anovaTypes(spark, dir).head()
+    assert(r.getAs[Long]("k") ===
+      Tables.events(spark, dir).select("event_type").distinct().count())
+    assert(r.getAs[Long]("n") === Tables.events(spark, dir).count())
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+    val e = r.getAs[Double]("eta_sq")
+    assert(e >= 0.0 && e <= 1.0)
+  }
+
+  test("durbinWatson: statistic in [0,4]; relates to lag-1 autocorr") {
+    val r = Relational.durbinWatson(spark, dir).head()
+    val dw = r.getAs[Double]("dw")
+    assert(dw >= 0.0 && dw <= 4.0)
+    // DW ~ 2(1 - rho1): check against revenueAcf's lag-1 within tolerance
+    val rho1 = Relational.revenueAcf(spark, dir).collect()
+      .find(_.getInt(0) == 1).get.getAs[Double]("acf")
+    assert(math.abs(dw - 2.0 * (1.0 - rho1)) < 0.25,
+      s"dw=$dw vs 2(1-rho1)=${2 * (1 - rho1)}")
+  }
+
+  test("partialCorr: bounded; collapses to raw corr when confounder inert") {
+    val r = Relational.partialCorr(spark, dir).head()
+    val (raw, part) = (r.getAs[Double]("r_xy"),
+      r.getAs[Double]("r_xy_given_z"))
+    assert(math.abs(part) <= 1.0)
+    assert(math.abs(raw) <= 1.0)
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)
