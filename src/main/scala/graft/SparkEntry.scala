@@ -593,6 +593,9 @@ object SparkEntry {
     "q_anova"            -> ((s, d) => graft.operators.Behavior.anovaTypes(s, d)),
     "q_durbin_watson"    -> ((s, d) => Relational.durbinWatson(s, d)),
     "q_partial_corr"     -> ((s, d) => Relational.partialCorr(s, d)),
+    "q_weekly_movers"    -> ((s, d) => Joins.weeklyMovers(s, d)),
+    "q_new_vs_repeat"    -> ((s, d) => Relational.newVsRepeat(s, d)),
+    "q_price_dispersion" -> ((s, d) => Joins.priceDispersion(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4616,6 +4619,47 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events e JOIN q ON e.event_type = q.event_type
         |GROUP BY 1, q1r, q3r ORDER BY 1""".stripMargin,
+    "q_weekly_movers" ->
+      """WITH mx AS (SELECT CAST(date_trunc('week', MAX(o_orderdate))
+        |    AS DATE) AS w1 FROM orders),
+        |wk AS (SELECT p_brand,
+        |    CAST(date_trunc('week', o_orderdate) AS DATE) AS w,
+        |    floor(SUM(l_extendedprice*(1-l_discount))*10000
+        |      + 0.5 + 0.000001)/10000 AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |two AS (SELECT p_brand,
+        |    SUM(CASE WHEN w = w1 - 7 THEN rev ELSE 0 END) AS prev_rev,
+        |    SUM(CASE WHEN w = w1 THEN rev ELSE 0 END) AS cur_rev
+        |  FROM wk, mx WHERE w IN (w1, w1 - 7) GROUP BY 1)
+        |SELECT p_brand, prev_rev, cur_rev,
+        |  floor((cur_rev - prev_rev)*10000 + 0.5 + 0.000001)/10000 AS delta
+        |FROM two
+        |ORDER BY abs(cur_rev - prev_rev) DESC, p_brand LIMIT 10""".stripMargin,
+    "q_new_vs_repeat" ->
+      """WITH first AS (SELECT o_custkey, MIN(o_orderdate) AS fd
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(SUM(CASE WHEN o_orderdate = fd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_first_orders,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  floor(SUM(CASE WHEN o_orderdate = fd THEN o_totalprice
+        |    ELSE 0 END)*10000 + 0.5 + 0.000001)/10000 AS new_revenue,
+        |  floor(SUM(CASE WHEN o_orderdate <> fd THEN o_totalprice
+        |    ELSE 0 END)*10000 + 0.5 + 0.000001)/10000 AS repeat_revenue
+        |FROM orders JOIN first USING(o_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_price_dispersion" ->
+      """WITH u AS (SELECT l_partkey, l_suppkey,
+        |    AVG(l_extendedprice/l_quantity) AS up
+        |  FROM lineitem GROUP BY 1, 2),
+        |d AS (SELECT l_partkey, COUNT(*) AS n_supp,
+        |    stddev_samp(up)/AVG(up) AS cv
+        |  FROM u GROUP BY 1 HAVING COUNT(*) >= 3)
+        |SELECT l_partkey AS p_partkey, CAST(n_supp AS BIGINT) AS n_suppliers,
+        |  floor(cv*10000 + 0.5 + 0.000001)/10000 AS price_cv
+        |FROM d ORDER BY cv DESC, l_partkey LIMIT 25""".stripMargin,
     "q_anova" ->
       """WITH g AS (SELECT event_type, COUNT(*) AS gn, AVG(value) AS mu,
         |    SUM(value*value) AS ss FROM events GROUP BY 1),

@@ -612,6 +612,62 @@ object Joins {
       .orderBy(col("segment"))
   }
 
+  /** Week-over-week top movers by brand revenue — the "what changed"
+    * report (largest |Δ| between the final two calendar weeks).
+    * Weekly revenues are quantized BEFORE the delta so the Δ ranking
+    * compares exact values; brand breaks exact ties. One fact rollup
+    * to (brand, week), a 1-row anchor scalar, a brand-bounded pivot. */
+  def weeklyMovers(s: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + 0.5 + 1e-6) / 10000
+    val mx = Tables.orders(s, dir)
+      .agg(date_trunc("week", max(col("o_orderdate"))).cast("date").as("w1"))
+    val wk = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("w"))
+      .agg(q4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev"))
+    wk.crossJoin(broadcast(mx))
+      .filter(col("w") === col("w1") || col("w") === date_sub(col("w1"), 7))
+      .groupBy(col("p_brand"))
+      .agg(sum(when(col("w") === date_sub(col("w1"), 7), col("rev"))
+          .otherwise(0.0)).as("prev_rev"),
+        sum(when(col("w") === col("w1"), col("rev")).otherwise(0.0))
+          .as("cur_rev"))
+      .select(col("p_brand"), col("prev_rev"), col("cur_rev"),
+        q4(col("cur_rev") - col("prev_rev")).as("delta"))
+      .orderBy(abs(col("cur_rev") - col("prev_rev")).desc, col("p_brand"))
+      .limit(topN)
+  }
+
+  /** Per-part cross-supplier price dispersion: coefficient of
+    * variation of the average unit price across suppliers (≥ 3
+    * suppliers) — high CV flags arbitrage/mispricing or a data error.
+    * Two keyed rollups: (part, supplier) then part; the top-k is a
+    * TakeOrdered (rank-25 CV gap measured at 3e-3 — far above float
+    * drift). */
+  def priceDispersion(s: SparkSession, dir: String,
+      minSuppliers: Int = 3, topN: Int = 25): DataFrame = {
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + 0.5 + 1e-6) / 10000
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(avg(col("l_extendedprice") / col("l_quantity")).as("up"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        (stddev_samp(col("up")) / avg(col("up"))).as("cv"))
+      .filter(col("n_suppliers") >= minSuppliers)
+      .select(col("p_partkey"), col("n_suppliers"), q4(col("cv")).as("price_cv"),
+        col("cv"))
+      .orderBy(col("cv").desc, col("p_partkey"))
+      .limit(topN)
+      .drop("cv")
+  }
+
   /** Return rate per brand with a Wilson-score lower confidence bound
     * (z = 1.96) — ranking brands by RAW return share promotes
     * small-sample flukes (2/2 returned beats 400/1000); the Wilson

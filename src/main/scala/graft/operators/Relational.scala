@@ -1831,6 +1831,28 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** New-vs-repeat revenue split per month — the acquisition/retention
+    * decomposition of the top line (a flat total can hide collapsing
+    * acquisition propped up by repeat spend). A customer's FIRST order
+    * is a user-keyed min broadcast back; the month rollup is
+    * calendar-bounded. */
+  def newVsRepeat(s: SparkSession, dir: String): DataFrame = {
+    val first = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("fd"))
+    Tables.orders(s, dir)
+      .join(first, "o_custkey")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(
+        sum(when(col("o_orderdate") === col("fd"), 1L).otherwise(0L))
+          .as("n_first_orders"),
+        count(lit(1)).as("n_orders"),
+        round4eps(sum(when(col("o_orderdate") === col("fd"),
+          col("o_totalprice")).otherwise(0.0))).as("new_revenue"),
+        round4eps(sum(when(col("o_orderdate") =!= col("fd"),
+          col("o_totalprice")).otherwise(0.0))).as("repeat_revenue"))
+      .orderBy(col("month"))
+  }
+
   /** Durbin–Watson statistic on mean-centered daily revenue — the
     * serial-correlation screen for regression residuals (DW ≈ 2 means
     * uncorrelated; < 1 says successive days co-move and OLS standard

@@ -58,6 +58,32 @@ class TpchShapesSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) > 0))
   }
 
+  test("weeklyMovers ranks by |delta| over the final two weeks") {
+    val rows = Joins.weeklyMovers(spark, dir, topN = 1000).collect()
+    assert(rows.nonEmpty)
+    val deltas = rows.map(r => math.abs(r.getAs[Double]("cur_rev") -
+      r.getAs[Double]("prev_rev")))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("newVsRepeat: splits partition orders; first orders <= customers") {
+    val out = graft.operators.Relational.newVsRepeat(spark, dir).collect()
+    val totalOrders = out.map(_.getAs[Long]("n_orders")).sum
+    assert(totalOrders === Tables.orders(spark, dir).count())
+    val firstOrders = out.map(_.getAs[Long]("n_first_orders")).sum
+    // >= customers: a customer with several orders on their first DAY
+    // counts each as "first" (date-grain ties); never fewer than one
+    // per customer
+    assert(firstOrders >= Tables.customer(spark, dir).count())
+  }
+
+  test("priceDispersion: every row meets the min-supplier floor") {
+    val rows = Joins.priceDispersion(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_suppliers") >= 3L))
+    assert(rows.forall(_.getAs[Double]("price_cv") > 0.0))
+  }
+
   test("minCostSupplier picks one winner per part, lowest price wins") {
     val out = Joins.minCostSupplier(spark, dir, topN = 10000).collect()
     val parts = out.map(_.getLong(0))
