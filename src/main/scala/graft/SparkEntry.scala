@@ -596,6 +596,8 @@ object SparkEntry {
     "q_weekly_movers"    -> ((s, d) => Joins.weeklyMovers(s, d)),
     "q_new_vs_repeat"    -> ((s, d) => Relational.newVsRepeat(s, d)),
     "q_price_dispersion" -> ((s, d) => Joins.priceDispersion(s, d)),
+    "q_feature_table"    -> ((s, d) => Relational.featureTable(s, d)),
+    "q_pareto_share"     -> ((s, d) => Relational.paretoShare(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4619,6 +4621,37 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events e JOIN q ON e.event_type = q.event_type
         |GROUP BY 1, q1r, q3r ORDER BY 1""".stripMargin,
+    "q_feature_table" ->
+      """WITH cm AS (SELECT o_custkey AS custkey,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_custkey <= 30 GROUP BY 1, 2)
+        |SELECT custkey, month, rev, n_orders,
+        |  lag(rev, 1) OVER (PARTITION BY custkey ORDER BY month)
+        |    AS rev_lag1,
+        |  lag(rev, 3) OVER (PARTITION BY custkey ORDER BY month)
+        |    AS rev_lag3,
+        |  floor(AVG(rev) OVER (PARTITION BY custkey ORDER BY month
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)*10000
+        |    + 0.5 + 0.000001)/10000 AS rev_ma3,
+        |  CAST(row_number() OVER (PARTITION BY custkey ORDER BY month)
+        |    AS BIGINT) AS month_idx
+        |FROM cm ORDER BY custkey, month""".stripMargin,
+    "q_pareto_share" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT quantile_cont(rev, 0.9) AS p90,
+        |    quantile_cont(rev, 0.99) AS p99 FROM cust)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  floor(MAX(p90)*10000 + 0.5 + 0.000001)/10000 AS p90_rev,
+        |  floor(MAX(p99)*10000 + 0.5 + 0.000001)/10000 AS p99_rev,
+        |  floor(SUM(CASE WHEN rev > p90 THEN rev ELSE 0 END)/SUM(rev)
+        |    *10000 + 0.5 + 0.000001)/10000 AS top10_share,
+        |  floor(SUM(CASE WHEN rev > p99 THEN rev ELSE 0 END)/SUM(rev)
+        |    *10000 + 0.5 + 0.000001)/10000 AS top1_share
+        |FROM cust, b""".stripMargin,
     "q_weekly_movers" ->
       """WITH mx AS (SELECT CAST(date_trunc('week', MAX(o_orderdate))
         |    AS DATE) AS w1 FROM orders),

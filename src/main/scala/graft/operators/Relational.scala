@@ -1831,6 +1831,55 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** ML feature table at (customer, month) grain: revenue with lag-1,
+    * lag-3 and trailing-3-month-mean features plus a tenure index —
+    * the leakage-safe feature-engineering shape (every feature uses
+    * strictly PRIOR or current rows; nothing reaches forward). All
+    * windows are customer-keyed; the gate restricts to a fixed key
+    * range so the oracle output stays reviewable. */
+  def featureTable(s: SparkSession, dir: String, maxCust: Long = 30L):
+      DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cm = Tables.orders(s, dir)
+      .filter(col("o_custkey") <= maxCust)
+      .groupBy(col("o_custkey").as("custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("month"))
+    cm.select(col("custkey"), col("month"), col("rev"), col("n_orders"),
+      lag(col("rev"), 1).over(w).as("rev_lag1"),
+      lag(col("rev"), 3).over(w).as("rev_lag3"),
+      round4eps(avg(col("rev"))
+        .over(w.rowsBetween(-2, 0))).as("rev_ma3"),
+      row_number().over(w).cast("long").as("month_idx"))
+      .orderBy(col("custkey"), col("month"))
+  }
+
+  /** Pareto concentration of customer revenue WITHOUT the global
+    * ordered cumsum the naive 80/20 query needs (a corpus-scaling
+    * single-partition sort): exact percentile BOUNDARIES of the
+    * customer-revenue distribution (p90, p99) come from one aggregate;
+    * the shares above each boundary are map-side compares — the
+    * [[equiDepthHist]] discipline applied to concentration reporting. */
+  def paretoShare(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = cust.agg(
+      expr("percentile(rev, 0.9)").as("p90"),
+      expr("percentile(rev, 0.99)").as("p99"))
+    cust.crossJoin(broadcast(bounds))
+      .agg(count(lit(1)).as("n_customers"),
+        round4eps(max(col("p90"))).as("p90_rev"),
+        round4eps(max(col("p99"))).as("p99_rev"),
+        round4eps(sum(when(col("rev") > col("p90"), col("rev")).otherwise(0.0))
+          / sum(col("rev"))).as("top10_share"),
+        round4eps(sum(when(col("rev") > col("p99"), col("rev")).otherwise(0.0))
+          / sum(col("rev"))).as("top1_share"))
+  }
+
   /** New-vs-repeat revenue split per month — the acquisition/retention
     * decomposition of the top line (a flat total can hide collapsing
     * acquisition propped up by repeat spend). A customer's FIRST order

@@ -397,6 +397,37 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(math.abs(raw) <= 1.0)
   }
 
+  test("featureTable: lag features never reach forward") {
+    val rows = Relational.featureTable(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.values.foreach { ms =>
+      val seq = ms.sortBy(_.getAs[Long]("month_idx"))
+      seq.zipWithIndex.foreach { case (r, i) =>
+        // lag1 equals the previous row's rev (or null at the head)
+        if (i == 0) assert(r.isNullAt(r.fieldIndex("rev_lag1")))
+        else assert(r.getAs[Double]("rev_lag1") ===
+          seq(i - 1).getAs[Double]("rev"))
+        // trailing mean covers at most 3 rows ending HERE
+        val lo = math.max(0, i - 2)
+        val want = seq.slice(lo, i + 1).map(_.getAs[Double]("rev"))
+        val ma = want.sum / want.length
+        assert(math.abs(r.getAs[Double]("rev_ma3") - ma) < 1e-3)
+      }
+    }
+  }
+
+  test("paretoShare: top-1% share never exceeds top-10% share") {
+    val r = Relational.paretoShare(spark, dir).head()
+    val (t10, t1) = (r.getAs[Double]("top10_share"),
+      r.getAs[Double]("top1_share"))
+    assert(t1 <= t10 + 1e-9)
+    assert(t10 > 0.0 && t10 < 1.0)
+    assert(r.getAs[Long]("n_customers") ===
+      Tables.orders(spark, dir)
+        .select("o_custkey").distinct().count())
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)
