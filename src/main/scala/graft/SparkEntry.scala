@@ -295,6 +295,30 @@ object SparkEntry {
           min(col("price_usd")).as("min_usd"),
           max(col("price_usd")).as("max_usd"))
     }),
+    // MERGE-style keyed upsert: correct one source's hour-2 row, then
+    // the raw rollup must show the corrected price (replace) plus the
+    // untouched rows — exercised on its OWN fixture like rollback.
+    "q_pipeline_upsert" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val wh = java.nio.file.Files.createTempDirectory("graft-up-wh").toString
+      val p = new graft.pipeline.Pipeline(s, wh)
+      (1 to 3).foreach { h =>
+        p.runOnceIncremental(Some(
+          java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")))
+      }
+      import s.implicits._
+      val correction = Seq(graft.pipeline.Schemas.BitcoinPrice(
+        "coingecko", "BTC", Some(60000.0), None, None, None, None, None,
+        java.sql.Timestamp.valueOf("2026-01-01 02:00:00")))
+        .toDS().toDF().to(graft.pipeline.Schemas.rawSchema)
+      p.catalog.upsert("raw.bitcoin_prices", correction,
+        Seq("source", "extracted_at"))
+      p.catalog.table("raw.bitcoin_prices")
+        .groupBy(col("source").as("data_source"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("price_usd")).as("min_usd"),
+          max(col("price_usd")).as("max_usd"))
+    }),
     // Data-quality report (the reference's dbt-test stage, queryable)
     "q_dq_checks"        -> (graft.pipeline.Checks.eventsReport _),
     // Text analysis
@@ -1469,6 +1493,17 @@ object SparkEntry {
         |    / (1.0 + 1.96*1.96/n_lines)
         |    *10000 + 0.5 + 0.000001)/10000 AS wilson_lb
         |FROM a ORDER BY wilson_lb DESC, p_brand""".stripMargin,
+    // the correction replaced coingecko@02:00 (price 60000) in place:
+    // counts unchanged, only that source's max moved
+    "q_pipeline_upsert" ->
+      """SELECT data_source, n_rows, min_usd, max_usd FROM (VALUES
+        |  ('coingecko', CAST(3 AS BIGINT), CAST(50000.0 AS DOUBLE),
+        |    CAST(60000.0 AS DOUBLE)),
+        |  ('coincap', CAST(3 AS BIGINT), CAST(50012.5 AS DOUBLE),
+        |    CAST(50262.5 AS DOUBLE)),
+        |  ('blockchain_info', CAST(3 AS BIGINT), CAST(49992.75 AS DOUBLE),
+        |    CAST(50242.75 AS DOUBLE)))
+        |  AS t(data_source, n_rows, min_usd, max_usd)""".stripMargin,
     // rollbackTo(2) must equal tableAsOf(2): same constants as
     // q_pipeline_asof
     "q_pipeline_rollback" ->

@@ -237,6 +237,48 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     filtered.drop(df.columns.filter(hiddenCol).toSeq: _*)
   }
 
+  /** Keyed upsert (the MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT shape) over an append table: rows whose key
+    * matches the batch are retired via the crash-safe [[deleteWhere]]
+    * rewrite protocol, then the batch lands as ONE new commit — so
+    * readers see either the pre-merge or the post-merge state of each
+    * touched commit, the snapshot log records rewrite + append, and a
+    * crash at any point recovers through [[recoverDeletes]].
+    *
+    * The match predicate is built from the batch's DISTINCT keys
+    * (collected — a CDC batch's key set is bounded by the batch, not
+    * the table; for multi-million-key batches, compact the feed with
+    * [[graft.operators.Relational.cdcCompact]] first and upsert the
+    * collapsed survivors). Returns (#rows replaced, #rows inserted). */
+  def upsert(name: String, batch: DataFrame,
+      keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    // ONE InSet over a (possibly composite) key expression — an
+    // OR-of-ANDs per key would grow the expression tree with the batch;
+    // InSet stays a single hash-set membership node at any key count.
+    // Composite keys compare via a separator-joined string rendering
+    // (exact for the id/string keys MERGE targets key on).
+    val keyExpr =
+      if (keyCols.length == 1) col(keyCols.head)
+      else concat_ws("\u0001", keyCols.map(c => col(c).cast("string")): _*)
+    val keyVals = batch.select(keyExpr.as("k")).distinct()
+      .collect().map(_.get(0)).toSeq
+    require(keyVals.length <= 1000000,
+      s"upsert: ${keyVals.length} distinct batch keys — compact the change " +
+        "feed (cdcCompact) before merging a corpus-scale batch")
+    val replaced = deleteWhere(name, keyExpr.isInCollection(keyVals))
+    val inserted = batch.count()
+    // preserve the table's hidden day partitioning: recover the source
+    // timestamp column from the schema sidecar so the merged commit
+    // lands day-partitioned like every other commit
+    val partTs = savedSchema(name).toSeq.flatMap(_.fieldNames)
+      .find(_.startsWith(graft.plans.HiddenPartitionPruning.Prefix))
+      .map(_.stripPrefix(graft.plans.HiddenPartitionPruning.Prefix))
+      .filter(batch.columns.contains)
+    append(name, batch, partitionTs = partTs)
+    (replaced, inserted)
+  }
+
   /** Roll an append table back to `snapshotId` — the Iceberg
     * `rollback_to_snapshot` analog: commits AFTER the target stop
     * being readable and their files are removed; history at or before

@@ -386,6 +386,34 @@ class LakeCatalogSpec extends AnyFunSuite {
       === Set(2L, 3L))
   }
 
+  test("upsert replaces matched keys, inserts the rest, keeps partitioning") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-upsert"))
+    cat.createNamespace("raw")
+    cat.append("raw.u", Seq((1L, "a", ts(10, 1)), (2L, "b", ts(10, 2)))
+      .toDF("id", "v", "extracted_at"), partitionTs = Some("extracted_at"))
+    // batch: update id 2, insert id 3
+    val (replaced, inserted) = cat.upsert("raw.u",
+      Seq((2L, "B", ts(11, 1)), (3L, "c", ts(11, 2)))
+        .toDF("id", "v", "extracted_at"), Seq("id"))
+    assert(replaced === 1L && inserted === 2L)
+    val got = cat.table("raw.u").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // the merged commit kept the hidden day partitioning
+    assert(cat.files("raw.u").collect()
+      .forall(_.getAs[String]("partition_day") != null))
+    // snapshot log: append + rewrite + append
+    assert(cat.snapshots("raw.u").filter(col("operation") === "rewrite")
+      .count() === 1L)
+    // composite key path: (id, v) — no match, pure insert
+    val (r2, i2) = cat.upsert("raw.u",
+      Seq((2L, "x", ts(12, 1))).toDF("id", "v", "extracted_at"),
+      Seq("id", "v"))
+    assert(r2 === 0L && i2 === 1L)
+    assert(cat.table("raw.u").count() === 4L)
+  }
+
   test("rollbackTo drops newer commits, keeps history, and is idempotent") {
     import spark.implicits._
     val cat = new LakeCatalog(spark, TestSpark.tempDir("graft-rb"))
