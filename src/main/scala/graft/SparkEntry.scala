@@ -295,6 +295,24 @@ object SparkEntry {
           min(col("price_usd")).as("min_usd"),
           max(col("price_usd")).as("max_usd"))
     }),
+    // Add-column schema evolution as an ORACLE gate (spec-covered since
+    // r6; this pins the observable read semantics): commit 1 lacks the
+    // column, commit 2 carries it — the evolved read shows NULLs for
+    // pre-evolution rows, values after.
+    "q_pipeline_evolution" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-ev-wh").toString
+      val cat = new graft.pipeline.LakeCatalog(s, wh)
+      cat.createNamespace("raw")
+      cat.append("raw.ev", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"))
+      cat.append("raw.ev", Seq((3L, 30.0, "eur"), (4L, 40.0, "usd"))
+        .toDF("id", "price", "currency"))
+      cat.table("raw.ev")
+        .select(col("id"), col("price"),
+          coalesce(col("currency"), lit("<null>")).as("currency"))
+        .orderBy(col("id"))
+    }),
     // MERGE-style keyed upsert: correct one source's hour-2 row, then
     // the raw rollup must show the corrected price (replace) plus the
     // untouched rows — exercised on its OWN fixture like rollback.
@@ -1493,6 +1511,13 @@ object SparkEntry {
         |    / (1.0 + 1.96*1.96/n_lines)
         |    *10000 + 0.5 + 0.000001)/10000 AS wilson_lb
         |FROM a ORDER BY wilson_lb DESC, p_brand""".stripMargin,
+    "q_pipeline_evolution" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(10.0 AS DOUBLE), '<null>'),
+        |  (CAST(2 AS BIGINT), CAST(20.0 AS DOUBLE), '<null>'),
+        |  (CAST(3 AS BIGINT), CAST(30.0 AS DOUBLE), 'eur'),
+        |  (CAST(4 AS BIGINT), CAST(40.0 AS DOUBLE), 'usd'))
+        |  AS t(id, price, currency)""".stripMargin,
     // the correction replaced coingecko@02:00 (price 60000) in place:
     // counts unchanged, only that source's max moved
     "q_pipeline_upsert" ->
