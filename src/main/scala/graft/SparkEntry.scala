@@ -640,6 +640,7 @@ object SparkEntry {
     "q_price_dispersion" -> ((s, d) => Joins.priceDispersion(s, d)),
     "q_feature_table"    -> ((s, d) => Relational.featureTable(s, d)),
     "q_pareto_share"     -> ((s, d) => Relational.paretoShare(s, d)),
+    "q_quant_agreement"  -> ((s, d) => Similarity.quantAgreement(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4469,6 +4470,36 @@ object SparkEntry {
         |     * sqrt(list_dot_product(b.centroid, b.centroid)))
         |  * 10000 + 0.5 + 0.000001) / 10000 AS centroid_cosine
         |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin,
+    "q_quant_agreement" ->
+      """WITH e AS (SELECT vec_id,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |nz AS (SELECT vec_id, v,
+        |    list_max([abs(x) for x in v]) AS ma FROM e),
+        |qz AS (SELECT vec_id, v,
+        |    [floor(x * (127.0/ma) + 0.5) for x in v] AS q
+        |  FROM nz WHERE ma > 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, q AS qq FROM qz
+        |  WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, qz.vec_id,
+        |    floor(list_dot_product(q.qv, qz.v)
+        |      / (sqrt(list_dot_product(q.qv, q.qv))
+        |         * sqrt(list_dot_product(qz.v, qz.v)))
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS sim_fp,
+        |    floor(list_dot_product(q.qq, qz.q)
+        |      / (sqrt(list_dot_product(q.qq, q.qq))
+        |         * sqrt(list_dot_product(qz.q, qz.q)))
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS sim_q8
+        |  FROM q JOIN qz ON qz.vec_id <> q.query_id),
+        |f AS (SELECT query_id, vec_id AS fp_top1, sim_fp FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim_fp DESC, vec_id) = 1),
+        |h AS (SELECT query_id, vec_id AS q8_top1, sim_q8 FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim_q8 DESC, vec_id) = 1)
+        |SELECT f.query_id, fp_top1, q8_top1,
+        |  fp_top1 = q8_top1 AS agree,
+        |  ROUND(sim_fp, 4) AS fp_sim, ROUND(sim_q8, 4) AS q8_sim
+        |FROM f JOIN h USING(query_id) ORDER BY f.query_id""".stripMargin,
     "q_embedding_drift" ->
       """WITH e AS (SELECT label,
         |    CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS half,

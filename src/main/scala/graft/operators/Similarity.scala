@@ -809,6 +809,51 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Int8-quantization retrieval audit — the companion to
+    * [[quantizeStats]] (that one measures the representation; this one
+    * measures what SERVING loses): top-1 neighbor under int8-quantized
+    * cosine vs the fp32 top-1, per query. Per-vector symmetric scales
+    * CANCEL inside cosine, so the quantized similarity is computed on
+    * the raw int8 arrays — integer dot products are EXACT, making the
+    * quantized ranking bit-deterministic across engines by
+    * construction (only the fp32 side needs the 1e-6 pin). One corpus
+    * pass scores both representations off the same row. */
+  def quantAgreement(s: SparkSession, dir: String): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    def quantized(v: org.apache.spark.sql.Column) = {
+      val maxabs = array_max(transform(v, x => abs(x)))
+      // int8 codes carried as exact integer-valued doubles (the cosine
+      // kernel takes float/double arrays; products stay exact < 2^53)
+      transform(v,
+        x => floor(x * (lit(127.0) / maxabs) + lit(0.5)).cast("double"))
+    }
+    val base = corpus(s, dir)
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .filter(array_max(transform(col("v"), x => abs(x))) > 0)
+      .withColumn("q", quantized(col("v")))
+    val qs = base.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("q").as("qq"))
+    val scored = base
+      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        q6(cosine(col("qv"), col("v"))).as("sim_fp"),
+        q6(cosine(col("qq"), col("q"))).as("sim_q8"))
+    def top1(simCol: String) = scored
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col(simCol)).as("ns"), col("vec_id"))).as("w"))
+      .select(col("query_id"), col("w.vec_id").as(s"${simCol}_id"),
+        (-col("w.ns")).as(simCol))
+    top1("sim_fp").join(top1("sim_q8"), "query_id")
+      .select(col("query_id"),
+        col("sim_fp_id").as("fp_top1"), col("sim_q8_id").as("q8_top1"),
+        (col("sim_fp_id") === col("sim_q8_id")).as("agree"),
+        round(col("sim_fp"), 4).as("fp_sim"),
+        round(col("sim_q8"), 4).as("q8_sim"))
+      .orderBy(col("query_id"))
+  }
+
   /** Matryoshka truncation audit: does the top-1 neighbor under the
     * FIRST-HALF prefix of each embedding agree with the full-dimension
     * top-1 (Kusupati et al. 2022 — MRL embeddings are consumed

@@ -304,6 +304,22 @@ class StatsGraphSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("quantAgreement: fp winner equals the brute top-1; sims close") {
+    val got = graft.operators.Similarity.quantAgreement(spark, dir).collect()
+    assert(got.nonEmpty)
+    val brute = graft.operators.Similarity.knnBrute(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("fp_top1") === brute(r.getAs[Long]("query_id")))
+      // int8 cosine stays within quantization error of fp cosine
+      assert(math.abs(r.getAs[Double]("fp_sim") -
+        r.getAs[Double]("q8_sim")) < 0.05)
+    }
+  }
+
   test("matryoshkaAgreement: full-dim winner equals the exact brute top-1") {
     val got = graft.operators.Similarity.matryoshkaAgreement(spark, dir)
       .collect()
