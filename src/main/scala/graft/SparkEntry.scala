@@ -641,6 +641,7 @@ object SparkEntry {
     "q_feature_table"    -> ((s, d) => Relational.featureTable(s, d)),
     "q_pareto_share"     -> ((s, d) => Relational.paretoShare(s, d)),
     "q_quant_agreement"  -> ((s, d) => Similarity.quantAgreement(s, d)),
+    "q_woe_iv"           -> ((s, d) => Relational.woeIv(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4470,6 +4471,22 @@ object SparkEntry {
         |     * sqrt(list_dot_product(b.centroid, b.centroid)))
         |  * 10000 + 0.5 + 0.000001) / 10000 AS centroid_cosine
         |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin,
+    "q_woe_iv" ->
+      """WITH b AS (SELECT
+        |    CAST(least(floor((l_quantity-1)/10), 4) AS BIGINT) AS bucket,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+        |  FROM lineitem),
+        |g AS (SELECT bucket, SUM(1-bad) AS ng, SUM(bad) AS nb
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT SUM(ng) AS tg, SUM(nb) AS tb FROM g)
+        |SELECT bucket, CAST(ng AS BIGINT) AS n_good,
+        |  CAST(nb AS BIGINT) AS n_bad,
+        |  floor(ln((ng*1.0/tg)/(nb*1.0/tb))*10000 + 0.5 + 0.000001)/10000
+        |    AS woe,
+        |  floor((SELECT SUM((ng*1.0/tg - nb*1.0/tb)
+        |      *ln((ng*1.0/tg)/(nb*1.0/tb))) FROM g, t)
+        |    *10000 + 0.5 + 0.000001)/10000 AS iv_total
+        |FROM g, t ORDER BY bucket""".stripMargin,
     "q_quant_agreement" ->
       """WITH e AS (SELECT vec_id,
         |    [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),

@@ -1831,6 +1831,32 @@ object Relational {
       .orderBy(col("lag"))
   }
 
+  /** Weight-of-evidence / information-value screen for a candidate
+    * feature against a binary target (quantity buckets vs the return
+    * flag) — the credit-scoring-era feature triage that still runs
+    * before any model build: per-bucket WoE = ln((gᵢ/G)/(bᵢ/B)) and
+    * total IV = Σ(gᵢ/G − bᵢ/B)·WoEᵢ (< 0.02 ⇒ the feature carries no
+    * signal). One bucket-keyed count, then arithmetic on the
+    * buckets-bounded frame; ratios come from exact integer counts. */
+  def woeIv(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .select(least(floor((col("l_quantity") - 1) / 10), lit(4))
+        .cast("long").as("bucket"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("bad"))
+      .groupBy(col("bucket"))
+      .agg(sum(lit(1L) - col("bad")).as("ng"), sum(col("bad")).as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = b.agg(sum(col("ng")).as("tg"), sum(col("nb")).as("tb"))
+    val share = (col("ng") / col("tg")) - (col("nb") / col("tb"))
+    val woe = log((col("ng") / col("tg")) / (col("nb") / col("tb")))
+    val iv = b.crossJoin(broadcast(t))
+      .agg(round4eps(sum(share * woe)).as("iv_total"))
+    b.crossJoin(broadcast(t)).crossJoin(broadcast(iv))
+      .select(col("bucket"), col("ng").as("n_good"), col("nb").as("n_bad"),
+        round4eps(woe).as("woe"), col("iv_total"))
+      .orderBy(col("bucket"))
+  }
+
   /** ML feature table at (customer, month) grain: revenue with lag-1,
     * lag-3 and trailing-3-month-mean features plus a tenure index —
     * the leakage-safe feature-engineering shape (every feature uses
