@@ -428,6 +428,23 @@ class HypothesisTestsSpec extends AnyFunSuite {
         .select("o_custkey").distinct().count())
   }
 
+  test("woeIv: counts conserve lineitem; IV is the share-weighted WoE sum") {
+    val rows = Relational.woeIv(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getAs[Long]("n_good") +
+      r.getAs[Long]("n_bad")).sum
+    assert(total === Tables.lineitem(spark, dir).count())
+    // IV recomputed from the row-level counts
+    val tg = rows.map(_.getAs[Long]("n_good")).sum.toDouble
+    val tb = rows.map(_.getAs[Long]("n_bad")).sum.toDouble
+    val iv = rows.map { r =>
+      val (g, b) = (r.getAs[Long]("n_good") / tg, r.getAs[Long]("n_bad") / tb)
+      (g - b) * math.log(g / b)
+    }.sum
+    assert(math.abs(rows.head.getAs[Double]("iv_total") - iv) < 1e-3)
+    assert(iv >= 0.0) // IV is a sum of (p-q)ln(p/q) terms, each >= 0
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)
