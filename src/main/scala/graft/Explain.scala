@@ -44,7 +44,12 @@ object Explain {
         // scan), join elimination (the plan must contain NO customer
         // scan), and the alphabet-bounded ER blocking (one
         // variant-keyed ObjectHashAggregate shuffle)
-        "q_forecast_revenue", "q_join_elim", "q_entity_match")
+        "q_forecast_revenue", "q_join_elim", "q_entity_match",
+        // round-8 second-session flagships: NB scoring (vocab-bounded
+        // broadcast model, map-side fan-out), the reservoir sketch
+        // (one partial-merged aggregate, no per-group sort), and the
+        // bounded-side-broadcast non-equi joins (spine must BuildLeft)
+        "q_naive_bayes", "q_sample_quantiles", "q_stickiness")
     for (n <- names) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
