@@ -215,4 +215,25 @@ class PropertySpec extends AnyFunSuite {
       assert(est >= exact, s"CM estimate $est below exact $exact")
     }
   }
+
+  test("hash_reservoir: sample == k-smallest-hash rule on generated data") {
+    import graft.functions.FreqSketchFunctions.hashReservoir
+    val genRow: Gen[(Long, Double)] = for {
+      h <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      v <- Gen.choose(-1000.0, 1000.0)
+    } yield (h, v)
+    for (seed <- Seq(11L, 22L, 33L)) {
+      val rows = sample(genRow, 400, seed)
+      val k = 16
+      // reference: min value per hash (the admit rule), then k smallest
+      val want = rows.groupBy(_._1).view.mapValues(_.map(_._2).min)
+        .toSeq.sortBy(_._1).take(k).map(_._2).toSet
+      for (parts <- Seq(1, 5, 13)) {
+        val got = rows.toDF("h", "v").repartition(parts)
+          .agg(hashReservoir(col("h"), col("v"), k).as("s"))
+          .select(explode(col("s")).as("v")).as[Double].collect().toSet
+        assert(got === want, s"seed=$seed parts=$parts")
+      }
+    }
+  }
 }
