@@ -642,6 +642,7 @@ object SparkEntry {
     "q_pareto_share"     -> ((s, d) => Relational.paretoShare(s, d)),
     "q_quant_agreement"  -> ((s, d) => Similarity.quantAgreement(s, d)),
     "q_woe_iv"           -> ((s, d) => Relational.woeIv(s, d)),
+    "q_entropy_rate"     -> ((s, d) => graft.operators.Behavior.entropyRate(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4471,6 +4472,22 @@ object SparkEntry {
         |     * sqrt(list_dot_product(b.centroid, b.centroid)))
         |  * 10000 + 0.5 + 0.000001) / 10000 AS centroid_cosine
         |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin,
+    "q_entropy_rate" ->
+      """WITH pairs AS (SELECT event_type AS cur, lead(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, count(*) AS n FROM pairs
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT SUM(n) AS tn FROM c),
+        |rowt AS (SELECT cur, SUM(n) AS rn FROM c GROUP BY 1),
+        |m AS (SELECT nxt, SUM(n) AS mn FROM c GROUP BY 1)
+        |SELECT
+        |  floor(-SUM((n*1.0/tn) * ln(n*1.0/rn))*10000 + 0.5 + 0.000001)
+        |    /10000 AS cond_entropy,
+        |  floor((SELECT -SUM((mn*1.0/tn)*ln(mn*1.0/tn)) FROM m, t)
+        |    *10000 + 0.5 + 0.000001)/10000 AS marginal_entropy,
+        |  CAST(tn AS BIGINT) AS n_transitions
+        |FROM c JOIN rowt USING(cur), t GROUP BY tn""".stripMargin,
     "q_woe_iv" ->
       """WITH b AS (SELECT
         |    CAST(least(floor((l_quantity-1)/10), 4) AS BIGINT) AS bucket,

@@ -514,6 +514,38 @@ object Behavior {
       .toDF("did_estimate", "se", "n_days")
   }
 
+  /** Entropy rate of the event-type process: conditional entropy
+    * H(next | current) vs the marginal H(next) — their gap is the
+    * information the previous event carries about the next (≈ 0 means
+    * the sequence is memoryless and the [[transitionMatrix]] buys
+    * nothing over base rates; the model-selection check run BEFORE
+    * fitting sequence models). Same user-keyed transition counting as
+    * the Markov gates; all entropies are arithmetic over the
+    * |types|²-bounded count frame. */
+  def entropyRate(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .withColumn("nxt", lead(col("event_type"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = c.agg(sum(col("n")).as("tn"))
+    val rowt = c.groupBy(col("cur")).agg(sum(col("n")).as("rn"))
+    val marg = c.groupBy(col("nxt")).agg(sum(col("n")).as("mn"))
+      .crossJoin(broadcast(t))
+      .agg(round4eps(-sum((col("mn").cast("double") / col("tn")) *
+        log(col("mn").cast("double") / col("tn")))).as("marginal_entropy"))
+    c.join(broadcast(rowt), "cur").crossJoin(broadcast(t))
+      .agg(round4eps(-sum((col("n").cast("double") / col("tn")) *
+        log(col("n").cast("double") / col("rn")))).as("cond_entropy"),
+        max(col("tn")).as("n_transitions"))
+      .crossJoin(broadcast(marg))
+      .select(col("cond_entropy"), col("marginal_entropy"),
+        col("n_transitions"))
+  }
+
   /** Event-type co-occurrence PMI within sessions — which behaviors
     * cluster in the same visit (positive PMI) vs repel (negative):
     * PMI(a,b) = ln(N·n_ab / (n_a·n_b)) over session type-SETS (presence,

@@ -445,6 +445,19 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(iv >= 0.0) // IV is a sum of (p-q)ln(p/q) terms, each >= 0
   }
 
+  test("entropyRate: conditioning can only reduce entropy") {
+    val r = Behavior.entropyRate(spark, dir).head()
+    val (cond, marg) = (r.getAs[Double]("cond_entropy"),
+      r.getAs[Double]("marginal_entropy"))
+    // H(next|cur) <= H(next), with equality iff memoryless
+    assert(cond <= marg + 1e-9, s"cond=$cond marg=$marg")
+    assert(cond >= 0.0)
+    // marginal bounded by ln(#types)
+    val k = Tables.events(spark, dir).select("event_type").distinct().count()
+    assert(marg <= math.log(k.toDouble) + 1e-6)
+    assert(r.getAs[Long]("n_transitions") > 0)
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)
