@@ -240,7 +240,11 @@ object Behavior {
     * that click; deltas are integer seconds, so the per-stage
     * percentile interpolates identical inputs in both engines.
     * Everything is user-keyed mins then one aggregate per stage pair —
-    * no windows, no self-joins on the raw stream. */
+    * no windows, no self-joins on the raw stream. The gate uses the
+    * EXACT percentile (it buffers the user-grain deltas in the single
+    * summary group); at 100 TB swap in approx_percentile or the
+    * [[graft.functions.HashReservoir]] sketch — same output schema,
+    * mergeable partials. */
   def funnelLatency(s: SparkSession, dir: String,
       stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     val events = Tables.events(s, dir)
@@ -276,7 +280,9 @@ object Behavior {
     * Duration is last−first event seconds within the 30-min-gap
     * session (truncated-second diffs — integer inputs, so both engines
     * interpolate identically). User-keyed windows, then a
-    * calendar-bounded day rollup. */
+    * calendar-bounded day rollup; per-day groups buffer that day's
+    * sessions for the exact percentile — the 100 TB path swaps in
+    * approx_percentile / [[graft.functions.HashReservoir]] per day. */
   def sessionDurations(s: SparkSession, dir: String,
       gapSeconds: Long = 1800L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1887,7 +1887,11 @@ object Relational {
     * single-partition sort): exact percentile BOUNDARIES of the
     * customer-revenue distribution (p90, p99) come from one aggregate;
     * the shares above each boundary are map-side compares — the
-    * [[equiDepthHist]] discipline applied to concentration reporting. */
+    * [[equiDepthHist]] discipline applied to concentration reporting.
+    * (The exact-percentile aggregate buffers the customer-grain values
+    * in its single group; at billions of customers the boundaries come
+    * from approx_percentile or [[hashSampleQuantiles]]'s reservoir —
+    * the share arithmetic downstream is unchanged.) */
   def paretoShare(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
@@ -1973,7 +1977,10 @@ object Relational {
     * contamination shape). Quantiles come from one grouped aggregate;
     * the fence compare is a broadcast join back — both engines
     * interpolate identical sorted inputs, so the fences are
-    * bit-identical before any compare. */
+    * bit-identical before any compare. (Exact per-type quantiles
+    * buffer each type's values; the 100 TB fence source is
+    * approx_percentile / the [[graft.functions.HashReservoir]]
+    * sketch — fences are thresholds, not exact statistics.) */
   def iqrFences(s: SparkSession, dir: String): DataFrame = {
     val q = Tables.events(s, dir)
       .groupBy(col("event_type"))
