@@ -146,7 +146,10 @@ object Bench {
     // ticks + CTAS rebuilds) rather than running a query over sfDir —
     // they belong to the correctness gate, not the throughput benchmark.
     val notQueries = Set("q_pipeline_mart", "q_pipeline_snapshots",
-      "q_pipeline_asof", "q_pipeline_incmart", "q_pipeline_dbtrun")
+      "q_pipeline_asof", "q_pipeline_incmart", "q_pipeline_dbtrun",
+      // r8 additions of the same kind: each builds (and for these
+      // three, MUTATES) its own fixture warehouse per invocation
+      "q_pipeline_rollback", "q_pipeline_upsert", "q_pipeline_evolution")
     // Cheapest-first by last observed Verify time (unknown → 0): the
     // iterative graph tail runs last, after every cheap query has
     // already landed its number.

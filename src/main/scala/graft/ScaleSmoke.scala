@@ -265,6 +265,15 @@ object ScaleSmoke {
     run("mannWhitney")(operators.Behavior.mannWhitney(spark, dir))
     run("sessionCooccur")(operators.Behavior.sessionCooccurrence(spark, dir))
     run("minCostSupplier")(operators.Joins.minCostSupplier(spark, dir))
+    // stickiness: the day-spine×presence non-equi join fans out ×7 on a
+    // factor×-larger presence frame — linear, and the SPINE side is the
+    // broadcast build (BuildLeft, plan-audited). growthAccounting:
+    // user-keyed lag + weeks-bounded rollup — linear in the presence
+    // frame. quantAgreement/matryoshka: corpus ×10-query broadcast
+    // fan-out, two bounded argmin reductions — linear in the corpus.
+    run("stickiness")(operators.Behavior.stickiness(spark, dir))
+    run("growthAccounting")(operators.Behavior.growthAccounting(spark, dir))
+    run("quantAgreement")(operators.Similarity.quantAgreement(spark, dir))
 
     spark.stop()
   }
