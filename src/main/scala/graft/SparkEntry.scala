@@ -643,6 +643,7 @@ object SparkEntry {
     "q_quant_agreement"  -> ((s, d) => Similarity.quantAgreement(s, d)),
     "q_woe_iv"           -> ((s, d) => Relational.woeIv(s, d)),
     "q_entropy_rate"     -> ((s, d) => graft.operators.Behavior.entropyRate(s, d)),
+    "q_lines_per_order"  -> ((s, d) => Relational.linesPerOrder(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4472,6 +4473,12 @@ object SparkEntry {
         |     * sqrt(list_dot_product(b.centroid, b.centroid)))
         |  * 10000 + 0.5 + 0.000001) / 10000 AS centroid_cosine
         |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin,
+    "q_lines_per_order" ->
+      """WITH o AS (SELECT l_orderkey, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_entropy_rate" ->
       """WITH pairs AS (SELECT event_type AS cur, lead(event_type) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt

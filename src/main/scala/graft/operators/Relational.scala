@@ -1910,6 +1910,18 @@ object Relational {
           / sum(col("rev"))).as("top1_share"))
   }
 
+  /** Lines-per-order histogram — the basket-width distribution (the
+    * companion to [[Joins.orderCountDistribution]]'s orders-per-
+    * customer): one orderkey-keyed count, then a histogram bounded by
+    * the max basket width. The shape every join-cost estimate over
+    * order-grain data starts from. */
+  def linesPerOrder(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_lines"))
+
   /** New-vs-repeat revenue split per month — the acquisition/retention
     * decomposition of the top line (a flat total can hide collapsing
     * acquisition propped up by repeat spend). A customer's FIRST order

@@ -458,6 +458,17 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_transitions") > 0)
   }
 
+  test("linesPerOrder: histogram conserves both orders and lineitems") {
+    val rows = Relational.linesPerOrder(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val orders = rows.map(_.getAs[Long]("n_orders")).sum
+    assert(orders === Tables.lineitem(spark, dir)
+      .select("l_orderkey").distinct().count())
+    val lines = rows.map(r =>
+      r.getAs[Long]("n_lines") * r.getAs[Long]("n_orders")).sum
+    assert(lines === Tables.lineitem(spark, dir).count())
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)
