@@ -644,6 +644,8 @@ object SparkEntry {
     "q_woe_iv"           -> ((s, d) => Relational.woeIv(s, d)),
     "q_entropy_rate"     -> ((s, d) => graft.operators.Behavior.entropyRate(s, d)),
     "q_lines_per_order"  -> ((s, d) => Relational.linesPerOrder(s, d)),
+    "q_spearman"         -> ((s, d) => Relational.spearmanCorr(s, d)),
+    "q_kendall"          -> ((s, d) => Relational.kendallTau(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4473,6 +4475,50 @@ object SparkEntry {
         |     * sqrt(list_dot_product(b.centroid, b.centroid)))
         |  * 10000 + 0.5 + 0.000001) / 10000 AS centroid_cosine
         |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin,
+    "q_spearman" ->
+      """WITH x AS (SELECT l_quantity AS xv, count(*) AS nx FROM lineitem
+        |  GROUP BY 1),
+        |y AS (SELECT l_discount AS yv, count(*) AS ny FROM lineitem
+        |  GROUP BY 1),
+        |rx AS (SELECT xv, COALESCE(SUM(nx) OVER (ORDER BY xv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (nx+1)/2.0 AS r FROM x),
+        |ry AS (SELECT yv, COALESCE(SUM(ny) OVER (ORDER BY yv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (ny+1)/2.0 AS r FROM y),
+        |j AS (SELECT l_quantity AS xv, l_discount AS yv, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT j.n, rx.r AS rxv, ry.r AS ryv FROM j
+        |  JOIN rx ON j.xv = rx.xv JOIN ry ON j.yv = ry.yv),
+        |m AS (SELECT SUM(n) AS tn, SUM(n*rxv)/SUM(n) AS mx,
+        |    SUM(n*ryv)/SUM(n) AS my FROM w)
+        |SELECT floor(SUM(n*(rxv-mx)*(ryv-my)) /
+        |    sqrt(SUM(n*(rxv-mx)*(rxv-mx)) * SUM(n*(ryv-my)*(ryv-my)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS spearman_rho,
+        |  CAST(MAX(tn) AS BIGINT) AS n
+        |FROM w, m""".stripMargin,
+    "q_kendall" ->
+      """WITH j AS (SELECT l_quantity AS xv, l_discount AS yv,
+        |    count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT SUM(n) AS tn FROM j),
+        |gx AS (SELECT SUM(g*(g-1)/2) AS n1 FROM
+        |  (SELECT SUM(n) AS g FROM j GROUP BY xv)),
+        |gy AS (SELECT SUM(g*(g-1)/2) AS n2 FROM
+        |  (SELECT SUM(n) AS g FROM j GROUP BY yv)),
+        |pairs AS (SELECT a.n*b.n AS w,
+        |    CASE WHEN (a.xv<b.xv AND a.yv<b.yv)
+        |        OR (a.xv>b.xv AND a.yv>b.yv) THEN 1
+        |      WHEN (a.xv<b.xv AND a.yv>b.yv)
+        |        OR (a.xv>b.xv AND a.yv<b.yv) THEN -1
+        |      ELSE 0 END AS sgn
+        |  FROM j a JOIN j b ON (a.xv, a.yv) < (b.xv, b.yv)),
+        |cd AS (SELECT SUM(CASE WHEN sgn=1 THEN w ELSE 0 END) AS nc,
+        |    SUM(CASE WHEN sgn=-1 THEN w ELSE 0 END) AS nd FROM pairs)
+        |SELECT floor((nc-nd)/sqrt((tn*(tn-1)/2.0 - n1)*(tn*(tn-1)/2.0 - n2))
+        |    *10000 + 0.5 + 0.000001)/10000 AS kendall_tau_b,
+        |  CAST(nc AS BIGINT) AS n_concordant,
+        |  CAST(nd AS BIGINT) AS n_discordant
+        |FROM cd, tot, gx, gy""".stripMargin,
     "q_lines_per_order" ->
       """WITH o AS (SELECT l_orderkey, count(*) AS n_lines
         |  FROM lineitem GROUP BY 1)

@@ -1983,6 +1983,85 @@ object Relational {
             (lit(1.0) - col("ryz") * col("ryz")))).as("r_xy_given_z"),
         col("n"))
 
+  /** Spearman rank correlation of quantity↔discount WITHOUT ranking
+    * any rows: both columns collapse to their value distributions
+    * first (NDV-bounded — 50 and 11 distinct values here), average
+    * ranks come from cumulative counts over those bounded frames, and
+    * ρ is a count-WEIGHTED Pearson over the ≤ NDVₓ·NDV_y joint
+    * histogram. The [[mannWhitney]] discipline applied to correlation:
+    * at 100 TB the only corpus-touching steps are three keyed counts. */
+  def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranks(c: String, alias: String) = {
+      val w = Window.orderBy(col(alias)) // NDV-bounded frame
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.lineitem(s, dir)
+        .groupBy(col(c).as(alias)).agg(count(lit(1)).as(s"n_$alias"))
+        .withColumn(s"r_$alias",
+          coalesce(sum(col(s"n_$alias")).over(w), lit(0L)) +
+            (col(s"n_$alias") + 1) / lit(2.0))
+    }
+    val j = Tables.lineitem(s, dir)
+      .groupBy(col("l_quantity").as("xv"), col("l_discount").as("yv"))
+      .agg(count(lit(1)).as("n"))
+    val w = j.join(broadcast(ranks("l_quantity", "xv")), "xv")
+      .join(broadcast(ranks("l_discount", "yv")), "yv")
+      .select(col("n"), col("r_xv"), col("r_yv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = w.agg(sum(col("n")).as("tn"),
+      (sum(col("n") * col("r_xv")) / sum(col("n"))).as("mx"),
+      (sum(col("n") * col("r_yv")) / sum(col("n"))).as("my"))
+    w.crossJoin(broadcast(m))
+      .agg(round4eps(
+        sum(col("n") * (col("r_xv") - col("mx")) * (col("r_yv") - col("my"))) /
+          sqrt(sum(col("n") * (col("r_xv") - col("mx")) *
+            (col("r_xv") - col("mx"))) *
+            sum(col("n") * (col("r_yv") - col("my")) *
+              (col("r_yv") - col("my"))))).as("spearman_rho"),
+        max(col("tn")).as("n"))
+  }
+
+  /** Kendall τ-b of quantity↔discount from the JOINT HISTOGRAM — the
+    * O(n²) pair enumeration the textbook formula implies never touches
+    * rows: concordant/discordant weights are cell-count products over
+    * the ≤ NDVₓ·NDV_y cell pairs (≈150k comparisons here regardless of
+    * corpus size), and the tie terms come from the marginal group
+    * sizes. Counts stay exact longs at any tested scale; at extreme
+    * row counts (cell products beyond 2⁶³) swap the weights to
+    * DECIMAL — τ is a ratio, the structure is unchanged. */
+  def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(s, dir)
+      .groupBy(col("l_quantity").as("xv"), col("l_discount").as("yv"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = j.agg(sum(col("n")).as("tn"))
+    val n1 = j.groupBy(col("xv")).agg(sum(col("n")).as("g"))
+      .agg(sum(col("g") * (col("g") - 1) / 2).as("n1"))
+    val n2 = j.groupBy(col("yv")).agg(sum(col("n")).as("g"))
+      .agg(sum(col("g") * (col("g") - 1) / 2).as("n2"))
+    val a = j.select(col("xv").as("ax"), col("yv").as("ay"), col("n").as("an"))
+    val b = j.select(col("xv").as("bx"), col("yv").as("by"), col("n").as("bn"))
+    val pairs = a.join(b,
+        col("ax") < col("bx") ||
+          (col("ax") === col("bx") && col("ay") < col("by")))
+      .select((col("an") * col("bn")).as("w"),
+        when((col("ax") < col("bx") && col("ay") < col("by")) ||
+          (col("ax") > col("bx") && col("ay") > col("by")), 1)
+          .when((col("ax") < col("bx") && col("ay") > col("by")) ||
+            (col("ax") > col("bx") && col("ay") < col("by")), -1)
+          .otherwise(0).as("sgn"))
+    pairs.agg(
+        sum(when(col("sgn") === 1, col("w")).otherwise(0L)).as("nc"),
+        sum(when(col("sgn") === -1, col("w")).otherwise(0L)).as("nd"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(round4eps((col("nc") - col("nd")).cast("double") /
+          sqrt((col("tn") * (col("tn") - 1) / lit(2.0) - col("n1")) *
+            (col("tn") * (col("tn") - 1) / lit(2.0) - col("n2"))))
+          .as("kendall_tau_b"),
+        col("nc").as("n_concordant"), col("nd").as("n_discordant"))
+  }
+
   /** Tukey IQR fences per event type: [q1 − 1.5·IQR, q3 + 1.5·IQR]
     * outlier counts — the box-plot screen next to the z-score
     * ([[zscoreOutliers]]) and MAD variants (each flags a different

@@ -469,6 +469,22 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(lines === Tables.lineitem(spark, dir).count())
   }
 
+  test("spearman/kendall: bounded, near-agreeing signs, exact pair counts") {
+    val sp = Relational.spearmanCorr(spark, dir).head()
+    val rho = sp.getAs[Double]("spearman_rho")
+    assert(math.abs(rho) <= 1.0)
+    assert(sp.getAs[Long]("n") === Tables.lineitem(spark, dir).count())
+    val kd = Relational.kendallTau(spark, dir).head()
+    val tau = kd.getAs[Double]("kendall_tau_b")
+    assert(math.abs(tau) <= 1.0)
+    // concordant+discordant never exceed all untied pairs
+    val n = sp.getAs[Long]("n")
+    assert(kd.getAs[Long]("n_concordant") + kd.getAs[Long]("n_discordant")
+      <= n * (n - 1) / 2)
+    // the two rank correlations agree in sign (or both ~0)
+    assert(rho * tau >= -1e-4, s"rho=$rho tau=$tau disagree")
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)
