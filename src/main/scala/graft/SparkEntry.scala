@@ -646,6 +646,7 @@ object SparkEntry {
     "q_lines_per_order"  -> ((s, d) => Relational.linesPerOrder(s, d)),
     "q_spearman"         -> ((s, d) => Relational.spearmanCorr(s, d)),
     "q_kendall"          -> ((s, d) => Relational.kendallTau(s, d)),
+    "q_auc"              -> ((s, d) => graft.operators.Behavior.aucScore(s, d)),
     "q_modularity"       -> ((s, d) => graft.operators.Graph.regionModularity(s, d)),
     "q_heaps_law"        -> ((s, d) => TextAnalysis.heapsLaw(s, d)),
     // compaction dry-run on the fixture warehouse raw table: 3 commits
@@ -4475,6 +4476,23 @@ object SparkEntry {
         |     * sqrt(list_dot_product(b.centroid, b.centroid)))
         |  * 10000 + 0.5 + 0.000001) / 10000 AS centroid_cosine
         |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin,
+    "q_auc" ->
+      """WITH g AS (SELECT value,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS np,
+        |    SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |      AS nn
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT np, nn, np+nn AS t,
+        |    COALESCE(SUM(np+nn) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g),
+        |s AS (SELECT SUM(np) AS npt, SUM(nn) AS nnt,
+        |    SUM(np*(cb + (t+1)/2.0)) AS rp FROM r)
+        |SELECT CAST(npt AS BIGINT) AS n_pos, CAST(nnt AS BIGINT) AS n_neg,
+        |  floor((rp - npt*(npt+1)/2.0)/(npt*nnt)*10000 + 0.5 + 0.000001)
+        |    /10000 AS auc
+        |FROM s""".stripMargin,
     "q_spearman" ->
       """WITH x AS (SELECT l_quantity AS xv, count(*) AS nx FROM lineitem
         |  GROUP BY 1),

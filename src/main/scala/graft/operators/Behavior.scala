@@ -964,6 +964,36 @@ object Behavior {
             (col("nt") * (col("nt") - 1))))).as("z_score"))
   }
 
+  /** ROC AUC of `value` as a score for "is this a purchase" — the
+    * model-evaluation statistic, computed via its rank identity
+    * AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) (a normalized Mann-Whitney U —
+    * ties get half credit via average ranks). Same scale shape as
+    * [[mannWhitney]]: the score column collapses to its NDV-bounded
+    * distinct-value frame; no row is ever globally sorted. AUC ≈ 0.5
+    * here certifies the synthetic value column carries no class
+    * signal — the null-baseline readout an eval harness must get
+    * right before real scores arrive. */
+  def aucScore(s: SparkSession, dir: String,
+      positive: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(s, dir)
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === positive, 1L).otherwise(0L))
+        .as("np"),
+        sum(when(col("event_type") =!= positive, 1L).otherwise(0L))
+          .as("nn"))
+    val w = Window.orderBy(col("value")) // NDV-bounded frame
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("t", col("np") + col("nn"))
+      .withColumn("cb", coalesce(sum(col("np") + col("nn")).over(w), lit(0L)))
+    ranked.agg(
+        sum(col("np")).as("npt"), sum(col("nn")).as("nnt"),
+        sum(col("np") * (col("cb") + (col("t") + 1) / lit(2.0))).as("rp"))
+      .select(col("npt").as("n_pos"), col("nnt").as("n_neg"),
+        round4eps((col("rp") - col("npt") * (col("npt") + 1) / lit(2.0)) /
+          (col("npt") * col("nnt"))).as("auc"))
+  }
+
   /** Longest consecutive-day activity streak per user (top 20): the
     * gaps-and-islands idiom — distinct active days, island id =
     * day − row_number (constant within a run of consecutive days),

@@ -485,6 +485,41 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(rho * tau >= -1e-4, s"rho=$rho tau=$tau disagree")
   }
 
+  test("aucScore: AUC identity with Mann-Whitney U; bounded; conserves") {
+    val r = Behavior.aucScore(spark, dir).head()
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") ===
+      Tables.events(spark, dir).count())
+    // from-scratch AUC: P(score_pos > score_neg) + 0.5 P(equal)
+    val rows = Tables.events(spark, dir)
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0) == "purchase", x.getDouble(1)))
+    val pos = rows.filter(_._1).map(_._2).sorted
+    val neg = rows.filter(!_._1).map(_._2).sorted
+    // count pairs via merge over sorted distinct values (exact)
+    var wins = 0.0
+    var j = 0; var eq = 0
+    // O(P log N) reference with binary search
+    def lowerBound(a: Array[Double], v: Double): Int = {
+      var lo = 0; var hi = a.length
+      while (lo < hi) { val m = (lo + hi) / 2; if (a(m) < v) lo = m + 1 else hi = m }
+      lo
+    }
+    def upperBound(a: Array[Double], v: Double): Int = {
+      var lo = 0; var hi = a.length
+      while (lo < hi) { val m = (lo + hi) / 2; if (a(m) <= v) lo = m + 1 else hi = m }
+      lo
+    }
+    pos.foreach { p =>
+      val lt = lowerBound(neg, p)
+      val le = upperBound(neg, p)
+      wins += lt + 0.5 * (le - lt)
+    }
+    val want = wins / (pos.length.toDouble * neg.length)
+    assert(math.abs(auc - want) < 1e-4, s"auc=$auc want=$want")
+  }
+
   test("bounceRate: bounces never exceed sessions; rate in [0,1]") {
     val out = Behavior.bounceRate(spark, dir).collect()
     assert(out.nonEmpty)
