@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Joins, Multimodal, Relational, SetSimJoin, Similarity, TemporalJoins, TextAnalysis, Windows}
+import graft.operators.{Dedup, Joins, Multimodal, Relational, SetSimJoin, Similarity, Stats, TemporalJoins, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -669,6 +669,12 @@ object SparkEntry {
       "star_revenue" -> Joins.starRevenue(s, d),
       "daily_mart"   -> Relational.dailyMart(s, d),
       "gini_revenue" -> Relational.giniRevenue(s, d)))),
+    // Round-8 batch 3: closed-form model fits (one-pass moment
+    // aggregations + scalar algebra — the 100 TB regression family)
+    "q_ols_multi"        -> ((s, d) => Stats.olsMulti(s, d)),
+    "q_theil_index"      -> ((s, d) => Stats.theilIndex(s, d)),
+    "q_cusum"            -> ((s, d) => Stats.cusumRevenue(s, d)),
+    "q_mahalanobis"      -> ((s, d) => Stats.mahalanobisOutliers(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5008,5 +5014,78 @@ object SparkEntry {
         |  floor(AVG(CAST(json_extract(props, '$.k') AS BIGINT))
         |    *10000 + 0.5 + 0.000001)/10000 AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ols_multi" ->
+      """WITH li AS (SELECT l_returnflag AS seg,
+        |    (l_quantity - 25.0)/25.0 AS x1,
+        |    (l_discount - 0.05)/0.05 AS x2,
+        |    l_extendedprice*(1.0 - l_discount)/50000.0 AS y
+        |  FROM lineitem),
+        |m AS (SELECT seg, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+        |    SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+        |    SUM(x1*y) AS s1y, SUM(x2*y) AS s2y, SUM(y*y) AS syy
+        |  FROM li GROUP BY 1),
+        |c AS (SELECT seg, n, s1, s2, sy,
+        |    s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12,
+        |    s22 - s2*s2/n AS c22, s1y - s1*sy/n AS c1y,
+        |    s2y - s2*sy/n AS c2y, syy - sy*sy/n AS cyy
+        |  FROM m),
+        |b AS (SELECT seg, n, sy, s1, s2, c1y, c2y, cyy,
+        |    (c1y*c22 - c2y*c12)/(c11*c22 - c12*c12) AS b1s,
+        |    (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS b2s
+        |  FROM c)
+        |SELECT seg, CAST(n AS BIGINT) AS n,
+        |  floor((50000.0*((sy - b1s*s1 - b2s*s2)/n) - 50000.0*b1s
+        |    - 50000.0*b2s)*10000 + 0.5 + 0.000001)/10000 AS b0,
+        |  floor(2000.0*b1s*10000 + 0.5 + 0.000001)/10000 AS b_quantity,
+        |  floor(1000000.0*b2s*10000 + 0.5 + 0.000001)/10000 AS b_discount,
+        |  floor((1 - (cyy - b1s*c1y - b2s*c2y)/cyy)*10000 + 0.5
+        |    + 0.000001)/10000 AS r2
+        |FROM b ORDER BY seg""".stripMargin,
+    "q_theil_index" ->
+      """WITH cr AS (SELECT o_custkey,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS x
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT c_custkey, r_name AS region FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT region, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  floor(SUM(x)/COUNT(*)*10000 + 0.5 + 0.000001)/10000
+        |    AS mean_rev,
+        |  floor((SUM(x*ln(x))/SUM(x) - ln(SUM(x)/COUNT(*)))*10000
+        |    + 0.5 + 0.000001)/10000 AS theil_t
+        |FROM cr JOIN d ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cusum" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT floor(AVG(rev)*100 + 0.5 + 0.000001)/100 AS mu,
+        |    floor(stddev_pop(rev)*100 + 0.5 + 0.000001)/100 AS sigma,
+        |    CAST(COUNT(*) AS DOUBLE) AS n FROM daily),
+        |c AS (SELECT d, rev,
+        |    SUM(rev - mu) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) / (sigma * sqrt(n)) AS cv
+        |  FROM daily, sc)
+        |SELECT d, rev, floor(cv*10000 + 0.5 + 0.000001)/10000 AS cusum,
+        |  floor(abs(cv)*10000 + 0.5 + 0.000001)/10000 AS abs_cusum
+        |FROM c ORDER BY abs_cusum DESC, d LIMIT 10""".stripMargin,
+    "q_mahalanobis" ->
+      """WITH p AS (SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS f1,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS f2
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(f1) AS m1,
+        |    AVG(f2) AS m2, SUM(f1*f1) AS s11, SUM(f1*f2) AS s12,
+        |    SUM(f2*f2) AS s22 FROM p),
+        |c AS (SELECT n, m1, m2,
+        |    (s11 - n*m1*m1)/(n-1) AS c11, (s12 - n*m1*m2)/(n-1) AS c12,
+        |    (s22 - n*m2*m2)/(n-1) AS c22 FROM m)
+        |SELECT o_custkey AS custkey, CAST(f1 AS BIGINT) AS n_orders,
+        |  f2 AS revenue,
+        |  floor((c22*(f1-m1)*(f1-m1) - 2*c12*(f1-m1)*(f2-m2)
+        |    + c11*(f2-m2)*(f2-m2))/(c11*c22 - c12*c12)
+        |    *10000 + 0.5 + 0.000001)/10000 AS mahalanobis_d2
+        |FROM p, c ORDER BY mahalanobis_d2 DESC, custkey
+        |LIMIT 15""".stripMargin,
   )
 }

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Rounding.round4eps
+
+/** Closed-form statistical modeling operators — the model-fitting
+  * family that runs AFTER the hypothesis-test screens (Behavior.scala)
+  * and BEFORE any iterative ML: every fit here reduces to one or two
+  * moment aggregations plus scalar algebra, so each is a single
+  * map-side-combined pass over the corpus regardless of scale. The
+  * reference's dbt marts stop at grouped sums
+  * (`models/marts/fct_sales_summary.sql`); these are the next layer a
+  * training-data pipeline bolts on top of the same tables.
+  *
+  * Cross-engine parity discipline (see Rounding.scaladoc): inputs that
+  * feed further arithmetic are quantized with round4eps on BOTH
+  * engines; fitted coefficients are computed on FIXED-CONSTANT-scaled
+  * predictors so every intermediate stays O(1) and the final round4
+  * absorbs ulp drift; ranked outputs rank on the ROUNDED value with a
+  * unique key tie-break so top-k cutoffs are deterministic.
+  */
+object Stats {
+
+  /** Multiple linear regression (two predictors + intercept) fitted in
+    * closed form via the normal equations — net line revenue modeled
+    * on quantity and discount, per return-flag segment:
+    * rev = b0 + b1*quantity + b2*discount.
+    *
+    * Scale shape: ONE moment aggregation (n, Σx1, Σx2, Σy, Σx1²,
+    * Σx1x2, Σx2², Σx1y, Σx2y, Σy²) with full map-side combine — the
+    * shuffle carries 10 doubles per (segment × map task), then the
+    * 3×3 normal system collapses to a 2×2 Cramer solve on the
+    * segment-bounded frame. This is the textbook 100 TB regression:
+    * no gradient steps, no driver collect, no second pass. Predictors
+    * are pre-scaled by fixed constants (quantity→(x−25)/25,
+    * discount→(x−0.05)/0.05, rev→/50000) so the centered moments are
+    * O(n) sums of O(1) terms — the Cramer cancellation never sees
+    * 1e12-magnitude sums, keeping the 4-decimal output parity-stable.
+    */
+  def olsMulti(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("seg"),
+      ((col("l_quantity") - lit(25.0)) / lit(25.0)).as("x1"),
+      ((col("l_discount") - lit(0.05)) / lit(0.05)).as("x2"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
+        lit(50000.0)).as("y"))
+    val m = li.groupBy(col("seg")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y") * col("y")).as("syy"))
+    val c11 = col("s11") - col("s1") * col("s1") / col("n")
+    val c12 = col("s12") - col("s1") * col("s2") / col("n")
+    val c22 = col("s22") - col("s2") * col("s2") / col("n")
+    val c1y = col("s1y") - col("s1") * col("sy") / col("n")
+    val c2y = col("s2y") - col("s2") * col("sy") / col("n")
+    val cyy = col("syy") - col("sy") * col("sy") / col("n")
+    val det = c11 * c22 - c12 * c12
+    val b1s = (c1y * c22 - c2y * c12) / det
+    val b2s = (c11 * c2y - c12 * c1y) / det
+    val b0s = (col("sy") - b1s * col("s1") - b2s * col("s2")) / col("n")
+    val r2 = lit(1.0) - (cyy - b1s * c1y - b2s * c2y) / cyy
+    m.select(col("seg"), col("n").cast("long").as("n"),
+        // unscale: y=50000·ys, x1=25·x1s+25, x2=0.05·x2s+0.05
+        round4eps(lit(50000.0) * b0s - lit(50000.0) * b1s -
+          lit(50000.0) * b2s).as("b0"),
+        round4eps(lit(2000.0) * b1s).as("b_quantity"),
+        round4eps(lit(1000000.0) * b2s).as("b_discount"),
+        round4eps(r2).as("r2"))
+      .orderBy(col("seg"))
+  }
+
+  /** Theil T inequality index of customer revenue per region — the
+    * decomposable complement to the Gini gate (Relational.giniRevenue):
+    * T = Σᵢ (xᵢ/(nμ))·ln(xᵢ/μ), computed via the sufficient-statistic
+    * identity T = Σx·lnx / Σx − ln(Σx/n) so no row ever sees the mean.
+    *
+    * Scale shape: customer totals in one key-partitioned aggregate
+    * (quantized before the logs so both engines take ln of identical
+    * doubles), then a region-keyed moment aggregate (n, Σx, Σx·lnx) —
+    * two shuffles total, both map-side combined; the region frame is
+    * dimension-bounded. Unlike Gini, Theil needs NO ranking at any
+    * scale — it is the inequality measure you can actually compute on
+    * 100 TB in one pass. */
+  def theilIndex(s: SparkSession, dir: String): DataFrame = {
+    val custRev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("x"))
+    val dims = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("region"))
+    custRev.join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * log(col("x"))).as("sxlnx"))
+      .select(col("region"), col("n_cust"),
+        round4eps(col("sx") / col("n_cust")).as("mean_rev"),
+        round4eps(col("sxlnx") / col("sx") -
+          log(col("sx") / col("n_cust"))).as("theil_t"))
+      .orderBy(col("region"))
+  }
+
+  /** CUSUM level-shift scan over the daily order-revenue series — the
+    * classic retrospective changepoint screen: Cₜ = Σ_{u≤t}(rᵤ−μ) /
+    * (σ·√n), whose extremum locates the most likely mean shift. Top
+    * days by |C| are the changepoint candidates.
+    *
+    * Scale shape: the corpus collapses to the DAILY grain in one
+    * shuffle (calendar-bounded thereafter — a few thousand rows at ANY
+    * corpus size); the cumulative sum is one ordered-window pass over
+    * that bounded frame, so the prefix sums are computed in the SAME
+    * order on both engines over round4eps-quantized dailies — only μ
+    * and σ carry summation-order ulp drift, and C is normalized so
+    * that drift stays relative. Ranking is on the ROUNDED statistic
+    * with the day as tie-break: the top-k cutoff cannot flip on ulp.
+    * Top-k is TakeOrderedAndProject, not a global row_number. */
+  def cusumRevenue(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pin μ and σ at 2 decimals on BOTH engines: the prefix sum
+    // multiplies any μ drift by t, so μ must be bit-identical — the
+    // quantized dailies then difference and accumulate identically
+    def q2(c: Column): Column =
+      floor(c * lit(100) + lit(0.5) + lit(1e-6)) / lit(100)
+    val sc = daily.agg(q2(avg(col("rev"))).as("mu"),
+      q2(stddev_pop(col("rev"))).as("sigma"),
+      count(lit(1)).cast("double").as("n"))
+    // calendar-bounded frame: one row per day
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(sc))
+      .withColumn("c", sum(col("rev") - col("mu")).over(w) /
+        (col("sigma") * sqrt(col("n"))))
+      .select(col("d"), col("rev"),
+        round4eps(col("c")).as("cusum"),
+        round4eps(abs(col("c"))).as("abs_cusum"))
+      .orderBy(col("abs_cusum").desc, col("d"))
+      .limit(k)
+  }
+
+  /** Mahalanobis outlier scan over the 2-feature customer profile
+    * (order count, total spend) — multivariate outliers that neither
+    * marginal z-score catches (the high-count/low-spend account): d² =
+    * zᵀΣ⁻¹z with the 2×2 sample covariance inverted in closed form.
+    *
+    * Scale shape: profile aggregate (key-partitioned, map-side
+    * combined) → ONE scalar moment aggregate for the covariance →
+    * broadcast scalars back over the profile frame → distributed
+    * top-k (TakeOrderedAndProject — never a global window, never a
+    * driver collect). The 2×2 inverse is Cramer arithmetic in the
+    * select; d² is scale-free so ulp drift in the moments stays
+    * relative and the 4-decimal round holds. */
+  def mahalanobisOutliers(s: SparkSession, dir: String, k: Int = 15)
+      : DataFrame = {
+    val prof = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("double").as("f1"),
+        round4eps(sum(col("o_totalprice"))).as("f2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = prof.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("f1")).as("m1"), avg(col("f2")).as("m2"),
+      sum(col("f1") * col("f1")).as("s11"),
+      sum(col("f1") * col("f2")).as("s12"),
+      sum(col("f2") * col("f2")).as("s22"))
+    val c11 = (col("s11") - col("n") * col("m1") * col("m1")) / (col("n") - 1)
+    val c12 = (col("s12") - col("n") * col("m1") * col("m2")) / (col("n") - 1)
+    val c22 = (col("s22") - col("n") * col("m2") * col("m2")) / (col("n") - 1)
+    val det = c11 * c22 - c12 * c12
+    val dx1 = col("f1") - col("m1")
+    val dx2 = col("f2") - col("m2")
+    val d2 = (c22 * dx1 * dx1 - lit(2.0) * c12 * dx1 * dx2 +
+      c11 * dx2 * dx2) / det
+    prof.crossJoin(broadcast(m))
+      .select(col("o_custkey").as("custkey"),
+        col("f1").cast("long").as("n_orders"),
+        col("f2").as("revenue"),
+        round4eps(d2).as("mahalanobis_d2"))
+      .orderBy(col("mahalanobis_d2").desc, col("custkey"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Stats
+
+/** Semantics checks for the closed-form model-fit gates (multiple
+  * OLS, Theil index, CUSUM, Mahalanobis) against from-scratch Scala
+  * recomputations on sf0.001. Values are oracle-gated in the
+  * registry; these pin the STATISTICAL definitions (normal equations,
+  * mean-log identity, prefix normalization, sample covariance).
+  */
+class StatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("olsMulti matches a from-scratch normal-equation solve") {
+    val rows = Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag", "CAST(l_quantity AS DOUBLE)",
+        "CAST(l_discount AS DOUBLE)",
+        "l_extendedprice * (1.0 - l_discount)")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+      .filter(_._1 == "R")
+    // unscaled normal equations on centered predictors
+    val n = rows.length.toDouble
+    val (mx1, mx2, my) = (rows.map(_._2).sum / n, rows.map(_._3).sum / n,
+      rows.map(_._4).sum / n)
+    var (c11, c12, c22, c1y, c2y) = (0.0, 0.0, 0.0, 0.0, 0.0)
+    rows.foreach { case (_, x1, x2, y) =>
+      val (d1, d2, dy) = (x1 - mx1, x2 - mx2, y - my)
+      c11 += d1 * d1; c12 += d1 * d2; c22 += d2 * d2
+      c1y += d1 * dy; c2y += d2 * dy
+    }
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val b0 = my - b1 * mx1 - b2 * mx2
+    val got = Stats.olsMulti(spark, dir).filter("seg = 'R'").head()
+    assert(got.getAs[Long]("n") == rows.length)
+    assert(math.abs(got.getAs[Double]("b_quantity") - b1) < 1e-2)
+    assert(math.abs(got.getAs[Double]("b_discount") - b2) < 1.0)
+    assert(math.abs(got.getAs[Double]("b0") - b0) < 1e-2)
+    // discount enters revenue multiplicatively: the fitted slope must
+    // be negative and near -avg(extendedprice)
+    assert(b2 < 0.0)
+  }
+
+  test("theilIndex matches the direct definition per region") {
+    val custRegion = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        org.apache.spark.sql.functions.col("c_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .join(Tables.region(spark, dir),
+        org.apache.spark.sql.functions.col("n_regionkey") ===
+          org.apache.spark.sql.functions.col("r_regionkey"))
+      .selectExpr("c_custkey", "r_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rev = Tables.orders(spark, dir)
+      .selectExpr("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+    val byRegion = rev.toSeq.groupBy { case (k, _) => custRegion(k) }
+    val got = Stats.theilIndex(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    byRegion.foreach { case (region, xs) =>
+      val n = xs.length.toDouble
+      val mu = xs.map(_._2).sum / n
+      val want = xs.map { case (_, x) =>
+        (x / (n * mu)) * math.log(x / mu) }.sum
+      val row = got(region)
+      assert(row.getAs[Long]("n_cust") == xs.length)
+      assert(math.abs(row.getAs[Double]("theil_t") - want) < 1e-3,
+        s"$region: got ${row.getAs[Double]("theil_t")} want $want")
+      // Theil T is non-negative (Jensen)
+      assert(row.getAs[Double]("theil_t") >= 0.0)
+    }
+  }
+
+  test("cusumRevenue extremum matches a from-scratch prefix scan") {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(org.apache.spark.sql.functions
+        .to_date(org.apache.spark.sql.functions.col("o_orderdate"))
+        .as("d"))
+      .agg(org.apache.spark.sql.functions
+        .sum("o_totalprice").as("rev"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1)))
+      .sortBy(_._1)
+    val n = daily.length.toDouble
+    val mu = daily.map(_._2).sum / n
+    val sigma = math.sqrt(daily.map(x => (x._2 - mu) * (x._2 - mu)).sum / n)
+    var acc = 0.0
+    val cs = daily.map { case (d, r) => acc += r - mu
+      (d, math.abs(acc) / (sigma * math.sqrt(n))) }
+    val wantTop = cs.maxBy(_._2)
+    val got = Stats.cusumRevenue(spark, dir).head()
+    assert(got.getDate(0).toString == wantTop._1)
+    assert(math.abs(got.getAs[Double]("abs_cusum") - wantTop._2) < 1e-3)
+  }
+
+  test("mahalanobis top outlier matches a from-scratch 2x2 solve") {
+    val prof = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("o_totalprice").as("rev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1).toDouble, r.getDouble(2)))
+    val n = prof.length.toDouble
+    val m1 = prof.map(_._2).sum / n
+    val m2 = prof.map(_._3).sum / n
+    var (c11, c12, c22) = (0.0, 0.0, 0.0)
+    prof.foreach { case (_, f1, f2) =>
+      c11 += (f1 - m1) * (f1 - m1); c12 += (f1 - m1) * (f2 - m2)
+      c22 += (f2 - m2) * (f2 - m2) }
+    c11 /= (n - 1); c12 /= (n - 1); c22 /= (n - 1)
+    val det = c11 * c22 - c12 * c12
+    val d2s = prof.map { case (k, f1, f2) =>
+      val (d1, d2) = (f1 - m1, f2 - m2)
+      (k, (c22 * d1 * d1 - 2 * c12 * d1 * d2 + c11 * d2 * d2) / det) }
+    val want = d2s.maxBy(x => (x._2, -x._1))
+    val got = Stats.mahalanobisOutliers(spark, dir).head()
+    assert(got.getAs[Long]("custkey") == want._1)
+    assert(math.abs(got.getAs[Double]("mahalanobis_d2") - want._2) < 1e-3)
+  }
+}
