@@ -675,6 +675,9 @@ object SparkEntry {
     "q_theil_index"      -> ((s, d) => Stats.theilIndex(s, d)),
     "q_cusum"            -> ((s, d) => Stats.cusumRevenue(s, d)),
     "q_mahalanobis"      -> ((s, d) => Stats.mahalanobisOutliers(s, d)),
+    // native codegen string-similarity expressions over blocked pairs
+    "q_jaro_winkler"     -> ((s, d) => graft.operators.EntityResolution.fuzzyPartPairs(s, d)),
+    "q_damerau"          -> ((s, d) => graft.operators.EntityResolution.typoPartPairs(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5087,5 +5090,22 @@ object SparkEntry {
         |    *10000 + 0.5 + 0.000001)/10000 AS mahalanobis_d2
         |FROM p, c ORDER BY mahalanobis_d2 DESC, custkey
         |LIMIT 15""".stripMargin,
+    "q_jaro_winkler" ->
+      """SELECT a.p_brand AS p_brand, a.p_partkey AS pk_a,
+        |  b.p_partkey AS pk_b,
+        |  floor(jaro_winkler_similarity(a.p_name, b.p_name)*10000
+        |    + 0.5 + 0.000001)/10000 AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |ORDER BY jw DESC, pk_a, pk_b LIMIT 20""".stripMargin,
+    "q_damerau" ->
+      """SELECT a.p_brand AS p_brand, a.p_partkey AS pk_a,
+        |  b.p_partkey AS pk_b,
+        |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER) AS dl
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |ORDER BY dl, pk_a, pk_b LIMIT 20""".stripMargin,
   )
 }

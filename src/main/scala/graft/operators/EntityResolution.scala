@@ -65,4 +65,55 @@ object EntityResolution {
       .filter(col("dist") <= 1)
       .orderBy(col("custkey_a"), col("custkey_b"))
   }
+
+  /** Shared blocked part-name candidate-pair frame: self-join on the
+    * (brand, size) blocking key with key-ordered dedup. Blocking
+    * caps the quadratic — pairs grow as Σ_block n_b², not N², and both
+    * block attributes are low-cardinality dimensions, so block sizes
+    * stay uniform (no hot key) as the corpus scales. The production
+    * lever at 100 TB is a STRICTER key (add p_type), not a different
+    * algorithm. */
+  private def blockedPartPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_size"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("pk_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter(col("pk_a") < col("pk_b"))
+  }
+
+  /** Fuzzy-match screen over blocked part-name pairs with the native
+    * Jaro-Winkler expression (graft.functions.JaroWinklerSim — codegen
+    * DP kernel, standard p=0.1 / prefix-4 / 0.7-boost semantics): the
+    * top-k most-similar name pairs per the whole catalog, the
+    * candidate list a human reviewer (or an LLM labeler) would
+    * receive. Ranking is on the ROUNDED score with the key pair as
+    * tie-break; top-k is TakeOrderedAndProject (distributed heap
+    * top-k, no global sort materialized). */
+  def fuzzyPartPairs(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import graft.functions.StringSimilarity.jaroWinkler
+    blockedPartPairs(s, dir)
+      .select(col("p_brand"), col("pk_a"), col("pk_b"),
+        graft.functions.Rounding.round4eps(
+          jaroWinkler(col("name_a"), col("name_b"))).as("jw"))
+      .orderBy(col("jw").desc, col("pk_a"), col("pk_b"))
+      .limit(k)
+  }
+
+  /** Typo-candidate screen over the same blocked pairs with the native
+    * full Damerau-Levenshtein expression (transposition-aware — the
+    * dominant human typo class): k pairs at the SMALLEST edit
+    * distance. Integer distances make the ranking exact across
+    * engines with no rounding discipline needed. */
+  def typoPartPairs(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import graft.functions.StringSimilarity.damerauLevenshtein
+    blockedPartPairs(s, dir)
+      .select(col("p_brand"), col("pk_a"), col("pk_b"),
+        damerauLevenshtein(col("name_a"), col("name_b")).as("dl"))
+      .orderBy(col("dl"), col("pk_a"), col("pk_b"))
+      .limit(k)
+  }
 }
