@@ -678,6 +678,10 @@ object SparkEntry {
     // native codegen string-similarity expressions over blocked pairs
     "q_jaro_winkler"     -> ((s, d) => graft.operators.EntityResolution.fuzzyPartPairs(s, d)),
     "q_damerau"          -> ((s, d) => graft.operators.EntityResolution.typoPartPairs(s, d)),
+    "q_isotonic"         -> ((s, d) => Stats.isotonicReturnRate(s, d)),
+    "q_haar_wavelet"     -> ((s, d) => Stats.haarWavelet(s, d)),
+    "q_sax_symbols"      -> ((s, d) => Stats.saxSymbols(s, d)),
+    "q_bootstrap_ci"     -> ((s, d) => Stats.bootstrapCi(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5107,5 +5111,103 @@ object SparkEntry {
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         |  AND a.p_partkey < b.p_partkey
         |ORDER BY dl, pk_a, pk_b LIMIT 20""".stripMargin,
+    "q_isotonic" ->
+      """WITH pts AS (SELECT l_discount AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (SELECT a.d AS ds, b.d AS dt FROM pts a JOIN pts b
+        |  ON a.d <= b.d),
+        |wavg AS (SELECT ds, dt,
+        |    CAST(SUM(r) AS DOUBLE)/CAST(SUM(n) AS DOUBLE) AS a
+        |  FROM iv JOIN pts p ON p.d BETWEEN ds AND dt GROUP BY 1, 2),
+        |im AS (SELECT p.d, p.n, p.r, w.dt, MAX(w.a) AS mx
+        |  FROM pts p JOIN wavg w ON w.ds <= p.d AND p.d <= w.dt
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT d, n,
+        |  floor(CAST(r AS DOUBLE)/n*10000 + 0.5 + 0.000001)/10000
+        |    AS rate,
+        |  floor(MIN(mx)*10000 + 0.5 + 0.000001)/10000 AS iso_fit
+        |FROM im GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_haar_wavelet" ->
+      """WITH monthly AS (SELECT
+        |    CAST(EXTRACT(year FROM o_orderdate)*12
+        |      + EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS v
+        |  FROM orders GROUP BY 1),
+        |idx0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) - 1
+        |    AS BIGINT) AS i, v FROM monthly),
+        |idx AS (SELECT i, v FROM idx0 WHERE i < 64),
+        |l1 AS (SELECT CAST(floor(i/2) AS BIGINT) AS i,
+        |    (MAX(CASE WHEN i%2=0 THEN v END)
+        |     + MAX(CASE WHEN i%2=1 THEN v END))/2.0 AS v,
+        |    (MAX(CASE WHEN i%2=0 THEN v END)
+        |     - MAX(CASE WHEN i%2=1 THEN v END))/2.0 AS detail
+        |  FROM idx GROUP BY 1),
+        |l2 AS (SELECT CAST(floor(i/2) AS BIGINT) AS i,
+        |    (MAX(CASE WHEN i%2=0 THEN v END)
+        |     + MAX(CASE WHEN i%2=1 THEN v END))/2.0 AS v,
+        |    (MAX(CASE WHEN i%2=0 THEN v END)
+        |     - MAX(CASE WHEN i%2=1 THEN v END))/2.0 AS detail
+        |  FROM l1 GROUP BY 1),
+        |l3 AS (SELECT CAST(floor(i/2) AS BIGINT) AS i,
+        |    (MAX(CASE WHEN i%2=0 THEN v END)
+        |     + MAX(CASE WHEN i%2=1 THEN v END))/2.0 AS v,
+        |    (MAX(CASE WHEN i%2=0 THEN v END)
+        |     - MAX(CASE WHEN i%2=1 THEN v END))/2.0 AS detail
+        |  FROM l2 GROUP BY 1),
+        |u AS (SELECT 1 AS level, i, v, detail FROM l1
+        |  UNION ALL SELECT 2, i, v, detail FROM l2
+        |  UNION ALL SELECT 3, i, v, detail FROM l3)
+        |SELECT level, i,
+        |  floor(v*10000 + 0.5 + 0.000001)/10000 AS approx,
+        |  floor(detail*10000 + 0.5 + 0.000001)/10000 AS detail
+        |FROM u ORDER BY level, i""".stripMargin,
+    "q_sax_symbols" ->
+      """WITH monthly AS (SELECT
+        |    CAST(EXTRACT(year FROM o_orderdate)*12
+        |      + EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS v
+        |  FROM orders GROUP BY 1),
+        |mom AS (SELECT AVG(v) AS mu, stddev_pop(v) AS sigma
+        |  FROM monthly)
+        |SELECT m,
+        |  floor((v-mu)/sigma*10000 + 0.5 + 0.000001)/10000 AS z,
+        |  CASE WHEN (v-mu)/sigma < -0.6745 THEN 'a'
+        |       WHEN (v-mu)/sigma < 0.0 THEN 'b'
+        |       WHEN (v-mu)/sigma < 0.6745 THEN 'c'
+        |       ELSE 'd' END AS symbol
+        |FROM monthly, mom ORDER BY m""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS x
+        |  FROM orders GROUP BY 1),
+        |amp AS (SELECT o_custkey, x, r.rep,
+        |    md5(CAST(o_custkey AS VARCHAR) || ':'
+        |      || CAST(r.rep AS VARCHAR)) AS h
+        |  FROM cust, (SELECT unnest(range(0, 32)) AS rep) r),
+        |wts AS (SELECT rep, x,
+        |    (CASE WHEN substr(h,1,1) IN ('0','1','2','3')
+        |       THEN 1 ELSE 0 END
+        |     + CASE WHEN substr(h,2,1) IN ('0','1','2','3')
+        |       THEN 1 ELSE 0 END
+        |     + CASE WHEN substr(h,3,1) IN ('0','1','2','3')
+        |       THEN 1 ELSE 0 END
+        |     + CASE WHEN substr(h,4,1) IN ('0','1','2','3')
+        |       THEN 1 ELSE 0 END) AS w
+        |  FROM amp),
+        |rm AS (SELECT rep,
+        |    floor(SUM(w*x)/SUM(w)*10000 + 0.5 + 0.000001)/10000
+        |      AS mean_rev
+        |  FROM wts GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+        |  floor(AVG(mean_rev)*10000 + 0.5 + 0.000001)/10000
+        |    AS boot_mean,
+        |  floor(quantile_cont(mean_rev, 0.025)*10000 + 0.5
+        |    + 0.000001)/10000 AS ci_lo,
+        |  floor(quantile_cont(mean_rev, 0.975)*10000 + 0.5
+        |    + 0.000001)/10000 AS ci_hi
+        |FROM rm""".stripMargin,
   )
 }

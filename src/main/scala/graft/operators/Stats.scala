@@ -196,4 +196,146 @@ object Stats {
       .orderBy(col("mahalanobis_d2").desc, col("custkey"))
       .limit(k)
   }
+
+  /** Isotonic (monotone-increasing) regression of return rate on
+    * discount level, via the MINIMAX characterization instead of the
+    * sequential PAVA sweep: ŷᵢ = min_{t≥i} max_{s≤i} wavg(s..t).
+    * PAVA is an inherently serial pointer algorithm; the minimax form
+    * is pure joins/aggregates over the LEVEL-bounded frame (11 distinct
+    * discounts → 11³ interval terms at ANY corpus size), so the corpus
+    * pass is one grouped count and monotone calibration never touches
+    * a driver loop. Interval means are ratios of INTEGER sums —
+    * bit-identical across engines with no quantization.
+    * (The same collapse-to-levels trick as the Spearman/Kendall gates:
+    * the fit only depends on the level sufficient statistics.) */
+  def isotonicReturnRate(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.lineitem(s, dir)
+      .groupBy(col("l_discount").as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val iv = pts.select(col("d").as("ds")).crossJoin(
+        pts.select(col("d").as("dt")))
+      .filter(col("ds") <= col("dt"))
+    val wavg = iv.join(pts, col("d").between(col("ds"), col("dt")))
+      .groupBy(col("ds"), col("dt"))
+      .agg((sum(col("r")).cast("double") /
+        sum(col("n")).cast("double")).as("a"))
+    val inner = pts.select(col("d"), col("n"), col("r"))
+      .join(wavg, col("ds") <= col("d") && col("d") <= col("dt"))
+      .groupBy(col("d"), col("n"), col("r"), col("dt"))
+      .agg(max(col("a")).as("mx"))
+    inner.groupBy(col("d"), col("n"), col("r"))
+      .agg(min(col("mx")).as("fit"))
+      .select(col("d"), col("n"),
+        round4eps(col("r").cast("double") / col("n")).as("rate"),
+        round4eps(col("fit")).as("iso_fit"))
+      .orderBy(col("d"))
+  }
+
+  /** 3-level unnormalized Haar wavelet decomposition of the monthly
+    * revenue series (first 64 months): aₗ[i] = (aₗ₋₁[2i]+aₗ₋₁[2i+1])/2,
+    * dₗ[i] = (aₗ₋₁[2i]−aₗ₋₁[2i+1])/2 — the multi-resolution screen
+    * behind wavelet-compressed series stores and burst detection (a
+    * large |d| at level ℓ = an event at the 2ℓ-month scale).
+    *
+    * Scale shape: corpus → monthly grain in one shuffle; each level is
+    * a pair-bucketed aggregate over the CALENDAR-bounded frame (64 →
+    * 32 → 16 → 8 rows), exact arithmetic on round4-quantized monthly
+    * sums — the three "iterations" are three trivial stages over
+    * ≤64 rows, not passes over data. */
+  def haarWavelet(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate"))).as("m"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("v"))
+    // dense index 0..63 over the first 64 months (calendar-bounded)
+    val w = Window.orderBy(col("m"))
+    val idx = monthly
+      .withColumn("i", row_number().over(w) - lit(1))
+      .filter(col("i") < 64)
+      .select(col("i").cast("long").as("i"), col("v"))
+    def level(prev: DataFrame): DataFrame = prev
+      .groupBy(floor(col("i") / 2).as("i"))
+      .agg(((max(when(col("i") % 2 === 0, col("v"))) +
+        max(when(col("i") % 2 === 1, col("v")))) / lit(2.0)).as("v"),
+        ((max(when(col("i") % 2 === 0, col("v"))) -
+          max(when(col("i") % 2 === 1, col("v")))) / lit(2.0)).as("detail"))
+    val l1 = level(idx).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l2 = level(l1.select(col("i"), col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l3 = level(l2.select(col("i"), col("v")))
+    l1.select(lit(1).as("level"), col("i"), col("v"), col("detail"))
+      .unionAll(l2.select(lit(2).as("level"), col("i"), col("v"),
+        col("detail")))
+      .unionAll(l3.select(lit(3).as("level"), col("i"), col("v"),
+        col("detail")))
+      .select(col("level"), col("i"),
+        round4eps(col("v")).as("approx"),
+        round4eps(col("detail")).as("detail"))
+      .orderBy(col("level"), col("i"))
+  }
+
+  /** SAX symbolization of the monthly revenue series — z-normalize,
+    * then cut at the standard-normal quartile breakpoints
+    * (−0.6745, 0, 0.6745) into a 4-letter alphabet a..d: the discrete
+    * representation under which series become strings (motif mining,
+    * suffix-array indexing, hashing whole series). One monthly
+    * collapse, one scalar moment aggregate, one broadcast-back pass —
+    * the symbols are a codegen CASE over the calendar-bounded frame. */
+  def saxSymbols(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate"))).as("m"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mom = monthly.agg(avg(col("v")).as("mu"),
+      stddev_pop(col("v")).as("sigma"))
+    monthly.crossJoin(broadcast(mom))
+      .withColumn("z", (col("v") - col("mu")) / col("sigma"))
+      .select(col("m"), round4eps(col("z")).as("z"),
+        when(col("z") < -0.6745, "a")
+          .when(col("z") < 0.0, "b")
+          .when(col("z") < 0.6745, "c")
+          .otherwise("d").as("symbol"))
+      .orderBy(col("m"))
+  }
+
+  /** Deterministic multinomial bootstrap CI for mean customer revenue —
+    * the Poisson-bootstrap idiom that actually runs at 100 TB: instead
+    * of B resamples of N rows (impossible to materialize), each row
+    * draws an independent pseudo-count per replicate and B weighted
+    * means come out of ONE pass with map-side partial aggregation
+    * (Kleiner et al.'s scalable-bootstrap family). The count is
+    * Binomial(4, 1/4) (mean 1, ≈Poisson(1)) derived from md5 hex
+    * digits of (custkey, rep) — fully deterministic and identical in
+    * any engine with md5, which is what makes the gate cross-engine
+    * exact: weights are integers, replicate means are quantized before
+    * the percentile so both engines interpolate identical doubles.
+    *
+    * Scale: B=32 replicates → a 32× map-side row amplification
+    * (generated, never shuffled wide: the shuffle carries 32 partial
+    * sums per map task), then percentiles over the B-bounded frame. */
+  def bootstrapCi(s: SparkSession, dir: String, reps: Int = 32): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("x"))
+    val amplified = cust
+      .select(col("o_custkey"), col("x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("h", md5(concat(col("o_custkey").cast("string"),
+        lit(":"), col("rep").cast("string"))))
+      .withColumn("w",
+        (0 until 4).map(i => when(substring(col("h"), i + 1, 1)
+          .isin("0", "1", "2", "3"), 1L).otherwise(0L)).reduce(_ + _))
+    // replicate means are re-quantized at 4 decimals BEFORE the
+    // percentile so both engines interpolate identical doubles
+    val repMeans = amplified.groupBy(col("rep"))
+      .agg(round4eps(sum(col("w") * col("x")) / sum(col("w")))
+        .as("mean_rev"))
+    repMeans.agg(count(lit(1)).as("n_reps"),
+        round4eps(avg(col("mean_rev"))).as("boot_mean"),
+        round4eps(expr("percentile(mean_rev, 0.025)")).as("ci_lo"),
+        round4eps(expr("percentile(mean_rev, 0.975)")).as("ci_hi"))
+  }
 }

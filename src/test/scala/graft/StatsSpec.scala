@@ -124,4 +124,90 @@ class StatsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("custkey") == want._1)
     assert(math.abs(got.getAs[Double]("mahalanobis_d2") - want._2) < 1e-3)
   }
+
+  test("isotonic minimax fit equals a from-scratch PAVA sweep") {
+    val got = Stats.isotonicReturnRate(spark, dir).collect()
+      .map(r => (r.getAs[Double]("d"), r.getAs[Long]("n"),
+        r.getAs[Double]("rate"), r.getAs[Double]("iso_fit")))
+      .sortBy(_._1)
+    // classic pool-adjacent-violators on (rate, weight)
+    case class Block(var sum: Double, var w: Double, var pts: Int)
+    val stack = scala.collection.mutable.ArrayBuffer[Block]()
+    got.foreach { case (_, n, rate, _) =>
+      stack += Block(rate * n, n.toDouble, 1)
+      while (stack.length >= 2 && {
+        val a = stack(stack.length - 2); val b = stack.last
+        a.sum / a.w >= b.sum / b.w
+      }) {
+        val b = stack.remove(stack.length - 1)
+        stack.last.sum += b.sum; stack.last.w += b.w
+        stack.last.pts += b.pts
+      }
+    }
+    val expanded = stack.toSeq.flatMap(b =>
+      Seq.fill(b.pts)(b.sum / b.w))
+    assert(expanded.length == got.length)
+    got.zip(expanded).foreach { case ((d, _, _, fit), want) =>
+      assert(math.abs(fit - want) < 1e-3, s"d=$d fit=$fit want=$want")
+    }
+    // monotone non-decreasing
+    got.map(_._4).toSeq.sliding(2).foreach { w =>
+      assert(w.head <= w.last + 1e-9)
+    }
+  }
+
+  test("haar level-1 coefficients reconstruct the monthly pairs") {
+    import org.apache.spark.sql.functions._
+    val monthly = Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate"))).as("m"))
+      .agg(sum("o_totalprice").as("v"))
+      .orderBy("m").collect().map(_.getDouble(1)).take(64)
+    val got = Stats.haarWavelet(spark, dir).collect()
+    val l1 = got.filter(_.getInt(0) == 1)
+      .map(r => (r.getAs[Long]("i"),
+        r.getAs[Double]("approx"), r.getAs[Double]("detail")))
+      .sortBy(_._1)
+    assert(l1.length == monthly.length / 2)
+    l1.foreach { case (i, a, d) =>
+      val even = monthly(2 * i.toInt); val odd = monthly(2 * i.toInt + 1)
+      assert(math.abs(a + d - even) < 1e-2, s"i=$i even")
+      assert(math.abs(a - d - odd) < 1e-2, s"i=$i odd")
+    }
+    assert(got.count(_.getInt(0) == 2) == l1.length / 2)
+    assert(got.count(_.getInt(0) == 3) == l1.length / 4)
+  }
+
+  test("sax symbols respect the breakpoint cuts and z is standardized") {
+    val rows = Stats.saxSymbols(spark, dir).collect()
+      .map(r => (r.getAs[Double]("z"), r.getString(2)))
+    rows.foreach { case (z, sym) =>
+      val want = if (z < -0.6745) "a" else if (z < 0.0) "b"
+        else if (z < 0.6745) "c" else "d"
+      // rounded z sitting exactly on a cut may disagree with the raw
+      // cut decision; allow the neighbour symbol there
+      assert(sym == want ||
+        math.abs(z + 0.6745) < 1e-3 || math.abs(z) < 1e-3 ||
+        math.abs(z - 0.6745) < 1e-3, s"z=$z sym=$sym")
+    }
+    val zs = rows.map(_._1)
+    assert(math.abs(zs.sum / zs.length) < 1e-3)
+    assert(rows.map(_._2).distinct.sorted.sameElements(
+      rows.map(_._2).distinct.sorted.distinct))
+  }
+
+  test("bootstrapCi brackets the point estimate with 32 replicates") {
+    val r = Stats.bootstrapCi(spark, dir).head()
+    assert(r.getAs[Long]("n_reps") == 32L)
+    val (lo, mid, hi) = (r.getAs[Double]("ci_lo"),
+      r.getAs[Double]("boot_mean"), r.getAs[Double]("ci_hi"))
+    assert(lo <= mid && mid <= hi)
+    // the interval is tight around the plain mean at this SF
+    val plain = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice").as("x"))
+      .agg(org.apache.spark.sql.functions.avg("x")).head().getDouble(0)
+    assert(lo < plain && plain < hi,
+      s"plain=$plain outside [$lo, $hi]")
+  }
 }
