@@ -682,6 +682,13 @@ object SparkEntry {
     "q_haar_wavelet"     -> ((s, d) => Stats.haarWavelet(s, d)),
     "q_sax_symbols"      -> ((s, d) => Stats.saxSymbols(s, d)),
     "q_bootstrap_ci"     -> ((s, d) => Stats.bootstrapCi(s, d)),
+    // distribution-comparison kit: KS on the fixed grid, MI/entropy,
+    // Cramer's V effect size, PSI drift, decile lift table
+    "q_ks_test"          -> ((s, d) => Stats.ksTest(s, d)),
+    "q_mutual_info"      -> ((s, d) => Stats.mutualInfo(s, d)),
+    "q_cramers_v"        -> ((s, d) => Stats.cramersV(s, d)),
+    "q_psi_drift"        -> ((s, d) => Stats.psiDrift(s, d)),
+    "q_lift_table"       -> ((s, d) => Stats.liftTable(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5209,5 +5216,112 @@ object SparkEntry {
         |  floor(quantile_cont(mean_rev, 0.975)*10000 + 0.5
         |    + 0.000001)/10000 AS ci_hi
         |FROM rm""".stripMargin,
+    "q_ks_test" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice/100) AS BIGINT)
+        |      AS bucket,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+        |    CAST(SUM(n2) AS BIGINT) AS t2 FROM b),
+        |c AS (SELECT bucket, t1, t2,
+        |    SUM(n1) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS c1,
+        |    SUM(n2) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS c2
+        |  FROM b, t)
+        |SELECT bucket, t1 AS n_urgent, t2 AS n_rest,
+        |  floor(abs(CAST(c1 AS DOUBLE)/t1 - CAST(c2 AS DOUBLE)/t2)
+        |    *10000 + 0.5 + 0.000001)/10000 AS ks_d,
+        |  floor(abs(CAST(c1 AS DOUBLE)/t1 - CAST(c2 AS DOUBLE)/t2)
+        |    * sqrt(CAST(t1 AS DOUBLE)*t2/(t1+t2))
+        |    *10000 + 0.5 + 0.000001)/10000 AS ks_lambda
+        |FROM c ORDER BY ks_d DESC, bucket LIMIT 1""".stripMargin,
+    "q_mutual_info" ->
+      """WITH j AS (SELECT
+        |    LEAST(CAST(floor((l_quantity-1)/10) AS BIGINT), 4) AS x,
+        |    l_returnflag AS y, CAST(COUNT(*) AS BIGINT) AS nxy
+        |  FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx
+        |  FROM j GROUP BY 1),
+        |my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny
+        |  FROM j GROUP BY 1),
+        |n AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM j)
+        |SELECT CAST(MAX(n.n) AS BIGINT) AS n_rows,
+        |  floor(SUM((CAST(nxy AS DOUBLE)/n.n)
+        |    * ln((CAST(nxy AS DOUBLE)/n.n)
+        |      / ((CAST(nx AS DOUBLE)/n.n)*(CAST(ny AS DOUBLE)/n.n))))
+        |    *10000 + 0.5 + 0.000001)/10000 AS mi_nats,
+        |  floor(-SUM((CAST(nxy AS DOUBLE)/n.n)
+        |    * ln(CAST(nx AS DOUBLE)/n.n))
+        |    *10000 + 0.5 + 0.000001)/10000 AS h_x,
+        |  floor(-SUM((CAST(nxy AS DOUBLE)/n.n)
+        |    * ln(CAST(ny AS DOUBLE)/n.n))
+        |    *10000 + 0.5 + 0.000001)/10000 AS h_y
+        |FROM j JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y, n"""
+        .stripMargin,
+    "q_cramers_v" ->
+      """WITH j AS (SELECT p_brand, l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS o
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT p_brand, SUM(o) AS r FROM j GROUP BY 1),
+        |ct AS (SELECT l_returnflag, SUM(o) AS c FROM j GROUP BY 1),
+        |n AS (SELECT SUM(o) AS n FROM j),
+        |s AS (SELECT
+        |    SUM((o - r*c/n.n)*(o - r*c/n.n)/(r*c/n.n)) AS chi2,
+        |    COUNT(DISTINCT j.p_brand) AS nr,
+        |    COUNT(DISTINCT j.l_returnflag) AS nc, MAX(n.n) AS nn
+        |  FROM j JOIN rt ON j.p_brand = rt.p_brand
+        |    JOIN ct ON j.l_returnflag = ct.l_returnflag, n)
+        |SELECT CAST(nn AS BIGINT) AS n,
+        |  CAST((nr-1)*(nc-1) AS BIGINT) AS dof,
+        |  floor(chi2*10000 + 0.5 + 0.000001)/10000 AS chi2,
+        |  floor(sqrt(chi2/(nn*(LEAST(nr,nc)-1)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS cramers_v
+        |FROM s""".stripMargin,
+    "q_psi_drift" ->
+      """WITH b AS (SELECT
+        |    LEAST(CAST(floor(o_totalprice/50000) AS BIGINT), 9)
+        |      AS bucket,
+        |    CAST(SUM(CASE WHEN o_orderdate < DATE '1995-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN o_orderdate < DATE '1995-01-01'
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+        |    CAST(SUM(n2) AS BIGINT) AS t2 FROM b),
+        |per AS (SELECT bucket, n1, n2,
+        |    floor(((n2+0.5)/(t2+5.0) - (n1+0.5)/(t1+5.0))
+        |      * ln(((n2+0.5)/(t2+5.0))/((n1+0.5)/(t1+5.0)))
+        |      *10000 + 0.5 + 0.000001)/10000 AS psi_contrib
+        |  FROM b, t),
+        |tt AS (SELECT SUM(psi_contrib) AS t FROM per)
+        |SELECT bucket, n1, n2, psi_contrib,
+        |  floor(tt.t*10000 + 0.5 + 0.000001)/10000 AS psi_total
+        |FROM per, tt ORDER BY bucket""".stripMargin,
+    "q_lift_table" ->
+      """WITH b AS (SELECT
+        |    LEAST(CAST(floor((l_quantity-1)/5) AS BIGINT), 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS returns
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(returns) AS BIGINT) AS tr FROM b),
+        |c AS (SELECT bin, n, returns, tn, tr,
+        |    SUM(returns) OVER (ORDER BY bin DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ret
+        |  FROM b, t)
+        |SELECT bin, n, returns,
+        |  floor(CAST(returns AS DOUBLE)/n*10000 + 0.5
+        |    + 0.000001)/10000 AS rate,
+        |  floor((CAST(returns AS DOUBLE)/n)/(CAST(tr AS DOUBLE)/tn)
+        |    *10000 + 0.5 + 0.000001)/10000 AS lift,
+        |  floor(CAST(cum_ret AS DOUBLE)/tr*10000 + 0.5
+        |    + 0.000001)/10000 AS cum_capture
+        |FROM c ORDER BY bin DESC""".stripMargin,
   )
 }

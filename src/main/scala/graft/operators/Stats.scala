@@ -338,4 +338,170 @@ object Stats {
         round4eps(expr("percentile(mean_rev, 0.025)")).as("ci_lo"),
         round4eps(expr("percentile(mean_rev, 0.975)")).as("ci_hi"))
   }
+
+  /** Two-sample Kolmogorov-Smirnov on a fixed centile grid — order
+    * totals of URGENT-priority orders vs the rest, values bucketed to
+    * the fixed 100-unit grid BEFORE the ECDFs: D = max|F₁−F₂| over
+    * grid points, λ = D·√(n₁n₂/(n₁+n₂)). The exact KS needs a global
+    * rank (the same reason exact percentiles don't scale); on the
+    * fixed grid the corpus collapses to one bucket-keyed count and the
+    * ECDF walk is a window over the GRID-bounded frame (≤ ~4500 rows
+    * at any corpus size — o_totalprice's range, not the row count).
+    * Counts are integers, so the cumulative ratios are bit-identical
+    * across engines. Output: the argmax grid point and the statistics
+    * (top-1 by rounded gap, bucket tie-break). */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / 100).cast("long").as("bucket"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("u"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("u")).as("n1"), sum(lit(1L) - col("u")).as("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = b.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    // grid-bounded frame: one row per 100-unit price bucket
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.crossJoin(broadcast(tot))
+      .withColumn("c1", sum(col("n1")).over(w))
+      .withColumn("c2", sum(col("n2")).over(w))
+      .withColumn("gap", abs(col("c1").cast("double") / col("t1") -
+        col("c2").cast("double") / col("t2")))
+      .select(col("bucket"), col("t1").as("n_urgent"),
+        col("t2").as("n_rest"),
+        round4eps(col("gap")).as("ks_d"),
+        round4eps(col("gap") * sqrt(col("t1") * col("t2") /
+          (col("t1") + col("t2")).cast("double"))).as("ks_lambda"))
+      .orderBy(col("ks_d").desc, col("bucket"))
+      .limit(1)
+  }
+
+  /** Mutual information (and the marginal entropies) between the
+    * quantity bucket and the return flag — the information-gain
+    * feature screen that complements the WoE/IV gate: MI =
+    * ΣΣ p(x,y)·ln(p(x,y)/(p(x)p(y))) in nats, from ONE contingency
+    * count. All probabilities are ratios of integers — bit-identical
+    * across engines; the 5×3 contingency frame is constant-bounded at
+    * any corpus size. */
+  def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.lineitem(s, dir)
+      .select(least(floor((col("l_quantity") - 1) / 10), lit(4))
+        .cast("long").as("x"), col("l_returnflag").as("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val n = joint.agg(sum(col("nxy")).as("n"))
+    val p = col("nxy").cast("double") / col("n")
+    val px = col("nx").cast("double") / col("n")
+    val py = col("ny").cast("double") / col("n")
+    joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(n))
+      .agg(max(col("n")).as("n_rows"),
+        round4eps(sum(p * log(p / (px * py)))).as("mi_nats"),
+        // Σ_xy p_xy·ln p_x = Σ_x p_x·ln p_x, so the marginals fall
+        // out of the same joint pass
+        round4eps(-sum(p * log(px))).as("h_x"),
+        round4eps(-sum(p * log(py))).as("h_y"))
+      .select(col("n_rows"), col("mi_nats"), col("h_x"), col("h_y"))
+  }
+
+  /** Cramér's V for brand × return-flag — the normalized effect size
+    * the raw chi-square gate (Behavior.chiSquareTypeDow) lacks: V =
+    * √(χ²/(n·(min(r,c)−1))), interpretable across table sizes. One
+    * join-free contingency count over lineitem×part (broadcast dim),
+    * then marginal joins on the 25×3-bounded frame. */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rt = joint.groupBy(col("p_brand")).agg(sum(col("o")).as("r"))
+    val ct = joint.groupBy(col("l_returnflag")).agg(sum(col("o")).as("c"))
+    val n = joint.agg(sum(col("o")).as("n"))
+    val e = col("r") * col("c") / col("n")
+    joint.join(broadcast(rt), "p_brand")
+      .join(broadcast(ct), "l_returnflag")
+      .crossJoin(broadcast(n))
+      .agg(sum((col("o") - e) * (col("o") - e) / e).as("chi2"),
+        countDistinct(col("p_brand")).as("nr"),
+        countDistinct(col("l_returnflag")).as("nc"),
+        max(col("n")).as("nn"))
+      .select(col("nn").cast("long").as("n"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        round4eps(col("chi2")).as("chi2"),
+        round4eps(sqrt(col("chi2") / (col("nn") *
+          (least(col("nr"), col("nc")) - lit(1))))).as("cramers_v"))
+  }
+
+  /** Population stability index of the order-total distribution,
+    * early era (orderdate < 1995-01-01) vs late — the tabular drift
+    * metric run before retraining any model on refreshed data: PSI =
+    * Σ(p₂−p₁)·ln(p₂/p₁) over FIXED 50k-wide value buckets (fixed
+    * boundaries, not quantiles — the scalable drift posture: no
+    * global sort, one bucket-keyed count; PSI > 0.2 ⇒ drift alarm).
+    * Integer counts ⇒ exact ratios; per-bucket contributions plus the
+    * total on every row of the bucket-bounded frame. */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(s, dir)
+      .select(least(floor(col("o_totalprice") / 50000), lit(9))
+        .cast("long").as("bucket"),
+        when(col("o_orderdate") <
+          lit(java.sql.Date.valueOf("1995-01-01")), 1L).otherwise(0L)
+          .as("early"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("early")).as("n1"), sum(lit(1L) - col("early")).as("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = b.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    // Laplace-smoothed shares (add 0.5 per bucket): an empty cell
+    // must not produce ln(0) — and the two engines disagree on it
+    // (Spark log(0) = NULL, DuckDB = -inf), so smoothing is also the
+    // parity-safe formulation
+    val p1 = (col("n1") + lit(0.5)) / (col("t1") + lit(5.0))
+    val p2 = (col("n2") + lit(0.5)) / (col("t2") + lit(5.0))
+    val contrib = (p2 - p1) * log(p2 / p1)
+    val per = b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n1"), col("n2"),
+        round4eps(contrib).as("psi_contrib"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = per.agg(sum(col("psi_contrib")).as("t"))
+    per.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n1"), col("n2"), col("psi_contrib"),
+        round4eps(col("t")).as("psi_total"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Decile lift/gains table for "quantity predicts returns" — the
+    * model-evaluation readout next to AUC: score bins are FIXED
+    * 5-unit quantity bands (descending = highest score first), each
+    * row carries the bin's return rate, lift over the base rate, and
+    * the cumulative capture of all returns. Fixed bins keep the
+    * corpus pass to one bucket-keyed count; lift and capture are
+    * ratios of integer counts, exact across engines. */
+  def liftTable(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .select(least(floor((col("l_quantity") - 1) / 5), lit(9))
+        .cast("long").as("bin"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("ret")).as("returns"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = b.agg(sum(col("n")).as("tn"), sum(col("returns")).as("tr"))
+    // bin-bounded frame (10 rows): cumulative from the top score down
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.crossJoin(broadcast(tot))
+      .withColumn("cum_ret", sum(col("returns")).over(w))
+      .select(col("bin"), col("n"), col("returns"),
+        round4eps(col("returns").cast("double") / col("n")).as("rate"),
+        round4eps((col("returns").cast("double") / col("n")) /
+          (col("tr").cast("double") / col("tn"))).as("lift"),
+        round4eps(col("cum_ret").cast("double") / col("tr"))
+          .as("cum_capture"))
+      .orderBy(col("bin").desc)
+  }
 }

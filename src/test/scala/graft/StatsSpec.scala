@@ -210,4 +210,67 @@ class StatsSpec extends AnyFunSuite {
     assert(lo < plain && plain < hi,
       s"plain=$plain outside [$lo, $hi]")
   }
+
+  test("ksTest matches a from-scratch ECDF scan on the same grid") {
+    val rows = Tables.orders(spark, dir)
+      .selectExpr("CAST(floor(o_totalprice/100) AS LONG)",
+        "o_orderpriority = '1-URGENT'").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val buckets = rows.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+      .toSeq.sortBy(_._1)
+    val t1 = buckets.map(_._2).sum.toDouble
+    val t2 = buckets.map(_._3).sum.toDouble
+    var (c1, c2, best) = (0L, 0L, 0.0)
+    buckets.foreach { case (_, a, b) =>
+      c1 += a; c2 += b
+      best = math.max(best, math.abs(c1 / t1 - c2 / t2))
+    }
+    val got = Stats.ksTest(spark, dir).head()
+    assert(math.abs(got.getAs[Double]("ks_d") - best) < 1e-3)
+    assert(got.getAs[Long]("n_urgent") == t1.toLong)
+  }
+
+  test("mutualInfo is bounded by the marginal entropies") {
+    val r = Stats.mutualInfo(spark, dir).head()
+    val (mi, hx, hy) = (r.getAs[Double]("mi_nats"),
+      r.getAs[Double]("h_x"), r.getAs[Double]("h_y"))
+    assert(mi >= -1e-9)
+    assert(mi <= math.min(hx, hy) + 1e-9)
+    assert(hx > 0 && hy > 0)
+  }
+
+  test("cramersV is in [0,1] and consistent with its chi2") {
+    val r = Stats.cramersV(spark, dir).head()
+    val (n, dof, chi2, v) = (r.getAs[Long]("n"), r.getAs[Long]("dof"),
+      r.getAs[Double]("chi2"), r.getAs[Double]("cramers_v"))
+    assert(dof == 24 * 2) // 25 brands x 3 flags
+    assert(v >= 0 && v <= 1)
+    // V^2 * n * (min(r,c)-1) == chi2  (min dim = 3 flags)
+    assert(math.abs(v * v * n * 2 - chi2) < chi2 * 0.01 + 1.0)
+  }
+
+  test("psiDrift contributions are non-negative and sum to the total") {
+    val rows = Stats.psiDrift(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach(r =>
+      assert(r.getAs[Double]("psi_contrib") >= -1e-9))
+    val total = rows.head.getAs[Double]("psi_total")
+    val sum = rows.map(_.getAs[Double]("psi_contrib")).sum
+    assert(math.abs(total - sum) < 1e-3)
+  }
+
+  test("liftTable capture reaches 1 and rates reconcile with lift") {
+    val rows = Stats.liftTable(spark, dir).collect()
+    assert(rows.length == 10)
+    // ordered from the top score bin down; final capture = 100%
+    assert(math.abs(rows.last.getAs[Double]("cum_capture") - 1.0) < 1e-9)
+    val tn = rows.map(_.getAs[Long]("n")).sum.toDouble
+    val tr = rows.map(_.getAs[Long]("returns")).sum.toDouble
+    rows.foreach { r =>
+      val want = (r.getAs[Long]("returns").toDouble /
+        r.getAs[Long]("n")) / (tr / tn)
+      assert(math.abs(r.getAs[Double]("lift") - want) < 1e-3)
+    }
+  }
 }
