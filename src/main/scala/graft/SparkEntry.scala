@@ -689,6 +689,7 @@ object SparkEntry {
     "q_cramers_v"        -> ((s, d) => Stats.cramersV(s, d)),
     "q_psi_drift"        -> ((s, d) => Stats.psiDrift(s, d)),
     "q_lift_table"       -> ((s, d) => Stats.liftTable(s, d)),
+    "q_dtw_regions"      -> ((s, d) => Stats.regionDtw(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5323,5 +5324,45 @@ object SparkEntry {
         |  floor(CAST(cum_ret AS DOUBLE)/tr*10000 + 0.5
         |    + 0.000001)/10000 AS cum_capture
         |FROM c ORDER BY bin DESC""".stripMargin,
+    // walks the SAME padded DP (D[0][0]=0, 1e18 borders, L1 cost)
+    // cell-by-cell that DtwKernel runs, over identical quantized
+    // inputs -> bit-exact
+    "q_dtw_regions" ->
+      """WITH RECURSIVE monthly AS (
+        |  SELECT r_name AS region,
+        |    CAST(EXTRACT(year FROM o_orderdate)*12
+        |      + EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |series AS (SELECT region, list(v ORDER BY m) AS s
+        |  FROM monthly GROUP BY 1),
+        |pairs AS (SELECT a.region AS ra, b.region AS rb,
+        |    a.s AS sa, b.s AS sb
+        |  FROM series a JOIN series b ON a.region < b.region),
+        |dp AS (
+        |  SELECT ra, rb, sa, sb, 1 AS i, 0 AS j,
+        |    list_prepend(0.0, list_transform(
+        |      generate_series(1, len(sb)), x -> 1e18)) AS prev,
+        |    [CAST(1e18 AS DOUBLE)] AS cur
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT ra, rb, sa, sb,
+        |    CASE WHEN j = len(sb) THEN i + 1 ELSE i END,
+        |    CASE WHEN j = len(sb) THEN 0 ELSE j + 1 END,
+        |    CASE WHEN j = len(sb) THEN cur ELSE prev END,
+        |    CASE WHEN j = len(sb) THEN [CAST(1e18 AS DOUBLE)]
+        |         ELSE list_append(cur, abs(sa[i] - sb[j+1])
+        |           + LEAST(prev[j+2], prev[j+1], cur[j+1])) END
+        |  FROM dp WHERE NOT (i = len(sa) AND j = len(sb))
+        |)
+        |SELECT ra AS region_a, rb AS region_b,
+        |  CAST(len(sa) AS BIGINT) AS n_a,
+        |  CAST(len(sb) AS BIGINT) AS n_b,
+        |  floor(cur[len(sb)+1]*10000 + 0.5 + 0.000001)/10000 AS dtw
+        |FROM dp WHERE i = len(sa) AND j = len(sb)
+        |ORDER BY region_a, region_b""".stripMargin,
   )
 }

@@ -339,6 +339,42 @@ object Stats {
         round4eps(expr("percentile(mean_rev, 0.975)")).as("ci_hi"))
   }
 
+  /** Pairwise DTW distances between the regions' monthly revenue
+    * curves — elastic alignment scores phase-shifted seasonality as
+    * similar where Euclidean would not (see DtwKernel). The corpus
+    * collapses to (region × month) in one keyed aggregate; per-region
+    * series become bounded arrays (array_sort(struct) — collect order
+    * never matters); the 10 region pairs then invoke the native
+    * O(n·m) DTW expression, a constant-size kernel per pair. The
+    * DuckDB oracle walks the SAME padded DP cell-by-cell in a
+    * recursive CTE over q6-identical inputs — bit-exact parity. */
+  def regionDtw(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("m"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("v"))
+    val series = monthly.groupBy(col("region"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("v")))),
+        x => x.getField("v")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = series.select(col("region").as("region_a"), col("s").as("sa"))
+    val b = series.select(col("region").as("region_b"), col("s").as("sb"))
+    a.crossJoin(b).filter(col("region_a") < col("region_b"))
+      .select(col("region_a"), col("region_b"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"),
+        round4eps(graft.functions.DtwFunctions
+          .dtwDistance(col("sa"), col("sb"))).as("dtw"))
+      .orderBy(col("region_a"), col("region_b"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov on a fixed centile grid — order
     * totals of URGENT-priority orders vs the rest, values bucketed to
     * the fixed 100-unit grid BEFORE the ECDFs: D = max|F₁−F₂| over

@@ -211,6 +211,48 @@ class StatsSpec extends AnyFunSuite {
       s"plain=$plain outside [$lo, $hi]")
   }
 
+  test("DtwKernel matches a from-scratch full-matrix DP") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def ref(a: Array[Double], b: Array[Double]): Double = {
+      val d = Array.fill(a.length + 1, b.length + 1)(1e18)
+      d(0)(0) = 0.0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+          math.min(d(i - 1)(j), math.min(d(i)(j - 1), d(i - 1)(j - 1)))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(30) + 1)(rnd.nextDouble() * 100)
+      val b = Array.fill(rnd.nextInt(30) + 1)(rnd.nextDouble() * 100)
+      val got = graft.functions.DtwKernel.dtw(
+        new GenericArrayData(a), new GenericArrayData(b))
+      assert(math.abs(got - ref(a, b)) < 1e-9)
+      // identity and symmetry
+      assert(graft.functions.DtwKernel.dtw(
+        new GenericArrayData(a), new GenericArrayData(a)) == 0.0)
+      val sym = graft.functions.DtwKernel.dtw(
+        new GenericArrayData(b), new GenericArrayData(a))
+      assert(math.abs(got - sym) < 1e-9)
+    }
+    // phase shift scores closer than Euclidean: a sine vs its lag
+    val x = Array.tabulate(40)(i => math.sin(i / 4.0))
+    val y = Array.tabulate(40)(i => math.sin((i - 3) / 4.0))
+    val dtw = graft.functions.DtwKernel.dtw(
+      new GenericArrayData(x), new GenericArrayData(y))
+    val eu = x.zip(y).map { case (p, q) => math.abs(p - q) }.sum
+    assert(dtw < eu)
+  }
+
+  test("regionDtw emits all 10 region pairs with zero self-distance semantics") {
+    val rows = Stats.regionDtw(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("dtw") >= 0.0)
+      assert(r.getString(0) < r.getString(1))
+    }
+  }
+
   test("ksTest matches a from-scratch ECDF scan on the same grid") {
     val rows = Tables.orders(spark, dir)
       .selectExpr("CAST(floor(o_totalprice/100) AS LONG)",
