@@ -690,6 +690,8 @@ object SparkEntry {
     "q_psi_drift"        -> ((s, d) => Stats.psiDrift(s, d)),
     "q_lift_table"       -> ((s, d) => Stats.liftTable(s, d)),
     "q_dtw_regions"      -> ((s, d) => Stats.regionDtw(s, d)),
+    "q_holt_winters"     -> ((s, d) => Stats.holtWinters(s, d)),
+    "q_conformal"        -> ((s, d) => Stats.conformalOls(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5364,5 +5366,89 @@ object SparkEntry {
         |  floor(cur[len(sb)+1]*10000 + 0.5 + 0.000001)/10000 AS dtw
         |FROM dp WHERE i = len(sa) AND j = len(sb)
         |ORDER BY region_a, region_b""".stripMargin,
+    // walks the SAME q6-quantized Holt-Winters trajectory the Scala
+    // fold runs (q2-pinned inits, nl recomputed inline where needed)
+    "q_holt_winters" ->
+      """WITH RECURSIVE monthly AS (SELECT
+        |    CAST(EXTRACT(year FROM o_orderdate)*12
+        |      + EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS v
+        |  FROM orders GROUP BY 1),
+        |ser AS (SELECT list(v ORDER BY m) AS y FROM monthly),
+        |ini AS (SELECT y, len(y) AS n,
+        |    floor(list_sum(y[1:12])/12*100 + 0.5 + 0.000001)/100 AS l0
+        |  FROM ser),
+        |ini2 AS (SELECT y, n, l0,
+        |    floor((list_sum(y[13:24])/12 - list_sum(y[1:12])/12)/12
+        |      *100 + 0.5 + 0.000001)/100 AS b0,
+        |    list_transform(generate_series(1, 12), i ->
+        |      floor((y[i] - l0)*1000000 + 0.5 + 0.000001)/1000000)
+        |      AS s0
+        |  FROM ini),
+        |hw AS (
+        |  SELECT y, n, 13 AS t, l0 AS l, b0 AS b, s0 AS seas
+        |  FROM ini2
+        |  UNION ALL
+        |  SELECT y, n, t+1,
+        |    floor((0.3*(y[t] - seas[(t-1)%12+1]) + 0.7*(l+b))
+        |      *1000000 + 0.5 + 0.000001)/1000000,
+        |    floor((0.1*(floor((0.3*(y[t] - seas[(t-1)%12+1])
+        |        + 0.7*(l+b))*1000000 + 0.5 + 0.000001)/1000000 - l)
+        |      + 0.9*b)*1000000 + 0.5 + 0.000001)/1000000,
+        |    list_transform(generate_series(1, 12), i ->
+        |      CASE WHEN i = (t-1)%12+1
+        |        THEN floor((0.2*(y[t]
+        |          - floor((0.3*(y[t] - seas[(t-1)%12+1]) + 0.7*(l+b))
+        |            *1000000 + 0.5 + 0.000001)/1000000)
+        |          + 0.8*seas[i])*1000000 + 0.5 + 0.000001)/1000000
+        |        ELSE seas[i] END)
+        |  FROM hw WHERE t <= n
+        |)
+        |SELECT h.h AS h,
+        |  floor((l + h.h*b + seas[(n + h.h - 1)%12 + 1])*10000
+        |    + 0.5 + 0.000001)/10000 AS forecast
+        |FROM hw, (SELECT unnest(range(1, 13)) AS h) h
+        |WHERE t = n + 1 ORDER BY h""".stripMargin,
+    "q_conformal" ->
+      """WITH li AS (SELECT
+        |    substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+        |      || CAST(l_linenumber AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') AS cal,
+        |    (l_quantity - 25.0)/25.0 AS x1,
+        |    (l_discount - 0.05)/0.05 AS x2,
+        |    l_extendedprice*(1.0 - l_discount)/50000.0 AS y
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+        |    SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+        |    SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+        |  FROM li WHERE cal),
+        |c AS (SELECT n, s1, s2, sy,
+        |    s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12,
+        |    s22 - s2*s2/n AS c22, s1y - s1*sy/n AS c1y,
+        |    s2y - s2*sy/n AS c2y FROM m),
+        |bb AS (SELECT
+        |    floor((c1y*c22 - c2y*c12)/(c11*c22 - c12*c12)
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS b1,
+        |    floor((c11*c2y - c12*c1y)/(c11*c22 - c12*c12)
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS b2,
+        |    floor((sy - (c1y*c22 - c2y*c12)/(c11*c22 - c12*c12)*s1
+        |      - (c11*c2y - c12*c1y)/(c11*c22 - c12*c12)*s2)/n
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS b0
+        |  FROM c),
+        |sc AS (SELECT cal, abs(y - (b0 + b1*x1 + b2*x2)) AS r
+        |  FROM li, bb),
+        |q AS (SELECT quantile_cont(r, 0.9) AS q90 FROM sc WHERE cal)
+        |SELECT
+        |  CAST(SUM(CASE WHEN cal THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cal,
+        |  CAST(SUM(CASE WHEN cal THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_test,
+        |  floor(MAX(q90)*50000*10000 + 0.5 + 0.000001)/10000
+        |    AS width_rev,
+        |  floor(AVG(CASE WHEN NOT cal THEN
+        |    CASE WHEN r <= q90 THEN 1.0 ELSE 0.0 END END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS coverage
+        |FROM sc, q""".stripMargin,
   )
 }

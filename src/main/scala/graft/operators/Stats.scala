@@ -339,6 +339,53 @@ object Stats {
         round4eps(expr("percentile(mean_rev, 0.975)")).as("ci_hi"))
   }
 
+  /** Holt-Winters additive seasonal forecast (period 12) of monthly
+    * revenue — the triple-exponential extension of the Holt gate
+    * (Relational.holtForecast): level, trend AND a 12-slot seasonal
+    * state, α=0.3 β=0.1 γ=0.2. The corpus collapses to the monthly
+    * grain in one shuffle; the fold walks the CALENDAR-bounded series
+    * (~80 points at any corpus size) with every state update
+    * q6-quantized, so the DuckDB recursive-CTE oracle walking the
+    * same trajectory is bit-identical. Seasonal init: sᵢ = yᵢ − l₀
+    * over the first year; trend init: year-over-year mean delta / 12. */
+  def holtWinters(s: SparkSession, dir: String,
+      alpha: Double = 0.3, beta: Double = 0.1,
+      gamma: Double = 0.2): DataFrame = {
+    def q6(v: Double): Double = math.floor(v * 1e6 + 0.5 + 1e-6) / 1e6
+    def q4(v: Double): Double = math.floor(v * 1e4 + 0.5 + 1e-6) / 1e4
+    // init states are pinned at 2 decimals: they come from float SUMS
+    // whose accumulation order differs across engines, so the pin
+    // must sit far above the ulp drift; every later update is
+    // arithmetic on identical doubles and q6 keeps it identical
+    def q2(v: Double): Double = math.floor(v * 100 + 0.5 + 1e-6) / 100
+    val xs = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate"))).as("m"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("v"))
+      .orderBy(col("m"))
+      .collect().map(_.getDouble(1))
+    require(xs.length >= 24 && xs.length <= 10000,
+      s"holtWinters: ${xs.length} monthly points — expected a " +
+        "calendar-bounded series with ≥ 2 seasons")
+    val n = xs.length
+    var l = q2(xs.take(12).sum / 12)
+    var b = q2((xs.slice(12, 24).sum / 12 - xs.take(12).sum / 12) / 12)
+    val seas = Array.tabulate(12)(i => q6(xs(i) - l))
+    var t = 12
+    while (t < n) {
+      val slot = t % 12
+      val nl = q6(alpha * (xs(t) - seas(slot)) + (1 - alpha) * (l + b))
+      val nb = q6(beta * (nl - l) + (1 - beta) * b)
+      seas(slot) = q6(gamma * (xs(t) - nl) + (1 - gamma) * seas(slot))
+      l = nl; b = nb
+      t += 1
+    }
+    import s.implicits._
+    (1 to 12).map(h =>
+      (h, q4(l + h * b + seas((n + h - 1) % 12))))
+      .toDF("h", "forecast")
+  }
+
   /** Pairwise DTW distances between the regions' monthly revenue
     * curves — elastic alignment scores phase-shifted seasonality as
     * similar where Euclidean would not (see DtwKernel). The corpus
@@ -509,6 +556,68 @@ object Stats {
       .select(col("bucket"), col("n1"), col("n2"), col("psi_contrib"),
         round4eps(col("t")).as("psi_total"))
       .orderBy(col("bucket"))
+  }
+
+  /** Split-conformal prediction interval for the line-revenue OLS
+    * model — the distribution-free uncertainty wrapper modern ML
+    * serving puts around ANY point model: fit on a calibration half
+    * (deterministic md5 split, the same idiom as the temporal-embargo
+    * gate), take the 0.9 quantile of absolute calibration residuals
+    * as the interval half-width, report empirical coverage on the
+    * held-out half (guaranteed ≥ 0.9 − 1/(n+1) by exchangeability).
+    *
+    * Scale shape: one moment pass for the fit (map-side combined),
+    * one broadcast of the q6-PINNED coefficients (pinning makes every
+    * residual bit-identical across engines), one residual-quantile
+    * pass. The exact percentile here buffers the calibration
+    * residuals per group; at 100 TB substitute approx_percentile or
+    * the HashReservoir aggregate (same substitution note as the other
+    * exact-percentile gates). */
+  def conformalOls(s: SparkSession, dir: String): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val li = Tables.lineitem(s, dir).select(
+      substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7").as("cal"),
+      ((col("l_quantity") - lit(25.0)) / lit(25.0)).as("x1"),
+      ((col("l_discount") - lit(0.05)) / lit(0.05)).as("x2"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
+        lit(50000.0)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = li.filter(col("cal")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    val c11 = col("s11") - col("s1") * col("s1") / col("n")
+    val c12 = col("s12") - col("s1") * col("s2") / col("n")
+    val c22 = col("s22") - col("s2") * col("s2") / col("n")
+    val c1y = col("s1y") - col("s1") * col("sy") / col("n")
+    val c2y = col("s2y") - col("s2") * col("sy") / col("n")
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val coef = m.select(q6(b1).as("b1"), q6(b2).as("b2"),
+      q6((col("sy") - b1 * col("s1") - b2 * col("s2")) / col("n"))
+        .as("b0"))
+    val scored = li.crossJoin(broadcast(coef))
+      .withColumn("r", abs(col("y") - (col("b0") +
+        col("b1") * col("x1") + col("b2") * col("x2"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = scored.filter(col("cal"))
+      .agg(expr("percentile(r, 0.9)").as("q90"))
+    scored.crossJoin(broadcast(q)).agg(
+      sum(when(col("cal"), 1L).otherwise(0L)).as("n_cal"),
+      sum(when(col("cal"), 0L).otherwise(1L)).as("n_test"),
+      round4eps(max(col("q90")) * lit(50000.0)).as("width_rev"),
+      round4eps(avg(when(!col("cal"),
+        when(col("r") <= col("q90"), 1.0).otherwise(0.0))))
+        .as("coverage"))
   }
 
   /** Decile lift/gains table for "quantity predicts returns" — the

@@ -253,6 +253,30 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("holtWinters emits a 12-month seasonal forecast") {
+    val rows = Stats.holtWinters(spark, dir).collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getInt(0)).sorted.sameElements(1 to 12))
+    val fs = rows.map(_.getAs[Double]("forecast"))
+    assert(fs.forall(_ > 0.0))
+    // the seasonal component must actually differentiate months:
+    // a flat (Holt-only) model would make consecutive deltas constant
+    val deltas = fs.sliding(2).map(w => w(1) - w(0)).toSeq
+    assert(deltas.distinct.length > 1)
+  }
+
+  test("conformal interval covers ~90% of the held-out half") {
+    val r = Stats.conformalOls(spark, dir).head()
+    val total = Tables.lineitem(spark, dir).count()
+    assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") == total)
+    // md5 split is ~50/50
+    val frac = r.getAs[Long]("n_cal").toDouble / total
+    assert(frac > 0.45 && frac < 0.55)
+    assert(r.getAs[Double]("width_rev") > 0.0)
+    val cov = r.getAs[Double]("coverage")
+    assert(cov > 0.85 && cov < 0.95, s"coverage=$cov")
+  }
+
   test("ksTest matches a from-scratch ECDF scan on the same grid") {
     val rows = Tables.orders(spark, dir)
       .selectExpr("CAST(floor(o_totalprice/100) AS LONG)",
