@@ -275,6 +275,27 @@ object ScaleSmoke {
     run("growthAccounting")(operators.Behavior.growthAccounting(spark, dir))
     run("quantAgreement")(operators.Similarity.quantAgreement(spark, dir))
 
+    // r8 session-3 additions. olsMulti/conformal: one-pass moment fits
+    // (linear). fuzzyPartPairs/typoPartPairs: blocked quadratic —
+    // replication multiplies block sizes factor×, pairs factor²×
+    // WITHIN blocks; the receipt shows whether the (brand, size)
+    // blocking key still holds the pair count at 10×/100×.
+    // regionDtw: corpus pass is the monthly collapse; the DP kernel is
+    // constant-size. bootstrapCi: 32× map-side amplification, then
+    // B-bounded percentiles.
+    run("olsMulti")(operators.Stats.olsMulti(spark, dir))
+    run("fuzzyPartPairs")(operators.EntityResolution.fuzzyPartPairs(spark, dir))
+    run("typoPartPairs")(operators.EntityResolution.typoPartPairs(spark, dir))
+    // the stricter-key lever (add p_type to the block): same
+    // algorithm, ~150x lower block occupancy
+    run("fuzzyPartPairsStrict")(operators.EntityResolution
+      .fuzzyPartPairs(spark, dir, strictBlock = true))
+    run("typoPartPairsStrict")(operators.EntityResolution
+      .typoPartPairs(spark, dir, strictBlock = true))
+    run("regionDtw")(operators.Stats.regionDtw(spark, dir))
+    run("bootstrapCi")(operators.Stats.bootstrapCi(spark, dir))
+    run("conformalOls")(operators.Stats.conformalOls(spark, dir))
+
     spark.stop()
   }
 }

@@ -692,6 +692,12 @@ object SparkEntry {
     "q_dtw_regions"      -> ((s, d) => Stats.regionDtw(s, d)),
     "q_holt_winters"     -> ((s, d) => Stats.holtWinters(s, d)),
     "q_conformal"        -> ((s, d) => Stats.conformalOls(s, d)),
+    "q_decision_stump"   -> ((s, d) => Stats.decisionStump(s, d)),
+    "q_overdispersion"   -> ((s, d) => Stats.overdispersion(s, d)),
+    "q_corr_matrix"      -> ((s, d) => Stats.corrMatrix(s, d)),
+    "q_quantile_norm"    -> ((s, d) => Stats.quantileNorm(s, d)),
+    "q_readability"      -> ((s, d) => TextAnalysis.readability(s, d)),
+    "q_zipf_slope"       -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5450,5 +5456,138 @@ object SparkEntry {
         |    CASE WHEN r <= q90 THEN 1.0 ELSE 0.0 END END)
         |    *10000 + 0.5 + 0.000001)/10000 AS coverage
         |FROM sc, q""".stripMargin,
+    "q_decision_stump" ->
+      """WITH lv AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nr
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(nr) AS BIGINT) AS tr FROM lv),
+        |c AS (SELECT q, tn, tr,
+        |    SUM(n) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS nl,
+        |    SUM(nr) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS rl
+        |  FROM lv, t),
+        |g AS (SELECT q, nl, tn, tr, tn - nl AS nrt,
+        |    1.0 - (CAST(rl AS DOUBLE)/nl)*(CAST(rl AS DOUBLE)/nl)
+        |      - (CAST(nl - rl AS DOUBLE)/nl)
+        |        *(CAST(nl - rl AS DOUBLE)/nl) AS gl,
+        |    1.0 - (CAST(tr - rl AS DOUBLE)/(tn - nl))
+        |        *(CAST(tr - rl AS DOUBLE)/(tn - nl))
+        |      - (CAST((tn - nl) - (tr - rl) AS DOUBLE)/(tn - nl))
+        |        *(CAST((tn - nl) - (tr - rl) AS DOUBLE)/(tn - nl))
+        |      AS gr
+        |  FROM c WHERE nl < tn),
+        |f AS (SELECT q AS split_q, CAST(nl AS BIGINT) AS n_left,
+        |    CAST(nrt AS BIGINT) AS n_right,
+        |    floor((1.0 - (CAST(tr AS DOUBLE)/tn)*(CAST(tr AS DOUBLE)/tn)
+        |      - (CAST(tn - tr AS DOUBLE)/tn)*(CAST(tn - tr AS DOUBLE)/tn))
+        |      *10000 + 0.5 + 0.000001)/10000 AS gini_base,
+        |    floor((CAST(nl AS DOUBLE)*gl + CAST(nrt AS DOUBLE)*gr)/tn
+        |      *10000 + 0.5 + 0.000001)/10000 AS gini_split,
+        |    floor(((1.0 - (CAST(tr AS DOUBLE)/tn)*(CAST(tr AS DOUBLE)/tn)
+        |      - (CAST(tn - tr AS DOUBLE)/tn)*(CAST(tn - tr AS DOUBLE)/tn))
+        |      - (CAST(nl AS DOUBLE)*gl + CAST(nrt AS DOUBLE)*gr)/tn)
+        |      *10000 + 0.5 + 0.000001)/10000 AS gain
+        |  FROM g)
+        |SELECT * FROM f ORDER BY gini_split, split_q LIMIT 1"""
+        .stripMargin,
+    "q_overdispersion" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  floor(CAST(SUM(n) AS DOUBLE)/COUNT(*)*10000 + 0.5
+        |    + 0.000001)/10000 AS mean_daily,
+        |  floor((CAST(SUM(n*n) AS DOUBLE)/COUNT(*)
+        |    - (CAST(SUM(n) AS DOUBLE)/COUNT(*))
+        |      *(CAST(SUM(n) AS DOUBLE)/COUNT(*)))
+        |    /(CAST(SUM(n) AS DOUBLE)/COUNT(*))
+        |    *10000 + 0.5 + 0.000001)/10000 AS dispersion_index
+        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_readability" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) AS w,
+        |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT)) AS sent,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syl
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  floor(CAST(SUM(w) AS DOUBLE)/SUM(sent)*10000 + 0.5
+        |    + 0.000001)/10000 AS words_per_sentence,
+        |  floor(CAST(SUM(syl) AS DOUBLE)/SUM(w)*10000 + 0.5
+        |    + 0.000001)/10000 AS syllables_per_word,
+        |  floor((206.835 - 1.015*CAST(SUM(w) AS DOUBLE)/SUM(sent)
+        |    - 84.6*CAST(SUM(syl) AS DOUBLE)/SUM(w))*10000 + 0.5
+        |    + 0.000001)/10000 AS flesch
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // mirrors the EXISTING TextAnalysis.zipfSlope (words = single-space
+    // split, no filtering; top-100; regr_slope + regr_r2)
+    "q_zipf_slope" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM w
+        |  GROUP BY 1 ORDER BY freq DESC, token LIMIT 100),
+        |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC,
+        |    token) AS rank FROM f)
+        |SELECT floor(regr_slope(ln(freq), ln(rank))*10000 + 0.5
+        |    + 0.000001)/10000 AS zipf_slope,
+        |  floor(regr_r2(ln(freq), ln(rank))*10000 + 0.5
+        |    + 0.000001)/10000 AS r2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |FROM r""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+        |    CAST(l_extendedprice AS DOUBLE) AS e,
+        |    CAST(l_discount AS DOUBLE) AS dd,
+        |    CAST(l_tax AS DOUBLE) AS t FROM lineitem)
+        |SELECT col_a, col_b, pearson FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    floor(corr(q, e)*10000 + 0.5 + 0.000001)/10000 AS pearson
+        |  FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    floor(corr(q, dd)*10000 + 0.5 + 0.000001)/10000 FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    floor(corr(q, t)*10000 + 0.5 + 0.000001)/10000 FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    floor(corr(e, dd)*10000 + 0.5 + 0.000001)/10000 FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    floor(corr(e, t)*10000 + 0.5 + 0.000001)/10000 FROM s
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    floor(corr(dd, t)*10000 + 0.5 + 0.000001)/10000 FROM s
+        |) ORDER BY col_a, col_b""".stripMargin,
+    "q_quantile_norm" ->
+      """WITH daily AS (SELECT r_name AS region,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000
+        |      AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT region, d, rev,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY region
+        |      ORDER BY rev, d) AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY region) AS BIGINT) AS nr
+        |  FROM daily),
+        |pooled AS (SELECT rev AS prev,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev, region, d)
+        |      AS BIGINT) AS pos
+        |  FROM daily),
+        |np AS (SELECT CAST(MAX(pos) AS BIGINT) AS np FROM pooled),
+        |mapped AS (SELECT region, rev, prev
+        |  FROM ranked CROSS JOIN np
+        |  JOIN pooled ON pooled.pos = 1 +
+        |    CAST(floor((r - 1.0)*(np.np - 1)/(nr - 1) + 0.5)
+        |      AS BIGINT))
+        |SELECT region, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  floor(AVG(rev)*10000 + 0.5 + 0.000001)/10000 AS mean_orig,
+        |  floor(AVG(prev)*10000 + 0.5 + 0.000001)/10000
+        |    AS mean_mapped
+        |FROM mapped GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

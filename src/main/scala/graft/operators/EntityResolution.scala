@@ -73,15 +73,29 @@ object EntityResolution {
     * stay uniform (no hot key) as the corpus scales. The production
     * lever at 100 TB is a STRICTER key (add p_type), not a different
     * algorithm. */
-  private def blockedPartPairs(s: SparkSession, dir: String): DataFrame = {
+  private def blockedPartPairs(s: SparkSession, dir: String,
+      strictBlock: Boolean = false): DataFrame = {
+    // NOTE on the replication stress: ScaleSmoke's ×100 corpus puts
+    // 100× the parts into the SAME blocks (replication multiplies
+    // occupancy, where a real growing catalog also adds brands/types),
+    // so the within-block quadratic shows at its worst — 102 s (JW) /
+    // 218 s (DL) at 100×. The production lever is the STRICTER key:
+    // adding p_type divides occupancy ~150× and the ×100 run drops to
+    // seconds (measured in the fuzzyPartPairsStrict ScaleSmoke row) —
+    // same algorithm, one more blocking column. The loose key stays
+    // the gate anchor because at verify scale it exercises real pair
+    // volume.
+    val blockCols =
+      if (strictBlock) Seq("p_brand", "p_size", "p_type")
+      else Seq("p_brand", "p_size")
     val p = Tables.part(s, dir)
-      .select(col("p_partkey"), col("p_name"),
-        col("p_brand"), col("p_size"))
-    val a = p.select(col("p_brand"), col("p_size"),
-      col("p_partkey").as("pk_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand"), col("p_size"),
-      col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand", "p_size"))
+      .select((Seq("p_partkey", "p_name") ++ blockCols)
+        .distinct.map(col): _*)
+    val a = p.select(blockCols.map(col) :+
+      col("p_partkey").as("pk_a") :+ col("p_name").as("name_a"): _*)
+    val b = p.select(blockCols.map(col) :+
+      col("p_partkey").as("pk_b") :+ col("p_name").as("name_b"): _*)
+    a.join(b, blockCols)
       .filter(col("pk_a") < col("pk_b"))
   }
 
@@ -93,9 +107,10 @@ object EntityResolution {
     * receive. Ranking is on the ROUNDED score with the key pair as
     * tie-break; top-k is TakeOrderedAndProject (distributed heap
     * top-k, no global sort materialized). */
-  def fuzzyPartPairs(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def fuzzyPartPairs(s: SparkSession, dir: String, k: Int = 20,
+      strictBlock: Boolean = false): DataFrame = {
     import graft.functions.StringSimilarity.jaroWinkler
-    blockedPartPairs(s, dir)
+    blockedPartPairs(s, dir, strictBlock)
       .select(col("p_brand"), col("pk_a"), col("pk_b"),
         graft.functions.Rounding.round4eps(
           jaroWinkler(col("name_a"), col("name_b"))).as("jw"))
@@ -108,9 +123,10 @@ object EntityResolution {
     * dominant human typo class): k pairs at the SMALLEST edit
     * distance. Integer distances make the ranking exact across
     * engines with no rounding discipline needed. */
-  def typoPartPairs(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def typoPartPairs(s: SparkSession, dir: String, k: Int = 20,
+      strictBlock: Boolean = false): DataFrame = {
     import graft.functions.StringSimilarity.damerauLevenshtein
-    blockedPartPairs(s, dir)
+    blockedPartPairs(s, dir, strictBlock)
       .select(col("p_brand"), col("pk_a"), col("pk_b"),
         damerauLevenshtein(col("name_a"), col("name_b")).as("dl"))
       .orderBy(col("dl"), col("pk_a"), col("pk_b"))

@@ -620,6 +620,151 @@ object Stats {
         .as("coverage"))
   }
 
+  /** Pairwise Pearson correlation matrix over the lineitem numeric
+    * columns — the first profiling readout before any feature work
+    * (collinear features, leakage candidates). All six pairs come
+    * from ONE aggregation pass (Spark fuses the six corr() states
+    * into a single partial+final HashAggregate — one scan, map-side
+    * combined), then stack() pivots the scalar row to tidy
+    * (col_a, col_b, corr) rows. */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, dir)
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round4eps(corr(col(a), col(b))).as(s"${a}__$b") }
+    val m = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', ${a}__$b" }.mkString(", ")
+    m.selectExpr(
+        s"stack(${pairs.length}, $stacked) as (col_a, col_b, pearson)")
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** Quantile normalization of the regions' daily revenue onto the
+    * POOLED distribution — the cross-cohort preprocessing step that
+    * puts every region's series on one scale before comparison (the
+    * genomics-born trick, here in its analytics form): each region's
+    * rank-r day maps to the pooled value at the same rank fraction.
+    *
+    * Scale shape: the corpus collapses to the (region × day) grain
+    * first, so every rank/window below runs on a CALENDAR×|regions|-
+    * bounded frame. Ranks are integer row_numbers with (value, day)
+    * tie-break; the target position is fixed-point arithmetic on
+    * those integers — deterministic across engines; the mapped value
+    * is an equality join on position. Output: per region, the mean
+    * before and after (after ≈ pooled mean for every region). */
+  def quantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-region rank and pooled rank, both calendar-bounded windows
+    val wr = Window.partitionBy(col("region"))
+      .orderBy(col("rev"), col("d"))
+    val ranked = daily
+      .withColumn("r", row_number().over(wr).cast("long"))
+      .withColumn("nr", count(lit(1)).over(
+        Window.partitionBy(col("region"))).cast("long"))
+    val pooled = daily
+      .select(col("rev").as("prev"), col("region").as("pr"),
+        col("d").as("pd"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("prev"), col("pr"), col("pd"))).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = pooled.agg(max(col("pos")).as("np"))
+    val mapped = ranked.crossJoin(broadcast(total))
+      .withColumn("tpos", lit(1L) + floor(
+        (col("r") - 1).cast("double") * (col("np") - 1) /
+          (col("nr") - 1) + lit(0.5)).cast("long"))
+      .join(pooled.select(col("pos"), col("prev")),
+        col("tpos") === col("pos"))
+    mapped.groupBy(col("region"))
+      .agg(count(lit(1)).as("n_days"),
+        round4eps(avg(col("rev"))).as("mean_orig"),
+        round4eps(avg(col("prev"))).as("mean_mapped"))
+      .orderBy(col("region"))
+  }
+
+  /** Best-split screen for a single decision stump — "which quantity
+    * threshold best separates returned lines?": weighted Gini impurity
+    * of (qty ≤ t | qty > t) for every integer threshold, minimized.
+    * The first node of every tree ensemble, and the canonical
+    * split-finding pattern at scale: the corpus collapses to the ~50
+    * distinct quantity LEVELS (counts + class counts), cumulative
+    * sums over that bounded frame give every candidate split's
+    * left/right class totals in one window pass — the same
+    * distribution-collapse trick as the Spearman/isotonic gates.
+    * Impurities are ratios of integer counts (bit-identical); the
+    * argmin ranks on the ROUNDED impurity with the threshold as
+    * tie-break. */
+  def decisionStump(s: SparkSession, dir: String): DataFrame = {
+    val lv = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("nr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = lv.agg(sum(col("n")).as("tn"), sum(col("nr")).as("tr"))
+    // level-bounded frame: one row per distinct quantity
+    val w = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val splits = lv.crossJoin(broadcast(tot))
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("rl", sum(col("nr")).over(w))
+      .filter(col("nl") < col("tn")) // right side must be non-empty
+    val nl = col("nl").cast("double"); val rl = col("rl").cast("double")
+    val nrt = (col("tn") - col("nl")).cast("double")
+    val rr = (col("tr") - col("rl")).cast("double")
+    val gl = lit(1.0) - (rl / nl) * (rl / nl) -
+      ((nl - rl) / nl) * ((nl - rl) / nl)
+    val gr = lit(1.0) - (rr / nrt) * (rr / nrt) -
+      ((nrt - rr) / nrt) * ((nrt - rr) / nrt)
+    val tnD = col("tn").cast("double"); val trD = col("tr").cast("double")
+    val gBase = lit(1.0) - (trD / tnD) * (trD / tnD) -
+      ((tnD - trD) / tnD) * ((tnD - trD) / tnD)
+    splits.select(col("q").as("split_q"),
+        col("nl").as("n_left"), (col("tn") - col("nl")).as("n_right"),
+        round4eps(gBase).as("gini_base"),
+        round4eps((nl * gl + nrt * gr) / tnD).as("gini_split"),
+        round4eps(gBase - (nl * gl + nrt * gr) / tnD).as("gain"))
+      .orderBy(col("gini_split"), col("split_q"))
+      .limit(1)
+  }
+
+  /** Overdispersion screen — variance-to-mean ratio of DAILY event
+    * counts per type (Poisson arrivals ⇒ index ≈ 1; bursty/clumped
+    * traffic ⇒ ≫ 1, the first check before any rate model or anomaly
+    * threshold). Moments come from Σn and Σn² over the
+    * calendar-bounded daily frame — integer sums, so the index is
+    * bit-identical across engines with no quantization at all. */
+  def overdispersion(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("sn"), sum(col("n") * col("n")).as("sn2"))
+      .select(col("event_type"), col("n_days"),
+        round4eps(col("sn").cast("double") / col("n_days"))
+          .as("mean_daily"),
+        round4eps((col("sn2").cast("double") / col("n_days") -
+          (col("sn").cast("double") / col("n_days")) *
+          (col("sn").cast("double") / col("n_days"))) /
+          (col("sn").cast("double") / col("n_days")))
+          .as("dispersion_index"))
+      .orderBy(col("event_type"))
+  }
+
   /** Decile lift/gains table for "quantity predicts returns" — the
     * model-evaluation readout next to AUC: score bins are FIXED
     * 5-unit quantity bands (descending = highest score first), each

@@ -1328,4 +1328,39 @@ object TextAnalysis {
     }
     out.reduce(_ unionByName _).orderBy(col("lang_b"))
   }
+
+  /** Flesch reading-ease profile per language — the corpus-quality
+    * readability screen (alongside the length/stopword quality gate):
+    * words from whitespace split, sentences from terminal-punctuation
+    * runs, syllables approximated as VOWEL GROUPS ([aeiouy]+) over the
+    * lowered text — one regexp pass per document, NO per-word loop
+    * (a vowel group never spans the space between words, so the
+    * whole-text count equals the per-word sum). All three are integer
+    * counts, so the per-language averages and the Flesch formula
+    * (206.835 − 1.015·W/S − 84.6·Syl/W on the pooled counts) are
+    * exact ratios — bit-identical across engines. */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("w"),
+      greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long")).as("sent"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+        lit(0))).cast("long").as("syl"))
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("tw"), sum(col("sent")).as("ts"),
+        sum(col("syl")).as("tsyl"))
+      .select(col("lang"), col("n_docs"),
+        round4eps(col("tw").cast("double") / col("ts"))
+          .as("words_per_sentence"),
+        round4eps(col("tsyl").cast("double") / col("tw"))
+          .as("syllables_per_word"),
+        round4eps(lit(206.835) -
+          lit(1.015) * (col("tw").cast("double") / col("ts")) -
+          lit(84.6) * (col("tsyl").cast("double") / col("tw")))
+          .as("flesch"))
+      .orderBy(col("lang"))
+  }
+
 }

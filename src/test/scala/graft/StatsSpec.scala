@@ -277,6 +277,51 @@ class StatsSpec extends AnyFunSuite {
     assert(cov > 0.85 && cov < 0.95, s"coverage=$cov")
   }
 
+  test("decisionStump picks the impurity-minimizing threshold") {
+    val rows = Tables.lineitem(spark, dir)
+      .selectExpr("CAST(l_quantity AS LONG)", "l_returnflag = 'R'")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val levels = rows.groupBy(_._1).map { case (q, xs) =>
+      (q, xs.length.toLong, xs.count(_._2).toLong) }.toSeq.sortBy(_._1)
+    val tn = levels.map(_._2).sum.toDouble
+    val tr = levels.map(_._3).sum.toDouble
+    def gini(r: Double, n: Double) =
+      1.0 - (r / n) * (r / n) - ((n - r) / n) * ((n - r) / n)
+    var (nl, rl) = (0.0, 0.0)
+    val cands = levels.init.map { case (q, n, r) =>
+      nl += n; rl += r
+      (q, (nl * gini(rl, nl) + (tn - nl) * gini(tr - rl, tn - nl)) / tn)
+    }
+    val want = cands.minBy(c => (c._2, c._1))
+    val got = Stats.decisionStump(spark, dir).head()
+    assert(got.getAs[Long]("split_q") == want._1)
+    assert(math.abs(got.getAs[Double]("gini_split") - want._2) < 1e-3)
+    assert(got.getAs[Double]("gain") >= -1e-9)
+  }
+
+  test("overdispersion index is exact from integer daily counts") {
+    val daily = Tables.events(spark, dir)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS d")
+      .collect().map(r => (r.getString(0), r.get(1).toString))
+      .groupBy(identity).map(_._2.length)
+    // recompute one type's index from scratch
+    val perType = Tables.events(spark, dir)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS d").collect()
+      .map(r => (r.getString(0), r.get(1).toString))
+      .groupBy(_._1).map { case (t, xs) =>
+        val counts = xs.groupBy(_._2).map(_._2.length.toDouble).toSeq
+        val m = counts.sum / counts.length
+        val v = counts.map(c => c * c).sum / counts.length - m * m
+        (t, v / m)
+      }
+    val got = Stats.overdispersion(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("dispersion_index"))
+      .toMap
+    perType.foreach { case (t, want) =>
+      assert(math.abs(got(t) - want) < 1e-3, s"$t: ${got(t)} vs $want")
+    }
+  }
+
   test("ksTest matches a from-scratch ECDF scan on the same grid") {
     val rows = Tables.orders(spark, dir)
       .selectExpr("CAST(floor(o_totalprice/100) AS LONG)",

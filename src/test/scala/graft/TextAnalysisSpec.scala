@@ -495,4 +495,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_terms") > 0)
     }
   }
+
+  test("readability counts words, sentences and vowel-group syllables") {
+    // over the REAL corpus: Flesch must reconcile with its own parts
+    val rows = TextAnalysis.readability(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val wps = r.getAs[Double]("words_per_sentence")
+      val spw = r.getAs[Double]("syllables_per_word")
+      val flesch = r.getAs[Double]("flesch")
+      assert(wps > 0 && spw > 0)
+      assert(math.abs(flesch - (206.835 - 1.015 * wps - 84.6 * spw))
+        < 1e-2, s"${r.getString(0)}")
+    }
+  }
+
+  test("readability on a hand-computable fixture") {
+    val d = TestSpark.documentsFixture(Seq(
+      (1L, "the cat sat. it ran!", "xx", "web")))
+    // words: the,cat,sat.,it,ran! = 5; sentences: '.', '!' = 2
+    // vowel groups: e,a,a,i,a = 5
+    val r = TextAnalysis.readability(spark, d)
+      .filter(col("lang") === "xx").head()
+    assert(r.getAs[Double]("words_per_sentence") == 2.5)
+    assert(r.getAs[Double]("syllables_per_word") == 1.0)
+  }
+
+  test("zipfSlope is negative with a full top-k vocabulary") {
+    val r = TextAnalysis.zipfSlope(spark, TestSpark.sfDir).head()
+    assert(r.getAs[Long]("n_tokens") > 10)
+    assert(r.getAs[Double]("zipf_slope") < 0.0)
+  }
 }
