@@ -696,6 +696,8 @@ object SparkEntry {
     "q_overdispersion"   -> ((s, d) => Stats.overdispersion(s, d)),
     "q_corr_matrix"      -> ((s, d) => Stats.corrMatrix(s, d)),
     "q_quantile_norm"    -> ((s, d) => Stats.quantileNorm(s, d)),
+    "q_exact_median"     -> ((s, d) => Stats.exactMedianBisect(s, d)),
+    "q_item_item"        -> ((s, d) => graft.operators.Behavior.itemItemCosine(s, d)),
     "q_readability"      -> ((s, d) => TextAnalysis.readability(s, d)),
     "q_zipf_slope"       -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
   )
@@ -5589,5 +5591,28 @@ object SparkEntry {
         |  floor(AVG(prev)*10000 + 0.5 + 0.000001)/10000
         |    AS mean_mapped
         |FROM mapped GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_exact_median" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  floor(median(l_extendedprice)*10000 + 0.5 + 0.000001)/10000
+        |    AS median
+        |FROM lineitem""".stripMargin,
+    "q_item_item" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |itemn AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS ni
+        |  FROM baskets GROUP BY 1),
+        |co AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(COUNT(*) AS BIGINT) AS nab
+        |  FROM baskets a JOIN baskets b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT pb, pa, nab, na.ni AS na, nb.ni AS nb,
+        |  floor(CAST(nab AS DOUBLE)
+        |    / sqrt(CAST(na.ni*nb.ni AS DOUBLE))
+        |    *10000 + 0.5 + 0.000001)/10000 AS cosine
+        |FROM co JOIN itemn na ON co.pa = na.l_partkey
+        |  JOIN itemn nb ON co.pb = nb.l_partkey
+        |ORDER BY cosine DESC, pa, pb LIMIT 20""".stripMargin,
   )
 }

@@ -1043,4 +1043,43 @@ object Behavior {
           .as("bounce_rate"))
       .orderBy(col("day"))
   }
+
+  /** Item-item collaborative filtering scores — cosine similarity on
+    * binary order-baskets: cos(a,b) = |orders with both| /
+    * √(|orders with a|·|orders with b|), the classic
+    * "customers who bought X also bought Y" kernel (Amazon 2003),
+    * with a minimum co-support floor. Complements sessionCooccurrence
+    * (PMI on event types) with the PART-grain signal.
+    *
+    * Scale shape: pair generation is an orderkey-keyed self-join, so
+    * fan-out per order is C(lines,2) ≤ C(7,2) — bounded by basket
+    * size, never by catalog size; co-counts and item counts are two
+    * keyed aggregates; the score is a ratio of exact integers
+    * (bit-identical). Top-k is a distributed TakeOrderedAndProject on
+    * the ROUNDED score with the key pair as tie-break. */
+  def itemItemCosine(s: SparkSession, dir: String, k: Int = 20,
+      minSupport: Long = 3L): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val itemN = baskets.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("ni"))
+    val a = baskets.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = baskets.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val co = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= minSupport)
+    co.join(itemN.select(col("l_partkey").as("pa"), col("ni").as("na")),
+        "pa")
+      .join(itemN.select(col("l_partkey").as("pb"), col("ni").as("nb")),
+        "pb")
+      .select(col("pa"), col("pb"), col("nab"), col("na"), col("nb"),
+        round4eps(col("nab").cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("pa"), col("pb"))
+      .limit(k)
+  }
 }

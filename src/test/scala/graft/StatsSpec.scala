@@ -277,6 +277,30 @@ class StatsSpec extends AnyFunSuite {
     assert(cov > 0.85 && cov < 0.95, s"coverage=$cov")
   }
 
+  test("exactMedianBisect equals the sort-based exact median") {
+    val want = Tables.lineitem(spark, dir)
+      .selectExpr("percentile(l_extendedprice, 0.5)").head().getDouble(0)
+    val got = Stats.exactMedianBisect(spark, dir).head()
+    assert(math.abs(got.getAs[Double]("median") - want) < 1e-3,
+      s"got ${got.getAs[Double]("median")} want $want")
+    assert(got.getAs[Long]("n") ==
+      Tables.lineitem(spark, dir).count())
+  }
+
+  test("itemItemCosine scores reconcile with raw co-counts") {
+    val rows = graft.operators.Behavior.itemItemCosine(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, na, nb) = (r.getAs[Long]("nab"), r.getAs[Long]("na"),
+        r.getAs[Long]("nb"))
+      assert(nab >= 3 && nab <= math.min(na, nb))
+      val want = nab.toDouble / math.sqrt(na.toDouble * nb)
+      assert(math.abs(r.getAs[Double]("cosine") - want) < 1e-3)
+      assert(r.getAs[Double]("cosine") <= 1.0)
+    }
+  }
+
   test("decisionStump picks the impurity-minimizing threshold") {
     val rows = Tables.lineitem(spark, dir)
       .selectExpr("CAST(l_quantity AS LONG)", "l_returnflag = 'R'")
