@@ -687,19 +687,20 @@ object SparkEntry {
     "q_ks_test"          -> ((s, d) => Stats.ksTest(s, d)),
     "q_mutual_info"      -> ((s, d) => Stats.mutualInfo(s, d)),
     "q_cramers_v"        -> ((s, d) => Stats.cramersV(s, d)),
-    "q_psi_drift"        -> ((s, d) => Stats.psiDrift(s, d)),
+    // q_psi_orders complements the EXISTING q_psi_drift (events-value
+    // drift, adaptive per-type bins): fixed buckets + era split +
+    // Laplace smoothing on the order-total distribution
+    "q_psi_orders"       -> ((s, d) => Stats.psiDrift(s, d)),
     "q_lift_table"       -> ((s, d) => Stats.liftTable(s, d)),
     "q_dtw_regions"      -> ((s, d) => Stats.regionDtw(s, d)),
     "q_holt_winters"     -> ((s, d) => Stats.holtWinters(s, d)),
     "q_conformal"        -> ((s, d) => Stats.conformalOls(s, d)),
     "q_decision_stump"   -> ((s, d) => Stats.decisionStump(s, d)),
     "q_overdispersion"   -> ((s, d) => Stats.overdispersion(s, d)),
-    "q_corr_matrix"      -> ((s, d) => Stats.corrMatrix(s, d)),
     "q_quantile_norm"    -> ((s, d) => Stats.quantileNorm(s, d)),
     "q_exact_median"     -> ((s, d) => Stats.exactMedianBisect(s, d)),
     "q_item_item"        -> ((s, d) => graft.operators.Behavior.itemItemCosine(s, d)),
     "q_readability"      -> ((s, d) => TextAnalysis.readability(s, d)),
-    "q_zipf_slope"       -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5293,7 +5294,7 @@ object SparkEntry {
         |  floor(sqrt(chi2/(nn*(LEAST(nr,nc)-1)))
         |    *10000 + 0.5 + 0.000001)/10000 AS cramers_v
         |FROM s""".stripMargin,
-    "q_psi_drift" ->
+    "q_psi_orders" ->
       """WITH b AS (SELECT
         |    LEAST(CAST(floor(o_totalprice/50000) AS BIGINT), 9)
         |      AS bucket,
@@ -5527,41 +5528,6 @@ object SparkEntry {
         |    - 84.6*CAST(SUM(syl) AS DOUBLE)/SUM(w))*10000 + 0.5
         |    + 0.000001)/10000 AS flesch
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
-    // mirrors the EXISTING TextAnalysis.zipfSlope (words = single-space
-    // split, no filtering; top-100; regr_slope + regr_r2)
-    "q_zipf_slope" ->
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM w
-        |  GROUP BY 1 ORDER BY freq DESC, token LIMIT 100),
-        |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC,
-        |    token) AS rank FROM f)
-        |SELECT floor(regr_slope(ln(freq), ln(rank))*10000 + 0.5
-        |    + 0.000001)/10000 AS zipf_slope,
-        |  floor(regr_r2(ln(freq), ln(rank))*10000 + 0.5
-        |    + 0.000001)/10000 AS r2,
-        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
-        |FROM r""".stripMargin,
-    "q_corr_matrix" ->
-      """WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
-        |    CAST(l_extendedprice AS DOUBLE) AS e,
-        |    CAST(l_discount AS DOUBLE) AS dd,
-        |    CAST(l_tax AS DOUBLE) AS t FROM lineitem)
-        |SELECT col_a, col_b, pearson FROM (
-        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-        |    floor(corr(q, e)*10000 + 0.5 + 0.000001)/10000 AS pearson
-        |  FROM s
-        |  UNION ALL SELECT 'l_quantity', 'l_discount',
-        |    floor(corr(q, dd)*10000 + 0.5 + 0.000001)/10000 FROM s
-        |  UNION ALL SELECT 'l_quantity', 'l_tax',
-        |    floor(corr(q, t)*10000 + 0.5 + 0.000001)/10000 FROM s
-        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
-        |    floor(corr(e, dd)*10000 + 0.5 + 0.000001)/10000 FROM s
-        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
-        |    floor(corr(e, t)*10000 + 0.5 + 0.000001)/10000 FROM s
-        |  UNION ALL SELECT 'l_discount', 'l_tax',
-        |    floor(corr(dd, t)*10000 + 0.5 + 0.000001)/10000 FROM s
-        |) ORDER BY col_a, col_b""".stripMargin,
     "q_quantile_norm" ->
       """WITH daily AS (SELECT r_name AS region,
         |    CAST(o_orderdate AS DATE) AS d,

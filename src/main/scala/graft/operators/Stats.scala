@@ -679,30 +679,6 @@ object Stats {
       .toDF("n", "median")
   }
 
-  /** Pairwise Pearson correlation matrix over the lineitem numeric
-    * columns — the first profiling readout before any feature work
-    * (collinear features, leakage candidates). All six pairs come
-    * from ONE aggregation pass (Spark fuses the six corr() states
-    * into a single partial+final HashAggregate — one scan, map-side
-    * combined), then stack() pivots the scalar row to tidy
-    * (col_a, col_b, corr) rows. */
-  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val li = Tables.lineitem(s, dir)
-      .select(cols.map(c => col(c).cast("double").as(c)): _*)
-    val pairs = for {
-      i <- cols.indices; j <- cols.indices if i < j
-    } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) =>
-      round4eps(corr(col(a), col(b))).as(s"${a}__$b") }
-    val m = li.agg(aggs.head, aggs.tail: _*)
-    val stacked = pairs.map { case (a, b) =>
-      s"'$a', '$b', ${a}__$b" }.mkString(", ")
-    m.selectExpr(
-        s"stack(${pairs.length}, $stacked) as (col_a, col_b, pearson)")
-      .orderBy(col("col_a"), col("col_b"))
-  }
-
   /** Quantile normalization of the regions' daily revenue onto the
     * POOLED distribution — the cross-cohort preprocessing step that
     * puts every region's series on one scale before comparison (the
