@@ -701,6 +701,13 @@ object SparkEntry {
     "q_exact_median"     -> ((s, d) => Stats.exactMedianBisect(s, d)),
     "q_item_item"        -> ((s, d) => graft.operators.Behavior.itemItemCosine(s, d)),
     "q_readability"      -> ((s, d) => TextAnalysis.readability(s, d)),
+    // Round-8 batch 4: the remaining classical-test family — all
+    // closed-form, all distribution-collapse or single moment passes
+    "q_jarque_bera"      -> ((s, d) => Stats.jarqueBera(s, d)),
+    "q_ljung_box"        -> ((s, d) => Stats.ljungBox(s, d)),
+    "q_pacf"             -> ((s, d) => Stats.pacfRevenue(s, d)),
+    "q_kruskal_wallis"   -> ((s, d) => Stats.kruskalWallis(s, d)),
+    "q_levene"           -> ((s, d) => Stats.leveneBf(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5580,5 +5587,155 @@ object SparkEntry {
         |FROM co JOIN itemn na ON co.pa = na.l_partkey
         |  JOIN itemn nb ON co.pb = nb.l_partkey
         |ORDER BY cosine DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_jarque_bera" ->
+      """WITH x AS (SELECT l_returnflag AS seg,
+        |    l_extendedprice*(1.0 - l_discount)/50000.0 AS x
+        |  FROM lineitem),
+        |m AS (SELECT seg, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3,
+        |    SUM(x*x*x*x) AS s4
+        |  FROM x GROUP BY 1),
+        |c AS (SELECT seg, n,
+        |    s2/n - (s1/n)*(s1/n) AS m2,
+        |    s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+        |    s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
+        |      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+        |  FROM m),
+        |f AS (SELECT seg, n, m3/sqrt(m2*m2*m2) AS sk,
+        |    m4/(m2*m2) - 3.0 AS ek
+        |  FROM c)
+        |SELECT seg, CAST(n AS BIGINT) AS n,
+        |  floor(sk*10000 + 0.5 + 0.000001)/10000 AS skewness,
+        |  floor(ek*10000 + 0.5 + 0.000001)/10000 AS excess_kurtosis,
+        |  floor(n/6.0*(sk*sk + ek*ek/4.0)*10000 + 0.5 + 0.000001)/10000
+        |    AS jb_stat
+        |FROM f ORDER BY seg""".stripMargin,
+    "q_ljung_box" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |lagged AS (SELECT rev,
+        |    lag(rev,1) OVER (ORDER BY d) AS l1,
+        |    lag(rev,2) OVER (ORDER BY d) AS l2,
+        |    lag(rev,3) OVER (ORDER BY d) AS l3,
+        |    lag(rev,4) OVER (ORDER BY d) AS l4,
+        |    lag(rev,5) OVER (ORDER BY d) AS l5,
+        |    lag(rev,6) OVER (ORDER BY d) AS l6,
+        |    lag(rev,7) OVER (ORDER BY d) AS l7
+        |  FROM daily),
+        |m AS (SELECT AVG(rev) AS mu FROM daily),
+        |agg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    SUM((rev-mu)*(rev-mu)) AS denom,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN (rev-mu)*(l1-mu) END) AS n1,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN (rev-mu)*(l2-mu) END) AS n2,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN (rev-mu)*(l3-mu) END) AS n3,
+        |    SUM(CASE WHEN l4 IS NOT NULL THEN (rev-mu)*(l4-mu) END) AS n4,
+        |    SUM(CASE WHEN l5 IS NOT NULL THEN (rev-mu)*(l5-mu) END) AS n5,
+        |    SUM(CASE WHEN l6 IS NOT NULL THEN (rev-mu)*(l6-mu) END) AS n6,
+        |    SUM(CASE WHEN l7 IS NOT NULL THEN (rev-mu)*(l7-mu) END) AS n7
+        |  FROM lagged, m),
+        |r AS (SELECT nd,
+        |    floor(n1/denom*10000 + 0.5 + 0.000001)/10000 AS r1,
+        |    floor(n2/denom*10000 + 0.5 + 0.000001)/10000 AS r2,
+        |    floor(n3/denom*10000 + 0.5 + 0.000001)/10000 AS r3,
+        |    floor(n4/denom*10000 + 0.5 + 0.000001)/10000 AS r4,
+        |    floor(n5/denom*10000 + 0.5 + 0.000001)/10000 AS r5,
+        |    floor(n6/denom*10000 + 0.5 + 0.000001)/10000 AS r6,
+        |    floor(n7/denom*10000 + 0.5 + 0.000001)/10000 AS r7
+        |  FROM agg)
+        |SELECT CAST(nd AS BIGINT) AS n_days, 7 AS df,
+        |  floor(nd*(nd+2.0)*(r1*r1/(nd-1) + r2*r2/(nd-2)
+        |      + r3*r3/(nd-3) + r4*r4/(nd-4) + r5*r5/(nd-5)
+        |      + r6*r6/(nd-6) + r7*r7/(nd-7))
+        |    *10000 + 0.5 + 0.000001)/10000 AS q_stat
+        |FROM r""".stripMargin,
+    "q_pacf" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |lagged AS (SELECT rev,
+        |    lag(rev,1) OVER (ORDER BY d) AS l1,
+        |    lag(rev,2) OVER (ORDER BY d) AS l2,
+        |    lag(rev,3) OVER (ORDER BY d) AS l3
+        |  FROM daily),
+        |m AS (SELECT AVG(rev) AS mu FROM daily),
+        |agg AS (SELECT SUM((rev-mu)*(rev-mu)) AS denom,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN (rev-mu)*(l1-mu) END) AS n1,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN (rev-mu)*(l2-mu) END) AS n2,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN (rev-mu)*(l3-mu) END) AS n3
+        |  FROM lagged, m),
+        |r AS (SELECT
+        |    floor(n1/denom*10000 + 0.5 + 0.000001)/10000 AS r1,
+        |    floor(n2/denom*10000 + 0.5 + 0.000001)/10000 AS r2,
+        |    floor(n3/denom*10000 + 0.5 + 0.000001)/10000 AS r3
+        |  FROM agg),
+        |d3 AS (SELECT r1, r2, r3,
+        |    1.0*(1.0 - r1*r1) - r1*(r1 - r1*r2) + r2*(r1*r1 - r2) AS det3,
+        |    1.0*(r3 - r1*r2) - r1*(r1*r3 - r2*r2) + r1*(r1*r1 - r2)
+        |      AS det3s
+        |  FROM r)
+        |SELECT floor(r1*10000 + 0.5 + 0.000001)/10000 AS pacf1,
+        |  floor((r2 - r1*r1)/(1.0 - r1*r1)*10000 + 0.5 + 0.000001)/10000
+        |    AS pacf2,
+        |  floor(det3s/det3*10000 + 0.5 + 0.000001)/10000 AS pacf3
+        |FROM d3""".stripMargin,
+    "q_kruskal_wallis" ->
+      """WITH o AS (SELECT n_regionkey AS g,
+        |    CAST(floor(o_totalprice/1000) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey),
+        |cells AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM o GROUP BY 1, 2),
+        |perv AS (SELECT v, SUM(c) AS t FROM cells GROUP BY 1),
+        |ranked AS (SELECT v, t,
+        |    COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM perv),
+        |rg AS (SELECT g, SUM(c) AS ng,
+        |    SUM(c*(cb + (t+1)/2.0)) AS rg
+        |  FROM cells JOIN ranked USING (v) GROUP BY 1),
+        |tot AS (SELECT SUM(ng) AS n FROM rg),
+        |ties AS (SELECT SUM(CAST(t AS DOUBLE)*t*t - t) AS ties
+        |  FROM ranked)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS df,
+        |  floor((12.0/(CAST(MAX(n) AS DOUBLE)*(MAX(n)+1))*SUM(rg*rg/ng)
+        |      - 3.0*(MAX(n)+1))
+        |    / (1.0 - MAX(ties)
+        |      /(CAST(MAX(n) AS DOUBLE)*MAX(n)*MAX(n) - MAX(n)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS h_stat
+        |FROM rg, tot, ties""".stripMargin,
+    "q_levene" ->
+      """WITH o AS (SELECT n_regionkey AS g,
+        |    CAST(floor(o_totalprice/1000) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey),
+        |cells AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM o GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |    SUM(c) OVER (PARTITION BY g) AS ng
+        |  FROM cells),
+        |med AS (SELECT g,
+        |    CAST(MIN(CASE WHEN cc >= floor((ng+1)/2.0) THEN v END)
+        |      + MIN(CASE WHEN cc >= floor(ng/2.0)+1 THEN v END)
+        |      AS DOUBLE) AS med2
+        |  FROM cum GROUP BY 1),
+        |z AS (SELECT o.g, abs(CAST(v AS DOUBLE) - med2/2.0) AS z
+        |  FROM o JOIN med ON o.g = med.g),
+        |gm AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS ng, SUM(z) AS sz,
+        |    SUM(z*z) AS szz
+        |  FROM z GROUP BY 1),
+        |tot AS (SELECT SUM(ng) AS n, SUM(sz) AS sz_all,
+        |    CAST(COUNT(*) AS DOUBLE) AS k FROM gm)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(k) - 1 AS BIGINT) AS df_between,
+        |  CAST(MAX(n) - MAX(k) AS BIGINT) AS df_within,
+        |  floor((SUM(ng*(sz/ng - sz_all/n)*(sz/ng - sz_all/n))
+        |      /(MAX(k)-1))
+        |    / (SUM(szz - sz*sz/ng)/(MAX(n)-MAX(k)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS f_stat
+        |FROM gm, tot""".stripMargin,
   )
 }

@@ -829,4 +829,223 @@ object Stats {
           .as("cum_capture"))
       .orderBy(col("bin").desc)
   }
+
+  /** Jarque-Bera normality screen per return-flag segment on net line
+    * revenue: skewness, excess kurtosis and the JB statistic
+    * n/6·(S² + K²/4) from the first four raw moments.
+    *
+    * Scale shape: ONE moment aggregation (n, Σx..Σx⁴) with full
+    * map-side combine — the shuffle carries five doubles per
+    * (segment × map task); the central-moment algebra runs on the
+    * segment-bounded frame. Revenue is pre-scaled by a fixed constant
+    * (/50000) so Σx⁴ stays O(n) of O(1) terms — skewness and kurtosis
+    * are scale-invariant, so the readout needs no unscale. */
+  def jarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("seg"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
+        lit(50000.0)).as("x"))
+    val m = x.groupBy(col("seg")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("s1"),
+      sum(col("x") * col("x")).as("s2"),
+      sum(col("x") * col("x") * col("x")).as("s3"),
+      sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+    val mu = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - mu * mu
+    val m3 = col("s3") / col("n") - lit(3.0) * mu * col("s2") / col("n") +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / col("n") - lit(4.0) * mu * col("s3") / col("n") +
+      lit(6.0) * mu * mu * col("s2") / col("n") -
+      lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val exKurt = m4 / (m2 * m2) - lit(3.0)
+    m.select(col("seg"), col("n").cast("long").as("n"),
+        round4eps(skew).as("skewness"),
+        round4eps(exKurt).as("excess_kurtosis"),
+        round4eps(col("n") / lit(6.0) *
+          (skew * skew + exKurt * exKurt / lit(4.0))).as("jb_stat"))
+      .orderBy(col("seg"))
+  }
+
+  /** Ljung-Box portmanteau test on daily order revenue —
+    * Q = n(n+2)·Σ_{k=1..7} ρ̂ₖ²/(n−k), the "is there ANY residual
+    * autocorrelation" screen run after [[Relational.revenueAcf]]
+    * flags individual lags. Same scale shape as the ACF: the corpus
+    * collapses to the calendar-bounded daily grain in one shuffle;
+    * one window sort over that frame produces all seven lags; each
+    * ρ̂ₖ is 4-decimal-quantized before squaring so cross-engine
+    * summation order cannot leak through the square. */
+  def ljungBox(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("d")) // calendar-bounded frame
+    val lagged = (1 to maxLag).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("rev"), k).over(w))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mu = lagged.agg(avg(col("rev")).as("mu"))
+    val withMu = lagged.crossJoin(broadcast(mu))
+    val aggs =
+      count(lit(1)).cast("double").as("nd") +:
+      sum((col("rev") - col("mu")) * (col("rev") - col("mu"))).as("denom") +:
+      (1 to maxLag).map { k =>
+        sum(when(col(s"l$k").isNotNull,
+          (col("rev") - col("mu")) * (col(s"l$k") - col("mu")))).as(s"n$k")
+      }
+    val moments = withMu.agg(aggs.head, aggs.tail: _*)
+    val qTerms = (1 to maxLag).map { k =>
+      val rho = round4eps(col(s"n$k") / col("denom"))
+      rho * rho / (col("nd") - lit(k.toDouble))
+    }.reduce(_ + _)
+    moments.select(col("nd").cast("long").as("n_days"),
+      lit(maxLag).as("df"),
+      round4eps(col("nd") * (col("nd") + lit(2.0)) * qTerms).as("q_stat"))
+  }
+
+  /** Partial autocorrelation at lags 1-3 via the Durbin-Levinson
+    * closed forms — the AR-order pick that follows [[ljungBox]]:
+    * φ₁₁ = ρ₁; φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²); φ₃₃ from the order-3
+    * recursion. Consumes the same quantized daily-grain ACF moments
+    * (one shuffle + one bounded window sort); everything after is
+    * scalar algebra on ρ₁..ρ₃, each quantized before use. */
+  def pacfRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("d")) // calendar-bounded frame
+    val lagged = (1 to 3).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("rev"), k).over(w))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mu = lagged.agg(avg(col("rev")).as("mu"))
+    val moments = lagged.crossJoin(broadcast(mu)).agg(
+      sum((col("rev") - col("mu")) * (col("rev") - col("mu"))).as("denom"),
+      sum(when(col("l1").isNotNull,
+        (col("rev") - col("mu")) * (col("l1") - col("mu")))).as("n1"),
+      sum(when(col("l2").isNotNull,
+        (col("rev") - col("mu")) * (col("l2") - col("mu")))).as("n2"),
+      sum(when(col("l3").isNotNull,
+        (col("rev") - col("mu")) * (col("l3") - col("mu")))).as("n3"))
+    val r1 = round4eps(col("n1") / col("denom"))
+    val r2 = round4eps(col("n2") / col("denom"))
+    val r3 = round4eps(col("n3") / col("denom"))
+    // Durbin-Levinson: φ22 = (ρ2−ρ1²)/(1−ρ1²);
+    // φ21 = ρ1(1−φ22... ) — for φ33 use the explicit determinant form:
+    // φ33 = |R3*| / |R3| with Toeplitz R3 = [[1,ρ1,ρ2],[ρ1,1,ρ1],[ρ2,ρ1,1]],
+    // R3* = R3 with last column replaced by (ρ1,ρ2,ρ3).
+    val det3 = lit(1.0) * (lit(1.0) - r1 * r1) -
+      r1 * (r1 - r1 * r2) + r2 * (r1 * r1 - r2)
+    val det3s = lit(1.0) * (r3 - r1 * r2) -
+      r1 * (r1 * r3 - r2 * r2) + r1 * (r1 * r1 - r2)
+    moments.select(
+      round4eps(r1).as("pacf1"),
+      round4eps((r2 - r1 * r1) / (lit(1.0) - r1 * r1)).as("pacf2"),
+      round4eps(det3s / det3).as("pacf3"))
+  }
+
+  /** Kruskal-Wallis H across the five regions on bucketed order
+    * totals (k-group generalization of [[Behavior.mannWhitney]]),
+    * with the tie correction H/C, C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * Scale posture: ranks are never assigned per row. Totals are
+    * bucketed to $1000 bands at the source, the sample collapses to
+    * one row per distinct bucket (value-range-bounded, not
+    * corpus-bounded), cumulative counts over that ordered bounded
+    * frame give each bucket its average rank, and per-group rank
+    * sums are weighted aggregates of counts × ranks — exact
+    * integer/half-integer arithmetic until the final H. */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").as("g"),
+        floor(col("o_totalprice") / 1000).cast("long").as("v"))
+    val cells = o.groupBy(col("v"), col("g")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perV = cells.groupBy(col("v")).agg(sum(col("c")).as("t"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bounded frame: one row per distinct $1000 bucket
+    val ranked = perV
+      .withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
+      .select(col("v"), col("t"), col("cb"))
+    val rg = cells.join(broadcast(ranked), "v")
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("ng"),
+        sum(col("c") * (col("cb") + (col("t") + 1) / lit(2.0))).as("rg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // t³ and N³ computed in double space (a 2M-row bucket would
+    // overflow a long cube; the ratio only ever needs ~15 digits)
+    val tot = rg.agg(sum(col("ng")).as("n")).crossJoin(
+      broadcast(ranked.agg(
+        sum(col("t").cast("double") * col("t") * col("t") - col("t"))
+          .as("ties"))))
+    val nD = max(col("n")).cast("double")
+    rg.crossJoin(broadcast(tot))
+      .agg(max(col("n")).cast("long").as("n_out"),
+        (count(lit(1)) - 1).as("df_out"),
+        round4eps((lit(12.0) / (nD * (nD + 1)) *
+          sum(col("rg") * col("rg") / col("ng")) -
+          lit(3.0) * (nD + 1)) /
+          (lit(1.0) - max(col("ties")) /
+            (nD * nD * nD - nD))).as("h_stat"))
+      .select(col("n_out").as("n"), col("df_out").as("df"), col("h_stat"))
+  }
+
+  /** Brown-Forsythe (median-centered Levene) test for equal spread of
+    * bucketed order totals across regions: z = |x − med_g|, then the
+    * one-way-ANOVA F on z.
+    *
+    * Scale posture: the group median comes from the SAME
+    * distribution-collapse used by [[kruskalWallis]] — one row per
+    * ($1000 bucket × group), cumulative counts give the two middle
+    * order statistics per group, so no row is ever sorted or
+    * buffered. Pass 2 re-aggregates |x−med| moments per group with
+    * the 5-row median frame broadcast. Both engines compute the
+    * even-n median as the mean of the two middle bucket values. */
+  def leveneBf(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").as("g"),
+        floor(col("o_totalprice") / 1000).cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = o.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // group-keyed window over the bucket-bounded frame
+    val cum = cells.withColumn("cc", sum(col("c")).over(wg))
+      .withColumn("ng", sum(col("c")).over(Window.partitionBy(col("g"))))
+    // even-n median = mean of the order statistics at 1-based
+    // positions floor((ng+1)/2) (lower middle) and floor(ng/2)+1
+    val medians = cum
+      .groupBy(col("g"))
+      .agg((min(when(col("cc") >= floor((col("ng") + 1) / lit(2.0)),
+          col("v"))) +
+        min(when(col("cc") >= floor(col("ng") / lit(2.0)) + 1, col("v"))))
+        .cast("double").as("med2")) // 2× median (lo+hi middle values)
+    val z = o.join(broadcast(medians), "g")
+      .select(col("g"),
+        abs(col("v").cast("double") - col("med2") / lit(2.0)).as("z"))
+    val gm = z.groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("ng"),
+        sum(col("z")).as("sz"), sum(col("z") * col("z")).as("szz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = gm.agg(sum(col("ng")).as("n"), sum(col("sz")).as("sz_all"),
+      count(lit(1)).cast("double").as("k"))
+    gm.crossJoin(broadcast(tot))
+      .agg(max(col("n")).cast("long").as("n"),
+        (max(col("k")) - 1).cast("long").as("df_between"),
+        (max(col("n")) - max(col("k"))).cast("long").as("df_within"),
+        round4eps(
+          (sum(col("ng") * (col("sz") / col("ng") - col("sz_all") / col("n")) *
+            (col("sz") / col("ng") - col("sz_all") / col("n"))) /
+            (max(col("k")) - 1)) /
+          (sum(col("szz") - col("sz") * col("sz") / col("ng")) /
+            (max(col("n")) - max(col("k"))))).as("f_stat"))
+  }
 }

@@ -532,4 +532,95 @@ class HypothesisTestsSpec extends AnyFunSuite {
     assert(totalSessions ==
       graft.operators.Windows.sessionize(spark, dir).count())
   }
+
+  test("jarqueBera matches a from-scratch four-moment recomputation") {
+    val xs = Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag",
+        "l_extendedprice * (1.0 - l_discount) / 50000.0 AS x")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1)
+    val got = graft.operators.Stats.jarqueBera(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    xs.foreach { case (seg, rows) =>
+      val v = rows.map(_._2); val n = v.length.toDouble
+      val mu = v.sum / n
+      val m2 = v.map(x => (x - mu) * (x - mu)).sum / n
+      val m3 = v.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = v.map(x => math.pow(x - mu, 4)).sum / n
+      val sk = m3 / math.pow(m2, 1.5)
+      val ek = m4 / (m2 * m2) - 3.0
+      val r = got(seg)
+      assert(r.getAs[Long]("n") == v.length)
+      assert(math.abs(r.getAs[Double]("skewness") - sk) < 1e-3)
+      assert(math.abs(r.getAs[Double]("excess_kurtosis") - ek) < 1e-3)
+      assert(math.abs(r.getAs[Double]("jb_stat") -
+        n / 6.0 * (sk * sk + ek * ek / 4.0)) < 0.5) // n/6 amplifies 1e-4
+    }
+  }
+
+  test("ljungBox Q equals n(n+2)*sum(rho_k^2/(n-k)) from revenueAcf") {
+    val acf = Relational.revenueAcf(spark, dir).collect()
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    val nDays = Tables.orders(spark, dir)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate")))
+      .distinct().count().toDouble
+    val want = nDays * (nDays + 2) *
+      (1 to 7).map(k => acf(k) * acf(k) / (nDays - k)).sum
+    val got = graft.operators.Stats.ljungBox(spark, dir).head()
+    assert(got.getAs[Long]("n_days") == nDays.toLong)
+    assert(got.getAs[Int]("df") == 7)
+    assert(math.abs(got.getAs[Double]("q_stat") - want) < 0.01)
+  }
+
+  test("pacf lag-1 equals acf lag-1; all pacf values are 1-bounded") {
+    val acf1 = Relational.revenueAcf(spark, dir).collect()
+      .find(_.getAs[Int]("lag") == 1).get.getAs[Double]("acf")
+    val got = graft.operators.Stats.pacfRevenue(spark, dir).head()
+    assert(math.abs(got.getAs[Double]("pacf1") - acf1) < 1e-9)
+    Seq("pacf1", "pacf2", "pacf3").foreach { c =>
+      assert(math.abs(got.getAs[Double](c)) <= 1.0)
+    }
+  }
+
+  test("kruskalWallis: two identical groups give H ~ 0; df = k-1") {
+    val got = graft.operators.Stats.kruskalWallis(spark, dir).head()
+    assert(got.getAs[Long]("df") ==
+      Tables.nation(spark, dir).select("n_regionkey").distinct()
+        .count() - 1)
+    assert(got.getAs[Long]("n") ==
+      Tables.orders(spark, dir).count())
+    // H is non-negative and bounded by n-1 (attained only when every
+    // group occupies a disjoint rank block)
+    val h = got.getAs[Double]("h_stat")
+    assert(h >= 0.0 && h < got.getAs[Long]("n").toDouble)
+  }
+
+  test("leveneBf: from-scratch Brown-Forsythe F on bucketed totals") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"), floor(col("o_totalprice") / 1000).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2.toDouble).sorted }
+    val zs = rows.toSeq.flatMap { case (g, v) =>
+      val n = v.length
+      val med = (v((n + 1) / 2 - 1) + v(n / 2)) / 2.0 // lower-mid + upper-mid
+      v.map(x => (g, math.abs(x - med)))
+    }
+    val k = rows.size.toDouble; val n = zs.length.toDouble
+    val zbarAll = zs.map(_._2).sum / n
+    val byG = zs.groupBy(_._1).map { case (g, v) =>
+      (v.length.toDouble, v.map(_._2).sum / v.length,
+        v.map(_._2).map(z => z * z).sum - math.pow(v.map(_._2).sum, 2) / v.length)
+    }
+    val between = byG.map { case (ng, zg, _) =>
+      ng * (zg - zbarAll) * (zg - zbarAll) }.sum / (k - 1)
+    val within = byG.map(_._3).sum / (n - k)
+    val got = graft.operators.Stats.leveneBf(spark, dir).head()
+    assert(got.getAs[Long]("n") == n.toLong)
+    assert(got.getAs[Long]("df_between") == (k - 1).toLong)
+    assert(math.abs(got.getAs[Double]("f_stat") - between / within) < 1e-3)
+  }
 }
