@@ -708,6 +708,12 @@ object SparkEntry {
     "q_pacf"             -> ((s, d) => Stats.pacfRevenue(s, d)),
     "q_kruskal_wallis"   -> ((s, d) => Stats.kruskalWallis(s, d)),
     "q_levene"           -> ((s, d) => Stats.leveneBf(s, d)),
+    // model-eval kit: per-snapshot readouts an eval harness runs
+    "q_calibration"      -> ((s, d) => Stats.calibration(s, d)),
+    "q_mcnemar"          -> ((s, d) => Stats.mcnemar(s, d)),
+    "q_odds_ratio"       -> ((s, d) => Stats.oddsRatio(s, d)),
+    "q_threshold_metrics" -> ((s, d) => Stats.thresholdMetrics(s, d)),
+    "q_kfold"            -> ((s, d) => Stats.kfoldAssign(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5737,5 +5743,113 @@ object SparkEntry {
         |    / (SUM(szz - sz*sz/ng)/(MAX(n)-MAX(k)))
         |    *10000 + 0.5 + 0.000001)/10000 AS f_stat
         |FROM gm, tot""".stripMargin,
+    "q_calibration" ->
+      """WITH li AS (SELECT CAST(round(l_discount*100) AS BIGINT) AS bin,
+        |    l_discount AS score,
+        |    CASE WHEN l_returnflag='R' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lineitem),
+        |b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    AVG(score) AS conf, AVG(y) AS acc,
+        |    SUM((score-y)*(score-y)) AS sqerr
+        |  FROM li GROUP BY 1),
+        |tot AS (SELECT
+        |    floor(SUM(sqerr)/SUM(n)*10000 + 0.5 + 0.000001)/10000
+        |      AS brier,
+        |    floor(SUM(n*abs(acc-conf))/SUM(n)*10000 + 0.5
+        |      + 0.000001)/10000 AS ece
+        |  FROM b)
+        |SELECT bin, n,
+        |  floor(conf*10000 + 0.5 + 0.000001)/10000 AS mean_score,
+        |  floor(acc*10000 + 0.5 + 0.000001)/10000 AS obs_rate,
+        |  floor((acc-conf)*10000 + 0.5 + 0.000001)/10000 AS gap,
+        |  brier, ece
+        |FROM b, tot ORDER BY bin""".stripMargin,
+    "q_mcnemar" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 40
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(a*b) AS BIGINT) AS both_pos,
+        |  CAST(SUM(a*(1-b)) AS BIGINT) AS a_only,
+        |  CAST(SUM((1-a)*b) AS BIGINT) AS b_only,
+        |  floor((abs(SUM(a*(1-b)) - SUM((1-a)*b)) - 1.0)
+        |    *(abs(SUM(a*(1-b)) - SUM((1-a)*b)) - 1.0)
+        |    /(SUM(a*(1-b)) + SUM((1-a)*b))
+        |    *10000 + 0.5 + 0.000001)/10000 AS chi2_cc
+        |FROM d""".stripMargin,
+    "q_odds_ratio" ->
+      """WITH cells AS (SELECT
+        |    CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag='R'
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+        |    CAST(SUM(CASE WHEN l_discount >= 0.06 AND l_returnflag<>'R'
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+        |    CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag='R'
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+        |    CAST(SUM(CASE WHEN l_discount < 0.06 AND l_returnflag<>'R'
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS d
+        |  FROM lineitem),
+        |f AS (SELECT a, b, c, d,
+        |    ln((a+0.5)*(d+0.5)/((b+0.5)*(c+0.5))) AS logor,
+        |    sqrt(1.0/(a+0.5) + 1.0/(b+0.5) + 1.0/(c+0.5) + 1.0/(d+0.5))
+        |      AS se
+        |  FROM cells)
+        |SELECT CAST(a AS BIGINT) AS n_exp_ret,
+        |  CAST(b AS BIGINT) AS n_exp_ok,
+        |  CAST(c AS BIGINT) AS n_base_ret,
+        |  CAST(d AS BIGINT) AS n_base_ok,
+        |  floor((a+0.5)*(d+0.5)/((b+0.5)*(c+0.5))*10000 + 0.5
+        |    + 0.000001)/10000 AS odds_ratio,
+        |  floor(logor*10000 + 0.5 + 0.000001)/10000 AS log_or,
+        |  floor(exp(logor - 1.96*se)*10000 + 0.5 + 0.000001)/10000
+        |    AS ci_low,
+        |  floor(exp(logor + 1.96*se)*10000 + 0.5 + 0.000001)/10000
+        |    AS ci_high
+        |FROM f""".stripMargin,
+    "q_threshold_metrics" ->
+      """WITH c AS (SELECT
+        |    CAST(SUM(CASE WHEN l_quantity >= 30 AND l_returnflag='R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN l_quantity >= 30 AND l_returnflag<>'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN l_quantity < 30 AND l_returnflag='R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN l_quantity < 30 AND l_returnflag<>'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM lineitem),
+        |d AS (SELECT tp, fp, fn, tn,
+        |    CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+        |    CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd
+        |  FROM c)
+        |SELECT tp, fp, fn, tn,
+        |  floor(tpd/(tpd+fpd)*10000 + 0.5 + 0.000001)/10000
+        |    AS precision,
+        |  floor(tpd/(tpd+fnd)*10000 + 0.5 + 0.000001)/10000 AS recall,
+        |  floor(2.0*(tpd/(tpd+fpd))*(tpd/(tpd+fnd))
+        |    /((tpd/(tpd+fpd)) + (tpd/(tpd+fnd)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS f1,
+        |  floor((tpd+tnd)/(tpd+fpd+fnd+tnd)*10000 + 0.5
+        |    + 0.000001)/10000 AS accuracy,
+        |  floor((tpd*tnd - fpd*fnd)
+        |    /sqrt((tpd+fpd)*(tpd+fnd)*(tnd+fpd)*(tnd+fnd))
+        |    *10000 + 0.5 + 0.000001)/10000 AS mcc
+        |FROM d""".stripMargin,
+    "q_kfold" ->
+      """WITH li AS (SELECT (strpos('0123456789abcdef',
+        |      substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1) % 5
+        |      AS fold,
+        |    CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |b AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(y) AS n_ret
+        |  FROM li GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS tn FROM b)
+        |SELECT CAST(fold AS BIGINT) AS fold, n,
+        |  floor(CAST(n AS DOUBLE)/tn*10000 + 0.5 + 0.000001)/10000
+        |    AS share,
+        |  floor(CAST(n_ret AS DOUBLE)/n*10000 + 0.5 + 0.000001)/10000
+        |    AS return_rate
+        |FROM b, tot ORDER BY fold""".stripMargin,
   )
 }

@@ -1048,4 +1048,144 @@ object Stats {
           (sum(col("szz") - col("sz") * col("sz") / col("ng")) /
             (max(col("n")) - max(col("k"))))).as("f_stat"))
   }
+
+  /** Calibration / reliability readout for a probability-like score
+    * (the discount, read as a pseudo return-probability) against the
+    * binary return flag: per score bin — support, mean confidence,
+    * observed rate, gap — plus the overall Brier score and expected
+    * calibration error ECE = Σ (n_b/N)·|acc_b − conf_b| as constant
+    * columns. The eval-harness readout that runs on every model
+    * snapshot before a threshold is picked.
+    *
+    * Scale shape: ONE bin-keyed count pass (bins = the 11 discount
+    * levels, a fixed vocabulary); Brier/ECE are re-aggregates of the
+    * 11-row frame. All ratios come from exact integer counts; scores
+    * are exact 2-decimal constants per bin. */
+  def calibration(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      round(col("l_discount") * 100).cast("long").as("bin"),
+      col("l_discount").as("score"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+    val b = li.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      avg(col("score")).as("conf"),
+      avg(col("y")).as("acc"),
+      sum((col("score") - col("y")) * (col("score") - col("y")))
+        .as("sqerr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = b.agg(
+      round4eps(sum(col("sqerr")) / sum(col("n"))).as("brier"),
+      round4eps(sum(col("n") * abs(col("acc") - col("conf"))) /
+        sum(col("n"))).as("ece"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        round4eps(col("conf")).as("mean_score"),
+        round4eps(col("acc")).as("obs_rate"),
+        round4eps(col("acc") - col("conf")).as("gap"),
+        col("brier"), col("ece"))
+      .orderBy(col("bin"))
+  }
+
+  /** McNemar test for marginal homogeneity of two document-quality
+    * classifiers rating the SAME corpus (A: char length ≥ 200;
+    * B: word count ≥ 40) — the paired-classifier comparison an eval
+    * harness runs before swapping a filter. Only the discordant
+    * cells matter: χ²_cc = (|b−c|−1)²/(b+c) with continuity
+    * correction. One pass, four integer cells, exact until the final
+    * ratio. */
+  def mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(
+      (length(col("text")) >= 200).cast("long").as("a"),
+      (size(split(trim(col("text")), "\\s+")) >= 40).cast("long").as("b"))
+    d.agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("both_pos"),
+        sum(col("a") * (lit(1L) - col("b"))).as("a_only"),
+        sum((lit(1L) - col("a")) * col("b")).as("b_only"))
+      .select(col("n"), col("both_pos"), col("a_only"), col("b_only"),
+        round4eps((abs(col("a_only") - col("b_only")) - lit(1.0)) *
+          (abs(col("a_only") - col("b_only")) - lit(1.0)) /
+          (col("a_only") + col("b_only"))).as("chi2_cc"))
+  }
+
+  /** Odds ratio of "line was returned" given "deep discount"
+    * (l_discount ≥ 0.06) with the Haldane-Anscombe +0.5 correction
+    * and the 95% log-normal CI — the 2×2 effect-size readout next to
+    * the chi-square screen. One pass to four integer cells; the CI is
+    * scalar algebra on those counts. */
+  def oddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      (col("l_discount") >= 0.06).cast("long").as("e"),
+      (col("l_returnflag") === "R").cast("long").as("y"))
+    val cells = li.agg(
+      sum(col("e") * col("y")).cast("double").as("a"),
+      sum(col("e") * (lit(1L) - col("y"))).cast("double").as("b"),
+      sum((lit(1L) - col("e")) * col("y")).cast("double").as("c"),
+      sum((lit(1L) - col("e")) * (lit(1L) - col("y"))).cast("double")
+        .as("d"))
+    val ah = col("a") + lit(0.5); val bh = col("b") + lit(0.5)
+    val ch = col("c") + lit(0.5); val dh = col("d") + lit(0.5)
+    val logOr = log(ah * dh / (bh * ch))
+    val se = sqrt(lit(1.0) / ah + lit(1.0) / bh + lit(1.0) / ch +
+      lit(1.0) / dh)
+    cells.select(
+      col("a").cast("long").as("n_exp_ret"),
+      col("b").cast("long").as("n_exp_ok"),
+      col("c").cast("long").as("n_base_ret"),
+      col("d").cast("long").as("n_base_ok"),
+      round4eps(ah * dh / (bh * ch)).as("odds_ratio"),
+      round4eps(logOr).as("log_or"),
+      round4eps(exp(logOr - lit(1.96) * se)).as("ci_low"),
+      round4eps(exp(logOr + lit(1.96) * se)).as("ci_high"))
+  }
+
+  /** Fixed-threshold classification metrics (predict "returned" when
+    * quantity ≥ 30): confusion cells, precision/recall/F1/accuracy
+    * and Matthews correlation — the per-threshold readout downstream
+    * of [[Behavior.aucScore]]'s threshold-free one. One pass to four
+    * integer cells; MCC products run in double space (four ~n/4
+    * counts multiply past long range on a 100 TB corpus). */
+  def thresholdMetrics(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      (col("l_quantity") >= 30).cast("long").as("p"),
+      (col("l_returnflag") === "R").cast("long").as("y"))
+    val cells = li.agg(
+      sum(col("p") * col("y")).as("tp"),
+      sum(col("p") * (lit(1L) - col("y"))).as("fp"),
+      sum((lit(1L) - col("p")) * col("y")).as("fn"),
+      sum((lit(1L) - col("p")) * (lit(1L) - col("y"))).as("tn"))
+    val tp = col("tp").cast("double"); val fp = col("fp").cast("double")
+    val fn = col("fn").cast("double"); val tn = col("tn").cast("double")
+    val prec = tp / (tp + fp); val rec = tp / (tp + fn)
+    cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round4eps(prec).as("precision"),
+      round4eps(rec).as("recall"),
+      round4eps(lit(2.0) * prec * rec / (prec + rec)).as("f1"),
+      round4eps((tp + tn) / (tp + fp + fn + tn)).as("accuracy"),
+      round4eps((tp * tn - fp * fn) /
+        sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))).as("mcc"))
+  }
+
+  /** Deterministic 5-fold cross-validation assignment keyed on the
+    * md5 of the order key — the split that is reproducible across
+    * engines, runs and partitionings (no rand(), no row_number):
+    * fold = (hex value of the first md5 nibble) mod 5. Readout is the
+    * fold balance audit: size, share, and per-fold return rate (a
+    * skewed fold flags a leaking key). One hash + one 5-ary count
+    * pass; the hash is embarrassingly parallel. */
+  def kfoldAssign(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val li = Tables.lineitem(s, dir).selectExpr(
+      "(instr('0123456789abcdef', substring(md5(cast(cast(l_orderkey " +
+        s"as string) as binary)), 1, 1)) - 1) % $k AS fold",
+      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y")
+    val b = li.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_ret"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = b.agg(sum(col("n")).as("tn"))
+    b.crossJoin(broadcast(tot))
+      .select(col("fold").cast("long").as("fold"), col("n"),
+        round4eps(col("n").cast("double") / col("tn")).as("share"),
+        round4eps(col("n_ret").cast("double") / col("n"))
+          .as("return_rate"))
+      .orderBy(col("fold"))
+  }
 }

@@ -408,4 +408,69 @@ class StatsSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("lift") - want) < 1e-3)
     }
   }
+
+  test("calibration: bins conserve lineitem; ECE is the support-" +
+    "weighted gap; Brier within [0,1]") {
+    val rows = Stats.calibration(spark, dir).collect()
+    val nLi = Tables.lineitem(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nLi)
+    val ece = rows.head.getAs[Double]("ece")
+    val wantEce = rows.map(r =>
+      r.getAs[Long]("n") * math.abs(r.getAs[Double]("obs_rate") -
+        r.getAs[Double]("mean_score"))).sum / nLi
+    assert(math.abs(ece - wantEce) < 1e-3)
+    val brier = rows.head.getAs[Double]("brier")
+    assert(brier >= 0.0 && brier <= 1.0)
+    // each bin's mean score IS the bin's discount level
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("mean_score") -
+      r.getAs[Long]("bin") / 100.0) < 1e-9))
+  }
+
+  test("mcnemar: cells conserve the corpus; chi2 matches the " +
+    "continuity-corrected closed form") {
+    val r = Stats.mcnemar(spark, dir).head()
+    val n = r.getAs[Long]("n")
+    assert(n == Tables.documents(spark, dir).count())
+    val b = r.getAs[Long]("a_only").toDouble
+    val c = r.getAs[Long]("b_only").toDouble
+    assert(r.getAs[Long]("both_pos") + b + c <= n)
+    assert(math.abs(r.getAs[Double]("chi2_cc") -
+      (math.abs(b - c) - 1) * (math.abs(b - c) - 1) / (b + c)) < 1e-3)
+  }
+
+  test("oddsRatio: cells conserve lineitem; OR matches the Haldane " +
+    "cells; CI brackets the point estimate") {
+    val r = Stats.oddsRatio(spark, dir).head()
+    val Seq(a, b, c, d) = Seq("n_exp_ret", "n_exp_ok", "n_base_ret",
+      "n_base_ok").map(r.getAs[Long](_).toDouble)
+    assert((a + b + c + d).toLong == Tables.lineitem(spark, dir).count())
+    val or = (a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5))
+    assert(math.abs(r.getAs[Double]("odds_ratio") - or) < 1e-3)
+    assert(r.getAs[Double]("ci_low") <= r.getAs[Double]("odds_ratio"))
+    assert(r.getAs[Double]("ci_high") >= r.getAs[Double]("odds_ratio"))
+  }
+
+  test("thresholdMetrics: confusion conserves; F1 is the harmonic " +
+    "mean; MCC bounded") {
+    val r = Stats.thresholdMetrics(spark, dir).head()
+    val tp = r.getAs[Long]("tp"); val fp = r.getAs[Long]("fp")
+    val fn = r.getAs[Long]("fn"); val tn = r.getAs[Long]("tn")
+    assert(tp + fp + fn + tn == Tables.lineitem(spark, dir).count())
+    val p = r.getAs[Double]("precision"); val rc = r.getAs[Double]("recall")
+    assert(math.abs(r.getAs[Double]("f1") - 2 * p * rc / (p + rc)) < 1e-3)
+    val mcc = r.getAs[Double]("mcc")
+    assert(mcc >= -1.0 && mcc <= 1.0)
+  }
+
+  test("kfoldAssign: 5 folds, shares sum to 1, sizes conserve, " +
+    "assignment is deterministic across runs") {
+    val rows = Stats.kfoldAssign(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("fold")).toSet == (0L to 4L).toSet)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, dir).count())
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-2)
+    val again = Stats.kfoldAssign(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
 }
