@@ -714,6 +714,14 @@ object SparkEntry {
     "q_odds_ratio"       -> ((s, d) => Stats.oddsRatio(s, d)),
     "q_threshold_metrics" -> ((s, d) => Stats.thresholdMetrics(s, d)),
     "q_kfold"            -> ((s, d) => Stats.kfoldAssign(s, d)),
+    // embedding-space diagnostics (no pairwise joins: sum-vector
+    // identity + element-wise moment aggregates)
+    "q_isotropy"         -> ((s, d) => Similarity.isotropy(s, d)),
+    "q_dim_variance"     -> ((s, d) => Similarity.dimVariance(s, d)),
+    // time-series: single-frequency DFT probe + forecast scorecard
+    "q_spectral"         -> ((s, d) => Stats.spectralPower(s, d)),
+    "q_mase"             -> ((s, d) => Stats.forecastAccuracy(s, d)),
+    "q_hhi"              -> ((s, d) => Relational.hhiConcentration(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5851,5 +5859,99 @@ object SparkEntry {
         |  floor(CAST(n_ret AS DOUBLE)/n*10000 + 0.5 + 0.000001)/10000
         |    AS return_rate
         |FROM b, tot ORDER BY fold""".stripMargin,
+    "q_isotropy" ->
+      """WITH e AS (SELECT label,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |nu AS (SELECT label,
+        |    [x/sqrt(list_dot_product(v, v)) for x in v] AS u
+        |  FROM e),
+        |ux AS (SELECT label, generate_subscripts(u, 1) AS i,
+        |    unnest(u) AS x FROM nu),
+        |sv AS (SELECT label, i, SUM(x) AS sx FROM ux GROUP BY 1, 2),
+        |g AS (SELECT label, SUM(sx*sx) AS ssq FROM sv GROUP BY 1),
+        |n AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM e GROUP BY 1)
+        |SELECT g.label AS label, CAST(n.n AS BIGINT) AS n,
+        |  floor((ssq - n.n)/(n.n*(n.n-1))*10000 + 0.5 + 0.000001)/10000
+        |    AS mean_pairwise_cosine,
+        |  floor(sqrt(ssq)/n.n*10000 + 0.5 + 0.000001)/10000
+        |    AS mean_vector_norm
+        |FROM g JOIN n ON g.label = n.label ORDER BY 1""".stripMargin,
+    "q_dim_variance" ->
+      """WITH e AS (SELECT [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |u AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x
+        |  FROM e),
+        |m AS (SELECT i, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS s1,
+        |    SUM(x*x) AS s2
+        |  FROM u GROUP BY 1),
+        |f AS (SELECT CAST(i AS BIGINT) AS dim,
+        |    floor(s1/n*10000 + 0.5 + 0.000001)/10000 AS mean,
+        |    floor((s2/n - (s1/n)*(s1/n))*10000 + 0.5 + 0.000001)/10000
+        |      AS variance
+        |  FROM m)
+        |SELECT dim, mean, variance FROM f
+        |ORDER BY variance DESC, dim LIMIT 10""".stripMargin,
+    "q_spectral" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT MIN(d) AS d0,
+        |    floor(AVG(rev)*10000 + 0.5 + 0.000001)/10000 AS mu
+        |  FROM daily),
+        |t AS (SELECT rev, date_diff('day', d0, d) AS t, mu
+        |  FROM daily, base),
+        |per AS (SELECT * FROM (VALUES (7), (30)) AS p(period)),
+        |terms AS (SELECT period, rev, mu,
+        |    floor(cos(2*pi()*(t % period)/period)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS c6,
+        |    floor(sin(2*pi()*(t % period)/period)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS s6
+        |  FROM t CROSS JOIN per),
+        |agg AS (SELECT period, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM((rev-mu)*c6) AS c, SUM((rev-mu)*s6) AS sn
+        |  FROM terms GROUP BY 1)
+        |SELECT CAST(period AS BIGINT) AS period, n_days,
+        |  floor(c*10000 + 0.5 + 0.000001)/10000 AS cos_sum,
+        |  floor(sn*10000 + 0.5 + 0.000001)/10000 AS sin_sum,
+        |  floor((c*c + sn*sn)*10000 + 0.5 + 0.000001)/10000 AS power
+        |FROM agg ORDER BY period""".stripMargin,
+    "q_mase" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |lagged AS (SELECT x, lag(x,7) OVER (ORDER BY d) AS x7,
+        |    lag(x,1) OVER (ORDER BY d) AS x1
+        |  FROM daily)
+        |SELECT CAST(COUNT(CASE WHEN x7 IS NOT NULL THEN 1 END)
+        |    AS BIGINT) AS n_scored,
+        |  floor(AVG(CASE WHEN x7 IS NOT NULL THEN abs(x - x7) END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS mae,
+        |  floor(sqrt(AVG(CASE WHEN x7 IS NOT NULL
+        |      THEN CAST((x-x7)*(x-x7) AS DOUBLE) END))
+        |    *10000 + 0.5 + 0.000001)/10000 AS rmse,
+        |  floor(AVG(CASE WHEN x7 IS NOT NULL
+        |      THEN abs(x-x7)/CAST(x AS DOUBLE) END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS mape,
+        |  floor(AVG(CASE WHEN x7 IS NOT NULL THEN abs(x - x7) END)
+        |    / AVG(CASE WHEN x1 IS NOT NULL THEN abs(x - x1) END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS mase
+        |FROM lagged""".stripMargin,
+    "q_hhi" ->
+      """WITH suprev AS (SELECT r_name AS region, s_suppkey,
+        |    floor(SUM(l_extendedprice*(1.0 - l_discount))*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  floor(SUM(rev*rev)/(SUM(rev)*SUM(rev))*10000 + 0.5
+        |    + 0.000001)/10000 AS hhi,
+        |  floor(MAX(rev)/SUM(rev)*10000 + 0.5 + 0.000001)/10000
+        |    AS top_share
+        |FROM suprev GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

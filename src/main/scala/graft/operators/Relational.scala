@@ -2403,4 +2403,36 @@ object Relational {
     Tables.registerAll(s, dir)
     s.sql(query)
   }
+
+  /** Herfindahl-Hirschman concentration index of supplier revenue per
+    * region: HHI = Σ shareᵢ² over each region's suppliers (1/n =
+    * perfectly even, 1 = monopoly), with supplier count and the top
+    * supplier's share — the supply-risk readout next to
+    * [[giniRevenue]]'s inequality one.
+    *
+    * Scale shape: lineitem rolls up to the supplier grain in one
+    * keyed shuffle (map-side combined); the HHI re-aggregates that
+    * supplier-bounded frame per region. Supplier revenues are
+    * 4-decimal-quantized before the shares so summation order can't
+    * leak into the squared ratios. */
+  def hhiConcentration(s: SparkSession, dir: String): DataFrame = {
+    val supRev = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("s_suppkey"))
+      .agg(round4eps(sum(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")))).as("rev"))
+    supRev.groupBy(col("region"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev")).as("tot"),
+        sum(col("rev") * col("rev")).as("ssq"),
+        max(col("rev")).as("top"))
+      .select(col("region"), col("n_suppliers"),
+        round4eps(col("ssq") / (col("tot") * col("tot"))).as("hhi"),
+        round4eps(col("top") / col("tot")).as("top_share"))
+      .orderBy(col("region"))
+  }
 }

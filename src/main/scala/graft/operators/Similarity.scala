@@ -890,4 +890,58 @@ object Similarity {
         round(col("sim_half"), 4).as("trunc_sim"))
       .orderBy(col("query_id"))
   }
+
+  /** Embedding-space isotropy per label: the mean pairwise cosine of
+    * the L2-normalized vectors, computed WITHOUT any pairwise join via
+    * the sum-vector identity mean_{i≠j} cos(uᵢ,uⱼ) =
+    * (‖Σu‖² − n)/(n(n−1)) (each uᵢ unit-norm, so Σᵢⱼ uᵢ·uⱼ = ‖Σu‖²
+    * and the diagonal contributes exactly n). High mean cosine = a
+    * collapsed (anisotropic) embedding space — the representation-
+    * quality smoke test run on every new encoder drop.
+    *
+    * Scale shape: one normalize map pass + ONE vec_sum aggregate per
+    * label (a single double[64] buffer per group); the identity makes
+    * the O(n²) pair sum a constant-time readout of that vector. */
+  def isotropy(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", l2Norm(col("embedding")))
+      .withColumn("u", transform(col("embedding"),
+        x => x.cast("double") / col("nrm")))
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).cast("double").as("n"), vecSum(col("u")).as("sv"))
+      .select(col("label"), col("n").cast("long").as("n"),
+        round4eps((dot(col("sv"), col("sv")) - col("n")) /
+          (col("n") * (col("n") - 1))).as("mean_pairwise_cosine"),
+        round4eps(sqrt(dot(col("sv"), col("sv"))) / col("n"))
+          .as("mean_vector_norm"))
+      .orderBy(col("label"))
+  }
+
+  /** Per-dimension moment profile of the embedding corpus: mean and
+    * variance for each of the 64 coordinates, top 10 by variance —
+    * the "which dimensions carry signal / did a dimension die" audit
+    * (a near-zero-variance coordinate is wasted capacity; one that
+    * exploded dominates every distance).
+    *
+    * Scale shape: TWO vec_sum aggregates (Σx and Σx² element-wise,
+    * each one double[64] buffer per map task) in a single pass — the
+    * corpus is never exploded to (row × dim); only the final 64-entry
+    * vector is. Ranked on the ROUNDED variance with the dimension
+    * index as tie-break, per the determinism discipline. */
+  def dimVariance(s: SparkSession, dir: String, topK: Int = 10):
+      DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("v", transform(col("embedding"), _.cast("double")))
+    val m = e.agg(count(lit(1)).cast("double").as("n"),
+      vecSum(col("v")).as("s1"),
+      vecSum(transform(col("v"), x => x * x)).as("s2"))
+    m.select(col("n"), posexplode(arrays_zip(col("s1"), col("s2"))))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        round4eps(col("col.s1") / col("n")).as("mean"),
+        round4eps(col("col.s2") / col("n") -
+          (col("col.s1") / col("n")) * (col("col.s1") / col("n")))
+          .as("variance"))
+      .orderBy(col("variance").desc, col("dim"))
+      .limit(topK)
+  }
 }

@@ -1165,6 +1165,77 @@ object Stats {
         sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))).as("mcc"))
   }
 
+  /** Single-frequency spectral power (Goertzel-style direct DFT
+    * probe) of daily order revenue at the weekly and monthly periods:
+    * c = Σ(x_t−x̄)cos(2πt/P), s = Σ(x_t−x̄)sin(2πt/P), power = c²+s².
+    * The cheap "is there a cycle at THIS period" probe when a full
+    * FFT is pointless — exactly the screen run before committing to a
+    * seasonal model.
+    *
+    * Scale shape: one shuffle to the calendar-bounded daily grain,
+    * then per-period map arithmetic + one tiny aggregate. Trig
+    * arguments are reduced mod P BEFORE the cosine (identical small
+    * doubles on both engines) and the trig values are 6-decimal
+    * quantized, so libm's last-ulp freedom can't reach the sums. */
+  def spectralPower(s: SparkSession, dir: String,
+      periods: Seq[Int] = Seq(7, 30)): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = daily.agg(min(col("d")).as("d0"),
+      round4eps(avg(col("rev"))).as("mu"))
+    val t = datediff(col("d"), col("d0"))
+    val dfs = periods.map { p =>
+      val theta = lit(2.0 * math.Pi) * (t % p) / lit(p.toDouble)
+      daily.crossJoin(broadcast(base))
+        .agg(count(lit(1)).as("n_days"),
+          sum((col("rev") - col("mu")) * round6eps(cos(theta))).as("c"),
+          sum((col("rev") - col("mu")) * round6eps(sin(theta))).as("sn"))
+        .select(lit(p.toLong).as("period"), col("n_days"),
+          round4eps(col("c")).as("cos_sum"),
+          round4eps(col("sn")).as("sin_sum"),
+          round4eps(col("c") * col("c") + col("sn") * col("sn"))
+            .as("power"))
+    }
+    dfs.reduce(_ unionAll _).orderBy(col("period"))
+  }
+
+  /** Forecast-accuracy scorecard for the seasonal-naive baseline
+    * (x̂_t = x_{t−7}) on daily order counts: MAE, RMSE, MAPE and MASE
+    * (MAE over the MAE of the 1-step naive walk — the scale-free
+    * skill score; MASE < 1 beats naive). The eval loop every real
+    * forecaster is graded by, run here on the baseline itself.
+    *
+    * Scale shape: corpus → calendar-bounded daily counts (one
+    * shuffle); both lags come from ONE window sort of that frame;
+    * errors are exact integers until the final ratios. */
+  def forecastAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("d")) // calendar-bounded frame
+    val lagged = daily
+      .withColumn("x7", lag(col("x"), 7).over(w))
+      .withColumn("x1", lag(col("x"), 1).over(w))
+    lagged.agg(
+        count(when(col("x7").isNotNull, 1)).as("n_scored"),
+        avg(when(col("x7").isNotNull,
+          abs(col("x") - col("x7")))).as("mae"),
+        sqrt(avg(when(col("x7").isNotNull,
+          (col("x") - col("x7")) * (col("x") - col("x7"))))).as("rmse"),
+        avg(when(col("x7").isNotNull,
+          abs(col("x") - col("x7")) / col("x"))).as("mape"),
+        avg(when(col("x1").isNotNull,
+          abs(col("x") - col("x1")))).as("mae_naive"))
+      .select(col("n_scored"),
+        round4eps(col("mae")).as("mae"),
+        round4eps(col("rmse")).as("rmse"),
+        round4eps(col("mape")).as("mape"),
+        round4eps(col("mae") / col("mae_naive")).as("mase"))
+  }
+
   /** Deterministic 5-fold cross-validation assignment keyed on the
     * md5 of the order key — the split that is reproducible across
     * engines, runs and partitionings (no rand(), no row_number):

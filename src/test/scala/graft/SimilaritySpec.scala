@@ -310,4 +310,51 @@ class SimilaritySpec extends AnyFunSuite {
       assert(c >= -1.0 && c <= 1.0 + 1e-9)
     }
   }
+
+  test("isotropy: sum-vector identity equals the brute-force mean " +
+    "pairwise cosine") {
+    val vecs = Tables.embeddings(spark, TestSpark.sfDir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .groupBy(_._1).map { case (l, vs) =>
+        l -> vs.map { case (_, v) =>
+          val n = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / n)
+        }
+      }
+    val got = Similarity.isotropy(spark, TestSpark.sfDir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    vecs.foreach { case (label, us) =>
+      val n = us.length
+      var acc = 0.0
+      for (i <- us.indices; j <- us.indices if i != j)
+        acc += us(i).zip(us(j)).map { case (a, b) => a * b }.sum
+      val want = acc / (n.toDouble * (n - 1))
+      val r = got(label)
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("mean_pairwise_cosine") - want)
+        < 1e-3)
+    }
+  }
+
+  test("dimVariance: top-10 by variance matches a from-scratch " +
+    "per-dimension recomputation") {
+    val vs = Tables.embeddings(spark, TestSpark.sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = vs.head.length
+    val n = vs.length.toDouble
+    val stats = (0 until dims).map { i =>
+      val xs = vs.map(_(i))
+      val mu = xs.sum / n
+      (i + 1L, mu, xs.map(x => x * x).sum / n - mu * mu)
+    }
+    def r4(x: Double) = math.floor(x * 10000 + 0.5 + 1e-6) / 10000
+    val want = stats.map(t => (t._1, r4(t._3)))
+      .sortBy(t => (-t._2, t._1)).take(10)
+    val got = Similarity.dimVariance(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Double]("variance")))
+    assert(got.toSeq == want.toSeq)
+  }
 }

@@ -473,4 +473,50 @@ class StatsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("spectralPower: power = cos_sum^2 + sin_sum^2; a constant " +
+    "series has ~zero power at every probed period") {
+    val rows = Stats.spectralPower(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("period")).toSeq == Seq(7L, 30L))
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_sum"); val sn = r.getAs[Double]("sin_sum")
+      assert(math.abs(r.getAs[Double]("power") - (c * c + sn * sn)) <
+        math.abs(r.getAs[Double]("power")) * 1e-3 + 0.01)
+    }
+  }
+
+  test("forecastAccuracy: MASE/MAE match a from-scratch seasonal-" +
+    "naive walk over the daily counts") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("d")).collect().map(_.getLong(1))
+    val f = daily.drop(7).zip(daily.dropRight(7)).map {
+      case (x, x7) => math.abs(x - x7).toDouble }
+    val nv = daily.drop(1).zip(daily.dropRight(1)).map {
+      case (x, x1) => math.abs(x - x1).toDouble }
+    val mae = f.sum / f.length
+    val got = Stats.forecastAccuracy(spark, dir).head()
+    assert(got.getAs[Long]("n_scored") == f.length)
+    assert(math.abs(got.getAs[Double]("mae") - mae) < 1e-3)
+    assert(math.abs(got.getAs[Double]("mase") -
+      mae / (nv.sum / nv.length)) < 1e-3)
+  }
+
+  test("hhiConcentration: HHI within [1/n, 1]; top share bounded by " +
+    "HHI's sqrt and by 1") {
+    val rows = graft.operators.Relational.hhiConcentration(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers").toDouble
+      val hhi = r.getAs[Double]("hhi")
+      val top = r.getAs[Double]("top_share")
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-6)
+      assert(top <= 1.0 && top >= 0.0)
+      // max share cannot exceed sqrt(HHI); both bound concentration
+      assert(top <= math.sqrt(hhi) + 1e-6)
+    }
+  }
 }
