@@ -722,6 +722,12 @@ object SparkEntry {
     "q_spectral"         -> ((s, d) => Stats.spectralPower(s, d)),
     "q_mase"             -> ((s, d) => Stats.forecastAccuracy(s, d)),
     "q_hhi"              -> ((s, d) => Relational.hhiConcentration(s, d)),
+    // path mining, agreement, causal + trend screens
+    "q_session_paths"    -> ((s, d) => graft.operators.Behavior.sessionPaths(s, d)),
+    "q_cohens_kappa"     -> ((s, d) => TextAnalysis.cohensKappa(s, d)),
+    "q_ipw_ate"          -> ((s, d) => graft.operators.Behavior.ipwAte(s, d)),
+    "q_mann_kendall"     -> ((s, d) => Stats.mannKendall(s, d)),
+    "q_peak_days"        -> ((s, d) => Stats.peakDays(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -5953,5 +5959,120 @@ object SparkEntry {
         |  floor(MAX(rev)/SUM(rev)*10000 + 0.5 + 0.000001)/10000
         |    AS top_share
         |FROM suprev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) IS NULL
+        |      OR date_diff('second', lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id), ts) > 1800
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM e),
+        |t AS (SELECT event_type || ' > ' ||
+        |      lead(event_type, 1) OVER w || ' > ' ||
+        |      lead(event_type, 2) OVER w AS path,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM s WINDOW w AS (PARTITION BY user_id, seq
+        |    ORDER BY ts, event_id))
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_cohens_kappa" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+        |  len(list_filter(w, x -> x IN ('le','la','de','et','est','un','une','que'))) AS s_fr,
+        |  len(list_filter(w, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |  FROM w),
+        |pr AS (SELECT lang AS a,
+        |CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |     WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+        |     WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+        |     WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+        |     WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+        |     ELSE 'zh' END AS b FROM s),
+        |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pr GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM cells),
+        |ra AS (SELECT a, SUM(n) AS rn FROM cells GROUP BY 1),
+        |cb AS (SELECT b, SUM(n) AS cn FROM cells GROUP BY 1),
+        |pe AS (SELECT SUM(CAST(rn AS DOUBLE)*cn
+        |    /(CAST(nn AS DOUBLE)*nn)) AS pe
+        |  FROM ra JOIN cb ON ra.a = cb.b, tot)
+        |SELECT nn AS n_docs,
+        |  floor(CAST(agree AS DOUBLE)/nn*10000 + 0.5 + 0.000001)/10000
+        |    AS po,
+        |  floor(pe*10000 + 0.5 + 0.000001)/10000 AS pe,
+        |  floor((CAST(agree AS DOUBLE)/nn - pe)/(1.0 - pe)
+        |    *10000 + 0.5 + 0.000001)/10000 AS kappa
+        |FROM tot, pe""".stripMargin,
+    "q_ipw_ate" ->
+      """WITH li AS (SELECT
+        |    LEAST(CAST(floor((l_quantity - 1)/10) AS BIGINT), 4)
+        |      AS stratum,
+        |    CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |cells AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(t) AS BIGINT) AS nt,
+        |    CAST(SUM(t*y) AS BIGINT) AS yt,
+        |    CAST(SUM((1-t)*y) AS BIGINT) AS yc
+        |  FROM li GROUP BY 1),
+        |ate AS (SELECT floor(SUM(n*(CAST(yt AS DOUBLE)/nt
+        |      - CAST(yc AS DOUBLE)/(n-nt)))/SUM(n)
+        |    *10000 + 0.5 + 0.000001)/10000 AS ate
+        |  FROM cells)
+        |SELECT stratum, n,
+        |  floor(CAST(nt AS DOUBLE)/n*10000 + 0.5 + 0.000001)/10000
+        |    AS p_treat,
+        |  floor(CAST(yt AS DOUBLE)/nt*10000 + 0.5 + 0.000001)/10000
+        |    AS rate_treat,
+        |  floor(CAST(yc AS DOUBLE)/(n-nt)*10000 + 0.5 + 0.000001)/10000
+        |    AS rate_ctrl,
+        |  floor((CAST(yt AS DOUBLE)/nt - CAST(yc AS DOUBLE)/(n-nt))
+        |    *10000 + 0.5 + 0.000001)/10000 AS effect,
+        |  ate
+        |FROM cells, ate ORDER BY stratum""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(SUM(CAST(sign(b.rev - a.rev) AS BIGINT))
+        |    AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM daily),
+        |ties AS (SELECT COALESCE(SUM(CASE WHEN t > 1
+        |      THEN CAST(t AS DOUBLE)*(t-1)*(2.0*t+5) END), 0.0)
+        |    AS tie_term
+        |  FROM (SELECT rev, COUNT(*) AS t FROM daily GROUP BY 1))
+        |SELECT CAST(n AS BIGINT) AS n_days, s_stat,
+        |  floor((s_stat - sign(s_stat))
+        |    /sqrt((n*(n-1)*(2.0*n+5) - tie_term)/18.0)
+        |    *10000 + 0.5 + 0.000001)/10000 AS z_score
+        |FROM p, n, ties""".stripMargin,
+    "q_peak_days" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT d, rev, lag(rev) OVER (ORDER BY d) AS prev,
+        |    lead(rev) OVER (ORDER BY d) AS nxt
+        |  FROM daily)
+        |SELECT d AS day, rev,
+        |  floor((rev - greatest(prev, nxt))*10000 + 0.5
+        |    + 0.000001)/10000 AS prominence
+        |FROM l WHERE prev IS NOT NULL AND nxt IS NOT NULL
+        |  AND rev > prev AND rev > nxt
+        |ORDER BY rev DESC, day LIMIT 10""".stripMargin,
   )
 }

@@ -1082,4 +1082,78 @@ object Behavior {
       .orderBy(col("cosine").desc, col("pa"), col("pb"))
       .limit(k)
   }
+
+  /** Top in-session event-type trigram paths ("view > click >
+    * purchase") — the path-mining readout behind every funnel
+    * hypothesis: which 3-step sequences actually happen. Sessions are
+    * the standard 30-minute-gap cut; within a session events are
+    * totally ordered by (ts, event_id).
+    *
+    * Scale shape: both windows are user-keyed (sessionization and the
+    * two leads share ONE partitioning — Catalyst plans a single
+    * shuffle+sort); the trigram count is a map-side-combined groupBy
+    * on a vocabulary-bounded key (|types|³), and the final top-k is a
+    * TakeOrdered, never a global sort. */
+  def sessionPaths(s: SparkSession, dir: String, topN: Int = 20):
+      DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L,
+        1).otherwise(0))
+      .withColumn("seq", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySess = Window.partitionBy(col("user_id"), col("seq"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("e2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
+
+  /** Stratified inverse-propensity-weight estimate of the "deep
+    * discount → return" effect: strata are the five quantity bands,
+    * the within-stratum propensity is the treated share, and the ATE
+    * is the stratum-size-weighted difference of treated/control
+    * return rates (the IPW estimator collapses to exactly this when
+    * the propensity is fit saturated-per-stratum). Per-stratum rows
+    * plus the ATE as a constant column.
+    *
+    * Scale shape: ONE (stratum × treatment) count pass — every rate
+    * and weight is a ratio of exact integer counts on the
+    * strata-bounded frame. */
+  def ipwAte(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      least(floor((col("l_quantity") - 1) / 10), lit(4)).cast("long")
+        .as("stratum"),
+      (col("l_discount") >= 0.06).cast("long").as("t"),
+      (col("l_returnflag") === "R").cast("long").as("y"))
+    val cells = li.groupBy(col("stratum")).agg(
+      count(lit(1)).as("n"),
+      sum(col("t")).as("nt"),
+      sum(col("t") * col("y")).as("yt"),
+      sum((lit(1L) - col("t")) * col("y")).as("yc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eff = (col("yt").cast("double") / col("nt")) -
+      (col("yc").cast("double") / (col("n") - col("nt")))
+    val ate = cells.agg(round4eps(
+      sum(col("n") * ((col("yt").cast("double") / col("nt")) -
+        (col("yc").cast("double") / (col("n") - col("nt"))))) /
+        sum(col("n"))).as("ate"))
+    cells.crossJoin(broadcast(ate))
+      .select(col("stratum"), col("n"),
+        round4eps(col("nt").cast("double") / col("n")).as("p_treat"),
+        round4eps(col("yt").cast("double") / col("nt")).as("rate_treat"),
+        round4eps(col("yc").cast("double") / (col("n") - col("nt")))
+          .as("rate_ctrl"),
+        round4eps(eff).as("effect"), col("ate"))
+      .orderBy(col("stratum"))
+  }
 }

@@ -1236,6 +1236,62 @@ object Stats {
         round4eps(col("mae") / col("mae_naive")).as("mase"))
   }
 
+  /** Mann-Kendall trend test on daily order revenue:
+    * S = Σ_{i<j} sign(xⱼ−xᵢ) with the tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 and the
+    * continuity-corrected z — the distribution-free monotone-trend
+    * significance twin of the existing Theil-Sen slope gate.
+    *
+    * Scale posture: the pair enumeration is quadratic in DAYS, not
+    * rows — the corpus collapses to the calendar-bounded daily grain
+    * first (a few thousand rows at ANY corpus size), so the self-join
+    * is a bounded ~10⁶-pair local job. Daily sums are quantized
+    * before comparison so the sign() never sees cross-engine ulp. */
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = daily.select(col("d").as("d2"), col("rev").as("rev2"))
+    val sStat = daily.join(b, col("d") < col("d2"))
+      .agg(sum(signum(col("rev2") - col("rev")).cast("long")).as("s_stat"))
+    val nD = daily.agg(count(lit(1)).cast("double").as("n"))
+    val ties = daily.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(when(col("t") > 1,
+        col("t").cast("double") * (col("t") - 1) *
+          (lit(2.0) * col("t") + 5))), lit(0.0)).as("tie_term"))
+    sStat.crossJoin(broadcast(nD)).crossJoin(broadcast(ties))
+      .select(col("n").cast("long").as("n_days"), col("s_stat"),
+        round4eps((col("s_stat") - signum(col("s_stat"))) /
+          sqrt((col("n") * (col("n") - 1) * (lit(2.0) * col("n") + 5) -
+            col("tie_term")) / lit(18.0))).as("z_score"))
+  }
+
+  /** Top revenue-peak days: strict local maxima of the daily series
+    * (higher than BOTH neighbors), ranked by the day's revenue with a
+    * prominence-lite column (gap over the taller neighbor). The
+    * peak-detection readout behind anomaly triage.
+    *
+    * Scale shape: one shuffle to the calendar-bounded daily grain;
+    * lag/lead from ONE window sort of that frame; top-k is a
+    * TakeOrdered on the quantized revenue with the date tie-break. */
+  def peakDays(s: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("d")) // calendar-bounded frame
+    daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("next", lead(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull && col("next").isNotNull &&
+        col("rev") > col("prev") && col("rev") > col("next"))
+      .select(col("d").as("day"), col("rev"),
+        round4eps(col("rev") - greatest(col("prev"), col("next")))
+          .as("prominence"))
+      .orderBy(col("rev").desc, col("day"))
+      .limit(topN)
+  }
+
   /** Deterministic 5-fold cross-validation assignment keyed on the
     * md5 of the order key — the split that is reproducible across
     * engines, runs and partitionings (no rand(), no row_number):

@@ -1363,4 +1363,33 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Cohen's kappa between the n-gram language-ID prediction and the
+    * stored label — chance-corrected agreement κ = (p₀−pₑ)/(1−pₑ),
+    * the one-number summary of [[langConfusion]]'s matrix (accuracy
+    * alone overstates agreement when one class dominates).
+    *
+    * Scale shape: the corpus collapses to the |langs|² confusion
+    * cells in one count pass; margins and the chance term are
+    * re-aggregates of that bounded frame. All inputs to κ are exact
+    * integer counts. */
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("lang").as("a"), langId(col("text")).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("n")).as("rn"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("n")).as("cn"))
+    val pe = ra.join(cb, col("a") === col("b"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(col("rn").cast("double") * col("cn") /
+        (col("nn").cast("double") * col("nn"))).as("pe"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("nn").as("n_docs"),
+        round4eps(col("agree").cast("double") / col("nn")).as("po"),
+        round4eps(col("pe")).as("pe"),
+        round4eps((col("agree").cast("double") / col("nn") - col("pe")) /
+          (lit(1.0) - col("pe"))).as("kappa"))
+  }
 }

@@ -185,4 +185,40 @@ class BehaviorSpec extends AnyFunSuite {
     }
     assert(got === wantPerDay)
   }
+
+  test("sessionPaths: every path has 3 steps from the event-type " +
+    "vocabulary; trigram count never exceeds in-session event count") {
+    val rows = Behavior.sessionPaths(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val types = Tables.events(spark, dir)
+      .select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    rows.foreach { r =>
+      val steps = r.getAs[String]("path").split(" > ")
+      assert(steps.length == 3 && steps.forall(types.contains))
+    }
+    // total trigrams = sum over sessions of max(0, n_events - 2)
+    val want = graft.operators.Windows.sessionize(spark, dir)
+      .collect().map(r => math.max(0L, r.getAs[Long]("n_events") - 2)).sum
+    val allPaths = Behavior.sessionPaths(spark, dir, topN = 1000000)
+      .collect().map(_.getAs[Long]("n")).sum
+    assert(allPaths == want)
+  }
+
+  test("ipwAte: ATE equals the stratum-size-weighted effect; rates " +
+    "bounded") {
+    val sf = TestSpark.sfDir
+    val rows = Behavior.ipwAte(spark, sf).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == Tables.lineitem(spark, sf).count())
+    val want = rows.map(r =>
+      r.getAs[Long]("n") * r.getAs[Double]("effect")).sum / n
+    assert(math.abs(rows.head.getAs[Double]("ate") - want) < 1e-3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rate_treat") >= 0.0 &&
+        r.getAs[Double]("rate_treat") <= 1.0)
+      assert(r.getAs[Double]("p_treat") > 0.0 &&
+        r.getAs[Double]("p_treat") < 1.0) // overlap holds per stratum
+    }
+  }
 }

@@ -519,4 +519,30 @@ class StatsSpec extends AnyFunSuite {
       assert(top <= math.sqrt(hhi) + 1e-6)
     }
   }
+
+  test("mannKendall: S matches a from-scratch pair walk over the " +
+    "quantized daily series") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000 + 0.5 + 1e-6) / 10000
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .orderBy(col("d")).collect().map(r => r4(r.getDouble(1)))
+    var sWant = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length)
+      sWant += math.signum(daily(j) - daily(i)).toLong
+    val got = Stats.mannKendall(spark, dir).head()
+    assert(got.getAs[Long]("n_days") == daily.length)
+    assert(got.getAs[Long]("s_stat") == sWant)
+  }
+
+  test("peakDays: every reported day is a strict local max with " +
+    "positive prominence") {
+    val rows = Stats.peakDays(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("prominence") > 0.0))
+    // revenues are ranked descending
+    val revs = rows.map(_.getAs[Double]("rev"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
 }

@@ -526,4 +526,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_tokens") > 10)
     assert(r.getAs[Double]("zipf_slope") < 0.0)
   }
+
+  test("cohensKappa agrees with a recomputation from langConfusion") {
+    val cells = TextAnalysis.langConfusion(spark, TestSpark.sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("n_docs")))
+    val n = cells.map(_._2).sum.toDouble
+    val po = cells.filter(c => c._1._1 == c._1._2).map(_._2).sum / n
+    val rowT = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val colT = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+    val pe = rowT.keys.toSeq.intersect(colT.keys.toSeq)
+      .map(k => rowT(k).toDouble * colT(k) / (n * n)).sum
+    val got = TextAnalysis.cohensKappa(spark, TestSpark.sfDir).head()
+    assert(got.getAs[Long]("n_docs") == n.toLong)
+    assert(math.abs(got.getAs[Double]("po") - po) < 1e-3)
+    assert(math.abs(got.getAs[Double]("kappa") -
+      (po - pe) / (1 - pe)) < 1e-3)
+  }
 }
