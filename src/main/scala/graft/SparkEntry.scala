@@ -728,6 +728,9 @@ object SparkEntry {
     "q_ipw_ate"          -> ((s, d) => graft.operators.Behavior.ipwAte(s, d)),
     "q_mann_kendall"     -> ((s, d) => Stats.mannKendall(s, d)),
     "q_peak_days"        -> ((s, d) => Stats.peakDays(s, d)),
+    "q_grubbs"           -> ((s, d) => Stats.grubbsDaily(s, d)),
+    "q_hill_tail"        -> ((s, d) => Stats.hillTail(s, d)),
+    "q_part_coverage"    -> ((s, d) => Joins.partCoverage(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -6074,5 +6077,53 @@ object SparkEntry {
         |FROM l WHERE prev IS NOT NULL AND nxt IS NOT NULL
         |  AND rev > prev AND rev > nxt
         |ORDER BY rev DESC, day LIMIT 10""".stripMargin,
+    "q_grubbs" ->
+      """WITH daily AS (SELECT r_name AS region,
+        |    CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT region, CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    AVG(rev) AS mu, SUM(rev*rev) AS s2
+        |  FROM daily GROUP BY 1),
+        |g AS (SELECT daily.region AS region, nd, d,
+        |    floor(abs(rev - mu)/sqrt((s2 - nd*mu*mu)/(nd-1))
+        |      *10000 + 0.5 + 0.000001)/10000 AS g4
+        |  FROM daily JOIN m ON daily.region = m.region),
+        |r AS (SELECT region, nd, d, g4,
+        |    ROW_NUMBER() OVER (PARTITION BY region
+        |      ORDER BY g4 DESC, d) AS rn
+        |  FROM g)
+        |SELECT region, CAST(nd AS BIGINT) AS n_days, g4 AS g_stat,
+        |  d AS peak_day
+        |FROM r WHERE rn = 1 ORDER BY region""".stripMargin,
+    "q_hill_tail" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(COUNT(CASE WHEN o_totalprice > 300000.0 THEN 1 END)
+        |    AS BIGINT) AS n_tail,
+        |  floor(COUNT(CASE WHEN o_totalprice > 300000.0 THEN 1 END)
+        |    / SUM(CASE WHEN o_totalprice > 300000.0
+        |        THEN ln(o_totalprice/300000.0) END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS alpha,
+        |  floor(COUNT(CASE WHEN o_totalprice > 300000.0 THEN 1 END)
+        |    *1.0/COUNT(*)*10000 + 0.5 + 0.000001)/10000 AS tail_share
+        |FROM orders""".stripMargin,
+    "q_part_coverage" ->
+      """WITH ordered AS (SELECT DISTINCT l_partkey FROM lineitem),
+        |nv AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_never
+        |  FROM part WHERE p_partkey NOT IN
+        |    (SELECT l_partkey FROM ordered)
+        |  GROUP BY 1),
+        |tot AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1)
+        |SELECT tot.p_brand AS brand, n_parts,
+        |  CAST(COALESCE(n_never, 0) AS BIGINT) AS n_never,
+        |  floor((1.0 - COALESCE(n_never, 0)*1.0/n_parts)
+        |    *10000 + 0.5 + 0.000001)/10000 AS coverage
+        |FROM tot LEFT JOIN nv ON tot.p_brand = nv.p_brand
+        |ORDER BY 1""".stripMargin,
   )
 }

@@ -801,4 +801,30 @@ object Joins {
       .select(col("s_suppkey"), col("s_name"), col("n_name"), col("qty"))
       .orderBy(col("s_suppkey"))
   }
+
+  /** Catalog coverage per brand: how many parts have NEVER been
+    * ordered — the dead-inventory / cold-start readout, and the
+    * repo's canonical LEFT ANTI join shape (the "what's missing"
+    * question NOT EXISTS answers).
+    *
+    * Scale shape: the fact side collapses to DISTINCT part keys first
+    * (one map-side-combinable shuffle — the anti join then probes a
+    * key set, never the fact table), the anti join is key-partitioned
+    * (SMJ at scale, broadcast when the key set fits), and the rollup
+    * re-aggregates the dimension-bounded brand frame. */
+  def partCoverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val ordered = Tables.lineitem(s, dir).select(col("l_partkey")).distinct()
+    val part = Tables.part(s, dir)
+    val never = part.join(ordered,
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_never"))
+    part.groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+      .join(never, Seq("p_brand"), "left")
+      .select(col("p_brand").as("brand"), col("n_parts"),
+        coalesce(col("n_never"), lit(0L)).as("n_never"),
+        round4eps(lit(1.0) - coalesce(col("n_never"), lit(0L))
+          .cast("double") / col("n_parts")).as("coverage"))
+      .orderBy(col("brand"))
+  }
 }

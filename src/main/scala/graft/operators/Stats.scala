@@ -1292,6 +1292,64 @@ object Stats {
       .limit(topN)
   }
 
+  /** Grubbs outlier statistic per region on the daily-revenue series:
+    * G = max|xᵢ − x̄|/s with the sample s, plus the day attaining it —
+    * "is the worst day statistically an outlier". The single-outlier
+    * screen that runs before any robust refit.
+    *
+    * Scale shape: corpus → (region × day) grain in one shuffle; the
+    * moment pass and the argmax both re-aggregate that calendar- and
+    * dimension-bounded frame (the 5-row moments broadcast back onto
+    * it). The argmax is a min(struct(-G, day)) — deterministic under
+    * ties because G is quantized first. */
+  def grubbsDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = daily.groupBy(col("region")).agg(
+      count(lit(1)).cast("double").as("nd"),
+      avg(col("rev")).as("mu"),
+      sum(col("rev") * col("rev")).as("s2"))
+    val sd = sqrt((col("s2") - col("nd") * col("mu") * col("mu")) /
+      (col("nd") - 1))
+    val g = daily.join(broadcast(m.select(col("region"), col("nd"),
+        col("mu"), sd.as("sd"))), "region")
+      .select(col("region"), col("nd"), col("d"),
+        round4eps(abs(col("rev") - col("mu")) / col("sd")).as("g4"))
+    g.groupBy(col("region"))
+      .agg(max(col("nd")).cast("long").as("n_days"),
+        min(struct((-col("g4")).as("ng"), col("d"))).as("w"))
+      .select(col("region"), col("n_days"),
+        (-col("w.ng")).as("g_stat"), col("w.d").as("peak_day"))
+      .orderBy(col("region"))
+  }
+
+  /** Hill tail-index estimate for the order-total distribution above
+    * a fixed threshold: α̂ = n_tail / Σ ln(xᵢ/x_min) — the "how heavy
+    * is the spend tail" readout that decides whether means are even
+    * meaningful (α ≤ 2 ⇒ infinite variance). One conditional
+    * aggregation pass; nothing is sorted and no quantile is needed
+    * because x_min is a fixed business threshold. */
+  def hillTail(s: SparkSession, dir: String, xmin: Double = 300000.0):
+      DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.agg(count(lit(1)).as("n_total"),
+        count(when(col("o_totalprice") > xmin, 1)).as("n_tail"),
+        sum(when(col("o_totalprice") > xmin,
+          log(col("o_totalprice") / lit(xmin)))).as("slog"))
+      .select(col("n_total"), col("n_tail"),
+        round4eps(col("n_tail") / col("slog")).as("alpha"),
+        round4eps(col("n_tail").cast("double") / col("n_total"))
+          .as("tail_share"))
+  }
+
   /** Deterministic 5-fold cross-validation assignment keyed on the
     * md5 of the order key — the split that is reproducible across
     * engines, runs and partitionings (no rand(), no row_number):

@@ -536,6 +536,64 @@ class StatsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("s_stat") == sWant)
   }
 
+  test("grubbsDaily: G matches a from-scratch studentized max per " +
+    "region") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000 + 0.5 + 1e-6) / 10000
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), to_date(col("o_orderdate")))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .collect().map(r => (r.getString(0), r4(r.getDouble(2) / 1e6)))
+      .groupBy(_._1)
+    val got = Stats.grubbsDaily(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    daily.foreach { case (region, vs) =>
+      val xs = vs.map(_._2); val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+      val g = xs.map(x => math.abs(x - mu) / sd).max
+      val r = got(region)
+      assert(r.getAs[Long]("n_days") == xs.length)
+      assert(math.abs(r.getAs[Double]("g_stat") - g) < 1e-3)
+    }
+  }
+
+  test("hillTail: alpha matches the log-ratio identity; tail counts " +
+    "conserve") {
+    import org.apache.spark.sql.functions._
+    val xs = Tables.orders(spark, dir).select("o_totalprice")
+      .collect().map(_.getDouble(0))
+    val tail = xs.filter(_ > 300000.0)
+    val got = Stats.hillTail(spark, dir).head()
+    assert(got.getAs[Long]("n_total") == xs.length)
+    assert(got.getAs[Long]("n_tail") == tail.length)
+    val want = tail.length / tail.map(x => math.log(x / 300000.0)).sum
+    assert(math.abs(got.getAs[Double]("alpha") - want) < 1e-3)
+  }
+
+  test("partCoverage: never-ordered counts conserve against a " +
+    "from-scratch key-set difference") {
+    import org.apache.spark.sql.functions._
+    val orderedKeys = Tables.lineitem(spark, dir)
+      .select("l_partkey").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val parts = Tables.part(spark, dir).select("p_partkey", "p_brand")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val wantNever = parts.filterNot(p => orderedKeys(p._1))
+      .groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+    val got = graft.operators.Joins.partCoverage(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("n_parts")).sum == parts.length)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_never") ==
+        wantNever.getOrElse(r.getAs[String]("brand"), 0L))
+      val cov = r.getAs[Double]("coverage")
+      assert(cov >= 0.0 && cov <= 1.0)
+    }
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
