@@ -296,6 +296,32 @@ object ScaleSmoke {
     run("bootstrapCi")(operators.Stats.bootstrapCi(spark, dir))
     run("conformalOls")(operators.Stats.conformalOls(spark, dir))
 
+    // r8 session-3 batch 2. kruskalWallis/leveneBf: ranks/medians come
+    // from the $1000-bucket distribution collapse — the ranked frame
+    // is VALUE-RANGE-bounded, so it must stay constant-size while the
+    // corpus scan grows factor×. hhi: supplier-grain rollup grows
+    // factor× (suppliers replicate), the region re-aggregate stays
+    // 5 rows. sessionPaths: user-keyed windows, vocabulary-bounded
+    // (|types|³) count — linear scan, flat state. partCoverage: the
+    // anti join probes a distinct-key set that grows factor×; watch
+    // for the SMJ flip past broadcast size. mannKendall: the pair
+    // walk is quadratic in DAYS — replication adds rows, not days, so
+    // the join input must stay constant and only the daily collapse
+    // grows. isotropy/dimVariance: one/two double[64]-buffer
+    // aggregates — linear scan, constant state. cohensKappa: the
+    // confusion frame is |langs|²-bounded. kfoldAssign: pure hash map
+    // pass + 5-ary count.
+    run("kruskalWallis")(operators.Stats.kruskalWallis(spark, dir))
+    run("leveneBf")(operators.Stats.leveneBf(spark, dir))
+    run("hhiConcentration")(operators.Relational.hhiConcentration(spark, dir))
+    run("sessionPaths")(operators.Behavior.sessionPaths(spark, dir))
+    run("partCoverage")(operators.Joins.partCoverage(spark, dir))
+    run("mannKendall")(operators.Stats.mannKendall(spark, dir))
+    run("isotropy")(operators.Similarity.isotropy(spark, dir))
+    run("dimVariance")(operators.Similarity.dimVariance(spark, dir))
+    run("cohensKappa")(operators.TextAnalysis.cohensKappa(spark, dir))
+    run("kfoldAssign")(operators.Stats.kfoldAssign(spark, dir))
+
     spark.stop()
   }
 }
