@@ -731,6 +731,10 @@ object SparkEntry {
     "q_grubbs"           -> ((s, d) => Stats.grubbsDaily(s, d)),
     "q_hill_tail"        -> ((s, d) => Stats.hillTail(s, d)),
     "q_part_coverage"    -> ((s, d) => Joins.partCoverage(s, d)),
+    // sketch set-ops (deterministic md5 KMV — oracle replays the
+    // k-min selection) + keyed interval-overlap join
+    "q_kmv_overlap"      -> ((s, d) => Relational.kmvOverlap(s, d)),
+    "q_interval_overlap" -> ((s, d) => TemporalJoins.intervalOverlap(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -6125,5 +6129,66 @@ object SparkEntry {
         |    *10000 + 0.5 + 0.000001)/10000 AS coverage
         |FROM tot LEFT JOIN nv ON tot.p_brand = nv.p_brand
         |ORDER BY 1""".stripMargin,
+    "q_kmv_overlap" ->
+      """WITH b AS (SELECT MIN(CAST(l_shipdate AS DATE)) AS d0,
+        |    MAX(CAST(l_shipdate AS DATE)) AS d1 FROM lineitem),
+        |h AS (SELECT DISTINCT
+        |    CAST(l_shipdate AS DATE) <= d0
+        |      + CAST(floor(date_diff('day', d0, d1)/2.0) AS INTEGER)
+        |      AS era_a,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM lineitem, b),
+        |ma AS (SELECT h FROM h WHERE era_a ORDER BY h LIMIT 256),
+        |mb AS (SELECT h FROM h WHERE NOT era_a ORDER BY h LIMIT 256),
+        |ea AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_a
+        |  FROM (SELECT DISTINCT h FROM h WHERE era_a)),
+        |eb AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_b
+        |  FROM (SELECT DISTINCT h FROM h WHERE NOT era_a)),
+        |eu AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_union
+        |  FROM h),
+        |uni AS (SELECT h FROM
+        |  (SELECT h FROM ma UNION SELECT h FROM mb)
+        |  ORDER BY h LIMIT 256),
+        |th AS (SELECT MAX(h) AS theta, CAST(COUNT(*) AS BIGINT) AS nu
+        |  FROM uni),
+        |ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS ninter_all
+        |  FROM ma JOIN mb USING (h)),
+        |ib AS (SELECT CAST(COUNT(*) AS BIGINT) AS ninter_below
+        |  FROM ma JOIN mb USING (h), th WHERE h < theta)
+        |SELECT CAST(256 AS BIGINT) AS k,
+        |  floor((CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
+        |      ELSE 255.0/(CAST(theta AS DOUBLE)/POW(2.0, 60)) END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS est_union,
+        |  floor((CASE WHEN nu < 256 THEN CAST(ninter_all AS DOUBLE)
+        |      ELSE ninter_below/(CAST(theta AS DOUBLE)/POW(2.0, 60)) END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS est_inter,
+        |  floor((CASE WHEN nu < 256 THEN CAST(ninter_all AS DOUBLE)
+        |      ELSE ninter_below/(CAST(theta AS DOUBLE)/POW(2.0, 60)) END)
+        |    /(CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
+        |      ELSE 255.0/(CAST(theta AS DOUBLE)/POW(2.0, 60)) END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS est_jaccard,
+        |  exact_a, exact_b, exact_union,
+        |  exact_a + exact_b - exact_union AS exact_inter
+        |FROM th, ia, ib, ea, eb, eu""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    CAST(o_orderdate AS DATE) AS st,
+        |    CAST(o_orderdate AS DATE)
+        |      + CAST(3 + o_orderkey % 7 AS INTEGER) AS en
+        |  FROM orders),
+        |p AS (SELECT a.ck AS ck,
+        |    date_diff('day', greatest(a.st, b.st), least(a.en, b.en))
+        |      + 1 AS overlap_days
+        |  FROM o a JOIN o b ON a.ck = b.ck AND a.ok < b.ok
+        |    AND a.st <= b.en AND b.st <= a.en)
+        |SELECT r_name AS region, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  floor(AVG(overlap_days)*10000 + 0.5 + 0.000001)/10000
+        |    AS avg_overlap_days,
+        |  CAST(MAX(overlap_days) AS BIGINT) AS max_overlap_days
+        |FROM p JOIN customer ON ck = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

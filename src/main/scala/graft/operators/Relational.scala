@@ -2404,6 +2404,59 @@ object Relational {
     s.sql(query)
   }
 
+  /** Theta-sketch set operations from two KMV sketches: estimated
+    * union, intersection and Jaccard of the part sets shipped in the
+    * first vs second half of the calendar — "how much do the eras'
+    * catalogs overlap" WITHOUT ever joining the two id sets. The
+    * θ-intersection rule: keep each sketch's k min hashes, θ = the
+    * union sketch's kth min; matching hashes below θ, divided by θ,
+    * estimate the intersection. Exact counts ride along as the
+    * verification columns (the same contract as [[kmvDistinct]]).
+    *
+    * Scale shape: TWO k-long mergeable sketch aggregates over one
+    * scan (partials are k longs per map task regardless of corpus or
+    * NDV); every set operation afterwards is array algebra on 2k
+    * values. The sketch is md5-derived, so the estimate is
+    * DETERMINISTIC and bit-identical cross-engine — the oracle
+    * replays the same k-min selection in SQL. */
+  def kmvOverlap(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.agg(min(col("l_shipdate").cast("date")).as("d0"),
+      max(col("l_shipdate").cast("date")).as("d1"))
+    val h = li.crossJoin(broadcast(bounds)).select(
+      (col("l_shipdate").cast("date") <= date_add(col("d0"),
+        floor(datediff(col("d1"), col("d0")) / lit(2.0)).cast("int")))
+        .as("era_a"),
+      conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = h.filter(col("era_a")).agg(
+      graft.functions.FreqSketchFunctions.kmvMins(col("h"), k).as("ma"),
+      countDistinct(col("h")).as("exact_a"))
+    val b = h.filter(!col("era_a")).agg(
+      graft.functions.FreqSketchFunctions.kmvMins(col("h"), k).as("mb"),
+      countDistinct(col("h")).as("exact_b"))
+    val u = h.agg(countDistinct(col("h")).as("exact_union"))
+    val j = a.crossJoin(b).crossJoin(u)
+    val uni = slice(array_sort(array_distinct(
+      concat(col("ma"), col("mb")))), 1, k)
+    val thetaL = element_at(uni, size(uni)) // kth (or last) union min
+    val thetaF = thetaL.cast("double") / lit(math.pow(2.0, 60))
+    val full = size(uni) >= k
+    val interAll = array_intersect(col("ma"), col("mb"))
+    val estUnion = when(!full, size(uni).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / thetaF)
+    val estInter = when(!full, size(interAll).cast("double"))
+      .otherwise(size(filter(interAll, x => x < thetaL)) / thetaF)
+    j.select(lit(k.toLong).as("k"),
+      round4eps(estUnion).as("est_union"),
+      round4eps(estInter).as("est_inter"),
+      round4eps(estInter / estUnion).as("est_jaccard"),
+      col("exact_a"), col("exact_b"), col("exact_union"),
+      (col("exact_a") + col("exact_b") - col("exact_union"))
+        .as("exact_inter"))
+  }
+
   /** Herfindahl-Hirschman concentration index of supplier revenue per
     * region: HHI = Σ shareᵢ² over each region's suppliers (1/n =
     * perfectly even, 1 = monopoly), with supplier count and the top

@@ -169,4 +169,45 @@ object TemporalJoins {
     rangeJoin(purchases, errors, Seq("user_id"), "p_ts", "e_ts", 3600L)
       .select(col("user_id"), col("purchase_id"), col("error_id"))
   }
+
+  /** Interval-overlap self join: pairs of a customer's orders whose
+    * processing windows [orderdate, orderdate + 3 + key%7 days]
+    * overlap — the interval-join shape (booking conflicts, concurrent
+    * sessions, overlapping campaigns) reduced to Spark primitives.
+    * Reports pair counts and mean overlap length per region.
+    *
+    * Scale shape: the self join is EQUI-keyed on the customer — the
+    * quadratic is per-key and bounded by orders-per-customer (~10 at
+    * any TPC-H scale), never N². The overlap predicate is a residual
+    * filter on the keyed join, and the rollup re-aggregates the
+    * region-bounded frame. An unkeyed interval join would instead
+    * bucket intervals to a calendar grain and equi-join on the
+    * bucket — the same discipline, one level down. */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+      col("o_orderdate").cast("date").as("st"),
+      date_add(col("o_orderdate").cast("date"),
+        (lit(3) + col("o_orderkey") % 7).cast("int")).as("en"))
+    val b = o.select(col("ck").as("ck2"), col("ok").as("ok2"),
+      col("st").as("st2"), col("en").as("en2"))
+    val pairs = o.join(b, col("ck") === col("ck2") &&
+        col("ok") < col("ok2") &&
+        col("st") <= col("en2") && col("st2") <= col("en"))
+      .select(col("ck"),
+        (datediff(least(col("en"), col("en2")),
+          greatest(col("st"), col("st2"))) + 1).as("overlap_days"))
+    pairs
+      .join(Tables.customer(s, dir), col("ck") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round4eps(avg(col("overlap_days"))).as("avg_overlap_days"),
+        max(col("overlap_days")).cast("long").as("max_overlap_days"))
+      .orderBy(col("region"))
+  }
 }

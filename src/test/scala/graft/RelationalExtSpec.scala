@@ -374,4 +374,22 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(all.map(_.getAs[String]("tbl")).toSeq ===
       Seq("customer", "lineitem", "orders"))
   }
+
+  test("kmvOverlap: exact inclusion-exclusion holds and the sketch " +
+    "estimates land within the KMV error envelope") {
+    val r = graft.operators.Relational.kmvOverlap(spark, dir).head()
+    val ea = r.getAs[Long]("exact_a"); val eb = r.getAs[Long]("exact_b")
+    val eu = r.getAs[Long]("exact_union")
+    val ei = r.getAs[Long]("exact_inter")
+    assert(ei == ea + eb - eu)
+    assert(eu >= math.max(ea, eb) && eu <= ea + eb)
+    val estU = r.getAs[Double]("est_union")
+    val estI = r.getAs[Double]("est_inter")
+    // k=256 ⇒ relative σ ≈ 1/√(k−2) ≈ 6.3%; allow 5σ (sf0.001 may
+    // also take the exact <k branch, where error is 0)
+    assert(math.abs(estU - eu) <= 0.32 * eu + 1)
+    assert(math.abs(estI - ei) <= 0.32 * eu + 1)
+    val j = r.getAs[Double]("est_jaccard")
+    assert(j >= 0.0 && j <= 1.0 + 1e-9)
+  }
 }

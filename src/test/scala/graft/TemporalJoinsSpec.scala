@@ -121,4 +121,26 @@ class TemporalJoinsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id"))).toSet
     assert(pairs === Set((2L, 1L), (2L, 3L)))
   }
+
+  test("intervalOverlap matches a from-scratch per-customer pair walk") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sfDir
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+    var pairs = 0L
+    orders.groupBy(_._1).values.foreach { os =>
+      val iv = os.map { case (_, ok, st) => (ok, st, st.plusDays(3 + ok % 7)) }
+      for (a <- iv; b <- iv if a._1 < b._1)
+        if (!a._2.isAfter(b._3) && !b._2.isAfter(a._3)) pairs += 1
+    }
+    val got = TemporalJoins.intervalOverlap(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("n_pairs")).sum == pairs)
+    got.foreach { r =>
+      assert(r.getAs[Double]("avg_overlap_days") >= 1.0)
+      assert(r.getAs[Long]("max_overlap_days") <= 10) // spans are <= 10 days
+    }
+  }
 }
