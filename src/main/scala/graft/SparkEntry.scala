@@ -735,6 +735,9 @@ object SparkEntry {
     // k-min selection) + keyed interval-overlap join
     "q_kmv_overlap"      -> ((s, d) => Relational.kmvOverlap(s, d)),
     "q_interval_overlap" -> ((s, d) => TemporalJoins.intervalOverlap(s, d)),
+    // robust anomaly screen + graph-centrality keywords
+    "q_mad_outliers"     -> ((s, d) => Stats.madOutliers(s, d)),
+    "q_textrank"         -> ((s, d) => TextAnalysis.textRank(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -6190,5 +6193,77 @@ object SparkEntry {
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |c1 AS (SELECT g, x AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM daily GROUP BY 1, 2),
+        |cum1 AS (SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |    SUM(c) OVER (PARTITION BY g) AS ng
+        |  FROM c1),
+        |m1 AS (SELECT g,
+        |    MIN(CASE WHEN cc >= floor((ng+1)/2.0) THEN v END)
+        |      + MIN(CASE WHEN cc >= floor(ng/2.0)+1 THEN v END) AS med2x
+        |  FROM cum1 GROUP BY 1),
+        |dev AS (SELECT daily.g AS g, d, x, med2x,
+        |    abs(2*x - med2x) AS dv
+        |  FROM daily JOIN m1 ON daily.g = m1.g),
+        |c2 AS (SELECT g, dv AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM dev GROUP BY 1, 2),
+        |cum2 AS (SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |    SUM(c) OVER (PARTITION BY g) AS ng
+        |  FROM c2),
+        |m2 AS (SELECT g,
+        |    MIN(CASE WHEN cc >= floor((ng+1)/2.0) THEN v END)
+        |      + MIN(CASE WHEN cc >= floor(ng/2.0)+1 THEN v END) AS mad4
+        |  FROM cum2 GROUP BY 1)
+        |SELECT dev.g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  MAX(med2x)/2.0 AS median_daily,
+        |  MAX(mad4)/4.0 AS mad,
+        |  CAST(SUM(CASE WHEN abs(1.349*(2*x - med2x)/mad4) > 3.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  floor(MAX(abs(1.349*(2*x - med2x)/mad4))*10000 + 0.5
+        |    + 0.000001)/10000 AS max_abs_z
+        |FROM dev JOIN m2 ON dev.g = m2.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_textrank" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+        |    unnest(ws) AS w
+        |  FROM (SELECT doc_id, string_split(regexp_replace(
+        |    lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |    FROM documents)),
+        |tf AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY 1),
+        |top AS (SELECT w FROM tf ORDER BY f DESC, w LIMIT 100),
+        |bi AS (SELECT w, lead(w) OVER (PARTITION BY doc_id
+        |    ORDER BY pos) AS w2 FROM toks),
+        |biv AS (SELECT w, w2 FROM bi WHERE w2 IS NOT NULL AND w <> w2
+        |  AND w IN (SELECT w FROM top) AND w2 IN (SELECT w FROM top)),
+        |und AS (SELECT least(w, w2) AS a, greatest(w, w2) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS wt
+        |  FROM biv GROUP BY 1, 2),
+        |edges AS (SELECT a AS src, b AS dst, wt FROM und
+        |  UNION ALL SELECT b, a, wt FROM und),
+        |wtot AS (SELECT src, SUM(wt) AS wsum FROM edges GROUP BY 1),
+        |e2 AS (SELECT src, dst, CAST(wt AS DOUBLE)/wsum AS p
+        |  FROM edges JOIN wtot USING (src)),
+        |nodes AS (SELECT DISTINCT dst AS node FROM edges),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |it(i, st, x) AS (
+        |  SELECT 0, node, floor(1.0/n*1000000 + 0.5 + 0.000001)/1000000
+        |  FROM nodes, nn
+        |  UNION ALL
+        |  SELECT i+1, e2.dst,
+        |    floor(((1.0 - 0.85)/nn.n + 0.85*SUM(it.x * e2.p))
+        |      *1000000 + 0.5 + 0.000001)/1000000
+        |  FROM it JOIN e2 ON e2.src = it.st, nn
+        |  WHERE i < 3
+        |  GROUP BY i+1, e2.dst, nn.n)
+        |SELECT st AS token, x AS score FROM it WHERE i = 3
+        |ORDER BY score DESC, token LIMIT 15""".stripMargin,
   )
 }

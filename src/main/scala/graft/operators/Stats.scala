@@ -1350,6 +1350,57 @@ object Stats {
           .as("tail_share"))
   }
 
+  /** Robust anomaly screen per event type on daily counts: median /
+    * MAD with the 0.6745 consistency constant — the outlier detector
+    * that one bad day cannot poison (unlike mean/σ z-scores, whose
+    * own baseline absorbs the anomaly). Reports the robust-z outlier
+    * count (|z| > 3.5, the Iglewicz-Hoaglin cut) and the worst day's
+    * |z| per type.
+    *
+    * Scale posture: BOTH medians (of x, then of |x−med|) come from
+    * the distribution collapse — group by integer value, cumulative
+    * counts over the value-bounded frame pick the two middle order
+    * statistics; everything stays integer (doubled: med2 = 2·median,
+    * mad4 = 4·MAD) until the final z ratio, so cross-engine
+    * arithmetic is exact. No row is ever sorted or buffered. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("g"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2·median of an integer column via cumulative counts over the
+    // per-group value distribution (lower-mid + upper-mid order stats)
+    def med2Of(df: DataFrame, v: String): DataFrame = {
+      val cells = df.groupBy(col("g"), col(v).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wg = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cc", sum(col("c")).over(wg))
+        .withColumn("ng", sum(col("c")).over(Window.partitionBy(col("g"))))
+        .groupBy(col("g"))
+        .agg((min(when(col("cc") >= floor((col("ng") + 1) / lit(2.0)),
+            col("v"))) +
+          min(when(col("cc") >= floor(col("ng") / lit(2.0)) + 1,
+            col("v")))).as("m2"))
+    }
+    val m1 = med2Of(daily, "x").withColumnRenamed("m2", "med2x")
+    val dev = daily.join(broadcast(m1), "g")
+      .select(col("g"), col("d"), col("x"), col("med2x"),
+        abs(lit(2L) * col("x") - col("med2x")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m2 = med2Of(dev, "dv").withColumnRenamed("m2", "mad4")
+    val z = lit(1.349) * (lit(2L) * col("x") - col("med2x")) / col("mad4")
+    dev.join(broadcast(m2), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_days"),
+        (max(col("med2x")) / lit(2.0)).as("median_daily"),
+        (max(col("mad4")) / lit(4.0)).as("mad"),
+        sum(when(abs(z) > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+        round4eps(max(abs(z))).as("max_abs_z"))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"))
+  }
+
   /** Deterministic 5-fold cross-validation assignment keyed on the
     * md5 of the order key — the split that is reproducible across
     * engines, runs and partitionings (no rand(), no row_number):

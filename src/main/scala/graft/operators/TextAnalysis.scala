@@ -1363,6 +1363,64 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** TextRank keyword scores: PageRank over the word co-occurrence
+    * graph (adjacent-token edges within the top-`vocab` vocabulary,
+    * undirected, co-occurrence-weighted), 3 damped power iterations —
+    * graph centrality as keyword quality, the extractive-keyword
+    * baseline (Mihalcea & Tarau 2004) a curation pipeline ranks
+    * candidate phrases with.
+    *
+    * Scale shape: tokenization + the bigram lead share ONE doc-keyed
+    * window; the graph collapses to the vocab-bounded edge list
+    * (≤ vocab² rows) and every iteration is one hash join + keyed sum
+    * on that bounded frame. Scores are q6-quantized each round and
+    * transition weights are exact count ratios, so the DuckDB
+    * recursive-CTE oracle walks the identical trajectory. Isolated
+    * vocabulary nodes (no in-edge) are excluded deterministically on
+    * both engines. */
+  def textRank(s: SparkSession, dir: String, vocab: Int = 100,
+      iters: Int = 3, damping: Double = 0.85, topN: Int = 15):
+      DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      posexplode(split(regexp_replace(lower(trim(col("text"))),
+        "\\s+", " "), " ")).as(Seq("pos", "w")))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(vocab).select(col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks.withColumn("w2", lead(col("w"), 1).over(wDoc))
+      .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+      .join(broadcast(top), "w")
+      .join(broadcast(top.withColumnRenamed("w", "w2")), "w2")
+    val und = bi.select(least(col("w"), col("w2")).as("a"),
+        greatest(col("w"), col("w2")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("wt"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("wt")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wtot = edges.groupBy(col("src")).agg(sum(col("wt")).as("wsum"))
+    val e2 = edges.join(wtot, "src")
+      .select(col("src"), col("dst"),
+        (col("wt").cast("double") / col("wsum")).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("dst").as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // vocab-bounded driver scalar
+    var sc = nodes.select(col("node"),
+      round6eps(lit(1.0) / lit(n.toDouble)).as("score"))
+    for (_ <- 1 to iters) {
+      sc = e2.join(sc, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(round6eps(lit(1.0 - damping) / lit(n.toDouble) +
+          lit(damping) * sum(col("p") * col("score"))).as("score"))
+        .withColumnRenamed("dst", "node")
+    }
+    sc.select(col("node").as("token"), col("score"))
+      .orderBy(col("score").desc, col("token"))
+      .limit(topN)
+  }
+
   /** Cohen's kappa between the n-gram language-ID prediction and the
     * stored label — chance-corrected agreement κ = (p₀−pₑ)/(1−pₑ),
     * the one-number summary of [[langConfusion]]'s matrix (accuracy

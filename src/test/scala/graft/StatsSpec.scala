@@ -594,6 +594,31 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("madOutliers: median/MAD match a from-scratch robust " +
+    "recomputation per type") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1)
+    def med(v: Seq[Long]): Double = {
+      val s = v.sorted; val n = s.length
+      (s((n + 1) / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val got = Stats.madOutliers(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    daily.foreach { case (t, vs) =>
+      val xs = vs.map(_._2).toSeq
+      val m = med(xs)
+      val mad = med(xs.map(x => math.abs(2 * x - (2 * m).toLong))) / 2.0
+      val r = got(t)
+      assert(r.getAs[Long]("n_days") == xs.length)
+      assert(math.abs(r.getAs[Double]("median_daily") - m) < 1e-9)
+      assert(math.abs(r.getAs[Double]("mad") - mad) < 1e-9)
+    }
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()

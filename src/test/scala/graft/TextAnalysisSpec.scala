@@ -527,6 +527,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Double]("zipf_slope") < 0.0)
   }
 
+  test("textRank: probability mass conserved across iterations; " +
+    "output ranked and vocabulary-bounded") {
+    val all = TextAnalysis.textRank(spark, TestSpark.sfDir,
+      topN = 1000000).collect()
+    // teleport + row-stochastic transitions conserve total mass at 1
+    // (up to the per-round q6 quantization)
+    val mass = all.map(_.getAs[Double]("score")).sum
+    assert(math.abs(mass - 1.0) < 0.01)
+    assert(all.forall(_.getAs[Double]("score") > 0.0))
+    val top = TextAnalysis.textRank(spark, TestSpark.sfDir).collect()
+    assert(top.length == 15)
+    val scores = top.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("cohensKappa agrees with a recomputation from langConfusion") {
     val cells = TextAnalysis.langConfusion(spark, TestSpark.sfDir)
       .collect().map(r => ((r.getString(0), r.getString(1)),
