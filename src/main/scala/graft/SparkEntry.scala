@@ -738,6 +738,10 @@ object SparkEntry {
     // robust anomaly screen + graph-centrality keywords
     "q_mad_outliers"     -> ((s, d) => Stats.madOutliers(s, d)),
     "q_textrank"         -> ((s, d) => TextAnalysis.textRank(s, d)),
+    // long-memory, changepoint location, price economics
+    "q_hurst"            -> ((s, d) => Stats.hurstRS(s, d)),
+    "q_changepoint"      -> ((s, d) => Stats.changepoint(s, d)),
+    "q_price_index"      -> ((s, d) => Joins.priceIndex(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -6265,5 +6269,90 @@ object SparkEntry {
         |  GROUP BY i+1, e2.dst, nn.n)
         |SELECT st AS token, x AS score FROM it WHERE i = 3
         |ORDER BY score DESC, token LIMIT 15""".stripMargin,
+    "q_hurst" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY d) - 1 AS t
+        |  FROM daily),
+        |sizes AS (SELECT * FROM (VALUES (16), (32), (64)) s(bs)),
+        |blk AS (SELECT bs, CAST(floor(t*1.0/bs) AS BIGINT) AS b, t, rev
+        |  FROM idx CROSS JOIN sizes),
+        |fullb AS (SELECT bs, b, COUNT(*) AS nb,
+        |    floor(AVG(rev)*10000 + 0.5 + 0.000001)/10000 AS mu,
+        |    floor(sqrt(AVG(rev*rev) - AVG(rev)*AVG(rev))*10000 + 0.5
+        |      + 0.000001)/10000 AS sd
+        |  FROM blk GROUP BY 1, 2),
+        |cum AS (SELECT blk.bs AS bs, blk.b AS b, sd,
+        |    SUM(rev - mu) OVER (PARTITION BY blk.bs, blk.b ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdev
+        |  FROM blk JOIN fullb ON blk.bs = fullb.bs AND blk.b = fullb.b
+        |  WHERE nb = blk.bs),
+        |rs AS (SELECT bs, b,
+        |    floor((MAX(cdev) - MIN(cdev))/MAX(sd)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS rsv
+        |  FROM cum GROUP BY 1, 2),
+        |mrs AS (SELECT bs,
+        |    floor(AVG(rsv)*1000000 + 0.5 + 0.000001)/1000000 AS mean_rs
+        |  FROM rs GROUP BY 1),
+        |pts AS (SELECT CAST(bs AS BIGINT) AS size, mean_rs,
+        |    ln(CAST(bs AS DOUBLE)) AS lx, ln(mean_rs) AS ly
+        |  FROM mrs),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(lx) AS sx,
+        |    SUM(ly) AS sy, SUM(lx*lx) AS sxx, SUM(lx*ly) AS sxy
+        |  FROM pts)
+        |SELECT size,
+        |  floor(mean_rs*10000 + 0.5 + 0.000001)/10000 AS mean_rs,
+        |  floor((sxy - sx*sy/n)/(sxx - sx*sx/n)*10000 + 0.5
+        |    + 0.000001)/10000 AS hurst
+        |FROM pts, m ORDER BY size""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT d, rev, ROW_NUMBER() OVER (ORDER BY d) AS k,
+        |    SUM(rev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ps
+        |  FROM daily),
+        |tot AS (SELECT CAST(MAX(k) AS DOUBLE) AS n, SUM(rev) AS st
+        |  FROM idx),
+        |scored AS (SELECT d, ps/k AS mb,
+        |    (st - ps)/(n - k) AS ma,
+        |    floor(sqrt(k*(n - k)/n)*abs(ps/k - (st - ps)/(n - k))
+        |      *10000 + 0.5 + 0.000001)/10000 AS stat
+        |  FROM idx, tot WHERE k < n)
+        |SELECT d AS split_day,
+        |  floor(mb*10000 + 0.5 + 0.000001)/10000 AS mean_before,
+        |  floor(ma*10000 + 0.5 + 0.000001)/10000 AS mean_after,
+        |  stat AS shift_stat
+        |FROM scored ORDER BY stat DESC, d LIMIT 1""".stripMargin,
+    "q_price_index" ->
+      """WITH li AS (SELECT
+        |    CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+        |    l_partkey, l_extendedprice AS ext, l_quantity AS qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |yr AS (SELECT MIN(y) AS y0, MAX(y) AS y1 FROM li),
+        |py AS (SELECT l_partkey, y = y0 AS base,
+        |    floor(SUM(ext)/SUM(qty)*10000 + 0.5 + 0.000001)/10000 AS p,
+        |    floor(SUM(qty)*10000 + 0.5 + 0.000001)/10000 AS q
+        |  FROM li, yr WHERE y = y0 OR y = y1
+        |  GROUP BY 1, 2),
+        |b AS (SELECT l_partkey AS pk, p AS p0, q AS q0
+        |  FROM py WHERE base),
+        |c AS (SELECT l_partkey AS pk, p AS p1, q AS q1
+        |  FROM py WHERE NOT base)
+        |SELECT CAST(MAX(y0) AS INTEGER) AS year_base,
+        |  CAST(MAX(y1) AS INTEGER) AS year_now,
+        |  CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+        |  floor(SUM(p1*q0)/SUM(p0*q0)*10000 + 0.5 + 0.000001)/10000
+        |    AS laspeyres,
+        |  floor(SUM(p1*q1)/SUM(p0*q1)*10000 + 0.5 + 0.000001)/10000
+        |    AS paasche,
+        |  floor(sqrt(SUM(p1*q0)/SUM(p0*q0)*SUM(p1*q1)/SUM(p0*q1))
+        |    *10000 + 0.5 + 0.000001)/10000 AS fisher
+        |FROM b JOIN c USING (pk), yr""".stripMargin,
   )
 }

@@ -802,6 +802,45 @@ object Joins {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Laspeyres / Paasche / Fisher price indices between the first and
+    * last order year over the parts traded in BOTH (the classic
+    * "how much did prices move, holding the basket fixed" economics
+    * readout): unit prices are revenue/quantity at the (part, year)
+    * grain, Laspeyres weights by base-year quantities, Paasche by
+    * current-year, Fisher is their geometric mean.
+    *
+    * Scale shape: one (part, year)-keyed rollup of the two boundary
+    * years (filter pushed to the scan), one part-keyed join of the
+    * two year slices, then a single aggregate of products of
+    * quantized part-grain values — exact-ratio economics, no window,
+    * no sort. */
+  def priceIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(year(col("o_orderdate")).as("y"), col("l_partkey"),
+        col("l_extendedprice").as("ext"), col("l_quantity").as("qty"))
+    val yr = li.agg(min(col("y")).as("y0"), max(col("y")).as("y1"))
+    val py = li.crossJoin(broadcast(yr))
+      .filter(col("y") === col("y0") || col("y") === col("y1"))
+      .groupBy(col("l_partkey"), (col("y") === col("y0")).as("base"))
+      .agg(round4eps(sum(col("ext")) / sum(col("qty"))).as("p"),
+        round4eps(sum(col("qty"))).as("q"))
+    val b = py.filter(col("base"))
+      .select(col("l_partkey").as("pk"), col("p").as("p0"), col("q").as("q0"))
+    val c = py.filter(!col("base"))
+      .select(col("l_partkey").as("pk2"), col("p").as("p1"), col("q").as("q1"))
+    val lasp = sum(col("p1") * col("q0")) / sum(col("p0") * col("q0"))
+    val paas = sum(col("p1") * col("q1")) / sum(col("p0") * col("q1"))
+    b.join(c, col("pk") === col("pk2"))
+      .crossJoin(broadcast(yr))
+      .agg(max(col("y0")).as("year_base"), max(col("y1")).as("year_now"),
+        count(lit(1)).as("n_common_parts"),
+        round4eps(lasp).as("laspeyres"),
+        round4eps(paas).as("paasche"),
+        round4eps(sqrt(lasp * paas)).as("fisher"))
+  }
+
   /** Catalog coverage per brand: how many parts have NEVER been
     * ordered — the dead-inventory / cold-start readout, and the
     * repo's canonical LEFT ANTI join shape (the "what's missing"

@@ -1401,6 +1401,101 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Rescaled-range (Hurst) estimate on daily order revenue: for
+    * block sizes 16/32/64 days, split the calendar into consecutive
+    * blocks, compute R/S per block (range of the mean-adjusted
+    * cumulative sum over the sample std), and fit ln(mean R/S) =
+    * H·ln(size) + c by closed-form OLS over the three points.
+    * H ≈ 0.5 = memoryless walk, H > 0.5 = persistent trends — the
+    * long-memory screen beside [[Relational.revenueAcf]]'s short-lag
+    * one.
+    *
+    * Scale shape: one shuffle to the calendar-bounded daily grain;
+    * every window (cumulative dev, block range) is keyed by block id,
+    * so partitions are at most 64 rows; the regression consumes three
+    * aggregate points. Daily revs are quantized and block moments are
+    * 2-decimal-pinned before R/S so the ln() never sees cross-engine
+    * ulp. */
+  def hurstRS(s: SparkSession, dir: String,
+      sizes: Seq[Int] = Seq(16, 32, 64)): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+    val wAll = Window.orderBy(col("d")) // calendar-bounded frame
+    val idx = daily.withColumn("t", row_number().over(wAll) - 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perSize = sizes.map { bs =>
+      val blk = idx.withColumn("b", floor(col("t") / bs))
+      // keep only complete blocks
+      val full = blk.groupBy(col("b")).agg(count(lit(1)).as("nb"),
+          round4eps(avg(col("rev"))).as("mu"),
+          round4eps(sqrt(avg(col("rev") * col("rev")) -
+            avg(col("rev")) * avg(col("rev")))).as("sd"))
+        .filter(col("nb") === bs)
+      val wb = Window.partitionBy(col("b")).orderBy(col("t"))
+      val cum = blk.join(broadcast(full), "b")
+        .withColumn("cdev", sum(col("rev") - col("mu")).over(
+          wb.rowsBetween(Window.unboundedPreceding, 0)))
+      val rs = cum.groupBy(col("b"), col("sd"))
+        .agg((max(col("cdev")) - min(col("cdev"))).as("r"))
+        .select(col("b"), round6eps(col("r") / col("sd")).as("rs"))
+      rs.agg(round6eps(avg(col("rs"))).as("mean_rs"))
+        .select(lit(bs.toLong).as("size"), col("mean_rs"))
+    }
+    val pts = perSize.reduce(_ unionAll _)
+      .select(col("size"), col("mean_rs"),
+        log(col("size").cast("double")).as("lx"),
+        log(col("mean_rs")).as("ly"))
+    // 3-point closed-form OLS slope = Hurst estimate
+    val m = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+      sum(col("lx") * col("lx")).as("sxx"),
+      sum(col("lx") * col("ly")).as("sxy"))
+    pts.crossJoin(broadcast(m.select(
+        round4eps((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))).as("hurst"))))
+      .select(col("size"), round4eps(col("mean_rs")).as("mean_rs"),
+        col("hurst"))
+      .orderBy(col("size"))
+  }
+
+  /** Binary-segmentation changepoint (step 1): the day that maximizes
+    * the scaled mean-shift statistic √(k(n−k)/n)·|mean_before −
+    * mean_after| over the daily revenue series — where CUSUM says
+    * "something moved", this says WHERE. Reports the split day, both
+    * means and the statistic.
+    *
+    * Scale shape: prefix sums over the calendar-bounded daily frame
+    * (one window sort), then an argmax via min(struct) on the
+    * quantized statistic — no second pass, no driver loop. */
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+    val w = Window.orderBy(col("d")) // calendar-bounded frame
+    val idx = daily
+      .withColumn("k", row_number().over(w))
+      .withColumn("ps", sum(col("rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = idx.agg(max(col("k")).cast("double").as("n"),
+      sum(col("rev")).as("st"))
+    val scored = idx.crossJoin(broadcast(tot))
+      .filter(col("k") < col("n")) // split needs a non-empty right side
+      .select(col("d"), col("k"),
+        (col("ps") / col("k")).as("mean_before"),
+        ((col("st") - col("ps")) / (col("n") - col("k"))).as("mean_after"),
+        round4eps(sqrt(col("k") * (col("n") - col("k")) / col("n")) *
+          abs(col("ps") / col("k") -
+            (col("st") - col("ps")) / (col("n") - col("k")))).as("stat"))
+    scored.agg(min(struct((-col("stat")).as("ns"), col("d").as("d"),
+        col("mean_before").as("mb"), col("mean_after").as("ma"))).as("w"))
+      .select(col("w.d").as("split_day"),
+        round4eps(col("w.mb")).as("mean_before"),
+        round4eps(col("w.ma")).as("mean_after"),
+        (-col("w.ns")).as("shift_stat"))
+  }
+
   /** Deterministic 5-fold cross-validation assignment keyed on the
     * md5 of the order key — the split that is reproducible across
     * engines, runs and partitionings (no rand(), no row_number):

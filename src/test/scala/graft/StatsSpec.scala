@@ -619,6 +619,51 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("hurstRS: three points, positive mean R/S, H within (0,1) " +
+    "for a real series") {
+    val rows = Stats.hurstRS(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("size")).toSeq == Seq(16L, 32L, 64L))
+    rows.foreach(r => assert(r.getAs[Double]("mean_rs") > 0.0))
+    // R/S grows with block size for any non-degenerate series
+    val rs = rows.map(_.getAs[Double]("mean_rs"))
+    assert(rs(0) < rs(2))
+    val h = rows.head.getAs[Double]("hurst")
+    assert(h > 0.0 && h < 1.0)
+  }
+
+  test("changepoint: the split statistic matches a from-scratch " +
+    "scan over the quantized daily series") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000 + 0.5 + 1e-6) / 10000
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .orderBy(col("d")).collect().map(r => r4(r.getDouble(1) / 1e6))
+    val n = daily.length.toDouble
+    val tot = daily.sum
+    var best = -1.0; var ps = 0.0
+    for (k <- 1 until daily.length) {
+      ps += daily(k - 1)
+      val stat = math.sqrt(k * (n - k) / n) *
+        math.abs(ps / k - (tot - ps) / (n - k))
+      if (stat > best) best = stat
+    }
+    val got = Stats.changepoint(spark, dir).head()
+    assert(math.abs(got.getAs[Double]("shift_stat") - best) < 1e-3)
+    assert(got.getAs[Double]("mean_before") > 0.0)
+  }
+
+  test("priceIndex: Fisher is the geometric mean; Laspeyres and " +
+    "Paasche bracket it; common parts positive") {
+    val r = graft.operators.Joins.priceIndex(spark, dir).head()
+    assert(r.getAs[Long]("n_common_parts") > 0)
+    val l = r.getAs[Double]("laspeyres"); val p = r.getAs[Double]("paasche")
+    val f = r.getAs[Double]("fisher")
+    assert(math.abs(f - math.sqrt(l * p)) < 1e-3)
+    assert(f >= math.min(l, p) - 1e-9 && f <= math.max(l, p) + 1e-9)
+    assert(r.getAs[Int]("year_base") < r.getAs[Int]("year_now"))
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
