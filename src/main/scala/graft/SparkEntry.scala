@@ -742,6 +742,9 @@ object SparkEntry {
     "q_hurst"            -> ((s, d) => Stats.hurstRS(s, d)),
     "q_changepoint"      -> ((s, d) => Stats.changepoint(s, d)),
     "q_price_index"      -> ((s, d) => Joins.priceIndex(s, d)),
+    "q_gumbel"           -> ((s, d) => Stats.gumbelMaxima(s, d)),
+    "q_seasonal_strength" -> ((s, d) => Relational.seasonalStrength(s, d)),
+    "q_xyz_classes"      -> ((s, d) => Relational.xyzClasses(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -6354,5 +6357,73 @@ object SparkEntry {
         |  floor(sqrt(SUM(p1*q0)/SUM(p0*q0)*SUM(p1*q1)/SUM(p0*q1))
         |    *10000 + 0.5 + 0.000001)/10000 AS fisher
         |FROM b JOIN c USING (pk), yr""".stripMargin,
+    "q_gumbel" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT date_trunc('month', d) AS m, MAX(rev) AS mx
+        |  FROM daily GROUP BY 1),
+        |mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(mx) AS mu0,
+        |    SUM(mx*mx) AS s2
+        |  FROM mx),
+        |f AS (SELECT n, mu0,
+        |    sqrt((s2 - n*mu0*mu0)/(n - 1))*(sqrt(6.0)/pi()) AS beta
+        |  FROM mom)
+        |SELECT CAST(n AS BIGINT) AS n_blocks,
+        |  floor((mu0 - 0.5772156649015329*beta)*10000 + 0.5
+        |    + 0.000001)/10000 AS gumbel_mu,
+        |  floor(beta*10000 + 0.5 + 0.000001)/10000 AS gumbel_beta,
+        |  floor((mu0 - 0.5772156649015329*beta
+        |      - beta*ln(-ln(1.0 - 1.0/12)))*10000 + 0.5
+        |    + 0.000001)/10000 AS return_level_12m
+        |FROM f""".stripMargin,
+    "q_seasonal_strength" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT d, n, AVG(n) OVER (ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        |  FROM daily),
+        |se AS (SELECT d, n, trend,
+        |    AVG(n - trend) OVER (PARTITION BY isodow(d)) AS seasonal
+        |  FROM t),
+        |comp AS (SELECT
+        |    floor((n - trend - seasonal)*10000 + 0.5 + 0.000001)/10000
+        |      AS r,
+        |    floor((n - seasonal)*10000 + 0.5 + 0.000001)/10000 AS tr,
+        |    floor((n - trend)*10000 + 0.5 + 0.000001)/10000 AS sr
+        |  FROM se),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    AVG(r*r) - AVG(r)*AVG(r) AS vres,
+        |    AVG(tr*tr) - AVG(tr)*AVG(tr) AS vtr,
+        |    AVG(sr*sr) - AVG(sr)*AVG(sr) AS vsr
+        |  FROM comp)
+        |SELECT n_days,
+        |  floor(GREATEST(0.0, 1.0 - vres/vtr)*10000 + 0.5
+        |    + 0.000001)/10000 AS trend_strength,
+        |  floor(GREATEST(0.0, 1.0 - vres/vsr)*10000 + 0.5
+        |    + 0.000001)/10000 AS seasonal_strength
+        |FROM v""".stripMargin,
+    "q_xyz_classes" ->
+      """WITH pm AS (SELECT l_partkey,
+        |    date_trunc('month', o_orderdate) AS m, SUM(l_quantity) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS nm,
+        |    AVG(q) AS mu, SUM(q*q) AS s2
+        |  FROM pm GROUP BY 1),
+        |cvt AS (SELECT l_partkey,
+        |    CASE WHEN nm > 1 THEN
+        |      floor(sqrt((s2 - nm*mu*mu)/(nm - 1))/mu*10000 + 0.5
+        |        + 0.000001)/10000 END AS cv
+        |  FROM pp),
+        |cls AS (SELECT CASE WHEN cv IS NULL THEN 'Z'
+        |    WHEN cv < 0.5 THEN 'X'
+        |    WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class, cv
+        |  FROM cvt)
+        |SELECT xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  floor(AVG(cv)*10000 + 0.5 + 0.000001)/10000 AS avg_cv
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

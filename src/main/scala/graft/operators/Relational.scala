@@ -2404,6 +2404,73 @@ object Relational {
     s.sql(query)
   }
 
+  /** Seasonal / trend strength (Hyndman's F_S, F_T) of daily event
+    * volume from the same decomposition [[seasonalDecompose]] gates:
+    * F_T = max(0, 1 − Var(R)/Var(T+R)), F_S = max(0, 1 −
+    * Var(R)/Var(S+R)) — the one-number "is there even a cycle worth
+    * modeling" screen that decides whether Holt-Winters earns its
+    * seasonal term. Components are 4-decimal-quantized before the
+    * variance moments, and both variances come from ONE aggregate
+    * over the calendar-bounded daily frame. */
+  def seasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val byDate = Window.orderBy(col("d")) // calendar-bounded frame
+    val trend = daily.withColumn("trend",
+      avg(col("n")).over(byDate.rowsBetween(-3, 3)))
+    val comp = trend
+      .withColumn("dow", ((dayofweek(col("d")) + lit(5)) % 7 + lit(1)))
+      .withColumn("seasonal",
+        avg(col("n") - col("trend")).over(Window.partitionBy(col("dow"))))
+      .select(
+        round4eps(col("n") - col("trend") - col("seasonal")).as("r"),
+        round4eps(col("n") - col("seasonal")).as("tr"),
+        round4eps(col("n") - col("trend")).as("sr"))
+    def vr(c: String) = avg(col(c) * col(c)) - avg(col(c)) * avg(col(c))
+    comp.agg(count(lit(1)).as("n_days"),
+        vr("r").as("vres"), vr("tr").as("vtr"), vr("sr").as("vsr"))
+      .select(col("n_days"),
+        round4eps(greatest(lit(0.0),
+          lit(1.0) - col("vres") / col("vtr"))).as("trend_strength"),
+        round4eps(greatest(lit(0.0),
+          lit(1.0) - col("vres") / col("vsr"))).as("seasonal_strength"))
+  }
+
+  /** XYZ demand-variability classes per part (the planning twin of
+    * [[abcParts]]'s value classes): CV of monthly order quantities —
+    * X under 0.5 (steady, forecastable), Y under 1.0, Z above
+    * (erratic, safety-stock territory). The class cut compares the
+    * QUANTIZED CV so an engine-ulp can't flip a label; parts with a
+    * single active month are Z by definition (sd undefined → max
+    * variability).
+    *
+    * Scale shape: one (part, month) rollup, one part-grain moment
+    * pass, then a 3-row class re-aggregate. */
+  def xyzClasses(s: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val perPart = pm.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast("double").as("nm"),
+        avg(col("q")).as("mu"), sum(col("q") * col("q")).as("s2"))
+      .select(col("l_partkey"), col("nm"),
+        when(col("nm") > 1, round4eps(
+          sqrt((col("s2") - col("nm") * col("mu") * col("mu")) /
+            (col("nm") - 1)) / col("mu"))).as("cv"))
+    perPart
+      .select(when(col("cv").isNull, "Z")
+          .when(col("cv") < 0.5, "X")
+          .when(col("cv") < 1.0, "Y").otherwise("Z").as("xyz_class"),
+        col("cv"))
+      .groupBy(col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round4eps(avg(col("cv"))).as("avg_cv"))
+      .orderBy(col("xyz_class"))
+  }
+
   /** Theta-sketch set operations from two KMV sketches: estimated
     * union, intersection and Jaccard of the part sets shipped in the
     * first vs second half of the calendar — "how much do the eras'

@@ -1496,6 +1496,36 @@ object Stats {
         (-col("w.ns")).as("shift_stat"))
   }
 
+  /** Gumbel extreme-value fit on monthly block maxima of daily
+    * revenue (method of moments: β = s·√6/π, μ = x̄ − γβ) with the
+    * 12-month return level μ − β·ln(−ln(1−1/12)) — "how big a day
+    * should we provision for once a year", the EVT readout a capacity
+    * planner wants where means and percentiles both mislead.
+    *
+    * Scale shape: corpus → daily grain → monthly maxima (two keyed
+    * collapses, both calendar-bounded); the fit is scalar algebra on
+    * one moment aggregate of the ~block-count frame. */
+  def gumbelMaxima(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+    val maxima = daily
+      .groupBy(date_trunc("month", col("d")).as("m"))
+      .agg(max(col("rev")).as("mx"))
+    val mom = maxima.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("mx")).as("mu0"),
+      sum(col("mx") * col("mx")).as("s2"))
+    val sd = sqrt((col("s2") - col("n") * col("mu0") * col("mu0")) /
+      (col("n") - 1))
+    val beta = sd * lit(math.sqrt(6.0) / math.Pi)
+    val mu = col("mu0") - lit(0.5772156649015329) * beta
+    mom.select(col("n").cast("long").as("n_blocks"),
+      round4eps(mu).as("gumbel_mu"),
+      round4eps(beta).as("gumbel_beta"),
+      round4eps(mu - beta * log(-log(lit(1.0) - lit(1.0) / 12)))
+        .as("return_level_12m"))
+  }
+
   /** Deterministic 5-fold cross-validation assignment keyed on the
     * md5 of the order key — the split that is reproducible across
     * engines, runs and partitionings (no rand(), no row_number):

@@ -664,6 +664,46 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("year_base") < r.getAs[Int]("year_now"))
   }
 
+  test("gumbelMaxima: method-of-moments identities hold; the return " +
+    "level exceeds the mean block max") {
+    import org.apache.spark.sql.functions._
+    val maxima = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .groupBy(date_trunc("month", col("d")))
+      .agg(max(round(col("rev") / 1e6, 4)).as("mx"))
+      .collect().map(_.getDouble(1))
+    val got = Stats.gumbelMaxima(spark, dir).head()
+    assert(got.getAs[Long]("n_blocks") == maxima.length)
+    val n = maxima.length.toDouble
+    val mu0 = maxima.sum / n
+    val sd = math.sqrt(maxima.map(x => (x - mu0) * (x - mu0)).sum / (n - 1))
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    assert(math.abs(got.getAs[Double]("gumbel_beta") - beta) < 1e-2)
+    // the 12-month return level sits above the mean of block maxima
+    assert(got.getAs[Double]("return_level_12m") > mu0)
+  }
+
+  test("seasonalStrength: both strengths in [0,1]; a weekly-cycled " +
+    "event stream shows nonzero seasonal strength") {
+    val r = graft.operators.Relational.seasonalStrength(spark, dir).head()
+    val ts = r.getAs[Double]("trend_strength")
+    val ss = r.getAs[Double]("seasonal_strength")
+    assert(ts >= 0.0 && ts <= 1.0)
+    assert(ss >= 0.0 && ss <= 1.0)
+    assert(r.getAs[Long]("n_days") > 0)
+  }
+
+  test("xyzClasses: part counts conserve the catalog of ordered parts") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Relational.xyzClasses(spark, dir).collect()
+    val totalParts = Tables.lineitem(spark, dir)
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == totalParts)
+    assert(rows.map(_.getAs[String]("xyz_class")).toSet
+      .subsetOf(Set("X", "Y", "Z")))
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
