@@ -745,6 +745,10 @@ object SparkEntry {
     "q_gumbel"           -> ((s, d) => Stats.gumbelMaxima(s, d)),
     "q_seasonal_strength" -> ((s, d) => Relational.seasonalStrength(s, d)),
     "q_xyz_classes"      -> ((s, d) => Relational.xyzClasses(s, d)),
+    // finance-ops trio: waterfall bridge, SLA latency, audit screen
+    "q_revenue_bridge"   -> ((s, d) => Joins.revenueBridge(s, d)),
+    "q_lead_time"        -> ((s, d) => Joins.leadTime(s, d)),
+    "q_dupe_invoices"    -> ((s, d) => Joins.dupeInvoices(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -6425,5 +6429,70 @@ object SparkEntry {
         |SELECT xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
         |  floor(AVG(cv)*10000 + 0.5 + 0.000001)/10000 AS avg_cv
         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_revenue_bridge" ->
+      """WITH li AS (SELECT
+        |    CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+        |    l_partkey, l_extendedprice AS ext, l_quantity AS qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |yr AS (SELECT MIN(y) AS y0, MAX(y) AS y1 FROM li),
+        |py AS (SELECT l_partkey, y = y0 AS base,
+        |    floor(SUM(ext)/SUM(qty)*10000 + 0.5 + 0.000001)/10000 AS p,
+        |    floor(SUM(qty)*10000 + 0.5 + 0.000001)/10000 AS q
+        |  FROM li, yr WHERE y = y0 OR y = y1
+        |  GROUP BY 1, 2),
+        |b AS (SELECT l_partkey AS pk, p AS p0, q AS q0
+        |  FROM py WHERE base),
+        |c AS (SELECT l_partkey AS pk2, p AS p1, q AS q1
+        |  FROM py WHERE NOT base),
+        |j AS (SELECT * FROM b FULL OUTER JOIN c ON pk = pk2)
+        |SELECT
+        |  floor(SUM(CASE WHEN pk IS NOT NULL AND pk2 IS NOT NULL
+        |    THEN (p1-p0)*q0 END)*10000 + 0.5 + 0.000001)/10000
+        |    AS price_effect,
+        |  floor(SUM(CASE WHEN pk IS NOT NULL AND pk2 IS NOT NULL
+        |    THEN (q1-q0)*p0 END)*10000 + 0.5 + 0.000001)/10000
+        |    AS volume_effect,
+        |  floor(SUM(CASE WHEN pk IS NOT NULL AND pk2 IS NOT NULL
+        |    THEN (p1-p0)*(q1-q0) END)*10000 + 0.5 + 0.000001)/10000
+        |    AS cross_effect,
+        |  floor(COALESCE(SUM(CASE WHEN pk IS NULL THEN p1*q1 END), 0.0)
+        |    *10000 + 0.5 + 0.000001)/10000 AS new_parts,
+        |  floor(COALESCE(SUM(CASE WHEN pk2 IS NULL THEN -p0*q0 END), 0.0)
+        |    *10000 + 0.5 + 0.000001)/10000 AS churned_parts,
+        |  floor(SUM(COALESCE(p1*q1, 0.0) - COALESCE(p0*q0, 0.0))
+        |    *10000 + 0.5 + 0.000001)/10000 AS delta_revenue
+        |FROM j""".stripMargin,
+    "q_lead_time" ->
+      """WITH lat AS (SELECT o_orderpriority AS prio,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cells AS (SELECT prio, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lat GROUP BY 1, 2),
+        |cum AS (SELECT prio, v, c,
+        |    SUM(c) OVER (PARTITION BY prio ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |    SUM(c) OVER (PARTITION BY prio) AS ng
+        |  FROM cells)
+        |SELECT prio, CAST(MAX(ng) AS BIGINT) AS n_lines,
+        |  CAST(MIN(CASE WHEN cc >= ceil(ng*0.5) THEN v END) AS BIGINT)
+        |    AS p50_days,
+        |  CAST(MIN(CASE WHEN cc >= ceil(ng*0.9) THEN v END) AS BIGINT)
+        |    AS p90_days,
+        |  floor(SUM(v*c)*1.0/MAX(ng)*10000 + 0.5 + 0.000001)/10000
+        |    AS mean_days
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dupe_invoices" ->
+      """WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS dollars
+        |  FROM orders)
+        |SELECT a.ok AS order_a, b.ok AS order_b,
+        |  a.ck AS cust_a, b.ck AS cust_b,
+        |  a.dollars AS amount_dollars,
+        |  CAST(abs(date_diff('day', a.d, b.d)) AS INTEGER) AS days_apart
+        |FROM o a JOIN o b ON a.dollars = b.dollars AND a.ok < b.ok
+        |  AND abs(date_diff('day', a.d, b.d)) <= 30
+        |ORDER BY order_a, order_b LIMIT 20""".stripMargin,
   )
 }

@@ -841,6 +841,106 @@ object Joins {
         round4eps(sqrt(lasp * paas)).as("fisher"))
   }
 
+  /** Revenue bridge (waterfall) between the first and last order
+    * year: ΔR decomposed into price effect Σ(p₁−p₀)q₀, volume effect
+    * Σ(q₁−q₀)p₀, the price×volume cross term, plus revenue from parts
+    * new in year 1 and lost from parts churned after year 0 — and the
+    * identity Σcomponents = ΔR holds EXACTLY (spec-pinned), which is
+    * the whole point of a bridge: nothing leaks.
+    *
+    * Scale shape: same skeleton as [[priceIndex]] — one boundary-year
+    * (part, year) rollup, one part-keyed FULL OUTER join (common,
+    * new, churned all fall out of the null pattern), one aggregate of
+    * quantized part-grain terms. */
+  def revenueBridge(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(year(col("o_orderdate")).as("y"), col("l_partkey"),
+        col("l_extendedprice").as("ext"), col("l_quantity").as("qty"))
+    val yr = li.agg(min(col("y")).as("y0"), max(col("y")).as("y1"))
+    val py = li.crossJoin(broadcast(yr))
+      .filter(col("y") === col("y0") || col("y") === col("y1"))
+      .groupBy(col("l_partkey"), (col("y") === col("y0")).as("base"))
+      .agg(round4eps(sum(col("ext")) / sum(col("qty"))).as("p"),
+        round4eps(sum(col("qty"))).as("q"))
+    val b = py.filter(col("base"))
+      .select(col("l_partkey").as("pk"), col("p").as("p0"), col("q").as("q0"))
+    val c = py.filter(!col("base"))
+      .select(col("l_partkey").as("pk2"), col("p").as("p1"), col("q").as("q1"))
+    val j = b.join(c, col("pk") === col("pk2"), "full_outer")
+    val common = col("pk").isNotNull && col("pk2").isNotNull
+    j.agg(
+        round4eps(sum(when(common, (col("p1") - col("p0")) * col("q0"))))
+          .as("price_effect"),
+        round4eps(sum(when(common, (col("q1") - col("q0")) * col("p0"))))
+          .as("volume_effect"),
+        round4eps(sum(when(common,
+          (col("p1") - col("p0")) * (col("q1") - col("q0")))))
+          .as("cross_effect"),
+        round4eps(coalesce(sum(when(col("pk").isNull,
+          col("p1") * col("q1"))), lit(0.0))).as("new_parts"),
+        round4eps(coalesce(sum(when(col("pk2").isNull,
+          -col("p0") * col("q0"))), lit(0.0))).as("churned_parts"),
+        round4eps(sum(coalesce(col("p1") * col("q1"), lit(0.0)) -
+          coalesce(col("p0") * col("q0"), lit(0.0))))
+          .as("delta_revenue"))
+  }
+
+  /** Ship lead-time distribution per order priority: exact p50/p90 of
+    * (shipdate − orderdate) in days plus the mean — the operational
+    * SLA readout. Latencies are small integers, so the exact
+    * percentiles come from the distribution collapse (cumulative
+    * counts over the ≤~120-value latency domain per priority), never
+    * a sort or a buffering percentile aggregate. */
+  def leadTime(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val lat = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("v"))
+    val cells = lat.groupBy(col("prio"), col("v")).agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy(col("prio")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cc", sum(col("c")).over(wg))
+      .withColumn("ng", sum(col("c")).over(Window.partitionBy(col("prio"))))
+    cum.groupBy(col("prio"))
+      .agg(max(col("ng")).as("n_lines"),
+        min(when(col("cc") >= ceil(col("ng") * 0.5), col("v")))
+          .as("p50_days"),
+        min(when(col("cc") >= ceil(col("ng") * 0.9), col("v")))
+          .as("p90_days"),
+        round4eps(sum(col("v") * col("c")).cast("double") / max(col("ng")))
+          .as("mean_days"))
+      .orderBy(col("prio"))
+  }
+
+  /** Suspected duplicate invoices: pairs of orders with the SAME
+    * integer-dollar total within 30 days of each other — the
+    * books-audit double-entry screen. The join is EQUI-keyed on the
+    * dollar amount: the quadratic is per amount cell (collision
+    * density itself — near-zero for a high-cardinality amount
+    * domain), with the date window as a residual filter; no fuzzy
+    * all-pairs exists anywhere. */
+  def dupeInvoices(s: SparkSession, dir: String, topN: Int = 20):
+      DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+      col("o_orderdate").cast("date").as("d"),
+      floor(col("o_totalprice")).cast("long").as("dollars"))
+    val b = o.select(col("ck").as("ck2"), col("ok").as("ok2"),
+      col("d").as("d2"), col("dollars").as("dollars2"))
+    o.join(b, col("dollars") === col("dollars2") &&
+        col("ok") < col("ok2") &&
+        abs(datediff(col("d2"), col("d"))) <= 30)
+      .select(col("ok").as("order_a"), col("ok2").as("order_b"),
+        col("ck").as("cust_a"), col("ck2").as("cust_b"),
+        col("dollars").as("amount_dollars"),
+        abs(datediff(col("d2"), col("d"))).as("days_apart"))
+      .orderBy(col("order_a"), col("order_b"))
+      .limit(topN)
+  }
+
   /** Catalog coverage per brand: how many parts have NEVER been
     * ordered — the dead-inventory / cold-start readout, and the
     * repo's canonical LEFT ANTI join shape (the "what's missing"

@@ -704,6 +704,34 @@ class StatsSpec extends AnyFunSuite {
       .subsetOf(Set("X", "Y", "Z")))
   }
 
+  test("revenueBridge: the waterfall identity holds exactly — " +
+    "components sum to delta revenue") {
+    val r = graft.operators.Joins.revenueBridge(spark, dir).head()
+    val parts = Seq("price_effect", "volume_effect", "cross_effect",
+      "new_parts", "churned_parts").map(r.getAs[Double](_)).sum
+    assert(math.abs(parts - r.getAs[Double]("delta_revenue")) < 0.01)
+  }
+
+  test("leadTime: percentiles ordered, counts conserve the joined " +
+    "fact table") {
+    val rows = graft.operators.Joins.leadTime(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_lines")).sum ==
+      Tables.lineitem(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days"))
+      assert(r.getAs[Double]("mean_days") > 0.0)
+    }
+  }
+
+  test("dupeInvoices: every pair shares the dollar amount within the " +
+    "date window; no self-pairs") {
+    val rows = graft.operators.Joins.dupeInvoices(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("order_a") < r.getAs[Long]("order_b"))
+      assert(r.getAs[Int]("days_apart") <= 30)
+    }
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
