@@ -749,6 +749,7 @@ object SparkEntry {
     "q_revenue_bridge"   -> ((s, d) => Joins.revenueBridge(s, d)),
     "q_lead_time"        -> ((s, d) => Joins.leadTime(s, d)),
     "q_dupe_invoices"    -> ((s, d) => Joins.dupeInvoices(s, d)),
+    "q_james_stein"      -> ((s, d) => Joins.jamesStein(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -6494,5 +6495,33 @@ object SparkEntry {
         |FROM o a JOIN o b ON a.dollars = b.dollars AND a.ok < b.ok
         |  AND abs(date_diff('day', a.d, b.d)) <= 30
         |ORDER BY order_a, order_b LIMIT 20""".stripMargin,
+    "q_james_stein" ->
+      """WITH b AS (SELECT p_brand AS brand,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |mom AS (SELECT
+        |    floor(CAST(SUM(x) AS DOUBLE)/SUM(n)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS mu,
+        |    CAST(COUNT(*) AS DOUBLE) AS k,
+        |    SUM((CAST(x AS DOUBLE)/n)*(CAST(x AS DOUBLE)/n)) AS sr2,
+        |    SUM(CAST(x AS DOUBLE)/n) AS sr
+        |  FROM b),
+        |prior AS (SELECT mu,
+        |    floor(GREATEST(1.0, mu*(1.0 - mu)
+        |      /(sr2/k - (sr/k)*(sr/k)) - 1)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS m
+        |  FROM mom)
+        |SELECT brand, n, x AS returns,
+        |  floor(CAST(x AS DOUBLE)/n*10000 + 0.5 + 0.000001)/10000
+        |    AS raw_rate,
+        |  floor((x + m*mu)/(n + m)*10000 + 0.5 + 0.000001)/10000
+        |    AS posterior_rate,
+        |  floor(abs((x + m*mu)/(n + m) - CAST(x AS DOUBLE)/n)
+        |    *10000 + 0.5 + 0.000001)/10000 AS shrink
+        |FROM b, prior
+        |ORDER BY shrink DESC, brand LIMIT 10""".stripMargin,
   )
 }

@@ -841,6 +841,50 @@ object Joins {
         round4eps(sqrt(lasp * paas)).as("fisher"))
   }
 
+  /** Empirical-Bayes (James-Stein / beta-binomial) shrinkage of
+    * per-brand return rates toward the pooled rate: the prior
+    * strength M comes from the method of moments on the between-brand
+    * rate variance (M = μ(1−μ)/Var_between − 1, floored at 1), and
+    * each brand's posterior is (x + Mμ)/(n + M) — the small-sample
+    * correction that stops a 3-line brand from topping the returns
+    * leaderboard. Reports the most-shrunk brands.
+    *
+    * Scale shape: one brand-grain count rollup, one moment
+    * re-aggregate of that dimension-bounded frame, broadcast back;
+    * μ and M are q6-pinned before the posterior so both engines walk
+    * identical arithmetic. Ranked on the QUANTIZED shrink delta with
+    * the brand tie-break. */
+  def jamesStein(s: SparkSession, dir: String, topN: Int = 10):
+      DataFrame = {
+    import graft.functions.Rounding.{round4eps, round6eps}
+    val b = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mom = b.agg(
+      round6eps(sum(col("x")).cast("double") / sum(col("n"))).as("mu"),
+      count(lit(1)).cast("double").as("k"),
+      sum((col("x").cast("double") / col("n")) *
+        (col("x").cast("double") / col("n"))).as("sr2"),
+      sum(col("x").cast("double") / col("n")).as("sr"))
+    val varB = col("sr2") / col("k") -
+      (col("sr") / col("k")) * (col("sr") / col("k"))
+    val prior = mom.select(col("mu"),
+      round6eps(greatest(lit(1.0),
+        col("mu") * (lit(1.0) - col("mu")) / varB - 1)).as("m"))
+    val post = (col("x") + col("m") * col("mu")) / (col("n") + col("m"))
+    val raw = col("x").cast("double") / col("n")
+    b.crossJoin(broadcast(prior))
+      .select(col("brand"), col("n"), col("x").as("returns"),
+        round4eps(raw).as("raw_rate"),
+        round4eps(post).as("posterior_rate"),
+        round4eps(abs(post - raw)).as("shrink"))
+      .orderBy(col("shrink").desc, col("brand"))
+      .limit(topN)
+  }
+
   /** Revenue bridge (waterfall) between the first and last order
     * year: ΔR decomposed into price effect Σ(p₁−p₀)q₀, volume effect
     * Σ(q₁−q₀)p₀, the price×volume cross term, plus revenue from parts

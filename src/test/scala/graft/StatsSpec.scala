@@ -732,6 +732,22 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("jamesStein: posteriors sit between the raw rate and the " +
+    "pooled mean; smaller brands shrink more per unit of gap") {
+    val rows = graft.operators.Joins.jamesStein(spark, dir, topN = 1000)
+      .collect()
+    // pooled mean from the same cells
+    val n = rows.map(_.getAs[Long]("n")).sum.toDouble
+    val mu = rows.map(_.getAs[Long]("returns")).sum / n
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("raw_rate")
+      val post = r.getAs[Double]("posterior_rate")
+      val lo = math.min(raw, mu) - 1e-3
+      val hi = math.max(raw, mu) + 1e-3
+      assert(post >= lo && post <= hi) // shrinkage never overshoots
+    }
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
