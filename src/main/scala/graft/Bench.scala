@@ -149,7 +149,8 @@ object Bench {
       "q_pipeline_asof", "q_pipeline_incmart", "q_pipeline_dbtrun",
       // r8 additions of the same kind: each builds (and for these
       // three, MUTATES) its own fixture warehouse per invocation
-      "q_pipeline_rollback", "q_pipeline_upsert", "q_pipeline_evolution")
+      "q_pipeline_rollback", "q_pipeline_upsert", "q_pipeline_evolution",
+      "q_pipeline_clone")
     // Cheapest-first by last observed Verify time (unknown → 0): the
     // iterative graph tail runs last, after every cheap query has
     // already landed its number.

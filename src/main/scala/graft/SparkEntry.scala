@@ -750,6 +750,23 @@ object SparkEntry {
     "q_lead_time"        -> ((s, d) => Joins.leadTime(s, d)),
     "q_dupe_invoices"    -> ((s, d) => Joins.dupeInvoices(s, d)),
     "q_james_stein"      -> ((s, d) => Joins.jamesStein(s, d)),
+    // shallow clone: zero-copy CLONE TABLE, then histories diverge —
+    // the clone takes one extra commit, the source must not move
+    // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
+    "q_pipeline_clone"   -> ((s, _) => {
+      val c = gatePipeline(s).catalog
+      val src = graft.pipeline.Ingest.RawTable
+      val dst = src + "_clone"
+      c.cloneTable(src, dst) // idempotent: re-clones from scratch
+      c.append(dst, c.tableAsOf(src, 1),
+        partitionTs = Some("extracted_at"))
+      val rows = Seq(
+        ("clone", c.table(dst).count(), c.currentSnapshotId(dst)),
+        ("source", c.table(src).count(), c.currentSnapshotId(src)))
+      import s.implicits._
+      rows.toDF("tbl", "n_rows", "n_snapshots")
+        .orderBy(org.apache.spark.sql.functions.col("tbl"))
+    }),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -6523,5 +6540,11 @@ object SparkEntry {
         |    *10000 + 0.5 + 0.000001)/10000 AS shrink
         |FROM b, prior
         |ORDER BY shrink DESC, brand LIMIT 10""".stripMargin,
+    "q_pipeline_clone" ->
+      """SELECT tbl, n_rows, n_snapshots FROM (VALUES
+        |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),
+        |  ('source', CAST(9 AS BIGINT), CAST(3 AS BIGINT)))
+        |  AS t(tbl, n_rows, n_snapshots)
+        |ORDER BY tbl""".stripMargin,
   )
 }

@@ -329,6 +329,55 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     removed
   }
 
+  /** Shallow (zero-copy) table clone — the Iceberg/Delta
+    * `CREATE TABLE … CLONE` shape: the destination gets its own
+    * directory tree, snapshot log, schema sidecar and tags, but every
+    * DATA file is a hard link to the source's file (cost = file
+    * count, never bytes; falls back to a copy on filesystems without
+    * links). From that point the histories diverge: appends to either
+    * side land in their own new commit dirs, and a rewrite/rollback
+    * on one side only unlinks ITS directory entries — the shared
+    * inodes keep the other side intact (the same isolation Iceberg
+    * gets from immutable data files under per-table metadata).
+    * Time travel, tags and `snapshots` work on the clone immediately
+    * because the metadata sidecars are copied verbatim. Returns the
+    * number of files linked. */
+  def cloneTable(src: String, dst: String): Long = {
+    require(tableExists(src), s"clone source $src does not exist")
+    require(src != dst, "clone source and destination must differ")
+    val srcRoot = Paths.get(tablePath(src))
+    val dstRoot = Paths.get(tablePath(dst))
+    if (Files.exists(dstRoot)) deleteRecursive(dstRoot)
+    Files.deleteIfExists(snapshotLogPath(dst))
+    Files.deleteIfExists(schemaPath(dst))
+    Files.deleteIfExists(tagsPath(dst))
+    Files.createDirectories(dstRoot.getParent)
+    var linked = 0L
+    val stream = Files.walk(srcRoot)
+    try stream.forEach { p =>
+      val q = dstRoot.resolve(srcRoot.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(q)
+      else {
+        Files.createDirectories(q.getParent)
+        try { Files.createLink(q, p); linked += 1 }
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            Files.copy(p, q); linked += 1
+        }
+      }
+    } finally stream.close()
+    Seq((snapshotLogPath(src), snapshotLogPath(dst)),
+        (schemaPath(src), schemaPath(dst)),
+        (tagsPath(src), tagsPath(dst))).foreach { case (a, b) =>
+      if (Files.exists(a)) {
+        Files.createDirectories(b.getParent)
+        Files.copy(a, b)
+      }
+    }
+    linked
+  }
+
   /** S6 — the `table.snapshots` metadata scan (reference README.md:301):
     * one row per commit with Iceberg-shaped columns. */
   def snapshots(name: String): DataFrame = {

@@ -488,4 +488,46 @@ class LakeCatalogSpec extends AnyFunSuite {
       cat.table("raw.c").count())
     assert(plan.forall(_.getAs[Long]("total_bytes") > 0L))
   }
+
+  test("cloneTable: zero-copy (hard-linked) clone with diverging " +
+    "histories — writes and rollbacks on one side never move the other") {
+    import spark.implicits._
+    val cat = new graft.pipeline.LakeCatalog(spark,
+      TestSpark.tempDir("graft-clone"))
+    cat.createNamespace("raw")
+    cat.append("raw.src", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    cat.append("raw.src", Seq((3L, "c")).toDF("id", "v"))
+    val linked = cat.cloneTable("raw.src", "raw.dst")
+    assert(linked > 0L)
+    // identical content + identical history immediately after clone
+    assert(cat.table("raw.dst").as[(Long, String)].collect().toSet ===
+      cat.table("raw.src").as[(Long, String)].collect().toSet)
+    assert(cat.currentSnapshotId("raw.dst") ===
+      cat.currentSnapshotId("raw.src"))
+    // zero-copy: a data file in the clone shares its inode with the src
+    val srcFile = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(cat.tablePath("raw.src")))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    val rel = java.nio.file.Paths.get(cat.tablePath("raw.src"))
+      .relativize(srcFile)
+    val dstFile = java.nio.file.Paths.get(cat.tablePath("raw.dst"))
+      .resolve(rel)
+    assert(java.nio.file.Files.isSameFile(srcFile, dstFile) ||
+      java.nio.file.Files.getAttribute(srcFile, "unix:ino") ==
+        java.nio.file.Files.getAttribute(dstFile, "unix:ino"))
+    // divergence: append to the clone only
+    cat.append("raw.dst", Seq((4L, "d")).toDF("id", "v"))
+    assert(cat.table("raw.dst").count() === 4L)
+    assert(cat.table("raw.src").count() === 3L) // source untouched
+    // rollback the CLONE to snapshot 1 — the shared inode keeps the
+    // source's copy of commit 2 alive
+    cat.rollbackTo("raw.dst", 1L)
+    assert(cat.table("raw.dst").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    assert(cat.table("raw.src").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // re-clone is idempotent: dst is rebuilt from the source state
+    cat.cloneTable("raw.src", "raw.dst")
+    assert(cat.table("raw.dst").count() === 3L)
+  }
 }
