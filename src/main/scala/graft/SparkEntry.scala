@@ -750,6 +750,10 @@ object SparkEntry {
     "q_lead_time"        -> ((s, d) => Joins.leadTime(s, d)),
     "q_dupe_invoices"    -> ((s, d) => Joins.dupeInvoices(s, d)),
     "q_james_stein"      -> ((s, d) => Joins.jamesStein(s, d)),
+    // two-sample completion (integrated + metric-space) and raking
+    "q_cvm"              -> ((s, d) => Stats.cramerVonMises(s, d)),
+    "q_energy_dist"      -> ((s, d) => Stats.energyDistance(s, d)),
+    "q_raking"           -> ((s, d) => Stats.rakingIpf(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -6540,6 +6544,97 @@ object SparkEntry {
         |    *10000 + 0.5 + 0.000001)/10000 AS shrink
         |FROM b, prior
         |ORDER BY shrink DESC, brand LIMIT 10""".stripMargin,
+    "q_cvm" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice/100) AS BIGINT)
+        |      AS bucket,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |      AS u
+        |  FROM orders),
+        |cells AS (SELECT bucket, CAST(SUM(u) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - u) AS BIGINT) AS n2
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM cells),
+        |cum AS (SELECT bucket, n1, n2, t1, t2,
+        |    SUM(n1) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS c1,
+        |    SUM(n2) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS c2
+        |  FROM cells, tot)
+        |SELECT CAST(MAX(t1) AS BIGINT) AS n_urgent,
+        |  CAST(MAX(t2) AS BIGINT) AS n_rest,
+        |  floor(CAST(MAX(t1) AS DOUBLE)*MAX(t2)
+        |    /(CAST(MAX(t1)+MAX(t2) AS DOUBLE)*(MAX(t1)+MAX(t2)))
+        |    *SUM((n1+n2)*(CAST(c1 AS DOUBLE)/t1 - CAST(c2 AS DOUBLE)/t2)
+        |      *(CAST(c1 AS DOUBLE)/t1 - CAST(c2 AS DOUBLE)/t2))
+        |    *10000 + 0.5 + 0.000001)/10000 AS cvm_t
+        |FROM cum""".stripMargin,
+    "q_energy_dist" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice/1000) AS BIGINT)
+        |      AS v,
+        |    CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END
+        |      AS u
+        |  FROM orders),
+        |cells AS (SELECT v, CAST(SUM(u) AS BIGINT) AS n1,
+        |    CAST(SUM(1-u) AS BIGINT) AS n2
+        |  FROM b GROUP BY 1),
+        |p AS (SELECT CAST(abs(a.v - c.v) AS DOUBLE) AS dv,
+        |    a.n1 AS n1, a.n2 AS n2, c.n1 AS m1, c.n2 AS m2
+        |  FROM cells a CROSS JOIN cells c),
+        |s AS (SELECT SUM(n1*m2*dv) AS sxy, SUM(n1*m1*dv) AS sxx,
+        |    SUM(n2*m2*dv) AS syy
+        |  FROM p),
+        |t AS (SELECT CAST(SUM(n1) AS DOUBLE) AS t1,
+        |    CAST(SUM(n2) AS DOUBLE) AS t2 FROM cells)
+        |SELECT CAST(t1 AS BIGINT) AS n_urgent,
+        |  CAST(t2 AS BIGINT) AS n_rest,
+        |  floor(sxy/(t1*t2)*10000 + 0.5 + 0.000001)/10000 AS e_cross,
+        |  floor(sxx/(t1*t1)*10000 + 0.5 + 0.000001)/10000
+        |    AS e_within_x,
+        |  floor(syy/(t2*t2)*10000 + 0.5 + 0.000001)/10000
+        |    AS e_within_y,
+        |  floor((2.0*sxy/(t1*t2) - sxx/(t1*t1) - syy/(t2*t2))
+        |    *10000 + 0.5 + 0.000001)/10000 AS energy_stat
+        |FROM s, t""".stripMargin,
+    "q_raking" ->
+      """WITH o AS (SELECT r_name AS g, o_orderpriority AS p,
+        |    CAST(o_orderdate AS DATE) AS d
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey),
+        |bounds AS (SELECT MIN(d) + CAST(floor(
+        |    date_diff('day', MIN(d), MAX(d))/2.0) AS INTEGER) AS mid
+        |  FROM o),
+        |early AS (SELECT g, p, CAST(COUNT(*) AS DOUBLE) AS w0
+        |  FROM o, bounds WHERE d <= mid GROUP BY 1, 2),
+        |en AS (SELECT SUM(w0) AS en FROM early),
+        |fn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS fn FROM o),
+        |rt AS (SELECT g, floor(fr*en/fn*1000000 + 0.5
+        |    + 0.000001)/1000000 AS rt
+        |  FROM (SELECT g, CAST(COUNT(*) AS DOUBLE) AS fr
+        |    FROM o GROUP BY 1), en, fn),
+        |ct AS (SELECT p, floor(fc*en/fn*1000000 + 0.5
+        |    + 0.000001)/1000000 AS ct
+        |  FROM (SELECT p, CAST(COUNT(*) AS DOUBLE) AS fc
+        |    FROM o GROUP BY 1), en, fn),
+        |j AS (SELECT early.g AS g, early.p AS p, w0, rt, ct
+        |  FROM early JOIN rt ON early.g = rt.g
+        |    JOIN ct ON early.p = ct.p),
+        |i1 AS (SELECT g, p, w0, rt, ct,
+        |    floor(w0*rt/SUM(w0) OVER (PARTITION BY g)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS w1 FROM j),
+        |i2 AS (SELECT g, p, w0, rt, ct, w1,
+        |    floor(w1*ct/SUM(w1) OVER (PARTITION BY p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS w2 FROM i1),
+        |i3 AS (SELECT g, p, w0, rt, ct, w2,
+        |    floor(w2*rt/SUM(w2) OVER (PARTITION BY g)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS w3 FROM i2),
+        |i4 AS (SELECT g, p, w0, w3,
+        |    floor(w3*ct/SUM(w3) OVER (PARTITION BY p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS w4 FROM i3)
+        |SELECT g AS region, p AS priority, CAST(w0 AS BIGINT) AS n_early,
+        |  floor(w4*10000 + 0.5 + 0.000001)/10000 AS w_calibrated,
+        |  floor(w4/w0*10000 + 0.5 + 0.000001)/10000 AS rel_weight
+        |FROM i4 ORDER BY 1, 2""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

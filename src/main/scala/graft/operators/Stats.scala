@@ -459,6 +459,135 @@ object Stats {
       .limit(1)
   }
 
+  /** Two-sample Cramér–von Mises statistic (urgent vs rest order
+    * totals on the same fixed $100 grid as [[ksTest]]): T =
+    * n1·n2/N² · Σ_j (n1ⱼ+n2ⱼ)·(F̂1ⱼ−F̂2ⱼ)² — where KS reads only the
+    * single worst ECDF gap, CvM integrates ALL of them, catching
+    * distribution shifts KS's max misses. Integer cumulative counts
+    * make the ECDFs bit-identical; the grid-bounded window never
+    * scales with the corpus. */
+  def cramerVonMises(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / 100).cast("long").as("bucket"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("u"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("u")).as("n1"), sum(lit(1L) - col("u")).as("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = b.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    val w = Window.orderBy(col("bucket")) // grid-bounded frame
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = col("c1").cast("double") / col("t1") -
+      col("c2").cast("double") / col("t2")
+    b.crossJoin(broadcast(tot))
+      .withColumn("c1", sum(col("n1")).over(w))
+      .withColumn("c2", sum(col("n2")).over(w))
+      .agg(max(col("t1")).as("n_urgent"), max(col("t2")).as("n_rest"),
+        round4eps(
+          max(col("t1")).cast("double") * max(col("t2")) /
+          ((max(col("t1")) + max(col("t2"))).cast("double") *
+            (max(col("t1")) + max(col("t2")))) *
+          sum((col("n1") + col("n2")) * gap * gap)).as("cvm_t"))
+  }
+
+  /** Energy distance between the urgent and non-urgent order-total
+    * distributions: D² = 2E|X−Y| − E|X−X'| − E|Y−Y'|, the
+    * metric-space two-sample statistic (zero iff the distributions
+    * are equal) that sees differences in ANY moment, not just
+    * location.
+    *
+    * Scale posture: both samples collapse to the $1000-bucket value
+    * distribution first, so the pairwise |vᵢ−vⱼ| sums run over
+    * VALUE-DOMAIN² cell pairs (bounded at any corpus size — the
+    * kendall-tau discipline), and every term n_i·n_j·|Δv| is an exact
+    * integer: the sums are order-independent and bit-identical
+    * across engines. */
+  def energyDistance(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / 1000).cast("long").as("v"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("u"))
+      .groupBy(col("v"))
+      .agg(sum(col("u")).as("n1"), sum(lit(1L) - col("u")).as("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val o = b.select(col("v").as("v2"), col("n1").as("m1"),
+      col("n2").as("m2"))
+    val pairs = b.crossJoin(o)
+      .select(abs(col("v") - col("v2")).cast("double").as("dv"),
+        col("n1"), col("n2"), col("m1"), col("m2"))
+    val sums = pairs.agg(
+      sum(col("n1") * col("m2") * col("dv")).as("sxy"),
+      sum(col("n1") * col("m1") * col("dv")).as("sxx"),
+      sum(col("n2") * col("m2") * col("dv")).as("syy"))
+    val tot = b.agg(sum(col("n1")).cast("double").as("t1"),
+      sum(col("n2")).cast("double").as("t2"))
+    sums.crossJoin(broadcast(tot))
+      .select(col("t1").cast("long").as("n_urgent"),
+        col("t2").cast("long").as("n_rest"),
+        round4eps(col("sxy") / (col("t1") * col("t2"))).as("e_cross"),
+        round4eps(col("sxx") / (col("t1") * col("t1"))).as("e_within_x"),
+        round4eps(col("syy") / (col("t2") * col("t2"))).as("e_within_y"),
+        round4eps(lit(2.0) * col("sxy") / (col("t1") * col("t2")) -
+          col("sxx") / (col("t1") * col("t1")) -
+          col("syy") / (col("t2") * col("t2"))).as("energy_stat"))
+  }
+
+  /** Survey raking (iterative proportional fitting): calibrate the
+    * EARLY-era (region × priority) order counts so both margins match
+    * the full-period targets — two full IPF sweeps (row, col, row,
+    * col), each re-normalization q6-pinned so both engines walk the
+    * identical weight trajectory. The weighting step every
+    * survey/panel pipeline runs before estimation.
+    *
+    * Scale shape: the corpus collapses to the 5×5 cell table and two
+    * margin rollups; IPF itself is four keyed window-normalizations
+    * over that bounded frame. */
+  def rakingIpf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("g"), col("o_orderpriority").as("p"),
+        col("o_orderdate").cast("date").as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = o.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(date_add(col("d0"),
+        floor(datediff(col("d1"), col("d0")) / lit(2.0)).cast("int"))
+        .as("mid"))
+    val early = o.crossJoin(broadcast(bounds))
+      .filter(col("d") <= col("mid"))
+      .groupBy(col("g"), col("p"))
+      .agg(count(lit(1)).cast("double").as("w0"))
+    val en = early.agg(sum(col("w0")).as("en"))
+    val fullN = o.agg(count(lit(1)).cast("double").as("fn"))
+    val rowT = o.groupBy(col("g")).agg(count(lit(1)).cast("double").as("fr"))
+      .crossJoin(broadcast(fullN)).crossJoin(broadcast(en))
+      .select(col("g"), round6eps(col("fr") * col("en") / col("fn")).as("rt"))
+    val colT = o.groupBy(col("p")).agg(count(lit(1)).cast("double").as("fc"))
+      .crossJoin(broadcast(fullN)).crossJoin(broadcast(en))
+      .select(col("p"), round6eps(col("fc") * col("en") / col("fn")).as("ct"))
+    val wg = Window.partitionBy(col("g"))
+    val wp = Window.partitionBy(col("p"))
+    val ipf = early
+      .join(broadcast(rowT), "g").join(broadcast(colT), "p")
+      .withColumn("w1", round6eps(col("w0") * col("rt") /
+        sum(col("w0")).over(wg)))
+      .withColumn("w2", round6eps(col("w1") * col("ct") /
+        sum(col("w1")).over(wp)))
+      .withColumn("w3", round6eps(col("w2") * col("rt") /
+        sum(col("w2")).over(wg)))
+      .withColumn("w4", round6eps(col("w3") * col("ct") /
+        sum(col("w3")).over(wp)))
+    ipf.select(col("g").as("region"), col("p").as("priority"),
+        col("w0").cast("long").as("n_early"),
+        round4eps(col("w4")).as("w_calibrated"),
+        round4eps(col("w4") / col("w0")).as("rel_weight"))
+      .orderBy(col("region"), col("priority"))
+  }
+
   /** Mutual information (and the marginal entropies) between the
     * quantity bucket and the return flag — the information-gain
     * feature screen that complements the WoE/IV gate: MI =

