@@ -754,6 +754,10 @@ object SparkEntry {
     "q_cvm"              -> ((s, d) => Stats.cramerVonMises(s, d)),
     "q_energy_dist"      -> ((s, d) => Stats.energyDistance(s, d)),
     "q_raking"           -> ((s, d) => Stats.rakingIpf(s, d)),
+    // paired / blocked / post-hoc test completion
+    "q_wilcoxon"         -> ((s, d) => Stats.wilcoxonSignedRank(s, d)),
+    "q_friedman"         -> ((s, d) => Stats.friedmanRegions(s, d)),
+    "q_tukey_hsd"        -> ((s, d) => Stats.tukeyHsd(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -6635,6 +6639,85 @@ object SparkEntry {
         |  floor(w4*10000 + 0.5 + 0.000001)/10000 AS w_calibrated,
         |  floor(w4/w0*10000 + 0.5 + 0.000001)/10000 AS rel_weight
         |FROM i4 ORDER BY 1, 2""".stripMargin,
+    "q_wilcoxon" ->
+      """WITH o AS (SELECT
+        |    CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+        |    CAST(EXTRACT(week FROM o_orderdate) AS INTEGER) AS wk,
+        |    o_totalprice
+        |  FROM orders),
+        |y0 AS (SELECT MIN(y) + 1 AS ya FROM o),
+        |weekly AS (SELECT wk, y = ya AS first,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM o, y0 WHERE y = ya OR y = ya + 1 GROUP BY 1, 2),
+        |a AS (SELECT wk, rev AS ra FROM weekly WHERE first),
+        |bb AS (SELECT wk, rev AS rb FROM weekly WHERE NOT first),
+        |d0 AS (SELECT a.wk AS wk,
+        |    floor((rb - ra)*10000 + 0.5 + 0.000001)/10000 AS d
+        |  FROM a JOIN bb ON a.wk = bb.wk),
+        |d AS (SELECT wk, d, abs(d) AS ad FROM d0 WHERE d <> 0.0),
+        |cells AS (SELECT ad, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM d GROUP BY 1),
+        |ranked AS (SELECT ad, t,
+        |    COALESCE(SUM(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM cells),
+        |mr AS (SELECT ad, cb + (t + 1)/2.0 AS midrank FROM ranked),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(CASE WHEN d.d > 0 THEN midrank ELSE 0 END) AS wplus,
+        |    SUM(CASE WHEN d.d < 0 THEN midrank ELSE 0 END) AS wminus
+        |  FROM d JOIN mr ON d.ad = mr.ad),
+        |ties AS (SELECT COALESCE(SUM(CASE WHEN t > 1
+        |    THEN CAST(t AS DOUBLE)*t*t - t END), 0.0) AS tie3
+        |  FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  floor(wplus*10000 + 0.5 + 0.000001)/10000 AS w_plus,
+        |  floor(wminus*10000 + 0.5 + 0.000001)/10000 AS w_minus,
+        |  floor((wplus - n*(n+1)/4)
+        |    /sqrt(n*(n+1)*(n*2+1)/24 - tie3/48)
+        |    *10000 + 0.5 + 0.000001)/10000 AS z_score
+        |FROM st, ties""".stripMargin,
+    "q_friedman" ->
+      """WITH mr AS (SELECT date_trunc('month', o_orderdate) AS m,
+        |    r_name AS g,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000
+        |      AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT m, g,
+        |    ROW_NUMBER() OVER (PARTITION BY m ORDER BY rev, g) AS rk
+        |  FROM mr),
+        |rbar AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS nb,
+        |    AVG(CAST(rk AS DOUBLE)) AS rbar
+        |  FROM ranked GROUP BY 1),
+        |kf AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM rbar)
+        |SELECT CAST(MAX(nb) AS BIGINT) AS n_blocks,
+        |  CAST(MAX(k) AS BIGINT) AS k,
+        |  floor(12.0*MAX(nb)/(MAX(k)*(MAX(k)+1))
+        |    *SUM((rbar - (k+1.0)/2)*(rbar - (k+1.0)/2))
+        |    *10000 + 0.5 + 0.000001)/10000 AS chi2_f
+        |FROM rbar, kf""".stripMargin,
+    "q_tukey_hsd" ->
+      """WITH g AS (SELECT r_name AS g,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    AVG(o_totalprice/1000.0) AS mu,
+        |    SUM((o_totalprice/1000.0)*(o_totalprice/1000.0)) AS s2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1),
+        |mse AS (SELECT SUM(s2 - n*mu*mu)/(SUM(n) - COUNT(*)) AS mse
+        |  FROM g)
+        |SELECT a.g AS region_a, b.g AS region_b,
+        |  floor((a.mu - b.mu)*1000*10000 + 0.5 + 0.000001)/10000
+        |    AS mean_diff,
+        |  floor(abs(a.mu - b.mu)
+        |    /sqrt(mse/2*(1.0/a.n + 1.0/b.n))
+        |    *10000 + 0.5 + 0.000001)/10000 AS q_stat
+        |FROM g a JOIN g b ON a.g < b.g, mse
+        |ORDER BY region_a, region_b""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

