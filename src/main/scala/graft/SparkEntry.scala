@@ -758,6 +758,9 @@ object SparkEntry {
     "q_wilcoxon"         -> ((s, d) => Stats.wilcoxonSignedRank(s, d)),
     "q_friedman"         -> ((s, d) => Stats.friedmanRegions(s, d)),
     "q_tukey_hsd"        -> ((s, d) => Stats.tukeyHsd(s, d)),
+    // absorbing-Markov hitting time + SRE burn-rate alert
+    "q_markov_absorption" -> ((s, d) => graft.operators.Behavior.markovAbsorption(s, d)),
+    "q_slo_burn"         -> ((s, d) => graft.operators.Behavior.sloBurn(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -6718,6 +6721,55 @@ object SparkEntry {
         |    *10000 + 0.5 + 0.000001)/10000 AS q_stat
         |FROM g a JOIN g b ON a.g < b.g, mse
         |ORDER BY region_a, region_b""".stripMargin,
+    "q_markov_absorption" ->
+      """WITH RECURSIVE
+        |pairs AS (SELECT event_type AS cur_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |cnt AS (SELECT cur_type, next_type, COUNT(*) AS c FROM pairs
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |rowt AS (SELECT cur_type, SUM(c) AS rc FROM cnt GROUP BY 1),
+        |qe AS (SELECT cnt.cur_type AS cur, cnt.next_type AS nxt,
+        |    floor(c*1.0/rc*1000000 + 0.5 + 0.000001)/1000000 AS pr
+        |  FROM cnt JOIN rowt USING (cur_type)
+        |  WHERE cnt.cur_type <> 'purchase'
+        |    AND cnt.next_type <> 'purchase'),
+        |trans AS (SELECT DISTINCT cur_type AS st FROM cnt
+        |  WHERE cur_type <> 'purchase'),
+        |edges AS (SELECT cur, nxt, pr FROM qe
+        |  UNION ALL SELECT st, '__one__', 1.0 FROM trans
+        |  UNION ALL SELECT '__one__', '__one__', 1.0),
+        |it(i, st, x) AS (
+        |  SELECT 0, st, CAST(CASE WHEN st = '__one__' THEN 1.0
+        |    ELSE 0.0 END AS DOUBLE)
+        |  FROM (SELECT st FROM trans UNION ALL SELECT '__one__') t0
+        |  UNION ALL
+        |  SELECT i+1, edges.cur,
+        |    floor(SUM(edges.pr * it.x)*1000000 + 0.5
+        |      + 0.000001)/1000000
+        |  FROM it JOIN edges ON edges.nxt = it.st
+        |  WHERE i < 30
+        |  GROUP BY i+1, edges.cur)
+        |SELECT st AS event_type, x AS expected_steps FROM it
+        |WHERE i = 30 AND st <> '__one__' ORDER BY 1""".stripMargin,
+    "q_slo_burn" ->
+      """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+        |aged AS (SELECT date_diff('day', CAST(ts AS DATE), dmax)
+        |      AS age,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+        |  FROM events, mx),
+        |f AS (SELECT '1d' AS win_label, 0 AS maxage
+        |  UNION ALL SELECT '7d', 6 UNION ALL SELECT '28d', 27)
+        |SELECT win_label, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(e) AS BIGINT) AS n_errors,
+        |  floor(SUM(e)*1.0/COUNT(*)*10000 + 0.5 + 0.000001)/10000
+        |    AS error_rate,
+        |  floor(SUM(e)*1.0/COUNT(*)/0.25*10000 + 0.5 + 0.000001)/10000
+        |    AS burn_rate,
+        |  SUM(e)*1.0/COUNT(*) > 0.25 AS breach
+        |FROM aged JOIN f ON age <= maxage
+        |GROUP BY win_label ORDER BY win_label""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

@@ -207,6 +207,88 @@ object Behavior {
       .orderBy(col("event_type"))
   }
 
+  /** Expected events until purchase (absorbing-Markov hitting time)
+    * from each non-purchase state: t = 1 + Q·t iterated 30 rounds
+    * with q6-pinned values, where Q is the empirical transition
+    * matrix restricted to transient states — "how far is each
+    * engagement state from converting", the funnel readout a
+    * transition matrix alone doesn't give.
+    *
+    * Scale posture: identical to [[markovStationary]] — the corpus
+    * collapses to the |types|² transition cells in ONE user-keyed
+    * window + count pass; the bounded matrix is collected under the
+    * same loud guard and iterated driver-side. The oracle walks the
+    * same trajectory via the `__one__` self-loop trick (the constant
+    * +1 rides as a virtual state with a probability-1 self-loop, so
+    * a recursive CTE needs no left join). */
+  def markovAbsorption(s: SparkSession, dir: String,
+      absorbing: String = "purchase", iters: Int = 30): DataFrame = {
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5 + 1e-6) / 1e6
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    require(counts.length <= 10000,
+      s"markovAbsorption: ${counts.length} transition cells — the state " +
+        "space is expected to be a bounded taxonomy; refusing to iterate " +
+        "a corpus-scaling matrix on the driver")
+    val rowTot = counts.groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    // transient-to-transient probabilities (row totals INCLUDE the
+    // absorbed mass, which is what ends the walk)
+    val q = counts
+      .filter(r => r.getString(0) != absorbing &&
+        r.getString(1) != absorbing)
+      .map(r => (r.getString(0), r.getString(1),
+        q6(r.getLong(2).toDouble / rowTot(r.getString(0)))))
+      .sortBy(e => (e._1, e._2))
+    val states = counts.map(_.getString(0)).distinct
+      .filter(_ != absorbing).sorted
+    var t = states.map(_ -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      t = states.map { st =>
+        st -> q6(1.0 + q.filter(_._1 == st)
+          .map { case (_, nxt, pr) => pr * t(nxt) }.sum)
+      }.toMap
+    }
+    import s.implicits._
+    states.map(st => (st, t(st))).toSeq
+      .toDF("event_type", "expected_steps")
+      .orderBy(col("event_type"))
+  }
+
+  /** Multi-window SLO burn-rate alert on the error share of the
+    * event stream (budget: 25% errors): for the trailing 1-, 7- and
+    * 28-day windows ending at the stream's newest event, the error
+    * rate over the budget — the SRE page-worthiness test (a fast burn
+    * must show in BOTH a short and a long window to page). One scan
+    * with per-window conditional aggregates; every rate is a ratio of
+    * exact integer counts. */
+  def sloBurn(s: SparkSession, dir: String, budget: Double = 0.25):
+      DataFrame = {
+    val ev = Tables.events(s, dir)
+    val mx = ev.agg(max(to_date(col("ts"))).as("dmax"))
+    val aged = ev.crossJoin(broadcast(mx))
+      .select(datediff(col("dmax"), to_date(col("ts"))).as("age"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+    val frames = Seq(("1d", 0), ("7d", 6), ("28d", 27))
+    frames.map { case (label, maxAge) =>
+      aged.filter(col("age") <= maxAge)
+        .agg(count(lit(1)).as("n_events"), sum(col("e")).as("n_errors"))
+        .select(lit(label).as("win_label"), col("n_events"), col("n_errors"),
+          round4eps(col("n_errors").cast("double") / col("n_events"))
+            .as("error_rate"),
+          round4eps(col("n_errors").cast("double") / col("n_events") /
+            lit(budget)).as("burn_rate"),
+          (col("n_errors").cast("double") / col("n_events") >
+            lit(budget)).as("breach"))
+    }.reduce(_ unionAll _).orderBy(col("win_label"))
+  }
+
   /** Cross-correlation between two event types' daily counts at lags
     * −3..+3 — "do errors lead or lag purchases?" A positive peak at
     * negative lag means series X moves first. Pearson correlation on

@@ -205,6 +205,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(allPaths == want)
   }
 
+  test("markovAbsorption: expected steps are >= 1 and finite; a " +
+    "state that always converts immediately reports exactly 1") {
+    val sf = TestSpark.sfDir
+    val rows = Behavior.markovAbsorption(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("expected_steps")
+      assert(t >= 1.0 && !t.isNaN && !t.isInfinite && t < 1e6)
+    }
+    // crafted chain: a -> purchase always => expected steps exactly 1
+    val d2 = TestSpark.eventsFixture(Seq(
+      (1L, 1L, "a", Double.box(1.0), ns(0)),
+      (2L, 1L, "purchase", Double.box(1.0), ns(10)),
+      (3L, 2L, "a", Double.box(1.0), ns(0)),
+      (4L, 2L, "purchase", Double.box(1.0), ns(10))))
+    val got = Behavior.markovAbsorption(spark, d2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("a") - 1.0) < 1e-9)
+  }
+
+  test("sloBurn: windows nest (1d counts <= 7d <= 28d); burn is " +
+    "rate over budget") {
+    val sf = TestSpark.sfDir
+    val rows = Behavior.sloBurn(spark, sf).collect()
+      .map(r => r.getAs[String]("win_label") -> r).toMap
+    assert(rows("1d").getAs[Long]("n_events") <=
+      rows("7d").getAs[Long]("n_events"))
+    assert(rows("7d").getAs[Long]("n_events") <=
+      rows("28d").getAs[Long]("n_events"))
+    rows.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("burn_rate") -
+        r.getAs[Double]("error_rate") / 0.25) < 1e-3)
+    }
+  }
+
   test("ipwAte: ATE equals the stratum-size-weighted effect; rates " +
     "bounded") {
     val sf = TestSpark.sfDir
