@@ -761,6 +761,10 @@ object SparkEntry {
     // absorbing-Markov hitting time + SRE burn-rate alert
     "q_markov_absorption" -> ((s, d) => graft.operators.Behavior.markovAbsorption(s, d)),
     "q_slo_burn"         -> ((s, d) => graft.operators.Behavior.sloBurn(s, d)),
+    // concentration-geometry + welfare inequality + the planning grid
+    "q_lorenz_knee"      -> ((s, d) => Relational.lorenzKnee(s, d)),
+    "q_atkinson"         -> ((s, d) => Relational.atkinsonIndex(s, d)),
+    "q_abc_xyz"          -> ((s, d) => Relational.abcXyzMatrix(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -6770,6 +6774,74 @@ object SparkEntry {
         |  SUM(e)*1.0/COUNT(*) > 0.25 AS breach
         |FROM aged JOIN f ON age <= maxage
         |GROUP BY win_label ORDER BY win_label""".stripMargin,
+    "q_lorenz_knee" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    SUM(l_extendedprice*(1 - l_discount)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(rev) AS tr, CAST(COUNT(*) AS DOUBLE) AS np
+        |  FROM pp),
+        |sc AS (SELECT l_partkey, rev, np,
+        |    ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rk,
+        |    floor(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/tr
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS cum_share
+        |  FROM pp, tot),
+        |g AS (SELECT rk, cum_share,
+        |    floor(rk/np*1000000 + 0.5 + 0.000001)/1000000 AS pop_share,
+        |    floor((cum_share
+        |      - floor(rk/np*1000000 + 0.5 + 0.000001)/1000000)
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS gap
+        |  FROM sc)
+        |SELECT CAST(rk AS BIGINT) AS knee_rank,
+        |  floor(pop_share*10000 + 0.5 + 0.000001)/10000 AS pop_share,
+        |  floor(cum_share*10000 + 0.5 + 0.000001)/10000 AS rev_share,
+        |  floor(gap*10000 + 0.5 + 0.000001)/10000 AS max_gap
+        |FROM g ORDER BY gap DESC, rk LIMIT 1""".stripMargin,
+    "q_atkinson" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    SUM(l_extendedprice*(1 - l_discount))/1000000.0 AS x
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  floor((SUM(sqrt(x))/COUNT(*))*(SUM(sqrt(x))/COUNT(*))
+        |    /(SUM(x)/COUNT(*))*10000 + 0.5 + 0.000001)/10000
+        |    AS ede_ratio_base,
+        |  floor((1.0 - (SUM(sqrt(x))/COUNT(*))*(SUM(sqrt(x))/COUNT(*))
+        |    /(SUM(x)/COUNT(*)))*10000 + 0.5 + 0.000001)/10000
+        |    AS atkinson
+        |FROM pp""".stripMargin,
+    "q_abc_xyz" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    SUM(l_extendedprice*(1 - l_discount)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(rev) AS tr FROM pp),
+        |abc AS (SELECT l_partkey, rev,
+        |    CASE WHEN cs <= 0.8 THEN 'A' WHEN cs <= 0.95 THEN 'B'
+        |      ELSE 'C' END AS abc_class
+        |  FROM (SELECT l_partkey, rev,
+        |      floor(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/tr
+        |        *1000000 + 0.5 + 0.000001)/1000000 AS cs
+        |    FROM pp, tot) s0),
+        |pm AS (SELECT l_partkey AS pk,
+        |    date_trunc('month', o_orderdate) AS m, SUM(l_quantity) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |x0 AS (SELECT pk, CAST(COUNT(*) AS DOUBLE) AS nm, AVG(q) AS mu,
+        |    SUM(q*q) AS s2
+        |  FROM pm GROUP BY 1),
+        |xyz AS (SELECT pk, CASE WHEN nm <= 1 THEN 'Z'
+        |    WHEN floor(sqrt((s2 - nm*mu*mu)/(nm - 1))/mu*10000 + 0.5
+        |      + 0.000001)/10000 < 0.5 THEN 'X'
+        |    WHEN floor(sqrt((s2 - nm*mu*mu)/(nm - 1))/mu*10000 + 0.5
+        |      + 0.000001)/10000 < 1.0 THEN 'Y'
+        |    ELSE 'Z' END AS xyz_class
+        |  FROM x0),
+        |cells AS (SELECT abc_class, xyz_class,
+        |    CAST(COUNT(*) AS BIGINT) AS n_parts, SUM(rev) AS cell_rev
+        |  FROM abc JOIN xyz ON abc.l_partkey = xyz.pk GROUP BY 1, 2)
+        |SELECT abc_class, xyz_class, n_parts,
+        |  floor(cell_rev/tr*10000 + 0.5 + 0.000001)/10000 AS rev_share
+        |FROM cells, tot ORDER BY 1, 2""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

@@ -2404,6 +2404,110 @@ object Relational {
     s.sql(query)
   }
 
+  /** Lorenz-curve knee: the part rank where the cumulative revenue
+    * share is farthest ABOVE the uniform diagonal — the point the
+    * "vital few" actually end (Kneedle applied to concentration; ABC's
+    * 80/95 cuts are convention, this is the data's own bend). Reports
+    * the knee rank, its population and revenue shares, and the max
+    * gap (= twice the area-under-gap bound on Gini's side).
+    *
+    * Scale shape: the corpus-sized pass is the part-grain rollup; the
+    * cumulative window runs over the PART table (dimension
+    * cardinality, the same documented bound as abcParts), and the
+    * knee is a quantized argmax via min(struct) — no second pass. */
+  def lorenzKnee(s: SparkSession, dir: String): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("rev"))
+    val tot = perPart.agg(sum(col("rev")).as("tr"),
+      count(lit(1)).cast("double").as("np"))
+    // part-cardinality-bounded window (see abcParts note)
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = perPart.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rev").desc, col("l_partkey"))))
+      .withColumn("cum_share", q6(sum(col("rev")).over(w) / col("tr")))
+      .withColumn("pop_share", q6(col("rk") / col("np")))
+      .withColumn("gap", q6(col("cum_share") - col("pop_share")))
+    scored.agg(min(struct((-col("gap")).as("ng"), col("rk").as("rk"),
+        col("cum_share").as("cs"), col("pop_share").as("ps"))).as("w"))
+      .select(col("w.rk").cast("long").as("knee_rank"),
+        round4eps(col("w.ps")).as("pop_share"),
+        round4eps(col("w.cs")).as("rev_share"),
+        round4eps(-col("w.ng")).as("max_gap"))
+  }
+
+  /** Atkinson inequality index (aversion ε = 0.5) of part revenue:
+    * A = 1 − (mean √x)²/mean x — the inequality measure with an
+    * explicit welfare stance (how much total revenue society would
+    * give up for perfect equality), decomposable sibling of the Gini
+    * and Theil gates. ONE moment pass (Σ√x, Σx, n); revenue is
+    * pre-scaled so the square root's argument stays O(1). */
+  def atkinsonIndex(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) /
+        lit(1e6)).as("x"))
+    perPart.agg(count(lit(1)).cast("double").as("n"),
+        sum(sqrt(col("x"))).as("ssq"), sum(col("x")).as("sx"))
+      .select(col("n").cast("long").as("n_parts"),
+        round4eps((col("ssq") / col("n")) * (col("ssq") / col("n")) /
+          (col("sx") / col("n"))).as("ede_ratio_base"),
+        round4eps(lit(1.0) -
+          (col("ssq") / col("n")) * (col("ssq") / col("n")) /
+          (col("sx") / col("n"))).as("atkinson"))
+  }
+
+  /** ABC × XYZ planning matrix: the 9-cell cross of value classes
+    * (cumulative-revenue ABC) and variability classes (monthly-CV
+    * XYZ) with part counts and revenue share per cell — the
+    * inventory-policy grid (AX = automate, CZ = make-to-order). Both
+    * classifications are the SAME quantized-boundary logic their
+    * standalone gates pin; this gate checks their join. */
+  def abcXyzMatrix(s: SparkSession, dir: String): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("rev"))
+    val tot = perPart.agg(sum(col("rev")).as("tr"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val abc = perPart.crossJoin(broadcast(tot))
+      .withColumn("cum_share", q6(sum(col("rev")).over(w) / col("tr")))
+      .select(col("l_partkey"), col("rev"),
+        when(col("cum_share") <= 0.8, "A")
+          .when(col("cum_share") <= 0.95, "B").otherwise("C")
+          .as("abc_class"))
+    val pm = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").as("pk"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val xyz = pm.groupBy(col("pk"))
+      .agg(count(lit(1)).cast("double").as("nm"),
+        avg(col("q")).as("mu"), sum(col("q") * col("q")).as("s2"))
+      .select(col("pk"),
+        when(col("nm") <= 1, "Z")
+          .when(round4eps(sqrt((col("s2") - col("nm") * col("mu") *
+            col("mu")) / (col("nm") - 1)) / col("mu")) < 0.5, "X")
+          .when(round4eps(sqrt((col("s2") - col("nm") * col("mu") *
+            col("mu")) / (col("nm") - 1)) / col("mu")) < 1.0, "Y")
+          .otherwise("Z").as("xyz_class"))
+    val cells = abc.join(xyz, col("l_partkey") === col("pk"))
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("cell_rev"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("abc_class"), col("xyz_class"), col("n_parts"),
+        round4eps(col("cell_rev") / col("tr")).as("rev_share"))
+      .orderBy(col("abc_class"), col("xyz_class"))
+  }
+
   /** Seasonal / trend strength (Hyndman's F_S, F_T) of daily event
     * volume from the same decomposition [[seasonalDecompose]] gates:
     * F_T = max(0, 1 − Var(R)/Var(T+R)), F_S = max(0, 1 −

@@ -823,6 +823,35 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("lorenzKnee: the knee dominates both ABC boundary points " +
+    "and shares are consistent") {
+    val r = graft.operators.Relational.lorenzKnee(spark, dir).head()
+    assert(r.getAs[Double]("rev_share") > r.getAs[Double]("pop_share"))
+    assert(math.abs(r.getAs[Double]("max_gap") -
+      (r.getAs[Double]("rev_share") - r.getAs[Double]("pop_share")))
+      < 2e-4)
+    assert(r.getAs[Long]("knee_rank") > 0)
+  }
+
+  test("atkinson: index within [0,1); equals 1 - EDE ratio") {
+    val r = graft.operators.Relational.atkinsonIndex(spark, dir).head()
+    val a = r.getAs[Double]("atkinson")
+    assert(a >= 0.0 && a < 1.0)
+    assert(math.abs(a - (1.0 - r.getAs[Double]("ede_ratio_base")))
+      < 1e-3)
+  }
+
+  test("abcXyzMatrix: cells conserve the ordered-part catalog and " +
+    "revenue shares sum to ~1") {
+    val rows = graft.operators.Relational.abcXyzMatrix(spark, dir)
+      .collect()
+    val totalParts = Tables.lineitem(spark, dir)
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == totalParts)
+    assert(math.abs(rows.map(_.getAs[Double]("rev_share")).sum - 1.0)
+      < 0.01)
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
