@@ -765,6 +765,10 @@ object SparkEntry {
     "q_lorenz_knee"      -> ((s, d) => Relational.lorenzKnee(s, d)),
     "q_atkinson"         -> ((s, d) => Relational.atkinsonIndex(s, d)),
     "q_abc_xyz"          -> ((s, d) => Relational.abcXyzMatrix(s, d)),
+    // metric-risk trio on the daily series
+    "q_volatility"       -> ((s, d) => Stats.realizedVolatility(s, d)),
+    "q_drawdown"         -> ((s, d) => Stats.maxDrawdown(s, d)),
+    "q_var_cvar"         -> ((s, d) => Stats.varCvar(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -6842,6 +6846,67 @@ object SparkEntry {
         |SELECT abc_class, xyz_class, n_parts,
         |  floor(cell_rev/tr*10000 + 0.5 + 0.000001)/10000 AS rev_share
         |FROM cells, tot ORDER BY 1, 2""".stripMargin,
+    "q_volatility" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |r0 AS (SELECT rev, lag(rev) OVER (ORDER BY d) AS prev
+        |  FROM daily),
+        |rets AS (SELECT ln(rev/prev) AS r FROM r0
+        |  WHERE prev IS NOT NULL)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_returns,
+        |  floor(sqrt(SUM(r*r)/COUNT(*)
+        |    - (SUM(r)/COUNT(*))*(SUM(r)/COUNT(*)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS daily_vol,
+        |  floor(sqrt(SUM(r*r)/COUNT(*)
+        |    - (SUM(r)/COUNT(*))*(SUM(r)/COUNT(*)))*sqrt(365.0)
+        |    *10000 + 0.5 + 0.000001)/10000 AS annualized_vol,
+        |  floor(MIN(r)*10000 + 0.5 + 0.000001)/10000
+        |    AS worst_log_return
+        |FROM rets""".stripMargin,
+    "q_drawdown" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT d, rev,
+        |    MAX(rev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |g AS (SELECT d, rev, peak,
+        |    floor((peak - rev)/peak*10000 + 0.5 + 0.000001)/10000 AS dd
+        |  FROM sc)
+        |SELECT d AS trough_day,
+        |  floor(peak*10000 + 0.5 + 0.000001)/10000 AS peak_rev,
+        |  floor(rev*10000 + 0.5 + 0.000001)/10000 AS trough_rev,
+        |  dd AS max_drawdown
+        |FROM g ORDER BY dd DESC, d LIMIT 1""".stripMargin,
+    "q_var_cvar" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |r0 AS (SELECT rev, lag(rev) OVER (ORDER BY d) AS prev
+        |  FROM daily),
+        |chg AS (SELECT CAST(floor((rev - prev)/10000) AS BIGINT) AS v
+        |  FROM r0 WHERE prev IS NOT NULL),
+        |cells AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM chg GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |    SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cc,
+        |    SUM(c) OVER () AS ng
+        |  FROM cells),
+        |cut AS (SELECT MIN(CASE WHEN cc >= ceil(ng*0.05) THEN v END)
+        |    AS vb
+        |  FROM cum)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_changes,
+        |  CAST(MAX(vb)*10000 AS BIGINT) AS var_5pct,
+        |  floor(AVG(CASE WHEN v <= vb THEN CAST(v AS DOUBLE)*10000 END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS cvar_5pct
+        |FROM chg, cut""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

@@ -712,6 +712,104 @@ object Stats {
       .orderBy(col("region_a"), col("region_b"))
   }
 
+  /** Realized volatility of daily revenue log-returns: σ of
+    * ln(revₜ/revₜ₋₁), reported per-day and annualized (×√365), plus
+    * the worst single-day log-return — the risk lens on a business
+    * metric (how violently does it move, not where it is).
+    *
+    * Scale shape: one shuffle to the calendar-bounded daily grain,
+    * one lag from one window sort, one moment pass over the returns.
+    * Daily sums are quantized before the ratio so ln() sees identical
+    * arguments on both engines. */
+  def realizedVolatility(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+    val w = Window.orderBy(col("d")) // calendar-bounded frame
+    val rets = daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(log(col("rev") / col("prev")).as("r"))
+    rets.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("r")).as("sr"), sum(col("r") * col("r")).as("srr"),
+        min(col("r")).as("worst"))
+      .select(col("n").cast("long").as("n_returns"),
+        round4eps(sqrt(col("srr") / col("n") -
+          (col("sr") / col("n")) * (col("sr") / col("n"))))
+          .as("daily_vol"),
+        round4eps(sqrt(col("srr") / col("n") -
+          (col("sr") / col("n")) * (col("sr") / col("n"))) *
+          lit(math.sqrt(365.0))).as("annualized_vol"),
+        round4eps(col("worst")).as("worst_log_return"))
+  }
+
+  /** Maximum drawdown of the daily revenue series: the deepest gap
+    * below the running peak, with the peak and trough days — "how far
+    * below its best has this metric ever fallen", the
+    * metric-monitoring twin of the finance statistic.
+    *
+    * Scale shape: one prefix-max window over the calendar-bounded
+    * daily frame, then a quantized argmax via min(struct). */
+  def maxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("peak", max(col("rev")).over(w))
+      .withColumn("dd", round4eps((col("peak") - col("rev")) /
+        col("peak")))
+    scored.agg(min(struct((-col("dd")).as("nd"), col("d").as("d"),
+        col("peak").as("pk"), col("rev").as("rv"))).as("w"))
+      .select(col("w.d").as("trough_day"),
+        round4eps(col("w.pk")).as("peak_rev"),
+        round4eps(col("w.rv")).as("trough_rev"),
+        (-col("w.nd")).as("max_drawdown"))
+  }
+
+  /** Value-at-Risk and conditional VaR (expected shortfall) of
+    * day-over-day revenue changes at the 5% level: VaR = the exact
+    * 5th-percentile change, CVaR = the mean of changes at or below
+    * it — the "how bad is a bad day, and how bad are the bad days on
+    * average" pair.
+    *
+    * Scale posture: changes are quantized then bucketed to $10k
+    * integers, so the exact percentile comes from the
+    * distribution-collapse cumulative counts (no sort, no buffering
+    * percentile) and the tail mean is a conditional aggregate against
+    * the broadcast cut. */
+  def varCvar(s: SparkSession, dir: String, alpha: Double = 0.05):
+      DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("d")) // calendar-bounded frame
+    val chg = daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(floor((col("rev") - col("prev")) / 10000).cast("long")
+        .as("v")) // $10k-bucketed change
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = chg.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val wg = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cc", sum(col("c")).over(wg))
+      .withColumn("ng", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val cut = cum.agg(min(when(col("cc") >=
+      ceil(col("ng") * alpha), col("v"))).as("var_bucket"))
+    chg.crossJoin(broadcast(cut))
+      .agg(count(lit(1)).as("n_changes"),
+        max(col("var_bucket")).as("vb"),
+        round4eps(avg(when(col("v") <= col("var_bucket"),
+          col("v").cast("double") * 10000))).as("cvar"))
+      .select(col("n_changes"),
+        (col("vb") * 10000).as("var_5pct"),
+        col("cvar").as("cvar_5pct"))
+  }
+
   /** Mutual information (and the marginal entropies) between the
     * quantity bucket and the return flag — the information-gain
     * feature screen that complements the WoE/IV gate: MI =

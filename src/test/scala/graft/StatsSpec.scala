@@ -852,6 +852,40 @@ class StatsSpec extends AnyFunSuite {
       < 0.01)
   }
 
+  test("realizedVolatility: vol matches a from-scratch log-return " +
+    "std; annualization is sqrt(365)") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000 + 0.5 + 1e-6) / 10000
+    val revs = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .orderBy(col("d")).collect().map(r => r4(r.getDouble(1) / 1e6))
+    val rets = revs.drop(1).zip(revs.dropRight(1))
+      .map { case (a, b) => math.log(a / b) }
+    val n = rets.length.toDouble
+    val mu = rets.sum / n
+    val sd = math.sqrt(rets.map(r => r * r).sum / n - mu * mu)
+    val got = Stats.realizedVolatility(spark, dir).head()
+    assert(got.getAs[Long]("n_returns") == rets.length)
+    assert(math.abs(got.getAs[Double]("daily_vol") - sd) < 1e-3)
+    assert(math.abs(got.getAs[Double]("annualized_vol") -
+      sd * math.sqrt(365.0)) < 1e-2)
+  }
+
+  test("maxDrawdown: trough never exceeds peak; drawdown in [0,1)") {
+    val r = Stats.maxDrawdown(spark, dir).head()
+    assert(r.getAs[Double]("trough_rev") <= r.getAs[Double]("peak_rev"))
+    val dd = r.getAs[Double]("max_drawdown")
+    assert(dd >= 0.0 && dd < 1.0)
+  }
+
+  test("varCvar: CVaR is at least as bad as VaR; tail is nonempty") {
+    val r = Stats.varCvar(spark, dir).head()
+    assert(r.getAs[Long]("n_changes") > 0)
+    assert(r.getAs[Double]("cvar_5pct") <=
+      r.getAs[Long]("var_5pct").toDouble + 10000) // bucket width slack
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
