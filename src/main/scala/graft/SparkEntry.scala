@@ -769,6 +769,10 @@ object SparkEntry {
     "q_volatility"       -> ((s, d) => Stats.realizedVolatility(s, d)),
     "q_drawdown"         -> ((s, d) => Stats.maxDrawdown(s, d)),
     "q_var_cvar"         -> ((s, d) => Stats.varCvar(s, d)),
+    // unit economics, survey design, month-of-year seasonality
+    "q_payback"          -> ((s, d) => graft.operators.Behavior.paybackPeriod(s, d)),
+    "q_neyman"           -> ((s, d) => Stats.neymanAllocation(s, d)),
+    "q_month_index"      -> ((s, d) => Stats.monthIndex(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -6907,6 +6911,74 @@ object SparkEntry {
         |  floor(AVG(CASE WHEN v <= vb THEN CAST(v AS DOUBLE)*10000 END)
         |    *10000 + 0.5 + 0.000001)/10000 AS cvar_5pct
         |FROM chg, cut""".stripMargin,
+    "q_payback" ->
+      """WITH fo AS (SELECT o_custkey AS ck,
+        |    CAST(date_trunc('quarter', MIN(o_orderdate)) AS DATE)
+        |      AS cohort
+        |  FROM orders GROUP BY 1),
+        |rev AS (SELECT cohort,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000
+        |      AS rev
+        |  FROM orders JOIN fo ON o_custkey = ck GROUP BY 1, 2),
+        |sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |  FROM fo GROUP BY 1),
+        |cum AS (SELECT rev.cohort AS cohort, m, n_cust,
+        |    floor(SUM(rev) OVER (PARTITION BY rev.cohort ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/n_cust
+        |      *10000 + 0.5 + 0.000001)/10000 AS cpc,
+        |    CAST(datediff('month', rev.cohort, m) + 1 AS BIGINT) AS age
+        |  FROM rev JOIN sz ON rev.cohort = sz.cohort)
+        |SELECT cohort, CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+        |  CAST(MIN(CASE WHEN cpc >= 30000.0 THEN age END) AS BIGINT)
+        |    AS payback_months,
+        |  floor(MAX(cpc)*10000 + 0.5 + 0.000001)/10000 AS ltv_to_date
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_neyman" ->
+      """WITH g AS (SELECT r_name AS region,
+        |    CAST(COUNT(*) AS DOUBLE) AS nh,
+        |    AVG(o_totalprice/1000.0) AS mu,
+        |    SUM((o_totalprice/1000.0)*(o_totalprice/1000.0)) AS s2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1),
+        |gq AS (SELECT region, nh,
+        |    floor(sqrt((s2 - nh*mu*mu)/(nh - 1))*1000000 + 0.5
+        |      + 0.000001)/1000000 AS sd
+        |  FROM g),
+        |tot AS (SELECT SUM(nh*sd) AS tw, SUM(nh) AS tn FROM gq)
+        |SELECT region, CAST(nh AS BIGINT) AS n_rows,
+        |  floor(sd*10000 + 0.5 + 0.000001)/10000 AS stratum_sd,
+        |  floor(1000.0*nh*sd/tw*10000 + 0.5 + 0.000001)/10000
+        |    AS neyman_n,
+        |  floor(1000.0*nh/tn*10000 + 0.5 + 0.000001)/10000
+        |    AS proportional_n
+        |FROM gq, tot ORDER BY 1""".stripMargin,
+    "q_month_index" ->
+      """WITH monthly AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |tr AS (SELECT m, rev,
+        |    AVG(rev) OVER (ORDER BY m ROWS BETWEEN 6 PRECEDING
+        |      AND 5 FOLLOWING) AS trend,
+        |    COUNT(rev) OVER (ORDER BY m ROWS BETWEEN 6 PRECEDING
+        |      AND 5 FOLLOWING) AS nw
+        |  FROM monthly),
+        |rt AS (SELECT CAST(EXTRACT(month FROM m) AS INTEGER) AS moy,
+        |    floor(rev/trend*1000000 + 0.5 + 0.000001)/1000000 AS ratio
+        |  FROM tr WHERE nw = 12),
+        |raw AS (SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_months,
+        |    floor(AVG(ratio)*1000000 + 0.5 + 0.000001)/1000000
+        |      AS raw_idx
+        |  FROM rt GROUP BY 1),
+        |norm AS (SELECT AVG(raw_idx) AS mean_idx FROM raw)
+        |SELECT moy AS month, n_months,
+        |  floor(raw_idx/mean_idx*10000 + 0.5 + 0.000001)/10000
+        |    AS seasonal_index
+        |FROM raw, norm ORDER BY 1""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

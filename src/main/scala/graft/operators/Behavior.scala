@@ -289,6 +289,47 @@ object Behavior {
     }.reduce(_ unionAll _).orderBy(col("win_label"))
   }
 
+  /** Cohort payback period: for each signup-quarter cohort of
+    * customers, the first month whose cumulative revenue per customer
+    * crosses a fixed acquisition cost — the unit-economics readout
+    * next to [[cohortLtv]]'s curve ("WHEN do we break even", not just
+    * how much). Cohort = quarter of the customer's first order.
+    *
+    * Scale shape: customer-grain first-order pass, (cohort × month)
+    * rollup, one cohort-keyed cumulative window over the
+    * calendar-bounded month frame, then a min-month conditional
+    * aggregate. Cumulative revenue is quantized before the threshold
+    * compare so the crossing month can't flip on engine ulp. */
+  def paybackPeriod(s: SparkSession, dir: String, cac: Double = 30000.0):
+      DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstOrder = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("first_d"))
+      .select(col("o_custkey").as("ck"),
+        date_trunc("quarter", col("first_d")).cast("date").as("cohort"))
+    val rev = Tables.orders(s, dir)
+      .join(firstOrder, col("o_custkey") === col("ck"))
+      .groupBy(col("cohort"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+    val size = firstOrder.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_cust"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = rev.join(broadcast(size), "cohort")
+      .withColumn("cum_per_cust",
+        round4eps(sum(col("rev")).over(w) / col("n_cust")))
+      .withColumn("age", (months_between(col("m"), col("cohort")) + 1)
+        .cast("long"))
+    cum.groupBy(col("cohort"))
+      .agg(max(col("n_cust")).as("n_customers"),
+        min(when(col("cum_per_cust") >= cac, col("age")))
+          .as("payback_months"),
+        round4eps(max(col("cum_per_cust"))).as("ltv_to_date"))
+      .orderBy(col("cohort"))
+  }
+
   /** Cross-correlation between two event types' daily counts at lags
     * −3..+3 — "do errors lead or lag purchases?" A positive peak at
     * negative lag means series X moves first. Pearson correlation on

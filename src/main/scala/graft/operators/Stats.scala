@@ -810,6 +810,74 @@ object Stats {
         col("cvar").as("cvar_5pct"))
   }
 
+  /** Neyman optimal sample allocation across the five regions for a
+    * fixed total sample (n = 1000): n_h ∝ N_h·σ_h (strata with more
+    * rows AND more variance get more sample), beside the proportional
+    * allocation for contrast — the survey-design step before any
+    * stratified estimate. One moment pass to the strata-bounded
+    * frame; σ uses the sample std with 2-decimal-pinned values so the
+    * allocation ratios are parity-stable. */
+  def neymanAllocation(s: SparkSession, dir: String, total: Int = 1000):
+      DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val g = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(count(lit(1)).cast("double").as("nh"),
+        avg(col("o_totalprice") / lit(1e3)).as("mu"),
+        sum((col("o_totalprice") / lit(1e3)) *
+          (col("o_totalprice") / lit(1e3))).as("s2"))
+      .select(col("region"), col("nh"),
+        round6eps(sqrt((col("s2") - col("nh") * col("mu") * col("mu")) /
+          (col("nh") - 1))).as("sd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = g.agg(sum(col("nh") * col("sd")).as("tw"),
+      sum(col("nh")).as("tn"))
+    g.crossJoin(broadcast(tot))
+      .select(col("region"), col("nh").cast("long").as("n_rows"),
+        round4eps(col("sd")).as("stratum_sd"),
+        round4eps(lit(total.toDouble) * col("nh") * col("sd") /
+          col("tw")).as("neyman_n"),
+        round4eps(lit(total.toDouble) * col("nh") / col("tn"))
+          .as("proportional_n"))
+      .orderBy(col("region"))
+  }
+
+  /** Monthly seasonal indices by ratio-to-trend: each month's revenue
+    * over its centered 12-month moving average, averaged per
+    * calendar month and normalized to mean 1 — the month-of-year
+    * twin of the day-of-week decomposition gate (an index of 1.15 =
+    * "Julys run 15% hot"). All windows run on the calendar-bounded
+    * monthly frame; ratios are quantized before the month-of-year
+    * average. */
+  def monthIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+    val w = Window.orderBy(col("m")) // calendar-bounded frame
+    val trended = monthly
+      .withColumn("trend", avg(col("rev")).over(w.rowsBetween(-6, 5)))
+      .withColumn("nw", count(col("rev")).over(w.rowsBetween(-6, 5)))
+      .filter(col("nw") === 12) // full centered windows only
+      .select(month(col("m")).as("moy"),
+        round6eps(col("rev") / col("trend")).as("ratio"))
+    val raw = trended.groupBy(col("moy"))
+      .agg(count(lit(1)).as("n_months"),
+        round6eps(avg(col("ratio"))).as("raw_idx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norm = raw.agg(avg(col("raw_idx")).as("mean_idx"))
+    raw.crossJoin(broadcast(norm))
+      .select(col("moy").as("month"), col("n_months"),
+        round4eps(col("raw_idx") / col("mean_idx")).as("seasonal_index"))
+      .orderBy(col("month"))
+  }
+
   /** Mutual information (and the marginal entropies) between the
     * quantity bucket and the return flag — the information-gain
     * feature screen that complements the WoE/IV gate: MI =

@@ -886,6 +886,37 @@ class StatsSpec extends AnyFunSuite {
       r.getAs[Long]("var_5pct").toDouble + 10000) // bucket width slack
   }
 
+  test("neymanAllocation: both allocations sum to the total sample; " +
+    "Neyman overweights the high-variance strata") {
+    val rows = Stats.neymanAllocation(spark, dir).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("neyman_n")).sum - 1000.0)
+      < 0.1)
+    assert(math.abs(rows.map(_.getAs[Double]("proportional_n")).sum -
+      1000.0) < 0.1)
+    rows.foreach(r => assert(r.getAs[Double]("neyman_n") > 0.0))
+  }
+
+  test("monthIndex: indices normalize to mean 1 across months") {
+    val rows = Stats.monthIndex(spark, dir).collect()
+    assert(rows.length == 12)
+    val mean = rows.map(_.getAs[Double]("seasonal_index")).sum / 12
+    assert(math.abs(mean - 1.0) < 0.01)
+  }
+
+  test("paybackPeriod: cumulative LTV is reached at or after the " +
+    "payback month; months positive") {
+    val rows = graft.operators.Behavior.paybackPeriod(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pm = r.getAs[java.lang.Long]("payback_months")
+      if (pm != null) {
+        assert(pm >= 1L)
+        assert(r.getAs[Double]("ltv_to_date") >= 30000.0)
+      }
+    }
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
