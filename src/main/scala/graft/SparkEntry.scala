@@ -773,6 +773,10 @@ object SparkEntry {
     "q_payback"          -> ((s, d) => graft.operators.Behavior.paybackPeriod(s, d)),
     "q_neyman"           -> ((s, d) => Stats.neymanAllocation(s, d)),
     "q_month_index"      -> ((s, d) => Stats.monthIndex(s, d)),
+    // CPG loyalty, product traction, substitution economics
+    "q_brand_switching"  -> ((s, d) => Joins.brandSwitching(s, d)),
+    "q_adoption"         -> ((s, d) => Joins.adoptionVelocity(s, d)),
+    "q_cross_elasticity" -> ((s, d) => Joins.crossElasticity(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -6979,6 +6983,75 @@ object SparkEntry {
         |  floor(raw_idx/mean_idx*10000 + 0.5 + 0.000001)/10000
         |    AS seasonal_index
         |FROM raw, norm ORDER BY 1""".stripMargin,
+    "q_brand_switching" ->
+      """WITH ob0 AS (SELECT l_orderkey, p_brand, SUM(l_quantity) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |ob AS (SELECT l_orderkey, p_brand AS brand FROM (
+        |    SELECT l_orderkey, p_brand,
+        |      ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |        ORDER BY q DESC, p_brand) AS rn
+        |    FROM ob0) r WHERE rn = 1),
+        |seq0 AS (SELECT o_custkey AS ck, o_orderdate AS d,
+        |    o_orderkey AS ok, brand
+        |  FROM ob JOIN orders ON l_orderkey = o_orderkey),
+        |pr AS (SELECT lag(brand) OVER (PARTITION BY ck
+        |    ORDER BY d, ok) AS prev, brand
+        |  FROM seq0),
+        |pairs AS (SELECT prev AS from_brand, brand AS to_brand,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT SUM(n) AS tn FROM pairs)
+        |SELECT from_brand, to_brand, n,
+        |  floor(CAST(n AS DOUBLE)/tn*10000 + 0.5 + 0.000001)/10000
+        |    AS share,
+        |  from_brand = to_brand AS loyal
+        |FROM pairs, tot
+        |ORDER BY n DESC, from_brand, to_brand LIMIT 10""".stripMargin,
+    "q_adoption" ->
+      """WITH po AS (SELECT l_partkey, CAST(o_orderdate AS DATE) AS d,
+        |    o_orderkey AS ok
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |rk AS (SELECT l_partkey, d,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY d, ok) AS rn
+        |  FROM po),
+        |agg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    MIN(d) AS first_day,
+        |    MIN(CASE WHEN rn = 10 THEN d END) AS kth
+        |  FROM rk GROUP BY 1)
+        |SELECT l_partkey, n_orders, first_day,
+        |  CAST(date_diff('day', first_day, kth) AS BIGINT)
+        |    AS days_to_10th
+        |FROM agg WHERE kth IS NOT NULL
+        |ORDER BY days_to_10th, l_partkey LIMIT 10""".stripMargin,
+    "q_cross_elasticity" ->
+      """WITH li AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    p_brand,
+        |    floor(SUM(l_quantity)*10000 + 0.5 + 0.000001)/10000 AS q,
+        |    floor(SUM(l_extendedprice)/SUM(l_quantity)*10000 + 0.5
+        |      + 0.000001)/10000 AS p
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE p_brand IN ('Brand#11', 'Brand#12')
+        |  GROUP BY 1, 2),
+        |a AS (SELECT m, ln(q) AS lqa, ln(p) AS lpa FROM li
+        |  WHERE p_brand = 'Brand#11'),
+        |b AS (SELECT m, ln(p) AS lpb FROM li
+        |  WHERE p_brand = 'Brand#12'),
+        |j AS (SELECT lqa, lpa, lpb FROM a JOIN b ON a.m = b.m),
+        |mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(lqa) AS sq,
+        |    SUM(lpb) AS sb, SUM(lpa) AS sa, SUM(lqa*lpb) AS sqb,
+        |    SUM(lpb*lpb) AS sbb, SUM(lqa*lpa) AS sqa,
+        |    SUM(lpa*lpa) AS saa
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_months,
+        |  floor((sqb - sq*sb/n)/(sbb - sb*sb/n)*10000 + 0.5
+        |    + 0.000001)/10000 AS cross_elasticity,
+        |  floor((sqa - sq*sa/n)/(saa - sa*sa/n)*10000 + 0.5
+        |    + 0.000001)/10000 AS own_elasticity
+        |FROM mom""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

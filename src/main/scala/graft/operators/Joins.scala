@@ -841,6 +841,115 @@ object Joins {
         round4eps(sqrt(lasp * paas)).as("fisher"))
   }
 
+  /** Brand-switching matrix: each order's dominant brand (max
+    * quantity, brand-name tie-break), then consecutive-order brand
+    * transitions per customer — the loyalty/churn readout CPG teams
+    * run (the diagonal is loyalty, off-diagonal flows are switching).
+    * Top 10 transitions with the share of all pairs.
+    *
+    * Scale shape: order-grain argmax via min(struct) (one keyed
+    * shuffle), ONE customer-keyed window for the lag, and a
+    * brand²-bounded count frame for the output. */
+  def brandSwitching(s: SparkSession, dir: String, topN: Int = 10):
+      DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val ob = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(min(struct((-col("q")).as("nq"), col("p_brand").as("b")))
+        .as("w"))
+      .select(col("l_orderkey"), col("w.b").as("brand"))
+    val seq0 = ob.join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("o_orderdate").as("d"),
+        col("o_orderkey").as("ok"), col("brand"))
+    val w = Window.partitionBy(col("ck")).orderBy(col("d"), col("ok"))
+    val pairs = seq0.withColumn("prev", lag(col("brand"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_brand"), col("brand").as("to_brand"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = pairs.agg(sum(col("n")).as("tn"))
+    pairs.crossJoin(broadcast(tot))
+      .select(col("from_brand"), col("to_brand"), col("n"),
+        round4eps(col("n").cast("double") / col("tn")).as("share"),
+        (col("from_brand") === col("to_brand")).as("loyal"))
+      .orderBy(col("n").desc, col("from_brand"), col("to_brand"))
+      .limit(topN)
+  }
+
+  /** Adoption velocity: for every part with at least 10 orders, the
+    * days from its FIRST order to its TENTH — the new-product
+    * traction readout ("which parts caught on fastest"). Top 10 by
+    * velocity with deterministic tie-breaks.
+    *
+    * Scale shape: order dates rank inside a part-keyed window
+    * (bounded by orders-per-part), then one part-grain aggregate —
+    * no global sort until the TakeOrdered top-k. */
+  def adoptionVelocity(s: SparkSession, dir: String, kth: Int = 10,
+      topN: Int = 10): DataFrame = {
+    val po = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("o_orderdate").cast("date").as("d"),
+        col("o_orderkey").as("ok"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("d"), col("ok"))
+    val ranked = po.withColumn("rn", row_number().over(w))
+    ranked.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("d")).as("first_day"),
+        min(when(col("rn") === kth, col("d"))).as("kth_day"))
+      .filter(col("kth_day").isNotNull)
+      .select(col("l_partkey"), col("n_orders"), col("first_day"),
+        datediff(col("kth_day"), col("first_day")).cast("long")
+          .as("days_to_10th"))
+      .orderBy(col("days_to_10th"), col("l_partkey"))
+      .limit(topN)
+  }
+
+  /** Cross-price elasticity between two brands: ln(monthly quantity
+    * of brand A) regressed on ln(monthly mean unit price of brand B)
+    * — a positive slope says B's price hikes push buyers to A
+    * (substitutes). The own-price elasticity of A rides along for
+    * contrast. Closed-form slope from one moment pass over the
+    * calendar-bounded monthly frame; prices and quantities are
+    * quantized before the logs. */
+  def crossElasticity(s: SparkSession, dir: String,
+      brandA: String = "Brand#11", brandB: String = "Brand#12"):
+      DataFrame = {
+    import graft.functions.Rounding.{round4eps, round6eps}
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("p_brand").isin(brandA, brandB))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"), col("p_brand"))
+      .agg(round4eps(sum(col("l_quantity"))).as("q"),
+        round4eps(sum(col("l_extendedprice")) / sum(col("l_quantity")))
+          .as("p"))
+    val a = li.filter(col("p_brand") === brandA)
+      .select(col("m"), log(col("q")).as("lqa"), log(col("p")).as("lpa"))
+    val b = li.filter(col("p_brand") === brandB)
+      .select(col("m").as("m2"), log(col("p")).as("lpb"))
+    val j = a.join(b, col("m") === col("m2"))
+    val mom = j.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("lqa")).as("sq"), sum(col("lpb")).as("sb"),
+      sum(col("lpa")).as("sa"),
+      sum(col("lqa") * col("lpb")).as("sqb"),
+      sum(col("lpb") * col("lpb")).as("sbb"),
+      sum(col("lqa") * col("lpa")).as("sqa"),
+      sum(col("lpa") * col("lpa")).as("saa"))
+    mom.select(col("n").cast("long").as("n_months"),
+      round4eps((col("sqb") - col("sq") * col("sb") / col("n")) /
+        (col("sbb") - col("sb") * col("sb") / col("n")))
+        .as("cross_elasticity"),
+      round4eps((col("sqa") - col("sq") * col("sa") / col("n")) /
+        (col("saa") - col("sa") * col("sa") / col("n")))
+        .as("own_elasticity"))
+  }
+
   /** Empirical-Bayes (James-Stein / beta-binomial) shrinkage of
     * per-brand return rates toward the pooled rate: the prior
     * strength M comes from the method of moments on the between-brand

@@ -917,6 +917,41 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("brandSwitching: shares bounded; every transition brand " +
+    "exists in the catalog") {
+    val rows = graft.operators.Joins.brandSwitching(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val brands = Tables.part(spark, dir).select("p_brand").distinct()
+      .collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(brands(r.getAs[String]("from_brand")))
+      assert(brands(r.getAs[String]("to_brand")))
+      val sh = r.getAs[Double]("share")
+      assert(sh > 0.0 && sh <= 1.0)
+      assert(r.getAs[Boolean]("loyal") ==
+        (r.getAs[String]("from_brand") == r.getAs[String]("to_brand")))
+    }
+  }
+
+  test("adoptionVelocity: every reported part has >= 10 orders and " +
+    "nonnegative, sorted velocities") {
+    val rows = graft.operators.Joins.adoptionVelocity(spark, dir)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orders") >= 10L)
+      assert(r.getAs[Long]("days_to_10th") >= 0L)
+    }
+    val vs = rows.map(_.getAs[Long]("days_to_10th"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("crossElasticity: both slopes finite over a full month panel") {
+    val r = graft.operators.Joins.crossElasticity(spark, dir).head()
+    assert(r.getAs[Long]("n_months") > 12)
+    assert(!r.getAs[Double]("cross_elasticity").isNaN)
+    assert(!r.getAs[Double]("own_elasticity").isNaN)
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
