@@ -777,6 +777,9 @@ object SparkEntry {
     "q_brand_switching"  -> ((s, d) => Joins.brandSwitching(s, d)),
     "q_adoption"         -> ((s, d) => Joins.adoptionVelocity(s, d)),
     "q_cross_elasticity" -> ((s, d) => Joins.crossElasticity(s, d)),
+    // embedding-space ML eval: LOO-kNN accuracy + label silhouette
+    "q_knn_accuracy"     -> ((s, d) => Similarity.knnAccuracy(s, d)),
+    "q_silhouette"       -> ((s, d) => Similarity.labelSilhouette(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -7052,6 +7055,63 @@ object SparkEntry {
         |  floor((sqa - sq*sa/n)/(saa - sa*sa/n)*10000 + 0.5
         |    + 0.000001)/10000 AS own_elasticity
         |FROM mom""".stripMargin,
+    "q_knn_accuracy" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+        |  FROM e WHERE vec_id < 50),
+        |scored AS (SELECT q.query_id, q.query_label, e.vec_id, e.label,
+        |    list_dot_product(q.qv, e.v)
+        |      /(sqrt(list_dot_product(q.qv, q.qv))
+        |        *sqrt(list_dot_product(e.v, e.v))) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |topk AS (SELECT query_id, query_label, label FROM (
+        |    SELECT query_id, query_label, label,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, vec_id) AS rn
+        |    FROM scored) r WHERE rn <= 5),
+        |votes AS (SELECT query_id, query_label, label,
+        |    COUNT(*) AS votes
+        |  FROM topk GROUP BY 1, 2, 3),
+        |pred AS (SELECT query_id, query_label, label AS predicted
+        |  FROM (SELECT query_id, query_label, label,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, label) AS rn
+        |    FROM votes) r WHERE rn = 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k,
+        |  CAST(SUM(CASE WHEN predicted = query_label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  floor(SUM(CASE WHEN predicted = query_label THEN 1 ELSE 0 END)
+        |    *1.0/COUNT(*)*10000 + 0.5 + 0.000001)/10000 AS accuracy
+        |FROM pred""".stripMargin,
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |u AS (SELECT label, generate_subscripts(v, 1) AS i,
+        |    unnest(v) AS x
+        |  FROM e),
+        |cent AS (SELECT clabel, list(sx/cnt ORDER BY i) AS c FROM
+        |    (SELECT label AS clabel, i, SUM(x) AS sx, COUNT(*) AS cnt
+        |     FROM u GROUP BY 1, 2) g
+        |  GROUP BY 1),
+        |pp AS (SELECT e.vec_id, e.label, cent.clabel,
+        |    sqrt(GREATEST(list_dot_product(v, v)
+        |      - 2*list_dot_product(v, c)
+        |      + list_dot_product(c, c), 0.0)) AS d
+        |  FROM e CROSS JOIN cent),
+        |ab AS (SELECT vec_id, label,
+        |    MIN(CASE WHEN label = clabel THEN d END) AS a,
+        |    MIN(CASE WHEN label <> clabel THEN d END) AS b
+        |  FROM pp GROUP BY 1, 2)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  floor(AVG((b - a)/GREATEST(a, b))*10000 + 0.5
+        |    + 0.000001)/10000 AS mean_silhouette,
+        |  floor(AVG(a)*10000 + 0.5 + 0.000001)/10000 AS mean_intra,
+        |  floor(AVG(b)*10000 + 0.5 + 0.000001)/10000
+        |    AS mean_nearest_other
+        |FROM ab GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

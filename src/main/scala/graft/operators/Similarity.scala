@@ -891,6 +891,82 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Leave-one-out kNN label accuracy over the embedding corpus: for
+    * each of the first 50 vectors, predict its label by majority vote
+    * of its 5 nearest neighbors (self excluded; vote ties broken by
+    * label) and score against the true label — the quickest "do these
+    * embeddings encode the label at all" eval, run before any probe
+    * training.
+    *
+    * Scale shape: same bounded-heap TopKPerGroup reduction as
+    * [[knnBrute]] (queries broadcast, at most k rows forwarded per
+    * partition per query); the vote is a |labels|-bounded count
+    * argmax per query. */
+  def knnAccuracy(s: SparkSession, dir: String, nQ: Int = 50,
+      k: Int = 5): DataFrame = {
+    val base = corpus(s, dir)
+    val qs = base.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    val scored = base.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("embedding")))
+      .select(col("query_id"), col("query_label"), col("vec_id"),
+        col("label"), col("sim"))
+    val topk = graft.plans.TopKPerGroup(scored,
+      Seq(col("query_id")), Seq(col("sim").desc, col("vec_id")), k)
+    val pred = topk.groupBy(col("query_id"), col("query_label"),
+        col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(min(struct((-col("votes")).as("nv"), col("label").as("l")))
+        .as("w"))
+      .select(col("query_id"), col("query_label"),
+        col("w.l").as("predicted"))
+    pred.agg(count(lit(1)).as("n_queries"),
+        sum(when(col("predicted") === col("query_label"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("n_queries"), lit(k).as("k"), col("n_correct"),
+        round4eps(col("n_correct").cast("double") / col("n_queries"))
+          .as("accuracy"))
+  }
+
+  /** Simplified silhouette of the TRUE label partition in embedding
+    * space (a = distance to own label's centroid, b = nearest other
+    * centroid, s = (b−a)/max(a,b)) — "are the labels geometrically
+    * separable", the clustering-quality readout against ground truth.
+    *
+    * Scale shape: centroids come from ONE vec_sum pass (a double[64]
+    * buffer per label); each point then scores against the broadcast
+    * 10-row centroid table with distances via the dot-product
+    * identity d² = v·v − 2v·c + c·c, so both engines run the same
+    * three sequential-fold dots. */
+  def labelSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("v", transform(col("embedding"), _.cast("double")))
+    val cents = e.groupBy(col("label").as("clabel"))
+      .agg(count(lit(1)).cast("double").as("cn"), vecSum(col("v")).as("sv"))
+      .select(col("clabel"),
+        transform(col("sv"), x => x / col("cn")).as("c"))
+    val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c")) +
+      dot(col("c"), col("c"))
+    val perPoint = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        sqrt(greatest(d2, lit(0.0))).as("d"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("label") === col("clabel"), col("d"))).as("a"),
+        min(when(col("label") =!= col("clabel"), col("d"))).as("b"))
+    perPoint
+      .select(col("label"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sil"),
+        col("a"), col("b"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round4eps(avg(col("sil"))).as("mean_silhouette"),
+        round4eps(avg(col("a"))).as("mean_intra"),
+        round4eps(avg(col("b"))).as("mean_nearest_other"))
+      .orderBy(col("label"))
+  }
+
   /** Embedding-space isotropy per label: the mean pairwise cosine of
     * the L2-normalized vectors, computed WITHOUT any pairwise join via
     * the sum-vector identity mean_{i≠j} cos(uᵢ,uⱼ) =

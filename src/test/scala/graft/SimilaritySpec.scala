@@ -338,6 +338,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnAccuracy: counts consistent; accuracy is the correct " +
+    "ratio and bounded") {
+    val r = Similarity.knnAccuracy(spark, TestSpark.sfDir).head()
+    val n = r.getAs[Long]("n_queries")
+    val c = r.getAs[Long]("n_correct")
+    assert(n > 0 && c >= 0 && c <= n)
+    assert(math.abs(r.getAs[Double]("accuracy") - c.toDouble / n) < 1e-3)
+    assert(r.getAs[Int]("k") == 5)
+  }
+
+  test("labelSilhouette: silhouettes bounded in [-1,1]; intra " +
+    "distance is nonnegative") {
+    val rows = Similarity.labelSilhouette(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.embeddings(spark, TestSpark.sfDir).count())
+    rows.foreach { r =>
+      val sil = r.getAs[Double]("mean_silhouette")
+      assert(sil >= -1.0 && sil <= 1.0)
+      assert(r.getAs[Double]("mean_intra") >= 0.0)
+      assert(r.getAs[Double]("mean_nearest_other") >= 0.0)
+    }
+  }
+
   test("dimVariance: top-10 by variance matches a from-scratch " +
     "per-dimension recomputation") {
     val vs = Tables.embeddings(spark, TestSpark.sfDir)
