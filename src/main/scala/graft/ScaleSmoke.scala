@@ -311,6 +311,28 @@ object ScaleSmoke {
     // aggregates — linear scan, constant state. cohensKappa: the
     // confusion frame is |langs|²-bounded. kfoldAssign: pure hash map
     // pass + 5-ary count.
+    // batch-3 additions. energyDistance: the pair walk is value-
+    // domain², constant while the scan grows. intervalOverlap /
+    // dupeInvoices: per-key quadratics bounded by orders-per-customer
+    // and per-amount collision density. revenueBridge/priceIndex
+    // skeleton: boundary-year rollup + part-keyed join. textRank: the
+    // graph is vocab-bounded; replication repeats the same bigrams so
+    // per-iteration joins stay constant-size while tokenization grows.
+    // brandSwitching: order-grain argmax + one customer lag window.
+    // paybackPeriod: cohort-keyed cumulative window, months bounded.
+    // knnAccuracy/labelSilhouette: broadcast queries/centroids,
+    // corpus-linear scoring. madOutliers: two integer distribution
+    // collapses, value-bounded.
+    run("energyDistance")(operators.Stats.energyDistance(spark, dir))
+    run("intervalOverlap")(operators.TemporalJoins.intervalOverlap(spark, dir))
+    run("dupeInvoices")(operators.Joins.dupeInvoices(spark, dir))
+    run("revenueBridge")(operators.Joins.revenueBridge(spark, dir))
+    run("textRank")(operators.TextAnalysis.textRank(spark, dir))
+    run("brandSwitching")(operators.Joins.brandSwitching(spark, dir))
+    run("paybackPeriod")(operators.Behavior.paybackPeriod(spark, dir))
+    run("knnAccuracy")(operators.Similarity.knnAccuracy(spark, dir))
+    run("labelSilhouette")(operators.Similarity.labelSilhouette(spark, dir))
+    run("madOutliers")(operators.Stats.madOutliers(spark, dir))
     run("kruskalWallis")(operators.Stats.kruskalWallis(spark, dir))
     run("leveneBf")(operators.Stats.leveneBf(spark, dir))
     run("hhiConcentration")(operators.Relational.hhiConcentration(spark, dir))
