@@ -780,6 +780,7 @@ object SparkEntry {
     // embedding-space ML eval: LOO-kNN accuracy + label silhouette
     "q_knn_accuracy"     -> ((s, d) => Similarity.knnAccuracy(s, d)),
     "q_silhouette"       -> ((s, d) => Similarity.labelSilhouette(s, d)),
+    "q_retrieval_metrics" -> ((s, d) => Similarity.retrievalMetrics(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -7112,6 +7113,51 @@ object SparkEntry {
         |  floor(AVG(b)*10000 + 0.5 + 0.000001)/10000
         |    AS mean_nearest_other
         |FROM ab GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_retrieval_metrics" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+        |  FROM e WHERE vec_id < 50),
+        |scored AS (SELECT q.query_id, q.query_label, e.vec_id, e.label,
+        |    list_dot_product(q.qv, e.v)
+        |      /(sqrt(list_dot_product(q.qv, q.qv))
+        |        *sqrt(list_dot_product(e.v, e.v))) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, query_label, label,
+        |    CASE WHEN label = query_label THEN 1 ELSE 0 END AS rel,
+        |    rn AS rank
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, vec_id) AS rn
+        |    FROM scored) r WHERE rn <= 5),
+        |lc AS (SELECT label AS ql, CAST(COUNT(*) AS BIGINT) AS lc
+        |  FROM e GROUP BY 1),
+        |perq AS (SELECT query_id, query_label,
+        |    SUM(rel) AS n_rel_at_k,
+        |    MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+        |    SUM(CAST(rel AS DOUBLE)/log2(rank + 1)) AS dcg
+        |  FROM ranked GROUP BY 1, 2),
+        |pq AS (SELECT perq.*, lc.lc - 1 AS n_relevant
+        |  FROM perq JOIN lc ON perq.query_label = lc.ql),
+        |f AS (SELECT query_id, n_rel_at_k, first_rel, dcg, n_relevant,
+        |    (CASE WHEN n_relevant >= 1 THEN 1.0/log2(2.0) ELSE 0.0 END
+        |     + CASE WHEN n_relevant >= 2 THEN 1.0/log2(3.0) ELSE 0.0 END
+        |     + CASE WHEN n_relevant >= 3 THEN 1.0/log2(4.0) ELSE 0.0 END
+        |     + CASE WHEN n_relevant >= 4 THEN 1.0/log2(5.0) ELSE 0.0 END
+        |     + CASE WHEN n_relevant >= 5 THEN 1.0/log2(6.0) ELSE 0.0 END)
+        |      AS idcg
+        |  FROM pq)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  floor(AVG(CAST(n_rel_at_k AS DOUBLE)/5)*10000 + 0.5
+        |    + 0.000001)/10000 AS precision_at_5,
+        |  floor(AVG(CAST(n_rel_at_k AS DOUBLE)
+        |    /CAST(LEAST(n_relevant, 5) AS DOUBLE))*10000 + 0.5
+        |    + 0.000001)/10000 AS recall_at_5,
+        |  floor(AVG(COALESCE(1.0/first_rel, 0.0))*10000 + 0.5
+        |    + 0.000001)/10000 AS mrr,
+        |  floor(AVG(dcg/idcg)*10000 + 0.5 + 0.000001)/10000
+        |    AS ndcg_at_5
+        |FROM f""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

