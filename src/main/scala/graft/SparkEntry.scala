@@ -781,6 +781,10 @@ object SparkEntry {
     "q_knn_accuracy"     -> ((s, d) => Similarity.knnAccuracy(s, d)),
     "q_silhouette"       -> ((s, d) => Similarity.labelSilhouette(s, d)),
     "q_retrieval_metrics" -> ((s, d) => Similarity.retrievalMetrics(s, d)),
+    // spectrum health, leaderboard churn, ranking agreement
+    "q_effective_dim"    -> ((s, d) => Similarity.effectiveDim(s, d)),
+    "q_rank_volatility"  -> ((s, d) => Joins.rankVolatility(s, d)),
+    "q_rank_agreement"   -> ((s, d) => Joins.rankAgreement(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -7158,6 +7162,69 @@ object SparkEntry {
         |  floor(AVG(dcg/idcg)*10000 + 0.5 + 0.000001)/10000
         |    AS ndcg_at_5
         |FROM f""".stripMargin,
+    "q_effective_dim" ->
+      """WITH e AS (SELECT [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |u AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x
+        |  FROM e),
+        |m AS (SELECT i, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS s1,
+        |    SUM(x*x) AS s2
+        |  FROM u GROUP BY 1),
+        |lam AS (SELECT floor((s2/n - (s1/n)*(s1/n))*10000 + 0.5
+        |    + 0.000001)/10000 AS lam
+        |  FROM m)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |  floor(SUM(lam)*SUM(lam)/SUM(lam*lam)*10000 + 0.5
+        |    + 0.000001)/10000 AS effective_dim,
+        |  floor(SUM(lam)*SUM(lam)/SUM(lam*lam)/COUNT(*)*10000 + 0.5
+        |    + 0.000001)/10000 AS dim_utilization
+        |FROM lam""".stripMargin,
+    "q_rank_volatility" ->
+      """WITH mb AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    p_brand,
+        |    floor(SUM(l_extendedprice*(1.0 - l_discount))*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT m, p_brand, ROW_NUMBER() OVER (PARTITION BY m
+        |    ORDER BY rev DESC, p_brand) AS rk
+        |  FROM mb),
+        |d0 AS (SELECT rk, lag(rk) OVER (PARTITION BY p_brand
+        |    ORDER BY m) AS prk
+        |  FROM rk),
+        |d AS (SELECT CAST(abs(rk - prk) AS BIGINT) AS d FROM d0
+        |  WHERE prk IS NOT NULL)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  floor(AVG(CAST(d AS DOUBLE))*10000 + 0.5 + 0.000001)/10000
+        |    AS mean_abs_change,
+        |  CAST(MAX(d) AS BIGINT) AS max_jump,
+        |  floor(AVG(CASE WHEN d = 0 THEN 1.0 ELSE 0.0 END)*10000
+        |    + 0.5 + 0.000001)/10000 AS stay_rate
+        |FROM d""".stripMargin,
+    "q_rank_agreement" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    floor(SUM(l_quantity)*10000 + 0.5 + 0.000001)/10000
+        |      AS qty,
+        |    floor(SUM(l_extendedprice*(1.0 - l_discount))*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM lineitem GROUP BY 1),
+        |rk AS (SELECT l_partkey,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey)
+        |      AS BIGINT) AS rkq,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey)
+        |      AS BIGINT) AS rkr
+        |  FROM pp)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  floor((1.0 - 6.0*SUM((rkq - rkr)*(rkq - rkr))
+        |    /(CAST(COUNT(*) AS DOUBLE)*(CAST(COUNT(*) AS DOUBLE)
+        |      *CAST(COUNT(*) AS DOUBLE) - 1)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS spearman_rho,
+        |  floor(SUM(CASE WHEN rkq <= 100 AND rkr <= 100 THEN 1
+        |    ELSE 0 END)*1.0/100*10000 + 0.5 + 0.000001)/10000
+        |    AS top100_overlap
+        |FROM rk""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

@@ -950,6 +950,80 @@ object Joins {
         .as("own_elasticity"))
   }
 
+  /** Brand leaderboard volatility: month-over-month absolute rank
+    * change of every brand's revenue position — "how churny is the
+    * top-25" (a stable leaderboard and a reshuffling one need
+    * different merchandising). Ranks are TOTAL orders (quantized
+    * revenue, brand tie-break), so both engines assign identical
+    * positions.
+    *
+    * Scale shape: one (month × brand) rollup; rank windows partition
+    * per month (25 rows each); the lag is brand-keyed over the
+    * calendar-bounded month frame. */
+  def rankVolatility(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val mb = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"), col("p_brand"))
+      .agg(round4eps(sum(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")))).as("rev"))
+    val wm = Window.partitionBy(col("m"))
+      .orderBy(col("rev").desc, col("p_brand"))
+    val ranked = mb.withColumn("rk", row_number().over(wm))
+    val wb = Window.partitionBy(col("p_brand")).orderBy(col("m"))
+    val deltas = ranked
+      .withColumn("prev_rk", lag(col("rk"), 1).over(wb))
+      .filter(col("prev_rk").isNotNull)
+      .select((abs(col("rk") - col("prev_rk"))).cast("long").as("d"))
+    deltas.agg(count(lit(1)).as("n_pairs"),
+      round4eps(avg(col("d").cast("double"))).as("mean_abs_change"),
+      max(col("d")).as("max_jump"),
+      round4eps(avg(when(col("d") === 0, 1.0).otherwise(0.0)))
+        .as("stay_rate"))
+  }
+
+  /** Agreement between two part rankings — by total quantity vs by
+    * net revenue: Spearman ρ on the exact integer ranks (total orders
+    * via the part-key tie-break, so Σd² is exact integer arithmetic,
+    * bit-identical cross-engine) plus the top-100 overlap share — the
+    * "do our two definitions of 'top part' even agree" audit.
+    *
+    * Scale shape: one part-grain rollup; both rank windows run over
+    * the part-cardinality-bounded frame (the documented abcParts
+    * bound); the ρ formula is one aggregate. */
+  def rankAgreement(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val pp = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(round4eps(sum(col("l_quantity"))).as("qty"),
+        round4eps(sum(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")))).as("rev"))
+    // part-cardinality-bounded windows (see abcParts note)
+    val rq = row_number().over(
+      Window.orderBy(col("qty").desc, col("l_partkey")))
+    val rr = row_number().over(
+      Window.orderBy(col("rev").desc, col("l_partkey")))
+    val ranked = pp.withColumn("rkq", rq).withColumn("rkr", rr)
+      .select(col("l_partkey"),
+        col("rkq").cast("long").as("rkq"),
+        col("rkr").cast("long").as("rkr"))
+    ranked.agg(count(lit(1)).as("n_parts"),
+        sum((col("rkq") - col("rkr")) * (col("rkq") - col("rkr")))
+          .as("sd2"),
+        sum(when(col("rkq") <= 100 && col("rkr") <= 100, 1L)
+          .otherwise(0L)).as("top100_both"))
+      .select(col("n_parts"),
+        round4eps(lit(1.0) - lit(6.0) * col("sd2") /
+          (col("n_parts").cast("double") *
+            (col("n_parts").cast("double") *
+              col("n_parts").cast("double") - 1)))
+          .as("spearman_rho"),
+        round4eps(col("top100_both").cast("double") / 100)
+          .as("top100_overlap"))
+  }
+
   /** Empirical-Bayes (James-Stein / beta-binomial) shrinkage of
     * per-brand return rates toward the pooled rate: the prior
     * strength M comes from the method of moments on the between-brand

@@ -930,6 +930,34 @@ object Similarity {
           .as("accuracy"))
   }
 
+  /** Effective dimensionality (participation ratio) of the embedding
+    * space from the per-dimension variance spectrum: PR = (Σλ)²/Σλ²
+    * with λ = the 64 coordinate variances — 64 means every dimension
+    * pulls its weight, ≪64 means the space has collapsed onto a few
+    * axes (the one-number companion to [[dimVariance]]'s per-axis
+    * view; the diagonal approximation of the PCA participation
+    * ratio). Two vec_sum moment aggregates, then scalar algebra on
+    * the 64-entry vector. */
+  def effectiveDim(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("v", transform(col("embedding"), _.cast("double")))
+    val m = e.agg(count(lit(1)).cast("double").as("n"),
+      vecSum(col("v")).as("s1"),
+      vecSum(transform(col("v"), x => x * x)).as("s2"))
+    val vars = m.select(col("n"),
+      posexplode(arrays_zip(col("s1"), col("s2"))))
+      .select(round4eps(col("col.s2") / col("n") -
+        (col("col.s1") / col("n")) * (col("col.s1") / col("n")))
+        .as("lam"))
+    vars.agg(count(lit(1)).as("n_dims"),
+        sum(col("lam")).as("sl"), sum(col("lam") * col("lam")).as("sll"))
+      .select(col("n_dims"),
+        round4eps(col("sl") * col("sl") / col("sll"))
+          .as("effective_dim"),
+        round4eps(col("sl") * col("sl") / col("sll") /
+          col("n_dims")).as("dim_utilization"))
+  }
+
   /** Retrieval-quality scorecard for cosine kNN with same-label as
     * the relevance judgment: precision@5, recall@5 (against each
     * query's full relevant set), MRR (first relevant rank) and binary

@@ -376,6 +376,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_queries") > 0)
   }
 
+  test("effectiveDim: participation ratio bounded by (0, n_dims]") {
+    val r = Similarity.effectiveDim(spark, TestSpark.sfDir).head()
+    val nd = r.getAs[Long]("n_dims")
+    val ed = r.getAs[Double]("effective_dim")
+    assert(nd == 64L)
+    assert(ed > 0.0 && ed <= nd + 1e-6)
+    assert(math.abs(r.getAs[Double]("dim_utilization") - ed / nd) < 1e-3)
+  }
+
   test("dimVariance: top-10 by variance matches a from-scratch " +
     "per-dimension recomputation") {
     val vs = Tables.embeddings(spark, TestSpark.sfDir)

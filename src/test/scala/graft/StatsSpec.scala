@@ -952,6 +952,41 @@ class StatsSpec extends AnyFunSuite {
     assert(!r.getAs[Double]("own_elasticity").isNaN)
   }
 
+  test("rankVolatility: stay rate bounded; mean change bounded by " +
+    "max jump") {
+    val r = graft.operators.Joins.rankVolatility(spark, dir).head()
+    assert(r.getAs[Long]("n_pairs") > 0)
+    val sr = r.getAs[Double]("stay_rate")
+    assert(sr >= 0.0 && sr <= 1.0)
+    assert(r.getAs[Double]("mean_abs_change") <=
+      r.getAs[Long]("max_jump").toDouble)
+  }
+
+  test("rankAgreement: Spearman within [-1,1]; overlap within [0,1]; " +
+    "rho matches a from-scratch rank walk") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double) = math.floor(x * 10000 + 0.5 + 1e-6) / 10000
+    val pp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("q"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("r"))
+      .collect().map(x => (x.getLong(0), r4(x.getDouble(1)),
+        r4(x.getDouble(2))))
+    val byQ = pp.sortBy(p => (-p._2, p._1)).zipWithIndex
+      .map { case (p, i) => p._1 -> (i + 1L) }.toMap
+    val byR = pp.sortBy(p => (-p._3, p._1)).zipWithIndex
+      .map { case (p, i) => p._1 -> (i + 1L) }.toMap
+    val n = pp.length.toDouble
+    val sd2 = pp.map(p => math.pow(byQ(p._1) - byR(p._1), 2)).sum
+    val want = 1.0 - 6.0 * sd2 / (n * (n * n - 1))
+    val got = graft.operators.Joins.rankAgreement(spark, dir).head()
+    assert(got.getAs[Long]("n_parts") == pp.length)
+    assert(math.abs(got.getAs[Double]("spearman_rho") - want) < 1e-3)
+    val ov = got.getAs[Double]("top100_overlap")
+    assert(ov >= 0.0 && ov <= 1.0)
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
