@@ -785,6 +785,9 @@ object SparkEntry {
     "q_effective_dim"    -> ((s, d) => Similarity.effectiveDim(s, d)),
     "q_rank_volatility"  -> ((s, d) => Joins.rankVolatility(s, d)),
     "q_rank_agreement"   -> ((s, d) => Joins.rankAgreement(s, d)),
+    // retention decay exponent + the ratio-metric SE correction
+    "q_retention_curve"  -> ((s, d) => graft.operators.Behavior.retentionCurve(s, d)),
+    "q_delta_method"     -> ((s, d) => graft.operators.Behavior.deltaMethodSe(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -7225,6 +7228,59 @@ object SparkEntry {
         |    ELSE 0 END)*1.0/100*10000 + 0.5 + 0.000001)/10000
         |    AS top100_overlap
         |FROM rk""".stripMargin,
+    "q_retention_curve" ->
+      """WITH cohort AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cd
+        |  FROM events GROUP BY 1),
+        |sizes AS (SELECT cd, CAST(COUNT(*) AS BIGINT) AS cs
+        |  FROM cohort GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |po AS (SELECT date_diff('day', cd, d) AS t,
+        |    COUNT(*) AS n_active
+        |  FROM active JOIN cohort USING (user_id)
+        |  WHERE date_diff('day', cd, d) >= 1 GROUP BY 1),
+        |mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+        |ar AS (SELECT cs, date_diff('day', cd, dmax) AS reach
+        |  FROM sizes, mx),
+        |risk AS (SELECT t, SUM(cs) AS n_risk
+        |  FROM (SELECT t FROM po) o JOIN ar ON reach >= t GROUP BY 1),
+        |rates AS (SELECT po.t AS t,
+        |    floor(n_active*1.0/n_risk*1000000 + 0.5
+        |      + 0.000001)/1000000 AS r
+        |  FROM po JOIN risk ON po.t = risk.t),
+        |rr AS (SELECT t, r FROM rates WHERE r > 0),
+        |mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(ln(CAST(t AS DOUBLE))) AS sx, SUM(ln(r)) AS sy,
+        |    SUM(ln(CAST(t AS DOUBLE))*ln(CAST(t AS DOUBLE))) AS sxx,
+        |    SUM(ln(CAST(t AS DOUBLE))*ln(r)) AS sxy
+        |  FROM rr)
+        |SELECT CAST(n AS BIGINT) AS n_offsets,
+        |  floor(-((sxy - sx*sy/n)/(sxx - sx*sx/n))*10000 + 0.5
+        |    + 0.000001)/10000 AS decay_exponent,
+        |  floor(exp((sy - ((sxy - sx*sy/n)/(sxx - sx*sx/n))*sx)/n)
+        |    *10000 + 0.5 + 0.000001)/10000 AS day1_rate_fit
+        |FROM mom""".stripMargin,
+    "q_delta_method" ->
+      """WITH u AS (SELECT user_id,
+        |    floor(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN COALESCE(value, 0.0) ELSE 0.0 END)*10000 + 0.5
+        |      + 0.000001)/10000 AS x,
+        |    CAST(COUNT(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(x) AS mx,
+        |    AVG(y) AS my, SUM(x*x) AS sxx, SUM(y*y) AS syy,
+        |    SUM(x*y) AS sxy
+        |  FROM u)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  floor(mx/my*10000 + 0.5 + 0.000001)/10000
+        |    AS revenue_per_event,
+        |  floor(sqrt((mx/my)*(mx/my)*((sxx/n - mx*mx)/(n*mx*mx)
+        |    + (syy/n - my*my)/(n*my*my)
+        |    - 2.0*(sxy/n - mx*my)/(n*mx*my)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS delta_se,
+        |  floor(sqrt((sxx/n - mx*mx)/n)/my*10000 + 0.5
+        |    + 0.000001)/10000 AS naive_se
+        |FROM m""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

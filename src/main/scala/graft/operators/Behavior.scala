@@ -330,6 +330,91 @@ object Behavior {
       .orderBy(col("cohort"))
   }
 
+  /** Retention-decay curve fit: pool the cohort retention triangle
+    * over cohorts into a retention rate per day offset, then fit the
+    * shifted power law r(t) = a·t^(−b) by log-log moment regression
+    * (offsets ≥ 1) — the decay exponent b is the one-number retention
+    * health metric (b near 0 = sticky, b ≥ 1 = leaky bucket).
+    *
+    * Scale shape: the same two user-keyed rollups as cohortRetention,
+    * pooled to the offset-bounded frame (≤ calendar days); the fit is
+    * one moment aggregate over that frame with q6-pinned rates. */
+  def retentionCurve(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val events = Tables.events(s, dir)
+    val cohort = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cohort.groupBy(col("cohort_date"))
+      .agg(count(lit(1)).as("cs"))
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    // pooled: how many (user, offset) actives vs users AT RISK at that
+    // offset (cohorts old enough to have reached it)
+    val perOffset = active.join(cohort, "user_id")
+      .select(datediff(col("d"), col("cohort_date")).as("t"))
+      .filter(col("t") >= 1)
+      .groupBy(col("t")).agg(count(lit(1)).as("n_active"))
+    val maxD = events.agg(max(to_date(col("ts"))).as("dmax"))
+    val atRisk = sizes.crossJoin(broadcast(maxD))
+      .select(col("cs"),
+        datediff(col("dmax"), col("cohort_date")).as("reach"))
+    // risk set per offset t: users in cohorts with reach >= t — a
+    // bounded (offset × cohort) comparison via a small cross join
+    val offsets = perOffset.select(col("t"))
+    val risk = offsets.crossJoin(broadcast(atRisk))
+      .filter(col("reach") >= col("t"))
+      .groupBy(col("t")).agg(sum(col("cs")).as("n_risk"))
+    val rates = perOffset.join(risk, "t")
+      .select(col("t"),
+        round6eps(col("n_active").cast("double") / col("n_risk"))
+          .as("r"))
+      .filter(col("r") > 0)
+    val mom = rates.agg(count(lit(1)).cast("double").as("n"),
+      sum(log(col("t").cast("double"))).as("sx"),
+      sum(log(col("r"))).as("sy"),
+      sum(log(col("t").cast("double")) * log(col("t").cast("double")))
+        .as("sxx"),
+      sum(log(col("t").cast("double")) * log(col("r"))).as("sxy"))
+    val slope = (col("sxy") - col("sx") * col("sy") / col("n")) /
+      (col("sxx") - col("sx") * col("sx") / col("n"))
+    mom.select(col("n").cast("long").as("n_offsets"),
+      round4eps(-slope).as("decay_exponent"),
+      round4eps(exp((col("sy") - slope * col("sx")) / col("n")))
+        .as("day1_rate_fit"))
+  }
+
+  /** Delta-method standard error for the ratio metric revenue-per-
+    * event (the experimentation-platform correction: a ratio of sums
+    * over users is NOT a mean of per-user ratios, and its naive SE is
+    * wrong): SE²(X̄/Ȳ) ≈ (μx/μy)²(σx²/(nμx²) + σy²/(nμy²) −
+    * 2·cov/(nμxμy)) from one user-grain rollup + one moment pass —
+    * the user is the randomization unit, so all moments are over
+    * user-level (revenue, events) pairs. */
+  def deltaMethodSe(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(round4eps(sum(when(col("event_type") === "purchase",
+        coalesce(col("value"), lit(0.0))).otherwise(0.0))).as("x"),
+        count(lit(1)).cast("double").as("y"))
+    val m = u.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("x")).as("mx"), avg(col("y")).as("my"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val vx = col("sxx") / col("n") - col("mx") * col("mx")
+    val vy = col("syy") / col("n") - col("my") * col("my")
+    val cxy = col("sxy") / col("n") - col("mx") * col("my")
+    val ratio = col("mx") / col("my")
+    val se2 = ratio * ratio * (vx / (col("n") * col("mx") * col("mx")) +
+      vy / (col("n") * col("my") * col("my")) -
+      lit(2.0) * cxy / (col("n") * col("mx") * col("my")))
+    m.select(col("n").cast("long").as("n_users"),
+      round4eps(ratio).as("revenue_per_event"),
+      round4eps(sqrt(se2)).as("delta_se"),
+      round4eps(sqrt(vx / col("n")) / col("my")).as("naive_se"))
+  }
+
   /** Cross-correlation between two event types' daily counts at lags
     * −3..+3 — "do errors lead or lag purchases?" A positive peak at
     * negative lag means series X moves first. Pearson correlation on

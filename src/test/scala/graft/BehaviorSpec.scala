@@ -240,6 +240,32 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("retentionCurve: decay exponent positive for a decaying " +
+    "pooled curve; day-1 fit within (0, 1.5]") {
+    val sf = TestSpark.sfDir
+    val r = Behavior.retentionCurve(spark, sf).head()
+    assert(r.getAs[Long]("n_offsets") > 3)
+    val d1 = r.getAs[Double]("day1_rate_fit")
+    assert(d1 > 0.0 && d1 <= 1.5)
+    assert(!r.getAs[Double]("decay_exponent").isNaN)
+  }
+
+  test("deltaMethodSe: ratio matches sums-over-users; delta SE is " +
+    "positive and finite") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sfDir
+    val got = Behavior.deltaMethodSe(spark, sf).head()
+    val u = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        coalesce(col("value"), lit(0.0))).otherwise(0.0)).as("x"),
+        count(lit(1)).cast("double").as("y"))
+      .agg(avg(col("x")).as("mx"), avg(col("y")).as("my")).head()
+    val want = u.getAs[Double]("mx") / u.getAs[Double]("my")
+    assert(math.abs(got.getAs[Double]("revenue_per_event") - want) < 1e-2)
+    val se = got.getAs[Double]("delta_se")
+    assert(se > 0.0 && !se.isNaN && !se.isInfinite)
+  }
+
   test("ipwAte: ATE equals the stratum-size-weighted effect; rates " +
     "bounded") {
     val sf = TestSpark.sfDir
