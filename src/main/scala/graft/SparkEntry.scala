@@ -788,6 +788,9 @@ object SparkEntry {
     // retention decay exponent + the ratio-metric SE correction
     "q_retention_curve"  -> ((s, d) => graft.operators.Behavior.retentionCurve(s, d)),
     "q_delta_method"     -> ((s, d) => graft.operators.Behavior.deltaMethodSe(s, d)),
+    // growth finance: compounding + the exact log decomposition
+    "q_cmgr"             -> ((s, d) => Relational.cmgr(s, d)),
+    "q_growth_decomp"    -> ((s, d) => Relational.growthDecomposition(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -7281,6 +7284,48 @@ object SparkEntry {
         |  floor(sqrt((sxx/n - mx*mx)/n)/my*10000 + 0.5
         |    + 0.000001)/10000 AS naive_se
         |FROM m""".stripMargin,
+    "q_cmgr" ->
+      """WITH monthly AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT rev/lag(rev) OVER (ORDER BY m) - 1 AS growth
+        |  FROM monthly),
+        |ends AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    arg_min(rev, m) AS fr, arg_max(rev, m) AS lr
+        |  FROM monthly)
+        |SELECT CAST(n AS BIGINT) AS n_months,
+        |  floor((pow(lr/fr, 1.0/(n-1)) - 1)*10000 + 0.5
+        |    + 0.000001)/10000 AS cmgr,
+        |  floor((SELECT AVG(growth) FROM g WHERE growth IS NOT NULL)
+        |    *10000 + 0.5 + 0.000001)/10000 AS mean_growth
+        |FROM ends""".stripMargin,
+    "q_growth_decomp" ->
+      """WITH o AS (SELECT
+        |    CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+        |    o_custkey, o_totalprice
+        |  FROM orders),
+        |yr AS (SELECT MIN(y) + 1 AS y0 FROM o),
+        |cells AS (SELECT y = y0 AS base,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS r,
+        |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS c,
+        |    CAST(COUNT(*) AS DOUBLE) AS oc
+        |  FROM o, yr WHERE y = y0 OR y = y0 + 4 GROUP BY 1),
+        |b AS (SELECT r AS r0, c AS c0, oc AS o0 FROM cells WHERE base),
+        |t AS (SELECT r AS r1, c AS c1, oc AS o1 FROM cells
+        |  WHERE NOT base)
+        |SELECT
+        |  floor(ln(r1/r0)*10000 + 0.5 + 0.000001)/10000
+        |    AS log_revenue_growth,
+        |  floor(ln(c1/c0)*10000 + 0.5 + 0.000001)/10000
+        |    AS customer_term,
+        |  floor(ln((o1/c1)/(o0/c0))*10000 + 0.5 + 0.000001)/10000
+        |    AS frequency_term,
+        |  floor(ln((r1/o1)/(r0/o0))*10000 + 0.5 + 0.000001)/10000
+        |    AS value_term
+        |FROM b, t""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

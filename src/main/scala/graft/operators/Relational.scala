@@ -2508,6 +2508,64 @@ object Relational {
       .orderBy(col("abc_class"), col("xyz_class"))
   }
 
+  /** Compound monthly growth rate of revenue: (last/first)^(1/(n−1))
+    * − 1 over the monthly series, plus the arithmetic-mean growth for
+    * contrast (CMGR ≤ mean growth by AM-GM; quoting the wrong one
+    * flatters every deck). Endpoints are quantized before the power
+    * so both engines exponentiate identical arguments. */
+  def cmgr(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+    val w = Window.orderBy(col("m")) // calendar-bounded frame
+    val g = monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("growth", when(col("prev").isNotNull,
+        col("rev") / col("prev") - 1))
+    val ends = monthly.agg(count(lit(1)).cast("double").as("n"),
+      min(struct(col("m"), col("rev"))).as("f"),
+      max(struct(col("m"), col("rev"))).as("l"))
+    val cm = pow(col("l.rev") / col("f.rev"),
+      lit(1.0) / (col("n") - 1)) - 1
+    g.agg(round4eps(avg(col("growth"))).as("mean_growth"))
+      .crossJoin(broadcast(ends.select(col("n"), cm.as("cmgr_raw"))))
+      .select(col("n").cast("long").as("n_months"),
+        round4eps(col("cmgr_raw")).as("cmgr"),
+        col("mean_growth"))
+  }
+
+  /** Multiplicative growth decomposition between the first and last
+    * FULL order years: ln(R₁/R₀) split into customer-count growth,
+    * orders-per-customer growth, and order-value growth — and the
+    * log identity holds EXACTLY (spec-pinned), so every point of
+    * revenue growth is attributed to exactly one lever. One
+    * conditional aggregate per year; all ratios come from quantized
+    * year totals. */
+  def growthDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("y"), col("o_custkey"),
+        col("o_totalprice"))
+    val yr = o.agg((min(col("y")) + 1).as("y0"))
+    val cells = o.crossJoin(broadcast(yr))
+      .filter(col("y") === col("y0") || col("y") === col("y0") + 4)
+      .groupBy((col("y") === col("y0")).as("base"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("r"),
+        countDistinct(col("o_custkey")).cast("double").as("c"),
+        count(lit(1)).cast("double").as("o"))
+    val b = cells.filter(col("base"))
+      .select(col("r").as("r0"), col("c").as("c0"), col("o").as("o0"))
+    val t = cells.filter(!col("base"))
+      .select(col("r").as("r1"), col("c").as("c1"), col("o").as("o1"))
+    b.crossJoin(t).select(
+      round4eps(log(col("r1") / col("r0"))).as("log_revenue_growth"),
+      round4eps(log(col("c1") / col("c0"))).as("customer_term"),
+      round4eps(log((col("o1") / col("c1")) / (col("o0") / col("c0"))))
+        .as("frequency_term"),
+      round4eps(log((col("r1") / col("o1")) / (col("r0") / col("o0"))))
+        .as("value_term"))
+  }
+
   /** Seasonal / trend strength (Hyndman's F_S, F_T) of daily event
     * volume from the same decomposition [[seasonalDecompose]] gates:
     * F_T = max(0, 1 − Var(R)/Var(T+R)), F_S = max(0, 1 −

@@ -987,6 +987,23 @@ class StatsSpec extends AnyFunSuite {
     assert(ov >= 0.0 && ov <= 1.0)
   }
 
+  test("cmgr: CMGR never exceeds the arithmetic mean growth (AM-GM)") {
+    val r = graft.operators.Relational.cmgr(spark, dir).head()
+    assert(r.getAs[Long]("n_months") > 1)
+    assert(r.getAs[Double]("cmgr") <=
+      r.getAs[Double]("mean_growth") + 2e-4)
+  }
+
+  test("growthDecomposition: the log identity holds exactly — " +
+    "terms sum to total log growth") {
+    val r = graft.operators.Relational.growthDecomposition(spark, dir)
+      .head()
+    val parts = Seq("customer_term", "frequency_term", "value_term")
+      .map(r.getAs[Double](_)).sum
+    assert(math.abs(parts - r.getAs[Double]("log_revenue_growth"))
+      < 5e-4)
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
