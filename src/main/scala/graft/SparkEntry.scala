@@ -791,6 +791,9 @@ object SparkEntry {
     // growth finance: compounding + the exact log decomposition
     "q_cmgr"             -> ((s, d) => Relational.cmgr(s, d)),
     "q_growth_decomp"    -> ((s, d) => Relational.growthDecomposition(s, d)),
+    // portfolio exposure + basket-position profile
+    "q_brand_beta"       -> ((s, d) => Joins.brandBeta(s, d)),
+    "q_line_position"    -> ((s, d) => Joins.linePosition(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -7326,6 +7329,39 @@ object SparkEntry {
         |  floor(ln((r1/o1)/(r0/o0))*10000 + 0.5 + 0.000001)/10000
         |    AS value_term
         |FROM b, t""".stripMargin,
+    "q_brand_beta" ->
+      """WITH mb AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    p_brand,
+        |    floor(SUM(l_extendedprice*(1.0 - l_discount))/1000000.0
+        |      *10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |mkt AS (SELECT m,
+        |    floor(SUM(rev)*10000 + 0.5 + 0.000001)/10000 AS mrev
+        |  FROM mb GROUP BY 1),
+        |j AS (SELECT p_brand, rev, mrev
+        |  FROM mb JOIN mkt USING (m)),
+        |mom AS (SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(rev) AS sb, SUM(mrev) AS sm, SUM(rev*mrev) AS sbm,
+        |    SUM(mrev*mrev) AS smm
+        |  FROM j GROUP BY 1)
+        |SELECT p_brand AS brand, CAST(n AS BIGINT) AS n_months,
+        |  floor((sbm - sb*sm/n)/(smm - sm*sm/n)*10000 + 0.5
+        |    + 0.000001)/10000 AS beta,
+        |  floor(sb/sm*10000 + 0.5 + 0.000001)/10000 AS mean_share
+        |FROM mom ORDER BY beta DESC, brand LIMIT 10""".stripMargin,
+    "q_line_position" ->
+      """SELECT l_linenumber AS line_no,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  floor(AVG(l_quantity)*10000 + 0.5 + 0.000001)/10000
+        |    AS mean_quantity,
+        |  floor(AVG(l_extendedprice*(1.0 - l_discount))*10000 + 0.5
+        |    + 0.000001)/10000 AS mean_net_price,
+        |  floor(AVG(CASE WHEN l_returnflag = 'R' THEN 1.0
+        |    ELSE 0.0 END)*10000 + 0.5 + 0.000001)/10000 AS return_rate
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

@@ -950,6 +950,61 @@ object Joins {
         .as("own_elasticity"))
   }
 
+  /** Brand beta against the market: cov(brand, market)/var(market)
+    * over monthly revenues — which brands amplify market swings
+    * (β > 1) vs act defensively (β < 1), the factor-exposure lens on
+    * a product portfolio. Top 10 by β with the brand's mean share.
+    *
+    * Scale shape: one (brand × month) rollup; the market series is a
+    * month-grain re-aggregate broadcast back; each brand's β is a
+    * moment pass over its calendar-bounded month row set. */
+  def brandBeta(s: SparkSession, dir: String, topN: Int = 10):
+      DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val mb = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("m"), col("p_brand"))
+      .agg(round4eps(sum(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount"))) / lit(1e6)).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mkt = mb.groupBy(col("m"))
+      .agg(round4eps(sum(col("rev"))).as("mrev"))
+    val j = mb.join(broadcast(mkt), "m")
+    val mom = j.groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("rev")).as("sb"), sum(col("mrev")).as("sm"),
+        sum(col("rev") * col("mrev")).as("sbm"),
+        sum(col("mrev") * col("mrev")).as("smm"))
+    mom.select(col("p_brand").as("brand"),
+        col("n").cast("long").as("n_months"),
+        round4eps((col("sbm") - col("sb") * col("sm") / col("n")) /
+          (col("smm") - col("sm") * col("sm") / col("n"))).as("beta"),
+        round4eps(col("sb") / col("sm")).as("mean_share"))
+      .orderBy(col("beta").desc, col("brand"))
+      .limit(topN)
+  }
+
+  /** Line-position profile: how the basket changes down the order —
+    * per line number, the line count, mean quantity, mean net price
+    * and return rate (a falling quantity curve says the first line is
+    * the anchor purchase and the tail is add-ons; a rising return
+    * rate down the tail flags impulse adds). One position-keyed count
+    * pass; positions are a tiny fixed vocabulary (1..7 in TPC-H). */
+  def linePosition(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linenumber").as("line_no"))
+      .agg(count(lit(1)).as("n_lines"),
+        round4eps(avg(col("l_quantity"))).as("mean_quantity"),
+        round4eps(avg(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")))).as("mean_net_price"),
+        round4eps(avg(when(col("l_returnflag") === "R", 1.0)
+          .otherwise(0.0))).as("return_rate"))
+      .orderBy(col("line_no"))
+  }
+
   /** Brand leaderboard volatility: month-over-month absolute rank
     * change of every brand's revenue position — "how churny is the
     * top-25" (a stable leaderboard and a reshuffling one need

@@ -1004,6 +1004,30 @@ class StatsSpec extends AnyFunSuite {
       < 5e-4)
   }
 
+  test("brandBeta: betas finite, shares positive, output ranked " +
+    "descending") {
+    val rows = graft.operators.Joins.brandBeta(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("beta").isNaN)
+      assert(r.getAs[Double]("mean_share") > 0.0)
+    }
+    val bs = rows.map(_.getAs[Double]("beta"))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("linePosition: positions conserve the fact table and rates " +
+    "are bounded") {
+    val rows = graft.operators.Joins.linePosition(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_lines")).sum ==
+      Tables.lineitem(spark, dir).count())
+    rows.foreach { r =>
+      val rr = r.getAs[Double]("return_rate")
+      assert(rr >= 0.0 && rr <= 1.0)
+      assert(r.getAs[Double]("mean_quantity") > 0.0)
+    }
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
