@@ -794,6 +794,9 @@ object SparkEntry {
     // portfolio exposure + basket-position profile
     "q_brand_beta"       -> ((s, d) => Joins.brandBeta(s, d)),
     "q_line_position"    -> ((s, d) => Joins.linePosition(s, d)),
+    // finance-close reconciliation + frozen-boundary tier mix
+    "q_recon"            -> ((s, d) => Joins.reconcile(s, d)),
+    "q_price_tier_mix"   -> ((s, d) => Joins.priceTierMix(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -7362,6 +7365,58 @@ object SparkEntry {
         |  floor(AVG(CASE WHEN l_returnflag = 'R' THEN 1.0
         |    ELSE 0.0 END)*10000 + 0.5 + 0.000001)/10000 AS return_rate
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_recon" ->
+      """WITH la AS (SELECT l_orderkey,
+        |    SUM(l_extendedprice*(1.0 - l_discount)) AS line_net,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(la.l_orderkey) AS BIGINT) AS n_with_lines,
+        |  floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |    + 0.000001)/10000 AS header_total_m,
+        |  floor(COALESCE(SUM(line_net), 0.0)/1000000.0*10000 + 0.5
+        |    + 0.000001)/10000 AS line_net_total_m,
+        |  floor(COALESCE(SUM(line_net), 0.0)/SUM(o_totalprice)
+        |    *10000 + 0.5 + 0.000001)/10000 AS net_to_header_ratio
+        |FROM orders LEFT JOIN la ON o_orderkey = la.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_price_tier_mix" ->
+      """WITH o AS (SELECT
+        |    CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+        |    CAST(floor(o_totalprice/1000) AS BIGINT) AS v,
+        |    o_totalprice
+        |  FROM orders),
+        |y0 AS (SELECT MIN(yr) AS y0 FROM o),
+        |cells AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM o, y0 WHERE yr = y0 GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |    SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cc,
+        |    SUM(c) OVER () AS ng
+        |  FROM cells),
+        |bounds AS (SELECT
+        |    MIN(CASE WHEN cc >= ceil(ng*0.25) THEN v END) AS q1,
+        |    MIN(CASE WHEN cc >= ceil(ng*0.5) THEN v END) AS q2,
+        |    MIN(CASE WHEN cc >= ceil(ng*0.75) THEN v END) AS q3
+        |  FROM cum),
+        |tiered AS (SELECT yr,
+        |    CASE WHEN v <= q1 THEN 'T1_budget'
+        |      WHEN v <= q2 THEN 'T2_mid'
+        |      WHEN v <= q3 THEN 'T3_upper'
+        |      ELSE 'T4_premium' END AS tier,
+        |    o_totalprice
+        |  FROM o, bounds),
+        |yt AS (SELECT yr, tier,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM tiered GROUP BY 1, 2),
+        |tot AS (SELECT yr, SUM(rev) AS yr_total FROM yt GROUP BY 1)
+        |SELECT yt.yr AS yr, tier,
+        |  floor(rev/yr_total*10000 + 0.5 + 0.000001)/10000
+        |    AS rev_share
+        |FROM yt JOIN tot ON yt.yr = tot.yr
+        |ORDER BY 1, 2""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

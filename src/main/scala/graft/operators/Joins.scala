@@ -986,6 +986,77 @@ object Joins {
       .limit(topN)
   }
 
+  /** Warehouse reconciliation tie-out per order year: the order-header
+    * totals against the summed line-level net revenue, with coverage
+    * counts (orders carrying at least one line) — the finance-close
+    * report that catches silently-dropped lines or double-loaded
+    * headers long before anyone reads a dashboard. Complements the
+    * key-level q_ri_audit with the AGGREGATE tie-out.
+    *
+    * Scale shape: one order-grain line rollup, one left join back to
+    * headers (order-keyed), one year re-aggregate. */
+  def reconcile(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val lineAgg = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("line_net"), count(lit(1)).as("n_lines"))
+    Tables.orders(s, dir)
+      .join(lineAgg, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("l_orderkey")).as("n_with_lines"),
+        round4eps(sum(col("o_totalprice")) / lit(1e6)).as("header_total_m"),
+        round4eps(coalesce(sum(col("line_net")), lit(0.0)) / lit(1e6))
+          .as("line_net_total_m"),
+        round4eps(coalesce(sum(col("line_net")), lit(0.0)) /
+          sum(col("o_totalprice"))).as("net_to_header_ratio"))
+      .orderBy(col("yr"))
+  }
+
+  /** Price-tier revenue mix by year: fixed tier boundaries come from
+    * the FIRST year's exact order-total quartiles (distribution
+    * collapse — no buffering percentile), then every year's revenue
+    * is binned against those frozen boundaries — the premiumization
+    * readout ("is the mix drifting toward the top tier"), comparable
+    * across years precisely because the boundaries never move. */
+  def priceTierMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val o = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("yr"),
+        floor(col("o_totalprice") / 1000).cast("long").as("v"),
+        col("o_totalprice"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val y0 = o.agg(min(col("yr")).as("y0"))
+    val cells = o.crossJoin(broadcast(y0)).filter(col("yr") === col("y0"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cc", sum(col("c")).over(w))
+      .withColumn("ng", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val bounds = cum.agg(
+      min(when(col("cc") >= ceil(col("ng") * 0.25), col("v"))).as("q1"),
+      min(when(col("cc") >= ceil(col("ng") * 0.5), col("v"))).as("q2"),
+      min(when(col("cc") >= ceil(col("ng") * 0.75), col("v"))).as("q3"))
+    val tiered = o.crossJoin(broadcast(bounds))
+      .select(col("yr"),
+        when(col("v") <= col("q1"), "T1_budget")
+          .when(col("v") <= col("q2"), "T2_mid")
+          .when(col("v") <= col("q3"), "T3_upper")
+          .otherwise("T4_premium").as("tier"),
+        col("o_totalprice"))
+    val yt = tiered.groupBy(col("yr"), col("tier"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = yt.groupBy(col("yr")).agg(sum(col("rev")).as("yr_total"))
+    yt.join(broadcast(tot), "yr")
+      .select(col("yr"), col("tier"),
+        round4eps(col("rev") / col("yr_total")).as("rev_share"))
+      .orderBy(col("yr"), col("tier"))
+  }
+
   /** Line-position profile: how the basket changes down the order —
     * per line number, the line count, mean quantity, mean net price
     * and return rate (a falling quantity curve says the first line is

@@ -1028,6 +1028,29 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("reconcile: every order carries lines in this dataset and " +
+    "order counts conserve") {
+    val rows = graft.operators.Joins.reconcile(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.orders(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_with_lines") <= r.getAs[Long]("n_orders"))
+      assert(r.getAs[Double]("net_to_header_ratio") > 0.0)
+    }
+  }
+
+  test("priceTierMix: shares sum to 1 per year; four tiers present " +
+    "in the anchor year") {
+    val rows = graft.operators.Joins.priceTierMix(spark, dir).collect()
+    val byYr = rows.groupBy(_.getAs[Int]("yr"))
+    byYr.foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("rev_share")).sum - 1.0)
+        < 0.01)
+    }
+    val y0 = byYr.keys.min
+    assert(byYr(y0).map(_.getAs[String]("tier")).toSet.size == 4)
+  }
+
   test("peakDays: every reported day is a strict local max with " +
     "positive prominence") {
     val rows = Stats.peakDays(spark, dir).collect()
