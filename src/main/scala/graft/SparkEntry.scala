@@ -797,6 +797,9 @@ object SparkEntry {
     // finance-close reconciliation + frozen-boundary tier mix
     "q_recon"            -> ((s, d) => Joins.reconcile(s, d)),
     "q_price_tier_mix"   -> ((s, d) => Joins.priceTierMix(s, d)),
+    // curation slice report + tokenizer design curve
+    "q_dup_rate_lang"    -> ((s, d) => TextAnalysis.dupRateByLang(s, d)),
+    "q_vocab_coverage"   -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -7417,6 +7420,35 @@ object SparkEntry {
         |    AS rev_share
         |FROM yt JOIN tot ON yt.yr = tot.yr
         |ORDER BY 1, 2""".stripMargin,
+    "q_dup_rate_lang" ->
+      """WITH d AS (SELECT lang,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      AS fp
+        |  FROM documents),
+        |g AS (SELECT lang, fp, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |  floor(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)*1.0/SUM(c)
+        |    *10000 + 0.5 + 0.000001)/10000 AS dup_rate,
+        |  floor(COUNT(*)*1.0/SUM(c)*10000 + 0.5 + 0.000001)/10000
+        |    AS survivor_share
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM documents) t GROUP BY 1),
+        |tot AS (SELECT SUM(f) AS tn, CAST(COUNT(*) AS BIGINT)
+        |    AS vocab_size
+        |  FROM tf),
+        |rk AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rk
+        |  FROM tf),
+        |ks AS (SELECT * FROM (VALUES (10), (100), (1000)) k(top_k))
+        |SELECT CAST(top_k AS BIGINT) AS top_k, vocab_size,
+        |  floor(LEAST(SUM(CASE WHEN rk <= top_k THEN f ELSE 0 END), tn)
+        |    *1.0/tn*10000 + 0.5 + 0.000001)/10000 AS token_coverage
+        |FROM rk CROSS JOIN ks, tot
+        |GROUP BY top_k, vocab_size, tn ORDER BY top_k""".stripMargin,
     "q_pipeline_clone" ->
       """SELECT tbl, n_rows, n_snapshots FROM (VALUES
         |  ('clone', CAST(12 AS BIGINT), CAST(4 AS BIGINT)),

@@ -1363,6 +1363,58 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Exact-duplicate rate per language: share of documents whose
+    * normalized fingerprint appears more than once, and the survivor
+    * share after keeping one per group — the per-slice dedup report a
+    * multilingual curation run is judged by (a language with double
+    * the dup rate has a scraping problem, not a content problem).
+    * One fingerprint-keyed count + one lang-grain re-aggregate. */
+  def dupRateByLang(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), fingerprintMd5(col("text")).as("fp"))
+    val groups = d.groupBy(col("lang"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+    groups.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_duped"),
+        count(lit(1)).as("n_unique"))
+      .select(col("lang"), col("n_docs"),
+        round4eps(col("n_duped").cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        round4eps(col("n_unique").cast("double") / col("n_docs"))
+          .as("survivor_share"))
+      .orderBy(col("lang"))
+  }
+
+  /** Vocabulary coverage curve: the share of all corpus tokens
+    * covered by the top-10 / top-100 / top-1000 most frequent words —
+    * the tokenizer-design readout ("how big must the vocab be for 95%
+    * coverage"). The rank window runs over the NDV-bounded vocabulary
+    * (never the token stream), ordered by (freq desc, token) so the
+    * cutoffs are deterministic. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(explode(split(regexp_replace(lower(trim(col("text"))),
+        "\\s+", " "), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = tf.agg(sum(col("f")).as("tn"),
+      count(lit(1)).as("vocab_size"))
+    // vocabulary-bounded window (NDV, not stream length)
+    val w = Window.orderBy(col("f").desc, col("w"))
+    val ranked = tf.withColumn("rk", row_number().over(w))
+    val ks = Seq(10, 100, 1000)
+    ks.map { k =>
+      ranked.filter(col("rk") <= k)
+        .agg(sum(col("f")).as("ck"))
+        .crossJoin(broadcast(tot))
+        .select(lit(k.toLong).as("top_k"),
+          col("vocab_size"),
+          round4eps(least(col("ck"), col("tn")).cast("double") /
+            col("tn")).as("token_coverage"))
+    }.reduce(_ unionAll _).orderBy(col("top_k"))
+  }
+
   /** TextRank keyword scores: PageRank over the word co-occurrence
     * graph (adjacent-token edges within the top-`vocab` vocabulary,
     * undirected, co-occurrence-weighted), 3 damped power iterations —

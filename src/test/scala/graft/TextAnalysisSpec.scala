@@ -542,6 +542,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("dupRateByLang: doc counts conserve the corpus; survivor " +
+    "share + dup structure consistent") {
+    val rows = TextAnalysis.dupRateByLang(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, TestSpark.sfDir).count())
+    rows.foreach { r =>
+      val dr = r.getAs[Double]("dup_rate")
+      val ss = r.getAs[Double]("survivor_share")
+      assert(dr >= 0.0 && dr <= 1.0)
+      assert(ss > 0.0 && ss <= 1.0)
+      // a language with no dupes has survivor share exactly 1
+      if (dr == 0.0) assert(math.abs(ss - 1.0) < 1e-9)
+    }
+  }
+
+  test("vocabCoverage: coverage is monotone in k and bounded by 1") {
+    val rows = TextAnalysis.vocabCoverage(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("top_k")).toSeq ==
+      Seq(10L, 100L, 1000L))
+    val cov = rows.map(_.getAs[Double]("token_coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+  }
+
   test("cohensKappa agrees with a recomputation from langConfusion") {
     val cells = TextAnalysis.langConfusion(spark, TestSpark.sfDir)
       .collect().map(r => ((r.getString(0), r.getString(1)),
