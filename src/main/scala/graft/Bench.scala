@@ -150,7 +150,9 @@ object Bench {
       // r8 additions of the same kind: each builds (and for these
       // three, MUTATES) its own fixture warehouse per invocation
       "q_pipeline_rollback", "q_pipeline_upsert", "q_pipeline_evolution",
-      "q_pipeline_clone")
+      "q_pipeline_clone",
+      // r9: V2 path-mount reads of the same fixture warehouse
+      "q_pipeline_v2read", "q_pipeline_v2asof")
     // Cheapest-first by last observed Verify time (unknown → 0): the
     // iterative graph tail runs last, after every cheap query has
     // already landed its number.

@@ -102,7 +102,13 @@ object ScaleSmoke {
     run("ngramJaccardExact")(operators.Dedup.ngramJaccardWithinSource(
       spark, dir, maxDocFreq = Int.MaxValue))
     run("winnowFingerprints")(operators.TextAnalysis.winnowFingerprints(spark, dir))
+    // default (r9): identical-vector collapse ON — the replicated
+    // corpus folds back to its distinct core before the LSH index is
+    // built; the Full twin measures what the collapse buys (full
+    // clique enumeration over every replicated group).
     run("embeddingNearDupsLsh")(operators.Similarity.embeddingNearDups(spark, dir))
+    run("embeddingNearDupsLshFull")(operators.Similarity.embeddingNearDups(
+      spark, dir, collapseIdentical = false))
     run("knnAnn")(operators.Similarity.knnAnn(spark, dir))
     run("contamination")(operators.Dedup.contamination(spark, dir))
     run("sequencePack")(operators.TextAnalysis.sequencePack(spark, dir))
@@ -278,20 +284,19 @@ object ScaleSmoke {
     // r8 session-3 additions. olsMulti/conformal: one-pass moment fits
     // (linear). fuzzyPartPairs/typoPartPairs: blocked quadratic —
     // replication multiplies block sizes factor×, pairs factor²×
-    // WITHIN blocks; the receipt shows whether the (brand, size)
-    // blocking key still holds the pair count at 10×/100×.
+    // WITHIN blocks. Since r9 the DEFAULT is the strict (brand, size,
+    // type) key (~150× lower occupancy than loose); the Loose twins
+    // measure the recall-anchor variant's cost at the same scales.
     // regionDtw: corpus pass is the monthly collapse; the DP kernel is
     // constant-size. bootstrapCi: 32× map-side amplification, then
     // B-bounded percentiles.
     run("olsMulti")(operators.Stats.olsMulti(spark, dir))
     run("fuzzyPartPairs")(operators.EntityResolution.fuzzyPartPairs(spark, dir))
     run("typoPartPairs")(operators.EntityResolution.typoPartPairs(spark, dir))
-    // the stricter-key lever (add p_type to the block): same
-    // algorithm, ~150x lower block occupancy
-    run("fuzzyPartPairsStrict")(operators.EntityResolution
-      .fuzzyPartPairs(spark, dir, strictBlock = true))
-    run("typoPartPairsStrict")(operators.EntityResolution
-      .typoPartPairs(spark, dir, strictBlock = true))
+    run("fuzzyPartPairsLoose")(operators.EntityResolution
+      .fuzzyPartPairs(spark, dir, strictBlock = false))
+    run("typoPartPairsLoose")(operators.EntityResolution
+      .typoPartPairs(spark, dir, strictBlock = false))
     run("regionDtw")(operators.Stats.regionDtw(spark, dir))
     run("bootstrapCi")(operators.Stats.bootstrapCi(spark, dir))
     run("conformalOls")(operators.Stats.conformalOls(spark, dir))
@@ -343,6 +348,16 @@ object ScaleSmoke {
     run("dimVariance")(operators.Similarity.dimVariance(spark, dir))
     run("cohensKappa")(operators.TextAnalysis.cohensKappa(spark, dir))
     run("kfoldAssign")(operators.Stats.kfoldAssign(spark, dir))
+
+    // r9: the NDV-bounded theta-join family — the slowest 0-shuffle
+    // benched queries (kendallTau 6.2 s at sf0.1). Their scaladocs
+    // claim corpus-INDEPENDENT cost (the collapse step bounds the
+    // joined frames by NDV or calendar, so the BNLJ constant dominates
+    // at any sf); these rows turn that claim into a measured receipt —
+    // expected shape: FLAT time at 10x/100x.
+    run("kendallTau")(operators.Relational.kendallTau(spark, dir))
+    run("liftTable")(operators.Stats.liftTable(spark, dir))
+    run("recencyPopularity")(operators.Relational.recencyPopularity(spark, dir))
 
     spark.stop()
   }

@@ -240,6 +240,27 @@ object SparkEntry {
     // mart transform in DuckDB; snapshots project the deterministic
     // columns (committed_at is wall-clock).
     "q_pipeline_mart"    -> ((s, _) => gatePipeline(s).martScan),
+    // DataSourceV2 path mount (r9): the SAME mart read through
+    // spark.read.format("graft").load(<warehouse>/<ns>/<table>) — no
+    // LakeCatalog facade anywhere on the read path — must equal the
+    // q_pipeline_mart oracle (hidden columns dropped, sidecar schema).
+    "q_pipeline_v2read"  -> ((s, _) => {
+      val p = gatePipeline(s)
+      s.read.format("graft")
+        .load(p.catalog.tablePath(graft.pipeline.Transform.FctTable))
+    }),
+    // V2 time travel: option("snapshot-id", 2) prunes commit dirs 3+
+    // at PATH level (never listed) — same oracle as q_pipeline_asof.
+    "q_pipeline_v2asof"  -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val p = gatePipeline(s)
+      s.read.format("graft").option("snapshot-id", 2L)
+        .load(p.catalog.tablePath(graft.pipeline.Ingest.RawTable))
+        .groupBy(col("source").as("data_source"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("price_usd")).as("min_usd"),
+          max(col("price_usd")).as("max_usd"))
+    }),
     // dbt-templating gate: the mart built by COMPILING the reference's
     // raw Jinja model text (DbtModels) must equal the fixture-replay
     // oracle — same oracle as q_pipeline_mart by construction.
@@ -678,6 +699,8 @@ object SparkEntry {
     // native codegen string-similarity expressions over blocked pairs
     "q_jaro_winkler"     -> ((s, d) => graft.operators.EntityResolution.fuzzyPartPairs(s, d)),
     "q_damerau"          -> ((s, d) => graft.operators.EntityResolution.typoPartPairs(s, d)),
+    "q_jaro_winkler_loose" -> ((s, d) => graft.operators.EntityResolution.fuzzyPartPairs(s, d, strictBlock = false)),
+    "q_damerau_loose"    -> ((s, d) => graft.operators.EntityResolution.typoPartPairs(s, d, strictBlock = false)),
     "q_isotonic"         -> ((s, d) => Stats.isotonicReturnRate(s, d)),
     "q_haar_wavelet"     -> ((s, d) => Stats.haarWavelet(s, d)),
     "q_sax_symbols"      -> ((s, d) => Stats.saxSymbols(s, d)),
@@ -3889,6 +3912,29 @@ object SparkEntry {
         |MIN(price_usd) AS min_price_usd, MAX(price_usd) AS max_price_usd,
         |AVG(price_usd) AS avg_price_usd, COUNT(*) AS records
         |FROM raw GROUP BY 1, 2, 3""".stripMargin,
+    // V2 path-mount read of the same CTAS mart — identical fixture oracle.
+    "q_pipeline_v2read" ->
+      """WITH raw(data_source, crypto_symbol, price_usd, extracted_at) AS (VALUES
+        |  ('coingecko', 'BTC', CAST(50000.0  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coincap', 'BTC', CAST(50012.5  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(49992.75 AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coingecko', 'BTC', CAST(50125.0  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coincap', 'BTC', CAST(50137.5  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50117.75 AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coingecko', 'BTC', CAST(50250.0  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('coincap', 'BTC', CAST(50262.5  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50242.75 AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'))
+        |SELECT CAST(extracted_at AS DATE) AS extraction_date, data_source, crypto_symbol,
+        |MIN(price_usd) AS min_price_usd, MAX(price_usd) AS max_price_usd,
+        |AVG(price_usd) AS avg_price_usd, COUNT(*) AS records
+        |FROM raw GROUP BY 1, 2, 3""".stripMargin,
+    // V2 snapshot-id read — identical oracle to q_pipeline_asof.
+    "q_pipeline_v2asof" ->
+      """SELECT data_source, n_rows, min_usd, max_usd FROM (VALUES
+        |  ('coingecko', CAST(2 AS BIGINT), CAST(50000.0 AS DOUBLE), CAST(50125.0 AS DOUBLE)),
+        |  ('coincap', CAST(2 AS BIGINT), CAST(50012.5 AS DOUBLE), CAST(50137.5 AS DOUBLE)),
+        |  ('blockchain_info', CAST(2 AS BIGINT), CAST(49992.75 AS DOUBLE), CAST(50117.75 AS DOUBLE)))
+        |  AS t(data_source, n_rows, min_usd, max_usd)""".stripMargin,
     "q_pipeline_dbtrun" ->
       """WITH raw(data_source, crypto_symbol, price_usd, extracted_at) AS (VALUES
         |  ('coingecko', 'BTC', CAST(50000.0  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
@@ -5236,9 +5282,28 @@ object SparkEntry {
         |    + 0.5 + 0.000001)/10000 AS jw
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_type = b.p_type
         |  AND a.p_partkey < b.p_partkey
         |ORDER BY jw DESC, pk_a, pk_b LIMIT 20""".stripMargin,
     "q_damerau" ->
+      """SELECT a.p_brand AS p_brand, a.p_partkey AS pk_a,
+        |  b.p_partkey AS pk_b,
+        |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER) AS dl
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_type = b.p_type
+        |  AND a.p_partkey < b.p_partkey
+        |ORDER BY dl, pk_a, pk_b LIMIT 20""".stripMargin,
+    "q_jaro_winkler_loose" ->
+      """SELECT a.p_brand AS p_brand, a.p_partkey AS pk_a,
+        |  b.p_partkey AS pk_b,
+        |  floor(jaro_winkler_similarity(a.p_name, b.p_name)*10000
+        |    + 0.5 + 0.000001)/10000 AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |ORDER BY jw DESC, pk_a, pk_b LIMIT 20""".stripMargin,
+    "q_damerau_loose" ->
       """SELECT a.p_brand AS p_brand, a.p_partkey AS pk_a,
         |  b.p_partkey AS pk_b,
         |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER) AS dl

@@ -59,21 +59,21 @@ object Dedup {
     * Distinct shingles stay distinct under xxhash64 up to a ~1e-11
     * corpus-level collision probability. */
   private def hashShingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"), col("source"),
-      org.apache.spark.sql.GraftSql.column(graft.functions.WordShingleHashes(
-        org.apache.spark.sql.GraftSql.expression(words(col("text"))), 3)).as("hs"))
-      // The shingle index is consumed 3x per near-dup query (banding +
-      // two verification re-attaches) and by both minhashPairs and
-      // nearDupSurvivors — cache it instead of re-running the
-      // scan+shingle+hash pipeline each time. Size is ~2% of corpus
-      // bytes (52 hashes x 8 B per doc), MEMORY_AND_DISK spills at
-      // scale; CacheManager dedupes identical plans so repeated calls
-      // share one entry. Cache lifecycle is CALLER-owned: operators
-      // return lazy plans, so they cannot know when downstream actions
-      // finish — long-lived sessions must call
-      // spark.catalog.clearCache() between workloads (Verify and Bench
-      // do; see their cleanup hooks).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The shingle index is consumed 3x per near-dup query (banding +
+    // two verification re-attaches) and by both minhashPairs and
+    // nearDupSurvivors — cache it instead of re-running the
+    // scan+shingle+hash pipeline each time. Size is ~2% of corpus
+    // bytes (52 hashes x 8 B per doc), MEMORY_AND_DISK spills at
+    // scale; graft.Caching.memDisk re-persists only when the plan is
+    // not already cached (repeat calls share one entry silently).
+    // Cache lifecycle is CALLER-owned: operators return lazy plans, so
+    // they cannot know when downstream actions finish — long-lived
+    // sessions must call spark.catalog.clearCache() between workloads
+    // (Verify and Bench do; see their cleanup hooks).
+    graft.Caching.memDisk(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        org.apache.spark.sql.GraftSql.column(graft.functions.WordShingleHashes(
+          org.apache.spark.sql.GraftSql.expression(words(col("text"))), 3)).as("hs")))
 
   private def jaccardHs(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     org.apache.spark.sql.GraftSql.column(graft.functions.SortedLongJaccard(
@@ -145,10 +145,10 @@ object Dedup {
     // documents sharing every band — switch to a row-wise self-join so
     // the inherent quadratic lands in rows, not in one in-memory
     // array. No pair is ever dropped (the oracle is exact all-pairs).
-    val buckets = bands.groupBy(col("band"), col("key"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = graft.Caching.memDisk(
+      bands.groupBy(col("band"), col("key"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) >= 2))
     val smallPairs = buckets.filter(size(col("ids")) <= MaxBucket)
       .select(explode(pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))

@@ -67,24 +67,23 @@ object EntityResolution {
   }
 
   /** Shared blocked part-name candidate-pair frame: self-join on the
-    * (brand, size) blocking key with key-ordered dedup. Blocking
-    * caps the quadratic — pairs grow as Σ_block n_b², not N², and both
-    * block attributes are low-cardinality dimensions, so block sizes
-    * stay uniform (no hot key) as the corpus scales. The production
-    * lever at 100 TB is a STRICTER key (add p_type), not a different
-    * algorithm. */
+    * blocking key with key-ordered dedup. Blocking caps the quadratic —
+    * pairs grow as Σ_block n_b², not N², and the block attributes are
+    * low-cardinality dimensions, so block sizes stay uniform (no hot
+    * key) as the corpus scales.
+    *
+    * The STRICT (brand, size, type) key is the DEFAULT — the same
+    * cap-by-default discipline as Dedup.DefaultShingleDfCap and
+    * SetSimJoin.DefaultPrefixDfCap: ScaleSmoke's ×100 replication
+    * stress (100× the parts into the SAME blocks — occupancy
+    * multiplies, where a real growing catalog also adds brands/types)
+    * costs 102 s (JW) / 218 s (DL) on the loose (brand, size) key vs
+    * 21.8 s / 53.8 s strict, because adding p_type divides occupancy
+    * ~150×. The loose key stays available (`strictBlock = false`) as
+    * the recall-anchor variant — at verify scale it exercises real
+    * pair volume and oracle-gates the pair generator itself. */
   private def blockedPartPairs(s: SparkSession, dir: String,
-      strictBlock: Boolean = false): DataFrame = {
-    // NOTE on the replication stress: ScaleSmoke's ×100 corpus puts
-    // 100× the parts into the SAME blocks (replication multiplies
-    // occupancy, where a real growing catalog also adds brands/types),
-    // so the within-block quadratic shows at its worst — 102 s (JW) /
-    // 218 s (DL) at 100×. The production lever is the STRICTER key:
-    // adding p_type divides occupancy ~150× and the ×100 run drops to
-    // seconds (measured in the fuzzyPartPairsStrict ScaleSmoke row) —
-    // same algorithm, one more blocking column. The loose key stays
-    // the gate anchor because at verify scale it exercises real pair
-    // volume.
+      strictBlock: Boolean = true): DataFrame = {
     val blockCols =
       if (strictBlock) Seq("p_brand", "p_size", "p_type")
       else Seq("p_brand", "p_size")
@@ -108,7 +107,7 @@ object EntityResolution {
     * tie-break; top-k is TakeOrderedAndProject (distributed heap
     * top-k, no global sort materialized). */
   def fuzzyPartPairs(s: SparkSession, dir: String, k: Int = 20,
-      strictBlock: Boolean = false): DataFrame = {
+      strictBlock: Boolean = true): DataFrame = {
     import graft.functions.StringSimilarity.jaroWinkler
     blockedPartPairs(s, dir, strictBlock)
       .select(col("p_brand"), col("pk_a"), col("pk_b"),
@@ -124,7 +123,7 @@ object EntityResolution {
     * distance. Integer distances make the ranking exact across
     * engines with no rounding discipline needed. */
   def typoPartPairs(s: SparkSession, dir: String, k: Int = 20,
-      strictBlock: Boolean = false): DataFrame = {
+      strictBlock: Boolean = true): DataFrame = {
     import graft.functions.StringSimilarity.damerauLevenshtein
     blockedPartPairs(s, dir, strictBlock)
       .select(col("p_brand"), col("pk_a"), col("pk_b"),

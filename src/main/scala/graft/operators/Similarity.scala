@@ -102,9 +102,33 @@ object Similarity {
     * forces the brute-force all-pairs path — the correctness anchor the
     * spec compares against, and what the oracle-checked gate query
     * runs (the DuckDB oracle is exact all-pairs; hash equality against
-    * a probabilistic-recall path would be a latent gate failure). */
+    * a probabilistic-recall path would be a latent gate failure).
+    *
+    * 100 TB lever — identical-vector collapse (`collapseIdentical`,
+    * ON by default since r9): BYTE-identical embeddings (the dominant
+    * duplicate class in crawled corpora — same file ingested twice,
+    * replicated shards) are collapsed to their min-id representative
+    * BEFORE the LSH index is built, in one linear groupBy on the
+    * vector value itself (no hash, so no collision risk). The LSH +
+    * verification then run over DISTINCT vectors only, so candidate
+    * and output volume track distinct-vector near-dup density — a
+    * corpus that is 100× duplicated costs the same index as its
+    * distinct core plus one linear collapse pass, where the uncollapsed
+    * path pays the full clique: every identical group of g vectors is
+    * g²/2 candidate pairs (ScaleSmoke ×100: 473 s uncollapsed).
+    * Identical groups are reported as REP-STAR edges (rep, member,
+    * sim = 1.0; cosine of byte-identical vectors is exactly 1), which
+    * preserves connected components — and therefore dedup groups and
+    * survivor choice — exactly, while emitting g−1 rows per group
+    * instead of the g²/2 enumerated clique. Cross-group near-dup pairs
+    * are verified between representatives, one edge per distinct-vector
+    * pair. On a corpus with no byte-identical vectors (all shipped
+    * testdata scales — checked) the output is bit-identical to the
+    * uncollapsed path; `collapseIdentical = false` restores full clique
+    * enumeration as the audit anchor. */
   def embeddingNearDups(s: SparkSession, dir: String, threshold: Double = 0.95,
-                        exact: Boolean = false): DataFrame = {
+                        exact: Boolean = false,
+                        collapseIdentical: Boolean = true): DataFrame = {
     val verified =
       if (exact) {
         // Deliberate O(n^2) correctness anchor — guarded so a
@@ -123,13 +147,28 @@ object Similarity {
         a.join(broadcast(b), col("vec_a") < col("vec_b"))
           .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
       } else {
+        // Identical-vector collapse (see scaladoc): group by the vector
+        // VALUE, keep the min id as representative. One linear shuffle
+        // of (embedding, id); collect_list is partial-aggregatable so
+        // each copy's ids combine map-side.
+        val collapsed =
+          if (collapseIdentical)
+            corpus(s, dir).groupBy(col("embedding"))
+              .agg(min(col("vec_id")).as("vec_id"),
+                collect_list(col("vec_id")).as("members"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else null
+        val vecs =
+          if (collapseIdentical)
+            collapsed.select(col("vec_id"), col("embedding"))
+          else corpus(s, dir).select(col("vec_id"), col("embedding"))
         // Bucket gather with the same oversized-bucket fallback as the
         // Dedup operators: buckets past the cap (e.g. hundreds of
         // near-identical vectors sharing every table's bucket) expand
         // through a row-wise self-join instead of one in-row quadratic
         // array — memory-safe, and no candidate pair is dropped.
         val maxBucket = 64
-        val keyed = corpus(s, dir).select(col("vec_id"),
+        val keyed = vecs.select(col("vec_id"),
           explode(lshKeyArray(col("embedding"), probe = false)).as("key"))
         val buckets = keyed.groupBy(col("key"))
           .agg(collect_list(col("vec_id")).as("ids"))
@@ -153,10 +192,24 @@ object Similarity {
           .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"))
         val candidates = smallPairs.unionByName(bigPairs).distinct()
-        val ea = corpus(s, dir).select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-        val eb = corpus(s, dir).select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-        candidates.join(ea, "vec_a").join(eb, "vec_b")
+        val ea = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+        val eb = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+        val repPairs = candidates.join(ea, "vec_a").join(eb, "vec_b")
           .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+          .select(col("vec_a"), col("vec_b"), col("sim"))
+        if (collapseIdentical) {
+          // rep-star edges for each identical group: (rep, member),
+          // rep = min id so vec_a < vec_b by construction; cosine of
+          // byte-identical vectors is exactly 1.0, no verification
+          // join needed.
+          val identityPairs = collapsed
+            .filter(size(col("members")) >= 2)
+            .select(col("vec_id").as("vec_a"),
+              explode(col("members")).as("vec_b"))
+            .filter(col("vec_b") =!= col("vec_a"))
+            .withColumn("sim", lit(1.0))
+          repPairs.unionByName(identityPairs)
+        } else repPairs
       }
     verified.filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cosine_sim"))

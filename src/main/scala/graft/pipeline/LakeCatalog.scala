@@ -36,17 +36,17 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   private def partitionColFor(ts: String) =
     graft.plans.HiddenPartitionPruning.Prefix + ts
 
-  private[graft] def tablePath(name: String): String = {
-    val parts = name.split('.')
-    require(parts.length == 2, s"expected namespace.table, got $name")
-    s"$warehouseDir/${parts(0)}/${parts(1)}"
-  }
+  // Metadata layout + read helpers are shared with the DataSourceV2
+  // path mount (graft.sources.GraftLakeSource) via LakeMeta — one
+  // implementation so the two read paths can never drift.
+  private[graft] def tablePath(name: String): String =
+    LakeMeta.tablePath(warehouseDir, name)
 
   private def snapshotLogPath(name: String) =
-    Paths.get(s"$warehouseDir/_snapshots/${name.replace('.', '_')}.jsonl")
+    LakeMeta.snapshotLogPath(warehouseDir, name)
 
   private def schemaPath(name: String) =
-    Paths.get(s"$warehouseDir/_schemas/${name.replace('.', '_')}.json")
+    LakeMeta.schemaPath(warehouseDir, name)
 
   /** Schema sidecar: the table's full READ schema (data columns then
     * hidden partition columns), recorded at WRITE time so reads never
@@ -64,12 +64,8 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def savedSchema(name: String): Option[StructType] = {
-    val p = schemaPath(name)
-    if (!Files.exists(p)) None
-    else Some(DataType.fromJson(
-      new String(Files.readAllBytes(p), "UTF-8")).asInstanceOf[StructType])
-  }
+  private def savedSchema(name: String): Option[StructType] =
+    LakeMeta.savedSchema(warehouseDir, name)
 
   /** Driver-side row count from the written parquet footers — a pure
     * metadata read (no Spark job, no task scheduling, no output-commit
@@ -105,7 +101,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     try stream.findFirst().isPresent finally stream.close()
   }
 
-  private val commitCol = "commit"
+  private val commitCol = LakeMeta.CommitCol
 
   /** W3 — atomic-enough append partitioned by day of `partitionTs`
     * (single-writer discipline, SURVEY §7.4), one snapshot per commit.
@@ -410,7 +406,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   }
 
   private def tagsPath(name: String) =
-    Paths.get(s"$warehouseDir/_tags/${name.replace('.', '_')}.json")
+    LakeMeta.tagsPath(warehouseDir, name)
 
   /** Iceberg tags: a NAMED immutable reference to a snapshot
     * (`CREATE TAG v1 AS OF VERSION n`). Tags pin releases — "the mart
@@ -440,15 +436,8 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     tableAsOf(name, id)
   }
 
-  private def readTags(name: String): Map[String, Long] = {
-    val p = tagsPath(name)
-    if (!Files.exists(p)) Map.empty
-    else {
-      val txt = new String(Files.readAllBytes(p), "UTF-8")
-      """"([^"]+)":(\d+)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toLong).toMap
-    }
-  }
+  private def readTags(name: String): Map[String, Long] =
+    LakeMeta.readTags(warehouseDir, name)
 
   /** Iceberg's `expire_snapshots` analog: fence off time travel below
     * `olderThan`. In this emulation every commit's files are still
@@ -826,25 +815,8 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
 
   /** Highest `rewrite` snapshot id (0 if never compacted): snapshots
     * below it were physically folded together and cannot be read. */
-  private def rewriteFloor(name: String): Long = {
-    val p = snapshotLogPath(name)
-    if (!Files.exists(p)) return 0L
-    val idRe = """"snapshot_id":(\d+)""".r
-    val fenceRe = """"fence":(\d+)""".r
-    val lines = Files.lines(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      lines.iterator().asScala.flatMap { l =>
-        // physical rewrites fence at their OWN snapshot (earlier files
-        // are gone); expire entries carry an explicit fence value
-        if (l.contains("\"operation\":\"rewrite\""))
-          idRe.findFirstMatchIn(l).map(_.group(1).toLong)
-        else if (l.contains("\"operation\":\"expire\""))
-          fenceRe.findFirstMatchIn(l).map(_.group(1).toLong)
-        else None
-      }.foldLeft(0L)(math.max)
-    } finally lines.close()
-  }
+  private def rewriteFloor(name: String): Long =
+    LakeMeta.rewriteFloor(warehouseDir, name)
 
   /** Partition-scoped overwrite: replaces ONLY the partitions present
     * in `df` (dynamic partition overwrite), leaving every other

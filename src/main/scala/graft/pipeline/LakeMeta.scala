@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Warehouse-metadata READ helpers shared by [[LakeCatalog]] (the
+  * in-process facade) and [[graft.sources.GraftLakeSource]] (the
+  * DataSourceV2 path mount): one implementation of the sidecar /
+  * snapshot-log / tags layout so the two read paths can never drift.
+  *
+  * All functions are driver-side metadata reads keyed by
+  * (warehouseDir, namespace.table) — the same signature shape Iceberg's
+  * metadata layer has (catalog location + table identifier). Writes
+  * stay in LakeCatalog: the V2 source is read-only by design (the
+  * reference's writers all run through the pipeline facade).
+  */
+private[graft] object LakeMeta {
+
+  /** Physical commit partition column (append tables only). */
+  val CommitCol = "commit"
+
+  def tablePath(warehouseDir: String, name: String): String = {
+    val parts = name.split('.')
+    require(parts.length == 2, s"expected namespace.table, got $name")
+    s"$warehouseDir/${parts(0)}/${parts(1)}"
+  }
+
+  def snapshotLogPath(warehouseDir: String, name: String): Path =
+    Paths.get(s"$warehouseDir/_snapshots/${name.replace('.', '_')}.jsonl")
+
+  def schemaPath(warehouseDir: String, name: String): Path =
+    Paths.get(s"$warehouseDir/_schemas/${name.replace('.', '_')}.json")
+
+  def tagsPath(warehouseDir: String, name: String): Path =
+    Paths.get(s"$warehouseDir/_tags/${name.replace('.', '_')}.json")
+
+  /** The table's full READ schema (data columns then hidden partition
+    * columns) recorded at write time — see LakeCatalog.saveSchema. */
+  def savedSchema(warehouseDir: String, name: String): Option[StructType] = {
+    val p = schemaPath(warehouseDir, name)
+    if (!Files.exists(p)) None
+    else Some(DataType.fromJson(
+      new String(Files.readAllBytes(p), "UTF-8")).asInstanceOf[StructType])
+  }
+
+  def readTags(warehouseDir: String, name: String): Map[String, Long] = {
+    val p = tagsPath(warehouseDir, name)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      """"([^"]+)":(\d+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+  }
+
+  /** Oldest snapshot still time-travelable: physical rewrites fence at
+    * their OWN snapshot (earlier files are gone); expire entries carry
+    * an explicit fence value. */
+  def rewriteFloor(warehouseDir: String, name: String): Long = {
+    val p = snapshotLogPath(warehouseDir, name)
+    if (!Files.exists(p)) return 0L
+    val idRe = """"snapshot_id":(\d+)""".r
+    val fenceRe = """"fence":(\d+)""".r
+    val lines = Files.lines(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      lines.iterator().asScala.flatMap { l =>
+        if (l.contains("\"operation\":\"rewrite\""))
+          idRe.findFirstMatchIn(l).map(_.group(1).toLong)
+        else if (l.contains("\"operation\":\"expire\""))
+          fenceRe.findFirstMatchIn(l).map(_.group(1).toLong)
+        else None
+      }.foldLeft(0L)(math.max)
+    } finally lines.close()
+  }
+}

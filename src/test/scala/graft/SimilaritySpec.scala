@@ -57,6 +57,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert((lshPairs -- exactPairs).isEmpty)
   }
 
+  test("identical-vector collapse: rep-star edges + rep-rep pairs, " +
+      "component-identical to the full clique path") {
+    // Two byte-identical triples (a cluster of axis-0 copies, ids
+    // 20/21/22, and one of axis-2 copies, ids 30/31/32) plus a
+    // near-parallel distinct vector 23: the collapsed default must
+    // report each identical group as a min-id star (2 edges, sim 1.0),
+    // find the cross-group near-dup 20-23 once (rep-rep), and produce
+    // the SAME connected components as the full-clique path.
+    val fx = TestSpark.embeddingsFixture(Seq(
+      (20L, axis(0), 0), (21L, axis(0), 0), (22L, axis(0), 0),
+      (23L, mix(0, 1, 0.05f), 0),
+      (30L, axis(2), 1), (31L, axis(2), 1), (32L, axis(2), 1)))
+    def pairs(collapse: Boolean) = Similarity
+      .embeddingNearDups(spark, fx, collapseIdentical = collapse)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val collapsed = pairs(collapse = true)
+    val full = pairs(collapse = false)
+    // full clique path: 3 pairs per identical triple, plus the
+    // near-dup 20/21/22 × 23 cross edges
+    assert(full === Set((20L, 21L), (20L, 22L), (21L, 22L),
+      (20L, 23L), (21L, 23L), (22L, 23L),
+      (30L, 31L), (30L, 32L), (31L, 32L)))
+    // collapsed: star per group + one rep-rep cross edge
+    assert(collapsed === Set((20L, 21L), (20L, 22L), (20L, 23L),
+      (30L, 31L), (30L, 32L)))
+    // identical components under union-find over either edge set
+    def components(edges: Set[(Long, Long)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      parent.keys.groupBy(find).values.map(_.toSet).toSet
+    }
+    assert(components(collapsed) === components(full))
+  }
+
+  test("collapse is output-invariant on the real corpus " +
+      "(no byte-identical vectors at sf0.001)") {
+    def rows(collapse: Boolean) = Similarity
+      .embeddingNearDups(spark, TestSpark.sfDir, threshold = 0.3,
+        collapseIdentical = collapse)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cosine_sim"))).toSet
+    assert(rows(collapse = true) === rows(collapse = false))
+  }
+
   test("exact all-pairs anchor fails fast above the documented bound") {
     // A corpus one row past ExactAllPairsMaxRows must be rejected at
     // plan-construction time with a pointer to the LSH path — the

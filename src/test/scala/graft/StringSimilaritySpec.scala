@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.StrSim
 
@@ -70,15 +71,40 @@ class StringSimilaritySpec extends AnyFunSuite {
 
   test("fuzzyPartPairs top score dominates and blocks are respected") {
     val got = graft.operators.EntityResolution
-      .fuzzyPartPairs(spark, TestSpark.sfDir, k = 5).collect()
+      .fuzzyPartPairs(spark, TestSpark.sfDir, k = 5,
+        strictBlock = false).collect()
     assert(got.length == 5)
     // descending by rounded score
     val scores = got.map(_.getAs[Double]("jw"))
     assert(scores.sameElements(scores.sortBy(-_)))
     assert(scores.head >= scores.last)
     val dl = graft.operators.EntityResolution
-      .typoPartPairs(spark, TestSpark.sfDir, k = 5).collect()
+      .typoPartPairs(spark, TestSpark.sfDir, k = 5,
+        strictBlock = false).collect()
     val dists = dl.map(_.getAs[Int]("dl"))
     assert(dists.sameElements(dists.sorted))
+  }
+
+  test("default blocking is strict: pairs share p_type and are a " +
+      "subset of the loose candidates") {
+    // the r9 default flip (VERDICT r8 demand #1): strictBlock = true
+    // is the registry default — same cap-by-default discipline as the
+    // shingle/prefix df-caps. Strict candidates must be exactly the
+    // loose candidates that also agree on p_type.
+    val part = graft.Tables.part(spark, TestSpark.sfDir)
+      .select(col("p_partkey"), col("p_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val strictPairs = graft.operators.EntityResolution
+      .fuzzyPartPairs(spark, TestSpark.sfDir, k = 100).collect()
+      .map(r => (r.getAs[Long]("pk_a"), r.getAs[Long]("pk_b"))).toSet
+    val loosePairs = graft.operators.EntityResolution
+      .fuzzyPartPairs(spark, TestSpark.sfDir, k = 100,
+        strictBlock = false).collect()
+      .map(r => (r.getAs[Long]("pk_a"), r.getAs[Long]("pk_b"))).toSet
+    assert(strictPairs.nonEmpty)
+    assert(strictPairs.forall { case (a, b) => part(a) == part(b) })
+    val looseSameType =
+      loosePairs.filter { case (a, b) => part(a) == part(b) }
+    assert(strictPairs == looseSameType)
   }
 }
