@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Joins, Multimodal, Relational, SetSimJoin, Similarity, Stats, TemporalJoins, TextAnalysis, Windows}
+import graft.operators.{Attribution, Dedup, Joins, Multimodal, Relational, SetSimJoin, Similarity, Stats, Survival, TemporalJoins, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -391,7 +391,12 @@ object SparkEntry {
     // Round-3 additions: clustering, robust outliers, record linkage,
     // domain-mixture planning
     "q_kmeans"           -> ((s, d) => Similarity.kmeansCells(s, d)),
-    "q_mad_outliers"     -> ((s, d) => Relational.madOutliers(s, d)),
+    // r9 registry repair: this value-grain MAD screen had been
+    // silently SHADOWED since r8 by the later daily-count
+    // q_mad_outliers entry (Scala Map literals keep the last duplicate
+    // key) — revived under its own name with a fixed oracle.
+    "q_mad_values"       -> ((s, d) =>
+      Relational.madOutliers(s, d).orderBy("event_type")),
     "q_fuzzy_parts"      -> ((s, d) => Joins.fuzzyNamePairs(s, d)),
     "q_mixture_weights"  -> (TextAnalysis.mixtureWeights _),
     "q_unigram_ll"       -> (TextAnalysis.unigramLogLoss _),
@@ -823,6 +828,25 @@ object SparkEntry {
     // curation slice report + tokenizer design curve
     "q_dup_rate_lang"    -> ((s, d) => TextAnalysis.dupRateByLang(s, d)),
     "q_vocab_coverage"   -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    // Survival kit (r9): right-censored time-to-churn over customer
+    // order histories (event = >180 d inactive before study end).
+    "q_km_churn"         -> ((s, d) => Survival.kaplanMeier(s, d)),
+    "q_nelson_aalen"     -> ((s, d) => Survival.nelsonAalen(s, d)),
+    "q_log_rank"         -> ((s, d) => Survival.logRank(s, d)),
+    // Attribution kit (r9): four position rules in one pass.
+    "q_attribution_position" -> ((s, d) => Attribution.channelCredits(s, d)),
+    "q_attribution_total" -> ((s, d) => Attribution.creditConservation(s, d)),
+    // Control charts (r9): SPC over daily operational series.
+    "q_ewma_chart"       -> ((s, d) => graft.operators.ControlCharts.ewmaChart(s, d)),
+    "q_p_chart"          -> ((s, d) => graft.operators.ControlCharts.pChart(s, d)),
+    "q_xmr_chart"        -> ((s, d) => graft.operators.ControlCharts.xmrChart(s, d)),
+    // r9 batch 2: FS linkage scores, training-mix planner, TF-IDF
+    // all-pairs cosine, inventory policy, Benford audit.
+    "q_fellegi_sunter"   -> ((s, d) => graft.operators.EntityResolution.fellegiSunterPairs(s, d)),
+    "q_mixing_plan"      -> ((s, d) => TextAnalysis.mixingPlan(s, d)),
+    "q_tfidf_pairs"      -> ((s, d) => graft.operators.TfIdfJoin.tfidfCosinePairs(s, d)),
+    "q_inventory_policy" -> ((s, d) => graft.operators.Inventory.inventoryPolicy(s, d)),
+    "q_croston"          -> ((s, d) => graft.operators.Inventory.crostonForecast(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -3759,7 +3783,7 @@ object SparkEntry {
         |SELECT ba.vec_id, ba.cell, COALESCE(pr.n_matches, 0) AS n_matches,
         |CASE WHEN pr.n_matches IS NULL THEN 'new' ELSE 'dup' END AS verdict
         |FROM ba LEFT JOIN pr ON ba.vec_id = pr.vec_id AND ba.cell = pr.cell""".stripMargin,
-    "q_mad_outliers" ->
+    "q_mad_values" ->
       """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),
         |dev AS (SELECT ev.event_type, value, abs(value - med) AS adev
@@ -3769,7 +3793,7 @@ object SparkEntry {
         |ROUND(MIN(value), 4) AS min_outlier, ROUND(MAX(value), 4) AS max_outlier
         |FROM dev JOIN mads USING (event_type)
         |WHERE adev > 3.0 * mad
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_fuzzy_parts" ->
       """WITH p AS (SELECT p_partkey, p_name, p_brand,
         |           string_split(p_name, ' ')[1] AS w1 FROM part)
@@ -7520,5 +7544,402 @@ object SparkEntry {
         |  ('source', CAST(9 AS BIGINT), CAST(3 AS BIGINT)))
         |  AS t(tbl, n_rows, n_snapshots)
         |ORDER BY tbl""".stripMargin,
+    // Survival kit: shared censoring model — churn if > 180 d inactive
+    // before study end (event at last order), else censored at end.
+    "q_km_churn" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(MIN(o_orderdate) AS DATE) AS first_d,
+        |    CAST(MAX(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT MAX(last_d) AS end_d FROM pc),
+        |dur AS (SELECT
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN CAST(date_diff('day', first_d, last_d) AS INTEGER)
+        |         ELSE CAST(date_diff('day', first_d, end_d) AS INTEGER)
+        |    END AS t,
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN 1 ELSE 0 END AS event
+        |  FROM pc, e),
+        |byt AS (SELECT t, COUNT(*) AS n_at,
+        |    CAST(SUM(event) AS BIGINT) AS d_events
+        |  FROM dur GROUP BY 1),
+        |lt AS (SELECT t, d_events,
+        |    CAST(SUM(n_at) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt),
+        |ev AS (SELECT t, n_risk, d_events FROM lt WHERE d_events > 0)
+        |SELECT t, n_risk, d_events,
+        |  floor(CASE WHEN MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0
+        |      END) OVER w = 1 THEN 0.0
+        |    ELSE exp(SUM(ln(1.0 - CAST(d_events AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE))) OVER w) END
+        |    * 10000 + 0.5 + 0.000001) / 10000 AS s_km
+        |FROM ev
+        |WINDOW w AS (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY t""".stripMargin,
+    "q_nelson_aalen" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(MIN(o_orderdate) AS DATE) AS first_d,
+        |    CAST(MAX(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT MAX(last_d) AS end_d FROM pc),
+        |dur AS (SELECT
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN CAST(date_diff('day', first_d, last_d) AS INTEGER)
+        |         ELSE CAST(date_diff('day', first_d, end_d) AS INTEGER)
+        |    END AS t,
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN 1 ELSE 0 END AS event
+        |  FROM pc, e),
+        |byt AS (SELECT t, COUNT(*) AS n_at,
+        |    CAST(SUM(event) AS BIGINT) AS d_events
+        |  FROM dur GROUP BY 1),
+        |lt AS (SELECT t, d_events,
+        |    CAST(SUM(n_at) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt),
+        |ev AS (SELECT t, n_risk, d_events FROM lt WHERE d_events > 0)
+        |SELECT t, n_risk, d_events,
+        |  floor(SUM(CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |    OVER w * 10000 + 0.5 + 0.000001) / 10000 AS h_na,
+        |  floor(SUM(CAST(d_events AS DOUBLE)
+        |      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+        |    OVER w * 10000 + 0.5 + 0.000001) / 10000 AS var_na
+        |FROM ev
+        |WINDOW w AS (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY t""".stripMargin,
+    "q_log_rank" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(MIN(o_orderdate) AS DATE) AS first_d,
+        |    CAST(MAX(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT MAX(last_d) AS end_d FROM pc),
+        |dur AS (SELECT o_custkey,
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN CAST(date_diff('day', first_d, last_d) AS INTEGER)
+        |         ELSE CAST(date_diff('day', first_d, end_d) AS INTEGER)
+        |    END AS t,
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN 1 ELSE 0 END AS event
+        |  FROM pc, e),
+        |seg AS (SELECT c_custkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+        |  FROM customer),
+        |dg AS (SELECT t, event, g1 FROM dur
+        |  JOIN seg ON o_custkey = c_custkey),
+        |byt AS (SELECT t, COUNT(*) AS n_at, SUM(event) AS d_all,
+        |    SUM(g1) AS n1_at, SUM(event * g1) AS d1
+        |  FROM dg GROUP BY 1),
+        |risk AS (SELECT t, d_all, d1,
+        |    SUM(n_at) OVER wd AS n_risk,
+        |    SUM(n1_at) OVER wd AS n1_risk
+        |  FROM byt
+        |  WINDOW wd AS (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |terms AS (SELECT
+        |    CAST(d1 AS DOUBLE) AS o1i,
+        |    CAST(d_all AS DOUBLE) * CAST(n1_risk AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE) AS e1i,
+        |    CAST(d_all AS DOUBLE)
+        |      * (CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      * (1.0 - CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      * (CAST(n_risk AS DOUBLE) - CAST(d_all AS DOUBLE))
+        |      / (CAST(n_risk AS DOUBLE) - 1.0) AS vi
+        |  FROM risk WHERE d_all > 0 AND n_risk > 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+        |  floor(SUM(o1i) * 10000 + 0.5 + 0.000001) / 10000 AS o1,
+        |  floor(SUM(e1i) * 10000 + 0.5 + 0.000001) / 10000 AS e1,
+        |  floor(SUM(vi) * 10000 + 0.5 + 0.000001) / 10000 AS v,
+        |  floor((SUM(o1i) - SUM(e1i)) * (SUM(o1i) - SUM(e1i))
+        |    / SUM(vi) * 10000 + 0.5 + 0.000001) / 10000 AS chi2
+        |FROM terms""".stripMargin,
+    // Attribution kit: journeys = touches since the previous purchase,
+    // ordered by (ts, event_id); only converted journeys carry credit.
+    "q_attribution_position" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS is_conv
+        |  FROM events),
+        |j AS (SELECT *, COALESCE(SUM(is_conv) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS journey_id
+        |  FROM ev),
+        |cj AS (SELECT user_id, journey_id FROM j WHERE is_conv = 1),
+        |t AS (SELECT j.user_id, j.journey_id, j.ts, j.event_id,
+        |    j.event_type
+        |  FROM j JOIN cj USING (user_id, journey_id)
+        |  WHERE is_conv = 0),
+        |r AS (SELECT event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, journey_id
+        |      ORDER BY ts, event_id) AS pos,
+        |    COUNT(*) OVER (PARTITION BY user_id, journey_id) AS n
+        |  FROM t)
+        |SELECT event_type AS channel, CAST(COUNT(*) AS BIGINT)
+        |    AS n_touches,
+        |  floor(SUM(CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END)
+        |    * 10000 + 0.5 + 0.000001) / 10000 AS first_touch,
+        |  floor(SUM(CASE WHEN pos = n THEN 1.0 ELSE 0.0 END)
+        |    * 10000 + 0.5 + 0.000001) / 10000 AS last_touch,
+        |  floor(SUM(1.0 / n) * 10000 + 0.5 + 0.000001) / 10000
+        |    AS linear,
+        |  floor(SUM(CASE WHEN n = 1 THEN 1.0
+        |      WHEN pos = 1 OR pos = n THEN
+        |        (CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END)
+        |      ELSE 0.2 / (n - 2) END)
+        |    * 10000 + 0.5 + 0.000001) / 10000 AS position_based
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_attribution_total" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS is_conv
+        |  FROM events),
+        |j AS (SELECT *, COALESCE(SUM(is_conv) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS journey_id
+        |  FROM ev),
+        |cj AS (SELECT user_id, journey_id FROM j WHERE is_conv = 1),
+        |t AS (SELECT j.user_id, j.journey_id, j.ts, j.event_id,
+        |    j.event_type
+        |  FROM j JOIN cj USING (user_id, journey_id)
+        |  WHERE is_conv = 0),
+        |r AS (SELECT event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, journey_id
+        |      ORDER BY ts, event_id) AS pos,
+        |    COUNT(*) OVER (PARTITION BY user_id, journey_id) AS n
+        |  FROM t),
+        |per AS (SELECT event_type, COUNT(*) AS n_touches,
+        |    floor(SUM(CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END)
+        |      * 10000 + 0.5 + 0.000001) / 10000 AS first_touch,
+        |    floor(SUM(CASE WHEN pos = n THEN 1.0 ELSE 0.0 END)
+        |      * 10000 + 0.5 + 0.000001) / 10000 AS last_touch,
+        |    floor(SUM(1.0 / n) * 10000 + 0.5 + 0.000001) / 10000
+        |      AS linear,
+        |    floor(SUM(CASE WHEN n = 1 THEN 1.0
+        |        WHEN pos = 1 OR pos = n THEN
+        |          (CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END)
+        |        ELSE 0.2 / (n - 2) END)
+        |      * 10000 + 0.5 + 0.000001) / 10000 AS position_based
+        |  FROM r GROUP BY 1)
+        |SELECT
+        |  floor(SUM(first_touch) * 10000 + 0.5 + 0.000001) / 10000
+        |    AS ft_total,
+        |  floor(SUM(last_touch) * 10000 + 0.5 + 0.000001) / 10000
+        |    AS lt_total,
+        |  floor(SUM(linear) * 10000 + 0.5 + 0.000001) / 10000
+        |    AS lin_total,
+        |  floor(SUM(position_based) * 10000 + 0.5 + 0.000001) / 10000
+        |    AS pb_total,
+        |  CAST(SUM(n_touches) AS BIGINT) AS n_touches
+        |FROM per""".stripMargin,
+    // EWMA chart: the metric IS the K=120-truncated closed form —
+    // identical finite formula on both engines (see ControlCharts).
+    "q_ewma_chart" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS x FROM orders GROUP BY 1),
+        |st AS (SELECT AVG(x) AS mu,
+        |    SUM(x*x)/COUNT(*) - AVG(x)*AVG(x) AS varx FROM daily),
+        |w AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS r,
+        |    list(x) OVER (ORDER BY d
+        |      ROWS BETWEEN 119 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM daily),
+        |z AS (SELECT d, x, r, mu, varx,
+        |    0.2 * list_sum([arr[j] * pow(0.8, len(arr)-j)
+        |      for j in range(1, len(arr)+1)])
+        |    + CASE WHEN r <= 120 THEN pow(0.8, r) * mu ELSE 0.0 END
+        |      AS zraw,
+        |    3.0 * sqrt(varx * (0.2/1.8) * (1.0 - pow(0.8, 2*r)))
+        |      AS halfw
+        |  FROM w, st),
+        |q AS (SELECT d, CAST(x AS BIGINT) AS x,
+        |    floor(zraw*10000 + 0.5 + 0.000001)/10000 AS z,
+        |    floor((mu - halfw)*10000 + 0.5 + 0.000001)/10000 AS lcl,
+        |    floor((mu + halfw)*10000 + 0.5 + 0.000001)/10000 AS ucl
+        |  FROM z)
+        |SELECT d, x, z, lcl, ucl,
+        |  CAST(CASE WHEN z < lcl OR z > ucl THEN 1 ELSE 0 END
+        |    AS INTEGER) AS breach
+        |FROM q ORDER BY d""".stripMargin,
+    "q_p_chart" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bad
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT SUM(bad)*1.0/SUM(n) AS pbar FROM daily),
+        |q AS (SELECT d, CAST(n AS BIGINT) AS n, bad,
+        |    floor(bad*1.0/n*10000 + 0.5 + 0.000001)/10000 AS p,
+        |    floor(GREATEST(pbar - 3.0*sqrt(pbar*(1.0-pbar)/n), 0.0)
+        |      *10000 + 0.5 + 0.000001)/10000 AS lcl,
+        |    floor((pbar + 3.0*sqrt(pbar*(1.0-pbar)/n))
+        |      *10000 + 0.5 + 0.000001)/10000 AS ucl
+        |  FROM daily, st)
+        |SELECT d, n, bad, p, lcl, ucl,
+        |  CAST(CASE WHEN p < lcl OR p > ucl THEN 1 ELSE 0 END
+        |    AS INTEGER) AS breach
+        |FROM q ORDER BY d""".stripMargin,
+    "q_xmr_chart" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)*100 + 0.5)/100 AS x
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT d, x, abs(x - lag(x) OVER (ORDER BY d)) AS mr
+        |  FROM daily),
+        |st AS (SELECT AVG(x) AS xbar, AVG(mr) AS mrbar FROM m),
+        |q AS (SELECT d, x,
+        |    floor(mr*10000 + 0.5 + 0.000001)/10000 AS mr,
+        |    floor((xbar - 2.66*mrbar)*10000 + 0.5 + 0.000001)/10000
+        |      AS lcl,
+        |    floor((xbar + 2.66*mrbar)*10000 + 0.5 + 0.000001)/10000
+        |      AS ucl
+        |  FROM m, st)
+        |SELECT d, x, mr, lcl, ucl,
+        |  CAST(CASE WHEN x < lcl OR x > ucl THEN 1 ELSE 0 END
+        |    AS INTEGER) AS breach
+        |FROM q ORDER BY d""".stripMargin,
+    // Fellegi-Sunter: u from value-frequency squares, m = 0.95 fixed;
+    // (1.0-0.95) spelled as the subtraction on BOTH engines so the
+    // double literal is bit-identical.
+    "q_fellegi_sunter" ->
+      """WITH p AS (SELECT p_partkey,
+        |    string_split(p_name, ' ')[1] AS adj,
+        |    string_split(p_name, ' ')[2] AS noun,
+        |    p_brand, p_type, p_size FROM part),
+        |ua AS (SELECT SUM(f*f)*1.0/(SUM(f)*SUM(f)) AS u_adj
+        |  FROM (SELECT COUNT(*) AS f FROM p GROUP BY adj) t),
+        |ub AS (SELECT SUM(f*f)*1.0/(SUM(f)*SUM(f)) AS u_brand
+        |  FROM (SELECT COUNT(*) AS f FROM p GROUP BY p_brand) t),
+        |ut AS (SELECT SUM(f*f)*1.0/(SUM(f)*SUM(f)) AS u_type
+        |  FROM (SELECT COUNT(*) AS f FROM p GROUP BY p_type) t),
+        |pairs AS (SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        |    a.adj = b.adj AS ga, a.p_brand = b.p_brand AS gb,
+        |    a.p_type = b.p_type AS gt
+        |  FROM p a JOIN p b
+        |    ON a.noun = b.noun AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey)
+        |SELECT pk_a, pk_b,
+        |  CAST(CASE WHEN ga THEN 1 ELSE 0 END AS INTEGER) AS agree_adj,
+        |  CAST(CASE WHEN gb THEN 1 ELSE 0 END AS INTEGER) AS agree_brand,
+        |  CAST(CASE WHEN gt THEN 1 ELSE 0 END AS INTEGER) AS agree_type,
+        |  floor((
+        |    (CASE WHEN ga THEN ln(0.95/u_adj)
+        |          ELSE ln((1.0-0.95)/(1.0-u_adj)) END) +
+        |    (CASE WHEN gb THEN ln(0.95/u_brand)
+        |          ELSE ln((1.0-0.95)/(1.0-u_brand)) END) +
+        |    (CASE WHEN gt THEN ln(0.95/u_type)
+        |          ELSE ln((1.0-0.95)/(1.0-u_type)) END)
+        |  )*10000 + 0.5 + 0.000001)/10000 AS w
+        |FROM pairs, ua, ub, ut
+        |ORDER BY w DESC, pk_a, pk_b LIMIT 20""".stripMargin,
+    "q_mixing_plan" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |    pow(CAST(SUM(toks) AS DOUBLE), 0.3) AS w_raw
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT SUM(w_raw) AS w_sum,
+        |    CAST(SUM(n_tokens) AS DOUBLE) AS t_total FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  floor(w_raw/w_sum*10000 + 0.5 + 0.000001)/10000 AS weight,
+        |  floor(w_raw/w_sum*t_total/n_tokens*10000 + 0.5 + 0.000001)
+        |    /10000 AS epochs
+        |FROM per, tot ORDER BY source""".stripMargin,
+    "q_tfidf_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |  HAVING COUNT(*) <= 64),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs
+        |  FROM documents),
+        |w AS (SELECT doc_id, tf.term, df,
+        |    tf * ln(n_docs / CAST(df AS DOUBLE)) AS w
+        |  FROM tf JOIN df ON tf.term = df.term, nd),
+        |nrm AS (SELECT doc_id, sqrt(SUM(w*w)) AS nrm FROM w
+        |  GROUP BY 1 HAVING sqrt(SUM(w*w)) > 0),
+        |j AS (SELECT term, doc_id, w FROM w WHERE df >= 2),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    SUM(a.w * b.w) AS dot
+        |  FROM j a JOIN j b
+        |    ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  floor(dot/(na.nrm*nb.nrm)*10000 + 0.5 + 0.000001)/10000
+        |    AS cos
+        |FROM dots
+        |JOIN nrm na ON na.doc_id = doc_a
+        |JOIN nrm nb ON nb.doc_id = doc_b
+        |ORDER BY cos DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q_inventory_policy" ->
+      """WITH li AS (SELECT l_partkey, l_quantity,
+        |    CAST(l_shipdate AS DATE) AS d FROM lineitem),
+        |span AS (SELECT CAST(date_diff('day', MIN(d), MAX(d)) + 1
+        |    AS DOUBLE) AS n_days FROM li),
+        |daily AS (SELECT p_brand, d, SUM(l_quantity) AS q
+        |  FROM li JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |price AS (SELECT p_brand, AVG(p_retailprice) AS unit_price
+        |  FROM part GROUP BY 1),
+        |agg AS (SELECT p_brand, SUM(q) AS total_qty,
+        |    SUM(q*q) AS sum_q2 FROM daily GROUP BY 1),
+        |m AS (SELECT agg.p_brand, total_qty, sum_q2, unit_price, n_days,
+        |    total_qty/n_days AS mu_d,
+        |    sum_q2/n_days - (total_qty/n_days)*(total_qty/n_days)
+        |      AS var_d,
+        |    total_qty*365.0/n_days AS d_annual,
+        |    0.2*unit_price AS h
+        |  FROM agg JOIN price ON agg.p_brand = price.p_brand, span)
+        |SELECT p_brand, CAST(total_qty AS BIGINT) AS total_qty,
+        |  floor(mu_d*10000 + 0.5 + 0.000001)/10000 AS mu_daily,
+        |  floor(sqrt(var_d)*10000 + 0.5 + 0.000001)/10000
+        |    AS sigma_daily,
+        |  floor(sqrt(2.0*d_annual*100.0/h)*10000 + 0.5 + 0.000001)
+        |    /10000 AS eoq,
+        |  floor(1.645*sqrt(var_d)*sqrt(7.0)*10000 + 0.5 + 0.000001)
+        |    /10000 AS safety_stock,
+        |  floor((mu_d*7.0 + 1.645*sqrt(var_d)*sqrt(7.0))*10000
+        |    + 0.5 + 0.000001)/10000 AS reorder_point
+        |FROM m ORDER BY p_brand""".stripMargin,
+    // Croston: both SES fits are the K=64-truncated closed form over a
+    // positional window array — identical finite formula both engines.
+    "q_croston" ->
+      """WITH daily AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+        |    SUM(l_quantity) AS x FROM lineitem GROUP BY 1, 2),
+        |occ AS (SELECT l_partkey, d, x,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY d)
+        |      AS kth,
+        |    CAST(date_diff('day', lag(d) OVER (PARTITION BY l_partkey
+        |      ORDER BY d), d) AS DOUBLE) AS gap
+        |  FROM daily),
+        |f AS (SELECT * FROM occ WHERE gap IS NOT NULL),
+        |sm AS (SELECT l_partkey, kth,
+        |    list(x) OVER w AS xa, list(gap) OVER w AS ga
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY l_partkey ORDER BY d
+        |    ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT l_partkey, kth,
+        |    0.1*list_sum([xa[j]*pow(0.9, len(xa)-j)
+        |      for j in range(1, len(xa)+1)])
+        |      + pow(0.9, len(xa))*xa[1] AS zr,
+        |    0.1*list_sum([ga[j]*pow(0.9, len(ga)-j)
+        |      for j in range(1, len(ga)+1)])
+        |      + pow(0.9, len(ga))*ga[1] AS pr,
+        |    MAX(kth) OVER (PARTITION BY l_partkey) AS last_k
+        |  FROM sm)
+        |SELECT l_partkey, CAST(last_k AS INTEGER) AS n_occ,
+        |  floor(zr*10000 + 0.5 + 0.000001)/10000 AS z_hat,
+        |  floor(pr*10000 + 0.5 + 0.000001)/10000 AS p_hat,
+        |  floor(zr/pr*10000 + 0.5 + 0.000001)/10000 AS rate
+        |FROM z WHERE kth = last_k AND pr > 0
+        |ORDER BY rate DESC, l_partkey LIMIT 20""".stripMargin,
   )
 }

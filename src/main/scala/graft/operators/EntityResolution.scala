@@ -131,4 +131,58 @@ object EntityResolution {
       .orderBy(col("dl"), col("pk_a"), col("pk_b"))
       .limit(k)
   }
+
+  /** Fellegi-Sunter probabilistic record-linkage scores over blocked
+    * part pairs — the decision-theoretic layer on top of the candidate
+    * generators above: each pair gets a log-likelihood match weight
+    * w = Σ_k agree_k ? ln(m_k/u_k) : ln((1−m_k)/(1−u_k)) over the
+    * comparison vector (adjective word of the name, brand, type).
+    *
+    * u-probabilities (chance agreement between NON-matches) are
+    * estimated from the field value distributions in the classic
+    * closed form u_k = Σ_v (n_v/n)² — one tiny aggregate per field,
+    * broadcast. m-probabilities (agreement among true matches) are the
+    * standard fixed prior [[FsM]] = 0.95 (no labeled pairs exist; an
+    * EM refinement would slot in here with the same plan shape).
+    *
+    * Blocking: (noun word of the name, p_size) — the name's noun is a
+    * small closed vocabulary, so this is the occupancy-bounded block
+    * key pattern of [[blockedPartPairs]]; candidates grow as
+    * Σ_block n_b², never N². One blocked self-join + one broadcast of
+    * three scalar u's — no other shuffle. */
+  val FsM = 0.95
+
+  def fellegiSunterPairs(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"),
+      split(col("p_name"), " ").getItem(0).as("adj"),
+      split(col("p_name"), " ").getItem(1).as("noun"),
+      col("p_brand"), col("p_type"), col("p_size"))
+    // u_k = sum over values of (freq/n)^2, one scalar per field
+    def uOf(c: String) = {
+      val n = p.groupBy(col(c)).agg(count(lit(1)).as("f"))
+      n.agg((sum(col("f") * col("f")).cast("double") /
+        (sum(col("f")) * sum(col("f"))).cast("double")).as(s"u_$c"))
+    }
+    val us = uOf("adj").crossJoin(uOf("p_brand")).crossJoin(uOf("p_type"))
+    val a = p.select(col("noun"), col("p_size"),
+      col("p_partkey").as("pk_a"), col("adj").as("adj_a"),
+      col("p_brand").as("brand_a"), col("p_type").as("type_a"))
+    val b = p.select(col("noun"), col("p_size"),
+      col("p_partkey").as("pk_b"), col("adj").as("adj_b"),
+      col("p_brand").as("brand_b"), col("p_type").as("type_b"))
+    def term(agree: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column) =
+      when(agree, log(lit(FsM) / u)).otherwise(log(lit(1.0 - FsM) / (lit(1.0) - u)))
+    a.join(b, Seq("noun", "p_size")).filter(col("pk_a") < col("pk_b"))
+      .crossJoin(broadcast(us))
+      .select(col("pk_a"), col("pk_b"),
+        (col("adj_a") === col("adj_b")).cast("int").as("agree_adj"),
+        (col("brand_a") === col("brand_b")).cast("int").as("agree_brand"),
+        (col("type_a") === col("type_b")).cast("int").as("agree_type"),
+        graft.functions.Rounding.round4eps(
+          term(col("adj_a") === col("adj_b"), col("u_adj")) +
+          term(col("brand_a") === col("brand_b"), col("u_p_brand")) +
+          term(col("type_a") === col("type_b"), col("u_p_type"))).as("w"))
+      .orderBy(col("w").desc, col("pk_a"), col("pk_b"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Rounding.round4eps
+
+/** Inventory-policy analytics per brand — the classic operations
+  * triple (EOQ, safety stock, reorder point) computed from shipped
+  * demand, the supply-chain readout a CPG mart serves.
+  *
+  * Demand model: daily shipped quantity per brand over the FULL
+  * calendar span D = max(l_shipdate) − min(l_shipdate) + 1 days
+  * (zero-demand days count — omitting them understates variance, the
+  * classic intermittency mistake): μ_d = ΣQ / D and
+  * σ_d² = Σq_day² / D − μ_d² where zero days contribute 0 to the sum
+  * of squares, so only OBSERVED days are ever materialized.
+  *
+  * Policy formulas (order cost K = [[OrderCost]], holding rate
+  * [[HoldingRate]]·unit price, lead time [[LeadTimeDays]], z = 1.645
+  * ≈ 95% service):
+  *   EOQ = √(2·D_annual·K / h),  SS = z·σ_d·√L,  ROP = μ_d·L + SS.
+  *
+  * Scale shape: one lineitem scan joined to the broadcast part dim →
+  * (brand, day) aggregate (fact-linear, one shuffle) → brand-grain
+  * collapse (NDV 25). Quantities are integer-valued doubles, so the
+  * daily sums and sums of squares are EXACT integers in double —
+  * cross-engine bit parity up to the final divisions. */
+object Inventory {
+
+  val OrderCost = 100.0
+  val HoldingRate = 0.2
+  val LeadTimeDays = 7.0
+  val ServiceZ = 1.645
+
+  /** Croston's method for intermittent demand — the forecasting
+    * standard when a series is mostly zeros (slow-moving SKUs, spare
+    * parts): simple exponential smoothing applied SEPARATELY to the
+    * nonzero demand sizes and to the inter-demand intervals, forecast
+    * rate = ẑ/p̂ per period.
+    *
+    * Both SES fits use the K-truncated closed form (the
+    * [[ControlCharts]] discipline): z_k = α·Σ_{j<min(k,K)} a^j·x_{k−j}
+    * (+ a^k·x₁-anchored tail while k ≤ K), a = 1−α — an identical
+    * finite formula on both engines, positional over the window's
+    * collected array (α = [[CrostonAlpha]], K = [[CrostonWindow]];
+    * a^64 ≈ 1e−3·… with α=0.1: 0.9^64 ≈ 1.2e−3, times bounded demand
+    * sizes ≤ 50 — the truncated form IS the metric, so parity is
+    * definitional, and the window keeps the per-part cost K·K_p
+    * instead of K_p²).
+    *
+    * Grain: per part, over its nonzero-demand DAYS (k indexes demand
+    * occurrences, the Croston clock). Output: the top-k parts by
+    * forecast rate with their ẑ, p̂ and occurrence count — the
+    * replenishment watchlist. Scale shape: one fact scan → (part, day)
+    * collapse → part-keyed windows (bounded arrays) → part-grain
+    * closing row each. */
+  val CrostonAlpha = 0.1
+  val CrostonWindow = 64
+
+  def crostonForecast(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = 1.0 - CrostonAlpha
+    val daily = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("d"),
+        col("l_quantity"))
+      .groupBy(col("l_partkey"), col("d"))
+      .agg(sum(col("l_quantity")).as("x"))
+    val wSeq = Window.partitionBy(col("l_partkey")).orderBy(col("d"))
+    val occ = daily
+      .withColumn("kth", row_number().over(wSeq))
+      .withColumn("gap",
+        datediff(col("d"), lag(col("d"), 1).over(wSeq)).cast("double"))
+    // SES over a positional array window. With the anchor term the
+    // first element's total coefficient is α·a^(m−1) + a^m = a^(m−1):
+    // EXACTLY the classic z_1 = x_1 seeded recursion while the window
+    // covers the history, the defined truncated metric beyond it.
+    val wArr = wSeq.rowsBetween(-(CrostonWindow - 1), 0)
+    def sesOver(valueCol: String, outCol: String)(df: DataFrame): DataFrame =
+      df.withColumn(s"${outCol}_arr",
+          collect_list(col(valueCol)).over(wArr))
+        .withColumn(outCol,
+          lit(CrostonAlpha) * aggregate(
+            transform(sequence(lit(1), size(col(s"${outCol}_arr"))),
+              j => element_at(col(s"${outCol}_arr"), j) *
+                pow(lit(a), size(col(s"${outCol}_arr")) - j)),
+            lit(0.0), (acc, v) => acc + v) +
+          pow(lit(a), size(col(s"${outCol}_arr"))) *
+            element_at(col(s"${outCol}_arr"), 1))
+    val smoothed = sesOver("x", "z")(
+      sesOver("gap", "p")(occ.filter(col("gap").isNotNull)))
+    val wAll = Window.partitionBy(col("l_partkey"))
+    smoothed
+      .withColumn("last_k", max(col("kth")).over(wAll))
+      .filter(col("kth") === col("last_k"))
+      .filter(col("p") > 0)
+      .select(col("l_partkey"), (col("last_k")).as("n_occ"),
+        round4eps(col("z")).as("z_hat"),
+        round4eps(col("p")).as("p_hat"),
+        round4eps(col("z") / col("p")).as("rate"))
+      .orderBy(col("rate").desc, col("l_partkey"))
+      .limit(k)
+  }
+
+  def inventoryPolicy(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        to_date(col("l_shipdate")).as("d"))
+    val span = li.agg((datediff(max(col("d")), min(col("d"))) + 1)
+      .cast("double").as("n_days"))
+    val part = broadcast(Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice")))
+    val daily = li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("d"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val price = Tables.part(s, dir).groupBy(col("p_brand"))
+      .agg(avg(col("p_retailprice")).as("unit_price"))
+    daily.groupBy(col("p_brand"))
+      .agg(sum(col("q")).as("total_qty"),
+        sum(col("q") * col("q")).as("sum_q2"))
+      .join(price, "p_brand")
+      .crossJoin(broadcast(span))
+      .withColumn("mu_d", col("total_qty") / col("n_days"))
+      .withColumn("var_d",
+        col("sum_q2") / col("n_days") - col("mu_d") * col("mu_d"))
+      .withColumn("d_annual", col("total_qty") * lit(365.0) / col("n_days"))
+      .withColumn("h", lit(HoldingRate) * col("unit_price"))
+      .select(col("p_brand"),
+        col("total_qty").cast("long").as("total_qty"),
+        round4eps(col("mu_d")).as("mu_daily"),
+        round4eps(sqrt(col("var_d"))).as("sigma_daily"),
+        round4eps(sqrt(lit(2.0) * col("d_annual") * lit(OrderCost) /
+          col("h"))).as("eoq"),
+        round4eps(lit(ServiceZ) * sqrt(col("var_d")) *
+          sqrt(lit(LeadTimeDays))).as("safety_stock"),
+        round4eps(col("mu_d") * lit(LeadTimeDays) +
+          lit(ServiceZ) * sqrt(col("var_d")) * sqrt(lit(LeadTimeDays)))
+          .as("reorder_point"))
+      .orderBy(col("p_brand"))
+  }
+}

@@ -1968,4 +1968,5 @@ object Stats {
           .as("return_rate"))
       .orderBy(col("fold"))
   }
+
 }

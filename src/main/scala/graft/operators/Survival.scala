@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Rounding.round4eps
+
+/** Survival analysis over customer order histories — the
+  * time-to-churn toolkit (Kaplan-Meier product-limit, Nelson-Aalen
+  * cumulative hazard, two-sample log-rank test), built on the same
+  * right-censoring model a subscription/retention analysis uses.
+  *
+  * Censoring model (shared by all three operators): per customer,
+  * `first`/`last` order dates; study end = the corpus-wide max order
+  * date. A customer whose last order is more than [[ChurnGapDays]]
+  * before study end CHURNED at `last` (event, duration = last−first);
+  * anyone still active is CENSORED at study end (duration =
+  * end−first). Durations are integer days (`datediff` ==
+  * DuckDB `date_diff('day', …)` — exact cross-engine parity).
+  *
+  * Scale shape: ONE orders scan → per-customer min/max aggregate (one
+  * custkey-keyed shuffle, fact-linear) → distribution-collapse onto
+  * the duration axis (NDV ≤ the calendar span in days, ~2.4k here —
+  * corpus-size-INDEPENDENT from that point on). The at-risk counts
+  * n(t) = #{duration ≥ t} come from a cumulative sum over that
+  * bounded frame, never a per-customer window; KM's running product is
+  * exp(Σ ln(1−d/n)) over the same bounded frame. At 100 TB the only
+  * term that grows is the first aggregate.
+  *
+  * KM zero guard: at an event time where d == n (everyone at risk
+  * dies) the survivor function hits exactly 0 and `ln(1−d/n)` is
+  * undefined — both engines mask it with an explicit cumulative
+  * any-zero flag instead of relying on ln(0)/exp(−inf) semantics
+  * (Spark's non-ANSI `log` returns NULL on 0, DuckDB returns −inf;
+  * the flag makes the two agree bit-for-bit).
+  */
+object Survival {
+
+  /** Gap (days) after a customer's last order, relative to study end,
+    * that declares the customer churned rather than censored. */
+  val ChurnGapDays = 180
+
+  /** Per-customer (duration_days, event) under the censoring model —
+    * the shared first stage. */
+  private[graft] def durations(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(to_date(min(col("o_orderdate"))).as("first_d"),
+        to_date(max(col("o_orderdate"))).as("last_d"))
+    val end = perCust.agg(max(col("last_d")).as("end_d"))
+    perCust.crossJoin(broadcast(end))
+      .select(col("o_custkey"),
+        when(datediff(col("end_d"), col("last_d")) > ChurnGapDays,
+          datediff(col("last_d"), col("first_d")))
+          .otherwise(datediff(col("end_d"), col("first_d"))).as("t"),
+        (datediff(col("end_d"), col("last_d")) > ChurnGapDays)
+          .cast("int").as("event"))
+  }
+
+  /** The collapsed life table: one row per distinct duration with
+    * events, with d(t) = events at t and n(t) = at-risk (duration ≥ t,
+    * censored included). */
+  private def lifeTable(s: SparkSession, dir: String): DataFrame = {
+    val dur = durations(s, dir)
+    // collapse to the duration axis FIRST (calendar-bounded NDV), then
+    // n(t) by reverse cumulative sum of the per-duration populations
+    val byT = dur.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("event")).as("d_events"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("n_risk", sum(col("n_at")).over(wDesc))
+      .filter(col("d_events") > 0)
+      .select(col("t"), col("n_risk"), col("d_events"))
+  }
+
+  /** Kaplan-Meier product-limit estimator: S(t) = Π_{t_i ≤ t}
+    * (1 − d_i/n_i), reported at each event time. */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val lt = lifeTable(s, dir)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lt.withColumn("dead_frac",
+        col("d_events").cast("double") / col("n_risk").cast("double"))
+      .withColumn("hit_zero",
+        max((col("d_events") === col("n_risk")).cast("int")).over(wCum))
+      .withColumn("s_km", round4eps(
+        when(col("hit_zero") === 1, lit(0.0))
+          .otherwise(exp(sum(log(lit(1.0) - col("dead_frac"))).over(wCum)))))
+      .select(col("t"), col("n_risk"), col("d_events"), col("s_km"))
+      .orderBy(col("t"))
+  }
+
+  /** Nelson-Aalen cumulative hazard H(t) = Σ d_i/n_i with its Poisson
+    * variance Σ d_i/n_i². */
+  def nelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val lt = lifeTable(s, dir)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lt.withColumn("h_na", round4eps(sum(
+        col("d_events").cast("double") / col("n_risk").cast("double"))
+        .over(wCum)))
+      .withColumn("var_na", round4eps(sum(
+        col("d_events").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk").cast("double")))
+        .over(wCum)))
+      .select(col("t"), col("n_risk"), col("d_events"),
+        col("h_na"), col("var_na"))
+      .orderBy(col("t"))
+  }
+
+  /** Two-sample log-rank test: BUILDING-segment customers vs everyone
+    * else. At each pooled event time, observed-minus-expected group-1
+    * deaths under the hypergeometric null; the statistic
+    * (ΣO−E)² / ΣV is χ²(1). Scalar output row:
+    * (n_times, o1, e1, v, chi2). */
+  def logRank(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("int").as("g1"))
+    val dur = durations(s, dir)
+      .join(seg, col("o_custkey") === col("c_custkey"))
+    val byT = dur.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(col("event")).as("d_all"),
+        sum(col("g1")).as("n1_at"),
+        sum(col("event") * col("g1")).as("d1"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT
+      .withColumn("n_risk", sum(col("n_at")).over(wDesc))
+      .withColumn("n1_risk", sum(col("n1_at")).over(wDesc))
+      .filter(col("d_all") > 0 && col("n_risk") > 1)
+    val n = col("n_risk").cast("double")
+    val d = col("d_all").cast("double")
+    val n1 = col("n1_risk").cast("double")
+    risk.select(col("t"), col("d1").cast("double").as("o1i"),
+        (d * n1 / n).as("e1i"),
+        (d * (n1 / n) * (lit(1.0) - n1 / n) * (n - d) / (n - lit(1.0)))
+          .as("vi"))
+      .agg(count(lit(1)).as("n_times"),
+        sum(col("o1i")).as("o1_raw"),
+        sum(col("e1i")).as("e1_raw"),
+        sum(col("vi")).as("v_raw"))
+      .select(col("n_times"),
+        round4eps(col("o1_raw")).as("o1"),
+        round4eps(col("e1_raw")).as("e1"),
+        round4eps(col("v_raw")).as("v"),
+        round4eps((col("o1_raw") - col("e1_raw")) *
+          (col("o1_raw") - col("e1_raw")) / col("v_raw")).as("chi2"))
+  }
+}

@@ -1502,4 +1502,36 @@ object TextAnalysis {
         round4eps((col("agree").cast("double") / col("nn") - col("pe")) /
           (lit(1.0) - col("pe"))).as("kappa"))
   }
+
+  /** Training-mix planner: per-source α-temperature sampling weights
+    * over token counts — the data-mixing step every multilingual /
+    * multi-source pretraining pipeline runs (weights ∝ tokens^α,
+    * α < 1 upsamples the tail; α = [[MixAlpha]] = 0.3, the common
+    * multilingual setting). `epochs` = how many passes over source i
+    * one budget-of-total-tokens run implies (weight·T / tokens_i) —
+    * the "how often does the small source repeat" readout that flags
+    * memorization risk (epochs ≫ 1 on a tiny source).
+    *
+    * Scale shape: one documents scan → per-source token sums (source
+    * NDV tiny) → broadcast total; everything after the first aggregate
+    * is constant-size. */
+  val MixAlpha = 0.3
+
+  def mixingPlan(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(regexp_replace(lower(trim(col("text"))),
+          "\\s+", " "), " ")).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("w_raw", pow(col("n_tokens").cast("double"), lit(MixAlpha)))
+    val tot = perSource.agg(sum(col("w_raw")).as("w_sum"),
+      sum(col("n_tokens")).cast("double").as("t_total"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round4eps(col("w_raw") / col("w_sum")).as("weight"),
+        round4eps(col("w_raw") / col("w_sum") * col("t_total") /
+          col("n_tokens").cast("double")).as("epochs"))
+      .orderBy(col("source"))
+  }
 }

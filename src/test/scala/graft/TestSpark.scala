@@ -87,4 +87,19 @@ object TestSpark {
 
   def collectSet[T](df: DataFrame, col: String): Set[T] =
     df.select(col).collect().toSeq.map(_.get(0).asInstanceOf[T]).toSet
+
+  /** Write an orders.parquet fixture: (custkey, orderdate "yyyy-MM-dd")
+    * per order; the other TPC-H columns are filled deterministically. */
+  def ordersFixture(rows: Seq[(Long, String)]): String = {
+    val dir = tempDir("graft-orders")
+    val s = spark
+    import s.implicits._
+    rows.zipWithIndex.map { case ((ck, d), i) =>
+      (i.toLong + 1, ck, "O", 100.0,
+        java.sql.Timestamp.valueOf(d + " 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
 }
