@@ -26,4 +26,17 @@ object Caching {
     if (df.storageLevel == StorageLevel.NONE)
       df.persist(StorageLevel.MEMORY_AND_DISK)
     else df
+
+  /** `.persistMemDisk` — the drop-in guarded form of
+    * `.persist(MEMORY_AND_DISK)` every operator uses (the bench runs
+    * slower queries twice, so EVERY unguarded persist site re-warns on
+    * the steady-state run; the guard makes the second call a clean
+    * cache hit). Generic in T so typed Datasets keep their type. */
+  implicit class CachingOps[T](private val ds: org.apache.spark.sql.Dataset[T])
+      extends AnyVal {
+    def persistMemDisk: org.apache.spark.sql.Dataset[T] =
+      if (ds.storageLevel == StorageLevel.NONE)
+        ds.persist(StorageLevel.MEMORY_AND_DISK)
+      else ds
+  }
 }

@@ -847,6 +847,13 @@ object SparkEntry {
     "q_tfidf_pairs"      -> ((s, d) => graft.operators.TfIdfJoin.tfidfCosinePairs(s, d)),
     "q_inventory_policy" -> ((s, d) => graft.operators.Inventory.inventoryPolicy(s, d)),
     "q_croston"          -> ((s, d) => graft.operators.Inventory.crostonForecast(s, d)),
+    // r9 batch 3: sequential testing, curation yield curve, exact
+    // Shapley attribution.
+    "q_sprt"             -> ((s, d) => Stats.sprtMonitor(s, d)),
+    "q_filter_sweep"     -> ((s, d) => TextAnalysis.filterSweep(s, d)),
+    "q_shapley"          -> ((s, d) => Attribution.shapleyAttribution(s, d)),
+    "q_kneser_ney"       -> ((s, d) => TextAnalysis.kneserNeyBigrams(s, d)),
+    "q_t_closeness"      -> ((s, d) => Relational.tClosenessProfile(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -7941,5 +7948,149 @@ object SparkEntry {
         |  floor(zr/pr*10000 + 0.5 + 0.000001)/10000 AS rate
         |FROM z WHERE kth = last_k AND pr > 0
         |ORDER BY rate DESC, l_partkey LIMIT 20""".stripMargin,
+    "q_sprt" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS k
+        |  FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT d, CAST(n AS BIGINT) AS n, k,
+        |    floor(SUM(k*ln(0.21/0.19)
+        |      + (n - k)*ln((1.0-0.21)/(1.0-0.19))) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      *10000 + 0.5 + 0.000001)/10000 AS llr
+        |  FROM daily)
+        |SELECT d, n, k, llr,
+        |  CASE WHEN llr >= floor(ln(19.0)*10000 + 0.5 + 0.000001)/10000
+        |         THEN 'accept_h1'
+        |       WHEN llr <= floor(-ln(19.0)*10000 + 0.5 + 0.000001)/10000
+        |         THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM c ORDER BY d""".stripMargin,
+    "q_filter_sweep" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS upper_ratio
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS toks,
+        |  floor(greatest(0.0, least(1.0,
+        |    least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+        |    + least(CAST(len(list_filter(w, x -> x IN ('the', 'a')))
+        |        AS DOUBLE) / len(w) * 5.0, 1.0) * 0.5
+        |    - punct_ratio * 2.0 - upper_ratio)) * 10000 + 0.5) / 10000
+        |    AS quality
+        |  FROM t),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(toks) AS DOUBLE) AS nt FROM q),
+        |cuts AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS k),
+        |surv AS (SELECT k, COUNT(*) AS n_docs, SUM(toks) AS n_tokens
+        |  FROM q, cuts WHERE quality >= k/10.0 GROUP BY 1)
+        |SELECT k,
+        |  floor(k/10.0*10000 + 0.5 + 0.000001)/10000 AS cutoff,
+        |  CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  floor(COALESCE(n_docs, 0)/nd*10000 + 0.5 + 0.000001)/10000
+        |    AS doc_share,
+        |  floor(COALESCE(n_tokens, 0)/nt*10000 + 0.5 + 0.000001)/10000
+        |    AS token_share
+        |FROM cuts LEFT JOIN surv USING (k), tot ORDER BY k""".stripMargin,
+    // Exact Shapley over the 4-channel subset lattice; v(S) = number
+    // of converted journeys whose touch-set is contained in S.
+    "q_shapley" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS is_conv FROM events),
+        |j AS (SELECT *, COALESCE(SUM(is_conv) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS journey_id FROM ev),
+        |jm AS (SELECT user_id, journey_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)*1
+        |  + MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)*2
+        |  + MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)*4
+        |  + MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)*8
+        |    AS jmask
+        |  FROM j WHERE is_conv = 0 GROUP BY 1, 2),
+        |ck AS (SELECT user_id, journey_id, 1 AS conv FROM j
+        |  WHERE is_conv = 1),
+        |sets AS (SELECT jmask, SUM(COALESCE(conv, 0)) AS n_conv
+        |  FROM jm LEFT JOIN ck USING (user_id, journey_id) GROUP BY 1),
+        |subsets AS (SELECT unnest(range(0, 16)) AS mask),
+        |v0 AS (SELECT mask, SUM(n_conv) AS v FROM subsets JOIN sets
+        |  ON (jmask & mask) = jmask GROUP BY 1),
+        |vall AS (SELECT mask, COALESCE(v, 0) AS v
+        |  FROM subsets LEFT JOIN v0 USING (mask)),
+        |ch(channel, bit) AS (SELECT * FROM (VALUES ('click', 1),
+        |  ('error', 2), ('signup', 4), ('view', 8)) t(channel, bit)),
+        |contrib AS (SELECT channel,
+        |    (CASE bit_count(va.mask) WHEN 0 THEN 6.0/24.0
+        |      WHEN 1 THEN 2.0/24.0 WHEN 2 THEN 2.0/24.0
+        |      ELSE 6.0/24.0 END)
+        |    * CAST(vi.v - va.v AS DOUBLE) AS c
+        |  FROM ch CROSS JOIN vall va
+        |  JOIN vall vi ON vi.mask = (va.mask | ch.bit)
+        |  WHERE (va.mask & ch.bit) = 0),
+        |phi AS (SELECT channel, SUM(c) AS phi_raw FROM contrib
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(phi_raw) AS ps FROM phi)
+        |SELECT channel,
+        |  floor(phi_raw*10000 + 0.5 + 0.000001)/10000 AS phi,
+        |  floor(phi_raw/ps*10000 + 0.5 + 0.000001)/10000 AS share
+        |FROM phi, tot ORDER BY channel""".stripMargin,
+    "q_kneser_ney" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cxy FROM
+        |  (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+        |     for i in range(1, len(w))], recursive := true) FROM w)
+        |  GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(SUM(cxy) AS DOUBLE) AS c1tot,
+        |    CAST(COUNT(*) AS BIGINT) AS n1fwd FROM bi GROUP BY 1),
+        |r AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1rev
+        |  FROM bi GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM bi)
+        |SELECT w1 || ' ' || w2 AS bigram, cxy AS freq,
+        |  floor((greatest(CAST(cxy AS DOUBLE) - 0.75, 0.0)/c1tot
+        |    + (0.75*n1fwd/c1tot) * (n1rev/nt))
+        |    *10000 + 0.5 + 0.000001)/10000 AS p_kn,
+        |  floor(0.75*n1fwd/c1tot*10000 + 0.5 + 0.000001)/10000
+        |    AS lambda,
+        |  floor(n1rev/nt*10000 + 0.5 + 0.000001)/10000 AS p_cont
+        |FROM bi JOIN l USING (w1) JOIN r USING (w2), nt
+        |ORDER BY freq DESC, bigram LIMIT 20""".stripMargin,
+    "q_t_closeness" ->
+      """WITH base AS (SELECT c_mktsegment AS segment,
+        |    c_nationkey AS nationkey,
+        |    CAST(floor(c_acctbal/1000.0) AS BIGINT) AS b
+        |  FROM customer),
+        |cells AS (SELECT segment, nationkey, b, COUNT(*) AS c
+        |  FROM base GROUP BY 1, 2, 3),
+        |grp AS (SELECT segment, nationkey, COUNT(*) AS n_g
+        |  FROM base GROUP BY 1, 2),
+        |gb AS (SELECT b, COUNT(*) AS cg FROM base GROUP BY 1),
+        |nall AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+        |mm AS (SELECT COUNT(*) AS m FROM gb),
+        |grid AS (SELECT g.segment, g.nationkey, g.n_g, gl.b, gl.cg,
+        |    COALESCE(c.c, 0) AS c
+        |  FROM grp g CROSS JOIN gb gl
+        |  LEFT JOIN cells c ON c.segment = g.segment
+        |    AND c.nationkey = g.nationkey AND c.b = gl.b),
+        |cum AS (SELECT segment, nationkey, n_g,
+        |    CAST(SUM(c) OVER w AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |      AS cum_g,
+        |    CAST(SUM(cg) OVER w AS DOUBLE) / n AS cum_all
+        |  FROM grid, nall
+        |  WINDOW w AS (PARTITION BY segment, nationkey ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT segment, nationkey,
+        |    CAST(n_g AS BIGINT) AS group_size,
+        |    floor(SUM(abs(cum_g - cum_all))
+        |      / CAST(m - 1 AS DOUBLE)*10000 + 0.5 + 0.000001)/10000
+        |      AS t_closeness
+        |  FROM cum, mm GROUP BY 1, 2, 3, m)
+        |SELECT segment, nationkey, group_size, t_closeness,
+        |  t_closeness <= 0.2 AS t_close
+        |FROM t ORDER BY segment, nationkey""".stripMargin,
   )
 }

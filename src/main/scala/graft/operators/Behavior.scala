@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caching.CachingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -32,7 +33,7 @@ object Behavior {
     // (lifecycle: cleared by the caller / bench harness)
     val first = events.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("ts0"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val chained = stages.tail.zipWithIndex.foldLeft(Seq(first)) {
       case (acc, (stage, i)) =>
         val prev = acc.last
@@ -40,7 +41,7 @@ object Behavior {
           .join(prev.select(col("user_id"), col(s"ts$i").as("prev_ts")), "user_id")
           .filter(col("ts") > col("prev_ts"))
           .groupBy(col("user_id")).agg(min(col("ts")).as(s"ts${i + 1}"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistMemDisk
     }
     val counts = chained.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
       df.agg(count(lit(1)).as("n_users"))
@@ -67,7 +68,7 @@ object Behavior {
     val events = Tables.events(s, dir)
     val first = events.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("ts0"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val chained = stages.tail.zipWithIndex.foldLeft(Seq(first)) {
       case (acc, (stage, i)) =>
         val prev = acc.last
@@ -76,7 +77,7 @@ object Behavior {
           .filter(col("ts") > col("prev_ts") &&
             col("ts") <= col("prev_ts") + expr(s"INTERVAL $maxGapSec SECONDS"))
           .groupBy(col("user_id")).agg(min(col("ts")).as(s"ts${i + 1}"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistMemDisk
     }
     val counts = chained.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
       df.agg(count(lit(1)).as("n_users"))
@@ -118,7 +119,7 @@ object Behavior {
     val ev = Tables.events(s, dir)
     val cohort = ev.groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("cohort_date"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val sizes = cohort.groupBy(col("cohort_date"))
       .agg(count(lit(1)).as("cohort_size"))
     val rev = ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
@@ -344,7 +345,7 @@ object Behavior {
     val events = Tables.events(s, dir)
     val cohort = events.groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("cohort_date"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val sizes = cohort.groupBy(col("cohort_date"))
       .agg(count(lit(1)).as("cs"))
     val active = events
@@ -429,8 +430,8 @@ object Behavior {
       .filter(col("event_type") === t)
       .groupBy(to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n"))
-    val dx = daily(typeX).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dy = daily(typeY).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dx = daily(typeX).persistMemDisk
+    val dy = daily(typeY).persistMemDisk
     val perLag = (-maxLag to maxLag).map { k =>
       dx.select(col("d"), col("n").as("x"))
         .join(dy.select(date_sub(col("d"), k).as("d"), col("n").as("y")), "d")
@@ -464,9 +465,9 @@ object Behavior {
         .agg(min(col("ts")).as(s"ts_$stage"))
     val v = events.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("ts_view"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val c = firstAfter(stages(1), v, "ts_view")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val p = firstAfter(stages(2), c, s"ts_${stages(1)}")
     def summary(df: DataFrame, from: String, to: String) =
       df.select((unix_timestamp(col(s"ts_$to")) -
@@ -528,7 +529,7 @@ object Behavior {
       .select(date_trunc("week", col("ts")).cast("date").as("week"),
         col("user_id"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val fw = wk.groupBy(col("user_id")).agg(min(col("week")).as("first_week"))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("week"))
     val flagged = wk.join(fw, "user_id")
@@ -562,7 +563,7 @@ object Behavior {
     val ud = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val days = ud.select(col("d")).distinct().select(col("d").as("day"))
     val wau = days.join(ud,
         col("d") <= col("day") && col("d") > date_sub(col("day"), 7))
@@ -660,7 +661,7 @@ object Behavior {
       .filter(col("ts") >= lit(cutover).cast("timestamp"))
       .groupBy(col("user_id")).agg(sum(col("value")).as("y"))
     val j = pre.join(post, "user_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val st = j.agg(covar_samp(col("x"), col("y")).as("cxy"),
       var_samp(col("x")).as("vx"), var_samp(col("y")).as("vy"),
       avg(col("x")).as("mx"), count(lit(1)).as("n"))
@@ -744,7 +745,7 @@ object Behavior {
       .filter(col("nxt").isNotNull)
       .groupBy(col("event_type").as("cur"), col("nxt"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val t = c.agg(sum(col("n")).as("tn"))
     val rowt = c.groupBy(col("cur")).agg(sum(col("n")).as("rn"))
     val marg = c.groupBy(col("nxt")).agg(sum(col("n")).as("mn"))
@@ -786,7 +787,7 @@ object Behavior {
         .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("user_id"), col("seq"), col("event_type"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val nSessions = st.select(col("user_id"), col("seq")).distinct()
       .agg(count(lit(1)).cast("double").as("ns"))
     val singles = st.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
@@ -862,7 +863,7 @@ object Behavior {
       minCount: Long = 3, topK: Int = 20): DataFrame = {
     val l = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val nOrders = l.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val singles = l.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_one"))
@@ -967,7 +968,7 @@ object Behavior {
       .groupBy(col("user_id"), col("sid"))
       .agg(unix_timestamp(min(col("ts"))).as("t0"),
         unix_timestamp(max(col("ts"))).as("t1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val bounds = sess
       .select(col("user_id"), col("t0").as("t"), lit(1).as("delta"))
       .unionByName(sess
@@ -1084,7 +1085,7 @@ object Behavior {
       .select(date_trunc("week", col("ts")).cast("date").as("week"),
         col("user_id"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val next = wk.select(date_sub(col("week"), 7).as("week"),
       col("user_id").as("u2"))
     val lastWeek = wk.agg(max(col("week")).as("maxw"))
@@ -1113,7 +1114,7 @@ object Behavior {
     val obs = Tables.events(s, dir)
       .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
       .agg(count(lit(1)).cast("double").as("o"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val rt = obs.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
     val ct = obs.groupBy(col("dow")).agg(sum(col("o")).as("c"))
     val n = obs.agg(sum(col("o")).as("n"))
@@ -1270,7 +1271,7 @@ object Behavior {
     import graft.functions.Rounding.round4eps
     val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val itemN = baskets.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("ni"))
     val a = baskets.select(col("l_orderkey"), col("l_partkey").as("pa"))
@@ -1348,7 +1349,7 @@ object Behavior {
       sum(col("t")).as("nt"),
       sum(col("t") * col("y")).as("yt"),
       sum((lit(1L) - col("t")) * col("y")).as("yc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val eff = (col("yt").cast("double") / col("nt")) -
       (col("yc").cast("double") / (col("n") - col("nt")))
     val ate = cells.agg(round4eps(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caching.CachingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -244,7 +245,7 @@ object Dedup {
                                   maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val nEdges = pairs.count()
     // The pairs cache exists only for this operator's own passes —
     // unpersist before returning (the union-find output is first
@@ -298,7 +299,7 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val s = pairs.sparkSession
     Graph.ensureCheckpointDir(s)
     var labels = Graph.cutLineage(s, edges.select(col("doc_a").as("doc_id")).distinct()
@@ -423,7 +424,7 @@ object Dedup {
     // is the dominant cost; caller-owned cache lifecycle, like
     // hashShingled).
     val sigs = portableSigs(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val md5Count = simhashBandPairs(sigs, nChunks = 4, chunkBits = 15,
         maxHamming = 3)
       .agg(count(lit(1)).as("n_md5_pairs"))
@@ -458,7 +459,7 @@ object Dedup {
     val buckets = chunks.groupBy(col("chunk"), col("key"))
       .agg(collect_list(struct(col("doc_id").as("id"), col("sig"))).as("members"))
       .filter(size(col("members")) >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val smallPairs = buckets.filter(size(col("members")) <= MaxBucket)
       .select(explode(flatten(transform(col("members"), (x, i) =>
         transform(slice(col("members"), i + lit(2), size(col("members"))), y =>

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caching.CachingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -69,7 +70,7 @@ object Graph {
     val parts = math.max(1, s.sparkContext.defaultParallelism / 8)
     val small = df.coalesce(parts)
     if (reliableDir.isDefined) {
-      val cached = small.persist(StorageLevel.MEMORY_AND_DISK)
+      val cached = small.persistMemDisk
       val out = cached.checkpoint()
       cached.unpersist(blocking = false)
       out
@@ -122,10 +123,10 @@ object Graph {
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
     val withDeg = edges
       .join(edges.groupBy(col("a")).agg(count(lit(1)).as("outdeg")), "a")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     // undirected ⇒ every node appears as a source; outdeg ≥ 1 always
     val nodes = withDeg.select(col("a").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     // ONE scalar off the persisted node frame decides broadcast-vs-hash
     // for every round (and doubles as the PageRank N term)
     val nNodes = nodes.count()
@@ -140,7 +141,7 @@ object Graph {
     // (hash path: the repartitioned copy reads the cached withDeg once;
     // both stay persisted — MEMORY_AND_DISK spills, caller clears)
     val iterEdges = if (small) withDeg
-      else withDeg.repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+      else withDeg.repartition(col("a")).persistMemDisk
     var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
     var prevRound: DataFrame = null
     for (i <- 1 to iters) {
@@ -188,15 +189,15 @@ object Graph {
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
     val withDeg = edges
       .join(edges.groupBy(col("a")).agg(count(lit(1)).as("outdeg")), "a")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val nodes = withDeg.select(col("a").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val small = nodes.count() <= broadcastMaxNodes(s)
     val seed = col("node") % 100 === 0
     val nSeeds = nodes.filter(seed).count()
     require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
     val iterEdges = if (small) withDeg
-      else withDeg.repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+      else withDeg.repartition(col("a")).persistMemDisk
     var ranks = nodes.select(col("node"),
       when(seed, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("rank"))
     var prevRound: DataFrame = null
@@ -239,7 +240,7 @@ object Graph {
       .filter(col("x.l_suppkey") < col("y.l_suppkey"))
       .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val wedges = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), "b")
     wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
@@ -265,7 +266,7 @@ object Graph {
       .filter(col("x.l_suppkey") < col("y.l_suppkey"))
       .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tri = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), "b")
       .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
@@ -302,7 +303,7 @@ object Graph {
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     var dist = cutLineage(s, edges.select(col("a").as("node")).distinct()
       .filter(col("node") % 100 === 0)
       .withColumn("dist", lit(0)))
@@ -400,7 +401,7 @@ object Graph {
     * drives crafted graphs through the identical iteration. */
   private[graft] def kCoreOnEdges(undirected: DataFrame, k: Int,
       rounds: Int): DataFrame = {
-    var alive = undirected.persist(StorageLevel.MEMORY_AND_DISK)
+    var alive = undirected.persistMemDisk
     // size-conditional survivor-set hint: measured ONCE on the initial
     // node set (the survivor set only shrinks, so the decision is
     // conservative for every later round)
@@ -413,7 +414,7 @@ object Graph {
         .join(hintSmall(keep, small), col("a") === col("node")).drop("node")
         .join(hintSmall(keep.select(col("node").as("nb")), small),
           col("b") === col("nb")).drop("nb")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persistMemDisk
     }
     alive.groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
       .select(col("a").as("node"), col("core_deg"))
@@ -424,15 +425,15 @@ object Graph {
   private[graft] def lpaOnEdges(s: SparkSession, undirected: DataFrame,
       iters: Int): DataFrame = {
     ensureCheckpointDir(s)
-    val edges = undirected.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = undirected.persistMemDisk
     val nodes = edges.select(col("a").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     // size-conditional label-vector hint, one scalar per call; hash
     // path pre-partitions the edge list on its join key once so each
     // round shuffles only the label vector
     val small = nodes.count() <= broadcastMaxNodes(s)
     val iterEdges = if (small) edges
-      else edges.repartition(col("b")).persist(StorageLevel.MEMORY_AND_DISK)
+      else edges.repartition(col("b")).persistMemDisk
     var labels = nodes.select(col("node"), col("node").as("label"))
     var prevRound: DataFrame = null
     for (i <- 1 to iters) {
@@ -496,7 +497,7 @@ object Graph {
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val small = edges.select(col("c")).distinct().count() <=
       broadcastMaxNodes(s)
     var hub = edges.select(col("c")).distinct().withColumn("hub", lit(1.0))
@@ -509,12 +510,12 @@ object Graph {
       // Node-cardinality frames; lifecycle caller-owned as in pageRank.
       val rawA = edges.join(hintSmall(hub, small), "c")
         .groupBy(col("p")).agg(sum(col("hub")).as("raw"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persistMemDisk
       auth = rawA.crossJoin(broadcast(rawA.agg(sum(col("raw")).as("t"))))
         .select(col("p"), q6(col("raw") / col("t")).as("auth"))
       val rawH = edges.join(hintSmall(auth, small), "p")
         .groupBy(col("c")).agg(sum(col("auth")).as("raw"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persistMemDisk
       hub = rawH.crossJoin(broadcast(rawH.agg(sum(col("raw")).as("t"))))
         .select(col("c"), q6(col("raw") / col("t")).as("hub"))
     }
@@ -588,7 +589,7 @@ object Graph {
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     import s.implicits._
     var dist = cutLineage(s, seedCustkeys.map(k => (k * 2, k * 2, 0))
       .toDF("seed", "node", "dist"))
@@ -646,7 +647,7 @@ object Graph {
         .select(col("n_nationkey").as("b"), col("n_regionkey").as("rb"))), "b")
       .groupBy(col("a"), col("b"), col("ra"), col("rb"))
       .agg(count(lit(1)).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     // doubled (undirected) edge list at nation-pair grain — bounded
     val e = pr.select(col("ra"), col("rb"), col("w"))
       .unionByName(pr.select(col("rb").as("ra"), col("ra").as("rb"), col("w")))
@@ -680,7 +681,7 @@ object Graph {
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
     edges
       .join(deg.select(col("node"), col("d").as("x")), col("a") === col("node"))
@@ -712,12 +713,12 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val mu = pairRev.agg(avg(col("rev")).as("mu"))
     val ne = pairRev.crossJoin(broadcast(mu))
       .filter(col("rev") > col("mu"))
       .select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val rev = ne.select(col("dst").as("src"), col("src").as("dst"),
       lit(1L).as("has_rev"))
     ne.join(broadcast(rev), Seq("src", "dst"), "left")

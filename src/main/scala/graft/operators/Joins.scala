@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caching.CachingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -761,7 +762,7 @@ object Joins {
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("val"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val total = perPart.agg(sum(col("val")).as("tot"))
     val out = perPart.crossJoin(broadcast(total))
       .filter(col("val") > lit(frac) * col("tot"))
@@ -790,7 +791,7 @@ object Joins {
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("qty"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val meanQ = perSupp.agg(avg(col("qty")).as("avg_q"))
     perSupp.crossJoin(broadcast(meanQ))
       .filter(col("qty") > lit(factor) * col("avg_q"))
@@ -870,7 +871,7 @@ object Joins {
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("from_brand"), col("brand").as("to_brand"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = pairs.agg(sum(col("n")).as("tn"))
     pairs.crossJoin(broadcast(tot))
       .select(col("from_brand"), col("to_brand"), col("n"),
@@ -968,7 +969,7 @@ object Joins {
         .as("m"), col("p_brand"))
       .agg(round4eps(sum(col("l_extendedprice") *
         (lit(1.0) - col("l_discount"))) / lit(1e6)).as("rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val mkt = mb.groupBy(col("m"))
       .agg(round4eps(sum(col("rev"))).as("mrev"))
     val j = mb.join(broadcast(mkt), "m")
@@ -1026,7 +1027,7 @@ object Joins {
       .select(year(col("o_orderdate")).as("yr"),
         floor(col("o_totalprice") / 1000).cast("long").as("v"),
         col("o_totalprice"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val y0 = o.agg(min(col("yr")).as("y0"))
     val cells = o.crossJoin(broadcast(y0)).filter(col("yr") === col("y0"))
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
@@ -1049,7 +1050,7 @@ object Joins {
         col("o_totalprice"))
     val yt = tiered.groupBy(col("yr"), col("tier"))
       .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = yt.groupBy(col("yr")).agg(sum(col("rev")).as("yr_total"))
     yt.join(broadcast(tot), "yr")
       .select(col("yr"), col("tier"),
@@ -1171,7 +1172,7 @@ object Joins {
       .groupBy(col("p_brand").as("brand"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val mom = b.agg(
       round6eps(sum(col("x")).cast("double") / sum(col("n"))).as("mu"),
       count(lit(1)).cast("double").as("k"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caching.CachingOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -218,7 +219,7 @@ object Multimodal {
   def mediaNearDups(s: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
     val f = extractFeatures(s, dir).toDF()
       .select(col("kind"), col("media_id"), col("features"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val a = f.select(col("kind"), col("media_id").as("media_a"), col("features").as("fa"))
     val b = f.select(col("kind"), col("media_id").as("media_b"), col("features").as("fb"))
     a.hint("SHUFFLE_MERGE").join(b, Seq("kind"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caching.CachingOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -859,7 +860,7 @@ object Relational {
     val xy = o.crossJoin(broadcast(stats))
       .select(((col("o_totalprice") - col("mu")) / col("sigma")).as("x"),
         col("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     def p: Column =
       lit(1.0) / (lit(1.0) + exp(-(col("w") * col("x") + col("b"))))
     var params = s.range(1).select(lit(0.0).as("w"), lit(0.0).as("b"))
@@ -1004,6 +1005,57 @@ object Relational {
         col("l_diversity"),
         (col("l_diversity") >= l).as("l_diverse"))
       .orderBy(col("segment"), col("nationkey"))
+
+  /** t-closeness audit — the third rung of the privacy ladder after
+    * [[kAnonymityProfile]]'s k-anonymity and l-diversity: per
+    * quasi-identifier group (segment, nationkey — the same QI
+    * convention), the Earth-Mover's Distance between the group's
+    * distribution of the ORDERED sensitive attribute (the acctbal
+    * thousand-bucket) and the global one:
+    * t = Σ_j |CumP_g(j) − CumP(j)| / (m − 1) over the m global bucket
+    * values. A group can be k-anonymous and l-diverse yet leak through
+    * a skewed sensitive distribution — exactly what t flags.
+    *
+    * Scale shape: one fact collapse to the (QI, bucket) grid, then a
+    * generated-axis zero-fill (groups × buckets ≤ 125 × ~11 — constant)
+    * and cumulative windows on that constant grid. Counts stay exact
+    * integers until the final divisions; the t ≤ threshold verdict
+    * compares QUANTIZED values. */
+  def tClosenessProfile(s: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("b"))
+    val cells = base.groupBy(col("segment"), col("nationkey"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val groups = base.groupBy(col("segment"), col("nationkey"))
+      .agg(count(lit(1)).as("n_g"))
+    val glob = base.groupBy(col("b")).agg(count(lit(1)).as("cg"))
+    val nAll = base.agg(count(lit(1)).as("n"))
+    val m = glob.agg(count(lit(1)).as("m"))
+    // zero-filled grid: every group x every GLOBAL bucket value
+    val grid = groups.crossJoin(glob).crossJoin(broadcast(nAll))
+      .crossJoin(broadcast(m))
+      .join(cells, Seq("segment", "nationkey", "b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wCum = Window.partitionBy(col("segment"), col("nationkey"))
+      .orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_g",
+        sum(col("c")).over(wCum).cast("double") / col("n_g").cast("double"))
+      .withColumn("cum_all",
+        sum(col("cg")).over(wCum).cast("double") / col("n").cast("double"))
+      .groupBy(col("segment"), col("nationkey"), col("n_g"), col("m"))
+      .agg(sum(abs(col("cum_g") - col("cum_all"))).as("emd_sum"))
+      .select(col("segment"), col("nationkey"),
+        col("n_g").as("group_size"),
+        round4eps(col("emd_sum") / (col("m") - lit(1)).cast("double"))
+          .as("t_closeness"))
+      .withColumn("t_close", col("t_closeness") <= threshold)
+      .orderBy(col("segment"), col("nationkey"))
+  }
 
   /** Count-Min-sketch join-cardinality estimate — the sketch a
     * cost-based optimizer consults to SIZE a join before picking its
@@ -1506,7 +1558,7 @@ object Relational {
         col("o_totalprice").as("y"))
       .groupBy(col("category"), col("fold"))
       .agg(sum(col("y")).as("s"), count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val cat = cf.groupBy(col("category"))
       .agg(sum(col("s")).as("cs"), sum(col("n")).as("cn"))
     val perFold = cf.groupBy(col("fold"))
@@ -1742,7 +1794,7 @@ object Relational {
         datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
           .as("d"))
       .agg(count(lit(1)).as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val a = daily.select(col("event_type"), col("d").as("di"), col("y").as("yi"))
     val b = daily.select(col("event_type"), col("d").as("dj"), col("y").as("yj"))
     val slopes = a.join(b, Seq("event_type"))
@@ -1814,7 +1866,7 @@ object Relational {
     val w = Window.orderBy(col("d"))
     val lagged = (1 to maxLag).foldLeft(daily) { (df, k) =>
       df.withColumn(s"l$k", lag(col("rev"), k).over(w))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.persistMemDisk
     val mu = lagged.agg(avg(col("rev")).as("mu"))
     val withMu = lagged.crossJoin(broadcast(mu))
     val aggs =
@@ -1845,7 +1897,7 @@ object Relational {
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("bad"))
       .groupBy(col("bucket"))
       .agg(sum(lit(1L) - col("bad")).as("ng"), sum(col("bad")).as("nb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val t = b.agg(sum(col("ng")).as("tg"), sum(col("nb")).as("tb"))
     val share = (col("ng") / col("tg")) - (col("nb") / col("tb"))
     val woe = log((col("ng") / col("tg")) / (col("nb") / col("tb")))
@@ -1896,7 +1948,7 @@ object Relational {
     val cust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val bounds = cust.agg(
       expr("percentile(rev, 0.9)").as("p90"),
       expr("percentile(rev, 0.99)").as("p99"))
@@ -2007,7 +2059,7 @@ object Relational {
     val w = j.join(broadcast(ranks("l_quantity", "xv")), "xv")
       .join(broadcast(ranks("l_discount", "yv")), "yv")
       .select(col("n"), col("r_xv"), col("r_yv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val m = w.agg(sum(col("n")).as("tn"),
       (sum(col("n") * col("r_xv")) / sum(col("n"))).as("mx"),
       (sum(col("n") * col("r_yv")) / sum(col("n"))).as("my"))
@@ -2033,7 +2085,7 @@ object Relational {
     val j = Tables.lineitem(s, dir)
       .groupBy(col("l_quantity").as("xv"), col("l_discount").as("yv"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = j.agg(sum(col("n")).as("tn"))
     val n1 = j.groupBy(col("xv")).agg(sum(col("n")).as("g"))
       .agg(sum(col("g") * (col("g") - 1) / 2).as("n1"))
@@ -2110,7 +2162,7 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"), col("l_quantity").as("q"),
         (col("l_extendedprice") / col("l_quantity")).as("unit"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val overall = j.agg(corr(col("q"), col("unit")).as("oc"))
     j.groupBy(col("p_brand")).agg(corr(col("q"), col("unit")).as("c"))
       .crossJoin(broadcast(overall))
@@ -2169,7 +2221,7 @@ object Relational {
         .cast("long") % buckets).as("g"))
     val grp = b.groupBy(col("g"))
       .agg(sum(col("v")).as("sg"), count(lit(1)).as("ng"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = grp.agg(sum(col("sg")).as("sv"), sum(col("ng")).as("n"))
     val loo = grp.crossJoin(broadcast(tot))
       .select(col("sv"), col("n"),
@@ -2196,7 +2248,7 @@ object Relational {
     val daily = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val med = daily.agg(expr("percentile(rev, 0.5)").as("m"))
     val signed = daily.crossJoin(broadcast(med))
       .filter(col("rev") =!= col("m"))
@@ -2360,7 +2412,7 @@ object Relational {
     val daily = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val win = daily.select(col("d").as("wd"), col("rev").as("wrev"))
     daily.join(win,
         datediff(col("d"), col("wd")).between(0, windowDays - 1))
@@ -2658,7 +2710,7 @@ object Relational {
         .as("era_a"),
       conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
         .cast("long").as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val a = h.filter(col("era_a")).agg(
       graft.functions.FreqSketchFunctions.kmvMins(col("h"), k).as("ma"),
       countDistinct(col("h")).as("exact_a"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caching.CachingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -104,7 +105,7 @@ object SetSimJoin {
       .select(col("doc_id"),
         transform(col("ts"), x => x("tok")).as("toks"),
         size(col("ts")).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     // Index the (n - ceil(t*n) + 1) rarest tokens of each set.
     val prefixLen = (col("n") - ceil(col("n") * lit(threshold) - lit(eps)) + lit(1))
       .cast("int")

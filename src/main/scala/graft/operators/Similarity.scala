@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caching.CachingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -156,7 +157,7 @@ object Similarity {
             corpus(s, dir).groupBy(col("embedding"))
               .agg(min(col("vec_id")).as("vec_id"),
                 collect_list(col("vec_id")).as("members"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              .persistMemDisk
           else null
         val vecs =
           if (collapseIdentical)
@@ -173,7 +174,7 @@ object Similarity {
         val buckets = keyed.groupBy(col("key"))
           .agg(collect_list(col("vec_id")).as("ids"))
           .filter(size(col("ids")) >= 2)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistMemDisk
         val smallPairs = buckets.filter(size(col("ids")) <= maxBucket)
           .select(explode(flatten(transform(col("ids"), (x, i) =>
             transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
@@ -432,7 +433,7 @@ object Similarity {
   def kmeansCells(s: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
     val e = corpus(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
     var assigned: DataFrame = null
@@ -524,7 +525,7 @@ object Similarity {
       element_at(col("v"), i + 1) * element_at(col("v"), j + 1)): _*)
     val e = corpus(s, dir).select(col("vec_id"), col("label"),
         slice(transform(col("embedding"), x => x.cast("double")), 1, d).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val flat = e.select(prods.as("p"))
       .agg(vecSum(col("p")).as("sums"), count(lit(1)).as("n"))
       .select(transform(col("sums"), x =>
@@ -656,7 +657,7 @@ object Similarity {
     val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
     val splitId = math.floor(splitFrac * (maxId + 1)).toLong
     val index = e.filter(col("vec_id") < splitId)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val seeds = index.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
     val idxCells = index.crossJoin(broadcast(seeds))
@@ -665,7 +666,7 @@ object Similarity {
       .agg(min(struct(col("dist"), col("cell"), col("v"))).as("best"))
       .select(col("vec_id").as("y_id"), col("best.cell").as("cell"),
         col("best.v").as("y_v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val cents = idxCells.groupBy(col("cell"))
       .agg(vecSum(col("y_v")).as("sums"), count(lit(1)).as("n"))
       .select(col("cell"), transform(col("sums"), x => quant(x / col("n"))).as("cv"))
@@ -692,7 +693,7 @@ object Similarity {
       floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
     val e = corpus(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val seeds = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
     val assigned = e.crossJoin(broadcast(seeds))
@@ -706,7 +707,7 @@ object Similarity {
     val d = assigned.join(broadcast(cents), "cell")
       .withColumn("dq", quant(l2Distance(col("v"), col("cv"))))
       .select(col("cell"), col("vec_id"), col("v"), col("dq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val neighbors = d.select(col("cell"), col("vec_id").as("y_id"),
       col("v").as("y_v"), col("dq").as("y_dq"))
     val drops = d.hint("SHUFFLE_MERGE").join(neighbors, Seq("cell"))

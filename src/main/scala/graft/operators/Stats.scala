@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caching.CachingOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -133,7 +134,7 @@ object Stats {
     val daily = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     // pin μ and σ at 2 decimals on BOTH engines: the prefix sum
     // multiplies any μ drift by t, so μ must be bit-identical — the
     // quantized dailies then difference and accumulate identically
@@ -173,7 +174,7 @@ object Stats {
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).cast("double").as("f1"),
         round4eps(sum(col("o_totalprice"))).as("f2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val m = prof.agg(
       count(lit(1)).cast("double").as("n"),
       avg(col("f1")).as("m1"), avg(col("f2")).as("m2"),
@@ -213,7 +214,7 @@ object Stats {
       .groupBy(col("l_discount").as("d"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val iv = pts.select(col("d").as("ds")).crossJoin(
         pts.select(col("d").as("dt")))
       .filter(col("ds") <= col("dt"))
@@ -261,9 +262,9 @@ object Stats {
         max(when(col("i") % 2 === 1, col("v")))) / lit(2.0)).as("v"),
         ((max(when(col("i") % 2 === 0, col("v"))) -
           max(when(col("i") % 2 === 1, col("v")))) / lit(2.0)).as("detail"))
-    val l1 = level(idx).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l1 = level(idx).persistMemDisk
     val l2 = level(l1.select(col("i"), col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val l3 = level(l2.select(col("i"), col("v")))
     l1.select(lit(1).as("level"), col("i"), col("v"), col("detail"))
       .unionAll(l2.select(lit(2).as("level"), col("i"), col("v"),
@@ -288,7 +289,7 @@ object Stats {
       .groupBy((year(col("o_orderdate")) * 12 +
         month(col("o_orderdate"))).as("m"))
       .agg(round4eps(sum(col("o_totalprice"))).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val mom = monthly.agg(avg(col("v")).as("mu"),
       stddev_pop(col("v")).as("sigma"))
     monthly.crossJoin(broadcast(mom))
@@ -410,7 +411,7 @@ object Stats {
     val series = monthly.groupBy(col("region"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("v")))),
         x => x.getField("v")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val a = series.select(col("region").as("region_a"), col("s").as("sa"))
     val b = series.select(col("region").as("region_b"), col("s").as("sb"))
     a.crossJoin(b).filter(col("region_a") < col("region_b"))
@@ -440,7 +441,7 @@ object Stats {
           .as("u"))
       .groupBy(col("bucket"))
       .agg(sum(col("u")).as("n1"), sum(lit(1L) - col("u")).as("n2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = b.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
     // grid-bounded frame: one row per 100-unit price bucket
     val w = Window.orderBy(col("bucket"))
@@ -473,7 +474,7 @@ object Stats {
           .as("u"))
       .groupBy(col("bucket"))
       .agg(sum(col("u")).as("n1"), sum(lit(1L) - col("u")).as("n2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = b.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
     val w = Window.orderBy(col("bucket")) // grid-bounded frame
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -509,7 +510,7 @@ object Stats {
           .as("u"))
       .groupBy(col("v"))
       .agg(sum(col("u")).as("n1"), sum(lit(1L) - col("u")).as("n2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val o = b.select(col("v").as("v2"), col("n1").as("m1"),
       col("n2").as("m2"))
     val pairs = b.crossJoin(o)
@@ -552,7 +553,7 @@ object Stats {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name").as("g"), col("o_orderpriority").as("p"),
         col("o_orderdate").cast("date").as("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val bounds = o.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(date_add(col("d0"),
         floor(datediff(col("d1"), col("d0")) / lit(2.0)).cast("int"))
@@ -665,7 +666,7 @@ object Stats {
     val rbar = ranked.groupBy(col("g"))
       .agg(count(lit(1)).cast("double").as("nb"),
         avg(col("rk").cast("double")).as("rbar"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val kf = rbar.agg(count(lit(1)).cast("double").as("k"))
     rbar.crossJoin(broadcast(kf))
       .agg(max(col("nb")).cast("long").as("n_blocks"),
@@ -697,7 +698,7 @@ object Stats {
         avg(col("o_totalprice") / lit(1e3)).as("mu"),
         sum((col("o_totalprice") / lit(1e3)) *
           (col("o_totalprice") / lit(1e3))).as("s2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val mse = g.agg((sum(col("s2") - col("n") * col("mu") * col("mu")) /
       (sum(col("n")) - count(lit(1)))).as("mse"))
     val o = g.select(col("g").as("g2"), col("n").as("n2"),
@@ -790,7 +791,7 @@ object Stats {
       .filter(col("prev").isNotNull)
       .select(floor((col("rev") - col("prev")) / 10000).cast("long")
         .as("v")) // $10k-bucketed change
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val cells = chg.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val wg = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -834,7 +835,7 @@ object Stats {
       .select(col("region"), col("nh"),
         round6eps(sqrt((col("s2") - col("nh") * col("mu") * col("mu")) /
           (col("nh") - 1))).as("sd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = g.agg(sum(col("nh") * col("sd")).as("tw"),
       sum(col("nh")).as("tn"))
     g.crossJoin(broadcast(tot))
@@ -870,7 +871,7 @@ object Stats {
     val raw = trended.groupBy(col("moy"))
       .agg(count(lit(1)).as("n_months"),
         round6eps(avg(col("ratio"))).as("raw_idx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val norm = raw.agg(avg(col("raw_idx")).as("mean_idx"))
     raw.crossJoin(broadcast(norm))
       .select(col("moy").as("month"), col("n_months"),
@@ -891,7 +892,7 @@ object Stats {
         .cast("long").as("x"), col("l_returnflag").as("y"))
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("nxy"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val mx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
     val my = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
     val n = joint.agg(sum(col("nxy")).as("n"))
@@ -921,7 +922,7 @@ object Stats {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("l_returnflag"))
       .agg(count(lit(1)).cast("double").as("o"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val rt = joint.groupBy(col("p_brand")).agg(sum(col("o")).as("r"))
     val ct = joint.groupBy(col("l_returnflag")).agg(sum(col("o")).as("c"))
     val n = joint.agg(sum(col("o")).as("n"))
@@ -957,7 +958,7 @@ object Stats {
           .as("early"))
       .groupBy(col("bucket"))
       .agg(sum(col("early")).as("n1"), sum(lit(1L) - col("early")).as("n2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = b.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
     // Laplace-smoothed shares (add 0.5 per bucket): an empty cell
     // must not produce ln(0) — and the two engines disagree on it
@@ -969,7 +970,7 @@ object Stats {
     val per = b.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n1"), col("n2"),
         round4eps(contrib).as("psi_contrib"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val total = per.agg(sum(col("psi_contrib")).as("t"))
     per.crossJoin(broadcast(total))
       .select(col("bucket"), col("n1"), col("n2"), col("psi_contrib"),
@@ -1003,7 +1004,7 @@ object Stats {
       ((col("l_discount") - lit(0.05)) / lit(0.05)).as("x2"),
       (col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
         lit(50000.0)).as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val m = li.filter(col("cal")).agg(
       count(lit(1)).cast("double").as("n"),
       sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
@@ -1027,7 +1028,7 @@ object Stats {
     val scored = li.crossJoin(broadcast(coef))
       .withColumn("r", abs(col("y") - (col("b0") +
         col("b1") * col("x1") + col("b2") * col("x2"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val q = scored.filter(col("cal"))
       .agg(expr("percentile(r, 0.9)").as("q90"))
     scored.crossJoin(broadcast(q)).agg(
@@ -1053,7 +1054,7 @@ object Stats {
   def exactMedianBisect(s: SparkSession, dir: String): DataFrame = {
     val v = Tables.lineitem(s, dir)
       .select(col("l_extendedprice").as("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val n = v.count()
     require(n > 0)
     def kth(rank: Long): Double = {
@@ -1121,7 +1122,7 @@ object Stats {
       .groupBy(col("r_name").as("region"),
         to_date(col("o_orderdate")).as("d"))
       .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     // per-region rank and pooled rank, both calendar-bounded windows
     val wr = Window.partitionBy(col("region"))
       .orderBy(col("rev"), col("d"))
@@ -1134,7 +1135,7 @@ object Stats {
         col("d").as("pd"))
       .withColumn("pos", row_number().over(
         Window.orderBy(col("prev"), col("pr"), col("pd"))).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val total = pooled.agg(max(col("pos")).as("np"))
     val mapped = ranked.crossJoin(broadcast(total))
       .withColumn("tpos", lit(1L) + floor(
@@ -1167,7 +1168,7 @@ object Stats {
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
       .groupBy(col("q"))
       .agg(count(lit(1)).as("n"), sum(col("r")).as("nr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = lv.agg(sum(col("n")).as("tn"), sum(col("nr")).as("tr"))
     // level-bounded frame: one row per distinct quantity
     val w = Window.orderBy(col("q"))
@@ -1233,7 +1234,7 @@ object Stats {
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("ret")).as("returns"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = b.agg(sum(col("n")).as("tn"), sum(col("returns")).as("tr"))
     // bin-bounded frame (10 rows): cumulative from the top score down
     val w = Window.orderBy(col("bin").desc)
@@ -1302,7 +1303,7 @@ object Stats {
     val w = Window.orderBy(col("d")) // calendar-bounded frame
     val lagged = (1 to maxLag).foldLeft(daily) { (df, k) =>
       df.withColumn(s"l$k", lag(col("rev"), k).over(w))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.persistMemDisk
     val mu = lagged.agg(avg(col("rev")).as("mu"))
     val withMu = lagged.crossJoin(broadcast(mu))
     val aggs =
@@ -1335,7 +1336,7 @@ object Stats {
     val w = Window.orderBy(col("d")) // calendar-bounded frame
     val lagged = (1 to 3).foldLeft(daily) { (df, k) =>
       df.withColumn(s"l$k", lag(col("rev"), k).over(w))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.persistMemDisk
     val mu = lagged.agg(avg(col("rev")).as("mu"))
     val moments = lagged.crossJoin(broadcast(mu)).agg(
       sum((col("rev") - col("mu")) * (col("rev") - col("mu"))).as("denom"),
@@ -1382,7 +1383,7 @@ object Stats {
       .select(col("n_regionkey").as("g"),
         floor(col("o_totalprice") / 1000).cast("long").as("v"))
     val cells = o.groupBy(col("v"), col("g")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val perV = cells.groupBy(col("v")).agg(sum(col("c")).as("t"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1394,7 +1395,7 @@ object Stats {
       .groupBy(col("g"))
       .agg(sum(col("c")).as("ng"),
         sum(col("c") * (col("cb") + (col("t") + 1) / lit(2.0))).as("rg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     // t³ and N³ computed in double space (a 2M-row bucket would
     // overflow a long cube; the ratio only ever needs ~15 digits)
     val tot = rg.agg(sum(col("ng")).as("n")).crossJoin(
@@ -1432,7 +1433,7 @@ object Stats {
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_regionkey").as("g"),
         floor(col("o_totalprice") / 1000).cast("long").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val cells = o.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
     val wg = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1453,7 +1454,7 @@ object Stats {
     val gm = z.groupBy(col("g"))
       .agg(count(lit(1)).cast("double").as("ng"),
         sum(col("z")).as("sz"), sum(col("z") * col("z")).as("szz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = gm.agg(sum(col("ng")).as("n"), sum(col("sz")).as("sz_all"),
       count(lit(1)).cast("double").as("k"))
     gm.crossJoin(broadcast(tot))
@@ -1491,7 +1492,7 @@ object Stats {
       avg(col("y")).as("acc"),
       sum((col("score") - col("y")) * (col("score") - col("y")))
         .as("sqerr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = b.agg(
       round4eps(sum(col("sqerr")) / sum(col("n"))).as("brier"),
       round4eps(sum(col("n") * abs(col("acc") - col("conf"))) /
@@ -1602,7 +1603,7 @@ object Stats {
     val daily = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val base = daily.agg(min(col("d")).as("d0"),
       round4eps(avg(col("rev"))).as("mu"))
     val t = datediff(col("d"), col("d0"))
@@ -1670,7 +1671,7 @@ object Stats {
     val daily = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val b = daily.select(col("d").as("d2"), col("rev").as("rev2"))
     val sStat = daily.join(b, col("d") < col("d2"))
       .agg(sum(signum(col("rev2") - col("rev")).cast("long")).as("s_stat"))
@@ -1731,7 +1732,7 @@ object Stats {
       .groupBy(col("r_name").as("region"),
         to_date(col("o_orderdate")).as("d"))
       .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val m = daily.groupBy(col("region")).agg(
       count(lit(1)).cast("double").as("nd"),
       avg(col("rev")).as("mu"),
@@ -1786,7 +1787,7 @@ object Stats {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type").as("g"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     // 2·median of an integer column via cumulative counts over the
     // per-group value distribution (lower-mid + upper-mid order stats)
     def med2Of(df: DataFrame, v: String): DataFrame = {
@@ -1806,7 +1807,7 @@ object Stats {
     val dev = daily.join(broadcast(m1), "g")
       .select(col("g"), col("d"), col("x"), col("med2x"),
         abs(lit(2L) * col("x") - col("med2x")).as("dv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val m2 = med2Of(dev, "dv").withColumnRenamed("m2", "mad4")
     val z = lit(1.349) * (lit(2L) * col("x") - col("med2x")) / col("mad4")
     dev.join(broadcast(m2), "g")
@@ -1843,7 +1844,7 @@ object Stats {
       .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
     val wAll = Window.orderBy(col("d")) // calendar-bounded frame
     val idx = daily.withColumn("t", row_number().over(wAll) - 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val perSize = sizes.map { bs =>
       val blk = idx.withColumn("b", floor(col("t") / bs))
       // keep only complete blocks
@@ -1959,7 +1960,7 @@ object Stats {
       "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y")
     val b = li.groupBy(col("fold"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_ret"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = b.agg(sum(col("n")).as("tn"))
     b.crossJoin(broadcast(tot))
       .select(col("fold").cast("long").as("fold"), col("n"),
@@ -1969,4 +1970,44 @@ object Stats {
       .orderBy(col("fold"))
   }
 
+  /** Wald SPRT sequential monitor — the always-valid alternative to
+    * the fixed-horizon q_ab_test: the experiment's daily cumulative
+    * log-likelihood ratio for H1: p = [[SprtP1]] against
+    * H0: p = [[SprtP0]] on arm A's (user_id % 2 = 0, the q_ab_test
+    * arm convention) purchase rate, with the classic
+    * ±ln((1−β)/α) stopping boundaries (α = β = 0.05 → ±ln(19)).
+    * Per day: trial/success counts, the running LLR and the decision
+    * the monitor would emit that day ('accept_h1' / 'accept_h0' /
+    * 'continue'), decided on QUANTIZED values so a boundary graze
+    * cannot flip cross-engine.
+    *
+    * Scale shape: fact-linear daily collapse, then calendar-bounded
+    * cumulative windows. The binomial LLR increment is
+    * k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) — both log constants
+    * spelled as the same literal expressions on both engines. */
+  val SprtP0 = 0.19
+  val SprtP1 = 0.21
+
+  def sprtMonitor(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("user_id") % 2 === 0)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "purchase").cast("long")).as("k"))
+    val la = log(lit(SprtP1) / lit(SprtP0))
+    val lb = log((lit(1.0) - lit(SprtP1)) / (lit(1.0) - lit(SprtP0)))
+    val bound = log(lit(19.0))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("llr", round4eps(sum(
+        col("k").cast("double") * la +
+          (col("n") - col("k")).cast("double") * lb).over(w)))
+      .withColumn("decision",
+        when(col("llr") >= round4eps(bound), lit("accept_h1"))
+          .when(col("llr") <= round4eps(-bound), lit("accept_h0"))
+          .otherwise(lit("continue")))
+      .select(col("d"), col("n"), col("k"), col("llr"), col("decision"))
+      .orderBy(col("d"))
+  }
 }

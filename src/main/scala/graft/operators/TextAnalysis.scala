@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caching.CachingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -718,13 +719,12 @@ object TextAnalysis {
     * break on (freq DESC, sym_left, sym_right) — lowercase-ASCII
     * collation, identical across engines. */
   def bpeMerges(s: SparkSession, dir: String, rounds: Int = 2, topK: Int = 10): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var wc = Tables.documents(s, dir)
       .select(explode(words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(concat(lit("|"), regexp_replace(col("w"), "(?<=.)(?=.)", "|"), lit("|")).as("sym"),
         col("c"))
-      .persist(lvl)
+      .persistMemDisk
     def pairCounts(df: DataFrame): DataFrame =
       df.withColumn("l", slice(split(col("sym"), "\\|"), lit(2),
           size(split(col("sym"), "\\|")) - 2))
@@ -745,7 +745,7 @@ object TextAnalysis {
           row_number().over(Window.orderBy(col("freq").desc,
             col("sym_left"), col("sym_right"))).as("rank"),
           col("sym_left"), col("sym_right"), col("freq"))
-        .persist(lvl)
+        .persistMemDisk
       // A corpus can run out of pairs (every word reduced to one
       // symbol): stop cleanly instead of head()-crashing on nothing.
       top.filter(col("rank") === 1).collect().headOption match {
@@ -759,7 +759,7 @@ object TextAnalysis {
               winner.getAs[String]("sym_right") + "|")
             val next = wc
               .select(replace(replace(col("sym"), pat, rep), pat, rep).as("sym"), col("c"))
-              .persist(lvl)
+              .persistMemDisk
             next.count() // materialize before dropping the parent cache
             wc.unpersist()
             wc = next
@@ -987,7 +987,7 @@ object TextAnalysis {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("cxy"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val firsts = bi.groupBy(col("w1")).agg(sum(col("cxy")).as("cw1"))
     val seconds = bi.groupBy(col("w2")).agg(sum(col("cxy")).as("cw2"))
     val n = bi.agg(sum(col("cxy")).as("nb"))
@@ -1060,7 +1060,7 @@ object TextAnalysis {
     val sw = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n_sw"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val srcTotals = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("n_s"))
     val corpus = sw.groupBy(col("w")).agg(sum(col("n_sw")).as("n_w"))
     val total = corpus.agg(sum(col("n_w")).as("n_c"))
@@ -1130,7 +1130,7 @@ object TextAnalysis {
       .select(
         concat_ws(" ", transform(col("ws"), x => x("w"))).as("phrase"),
         size(col("ws")).as("plen"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val stats = phrases
       .select(explode(split(col("phrase"), " ")).as("w"), col("plen"))
       .groupBy(col("w"))
@@ -1187,7 +1187,7 @@ object TextAnalysis {
           "transform(sequence(0, size(split(text, ' ')) - 3), " +
           "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) " +
           "ELSE array() END")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val mx = Tables.documents(s, dir)
       .agg((max(col("doc_id")) + 1).as("m"))
     def bucket(c: org.apache.spark.sql.Column) =
@@ -1218,7 +1218,7 @@ object TextAnalysis {
     val cnt = Tables.documents(s, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val totals = cnt.groupBy(col("lang")).agg(sum(col("c")).as("total_tokens"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("c").desc, col("w"))
@@ -1257,7 +1257,7 @@ object TextAnalysis {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val cnt = tok.groupBy(col("lang").as("clang"), col("w")).agg(count(lit(1)).as("c"))
     val ltot = cnt.groupBy(col("clang")).agg(sum(col("c")).as("t"))
     val vocab = tok.agg(countDistinct(col("w")).as("v"))
@@ -1310,7 +1310,7 @@ object TextAnalysis {
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("lang")).agg(count(lit(1)).as("t"))), "lang")
       .select(col("lang"), col("w"), (col("c").cast("double") / col("t")).as("p"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val out = others.map { other =>
       val joined = cnt.filter(col("lang").isin(base, other))
         .groupBy(col("w"))
@@ -1397,7 +1397,7 @@ object TextAnalysis {
       .select(explode(split(regexp_replace(lower(trim(col("text"))),
         "\\s+", " "), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = tf.agg(sum(col("f")).as("tn"),
       count(lit(1)).as("vocab_size"))
     // vocabulary-bounded window (NDV, not stream length)
@@ -1439,7 +1439,7 @@ object TextAnalysis {
         "\\s+", " "), " ")).as(Seq("pos", "w")))
     val top = toks.groupBy(col("w")).agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w")).limit(vocab).select(col("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val bi = toks.withColumn("w2", lead(col("w"), 1).over(wDoc))
       .filter(col("w2").isNotNull && col("w") =!= col("w2"))
@@ -1450,14 +1450,14 @@ object TextAnalysis {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
     val edges = und.select(col("a").as("src"), col("b").as("dst"), col("wt"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("wt")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val wtot = edges.groupBy(col("src")).agg(sum(col("wt")).as("wsum"))
     val e2 = edges.join(wtot, "src")
       .select(col("src"), col("dst"),
         (col("wt").cast("double") / col("wsum")).as("p"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val nodes = edges.select(col("dst").as("node")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val n = nodes.count() // vocab-bounded driver scalar
     var sc = nodes.select(col("node"),
       round6eps(lit(1.0) / lit(n.toDouble)).as("score"))
@@ -1486,7 +1486,7 @@ object TextAnalysis {
     val cells = Tables.documents(s, dir)
       .groupBy(col("lang").as("a"), langId(col("text")).as("b"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistMemDisk
     val tot = cells.agg(sum(col("n")).as("nn"),
       sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
     val ra = cells.groupBy(col("a")).agg(sum(col("n")).as("rn"))
@@ -1515,6 +1515,85 @@ object TextAnalysis {
     * Scale shape: one documents scan → per-source token sums (source
     * NDV tiny) → broadcast total; everything after the first aggregate
     * is constant-size. */
+  /** Interpolated Kneser-Ney bigram probabilities (absolute discount
+    * d = [[KnDiscount]]) — the smoothing that made n-gram LMs work and
+    * the reference implementation a tokenizer/perplexity pipeline
+    * validates against (the existing perplexity filter uses add-1;
+    * KN replaces "how often does w2 occur" with "in how many CONTEXTS
+    * does w2 occur", which fixes the 'san francisco' pathology):
+    *
+    *   P_KN(w2|w1) = max(c(w1,w2) − d, 0)/c(w1•)
+    *               + λ(w1)·N1+(•w2)/N_types,
+    *   λ(w1) = d·N1+(w1•)/c(w1•)
+    *
+    * All four count frames derive from ONE bigram aggregate (shared
+    * via the plan cache); every quantity is an exact integer until the
+    * final divisions, so cross-engine parity needs only the standard
+    * round4. Top-k by frequency with the full decomposition (p_kn,
+    * lambda, p_cont) for audit. */
+  val KnDiscount = 0.75
+
+  def kneserNeyBigrams(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = words(col("text"))
+    val bi = graft.Caching.memDisk(
+      Tables.documents(s, dir).select(explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("cxy")))
+    val left = bi.groupBy(col("w1"))
+      .agg(sum(col("cxy")).as("c1tot"), count(lit(1)).as("n1fwd"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1rev"))
+    val nTypes = bi.agg(count(lit(1)).cast("double").as("nt"))
+    bi.join(left, "w1").join(cont, "w2").crossJoin(broadcast(nTypes))
+      .withColumn("lam",
+        lit(KnDiscount) * col("n1fwd").cast("double") /
+          col("c1tot").cast("double"))
+      .withColumn("p_cont", col("n1rev").cast("double") / col("nt"))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("cxy").as("freq"),
+        round4eps(
+          greatest(col("cxy").cast("double") - lit(KnDiscount), lit(0.0)) /
+            col("c1tot").cast("double") +
+            col("lam") * col("p_cont")).as("p_kn"),
+        round4eps(col("lam")).as("lambda"),
+        round4eps(col("p_cont")).as("p_cont"))
+      .orderBy(col("freq").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Quality-filter threshold sweep: for each cutoff k/10
+    * (k = 1..9), the documents and token share surviving
+    * `quality ≥ cutoff` — the yield curve a data-curation pipeline
+    * reads before committing to a filter level (the cliff between two
+    * cutoffs is where the corpus actually lives). Cutoff rows that
+    * kill everything still appear with zero counts (generated axis,
+    * left join). One scan + one 9-way broadcast cross of the doc-grain
+    * (quality, tokens) frame → cutoff-grain collapse. */
+  def filterSweep(s: SparkSession, dir: String): DataFrame = {
+    val d = qualityScores(s, dir).select(col("doc_id"), col("quality"))
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks")), "doc_id")
+    val tot = d.agg(count(lit(1)).cast("double").as("nd"),
+      sum(col("toks")).cast("double").as("nt"))
+    val cuts = s.range(1, 10).select(col("id").cast("int").as("k"))
+    val surv = d.crossJoin(broadcast(cuts))
+      .filter(col("quality") >= col("k").cast("double") / 10.0)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    cuts.join(surv, Seq("k"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("k"),
+        round4eps(col("k").cast("double") / 10.0).as("cutoff"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round4eps(coalesce(col("n_docs"), lit(0L)).cast("double") /
+          col("nd")).as("doc_share"),
+        round4eps(coalesce(col("n_tokens"), lit(0L)).cast("double") /
+          col("nt")).as("token_share"))
+      .orderBy(col("k"))
+  }
+
   val MixAlpha = 0.3
 
   def mixingPlan(s: SparkSession, dir: String): DataFrame = {

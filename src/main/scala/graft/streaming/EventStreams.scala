@@ -51,6 +51,36 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming SPC monitor (r9) — the p-chart as a watermarked
+    * event-time windowed aggregate: per window, the error-event
+    * proportion against FIXED control limits computed offline from a
+    * baseline era (`pbar`; limits are per-window since n varies —
+    * p̄ ± 3√(p̄(1−p̄)/n)). The streaming side deliberately takes the
+    * limits as ARGUMENTS rather than computing them on the stream:
+    * control limits must come from in-control history, not the data
+    * being judged (that is what makes it a control chart and keeps the
+    * state store at one count row per open window). Batch twin:
+    * [[graft.operators.ControlCharts.pChart]], which computes p̄ from
+    * the whole corpus; the spec pins an injected error burst to
+    * breach = 1. */
+  def streamingPChart(events: DataFrame, pbar: Double,
+                      windowLength: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "error").cast("long")).as("bad"))
+      .select(col("w.start").as("window_start"),
+        col("n"), col("bad"),
+        (col("bad").cast("double") / col("n").cast("double")).as("p"),
+        greatest(lit(pbar) - lit(3.0) * sqrt(lit(pbar) * lit(1.0 - pbar) /
+          col("n").cast("double")), lit(0.0)).as("lcl"),
+        (lit(pbar) + lit(3.0) * sqrt(lit(pbar) * lit(1.0 - pbar) /
+          col("n").cast("double"))).as("ucl"))
+      .withColumn("breach",
+        (col("p") < col("lcl") || col("p") > col("ucl")).cast("int"))
+
   /** Streaming daily-actives sketch — the KMV distinct-user estimate
     * as a watermarked 1-day windowed aggregate (exact streaming
     * COUNT(DISTINCT) is unsupported AND unbounded-state by nature; the

@@ -47,6 +47,21 @@ class AttributionSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_touches") === 6L)
   }
 
+  test("shapleyAttribution: linearity gives the exact hand answer") {
+    // Touch-set games on the fixture: value 2 requires {click, view}
+    // (u1 and u3's converted journeys), value 1 requires {signup}
+    // (u2). By Shapley linearity + symmetry: click = view = 1,
+    // signup = 1, error = 0; shares 1/3, 1/3, 1/3, 0.
+    val got = graft.operators.Attribution.shapleyAttribution(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Double]("phi"), r.getAs[Double]("share"))).toMap
+    assert(got("click") === ((1.0, 0.3333)))
+    assert(got("view") === ((1.0, 0.3333)))
+    assert(got("signup") === ((1.0, 0.3333)))
+    assert(got("error") === ((0.0, 0.0)))
+  }
+
   test("conservation holds on the real sf0.001 events") {
     val r = Attribution.creditConservation(spark, TestSpark.sfDir).head()
     val ft = r.getAs[Double]("ft_total")

@@ -67,6 +67,41 @@ class R9BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("sprtMonitor: first-day LLR matches the binomial increment, " +
+      "decisions read the quantized boundaries") {
+    val rows = graft.operators.Stats.sprtMonitor(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val r0 = rows.head
+    val la = math.log(0.21 / 0.19)
+    val lb = math.log((1.0 - 0.21) / (1.0 - 0.19))
+    val expect = r0.getAs[Long]("k") * la +
+      (r0.getAs[Long]("n") - r0.getAs[Long]("k")) * lb
+    assert(math.abs(r0.getAs[Double]("llr") - expect) < 1e-3)
+    val bound = math.log(19.0)
+    rows.foreach { r =>
+      val llr = r.getAs[Double]("llr")
+      val d = r.getAs[String]("decision")
+      if (llr >= bound + 1e-4) assert(d === "accept_h1")
+      else if (llr <= -bound - 1e-4) assert(d === "accept_h0")
+    }
+  }
+
+  test("filterSweep: nine cutoffs, monotone non-increasing yield") {
+    val rows = graft.operators.TextAnalysis.filterSweep(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq === (1 to 9))
+    val docShares = rows.map(_.getAs[Double]("doc_share"))
+    docShares.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi >= lo)
+      case _ =>
+    }
+    val tokShares = rows.map(_.getAs[Double]("token_share"))
+    tokShares.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi >= lo)
+      case _ =>
+    }
+  }
+
   test("crostonForecast: truncated SES equals the seeded recursion " +
       "while history fits the window") {
     // one sparse part: demands 4, 6, 10 on days 1, 3, 7 of the month.

@@ -37,6 +37,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingPChart flags an injected error burst against fixed limits") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // baseline pbar = 0.1: a 10-event window with 1 error sits inside
+    // p = 0.1 +- 3*sqrt(0.09/10) ~ [0, 0.385]; a 10-event window with
+    // 8 errors (p = 0.8) must breach
+    val q = EventStreams.streamingPChart(mem.toDF(), pbar = 0.1,
+        windowLength = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("p_chart_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData((1 to 10).map(i =>
+        Event(i.toLong, 1, if (i == 1) "error" else "view", 1.0, ts(i))): _*)
+      mem.addData((11 to 20).map(i =>
+        Event(i.toLong, 1, if (i <= 18) "error" else "view", 1.0,
+          ts(30 + (i - 10)))): _*)
+      q.processAllAvailable()
+      val rows = spark.table("p_chart_stream").collect()
+        .map(r => r.getAs[Timestamp]("window_start") ->
+          ((r.getAs[Long]("bad"), r.getAs[Int]("breach")))).toMap
+      assert(rows(ts(0)) === ((1L, 0)))
+      assert(rows(ts(30)) === ((8L, 1)))
+    } finally q.stop()
+  }
+
   test("dailyActiveSketch: KMV partials merge across micro-batches, stream == batch") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
