@@ -854,6 +854,10 @@ object SparkEntry {
     "q_shapley"          -> ((s, d) => Attribution.shapleyAttribution(s, d)),
     "q_kneser_ney"       -> ((s, d) => TextAnalysis.kneserNeyBigrams(s, d)),
     "q_t_closeness"      -> ((s, d) => Relational.tClosenessProfile(s, d)),
+    "q_rmst"             -> ((s, d) => Survival.survivalSummary(s, d)),
+    "q_wasserstein_drift" -> ((s, d) => Stats.wassersteinDrift(s, d)),
+    "q_tail_dependence"  -> ((s, d) => Stats.tailDependence(s, d)),
+    "q_assortment_turnover" -> ((s, d) => Joins.assortmentTurnover(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -8092,5 +8096,131 @@ object SparkEntry {
         |SELECT segment, nationkey, group_size, t_closeness,
         |  t_closeness <= 0.2 AS t_close
         |FROM t ORDER BY segment, nationkey""".stripMargin,
+    // RMST + median survival: pure post-processing of the q_km_churn
+    // life table (same CTE chain), area under the KM step to tau=365.
+    "q_rmst" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(MIN(o_orderdate) AS DATE) AS first_d,
+        |    CAST(MAX(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT MAX(last_d) AS end_d FROM pc),
+        |dur AS (SELECT
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN CAST(date_diff('day', first_d, last_d) AS INTEGER)
+        |         ELSE CAST(date_diff('day', first_d, end_d) AS INTEGER)
+        |    END AS t,
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN 1 ELSE 0 END AS event
+        |  FROM pc, e),
+        |byt AS (SELECT t, COUNT(*) AS n_at,
+        |    CAST(SUM(event) AS BIGINT) AS d_events
+        |  FROM dur GROUP BY 1),
+        |lt AS (SELECT t, d_events,
+        |    CAST(SUM(n_at) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt),
+        |ev AS (SELECT t, n_risk, d_events FROM lt WHERE d_events > 0),
+        |km AS (SELECT t,
+        |  floor(CASE WHEN MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0
+        |      END) OVER w = 1 THEN 0.0
+        |    ELSE exp(SUM(ln(1.0 - CAST(d_events AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE))) OVER w) END
+        |    * 10000 + 0.5 + 0.000001) / 10000 AS s_km
+        |  FROM ev
+        |  WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pieces AS (SELECT t, s_km,
+        |    COALESCE(lag(t) OVER (ORDER BY t), 0) AS prev_t,
+        |    COALESCE(lag(s_km) OVER (ORDER BY t), 1.0) AS prev_s
+        |  FROM km),
+        |hd AS (SELECT SUM(prev_s * (LEAST(CAST(t AS DOUBLE), 365.0)
+        |      - LEAST(CAST(prev_t AS DOUBLE), 365.0))) AS area_head,
+        |    MIN(CASE WHEN s_km <= 0.5 THEN t END) AS median_t
+        |  FROM pieces),
+        |tl AS (SELECT t AS t_last, s_km AS s_last FROM km
+        |  ORDER BY t DESC LIMIT 1)
+        |SELECT CAST(365 AS INTEGER) AS tau,
+        |  floor((area_head + s_last * (365.0
+        |    - LEAST(CAST(t_last AS DOUBLE), 365.0)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS rmst,
+        |  median_t
+        |FROM hd, tl""".stripMargin,
+    "q_wasserstein_drift" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice/100) AS BIGINT)
+        |    AS bin,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN 1 ELSE 0 END AS early
+        |  FROM orders),
+        |g AS (SELECT bin, CAST(SUM(early) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - early) AS BIGINT) AS n2 FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n1) AS DOUBLE) AS t1,
+        |    CAST(SUM(n2) AS DOUBLE) AS t2 FROM g),
+        |c AS (SELECT bin, t1, t2,
+        |    CAST(SUM(n1) OVER w AS DOUBLE)/t1 AS f1,
+        |    CAST(SUM(n2) OVER w AS DOUBLE)/t2 AS f2,
+        |    CAST((lead(bin) OVER (ORDER BY bin) - bin)*100 AS DOUBLE)
+        |      AS gap
+        |  FROM g, t
+        |  WINDOW w AS (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(MAX(t1) AS BIGINT) AS n_early,
+        |  CAST(MAX(t2) AS BIGINT) AS n_late,
+        |  floor(SUM(CASE WHEN gap IS NOT NULL
+        |    THEN abs(f1 - f2)*gap ELSE 0.0 END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS w1_dollars
+        |FROM c""".stripMargin,
+    "q_tail_dependence" ->
+      """WITH li AS (SELECT p_brand, CAST(l_shipdate AS DATE) AS d,
+        |    l_extendedprice*(1.0 - l_discount) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |top2 AS (SELECT p_brand,
+        |    ROW_NUMBER() OVER (ORDER BY
+        |      floor(SUM(rev)*10000 + 0.5 + 0.000001)/10000 DESC,
+        |      p_brand) AS which
+        |  FROM li GROUP BY 1 QUALIFY which <= 2),
+        |daily AS (SELECT which, d,
+        |    floor(SUM(rev)*100 + 0.5)/100 AS drev
+        |  FROM li JOIN top2 USING (p_brand) GROUP BY 1, 2),
+        |f AS (SELECT which, d,
+        |    ROW_NUMBER() OVER (PARTITION BY which
+        |      ORDER BY drev DESC, d) AS rk,
+        |    COUNT(*) OVER (PARTITION BY which) AS n FROM daily),
+        |h AS (SELECT which, d,
+        |    CASE WHEN rk*10 <= n THEN 1 ELSE 0 END AS hot FROM f),
+        |x AS (SELECT d, hot AS hot_x FROM h WHERE which = 1),
+        |y AS (SELECT d, hot AS hot_y FROM h WHERE which = 2)
+        |SELECT COUNT(*) AS n_days,
+        |  CAST(SUM(hot_x*hot_y) AS BIGINT) AS joint_hot,
+        |  floor(SUM(hot_x*hot_y)*1.0/SUM(hot_y)
+        |    *10000 + 0.5 + 0.000001)/10000 AS lambda_u
+        |FROM x JOIN y USING (d)""".stripMargin,
+    "q_assortment_turnover" ->
+      """WITH bym AS (SELECT CAST(date_trunc('month', l_shipdate)
+        |      AS DATE) AS m, l_partkey,
+        |    floor(SUM(l_extendedprice*(1.0 - l_discount))*100 + 0.5)
+        |      /100 AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |tops AS (SELECT m, l_partkey FROM (SELECT m, l_partkey,
+        |    ROW_NUMBER() OVER (PARTITION BY m
+        |      ORDER BY rev DESC, l_partkey) AS rk FROM bym)
+        |  WHERE rk <= 20),
+        |months AS (SELECT m, lag(m) OVER (ORDER BY m) AS prev_m
+        |  FROM (SELECT DISTINCT m FROM tops)),
+        |sizes AS (SELECT m, COUNT(*) AS sz FROM tops GROUP BY 1),
+        |j AS (SELECT mo.m, mo.prev_m, COUNT(*) AS n_top,
+        |    CAST(SUM(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_kept
+        |  FROM (SELECT m, prev_m FROM months WHERE prev_m IS NOT NULL)
+        |    mo
+        |  JOIN tops c ON c.m = mo.m
+        |  LEFT JOIN (SELECT m AS pm, l_partkey AS pk FROM tops) p
+        |    ON p.pm = mo.prev_m AND p.pk = c.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT j.m, n_kept,
+        |  CAST(n_top - n_kept AS BIGINT) AS n_new,
+        |  floor(n_kept*1.0/(n_top + s.sz - n_kept)
+        |    *10000 + 0.5 + 0.000001)/10000 AS jaccard
+        |FROM j JOIN sizes s ON s.m = j.prev_m ORDER BY j.m""".stripMargin,
   )
 }

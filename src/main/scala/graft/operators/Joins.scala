@@ -1320,4 +1320,51 @@ object Joins {
           .cast("double") / col("n_parts")).as("coverage"))
       .orderBy(col("brand"))
   }
+
+  /** Assortment turnover: month-over-month Jaccard of the top-20
+    * revenue parts — "how much of the leaderboard churned" (high
+    * turnover = volatile demand or an assortment reset; flat = stale
+    * catalog). The top-20 sets are rank-windows over the
+    * (month, part) rollup with (revenue desc, partkey) tie-breaks —
+    * cents-quantized revenue so the rank order itself is
+    * cross-engine-identical; the month axis is calendar-bounded and
+    * the per-month sets are k-bounded, so the self-join over
+    * consecutive months is constant-size at any corpus. */
+  def assortmentTurnover(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val byMonth = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("m"),
+        col("l_partkey"))
+      .agg((floor(sum(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount"))) * 100 + 0.5) / 100).as("rev"))
+    val wRank = Window.partitionBy(col("m"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+    val tops = byMonth
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k)
+      .select(col("m"), col("l_partkey"))
+      .persistMemDisk
+    val months = tops.select(col("m")).distinct()
+      .withColumn("prev_m",
+        lag(col("m"), 1).over(Window.orderBy(col("m"))))
+      .filter(col("prev_m").isNotNull)
+    val cur = tops.select(col("m"), col("l_partkey").as("pk"))
+    val prev = tops.select(col("m").as("prev_m"), col("l_partkey").as("pk"))
+    val sizes = tops.groupBy(col("m")).agg(count(lit(1)).as("sz"))
+    months.join(cur, Seq("m"), "left")
+      .join(prev.withColumn("in_prev", lit(1L)), Seq("prev_m", "pk"), "left")
+      .groupBy(col("m"), col("prev_m"))
+      .agg(count(lit(1)).as("n_top"),
+        sum(coalesce(col("in_prev"), lit(0L))).as("n_kept"))
+      .join(sizes.select(col("m").as("prev_m"), col("sz").as("sz_prev")),
+        "prev_m")
+      // sparse months can rank fewer than k parts: |A ∪ B| uses the
+      // actual set sizes, not 2k
+      .select(col("m"), col("n_kept"),
+        (col("n_top") - col("n_kept")).as("n_new"),
+        round4eps(col("n_kept").cast("double") /
+          (col("n_top") + col("sz_prev") - col("n_kept")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("m"))
+  }
 }

@@ -1985,6 +1985,84 @@ object Stats {
     * cumulative windows. The binomial LLR increment is
     * k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) — both log constants
     * spelled as the same literal expressions on both engines. */
+  /** Wasserstein-1 (earth-mover) drift between the early
+    * (< 1998-01-01) and late eras of the order-total distribution —
+    * the metric-space complement of the PSI gates: PSI is
+    * scale-free divergence, W1 answers "how many DOLLARS did the
+    * distribution move". W1 = ∫|F_early − F_late| dx over the $100-
+    * binned value axis (the bin cap bounds the axis NDV at any
+    * corpus size; counts are exact integers, so the ECDFs are exact
+    * rationals and the only float work is the final weighted sum).
+    * One fact collapse → bin-axis cumulative windows. */
+  def wassersteinDrift(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / 100).cast("long").as("bin"),
+        when(col("o_orderdate") <
+          lit(java.sql.Date.valueOf("1998-01-01")), 1L).otherwise(0L)
+          .as("early"))
+      .groupBy(col("bin"))
+      .agg(sum(col("early")).as("n1"), sum(lit(1L) - col("early")).as("n2"))
+    val tot = b.agg(sum(col("n1")).cast("double").as("t1"),
+      sum(col("n2")).cast("double").as("t2"))
+    val w = Window.orderBy(col("bin"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.crossJoin(broadcast(tot))
+      .withColumn("f1", sum(col("n1")).over(wc).cast("double") / col("t1"))
+      .withColumn("f2", sum(col("n2")).over(wc).cast("double") / col("t2"))
+      .withColumn("gap",
+        ((lead(col("bin"), 1).over(w) - col("bin")) * 100).cast("double"))
+      .agg(max(col("t1")).cast("long").as("n_early"),
+        max(col("t2")).cast("long").as("n_late"),
+        round4eps(sum(when(col("gap").isNotNull,
+          abs(col("f1") - col("f2")) * col("gap")).otherwise(0.0)))
+          .as("w1_dollars"))
+  }
+
+  /** Upper-tail dependence of the two largest brands' daily revenue —
+    * the co-crash/co-boom diagnostic a diversification analysis needs
+    * beyond correlation: λ_U(0.9) = P(X in its top decile AND Y in its
+    * top decile) / P(Y in its top decile), with "top decile" decided by
+    * per-brand day RANKS (exact integers — no quantile interpolation
+    * to disagree on). Brands are the top-2 by total revenue
+    * (deterministic tie-break on name); both series live on the
+    * calendar-bounded day axis. */
+  def tailDependence(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), to_date(col("l_shipdate")).as("d"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val top2 = li.groupBy(col("p_brand"))
+      .agg(sum(col("rev")).as("tot"))
+      .orderBy(round4eps(col("tot")).desc, col("p_brand"))
+      .limit(2)
+      .select(col("p_brand"),
+        row_number().over(Window.orderBy(
+          round4eps(col("tot")).desc, col("p_brand"))).as("which"))
+    val daily = li.join(broadcast(top2), "p_brand")
+      .groupBy(col("which"), col("d"))
+      .agg((floor(sum(col("rev")) * 100 + 0.5) / 100).as("drev"))
+    val wRank = Window.partitionBy(col("which"))
+      .orderBy(col("drev").desc, col("d"))
+    val wN = Window.partitionBy(col("which"))
+    val flagged = daily
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("hot", (col("rk") * 10 <= col("n")).cast("long"))
+    val x = flagged.filter(col("which") === 1)
+      .select(col("d"), col("hot").as("hot_x"))
+    val y = flagged.filter(col("which") === 2)
+      .select(col("d"), col("hot").as("hot_y"))
+    x.join(y, "d")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("hot_x") * col("hot_y")).as("joint_hot"),
+        sum(col("hot_y")).as("y_hot"))
+      .select(col("n_days"), col("joint_hot"),
+        round4eps(col("joint_hot").cast("double") /
+          col("y_hot").cast("double")).as("lambda_u"))
+  }
+
   val SprtP0 = 0.19
   val SprtP1 = 0.21
 

@@ -109,6 +109,39 @@ object Survival {
       .orderBy(col("t"))
   }
 
+  /** Survival summary scalars from the KM curve: median survival time
+    * (first event time where the QUANTIZED S(t) ≤ 0.5) and the
+    * restricted mean survival time RMST(τ) = ∫₀^τ S(t) dt — the area
+    * under the left-continuous KM step function up to the horizon
+    * τ = [[RmstHorizonDays]] (one year). RMST is the survival
+    * effect-size clinicians/retention analysts quote when medians are
+    * unstable; both are pure post-processing of the calendar-bounded
+    * KM frame (a lag window + one aggregate — constant-size). */
+  val RmstHorizonDays = 365
+
+  def survivalSummary(s: SparkSession, dir: String): DataFrame = {
+    val tau = RmstHorizonDays.toDouble
+    val km = kaplanMeier(s, dir).select(col("t"), col("s_km"))
+    val w = Window.orderBy(col("t"))
+    val pieces = km
+      .withColumn("prev_t", coalesce(lag(col("t"), 1).over(w), lit(0)))
+      .withColumn("prev_s", coalesce(lag(col("s_km"), 1).over(w), lit(1.0)))
+      .withColumn("piece", col("prev_s") *
+        (least(col("t").cast("double"), lit(tau)) -
+          least(col("prev_t").cast("double"), lit(tau))))
+    val tail = km.agg(max(col("t")).as("t_last"))
+      .join(km.select(col("t").as("t_last"), col("s_km").as("s_last")), "t_last")
+    pieces.agg(
+        sum(col("piece")).as("area_head"),
+        min(when(col("s_km") <= 0.5, col("t"))).as("median_t"))
+      .crossJoin(broadcast(tail))
+      .select(lit(RmstHorizonDays).as("tau"),
+        round4eps(col("area_head") + col("s_last") *
+          (lit(tau) - least(col("t_last").cast("double"), lit(tau))))
+          .as("rmst"),
+        col("median_t"))
+  }
+
   /** Two-sample log-rank test: BUILDING-segment customers vs everyone
     * else. At each pooled event time, observed-minus-expected group-1
     * deaths under the hypergeometric null; the statistic

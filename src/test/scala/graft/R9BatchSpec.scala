@@ -67,6 +67,31 @@ class R9BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("wassersteinDrift: W1 is non-negative dollars; eras partition") {
+    val r = graft.operators.Stats.wassersteinDrift(spark, sf).head()
+    assert(r.getAs[Double]("w1_dollars") >= 0.0)
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(r.getAs[Long]("n_early") + r.getAs[Long]("n_late") === total)
+  }
+
+  test("tailDependence: lambda_u = joint/marginal within [0,1]") {
+    val r = graft.operators.Stats.tailDependence(spark, sf).head()
+    val l = r.getAs[Double]("lambda_u")
+    assert(l >= 0.0 && l <= 1.0)
+    assert(r.getAs[Long]("joint_hot") <= r.getAs[Long]("n_days"))
+  }
+
+  test("assortmentTurnover: jaccard bounds and kept+new = top size") {
+    val rows = graft.operators.Joins
+      .assortmentTurnover(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_new") <= 20L)
+    }
+  }
+
   test("sprtMonitor: first-day LLR matches the binomial increment, " +
       "decisions read the quantized boundaries") {
     val rows = graft.operators.Stats.sprtMonitor(spark, sf).collect()

@@ -52,6 +52,15 @@ class SurvivalSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((151, 1L, 1L, 0.0)))
   }
 
+  test("survivalSummary: RMST area and median from the fixture KM") {
+    // KM steps: S=1 on [0,10), 0.6 on [10,20), 0.4 on [20,365)
+    // RMST(365) = 10 + 0.6*10 + 0.4*345 = 154; median = 20 (S <= 0.5)
+    val r = graft.operators.Survival.survivalSummary(spark, dir).head()
+    assert(r.getAs[Int]("tau") === 365)
+    assert(r.getAs[Double]("rmst") === 154.0)
+    assert(r.getAs[Int]("median_t") === 20)
+  }
+
   test("logRank invariants on sf0.001") {
     val r = Survival.logRank(spark, TestSpark.sfDir).head()
     assert(r.getAs[Long]("n_times") > 0)
