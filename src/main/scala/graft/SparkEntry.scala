@@ -858,6 +858,7 @@ object SparkEntry {
     "q_wasserstein_drift" -> ((s, d) => Stats.wassersteinDrift(s, d)),
     "q_tail_dependence"  -> ((s, d) => Stats.tailDependence(s, d)),
     "q_assortment_turnover" -> ((s, d) => Joins.assortmentTurnover(s, d)),
+    "q_little_law"       -> ((s, d) => Joins.littleLawAudit(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -8222,5 +8223,43 @@ object SparkEntry {
         |  floor(n_kept*1.0/(n_top + s.sz - n_kept)
         |    *10000 + 0.5 + 0.000001)/10000 AS jaccard
         |FROM j JOIN sizes s ON s.m = j.prev_m ORDER BY j.m""".stripMargin,
+    // Little's Law L = lambda*W is EXACT over the full span (Fubini on
+    // the WIP integral) — ratio must round to 1.0 on both engines.
+    "q_little_law" ->
+      """WITH comp AS (SELECT l_orderkey,
+        |    MAX(CAST(l_shipdate AS DATE)) AS complete
+        |  FROM lineitem GROUP BY 1),
+        |ord AS (SELECT CAST(o_orderdate AS DATE) AS start, complete
+        |  FROM orders JOIN comp ON o_orderkey = l_orderkey),
+        |span AS (SELECT MIN(start) AS d0, MAX(complete) AS d1,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(date_diff('day', start, complete)) AS BIGINT)
+        |      AS sum_dur
+        |  FROM ord),
+        |ev AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        |    SELECT start AS d, 1 AS delta FROM ord
+        |    UNION ALL
+        |    SELECT complete AS d, -1 AS delta FROM ord) t GROUP BY 1),
+        |itg AS (SELECT CAST(SUM(CASE WHEN gap IS NOT NULL
+        |      THEN wip * gap ELSE 0 END) AS BIGINT) AS wip_days
+        |  FROM (SELECT
+        |      SUM(delta) OVER (ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS wip,
+        |      date_diff('day', d, lead(d) OVER (ORDER BY d)) AS gap
+        |    FROM ev) t)
+        |SELECT CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(date_diff('day', d0, d1) AS BIGINT) AS span_days,
+        |  floor(n_orders*1.0/date_diff('day', d0, d1)
+        |    *10000 + 0.5 + 0.000001)/10000 AS lambda,
+        |  floor(sum_dur*1.0/n_orders*10000 + 0.5 + 0.000001)/10000
+        |    AS w_days,
+        |  floor(wip_days*1.0/date_diff('day', d0, d1)
+        |    *10000 + 0.5 + 0.000001)/10000 AS l_avg,
+        |  floor((wip_days*1.0/date_diff('day', d0, d1))
+        |    / ((n_orders*1.0/date_diff('day', d0, d1))
+        |       * (sum_dur*1.0/n_orders))
+        |    *10000 + 0.5 + 0.000001)/10000 AS ratio
+        |FROM itg, span""".stripMargin,
   )
 }

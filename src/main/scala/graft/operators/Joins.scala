@@ -1321,6 +1321,59 @@ object Joins {
       .orderBy(col("brand"))
   }
 
+  /** Little's Law audit — L = λ·W over the order pipeline: average
+    * work-in-progress (orders placed but not fully shipped) must equal
+    * arrival rate × average flow time. Measured over the full calendar
+    * span with every order completing inside it, the identity is EXACT
+    * (Fubini: Σ_days WIP(d) = Σ_orders duration), so the gate's
+    * `ratio` column is an exact-identity check like growth_decomp —
+    * any pipeline losing or double-counting orders breaks it.
+    *
+    * WIP is integrated event-wise: +1 at order date, −1 at completion
+    * (= max lineitem ship date; in-flight on [start, complete)),
+    * running sum over the collapsed event-day axis × interval lengths
+    * — never a days×orders product. All terms are exact integers
+    * until the final divisions. */
+  def littleLawAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val comp = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("complete"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("start"))
+      .join(comp, col("o_orderkey") === col("l_orderkey"))
+      .select(col("start"), col("complete"))
+    val span = ord.agg(min(col("start")).as("d0"),
+      max(col("complete")).as("d1"),
+      count(lit(1)).as("n_orders"),
+      sum(datediff(col("complete"), col("start"))).as("sum_dur"))
+    val deltas = ord.select(col("start").as("d"), lit(1L).as("delta"))
+      .unionByName(ord.select(col("complete").as("d"),
+        lit(-1L).as("delta")))
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+    val w = Window.orderBy(col("d")) // collapsed event-day axis
+    val integral = deltas
+      .withColumn("wip", sum(col("delta")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gap", datediff(lead(col("d"), 1).over(w), col("d")))
+      .agg(sum(when(col("gap").isNotNull, col("wip") * col("gap"))
+        .otherwise(0L)).as("wip_days"))
+    integral.crossJoin(broadcast(span))
+      .withColumn("span_days",
+        datediff(col("d1"), col("d0")).cast("double"))
+      .withColumn("lam", col("n_orders").cast("double") / col("span_days"))
+      .withColumn("w_days",
+        col("sum_dur").cast("double") / col("n_orders").cast("double"))
+      .withColumn("l_avg",
+        col("wip_days").cast("double") / col("span_days"))
+      .select(col("n_orders"),
+        col("span_days").cast("long").as("span_days"),
+        round4eps(col("lam")).as("lambda"),
+        round4eps(col("w_days")).as("w_days"),
+        round4eps(col("l_avg")).as("l_avg"),
+        round4eps(col("l_avg") / (col("lam") * col("w_days"))).as("ratio"))
+  }
+
   /** Assortment turnover: month-over-month Jaccard of the top-20
     * revenue parts — "how much of the leaderboard churned" (high
     * turnover = volatile demand or an assortment reset; flat = stale

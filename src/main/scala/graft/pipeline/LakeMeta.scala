@@ -53,6 +53,34 @@ private[graft] object LakeMeta {
     }
   }
 
+  /** Latest snapshot id committed at or before `inst` — the
+    * as-of-timestamp resolution, as a pure metadata-file pass (no
+    * Spark job; the facade's `snapshotIdAt` reads through its
+    * snapshots DataFrame, this serves the V2 source where no session
+    * frame exists yet). */
+  def snapshotIdAt(warehouseDir: String, name: String,
+      inst: java.time.Instant): Long = {
+    val p = snapshotLogPath(warehouseDir, name)
+    require(Files.exists(p), s"$name has no snapshot log")
+    val tsRe = """"committed_at":"([^"]+)"""".r
+    val idRe = """"snapshot_id":(\d+)""".r
+    val lines = Files.lines(p)
+    val best =
+      try {
+        import scala.jdk.CollectionConverters._
+        lines.iterator().asScala.flatMap { l =>
+          for {
+            t <- tsRe.findFirstMatchIn(l).map(_.group(1))
+            id <- idRe.findFirstMatchIn(l).map(_.group(1).toLong)
+            if !java.time.Instant.parse(t).isAfter(inst)
+          } yield id
+        }.foldLeft(-1L)(math.max)
+      } finally lines.close()
+    require(best >= 1L,
+      s"$name has no snapshot committed at or before $inst")
+    best
+  }
+
   /** Oldest snapshot still time-travelable: physical rewrites fence at
     * their OWN snapshot (earlier files are gone); expire entries carry
     * an explicit fence value. */

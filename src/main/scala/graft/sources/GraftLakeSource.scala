@@ -24,7 +24,13 @@ import graft.pipeline.LakeMeta
   *   spark.read.format("graft").load("<warehouse>/<ns>/<table>")
   *   spark.read.format("graft").option("snapshot-id", 2).load(path)
   *   spark.read.format("graft").option("tag", "v1").load(path)
+  *   spark.read.format("graft")
+  *     .option("as-of-timestamp", "2026-01-01T12:00:00Z").load(path)
   * }}}
+  *
+  * The three time-travel options mirror Iceberg's read options
+  * (`snapshot-id` / `as-of-timestamp` in epoch millis or ISO-8601 /
+  * branch-tag); at most one may be set.
   *
   * Architecture — thin metadata resolution over Spark's own V2 parquet
   * scan (not a hand-rolled reader): the provider resolves the
@@ -84,14 +90,22 @@ private[graft] object GraftLakeSource {
     val name = s"${dir.getParent.getFileName}.${dir.getFileName}"
 
     val snapshotId: Option[Long] =
-      (Option(options.get("snapshot-id")), Option(options.get("tag"))) match {
-        case (Some(_), Some(_)) => throw new IllegalArgumentException(
-          "pass either snapshot-id or tag, not both")
-        case (Some(id), None) => Some(id.toLong)
-        case (None, Some(t)) =>
+      (Option(options.get("snapshot-id")), Option(options.get("tag")),
+        Option(options.get("as-of-timestamp"))) match {
+        case (a, b, c) if Seq(a, b, c).count(_.isDefined) > 1 =>
+          throw new IllegalArgumentException(
+            "pass at most one of snapshot-id, tag, as-of-timestamp, " +
+              "not both")
+        case (Some(id), _, _) => Some(id.toLong)
+        case (_, Some(t), _) =>
           Some(LakeMeta.readTags(warehouse, name).getOrElse(t,
             throw new IllegalArgumentException(s"no tag '$t' on $name")))
-        case (None, None) => None
+        case (_, _, Some(ts)) =>
+          // epoch millis (the Iceberg read-option convention) or ISO-8601
+          val inst = scala.util.Try(java.time.Instant.ofEpochMilli(ts.toLong))
+            .getOrElse(java.time.Instant.parse(ts))
+          Some(LakeMeta.snapshotIdAt(warehouse, name, inst))
+        case _ => None
       }
 
     val commitDirs: Seq[(Long, String)] = {

@@ -100,6 +100,54 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not both"))
   }
 
+  test("as-of-timestamp resolves against the snapshot log " +
+      "(ISO and epoch-millis forms)") {
+    val log = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$wh/_snapshots/probe_t.jsonl"))
+    val line2 = log.get(1) // snapshot 2's commit record
+    val ts2 = """"committed_at":"([^"]+)"""".r
+      .findFirstMatchIn(line2).get.group(1)
+    def ids(opt: String) = spark.read.format("graft")
+      .option("as-of-timestamp", opt).load(s"$wh/probe/t")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(ids(ts2) === Seq(1L, 2L))
+    // epoch-millis truncates the log's nanosecond commit times, so the
+    // exact-commit millisecond falls BEFORE the commit — step 1 ms past
+    assert(ids(java.time.Instant.parse(ts2).plusMillis(1)
+      .toEpochMilli.toString) === Seq(1L, 2L))
+    // a timestamp before the first commit fails loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("as-of-timestamp", "2000-01-01T00:00:00Z")
+        .load(s"$wh/probe/t")
+    }
+    assert(e.getMessage.contains("no snapshot committed"))
+    // combining time-travel options is rejected
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("as-of-timestamp", ts2)
+        .option("tag", "v2").load(s"$wh/probe/t")
+    }
+    assert(e2.getMessage.contains("at most one"))
+  }
+
+  test("aggregate pushdown reaches the parquet footers through the mount") {
+    val conf = spark.conf
+    val before = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = mount(s"$wh/probe/mart")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)]"),
+        s"expected COUNT(*) served from footers:\n$plan")
+    } finally {
+      conf.set("spark.sql.parquet.aggregatePushdown", before)
+      conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("data filters push down to the delegated parquet scan") {
     val plan = mount(s"$wh/probe/t").filter(col("id") === 2L)
       .queryExecution.executedPlan.toString
