@@ -349,6 +349,23 @@ object ScaleSmoke {
     run("cohensKappa")(operators.TextAnalysis.cohensKappa(spark, dir))
     run("kfoldAssign")(operators.Stats.kfoldAssign(spark, dir))
 
+    // r9 new-operator families: tfidfCosinePairs is the df-capped APSS
+    // (candidates Σ_term df² — cap-bounded per term, so linear at
+    // fixed cap); kneserNey is four joins off one cached bigram
+    // aggregate (vocab-bounded after the first collapse);
+    // channelCredits/shapley are user-keyed journey windows then
+    // grain collapses; littleLaw/survival collapse to event-day axes.
+    run("tfidfCosinePairs")(operators.TfIdfJoin.tfidfCosinePairs(spark, dir))
+    run("kneserNeyBigrams")(operators.TextAnalysis.kneserNeyBigrams(spark, dir))
+    run("channelCredits")(operators.Attribution.channelCredits(spark, dir))
+    run("shapleyAttribution")(operators.Attribution.shapleyAttribution(spark, dir))
+    run("littleLawAudit")(operators.Joins.littleLawAudit(spark, dir))
+    run("kaplanMeier")(operators.Survival.kaplanMeier(spark, dir))
+    run("crostonForecast")(operators.Inventory.crostonForecast(spark, dir))
+    run("fellegiSunterPairs")(operators.EntityResolution.fellegiSunterPairs(spark, dir))
+    run("fellegiSunterPairsLoose")(operators.EntityResolution
+      .fellegiSunterPairs(spark, dir, strictBlock = false))
+
     // r9: the NDV-bounded theta-join family — the slowest 0-shuffle
     // benched queries (kendallTau 6.2 s at sf0.1). Their scaladocs
     // claim corpus-INDEPENDENT cost (the collapse step bounds the

@@ -843,6 +843,7 @@ object SparkEntry {
     // r9 batch 2: FS linkage scores, training-mix planner, TF-IDF
     // all-pairs cosine, inventory policy, Benford audit.
     "q_fellegi_sunter"   -> ((s, d) => graft.operators.EntityResolution.fellegiSunterPairs(s, d)),
+    "q_fellegi_sunter_loose" -> ((s, d) => graft.operators.EntityResolution.fellegiSunterPairs(s, d, strictBlock = false)),
     "q_mixing_plan"      -> ((s, d) => TextAnalysis.mixingPlan(s, d)),
     "q_tfidf_pairs"      -> ((s, d) => graft.operators.TfIdfJoin.tfidfCosinePairs(s, d)),
     "q_inventory_policy" -> ((s, d) => graft.operators.Inventory.inventoryPolicy(s, d)),
@@ -7819,6 +7820,38 @@ object SparkEntry {
     // (1.0-0.95) spelled as the subtraction on BOTH engines so the
     // double literal is bit-identical.
     "q_fellegi_sunter" ->
+      """WITH p AS (SELECT p_partkey,
+        |    string_split(p_name, ' ')[1] AS adj,
+        |    string_split(p_name, ' ')[2] AS noun,
+        |    p_brand, p_type, p_size FROM part),
+        |ua AS (SELECT SUM(f*f)*1.0/(SUM(f)*SUM(f)) AS u_adj
+        |  FROM (SELECT COUNT(*) AS f FROM p GROUP BY adj) t),
+        |ub AS (SELECT SUM(f*f)*1.0/(SUM(f)*SUM(f)) AS u_brand
+        |  FROM (SELECT COUNT(*) AS f FROM p GROUP BY p_brand) t),
+        |ut AS (SELECT SUM(f*f)*1.0/(SUM(f)*SUM(f)) AS u_type
+        |  FROM (SELECT COUNT(*) AS f FROM p GROUP BY p_type) t),
+        |pairs AS (SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        |    a.adj = b.adj AS ga, a.p_brand = b.p_brand AS gb,
+        |    a.p_type = b.p_type AS gt
+        |  FROM p a JOIN p b
+        |    ON a.noun = b.noun AND a.p_size = b.p_size
+        |    AND a.p_brand = b.p_brand
+        |    AND a.p_partkey < b.p_partkey)
+        |SELECT pk_a, pk_b,
+        |  CAST(CASE WHEN ga THEN 1 ELSE 0 END AS INTEGER) AS agree_adj,
+        |  CAST(CASE WHEN gb THEN 1 ELSE 0 END AS INTEGER) AS agree_brand,
+        |  CAST(CASE WHEN gt THEN 1 ELSE 0 END AS INTEGER) AS agree_type,
+        |  floor((
+        |    (CASE WHEN ga THEN ln(0.95/u_adj)
+        |          ELSE ln((1.0-0.95)/(1.0-u_adj)) END) +
+        |    (CASE WHEN gb THEN ln(0.95/u_brand)
+        |          ELSE ln((1.0-0.95)/(1.0-u_brand)) END) +
+        |    (CASE WHEN gt THEN ln(0.95/u_type)
+        |          ELSE ln((1.0-0.95)/(1.0-u_type)) END)
+        |  )*10000 + 0.5 + 0.000001)/10000 AS w
+        |FROM pairs, ua, ub, ut
+        |ORDER BY w DESC, pk_a, pk_b LIMIT 20""".stripMargin,
+    "q_fellegi_sunter_loose" ->
       """WITH p AS (SELECT p_partkey,
         |    string_split(p_name, ' ')[1] AS adj,
         |    string_split(p_name, ' ')[2] AS noun,

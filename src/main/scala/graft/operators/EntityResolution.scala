@@ -145,14 +145,21 @@ object EntityResolution {
     * standard fixed prior [[FsM]] = 0.95 (no labeled pairs exist; an
     * EM refinement would slot in here with the same plan shape).
     *
-    * Blocking: (noun word of the name, p_size) — the name's noun is a
-    * small closed vocabulary, so this is the occupancy-bounded block
-    * key pattern of [[blockedPartPairs]]; candidates grow as
-    * Σ_block n_b², never N². One blocked self-join + one broadcast of
-    * three scalar u's — no other shuffle. */
+    * Blocking — strict (noun, p_size, p_brand) by DEFAULT (the same
+    * cap-by-default discipline as [[blockedPartPairs]]): ScaleSmoke's
+    * ×100 replication stress costs 279 s on the loose (noun, p_size)
+    * key (occupancy-quadratic) vs seconds strict. Under the strict
+    * key the brand field trivially agrees, so its weight term is the
+    * constant ln(m/u_brand) and the output schema is unchanged; the
+    * loose variant stays available (`strictBlock = false`, gate
+    * q_fellegi_sunter_loose) as the recall anchor where brand
+    * DISAGREEMENT can still score. Candidates grow as Σ_block n_b²,
+    * never N²; one blocked self-join + one broadcast of three scalar
+    * u's — no other shuffle. */
   val FsM = 0.95
 
-  def fellegiSunterPairs(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def fellegiSunterPairs(s: SparkSession, dir: String, k: Int = 20,
+      strictBlock: Boolean = true): DataFrame = {
     val p = Tables.part(s, dir).select(col("p_partkey"),
       split(col("p_name"), " ").getItem(0).as("adj"),
       split(col("p_name"), " ").getItem(1).as("noun"),
@@ -164,15 +171,18 @@ object EntityResolution {
         (sum(col("f")) * sum(col("f"))).cast("double")).as(s"u_$c"))
     }
     val us = uOf("adj").crossJoin(uOf("p_brand")).crossJoin(uOf("p_type"))
-    val a = p.select(col("noun"), col("p_size"),
+    val blockCols =
+      if (strictBlock) Seq("noun", "p_size", "p_brand")
+      else Seq("noun", "p_size")
+    val a = p.select(blockCols.map(col) ++ Seq(
       col("p_partkey").as("pk_a"), col("adj").as("adj_a"),
-      col("p_brand").as("brand_a"), col("p_type").as("type_a"))
-    val b = p.select(col("noun"), col("p_size"),
+      col("p_brand").as("brand_a"), col("p_type").as("type_a")): _*)
+    val b = p.select(blockCols.map(col) ++ Seq(
       col("p_partkey").as("pk_b"), col("adj").as("adj_b"),
-      col("p_brand").as("brand_b"), col("p_type").as("type_b"))
+      col("p_brand").as("brand_b"), col("p_type").as("type_b")): _*)
     def term(agree: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column) =
       when(agree, log(lit(FsM) / u)).otherwise(log(lit(1.0 - FsM) / (lit(1.0) - u)))
-    a.join(b, Seq("noun", "p_size")).filter(col("pk_a") < col("pk_b"))
+    a.join(b, blockCols).filter(col("pk_a") < col("pk_b"))
       .crossJoin(broadcast(us))
       .select(col("pk_a"), col("pk_b"),
         (col("adj_a") === col("adj_b")).cast("int").as("agree_adj"),

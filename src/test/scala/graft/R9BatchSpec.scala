@@ -10,8 +10,11 @@ class R9BatchSpec extends AnyFunSuite {
   private val sf = TestSpark.sfDir
 
   test("fellegiSunterPairs: block respected, weight ranks agreement") {
+    // loose block at sf0.001 (the strict default has no candidate
+    // pairs at this scale — it divides occupancy by |brands|)
     val rows = graft.operators.EntityResolution
-      .fellegiSunterPairs(spark, sf, k = 50).collect()
+      .fellegiSunterPairs(spark, sf, k = 50, strictBlock = false)
+      .collect()
     assert(rows.nonEmpty)
     val ws = rows.map(_.getAs[Double]("w"))
     assert(ws.sameElements(ws.sortBy(-_)))
@@ -25,6 +28,22 @@ class R9BatchSpec extends AnyFunSuite {
       case Seq(a, b) => assert(byAgree(a) < byAgree(b))
       case _ =>
     }
+  }
+
+  test("strict FS default: pairs agree on brand and are a subset of " +
+      "the loose candidates (sf0.01)") {
+    val big = "/root/testdata/sf0.01"
+    val strict = graft.operators.EntityResolution
+      .fellegiSunterPairs(spark, big, k = 300).collect()
+    assert(strict.nonEmpty)
+    assert(strict.forall(_.getAs[Int]("agree_brand") === 1))
+    val strictKeys = strict
+      .map(r => (r.getAs[Long]("pk_a"), r.getAs[Long]("pk_b"))).toSet
+    val looseKeys = graft.operators.EntityResolution
+      .fellegiSunterPairs(spark, big, k = 100000, strictBlock = false)
+      .collect()
+      .map(r => (r.getAs[Long]("pk_a"), r.getAs[Long]("pk_b"))).toSet
+    assert(strictKeys.subsetOf(looseKeys))
   }
 
   test("mixingPlan: weights sum to 1, epochs fall as sources grow") {
