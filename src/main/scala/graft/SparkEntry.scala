@@ -862,6 +862,7 @@ object SparkEntry {
     "q_little_law"       -> ((s, d) => Joins.littleLawAudit(s, d)),
     "q_bass_diffusion"   -> ((s, d) => graft.operators.Behavior.bassDiffusion(s, d)),
     "q_abc_migration"    -> ((s, d) => Relational.abcMigration(s, d)),
+    "q_newsvendor"       -> ((s, d) => graft.operators.Inventory.newsvendor(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -8372,5 +8373,33 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_parts
         |FROM ce FULL OUTER JOIN cl USING (l_partkey)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Newsvendor: type-1 quantile at the 2/3 critical fractile over
+    // daily demand INCLUDING zero days (folded as a q=0 mass).
+    "q_newsvendor" ->
+      """WITH li AS (SELECT p_brand, CAST(l_shipdate AS DATE) AS d,
+        |    l_quantity
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |span AS (SELECT CAST(date_diff('day', MIN(d), MAX(d)) + 1
+        |    AS BIGINT) AS n_days FROM li),
+        |daily AS (SELECT p_brand, d, CAST(SUM(l_quantity) AS BIGINT)
+        |    AS q FROM li GROUP BY 1, 2),
+        |vals AS (SELECT p_brand, q, COUNT(*) AS c FROM daily
+        |  GROUP BY 1, 2),
+        |obs AS (SELECT p_brand, SUM(c) AS n_obs FROM vals GROUP BY 1),
+        |allv AS (SELECT p_brand, q, c FROM vals
+        |  UNION ALL
+        |  SELECT o.p_brand, 0 AS q, n_days - n_obs AS c
+        |  FROM obs o, span WHERE n_days > n_obs),
+        |cum AS (SELECT p_brand, q,
+        |    SUM(c) OVER (PARTITION BY p_brand ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM allv)
+        |SELECT p_brand, n_days,
+        |  floor((2.0/(2.0+1.0))*10000 + 0.5 + 0.000001)/10000
+        |    AS fractile,
+        |  CAST(MIN(q) AS BIGINT) AS s_opt
+        |FROM cum, span
+        |WHERE cc >= CAST(ceil((2.0/(2.0+1.0)) * n_days) AS BIGINT)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
   )
 }

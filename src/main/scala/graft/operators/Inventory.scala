@@ -33,6 +33,54 @@ object Inventory {
   val LeadTimeDays = 7.0
   val ServiceZ = 1.645
 
+  /** Newsvendor optimal stock per brand — the single-period
+    * stochastic-inventory classic: stock the critical fractile
+    * q* = c_u/(c_u + c_o) of the daily demand distribution
+    * (underage cost [[NewsUnderage]], overage [[NewsOverage]] →
+    * q* = 2/3). The distribution INCLUDES zero-demand days (the
+    * intermittency discipline shared with [[inventoryPolicy]]) by
+    * folding `span − observed` days into a q = 0 mass — no calendar
+    * row is ever materialized. The quantile is type-1 (smallest q with
+    * cumulative count ≥ ⌈q*·D⌉) so it is exact integer arithmetic on
+    * both engines, no interpolation. Scale: one fact collapse →
+    * (brand, demand-value) frame (NDV-bounded) → cumulative windows. */
+  val NewsUnderage = 2.0
+  val NewsOverage = 1.0
+
+  def newsvendor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), to_date(col("l_shipdate")).as("d"),
+        col("l_quantity"))
+    val span = li.agg((datediff(max(col("d")), min(col("d"))) + 1)
+      .cast("long").as("n_days"))
+    val daily = li.groupBy(col("p_brand"), col("d"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+    val vals = daily.groupBy(col("p_brand"), col("q"))
+      .agg(count(lit(1)).as("c"))
+    val obs = vals.groupBy(col("p_brand")).agg(sum(col("c")).as("n_obs"))
+    val zeros = obs.crossJoin(broadcast(span))
+      .filter(col("n_days") > col("n_obs"))
+      .select(col("p_brand"), lit(0L).as("q"),
+        (col("n_days") - col("n_obs")).as("c"))
+    val fractile = NewsUnderage / (NewsUnderage + NewsOverage)
+    val wCum = Window.partitionBy(col("p_brand")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.unionByName(zeros)
+      .crossJoin(broadcast(span))
+      .withColumn("cc", sum(col("c")).over(wCum))
+      .filter(col("cc") >= ceil(lit(fractile) * col("n_days")).cast("long"))
+      .groupBy(col("p_brand"), col("n_days"))
+      .agg(min(col("q")).as("s_opt"))
+      .select(col("p_brand"), col("n_days"),
+        graft.functions.Rounding.round4eps(lit(fractile)).as("fractile"),
+        col("s_opt"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Croston's method for intermittent demand — the forecasting
     * standard when a series is mostly zeros (slow-moving SKUs, spare
     * parts): simple exponential smoothing applied SEPARATELY to the

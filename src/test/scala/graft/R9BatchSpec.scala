@@ -86,6 +86,35 @@ class R9BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("newsvendor: the 2/3 fractile covers at least 2/3 of days " +
+      "and is the SMALLEST such stock") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Inventory.newsvendor(spark, sf).collect()
+    assert(rows.length === 25)
+    // verify the quantile definition directly for one brand
+    val r = rows.head
+    val brand = r.getAs[String]("p_brand")
+    val sOpt = r.getAs[Long]("s_opt")
+    val nDays = r.getAs[Long]("n_days")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/part.parquet")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === brand)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+    val zeroDays = nDays - li.count()
+    val covered = li.filter(col("q") <= sOpt).count() + zeroDays
+    assert(covered * 3 >= nDays * 2, s"$brand: $covered/$nDays")
+    if (sOpt > 0) {
+      // zero days still count at stock s_opt - 1 >= 0
+      val coveredBelow =
+        li.filter(col("q") <= sOpt - 1).count() + zeroDays
+      assert(coveredBelow * 3 < nDays * 2,
+        s"$brand: s_opt - 1 must NOT reach the fractile")
+    }
+  }
+
   test("littleLawAudit: L = lambda * W holds exactly") {
     val r = graft.operators.Joins.littleLawAudit(spark, sf).head()
     assert(r.getAs[Double]("ratio") === 1.0)
