@@ -863,6 +863,8 @@ object SparkEntry {
     "q_bass_diffusion"   -> ((s, d) => graft.operators.Behavior.bassDiffusion(s, d)),
     "q_abc_migration"    -> ((s, d) => Relational.abcMigration(s, d)),
     "q_newsvendor"       -> ((s, d) => graft.operators.Inventory.newsvendor(s, d)),
+    "q_rca"              -> ((s, d) => Joins.revealedComparativeAdvantage(s, d)),
+    "q_qte"              -> ((s, d) => Stats.quantileTreatmentEffects(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -8401,5 +8403,39 @@ object SparkEntry {
         |FROM cum, span
         |WHERE cc >= CAST(ceil((2.0/(2.0+1.0)) * n_days) AS BIGINT)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_rca" ->
+      """WITH x AS (SELECT n_name AS nation, p_type AS ptype,
+        |    SUM(l_extendedprice*(1.0 - l_discount)) AS x_cs
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, ptype,
+        |  floor(x_cs*10000 + 0.5 + 0.000001)/10000 AS export_rev,
+        |  floor((x_cs / SUM(x_cs) OVER (PARTITION BY nation))
+        |    / (SUM(x_cs) OVER (PARTITION BY ptype)
+        |       / SUM(x_cs) OVER ())
+        |    *10000 + 0.5 + 0.000001)/10000 AS rca
+        |FROM x ORDER BY nation, ptype""".stripMargin,
+    "q_qte" ->
+      """WITH ev AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+        |    AS arm_a, value
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND value IS NOT NULL),
+        |q AS (SELECT arm_a, quantile_cont(value,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs,
+        |    COUNT(*) AS n
+        |  FROM ev GROUP BY 1),
+        |a AS (SELECT qs AS qa, n AS n_a FROM q WHERE arm_a = 1),
+        |b AS (SELECT qs AS qb, n AS n_b FROM q WHERE arm_a = 0),
+        |u AS (SELECT generate_subscripts(qa, 1) AS i,
+        |    unnest(qa) AS q_a_raw, n_a FROM a)
+        |SELECT CAST(i AS INTEGER) AS decile,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  floor(q_a_raw*10000 + 0.5 + 0.000001)/10000 AS q_a,
+        |  floor(qb[i]*10000 + 0.5 + 0.000001)/10000 AS q_b,
+        |  floor((q_a_raw - qb[i])*10000 + 0.5 + 0.000001)/10000 AS qte
+        |FROM u, b ORDER BY decile""".stripMargin,
   )
 }

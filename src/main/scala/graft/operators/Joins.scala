@@ -1321,6 +1321,41 @@ object Joins {
       .orderBy(col("brand"))
   }
 
+  /** Revealed comparative advantage (Balassa index) per
+    * (supplier nation, part type): RCA = (x_cs/x_c) / (x_ws/x_w) —
+    * the trade-economics index of what a nation is RELATIVELY good at
+    * supplying, > 1 meaning over-indexed vs the world mix. All four
+    * terms come from ONE fact rollup to the (nation, type) grid
+    * (25×6 cells) with the margins as window sums over that constant
+    * grid; the only fact-scale work is the first aggregate. */
+  def revealedComparativeAdvantage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val x = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name").as("nation"), col("p_type").as("ptype"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("x_cs"))
+    val wNation = Window.partitionBy(col("nation"))
+    val wType = Window.partitionBy(col("ptype"))
+    val wAll = Window.partitionBy()
+    x.withColumn("x_c", sum(col("x_cs")).over(wNation))
+      .withColumn("x_ws", sum(col("x_cs")).over(wType))
+      .withColumn("x_w", sum(col("x_cs")).over(wAll))
+      .select(col("nation"), col("ptype"),
+        round4eps(col("x_cs")).as("export_rev"),
+        round4eps((col("x_cs") / col("x_c")) /
+          (col("x_ws") / col("x_w"))).as("rca"))
+      .orderBy(col("nation"), col("ptype"))
+  }
+
   /** Little's Law audit — L = λ·W over the order pipeline: average
     * work-in-progress (orders placed but not fully shipped) must equal
     * arrival rate × average flow time. Measured over the full calendar

@@ -2063,6 +2063,40 @@ object Stats {
           col("y_hot").cast("double")).as("lambda_u"))
   }
 
+  /** Quantile treatment effects — the distributional view the mean
+    * effect (q_ab_test/q_cuped) hides: per decile 0.1…0.9, the exact
+    * interpolated percentile of arm A's purchase values minus arm B's
+    * (same arm convention, user_id % 2). A lift concentrated in the
+    * top decile and a uniform shift look identical to a t-test; QTE
+    * separates them. Exact percentiles (the q_percentiles parity
+    * pattern) on both arms, computed in one grouped aggregate each —
+    * the per-decile frame is constant-size. */
+  def quantileTreatmentEffects(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select((col("user_id") % 2 === 0).cast("int").as("arm_a"),
+        col("value"))
+    val deciles = (1 to 9).map(_ / 10.0)
+    val q = ev.groupBy(col("arm_a"))
+      .agg(expr(s"percentile(value, array(${deciles.mkString(",")}))")
+        .as("qs"), count(lit(1)).as("n"))
+    val a = q.filter(col("arm_a") === 1)
+      .select(col("qs").as("qa"), col("n").as("n_a"))
+    val b = q.filter(col("arm_a") === 0)
+      .select(col("qs").as("qb"), col("n").as("n_b"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"),
+        posexplode(col("qa")).as(Seq("i", "q_a_raw")))
+      .crossJoin(b.select(col("qb")))
+      .withColumn("q_b_raw", element_at(col("qb"), col("i") + 1))
+      .select(((col("i") + 1).cast("int")).as("decile"),
+        col("n_a"), col("n_b"),
+        round4eps(col("q_a_raw")).as("q_a"),
+        round4eps(col("q_b_raw")).as("q_b"),
+        round4eps(col("q_a_raw") - col("q_b_raw")).as("qte"))
+      .orderBy(col("decile"))
+  }
+
   val SprtP0 = 0.19
   val SprtP1 = 0.21
 

@@ -86,6 +86,35 @@ class R9BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("rca: world-share-weighted RCA averages to 1 per nation") {
+    // Σ_s (x_ws/x_w)·RCA_cs = Σ_s x_cs/x_c = 1 — the Balassa identity
+    val rows = graft.operators.Joins
+      .revealedComparativeAdvantage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("ptype"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Double]("export_rev")).sum }
+    val world = byType.values.sum
+    val byNation = rows.groupBy(_.getAs[String]("nation"))
+    byNation.foreach { case (n, rs) =>
+      val wavg = rs.map(r => byType(r.getAs[String]("ptype")) / world *
+        r.getAs[Double]("rca")).sum
+      assert(math.abs(wavg - 1.0) < 0.01, s"$n: $wavg")
+    }
+  }
+
+  test("qte: per-arm deciles are monotone; qte = q_a - q_b") {
+    val rows = graft.operators.Stats
+      .quantileTreatmentEffects(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq === (1 to 9))
+    val qa = rows.map(_.getAs[Double]("q_a"))
+    val qb = rows.map(_.getAs[Double]("q_b"))
+    assert(qa.sameElements(qa.sorted) && qb.sameElements(qb.sorted))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("qte") -
+        (r.getAs[Double]("q_a") - r.getAs[Double]("q_b"))) < 2e-4)
+    }
+  }
+
   test("newsvendor: the 2/3 fractile covers at least 2/3 of days " +
       "and is the SMALLEST such stock") {
     import org.apache.spark.sql.functions._
