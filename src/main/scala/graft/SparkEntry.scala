@@ -865,6 +865,8 @@ object SparkEntry {
     "q_newsvendor"       -> ((s, d) => graft.operators.Inventory.newsvendor(s, d)),
     "q_rca"              -> ((s, d) => Joins.revealedComparativeAdvantage(s, d)),
     "q_qte"              -> ((s, d) => Stats.quantileTreatmentEffects(s, d)),
+    "q_price_endings"    -> ((s, d) => Stats.priceEndings(s, d)),
+    "q_single_source"    -> ((s, d) => Joins.singleSourceRisk(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -8437,5 +8439,35 @@ object SparkEntry {
         |  floor(qb[i]*10000 + 0.5 + 0.000001)/10000 AS q_b,
         |  floor((q_a_raw - qb[i])*10000 + 0.5 + 0.000001)/10000 AS qte
         |FROM u, b ORDER BY decile""".stripMargin,
+    // Price endings: cents-mod-100 chi2 vs uniform; absent endings
+    // contribute e each.
+    "q_price_endings" ->
+      """WITH c AS (SELECT CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)
+        |    % 100 AS ending FROM part),
+        |byd AS (SELECT ending, COUNT(*) AS n_obs FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS n,
+        |    CAST(COUNT(*) AS DOUBLE) AS k FROM byd),
+        |x2 AS (SELECT SUM((n_obs - n/100.0)*(n_obs - n/100.0)
+        |      /(n/100.0))
+        |    + (100.0 - MAX(k)) * MAX(n/100.0) AS chi2_raw
+        |  FROM byd, tot)
+        |SELECT ending, CAST(n_obs AS BIGINT) AS n_obs,
+        |  floor(n_obs/n*10000 + 0.5 + 0.000001)/10000 AS share,
+        |  floor(chi2_raw*10000 + 0.5 + 0.000001)/10000 AS chi2
+        |FROM byd, tot, x2 ORDER BY ending""".stripMargin,
+    "q_single_source" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, COUNT(*) AS n_suppliers,
+        |    SUM(q) AS total_q, SUM(q*q) AS sum_q2
+        |  FROM ps GROUP BY 1),
+        |h AS (SELECT l_partkey, CAST(n_suppliers AS BIGINT)
+        |      AS n_suppliers,
+        |    CAST(total_q AS BIGINT) AS total_qty,
+        |    floor(sum_q2/(total_q*total_q)*10000 + 0.5 + 0.000001)
+        |      /10000 AS hhi
+        |  FROM pp)
+        |SELECT l_partkey, n_suppliers, total_qty, hhi FROM h
+        |ORDER BY hhi DESC, total_qty DESC, l_partkey LIMIT 20""".stripMargin,
   )
 }

@@ -1321,6 +1321,31 @@ object Joins {
       .orderBy(col("brand"))
   }
 
+  /** Single-source supply risk: per-part supplier HHI over shipped
+    * quantity — HHI = 1 means one supplier carries the whole part (the
+    * procurement risk a resilience review hunts). Reported as the
+    * top-k most-concentrated parts (HHI desc, volume desc) — ranked,
+    * not thresholded, because a healthy multi-sourced catalog (this
+    * one) would make any fixed cutoff degenerate. Exact integer
+    * quantities make the share squares deterministic; one fact rollup
+    * to (part, supplier), part-grain collapse, top-k heap. */
+  def singleSourceRisk(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    ps.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("q")).as("total_q"),
+        sum(col("q") * col("q")).as("sum_q2"))
+      .withColumn("hhi", round4eps(
+        col("sum_q2") / (col("total_q") * col("total_q"))))
+      .select(col("l_partkey"), col("n_suppliers"),
+        col("total_q").cast("long").as("total_qty"), col("hhi"))
+      .orderBy(col("hhi").desc, col("total_qty").desc, col("l_partkey"))
+      .limit(k)
+  }
+
   /** Revealed comparative advantage (Balassa index) per
     * (supplier nation, part type): RCA = (x_cs/x_c) / (x_ws/x_w) —
     * the trade-economics index of what a nation is RELATIVELY good at

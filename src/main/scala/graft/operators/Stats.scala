@@ -2063,6 +2063,34 @@ object Stats {
           col("y_hot").cast("double")).as("lambda_u"))
   }
 
+  /** Price-ending forensics — the pricing sibling of the Benford
+    * audit: the distribution of the CENTS ending (price mod 1 dollar,
+    * as the exact cents integer mod 100) over part retail prices, with
+    * the 99-dof Pearson χ² against uniform. Psychological pricing
+    * shows as .99/.95 spikes; a synthetic or converted price book
+    * shows as uniformity (the χ² here DOES flag this corpus as
+    * synthetic — that is the point of the audit). One scan → 100-row
+    * collapse. */
+  def priceEndings(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.part(s, dir)
+      .select((floor(col("p_retailprice") * 100 + 0.5).cast("long") % 100)
+        .as("ending"))
+      .groupBy(col("ending")).agg(count(lit(1)).as("n_obs"))
+    val tot = cents.agg(sum(col("n_obs")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("k"))
+    val per = cents.crossJoin(broadcast(tot))
+      .withColumn("e", col("n") / lit(100.0))
+    // absent endings still contribute (0 − e)²/e = e to the statistic
+    val chi2 = per.agg((sum((col("n_obs") - col("e")) *
+      (col("n_obs") - col("e")) / col("e")) +
+      (lit(100.0) - max(col("k"))) * max(col("e"))).as("chi2_raw"))
+    per.crossJoin(broadcast(chi2))
+      .select(col("ending"), col("n_obs"),
+        round4eps(col("n_obs") / col("n")).as("share"),
+        round4eps(col("chi2_raw")).as("chi2"))
+      .orderBy(col("ending"))
+  }
+
   /** Quantile treatment effects — the distributional view the mean
     * effect (q_ab_test/q_cuped) hides: per decile 0.1…0.9, the exact
     * interpolated percentile of arm A's purchase values minus arm B's

@@ -86,6 +86,28 @@ class R9BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("priceEndings: shares sum to 1, chi2 flags the synthetic book") {
+    val rows = graft.operators.Stats.priceEndings(spark, sf).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 0.01)
+    val chi2s = rows.map(_.getAs[Double]("chi2")).distinct
+    assert(chi2s.length === 1 && chi2s.head > 0.0)
+  }
+
+  test("singleSourceRisk: HHI bounds and single-supplier identity") {
+    val rows = graft.operators.Joins.singleSourceRisk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("hhi")
+      val ns = r.getAs[Long]("n_suppliers")
+      assert(h > 0.0 && h <= 1.0)
+      // HHI >= 1/n_suppliers always; == 1 iff one supplier
+      assert(h * ns >= 0.999)
+      if (ns == 1L) assert(h === 1.0)
+    }
+    val hs = rows.map(_.getAs[Double]("hhi"))
+    assert(hs.sameElements(hs.sortBy(-_)))
+  }
+
   test("rca: world-share-weighted RCA averages to 1 per nation") {
     // Σ_s (x_ws/x_w)·RCA_cs = Σ_s x_cs/x_c = 1 — the Balassa identity
     val rows = graft.operators.Joins
