@@ -867,6 +867,8 @@ object SparkEntry {
     "q_qte"              -> ((s, d) => Stats.quantileTreatmentEffects(s, d)),
     "q_price_endings"    -> ((s, d) => Stats.priceEndings(s, d)),
     "q_single_source"    -> ((s, d) => Joins.singleSourceRisk(s, d)),
+    "q_weibull_fit"      -> ((s, d) => Survival.weibullFit(s, d)),
+    "q_oaxaca"           -> ((s, d) => Stats.oaxacaBlinder(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -8469,5 +8471,87 @@ object SparkEntry {
         |  FROM pp)
         |SELECT l_partkey, n_suppliers, total_qty, hhi FROM h
         |ORDER BY hhi DESC, total_qty DESC, l_partkey LIMIT 20""".stripMargin,
+    // Weibull probability-plot regression over the (quantized) KM
+    // points — same life-table CTE chain as q_rmst.
+    "q_weibull_fit" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(MIN(o_orderdate) AS DATE) AS first_d,
+        |    CAST(MAX(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT MAX(last_d) AS end_d FROM pc),
+        |dur AS (SELECT
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN CAST(date_diff('day', first_d, last_d) AS INTEGER)
+        |         ELSE CAST(date_diff('day', first_d, end_d) AS INTEGER)
+        |    END AS t,
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN 1 ELSE 0 END AS event
+        |  FROM pc, e),
+        |byt AS (SELECT t, COUNT(*) AS n_at,
+        |    CAST(SUM(event) AS BIGINT) AS d_events
+        |  FROM dur GROUP BY 1),
+        |lt AS (SELECT t, d_events,
+        |    CAST(SUM(n_at) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt),
+        |ev AS (SELECT t, n_risk, d_events FROM lt WHERE d_events > 0),
+        |km AS (SELECT t,
+        |  floor(CASE WHEN MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0
+        |      END) OVER w = 1 THEN 0.0
+        |    ELSE exp(SUM(ln(1.0 - CAST(d_events AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE))) OVER w) END
+        |    * 10000 + 0.5 + 0.000001) / 10000 AS s_km
+        |  FROM ev
+        |  WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pts AS (SELECT ln(CAST(t AS DOUBLE)) AS x,
+        |    ln(-ln(s_km)) AS y
+        |  FROM km WHERE s_km > 0.0 AND s_km < 1.0 AND t > 0),
+        |mo AS (SELECT COUNT(*)*1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+        |  FROM pts),
+        |c AS (SELECT n, sx, sy,
+        |    sxx - sx*sx/n AS cxx, sxy - sx*sy/n AS cxy,
+        |    syy - sy*sy/n AS cyy FROM mo),
+        |f AS (SELECT n, cxx, cxy, cyy, cxy/cxx AS k,
+        |    (sy - (cxy/cxx)*sx)/n AS b0 FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |  floor(k*10000 + 0.5 + 0.000001)/10000 AS shape,
+        |  floor(exp(-b0/k)*10000 + 0.5 + 0.000001)/10000
+        |    AS scale_days,
+        |  floor(cxy*cxy/(cxx*cyy)*10000 + 0.5 + 0.000001)/10000 AS r2
+        |FROM f""".stripMargin,
+    // Oaxaca-Blinder: per-group simple OLS in moment closed form;
+    // unexplained = gap - explained (identity exact by construction).
+    "q_oaxaca" ->
+      """WITH qty AS (SELECT l_orderkey, SUM(l_quantity) AS x
+        |  FROM lineitem GROUP BY 1),
+        |seg AS (SELECT c_custkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        |      AS grp_a FROM customer),
+        |ords AS (SELECT grp_a, x, o_totalprice AS y
+        |  FROM orders
+        |  JOIN qty ON o_orderkey = l_orderkey
+        |  JOIN seg ON o_custkey = c_custkey),
+        |m AS (SELECT grp_a, COUNT(*)*1.0 AS n, SUM(x) AS sx,
+        |    SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+        |  FROM ords GROUP BY 1),
+        |mm AS (SELECT grp_a, n, sx/n AS xbar, sy/n AS ybar,
+        |    (sxy - sx*sy/n)/(sxx - sx*sx/n) AS beta FROM m),
+        |a AS (SELECT n AS n_a, xbar AS xbar_a, ybar AS ybar_a,
+        |    beta AS beta_a FROM mm WHERE grp_a = 1),
+        |b AS (SELECT n AS n_b, xbar AS xbar_b, ybar AS ybar_b,
+        |    beta AS beta_b FROM mm WHERE grp_a = 0)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  floor((ybar_a - ybar_b)*10000 + 0.5 + 0.000001)/10000
+        |    AS gap,
+        |  floor((xbar_a - xbar_b)*beta_b*10000 + 0.5 + 0.000001)/10000
+        |    AS explained,
+        |  floor(((ybar_a - ybar_b) - (xbar_a - xbar_b)*beta_b)
+        |    *10000 + 0.5 + 0.000001)/10000 AS unexplained,
+        |  floor(beta_a*10000 + 0.5 + 0.000001)/10000 AS beta_a,
+        |  floor(beta_b*10000 + 0.5 + 0.000001)/10000 AS beta_b
+        |FROM a, b""".stripMargin,
   )
 }

@@ -2063,6 +2063,55 @@ object Stats {
           col("y_hot").cast("double")).as("lambda_u"))
   }
 
+  /** Oaxaca-Blinder decomposition of the order-value gap between
+    * BUILDING-segment customers and the rest: how much of the mean
+    * gap ȳ_A − ȳ_B is EXPLAINED by a different order-size mix
+    * (endowments, at B's returns: (x̄_A − x̄_B)·β_B) vs UNEXPLAINED
+    * (different returns for the same size) — the canonical wage-gap
+    * econometrics applied to basket economics. Per-group simple OLS
+    * (y = order total on x = order quantity) in moment closed form;
+    * `unexplained` is computed as gap − explained so the
+    * decomposition identity is exact by construction on both engines.
+    * One fact rollup to order grain, two scalar group frames. */
+  def oaxacaBlinder(s: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("x"))
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("int").as("grp_a"))
+    val ords = Tables.orders(s, dir)
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("grp_a"), col("x"), col("o_totalprice").as("y"))
+    val m = ords.groupBy(col("grp_a"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("xbar", col("sx") / col("n"))
+      .withColumn("ybar", col("sy") / col("n"))
+      .withColumn("beta",
+        (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")))
+    val a = m.filter(col("grp_a") === 1).select(
+      col("n").as("n_a"), col("xbar").as("xbar_a"),
+      col("ybar").as("ybar_a"), col("beta").as("beta_a"))
+    val b = m.filter(col("grp_a") === 0).select(
+      col("n").as("n_b"), col("xbar").as("xbar_b"),
+      col("ybar").as("ybar_b"), col("beta").as("beta_b"))
+    a.crossJoin(b)
+      .withColumn("gap_raw", col("ybar_a") - col("ybar_b"))
+      .withColumn("expl_raw",
+        (col("xbar_a") - col("xbar_b")) * col("beta_b"))
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        round4eps(col("gap_raw")).as("gap"),
+        round4eps(col("expl_raw")).as("explained"),
+        round4eps(col("gap_raw") - col("expl_raw")).as("unexplained"),
+        round4eps(col("beta_a")).as("beta_a"),
+        round4eps(col("beta_b")).as("beta_b"))
+  }
+
   /** Price-ending forensics — the pricing sibling of the Benford
     * audit: the distribution of the CENTS ending (price mod 1 dollar,
     * as the exact cents integer mod 100) over part retail prices, with

