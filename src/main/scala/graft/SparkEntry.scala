@@ -869,6 +869,8 @@ object SparkEntry {
     "q_single_source"    -> ((s, d) => Joins.singleSourceRisk(s, d)),
     "q_weibull_fit"      -> ((s, d) => Survival.weibullFit(s, d)),
     "q_oaxaca"           -> ((s, d) => Stats.oaxacaBlinder(s, d)),
+    "q_adf"              -> ((s, d) => Stats.adfTest(s, d)),
+    "q_granger"          -> ((s, d) => Stats.grangerTest(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -8553,5 +8555,58 @@ object SparkEntry {
         |  floor(beta_a*10000 + 0.5 + 0.000001)/10000 AS beta_a,
         |  floor(beta_b*10000 + 0.5 + 0.000001)/10000 AS beta_b
         |FROM a, b""".stripMargin,
+    "q_adf" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS y FROM orders GROUP BY 1),
+        |lagd AS (SELECT y - lag(y) OVER (ORDER BY d) AS dy,
+        |    lag(y) OVER (ORDER BY d) AS x FROM daily),
+        |p AS (SELECT dy, x FROM lagd WHERE x IS NOT NULL),
+        |mo AS (SELECT COUNT(*)*1.0 AS n, SUM(x) AS sx, SUM(dy) AS sy,
+        |    SUM(x*x) AS sxx, SUM(x*dy) AS sxy, SUM(dy*dy) AS syy
+        |  FROM p),
+        |c AS (SELECT n, sxx - sx*sx/n AS cxx, sxy - sx*sy/n AS cxy,
+        |    syy - sy*sy/n AS cyy FROM mo),
+        |f AS (SELECT n, cxy/cxx AS beta,
+        |    (cyy - (cxy/cxx)*cxy) AS rss, cxx FROM c),
+        |st AS (SELECT n, beta,
+        |    floor(beta/sqrt(rss/(n-2)/cxx)*10000 + 0.5 + 0.000001)
+        |      /10000 AS stat FROM f)
+        |SELECT CAST(n AS BIGINT) AS n_obs,
+        |  floor(beta*10000 + 0.5 + 0.000001)/10000 AS beta,
+        |  stat AS df_stat,
+        |  stat < -2.86 AS stationary
+        |FROM st""".stripMargin,
+    "q_granger" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS DOUBLE) AS y,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+        |      END) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1),
+        |lagd AS (SELECT y, lag(y) OVER (ORDER BY d) AS x1,
+        |    lag(x) OVER (ORDER BY d) AS x2 FROM daily),
+        |p AS (SELECT y, x1, x2 FROM lagd WHERE x1 IS NOT NULL),
+        |mo AS (SELECT COUNT(*)*1.0 AS n, SUM(x1) AS s1, SUM(x2) AS s2,
+        |    SUM(y) AS sy, SUM(x1*x1) AS s11, SUM(x1*x2) AS s12,
+        |    SUM(x2*x2) AS s22, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y,
+        |    SUM(y*y) AS syy FROM p),
+        |c AS (SELECT n, s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12,
+        |    s22 - s2*s2/n AS c22, s1y - s1*sy/n AS c1y,
+        |    s2y - s2*sy/n AS c2y, syy - sy*sy/n AS cyy FROM mo),
+        |sl AS (SELECT n, cyy, c1y, c2y, c11,
+        |    (c1y*c22 - c2y*c12)/(c11*c22 - c12*c12) AS b1,
+        |    (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS b2 FROM c),
+        |f AS (SELECT n, b1, b2,
+        |    cyy - b1*c1y - b2*c2y AS rss_u,
+        |    cyy - c1y*c1y/c11 AS rss_r FROM sl),
+        |st AS (SELECT n, b1, b2,
+        |    floor((rss_r - rss_u)/(rss_u/(n-3))*10000 + 0.5
+        |      + 0.000001)/10000 AS fstat FROM f)
+        |SELECT CAST(n AS BIGINT) AS n_obs,
+        |  floor(b1*10000 + 0.5 + 0.000001)/10000 AS b_ylag,
+        |  floor(b2*10000 + 0.5 + 0.000001)/10000 AS b_xlag,
+        |  fstat AS f_stat,
+        |  fstat > 3.84 AS granger_causal
+        |FROM st""".stripMargin,
   )
 }

@@ -2063,6 +2063,89 @@ object Stats {
           col("y_hot").cast("double")).as("lambda_u"))
   }
 
+  /** Augmented-Dickey-Fuller unit-root test (lag-0 form, with
+    * constant) on daily order counts: regress Δy_t on y_{t−1}; the DF
+    * statistic β̂/SE(β̂) against the 5% critical value −2.86
+    * (constant-only case), compared QUANTIZED. A series failing to
+    * reject (stat > −2.86) is a random walk — differencing before any
+    * of the regression/forecast gates is then mandatory; this is the
+    * pre-flight check the ACF/Hurst family hints at but does not
+    * decide. Integer counts → exact moments; calendar-bounded frame. */
+  def adfTest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d"))
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .withColumn("ylag", lag(col("y"), 1).over(w))
+      .filter(col("ylag").isNotNull)
+      .select((col("y") - col("ylag")).as("dy"), col("ylag").as("x"))
+    daily.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("dy")).as("sxy"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("n"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("beta", col("cxy") / col("cxx"))
+      .withColumn("rss", col("cyy") - col("beta") * col("cxy"))
+      .withColumn("se", sqrt(col("rss") / (col("n") - 2) / col("cxx")))
+      .withColumn("stat", round4eps(col("beta") / col("se")))
+      .select(col("n").cast("long").as("n_obs"),
+        round4eps(col("beta")).as("beta"),
+        col("stat").as("df_stat"),
+        (col("stat") < -2.86).as("stationary"))
+  }
+
+  /** Granger causality (1 lag) — do daily `view` counts help predict
+    * daily `purchase` counts beyond purchases' own history? F-test of
+    * the unrestricted y_t ~ (y_{t−1}, x_{t−1}) against the restricted
+    * y_t ~ y_{t−1}, both in exact-moment closed form (the olsMulti
+    * normal equations); verdict compares the QUANTIZED F to the 5%
+    * F(1, ∞) value 3.84. Integer daily counts keep every moment
+    * exact; one events scan → calendar-bounded day frame. */
+  def grangerTest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d"))
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum((col("event_type") === "purchase").cast("int"))
+          .cast("double").as("y"),
+        sum((col("event_type") === "view").cast("int"))
+          .cast("double").as("x"))
+      .withColumn("ylag", lag(col("y"), 1).over(w))
+      .withColumn("xlag", lag(col("x"), 1).over(w))
+      .filter(col("ylag").isNotNull)
+      .select(col("y"), col("ylag").as("x1"), col("xlag").as("x2"))
+    val m = daily.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y") * col("y")).as("syy"))
+    val c11 = col("s11") - col("s1") * col("s1") / col("n")
+    val c12 = col("s12") - col("s1") * col("s2") / col("n")
+    val c22 = col("s22") - col("s2") * col("s2") / col("n")
+    val c1y = col("s1y") - col("s1") * col("sy") / col("n")
+    val c2y = col("s2y") - col("s2") * col("sy") / col("n")
+    val cyy = col("syy") - col("sy") * col("sy") / col("n")
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    m.withColumn("rss_u", cyy - b1 * c1y - b2 * c2y)
+      .withColumn("rss_r", cyy - (c1y * c1y) / c11)
+      .withColumn("f", round4eps(
+        (col("rss_r") - col("rss_u")) /
+          (col("rss_u") / (col("n") - 3))))
+      .select(col("n").cast("long").as("n_obs"),
+        round4eps(b1).as("b_ylag"),
+        round4eps(b2).as("b_xlag"),
+        col("f").as("f_stat"),
+        (col("f") > 3.84).as("granger_causal"))
+  }
+
   /** Oaxaca-Blinder decomposition of the order-value gap between
     * BUILDING-segment customers and the rest: how much of the mean
     * gap ȳ_A − ȳ_B is EXPLAINED by a different order-size mix

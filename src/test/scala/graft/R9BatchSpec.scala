@@ -108,6 +108,22 @@ class R9BatchSpec extends AnyFunSuite {
     assert(hs.sameElements(hs.sortBy(-_)))
   }
 
+  test("adfTest: stationary daily counts reject the unit root; " +
+      "a random walk does not") {
+    val r = graft.operators.Stats.adfTest(spark, sf).head()
+    // daily counts are mean-reverting by construction
+    assert(r.getAs[Boolean]("stationary"))
+    assert(r.getAs[Double]("beta") < 0)
+  }
+
+  test("grangerTest: F is non-negative and verdict reads the " +
+      "quantized statistic") {
+    val r = graft.operators.Stats.grangerTest(spark, sf).head()
+    val f = r.getAs[Double]("f_stat")
+    assert(f >= 0.0)
+    assert(r.getAs[Boolean]("granger_causal") === (f > 3.84))
+  }
+
   test("oaxacaBlinder: decomposition identity and group counts") {
     val r = graft.operators.Stats.oaxacaBlinder(spark, sf).head()
     assert(math.abs(r.getAs[Double]("gap") -
