@@ -871,6 +871,8 @@ object SparkEntry {
     "q_oaxaca"           -> ((s, d) => Stats.oaxacaBlinder(s, d)),
     "q_adf"              -> ((s, d) => Stats.adfTest(s, d)),
     "q_granger"          -> ((s, d) => Stats.grangerTest(s, d)),
+    "q_rate_ratio"       -> ((s, d) => Stats.rateRatioTest(s, d)),
+    "q_meta_fixed"       -> ((s, d) => Stats.metaFixedEffect(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
     // (fixture-replay oracle; bench-excluded via the q_pipeline_ prefix)
@@ -8608,5 +8610,66 @@ object SparkEntry {
         |  fstat AS f_stat,
         |  fstat > 3.84 AS granger_causal
         |FROM st""".stripMargin,
+    "q_rate_ratio" ->
+      """WITH mid AS (SELECT CAST(MIN(ts) AS DATE)
+        |    + CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+        |        CAST(MAX(ts) AS DATE)) // 2 AS INTEGER) AS dm
+        |  FROM events),
+        |sides AS (SELECT
+        |    CASE WHEN CAST(ts AS DATE) <= dm THEN 1 ELSE 0 END
+        |      AS early,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+        |      AS is_err
+        |  FROM events, mid),
+        |g AS (SELECT early, COUNT(*) AS n,
+        |    CAST(SUM(is_err) AS BIGINT) AS x FROM sides GROUP BY 1),
+        |a AS (SELECT n AS n1, x AS x1 FROM g WHERE early = 1),
+        |b AS (SELECT n AS n2, x AS x2 FROM g WHERE early = 0),
+        |z AS (SELECT CAST(n1 AS BIGINT) AS n1, x1,
+        |    CAST(n2 AS BIGINT) AS n2, x2,
+        |    (x1*1.0/n1) / (x2*1.0/n2) AS rr,
+        |    ln((x1*1.0/n1) / (x2*1.0/n2))
+        |      / sqrt(1.0/x1 + 1.0/x2) AS z_raw
+        |  FROM a, b)
+        |SELECT n1, x1, n2, x2,
+        |  floor(rr*10000 + 0.5 + 0.000001)/10000 AS rate_ratio,
+        |  floor(z_raw*10000 + 0.5 + 0.000001)/10000 AS z,
+        |  abs(floor(z_raw*10000 + 0.5 + 0.000001)/10000) > 1.96
+        |    AS significant
+        |FROM z""".stripMargin,
+    "q_meta_fixed" ->
+      """WITH li AS (SELECT n_name AS nation,
+        |    CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS disc,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |grid AS (SELECT nation, disc, COUNT(*) AS n,
+        |    CAST(SUM(ret) AS BIGINT) AS x FROM li GROUP BY 1, 2),
+        |p1 AS (SELECT nation, n AS n1, x AS x1 FROM grid
+        |  WHERE disc = 1),
+        |p2 AS (SELECT nation, n AS n2, x AS x2 FROM grid
+        |  WHERE disc = 0),
+        |st AS (SELECT nation,
+        |    x1*1.0/n1 - x2*1.0/n2 AS d,
+        |    (x1*1.0/n1)*(1.0 - x1*1.0/n1)/n1
+        |      + (x2*1.0/n2)*(1.0 - x2*1.0/n2)/n2 AS v
+        |  FROM p1 JOIN p2 USING (nation)),
+        |w AS (SELECT nation, d, 1.0/v AS w FROM st),
+        |pl AS (SELECT COUNT(*) AS k, SUM(w*d)/SUM(w) AS p_raw,
+        |    SUM(w) AS sw FROM w),
+        |q AS (SELECT MAX(k) AS k, MAX(p_raw) AS p_raw,
+        |    MAX(sw) AS sw,
+        |    SUM(w.w*(d - p_raw)*(d - p_raw)) AS q_raw
+        |  FROM w, pl)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  floor(p_raw*10000 + 0.5 + 0.000001)/10000 AS pooled_effect,
+        |  floor(sqrt(1.0/sw)*10000 + 0.5 + 0.000001)/10000 AS se,
+        |  floor(p_raw/sqrt(1.0/sw)*10000 + 0.5 + 0.000001)/10000
+        |    AS z,
+        |  floor(q_raw*10000 + 0.5 + 0.000001)/10000 AS q_stat,
+        |  floor(greatest(0.0, (q_raw - (k - 1))/q_raw)
+        |    *10000 + 0.5 + 0.000001)/10000 AS i2
+        |FROM q""".stripMargin,
   )
 }

@@ -2063,6 +2063,91 @@ object Stats {
           col("y_hot").cast("double")).as("lambda_u"))
   }
 
+  /** Two-sample Poisson rate-ratio test on error events: the error
+    * rate per event in the early half of the calendar vs the late half
+    * — Wald z on the log rate ratio, z = ln(r1/r2)/√(1/x1 + 1/x2)
+    * (the incident-rate comparison an SRE postmortem quotes). Exact
+    * integer counts; verdict on the quantized z vs ±1.96. */
+  def rateRatioTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val mid = ev.agg(to_date(min(col("ts"))).as("d0"),
+      to_date(max(col("ts"))).as("d1"))
+      .select(date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / 2).cast("int")).as("dm"))
+    val sides = ev.crossJoin(broadcast(mid))
+      .select((to_date(col("ts")) <= col("dm")).cast("int").as("early"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy(col("early"))
+      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("x"))
+    val a = sides.filter(col("early") === 1)
+      .select(col("n").as("n1"), col("x").as("x1"))
+    val b = sides.filter(col("early") === 0)
+      .select(col("n").as("n2"), col("x").as("x2"))
+    a.crossJoin(b)
+      .withColumn("r1", col("x1").cast("double") / col("n1").cast("double"))
+      .withColumn("r2", col("x2").cast("double") / col("n2").cast("double"))
+      .withColumn("z_raw", log(col("r1") / col("r2")) /
+        sqrt(lit(1.0) / col("x1").cast("double") +
+          lit(1.0) / col("x2").cast("double")))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        round4eps(col("r1") / col("r2")).as("rate_ratio"),
+        round4eps(col("z_raw")).as("z"))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
+  /** Fixed-effect meta-analysis (inverse-variance pooling) of the
+    * per-nation return-rate difference between discounted and
+    * non-discounted lines — the biostat machinery (pooled effect,
+    * Cochran's Q heterogeneity, I²) applied to "is the discount→return
+    * effect consistent across supplier nations, and what is the
+    * precision-weighted overall effect". Per-stratum d_i = p1 − p2,
+    * var_i = p1(1−p1)/n1 + p2(1−p2)/n2; pooled = Σw·d/Σw with
+    * w = 1/var; Q = Σw(d − pooled)²; I² = max(0, (Q − (k−1))/Q). One
+    * fact rollup to the (nation, arm) grid, then constant-size. */
+  def metaFixedEffect(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        (col("l_discount") > 0.05).cast("int").as("disc"),
+        (col("l_returnflag") === "R").cast("long").as("ret"))
+    val grid = li.groupBy(col("nation"), col("disc"))
+      .agg(count(lit(1)).as("n"), sum(col("ret")).as("x"))
+    val p1 = grid.filter(col("disc") === 1).select(col("nation"),
+      col("n").as("n1"), col("x").as("x1"))
+    val p2 = grid.filter(col("disc") === 0).select(col("nation"),
+      col("n").as("n2"), col("x").as("x2"))
+    val strata = p1.join(p2, "nation")
+      .withColumn("pa", col("x1").cast("double") / col("n1").cast("double"))
+      .withColumn("pb", col("x2").cast("double") / col("n2").cast("double"))
+      .withColumn("d", col("pa") - col("pb"))
+      .withColumn("v",
+        col("pa") * (lit(1.0) - col("pa")) / col("n1").cast("double") +
+          col("pb") * (lit(1.0) - col("pb")) / col("n2").cast("double"))
+      .withColumn("w", lit(1.0) / col("v"))
+    val pooled = strata.agg(count(lit(1)).as("k"),
+      sum(col("w") * col("d")).as("swd"), sum(col("w")).as("sw"))
+      .withColumn("pooled_raw", col("swd") / col("sw"))
+    strata.crossJoin(broadcast(pooled))
+      .agg(max(col("k")).as("k"),
+        max(col("pooled_raw")).as("p_raw"),
+        max(col("sw")).as("sw_all"),
+        sum(col("w") * (col("d") - col("pooled_raw")) *
+          (col("d") - col("pooled_raw"))).as("q_raw"))
+      .select(col("k"),
+        round4eps(col("p_raw")).as("pooled_effect"),
+        round4eps(sqrt(lit(1.0) / col("sw_all"))).as("se"),
+        round4eps(col("p_raw") / sqrt(lit(1.0) / col("sw_all"))).as("z"),
+        round4eps(col("q_raw")).as("q_stat"),
+        round4eps(greatest(lit(0.0),
+          (col("q_raw") - (col("k") - lit(1)).cast("double")) /
+            col("q_raw"))).as("i2"))
+  }
+
   /** Augmented-Dickey-Fuller unit-root test (lag-0 form, with
     * constant) on daily order counts: regress Δy_t on y_{t−1}; the DF
     * statistic β̂/SE(β̂) against the 5% critical value −2.86

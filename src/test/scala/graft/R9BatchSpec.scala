@@ -108,6 +108,26 @@ class R9BatchSpec extends AnyFunSuite {
     assert(hs.sameElements(hs.sortBy(-_)))
   }
 
+  test("rateRatioTest: eras partition events; verdict reads " +
+      "the quantized z") {
+    val r = graft.operators.Stats.rateRatioTest(spark, sf).head()
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") === total)
+    assert(r.getAs[Boolean]("significant") ===
+      (math.abs(r.getAs[Double]("z")) > 1.96))
+  }
+
+  test("metaFixedEffect: 25 strata, I2 in [0,1], z = pooled/se") {
+    val r = graft.operators.Stats.metaFixedEffect(spark, sf).head()
+    // only nations with BOTH discount arms form strata (10 at sf0.001)
+    assert(r.getAs[Long]("k") >= 2L && r.getAs[Long]("k") <= 25L)
+    val i2 = r.getAs[Double]("i2")
+    assert(i2 >= 0.0 && i2 < 1.0)
+    val z = r.getAs[Double]("z")
+    assert(math.abs(z - r.getAs[Double]("pooled_effect") /
+      r.getAs[Double]("se")) < 0.05 * math.max(1.0, math.abs(z)))
+  }
+
   test("adfTest: stationary daily counts reject the unit root; " +
       "a random walk does not") {
     val r = graft.operators.Stats.adfTest(spark, sf).head()
