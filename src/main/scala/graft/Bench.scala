@@ -152,7 +152,9 @@ object Bench {
       "q_pipeline_rollback", "q_pipeline_upsert", "q_pipeline_evolution",
       "q_pipeline_clone",
       // r9: V2 path-mount reads of the same fixture warehouse
-      "q_pipeline_v2read", "q_pipeline_v2asof")
+      "q_pipeline_v2read", "q_pipeline_v2asof",
+      // r10: TableCatalog reads/writes of the same fixture warehouse
+      "q_pipeline_catident", "q_pipeline_catasof", "q_pipeline_catwrite")
     // Cheapest-first by last observed Verify time (unknown → 0): the
     // iterative graph tail runs last, after every cheap query has
     // already landed its number.

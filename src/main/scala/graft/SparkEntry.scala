@@ -43,6 +43,24 @@ object SparkEntry {
       p
     })
 
+  /** Register (once per session) the V2 TableCatalog plugin over the
+    * gate fixture warehouse and return its catalog name — the
+    * reference's access pattern (spark-defaults.conf registers the
+    * Iceberg catalog; every query addresses `demo.<ns>.<table>`).
+    * Catalog instances are memoized per session by Spark's
+    * CatalogManager, so the conf must be set before first use and the
+    * warehouse is fixed for the session — which matches gatePipeline's
+    * one-fixture-per-session memo. */
+  private def gateCatalog(s: SparkSession): String = {
+    val p = gatePipeline(s)
+    val name = "graft_gate"
+    if (!s.conf.getOption(s"spark.sql.catalog.$name").isDefined) {
+      s.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", p.catalog.warehouse)
+    }
+    name
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference-surface operators (SURVEY §2) mapped onto testdata
@@ -260,6 +278,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           min(col("price_usd")).as("min_usd"),
           max(col("price_usd")).as("max_usd"))
+    }),
+    // V2 TableCatalog plugin (r10): the SAME mart addressed the way the
+    // reference addresses Iceberg — spark.table("<catalog>.<ns>.<t>")
+    // through graft.sources.GraftCatalog (spark.sql.catalog.* configs
+    // only; no facade object on the read path) — same fixture oracle.
+    "q_pipeline_catident" -> ((s, _) => {
+      val cat = gateCatalog(s)
+      s.table(s"$cat.${graft.pipeline.Transform.FctTable}")
+    }),
+    // SQL time travel over the catalog: VERSION AS OF 2 resolves via
+    // loadTable(ident, version) to the commit-pruned scan — same
+    // oracle as q_pipeline_asof / q_pipeline_v2asof.
+    "q_pipeline_catasof" -> ((s, _) => {
+      val cat = gateCatalog(s)
+      s.sql(s"""SELECT source AS data_source, count(*) AS n_rows,
+                min(price_usd) AS min_usd, max(price_usd) AS max_usd
+                FROM $cat.${graft.pipeline.Ingest.RawTable} VERSION AS OF 2
+                GROUP BY source""")
+    }),
+    // V2 WRITE path through the catalog: CREATE TABLE + two
+    // writeTo(...).append() batches (each = one snapshot commit via
+    // the V1Write seam into LakeCatalog.append), read back by
+    // identifier. Deterministic rows — the oracle replays them.
+    "q_pipeline_catwrite" -> ((s, _) => {
+      import s.implicits._
+      val cat = gateCatalog(s)
+      s.sql(s"DROP TABLE IF EXISTS $cat.raw.catwrite_gate")
+      s.sql(s"""CREATE TABLE $cat.raw.catwrite_gate
+                (id BIGINT, sym STRING, px DOUBLE, at TIMESTAMP)
+                PARTITIONED BY (days(at))""")
+      Seq((1L, "BTC", 50000.0, java.sql.Timestamp.valueOf("2026-01-01 01:00:00")),
+          (2L, "ETH", 2500.0,  java.sql.Timestamp.valueOf("2026-01-01 02:00:00")))
+        .toDF("id", "sym", "px", "at")
+        .writeTo(s"$cat.raw.catwrite_gate").append()
+      Seq((3L, "BTC", 50100.0, java.sql.Timestamp.valueOf("2026-01-02 01:00:00")))
+        .toDF("id", "sym", "px", "at")
+        .writeTo(s"$cat.raw.catwrite_gate").append()
+      s.table(s"$cat.raw.catwrite_gate")
     }),
     // dbt-templating gate: the mart built by COMPILING the reference's
     // raw Jinja model text (DbtModels) must equal the fixture-replay
@@ -3985,6 +4041,39 @@ object SparkEntry {
         |  ('coincap', CAST(2 AS BIGINT), CAST(50012.5 AS DOUBLE), CAST(50137.5 AS DOUBLE)),
         |  ('blockchain_info', CAST(2 AS BIGINT), CAST(49992.75 AS DOUBLE), CAST(50117.75 AS DOUBLE)))
         |  AS t(data_source, n_rows, min_usd, max_usd)""".stripMargin,
+    // TableCatalog identifier read of the same CTAS mart — identical
+    // fixture oracle to q_pipeline_mart / q_pipeline_v2read.
+    "q_pipeline_catident" ->
+      """WITH raw(data_source, crypto_symbol, price_usd, extracted_at) AS (VALUES
+        |  ('coingecko', 'BTC', CAST(50000.0  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coincap', 'BTC', CAST(50012.5  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(49992.75 AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coingecko', 'BTC', CAST(50125.0  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coincap', 'BTC', CAST(50137.5  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50117.75 AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coingecko', 'BTC', CAST(50250.0  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('coincap', 'BTC', CAST(50262.5  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50242.75 AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'))
+        |SELECT CAST(extracted_at AS DATE) AS extraction_date, data_source, crypto_symbol,
+        |MIN(price_usd) AS min_price_usd, MAX(price_usd) AS max_price_usd,
+        |AVG(price_usd) AS avg_price_usd, COUNT(*) AS records
+        |FROM raw GROUP BY 1, 2, 3""".stripMargin,
+    // SQL VERSION AS OF over the catalog — identical oracle to
+    // q_pipeline_asof / q_pipeline_v2asof.
+    "q_pipeline_catasof" ->
+      """SELECT data_source, n_rows, min_usd, max_usd FROM (VALUES
+        |  ('coingecko', CAST(2 AS BIGINT), CAST(50000.0 AS DOUBLE), CAST(50125.0 AS DOUBLE)),
+        |  ('coincap', CAST(2 AS BIGINT), CAST(50012.5 AS DOUBLE), CAST(50137.5 AS DOUBLE)),
+        |  ('blockchain_info', CAST(2 AS BIGINT), CAST(49992.75 AS DOUBLE), CAST(50117.75 AS DOUBLE)))
+        |  AS t(data_source, n_rows, min_usd, max_usd)""".stripMargin,
+    // Catalog write path: the gate's two deterministic appends, read
+    // back by identifier — the oracle replays the written rows.
+    "q_pipeline_catwrite" ->
+      """SELECT id, sym, px, at FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'BTC', CAST(50000.0 AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  (CAST(2 AS BIGINT), 'ETH', CAST(2500.0  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  (CAST(3 AS BIGINT), 'BTC', CAST(50100.0 AS DOUBLE), TIMESTAMP '2026-01-02 01:00:00'))
+        |  AS t(id, sym, px, at)""".stripMargin,
     "q_pipeline_dbtrun" ->
       """WITH raw(data_source, crypto_symbol, price_usd, extracted_at) AS (VALUES
         |  ('coingecko', 'BTC', CAST(50000.0  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),

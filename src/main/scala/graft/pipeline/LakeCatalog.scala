@@ -36,6 +36,11 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   private def partitionColFor(ts: String) =
     graft.plans.HiddenPartitionPruning.Prefix + ts
 
+  /** Warehouse root — the value an external session configures as
+    * `spark.sql.catalog.<name>.warehouse` to address this same lake
+    * through the [[graft.sources.GraftCatalog]] plugin. */
+  private[graft] def warehouse: String = warehouseDir
+
   // Metadata layout + read helpers are shared with the DataSourceV2
   // path mount (graft.sources.GraftLakeSource) via LakeMeta — one
   // implementation so the two read paths can never drift.
@@ -267,9 +272,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     // preserve the table's hidden day partitioning: recover the source
     // timestamp column from the schema sidecar so the merged commit
     // lands day-partitioned like every other commit
-    val partTs = savedSchema(name).toSeq.flatMap(_.fieldNames)
-      .find(_.startsWith(graft.plans.HiddenPartitionPruning.Prefix))
-      .map(_.stripPrefix(graft.plans.HiddenPartitionPruning.Prefix))
+    val partTs = LakeMeta.partitionTsOf(warehouseDir, name)
       .filter(batch.columns.contains)
     append(name, batch, partitionTs = partTs)
     (replaced, inserted)

@@ -53,6 +53,16 @@ private[graft] object LakeMeta {
     }
   }
 
+  /** The source timestamp column of the table's hidden day
+    * partitioning (None for unpartitioned / CTAS tables): recovered
+    * from the sidecar's `graft_days_<ts>` physical column — the
+    * derivation contract shared by the facade's upsert, the V1 write
+    * seam and the catalog's partitioning report. */
+  def partitionTsOf(warehouseDir: String, name: String): Option[String] =
+    savedSchema(warehouseDir, name).toSeq.flatMap(_.fieldNames)
+      .find(_.startsWith(graft.plans.HiddenPartitionPruning.Prefix))
+      .map(_.stripPrefix(graft.plans.HiddenPartitionPruning.Prefix))
+
   /** Latest snapshot id committed at or before `inst` — the
     * as-of-timestamp resolution, as a pure metadata-file pass (no
     * Spark job; the facade's `snapshotIdAt` reads through its

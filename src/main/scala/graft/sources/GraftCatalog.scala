@@ -1,0 +1,272 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DateType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.pipeline.{LakeCatalog, LakeMeta}
+
+/** `TableCatalog` + `SupportsNamespaces` plugin for LakeCatalog
+  * warehouses — the reference's actual access pattern, where Spark is
+  * configured with an Iceberg catalog and every table is addressed by
+  * multi-part identifier (Iceberg-dbt-project/spark/
+  * spark-defaults.conf:3-9 registers `demo` as an Iceberg REST
+  * catalog; extract_bitcoin_prices.py:24-30,128,193 then uses
+  * `CREATE NAMESPACE`, `spark.table("demo.raw.bitcoin_prices")` and
+  * `df.writeTo(...).append()`). An EXTERNAL session configures:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse /path/to/warehouse
+  * }}}
+  *
+  * and then addresses the emulated lake exactly like the reference
+  * addresses Iceberg:
+  *
+  * {{{
+  *   spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.raw")
+  *   df.writeTo("graft.raw.bitcoin_prices").append()
+  *   spark.table("graft.raw.bitcoin_prices")
+  *   spark.sql("SELECT * FROM graft.raw.bitcoin_prices VERSION AS OF 2")
+  *   spark.sql("... TIMESTAMP AS OF '2026-01-02 00:00:00'")
+  * }}}
+  *
+  * Architecture: identifier resolution + namespace DDL are driver-side
+  * metadata operations on the warehouse layout (directory tree +
+  * sidecars, via [[LakeMeta]] — the same code the facade and the path
+  * mount read through); reads delegate to the shared
+  * [[GraftLakeSource.mkTable]] scan (stock V2 parquet: pushdown,
+  * pruning, vectorization); writes delegate through the V1 write seam
+  * to [[LakeCatalog]]'s append/CTAS, keeping one single-writer
+  * snapshot-commit implementation for every write surface. SQL time
+  * travel (`VERSION AS OF` / `TIMESTAMP AS OF`) resolves through
+  * [[loadTable]]'s version/timestamp overloads to the same
+  * commit-dir-pruned scan as the path mount's `snapshot-id` option.
+  *
+  * 100 TB posture: every catalog call is metadata-grain (directory
+  * listings, one sidecar file, one KB-scale log pass) — never a data
+  * scan; table reads and writes inherit the scan/commit scale story of
+  * the surfaces they delegate to.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+    Files.createDirectories(Paths.get(warehouse))
+  }
+
+  override def name(): String = catalogName
+
+  private def facade =
+    new LakeCatalog(SparkSession.active, warehouse)
+
+  private def fullName(ident: Identifier): String = {
+    require(ident.namespace.length == 1,
+      s"graft catalog expects <namespace>.<table>, got " +
+        s"${(ident.namespace :+ ident.name).mkString(".")}")
+    s"${ident.namespace.head}.${ident.name}"
+  }
+
+  private def dirsUnder(p: java.nio.file.Path): List[String] = {
+    if (!Files.isDirectory(p)) return Nil
+    val st = Files.list(p)
+    try st.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .toList.sorted
+    finally st.close()
+  }
+
+  // ---- tables -------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toSeq).toArray)
+    dirsUnder(Paths.get(warehouse, namespace.head))
+      .map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      Files.isDirectory(Paths.get(warehouse, ident.namespace.head, ident.name))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    GraftLakeSource.mkTable(warehouse, fullName(ident), None,
+      CaseInsensitiveStringMap.empty(), writable = true)
+  }
+
+  /** `VERSION AS OF v` — a snapshot id (all digits) or a tag name,
+    * matching Iceberg's branch-or-snapshot resolution. Time-travel
+    * loads are read-only (writes always target the current state). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val name = fullName(ident)
+    val sid =
+      if (version.forall(_.isDigit)) version.toLong
+      else LakeMeta.readTags(warehouse, name).getOrElse(version,
+        throw new IllegalArgumentException(s"no tag '$version' on $name"))
+    GraftLakeSource.mkTable(warehouse, name, Some(sid),
+      CaseInsensitiveStringMap.empty(), writable = false)
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands the timestamp in MICROSECONDS
+    * since the epoch; resolution is the latest snapshot committed at
+    * or before it (Iceberg's as-of-timestamp semantics), via one pass
+    * over the KB-scale snapshot log. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val name = fullName(ident)
+    val inst = java.time.Instant.ofEpochSecond(
+      timestamp / 1000000L, (timestamp % 1000000L) * 1000L)
+    GraftLakeSource.mkTable(warehouse, name,
+      Some(LakeMeta.snapshotIdAt(warehouse, name, inst)),
+      CaseInsensitiveStringMap.empty(), writable = false)
+  }
+
+  /** CREATE TABLE (empty): records the declared schema in the sidecar
+    * (data columns + the hidden `commit` / `graft_days_*` physical
+    * columns), so the first `writeTo(...).append()` lands day-
+    * partitioned under `commit=1` exactly like a facade append.
+    * Supported partitioning: a single `days(ts)` transform — the
+    * reference's only partition spec (extract_bitcoin_prices.py:144) —
+    * or none. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace)) throw new NoSuchNamespaceException(
+      (catalogName +: ident.namespace.toSeq).toArray)
+    val name = fullName(ident)
+    val partTs: Option[String] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "days" =>
+        val refs = t.references
+        require(refs.length == 1 && refs.head.fieldNames.length == 1,
+          s"days() transform must reference one top-level column, got $t")
+        val c = refs.head.fieldNames.head
+        require(schema.fieldNames.contains(c),
+          s"days($c): no such column in the declared schema")
+        Some(c)
+      case other => throw new UnsupportedOperationException(
+        "graft tables support PARTITIONED BY (days(ts)) or no " +
+          s"partitioning, got ${other.mkString(", ")}")
+    }
+    val data = schema.fields.map(_.copy(nullable = true)).toSeq
+    val hidden = StructField(LakeMeta.CommitCol, LongType) +:
+      partTs.map(ts => StructField(
+        graft.plans.HiddenPartitionPruning.Prefix + ts, DateType)).toSeq
+    Files.createDirectories(Paths.get(warehouse, ident.namespace.head,
+      ident.name))
+    val p = LakeMeta.schemaPath(warehouse, name)
+    Files.createDirectories(p.getParent)
+    Files.write(p, StructType(data ++ hidden).json.getBytes("UTF-8"))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = throw new UnsupportedOperationException(
+    "ALTER TABLE: schema evolution happens on append (add-column only); " +
+      "other alterations are not supported by the graft catalog")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val name = fullName(ident)
+    deleteRecursive(Paths.get(warehouse, ident.namespace.head, ident.name))
+    Files.deleteIfExists(LakeMeta.schemaPath(warehouse, name))
+    Files.deleteIfExists(LakeMeta.snapshotLogPath(warehouse, name))
+    Files.deleteIfExists(LakeMeta.tagsPath(warehouse, name))
+    true
+  }
+
+  /** Metadata-only rename within the warehouse: one directory move +
+    * three sidecar moves. */
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    if (!namespaceExists(to.namespace)) throw new NoSuchNamespaceException(
+      (catalogName +: to.namespace.toSeq).toArray)
+    val (fn, tn) = (fullName(from), fullName(to))
+    Files.move(Paths.get(warehouse, from.namespace.head, from.name),
+      Paths.get(warehouse, to.namespace.head, to.name))
+    Seq(LakeMeta.schemaPath _, LakeMeta.snapshotLogPath _,
+        LakeMeta.tagsPath _).foreach { f =>
+      val (a, b) = (f(warehouse, fn), f(warehouse, tn))
+      if (Files.exists(a)) {
+        Files.createDirectories(b.getParent)
+        Files.move(a, b)
+      }
+    }
+  }
+
+  // ---- namespaces ---------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    dirsUnder(Paths.get(warehouse)).map(Array(_)).toArray
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException((catalogName +: namespace.toSeq).toArray)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      Files.isDirectory(Paths.get(warehouse, namespace.head))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toSeq).toArray)
+    java.util.Collections.singletonMap(SupportsNamespaces.PROP_LOCATION,
+      Paths.get(warehouse, namespace.head).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft catalog namespaces are single-level, got " +
+        namespace.mkString("."))
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException((catalogName +: namespace.toSeq).toArray)
+    facade.createNamespace(namespace.head)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val tables = listTables(namespace)
+    if (tables.nonEmpty && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException((catalogName +: namespace.toSeq).toArray)
+    tables.foreach(dropTable)
+    deleteRecursive(Paths.get(warehouse, namespace.head))
+    true
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally st.close()
+    }
+}

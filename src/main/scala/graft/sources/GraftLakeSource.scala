@@ -78,7 +78,6 @@ private[graft] object GraftLakeSource {
     * visible schema hides the physical partition columns and whose
     * scan covers exactly the selected commit directories. */
   def resolve(options: CaseInsensitiveStringMap): GraftLakeTable = {
-    val spark = SparkSession.active
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft source requires a single load(path) pointing at " +
@@ -107,6 +106,43 @@ private[graft] object GraftLakeSource {
           Some(LakeMeta.snapshotIdAt(warehouse, name, inst))
         case _ => None
       }
+    mkTable(warehouse, name, snapshotId, options, writable = false)
+  }
+
+  /** Core table construction, shared by the path mount ([[resolve]])
+    * and the catalog plugin ([[GraftCatalog]]): commit-dir selection,
+    * sidecar schema resolution, hidden-column hiding, and the
+    * delegated [[ParquetTable]] scan. `writable = true` additionally
+    * advertises the V1 write capability (catalog loads only — the
+    * path mount stays read-only by design). */
+  def mkTable(warehouse: String, name: String, snapshotId: Option[Long],
+      options: CaseInsensitiveStringMap, writable: Boolean): GraftLakeTable = {
+    val spark = SparkSession.active
+    val dir = Paths.get(LakeMeta.tablePath(warehouse, name))
+      .toAbsolutePath.normalize()
+    require(Files.isDirectory(dir), s"no such table directory: $dir")
+
+    // Refuse to serve a table left in a recoverable-but-unrecovered
+    // crash state: a deleteWhere/upsert/rollback interrupted between
+    // retire and promote leaves `.delete_tmp_*` / `.delete_old_*`
+    // protocol dirs, and a commit dir may be MISSING — a silent read
+    // here would drop that commit's rows, breaking parity with the
+    // facade (which rolls forward via recoverDeletes on entry). This
+    // surface cannot repair (the facade owns the write protocol), so
+    // it fails loudly instead of serving a partial table.
+    locally {
+      val stream = Files.list(dir)
+      val leftovers = try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith(".delete_tmp_") ||
+          n.startsWith(".delete_old_"))
+        .toList
+      finally stream.close()
+      if (leftovers.nonEmpty) throw new IllegalStateException(
+        s"$name has an unrecovered interrupted rewrite " +
+          s"(${leftovers.sorted.mkString(", ")}); run " +
+          "LakeCatalog.recoverDeletes on the writing side before reading")
+    }
 
     val commitDirs: Seq[(Long, String)] = {
       val stream = Files.list(dir)
@@ -139,39 +175,106 @@ private[graft] object GraftLakeSource {
         (commitDirs.filter(_._1 <= id).map(_._2), sidecar)
     }
 
-    val innerOptions = snapshotId match {
-      case Some(_) =>
-        val m = new java.util.HashMap[String, String](
-          options.asCaseSensitiveMap())
-        m.put("basePath", dir.toString)
-        new CaseInsensitiveStringMap(m)
-      case None => options
+    val innerOptions = {
+      val m = new java.util.HashMap[String, String](
+        options.asCaseSensitiveMap())
+      if (snapshotId.isDefined) m.put("basePath", dir.toString)
+      // No-sidecar fallback must merge footers like the facade's
+      // repair path (LakeCatalog.readTable) — plain inference on an
+      // add-column-evolved table would miss columns absent from the
+      // sampled footer, making the two read paths surface different
+      // schemas.
+      if (sidecar.isEmpty) m.put("mergeSchema", "true")
+      new CaseInsensitiveStringMap(m)
     }
     val inner = ParquetTable(s"graft:$name", spark,
       innerOptions, paths, schemaForInner, classOf[ParquetFileFormat])
     // Visible schema = data columns only. With a sidecar this is exact
     // (including add-column evolution order); without one (repair
-    // path) it falls back to the inner table's inferred schema.
+    // path) it falls back to the inner table's merged-footer schema.
     val visible = StructType(
       schemaForInner.getOrElse(inner.schema)
         .fields.filterNot(f => hiddenCol(f.name)))
-    new GraftLakeTable(inner, visible, s"graft:$name")
+    new GraftLakeTable(inner, visible, s"graft:$name",
+      if (writable) Some((warehouse, name)) else None)
   }
 }
 
 /** V2 Table wrapper: logical (hidden-column-free) schema over the
   * delegated parquet scan. Spark's column-pruning negotiation
   * guarantees the inner scan never reads the hidden columns — they are
-  * absent from this table's schema, so no plan can request them. */
+  * absent from this table's schema, so no plan can request them.
+  *
+  * When loaded through [[GraftCatalog]] (`writeTarget` set), the table
+  * also accepts batch writes via the V1 fallback seam
+  * ([[org.apache.spark.sql.connector.write.V1Write]]): the insert is
+  * delegated driver-side to [[graft.pipeline.LakeCatalog]]'s append /
+  * CTAS paths, so every write keeps the single-writer snapshot-commit
+  * discipline (one `commit=N` dir + sidecar fold + snapshot-log line
+  * per insert) — one write implementation, whichever surface the
+  * write arrives on. Appends onto a day-partitioned table recover the
+  * partition timestamp from the sidecar, exactly like the facade's
+  * upsert. */
 private[graft] final class GraftLakeTable(
-    inner: ParquetTable, visible: StructType, tableName: String)
-  extends Table with SupportsRead {
+    inner: ParquetTable, visible: StructType, tableName: String,
+    writeTarget: Option[(String, String)] = None)
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = visible
+
+  /** Report the hidden day-partitioning as its logical `days(ts)`
+    * transform (the Iceberg DESCRIBE shape): derived from the sidecar's
+    * `graft_days_<ts>` physical column. */
+  override def partitioning(): Array[Transform] =
+    writeTarget.toArray.flatMap { case (wh, nm) =>
+      graft.pipeline.LakeMeta.partitionTsOf(wh, nm).map(ts =>
+        org.apache.spark.sql.connector.expressions.Expressions.days(ts))
+    }
+
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writeTarget.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     inner.newScanBuilder(options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val (wh, nm) = writeTarget.getOrElse(throw new IllegalStateException(
+      s"$tableName was mounted read-only (path mount); writes go " +
+        "through the graft catalog or the LakeCatalog facade"))
+    new GraftLakeWriteBuilder(wh, nm, truncate = false)
+  }
+}
+
+/** V1-fallback write builder: `append()` lands one snapshot commit;
+  * `truncate()` (the `INSERT OVERWRITE` / `writeTo(..).replace()`
+  * shape) routes to the atomic CTAS swap. */
+private[graft] final class GraftLakeWriteBuilder(
+    warehouse: String, name: String, truncate: Boolean)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftLakeWriteBuilder(warehouse, name, truncate = true)
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+          val facade =
+            new graft.pipeline.LakeCatalog(SparkSession.active, warehouse)
+          if (truncate || overwriteFlag) facade.createOrReplace(name, data)
+          else facade.append(name, data,
+            partitionTs = graft.pipeline.LakeMeta.partitionTsOf(warehouse, name)
+              .filter(data.columns.contains))
+        }
+    }
 }
