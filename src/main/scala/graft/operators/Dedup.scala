@@ -702,12 +702,9 @@ object Dedup {
     val stream = docsReadStream(s, dir)
       .filter(col("doc_id") >= splitId)
       .withColumn("ts", timestamp_seconds(col("doc_id")))
-    // few-partition streaming shuffles (EventStreams gate convention):
-    // the conf is read at stream START; restore afterwards
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "4")
-    try {
+    // streaming-gate conf scope (EventStreams convention): few state
+    // partitions, AQE-warn suppression, temp-checkpoint auto-delete
+    graft.streaming.StreamGateConf.withStreamGateConfs(s) {
       val sink = s"stream_docdedup_${System.nanoTime()}"
       val q = streamingDedupProbe(stream, index)
         .writeStream.format("memory").queryName(sink)
@@ -717,7 +714,7 @@ object Dedup {
       try require(q.awaitTermination(120000L),
         s"stream gate $sink did not drain within 120 s") finally q.stop()
       s.table(sink)
-    } finally s.conf.set(key, prev)
+    }
   }
 
   /** Quality-aware survivorship: per near-dup cluster, keep the

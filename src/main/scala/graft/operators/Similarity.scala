@@ -305,6 +305,21 @@ object Similarity {
     * the crafted fixtures in SimilaritySpec, and the row-carrying
     * exact gate (q_embedding_neardup) runs at threshold 0.4. */
   def lshNearDupGate(s: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    // Precondition (r9 advice): the LSH path's identical-vector
+    // collapse emits g-1 REP-STAR edges per byte-identical group where
+    // the exact anchor enumerates the g²/2 clique — equivalent for
+    // dedup components, but NOT edge-set-equal. The gate's full-outer
+    // compare is therefore only meaningful on a corpus with no
+    // identical groups; regenerated testdata that violates this must
+    // fail LOUDLY here, not surface as a baffling n_missed mismatch.
+    val nIdenticalGroups = corpus(s, dir).groupBy(col("embedding"))
+      .agg(count(lit(1)).as("g")).filter(col("g") > 1).count()
+    if (nIdenticalGroups > 0) throw new IllegalStateException(
+      s"lshNearDupGate precondition violated: $nIdenticalGroups byte-" +
+        "identical embedding group(s) in the corpus. The collapse path " +
+        "emits rep-star edges for those (component-equivalent, not " +
+        "edge-equal to the exact clique) — compare components, or gate " +
+        "with collapseIdentical = false on this corpus.")
     val exact = embeddingNearDups(s, dir, threshold, exact = true)
       .select(col("vec_a"), col("vec_b")).withColumn("e", lit(1))
     val lsh = embeddingNearDups(s, dir, threshold)

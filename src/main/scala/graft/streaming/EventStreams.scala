@@ -407,12 +407,8 @@ object EventStreams {
     * locked into the checkpoint at first start either way. Restores the
     * session conf afterwards (the conf is read at stream START, so
     * scoping it around start()..stop() is race-free for this session). */
-  private def withGatePartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
+  private def withGatePartitions[T](s: SparkSession, n: Int = 4)(body: => T): T =
+    StreamGateConf.withStreamGateConfs(s, n)(body)
 
   /** Stream-static enrichment: a streaming event feed joined against a
     * static (batch) dimension table — the standard "enrich the firehose
