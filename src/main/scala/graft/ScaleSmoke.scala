@@ -411,23 +411,39 @@ object ScaleSmoke {
         .createTempDirectory("graft-scale-wh").toString
       val cat = new graft.pipeline.LakeCatalog(spark, whDir)
       cat.createNamespace("scale")
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      // lineitem (the biggest replicated fact) — the receipt must be
+      // scan-dominated, not planning-dominated, to discriminate
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
       val nCommits = 8
       (0 until nCommits).foreach { k =>
-        cat.append("scale.events", ev.filter(
-          org.apache.spark.sql.functions.pmod(col("event_id"), lit(nCommits))
+        cat.append("scale.lineitem", li.filter(
+          org.apache.spark.sql.functions.pmod(col("l_orderkey"), lit(nCommits))
             === lit(k)))
       }
-      // aggregate a data column so the timed job actually DECODES the
-      // selected files (a bare count would be served from footer
-      // metadata and time ~nothing on either side)
+      // aggregate EVERY data column so the timed job actually DECODES
+      // the selected files end-to-end (a bare count would be served
+      // from footer metadata; a narrow projection from a fraction of
+      // the pages — either would time ~nothing on both sides and bury
+      // the pruning ratio under job-launch overhead)
       def scanAll(df: DataFrame): DataFrame = df.agg(
-        org.apache.spark.sql.functions.sum(col("value")),
-        org.apache.spark.sql.functions.count(col("event_type")))
+        org.apache.spark.sql.functions.sum(col("l_extendedprice")
+          * col("l_quantity") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))),
+        org.apache.spark.sql.functions.sum(col("l_orderkey")
+          + col("l_partkey") + col("l_suppkey")
+          + col("l_linenumber").cast("long")),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(col("l_returnflag"))
+            + org.apache.spark.sql.functions.length(col("l_linestatus"))),
+        org.apache.spark.sql.functions.max(col("l_shipdate")))
+      // untimed warmup (codegen + parquet reader init + page cache), so
+      // the timed pair measures scan volume, not first-run JVM costs
+      scanAll(spark.read.format("graft")
+        .load(s"$whDir/scale/lineitem")).count()
       run("v2SnapshotPruned")(scanAll(spark.read.format("graft")
-        .option("snapshot-id", 1L).load(s"$whDir/scale/events")))
+        .option("snapshot-id", 1L).load(s"$whDir/scale/lineitem")))
       run("v2FullRead")(scanAll(spark.read.format("graft")
-        .load(s"$whDir/scale/events")))
+        .load(s"$whDir/scale/lineitem")))
     }
 
     spark.stop()

@@ -981,6 +981,19 @@ object SparkEntry {
     "q_adf"              -> ((s, d) => Stats.adfTest(s, d)),
     "q_granger"          -> ((s, d) => Stats.grangerTest(s, d)),
     "q_rate_ratio"       -> ((s, d) => Stats.rateRatioTest(s, d)),
+    // Cox proportional hazards (binary segment covariate, Breslow
+    // ties, 4 quantized Newton steps) — the oracle's recursive CTE
+    // walks the identical 1e-6-quantized beta trajectory
+    "q_cox_ph"           -> ((s, d) => Survival.coxPh(s, d)),
+    // r10 econometrics batch: every fit is moment-closed-form
+    "q_iv_2sls"          -> ((s, d) => Stats.iv2sls(s, d)),
+    "q_rdd_effect"       -> ((s, d) => Stats.rddEffect(s, d)),
+    "q_chow_break"       -> ((s, d) => Stats.chowTest(s, d)),
+    "q_breusch_pagan"    -> ((s, d) => Stats.breuschPagan(s, d)),
+    "q_cooks_distance"   -> ((s, d) => Stats.cooksDistance(s, d)),
+    "q_page_hinkley"     -> ((s, d) => Stats.pageHinkley(s, d)),
+    "q_engle_granger"    -> ((s, d) => Stats.engleGranger(s, d)),
+    "q_risk_ratios"      -> ((s, d) => Stats.riskRatios(s, d)),
     "q_meta_fixed"       -> ((s, d) => Stats.metaFixedEffect(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
@@ -7788,6 +7801,306 @@ object SparkEntry {
         |WINDOW w AS (ORDER BY t
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY t""".stripMargin,
+    "q_cox_ph" ->
+      """WITH RECURSIVE
+        |pc AS (SELECT o_custkey,
+        |    CAST(MIN(o_orderdate) AS DATE) AS first_d,
+        |    CAST(MAX(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT MAX(last_d) AS end_d FROM pc),
+        |dur AS (SELECT o_custkey,
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN CAST(date_diff('day', first_d, last_d) AS INTEGER)
+        |         ELSE CAST(date_diff('day', first_d, end_d) AS INTEGER)
+        |    END AS t,
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN 1 ELSE 0 END AS event
+        |  FROM pc, e),
+        |seg AS (SELECT c_custkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+        |  FROM customer),
+        |dg AS (SELECT t, event, g1 FROM dur
+        |  JOIN seg ON o_custkey = c_custkey),
+        |byt AS (SELECT t, COUNT(*) AS n_at, SUM(event) AS d_all,
+        |    SUM(g1) AS n1_at, SUM(event * g1) AS d1
+        |  FROM dg GROUP BY 1),
+        |risk AS (SELECT t, d_all, d1,
+        |    SUM(n_at) OVER wd AS n_risk,
+        |    SUM(n1_at) OVER wd AS n1_risk
+        |  FROM byt
+        |  WINDOW wd AS (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |rt AS (SELECT CAST(d_all AS DOUBLE) AS d,
+        |    CAST(d1 AS DOUBLE) AS d1,
+        |    CAST(n1_risk AS DOUBLE) AS n1,
+        |    CAST(n_risk - n1_risk AS DOUBLE) AS n0
+        |  FROM risk WHERE d_all > 0),
+        |it(i, beta) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    floor((beta
+        |      + SUM(d1 - d * (n1*exp(beta)) / (n0 + n1*exp(beta)))
+        |      / SUM(d * ((n1*exp(beta)) / (n0 + n1*exp(beta)))
+        |            * (1.0 - (n1*exp(beta)) / (n0 + n1*exp(beta)))))
+        |      * 1000000 + 0.5 + 0.000001) / 1000000
+        |  FROM it, rt WHERE i < 4 GROUP BY i, beta),
+        |fin AS (SELECT beta FROM it WHERE i = 4),
+        |inf AS (SELECT SUM(d * ((n1*exp(beta)) / (n0 + n1*exp(beta)))
+        |      * (1.0 - (n1*exp(beta)) / (n0 + n1*exp(beta)))) AS info,
+        |    MAX(beta) AS beta
+        |  FROM rt, fin)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_times,
+        |  (SELECT CAST(SUM(d) AS BIGINT) FROM rt) AS n_events,
+        |  floor(beta*10000 + 0.5 + 0.000001)/10000 AS beta,
+        |  floor(exp(beta)*10000 + 0.5 + 0.000001)/10000 AS hazard_ratio,
+        |  floor(beta*sqrt(info)*10000 + 0.5 + 0.000001)/10000 AS wald_z,
+        |  floor(abs(beta*sqrt(info))*10000 + 0.5 + 0.000001)/10000 > 1.96
+        |    AS significant
+        |FROM inf""".stripMargin,
+    "q_iv_2sls" ->
+      """WITH li AS (SELECT l_orderkey AS ok,
+        |    SUM(l_extendedprice) AS y, SUM(l_quantity) AS x
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1.0 ELSE 0.0 END AS z, x, y
+        |  FROM orders JOIN li ON o_orderkey = ok),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+        |    SUM(z*x) AS szx, SUM(z*y) AS szy,
+        |    SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM g),
+        |c AS (SELECT n,
+        |    szx - sz*sx/n AS czx, szy - sz*sy/n AS czy,
+        |    sxx - sx*sx/n AS cxx, sxy - sx*sy/n AS cxy FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_orders,
+        |  floor(czy/czx*10000 + 0.5 + 0.000001)/10000 AS beta_iv,
+        |  floor(cxy/cxx*10000 + 0.5 + 0.000001)/10000 AS beta_ols,
+        |  floor(czx/n*10000 + 0.5 + 0.000001)/10000 AS first_stage_cov,
+        |  floor((czy/czx - cxy/cxx)*10000 + 0.5 + 0.000001)/10000
+        |    AS endogeneity_gap
+        |FROM c""".stripMargin,
+    "q_rdd_effect" ->
+      """WITH oy AS (SELECT l_orderkey AS ok, AVG(l_quantity) AS yq
+        |  FROM lineitem GROUP BY 1),
+        |base AS (SELECT o_totalprice - 200000.0 AS r, yq AS y
+        |  FROM orders JOIN oy ON o_orderkey = ok
+        |  WHERE abs(o_totalprice - 200000.0) <= 100000.0),
+        |fits AS (SELECT CASE WHEN r >= 0 THEN 1 ELSE 0 END AS side,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(r) AS sr, SUM(y) AS sy,
+        |    SUM(r*r) AS srr, SUM(r*y) AS sry
+        |  FROM base GROUP BY 1),
+        |sf AS (SELECT side, n,
+        |    (sry - sr*sy/n) / (srr - sr*sr/n) AS slope,
+        |    sy/n - (sry - sr*sy/n) / (srr - sr*sr/n) * sr/n AS at_cut
+        |  FROM fits),
+        |l AS (SELECT n AS n_left, slope AS sl, at_cut AS yl
+        |  FROM sf WHERE side = 0),
+        |r AS (SELECT n AS n_right, slope AS sr2, at_cut AS yr
+        |  FROM sf WHERE side = 1)
+        |SELECT CAST(n_left AS BIGINT) AS n_left,
+        |  CAST(n_right AS BIGINT) AS n_right,
+        |  floor(yl*10000 + 0.5 + 0.000001)/10000 AS y_left,
+        |  floor(yr*10000 + 0.5 + 0.000001)/10000 AS y_right,
+        |  floor((yr - yl)*10000 + 0.5 + 0.000001)/10000 AS rdd_effect,
+        |  floor(sl*10000 + 0.5 + 0.000001)/10000 AS slope_left,
+        |  floor(sr2*10000 + 0.5 + 0.000001)/10000 AS slope_right
+        |FROM l, r""".stripMargin,
+    "q_chow_break" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(o_totalprice)/1000000.0 AS y
+        |  FROM orders GROUP BY 1),
+        |mind AS (SELECT MIN(d) AS d0 FROM daily),
+        |dt AS (SELECT CAST(date_diff('day', d0, d) AS DOUBLE) AS t, y
+        |  FROM daily, mind),
+        |brk AS (SELECT floor(MAX(t)/2.0) AS b FROM dt),
+        |seg AS (SELECT t, y, CASE WHEN t >= b THEN 1 ELSE 0 END AS sg
+        |  FROM dt, brk),
+        |pool AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(t) AS st, SUM(y) AS sy, SUM(t*t) AS stt,
+        |    SUM(t*y) AS sty, SUM(y*y) AS syy FROM seg),
+        |prss AS (SELECT n AS n_all,
+        |    (syy - sy*sy/n)
+        |      - (sty - st*sy/n)*(sty - st*sy/n)/(stt - st*st/n) AS rss_p
+        |  FROM pool),
+        |parts AS (SELECT sg, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(t) AS st, SUM(y) AS sy, SUM(t*t) AS stt,
+        |    SUM(t*y) AS sty, SUM(y*y) AS syy FROM seg GROUP BY 1),
+        |srss AS (SELECT SUM((syy - sy*sy/n)
+        |      - (sty - st*sy/n)*(sty - st*sy/n)/(stt - st*st/n)) AS rss_s
+        |  FROM parts)
+        |SELECT CAST(n_all AS BIGINT) AS n_days,
+        |  floor(rss_p*10000 + 0.5 + 0.000001)/10000 AS rss_pooled,
+        |  floor(rss_s*10000 + 0.5 + 0.000001)/10000 AS rss_split,
+        |  floor(((rss_p - rss_s)/2.0)/(rss_s/(n_all - 4.0))*10000
+        |    + 0.5 + 0.000001)/10000 AS chow_f,
+        |  floor(((rss_p - rss_s)/2.0)/(rss_s/(n_all - 4.0))*10000
+        |    + 0.5 + 0.000001)/10000 > 3.0 AS break_detected
+        |FROM prss, srss""".stripMargin,
+    "q_breusch_pagan" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(o_totalprice)/1000.0 AS y
+        |  FROM orders GROUP BY 1),
+        |mind AS (SELECT MIN(d) AS d0 FROM daily),
+        |dt AS (SELECT CAST(date_diff('day', d0, d) AS DOUBLE) AS t, y
+        |  FROM daily, mind),
+        |m1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(t) AS st, SUM(y) AS sy, SUM(t*t) AS stt,
+        |    SUM(t*y) AS sty FROM dt),
+        |b1 AS (SELECT
+        |    floor((sty - st*sy/n)/(stt - st*st/n)*10000 + 0.5
+        |      + 0.000001)/10000 AS beta,
+        |    floor((sy/n - (sty - st*sy/n)/(stt - st*st/n)*st/n)*10000
+        |      + 0.5 + 0.000001)/10000 AS alpha
+        |  FROM m1),
+        |aux AS (SELECT t,
+        |    (y - alpha - beta*t)*(y - alpha - beta*t) AS e2
+        |  FROM dt, b1),
+        |m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(t) AS st, SUM(e2) AS se, SUM(t*t) AS stt,
+        |    SUM(t*e2) AS ste, SUM(e2*e2) AS see FROM aux),
+        |r2c AS (SELECT n,
+        |    (ste - st*se/n)*(ste - st*se/n)
+        |      /(stt - st*st/n)/(see - se*se/n) AS r2 FROM m2)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  floor(r2*10000 + 0.5 + 0.000001)/10000 AS aux_r2,
+        |  floor(n*r2*10000 + 0.5 + 0.000001)/10000 AS lm_stat,
+        |  floor(n*r2*10000 + 0.5 + 0.000001)/10000 > 3.84
+        |    AS heteroskedastic
+        |FROM r2c""".stripMargin,
+    "q_cooks_distance" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(o_totalprice)/1000.0 AS y
+        |  FROM orders GROUP BY 1),
+        |mind AS (SELECT MIN(d) AS d0 FROM daily),
+        |dt AS (SELECT d, CAST(date_diff('day', d0, d) AS DOUBLE) AS t, y
+        |  FROM daily, mind),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(t) AS st, SUM(y) AS sy, SUM(t*t) AS stt,
+        |    SUM(t*y) AS sty, SUM(y*y) AS syy FROM dt),
+        |b AS (SELECT n,
+        |    floor((sty - st*sy/n)/(stt - st*st/n)*10000 + 0.5
+        |      + 0.000001)/10000 AS beta,
+        |    floor((sy/n - (sty - st*sy/n)/(stt - st*st/n)*st/n)*10000
+        |      + 0.5 + 0.000001)/10000 AS alpha,
+        |    floor(((syy - sy*sy/n)
+        |      - (sty - st*sy/n)/(stt - st*st/n)*(sty - st*sy/n))
+        |      /(n - 2.0)*10000 + 0.5 + 0.000001)/10000 AS s2,
+        |    floor(st/n*10000 + 0.5 + 0.000001)/10000 AS tbar,
+        |    floor((stt - st*st/n)*10000 + 0.5 + 0.000001)/10000 AS ctt
+        |  FROM m),
+        |sc AS (SELECT d,
+        |    y - alpha - beta*t AS e,
+        |    1.0/n + (t - tbar)*(t - tbar)/ctt AS h
+        |  FROM dt, b),
+        |ck AS (SELECT d, e,
+        |    e*e*h/(2.0*s2*(1.0 - h)*(1.0 - h)) AS cook_raw, n
+        |  FROM sc, b)
+        |SELECT d,
+        |  floor(cook_raw*10000 + 0.5 + 0.000001)/10000 AS cooks_d,
+        |  floor(e*10000 + 0.5 + 0.000001)/10000 AS residual,
+        |  floor(cook_raw*10000 + 0.5 + 0.000001)/10000
+        |    > floor(4.0/n*10000 + 0.5 + 0.000001)/10000 AS influential
+        |FROM ck ORDER BY cooks_d DESC, d LIMIT 5""".stripMargin,
+    "q_page_hinkley" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    AVG(o_totalprice)/1000.0 AS x
+        |  FROM orders GROUP BY 1),
+        |cum AS (SELECT d, x,
+        |    CAST(COUNT(*) OVER wc AS DOUBLE) AS i,
+        |    SUM(x) OVER wc AS sx
+        |  FROM daily
+        |  WINDOW wc AS (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |terms AS (SELECT d, x,
+        |    floor(sx/i*10000 + 0.5 + 0.000001)/10000 AS xbar,
+        |    floor((x - floor(sx/i*10000 + 0.5 + 0.000001)/10000 - 0.5)
+        |      *10000 + 0.5 + 0.000001)/10000 AS term
+        |  FROM cum),
+        |u AS (SELECT d, x, xbar,
+        |    floor(SUM(term) OVER wc*10000 + 0.5 + 0.000001)/10000 AS u
+        |  FROM terms
+        |  WINDOW wc AS (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ph AS (SELECT d, x, xbar,
+        |    floor((u - MIN(u) OVER wc)*10000 + 0.5 + 0.000001)/10000
+        |      AS ph
+        |  FROM u
+        |  WINDOW wc AS (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT d, ph,
+        |  floor(x*10000 + 0.5 + 0.000001)/10000 AS day_mean,
+        |  xbar AS running_mean
+        |FROM ph WHERE ph > 50.0 ORDER BY d""".stripMargin,
+    "q_engle_granger" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CASE WHEN r_name = 'AMERICA' THEN o_totalprice
+        |      ELSE 0.0 END)/1000.0 AS a,
+        |    SUM(CASE WHEN r_name = 'EUROPE' THEN o_totalprice
+        |      ELSE 0.0 END)/1000.0 AS b
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1),
+        |m1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(b) AS sb, SUM(a) AS sa, SUM(b*b) AS sbb,
+        |    SUM(b*a) AS sba FROM daily),
+        |b1 AS (SELECT
+        |    floor((sba - sb*sa/n)/(sbb - sb*sb/n)*10000 + 0.5
+        |      + 0.000001)/10000 AS beta,
+        |    floor((sa/n - (sba - sb*sa/n)/(sbb - sb*sb/n)*sb/n)*10000
+        |      + 0.5 + 0.000001)/10000 AS alpha
+        |  FROM m1),
+        |res AS (SELECT d,
+        |    floor((a - alpha - beta*b)*10000 + 0.5 + 0.000001)/10000
+        |      AS e
+        |  FROM daily, b1),
+        |lagd AS (SELECT e - lag(e) OVER (ORDER BY d) AS dy,
+        |    lag(e) OVER (ORDER BY d) AS x
+        |  FROM res),
+        |fl AS (SELECT dy, x FROM lagd WHERE x IS NOT NULL),
+        |m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x) AS sx, SUM(dy) AS sy, SUM(x*x) AS sxx,
+        |    SUM(x*dy) AS sxy, SUM(dy*dy) AS syy FROM fl),
+        |fin AS (SELECT n,
+        |    (sxy - sx*sy/n)/(sxx - sx*sx/n) AS g,
+        |    (syy - sy*sy/n)
+        |      - (sxy - sx*sy/n)/(sxx - sx*sx/n)*(sxy - sx*sy/n) AS rss,
+        |    sxx - sx*sx/n AS cxx
+        |  FROM m2)
+        |SELECT CAST(n AS BIGINT) AS n_obs,
+        |  floor(g*10000 + 0.5 + 0.000001)/10000 AS resid_gamma,
+        |  floor(g/sqrt(rss/(n - 2)/cxx)*10000 + 0.5 + 0.000001)/10000
+        |    AS eg_stat,
+        |  floor(g/sqrt(rss/(n - 2)/cxx)*10000 + 0.5 + 0.000001)/10000
+        |    < -3.34 AS cointegrated
+        |FROM fin""".stripMargin,
+    "q_risk_ratios" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |rets AS (SELECT floor(ln(rev / lag(rev) OVER (ORDER BY d))
+        |      *10000 + 0.5 + 0.000001)/10000 AS r
+        |  FROM daily QUALIFY lag(rev) OVER (ORDER BY d) IS NOT NULL),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(r) AS sr, SUM(r*r) AS srr,
+        |    SUM(CASE WHEN r < 0 THEN r*r ELSE 0.0 END) AS sdd,
+        |    CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS nup
+        |  FROM rets),
+        |f AS (SELECT n, sr/n AS mu,
+        |    sqrt((srr - sr*sr/n)/(n - 1.0)) AS sd,
+        |    sqrt(sdd/n) AS dd, nup FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  floor(mu*10000 + 0.5 + 0.000001)/10000 AS mean_ret,
+        |  floor(sd*10000 + 0.5 + 0.000001)/10000 AS vol,
+        |  floor(mu/sd*sqrt(365.0)*10000 + 0.5 + 0.000001)/10000
+        |    AS sharpe_ann,
+        |  floor(mu/dd*sqrt(365.0)*10000 + 0.5 + 0.000001)/10000
+        |    AS sortino_ann,
+        |  floor(nup/n*10000 + 0.5 + 0.000001)/10000 AS hit_ratio
+        |FROM f""".stripMargin,
     "q_log_rank" ->
       """WITH pc AS (SELECT o_custkey,
         |    CAST(MIN(o_orderdate) AS DATE) AS first_d,

@@ -2367,4 +2367,359 @@ object Stats {
       .select(col("d"), col("n"), col("k"), col("llr"), col("decision"))
       .orderBy(col("d"))
   }
+
+  /** Two-stage least squares (instrumental variables) at the order
+    * grain: revenue ~ quantity is confounded (big orders differ in
+    * unobserved ways), so quantity is instrumented with order PRIORITY
+    * (urgent/high = 1 — correlated with how much gets bought, plausibly
+    * excluded from the price-per-unit error). With ONE endogenous
+    * regressor and ONE instrument, 2SLS collapses to the Wald/ratio
+    * closed form β_IV = cov(z,y)/cov(z,x) — a single moment aggregate
+    * over one lineitem-orders join; the first-stage slope and the OLS
+    * slope are reported next to it so the instrument's bite and the
+    * endogeneity gap are visible. 100 TB: one fact-keyed shuffle to the
+    * order grain, then a 1-row moment reduce. */
+  def iv2sls(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sum(col("l_extendedprice")).as("y"),
+        sum(col("l_quantity")).as("x"))
+    val g = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .cast("int").cast("double").as("z"))
+      .join(li, col("o_orderkey") === col("ok"))
+    g.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(col("z") * col("x")).as("szx"),
+        sum(col("z") * col("y")).as("szy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("czx", col("szx") - col("sz") * col("sx") / col("n"))
+      .withColumn("czy", col("szy") - col("sz") * col("sy") / col("n"))
+      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("n"))
+      .select(col("n").cast("long").as("n_orders"),
+        round4eps(col("czy") / col("czx")).as("beta_iv"),
+        round4eps(col("cxy") / col("cxx")).as("beta_ols"),
+        round4eps(col("czx") / col("n")).as("first_stage_cov"),
+        round4eps(col("czy") / col("czx") - col("cxy") / col("cxx"))
+          .as("endogeneity_gap"))
+  }
+
+  /** Sharp regression discontinuity at a total-price cutoff: orders
+    * just past a spend threshold are "treated" (priority handling at
+    * 200k, say) — the causal effect is the jump in the outcome at the
+    * boundary, estimated by two separate local-linear fits within the
+    * bandwidth on either side and differenced AT the cutoff (the
+    * standard sharp-RDD estimator). Both side-fits are single moment
+    * aggregates over the bandwidth-filtered scan. */
+  def rddEffect(s: SparkSession, dir: String,
+                cutoff: Double = 200000.0,
+                bandwidth: Double = 100000.0): DataFrame = {
+    val delay = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(avg(col("l_quantity")).as("yq"))
+    val base = Tables.orders(s, dir)
+      .join(delay, col("o_orderkey") === col("ok"))
+      .select((col("o_totalprice") - lit(cutoff)).as("r"), col("yq").as("y"))
+      .filter(abs(col("r")) <= bandwidth)
+      .withColumn("side", (col("r") >= 0).cast("int"))
+    val fits = base.groupBy(col("side"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("r")).as("sr"), sum(col("y")).as("sy"),
+        sum(col("r") * col("r")).as("srr"),
+        sum(col("r") * col("y")).as("sry"))
+      .withColumn("crr", col("srr") - col("sr") * col("sr") / col("n"))
+      .withColumn("cry", col("sry") - col("sr") * col("sy") / col("n"))
+      .withColumn("slope", col("cry") / col("crr"))
+      // intercept AT the cutoff (r = 0)
+      .withColumn("at_cut",
+        col("sy") / col("n") - col("slope") * col("sr") / col("n"))
+      .select(col("side"), col("n"), col("slope"), col("at_cut"))
+    val l = fits.filter(col("side") === 0)
+      .select(col("n").as("n_left"), col("slope").as("slope_l"),
+        col("at_cut").as("y_left"))
+    val r = fits.filter(col("side") === 1)
+      .select(col("n").as("n_right"), col("slope").as("slope_r"),
+        col("at_cut").as("y_right"))
+    l.crossJoin(r).select(
+      col("n_left").cast("long").as("n_left"),
+      col("n_right").cast("long").as("n_right"),
+      round4eps(col("y_left")).as("y_left"),
+      round4eps(col("y_right")).as("y_right"),
+      round4eps(col("y_right") - col("y_left")).as("rdd_effect"),
+      round4eps(col("slope_l")).as("slope_left"),
+      round4eps(col("slope_r")).as("slope_right"))
+  }
+
+  /** Chow structural-break test on the daily-revenue time trend: the
+    * pooled OLS of revenue-per-day on the day index vs separate fits
+    * before/after the midpoint break date,
+    * F = ((RSS_p − RSS_1 − RSS_2)/k) / ((RSS_1 + RSS_2)/(n − 2k)),
+    * k = 2. Three moment fits over one calendar-bounded daily frame;
+    * the break date is the median order date (data-derived, so the
+    * gate is stable under regeneration). */
+  def chowTest(s: SparkSession, dir: String): DataFrame = {
+    // revenue in MILLIONS: RSS magnitudes must stay small enough that
+    // the 4-decimal quantization sits inside double precision (in
+    // thousands the 1e9-scale RSS flipped its last quantum on
+    // aggregation order — caught by the oracle in-round)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg((sum(col("o_totalprice")) / lit(1000000.0)).as("y"))
+      .withColumn("t", datediff(col("d"),
+        min(col("d")).over(Window.orderBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))).cast("double"))
+    // break at the exact midpoint of the observed index range —
+    // integer-derived, so both engines split identically
+    val brk = daily.agg(floor(max(col("t")) / lit(2.0)).as("b"))
+    val df2 = daily.crossJoin(broadcast(brk))
+      .withColumn("seg", (col("t") >= col("b")).cast("int"))
+      .persistMemDisk
+    def rss(g: DataFrame, by: Seq[Column]): DataFrame = {
+      val agged = (if (by.isEmpty) g.groupBy() else g.groupBy(by: _*))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("t")).as("st"), sum(col("y")).as("sy"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("t") * col("y")).as("sty"),
+          sum(col("y") * col("y")).as("syy"))
+      agged
+        .withColumn("ctt", col("stt") - col("st") * col("st") / col("n"))
+        .withColumn("cty", col("sty") - col("st") * col("sy") / col("n"))
+        .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+        .withColumn("rss",
+          col("cyy") - col("cty") * col("cty") / col("ctt"))
+    }
+    val pooled = rss(df2, Seq.empty)
+      .select(col("n").as("n_all"), col("rss").as("rss_p"))
+    val split = rss(df2, Seq(col("seg")))
+      .agg(sum(col("rss")).as("rss_s"), count(lit(1)).as("n_seg"))
+    pooled.crossJoin(split)
+      .withColumn("f_raw",
+        ((col("rss_p") - col("rss_s")) / lit(2.0)) /
+          (col("rss_s") / (col("n_all") - lit(4.0))))
+      .select(col("n_all").cast("long").as("n_days"),
+        round4eps(col("rss_p")).as("rss_pooled"),
+        round4eps(col("rss_s")).as("rss_split"),
+        round4eps(col("f_raw")).as("chow_f"),
+        (round4eps(col("f_raw")) > 3.0).as("break_detected"))
+  }
+
+  /** Breusch-Pagan heteroskedasticity test on the daily-revenue trend
+    * fit: squared OLS residuals regressed back on the day index,
+    * LM = n·R²_aux against the quantized χ²₁ 5% value 3.84. Two chained
+    * moment passes (the second reuses the broadcast first-stage betas —
+    * the conformalOls two-stage pattern). Constant-size state at any
+    * corpus: both passes collapse to the calendar axis first. */
+  def breuschPagan(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg((sum(col("o_totalprice")) / lit(1000.0)).as("y"))
+      .withColumn("t", datediff(col("d"),
+        min(col("d")).over(Window.orderBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))).cast("double"))
+      .persistMemDisk
+    val m1 = daily.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("t")).as("st"), sum(col("y")).as("sy"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("y")).as("sty"))
+      .withColumn("ctt", col("stt") - col("st") * col("st") / col("n"))
+      .withColumn("beta",
+        (col("sty") - col("st") * col("sy") / col("n")) / col("ctt"))
+      .withColumn("alpha",
+        col("sy") / col("n") - col("beta") * col("st") / col("n"))
+      .select(round4eps(col("beta")).as("beta"),
+        round4eps(col("alpha")).as("alpha"))
+    daily.crossJoin(broadcast(m1))
+      .withColumn("e2",
+        (col("y") - col("alpha") - col("beta") * col("t")) *
+          (col("y") - col("alpha") - col("beta") * col("t")))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("t")).as("st"), sum(col("e2")).as("se"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("e2")).as("ste"),
+        sum(col("e2") * col("e2")).as("see"))
+      .withColumn("ctt", col("stt") - col("st") * col("st") / col("n"))
+      .withColumn("cte", col("ste") - col("st") * col("se") / col("n"))
+      .withColumn("cee", col("see") - col("se") * col("se") / col("n"))
+      .withColumn("r2", col("cte") * col("cte") / col("ctt") / col("cee"))
+      .select(col("n").cast("long").as("n_days"),
+        round4eps(col("r2")).as("aux_r2"),
+        round4eps(col("n") * col("r2")).as("lm_stat"),
+        (round4eps(col("n") * col("r2")) > 3.84).as("heteroskedastic"))
+  }
+
+  /** Cook's distance — the top influential days of the daily-revenue
+    * trend fit: D_i = e_i²·h_i / (p·s²·(1−h_i)²) with the simple-
+    * regression leverage h_i = 1/n + (t_i − t̄)²/S_tt, p = 2. One
+    * moment pass broadcasts (betas, s², t̄, S_tt); the per-day score is
+    * then map-only and TakeOrdered keeps the top 5 — no global sort.
+    * The flag compares against the 4/n rule of thumb. */
+  def cooksDistance(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg((sum(col("o_totalprice")) / lit(1000.0)).as("y"))
+      .withColumn("t", datediff(col("d"),
+        min(col("d")).over(Window.orderBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))).cast("double"))
+      .persistMemDisk
+    val m = daily.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("t")).as("st"), sum(col("y")).as("sy"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("y")).as("sty"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("ctt", col("stt") - col("st") * col("st") / col("n"))
+      .withColumn("cty", col("sty") - col("st") * col("sy") / col("n"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("beta", col("cty") / col("ctt"))
+      .withColumn("alpha",
+        col("sy") / col("n") - col("beta") * col("st") / col("n"))
+      .withColumn("s2",
+        (col("cyy") - col("beta") * col("cty")) / (col("n") - lit(2.0)))
+      .withColumn("tbar", col("st") / col("n"))
+      .select(round4eps(col("beta")).as("beta"),
+        round4eps(col("alpha")).as("alpha"),
+        round4eps(col("s2")).as("s2"),
+        round4eps(col("tbar")).as("tbar"),
+        round4eps(col("ctt")).as("ctt"), col("n"))
+    daily.crossJoin(broadcast(m))
+      .withColumn("e",
+        col("y") - col("alpha") - col("beta") * col("t"))
+      .withColumn("h", lit(1.0) / col("n") +
+        (col("t") - col("tbar")) * (col("t") - col("tbar")) / col("ctt"))
+      .withColumn("cook_raw", col("e") * col("e") * col("h") /
+        (lit(2.0) * col("s2") * (lit(1.0) - col("h")) * (lit(1.0) - col("h"))))
+      .select(col("d"), round4eps(col("cook_raw")).as("cooks_d"),
+        round4eps(col("e")).as("residual"),
+        (round4eps(col("cook_raw")) > round4eps(lit(4.0) / col("n")))
+          .as("influential"))
+      .orderBy(col("cooks_d").desc, col("d"))
+      .limit(5)
+  }
+
+  /** Page-Hinkley drift detector over the daily mean order value: the
+    * cumulative deviation U_t = Σ_{i≤t} (x_i − x̄_i − δ) against its
+    * running minimum, alarm when PH_t = U_t − min U exceeds λ. Every
+    * term is window-exact (running mean = cumsum/i — no recursion
+    * truncation needed, unlike EWMA), over the calendar-collapsed
+    * series. Reports the alarm days. */
+  def pageHinkley(s: SparkSession, dir: String,
+                  delta: Double = 0.5, lambda: Double = 50.0): DataFrame = {
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg((avg(col("o_totalprice")) / lit(1000.0)).as("x"))
+      .withColumn("i", count(lit(1)).over(w).cast("double"))
+      .withColumn("xbar", round4eps(sum(col("x")).over(w) / col("i")))
+      .withColumn("u", round4eps(
+        sum(round4eps(col("x") - col("xbar") - lit(delta))).over(w)))
+      .withColumn("ph", round4eps(col("u") - min(col("u")).over(w)))
+      .filter(col("ph") > lambda)
+      .select(col("d"), col("ph"),
+        round4eps(col("x")).as("day_mean"), col("xbar").as("running_mean"))
+      .orderBy(col("d"))
+  }
+
+  /** Engle-Granger cointegration screen between two regional daily
+    * revenue series: OLS of series A on series B, then the lag-0
+    * Dickey-Fuller unit-root test ON THE RESIDUALS (composing
+    * [[adfTest]]'s closed form; stationary residuals = cointegrated).
+    * Series built from one orders scan; both stages are moment
+    * aggregates over the calendar-bounded day frame. The residual
+    * stage reuses the broadcast first-stage betas, both quantized so
+    * the oracle replays the identical two-step arithmetic. */
+  def engleGranger(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(when(col("r_name") === "AMERICA",
+          col("o_totalprice")).otherwise(lit(0.0))).as("ya_raw"),
+        sum(when(col("r_name") === "EUROPE",
+          col("o_totalprice")).otherwise(lit(0.0))).as("yb_raw"))
+      .select(col("d"), (col("ya_raw") / lit(1000.0)).as("a"),
+        (col("yb_raw") / lit(1000.0)).as("b"))
+      .persistMemDisk
+    val m1 = daily.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("b")).as("sb"), sum(col("a")).as("sa"),
+        sum(col("b") * col("b")).as("sbb"),
+        sum(col("b") * col("a")).as("sba"))
+      .withColumn("cbb", col("sbb") - col("sb") * col("sb") / col("n"))
+      .withColumn("beta",
+        (col("sba") - col("sb") * col("sa") / col("n")) / col("cbb"))
+      .withColumn("alpha",
+        col("sa") / col("n") - col("beta") * col("sb") / col("n"))
+      .select(round4eps(col("beta")).as("beta"),
+        round4eps(col("alpha")).as("alpha"))
+    val wd = Window.orderBy(col("d"))
+    val resid = daily.crossJoin(broadcast(m1))
+      .withColumn("e", round4eps(
+        col("a") - col("alpha") - col("beta") * col("b")))
+      .withColumn("elag", lag(col("e"), 1).over(wd))
+      .filter(col("elag").isNotNull)
+      .select((col("e") - col("elag")).as("dy"), col("elag").as("x"))
+    resid.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("dy")).as("sxy"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("n"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("g", col("cxy") / col("cxx"))
+      .withColumn("rss", col("cyy") - col("g") * col("cxy"))
+      .withColumn("se", sqrt(col("rss") / (col("n") - 2) / col("cxx")))
+      .withColumn("stat", round4eps(col("g") / col("se")))
+      .select(col("n").cast("long").as("n_obs"),
+        round4eps(col("g")).as("resid_gamma"),
+        col("stat").as("eg_stat"),
+        // Engle-Granger critical value is stricter than plain ADF
+        // (estimated cointegrating vector): 5% ≈ -3.34
+        (col("stat") < -3.34).as("cointegrated"))
+  }
+
+  /** Daily-revenue risk ratios — the portfolio-style summary of a
+    * revenue stream: mean/vol of day-over-day log returns, annualized
+    * Sharpe (rf = 0), Sortino (downside-only deviation), and the hit
+    * ratio. One calendar-collapsed frame, one lag window, one moment
+    * aggregate. Log returns are quantized before the moments so both
+    * engines fold identical series. */
+  def riskRatios(s: SparkSession, dir: String): DataFrame = {
+    val wd = Window.orderBy(col("d"))
+    val rets = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .withColumn("prev", lag(col("rev"), 1).over(wd))
+      .filter(col("prev").isNotNull)
+      .select(round4eps(log(col("rev") / col("prev"))).as("r"))
+    rets.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("r")).as("sr"),
+        sum(col("r") * col("r")).as("srr"),
+        sum(when(col("r") < 0, col("r") * col("r"))
+          .otherwise(lit(0.0))).as("sdd"),
+        sum((col("r") > 0).cast("int")).cast("double").as("nup"))
+      .withColumn("mu", col("sr") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("srr") - col("sr") * col("sr") / col("n")) /
+          (col("n") - lit(1.0))))
+      .withColumn("dd", sqrt(col("sdd") / col("n")))
+      .select(col("n").cast("long").as("n_days"),
+        round4eps(col("mu")).as("mean_ret"),
+        round4eps(col("sd")).as("vol"),
+        round4eps(col("mu") / col("sd") * sqrt(lit(365.0)))
+          .as("sharpe_ann"),
+        round4eps(col("mu") / col("dd") * sqrt(lit(365.0)))
+          .as("sortino_ann"),
+        round4eps(col("nup") / col("n")).as("hit_ratio"))
+  }
 }

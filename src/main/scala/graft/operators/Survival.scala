@@ -215,4 +215,81 @@ object Survival {
         round4eps((col("o1_raw") - col("e1_raw")) *
           (col("o1_raw") - col("e1_raw")) / col("v_raw")).as("chi2"))
   }
+
+  /** Cox proportional-hazards fit (single binary covariate, Breslow
+    * ties): the semi-parametric churn-risk model the log-rank test
+    * only screens for. With a binary covariate the partial likelihood
+    * collapses COMPLETELY onto the life table — per event time t only
+    * (d(t), d1(t), n0(t), n1(t)) matter:
+    *
+    *   U(β) = Σ_t [d1(t) − d(t)·r(t)],   r(t) = n1·e^β / (n0 + n1·e^β)
+    *   I(β) = Σ_t d(t)·r(t)·(1 − r(t))
+    *
+    * so the distributed work is ONE orders scan → calendar-bounded
+    * risk frame (NDV ≤ ~2.4k event days), and Newton from β = 0 runs
+    * driver-side over the collected frame (the bounded-series collect
+    * discipline — loud require cap). Each β iterate is 1e-6-quantized
+    * so the DuckDB oracle's recursive CTE walks the IDENTICAL
+    * trajectory (the q_markov_absorption/q_holt_forecast idiom).
+    * Wald z = β̂·√I(β̂) against the quantized 1.96 critical value.
+    *
+    * 100 TB posture: fact-scan linear; the Newton loop runs over a
+    * frame bounded by the CALENDAR, not the corpus — flat at any sf. */
+  def coxPh(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("int").as("g1"))
+    val dur = durations(s, dir)
+      .join(seg, col("o_custkey") === col("c_custkey"))
+    val byT = dur.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(col("event")).as("d_all"),
+        sum(col("g1")).as("n1_at"),
+        sum(col("event") * col("g1")).as("d1"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT
+      .withColumn("n_risk", sum(col("n_at")).over(wDesc))
+      .withColumn("n1_risk", sum(col("n1_at")).over(wDesc))
+      .filter(col("d_all") > 0)
+      .select(col("d_all").cast("double").as("d"),
+        col("d1").cast("double").as("d1"),
+        col("n1_risk").cast("double").as("n1"),
+        (col("n_risk") - col("n1_risk")).cast("double").as("n0"))
+      .collect()
+    require(risk.length <= 10000,
+      s"cox life table has ${risk.length} event times — the duration " +
+        "axis is calendar-bounded (~2.4k days); a larger frame means " +
+        "the collapse upstream broke, not that more driver memory is ok")
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5 + 1e-6) / 1e6
+    def scoreInfo(beta: Double): (Double, Double) = {
+      var u = 0.0; var i2 = 0.0
+      risk.foreach { row =>
+        val d = row.getDouble(0); val d1 = row.getDouble(1)
+        val n1 = row.getDouble(2); val n0 = row.getDouble(3)
+        val r = n1 * math.exp(beta) / (n0 + n1 * math.exp(beta))
+        u += d1 - d * r
+        i2 += d * r * (1.0 - r)
+      }
+      (u, i2)
+    }
+    var beta = 0.0
+    for (_ <- 1 to iters) {
+      val (u, i2) = scoreInfo(beta)
+      beta = q6(beta + u / i2)
+    }
+    // Wald information is evaluated AT the converged beta (the oracle
+    // recomputes it the same way after its recursive walk)
+    val info = scoreInfo(beta)._2
+    val nEvents = risk.map(_.getDouble(0)).sum.toLong
+    import s.implicits._
+    Seq((risk.length.toLong, nEvents, beta, math.exp(beta),
+        beta * math.sqrt(info)))
+      .toDF("n_times", "n_events", "beta_raw", "hr_raw", "wald_raw")
+      .select(col("n_times"), col("n_events"),
+        round4eps(col("beta_raw")).as("beta"),
+        round4eps(col("hr_raw")).as("hazard_ratio"),
+        round4eps(col("wald_raw")).as("wald_z"),
+        (round4eps(abs(col("wald_raw"))) > 1.96).as("significant"))
+  }
 }

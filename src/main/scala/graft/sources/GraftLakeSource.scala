@@ -219,7 +219,8 @@ private[graft] final class GraftLakeTable(
     inner: ParquetTable, visible: StructType, tableName: String,
     writeTarget: Option[(String, String)] = None)
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
   override def schema(): StructType = visible
@@ -250,6 +251,78 @@ private[graft] final class GraftLakeTable(
       s"$tableName was mounted read-only (path mount); writes go " +
         "through the graft catalog or the LakeCatalog facade"))
     new GraftLakeWriteBuilder(wh, nm, truncate = false)
+  }
+
+  /** SQL `DELETE FROM <cat>.<ns>.<t> WHERE ...` (and, via the
+    * TruncatableTable default, `TRUNCATE TABLE`): the pushed V1
+    * filters are rebuilt into a Column predicate and routed through
+    * [[graft.pipeline.LakeCatalog.deleteWhere]] — the crash-safe
+    * commit-pruned copy-on-write rewrite with NULL-predicate-keep
+    * semantics, so SQL deletes and facade deletes are ONE
+    * implementation. Predicates Spark cannot push as filters are
+    * refused in [[canDeleteWhere]] (Spark raises its standard
+    * cannot-delete-by-filter error instead of a wrong partial
+    * delete). */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writeTarget.isDefined && filters.forall(FilterToColumn.translatable)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val (wh, nm) = writeTarget.getOrElse(throw new IllegalStateException(
+      s"$tableName was mounted read-only (path mount); deletes go " +
+        "through the graft catalog or the LakeCatalog facade"))
+    val pred = filters.map(FilterToColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    new graft.pipeline.LakeCatalog(SparkSession.active, wh)
+      .deleteWhere(nm, pred)
+    ()
+  }
+}
+
+/** V1 `sources.Filter` → `Column` rebuild for the SupportsDelete seam.
+  * Only filter shapes with exact Column equivalents are translatable;
+  * anything else makes [[GraftLakeTable.canDeleteWhere]] refuse, which
+  * surfaces Spark's standard unsupported-delete error. */
+private[graft] object FilterToColumn {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.Column
+
+  def translatable(f: Filter): Boolean = f match {
+    case And(l, r) => translatable(l) && translatable(r)
+    case Or(l, r)  => translatable(l) && translatable(r)
+    case Not(c)    => translatable(c)
+    case _: EqualTo | _: EqualNullSafe | _: GreaterThan |
+         _: GreaterThanOrEqual | _: LessThan | _: LessThanOrEqual |
+         _: In | _: IsNull | _: IsNotNull | _: StringStartsWith |
+         _: StringEndsWith | _: StringContains | _: AlwaysTrue |
+         _: AlwaysFalse => true
+    case _ => false
+  }
+
+  def apply(f: Filter): Column = f match {
+    case EqualTo(a, v)            => col(a) === lit(v)
+    case EqualNullSafe(a, v)      => col(a) <=> lit(v)
+    case GreaterThan(a, v)        => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v)           => col(a) < lit(v)
+    case LessThanOrEqual(a, v)    => col(a) <= lit(v)
+    case In(a, vs)                => col(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a)                => col(a).isNull
+    case IsNotNull(a)             => col(a).isNotNull
+    case StringStartsWith(a, v)   => col(a).startsWith(v)
+    case StringEndsWith(a, v)     => col(a).endsWith(v)
+    case StringContains(a, v)     => col(a).contains(v)
+    case And(l, r)                => apply(l) && apply(r)
+    case Or(l, r)                 => apply(l) || apply(r)
+    case Not(c)                   => !apply(c)
+    case _: AlwaysTrue            => lit(true)
+    case _: AlwaysFalse           => lit(false)
+    case other => throw new UnsupportedOperationException(
+      s"untranslatable delete filter: $other (canDeleteWhere should " +
+        "have refused this plan)")
   }
 }
 

@@ -233,6 +233,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(facade.table("raw.bitcoin_prices").count() === 5L)
   }
 
+  test("SQL DELETE routes through the facade's crash-safe rewrite; " +
+      "TRUNCATE TABLE empties; untranslatable predicates refuse loudly") {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.raw.deltest " +
+      "(k BIGINT, v STRING, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i",
+        java.sql.Timestamp.valueOf(f"2026-03-0$i%d 00:00:00")))
+        .toDF("k", "v", "ts").writeTo(s"$cat.raw.deltest").append()
+    }
+    spark.sql(s"DELETE FROM $cat.raw.deltest WHERE k = 2")
+    assert(spark.table(s"$cat.raw.deltest").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // compound pushable predicate
+    spark.sql(s"DELETE FROM $cat.raw.deltest WHERE k > 2 AND v = 'v3'")
+    assert(spark.table(s"$cat.raw.deltest").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    // NULL-predicate three-valued logic: rows where the predicate is
+    // NULL are KEPT (facade deleteWhere semantics through the seam)
+    Seq((9L, null.asInstanceOf[String],
+      java.sql.Timestamp.valueOf("2026-03-09 00:00:00")))
+      .toDF("k", "v", "ts").writeTo(s"$cat.raw.deltest").append()
+    spark.sql(s"DELETE FROM $cat.raw.deltest WHERE v = 'nope'")
+    assert(spark.table(s"$cat.raw.deltest").count() === 2L)
+    // a predicate Spark cannot push as filters is refused, not half-run
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.raw.deltest WHERE length(v) + k > 100")
+    }
+    assert(e.getMessage.contains("cannot translate expression to source filter"),
+      e.getMessage)
+    spark.sql(s"TRUNCATE TABLE $cat.raw.deltest")
+    assert(spark.table(s"$cat.raw.deltest").count() === 0L)
+    spark.sql(s"DROP TABLE $cat.raw.deltest")
+  }
+
   test("no-sidecar fallback merges footers like the facade repair path " +
       "(add-column-evolved table surfaces the late column)") {
     val whl = java.nio.file.Files

