@@ -573,9 +573,17 @@ object Joins {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
-    val perOrder = flagged.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+    // Two-level aggregate instead of two countDistincts: the distinct
+    // grain is (order, supplier), so collapsing to it FIRST makes the
+    // order-level counts plain (map-side-combinable) aggregates —
+    // the single-aggregate Expand(×3) plan the multi-countDistinct
+    // form compiles to tripled the shuffle for no semantic gain
+    // (r10 receipt: 2.0 s → measured below, same oracle).
+    val perOrderSupp = flagged.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+    val perOrder = perOrderSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supps"),
+        sum(col("late").cast("long")).as("n_late"),
         min(when(col("late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supps") > 1 && col("n_late") === 1)
     perOrder
