@@ -994,6 +994,14 @@ object SparkEntry {
     "q_page_hinkley"     -> ((s, d) => Stats.pageHinkley(s, d)),
     "q_engle_granger"    -> ((s, d) => Stats.engleGranger(s, d)),
     "q_risk_ratios"      -> ((s, d) => Stats.riskRatios(s, d)),
+    "q_propensity_att"   -> ((s, d) => Stats.propensityAtt(s, d)),
+    "q_bh_fdr"           -> ((s, d) => Stats.bhFdr(s, d)),
+    "q_lda_direction"    -> ((s, d) => Stats.ldaDirection(s, d)),
+    // technical indicators over the daily revenue series (calendar-
+    // bounded windows; MACD EMAs are K-truncated closed forms)
+    "q_rsi"              -> ((s, d) => graft.operators.Indicators.rsi(s, d)),
+    "q_macd"             -> ((s, d) => graft.operators.Indicators.macd(s, d)),
+    "q_bollinger"        -> ((s, d) => graft.operators.Indicators.bollinger(s, d)),
     "q_meta_fixed"       -> ((s, d) => Stats.metaFixedEffect(s, d)),
     // shallow clone: zero-copy CLONE TABLE, then histories diverge —
     // the clone takes one extra commit, the source must not move
@@ -8076,6 +8084,228 @@ object SparkEntry {
         |  floor(g/sqrt(rss/(n - 2)/cxx)*10000 + 0.5 + 0.000001)/10000
         |    < -3.34 AS cointegrated
         |FROM fin""".stripMargin,
+    "q_propensity_att" ->
+      """WITH pc AS (SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS n_ord,
+        |    SUM(o_totalprice)/1000.0 AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT c_custkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END
+        |      AS tr,
+        |    c_acctbal/1000.0 AS x1, n_ord AS x2, y
+        |  FROM customer JOIN pc ON c_custkey = o_custkey),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(tr) AS st,
+        |    SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+        |    SUM(x1*tr) AS s1t, SUM(x2*tr) AS s2t FROM base),
+        |c AS (SELECT n, st,
+        |    s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12,
+        |    s22 - s2*s2/n AS c22, s1t - s1*st/n AS c1t,
+        |    s2t - s2*st/n AS c2t, s1/n AS m1, s2/n AS m2 FROM m),
+        |b AS (SELECT
+        |    floor((c22*c1t - c12*c2t)/(c11*c22 - c12*c12)*10000
+        |      + 0.5 + 0.000001)/10000 AS b1,
+        |    floor((c11*c2t - c12*c1t)/(c11*c22 - c12*c12)*10000
+        |      + 0.5 + 0.000001)/10000 AS b2,
+        |    floor(st/n*10000 + 0.5 + 0.000001)/10000 AS tbar,
+        |    floor(m1*10000 + 0.5 + 0.000001)/10000 AS m1,
+        |    floor(m2*10000 + 0.5 + 0.000001)/10000 AS m2
+        |  FROM c),
+        |sc AS (SELECT tr, y,
+        |    NTILE(5) OVER (ORDER BY
+        |      floor((tbar + b1*(x1 - m1) + b2*(x2 - m2))*10000
+        |        + 0.5 + 0.000001)/10000, c_custkey) AS stratum
+        |  FROM base, b),
+        |strata AS (SELECT stratum, SUM(tr) AS n_t,
+        |    SUM(1.0 - tr) AS n_c, SUM(tr*y) AS sy_t,
+        |    SUM((1.0 - tr)*y) AS sy_c
+        |  FROM sc GROUP BY 1 HAVING SUM(tr) > 0 AND SUM(1.0 - tr) > 0),
+        |g AS (SELECT stratum, n_t, n_c,
+        |    sy_t/n_t - sy_c/n_c AS gap FROM strata)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |  CAST(SUM(n_t) AS BIGINT) AS n_treated,
+        |  CAST(SUM(n_c) AS BIGINT) AS n_control,
+        |  floor(SUM(gap*n_t)/SUM(n_t)*10000 + 0.5 + 0.000001)/10000
+        |    AS att,
+        |  floor(SUM(gap)/COUNT(*)*10000 + 0.5 + 0.000001)/10000
+        |    AS ate_unweighted
+        |FROM g""".stripMargin,
+    "q_bh_fdr" ->
+      """WITH g AS (SELECT n_name AS nation, o_totalprice/1000.0 AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey),
+        |per AS (SELECT nation, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(v) AS sv, SUM(v*v) AS svv FROM g GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS gn, SUM(sv) AS gs, SUM(svv) AS gss
+        |  FROM per),
+        |z AS (SELECT nation,
+        |    (sv/n - (gs - sv)/(gn - n)) / sqrt(
+        |      ((svv - sv*sv/n)/(n - 1.0))/n
+        |      + (((gss - svv) - (gs - sv)*(gs - sv)/(gn - n))
+        |         /(gn - n - 1.0))/(gn - n)) AS zv
+        |  FROM per, tot),
+        |p AS (SELECT nation, zv,
+        |    floor(2.0 * exp(-(floor(abs(zv)*1000000 + 0.5 + 0.000001)
+        |        /1000000)
+        |      * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)
+        |      / 2.0) / 2.5066282746310002
+        |      * ((1.0/(1.0 + 0.2316419
+        |          * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |        * (0.319381530
+        |          + (1.0/(1.0 + 0.2316419
+        |             * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |          * (-0.356563782
+        |            + (1.0/(1.0 + 0.2316419
+        |               * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |            * (1.781477937
+        |              + (1.0/(1.0 + 0.2316419
+        |                 * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |              * (-1.821255978
+        |                + (1.0/(1.0 + 0.2316419
+        |                   * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |                * 1.330274429)))))
+        |      * 1000000 + 0.5 + 0.000001)/1000000 AS pv
+        |  FROM z),
+        |mct AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM p),
+        |rk AS (SELECT nation, zv, pv,
+        |    ROW_NUMBER() OVER (ORDER BY pv, nation) AS rank
+        |  FROM p),
+        |cr AS (SELECT nation, zv, pv, rank,
+        |    floor(rank/m*0.1*10000 + 0.5 + 0.000001)/10000 AS crit,
+        |    CASE WHEN pv <= floor(rank/m*0.1*10000 + 0.5
+        |      + 0.000001)/10000 THEN 1 ELSE 0 END AS below
+        |  FROM rk, mct),
+        |su AS (SELECT nation, zv, pv, rank, crit,
+        |    MAX(below) OVER (ORDER BY pv DESC, nation DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |      AS rejected
+        |  FROM cr)
+        |SELECT nation, CAST(rank AS BIGINT) AS rank,
+        |  floor(zv*10000 + 0.5 + 0.000001)/10000 AS z,
+        |  pv AS p_value, crit AS bh_crit, rejected
+        |FROM su ORDER BY rank""".stripMargin,
+    "q_lda_direction" ->
+      """WITH feats AS (SELECT
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS cls,
+        |    n_chars/100.0 AS f1,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE)/10.0 AS f2
+        |  FROM documents),
+        |per AS (SELECT cls, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(f1) AS s1, SUM(f2) AS s2,
+        |    SUM(f1*f1) AS s11, SUM(f1*f2) AS s12, SUM(f2*f2) AS s22
+        |  FROM feats GROUP BY 1),
+        |pm AS (SELECT cls, n, s1/n AS m1, s2/n AS m2,
+        |    s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12,
+        |    s22 - s2*s2/n AS c22 FROM per),
+        |a AS (SELECT n AS n1, m1 AS a1, m2 AS a2, c11 AS p11,
+        |    c12 AS p12, c22 AS p22 FROM pm WHERE cls = 1),
+        |b AS (SELECT n AS n0, m1 AS b1, m2 AS b2, c11 AS q11,
+        |    c12 AS q12, c22 AS q22 FROM pm WHERE cls = 0),
+        |f AS (SELECT n1, n0, a1, a2, b1, b2,
+        |    (p11 + q11)/(n1 + n0 - 2.0) AS s11,
+        |    (p12 + q12)/(n1 + n0 - 2.0) AS s12,
+        |    (p22 + q22)/(n1 + n0 - 2.0) AS s22,
+        |    a1 - b1 AS d1, a2 - b2 AS d2
+        |  FROM a, b),
+        |w AS (SELECT n1, n0, a1, a2, b1, b2, d1, d2,
+        |    (s22*d1 - s12*d2)/(s11*s22 - s12*s12) AS w1,
+        |    (s11*d2 - s12*d1)/(s11*s22 - s12*s12) AS w2
+        |  FROM f)
+        |SELECT CAST(n1 AS BIGINT) AS n_en, CAST(n0 AS BIGINT) AS n_rest,
+        |  floor(w1*10000 + 0.5 + 0.000001)/10000 AS w_chars,
+        |  floor(w2*10000 + 0.5 + 0.000001)/10000 AS w_tokens,
+        |  floor((w1*a1 + w2*a2)*10000 + 0.5 + 0.000001)/10000
+        |    AS proj_en,
+        |  floor((w1*b1 + w2*b2)*10000 + 0.5 + 0.000001)/10000
+        |    AS proj_rest,
+        |  floor((w1*d1 + w2*d2)*10000 + 0.5 + 0.000001)/10000
+        |    AS fisher_sep
+        |FROM w""".stripMargin,
+    "q_rsi" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS x
+        |  FROM orders GROUP BY 1),
+        |chg AS (SELECT d, x,
+        |    floor((x - lag(x) OVER (ORDER BY d))*10000 + 0.5
+        |      + 0.000001)/10000 AS chg
+        |  FROM daily QUALIFY lag(x) OVER (ORDER BY d) IS NOT NULL),
+        |gl AS (SELECT d, x,
+        |    CASE WHEN chg > 0 THEN chg ELSE 0.0 END AS gain,
+        |    CASE WHEN chg < 0 THEN -chg ELSE 0.0 END AS loss,
+        |    ROW_NUMBER() OVER (ORDER BY d) AS r
+        |  FROM chg),
+        |w AS (SELECT d, x, r, AVG(gain) OVER w14 AS ag,
+        |    AVG(loss) OVER w14 AS al
+        |  FROM gl
+        |  WINDOW w14 AS (ORDER BY d
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT d, x AS close,
+        |  CASE WHEN floor(al*10000 + 0.5 + 0.000001)/10000 = 0.0
+        |    THEN 100.0
+        |    ELSE floor((100.0 - 100.0/(1.0 + ag/al))*10000 + 0.5
+        |      + 0.000001)/10000 END AS rsi
+        |FROM w WHERE r >= 14 ORDER BY d""".stripMargin,
+    "q_macd" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS x
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT AVG(x) AS mu FROM daily),
+        |w AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS r,
+        |    list(x) OVER (ORDER BY d
+        |      ROWS BETWEEN 239 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM daily),
+        |em AS (SELECT d, x, r,
+        |    floor((
+        |      (2.0/13.0) * list_sum([arr[j]
+        |        * pow(1.0 - 2.0/13.0, len(arr)-j)
+        |        for j in range(1, len(arr)+1)])
+        |      + CASE WHEN r <= 240 THEN pow(1.0 - 2.0/13.0, r)*mu
+        |        ELSE 0.0 END
+        |      - (2.0/27.0) * list_sum([arr[j]
+        |        * pow(1.0 - 2.0/27.0, len(arr)-j)
+        |        for j in range(1, len(arr)+1)])
+        |      - CASE WHEN r <= 240 THEN pow(1.0 - 2.0/27.0, r)*mu
+        |        ELSE 0.0 END)*10000 + 0.5 + 0.000001)/10000 AS macd
+        |  FROM w, st),
+        |mst AS (SELECT AVG(macd) AS mmu FROM em),
+        |m2 AS (SELECT d, x, r, macd,
+        |    list(macd) OVER (ORDER BY d
+        |      ROWS BETWEEN 239 PRECEDING AND CURRENT ROW) AS marr
+        |  FROM em),
+        |sig AS (SELECT d, x, macd,
+        |    floor(((2.0/10.0) * list_sum([marr[j]
+        |        * pow(1.0 - 2.0/10.0, len(marr)-j)
+        |        for j in range(1, len(marr)+1)])
+        |      + CASE WHEN r <= 240 THEN pow(1.0 - 2.0/10.0, r)*mmu
+        |        ELSE 0.0 END)*10000 + 0.5 + 0.000001)/10000 AS signal
+        |  FROM m2, mst)
+        |SELECT d, x AS close, macd, signal,
+        |  floor((macd - signal)*10000 + 0.5 + 0.000001)/10000
+        |    AS histogram,
+        |  macd > signal AS bullish
+        |FROM sig ORDER BY d""".stripMargin,
+    "q_bollinger" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS x
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS r,
+        |    AVG(x) OVER w20 AS mid,
+        |    sqrt(SUM(x*x) OVER w20 / 20.0
+        |      - (SUM(x) OVER w20 / 20.0)*(SUM(x) OVER w20 / 20.0))
+        |      AS sig
+        |  FROM daily
+        |  WINDOW w20 AS (ORDER BY d
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT d, x AS close,
+        |  floor(mid*10000 + 0.5 + 0.000001)/10000 AS mid,
+        |  floor((mid - 2.0*sig)*10000 + 0.5 + 0.000001)/10000 AS lower,
+        |  floor((mid + 2.0*sig)*10000 + 0.5 + 0.000001)/10000 AS upper,
+        |  floor((x - (mid - 2.0*sig))/(4.0*sig)*10000 + 0.5
+        |    + 0.000001)/10000 AS pct_b,
+        |  floor(4.0*sig/mid*10000 + 0.5 + 0.000001)/10000 AS bandwidth
+        |FROM w WHERE r >= 20 ORDER BY d""".stripMargin,
     "q_risk_ratios" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    SUM(o_totalprice) AS rev

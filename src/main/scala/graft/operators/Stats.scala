@@ -2688,6 +2688,192 @@ object Stats {
         (col("stat") < -3.34).as("cointegrated"))
   }
 
+  /** Propensity-score stratification ATT: treatment = BUILDING-segment
+    * customer, outcome = lifetime revenue, propensity from a linear
+    * probability model on (account balance, order count) fit in
+    * closed form (2-feature normal equations — the olsMulti pattern).
+    * Customers are cut into 5 score strata (ntile over the QUANTIZED
+    * score with custkey tie-break — deterministic), and the ATT is the
+    * treated-weighted average of within-stratum outcome gaps — the
+    * classic Rosenbaum-Rubin subclassification estimator. Moments +
+    * one bounded window; fact-linear. */
+  def propensityAtt(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("double").as("n_ord"),
+        (sum(col("o_totalprice")) / lit(1000.0)).as("y"))
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("int")
+          .cast("double").as("tr"),
+        (col("c_acctbal") / lit(1000.0)).as("x1"))
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .withColumn("x2", col("n_ord"))
+      .persistMemDisk
+    // 2-feature LPM via the normal equations (centered covariances)
+    val m = base.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("tr")).as("st"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("tr")).as("s1t"),
+      sum(col("x2") * col("tr")).as("s2t"))
+    val c11 = col("s11") - col("s1") * col("s1") / col("n")
+    val c12 = col("s12") - col("s1") * col("s2") / col("n")
+    val c22 = col("s22") - col("s2") * col("s2") / col("n")
+    val c1t = col("s1t") - col("s1") * col("st") / col("n")
+    val c2t = col("s2t") - col("s2") * col("st") / col("n")
+    val det = c11 * c22 - c12 * c12
+    val betas = m.select(
+      round4eps((c22 * c1t - c12 * c2t) / det).as("b1"),
+      round4eps((c11 * c2t - c12 * c1t) / det).as("b2"),
+      round4eps(col("st") / col("n")).as("tbar"),
+      round4eps(col("s1") / col("n")).as("m1"),
+      round4eps(col("s2") / col("n")).as("m2"))
+    val scored = base.crossJoin(broadcast(betas))
+      .withColumn("score", round4eps(col("tbar") +
+        col("b1") * (col("x1") - col("m1")) +
+        col("b2") * (col("x2") - col("m2"))))
+      .withColumn("stratum", ntile(5).over(
+        Window.orderBy(col("score"), col("c_custkey"))))
+    val strata = scored.groupBy(col("stratum"))
+      .agg(sum(col("tr")).as("n_t"),
+        sum(lit(1.0) - col("tr")).as("n_c"),
+        sum(col("tr") * col("y")).as("sy_t"),
+        sum((lit(1.0) - col("tr")) * col("y")).as("sy_c"))
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+      .withColumn("gap", col("sy_t") / col("n_t") - col("sy_c") / col("n_c"))
+    strata.agg(
+        count(lit(1)).as("n_strata"),
+        sum(col("n_t")).cast("long").as("n_treated"),
+        sum(col("n_c")).cast("long").as("n_control"),
+        round4eps(sum(col("gap") * col("n_t")) / sum(col("n_t")))
+          .as("att"),
+        round4eps(sum(col("gap")) / count(lit(1))).as("ate_unweighted"))
+  }
+
+  /** Two-sided normal p-value kernel: Φ via the Abramowitz-Stegun
+    * 26.2.17 five-term polynomial — a deterministic rational
+    * approximation (|ε| < 7.5e−8) both engines evaluate IDENTICALLY,
+    * sidestepping the missing erf() on either side. Input and output
+    * quantized at 1e-6. */
+  private[graft] def pTwoSided(z: Column): Column = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5) + lit(0.000001)) / lit(1000000.0)
+    val az = q6(abs(z))
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val phi = exp(-az * az / lit(2.0)) / lit(2.5066282746310002)
+    q6(lit(2.0) * phi * poly)
+  }
+
+  /** Benjamini-Hochberg FDR over the per-nation mean-order-value
+    * battery: each nation's two-sample z against the rest of the
+    * world, p-values from [[pTwoSided]], then the BH step-up at
+    * q = 0.1 — reject every p ≤ the LARGEST p_(k) ≤ k/m·q (the
+    * step-up needs a suffix max, one more window). The multiple-
+    * comparisons guard every per-segment metrics dashboard needs;
+    * taxonomy-bounded (25 tests) after one fact scan. */
+  def bhFdr(s: SparkSession, dir: String, q: Double = 0.1): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        (col("o_totalprice") / lit(1000.0)).as("v"))
+    val per = g.groupBy(col("nation"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
+    val tot = per.agg(sum(col("n")).as("gn"), sum(col("sv")).as("gs"),
+      sum(col("svv")).as("gss"))
+    val withZ = per.crossJoin(broadcast(tot))
+      .withColumn("rn", col("gn") - col("n"))
+      .withColumn("rs", col("gs") - col("sv"))
+      .withColumn("rss", col("gss") - col("svv"))
+      .withColumn("mu1", col("sv") / col("n"))
+      .withColumn("mu0", col("rs") / col("rn"))
+      .withColumn("v1", (col("svv") - col("sv") * col("sv") / col("n")) /
+        (col("n") - lit(1.0)))
+      .withColumn("v0", (col("rss") - col("rs") * col("rs") / col("rn")) /
+        (col("rn") - lit(1.0)))
+      .withColumn("z", (col("mu1") - col("mu0")) /
+        sqrt(col("v1") / col("n") + col("v0") / col("rn")))
+      .withColumn("p", pTwoSided(col("z")))
+    val m = withZ.count().toDouble
+    val wRank = Window.orderBy(col("p"), col("nation"))
+    val wSuffix = Window.orderBy(col("p").desc, col("nation").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withZ
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("crit", round4eps(col("rank") / lit(m) * lit(q)))
+      .withColumn("below", (col("p") <= col("crit")).cast("int"))
+      // BH step-up: reject iff SOME rank >= this one has p <= crit
+      .withColumn("rejected", max(col("below")).over(wSuffix) === 1)
+      .select(col("nation"), col("rank"),
+        round4eps(col("z")).as("z"),
+        col("p").as("p_value"), col("crit").as("bh_crit"),
+        col("rejected"))
+      .orderBy(col("rank"))
+  }
+
+  /** Two-class Fisher linear discriminant over document features
+    * (chars, tokens; classes en vs rest): w = S_pooled⁻¹(μ₁ − μ₀) from
+    * the per-class moment matrices (2×2 closed-form inverse), with the
+    * projected class means and the Fisher separation
+    * (w·(μ₁−μ₀))² / (wᵀSw). One corpus scan → two 5-number moment
+    * rows; everything after is scalar algebra. */
+  def ldaDirection(s: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(s, dir)
+      .select((col("lang") === "en").cast("int").as("cls"),
+        (col("n_chars") / lit(100.0)).as("f1"),
+        (size(split(col("text"), " ")) / lit(10.0)).cast("double").as("f2"))
+    val per = feats.groupBy(col("cls"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("f1")).as("s1"), sum(col("f2")).as("s2"),
+        sum(col("f1") * col("f1")).as("s11"),
+        sum(col("f1") * col("f2")).as("s12"),
+        sum(col("f2") * col("f2")).as("s22"))
+      .withColumn("m1", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n"))
+      .withColumn("c11", col("s11") - col("s1") * col("s1") / col("n"))
+      .withColumn("c12", col("s12") - col("s1") * col("s2") / col("n"))
+      .withColumn("c22", col("s22") - col("s2") * col("s2") / col("n"))
+    val a = per.filter(col("cls") === 1).select(
+      col("n").as("n1"), col("m1").as("a1"), col("m2").as("a2"),
+      col("c11").as("p11"), col("c12").as("p12"), col("c22").as("p22"))
+    val b = per.filter(col("cls") === 0).select(
+      col("n").as("n0"), col("m1").as("b1"), col("m2").as("b2"),
+      col("c11").as("q11"), col("c12").as("q12"), col("c22").as("q22"))
+    a.crossJoin(b)
+      .withColumn("s11", (col("p11") + col("q11")) /
+        (col("n1") + col("n0") - lit(2.0)))
+      .withColumn("s12", (col("p12") + col("q12")) /
+        (col("n1") + col("n0") - lit(2.0)))
+      .withColumn("s22", (col("p22") + col("q22")) /
+        (col("n1") + col("n0") - lit(2.0)))
+      .withColumn("d1", col("a1") - col("b1"))
+      .withColumn("d2", col("a2") - col("b2"))
+      .withColumn("det", col("s11") * col("s22") - col("s12") * col("s12"))
+      .withColumn("w1",
+        (col("s22") * col("d1") - col("s12") * col("d2")) / col("det"))
+      .withColumn("w2",
+        (col("s11") * col("d2") - col("s12") * col("d1")) / col("det"))
+      .withColumn("sep",
+        (col("w1") * col("d1") + col("w2") * col("d2")))
+      .select(col("n1").cast("long").as("n_en"),
+        col("n0").cast("long").as("n_rest"),
+        round4eps(col("w1")).as("w_chars"),
+        round4eps(col("w2")).as("w_tokens"),
+        round4eps(col("w1") * col("a1") + col("w2") * col("a2"))
+          .as("proj_en"),
+        round4eps(col("w1") * col("b1") + col("w2") * col("b2"))
+          .as("proj_rest"),
+        round4eps(col("sep")).as("fisher_sep"))
+  }
+
   /** Daily-revenue risk ratios — the portfolio-style summary of a
     * revenue stream: mean/vol of day-over-day log returns, annualized
     * Sharpe (rf = 0), Sortino (downside-only deviation), and the hit

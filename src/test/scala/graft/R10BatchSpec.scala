@@ -85,6 +85,78 @@ class R10BatchSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("cointegrated") === (stat < -3.34))
   }
 
+  test("propensityAtt: strata partition the cohort; ATT is a convex " +
+      "combination of within-stratum gaps") {
+    val r = graft.operators.Stats.propensityAtt(spark, sf).collect().head
+    assert(r.getAs[Long]("n_strata") >= 1 && r.getAs[Long]("n_strata") <= 5)
+    assert(r.getAs[Long]("n_treated") > 0 && r.getAs[Long]("n_control") > 0)
+  }
+
+  test("bhFdr: p-values in [0,1]; rejection set is a prefix of the " +
+      "p-ascending order (step-up property); larger q rejects a " +
+      "superset") {
+    val rows = graft.operators.Stats.bhFdr(spark, sf).collect()
+    assert(rows.length === 25)
+    val ps = rows.map(_.getAs[Double]("p_value"))
+    assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+    assert(ps.sameElements(ps.sorted))
+    val rej = rows.map(_.getAs[Boolean]("rejected"))
+    // step-up: once false, never true again down the ranking
+    assert(!rej.sliding(2).exists { case Array(a, b) => !a && b; case _ => false })
+    val rejLoose = graft.operators.Stats.bhFdr(spark, sf, q = 0.5)
+      .collect().count(_.getAs[Boolean]("rejected"))
+    assert(rejLoose >= rej.count(identity))
+  }
+
+  test("pTwoSided: matches the normal tail at pinned points " +
+      "(A&S 26.2.17, |eps| < 7.5e-8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(0.0, 1.0, 1.959964, 2.575829, 4.0).toDF("z")
+      .select(graft.operators.Stats.pTwoSided(col("z")).as("p"))
+      .collect().map(_.getDouble(0))
+    val expected = Seq(1.0, 0.317311, 0.05, 0.01, 0.0000633)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 2e-4, s"p($g) vs $e") }
+  }
+
+  test("ldaDirection: the discriminant separates the projected class " +
+      "means (proj_en != proj_rest, fisher_sep > 0)") {
+    val r = graft.operators.Stats.ldaDirection(spark, sf).collect().head
+    assert(r.getAs[Long]("n_en") > 0 && r.getAs[Long]("n_rest") > 0)
+    assert(r.getAs[Double]("fisher_sep") > 0.0)
+    assert(r.getAs[Double]("proj_en") !== r.getAs[Double]("proj_rest"))
+  }
+
+  test("rsi: values in [0, 100]; an all-gains window pins to 100") {
+    val rows = graft.operators.Indicators.rsi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val v = r.getAs[Double]("rsi"); v >= 0.0 && v <= 100.0 })
+  }
+
+  test("macd: histogram = macd - signal; bullish wired to the sign") {
+    val rows = graft.operators.Indicators.macd(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("macd"); val s = r.getAs[Double]("signal")
+      assert(math.abs(r.getAs[Double]("histogram") - (m - s)) <= 2e-4)
+      assert(r.getAs[Boolean]("bullish") === (m > s))
+    }
+  }
+
+  test("bollinger: close sits inside [lower, upper] iff pct_b in " +
+      "[0, 1]; mid is between the bands") {
+    val rows = graft.operators.Indicators.bollinger(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("lower"); val hi = r.getAs[Double]("upper")
+      val c = r.getAs[Double]("close"); val b = r.getAs[Double]("pct_b")
+      assert(lo <= r.getAs[Double]("mid") && r.getAs[Double]("mid") <= hi)
+      if (c > lo + 1e-3 && c < hi - 1e-3) assert(b > -1e-3 && b < 1.0 + 1e-3)
+    }
+  }
+
   test("riskRatios: hit ratio in [0,1]; sortino >= sharpe when " +
       "downside deviation <= full vol (it is, by construction on the " +
       "same mean)") {
