@@ -995,6 +995,14 @@ object SparkEntry {
     "q_engle_granger"    -> ((s, d) => Stats.engleGranger(s, d)),
     "q_risk_ratios"      -> ((s, d) => Stats.riskRatios(s, d)),
     "q_propensity_att"   -> ((s, d) => Stats.propensityAtt(s, d)),
+    // SymSpell delete-1 typo pairs (candidates from the symmetric-
+    // delete equality join; oracle = exact all-pairs levenshtein over
+    // the distinct vocabulary)
+    "q_symspell"         -> ((s, d) => graft.operators.EntityResolution
+                               .symspellPairs(s, d)),
+    // strongly connected components of the directed brand-switching
+    // digraph (squaring-round closure; oracle = recursive-CTE closure)
+    "q_brand_scc"        -> ((s, d) => graft.operators.Graph.brandScc(s, d)),
     "q_bh_fdr"           -> ((s, d) => Stats.bhFdr(s, d)),
     "q_lda_direction"    -> ((s, d) => Stats.ldaDirection(s, d)),
     // technical indicators over the daily revenue series (calendar-
@@ -8084,6 +8092,49 @@ object SparkEntry {
         |  floor(g/sqrt(rss/(n - 2)/cxx)*10000 + 0.5 + 0.000001)/10000
         |    < -3.34 AS cointegrated
         |FROM fin""".stripMargin,
+    "q_symspell" ->
+      """WITH w AS (SELECT unnest(string_split(p_name, ' ')) AS w
+        |  FROM part),
+        |v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w
+        |  WHERE length(w) > 0 GROUP BY 1)
+        |SELECT a.w AS w1, b.w AS w2, a.freq AS f1, b.freq AS f2,
+        |  CASE WHEN a.freq >= b.freq THEN a.w ELSE b.w END AS suggestion
+        |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+        |ORDER BY 1, 2""".stripMargin,
+    "q_brand_scc" ->
+      """WITH RECURSIVE
+        |obq AS (SELECT l_orderkey, p_brand, SUM(l_quantity) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |ob AS (SELECT l_orderkey, p_brand AS brand FROM (
+        |  SELECT l_orderkey, p_brand, ROW_NUMBER() OVER (
+        |    PARTITION BY l_orderkey ORDER BY q DESC, p_brand) AS rn
+        |  FROM obq) WHERE rn = 1),
+        |seq AS (SELECT o_custkey AS ck, o_orderdate AS d,
+        |    o_orderkey AS ok, brand
+        |  FROM orders JOIN ob ON o_orderkey = l_orderkey),
+        |tr AS (SELECT lag(brand) OVER (PARTITION BY ck
+        |    ORDER BY d, ok) AS a, brand AS b FROM seq),
+        |edges AS (SELECT a, b FROM (
+        |  SELECT a, b, COUNT(*) AS n FROM tr
+        |  WHERE a IS NOT NULL AND a <> b GROUP BY 1, 2
+        |  ORDER BY n DESC, a, b LIMIT 32)),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.a, edges.b FROM reach
+        |  JOIN edges ON reach.b = edges.a),
+        |nodes AS (SELECT a AS u FROM edges
+        |  UNION SELECT b FROM edges),
+        |mutual AS (SELECT f.a AS u, f.b AS v FROM reach f
+        |  JOIN reach r ON f.a = r.b AND f.b = r.a),
+        |scc AS (SELECT u AS brand,
+        |    LEAST(COALESCE(MIN(v), u), u) AS scc_id
+        |  FROM nodes LEFT JOIN mutual USING (u) GROUP BY u),
+        |sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+        |  FROM scc GROUP BY 1)
+        |SELECT brand, scc_id, scc_size FROM scc JOIN sz USING (scc_id)
+        |ORDER BY brand""".stripMargin,
     "q_propensity_att" ->
       """WITH pc AS (SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS n_ord,
         |    SUM(o_totalprice)/1000.0 AS y

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Caching.CachingOps
 import graft.Tables
 
 /** Entity resolution by neighborhood-generation blocking — the
@@ -194,5 +195,46 @@ object EntityResolution {
           term(col("type_a") === col("type_b"), col("u_p_type"))).as("w"))
       .orderBy(col("w").desc, col("pk_a"), col("pk_b"))
       .limit(k)
+  }
+
+  /** SymSpell (symmetric-delete) edit-distance-1 pairs over the part
+    * vocabulary: the spell-correction index at corpus scale. Each
+    * DISTINCT word emits itself plus its |w| delete-1 variants; one
+    * EQUALITY self-join on the variant key yields every candidate pair
+    * (a shared variant ⇒ edit distance ≤ 2), and an exact
+    * `levenshtein = 1` verifier keeps the true typo pairs. The
+    * suggestion direction follows corpus frequency (typos are rare,
+    * the intended word is common).
+    *
+    * 100 TB posture: the index is Σ|w| rows over the DISTINCT
+    * vocabulary — replication never grows it (the vocab is fixed), so
+    * the only fact-linear term is the frequency count; candidates come
+    * from an equality join, never an all-pairs product. This is the
+    * same FastSS blocking family as customerNameDedup, reduced to its
+    * purest single-token form. */
+  def symspellPairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.part(s, dir)
+      .select(explode(split(col("p_name"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .persistMemDisk
+    // w itself + every delete-1 variant (variant key, original word)
+    val variants = words.select(col("w"),
+        explode(array_union(array(col("w")),
+          transform(sequence(lit(1), length(col("w"))), i =>
+            concat(col("w").substr(lit(1), i - lit(1)),
+              col("w").substr(i + lit(1), length(col("w")) - i))))).as("v"))
+    val cands = variants.as("a")
+      .join(variants.as("b"), col("a.v") === col("b.v") &&
+        col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .distinct()
+    cands.filter(levenshtein(col("w1"), col("w2")) === 1)
+      .join(words.select(col("w").as("w1"), col("freq").as("f1")), "w1")
+      .join(words.select(col("w").as("w2"), col("freq").as("f2")), "w2")
+      .select(col("w1"), col("w2"), col("f1"), col("f2"),
+        when(col("f1") >= col("f2"), col("w1")).otherwise(col("w2"))
+          .as("suggestion"))
+      .orderBy(col("w1"), col("w2"))
   }
 }

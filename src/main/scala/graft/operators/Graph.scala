@@ -728,4 +728,81 @@ object Graph {
         round4eps(col("n_recip").cast("double") / col("n_edges"))
           .as("reciprocity"))
   }
+
+  /** Strongly connected components of the DIRECTED brand-switching
+    * graph — the directed-graph completion of the (undirected) CC /
+    * LPA family: nodes are brands, an edge a→b is a customer's
+    * consecutive-order switch from dominant brand a to b, and the
+    * digraph keeps the top-`topEdges` transitions by count (rank-based,
+    * so the cut is defined at every sf). SCC membership = mutual
+    * reachability; component id = min brand in the class.
+    *
+    * The only fact-scale (distributed) work is the transition count;
+    * the digraph itself is TAXONOMY-bounded metadata (≤ |brands| = 25
+    * nodes, ≤ `topEdges` edges), so the closure runs driver-side over
+    * the collected edge list (the bounded-collect discipline — loud
+    * require cap) via squaring rounds on reachability bitsets. A
+    * distributed closure here would pay 5 rounds × job overhead to
+    * join 32-row frames — measured 28 s for work a driver loop does
+    * in microseconds; the distributed-iteration patterns live where
+    * the graph is fact-scale (pageRank/LPA/k-core hash paths). */
+  def brandScc(s: SparkSession, dir: String, topEdges: Int = 32): DataFrame = {
+    val ob = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(min(struct((-col("q")).as("nq"), col("p_brand").as("b"))).as("w"))
+      .select(col("l_orderkey"), col("w.b").as("brand"))
+    val seq0 = ob.join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("o_orderdate").as("d"),
+        col("o_orderkey").as("ok"), col("brand"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ck")).orderBy(col("d"), col("ok"))
+    val edges = seq0.withColumn("prev", lag(col("brand"), 1).over(wOrd))
+      .filter(col("prev").isNotNull && col("prev") =!= col("brand"))
+      .groupBy(col("prev").as("a"), col("brand").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(topEdges)
+      .select(col("a"), col("b"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    require(edges.length <= 10000,
+      s"brand digraph has ${edges.length} edges — taxonomy-bounded " +
+        "metadata by construction; a larger frame means the rank cut " +
+        "upstream broke")
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    // reachability closure by bitset squaring (log-diameter rounds)
+    val reach = Array.tabulate(n)(i => new java.util.BitSet(n))
+    edges.foreach { case (a, b) => reach(idx(a)).set(idx(b)) }
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < n) {
+        val next = new java.util.BitSet(n)
+        var j = reach(i).nextSetBit(0)
+        while (j >= 0) {
+          next.or(reach(j)); j = reach(i).nextSetBit(j + 1)
+        }
+        next.andNot(reach(i))
+        if (!next.isEmpty) { reach(i).or(next); changed = true }
+        i += 1
+      }
+    }
+    val sccOf = (0 until n).map { i =>
+      val mutual = (0 until n).filter(j =>
+        (i == j) || (reach(i).get(j) && reach(j).get(i)))
+      nodes(mutual.min)
+    }
+    val sizes = sccOf.groupBy(identity).map { case (k, v) => k -> v.size }
+    import s.implicits._
+    nodes.indices.map(i => (nodes(i), sccOf(i), sizes(sccOf(i)).toLong))
+      .toDF("brand", "scc_id", "scc_size")
+      .orderBy(col("brand"))
+  }
 }

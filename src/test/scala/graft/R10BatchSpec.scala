@@ -157,6 +157,54 @@ class R10BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("symspellPairs: every pair is exact edit distance 1; the " +
+      "suggestion is the more frequent side; candidates came from the " +
+      "delete-1 index (no pair is missed vs brute force at sf0.001)") {
+    val rows = graft.operators.EntityResolution.symspellPairs(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val f1 = r.getAs[Long]("f1"); val f2 = r.getAs[Long]("f2")
+      val sug = r.getAs[String]("suggestion")
+      assert(sug === (if (f1 >= f2) r.getAs[String]("w1")
+                      else r.getAs[String]("w2")))
+    }
+    // completeness vs brute force over the same vocabulary
+    import spark.implicits._
+    val vocab = graft.Tables.part(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("p_name"), " ")).as("w"))
+      .distinct().as[String].collect()
+    val brute = (for {
+      a <- vocab; b <- vocab if a < b
+      if levenshtein1(a, b)
+    } yield (a, b)).toSet
+    val got = rows.map(r =>
+      (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
+    assert(got === brute, s"index missed ${brute -- got}, spurious ${got -- brute}")
+  }
+
+  private def levenshtein1(a: String, b: String): Boolean = {
+    if (math.abs(a.length - b.length) > 1) return false
+    if (a == b) return false
+    if (a.length == b.length)
+      a.zip(b).count { case (x, y) => x != y } == 1
+    else {
+      val (s, l) = if (a.length < b.length) (a, b) else (b, a)
+      (0 to s.length).exists(i => s.take(i) + l(i) + s.drop(i) == l)
+    }
+  }
+
+  test("brandScc: every brand belongs to exactly one component; " +
+      "scc_id is the component minimum; sizes are consistent") {
+    val rows = graft.operators.Graph.brandScc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byScc = rows.groupBy(_.getAs[String]("scc_id"))
+    byScc.foreach { case (id, members) =>
+      assert(members.map(_.getAs[String]("brand")).min === id)
+      assert(members.forall(_.getAs[Long]("scc_size") === members.length))
+    }
+  }
+
   test("riskRatios: hit ratio in [0,1]; sortino >= sharpe when " +
       "downside deviation <= full vol (it is, by construction on the " +
       "same mean)") {
