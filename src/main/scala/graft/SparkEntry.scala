@@ -350,6 +350,28 @@ object SparkEntry {
         .writeTo(s"$cat.raw.catwrite_gate").append()
       s.table(s"$cat.raw.catwrite_gate")
     }),
+    // CALL procedures over the catalog (r10): three deterministic
+    // appends, then CALL rollback_to_snapshot drops the third — the
+    // read-back must equal the first two batches (fixture-replay
+    // oracle). Own table, so the shared fixture warehouse state the
+    // other gates read is never mutated.
+    "q_pipeline_catproc" -> ((s, _) => {
+      import s.implicits._
+      val cat = gateCatalog(s)
+      s.sql(s"DROP TABLE IF EXISTS $cat.raw.catproc_gate")
+      s.sql(s"""CREATE TABLE $cat.raw.catproc_gate
+                (id BIGINT, px DOUBLE, at TIMESTAMP)
+                PARTITIONED BY (days(at))""")
+      (1 to 3).foreach { i =>
+        Seq((i.toLong, i * 100.0,
+            java.sql.Timestamp.valueOf(f"2026-02-0$i%d 00:00:00")))
+          .toDF("id", "px", "at")
+          .writeTo(s"$cat.raw.catproc_gate").append()
+      }
+      s.sql(s"CALL $cat.system.rollback_to_snapshot('raw.catproc_gate', 2)")
+        .collect()
+      s.table(s"$cat.raw.catproc_gate")
+    }),
     // dbt-templating gate: the mart built by COMPILING the reference's
     // raw Jinja model text (DbtModels) must equal the fixture-replay
     // oracle — same oracle as q_pipeline_mart by construction.
@@ -4148,6 +4170,13 @@ object SparkEntry {
         |  ('coincap', CAST(2 AS BIGINT), CAST(50012.5 AS DOUBLE), CAST(50137.5 AS DOUBLE)),
         |  ('blockchain_info', CAST(2 AS BIGINT), CAST(49992.75 AS DOUBLE), CAST(50117.75 AS DOUBLE)))
         |  AS t(data_source, n_rows, min_usd, max_usd)""".stripMargin,
+    // CALL rollback over the catalog: batches 1-2 survive, batch 3
+    // dropped — the oracle replays the surviving rows.
+    "q_pipeline_catproc" ->
+      """SELECT id, px, at FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(100.0 AS DOUBLE), TIMESTAMP '2026-02-01 00:00:00'),
+        |  (CAST(2 AS BIGINT), CAST(200.0 AS DOUBLE), TIMESTAMP '2026-02-02 00:00:00'))
+        |  AS t(id, px, at)""".stripMargin,
     // Catalog write path: the gate's two deterministic appends, read
     // back by identifier — the oracle replays the written rows.
     "q_pipeline_catwrite" ->

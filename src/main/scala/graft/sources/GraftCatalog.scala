@@ -54,7 +54,8 @@ import graft.pipeline.{LakeCatalog, LakeMeta}
   * scan; table reads and writes inherit the scan/commit scale story of
   * the surfaces they delegate to.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -210,6 +211,124 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         Files.createDirectories(b.getParent)
         Files.move(a, b)
       }
+    }
+  }
+
+  // ---- procedures (Iceberg's CALL surface) --------------------------
+  //
+  // The reference deployment manages its Iceberg tables with the
+  // `CALL demo.system.<proc>(...)` maintenance procedures; this is the
+  // same surface over the emulated lake: every procedure delegates to
+  // the LakeCatalog facade op (ONE implementation of each maintenance
+  // action, whichever surface invokes it) and returns its result as a
+  // one-row LocalScan. All driver-side metadata work.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val procedureNames = Seq("rollback_to_snapshot",
+    "expire_snapshots", "tag_snapshot", "recover_deletes", "compact")
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] = {
+    require(namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got " +
+        namespace.mkString("."))
+    procedureNames.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got " +
+        (ident.namespace :+ ident.name).mkString("."))
+    val wh = warehouse
+    def facade0 = new LakeCatalog(SparkSession.active, wh)
+    def p(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+    def row(vals: Any*): InternalRow =
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals.map {
+        case s: String => UTF8String.fromString(s)
+        case o => o
+      })
+    ident.name match {
+      case "rollback_to_snapshot" => GraftProcedure(ident.name,
+        Array(p("table", StringType), p("snapshot_id", LongType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("rolled_back_to", LongType),
+          StructField("rows_removed", LongType)))) { in =>
+          val t = in.getUTF8String(0).toString
+          val sid = in.getLong(1)
+          val removed = facade0.rollbackTo(t, sid)
+          row(t, sid, removed)
+        }
+      case "expire_snapshots" => GraftProcedure(ident.name,
+        Array(p("table", StringType), p("older_than", LongType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("new_floor", LongType)))) { in =>
+          val t = in.getUTF8String(0).toString
+          row(t, facade0.expireSnapshots(t, in.getLong(1)))
+        }
+      case "tag_snapshot" => GraftProcedure(ident.name,
+        Array(p("table", StringType), p("tag", StringType),
+          p("snapshot_id", LongType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("tag", StringType),
+          StructField("snapshot_id", LongType)))) { in =>
+          val t = in.getUTF8String(0).toString
+          val tag = in.getUTF8String(1).toString
+          facade0.tagSnapshot(t, tag, in.getLong(2))
+          row(t, tag, in.getLong(2))
+        }
+      case "recover_deletes" => GraftProcedure(ident.name,
+        Array(p("table", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("recovered", BooleanType)))) { in =>
+          val t = in.getUTF8String(0).toString
+          facade0.recoverDeletes(t)
+          row(t, true)
+        }
+      case "compact" => GraftProcedure(ident.name,
+        Array(p("table", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("snapshot_id", LongType)))) { in =>
+          val t = in.getUTF8String(0).toString
+          facade0.compact(t)
+          val sid = facade0.snapshots(t)
+            .agg(org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.col("snapshot_id")))
+            .head().getLong(0)
+          row(t, sid)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure system.$other; available: " +
+          procedureNames.mkString(", "))
+    }
+  }
+
+  /** One-row maintenance procedure: parameters + output schema + the
+    * facade delegation, surfaced to Spark as a deterministic-false
+    * bound procedure whose call returns a single LocalScan. */
+  private case class GraftProcedure(pname: String,
+      params: Array[ProcedureParameter], out: StructType)(
+      body: InternalRow => InternalRow)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = pname
+    override def description(): String =
+      s"graft lake maintenance procedure $pname"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    // mutates warehouse state — never constant-foldable
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val result = body(input)
+      val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = Array(result)
+        override def readSchema(): StructType = out
+      }
+      java.util.Collections.singletonList(scan).iterator()
     }
   }
 

@@ -268,6 +268,60 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $cat.raw.deltest")
   }
 
+  test("CALL procedures: tag_snapshot, expire_snapshots, " +
+      "rollback_to_snapshot, compact, recover_deletes — the Iceberg " +
+      "maintenance surface over the catalog") {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.raw.proctest " +
+      "(k BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, java.sql.Timestamp.valueOf(f"2026-04-0$i%d 00:00:00")))
+        .toDF("k", "ts").writeTo(s"$cat.raw.proctest").append()
+    }
+    // tag + time travel through the tag
+    val tagged = spark.sql(
+      s"CALL $cat.system.tag_snapshot('raw.proctest', 'v2', 2)").collect()
+    assert(tagged.head.getAs[Long]("snapshot_id") === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.raw.proctest " +
+      "VERSION AS OF 'v2'").head().getLong(0) === 2L)
+    // rollback drops commit 3
+    val rb = spark.sql(
+      s"CALL $cat.system.rollback_to_snapshot('raw.proctest', 2)")
+      .collect().head
+    assert(rb.getAs[Long]("rolled_back_to") === 2L)
+    assert(rb.getAs[Long]("rows_removed") === 1L)
+    assert(spark.table(s"$cat.raw.proctest").count() === 2L)
+    // expire fences time travel below the floor
+    val ex = spark.sql(
+      s"CALL $cat.system.expire_snapshots('raw.proctest', 2)")
+      .collect().head
+    assert(ex.getAs[Long]("new_floor") === 2L)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.raw.proctest VERSION AS OF 1").collect()
+    }
+    // compact folds history into one commit; data unchanged
+    val cp = spark.sql(s"CALL $cat.system.compact('raw.proctest')")
+      .collect().head
+    assert(cp.getAs[Long]("snapshot_id") > 2L)
+    assert(spark.table(s"$cat.raw.proctest").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // recover_deletes is an idempotent no-op on a healthy table
+    assert(spark.sql(s"CALL $cat.system.recover_deletes('raw.proctest')")
+      .collect().head.getAs[Boolean]("recovered"))
+    // discovery + failure mode
+    val cat0 = spark.sessionState.catalogManager.catalog("lakep")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    assert(cat0.listProcedures(Array("system")).map(_.name()).toSet
+      === Set("rollback_to_snapshot", "expire_snapshots", "tag_snapshot",
+        "recover_deletes", "compact"))
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.no_such_proc('x')").collect()
+    }
+    assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE")
+      || e.getMessage.contains("unknown procedure"), e.getMessage)
+    spark.sql(s"DROP TABLE $cat.raw.proctest")
+  }
+
   test("no-sidecar fallback merges footers like the facade repair path " +
       "(add-column-evolved table surfaces the late column)") {
     val whl = java.nio.file.Files
