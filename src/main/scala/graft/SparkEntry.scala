@@ -1025,6 +1025,12 @@ object SparkEntry {
     // strongly connected components of the directed brand-switching
     // digraph (squaring-round closure; oracle = recursive-CTE closure)
     "q_brand_scc"        -> ((s, d) => graft.operators.Graph.brandScc(s, d)),
+    // robust-fit family (r10 batch D)
+    "q_huber_fit"        -> ((s, d) => Stats.huberFit(s, d)),
+    "q_hodges_lehmann"   -> ((s, d) => Stats.hodgesLehmann(s, d)),
+    "q_siegel_slope"     -> ((s, d) => Stats.siegelSlope(s, d)),
+    "q_periodogram"      -> ((s, d) => Stats.periodogramTop(s, d)),
+    "q_zip_fit"          -> ((s, d) => graft.operators.Inventory.zipFit(s, d)),
     "q_bh_fdr"           -> ((s, d) => Stats.bhFdr(s, d)),
     "q_lda_direction"    -> ((s, d) => Stats.ldaDirection(s, d)),
     // technical indicators over the daily revenue series (calendar-
@@ -8121,6 +8127,165 @@ object SparkEntry {
         |  floor(g/sqrt(rss/(n - 2)/cxx)*10000 + 0.5 + 0.000001)/10000
         |    < -3.34 AS cointegrated
         |FROM fin""".stripMargin,
+    "q_huber_fit" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(o_totalprice)/1000000.0 AS y
+        |  FROM orders GROUP BY 1),
+        |mind AS (SELECT MIN(d) AS d0 FROM daily),
+        |dt AS (SELECT CAST(date_diff('day', d0, d) AS DOUBLE) AS t, y
+        |  FROM daily, mind),
+        |m0r AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(t) AS st, SUM(y) AS sy, SUM(t*t) AS stt,
+        |    SUM(t*y) AS sty, SUM(y*y) AS syy FROM dt),
+        |m0 AS (SELECT
+        |    floor((sty - st*sy/n)/(stt - st*st/n)*10000 + 0.5
+        |      + 0.000001)/10000 AS beta,
+        |    floor((sy/n - (sty - st*sy/n)/(stt - st*st/n)*st/n)*10000
+        |      + 0.5 + 0.000001)/10000 AS alpha,
+        |    floor(sqrt(((syy - sy*sy/n)
+        |      - (sty - st*sy/n)/(stt - st*st/n)*(sty - st*sy/n))
+        |      /(n - 2.0))*10000 + 0.5 + 0.000001)/10000 AS scale
+        |  FROM m0r),
+        |i1r AS (SELECT scale,
+        |    SUM(w) AS n, SUM(w*t) AS st, SUM(w*y) AS sy,
+        |    SUM(w*t*t) AS stt, SUM(w*t*y) AS sty
+        |  FROM (SELECT t, y, scale,
+        |    CASE WHEN abs(y - alpha - beta*t) <= 1.345*scale THEN 1.0
+        |      ELSE floor(1.345*scale/abs(y - alpha - beta*t)*10000
+        |        + 0.5 + 0.000001)/10000 END AS w
+        |    FROM dt, m0) GROUP BY 1),
+        |i1 AS (SELECT scale,
+        |    floor((sty - st*sy/n)/(stt - st*st/n)*10000 + 0.5
+        |      + 0.000001)/10000 AS beta,
+        |    floor((sy/n - (sty - st*sy/n)/(stt - st*st/n)*st/n)*10000
+        |      + 0.5 + 0.000001)/10000 AS alpha
+        |  FROM i1r),
+        |i2r AS (SELECT scale,
+        |    SUM(w) AS n, SUM(w*t) AS st, SUM(w*y) AS sy,
+        |    SUM(w*t*t) AS stt, SUM(w*t*y) AS sty
+        |  FROM (SELECT t, y, scale,
+        |    CASE WHEN abs(y - alpha - beta*t) <= 1.345*scale THEN 1.0
+        |      ELSE floor(1.345*scale/abs(y - alpha - beta*t)*10000
+        |        + 0.5 + 0.000001)/10000 END AS w
+        |    FROM dt, i1) GROUP BY 1),
+        |i2 AS (SELECT scale,
+        |    floor((sty - st*sy/n)/(stt - st*st/n)*10000 + 0.5
+        |      + 0.000001)/10000 AS beta,
+        |    floor((sy/n - (sty - st*sy/n)/(stt - st*st/n)*st/n)*10000
+        |      + 0.5 + 0.000001)/10000 AS alpha
+        |  FROM i2r),
+        |i3r AS (SELECT
+        |    SUM(w) AS n, SUM(w*t) AS st, SUM(w*y) AS sy,
+        |    SUM(w*t*t) AS stt, SUM(w*t*y) AS sty,
+        |    SUM(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS n_down
+        |  FROM (SELECT t, y,
+        |    CASE WHEN abs(y - alpha - beta*t) <= 1.345*scale THEN 1.0
+        |      ELSE floor(1.345*scale/abs(y - alpha - beta*t)*10000
+        |        + 0.5 + 0.000001)/10000 END AS w
+        |    FROM dt, i2))
+        |SELECT
+        |  floor((sty - st*sy/n)/(stt - st*st/n)*10000 + 0.5
+        |    + 0.000001)/10000 AS beta_huber,
+        |  floor((sy/n - (sty - st*sy/n)/(stt - st*st/n)*st/n)*10000
+        |    + 0.5 + 0.000001)/10000 AS alpha_huber,
+        |  (SELECT beta FROM m0) AS beta_ols,
+        |  CAST(n_down AS BIGINT) AS n_downweighted
+        |FROM i3r""".stripMargin,
+    "q_hodges_lehmann" ->
+      """WITH vals AS (SELECT
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+        |    CAST(floor(o_totalprice/1000.0) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |a AS (SELECT v AS va, c AS ca FROM vals WHERE g = 1),
+        |b AS (SELECT v AS vb, c AS cb FROM vals WHERE g = 0),
+        |diffs AS (SELECT va - vb AS diff, SUM(ca*cb) AS w
+        |  FROM a, b GROUP BY 1),
+        |tot AS (SELECT SUM(w) AS tw FROM diffs),
+        |cum AS (SELECT diff, tw,
+        |    SUM(w) OVER (ORDER BY diff
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM diffs, tot)
+        |SELECT CAST(MIN(diff) AS BIGINT) AS hl_shift_k,
+        |  CAST(MIN(tw) AS BIGINT) AS n_pairs
+        |FROM cum WHERE cw >= CAST(ceil(CAST(tw AS DOUBLE)/2.0) AS BIGINT)
+        |""".stripMargin,
+    "q_siegel_slope" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS y
+        |  FROM orders GROUP BY 1),
+        |mind AS (SELECT MIN(d) AS d0 FROM daily),
+        |dt AS (SELECT CAST(date_diff('day', d0, d) AS DOUBLE) AS t, y
+        |  FROM daily, mind),
+        |slopes AS (SELECT a.t AS ti,
+        |    floor((a.y - b.y)/(a.t - b.t)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS slope
+        |  FROM dt a JOIN dt b ON a.t <> b.t),
+        |med_i AS (SELECT ti, slope AS med_i FROM (
+        |  SELECT ti, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY ti ORDER BY slope) AS r,
+        |    COUNT(*) OVER (PARTITION BY ti) AS nn
+        |  FROM slopes)
+        |  WHERE r = CAST(ceil(CAST(nn AS DOUBLE)/2.0) AS INTEGER)),
+        |fin AS (SELECT med_i, ti,
+        |    ROW_NUMBER() OVER (ORDER BY med_i, ti) AS r,
+        |    COUNT(*) OVER () AS nn
+        |  FROM med_i)
+        |SELECT CAST(nn AS BIGINT) AS n_days, med_i AS siegel_slope
+        |FROM fin WHERE r = CAST(ceil(CAST(nn AS DOUBLE)/2.0) AS INTEGER)
+        |""".stripMargin,
+    "q_periodogram" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT MIN(d) AS d0,
+        |    floor(AVG(rev)*10000 + 0.5 + 0.000001)/10000 AS mu
+        |  FROM daily),
+        |t AS (SELECT rev, date_diff('day', d0, d) AS t, mu
+        |  FROM daily, base),
+        |per AS (SELECT unnest(generate_series(2, 60)) AS p),
+        |terms AS (SELECT p, rev, mu,
+        |    floor(cos(2*pi()*(t % p)/p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS c6,
+        |    floor(sin(2*pi()*(t % p)/p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS s6
+        |  FROM t CROSS JOIN per),
+        |agg AS (SELECT p, SUM((rev-mu)*c6) AS c, SUM((rev-mu)*s6) AS sn
+        |  FROM terms GROUP BY 1)
+        |SELECT CAST(p AS BIGINT) AS period,
+        |  floor((c*c + sn*sn)*10000 + 0.5 + 0.000001)/10000 AS power
+        |FROM agg ORDER BY power DESC, period LIMIT 3""".stripMargin,
+    "q_zip_fit" ->
+      """WITH li AS (SELECT p_brand,
+        |    CAST(l_shipdate AS DATE) AS d, l_quantity
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |span AS (SELECT CAST(date_diff('day', MIN(d), MAX(d)) + 1
+        |    AS DOUBLE) AS n_days FROM li),
+        |daily AS (SELECT p_brand, d, SUM(l_quantity) AS q
+        |  FROM li GROUP BY 1, 2),
+        |m AS (SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS n_obs,
+        |    SUM(q) AS sq, SUM(q*q) AS sqq FROM daily GROUP BY 1),
+        |f AS (SELECT p_brand, n_obs, n_days,
+        |    sq/n_days AS mv,
+        |    sqq/n_days - (sq/n_days)*(sq/n_days) AS vv
+        |  FROM m, span),
+        |z AS (SELECT p_brand, n_obs, n_days, mv, vv,
+        |    CASE WHEN vv <= mv THEN mv
+        |      ELSE (vv + mv*mv - mv)/mv END AS lam
+        |  FROM f)
+        |SELECT p_brand,
+        |  floor(mv*10000 + 0.5 + 0.000001)/10000 AS mean_daily,
+        |  floor(vv*10000 + 0.5 + 0.000001)/10000 AS var_daily,
+        |  floor(lam*10000 + 0.5 + 0.000001)/10000 AS zip_lambda,
+        |  floor((CASE WHEN vv <= mv THEN 0.0
+        |    ELSE 1.0 - mv/lam END)*10000 + 0.5 + 0.000001)/10000
+        |    AS zip_pi,
+        |  floor((n_days - n_obs)/n_days*10000 + 0.5 + 0.000001)/10000
+        |    AS zero_share_obs
+        |FROM z ORDER BY p_brand""".stripMargin,
     "q_symspell" ->
       """WITH w AS (SELECT unnest(string_split(p_name, ' ')) AS w
         |  FROM part),

@@ -47,6 +47,48 @@ object Inventory {
   val NewsUnderage = 2.0
   val NewsOverage = 1.0
 
+  /** Zero-inflated Poisson fit per brand (method of moments) over the
+    * daily demand distribution INCLUDING zero days: intermittent
+    * demand is structurally zero-heavy, and the ZIP decomposition
+    * separates "no demand process today" (π) from the demand rate when
+    * active (λ): with m = mean, v = population variance,
+    *   λ = (v + m² − m)/m,   π = 1 − m/λ.
+    * When v ≤ m (no excess zeros — equi/under-dispersed) the model
+    * collapses to plain Poisson (λ = m, π = 0). The observed zero
+    * share is reported next to the ZIP-implied one — the
+    * goodness-of-moment check. Same (brand, day) collapse scale shape
+    * as [[newsvendor]]; all moments are exact integer sums. */
+  def zipFit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), to_date(col("l_shipdate")).as("d"),
+        col("l_quantity"))
+    val span = li.agg((datediff(max(col("d")), min(col("d"))) + 1)
+      .cast("double").as("n_days"))
+    val daily = li.groupBy(col("p_brand"), col("d"))
+      .agg(sum(col("l_quantity")).as("q"))
+    daily.groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("double").as("n_obs"),
+        sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"))
+      .crossJoin(broadcast(span))
+      .withColumn("m", col("sq") / col("n_days"))
+      .withColumn("v", col("sqq") / col("n_days") - col("m") * col("m"))
+      .withColumn("lam", when(col("v") <= col("m"), col("m"))
+        .otherwise((col("v") + col("m") * col("m") - col("m")) / col("m")))
+      .withColumn("pi", when(col("v") <= col("m"), lit(0.0))
+        .otherwise(lit(1.0) - col("m") / col("lam")))
+      .select(col("p_brand"),
+        round4eps(col("m")).as("mean_daily"),
+        round4eps(col("v")).as("var_daily"),
+        round4eps(col("lam")).as("zip_lambda"),
+        round4eps(col("pi")).as("zip_pi"),
+        round4eps((col("n_days") - col("n_obs")) / col("n_days"))
+          .as("zero_share_obs"))
+      .orderBy(col("p_brand"))
+  }
+
   def newsvendor(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, dir)

