@@ -1031,6 +1031,11 @@ object SparkEntry {
     "q_siegel_slope"     -> ((s, d) => Stats.siegelSlope(s, d)),
     "q_periodogram"      -> ((s, d) => Stats.periodogramTop(s, d)),
     "q_zip_fit"          -> ((s, d) => graft.operators.Inventory.zipFit(s, d)),
+    // corpus-richness batch (r10): how much novelty is left in the
+    // training corpus, and rate shrinkage for segment dashboards
+    "q_good_turing"      -> ((s, d) => TextAnalysis.goodTuring(s, d)),
+    "q_chao1"            -> ((s, d) => TextAnalysis.chao1(s, d)),
+    "q_eb_rates"         -> ((s, d) => Stats.ebRates(s, d)),
     "q_bh_fdr"           -> ((s, d) => Stats.bhFdr(s, d)),
     "q_lda_direction"    -> ((s, d) => Stats.ldaDirection(s, d)),
     // technical indicators over the daily revenue series (calendar-
@@ -8127,6 +8132,80 @@ object SparkEntry {
         |  floor(g/sqrt(rss/(n - 2)/cxx)*10000 + 0.5 + 0.000001)/10000
         |    < -3.34 AS cointegrated
         |FROM fin""".stripMargin,
+    "q_good_turing" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |w AS (SELECT unnest([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+        |    for i in range(1, len(ws) - 1)]) AS w
+        |  FROM t WHERE len(ws) >= 3),
+        |freqs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM w
+        |  GROUP BY 1),
+        |fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM freqs
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(r * n_r) AS n_tokens,
+        |    SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS n1 FROM fof),
+        |nx AS (SELECT r, n_r,
+        |    lead(n_r) OVER (ORDER BY r) AS n_next,
+        |    lead(r) OVER (ORDER BY r) AS r_next
+        |  FROM fof)
+        |SELECT r, n_r,
+        |  CASE WHEN r_next = r + 1 THEN
+        |    floor((r + 1)*1.0*n_next/n_r*10000 + 0.5 + 0.000001)/10000
+        |  END AS r_star,
+        |  floor(n1*1.0/n_tokens*10000 + 0.5 + 0.000001)/10000
+        |    AS p0_missing_mass
+        |FROM nx, tot WHERE r <= 5 ORDER BY r""".stripMargin,
+    "q_chao1" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |w AS (SELECT unnest([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+        |    for i in range(1, len(ws) - 1)]) AS w
+        |  FROM t WHERE len(ws) >= 3),
+        |freqs AS (SELECT w, COUNT(*) AS r FROM w GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_obs,
+        |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2
+        |  FROM freqs)
+        |SELECT v_obs, n1, n2,
+        |  floor((CASE WHEN n2 > 0 THEN v_obs + n1*n1/(2.0*n2)
+        |    ELSE v_obs + n1*(n1 - 1)/2.0 END)*10000 + 0.5
+        |    + 0.000001)/10000 AS chao1,
+        |  floor((CASE WHEN n2 > 0 THEN n1*n1/(2.0*n2)
+        |    ELSE n1*(n1 - 1)/2.0 END)*10000 + 0.5 + 0.000001)/10000
+        |    AS undetected_est
+        |FROM m""".stripMargin,
+    "q_eb_rates" ->
+      """WITH pu AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |pn AS (SELECT n_name AS nation,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(conv) AS DOUBLE) AS k
+        |  FROM pu JOIN customer ON user_id = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |pr AS (SELECT nation, n, k,
+        |    floor(k/n*10000 + 0.5 + 0.000001)/10000 AS rate FROM pn),
+        |mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS g,
+        |    SUM(rate) AS sr, SUM(rate*rate) AS srr FROM pr),
+        |pv AS (SELECT sr/g AS m,
+        |    (srr - sr*sr/g)/(g - 1.0) AS v FROM mo),
+        |kp AS (SELECT
+        |    floor(m*10000 + 0.5 + 0.000001)/10000 AS m,
+        |    floor((CASE WHEN v > 0 AND m*(1.0 - m)/v - 1.0 > 0
+        |      THEN m*(1.0 - m)/v - 1.0 ELSE 0.0 END)*10000 + 0.5
+        |      + 0.000001)/10000 AS kap
+        |  FROM pv)
+        |SELECT nation, CAST(n AS BIGINT) AS n_users,
+        |  rate AS raw_rate,
+        |  floor((k + m*kap)/(n + kap)*10000 + 0.5 + 0.000001)/10000
+        |    AS shrunk_rate,
+        |  floor(m*kap*10000 + 0.5 + 0.000001)/10000 AS prior_alpha,
+        |  floor((1.0 - m)*kap*10000 + 0.5 + 0.000001)/10000
+        |    AS prior_beta,
+        |  kap = 0.0 AS degenerate_prior
+        |FROM pr, kp ORDER BY nation""".stripMargin,
     "q_huber_fit" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    SUM(o_totalprice)/1000000.0 AS y

@@ -3047,6 +3047,55 @@ object Stats {
       .limit(topK)
   }
 
+  /** Empirical-Bayes shrinkage of per-nation conversion rates toward
+    * a beta prior fit by method of moments on the observed rates
+    * (mean m, variance v → κ = m(1−m)/v − 1, α = mκ, β = (1−m)κ):
+    * small nations move toward the pool, big ones barely — the
+    * James-Stein companion (already gated for MEANS) specialized to
+    * RATES with the correct beta-binomial geometry. Conversion =
+    * purchase-users / active-users per nation; everything past the
+    * fact scan is 25 rows. When the observed rates are
+    * under-dispersed (v ≈ 0 → κ ≤ 0) the prior degenerates and raw
+    * rates are reported with zero shrinkage, flagged. */
+  def ebRates(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase").cast("int")).as("conv"))
+    val perNation = perUser
+      .join(Tables.customer(s, dir), col("user_id") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("conv")).cast("double").as("k"))
+      .withColumn("rate", round4eps(col("k") / col("n")))
+      .persistMemDisk
+    val prior = perNation.agg(count(lit(1)).cast("double").as("g"),
+        sum(col("rate")).as("sr"),
+        sum(col("rate") * col("rate")).as("srr"))
+      .withColumn("m", col("sr") / col("g"))
+      .withColumn("v",
+        (col("srr") - col("sr") * col("sr") / col("g")) /
+          (col("g") - lit(1.0)))
+      .withColumn("kap", when(col("v") > 0,
+        col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0))
+        .otherwise(lit(0.0)))
+      .select(round4eps(col("m")).as("m"),
+        round4eps(when(col("kap") > 0, col("kap")).otherwise(lit(0.0)))
+          .as("kap"))
+    perNation.crossJoin(broadcast(prior))
+      .withColumn("alpha", col("m") * col("kap"))
+      .withColumn("beta", (lit(1.0) - col("m")) * col("kap"))
+      .select(col("nation"), col("n").cast("long").as("n_users"),
+        col("rate").as("raw_rate"),
+        round4eps((col("k") + col("alpha")) /
+          (col("n") + col("kap"))).as("shrunk_rate"),
+        round4eps(col("alpha")).as("prior_alpha"),
+        round4eps(col("beta")).as("prior_beta"),
+        (col("kap") === 0.0).as("degenerate_prior"))
+      .orderBy(col("nation"))
+  }
+
   /** Daily-revenue risk ratios — the portfolio-style summary of a
     * revenue stream: mean/vol of day-over-day log returns, annualized
     * Sharpe (rf = 0), Sortino (downside-only deviation), and the hit

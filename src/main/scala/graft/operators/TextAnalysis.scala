@@ -1613,4 +1613,70 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("epochs"))
       .orderBy(col("source"))
   }
+
+  /** Good-Turing frequency smoothing over the corpus vocabulary: the
+    * frequency-of-frequencies table n_r with the adjusted counts
+    * r* = (r+1)·n_{r+1}/n_r for r ≤ `maxR`, and the missing mass
+    * P₀ = n₁/N — the probability the NEXT token drawn is a word never
+    * seen, the quantity that decides how much held-out novelty a
+    * training corpus still has (Kneser-Ney's discount cousin, already
+    * gated, consumes these counts). Two grouped aggregates past the
+    * token scan: vocab-bounded then count-bounded. */
+  /** Both richness estimators run on 3-GRAM SHINGLES, not unigrams:
+    * this synthetic corpus reuses a closed word vocabulary (minimum
+    * unigram frequency 26 at sf0.01 — zero singletons, so unigram
+    * Good-Turing/Chao1 would gate empty-vs-empty, the audited weak
+    * pattern), while shingle types keep a live Zipf tail at every sf
+    * (the same reason heapsLaw measures shingles). */
+  private def shingleFreqs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
+          "transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) " +
+          "ELSE array() END")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+
+  def goodTuring(s: SparkSession, dir: String, maxR: Int = 5): DataFrame = {
+    val freqs = shingleFreqs(s, dir)
+    val fof = freqs.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .persistMemDisk
+    val tot = fof.agg(sum(col("r") * col("n_r")).as("n_tokens"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(lit(0L))).as("n1"))
+    val wNext = Window.orderBy(col("r"))
+    fof.crossJoin(broadcast(tot))
+      .withColumn("n_next", lead(col("n_r"), 1).over(wNext))
+      .withColumn("r_next", lead(col("r"), 1).over(wNext))
+      .filter(col("r") <= maxR)
+      .select(col("r"), col("n_r"),
+        // r* defined only when n_{r+1} exists AT r+1 (gaps yield null)
+        round4eps(when(col("r_next") === col("r") + 1,
+          (col("r") + lit(1)).cast("double") * col("n_next") / col("n_r"))
+        ).as("r_star"),
+        round4eps(col("n1").cast("double") / col("n_tokens"))
+          .as("p0_missing_mass"))
+      .orderBy(col("r"))
+  }
+
+  /** Chao1 species-richness estimate of the TRUE vocabulary size:
+    * V̂ = V + n₁²/(2·n₂) (bias-corrected form when n₂ = 0) — how many
+    * word types the corpus would reveal at infinite sampling, the
+    * asymptote the Heaps-law curve (already gated) bends toward. One
+    * vocab-bounded aggregate. */
+  def chao1(s: SparkSession, dir: String): DataFrame = {
+    val freqs = shingleFreqs(s, dir)
+    freqs.agg(count(lit(1)).as("v_obs"),
+        sum((col("r") === 1).cast("long")).as("n1"),
+        sum((col("r") === 2).cast("long")).as("n2"))
+      .select(col("v_obs"), col("n1"), col("n2"),
+        round4eps(when(col("n2") > 0,
+          col("v_obs") + col("n1") * col("n1") /
+            (lit(2.0) * col("n2")))
+          .otherwise(col("v_obs") +
+            col("n1") * (col("n1") - lit(1)) / lit(2.0))).as("chao1"),
+        round4eps(when(col("n2") > 0,
+          col("n1") * col("n1") / (lit(2.0) * col("n2")))
+          .otherwise(col("n1") * (col("n1") - lit(1)) / lit(2.0)))
+          .as("undetected_est"))
+  }
 }

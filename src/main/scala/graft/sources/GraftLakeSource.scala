@@ -220,10 +220,33 @@ private[graft] final class GraftLakeTable(
     writeTarget: Option[(String, String)] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = tableName
   override def schema(): StructType = visible
+
+  /** The hidden `commit` partition column surfaces as a METADATA
+    * column (the Iceberg _file/_partition pattern): absent from the
+    * table schema — `SELECT *` never sees it — but resolvable on
+    * explicit reference (`SELECT commit, ... FROM t`), answering
+    * "which snapshot wrote this row" per row. The inner parquet scan
+    * already knows the column (it is a physical partition dir), so
+    * resolution flows through the normal column-pruning negotiation
+    * with no extra scan machinery; commit-dir pruning keeps applying.
+    * CTAS tables (no commit dirs) expose no metadata columns. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (inner.schema.fieldNames.contains(graft.pipeline.LakeMeta.CommitCol))
+      Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = graft.pipeline.LakeMeta.CommitCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "snapshot id of the commit that wrote this row"
+      })
+    else Array.empty
 
   /** Report the hidden day-partitioning as its logical `days(ts)`
     * transform (the Iceberg DESCRIBE shape): derived from the sidecar's

@@ -322,6 +322,22 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $cat.raw.proctest")
   }
 
+  test("metadata column: commit resolves on explicit reference only " +
+      "(SELECT * stays clean) and answers which-snapshot-wrote-this-row") {
+    val star = spark.table(s"$cat.raw.bitcoin_prices")
+    assert(!star.columns.contains("commit"))
+    val byCommit = spark.sql(
+      s"SELECT commit, count(*) AS n FROM $cat.raw.bitcoin_prices " +
+        "GROUP BY commit ORDER BY commit").collect()
+    assert(byCommit.map(_.getLong(0)).toSeq
+      === (1L to byCommit.length.toLong))
+    assert(byCommit.map(_.getAs[Long]("n")).forall(_ === 1L))
+    // rows written by snapshot 2 are exactly batch 2
+    val r2 = spark.sql(s"SELECT id FROM $cat.raw.bitcoin_prices " +
+      "WHERE commit = 2").collect()
+    assert(r2.map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("no-sidecar fallback merges footers like the facade repair path " +
       "(add-column-evolved table surfaces the late column)") {
     val whl = java.nio.file.Files

@@ -258,6 +258,47 @@ class R10BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("goodTuring: adjusted counts discount singletons (r*=1 < 1 " +
+      "when the tail decays); missing mass in (0,1)") {
+    val rows = graft.operators.TextAnalysis.goodTuring(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val p0 = rows.head.getAs[Double]("p0_missing_mass")
+    assert(p0 > 0.0 && p0 < 1.0)
+    val r1 = rows.find(_.getAs[Long]("r") === 1L).get
+    // Zipf tail: n2 < n1 so r*(1) = 2 n2/n1 < 2; typically < 1
+    assert(r1.getAs[Double]("r_star") < 2.0)
+  }
+
+  test("chao1: estimate >= observed vocabulary; undetected mass is " +
+      "n1^2/(2 n2) when doubletons exist") {
+    val r = graft.operators.TextAnalysis.chao1(spark, sf).collect().head
+    assert(r.getAs[Double]("chao1") >= r.getAs[Long]("v_obs").toDouble)
+    if (r.getAs[Long]("n2") > 0)
+      assert(math.abs(r.getAs[Double]("undetected_est") -
+        r.getAs[Long]("n1").toDouble * r.getAs[Long]("n1") /
+          (2.0 * r.getAs[Long]("n2"))) <= 2e-4)
+  }
+
+  test("ebRates: shrunk rates lie between the raw rate and the prior " +
+      "mean (shrinkage property) unless the prior degenerated") {
+    val rows = graft.operators.Stats.ebRates(spark, sf).collect()
+    // sf0.001 has active users in only a subset of the 25 nations
+    assert(rows.nonEmpty && rows.length <= 25)
+    val degenerate = rows.head.getAs[Boolean]("degenerate_prior")
+    if (!degenerate) {
+      val a = rows.head.getAs[Double]("prior_alpha")
+      val b = rows.head.getAs[Double]("prior_beta")
+      val m = a / (a + b)
+      rows.foreach { r =>
+        val raw = r.getAs[Double]("raw_rate")
+        val sh = r.getAs[Double]("shrunk_rate")
+        assert((sh >= math.min(raw, m) - 1e-3) &&
+          (sh <= math.max(raw, m) + 1e-3),
+          s"${r.getAs[String]("nation")}: raw=$raw shrunk=$sh m=$m")
+      }
+    }
+  }
+
   test("riskRatios: hit ratio in [0,1]; sortino >= sharpe when " +
       "downside deviation <= full vol (it is, by construction on the " +
       "same mean)") {
