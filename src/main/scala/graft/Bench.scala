@@ -41,6 +41,21 @@ object Bench {
 
     var spark = Sessions.build(cpus)
 
+    // Every unpartitioned window in this library runs over a
+    // DELIBERATELY collapsed frame (calendar-bounded daily series,
+    // NDV-bounded value distributions — stated in the scaladoc at each
+    // operator family); WindowExec's generic single-partition warning
+    // is sized for fact-scale frames and would print hundreds of times
+    // per full run, drowning the real warnings the tail exists to
+    // surface (the r7 tail caught an actual WindowExec regression that
+    // way — on a NEW operator, during verify, where the logger stays
+    // at WARN). Benchmark runs scope it to ERROR; verify/spec runs
+    // keep full visibility so an accidentally single-partitioned
+    // fact-scale frame in new code still gets flagged in development.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
     // Per-query shuffle-volume accounting — the direct "which query
     // would bottleneck the interconnect at 100 TB" signal, reported
     // alongside seconds in BENCH_FULL.json. A task-end listener
