@@ -1035,6 +1035,10 @@ object SparkEntry {
     "q_siegel_slope"     -> ((s, d) => Stats.siegelSlope(s, d)),
     "q_periodogram"      -> ((s, d) => Stats.periodogramTop(s, d)),
     "q_zip_fit"          -> ((s, d) => graft.operators.Inventory.zipFit(s, d)),
+    // EVT / dominance / GLM batch (r10)
+    "q_gpd_tail"         -> ((s, d) => Stats.gpdTail(s, d)),
+    "q_stoch_dominance"  -> ((s, d) => Stats.stochDominance(s, d)),
+    "q_poisson_reg"      -> ((s, d) => Stats.poissonReg(s, d)),
     // corpus-richness batch (r10): how much novelty is left in the
     // training corpus, and rate shrinkage for segment dashboards
     "q_good_turing"      -> ((s, d) => TextAnalysis.goodTuring(s, d)),
@@ -8293,6 +8297,90 @@ object SparkEntry {
         |    AS prior_beta,
         |  kap = 0.0 AS degenerate_prior
         |FROM pr, kp ORDER BY nation""".stripMargin,
+    "q_gpd_tail" ->
+      """WITH v AS (SELECT o_totalprice/1000.0 AS x FROM orders),
+        |rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r,
+        |    COUNT(*) OVER () AS nn FROM v),
+        |thr AS (SELECT floor(x*10000 + 0.5 + 0.000001)/10000 AS u
+        |  FROM rk WHERE r = CAST(ceil(nn*0.9) AS BIGINT)),
+        |exc AS (SELECT x - u AS e, u FROM v, thr WHERE x > u),
+        |m AS (SELECT MIN(u) AS u, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(e) AS se, SUM(e*e) AS see FROM exc),
+        |f AS (SELECT u, n, se/n AS mm,
+        |    (see - se*se/n)/(n - 1.0) AS vv FROM m)
+        |SELECT u AS threshold, CAST(n AS BIGINT) AS n_exceed,
+        |  floor(mm*10000 + 0.5 + 0.000001)/10000 AS mean_excess,
+        |  floor((1.0 - mm*mm/vv)/2.0*10000 + 0.5 + 0.000001)/10000
+        |    AS gpd_xi,
+        |  floor(mm*(1.0 + mm*mm/vv)/2.0*10000 + 0.5 + 0.000001)/10000
+        |    AS gpd_sigma,
+        |  (1.0 - mm*mm/vv)/2.0 > 0 AS heavy_tail
+        |FROM f""".stripMargin,
+    "q_stoch_dominance" ->
+      """WITH vals AS (SELECT
+        |    CAST(floor(o_totalprice/1000.0) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+        |      ELSE 0 END) AS DOUBLE) AS c1,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 0
+        |      ELSE 1 END) AS DOUBLE) AS c0
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(c1) AS n1, SUM(c0) AS n0 FROM vals),
+        |cdf AS (SELECT
+        |    floor(SUM(c1) OVER wc / n1 * 10000 + 0.5 + 0.000001)/10000
+        |      AS f1,
+        |    floor(SUM(c0) OVER wc / n0 * 10000 + 0.5 + 0.000001)/10000
+        |      AS f0
+        |  FROM vals, tot
+        |  WINDOW wc AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_grid,
+        |  floor(MAX(f1 - f0)*10000 + 0.5 + 0.000001)/10000
+        |    AS max_f1_minus_f0,
+        |  floor(MAX(f0 - f1)*10000 + 0.5 + 0.000001)/10000
+        |    AS max_f0_minus_f1,
+        |  floor(MAX(f1 - f0)*10000 + 0.5 + 0.000001)/10000 <= 0.0
+        |    AS building_dominates,
+        |  floor(MAX(f0 - f1)*10000 + 0.5 + 0.000001)/10000 <= 0.0
+        |    AS rest_dominates
+        |FROM cdf""".stripMargin,
+    "q_poisson_reg" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS y FROM orders GROUP BY 1),
+        |g AS (SELECT CASE WHEN dayofweek(d) IN (0, 6) THEN 1.0
+        |      ELSE 0.0 END AS x, y FROM daily),
+        |st AS (SELECT
+        |    SUM(CASE WHEN x = 0 THEN 1.0 ELSE 0.0 END) AS n0,
+        |    SUM(CASE WHEN x = 0 THEN y ELSE 0.0 END) AS sy0,
+        |    SUM(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END) AS n1,
+        |    SUM(CASE WHEN x = 1 THEN y ELSE 0.0 END) AS sy1
+        |  FROM g),
+        |it(i, a, b) AS (
+        |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    floor((a + ((n1*exp(a+b))*((sy0+sy1)-(n0*exp(a)+n1*exp(a+b)))
+        |      - (n1*exp(a+b))*(sy1 - n1*exp(a+b)))
+        |      / ((n0*exp(a)+n1*exp(a+b))*(n1*exp(a+b))
+        |         - (n1*exp(a+b))*(n1*exp(a+b))))
+        |      *1000000 + 0.5 + 0.000001)/1000000,
+        |    floor((b + ((n0*exp(a)+n1*exp(a+b))*(sy1 - n1*exp(a+b))
+        |      - (n1*exp(a+b))*((sy0+sy1)-(n0*exp(a)+n1*exp(a+b))))
+        |      / ((n0*exp(a)+n1*exp(a+b))*(n1*exp(a+b))
+        |         - (n1*exp(a+b))*(n1*exp(a+b))))
+        |      *1000000 + 0.5 + 0.000001)/1000000
+        |  FROM it, st WHERE i < 4),
+        |fin AS (SELECT a, b FROM it WHERE i = 4)
+        |SELECT CAST(n0 AS BIGINT) AS n_weekday,
+        |  CAST(n1 AS BIGINT) AS n_weekend,
+        |  floor(a*10000 + 0.5 + 0.000001)/10000 AS intercept,
+        |  floor(b*10000 + 0.5 + 0.000001)/10000 AS beta_weekend,
+        |  floor(exp(b)*10000 + 0.5 + 0.000001)/10000 AS rate_ratio,
+        |  floor(b*sqrt(n0*exp(a)*n1*exp(a+b)
+        |    /(n0*exp(a)+n1*exp(a+b)))*10000 + 0.5 + 0.000001)/10000
+        |    AS wald_z
+        |FROM fin, st""".stripMargin,
     "q_huber_fit" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    SUM(o_totalprice)/1000000.0 AS y

@@ -3096,6 +3096,122 @@ object Stats {
       .orderBy(col("nation"))
   }
 
+  /** Generalized-Pareto tail fit (peaks over threshold, method of
+    * moments): exceedances of order value over the exact P90 boundary
+    * give (ξ, σ) via ξ = (1 − m²/v)/2, σ = m(1 + m²/v)/2 — the EVT
+    * companion of the Hill estimator already gated (Hill assumes
+    * ξ > 0; GPD MoM measures it, sign and all). The threshold is the
+    * exact type-1 P90 by rank arithmetic; moments are one aggregate
+    * over the exceedance scan. */
+  def gpdTail(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.orders(s, dir)
+      .select((col("o_totalprice") / lit(1000.0)).as("x"))
+      .persistMemDisk
+    val wRank = Window.orderBy(col("x"))
+    val thr = v.withColumn("r", row_number().over(wRank))
+      .withColumn("nn", count(lit(1)).over(
+        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("r") === ceil(col("nn").cast("double") * 0.9).cast("int"))
+      .select(round4eps(col("x")).as("u"))
+    v.crossJoin(broadcast(thr))
+      .filter(col("x") > col("u"))
+      .select((col("x") - col("u")).as("e"), col("u"))
+      .agg(first(col("u")).as("u"),
+        count(lit(1)).cast("double").as("n"),
+        sum(col("e")).as("se"), sum(col("e") * col("e")).as("see"))
+      .withColumn("m", col("se") / col("n"))
+      .withColumn("vv", (col("see") - col("se") * col("se") / col("n")) /
+        (col("n") - lit(1.0)))
+      .select(col("u").as("threshold"),
+        col("n").cast("long").as("n_exceed"),
+        round4eps(col("m")).as("mean_excess"),
+        round4eps((lit(1.0) - col("m") * col("m") / col("vv")) / lit(2.0))
+          .as("gpd_xi"),
+        round4eps(col("m") * (lit(1.0) + col("m") * col("m") / col("vv"))
+          / lit(2.0)).as("gpd_sigma"),
+        ((lit(1.0) - col("m") * col("m") / col("vv")) / lit(2.0) > 0)
+          .as("heavy_tail"))
+  }
+
+  /** First-order stochastic dominance screen between BUILDING-segment
+    * and other order values: F_building(v) vs F_rest(v) on the $1000
+    * value grid — dominance holds when one CDF sits under the other at
+    * EVERY grid point. Reports the verdict plus the maximal violation
+    * in each direction (the KS-style evidence, but signed and
+    * decision-oriented: "is A's distribution unambiguously richer").
+    * Value-domain-bounded frame after one fact scan. */
+  def stochDominance(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select((col("c_mktsegment") === "BUILDING").cast("int").as("g"),
+        floor(col("o_totalprice") / lit(1000.0)).as("v"))
+      .groupBy(col("v"))
+      .agg(sum(col("g")).cast("double").as("c1"),
+        sum(lit(1) - col("g")).cast("double").as("c0"))
+      .persistMemDisk
+    val tot = vals.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.crossJoin(broadcast(tot))
+      .withColumn("f1", round4eps(sum(col("c1")).over(wCum) / col("n1")))
+      .withColumn("f0", round4eps(sum(col("c0")).over(wCum) / col("n0")))
+      .agg(count(lit(1)).as("n_grid"),
+        round4eps(max(col("f1") - col("f0"))).as("max_f1_minus_f0"),
+        round4eps(max(col("f0") - col("f1"))).as("max_f0_minus_f1"))
+      .select(col("n_grid"), col("max_f1_minus_f0"),
+        col("max_f0_minus_f1"),
+        (col("max_f1_minus_f0") <= 0.0).as("building_dominates"),
+        (col("max_f0_minus_f1") <= 0.0).as("rest_dominates"))
+  }
+
+  /** Poisson regression (log-link GLM, one binary covariate) of daily
+    * order counts on the weekend indicator, by 4 driver-side Newton
+    * steps over the collected calendar-bounded frame with
+    * 1e-6-quantized iterates (the coxPh discipline — the oracle's
+    * recursive CTE walks the identical trajectory). With a binary
+    * covariate the sufficient statistics collapse to 4 numbers
+    * (n₀, n₁, Σy₀, Σy₁), so each Newton step is exact scalar algebra:
+    * score U = (Σy − Σμ, Σy₁ − Σμ₁), info blocks from the same sums.
+    * Reports the rate ratio e^b with its Wald z. */
+  def poissonReg(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .select(col("y"),
+        (dayofweek(col("d")).isin(1, 7)).cast("int").cast("double").as("x"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("y")).as("sy"))
+      .collect()
+    require(daily.length <= 2, "binary covariate must give <= 2 groups")
+    val (n0, sy0) = daily.find(_.getDouble(0) == 0.0)
+      .map(r => (r.getDouble(1), r.getDouble(2))).getOrElse((0.0, 0.0))
+    val (n1, sy1) = daily.find(_.getDouble(0) == 1.0)
+      .map(r => (r.getDouble(1), r.getDouble(2))).getOrElse((0.0, 0.0))
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5 + 1e-6) / 1e6
+    var a = 0.0; var b = 0.0
+    for (_ <- 1 to iters) {
+      val mu0 = n0 * math.exp(a); val mu1 = n1 * math.exp(a + b)
+      val ua = (sy0 + sy1) - (mu0 + mu1)
+      val ub = sy1 - mu1
+      // 2x2 information: [[mu0+mu1, mu1], [mu1, mu1]]
+      val det = (mu0 + mu1) * mu1 - mu1 * mu1
+      a = q6(a + (mu1 * ua - mu1 * ub) / det)
+      b = q6(b + ((mu0 + mu1) * ub - mu1 * ua) / det)
+    }
+    val infoB = 1.0 / ((n0 * math.exp(a) + n1 * math.exp(a + b)) /
+      (n0 * math.exp(a) * n1 * math.exp(a + b)))
+    import s.implicits._
+    Seq((n0.toLong, n1.toLong, a, b, math.exp(b),
+        b * math.sqrt(infoB)))
+      .toDF("n_weekday", "n_weekend", "a_raw", "b_raw", "rr_raw", "z_raw")
+      .select(col("n_weekday"), col("n_weekend"),
+        round4eps(col("a_raw")).as("intercept"),
+        round4eps(col("b_raw")).as("beta_weekend"),
+        round4eps(col("rr_raw")).as("rate_ratio"),
+        round4eps(col("z_raw")).as("wald_z"))
+  }
+
   /** Daily-revenue risk ratios — the portfolio-style summary of a
     * revenue stream: mean/vol of day-over-day log returns, annualized
     * Sharpe (rf = 0), Sortino (downside-only deviation), and the hit

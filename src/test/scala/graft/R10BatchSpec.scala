@@ -326,6 +326,46 @@ class R10BatchSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("gpdTail: ~10% of rows exceed the P90 threshold; sigma > 0; " +
+      "mean excess positive") {
+    val r = graft.operators.Stats.gpdTail(spark, sf).collect().head
+    val n = graft.Tables.orders(spark, sf).count()
+    val frac = r.getAs[Long]("n_exceed").toDouble / n
+    assert(frac > 0.05 && frac < 0.15, s"exceedance fraction $frac")
+    assert(r.getAs[Double]("gpd_sigma") > 0.0)
+    assert(r.getAs[Double]("mean_excess") > 0.0)
+  }
+
+  test("stochDominance: the two dominance verdicts cannot both hold " +
+      "on distinct distributions; max violations are non-negative") {
+    val r = graft.operators.Stats.stochDominance(spark, sf).collect().head
+    val d1 = r.getAs[Boolean]("building_dominates")
+    val d0 = r.getAs[Boolean]("rest_dominates")
+    assert(!(d1 && d0) ||
+      (r.getAs[Double]("max_f1_minus_f0") <= 0 &&
+        r.getAs[Double]("max_f0_minus_f1") <= 0))
+    assert(r.getAs[Long]("n_grid") > 10)
+  }
+
+  test("poissonReg: Newton recovers the closed-form group-rate MLE " +
+      "(e^a = weekday mean, e^(a+b) = weekend mean)") {
+    val r = graft.operators.Stats.poissonReg(spark, sf).collect().head
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .select(col("y"),
+        (dayofweek(col("d")).isin(1, 7)).cast("int").as("x"))
+      .groupBy(col("x")).agg(avg(col("y")).as("m")).collect()
+      .map(row => row.getInt(0) -> row.getDouble(1)).toMap
+    val a = r.getAs[Double]("intercept")
+    val b = r.getAs[Double]("beta_weekend")
+    assert(math.abs(math.exp(a) - daily(0)) / daily(0) < 1e-3,
+      s"weekday rate: ${math.exp(a)} vs ${daily(0)}")
+    assert(math.abs(math.exp(a + b) - daily(1)) / daily(1) < 1e-3,
+      s"weekend rate: ${math.exp(a + b)} vs ${daily(1)}")
+  }
+
   test("riskRatios: hit ratio in [0,1]; sortino >= sharpe when " +
       "downside deviation <= full vol (it is, by construction on the " +
       "same mean)") {
