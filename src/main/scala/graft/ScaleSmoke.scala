@@ -399,6 +399,40 @@ object ScaleSmoke {
     run("revealedComparativeAdvantage")(
       operators.Joins.revealedComparativeAdvantage(spark, dir))
 
+    // r10 new-operator families. coxPh/poissonReg: calendar/group-
+    // collapsed driver Newton — flat past the scan. siegelSlope: the
+    // pair walk is DAYS² (replication adds rows, never days) — flat
+    // past the daily collapse. hodgesLehmann/stochDominance/gpdTail:
+    // value-domain-bounded frames. huberFit: 3 chained moment passes —
+    // 3× scan, flat state. bhFdr/ebRates: taxonomy-bounded batteries.
+    // indicators (macd): calendar-bounded positional windows.
+    // propensityAtt: fact-linear moments + NDV-bounded score histogram
+    // (the ntile funnel was rewritten to boundary compares pre-flight).
+    // symspell: the delete-1 index is vocab-bounded — FLAT (replication
+    // repeats the same part words). brandScc: order-grain argmax is
+    // the only fact-scale term (brandSwitching's row); closure is
+    // driver-side on a taxonomy digraph. zipFit: (brand,day) collapse.
+    // goodTuring/chao1: shingle-frequency collapse, scan-linear.
+    // pqCodebooks/pqAdcError: corpus-linear broadcast Lloyd passes;
+    // ADC joins queries×corpus with constant per-pair work.
+    run("coxPh")(operators.Survival.coxPh(spark, dir))
+    run("poissonReg")(operators.Stats.poissonReg(spark, dir))
+    run("siegelSlope")(operators.Stats.siegelSlope(spark, dir))
+    run("hodgesLehmann")(operators.Stats.hodgesLehmann(spark, dir))
+    run("stochDominance")(operators.Stats.stochDominance(spark, dir))
+    run("gpdTail")(operators.Stats.gpdTail(spark, dir))
+    run("huberFit")(operators.Stats.huberFit(spark, dir))
+    run("bhFdr")(operators.Stats.bhFdr(spark, dir))
+    run("ebRates")(operators.Stats.ebRates(spark, dir))
+    run("macd")(operators.Indicators.macd(spark, dir))
+    run("propensityAtt")(operators.Stats.propensityAtt(spark, dir))
+    run("symspellPairs")(operators.EntityResolution.symspellPairs(spark, dir))
+    run("brandScc")(operators.Graph.brandScc(spark, dir))
+    run("zipFit")(operators.Inventory.zipFit(spark, dir))
+    run("goodTuring")(operators.TextAnalysis.goodTuring(spark, dir))
+    run("pqCodebooks")(operators.Similarity.pqCodebooks(spark, dir))
+    run("pqAdcError")(operators.Similarity.pqAdcError(spark, dir))
+
     // r10: V2 mount snapshot pruning at scale (round-9 verdict demand
     // #7) — a warehouse holding the whole replicated events table
     // split across 8 commits; reading snapshot-id=1 must cost ~1/8 of

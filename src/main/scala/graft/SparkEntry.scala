@@ -8299,10 +8299,15 @@ object SparkEntry {
         |FROM pr, kp ORDER BY nation""".stripMargin,
     "q_gpd_tail" ->
       """WITH v AS (SELECT o_totalprice/1000.0 AS x FROM orders),
-        |rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r,
-        |    COUNT(*) OVER () AS nn FROM v),
-        |thr AS (SELECT floor(x*10000 + 0.5 + 0.000001)/10000 AS u
-        |  FROM rk WHERE r = CAST(ceil(nn*0.9) AS BIGINT)),
+        |hist AS (SELECT floor(x*100.0 + 0.5 + 0.000001)/100.0 AS vq,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS nn FROM hist),
+        |cum AS (SELECT vq, nn,
+        |    SUM(c) OVER (ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM hist, tot),
+        |thr AS (SELECT MIN(vq) AS u FROM cum
+        |  WHERE cc >= CAST(ceil(nn*0.9) AS BIGINT)),
         |exc AS (SELECT x - u AS e, u FROM v, thr WHERE x > u),
         |m AS (SELECT MIN(u) AS u, CAST(COUNT(*) AS DOUBLE) AS n,
         |    SUM(e) AS se, SUM(e*e) AS see FROM exc),
@@ -8609,11 +8614,24 @@ object SparkEntry {
         |    floor(m1*10000 + 0.5 + 0.000001)/10000 AS m1,
         |    floor(m2*10000 + 0.5 + 0.000001)/10000 AS m2
         |  FROM c),
-        |sc AS (SELECT tr, y,
-        |    NTILE(5) OVER (ORDER BY
-        |      floor((tbar + b1*(x1 - m1) + b2*(x2 - m2))*10000
-        |        + 0.5 + 0.000001)/10000, c_custkey) AS stratum
+        |sc0 AS (SELECT c_custkey, tr, y,
+        |    floor((tbar + b1*(x1 - m1) + b2*(x2 - m2))*10000
+        |      + 0.5 + 0.000001)/10000 AS score
         |  FROM base, b),
+        |hist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS hc
+        |  FROM sc0 GROUP BY 1),
+        |tot AS (SELECT SUM(hc) AS nn FROM hist),
+        |cum AS (SELECT score, nn,
+        |    SUM(hc) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM hist, tot),
+        |bounds AS (SELECT k, MIN(score) AS bnd
+        |  FROM cum, (SELECT unnest([1, 2, 3, 4]) AS k) ks
+        |  WHERE cc >= CAST(ceil(nn*k/5.0) AS BIGINT) GROUP BY k),
+        |sc AS (SELECT s.c_custkey, MIN(s.tr) AS tr, MIN(s.y) AS y,
+        |    1 + SUM(CASE WHEN s.score > b.bnd THEN 1 ELSE 0 END)
+        |      AS stratum
+        |  FROM sc0 s CROSS JOIN bounds b GROUP BY 1),
         |strata AS (SELECT stratum, SUM(tr) AS n_t,
         |    SUM(1.0 - tr) AS n_c, SUM(tr*y) AS sy_t,
         |    SUM((1.0 - tr)*y) AS sy_c

@@ -2692,11 +2692,15 @@ object Stats {
     * customer, outcome = lifetime revenue, propensity from a linear
     * probability model on (account balance, order count) fit in
     * closed form (2-feature normal equations — the olsMulti pattern).
-    * Customers are cut into 5 score strata (ntile over the QUANTIZED
-    * score with custkey tie-break — deterministic), and the ATT is the
-    * treated-weighted average of within-stratum outcome gaps — the
-    * classic Rosenbaum-Rubin subclassification estimator. Moments +
-    * one bounded window; fact-linear. */
+    * Customers are cut into 5 score strata by QUANTILE BOUNDARIES
+    * computed on the quantized-score distribution collapse (cumulative
+    * counts over the NDV-bounded histogram, then a map-side
+    * boundary-count compare — the paretoShare discipline; a global
+    * ntile would funnel every customer through one WindowExec task at
+    * scale). Equal scores always land in the same stratum — better
+    * semantics than ntile's arbitrary tie split, and engine-exact.
+    * ATT is the treated-weighted average of within-stratum outcome
+    * gaps — the classic Rosenbaum-Rubin subclassification estimator. */
   def propensityAtt(s: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
@@ -2731,12 +2735,27 @@ object Stats {
       round4eps(col("st") / col("n")).as("tbar"),
       round4eps(col("s1") / col("n")).as("m1"),
       round4eps(col("s2") / col("n")).as("m2"))
-    val scored = base.crossJoin(broadcast(betas))
+    val scoredRaw = base.crossJoin(broadcast(betas))
       .withColumn("score", round4eps(col("tbar") +
         col("b1") * (col("x1") - col("m1")) +
         col("b2") * (col("x2") - col("m2"))))
-      .withColumn("stratum", ntile(5).over(
-        Window.orderBy(col("score"), col("c_custkey"))))
+      .persistMemDisk
+    // quintile boundaries from the score histogram (NDV-bounded), then
+    // stratum = 1 + #boundaries strictly below the score, map-side
+    val hist = scoredRaw.groupBy(col("score")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("c")).as("nn"))
+    val bounds = hist.crossJoin(broadcast(tot))
+      .withColumn("cc", sum(col("c")).over(wCum))
+      .withColumn("k", explode(sequence(lit(1), lit(4))))
+      .filter(col("cc") >=
+        ceil(col("nn").cast("double") * col("k") / 5.0).cast("long"))
+      .groupBy(col("k")).agg(min(col("score")).as("b"))
+      .agg(collect_list(col("b")).as("bs"))
+    val scored = scoredRaw.crossJoin(broadcast(bounds))
+      .withColumn("stratum", lit(1) + aggregate(col("bs"), lit(0),
+        (acc, b) => acc + (col("score") > b).cast("int")))
     val strata = scored.groupBy(col("stratum"))
       .agg(sum(col("tr")).as("n_t"),
         sum(lit(1.0) - col("tr")).as("n_c"),
@@ -3101,19 +3120,29 @@ object Stats {
     * give (ξ, σ) via ξ = (1 − m²/v)/2, σ = m(1 + m²/v)/2 — the EVT
     * companion of the Hill estimator already gated (Hill assumes
     * ξ > 0; GPD MoM measures it, sign and all). The threshold is the
-    * exact type-1 P90 by rank arithmetic; moments are one aggregate
+    * type-1 P90 of the $10-QUANTIZED value (2 decimals in thousands):
+    * the quantization collapses the frame to the VALUE DOMAIN before
+    * the cumulative rank, so the quantile never needs the global
+    * single-partition sort an exact row-rank would (a 60M-row
+    * WindowExec funnel at 100×) — the threshold granularity is $10,
+    * which is immaterial to a tail fit; moments are one aggregate
     * over the exceedance scan. */
   def gpdTail(s: SparkSession, dir: String): DataFrame = {
     val v = Tables.orders(s, dir)
       .select((col("o_totalprice") / lit(1000.0)).as("x"))
       .persistMemDisk
-    val wRank = Window.orderBy(col("x"))
-    val thr = v.withColumn("r", row_number().over(wRank))
-      .withColumn("nn", count(lit(1)).over(
-        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      .filter(col("r") === ceil(col("nn").cast("double") * 0.9).cast("int"))
-      .select(round4eps(col("x")).as("u"))
+    def q2(c: Column): Column =
+      floor(c * lit(100.0) + lit(0.5) + lit(0.000001)) / lit(100.0)
+    val hist = v.groupBy(q2(col("x")).as("vq"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("vq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("c")).as("nn"))
+    val thr = hist.crossJoin(broadcast(tot))
+      .withColumn("cc", sum(col("c")).over(wCum))
+      .filter(col("cc") >=
+        ceil(col("nn").cast("double") * 0.9).cast("long"))
+      .agg(min(col("vq")).as("u"))
     v.crossJoin(broadcast(thr))
       .filter(col("x") > col("u"))
       .select((col("x") - col("u")).as("e"), col("u"))
