@@ -1035,6 +1035,9 @@ object SparkEntry {
     "q_siegel_slope"     -> ((s, d) => Stats.siegelSlope(s, d)),
     "q_periodogram"      -> ((s, d) => Stats.periodogramTop(s, d)),
     "q_zip_fit"          -> ((s, d) => graft.operators.Inventory.zipFit(s, d)),
+    // causal-suite completion (r10): mediation + doubly-robust ATE
+    "q_mediation"        -> ((s, d) => Stats.mediation(s, d)),
+    "q_aipw_ate"         -> ((s, d) => Stats.aipwAte(s, d)),
     // EVT / dominance / GLM batch (r10)
     "q_gpd_tail"         -> ((s, d) => Stats.gpdTail(s, d)),
     "q_stoch_dominance"  -> ((s, d) => Stats.stochDominance(s, d)),
@@ -8297,6 +8300,124 @@ object SparkEntry {
         |    AS prior_beta,
         |  kap = 0.0 AS degenerate_prior
         |FROM pr, kp ORDER BY nation""".stripMargin,
+    "q_mediation" ->
+      """WITH li AS (SELECT l_orderkey AS ok, SUM(l_quantity) AS m,
+        |    SUM(l_extendedprice)/1000.0 AS y FROM lineitem GROUP BY 1),
+        |g AS (SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1.0 ELSE 0.0 END AS x, m, y
+        |  FROM orders JOIN li ON o_orderkey = ok),
+        |mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x) AS sx, SUM(m) AS sm, SUM(y) AS sy,
+        |    SUM(x*x) AS sxx, SUM(x*m) AS sxm, SUM(x*y) AS sxy,
+        |    SUM(m*m) AS smm, SUM(m*y) AS smy, SUM(y*y) AS syy FROM g),
+        |c AS (SELECT n,
+        |    sxx - sx*sx/n AS cxx, sxm - sx*sm/n AS cxm,
+        |    sxy - sx*sy/n AS cxy, smm - sm*sm/n AS cmm,
+        |    smy - sm*sy/n AS cmy, syy - sy*sy/n AS cyy FROM mo),
+        |f AS (SELECT n, cxy/cxx AS c_tot, cxm/cxx AS a,
+        |    (cmm*cxy - cxm*cmy)/(cxx*cmm - cxm*cxm) AS c_dir,
+        |    (cxx*cmy - cxm*cxy)/(cxx*cmm - cxm*cxm) AS b,
+        |    cxx, cxm, cxy, cmm, cmy, cyy,
+        |    cxx*cmm - cxm*cxm AS det FROM c),
+        |v2 AS (SELECT n, c_tot, a, c_dir, b,
+        |    (cyy - c_dir*cxy - b*cmy)/(n - 3.0) * cxx / det AS var_b,
+        |    (cmm - a*cxm)/(n - 2.0)/cxx AS var_a FROM f)
+        |SELECT CAST(n AS BIGINT) AS n_orders,
+        |  floor(c_tot*10000 + 0.5 + 0.000001)/10000 AS total_effect,
+        |  floor(c_dir*10000 + 0.5 + 0.000001)/10000 AS direct_effect,
+        |  floor(a*b*10000 + 0.5 + 0.000001)/10000 AS indirect_effect,
+        |  floor(a*b/sqrt(a*a*var_b + b*b*var_a)*10000 + 0.5
+        |    + 0.000001)/10000 AS sobel_z,
+        |  floor(a*b/c_tot*10000 + 0.5 + 0.000001)/10000
+        |    AS prop_mediated
+        |FROM v2""".stripMargin,
+    "q_aipw_ate" ->
+      """WITH pc AS (SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS n_ord,
+        |    SUM(o_totalprice)/1000.0 AS y FROM orders GROUP BY 1),
+        |base AS (SELECT c_custkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END
+        |      AS tr,
+        |    c_acctbal/1000.0 AS x1, n_ord AS x2, y
+        |  FROM customer JOIN pc ON c_custkey = o_custkey),
+        |fe AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x1) AS s1,
+        |    SUM(x2) AS s2, SUM(tr) AS st, SUM(x1*x1) AS s11,
+        |    SUM(x1*x2) AS s12, SUM(x2*x2) AS s22, SUM(x1*tr) AS s1t,
+        |    SUM(x2*tr) AS s2t FROM base),
+        |be AS (SELECT
+        |    floor(((s22 - s2*s2/n)*(s1t - s1*st/n)
+        |      - (s12 - s1*s2/n)*(s2t - s2*st/n))
+        |      /((s11 - s1*s1/n)*(s22 - s2*s2/n)
+        |        - (s12 - s1*s2/n)*(s12 - s1*s2/n))*10000 + 0.5
+        |      + 0.000001)/10000 AS b1,
+        |    floor(((s11 - s1*s1/n)*(s2t - s2*st/n)
+        |      - (s12 - s1*s2/n)*(s1t - s1*st/n))
+        |      /((s11 - s1*s1/n)*(s22 - s2*s2/n)
+        |        - (s12 - s1*s2/n)*(s12 - s1*s2/n))*10000 + 0.5
+        |      + 0.000001)/10000 AS b2,
+        |    floor(st/n*10000 + 0.5 + 0.000001)/10000 AS mt,
+        |    floor(s1/n*10000 + 0.5 + 0.000001)/10000 AS m1,
+        |    floor(s2/n*10000 + 0.5 + 0.000001)/10000 AS m2
+        |  FROM fe),
+        |f1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x1) AS s1,
+        |    SUM(x2) AS s2, SUM(y) AS st, SUM(x1*x1) AS s11,
+        |    SUM(x1*x2) AS s12, SUM(x2*x2) AS s22, SUM(x1*y) AS s1t,
+        |    SUM(x2*y) AS s2t FROM base WHERE tr = 1.0),
+        |b1m AS (SELECT
+        |    floor(((s22 - s2*s2/n)*(s1t - s1*st/n)
+        |      - (s12 - s1*s2/n)*(s2t - s2*st/n))
+        |      /((s11 - s1*s1/n)*(s22 - s2*s2/n)
+        |        - (s12 - s1*s2/n)*(s12 - s1*s2/n))*10000 + 0.5
+        |      + 0.000001)/10000 AS b1,
+        |    floor(((s11 - s1*s1/n)*(s2t - s2*st/n)
+        |      - (s12 - s1*s2/n)*(s1t - s1*st/n))
+        |      /((s11 - s1*s1/n)*(s22 - s2*s2/n)
+        |        - (s12 - s1*s2/n)*(s12 - s1*s2/n))*10000 + 0.5
+        |      + 0.000001)/10000 AS b2,
+        |    floor(st/n*10000 + 0.5 + 0.000001)/10000 AS mt,
+        |    floor(s1/n*10000 + 0.5 + 0.000001)/10000 AS m1,
+        |    floor(s2/n*10000 + 0.5 + 0.000001)/10000 AS m2
+        |  FROM f1),
+        |f0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x1) AS s1,
+        |    SUM(x2) AS s2, SUM(y) AS st, SUM(x1*x1) AS s11,
+        |    SUM(x1*x2) AS s12, SUM(x2*x2) AS s22, SUM(x1*y) AS s1t,
+        |    SUM(x2*y) AS s2t FROM base WHERE tr = 0.0),
+        |b0m AS (SELECT
+        |    floor(((s22 - s2*s2/n)*(s1t - s1*st/n)
+        |      - (s12 - s1*s2/n)*(s2t - s2*st/n))
+        |      /((s11 - s1*s1/n)*(s22 - s2*s2/n)
+        |        - (s12 - s1*s2/n)*(s12 - s1*s2/n))*10000 + 0.5
+        |      + 0.000001)/10000 AS b1,
+        |    floor(((s11 - s1*s1/n)*(s2t - s2*st/n)
+        |      - (s12 - s1*s2/n)*(s1t - s1*st/n))
+        |      /((s11 - s1*s1/n)*(s22 - s2*s2/n)
+        |        - (s12 - s1*s2/n)*(s12 - s1*s2/n))*10000 + 0.5
+        |      + 0.000001)/10000 AS b2,
+        |    floor(st/n*10000 + 0.5 + 0.000001)/10000 AS mt,
+        |    floor(s1/n*10000 + 0.5 + 0.000001)/10000 AS m1,
+        |    floor(s2/n*10000 + 0.5 + 0.000001)/10000 AS m2
+        |  FROM f0),
+        |scored AS (SELECT tr, y,
+        |    floor(GREATEST(0.02, LEAST(0.98,
+        |      floor((be.mt + be.b1*(x1 - be.m1) + be.b2*(x2 - be.m2))
+        |        *10000 + 0.5 + 0.000001)/10000))*10000 + 0.5
+        |        + 0.000001)/10000 AS e,
+        |    floor((b1m.mt + b1m.b1*(x1 - b1m.m1)
+        |      + b1m.b2*(x2 - b1m.m2))*10000 + 0.5 + 0.000001)/10000
+        |      AS mu1,
+        |    floor((b0m.mt + b0m.b1*(x1 - b0m.m1)
+        |      + b0m.b2*(x2 - b0m.m2))*10000 + 0.5 + 0.000001)/10000
+        |      AS mu0
+        |  FROM base, be, b1m, b0m)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(tr) AS BIGINT) AS n_treated,
+        |  floor(SUM(tr*(y - mu1)/e + mu1)/COUNT(*)*10000 + 0.5
+        |    + 0.000001)/10000 AS mean_y1,
+        |  floor(SUM((1.0 - tr)*(y - mu0)/(1.0 - e) + mu0)/COUNT(*)
+        |    *10000 + 0.5 + 0.000001)/10000 AS mean_y0,
+        |  floor((SUM(tr*(y - mu1)/e + mu1)/COUNT(*)
+        |    - SUM((1.0 - tr)*(y - mu0)/(1.0 - e) + mu0)/COUNT(*))
+        |    *10000 + 0.5 + 0.000001)/10000 AS aipw_ate
+        |FROM scored""".stripMargin,
     "q_gpd_tail" ->
       """WITH v AS (SELECT o_totalprice/1000.0 AS x FROM orders),
         |hist AS (SELECT floor(x*100.0 + 0.5 + 0.000001)/100.0 AS vq,

@@ -3115,6 +3115,136 @@ object Stats {
       .orderBy(col("nation"))
   }
 
+  /** Baron-Kenny mediation with the Sobel test: does order PRIORITY
+    * (X) move revenue (Y) through quantity (M)? Three moment OLS fits
+    * over one order-grain frame — total effect c (Y~X), the mediator
+    * path a (M~X), and the joint fit (Y~X+M) giving direct c′ and
+    * b — with indirect = a·b and Sobel z = a·b/√(a²σ_b² + b²σ_a²).
+    * The proportion-mediated readout is what turns "priority orders
+    * are bigger" into "priority works THROUGH volume, not price". */
+  def mediation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sum(col("l_quantity")).as("m0"),
+        (sum(col("l_extendedprice")) / lit(1000.0)).as("y"))
+    val g = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .cast("int").cast("double").as("x"))
+      .join(li, col("o_orderkey") === col("ok"))
+      .select(col("x"), col("m0").as("m"), col("y"))
+    g.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("m")).as("sm"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("m")).as("sxm"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("m") * col("m")).as("smm"),
+        sum(col("m") * col("y")).as("smy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("cxm", col("sxm") - col("sx") * col("sm") / col("n"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("n"))
+      .withColumn("cmm", col("smm") - col("sm") * col("sm") / col("n"))
+      .withColumn("cmy", col("smy") - col("sm") * col("sy") / col("n"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("c_tot", col("cxy") / col("cxx"))
+      .withColumn("a", col("cxm") / col("cxx"))
+      .withColumn("det", col("cxx") * col("cmm") - col("cxm") * col("cxm"))
+      .withColumn("c_dir",
+        (col("cmm") * col("cxy") - col("cxm") * col("cmy")) / col("det"))
+      .withColumn("b",
+        (col("cxx") * col("cmy") - col("cxm") * col("cxy")) / col("det"))
+      .withColumn("rss_y", col("cyy") - col("c_dir") * col("cxy") -
+        col("b") * col("cmy"))
+      .withColumn("s2y", col("rss_y") / (col("n") - lit(3.0)))
+      .withColumn("var_b", col("s2y") * col("cxx") / col("det"))
+      .withColumn("rss_m", col("cmm") - col("a") * col("cxm"))
+      .withColumn("var_a",
+        col("rss_m") / (col("n") - lit(2.0)) / col("cxx"))
+      .withColumn("ab", col("a") * col("b"))
+      .select(col("n").cast("long").as("n_orders"),
+        round4eps(col("c_tot")).as("total_effect"),
+        round4eps(col("c_dir")).as("direct_effect"),
+        round4eps(col("ab")).as("indirect_effect"),
+        round4eps(col("ab") /
+          sqrt(col("a") * col("a") * col("var_b") +
+            col("b") * col("b") * col("var_a"))).as("sobel_z"),
+        round4eps(col("ab") / col("c_tot")).as("prop_mediated"))
+  }
+
+  /** Doubly-robust ATT (AIPW): the propensity model (the LPM score
+    * of [[propensityAtt]]) and per-arm linear OUTCOME models combine
+    * into the augmented estimator — consistent if EITHER model is
+    * right, the production default for observational effect readouts:
+    *   ATE = mean[ t(y−m₁)/e + m₁ ] − mean[ (1−t)(y−m₀)/(1−e) + m₀ ].
+    * All three models are moment closed forms broadcast back over one
+    * persisted customer frame; scores are clipped to [0.02, 0.98]
+    * (quantized) so no weight explodes. */
+  def aipwAte(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("double").as("n_ord"),
+        (sum(col("o_totalprice")) / lit(1000.0)).as("y"))
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("int")
+          .cast("double").as("tr"),
+        (col("c_acctbal") / lit(1000.0)).as("x1"))
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .withColumn("x2", col("n_ord"))
+      .persistMemDisk
+    // propensity LPM (tr ~ x1 + x2), same normal equations as
+    // propensityAtt
+    def fit2(df: DataFrame, target: Column): DataFrame = {
+      val mm = df.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(target).as("st"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * target).as("s1t"),
+        sum(col("x2") * target).as("s2t"))
+      val c11 = col("s11") - col("s1") * col("s1") / col("n")
+      val c12 = col("s12") - col("s1") * col("s2") / col("n")
+      val c22 = col("s22") - col("s2") * col("s2") / col("n")
+      val c1t = col("s1t") - col("s1") * col("st") / col("n")
+      val c2t = col("s2t") - col("s2") * col("st") / col("n")
+      val det = c11 * c22 - c12 * c12
+      mm.select(
+        round4eps((c22 * c1t - c12 * c2t) / det).as("b1"),
+        round4eps((c11 * c2t - c12 * c1t) / det).as("b2"),
+        round4eps(col("st") / col("n")).as("mt"),
+        round4eps(col("s1") / col("n")).as("m1"),
+        round4eps(col("s2") / col("n")).as("m2"))
+    }
+    def predict(fitted: DataFrame, out: String)(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(fitted))
+        .withColumn(out, round4eps(col("mt") +
+          col("b1") * (col("x1") - col("m1")) +
+          col("b2") * (col("x2") - col("m2"))))
+        .drop("b1", "b2", "mt", "m1", "m2")
+    val withE = predict(fit2(base, col("tr")), "e_raw")(base)
+      .withColumn("e", round4eps(
+        greatest(lit(0.02), least(lit(0.98), col("e_raw")))))
+    val withM1 = predict(
+      fit2(base.filter(col("tr") === 1.0), col("y")), "mu1")(withE)
+    val withAll = predict(
+      fit2(base.filter(col("tr") === 0.0), col("y")), "mu0")(withM1)
+    withAll.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("tr") * (col("y") - col("mu1")) / col("e") + col("mu1"))
+          .as("s1"),
+        sum((lit(1.0) - col("tr")) * (col("y") - col("mu0")) /
+          (lit(1.0) - col("e")) + col("mu0")).as("s0"),
+        sum(col("tr")).as("nt"))
+      .select(col("n").cast("long").as("n_customers"),
+        col("nt").cast("long").as("n_treated"),
+        round4eps(col("s1") / col("n")).as("mean_y1"),
+        round4eps(col("s0") / col("n")).as("mean_y0"),
+        round4eps(col("s1") / col("n") - col("s0") / col("n"))
+          .as("aipw_ate"))
+  }
+
   /** Generalized-Pareto tail fit (peaks over threshold, method of
     * moments): exceedances of order value over the exact P90 boundary
     * give (ξ, σ) via ξ = (1 − m²/v)/2, σ = m(1 + m²/v)/2 — the EVT

@@ -366,6 +366,26 @@ class R10BatchSpec extends AnyFunSuite {
       s"weekend rate: ${math.exp(a + b)} vs ${daily(1)}")
   }
 
+  test("mediation: effect decomposition identity holds " +
+      "(total = direct + indirect for a single mediator)") {
+    val r = graft.operators.Stats.mediation(spark, sf).collect().head
+    assert(math.abs(r.getAs[Double]("total_effect") -
+      (r.getAs[Double]("direct_effect") +
+        r.getAs[Double]("indirect_effect"))) <= 5e-4)
+    assert(r.getAs[Long]("n_orders") > 0)
+  }
+
+  test("aipwAte: doubly-robust means are finite; treated count " +
+      "matches the cohort; clipped scores keep weights bounded") {
+    val r = graft.operators.Stats.aipwAte(spark, sf).collect().head
+    assert(r.getAs[Long]("n_treated") > 0)
+    assert(r.getAs[Long]("n_treated") < r.getAs[Long]("n_customers"))
+    val ate = r.getAs[Double]("aipw_ate")
+    assert(!ate.isNaN && !ate.isInfinite)
+    assert(math.abs(ate - (r.getAs[Double]("mean_y1") -
+      r.getAs[Double]("mean_y0"))) <= 5e-4)
+  }
+
   test("riskRatios: hit ratio in [0,1]; sortino >= sharpe when " +
       "downside deviation <= full vol (it is, by construction on the " +
       "same mean)") {
