@@ -1038,6 +1038,9 @@ object SparkEntry {
     // causal-suite completion (r10): mediation + doubly-robust ATE
     "q_mediation"        -> ((s, d) => Stats.mediation(s, d)),
     "q_aipw_ate"         -> ((s, d) => Stats.aipwAte(s, d)),
+    // Bradley-Terry preference strengths (the RLHF reward-model
+    // primitive) over within-order brand quantity comparisons
+    "q_bradley_terry"    -> ((s, d) => Stats.bradleyTerry(s, d)),
     // eval/governance batch (r10): PR-AUC, Greenwood bands, fairness
     "q_pr_auc"           -> ((s, d) => graft.operators.Behavior.prAuc(s, d)),
     "q_km_greenwood"     -> ((s, d) => Survival.kmGreenwood(s, d)),
@@ -8304,6 +8307,67 @@ object SparkEntry {
         |    AS prior_beta,
         |  kap = 0.0 AS degenerate_prior
         |FROM pr, kp ORDER BY nation""".stripMargin,
+    "q_bradley_terry" ->
+      """WITH ob AS (SELECT l_orderkey, p_brand, SUM(l_quantity) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT
+        |    CASE WHEN a.q > b.q THEN a.p_brand ELSE b.p_brand END
+        |      AS winner,
+        |    CASE WHEN a.q > b.q THEN b.p_brand ELSE a.p_brand END
+        |      AS loser,
+        |    CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+        |    AND a.p_brand < b.p_brand AND a.q <> b.q
+        |  GROUP BY 1, 2),
+        |g AS (SELECT a, b, SUM(w) AS n FROM (
+        |    SELECT winner AS a, loser AS b, w FROM mx
+        |    UNION ALL SELECT loser AS a, winner AS b, w FROM mx)
+        |  GROUP BY 1, 2),
+        |br AS (SELECT DISTINCT a AS brand FROM g),
+        |wn AS (SELECT br.brand, COALESCE(w0.wv, 0.0) AS wv FROM br
+        |  LEFT JOIN (SELECT winner AS brand, SUM(w) AS wv FROM mx
+        |    GROUP BY 1) w0 USING (brand)),
+        |p0 AS (SELECT brand, CAST(1.0 AS DOUBLE) AS p FROM br),
+        |r1 AS (SELECT g.a AS brand,
+        |    MIN(wn.wv) / SUM(g.n/(pi.p + pj.p)) AS raw
+        |  FROM g JOIN p0 pi ON g.a = pi.brand
+        |    JOIN p0 pj ON g.b = pj.brand JOIN wn ON g.a = wn.brand
+        |  GROUP BY 1),
+        |p1 AS (SELECT brand, floor(raw/(SELECT AVG(raw) FROM r1)
+        |    *1000000 + 0.5 + 0.000001)/1000000 AS p FROM r1),
+        |r2 AS (SELECT g.a AS brand,
+        |    MIN(wn.wv) / SUM(g.n/(pi.p + pj.p)) AS raw
+        |  FROM g JOIN p1 pi ON g.a = pi.brand
+        |    JOIN p1 pj ON g.b = pj.brand JOIN wn ON g.a = wn.brand
+        |  GROUP BY 1),
+        |p2 AS (SELECT brand, floor(raw/(SELECT AVG(raw) FROM r2)
+        |    *1000000 + 0.5 + 0.000001)/1000000 AS p FROM r2),
+        |r3 AS (SELECT g.a AS brand,
+        |    MIN(wn.wv) / SUM(g.n/(pi.p + pj.p)) AS raw
+        |  FROM g JOIN p2 pi ON g.a = pi.brand
+        |    JOIN p2 pj ON g.b = pj.brand JOIN wn ON g.a = wn.brand
+        |  GROUP BY 1),
+        |p3 AS (SELECT brand, floor(raw/(SELECT AVG(raw) FROM r3)
+        |    *1000000 + 0.5 + 0.000001)/1000000 AS p FROM r3),
+        |r4 AS (SELECT g.a AS brand,
+        |    MIN(wn.wv) / SUM(g.n/(pi.p + pj.p)) AS raw
+        |  FROM g JOIN p3 pi ON g.a = pi.brand
+        |    JOIN p3 pj ON g.b = pj.brand JOIN wn ON g.a = wn.brand
+        |  GROUP BY 1),
+        |p4 AS (SELECT brand, floor(raw/(SELECT AVG(raw) FROM r4)
+        |    *1000000 + 0.5 + 0.000001)/1000000 AS p FROM r4),
+        |tg AS (SELECT a AS brand, CAST(SUM(n) AS BIGINT) AS games
+        |  FROM g GROUP BY 1)
+        |SELECT br.brand, CAST(wn.wv AS BIGINT) AS wins, tg.games,
+        |  floor(p4.p*10000 + 0.5 + 0.000001)/10000 AS bt_strength,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY p4.p DESC, br.brand)
+        |    AS INTEGER) AS bt_rank,
+        |  floor(wn.wv/tg.games*10000 + 0.5 + 0.000001)/10000
+        |    AS win_rate
+        |FROM br JOIN wn USING (brand) JOIN tg USING (brand)
+        |  JOIN p4 USING (brand)
+        |ORDER BY br.brand""".stripMargin,
     "q_pr_auc" ->
       """WITH g AS (SELECT value,
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0

@@ -3115,6 +3115,83 @@ object Stats {
       .orderBy(col("nation"))
   }
 
+  /** Bradley-Terry preference strengths over brand pairwise "wins"
+    * (within an order, brand i beats brand j when it ships more
+    * units; ties drop) — the preference-model primitive behind RLHF
+    * reward modeling and ranking-from-comparisons generally, run here
+    * at the fixed-point it admits: p_i ← W_i / Σ_j n_ij/(p_i + p_j),
+    * `iters` rounds from uniform, renormalized to mean 1 and
+    * 1e-6-quantized each round so the oracle's UNROLLED iteration
+    * blocks replay the identical trajectory. The distributed work is
+    * the within-order pair count (fact-linear, bounded per-order
+    * fan-out); the 25×25 win matrix is taxonomy-bounded metadata and
+    * iterates driver-side (the brandScc bounded-collect discipline).
+    * Output: wins, games, BT strength, rank, and the raw win rate the
+    * fixed point corrects (win rate ignores opponent strength). */
+  def bradleyTerry(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val ob = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val pairs = ob.as("a").join(ob.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.p_brand") < col("b.p_brand"))
+      .filter(col("a.q") =!= col("b.q"))
+      .select(
+        when(col("a.q") > col("b.q"), col("a.p_brand"))
+          .otherwise(col("b.p_brand")).as("winner"),
+        when(col("a.q") > col("b.q"), col("b.p_brand"))
+          .otherwise(col("a.p_brand")).as("loser"))
+    val matrix = pairs.groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(matrix.length <= 10000,
+      s"brand win matrix has ${matrix.length} cells — taxonomy-bounded " +
+        "(|brands|²) by construction")
+    val brands = matrix.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val idx = brands.zipWithIndex.toMap
+    val k = brands.length
+    val wins = Array.fill(k)(0.0)
+    val games = Array.ofDim[Double](k, k)
+    matrix.foreach { case (wi, lo, w) =>
+      wins(idx(wi)) += w
+      games(idx(wi))(idx(lo)) += w
+      games(idx(lo))(idx(wi)) += w
+    }
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5 + 1e-6) / 1e6
+    var p = Array.fill(k)(1.0)
+    for (_ <- 1 to iters) {
+      val raw = Array.tabulate(k) { i =>
+        var s0 = 0.0
+        var j = 0
+        while (j < k) {
+          if (j != i && games(i)(j) > 0) s0 += games(i)(j) / (p(i) + p(j))
+          j += 1
+        }
+        if (s0 > 0) wins(i) / s0 else 0.0
+      }
+      val mean = raw.sum / k
+      p = raw.map(x => q6(x / mean))
+    }
+    val totalGames = Array.tabulate(k)(i => games(i).sum.toLong)
+    import s.implicits._
+    val ranked = brands.indices
+      .sortBy(i => (-p(i), brands(i)))
+      .zipWithIndex.map { case (i, r) => i -> (r + 1) }.toMap
+    brands.indices.map(i => (brands(i), wins(i).toLong, totalGames(i),
+        p(i), ranked(i),
+        wins(i) / totalGames(i)))
+      .toDF("brand", "wins", "games", "bt_raw", "bt_rank", "win_rate_raw")
+      .select(col("brand"), col("wins"), col("games"),
+        round4eps(col("bt_raw")).as("bt_strength"),
+        col("bt_rank"),
+        round4eps(col("win_rate_raw")).as("win_rate"))
+      .orderBy(col("brand"))
+  }
+
   /** Fairness audit of a classifier across customer segments: the
     * quantity-threshold stump (p = l_quantity ≥ 30, the
     * thresholdMetrics classifier) scored against returns, broken out

@@ -428,6 +428,24 @@ class R10BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("bradleyTerry: strengths average to ~1 (normalization); ranks " +
+      "are a permutation; more iterations move strengths less " +
+      "(fixed-point convergence)") {
+    val rows = graft.operators.Stats.bradleyTerry(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ps = rows.map(_.getAs[Double]("bt_strength"))
+    assert(math.abs(ps.sum / ps.length - 1.0) < 0.01)
+    assert(rows.map(_.getAs[Int]("bt_rank")).sorted.toSeq
+      === (1 to rows.length))
+    val p4 = rows.map(r => r.getAs[String]("brand") ->
+      r.getAs[Double]("bt_strength")).toMap
+    val p6 = graft.operators.Stats.bradleyTerry(spark, sf, iters = 6)
+      .collect().map(r => r.getAs[String]("brand") ->
+        r.getAs[Double]("bt_strength")).toMap
+    val drift = p4.map { case (b, v) => math.abs(p6(b) - v) }.max
+    assert(drift < 0.05, s"fixed point not converging: max drift $drift")
+  }
+
   test("riskRatios: hit ratio in [0,1]; sortino >= sharpe when " +
       "downside deviation <= full vol (it is, by construction on the " +
       "same mean)") {
