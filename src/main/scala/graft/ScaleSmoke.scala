@@ -432,6 +432,17 @@ object ScaleSmoke {
     run("goodTuring")(operators.TextAnalysis.goodTuring(spark, dir))
     run("pqCodebooks")(operators.Similarity.pqCodebooks(spark, dir))
     run("pqAdcError")(operators.Similarity.pqAdcError(spark, dir))
+    // post-close r10 additions: mediation/aipw/prAuc are moment/NDV
+    // collapses (scan-linear, flat state); kmGreenwood rides the
+    // calendar life table; fairnessAudit is one fact-keyed join into
+    // 5 segment cells; bradleyTerry's distributed term is the
+    // within-order pair count (bounded per-order fan-out)
+    run("mediation")(operators.Stats.mediation(spark, dir))
+    run("aipwAte")(operators.Stats.aipwAte(spark, dir))
+    run("prAuc")(operators.Behavior.prAuc(spark, dir))
+    run("kmGreenwood")(operators.Survival.kmGreenwood(spark, dir))
+    run("fairnessAudit")(operators.Stats.fairnessAudit(spark, dir))
+    run("bradleyTerry")(operators.Stats.bradleyTerry(spark, dir))
 
     // r10: V2 mount snapshot pruning at scale (round-9 verdict demand
     // #7) — a warehouse holding the whole replicated events table
