@@ -35,19 +35,16 @@ object Caching {
     * unconditional WARN for those even when the discard is deliberate
     * (the owning query has fully materialized — there is nothing left
     * to recompute). The sweep scopes the `org.apache.spark.rdd`
-    * logger to ERROR for the call only (restored to the session's
-    * WARN after), so the bench tail stays warning-free while real RDD
-    * warnings during query execution remain visible (round-9 verdict
-    * demand #5). */
-  def sweepPersistentRdds(s: org.apache.spark.sql.SparkSession): Unit = {
-    import org.apache.logging.log4j.Level
-    import org.apache.logging.log4j.core.config.Configurator
-    val pkg = "org.apache.spark.rdd"
-    Configurator.setLevel(pkg, Level.ERROR)
-    try s.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
-    finally Configurator.setLevel(pkg, Level.WARN)
-  }
+    * logger to ERROR for the call only (LogScope restores whatever
+    * level was configured before, nesting-safe), so the bench tail
+    * stays warning-free while real RDD warnings during query execution
+    * remain visible (round-9 verdict demand #5). */
+  def sweepPersistentRdds(s: org.apache.spark.sql.SparkSession): Unit =
+    LogScope.withLevel("org.apache.spark.rdd",
+      org.apache.logging.log4j.Level.ERROR) {
+      s.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
 
   /** `.persistMemDisk` — the drop-in guarded form of
     * `.persist(MEMORY_AND_DISK)` every operator uses (the bench runs

@@ -77,8 +77,13 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val tmp = System.getProperty("java.io.tmpdir")
       val src = new java.io.File(s"$d/lineitem.parquet")
+      // per-JVM suffix: two concurrent processes on the same sfDir
+      // (bench + verify running simultaneously) must build DISJOINT
+      // fixture paths, never race a half-written shared one. Orphan
+      // dirs from dead JVMs are tmpdir scratch, reaped by the OS.
       val tag = java.lang.Integer.toHexString(
-        (d + "#" + src.lastModified + "#" + src.length).hashCode) + "_fix"
+        (d + "#" + src.lastModified + "#" + src.length).hashCode) +
+        "_p" + ProcessHandle.current().pid() + "_fix"
       val basePath = s"$tmp/graft_mvi_base_$tag"
       val mvPath = s"$tmp/graft_mvi_sum_$tag"
       val all = s.read.parquet(s"$d/lineitem.parquet")

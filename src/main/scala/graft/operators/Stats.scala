@@ -2821,6 +2821,10 @@ object Stats {
       .withColumn("z", (col("mu1") - col("mu0")) /
         sqrt(col("v1") / col("n") + col("v0") / col("rn")))
       .withColumn("p", pTwoSided(col("z")))
+      // persisted before the m-count: without it the full
+      // orders⋈customer scan+aggregation would run twice (once for m,
+      // once for the ranked output) — the frame is 25 nation rows
+      .persistMemDisk
     val m = withZ.count().toDouble
     val wRank = Window.orderBy(col("p"), col("nation"))
     val wSuffix = Window.orderBy(col("p").desc, col("nation").desc)

@@ -63,6 +63,22 @@ private[graft] object LakeMeta {
       .find(_.startsWith(graft.plans.HiddenPartitionPruning.Prefix))
       .map(_.stripPrefix(graft.plans.HiddenPartitionPruning.Prefix))
 
+  /** True iff `id` appears in the table's snapshot log — the
+    * existence check behind VERSION-AS-OF resolution (a digit string
+    * is only a snapshot id if the snapshot is real; otherwise it can
+    * still be a tag name). Pure metadata-file pass. */
+  def snapshotExists(warehouseDir: String, name: String, id: Long): Boolean = {
+    val p = snapshotLogPath(warehouseDir, name)
+    Files.exists(p) && {
+      val idRe = (""""snapshot_id":""" + id + """[,}\s]""").r
+      val lines = Files.lines(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        lines.iterator().asScala.exists(l => idRe.findFirstIn(l).isDefined)
+      } finally lines.close()
+    }
+  }
+
   /** Latest snapshot id committed at or before `inst` — the
     * as-of-timestamp resolution, as a pure metadata-file pass (no
     * Spark job; the facade's `snapshotIdAt` reads through its

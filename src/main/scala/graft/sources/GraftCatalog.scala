@@ -111,16 +111,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       CaseInsensitiveStringMap.empty(), writable = true)
   }
 
-  /** `VERSION AS OF v` — a snapshot id (all digits) or a tag name,
-    * matching Iceberg's branch-or-snapshot resolution. Time-travel
-    * loads are read-only (writes always target the current state). */
+  /** `VERSION AS OF v` — a snapshot id or a tag name, matching
+    * Iceberg's branch-or-snapshot resolution. A numeric version is a
+    * snapshot id only if that snapshot EXISTS in the log; otherwise it
+    * falls through to tag resolution (so all-digit tag names stay
+    * reachable, and an empty / overflowing / unknown version surfaces
+    * one clear no-such-snapshot-or-tag error instead of a raw
+    * NumberFormatException). Time-travel loads are read-only (writes
+    * always target the current state). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val name = fullName(ident)
-    val sid =
-      if (version.forall(_.isDigit)) version.toLong
-      else LakeMeta.readTags(warehouse, name).getOrElse(version,
-        throw new IllegalArgumentException(s"no tag '$version' on $name"))
+    val sid: Long = scala.util.Try(version.toLong).toOption
+      .filter(id => id >= 1L && LakeMeta.snapshotExists(warehouse, name, id))
+      .orElse(LakeMeta.readTags(warehouse, name).get(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot or tag '$version' on $name"))
     GraftLakeSource.mkTable(warehouse, name, Some(sid),
       CaseInsensitiveStringMap.empty(), writable = false)
   }

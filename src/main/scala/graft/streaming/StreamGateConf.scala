@@ -31,8 +31,9 @@ import org.apache.spark.sql.SparkSession
   *    workloads" notice is logged unconditionally for every stateful
   *    stream (even with AQE already off in the session) — pure
   *    boilerplate per start, drowned the bench tail (round-9 verdict
-  *    demand #5). Restored to WARN after, so real micro-batch
-  *    warnings during long-running production streams stay visible.
+  *    demand #5). The prior effective level is restored after, so real
+  *    micro-batch warnings during long-running production streams stay
+  *    visible.
   */
 private[graft] object StreamGateConf {
   def withStreamGateConfs[T](s: SparkSession, n: Int = 4)(body: => T): T = {
@@ -50,15 +51,15 @@ private[graft] object StreamGateConf {
     }
     val mbeLogger =
       "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution"
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      mbeLogger, org.apache.logging.log4j.Level.ERROR)
-    try body finally {
+    // LogScope captures + restores the PRIOR effective level
+    // (nesting-safe; never clobbers a user-configured level to WARN)
+    try graft.LogScope.withLevel(mbeLogger,
+      org.apache.logging.log4j.Level.ERROR)(body)
+    finally {
       saved.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None)    => s.conf.unset(k)
       }
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        mbeLogger, org.apache.logging.log4j.Level.WARN)
       // the drained gate's checkpoint state is scope-local scratch
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
