@@ -172,6 +172,8 @@ object Bench {
       // r10: TableCatalog reads/writes of the same fixture warehouse
       "q_pipeline_catident", "q_pipeline_catasof", "q_pipeline_catwrite",
       "q_pipeline_catproc",
+      // r11: crash-refusal fixture (plants + recovers its own warehouse)
+      "q_pipeline_crashguard",
       // r10: the incremental-MV LIFECYCLE gate (build→delta→refresh —
       // its cost is the rebuild); the serve path is benched as
       // q_mv_inc_query against the once-per-JVM refreshed fixture

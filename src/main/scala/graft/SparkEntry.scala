@@ -454,6 +454,45 @@ object SparkEntry {
           coalesce(col("currency"), lit("<null>")).as("currency"))
         .orderBy(col("id"))
     }),
+    // Crash-state refusal as a GATE (round-10 verdict demand #7; the
+    // ADVICE-#1 fix was spec-only): a planted `.delete_tmp_2` marker —
+    // the on-disk state a deleteWhere/upsert crash leaves mid-write —
+    // must make BOTH external read surfaces (V2 path mount and the
+    // TableCatalog plugin) refuse loudly instead of serving a possibly
+    // partial table; LakeCatalog.recoverDeletes then rolls the protocol
+    // state forward and the same reads serve green. The refusal flags
+    // ride the output columns so the oracle pins all three behaviors.
+    "q_pipeline_crashguard" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-crash-wh").toString
+      val cat = new graft.pipeline.LakeCatalog(s, wh)
+      cat.createNamespace("raw")
+      cat.append("raw.guarded", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "px"))
+      cat.append("raw.guarded", Seq((3L, 30.0)).toDF("id", "px"))
+      val tableDir = cat.tablePath("raw.guarded")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(tableDir, ".delete_tmp_2"))
+      def refused(read: => Array[org.apache.spark.sql.Row]): Boolean =
+        try { read; false }
+        catch { case e: Throwable =>
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists(c =>
+            Option(c.getMessage).exists(_.contains("unrecovered interrupted rewrite")))
+        }
+      val pathRefused =
+        refused(s.read.format("graft").load(tableDir).collect())
+      val catName = "graft_crash_" +
+        java.lang.Integer.toHexString(wh.hashCode)
+      s.conf.set(s"spark.sql.catalog.$catName", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+      val catRefused = refused(s.table(s"$catName.raw.guarded").collect())
+      cat.recoverDeletes("raw.guarded")
+      s.table(s"$catName.raw.guarded")
+        .select(col("id"), col("px"),
+          lit(pathRefused).as("path_refused"),
+          lit(catRefused).as("cat_refused"))
+        .orderBy(col("id"))
+    }),
     // MERGE-style keyed upsert: correct one source's hour-2 row, then
     // the raw rollup must show the corrected price (replace) plus the
     // untouched rows — exercised on its OWN fixture like rollback.
@@ -1940,6 +1979,15 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT), CAST(30.0 AS DOUBLE), 'eur'),
         |  (CAST(4 AS BIGINT), CAST(40.0 AS DOUBLE), 'usd'))
         |  AS t(id, price, currency)""".stripMargin,
+    // both external surfaces refused while the crash marker was
+    // planted (flags true), and the recovered read serves the full
+    // two-commit contents
+    "q_pipeline_crashguard" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(10.0 AS DOUBLE), true, true),
+        |  (CAST(2 AS BIGINT), CAST(20.0 AS DOUBLE), true, true),
+        |  (CAST(3 AS BIGINT), CAST(30.0 AS DOUBLE), true, true))
+        |  AS t(id, px, path_refused, cat_refused)""".stripMargin,
     // the correction replaced coingecko@02:00 (price 60000) in place:
     // counts unchanged, only that source's max moved
     "q_pipeline_upsert" ->
