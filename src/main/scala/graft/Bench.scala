@@ -174,6 +174,9 @@ object Bench {
       "q_pipeline_catproc",
       // r11: crash-refusal fixture (plants + recovers its own warehouse)
       "q_pipeline_crashguard",
+      // r11: forks the dbt-over-Thrift probe JVM (a fixture build —
+      // ~20 s of JVM+metastore startup, zero sfDir work)
+      "q_pipeline_thriftdbt",
       // r10: the incremental-MV LIFECYCLE gate (build→delta→refresh —
       // its cost is the rebuild); the serve path is benched as
       // q_mv_inc_query against the once-per-JVM refreshed fixture

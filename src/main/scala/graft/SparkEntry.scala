@@ -99,6 +99,44 @@ object SparkEntry {
       basePath
     })
 
+  /** The externally-built dbt-over-Thrift warehouse — ThriftDbtProbe
+    * forked ONCE per JVM (the full composed reference transform path:
+    * external JDBC client → Thrift endpoint → `graft` TableCatalog →
+    * CREATE OR REPLACE TABLE per dbt model). The gate then reads the
+    * mart the external client wrote. Memoized like gatePipeline; the
+    * gate is bench-excluded (fixture build, not a throughput query). */
+  private val thriftDbtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def thriftDbtWarehouse(): String =
+    thriftDbtCache.computeIfAbsent("wh", { _ =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-thriftdbt-wh").toString
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val classes = new java.io.File(SparkEntry.getClass
+        .getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+      val cmd = Seq("java", "-Xmx3g", "-cp",
+        s"/opt/spark/jars/*:$classes") ++ addOpens ++
+        Seq("graft.pipeline.ThriftDbtProbe", wh)
+      val outFile = java.io.File.createTempFile("graft-thriftdbt", ".log")
+      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+        .redirectOutput(outFile).start()
+      val done = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+      def out = new String(
+        java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+      if (!done) proc.destroyForcibly()
+      require(done && proc.exitValue() == 0 && out.contains("THRIFT_DBT_OK"),
+        s"thrift-dbt probe failed:\n${out.takeRight(2000)}")
+      wh
+    })
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference-surface operators (SURVEY §2) mapped onto testdata
@@ -391,6 +429,20 @@ object SparkEntry {
       graft.pipeline.DbtModels.run(s, p.catalog,
         graft.pipeline.DbtModels.ReferenceModels,
         graft.pipeline.DbtModels.ReferenceSources)("fct_bitcoin_daily")
+    }),
+    // The COMPOSED reference transform path, external end-to-end
+    // (round-10 verdict demand #1): a forked JVM runs dbt's two raw
+    // models as CREATE OR REPLACE TABLE over a real Thrift JDBC
+    // connection against the `graft` V2 TableCatalog; this gate reads
+    // the mart that external client built — same oracle as
+    // q_pipeline_mart by construction.
+    "q_pipeline_thriftdbt" -> ((s, _) => {
+      val wh = thriftDbtWarehouse()
+      import org.apache.spark.sql.functions.col
+      s.read.format("graft").load(s"$wh/raw/fct_bitcoin_daily")
+        .select(col("extraction_date"), col("data_source"),
+          col("crypto_symbol"), col("min_price_usd"),
+          col("max_price_usd"), col("avg_price_usd"), col("records"))
     }),
     "q_pipeline_snapshots" -> ((s, _) => gatePipeline(s).snapshots
                                .select(org.apache.spark.sql.functions.col("snapshot_id"),
@@ -1979,6 +2031,23 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT), CAST(30.0 AS DOUBLE), 'eur'),
         |  (CAST(4 AS BIGINT), CAST(40.0 AS DOUBLE), 'usd'))
         |  AS t(id, price, currency)""".stripMargin,
+    // the externally-built (JDBC → Thrift → V2 catalog) mart must
+    // equal the fixture-replay mart oracle
+    "q_pipeline_thriftdbt" ->
+      """WITH raw(data_source, crypto_symbol, price_usd, extracted_at) AS (VALUES
+        |  ('coingecko', 'BTC', CAST(50000.0  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coincap', 'BTC', CAST(50012.5  AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(49992.75 AS DOUBLE), TIMESTAMP '2026-01-01 01:00:00'),
+        |  ('coingecko', 'BTC', CAST(50125.0  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coincap', 'BTC', CAST(50137.5  AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50117.75 AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coingecko', 'BTC', CAST(50250.0  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('coincap', 'BTC', CAST(50262.5  AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50242.75 AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'))
+        |SELECT CAST(extracted_at AS DATE) AS extraction_date, data_source, crypto_symbol,
+        |MIN(price_usd) AS min_price_usd, MAX(price_usd) AS max_price_usd,
+        |AVG(price_usd) AS avg_price_usd, COUNT(*) AS records
+        |FROM raw GROUP BY 1, 2, 3""".stripMargin,
     // both external surfaces refused while the crash marker was
     // planted (flags true), and the recovered read serves the full
     // two-commit contents
