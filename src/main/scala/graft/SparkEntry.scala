@@ -312,6 +312,13 @@ object SparkEntry {
     // kernel surface (features/profile/frames/resize) is oracle-gated
     "q_media_frames"     -> ((s, d) => Multimodal.frameGate(s, d)),
     "q_media_resize"     -> ((s, d) => Multimodal.resizeGate(s, d)),
+    // REAL image decode (r11): genuine PNG fixture bytes → javax.imageio
+    // decode → pixel statistics / NN-resize re-encode cycle / average-
+    // hash. The oracle replays the documented pixel GENERATOR in SQL,
+    // so any decode defect (channel order, stride, gamma) hash-fails.
+    "q_image_decode"     -> ((s, d) => Multimodal.decodeImageStats(s, d)),
+    "q_image_resize"     -> ((s, d) => Multimodal.resizeDecodedPng(s, d)),
+    "q_image_ahash"      -> ((s, d) => Multimodal.imageAHash(s, d)),
     // Streaming transforms (batch-mode plan parity; watermark no-ops)
     "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
                                .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
@@ -3378,6 +3385,64 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(32 AS BIGINT) AS n_bytes,
         |md5(substr(text, 1, 32)) AS content_md5
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // Real-PNG oracles: Spark decodes genuine PNG bytes with
+    // javax.imageio; the oracle replays the documented generator
+    // r=(id*37+x*11+y*7)%256, g=(id*53+x*5+y*3)%256,
+    // b=(id*71+x*13+y*17)%256 over the (id%6+4)×(id%5+3) grid.
+    // Channel sums are exact small integers, so the single double
+    // division matches bit-identically.
+    "q_image_decode" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(doc_id % 6 + 4 AS INT) AS w,
+        |         CAST(doc_id % 5 + 3 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT media_id, w, h, x, y
+        |  FROM imgs, generate_series(0, 8) gx(x), generate_series(0, 6) gy(y)
+        |  WHERE x < w AND y < h)
+        |SELECT media_id, MAX(w) AS width, MAX(h) AS height,
+        |ROUND(AVG(CAST((media_id*37 + x*11 + y*7) % 256 AS DOUBLE)), 4) AS r_mean,
+        |ROUND(AVG(CAST((media_id*53 + x*5 + y*3) % 256 AS DOUBLE)), 4) AS g_mean,
+        |ROUND(AVG(CAST((media_id*71 + x*13 + y*17) % 256 AS DOUBLE)), 4) AS b_mean
+        |FROM px GROUP BY media_id""".stripMargin,
+    // NN resize to 8×6: dst (x,y) reads src ((x*w)//8, (y*h)//6);
+    // PNG re-encode is lossless, so the re-decoded means replay the
+    // generator at the mapped coordinates.
+    "q_image_resize" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(doc_id % 6 + 4 AS INT) AS w,
+        |         CAST(doc_id % 5 + 3 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT media_id, (x * w) // 8 AS sx, (y * h) // 6 AS sy
+        |  FROM imgs, generate_series(0, 7) gx(x), generate_series(0, 5) gy(y))
+        |SELECT media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |ROUND(AVG(CAST((media_id*37 + sx*11 + sy*7) % 256 AS DOUBLE)), 4) AS r_mean,
+        |ROUND(AVG(CAST((media_id*53 + sx*5 + sy*3) % 256 AS DOUBLE)), 4) AS g_mean,
+        |ROUND(AVG(CAST((media_id*71 + sx*13 + sy*17) % 256 AS DOUBLE)), 4) AS b_mean
+        |FROM px GROUP BY media_id""".stripMargin,
+    // average-hash: 8×8 NN sample, integer gray r+g+b, bit (y*8+x)
+    // set iff 64·gray > Σgray — all-integer compares, exact replay
+    "q_image_ahash" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(doc_id % 6 + 4 AS INT) AS w,
+        |         CAST(doc_id % 5 + 3 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        |  SELECT media_id, x, y,
+        |    ((media_id*37 + ((x*w)//8)*11 + ((y*h)//8)*7) % 256
+        |   + (media_id*53 + ((x*w)//8)*5  + ((y*h)//8)*3) % 256
+        |   + (media_id*71 + ((x*w)//8)*13 + ((y*h)//8)*17) % 256) AS gray
+        |  FROM imgs, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+        |t AS (SELECT media_id, SUM(gray) AS total FROM g GROUP BY media_id)
+        |SELECT g.media_id,
+        |string_agg(CASE WHEN 64*gray > total THEN '1' ELSE '0' END, ''
+        |           ORDER BY y, x) AS ahash
+        |FROM g JOIN t USING (media_id)
+        |GROUP BY g.media_id""".stripMargin,
     "q_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
         |time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,

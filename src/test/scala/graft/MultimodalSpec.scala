@@ -107,4 +107,66 @@ class MultimodalSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n_bytes")).collect().head.getLong(0)
     assert(total === expected)
   }
+
+  test("pngImageTable: content is genuine PNG (magic bytes, ImageIO round-trip)") {
+    val rows = Multimodal.pngImageTable(spark, dir).limit(10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val content = r.getAs[Array[Byte]]("content")
+      // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+      assert((content(0) & 0xFF) == 0x89 && content(1) == 'P' &&
+        content(2) == 'N' && content(3) == 'G')
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      val id = r.getAs[Long]("media_id")
+      assert(img.getWidth == (id % 6 + 4).toInt)
+      assert(img.getHeight == (id % 5 + 3).toInt)
+      // decoded pixel (1,2) equals the documented generator exactly
+      val rgb = img.getRGB(1, 2)
+      assert(((rgb >> 16) & 0xFF) == ((id * 37 + 1 * 11 + 2 * 7) % 256).toInt)
+      assert(((rgb >> 8) & 0xFF) == ((id * 53 + 1 * 5 + 2 * 3) % 256).toInt)
+      assert((rgb & 0xFF) == ((id * 71 + 1 * 13 + 2 * 17) % 256).toInt)
+    }
+  }
+
+  test("decodeImageStats: decoded dims match the generator grid; means in [0,255]") {
+    val stats = Multimodal.decodeImageStats(spark, dir).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") == (id % 6 + 4).toInt)
+      assert(r.getAs[Int]("height") == (id % 5 + 3).toInt)
+      Seq("r_mean", "g_mean", "b_mean").foreach { c =>
+        val m = r.getAs[Double](c)
+        assert(m >= 0.0 && m <= 255.0)
+      }
+    }
+  }
+
+  test("imageAHash: 64-bit strings, stable across runs, non-degenerate") {
+    val a = Multimodal.imageAHash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Multimodal.imageAHash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    assert(a.values.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    // the generator varies pixels within every image, so no hash is all-zero
+    assert(a.values.forall(h => h.contains('1') && h.contains('0')))
+  }
+
+  test("decodePng path refuses non-image bytes loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, "not a png".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val e = intercept[org.apache.spark.SparkException] {
+      bad.as[(Long, Array[Byte])].mapPartitions { rows =>
+        rows.map { case (_, c) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
+          require(img != null, "content is not a decodable image")
+          1
+        }
+      }.collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
