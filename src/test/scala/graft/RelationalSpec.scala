@@ -42,4 +42,17 @@ class RelationalSpec extends AnyFunSuite {
         ((r.getAs[Double]("tv"), r.getAs[Long]("n")))).toMap
     assert(salted === direct)
   }
+
+  test("approxQuantiles: per-type sketch percentiles ordered, counts positive") {
+    // the user-facing summary twin of approxQuantilesGate (which
+    // asserts the bounded-rank-error contract oracle-side); found
+    // gate-less by the r11 orphan-operator close check
+    val rows = graft.operators.Relational.approxQuantiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ap50") <= r.getAs[Double]("ap90") + 1e-9)
+      assert(r.getAs[Double]("ap90") <= r.getAs[Double]("ap99") + 1e-9)
+      assert(r.getAs[Long]("n_valued") > 0L)
+    }
+  }
 }

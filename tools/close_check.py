@@ -12,6 +12,11 @@ Checks, in order:
   3. Bench-exclusion sanity: every name in Bench.scala's notQueries set
      must exist in the registry (a typo there silently benches a
      fixture gate).
+  4. Orphan-operator check (r10 verdict demand #6): every public `def`
+     in graft/operators/*.scala must be referenced from SparkEntry (a
+     registry gate) or from a spec under src/test — the registry has
+     grown across 11 rounds and nothing else proves a refactor didn't
+     silently strand an operator without its gate.
 
 Usage: python3 tools/close_check.py [verify_out_dir]
 Exit 0 = all green; prints a receipt line per check.
@@ -71,5 +76,63 @@ else:
     else:
         print(f"PASS bench-exclusions: all {len(excl)} fixture gates exist "
               "in the registry")
+
+# 4. orphan-operator check: public defs in operators/ must be reachable
+#    from a gate (SparkEntry) or a spec (src/test). Names referenced
+#    only from other main-source files (e.g. ScaleSmoke) do NOT count —
+#    the point is gate/spec coverage, not mere call-graph liveness.
+import glob
+
+op_files = sorted(glob.glob(os.path.join(REPO, "src/main/scala/graft/operators/*.scala")))
+test_src = "\n".join(open(f).read() for f in glob.glob(
+    os.path.join(REPO, "src/test/scala/**/*.scala"), recursive=True))
+entry_src = src  # SparkEntry.scala, already read
+
+# Split each operators file into top-level def blocks (a block runs
+# from one exactly-2-space-indented `def` line to the next), so that a
+# public def counts as covered when a gate/spec references it DIRECTLY
+# or references a public def whose block calls it (transitive closure —
+# the composable API under gate wrappers, e.g. asOfJoin under the
+# as-of view gates, stays covered without a redundant re-export gate).
+# Only exactly-2-space defs are members; deeper indents are local
+# helpers, used in place by construction.
+blocks = {}   # (file, name) -> body text
+order = []
+for f in op_files:
+    base = os.path.basename(f)
+    cur = None
+    for line in open(f):
+        m = re.match(r"  (?:final\s+)?(?:override\s+)?def\s+(\w+)", line)
+        if m:
+            cur = (base, m.group(1), "private" in line.split("def")[0])
+            blocks[cur] = []
+            order.append(cur)
+        if cur is not None:
+            blocks[cur].append(line)
+bodies = {k: "".join(v) for k, v in blocks.items()}
+public = [k for k in order if not k[2]]
+covered = set()
+for k in order:
+    pat = re.compile(r"\b" + re.escape(k[1]) + r"\b")
+    if pat.search(entry_src) or pat.search(test_src):
+        covered.add(k)
+changed = True
+while changed:
+    changed = False
+    for k in order:
+        if k in covered:
+            continue
+        pat = re.compile(r"\b" + re.escape(k[1]) + r"\b")
+        if any(pat.search(bodies[c]) for c in covered if c[0] == k[0] or True):
+            covered.add(k)
+            changed = True
+orphans = [f"{k[0]}:{k[1]}" for k in public if k not in covered]
+if orphans:
+    print(f"FAIL orphan-operators: public defs with no gate/spec reference "
+          f"(direct or via a covered caller): {orphans}")
+    fail = 1
+else:
+    print(f"PASS orphan-operators: all {len(public)} public operator defs "
+          "reachable from a gate or spec")
 
 sys.exit(fail)
