@@ -1109,6 +1109,16 @@ object SparkEntry {
     "q_oaxaca"           -> ((s, d) => Stats.oaxacaBlinder(s, d)),
     "q_adf"              -> ((s, d) => Stats.adfTest(s, d)),
     "q_granger"          -> ((s, d) => Stats.grangerTest(s, d)),
+    // r11 time-series kit: KPSS (the ADF complement), Engle's ARCH LM
+    // volatility-clustering screen, spectral entropy (seasonality
+    // one-number), a quantized-trajectory local-level Kalman filter,
+    // and the theta-method forecast — all calendar-collapse-bounded
+    "q_kpss"             -> ((s, d) => Stats.kpssTest(s, d)),
+    "q_arch_lm"          -> ((s, d) => Stats.archLm(s, d)),
+    "q_spectral_entropy" -> ((s, d) => Stats.spectralEntropy(s, d)),
+    "q_kalman_level"     -> ((s, d) => Stats.kalmanLevel(s, d)),
+    "q_theta_forecast"   -> ((s, d) =>
+      graft.operators.Indicators.thetaForecast(s, d)),
     "q_rate_ratio"       -> ((s, d) => Stats.rateRatioTest(s, d)),
     // Cox proportional hazards (binary segment covariate, Breslow
     // ties, 4 quantized Newton steps) — the oracle's recursive CTE
@@ -10252,6 +10262,155 @@ object SparkEntry {
         |  stat AS df_stat,
         |  stat < -2.86 AS stationary
         |FROM st""".stripMargin,
+    "q_kpss" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS y FROM orders GROUP BY 1),
+        |base AS (SELECT AVG(y) AS mu, COUNT(*)*1.0 AS tt FROM daily),
+        |e AS (SELECT d, y - mu AS e,
+        |    SUM(y - mu) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS s, tt
+        |  FROM daily, base),
+        |l AS (SELECT e, s, tt,
+        |    lag(e, 1) OVER (ORDER BY d) AS e1,
+        |    lag(e, 2) OVER (ORDER BY d) AS e2,
+        |    lag(e, 3) OVER (ORDER BY d) AS e3,
+        |    lag(e, 4) OVER (ORDER BY d) AS e4,
+        |    lag(e, 5) OVER (ORDER BY d) AS e5
+        |  FROM (SELECT d, e, s, tt FROM e) q),
+        |agg AS (SELECT MAX(tt) AS tt, SUM(s*s) AS ss, SUM(e*e) AS g0,
+        |    SUM(CASE WHEN e1 IS NOT NULL THEN e*e1 ELSE 0 END) AS g1,
+        |    SUM(CASE WHEN e2 IS NOT NULL THEN e*e2 ELSE 0 END) AS g2,
+        |    SUM(CASE WHEN e3 IS NOT NULL THEN e*e3 ELSE 0 END) AS g3,
+        |    SUM(CASE WHEN e4 IS NOT NULL THEN e*e4 ELSE 0 END) AS g4,
+        |    SUM(CASE WHEN e5 IS NOT NULL THEN e*e5 ELSE 0 END) AS g5
+        |  FROM l),
+        |f AS (SELECT tt, ss,
+        |    (g0 + 2*(1 - 1/6.0)*g1 + 2*(1 - 2/6.0)*g2 + 2*(1 - 3/6.0)*g3
+        |        + 2*(1 - 4/6.0)*g4 + 2*(1 - 5/6.0)*g5) / tt AS s2l
+        |  FROM agg),
+        |st AS (SELECT tt, s2l,
+        |    floor(ss/(tt*tt)/s2l*10000 + 0.5 + 0.000001)/10000 AS eta
+        |  FROM f)
+        |SELECT CAST(tt AS BIGINT) AS n_obs,
+        |  floor(s2l*10000 + 0.5 + 0.000001)/10000 AS lrv,
+        |  eta AS kpss_stat, eta < 0.463 AS level_stationary
+        |FROM st""".stripMargin,
+    "q_arch_lm" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT AVG(y) AS mu FROM daily),
+        |sq AS (SELECT d,
+        |    floor((y-mu)*(y-mu)*10000 + 0.5 + 0.000001)/10000 AS e2
+        |  FROM daily, base),
+        |l AS (SELECT e2, lag(e2, 1) OVER (ORDER BY d) AS x FROM sq),
+        |p AS (SELECT e2, x FROM l WHERE x IS NOT NULL),
+        |mo AS (SELECT COUNT(*)*1.0 AS n, SUM(x) AS sx, SUM(e2) AS sy,
+        |    SUM(x*x) AS sxx, SUM(x*e2) AS sxy, SUM(e2*e2) AS syy
+        |  FROM p),
+        |c AS (SELECT n, sxx - sx*sx/n AS cxx, sxy - sx*sy/n AS cxy,
+        |    syy - sy*sy/n AS cyy FROM mo),
+        |st AS (SELECT n, cxy/cxx AS slope,
+        |    floor(n*(cxy*cxy/(cxx*cyy))*10000 + 0.5 + 0.000001)/10000
+        |      AS lm FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_obs,
+        |  floor(slope*10000 + 0.5 + 0.000001)/10000 AS arch_slope,
+        |  lm AS lm_stat, lm > 3.84 AS arch_effects
+        |FROM st""".stripMargin,
+    "q_spectral_entropy" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT MIN(d) AS d0,
+        |    floor(AVG(rev)*10000 + 0.5 + 0.000001)/10000 AS mu
+        |  FROM daily),
+        |t AS (SELECT rev, date_diff('day', d0, d) AS t, mu
+        |  FROM daily, base),
+        |per AS (SELECT unnest(generate_series(2, 60)) AS p),
+        |terms AS (SELECT p, rev, mu,
+        |    floor(cos(2*pi()*(t % p)/p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS c6,
+        |    floor(sin(2*pi()*(t % p)/p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS s6
+        |  FROM t CROSS JOIN per),
+        |agg AS (SELECT p, SUM((rev-mu)*c6) AS c, SUM((rev-mu)*s6) AS sn
+        |  FROM terms GROUP BY 1),
+        |pw AS (SELECT p,
+        |    floor((c*c + sn*sn)*10000 + 0.5 + 0.000001)/10000 AS power
+        |  FROM agg),
+        |pos AS (SELECT p, power FROM pw WHERE power > 0),
+        |tot AS (SELECT SUM(power) AS tp, COUNT(*)*1.0 AS k FROM pos),
+        |h AS (SELECT MAX(k) AS k,
+        |    SUM(-(power/tp) * (floor(ln(power/tp)*1000000 + 0.5
+        |      + 0.000001)/1000000)) AS h
+        |  FROM pos, tot)
+        |SELECT CAST(k AS BIGINT) AS n_periods,
+        |  floor(h*10000 + 0.5 + 0.000001)/10000 AS entropy,
+        |  floor(h/(floor(ln(k)*1000000 + 0.5 + 0.000001)/1000000)*10000
+        |    + 0.5 + 0.000001)/10000 AS normalized
+        |FROM h""".stripMargin,
+    "q_kalman_level" ->
+      """WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS y
+        |  FROM orders GROUP BY 1),
+        |seq AS (SELECT d, y, row_number() OVER (ORDER BY d) AS rn
+        |  FROM daily),
+        |kf AS (
+        |  SELECT rn, d, y,
+        |    floor((y + (floor(1.01/2.01*1000000 + 0.5 + 0.000001)/1000000)
+        |      * (y - y))*1000000 + 0.5 + 0.000001)/1000000 AS x,
+        |    floor((1.0 - floor(1.01/2.01*1000000 + 0.5
+        |      + 0.000001)/1000000)*1.01*1000000 + 0.5 + 0.000001)/1000000
+        |      AS p,
+        |    floor(1.01/2.01*1000000 + 0.5 + 0.000001)/1000000 AS k
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.rn, s.d, s.y,
+        |    floor((kf.x + (floor((kf.p+0.01)/((kf.p+0.01)+1.0)*1000000
+        |      + 0.5 + 0.000001)/1000000)*(s.y - kf.x))*1000000 + 0.5
+        |      + 0.000001)/1000000,
+        |    floor((1.0 - floor((kf.p+0.01)/((kf.p+0.01)+1.0)*1000000
+        |      + 0.5 + 0.000001)/1000000)*(kf.p+0.01)*1000000 + 0.5
+        |      + 0.000001)/1000000,
+        |    floor((kf.p+0.01)/((kf.p+0.01)+1.0)*1000000 + 0.5
+        |      + 0.000001)/1000000
+        |  FROM kf JOIN seq s ON s.rn = kf.rn + 1)
+        |SELECT d, y AS rev,
+        |  floor(x*10000 + 0.5 + 0.000001)/10000 AS level,
+        |  floor(k*10000 + 0.5 + 0.000001)/10000 AS gain
+        |FROM kf""".stripMargin,
+    "q_theta_forecast" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS x
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT MIN(d) AS d0 FROM daily),
+        |mo AS (SELECT COUNT(*)*1.0 AS n,
+        |    SUM(CAST(date_diff('day', d0, d) AS DOUBLE)) AS st,
+        |    SUM(x) AS sx,
+        |    SUM(CAST(date_diff('day', d0, d) AS DOUBLE)
+        |      * CAST(date_diff('day', d0, d) AS DOUBLE)) AS stt,
+        |    SUM(CAST(date_diff('day', d0, d) AS DOUBLE) * x) AS stx
+        |  FROM daily, base),
+        |dr AS (SELECT floor((stx - st*sx/n)/(stt - st*st/n)*1000000
+        |    + 0.5 + 0.000001)/1000000 AS b FROM mo),
+        |seq AS (SELECT x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |mx AS (SELECT MAX(rn) AS tmax FROM seq),
+        |win AS (SELECT x, rn, tmax FROM seq, mx WHERE rn > tmax - 240),
+        |ses AS (SELECT floor(0.3*SUM(x * power(0.7,
+        |      CAST(tmax - rn AS DOUBLE)))*1000000 + 0.5
+        |      + 0.000001)/1000000 AS ses_t
+        |  FROM win),
+        |hs AS (SELECT unnest(generate_series(1, 14)) AS h)
+        |SELECT CAST(h AS BIGINT) AS h,
+        |  floor(ses_t*10000 + 0.5 + 0.000001)/10000 AS level,
+        |  floor(b*10000 + 0.5 + 0.000001)/10000 AS drift,
+        |  floor((ses_t + b/2.0*(CAST(h AS DOUBLE) + (1.0/0.3 - 1.0)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS forecast
+        |FROM hs, ses, dr ORDER BY h""".stripMargin,
     "q_granger" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0

@@ -1,10 +1,11 @@
 package graft.operators
 
+import graft.Caching.CachingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Rounding.round4eps
+import graft.functions.Rounding.{round4eps, round6eps}
 
 /** Technical-indicator kit over the daily revenue series — the
   * momentum/volatility monitors a metrics platform runs on any KPI
@@ -129,5 +130,66 @@ object Indicators {
           (lit(4.0) * col("sig"))).as("pct_b"),
         round4eps(lit(4.0) * col("sig") / col("mid")).as("bandwidth"))
       .orderBy(col("d"))
+  }
+
+  /** Theta-method forecast (the M3-winning two-line decomposition,
+    * standard-θ=2 variant): h-step-ahead revenue = SES level of the
+    * series (the θ-line average collapses to plain SES for θ=2) plus
+    * half the linear drift — b/2·(h − 1 + 1/α + terms the documented
+    * simplification folds to b/2·(h + 1/α − 1)). The drift b is the
+    * closed-form OLS slope of daily revenue on t; the SES level at T
+    * uses the same K-truncated positional form as [[macd]]'s EMAs
+    * (identical finite arithmetic on both engines, α = 0.3, K = 240).
+    * Output: the last observed level plus forecasts for h = 1..14 —
+    * the horizon table a replenishment planner reads. */
+  def thetaForecast(s: SparkSession, dir: String,
+      alpha: Double = 0.3, horizon: Int = 14): DataFrame = {
+    val wOrd = Window.orderBy(col("d"))
+    val wArr = wOrd.rowsBetween(-(EmaWindow - 1), 0)
+    val daily = dailyRevenue(s, dir).persistMemDisk
+    // drift: exact-moment OLS slope of x on t = datediff(d, d0)
+    val base = daily.agg(min(col("d")).as("d0"),
+      avg(col("x")).as("mu"),
+      count(lit(1)).cast("double").as("tt"))
+    val mo = daily.crossJoin(broadcast(base))
+      .withColumn("t", datediff(col("d"), col("d0")).cast("double"))
+      .agg(max(col("tt")).as("n"), max(col("mu")).as("mu"),
+        sum(col("t")).as("st"), sum(col("x")).as("sx"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("x")).as("stx"))
+      .withColumn("b", round6eps(
+        (col("stx") - col("st") * col("sx") / col("n")) /
+          (col("stt") - col("st") * col("st") / col("n"))))
+    // SES level at the LAST row via the truncated positional fold
+    val sesT = daily.crossJoin(broadcast(base.select(col("mu"))))
+      .withColumn("r", row_number().over(wOrd))
+      .withColumn("arr", collect_list(col("x")).over(wArr))
+      .withColumn("ses", truncEmaAlpha(col("arr"), col("r"), col("mu"), alpha))
+      .orderBy(col("r").desc).limit(1)
+      .select(round6eps(col("ses")).as("ses_t"), col("r").cast("double").as("tmax"))
+    sesT.crossJoin(broadcast(mo.select(col("b"))))
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .select(col("h").cast("long").as("h"),
+        round4eps(col("ses_t")).as("level"),
+        round4eps(col("b")).as("drift"),
+        round4eps(col("ses_t") +
+          col("b") / lit(2.0) *
+            (col("h").cast("double") + lit(1.0 / alpha - 1.0)))
+          .as("forecast"))
+      .orderBy(col("h"))
+  }
+
+  /** [[truncEma]] with an explicit smoothing α (the span form maps
+    * α = 2/(span+1); theta wants α pinned directly). */
+  private def truncEmaAlpha(series: org.apache.spark.sql.Column,
+      r: org.apache.spark.sql.Column, mu: org.apache.spark.sql.Column,
+      alpha: Double) = {
+    val a = 1.0 - alpha
+    val wsum = aggregate(
+      transform(sequence(lit(1), size(series)),
+        j => element_at(series, j) * pow(lit(a), size(series) - j)),
+      lit(0.0), (acc, v) => acc + v)
+    lit(alpha) * wsum +
+      when(r <= EmaWindow, pow(lit(a), r) * mu).otherwise(lit(0.0))
   }
 }

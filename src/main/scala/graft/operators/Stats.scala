@@ -3524,4 +3524,180 @@ object Stats {
           .as("sortino_ann"),
         round4eps(col("nup") / col("n")).as("hit_ratio"))
   }
+
+  // -----------------------------------------------------------------
+  // Round-11 batch: stationarity / volatility / spectral / state-space
+  // time-series kit over the calendar-bounded daily collapse — the
+  // same scale shape as adfTest/periodogramTop (scan grows with the
+  // corpus, the regressed frame never does).
+  // -----------------------------------------------------------------
+
+  /** KPSS level-stationarity test — the ADF complement (null here is
+    * STATIONARY; running both corners the unit-root diagnosis). Daily
+    * order counts, demeaned; η = T⁻² Σ S_t² / s²_L with S_t the
+    * partial sums and s²_L the Bartlett-kernel long-run variance at
+    * the documented fixed lag L = 5 (w_l = 1 − l/(L+1)). All inputs
+    * are exact integer counts; the partial-sum window runs over the
+    * calendar-bounded daily frame (≤ ~2.4k rows), never the corpus.
+    * Verdict compares the quantized η to the 5% critical value
+    * 0.463. */
+  def kpssTest(s: SparkSession, dir: String, lags: Int = 5): DataFrame = {
+    val w = Window.orderBy(col("d"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .persistMemDisk
+    val mu = daily.agg(avg(col("y")).as("mu"),
+      count(lit(1)).cast("double").as("tt"))
+    val e = daily.crossJoin(broadcast(mu))
+      .withColumn("e", col("y") - col("mu"))
+      .withColumn("s", sum(col("e")).over(wCum))
+    val lagged = (1 to lags).foldLeft(e) { (df, l) =>
+      df.withColumn(s"e$l", lag(col("e"), l).over(w))
+    }
+    val gammas = (1 to lags).map { l =>
+      sum(when(col(s"e$l").isNotNull, col("e") * col(s"e$l"))
+        .otherwise(lit(0.0))).as(s"g$l")
+    }
+    val aggCols = Seq(sum(col("e") * col("e")).as("g0")) ++ gammas
+    lagged.groupBy(col("tt"))
+      .agg(sum(col("s") * col("s")).as("ss"), aggCols: _*)
+      .withColumn("s2l",
+        (col("g0") +
+          (1 to lags).map(l =>
+            lit(2.0 * (1.0 - l / (lags + 1.0))) * col(s"g$l"))
+            .reduce(_ + _)) / col("tt"))
+      .withColumn("eta", round4eps(
+        col("ss") / (col("tt") * col("tt")) / col("s2l")))
+      .select(col("tt").cast("long").as("n_obs"),
+        round4eps(col("s2l")).as("lrv"),
+        col("eta").as("kpss_stat"),
+        (col("eta") < 0.463).as("level_stationary"))
+  }
+
+  /** Engle's ARCH LM test (1 lag) on daily revenue residuals: does
+    * today's squared shock predict tomorrow's? e_t = y_t − ȳ (y in
+    * $M), then the R² of e²_t ~ e²_{t−1} in moment closed form;
+    * LM = n·R² vs χ²(1) at 5% (3.84). The volatility-clustering
+    * screen that decides whether a constant-variance model is even
+    * admissible. Same two-pass daily-collapse shape as adfTest. */
+  def archLm(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d"))
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("y"))
+      .persistMemDisk
+    val mu = daily.agg(avg(col("y")).as("mu"))
+    val sq = daily.crossJoin(broadcast(mu))
+      .withColumn("e2",
+        round4eps((col("y") - col("mu")) * (col("y") - col("mu"))))
+      .withColumn("x", lag(col("e2"), 1).over(w))
+      .filter(col("x").isNotNull)
+    sq.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("e2")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("e2")).as("sxy"),
+        sum(col("e2") * col("e2")).as("syy"))
+      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("n"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("r2",
+        col("cxy") * col("cxy") / (col("cxx") * col("cyy")))
+      .withColumn("lm", round4eps(col("n") * col("r2")))
+      .select(col("n").cast("long").as("n_obs"),
+        round4eps(col("cxy") / col("cxx")).as("arch_slope"),
+        col("lm").as("lm_stat"),
+        (col("lm") > 3.84).as("arch_effects"))
+  }
+
+  /** Spectral entropy of daily revenue: the periodogram powers
+    * (periodogramTop's exact DFT-sum construction over periods
+    * 2..maxP) normalized to a distribution, then H = −Σ q ln q,
+    * reported raw and normalized by ln(#periods) — ≈1 means white
+    * noise (flat spectrum), ≈0 means one dominant cycle. The
+    * one-number "is there seasonality worth modeling" screen that
+    * complements the top-k periodogram gate. Powers are quantized
+    * before normalization and ln is quantized at 6dp (the documented
+    * libm-parity idiom the cos/sin terms already use). */
+  def spectralEntropy(s: SparkSession, dir: String, maxP: Int = 60): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+      .persistMemDisk
+    val base = daily.agg(min(col("d")).as("d0"),
+      round4eps(avg(col("rev"))).as("mu"))
+    val powers = daily.crossJoin(broadcast(base))
+      .withColumn("t", datediff(col("d"), col("d0")))
+      .withColumn("p", explode(sequence(lit(2), lit(maxP))))
+      .withColumn("theta",
+        lit(2.0 * math.Pi) * (col("t") % col("p")) /
+          col("p").cast("double"))
+      .groupBy(col("p"))
+      .agg(sum((col("rev") - col("mu")) * round6eps(cos(col("theta"))))
+          .as("c"),
+        sum((col("rev") - col("mu")) * round6eps(sin(col("theta"))))
+          .as("sn"))
+      .select(col("p"),
+        round4eps(col("c") * col("c") + col("sn") * col("sn"))
+          .as("power"))
+      // a quantized power of exactly 0 would put ln(0) in the sum;
+      // excluded on both engines (lim q→0 of q·ln q is 0 anyway)
+      .filter(col("power") > 0)
+    val tot = powers.agg(sum(col("power")).as("tp"),
+      count(lit(1)).cast("double").as("k"))
+    powers.crossJoin(broadcast(tot))
+      .withColumn("q", col("power") / col("tp"))
+      .agg(max(col("k")).as("k"),
+        sum(-col("q") * round6eps(log(col("q")))).as("h"))
+      .select(col("k").cast("long").as("n_periods"),
+        round4eps(col("h")).as("entropy"),
+        round4eps(col("h") / round6eps(log(col("k")))).as("normalized"))
+  }
+
+  /** Local-level Kalman filter over daily revenue ($M): the simplest
+    * state-space smoother (x_{t+1} = x_t + w, y_t = x_t + v) with
+    * documented fixed noise variances q = 0.01, r = 1.0, x₀ = y₀,
+    * P₀ = 1. The filtered level is the online-denoised revenue trend
+    * a monitoring pipeline tracks; gain K_t converges within ~20
+    * steps.
+    *
+    * Scale shape: the distributed work is the daily collapse; the
+    * recursion runs DRIVER-side over the calendar-bounded series
+    * (loud require, same class as coxPh's Newton steps — a scalar
+    * recursion over ≤ ~2.4k rows is not a distributed job). The state
+    * is quantized to 6dp each step on BOTH engines (the coxPh
+    * trajectory idiom), so the DuckDB recursive-CTE oracle replays
+    * the trajectory bit-identically. */
+  def kalmanLevel(s: SparkSession, dir: String,
+      q: Double = 0.01, r: Double = 1.0): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("y"))
+      .orderBy(col("d"))
+    val series = daily.collect().map(row =>
+      (row.getDate(0), row.getDouble(1)))
+    require(series.length <= 6000,
+      s"kalmanLevel: calendar-bounded series expected, got ${series.length} days")
+    // the driver-side twin of Rounding.round6eps (identical constants,
+    // so the oracle's floor(v*1e6 + 0.5 + 1e-6)/1e6 replays each step)
+    def q6(v: Double): Double =
+      math.floor(v * 1e6 + 0.5 + 1e-6) / 1e6
+    var x = series.head._2
+    var p = 1.0
+    val out = series.map { case (d, y) =>
+      val pPred = p + q
+      val k = q6(pPred / (pPred + r))
+      x = q6(x + k * (y - x))
+      p = q6((1.0 - k) * pPred)
+      (d, y, x, k)
+    }
+    import s.implicits._
+    s.createDataset(out.toSeq)
+      .toDF("d", "rev", "level", "gain")
+      .select(col("d"), col("rev"),
+        round4eps(col("level")).as("level"),
+        round4eps(col("gain")).as("gain"))
+  }
 }
