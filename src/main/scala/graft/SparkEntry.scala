@@ -1113,6 +1113,15 @@ object SparkEntry {
     // volatility-clustering screen, spectral entropy (seasonality
     // one-number), a quantized-trajectory local-level Kalman filter,
     // and the theta-method forecast — all calendar-collapse-bounded
+    // r11 inference batch: ordered-trend / stratified-OR /
+    // post-hoc-pairs / tail-sensitive two-sample / endogeneity /
+    // multi-rater agreement
+    "q_cochran_armitage" -> ((s, d) => Stats.cochranArmitage(s, d)),
+    "q_mantel_haenszel"  -> ((s, d) => Stats.mantelHaenszel(s, d)),
+    "q_dunn_posthoc"     -> ((s, d) => Stats.dunnPosthoc(s, d)),
+    "q_anderson_darling" -> ((s, d) => Stats.andersonDarling2(s, d)),
+    "q_hausman"          -> ((s, d) => Stats.hausmanTest(s, d)),
+    "q_fleiss_kappa"     -> ((s, d) => TextAnalysis.fleissKappa(s, d)),
     "q_kpss"             -> ((s, d) => Stats.kpssTest(s, d)),
     "q_arch_lm"          -> ((s, d) => Stats.archLm(s, d)),
     "q_spectral_entropy" -> ((s, d) => Stats.spectralEntropy(s, d)),
@@ -10262,6 +10271,178 @@ object SparkEntry {
         |  stat AS df_stat,
         |  stat < -2.86 AS stationary
         |FROM st""".stripMargin,
+    "q_cochran_armitage" ->
+      """WITH per AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+        |      AS sc, CAST(COUNT(*) AS BIGINT) AS ni,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ri
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+        |    CAST(SUM(ri) AS BIGINT) AS rr FROM per),
+        |agg AS (SELECT MAX(nn) AS nn, MAX(rr) AS rr,
+        |    SUM(CAST(sc AS DOUBLE) * CAST(nn*ri - ni*rr AS DOUBLE)) AS t,
+        |    SUM(CAST(sc*sc*ni AS DOUBLE)) AS ssn,
+        |    SUM(CAST(sc*ni AS DOUBLE)) AS sn
+        |  FROM per, tot),
+        |f AS (SELECT nn, rr,
+        |    CAST(rr AS DOUBLE) * (nn - rr) / CAST(nn AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) * ssn - sn * sn) AS vart, t
+        |  FROM agg),
+        |st AS (SELECT nn, rr,
+        |    floor(t/sqrt(vart)*10000 + 0.5 + 0.000001)/10000 AS z FROM f)
+        |SELECT nn AS n_orders, rr AS n_fulfilled, z AS trend_z,
+        |  abs(z) > 1.96 AS trend_present
+        |FROM st""".stripMargin,
+    "q_mantel_haenszel" ->
+      """WITH base AS (SELECT n_regionkey AS st,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey),
+        |cells AS (SELECT st,
+        |    CAST(SUM(e*o) AS DOUBLE) AS a,
+        |    CAST(SUM(e*(1-o)) AS DOUBLE) AS b,
+        |    CAST(SUM((1-e)*o) AS DOUBLE) AS c,
+        |    CAST(SUM((1-e)*(1-o)) AS DOUBLE) AS d
+        |  FROM base GROUP BY 1),
+        |wn AS (SELECT st, a, b, c, d, a + b + c + d AS n FROM cells)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |  floor(SUM(a*d/n)/SUM(b*c/n)*10000 + 0.5 + 0.000001)/10000
+        |    AS or_mh,
+        |  floor(SUM(a)*SUM(d)/(SUM(b)*SUM(c))*10000 + 0.5
+        |    + 0.000001)/10000 AS or_crude
+        |FROM wn""".stripMargin,
+    "q_dunn_posthoc" ->
+      """WITH o AS (SELECT n_regionkey AS g,
+        |    CAST(floor(o_totalprice/1000) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey),
+        |cells AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM o GROUP BY 1, 2),
+        |perv AS (SELECT v, SUM(c) AS t FROM cells GROUP BY 1),
+        |ranked AS (SELECT v, t,
+        |    COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM perv),
+        |rg AS (SELECT g, SUM(c) AS ng,
+        |    SUM(c*(cb + (t+1)/2.0)) AS rg
+        |  FROM cells JOIN ranked USING (v) GROUP BY 1),
+        |mr AS (SELECT g, ng, rg/ng AS mr FROM rg),
+        |tot AS (SELECT CAST(SUM(ng) AS DOUBLE) AS n FROM rg),
+        |ties AS (SELECT SUM(CAST(t AS DOUBLE)*t*t - t) AS ties
+        |  FROM ranked),
+        |pairs AS (SELECT a.g AS g1, b.g AS g2, a.ng AS n1, b.ng AS n2,
+        |    a.mr AS m1, b.mr AS m2
+        |  FROM mr a, mr b WHERE a.g < b.g),
+        |z AS (SELECT g1, g2,
+        |    floor((m1 - m2)/sqrt((n*(n+1)/12.0 - ties/(12.0*(n-1)))
+        |      *(1.0/n1 + 1.0/n2))*10000 + 0.5 + 0.000001)/10000 AS z
+        |  FROM pairs, tot, ties)
+        |SELECT g1, g2, z AS dunn_z, abs(z) > 2.807 AS significant
+        |FROM z ORDER BY g1, g2""".stripMargin,
+    "q_anderson_darling" ->
+      """WITH cells AS (SELECT CAST(floor(o_totalprice/1000) AS BIGINT)
+        |      AS v,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m1,
+        |    CAST(COUNT(*) AS BIGINT) AS l
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(m1) AS DOUBLE) AS m,
+        |    CAST(SUM(l) AS DOUBLE) AS nn FROM cells),
+        |cum AS (SELECT v, l,
+        |    CAST(SUM(m1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS DOUBLE) AS mj,
+        |    CAST(SUM(l) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS DOUBLE) AS bj
+        |  FROM cells),
+        |f AS (SELECT l, mj, bj, m, nn FROM cum, tot WHERE bj < nn)
+        |SELECT CAST(m AS BIGINT) AS n_fulfilled,
+        |  CAST(nn - m AS BIGINT) AS n_open,
+        |  floor(SUM(l*(nn*mj - m*bj)*(nn*mj - m*bj)/(bj*(nn - bj)))
+        |    /(m*(nn - m))*10000 + 0.5 + 0.000001)/10000 AS a2_stat
+        |FROM f GROUP BY m, nn""".stripMargin,
+    "q_hausman" ->
+      """WITH li AS (SELECT l_orderkey AS ok,
+        |    SUM(l_extendedprice)/100000.0 AS y,
+        |    SUM(l_quantity)/100.0 AS x
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1.0 ELSE 0.0 END AS z, x, y
+        |  FROM orders JOIN li ON o_orderkey = ok),
+        |mo AS (SELECT COUNT(*)*1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(z) AS sz, SUM(z*x) AS szx, SUM(z*y) AS szy,
+        |    SUM(z*z) AS szz, SUM(x*x) AS sxx, SUM(x*y) AS sxy,
+        |    SUM(y*y) AS syy
+        |  FROM g),
+        |c AS (SELECT n,
+        |    szx - sz*sx/n AS czx, szy - sz*sy/n AS czy,
+        |    szz - sz*sz/n AS czz, sxx - sx*sx/n AS cxx,
+        |    sxy - sx*sy/n AS cxy, syy - sy*sy/n AS cyy FROM mo),
+        |b AS (SELECT n, czx, czz, cxx, cxy, cyy,
+        |    czy/czx AS biv, cxy/cxx AS bols FROM c),
+        |v AS (SELECT n, biv, bols,
+        |    (cyy - 2.0*biv*cxy + biv*biv*cxx)/(n - 2.0) AS s2,
+        |    czz, czx, cxx FROM b),
+        |h AS (SELECT n, biv, bols,
+        |    floor((biv - bols)*(biv - bols)
+        |      /(s2*czz/(czx*czx) - s2/cxx)*10000 + 0.5
+        |      + 0.000001)/10000 AS h FROM v)
+        |SELECT CAST(n AS BIGINT) AS n_orders,
+        |  floor(biv*10000 + 0.5 + 0.000001)/10000 AS beta_iv,
+        |  floor(bols*10000 + 0.5 + 0.000001)/10000 AS beta_ols,
+        |  h AS hausman_stat, h > 3.84 AS endogenous
+        |FROM h""".stripMargin,
+    "q_fleiss_kappa" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+        |      'g'), ' ') AS w2,
+        |    string_split(regexp_replace(lower(trim(substr(text, 1,
+        |      120))), '\s+', ' ', 'g'), ' ') AS w3
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(w2, x -> x IN ('the','a','of','and','to','in','is','that'))) AS e2,
+        |  len(list_filter(w2, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS d2,
+        |  len(list_filter(w2, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s2,
+        |  len(list_filter(w2, x -> x IN ('le','la','de','et','est','un','une','que'))) AS f2,
+        |  len(list_filter(w2, x -> x IN ('的','是','了','在','我','有','和','不'))) AS z2,
+        |  len(list_filter(w3, x -> x IN ('the','a','of','and','to','in','is','that'))) AS e3,
+        |  len(list_filter(w3, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS d3,
+        |  len(list_filter(w3, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s3,
+        |  len(list_filter(w3, x -> x IN ('le','la','de','et','est','un','une','que'))) AS f3,
+        |  len(list_filter(w3, x -> x IN ('的','是','了','在','我','有','和','不'))) AS z3
+        |  FROM w),
+        |r AS (SELECT doc_id, lang AS r1,
+        |  CASE WHEN greatest(e2,d2,s2,f2,z2) = 0 THEN 'und'
+        |    WHEN e2 = greatest(e2,d2,s2,f2,z2) THEN 'en'
+        |    WHEN d2 = greatest(e2,d2,s2,f2,z2) THEN 'de'
+        |    WHEN s2 = greatest(e2,d2,s2,f2,z2) THEN 'es'
+        |    WHEN f2 = greatest(e2,d2,s2,f2,z2) THEN 'fr'
+        |    ELSE 'zh' END AS r2,
+        |  CASE WHEN greatest(e3,d3,s3,f3,z3) = 0 THEN 'und'
+        |    WHEN e3 = greatest(e3,d3,s3,f3,z3) THEN 'en'
+        |    WHEN d3 = greatest(e3,d3,s3,f3,z3) THEN 'de'
+        |    WHEN s3 = greatest(e3,d3,s3,f3,z3) THEN 'es'
+        |    WHEN f3 = greatest(e3,d3,s3,f3,z3) THEN 'fr'
+        |    ELSE 'zh' END AS r3
+        |  FROM s),
+        |lng AS (SELECT doc_id, unnest([r1, r2, r3]) AS cat FROM r),
+        |nij AS (SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM lng GROUP BY 1, 2),
+        |pi AS (SELECT doc_id,
+        |    CAST(SUM(nij*nij) - 3 AS DOUBLE)/6.0 AS pi
+        |  FROM nij GROUP BY 1),
+        |pb AS (SELECT COUNT(*)*1.0 AS ni, SUM(pi) AS sp FROM pi),
+        |pj AS (SELECT cat, CAST(SUM(nij) AS DOUBLE) AS cj
+        |  FROM nij GROUP BY 1),
+        |pe AS (SELECT MAX(ni) AS ni, MAX(sp) AS sp,
+        |    SUM((cj/(ni*3.0))*(cj/(ni*3.0))) AS pe FROM pj, pb)
+        |SELECT CAST(ni AS BIGINT) AS n_items,
+        |  floor(sp/ni*10000 + 0.5 + 0.000001)/10000 AS p_bar,
+        |  floor(pe*10000 + 0.5 + 0.000001)/10000 AS p_e,
+        |  floor((sp/ni - pe)/(1.0 - pe)*10000 + 0.5 + 0.000001)/10000
+        |    AS kappa
+        |FROM pe""".stripMargin,
     "q_kpss" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(COUNT(*) AS DOUBLE) AS y FROM orders GROUP BY 1),

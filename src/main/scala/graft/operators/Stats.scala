@@ -3656,6 +3656,200 @@ object Stats {
         round4eps(col("h") / round6eps(log(col("k")))).as("normalized"))
   }
 
+  /** Cochran-Armitage trend test: does the fulfilled-order rate move
+    * MONOTONICALLY with order priority (scores 1..5 from the priority
+    * prefix digit)? More powerful than the chi-square independence
+    * screen when the alternative is ordered. T = Σ s_i(N·r_i − n_i·R)
+    * and its variance are EXACT integer sums off one taxonomy-bounded
+    * (5-row) rollup; the only doubles are the final two divisions. */
+  def cochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("sc"),
+        (col("o_orderstatus") === "F").cast("long").as("out"))
+      .groupBy(col("sc"))
+      .agg(count(lit(1)).as("ni"), sum(col("out")).as("ri"))
+      .persistMemDisk
+    val tot = per.agg(sum(col("ni")).as("nn"), sum(col("ri")).as("rr"))
+    per.crossJoin(broadcast(tot))
+      .agg(max(col("nn")).as("nn"), max(col("rr")).as("rr"),
+        sum(col("sc").cast("double") *
+          (col("nn") * col("ri") - col("ni") * col("rr")).cast("double"))
+          .as("t"),
+        sum(col("sc") * col("sc") * col("ni")).cast("double").as("ssn"),
+        sum(col("sc") * col("ni")).cast("double").as("sn"))
+      .withColumn("nD", col("nn").cast("double"))
+      .withColumn("varT",
+        col("rr").cast("double") * (col("nn") - col("rr")) / col("nD") *
+          (col("nD") * col("ssn") - col("sn") * col("sn")))
+      .withColumn("z", round4eps(col("t") / sqrt(col("varT"))))
+      .select(col("nn").as("n_orders"), col("rr").as("n_fulfilled"),
+        col("z").as("trend_z"),
+        (abs(col("z")) > 1.96).as("trend_present"))
+  }
+
+  /** Mantel-Haenszel pooled odds ratio across region strata: the
+    * urgent-priority → fulfilled association, adjusted for region mix
+    * (the confounder-stratified effect every segmented dashboard
+    * should report INSTEAD of the crude pooled OR — Simpson's-paradox
+    * insurance). OR_MH = Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) off one 5-stratum 2×2
+    * rollup; the crude OR rides along for the comparison. */
+  def mantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").as("st"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          .cast("long").as("e"),
+        (col("o_orderstatus") === "F").cast("long").as("o"))
+      .groupBy(col("st"))
+      .agg(sum(col("e") * col("o")).cast("double").as("a"),
+        sum(col("e") * (lit(1L) - col("o"))).cast("double").as("b"),
+        sum((lit(1L) - col("e")) * col("o")).cast("double").as("c"),
+        sum((lit(1L) - col("e")) * (lit(1L) - col("o")))
+          .cast("double").as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    cells.agg(count(lit(1)).as("n_strata"),
+        sum(col("a") * col("d") / col("n")).as("num"),
+        sum(col("b") * col("c") / col("n")).as("den"),
+        sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+        sum(col("c")).as("tc"), sum(col("d")).as("td"))
+      .select(col("n_strata"),
+        round4eps(col("num") / col("den")).as("or_mh"),
+        round4eps(col("ta") * col("td") / (col("tb") * col("tc")))
+          .as("or_crude"))
+  }
+
+  /** Dunn's post-hoc pairwise comparisons after [[kruskalWallis]]:
+    * which REGION PAIRS actually differ in order-value distribution
+    * once the omnibus H rejects? Mean ranks come from the same $1000
+    * value-bucket distribution collapse (midranks via cumulative
+    * bucket counts — the ranked frame is VALUE-DOMAIN-bounded, never
+    * corpus-sized); z_ij uses the tie-corrected variance and the
+    * Bonferroni-adjusted 5% cut for the 10 pairs (2.807). */
+  def dunnPosthoc(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").as("g"),
+        floor(col("o_totalprice") / 1000).cast("long").as("v"))
+    val cells = o.groupBy(col("v"), col("g")).agg(count(lit(1)).as("c"))
+      .persistMemDisk
+    val perV = cells.groupBy(col("v")).agg(sum(col("c")).as("t"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
+      .select(col("v"), col("t"), col("cb"))
+      .persistMemDisk
+    val rg = cells.join(broadcast(ranked), "v")
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("ng"),
+        sum(col("c") * (col("cb") + (col("t") + 1) / lit(2.0))).as("rg"))
+      .withColumn("mr", col("rg") / col("ng"))
+      .persistMemDisk
+    val tot = rg.agg(sum(col("ng")).cast("double").as("n")).crossJoin(
+      broadcast(ranked.agg(
+        sum(col("t").cast("double") * col("t") * col("t") - col("t"))
+          .as("ties"))))
+    val a = rg.select(col("g").as("g1"), col("ng").as("n1"), col("mr").as("m1"))
+    val b = rg.select(col("g").as("g2"), col("ng").as("n2"), col("mr").as("m2"))
+    a.crossJoin(b).filter(col("g1") < col("g2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("varc",
+        (col("n") * (col("n") + 1) / lit(12.0) -
+          col("ties") / (lit(12.0) * (col("n") - 1))) *
+          (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+      .withColumn("z", round4eps(
+        (col("m1") - col("m2")) / sqrt(col("varc"))))
+      .select(col("g1"), col("g2"), col("z").as("dunn_z"),
+        (abs(col("z")) > 2.807).as("significant"))
+      .orderBy(col("g1"), col("g2"))
+  }
+
+  /** Two-sample Anderson-Darling (discrete/tied form over the $1000
+    * value-bucket collapse): fulfilled vs open order-value
+    * distributions, with the classic AD tail weighting 1/(B(N−B)) —
+    * more sensitive in the tails than KS, which is exactly where
+    * order-value drift shows first. A² = (1/(m·n)) Σ_{j<k} l_j
+    * (N·M_j − m·B_j)² / (B_j(N−B_j)): every symbol is an exact
+    * integer off the bounded bucket frame. */
+  def andersonDarling2(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select((col("o_orderstatus") === "F").cast("long").as("g1"),
+        floor(col("o_totalprice") / 1000).cast("long").as("v"))
+    val cells = o.groupBy(col("v"))
+      .agg(sum(col("g1")).as("m1"), count(lit(1)).as("l"))
+      .persistMemDisk
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("m1")).cast("double").as("m"),
+      sum(col("l")).cast("double").as("nn"))
+    val cum = cells
+      .withColumn("mj", sum(col("m1")).over(w).cast("double"))
+      .withColumn("bj", sum(col("l")).over(w).cast("double"))
+      .crossJoin(broadcast(tot))
+      .filter(col("bj") < col("nn")) // j < k: the last term is 0/0
+    cum.agg(max(col("m")).as("m"), max(col("nn")).as("nn"),
+        sum(col("l") * (col("nn") * col("mj") - col("m") * col("bj")) *
+          (col("nn") * col("mj") - col("m") * col("bj")) /
+          (col("bj") * (col("nn") - col("bj")))).as("acc"))
+      .select(col("m").cast("long").as("n_fulfilled"),
+        (col("nn") - col("m")).cast("long").as("n_open"),
+        round4eps(col("acc") / (col("m") * (col("nn") - col("m"))))
+          .as("a2_stat"))
+  }
+
+  /** Hausman endogeneity test on the [[iv2sls]] pair: is the OLS
+    * quantity→revenue slope actually inconsistent (so the IV detour
+    * is WORTH its variance cost), or statistically identical to the
+    * IV slope? H = (b_IV − b_OLS)² / (V_IV − V_OLS) vs χ²(1); both
+    * variances use the IV-residual σ² (the consistent-under-both
+    * estimate), all from ONE moment aggregation over the order-grain
+    * rollup. */
+  def hausmanTest(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg((sum(col("l_extendedprice")) / lit(100000.0)).as("y"),
+        (sum(col("l_quantity")) / lit(100.0)).as("x"))
+    val g = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .cast("int").cast("double").as("z"))
+      .join(li, col("o_orderkey") === col("ok"))
+    g.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(col("z") * col("x")).as("szx"),
+        sum(col("z") * col("y")).as("szy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("czx", col("szx") - col("sz") * col("sx") / col("n"))
+      .withColumn("czy", col("szy") - col("sz") * col("sy") / col("n"))
+      .withColumn("czz", col("szz") - col("sz") * col("sz") / col("n"))
+      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("n"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("biv", col("czy") / col("czx"))
+      .withColumn("bols", col("cxy") / col("cxx"))
+      .withColumn("s2",
+        (col("cyy") - lit(2.0) * col("biv") * col("cxy") +
+          col("biv") * col("biv") * col("cxx")) / (col("n") - lit(2.0)))
+      .withColumn("viv", col("s2") * col("czz") / (col("czx") * col("czx")))
+      .withColumn("vols", col("s2") / col("cxx"))
+      .withColumn("h", round4eps(
+        (col("biv") - col("bols")) * (col("biv") - col("bols")) /
+          (col("viv") - col("vols"))))
+      .select(col("n").cast("long").as("n_orders"),
+        round4eps(col("biv")).as("beta_iv"),
+        round4eps(col("bols")).as("beta_ols"),
+        col("h").as("hausman_stat"),
+        (col("h") > 3.84).as("endogenous"))
+  }
+
   /** Local-level Kalman filter over daily revenue ($M): the simplest
     * state-space smoother (x_{t+1} = x_t + w, y_t = x_t + v) with
     * documented fixed noise variances q = 0.01, r = 1.0, x₀ = y₀,

@@ -1679,4 +1679,44 @@ object TextAnalysis {
           .otherwise(col("n1") * (col("n1") - lit(1)) / lit(2.0)))
           .as("undetected_est"))
   }
+
+  /** Fleiss' kappa across THREE raters of document language — the
+    * stored label, the stopword language-ID on the full text, and the
+    * same heuristic on the first 120 characters (the cheap-pass rater
+    * a tiered annotation pipeline actually runs) — the multi-rater
+    * generalization of [[cohensKappa]] every labeling-quality audit
+    * needs once there are more than two annotators.
+    *
+    * κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) with P_i = (Σⱼ n_ij² − n)/(n(n−1)),
+    * n = 3 raters; n_ij are exact integer counts, so everything up to
+    * the final divisions is exact. Scale shape: one corpus scan →
+    * (doc × category) counts (≤ 3 rows per doc) → two bounded
+    * re-aggregates (per-doc and per-category ≤ 6 rows). */
+  def fleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("r1"),
+        langId(col("text")).as("r2"),
+        langId(substring(col("text"), 1, 120)).as("r3"))
+    val nij = rated
+      .select(col("doc_id"),
+        explode(array(col("r1"), col("r2"), col("r3"))).as("cat"))
+      .groupBy(col("doc_id"), col("cat")).agg(count(lit(1)).as("nij"))
+      .persistMemDisk
+    val pi = nij.groupBy(col("doc_id"))
+      .agg(((sum(col("nij") * col("nij")) - lit(3L)).cast("double") /
+        lit(6.0)).as("pi"))
+    val pbar = pi.agg(count(lit(1)).cast("double").as("ni"),
+      sum(col("pi")).as("sp"))
+    val pe = nij.groupBy(col("cat"))
+      .agg(sum(col("nij")).cast("double").as("cj"))
+      .crossJoin(broadcast(pbar))
+      .agg(max(col("ni")).as("ni"), max(col("sp")).as("sp"),
+        sum((col("cj") / (col("ni") * lit(3.0))) *
+          (col("cj") / (col("ni") * lit(3.0)))).as("pe"))
+    pe.select(col("ni").cast("long").as("n_items"),
+      round4eps(col("sp") / col("ni")).as("p_bar"),
+      round4eps(col("pe")).as("p_e"),
+      round4eps((col("sp") / col("ni") - col("pe")) /
+        (lit(1.0) - col("pe"))).as("kappa"))
+  }
 }
