@@ -1113,6 +1113,18 @@ object SparkEntry {
     // volatility-clustering screen, spectral entropy (seasonality
     // one-number), a quantized-trajectory local-level Kalman filter,
     // and the theta-method forecast — all calendar-collapse-bounded
+    // r11 batch C: graph elite wiring, JL projection audit, competing
+    // risks, overdispersed demand, optimal threshold, robust scale,
+    // uplift targeting
+    "q_rich_club"        -> ((s, d) => graft.operators.Graph.richClub(s, d)),
+    "q_jl_distortion"    -> ((s, d) => Similarity.jlDistortion(s, d)),
+    "q_competing_risks"  -> ((s, d) => Survival.competingRisks(s, d)),
+    "q_negbin_fit"       -> ((s, d) =>
+      graft.operators.Inventory.negbinFit(s, d)),
+    "q_youden"           -> ((s, d) => Stats.youdenJ(s, d)),
+    "q_qn_scale"         -> ((s, d) => Stats.qnScale(s, d)),
+    "q_uplift_deciles"   -> ((s, d) =>
+      graft.operators.Behavior.upliftDeciles(s, d)),
     // r11 inference batch: ordered-trend / stratified-OR /
     // post-hoc-pairs / tail-sensitive two-sample / endogeneity /
     // multi-rater agreement
@@ -10271,6 +10283,195 @@ object SparkEntry {
         |  stat AS df_stat,
         |  stat < -2.86 AS stationary
         |FROM st""".stripMargin,
+    "q_rich_club" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+        |  FROM lineitem WHERE l_quantity >= 48),
+        |e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM ps x JOIN ps y ON x.l_partkey = y.l_partkey
+        |    AND x.l_suppkey < y.l_suppkey),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS node FROM e
+        |    UNION ALL SELECT b AS node FROM e) u GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([2, 3, 4, 5]) AS BIGINT) AS k),
+        |nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich
+        |  FROM deg CROSS JOIN ks WHERE deg > k GROUP BY 1),
+        |ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS e_rich
+        |  FROM e JOIN deg da ON e.a = da.node
+        |    JOIN deg db ON e.b = db.node
+        |    CROSS JOIN ks
+        |  WHERE da.deg > k AND db.deg > k GROUP BY 1)
+        |SELECT k, n_rich, COALESCE(e_rich, 0) AS e_rich,
+        |  CASE WHEN n_rich > 1 THEN
+        |    floor(2.0*COALESCE(e_rich, 0)
+        |      /(CAST(n_rich AS DOUBLE)*(n_rich - 1))*10000 + 0.5
+        |      + 0.000001)/10000
+        |  ELSE 0.0 END AS phi
+        |FROM nk LEFT JOIN ek USING (k) ORDER BY k""".stripMargin,
+    "q_jl_distortion" ->
+      """WITH e AS (SELECT vec_id,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |u AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        |  FROM e),
+        |o AS (SELECT vec_id, SUM(x*x) AS orig2 FROM u GROUP BY 1),
+        |js AS (SELECT unnest(generate_series(1, 16)) AS j),
+        |pj AS (SELECT vec_id, j,
+        |    SUM(CASE WHEN (i*31 + j*17) % 2 = 0 THEN x ELSE -x END) AS dot
+        |  FROM u CROSS JOIN js GROUP BY 1, 2),
+        |p2 AS (SELECT vec_id, SUM(dot*dot)/16.0 AS proj2 FROM pj
+        |  GROUP BY 1),
+        |r AS (SELECT floor(p2.proj2/o.orig2*10000 + 0.5
+        |    + 0.000001)/10000 AS ratio
+        |  FROM p2 JOIN o USING (vec_id))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  floor(MIN(ratio)*10000 + 0.5 + 0.000001)/10000 AS min_ratio,
+        |  floor(AVG(ratio)*10000 + 0.5 + 0.000001)/10000 AS avg_ratio,
+        |  floor(MAX(ratio)*10000 + 0.5 + 0.000001)/10000 AS max_ratio
+        |FROM r""".stripMargin,
+    "q_competing_risks" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(MIN(o_orderdate) AS DATE) AS first_d,
+        |    CAST(MAX(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |ls AS (SELECT o_custkey, o_orderstatus AS st FROM (
+        |  SELECT o_custkey, o_orderstatus,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) q WHERE rn = 1),
+        |e AS (SELECT MAX(last_d) AS end_d FROM pc),
+        |dur AS (SELECT
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180
+        |         THEN CAST(date_diff('day', first_d, last_d) AS INTEGER)
+        |         ELSE CAST(date_diff('day', first_d, end_d) AS INTEGER)
+        |    END AS t,
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180 AND st = 'F'
+        |         THEN 1 ELSE 0 END AS e1,
+        |    CASE WHEN date_diff('day', last_d, end_d) > 180 AND st <> 'F'
+        |         THEN 1 ELSE 0 END AS e2
+        |  FROM pc JOIN ls USING (o_custkey), e),
+        |byt AS (SELECT t, COUNT(*) AS n_at,
+        |    CAST(SUM(e1) AS BIGINT) AS d1, CAST(SUM(e2) AS BIGINT) AS d2
+        |  FROM dur GROUP BY 1),
+        |lt AS (SELECT t, d1, d2,
+        |    CAST(SUM(n_at) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt),
+        |ev AS (SELECT t, n_risk, d1, d2 FROM lt WHERE d1 + d2 > 0),
+        |km AS (SELECT t, n_risk, d1, d2,
+        |    floor(CASE WHEN MAX(CASE WHEN d1 + d2 = n_risk THEN 1 ELSE 0
+        |        END) OVER w = 1 THEN 0.0
+        |      ELSE exp(SUM(ln(1.0 - CAST(d1 + d2 AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE))) OVER w) END
+        |      * 10000 + 0.5 + 0.000001) / 10000 AS s4
+        |  FROM ev
+        |  WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sp AS (SELECT t, n_risk, d1, d2, s4,
+        |    COALESCE(LAG(s4) OVER (ORDER BY t), 1.0) AS s_prev FROM km)
+        |SELECT t, n_risk, d1 AS d_complete, d2 AS d_abandon,
+        |  s4 AS s_overall,
+        |  floor(SUM(s_prev*CAST(d1 AS DOUBLE)/n_risk) OVER w2
+        |    *10000 + 0.5 + 0.000001)/10000 AS cif_complete,
+        |  floor(SUM(s_prev*CAST(d2 AS DOUBLE)/n_risk) OVER w2
+        |    *10000 + 0.5 + 0.000001)/10000 AS cif_abandon
+        |FROM sp
+        |WINDOW w2 AS (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY t""".stripMargin,
+    "q_negbin_fit" ->
+      """WITH weekly AS (SELECT p_brand,
+        |    date_trunc('week', l_shipdate) AS wk, SUM(l_quantity) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT p_brand, COUNT(*)*1.0 AS n, SUM(q) AS sq,
+        |    SUM(q*q) AS sqq FROM weekly GROUP BY 1),
+        |f AS (SELECT p_brand, n, sq/n AS m,
+        |    (sqq - sq*sq/n)/(n - 1.0) AS v FROM m)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_weeks,
+        |  floor(m*10000 + 0.5 + 0.000001)/10000 AS mean_q,
+        |  floor(v*10000 + 0.5 + 0.000001)/10000 AS var_q,
+        |  CASE WHEN v > m THEN
+        |    floor(m*m/(v - m)*10000 + 0.5 + 0.000001)/10000
+        |  ELSE 0.0 END AS nb_r,
+        |  v > m AS overdispersed
+        |FROM f ORDER BY p_brand""".stripMargin,
+    "q_youden" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
+        |    CAST(COUNT(*) - SUM(CASE WHEN l_returnflag = 'R' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS neg
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(pos) AS DOUBLE) AS tp,
+        |    CAST(SUM(neg) AS DOUBLE) AS tn FROM cells),
+        |cum AS (SELECT q,
+        |    CAST(SUM(pos) OVER (ORDER BY q DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS DOUBLE) AS cpos,
+        |    CAST(SUM(neg) OVER (ORDER BY q DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS DOUBLE) AS cneg
+        |  FROM cells),
+        |j AS (SELECT q, cpos/tp AS tpr, cneg/tn AS fpr,
+        |    floor((cpos/tp - cneg/tn)*10000 + 0.5 + 0.000001)/10000 AS j
+        |  FROM cum, tot)
+        |SELECT q AS best_threshold,
+        |  floor(tpr*10000 + 0.5 + 0.000001)/10000 AS tpr,
+        |  floor(fpr*10000 + 0.5 + 0.000001)/10000 AS fpr,
+        |  j AS youden_j
+        |FROM j ORDER BY j DESC, q LIMIT 1""".stripMargin,
+    "q_qn_scale" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice/1000) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+        |crossd AS (SELECT y.v - x.v AS diff, SUM(x.c*y.c) AS w
+        |  FROM b x JOIN b y ON x.v < y.v GROUP BY 1),
+        |dif AS (SELECT CAST(0 AS BIGINT) AS diff,
+        |    CAST(SUM(c*(c-1))//2 AS BIGINT) AS w FROM b
+        |  UNION ALL SELECT diff, CAST(w AS BIGINT) FROM crossd),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM b),
+        |kk AS (SELECT n, (n//2 + 1) AS h,
+        |    CAST((n//2 + 1)*((n//2 + 1) - 1)//2 AS BIGINT) AS kk FROM n),
+        |cum AS (SELECT diff,
+        |    CAST(SUM(w) OVER (ORDER BY diff ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |  FROM dif),
+        |hit AS (SELECT diff FROM cum, kk WHERE cw >= kk)
+        |SELECT MAX(kk.n) AS n_orders, MAX(kk.kk) AS k_rank,
+        |  MIN(diff) AS qn_raw_k,
+        |  floor(2.2219*MIN(diff)*10000 + 0.5 + 0.000001)/10000
+        |    AS qn_scale_k
+        |FROM hit, kk""".stripMargin,
+    "q_uplift_deciles" ->
+      """WITH base AS (SELECT
+        |    CAST(floor(o_totalprice/1000) AS BIGINT) AS v,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS tr,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |cells AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(SUM(tr) AS BIGINT) AS nt,
+        |    CAST(SUM(tr*y) AS BIGINT) AS rt,
+        |    CAST(SUM((1-tr)*y) AS BIGINT) AS rc
+        |  FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS nn FROM cells),
+        |cb AS (SELECT v, t, nt, rt, rc, nn,
+        |    COALESCE(CAST(SUM(t) OVER (ORDER BY v DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |  FROM cells, tot),
+        |d AS (SELECT CAST(cb*10//nn + 1 AS BIGINT) AS decile,
+        |    t, nt, rt, rc FROM cb),
+        |g AS (SELECT decile, CAST(SUM(nt) AS BIGINT) AS n_treat,
+        |    CAST(SUM(t - nt) AS BIGINT) AS n_ctrl,
+        |    CAST(SUM(rt) AS BIGINT) AS r_treat,
+        |    CAST(SUM(rc) AS BIGINT) AS r_ctrl
+        |  FROM d GROUP BY 1)
+        |SELECT decile, n_treat, n_ctrl,
+        |  floor(CAST(r_treat AS DOUBLE)/n_treat*10000 + 0.5
+        |    + 0.000001)/10000 AS rate_treat,
+        |  floor(CAST(r_ctrl AS DOUBLE)/n_ctrl*10000 + 0.5
+        |    + 0.000001)/10000 AS rate_ctrl,
+        |  floor((CAST(r_treat AS DOUBLE)/n_treat
+        |    - CAST(r_ctrl AS DOUBLE)/n_ctrl)*10000 + 0.5
+        |    + 0.000001)/10000 AS uplift
+        |FROM g ORDER BY decile""".stripMargin,
     "q_cochran_armitage" ->
       """WITH per AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
         |      AS sc, CAST(COUNT(*) AS BIGINT) AS ni,

@@ -1466,4 +1466,48 @@ object Behavior {
       round4eps(log(col("q") / col("p")) / (col("p") + col("q")))
         .as("peak_t"))
   }
+
+  /** Uplift-by-decile table: treatment = urgent/high priority
+    * handling, outcome = order fulfilled, ranked by spend — does the
+    * expensive handling move the needle MORE for big spenders? The
+    * two-model-free uplift read every targeting decision starts from
+    * (and the input to a Qini curve). Deciles come from the $1000
+    * value-bucket distribution collapse: a bucket belongs to the
+    * decile of its FIRST member's rank (decile = ⌊cb·10/N⌋+1, exact
+    * integer arithmetic on cumulative counts — no fact-scale ntile
+    * sort, the propensityAtt boundary-compare lesson). */
+  def upliftDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / lit(1000.0)).cast("long").as("v"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          .cast("long").as("tr"),
+        (col("o_orderstatus") === "F").cast("long").as("y"))
+    val cells = base.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"),
+        sum(col("tr")).as("nt"), sum(col("tr") * col("y")).as("rt"),
+        sum((lit(1L) - col("tr")) * col("y")).as("rc"))
+      .persistMemDisk
+    val tot = cells.agg(sum(col("t")).as("nn"))
+    // rank by spend DESC: decile 1 = top spenders
+    val wDesc = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells.crossJoin(broadcast(tot))
+      .withColumn("cb", coalesce(sum(col("t")).over(wDesc), lit(0L)))
+      // `div` = ANSI integer division on longs (double `/` would risk
+      // a just-below-integer quotient flipping a boundary bucket)
+      .withColumn("decile", expr("cb * 10 div nn + 1"))
+      .groupBy(col("decile"))
+      .agg(sum(col("nt")).as("n_treat"),
+        sum(col("t") - col("nt")).as("n_ctrl"),
+        sum(col("rt")).as("r_treat"), sum(col("rc")).as("r_ctrl"))
+      .select(col("decile"), col("n_treat"), col("n_ctrl"),
+        round4eps(col("r_treat").cast("double") / col("n_treat"))
+          .as("rate_treat"),
+        round4eps(col("r_ctrl").cast("double") / col("n_ctrl"))
+          .as("rate_ctrl"),
+        round4eps(col("r_treat").cast("double") / col("n_treat") -
+          col("r_ctrl").cast("double") / col("n_ctrl")).as("uplift"))
+      .orderBy(col("decile"))
+  }
 }

@@ -228,4 +228,37 @@ object Inventory {
           .as("reorder_point"))
       .orderBy(col("p_brand"))
   }
+
+  /** Negative-binomial demand fit per brand (method of moments over
+    * observed weekly unit demand): r = m²/(v − m), p = m/v when the
+    * variance exceeds the mean — the overdispersion-aware count model
+    * a Poisson-based stock policy silently needs (v >> m means the
+    * Poisson safety stock is fiction). Under-dispersed brands report
+    * r = 0 with the flag false. One (brand, ISO-week) rollup →
+    * taxonomy-bounded moment frame. */
+  def negbinFit(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        date_trunc("week", col("l_shipdate")).cast("date").as("wk"))
+      .agg(sum(col("l_quantity")).as("q"))
+    weekly.groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .withColumn("m", col("sq") / col("n"))
+      .withColumn("v",
+        (col("sqq") - col("sq") * col("sq") / col("n")) /
+          (col("n") - lit(1.0)))
+      .select(col("p_brand"),
+        col("n").cast("long").as("n_weeks"),
+        round4eps(col("m")).as("mean_q"),
+        round4eps(col("v")).as("var_q"),
+        round4eps(when(col("v") > col("m"),
+          col("m") * col("m") / (col("v") - col("m")))
+          .otherwise(lit(0.0))).as("nb_r"),
+        (col("v") > col("m")).as("overdispersed"))
+      .orderBy(col("p_brand"))
+  }
 }

@@ -1279,4 +1279,41 @@ object Similarity {
       .orderBy(col("variance").desc, col("dim"))
       .limit(topK)
   }
+
+  /** Johnson-Lindenstrauss distortion audit: project every embedding
+    * to `k` dimensions with a DETERMINISTIC ±1 sign matrix
+    * (sign(i,j) = + iff (i·31 + j·17) mod 2 = 0, 1-indexed) and
+    * report how well norms survive — ratio ‖Px‖²/‖x‖² with
+    * P scaled by 1/√k. The go/no-go audit before swapping full
+    * vectors for cheap projections in an ANN recall stage: JL says
+    * ratios concentrate near 1; the min/max report the worst case on
+    * THIS corpus, not the theorem's promise.
+    *
+    * Scale shape: pure map arithmetic per row (two nested
+    * higher-order-function folds, no UDF, no shuffle) + one scalar
+    * aggregate. Per-vector ratios are 4dp-quantized before the
+    * min/avg/max so the oracle's different summation order can't
+    * move them. */
+  def jlDistortion(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("v", transform(col("embedding"), _.cast("double")))
+    val withRatio = e
+      .withColumn("orig2",
+        aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+      .withColumn("proj2",
+        aggregate(
+          transform(sequence(lit(1), lit(k)), j => {
+            val signed = zip_with(col("v"),
+              sequence(lit(1), size(col("v"))),
+              (x, i) => when((i * 31 + j * 17) % 2 === 0, x).otherwise(-x))
+            val dot = aggregate(signed, lit(0.0), (a, x) => a + x)
+            dot * dot
+          }),
+          lit(0.0), (a, x) => a + x) / lit(k.toDouble))
+      .select(round4eps(col("proj2") / col("orig2")).as("ratio"))
+    withRatio.agg(count(lit(1)).as("n_vectors"),
+      round4eps(min(col("ratio"))).as("min_ratio"),
+      round4eps(avg(col("ratio"))).as("avg_ratio"),
+      round4eps(max(col("ratio"))).as("max_ratio"))
+  }
 }

@@ -3656,6 +3656,80 @@ object Stats {
         round4eps(col("h") / round6eps(log(col("k")))).as("normalized"))
   }
 
+  /** Youden-J optimal threshold: sweep EVERY integer quantity cutoff
+    * as the "large line → return risk" decision rule and report the
+    * threshold maximizing J = TPR − FPR (the operating point
+    * [[thresholdMetrics]] evaluates at its single fixed cutoff). The
+    * sweep is a cumulative-count pass over the value-bounded quantity
+    * collapse (≤50 distinct values), never a per-row sort; TPR/FPR
+    * are exact integer ratios, the argmax breaks ties on the SMALLER
+    * threshold. */
+  def youdenJ(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("q"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      .groupBy(col("q"))
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+      .persistMemDisk
+    val tot = cells.agg(sum(col("pos")).cast("double").as("tp"),
+      sum(col("neg")).cast("double").as("tn"))
+    // cumulative FROM ABOVE: predict positive when q >= threshold
+    val wGe = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.crossJoin(broadcast(tot))
+      .withColumn("cpos", sum(col("pos")).over(wGe).cast("double"))
+      .withColumn("cneg", sum(col("neg")).over(wGe).cast("double"))
+      .withColumn("tpr", col("cpos") / col("tp"))
+      .withColumn("fpr", col("cneg") / col("tn"))
+      .withColumn("j", round4eps(col("tpr") - col("fpr")))
+      .orderBy(col("j").desc, col("q"))
+      .limit(1)
+      .select(col("q").as("best_threshold"),
+        round4eps(col("tpr")).as("tpr"),
+        round4eps(col("fpr")).as("fpr"),
+        col("j").as("youden_j"))
+  }
+
+  /** Qn-flavored robust scale of the order-value distribution: the
+    * k-th order statistic (k = C(h,2), h = ⌊n/2⌋+1) of all pairwise
+    * absolute differences, scaled by the consistency constant 2.2219
+    * — Rousseeuw-Croux's 50%-breakdown scale that, unlike MAD, needs
+    * no location estimate and keeps 82% Gaussian efficiency. The
+    * "pair walk" is the $1000 VALUE-BUCKET weighted frame (same
+    * collapse as [[hodgesLehmann]]): |differences| carry ca·cb
+    * weights, equal-bucket pairs c(c−1)/2 at zero, and the k-th
+    * statistic is exact integer rank arithmetic over the cumulative
+    * weights — never an n² row join. */
+  def qnScale(s: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / lit(1000.0)).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .persistMemDisk
+    val a = buckets.select(col("v").as("va"), col("c").as("ca"))
+    val b = buckets.select(col("v").as("vb"), col("c").as("cb"))
+    val cross = a.crossJoin(b).filter(col("va") < col("vb"))
+      .groupBy((col("vb") - col("va")).as("diff"))
+      .agg(sum(col("ca") * col("cb")).as("w"))
+    val zero = buckets
+      .agg((sum(col("c") * (col("c") - lit(1L))) / 2).cast("long").as("w"))
+      .select(lit(0L).as("diff"), col("w"))
+    val diffs = zero.unionAll(cross)
+    val n = buckets.agg(sum(col("c")).as("n"))
+      .withColumn("h", floor(col("n") / 2).cast("long") + 1)
+      .withColumn("kk", (col("h") * (col("h") - 1) / 2).cast("long"))
+    val wCum = Window.orderBy(col("diff"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    diffs.crossJoin(broadcast(n))
+      .withColumn("cw", sum(col("w")).over(wCum))
+      .filter(col("cw") >= col("kk"))
+      .agg(max(col("n")).as("n"), max(col("kk")).as("kk"),
+        min(col("diff")).as("qn_k"))
+      .select(col("n").as("n_orders"), col("kk").as("k_rank"),
+        col("qn_k").as("qn_raw_k"),
+        round4eps(lit(2.2219) * col("qn_k")).as("qn_scale_k"))
+  }
+
   /** Cochran-Armitage trend test: does the fulfilled-order rate move
     * MONOTONICALLY with order priority (scores 1..5 from the priority
     * prefix digit)? More powerful than the chi-square independence

@@ -323,4 +323,58 @@ object Survival {
         round4eps(col("wald_raw")).as("wald_z"),
         (round4eps(abs(col("wald_raw"))) > 1.96).as("significant"))
   }
+
+  /** Competing-risks cumulative incidence (Aalen-Johansen): customers
+    * exit by TWO distinct modes — churn after a FULFILLED final order
+    * ("complete": served, then left) vs churn on an unfulfilled one
+    * ("abandon": left mid-relationship) — and the naive per-cause KM
+    * overstates both (it treats the other cause as censoring).
+    * CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s) with S the ALL-CAUSE KM;
+    * S(s−) is the 4dp-quantized previous-row survival, so the oracle
+    * replays the product exactly. Same calendar-bounded life-table
+    * collapse as [[kaplanMeier]]; the last-order status comes from a
+    * customer-keyed window (deterministic orderkey tie-break). */
+  def competingRisks(s: SparkSession, dir: String): DataFrame = {
+    val wLast = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val lastStatus = Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("ck"), col("o_orderstatus").as("st"))
+    val dur = durations(s, dir)
+      .join(lastStatus, col("o_custkey") === col("ck"))
+      .select(col("t"),
+        (col("event") === 1 && col("st") === "F").cast("long").as("e1"),
+        (col("event") === 1 && col("st") =!= "F").cast("long").as("e2"))
+    val byT = dur.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(col("e1")).as("d1"), sum(col("e2")).as("d2"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("n_risk", sum(col("n_at")).over(wDesc))
+      .filter(col("d1") + col("d2") > 0)
+      .withColumn("dfrac", (col("d1") + col("d2")).cast("double") /
+        col("n_risk").cast("double"))
+      .withColumn("hit_zero",
+        max((col("d1") + col("d2") === col("n_risk")).cast("int"))
+          .over(wCum))
+      .withColumn("s4", round4eps(
+        when(col("hit_zero") === 1, lit(0.0))
+          .otherwise(exp(sum(log(lit(1.0) - col("dfrac"))).over(wCum)))))
+      .withColumn("s_prev",
+        coalesce(lag(col("s4"), 1).over(Window.orderBy(col("t"))), lit(1.0)))
+      .withColumn("cif_complete", round4eps(
+        sum(col("s_prev") * col("d1").cast("double") / col("n_risk"))
+          .over(wCum)))
+      .withColumn("cif_abandon", round4eps(
+        sum(col("s_prev") * col("d2").cast("double") / col("n_risk"))
+          .over(wCum)))
+      .select(col("t"), col("n_risk"),
+        col("d1").as("d_complete"), col("d2").as("d_abandon"),
+        col("s4").as("s_overall"),
+        col("cif_complete"), col("cif_abandon"))
+      .orderBy(col("t"))
+  }
 }
