@@ -1113,6 +1113,12 @@ object SparkEntry {
     // volatility-clustering screen, spectral entropy (seasonality
     // one-number), a quantized-trajectory local-level Kalman filter,
     // and the theta-method forecast — all calendar-collapse-bounded
+    // r11 batch D: real-pixel image near-dup banding, motif/discord
+    // mining, rank change-point, classical seasonal decomposition
+    "q_image_neardup"    -> ((s, d) => Multimodal.imageNearDups(s, d)),
+    "q_matrix_profile"   -> ((s, d) => Stats.matrixProfile(s, d)),
+    "q_pettitt"          -> ((s, d) => Stats.pettittTest(s, d)),
+    "q_classical_decomp" -> ((s, d) => Stats.classicalDecomp(s, d)),
     // r11 batch C: graph elite wiring, JL projection audit, competing
     // risks, overdispersed demand, optimal threshold, robust scale,
     // uplift targeting
@@ -10283,6 +10289,127 @@ object SparkEntry {
         |  stat AS df_stat,
         |  stat < -2.86 AS stationary
         |FROM st""".stripMargin,
+    // banded-pHash near-dup pairs over base + edited-variant images:
+    // the oracle replays the generator's hash bits (with the variant's
+    // last-row copy), bands, candidates and Hamming verify in SQL
+    "q_image_neardup" ->
+      """WITH imgs AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 6 + 4 AS INT) AS w,
+        |    CAST(doc_id % 5 + 3 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |alli AS (SELECT media_id, media_id AS bid, w, h, 0 AS edit
+        |    FROM imgs
+        |  UNION ALL SELECT media_id + 10000000, media_id, w, h, 1
+        |    FROM imgs),
+        |g AS (SELECT media_id, x, y,
+        |    ((bid*37 + ((x*w)//8)*11
+        |      + (CASE WHEN edit = 1 AND (y*h)//8 = h-1 THEN h-2
+        |         ELSE (y*h)//8 END)*7) % 256
+        |   + (bid*53 + ((x*w)//8)*5
+        |      + (CASE WHEN edit = 1 AND (y*h)//8 = h-1 THEN h-2
+        |         ELSE (y*h)//8 END)*3) % 256
+        |   + (bid*71 + ((x*w)//8)*13
+        |      + (CASE WHEN edit = 1 AND (y*h)//8 = h-1 THEN h-2
+        |         ELSE (y*h)//8 END)*17) % 256) AS gray
+        |  FROM alli, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+        |t AS (SELECT media_id, SUM(gray) AS total FROM g GROUP BY 1),
+        |bits AS (SELECT g.media_id, y*8 + x AS k,
+        |    CASE WHEN 64*gray > total THEN 1 ELSE 0 END AS bit
+        |  FROM g JOIN t USING (media_id)),
+        |hl AS (SELECT media_id,
+        |    CAST(SUM(CASE WHEN k < 32
+        |      THEN CAST(bit AS BIGINT) << (31 - k) ELSE 0 END) AS BIGINT)
+        |      AS hi,
+        |    CAST(SUM(CASE WHEN k >= 32
+        |      THEN CAST(bit AS BIGINT) << (63 - k) ELSE 0 END) AS BIGINT)
+        |      AS lo
+        |  FROM bits GROUP BY 1),
+        |bands AS (SELECT media_id, hi, lo,
+        |    unnest([0, 1, 2, 3]) AS bno,
+        |    unnest([(hi >> 16) & 65535, hi & 65535,
+        |            (lo >> 16) & 65535, lo & 65535]) AS key
+        |  FROM hl),
+        |cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+        |  FROM bands a JOIN bands b
+        |    ON a.bno = b.bno AND a.key = b.key AND a.media_id < b.media_id),
+        |ham AS (SELECT ma, mb,
+        |    CAST(bit_count(xor(a.hi, b.hi))
+        |      + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+        |  FROM cand JOIN hl a ON ma = a.media_id
+        |    JOIN hl b ON mb = b.media_id)
+        |SELECT ma AS media_a, mb AS media_b, hamming
+        |FROM ham WHERE hamming <= 12 ORDER BY ma, mb""".stripMargin,
+    "q_matrix_profile" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |arr AS (SELECT d, row_number() OVER (ORDER BY d) AS rn,
+        |    list(rev) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND 6
+        |      FOLLOWING) AS arr
+        |  FROM daily),
+        |f AS (SELECT d, rn, arr, list_sum(arr)/7.0 AS mu FROM arr
+        |  WHERE len(arr) = 7),
+        |g AS (SELECT d, rn, arr, mu,
+        |    sqrt(list_sum(list_transform(arr,
+        |      x -> (x - mu)*(x - mu)))/7.0) AS sd
+        |  FROM f),
+        |z AS (SELECT d, rn, list_transform(arr,
+        |    x -> floor((x - mu)/sd*1000000 + 0.5 + 0.000001)/1000000)
+        |    AS z
+        |  FROM g WHERE sd > 0),
+        |p AS (SELECT a.d AS d, a.z AS za, b.z AS zb
+        |  FROM z a, z b WHERE abs(a.rn - b.rn) >= 4),
+        |dist AS (SELECT d,
+        |    floor(list_sum(list_transform(range(1, 8),
+        |      k -> (za[k] - zb[k])*(za[k] - zb[k])))*1000000 + 0.5
+        |      + 0.000001)/1000000 AS dist
+        |  FROM p)
+        |SELECT d, floor(MIN(dist)*10000 + 0.5 + 0.000001)/10000
+        |  AS mp_dist
+        |FROM dist GROUP BY d ORDER BY d""".stripMargin,
+    "q_pettitt" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |perv AS (SELECT rev, CAST(COUNT(*) AS BIGINT) AS t FROM daily
+        |  GROUP BY 1),
+        |ranked AS (SELECT rev,
+        |    COALESCE(SUM(t) OVER (ORDER BY rev ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) + (t + 1)/2.0 AS r
+        |  FROM perv),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        |u AS (SELECT d, row_number() OVER (ORDER BY d) AS rn,
+        |    2.0*SUM(r) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)
+        |      - CAST(row_number() OVER (ORDER BY d) AS DOUBLE)*(n + 1)
+        |      AS u, n
+        |  FROM daily JOIN ranked USING (rev), nn)
+        |SELECT d AS change_day, CAST(u AS BIGINT) AS u_stat,
+        |  n AS n_days
+        |FROM u WHERE rn < n ORDER BY abs(u) DESC, d LIMIT 1""".stripMargin,
+    "q_classical_decomp" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |ma AS (SELECT d, rev, COUNT(*) OVER w AS nw, AVG(rev) OVER w
+        |      AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3
+        |    FOLLOWING)),
+        |det AS (SELECT CAST(((date_diff('day', DATE '1990-01-01', d)
+        |      % 7) + 7) % 7 AS INT) AS dow,
+        |    rev - trend AS det
+        |  FROM ma WHERE nw = 7),
+        |perdow AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    floor(AVG(det)*1000000 + 0.5 + 0.000001)/1000000 AS raw
+        |  FROM det GROUP BY 1),
+        |c AS (SELECT AVG(raw) AS c FROM perdow)
+        |SELECT dow, n_days,
+        |  floor((raw - c)*10000 + 0.5 + 0.000001)/10000 AS seasonal_idx
+        |FROM perdow, c ORDER BY dow""".stripMargin,
     "q_rich_club" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
         |  FROM lineitem WHERE l_quantity >= 48),

@@ -271,31 +271,38 @@ object Multimodal {
     * Encode is one ImageIO writer per row inside mapPartitions — at
     * 100 TB this whole table is `spark.read.parquet` of stored media;
     * the deterministic fixture keeps the decode kernels oracle-able. */
+  /** PNG-encode the generator image for `id`. `editLastRow` produces
+    * the "edited variant" fixture: the last pixel row duplicates the
+    * row above it — the crop/re-encode edit class an image near-dup
+    * stage must still catch. */
+  private def pngBytes(id: Long, editLastRow: Boolean): Array[Byte] = {
+    val w = (id % 6 + 4).toInt
+    val h = (id % 5 + 3).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = if (editLastRow && y == h - 1) h - 2 else y
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pxR(id, x, sy) << 16) | (pxG(id, x, sy) << 8) | pxB(id, x, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def pngImageTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .filter(col("doc_id") % 3 === 0)
       .select(col("doc_id").as("media_id")).as[Long]
       .mapPartitions { ids =>
-        ids.map { id =>
-          val w = (id % 6 + 4).toInt
-          val h = (id % 5 + 3).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              img.setRGB(x, y,
-                (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (id, "image", "png", bos.toByteArray)
-        }
+        ids.map(id => (id, "image", "png", pngBytes(id, editLastRow = false)))
       }.toDF("media_id", "kind", "format", "content")
   }
 
@@ -430,5 +437,88 @@ object Multimodal {
           (id, bits.toString)
         }
       }.toDF("media_id", "ahash")
+  }
+
+  /** aHash of a decoded image packed as two 32-bit halves (bit k of
+    * the row-major 8×8 grid lands at position 31−k of `hi` for k<32,
+    * 63−k of `lo` otherwise) — the joinable form of [[imageAHash]]. */
+  private def aHashHalves(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val gray = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val rgb = img.getRGB(x * sw / 8, y * sh / 8)
+        val g = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        gray(y * 8 + x) = g
+        total += g
+        x += 1
+      }
+      y += 1
+    }
+    var (hi, lo) = (0L, 0L)
+    var k = 0
+    while (k < 64) {
+      if (64L * gray(k) > total) {
+        if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** Image near-duplicate pairs over REAL decoded pixels: banded
+    * average-hash blocking, exactly the SimHash machinery applied to
+    * the perceptual hash. The corpus is every base image PLUS its
+    * deterministic "edited variant" (id + 10⁷, last pixel row
+    * duplicated — the crop/re-encode edit class): candidates form
+    * only where one of the four 16-bit hash bands matches exactly,
+    * then the exact Hamming verify keeps pairs ≤ `maxHamming`.
+    *
+    * Scale shape: decode + hash are map-side; the join is band-keyed
+    * equality (never all-pairs) — at 100 TB the bands ARE the shuffle
+    * key and band-bucket occupancy bounds candidate volume, identical
+    * economics to [[graft.operators.Dedup]]'s SimHash path. The
+    * oracle replays the generator's hash bits in SQL, so this gate
+    * pins decode + hash + banding + verify end-to-end. */
+  def imageNearDups(s: SparkSession, dir: String,
+                    maxHamming: Int = 12): DataFrame = {
+    import s.implicits._
+    val VariantOffset = 10000000L
+    val hashes = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val base = decodePng(pngBytes(id, editLastRow = false))
+          val edit = decodePng(pngBytes(id, editLastRow = true))
+          val (bh, bl) = aHashHalves(base)
+          val (eh, el) = aHashHalves(edit)
+          Iterator((id, bh, bl), (id + VariantOffset, eh, el))
+        }
+      }.toDF("media_id", "hi", "lo")
+      .persistMemDisk
+    val bands = hashes.select(col("media_id"), col("hi"), col("lo"),
+      posexplode(array(
+        shiftright(col("hi"), 16).bitwiseAND(lit(65535L)),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+        col("lo").bitwiseAND(lit(65535L)))).as(Seq("bno", "key")))
+    val a = bands.select(col("bno"), col("key"), col("media_id").as("ma"),
+      col("hi").as("ha"), col("lo").as("la"))
+    val b = bands.select(col("bno"), col("key"), col("media_id").as("mb"),
+      col("hi").as("hb"), col("lo").as("lb"))
+    a.join(b, Seq("bno", "key"))
+      .filter(col("ma") < col("mb"))
+      .select(col("ma"), col("mb"),
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ma").as("media_a"), col("mb").as("media_b"),
+        col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
   }
 }

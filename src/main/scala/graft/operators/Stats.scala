@@ -3656,6 +3656,115 @@ object Stats {
         round4eps(col("h") / round6eps(log(col("k")))).as("normalized"))
   }
 
+  /** Matrix profile (brute-force, days²-bounded): for every 7-day
+    * window of daily revenue, the squared z-normalized distance to
+    * its nearest non-overlapping window — low values are MOTIFS
+    * (repeated weekly shapes), spikes are DISCORDS (anomalous weeks).
+    * The time-series analog of near-dup mining. The pair walk is the
+    * calendar-bounded days² theta join (siegelSlope's band:
+    * replication adds rows, never days); window vectors are 6dp
+    * z-quantized so both engines difference identical arrays. Flat
+    * windows (σ = 0) are excluded, exclusion zone |Δrn| < 4. */
+  def matrixProfile(s: SparkSession, dir: String, m: Int = 7): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val w = Window.orderBy(col("d"))
+    val wArr = w.rowsBetween(0, m - 1)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+    val sub = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("arr", collect_list(col("rev")).over(wArr))
+      .filter(size(col("arr")) === m)
+      .withColumn("mu",
+        aggregate(col("arr"), lit(0.0), (a, x) => a + x) / lit(m.toDouble))
+      .withColumn("sd", sqrt(
+        aggregate(col("arr"), lit(0.0),
+          (a, x) => a + (x - col("mu")) * (x - col("mu"))) /
+          lit(m.toDouble)))
+      .filter(col("sd") > 0)
+      .withColumn("z", transform(col("arr"),
+        x => round6eps((x - col("mu")) / col("sd"))))
+      .select(col("d"), col("rn"), col("z"))
+      .persistMemDisk
+    val a = sub.select(col("d"), col("rn").as("ra"), col("z").as("za"))
+    val b = sub.select(col("rn").as("rb"), col("z").as("zb"))
+    a.join(b, abs(col("ra") - col("rb")) >= 4)
+      .withColumn("dist", round6eps(aggregate(
+        zip_with(col("za"), col("zb"), (p, q) => (p - q) * (p - q)),
+        lit(0.0), (acc, v) => acc + v)))
+      .groupBy(col("d"))
+      .agg(round4eps(min(col("dist"))).as("mp_dist"))
+      .orderBy(col("d"))
+  }
+
+  /** Pettitt change-point test: the rank-based CUSUM
+    * U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i − x_j), located at its |max| — the
+    * nonparametric complement to the mean-CUSUM gate (no normality,
+    * robust to the revenue spikes that fool it). Midranks come from
+    * the revenue value collapse (exact rank arithmetic; 2W_t keeps
+    * everything integer-valued), U_t = 2W_t − t(n+1) is windowed off
+    * the calendar-bounded daily frame, argmax ties break to the
+    * earliest day. */
+  def pettittTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+      .persistMemDisk
+    val perV = daily.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+    val wV = Window.orderBy(col("rev"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("cb", coalesce(sum(col("t")).over(wV), lit(0L)))
+      .select(col("rev"), (col("cb") + (col("t") + 1) / lit(2.0)).as("r"))
+    val wD = Window.orderBy(col("d"))
+    val wCum = wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = daily.agg(count(lit(1)).as("n"))
+    daily.join(broadcast(ranked), "rev")
+      .crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(wD))
+      .withColumn("u",
+        lit(2.0) * sum(col("r")).over(wCum) -
+          col("rn").cast("double") * (col("n") + 1))
+      .filter(col("rn") < col("n")) // U_n ≡ 0, not a candidate
+      .orderBy(abs(col("u")).desc, col("d"))
+      .limit(1)
+      .select(col("d").as("change_day"),
+        col("u").cast("long").as("u_stat"),
+        col("n").as("n_days"))
+  }
+
+  /** Classical seasonal decomposition (moving-average method) of
+    * daily revenue: trend = centered 7-day MA, seasonal index =
+    * re-centered weekday mean of the detrended series — the additive
+    * weekly profile ($M deviation per weekday) a planner reads
+    * before any model. Weekday is computed as days-since-a-known-
+    * Monday mod 7 (pure integer arithmetic — immune to the engines'
+    * different DOW numbering conventions). Raw weekday means are
+    * 6dp-quantized before re-centering. */
+  def classicalDecomp(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val w = Window.orderBy(col("d"))
+    val wMa = w.rowsBetween(-3, 3)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+    val det = daily
+      .withColumn("nw", count(lit(1)).over(wMa))
+      .withColumn("trend", avg(col("rev")).over(wMa))
+      .filter(col("nw") === 7)
+      .withColumn("dow", pmod(datediff(col("d"), lit("1990-01-01").cast("date")), lit(7)))
+      .select(col("dow"), (col("rev") - col("trend")).as("det"))
+    val perDow = det.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), round6eps(avg(col("det"))).as("raw"))
+      .persistMemDisk
+    val center = perDow.agg(avg(col("raw")).as("c"))
+    perDow.crossJoin(broadcast(center))
+      .select(col("dow"), col("n_days"),
+        round4eps(col("raw") - col("c")).as("seasonal_idx"))
+      .orderBy(col("dow"))
+  }
+
   /** Youden-J optimal threshold: sweep EVERY integer quantity cutoff
     * as the "large line → return risk" decision rule and report the
     * threshold maximizing J = TPR − FPR (the operating point
