@@ -444,6 +444,37 @@ object ScaleSmoke {
     run("fairnessAudit")(operators.Stats.fairnessAudit(spark, dir))
     run("bradleyTerry")(operators.Stats.bradleyTerry(spark, dir))
 
+    // r11 new-operator families. The time-series kit (kpss/archLm/
+    // spectralEntropy/kalmanLevel/thetaForecast/pettitt/
+    // classicalDecomp) regresses over the CALENDAR-bounded daily
+    // collapse — replication grows the scan, never the regressed
+    // frame; kalman's driver recursion is days-bounded by require.
+    // matrixProfile is the days² pair walk (siegelSlope's band) —
+    // constant past the collapse. The inference batch (cochran/MH/
+    // dunn/AD/hausman) collapses to taxonomy- or value-bounded
+    // frames; fleissKappa is doc-linear scoring with a ≤6-category
+    // re-aggregate; jlDistortion is pure map arithmetic; richClub is
+    // one projection + degree join; imageNearDups decodes map-side
+    // and joins on 16-bit hash bands (candidate volume tracks band
+    // occupancy, the SimHash economics); qnScale/youden/uplift ride
+    // value-bucket collapses; competingRisks rides the churn life
+    // table; negbinFit is a (brand, week) rollup.
+    run("kpssTest")(operators.Stats.kpssTest(spark, dir))
+    run("kalmanLevel")(operators.Stats.kalmanLevel(spark, dir))
+    run("thetaForecast")(operators.Indicators.thetaForecast(spark, dir))
+    run("matrixProfile")(operators.Stats.matrixProfile(spark, dir))
+    run("pettittTest")(operators.Stats.pettittTest(spark, dir))
+    run("fleissKappa")(operators.TextAnalysis.fleissKappa(spark, dir))
+    run("jlDistortion")(operators.Similarity.jlDistortion(spark, dir))
+    run("richClub")(operators.Graph.richClub(spark, dir))
+    run("imageNearDups")(operators.Multimodal.imageNearDups(spark, dir))
+    run("competingRisks")(operators.Survival.competingRisks(spark, dir))
+    run("qnScale")(operators.Stats.qnScale(spark, dir))
+    run("upliftDeciles")(operators.Behavior.upliftDeciles(spark, dir))
+    run("dunnPosthoc")(operators.Stats.dunnPosthoc(spark, dir))
+    run("hausmanTest")(operators.Stats.hausmanTest(spark, dir))
+    run("negbinFit")(operators.Inventory.negbinFit(spark, dir))
+
     // r10: V2 mount snapshot pruning at scale (round-9 verdict demand
     // #7) — a warehouse holding the whole replicated events table
     // split across 8 commits; reading snapshot-id=1 must cost ~1/8 of

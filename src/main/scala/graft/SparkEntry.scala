@@ -3439,9 +3439,9 @@ object SparkEntry {
         |  FROM imgs, generate_series(0, 8) gx(x), generate_series(0, 6) gy(y)
         |  WHERE x < w AND y < h)
         |SELECT media_id, MAX(w) AS width, MAX(h) AS height,
-        |ROUND(AVG(CAST((media_id*37 + x*11 + y*7) % 256 AS DOUBLE)), 4) AS r_mean,
-        |ROUND(AVG(CAST((media_id*53 + x*5 + y*3) % 256 AS DOUBLE)), 4) AS g_mean,
-        |ROUND(AVG(CAST((media_id*71 + x*13 + y*17) % 256 AS DOUBLE)), 4) AS b_mean
+        |ROUND(AVG(CAST((media_id*37 + x*11 + y*7 + x*y*3) % 256 AS DOUBLE)), 4) AS r_mean,
+        |ROUND(AVG(CAST((media_id*53 + x*5 + y*3 + x*y*7) % 256 AS DOUBLE)), 4) AS g_mean,
+        |ROUND(AVG(CAST((media_id*71 + x*13 + y*17 + x*y*11) % 256 AS DOUBLE)), 4) AS b_mean
         |FROM px GROUP BY media_id""".stripMargin,
     // NN resize to 8×6: dst (x,y) reads src ((x*w)//8, (y*h)//6);
     // PNG re-encode is lossless, so the re-decoded means replay the
@@ -3456,9 +3456,9 @@ object SparkEntry {
         |  SELECT media_id, (x * w) // 8 AS sx, (y * h) // 6 AS sy
         |  FROM imgs, generate_series(0, 7) gx(x), generate_series(0, 5) gy(y))
         |SELECT media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
-        |ROUND(AVG(CAST((media_id*37 + sx*11 + sy*7) % 256 AS DOUBLE)), 4) AS r_mean,
-        |ROUND(AVG(CAST((media_id*53 + sx*5 + sy*3) % 256 AS DOUBLE)), 4) AS g_mean,
-        |ROUND(AVG(CAST((media_id*71 + sx*13 + sy*17) % 256 AS DOUBLE)), 4) AS b_mean
+        |ROUND(AVG(CAST((media_id*37 + sx*11 + sy*7 + sx*sy*3) % 256 AS DOUBLE)), 4) AS r_mean,
+        |ROUND(AVG(CAST((media_id*53 + sx*5 + sy*3 + sx*sy*7) % 256 AS DOUBLE)), 4) AS g_mean,
+        |ROUND(AVG(CAST((media_id*71 + sx*13 + sy*17 + sx*sy*11) % 256 AS DOUBLE)), 4) AS b_mean
         |FROM px GROUP BY media_id""".stripMargin,
     // average-hash: 8×8 NN sample, integer gray r+g+b, bit (y*8+x)
     // set iff 64·gray > Σgray — all-integer compares, exact replay
@@ -3470,9 +3470,12 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 3 = 0),
         |g AS (
         |  SELECT media_id, x, y,
-        |    ((media_id*37 + ((x*w)//8)*11 + ((y*h)//8)*7) % 256
-        |   + (media_id*53 + ((x*w)//8)*5  + ((y*h)//8)*3) % 256
-        |   + (media_id*71 + ((x*w)//8)*13 + ((y*h)//8)*17) % 256) AS gray
+        |    ((media_id*37 + ((x*w)//8)*11 + ((y*h)//8)*7
+        |      + ((x*w)//8)*((y*h)//8)*3) % 256
+        |   + (media_id*53 + ((x*w)//8)*5  + ((y*h)//8)*3
+        |      + ((x*w)//8)*((y*h)//8)*7) % 256
+        |   + (media_id*71 + ((x*w)//8)*13 + ((y*h)//8)*17
+        |      + ((x*w)//8)*((y*h)//8)*11) % 256) AS gray
         |  FROM imgs, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
         |t AS (SELECT media_id, SUM(gray) AS total FROM g GROUP BY media_id)
         |SELECT g.media_id,
@@ -10299,19 +10302,17 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 3 = 0),
         |alli AS (SELECT media_id, media_id AS bid, w, h, 0 AS edit
         |    FROM imgs
-        |  UNION ALL SELECT media_id + 10000000, media_id, w, h, 1
+        |  UNION ALL SELECT media_id + 1000000000, media_id, w, h, 1
         |    FROM imgs),
-        |g AS (SELECT media_id, x, y,
-        |    ((bid*37 + ((x*w)//8)*11
-        |      + (CASE WHEN edit = 1 AND (y*h)//8 = h-1 THEN h-2
-        |         ELSE (y*h)//8 END)*7) % 256
-        |   + (bid*53 + ((x*w)//8)*5
-        |      + (CASE WHEN edit = 1 AND (y*h)//8 = h-1 THEN h-2
-        |         ELSE (y*h)//8 END)*3) % 256
-        |   + (bid*71 + ((x*w)//8)*13
-        |      + (CASE WHEN edit = 1 AND (y*h)//8 = h-1 THEN h-2
-        |         ELSE (y*h)//8 END)*17) % 256) AS gray
+        |sxy AS (SELECT media_id, bid, x, y, (x*w)//8 AS sx,
+        |    CASE WHEN edit = 1 AND (y*h)//8 = h-1 THEN h-2
+        |      ELSE (y*h)//8 END AS sy
         |  FROM alli, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+        |g AS (SELECT media_id, x, y,
+        |    ((bid*37 + sx*11 + sy*7 + sx*sy*3) % 256
+        |   + (bid*53 + sx*5 + sy*3 + sx*sy*7) % 256
+        |   + (bid*71 + sx*13 + sy*17 + sx*sy*11) % 256) AS gray
+        |  FROM sxy),
         |t AS (SELECT media_id, SUM(gray) AS total FROM g GROUP BY 1),
         |bits AS (SELECT g.media_id, y*8 + x AS k,
         |    CASE WHEN 64*gray > total THEN 1 ELSE 0 END AS bit

@@ -257,13 +257,17 @@ object Multimodal {
 
   /** The documented pixel generator: channel values of pixel (x, y)
     * of image `id`. Small coprime multipliers make every channel, row
-    * and column distinct; values cover 0..255. */
+    * and column distinct; the x·y cross term keeps the field
+    * NON-planar so perceptual hashes vary realistically (a pure
+    * linear gradient makes every aHash a near-half-plane and ~12% of
+    * ALL image pairs collide — the r11 fixture lesson); values cover
+    * 0..255. */
   @inline private def pxR(id: Long, x: Int, y: Int): Int =
-    ((id * 37 + x * 11 + y * 7) % 256).toInt
+    ((id * 37 + x * 11 + y * 7 + x * y * 3) % 256).toInt
   @inline private def pxG(id: Long, x: Int, y: Int): Int =
-    ((id * 53 + x * 5 + y * 3) % 256).toInt
+    ((id * 53 + x * 5 + y * 3 + x * y * 7) % 256).toInt
   @inline private def pxB(id: Long, x: Int, y: Int): Int =
-    ((id * 71 + x * 13 + y * 17) % 256).toInt
+    ((id * 71 + x * 13 + y * 17 + x * y * 11) % 256).toInt
 
   /** Genuine-PNG media table over the image-kind subset (doc_id%3==0,
     * matching [[mediaTable]]'s kind derivation): content = a REAL PNG
@@ -472,7 +476,7 @@ object Multimodal {
   /** Image near-duplicate pairs over REAL decoded pixels: banded
     * average-hash blocking, exactly the SimHash machinery applied to
     * the perceptual hash. The corpus is every base image PLUS its
-    * deterministic "edited variant" (id + 10⁷, last pixel row
+    * deterministic "edited variant" (id + 10⁹ — clear of any replication id stride; last pixel row
     * duplicated — the crop/re-encode edit class): candidates form
     * only where one of the four 16-bit hash bands matches exactly,
     * then the exact Hamming verify keeps pairs ≤ `maxHamming`.
@@ -480,13 +484,20 @@ object Multimodal {
     * Scale shape: decode + hash are map-side; the join is band-keyed
     * equality (never all-pairs) — at 100 TB the bands ARE the shuffle
     * key and band-bucket occupancy bounds candidate volume, identical
-    * economics to [[graft.operators.Dedup]]'s SimHash path. The
-    * oracle replays the generator's hash bits in SQL, so this gate
-    * pins decode + hash + banding + verify end-to-end. */
+    * economics to [[graft.operators.Dedup]]'s SimHash path. PAIR
+    * OUTPUT is quadratic in hash-class size by definition — ScaleSmoke
+    * replication multiplies every class by `factor`, so emitted pairs
+    * grow ~factor² within classes (26M pairs / 8.5 s at ×10 — the
+    * measured stress, same by-construction shape as the entityMatch
+    * row); a production run collapses exact-hash classes to reps
+    * first (the [[graft.operators.Dedup.exactGroups]] doctrine) and
+    * emits clusters, not edges. The oracle replays the generator's
+    * hash bits in SQL, so this gate pins decode + hash + banding +
+    * verify end-to-end. */
   def imageNearDups(s: SparkSession, dir: String,
                     maxHamming: Int = 12): DataFrame = {
     import s.implicits._
-    val VariantOffset = 10000000L
+    val VariantOffset = 1000000000L
     val hashes = Tables.documents(s, dir)
       .filter(col("doc_id") % 3 === 0)
       .select(col("doc_id").as("media_id")).as[Long]

@@ -123,9 +123,12 @@ class MultimodalSpec extends AnyFunSuite {
       assert(img.getHeight == (id % 5 + 3).toInt)
       // decoded pixel (1,2) equals the documented generator exactly
       val rgb = img.getRGB(1, 2)
-      assert(((rgb >> 16) & 0xFF) == ((id * 37 + 1 * 11 + 2 * 7) % 256).toInt)
-      assert(((rgb >> 8) & 0xFF) == ((id * 53 + 1 * 5 + 2 * 3) % 256).toInt)
-      assert((rgb & 0xFF) == ((id * 71 + 1 * 13 + 2 * 17) % 256).toInt)
+      assert(((rgb >> 16) & 0xFF) ==
+        ((id * 37 + 1 * 11 + 2 * 7 + 1 * 2 * 3) % 256).toInt)
+      assert(((rgb >> 8) & 0xFF) ==
+        ((id * 53 + 1 * 5 + 2 * 3 + 1 * 2 * 7) % 256).toInt)
+      assert((rgb & 0xFF) ==
+        ((id * 71 + 1 * 13 + 2 * 17 + 1 * 2 * 11) % 256).toInt)
     }
   }
 

@@ -147,10 +147,10 @@ class R11BatchSpec extends AnyFunSuite {
     val pairs = Multimodal.imageNearDups(spark, dir).collect()
     assert(pairs.nonEmpty)
     pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 12))
-    // the planted base->variant pairs (id, id+10M) dominate recall:
+    // the planted base->variant pairs (id, id+1e9) dominate recall:
     // most bases must find their own edit through the bands
     val basesWithVariant = pairs.filter(r =>
-      r.getAs[Long]("media_b") == r.getAs[Long]("media_a") + 10000000L)
+      r.getAs[Long]("media_b") == r.getAs[Long]("media_a") + 1000000000L)
     val nBases = Tables.documents(spark, dir)
       .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0).count()
     assert(basesWithVariant.length >= nBases / 2)
