@@ -88,6 +88,9 @@ object Bench {
     def runOnce(name: String): (Double, Boolean) = {
       shuffleBytes.remove(name)
       currentQuery = name
+      // start marker on stderr: lets any DAGScheduler warning in the
+      // log (e.g. >1 MB task binaries) be attributed to its query
+      System.err.println(s"[bench] start $name")
       @volatile var res = -1.0
       val sc = spark.sparkContext
       val t0 = System.nanoTime()

@@ -35,31 +35,11 @@ object ScaleSmoke {
 
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
     // Shift every listed id column by the same per-copy stride: join
-    // keys stay consistent within a copy, disjoint across copies.
-    def replicate(table: String, idCols: Seq[String], idStride: Long): Unit = {
-      val base = spark.read.parquet(s"$baseDir/$table.parquet")
-      val copies = (0 until factor).map { k =>
-        idCols.foldLeft(base) { (df, c) =>
-          df.withColumn(c, col(c) + lit(k * idStride))
-        }
-      }.reduce(_ unionByName _)
-      copies.write.mode("overwrite").parquet(s"$dir/$table.parquet")
-    }
-    replicate("documents", Seq("doc_id"), 10000000L)
-    replicate("embeddings", Seq("vec_id"), 10000000L)
-    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 10000000L)
-    replicate("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
-    replicate("events", Seq("event_id", "user_id"), 10000000L)
-    replicate("part", Seq("p_partkey"), 10000000L)
-    replicate("supplier", Seq("s_suppkey"), 10000000L)
-    replicate("customer", Seq("c_custkey"), 10000000L)
+    // keys stay consistent within a copy, disjoint across copies;
     // fixed-cardinality dimensions copy through unreplicated (every
     // supplier copy keeps its original nationkey, so the dims still
-    // join) — needed by the region/nation-filtered operators
-    Seq("nation", "region").foreach { t =>
-      spark.read.parquet(s"$baseDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    }
+    // join). Shared with MakeScaledData (the sf1 bench input builder).
+    ScaledData.build(spark, baseDir, dir, factor)
     println(s"[scale] corpus ${factor}x at $dir: " +
       s"${Tables.documents(spark, dir).count()} docs, " +
       s"${Tables.embeddings(spark, dir).count()} vectors, " +
