@@ -154,18 +154,24 @@ case class VecL2Dist(left: Expression, right: Expression) extends VecBinaryExpre
 /** SRP-LSH signature against a fixed plane matrix: bit k = sign of
   * v . planes[k], packed into an int. One fused pass over nPlanes x dim
   * multiply-adds per row — replaces nPlanes separate interpreted dot
-  * folds (the knnAnn map-side hot spot). The plane matrix is baked into
-  * the generated code as a reference-object constant.
+  * folds (the knnAnn map-side hot spot).
   *
-  * The matrix parameter is `Seq[Seq[Double]]` (value equality), not a
-  * raw array: array reference-equality in a case class would make two
-  * plans built from equal-but-distinct matrices canonicalize unequal,
-  * defeating CacheManager plan matching (see LongMinHashSig). */
-case class VecSrpSignature(child: Expression, planeRows: Seq[Seq[Double]])
+  * The expression carries only the GENERATOR PARAMETERS (nPlanes, dim,
+  * seed) — three scalars with trivial value equality for plan
+  * canonicalization — and regenerates the deterministic plane matrix
+  * lazily wherever it evaluates. Embedding the matrix itself (the
+  * pre-r11 design: 16 tables × 8×64 boxed doubles riding the
+  * serialized expression tree) is what pushed knnAnn's task binaries
+  * to the 1 MB DAGScheduler warning; the codegen reference object is
+  * the 4 KB primitive double[][], regenerated per executor. */
+case class VecSrpSignature(child: Expression, nPlanes: Int, dim: Int,
+                           seed: Long)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = IntegerType
 
-  private lazy val planes: Array[Array[Double]] = planeRows.map(_.toArray).toArray
+  @transient private lazy val planes: Array[Array[Double]] =
+    graft.functions.VectorFunctions.hyperplanes(nPlanes, dim, seed)
+      .map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess

@@ -49,12 +49,15 @@ object VectorFunctions {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Signed-random-projection LSH bucket id: bit k = sign(v . plane_k).
+  /** Signed-random-projection LSH bucket id: bit k = sign(v . plane_k)
+    * against the deterministic [[hyperplanes]] matrix for `seed`.
     * Cosine-similar vectors collide with probability
     * (1 - angle/pi)^nPlanes per bucket. Returns an int in
-    * [0, 2^nPlanes). Single fused codegen pass over the plane matrix. */
-  def srpBucket(v: Column, planes: Seq[Seq[Double]]): Column =
-    GraftSql.column(VecSrpSignature(GraftSql.expression(v), planes))
+    * [0, 2^nPlanes). Single fused codegen pass over the plane matrix;
+    * only the three generator scalars ride the plan (see
+    * VecSrpSignature). */
+  def srpBucket(v: Column, nPlanes: Int, dim: Int, seed: Long): Column =
+    GraftSql.column(VecSrpSignature(GraftSql.expression(v), nPlanes, dim, seed))
 
   /** All bucket ids within Hamming distance 1 of the base bucket
     * (multiprobe LSH): the bucket itself plus each single-bit flip. */

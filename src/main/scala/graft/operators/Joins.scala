@@ -150,9 +150,13 @@ object Joins {
                     probeKey: String, buildKey: String,
                     expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bloom = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    // torrent-broadcast the bitmap: tasks carry a stub, executors
+    // fetch the ~1 MB filter once (embedding it in the expression
+    // shipped it in EVERY task binary — the r11 bench-tail warning)
+    val bloomBc = probe.sparkSession.sparkContext.broadcast(bloom)
     val pre = probe.filter(org.apache.spark.sql.GraftSql.column(
       graft.functions.BloomMightContain(
-        org.apache.spark.sql.GraftSql.expression(col(probeKey)), bloom)))
+        org.apache.spark.sql.GraftSql.expression(col(probeKey)), bloomBc)))
     // alias the build key to an internal name so probeKey == buildKey
     // (the common fact⋈dimension call) doesn't make the join condition
     // ambiguous between the two sides

@@ -32,9 +32,8 @@ object Similarity {
   val ExactAllPairsMaxRows = 20000L
   val NumQueryVecs = 10
   val Bits = 8              // SRP bits per hash table
-  val NumTables = 16        // independent hash tables
-  private lazy val planes: IndexedSeq[Seq[Seq[Double]]] =
-    IndexedSeq.tabulate(NumTables)(t => hyperplanes(Bits, 64, seed = 42L + t))
+  val NumTables = 16        // independent hash tables (plane matrices
+                            // regenerate from seed 42+t on executors)
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -220,7 +219,7 @@ object Similarity {
     * plus every Hamming-1 neighbor per table when `probe` is set. */
   private def lshKeyArray(v: org.apache.spark.sql.Column, probe: Boolean) = {
     val keys = (0 until NumTables).flatMap { t =>
-      val sig = srpBucket(v, planes(t))
+      val sig = srpBucket(v, Bits, 64, seed = 42L + t)
       val exact = Seq(lit(t * 1024) + sig)
       val flips = if (probe)
         (0 until Bits).map(bit => lit(t * 1024) + sig.bitwiseXOR(lit(1 << bit)))
