@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
 object ScaledData {
   val IdStride = 10000000L
 
+  /** `perturbEmbeddings = true` (MakeScaledData / the sf1 bench input)
+    * nudges each embedding copy so no byte-identical vector groups
+    * exist — the realistic corpus shape. ScaleSmoke keeps it FALSE:
+    * its embeddingNearDups rows deliberately measure the
+    * identical-collapse path, for which the replicated identical
+    * groups are the point. */
   def build(spark: SparkSession, baseDir: String, outDir: String,
-            factor: Int): Unit = {
+            factor: Int, perturbEmbeddings: Boolean = false): Unit = {
     def replicate(table: String, idCols: Seq[String]): Unit = {
       val base = spark.read.parquet(s"$baseDir/$table.parquet")
       val copies = (0 until factor).map { k =>
@@ -25,7 +31,25 @@ object ScaledData {
       copies.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }
     replicate("documents", Seq("doc_id"))
-    replicate("embeddings", Seq("vec_id"))
+    // embeddings: id-shift, optionally with a per-copy deterministic
+    // perturbation (copy k nudges dimension k mod 64 by k·1e-3) —
+    // plain replication plants thousands of byte-identical vector
+    // groups, a corpus shape real sf1 data never has (and one the
+    // LSH-completeness gate's identical-groups precondition loudly
+    // refuses, by design)
+    if (perturbEmbeddings) {
+      val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val copies = (0 until factor).map { k =>
+        base
+          .withColumn("vec_id", col("vec_id") + lit(k * IdStride))
+          .withColumn("embedding",
+            if (k == 0) col("embedding")
+            else transform(col("embedding"),
+              (x, i) => when(i === lit(k % 64), x + lit(k * 1e-3f))
+                .otherwise(x)))
+      }.reduce(_ unionByName _)
+      copies.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    } else replicate("embeddings", Seq("vec_id"))
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("events", Seq("event_id", "user_id"))
@@ -47,7 +71,8 @@ object MakeScaledData {
     val (baseDir, outDir, factor) = (args(0), args(1), args(2).toInt)
     val spark = Sessions.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     try {
-      ScaledData.build(spark, baseDir, outDir, factor)
+      ScaledData.build(spark, baseDir, outDir, factor,
+        perturbEmbeddings = true)
       println(s"[scaled] ${factor}x of $baseDir at $outDir: " +
         s"${spark.read.parquet(s"$outDir/lineitem.parquet").count()} lineitems")
     } finally spark.stop()

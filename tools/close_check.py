@@ -61,14 +61,26 @@ if len(sys.argv) > 1:
         else:
             print(f"PASS {label}: exact set match with the {len(reg)}-gate registry")
 
-# 3. bench exclusions exist
+# 3. bench exclusions exist. The Set literal is extracted by PAREN
+#    MATCHING, not a non-greedy regex: a `)` ending a comment line
+#    inside the set silently truncated the old regex capture (r11
+#    found it validating only 15 of 18 entries).
 bsrc = open(BENCH).read()
-m = re.search(r"notQueries = Set\((.*?)\)\n", bsrc, re.S)
-if not m:
+start = bsrc.find("notQueries = Set(")
+if start < 0:
     print("FAIL bench-exclusions: notQueries set not found")
     fail = 1
 else:
-    excl = set(re.findall(r'"(q_[a-z0-9_]+)"', m.group(1)))
+    j = bsrc.index("(", start)
+    depth, k = 0, j
+    for k in range(j, len(bsrc)):
+        if bsrc[k] == "(":
+            depth += 1
+        elif bsrc[k] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+    excl = set(re.findall(r'"(q_[a-z0-9_]+)"', bsrc[j:k]))
     ghosts = excl - set(counts)
     if ghosts:
         print(f"FAIL bench-exclusions: not in registry: {sorted(ghosts)}")
