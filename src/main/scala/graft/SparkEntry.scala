@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Attribution, Dedup, Joins, Multimodal, Relational, SetSimJoin, Similarity, Stats, Survival, TemporalJoins, TextAnalysis, Windows}
+import graft.operators.{Agreement, Attribution, Dedup, Joins, Multimodal, Relational, SetSimJoin, Similarity, Stats, Survival, TemporalJoins, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1219,6 +1219,14 @@ object SparkEntry {
       rows.toDF("tbl", "n_rows", "n_snapshots")
         .orderBy(org.apache.spark.sql.functions.col("tbl"))
     }),
+    // r11 agreement/reliability kit: every statistic is one or two
+    // map-side-combined moment passes over exact-integer inputs
+    "q_bartlett"         -> ((s, d) => Agreement.bartlettTest(s, d)),
+    "q_mood_median"      -> ((s, d) => Agreement.moodMedianTest(s, d)),
+    "q_cochran_q"        -> ((s, d) => Agreement.cochranQ(s, d)),
+    "q_kendall_w"        -> ((s, d) => Agreement.kendallW(s, d)),
+    "q_cronbach_alpha"   -> ((s, d) => Agreement.cronbachAlpha(s, d)),
+    "q_icc"              -> ((s, d) => Agreement.iccOneWay(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -11014,5 +11022,143 @@ object SparkEntry {
         |  floor(greatest(0.0, (q_raw - (k - 1))/q_raw)
         |    *10000 + 0.5 + 0.000001)/10000 AS i2
         |FROM q""".stripMargin,
+    "q_bartlett" ->
+      """WITH o AS (SELECT n_regionkey AS g,
+        |    CAST(floor(o_totalprice/1000) AS DOUBLE) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey),
+        |g AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS sv,
+        |    SUM(v*v) AS svv FROM o GROUP BY 1),
+        |s AS (SELECT n, (svv - sv*sv/n)/(n-1) AS s2 FROM g),
+        |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(n) AS nn,
+        |    SUM((n-1)*ln(s2)) AS sls, SUM((n-1)*s2) AS ssp,
+        |    SUM(1.0/(n-1)) AS sinv FROM s)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |  floor(((nn-k)*ln(ssp/(nn-k)) - sls)
+        |    / (1.0 + (sinv - 1.0/(nn-k))/(3.0*(k-1)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS chi2_stat,
+        |  floor((1.0 + (sinv - 1.0/(nn-k))/(3.0*(k-1)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS c_factor
+        |FROM t""".stripMargin,
+    "q_mood_median" ->
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice/100) AS BIGINT) AS v FROM orders),
+        |cells AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM o GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |    SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cc,
+        |    SUM(c) OVER () AS nn
+        |  FROM cells),
+        |med AS (SELECT MIN(CASE WHEN cc >= floor((nn+1)/2.0) THEN v END)
+        |    AS med FROM cum),
+        |tab AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS ng,
+        |    CAST(SUM(CASE WHEN v > med THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS a,
+        |    MAX(med) AS med
+        |  FROM o, med GROUP BY 1),
+        |tot AS (SELECT SUM(ng) AS nn, SUM(a) AS aa,
+        |    CAST(COUNT(*) AS DOUBLE) AS k FROM tab)
+        |SELECT CAST(MAX(nn) AS BIGINT) AS n, MAX(tab.med) AS median,
+        |  CAST(MAX(k) - 1 AS BIGINT) AS df,
+        |  floor(SUM((a - ng*aa/nn)*(a - ng*aa/nn)/(ng*aa/nn)
+        |    + ((ng-a) - ng*(nn-aa)/nn)*((ng-a) - ng*(nn-aa)/nn)
+        |      /(ng*(nn-aa)/nn))
+        |    *10000 + 0.5 + 0.000001)/10000 AS chi2_stat
+        |FROM tab, tot""".stripMargin,
+    "q_cochran_q" ->
+      """WITH f AS (SELECT o_custkey,
+        |    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END) AS t1,
+        |    MAX(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+        |      AS t2,
+        |    MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS t3
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT t1, t2, t3, t1+t2+t3 AS r FROM f),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+        |    CAST(SUM(t1) AS BIGINT) AS c1, CAST(SUM(t2) AS BIGINT) AS c2,
+        |    CAST(SUM(t3) AS BIGINT) AS c3,
+        |    CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(r*r) AS BIGINT) AS srr
+        |  FROM r)
+        |SELECT n_subjects, CAST(2 AS BIGINT) AS df,
+        |  c1 AS n_urgent, c2 AS n_high, c3 AS n_complete,
+        |  floor((2.0*(3.0*CAST(c1*c1 + c2*c2 + c3*c3 AS DOUBLE)
+        |    - CAST(sr*sr AS DOUBLE)))
+        |    / (3.0*CAST(sr AS DOUBLE) - CAST(srr AS DOUBLE))
+        |    *10000 + 0.5 + 0.000001)/10000 AS q_stat
+        |FROM a""".stripMargin,
+    "q_kendall_w" ->
+      """WITH cells AS (SELECT n_regionkey AS g, month(o_orderdate) AS m,
+        |    SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT g, m, row_number() OVER (PARTITION BY g
+        |    ORDER BY cents DESC, m) AS rk FROM cells),
+        |rs AS (SELECT m, CAST(SUM(rk) AS DOUBLE) AS rj
+        |  FROM rk GROUP BY 1),
+        |a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(rj) AS sr,
+        |    SUM(rj*rj) AS srr FROM rs)
+        |SELECT CAST(5 AS BIGINT) AS m_raters, CAST(n AS BIGINT) AS n_items,
+        |  floor(12.0*(srr - sr*sr/n)/(25.0*(n*n*n - n))
+        |    *10000 + 0.5 + 0.000001)/10000 AS w_stat,
+        |  floor(5.0*(n-1)*12.0*(srr - sr*sr/n)/(25.0*(n*n*n - n))
+        |    *10000 + 0.5 + 0.000001)/10000 AS chi2_stat
+        |FROM a""".stripMargin,
+    "q_cronbach_alpha" ->
+      """WITH items AS (SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+        |      ELSE 0 END) AS DOUBLE) AS x0,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1
+        |      ELSE 0 END) AS DOUBLE) AS x1,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1
+        |      ELSE 0 END) AS DOUBLE) AS x2,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS x3,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1
+        |      ELSE 0 END) AS DOUBLE) AS x4
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT *, x0+x1+x2+x3+x4 AS t FROM items),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x0) AS s0, SUM(x0*x0) AS ss0,
+        |    SUM(x1) AS s1, SUM(x1*x1) AS ss1,
+        |    SUM(x2) AS s2, SUM(x2*x2) AS ss2,
+        |    SUM(x3) AS s3, SUM(x3*x3) AS ss3,
+        |    SUM(x4) AS s4, SUM(x4*x4) AS ss4,
+        |    SUM(t) AS st, SUM(t*t) AS sst
+        |  FROM t)
+        |SELECT CAST(5 AS BIGINT) AS k_items, CAST(n AS BIGINT)
+        |    AS n_subjects,
+        |  floor(((ss0-s0*s0/n)/(n-1) + (ss1-s1*s1/n)/(n-1)
+        |    + (ss2-s2*s2/n)/(n-1) + (ss3-s3*s3/n)/(n-1)
+        |    + (ss4-s4*s4/n)/(n-1))
+        |    *10000 + 0.5 + 0.000001)/10000 AS sum_item_var,
+        |  floor((sst-st*st/n)/(n-1)*10000 + 0.5 + 0.000001)/10000
+        |    AS total_var,
+        |  floor(1.25*(1.0 - ((ss0-s0*s0/n)/(n-1) + (ss1-s1*s1/n)/(n-1)
+        |    + (ss2-s2*s2/n)/(n-1) + (ss3-s3*s3/n)/(n-1)
+        |    + (ss4-s4*s4/n)/(n-1)) / ((sst-st*st/n)/(n-1)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS alpha
+        |FROM m""".stripMargin,
+    "q_icc" ->
+      """WITH g AS (SELECT c_nationkey AS g,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(CAST(floor(c_acctbal/100) AS DOUBLE)) AS sv,
+        |    SUM(CAST(floor(c_acctbal/100) AS DOUBLE)
+        |      * CAST(floor(c_acctbal/100) AS DOUBLE)) AS svv
+        |  FROM customer GROUP BY 1),
+        |a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(n) AS nn,
+        |    SUM(sv) AS s_all, SUM(svv) AS ss_all,
+        |    SUM(sv*sv/n) AS sbn, SUM(n*n) AS snn FROM g)
+        |SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,
+        |  floor((sbn - s_all*s_all/nn)/(k-1)
+        |    *10000 + 0.5 + 0.000001)/10000 AS msb,
+        |  floor((ss_all - sbn)/(nn-k)*10000 + 0.5 + 0.000001)/10000
+        |    AS msw,
+        |  floor(((sbn - s_all*s_all/nn)/(k-1) - (ss_all - sbn)/(nn-k))
+        |    / ((sbn - s_all*s_all/nn)/(k-1)
+        |      + (((nn - snn/nn)/(k-1)) - 1)*((ss_all - sbn)/(nn-k)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS icc1
+        |FROM a""".stripMargin,
   )
 }
