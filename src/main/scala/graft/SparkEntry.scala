@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Agreement, Attribution, Dedup, Joins, Multimodal, Relational, SetSimJoin, Similarity, Stats, Survival, TemporalJoins, TextAnalysis, Windows}
+import graft.operators.{Agreement, Attribution, Dedup, Dependence, Joins, Multimodal, Relational, SetSimJoin, Similarity, Stats, Survival, TemporalJoins, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1227,6 +1227,13 @@ object SparkEntry {
     "q_kendall_w"        -> ((s, d) => Agreement.kendallW(s, d)),
     "q_cronbach_alpha"   -> ((s, d) => Agreement.cronbachAlpha(s, d)),
     "q_icc"              -> ((s, d) => Agreement.iccOneWay(s, d)),
+    // r11 dependence/trend-structure kit: calendar-collapsed series,
+    // pair walks are days²-bounded (the siegelSlope contract)
+    "q_lomb_scargle"     -> ((s, d) => Dependence.lombScargle(s, d)),
+    "q_cross_spectrum"   -> ((s, d) => Dependence.crossSpectrum(s, d)),
+    "q_piecewise_trend"  -> ((s, d) => Dependence.piecewiseTrend(s, d)),
+    "q_distance_corr"    -> ((s, d) => Dependence.distanceCorr(s, d)),
+    "q_copula_fit"       -> ((s, d) => Dependence.copulaFit(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -11160,5 +11167,183 @@ object SparkEntry {
         |      + (((nn - snn/nn)/(k-1)) - 1)*((ss_all - sbn)/(nn-k)))
         |    *10000 + 0.5 + 0.000001)/10000 AS icc1
         |FROM a""".stripMargin,
+    "q_lomb_scargle" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS y
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |base AS (SELECT MIN(d) AS d0,
+        |    floor(AVG(y)*10000 + 0.5 + 0.000001)/10000 AS mu,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |t AS (SELECT y, date_diff('day', d0, d) AS t, mu, n_days
+        |  FROM daily, base),
+        |per AS (SELECT unnest(generate_series(2, 60)) AS p),
+        |wp AS (SELECT p, y, mu, n_days,
+        |    floor(cos(2*pi()*(t % p)/p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS ct,
+        |    floor(sin(2*pi()*(t % p)/p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS st,
+        |    floor(cos(2*pi()*((2*t) % p)/p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS c2,
+        |    floor(sin(2*pi()*((2*t) % p)/p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS s2
+        |  FROM t CROSS JOIN per),
+        |tau AS (SELECT p,
+        |    floor(atan2(SUM(s2), SUM(c2))/2.0*1000000 + 0.5
+        |      + 0.000001)/1000000 AS a
+        |  FROM wp GROUP BY 1),
+        |tau2 AS (SELECT p,
+        |    floor(cos(a)*1000000 + 0.5 + 0.000001)/1000000 AS ctau,
+        |    floor(sin(a)*1000000 + 0.5 + 0.000001)/1000000 AS stau
+        |  FROM tau),
+        |proj AS (SELECT wp.p AS p, (y - mu) AS yc, n_days,
+        |    (ct*ctau + st*stau) AS cc, (st*ctau - ct*stau) AS ss
+        |  FROM wp JOIN tau2 ON wp.p = tau2.p),
+        |agg AS (SELECT p, MAX(n_days) AS n_days,
+        |    SUM(yc*cc) AS yc_c, SUM(yc*ss) AS yc_s,
+        |    SUM(cc*cc) AS cd, SUM(ss*ss) AS sd
+        |  FROM proj GROUP BY 1)
+        |SELECT CAST(p AS BIGINT) AS period, n_days,
+        |  floor(0.5*(CASE WHEN cd > 0 THEN yc_c*yc_c/cd ELSE 0.0 END
+        |    + CASE WHEN sd > 0 THEN yc_s*yc_s/sd ELSE 0.0 END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS power
+        |FROM agg ORDER BY power DESC, period LIMIT 5""".stripMargin,
+    "q_cross_spectrum" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS x,
+        |    COUNT(*)/1000.0 AS y
+        |  FROM orders GROUP BY 1),
+        |b0 AS (SELECT MIN(d) AS d0 FROM daily),
+        |t0 AS (SELECT x, y, CAST(date_diff('day', d0, d) AS DOUBLE)
+        |    AS t FROM daily, b0),
+        |base AS (SELECT
+        |    floor(AVG(x)*10000 + 0.5 + 0.000001)/10000 AS mux,
+        |    floor(AVG(y)*10000 + 0.5 + 0.000001)/10000 AS muy
+        |  FROM t0),
+        |per AS (SELECT unnest([7, 14, 30, 60, 90]) AS p),
+        |wp AS (SELECT p, x, y, mux, muy,
+        |    floor(cos(2*pi()*(t % p)/p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS ct,
+        |    floor(sin(2*pi()*(t % p)/p)*1000000 + 0.5
+        |      + 0.000001)/1000000 AS st
+        |  FROM t0 CROSS JOIN per, base),
+        |agg AS (SELECT p,
+        |    SUM((x - mux)*ct) AS ax, SUM((x - mux)*st) AS bx,
+        |    SUM((y - muy)*ct) AS ay, SUM((y - muy)*st) AS by
+        |  FROM wp GROUP BY 1)
+        |SELECT CAST(p AS BIGINT) AS period,
+        |  floor((ax*ay + bx*by)*10000 + 0.5 + 0.000001)/10000
+        |    AS co_spectrum,
+        |  floor((bx*ay - ax*by)*10000 + 0.5 + 0.000001)/10000
+        |    AS quadrature,
+        |  floor(sqrt((ax*ay + bx*by)*(ax*ay + bx*by)
+        |    + (bx*ay - ax*by)*(bx*ay - ax*by))
+        |    *10000 + 0.5 + 0.000001)/10000 AS amplitude,
+        |  floor(atan2(bx*ay - ax*by, ax*ay + bx*by)
+        |    *10000 + 0.5 + 0.000001)/10000 AS phase
+        |FROM agg ORDER BY period""".stripMargin,
+    "q_piecewise_trend" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT MIN(d) AS d0,
+        |    floor(date_diff('day', MIN(d), MAX(d))/2.0) AS knot
+        |  FROM daily),
+        |t AS (SELECT y, CAST(date_diff('day', d0, d) AS DOUBLE) AS t,
+        |    knot,
+        |    greatest(0.0, CAST(date_diff('day', d0, d) AS DOUBLE)
+        |      - knot) AS x2
+        |  FROM daily, base),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(MAX(knot) AS DOUBLE) AS knot,
+        |    SUM(t) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+        |    SUM(t*t) AS s11, SUM(t*x2) AS s12, SUM(x2*x2) AS s22,
+        |    SUM(t*y) AS s1y, SUM(x2*y) AS s2y, SUM(y*y) AS syy
+        |  FROM t),
+        |c AS (SELECT n, knot, s1, s2, sy,
+        |    s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12,
+        |    s22 - s2*s2/n AS c22, s1y - s1*sy/n AS c1y,
+        |    s2y - s2*sy/n AS c2y, syy - sy*sy/n AS cyy
+        |  FROM m),
+        |b AS (SELECT n, knot, sy, s1, s2, c1y, c2y, cyy,
+        |    (c1y*c22 - c2y*c12)/(c11*c22 - c12*c12) AS b1,
+        |    (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS b2
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_days, CAST(knot AS BIGINT)
+        |    AS knot,
+        |  floor((sy - b1*s1 - b2*s2)/n*10000 + 0.5 + 0.000001)/10000
+        |    AS b0,
+        |  floor(b1*10000 + 0.5 + 0.000001)/10000 AS slope_pre,
+        |  floor((b1 + b2)*10000 + 0.5 + 0.000001)/10000 AS slope_post,
+        |  floor(b2*10000 + 0.5 + 0.000001)/10000 AS slope_change,
+        |  floor((1.0 - (cyy - b1*c1y - b2*c2y)/cyy)
+        |    *10000 + 0.5 + 0.000001)/10000 AS r2
+        |FROM b""".stripMargin,
+    "q_distance_corr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS x,
+        |    COUNT(*)/1000.0 AS y
+        |  FROM orders GROUP BY 1),
+        |b0 AS (SELECT MIN(d) AS d0 FROM daily),
+        |t0 AS (SELECT x, y, CAST(date_diff('day', d0, d) AS DOUBLE)
+        |    AS t FROM daily, b0),
+        |pairs AS (SELECT a.t AS ti, abs(a.x - b.x) AS ad,
+        |    abs(a.y - b.y) AS bd
+        |  FROM t0 a JOIN t0 b ON a.t <> b.t),
+        |rows_ AS (SELECT ti, SUM(ad) AS ra, SUM(bd) AS rb,
+        |    SUM(ad*bd) AS sab, SUM(ad*ad) AS saa, SUM(bd*bd) AS sbb
+        |  FROM pairs GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(ra) AS ta, SUM(rb) AS tb, SUM(sab) AS sab,
+        |    SUM(saa) AS saa, SUM(sbb) AS sbb,
+        |    SUM(ra*rb) AS rab, SUM(ra*ra) AS raa, SUM(rb*rb) AS rbb
+        |  FROM rows_),
+        |d2 AS (SELECT n,
+        |    (sab - 2.0/n*rab + ta*tb/(n*n))/(n*n) AS dcov2,
+        |    (saa - 2.0/n*raa + ta*ta/(n*n))/(n*n) AS dvx2,
+        |    (sbb - 2.0/n*rbb + tb*tb/(n*n))/(n*n) AS dvy2
+        |  FROM g)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  floor(sqrt(greatest(dcov2, 0.0))*10000 + 0.5
+        |    + 0.000001)/10000 AS dcov,
+        |  floor(sqrt(dvx2)*10000 + 0.5 + 0.000001)/10000 AS dvar_x,
+        |  floor(sqrt(dvy2)*10000 + 0.5 + 0.000001)/10000 AS dvar_y,
+        |  floor(sqrt(greatest(dcov2, 0.0)/sqrt(dvx2*dvy2))
+        |    *10000 + 0.5 + 0.000001)/10000 AS dcor
+        |FROM d2""".stripMargin,
+    "q_copula_fit" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS x,
+        |    COUNT(*)/1000.0 AS y
+        |  FROM orders GROUP BY 1),
+        |b0 AS (SELECT MIN(d) AS d0 FROM daily),
+        |t0 AS (SELECT x, y, CAST(date_diff('day', d0, d) AS DOUBLE)
+        |    AS t FROM daily, b0),
+        |pairs AS (SELECT (a.x - b.x)*(a.y - b.y) AS prod
+        |  FROM t0 a JOIN t0 b ON a.t < b.t),
+        |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS npairs,
+        |    CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS nc,
+        |    CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS nd
+        |  FROM pairs),
+        |k AS (SELECT npairs, (nc - nd)/npairs AS tau FROM c)
+        |SELECT CAST(npairs AS BIGINT) AS n_pairs,
+        |  floor(tau*10000 + 0.5 + 0.000001)/10000 AS tau,
+        |  floor(2.0*tau/(1.0 - tau)*10000 + 0.5 + 0.000001)/10000
+        |    AS theta_clayton,
+        |  floor(1.0/(1.0 - tau)*10000 + 0.5 + 0.000001)/10000
+        |    AS theta_gumbel,
+        |  floor(CASE WHEN tau > 0
+        |      THEN pow(2.0, -1.0*(1.0 - tau)/(2.0*tau)) ELSE 0.0 END
+        |    *10000 + 0.5 + 0.000001)/10000 AS lambda_lower,
+        |  floor(CASE WHEN tau > 0 THEN 2.0 - pow(2.0, 1.0 - tau)
+        |      ELSE 0.0 END
+        |    *10000 + 0.5 + 0.000001)/10000 AS lambda_upper
+        |FROM k""".stripMargin,
   )
 }
