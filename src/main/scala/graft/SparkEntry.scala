@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Agreement, Attribution, Dedup, Dependence, Joins, Multimodal, Relational, SetSimJoin, Similarity, Stats, Survival, TemporalJoins, TextAnalysis, Windows}
+import graft.operators.{Agreement, Attribution, Dedup, Dependence, Joins, Multimodal, Panel, Relational, SetSimJoin, Similarity, Stats, Survival, TemporalJoins, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1234,6 +1234,13 @@ object SparkEntry {
     "q_piecewise_trend"  -> ((s, d) => Dependence.piecewiseTrend(s, d)),
     "q_distance_corr"    -> ((s, d) => Dependence.distanceCorr(s, d)),
     "q_copula_fit"       -> ((s, d) => Dependence.copulaFit(s, d)),
+    // r11 panel/causal/spatial kit: bounded-frame algebra after one
+    // map-side-combined fact collapse each
+    "q_synth_control"    -> ((s, d) => Panel.synthControl(s, d)),
+    "q_event_study"      -> ((s, d) => Panel.eventStudy(s, d)),
+    "q_morans_i"         -> ((s, d) => Panel.moransI(s, d)),
+    "q_fisher_exact"     -> ((s, d) => Panel.fisherExact(s, d)),
+    "q_hellinger"        -> ((s, d) => Panel.hellingerDrift(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -11345,5 +11352,174 @@ object SparkEntry {
         |      ELSE 0.0 END
         |    *10000 + 0.5 + 0.000001)/10000 AS lambda_upper
         |FROM k""".stripMargin,
+    "q_synth_control" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(CASE WHEN n_regionkey = 0 THEN o_totalprice
+        |      ELSE 0.0 END)/1000000.0*10000 + 0.5 + 0.000001)/10000
+        |      AS y0,
+        |    floor(SUM(CASE WHEN n_regionkey = 1 THEN o_totalprice
+        |      ELSE 0.0 END)/1000000.0*10000 + 0.5 + 0.000001)/10000
+        |      AS y1,
+        |    floor(SUM(CASE WHEN n_regionkey = 2 THEN o_totalprice
+        |      ELSE 0.0 END)/1000000.0*10000 + 0.5 + 0.000001)/10000
+        |      AS y2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |base AS (SELECT MIN(d) AS d0,
+        |    floor(date_diff('day', MIN(d), MAX(d))/2.0) AS knot
+        |  FROM daily),
+        |t AS (SELECT y0, y1, y2,
+        |    date_diff('day', d0, d) < knot AS pre
+        |  FROM daily, base),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(y1) AS s1, SUM(y2) AS s2, SUM(y0) AS sy,
+        |    SUM(y1*y1) AS s11, SUM(y1*y2) AS s12, SUM(y2*y2) AS s22,
+        |    SUM(y1*y0) AS s1y, SUM(y2*y0) AS s2y
+        |  FROM t WHERE pre),
+        |c AS (SELECT n, s1, s2, sy,
+        |    s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12,
+        |    s22 - s2*s2/n AS c22, s1y - s1*sy/n AS c1y,
+        |    s2y - s2*sy/n AS c2y
+        |  FROM m),
+        |b AS (SELECT n AS n_pre,
+        |    (c1y*c22 - c2y*c12)/(c11*c22 - c12*c12) AS b1,
+        |    (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS b2,
+        |    (sy - (c1y*c22 - c2y*c12)/(c11*c22 - c12*c12)*s1
+        |      - (c11*c2y - c12*c1y)/(c11*c22 - c12*c12)*s2)/n AS b0
+        |  FROM c),
+        |g AS (SELECT pre, y0 - (b0 + b1*y1 + b2*y2) AS gap,
+        |    n_pre, b0, b1, b2 FROM t, b)
+        |SELECT CAST(MAX(n_pre) AS BIGINT) AS n_pre,
+        |  CAST(SUM(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_post,
+        |  floor(MAX(b0)*10000 + 0.5 + 0.000001)/10000 AS b0,
+        |  floor(MAX(b1)*10000 + 0.5 + 0.000001)/10000 AS b1,
+        |  floor(MAX(b2)*10000 + 0.5 + 0.000001)/10000 AS b2,
+        |  floor(sqrt(SUM(CASE WHEN pre THEN gap*gap ELSE 0.0 END)
+        |    /MAX(n_pre))*10000 + 0.5 + 0.000001)/10000 AS pre_rmse,
+        |  floor(SUM(CASE WHEN NOT pre THEN gap ELSE 0.0 END)
+        |    /SUM(CASE WHEN NOT pre THEN 1 ELSE 0 END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS att
+        |FROM g""".stripMargin,
+    "q_event_study" ->
+      """WITH o AS (SELECT year(o_orderdate)*12 + month(o_orderdate)
+        |      AS mi,
+        |    c_mktsegment = 'BUILDING' AS treated,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |base AS (SELECT CAST(floor((MIN(mi) + MAX(mi))/2.0) AS INT)
+        |    AS me FROM o),
+        |cells AS (SELECT mi - me AS rel,
+        |    CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treated,
+        |    CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_control,
+        |    CAST(SUM(CASE WHEN treated THEN cents ELSE 0 END)
+        |        AS DOUBLE)
+        |      /SUM(CASE WHEN treated THEN 1 ELSE 0 END)/100.0
+        |    - CAST(SUM(CASE WHEN NOT treated THEN cents ELSE 0 END)
+        |        AS DOUBLE)
+        |      /SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END)/100.0
+        |      AS diff
+        |  FROM o, base WHERE mi - me BETWEEN -6 AND 6 GROUP BY 1),
+        |bd AS (SELECT diff AS base_diff FROM cells WHERE rel = -1)
+        |SELECT CAST(rel AS BIGINT) AS rel_month, n_treated, n_control,
+        |  floor(diff*10000 + 0.5 + 0.000001)/10000 AS diff,
+        |  floor((diff - base_diff)*10000 + 0.5 + 0.000001)/10000
+        |    AS coef
+        |FROM cells, bd ORDER BY rel_month""".stripMargin,
+    "q_morans_i" ->
+      """WITH x AS (SELECT n_nationkey AS nk, n_regionkey AS rk,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |mu AS (SELECT floor(AVG(x)*10000 + 0.5 + 0.000001)/10000
+        |    AS mu, CAST(COUNT(*) AS DOUBLE) AS n FROM x),
+        |z AS (SELECT rk, n, x - mu AS z FROM x, mu),
+        |blocks AS (SELECT rk, MAX(n) AS n,
+        |    CAST(COUNT(*) AS DOUBLE) AS nr,
+        |    SUM(z) AS sz, SUM(z*z) AS qz FROM z GROUP BY 1)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_nations,
+        |  CAST(SUM(nr*(nr-1)) AS BIGINT) AS w_sum,
+        |  floor((MAX(n)/SUM(nr*(nr-1)))*SUM(sz*sz - qz)/SUM(qz)
+        |    *10000 + 0.5 + 0.000001)/10000 AS morans_i,
+        |  floor(-1.0/(MAX(n)-1)*10000 + 0.5 + 0.000001)/10000
+        |    AS expected_i
+        |FROM blocks""".stripMargin,
+    "q_fisher_exact" ->
+      """WITH cnt AS (SELECT
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |      AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS kk,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn,
+        |    CAST(COUNT(*) AS BIGINT) AS tt
+        |  FROM orders),
+        |ks AS (SELECT a, kk, nn, tt,
+        |    unnest(generate_series(a, least(kk, nn))) AS k FROM cnt),
+        |args AS (SELECT a, kk, nn, tt,
+        |    CAST(kk + 1 AS DOUBLE) AS x1a,
+        |    CAST(k + 1 AS DOUBLE) AS x1b,
+        |    CAST(kk - k + 1 AS DOUBLE) AS x1c,
+        |    CAST(tt - kk + 1 AS DOUBLE) AS x2a,
+        |    CAST(nn - k + 1 AS DOUBLE) AS x2b,
+        |    CAST(tt - kk - nn + k + 1 AS DOUBLE) AS x2c,
+        |    CAST(tt + 1 AS DOUBLE) AS x3a,
+        |    CAST(nn + 1 AS DOUBLE) AS x3b,
+        |    CAST(tt - nn + 1 AS DOUBLE) AS x3c
+        |  FROM ks),
+        |terms AS (SELECT a, kk, nn, tt, exp(
+        |    ((x1a-0.5)*ln(x1a) - x1a + 0.5*ln(2*pi())
+        |      + 1.0/(12.0*x1a) - 1.0/(360.0*x1a*x1a*x1a))
+        |  - ((x1b-0.5)*ln(x1b) - x1b + 0.5*ln(2*pi())
+        |      + 1.0/(12.0*x1b) - 1.0/(360.0*x1b*x1b*x1b))
+        |  - ((x1c-0.5)*ln(x1c) - x1c + 0.5*ln(2*pi())
+        |      + 1.0/(12.0*x1c) - 1.0/(360.0*x1c*x1c*x1c))
+        |  + ((x2a-0.5)*ln(x2a) - x2a + 0.5*ln(2*pi())
+        |      + 1.0/(12.0*x2a) - 1.0/(360.0*x2a*x2a*x2a))
+        |  - ((x2b-0.5)*ln(x2b) - x2b + 0.5*ln(2*pi())
+        |      + 1.0/(12.0*x2b) - 1.0/(360.0*x2b*x2b*x2b))
+        |  - ((x2c-0.5)*ln(x2c) - x2c + 0.5*ln(2*pi())
+        |      + 1.0/(12.0*x2c) - 1.0/(360.0*x2c*x2c*x2c))
+        |  - ((x3a-0.5)*ln(x3a) - x3a + 0.5*ln(2*pi())
+        |      + 1.0/(12.0*x3a) - 1.0/(360.0*x3a*x3a*x3a))
+        |  + ((x3b-0.5)*ln(x3b) - x3b + 0.5*ln(2*pi())
+        |      + 1.0/(12.0*x3b) - 1.0/(360.0*x3b*x3b*x3b))
+        |  + ((x3c-0.5)*ln(x3c) - x3c + 0.5*ln(2*pi())
+        |      + 1.0/(12.0*x3c) - 1.0/(360.0*x3c*x3c*x3c))
+        |  ) AS p_k FROM args),
+        |agg AS (SELECT a, kk, nn, tt, SUM(p_k) AS p
+        |  FROM terms GROUP BY 1, 2, 3, 4)
+        |SELECT a AS n_11, kk AS row1, nn AS col1, tt AS total,
+        |  floor(CAST(a*(tt - kk - nn + a) AS DOUBLE)
+        |    /CAST((kk - a)*(nn - a) AS DOUBLE)
+        |    *10000 + 0.5 + 0.000001)/10000 AS odds_ratio,
+        |  floor(p*10000 + 0.5 + 0.000001)/10000 AS p_one_sided
+        |FROM agg""".stripMargin,
+    "q_hellinger" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice/10000) AS BIGINT)
+        |      AS b,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS cq
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW') GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cp) AS DOUBLE) AS np,
+        |    CAST(SUM(cq) AS DOUBLE) AS nq FROM b),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    SUM(sqrt(cp/np*(cq/nq))) AS bc FROM b, tot)
+        |SELECT n_buckets,
+        |  floor(bc*10000 + 0.5 + 0.000001)/10000 AS bc_coef,
+        |  floor(sqrt(1.0 - least(bc, 1.0))*10000 + 0.5
+        |    + 0.000001)/10000 AS hellinger,
+        |  floor(-1.0*ln(bc)*10000 + 0.5 + 0.000001)/10000
+        |    AS bhattacharyya
+        |FROM s""".stripMargin,
   )
 }
