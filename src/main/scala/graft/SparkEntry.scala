@@ -1241,6 +1241,13 @@ object SparkEntry {
     "q_morans_i"         -> ((s, d) => Panel.moransI(s, d)),
     "q_fisher_exact"     -> ((s, d) => Panel.fisherExact(s, d)),
     "q_hellinger"        -> ((s, d) => Panel.hellingerDrift(s, d)),
+    // r11 engine-surface batch: recursive SQL (UnionLoop), the map
+    // HOF surface, the hashing-trick featurizer, BFS eccentricity
+    "q_recursive_cte"    -> ((s, d) => Relational.recursiveIndex(s, d)),
+    "q_map_funcs"        -> (graft.functions.ScalarSuites.mapFuncs _),
+    "q_feature_hash"     -> ((s, d) => TextAnalysis.featureHash(s, d)),
+    "q_eccentricity"     -> ((s, d) =>
+      graft.operators.Graph.eccentricity(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -11521,5 +11528,65 @@ object SparkEntry {
         |  floor(-1.0*ln(bc)*10000 + 0.5 + 0.000001)/10000
         |    AS bhattacharyya
         |FROM s""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE quarterly AS (SELECT
+        |    year(o_orderdate)*4 + quarter(o_orderdate) AS mi,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT dense_rank() OVER (ORDER BY mi) - 1 AS rn, rev
+        |  FROM quarterly),
+        |idx(rn, rev, level) AS (
+        |  SELECT rn, rev, CAST(100.0 AS DOUBLE) FROM m WHERE rn = 0
+        |  UNION ALL
+        |  SELECT m.rn, m.rev,
+        |    CAST(floor(i.level*m.rev/i.rev*1000000 + 0.5
+        |      + 0.000001)/1000000 AS DOUBLE)
+        |  FROM idx i JOIN m ON m.rn = i.rn + 1)
+        |SELECT CAST(rn AS BIGINT) AS quarter_index, rev,
+        |  floor(level*10000 + 0.5 + 0.000001)/10000 AS chained_index
+        |FROM idx ORDER BY quarter_index""".stripMargin,
+    "q_map_funcs" ->
+      """WITH cells AS (SELECT n_regionkey AS rk, o_orderpriority AS p,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT rk, CAST(SUM(cnt) AS BIGINT) AS total
+        |  FROM cells GROUP BY 1)
+        |SELECT CAST(c.rk AS BIGINT) AS region_key,
+        |  CAST(COUNT(*) AS BIGINT) AS n_prios,
+        |  string_agg(c.p, ',' ORDER BY c.p) AS keys_str,
+        |  MAX(t.total) AS total_orders,
+        |  CAST(SUM(c.cnt*2) AS BIGINT) AS doubled_total,
+        |  COALESCE(string_agg(CASE WHEN c.cnt*5 >= t.total THEN c.p
+        |    END, ',' ORDER BY c.p), '') AS big_keys
+        |FROM cells c JOIN tot t ON c.rk = t.rk
+        |GROUP BY c.rk ORDER BY region_key""".stripMargin,
+    "q_feature_hash" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id < 30),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok),
+        |f AS (SELECT doc_id, h % 64 AS bucket,
+        |    ((h >> 6) & 1)*2 - 1 AS sign FROM h)
+        |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS feat
+        |FROM f GROUP BY 1, 2 HAVING SUM(sign) <> 0""".stripMargin,
+    "q_eccentricity" ->
+      """WITH RECURSIVE
+        |cs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a, b FROM cs UNION ALL SELECT b, a FROM cs),
+        |walk(seed, node, d) AS (
+        |  SELECT k*2, k*2, 0 FROM (SELECT unnest([1,2,3,4,5]) AS k)
+        |  UNION ALL
+        |  SELECT DISTINCT w.seed, e.b, w.d + 1
+        |  FROM walk w JOIN e ON e.a = w.node WHERE w.d < 4),
+        |md AS (SELECT seed, node, MIN(d) AS dist FROM walk GROUP BY 1,2)
+        |SELECT CAST(seed/2 AS BIGINT) AS seed_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(MAX(dist) AS BIGINT) AS eccentricity
+        |FROM md WHERE dist > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

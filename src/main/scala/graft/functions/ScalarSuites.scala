@@ -146,4 +146,43 @@ object ScalarSuites {
       signum(col("l_discount") - 0.05).as("disc_sign"),
       round(greatest(col("l_quantity"), col("l_tax") * 100), 4).as("g_val"),
       round(least(col("l_quantity"), col("l_tax") * 100), 4).as("l_val"))
+
+  /** Map-function suite: per region, a priority→order-count MAP built
+    * with map_from_entries, then interrogated through the map HOF
+    * surface — map_keys, map_values + aggregate (fold), map_filter
+    * with an outer-column reference, transform_values. Output is
+    * canonicalized to sorted strings / exact longs so the oracle can
+    * recompute from the flat cells (DuckDB's map type never needs to
+    * cross the parquet boundary).
+    *
+    * Scale shape: one (region × priority)-keyed count over the fact
+    * scan (25 cells), then map algebra on a 5-row frame. collect_list
+    * order is nondeterministic, but every output is order-insensitive
+    * (sorted keys, sums of exact longs). */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("rk"), col("o_orderpriority").as("p"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = cells.groupBy(col("rk"))
+      .agg(map_from_entries(collect_list(struct(col("p"), col("cnt"))))
+        .as("m"))
+      .withColumn("total",
+        aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v))
+    m.select(
+        col("rk").cast("long").as("region_key"),
+        size(col("m")).cast("long").as("n_prios"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_str"),
+        col("total").as("total_orders"),
+        aggregate(map_values(transform_values(col("m"),
+          (_, v) => v * 2)), lit(0L), (acc, v) => acc + v)
+          .as("doubled_total"),
+        // priorities holding ≥ 20% of the region's orders — the
+        // lambda references the OUTER total column
+        concat_ws(",", array_sort(map_keys(map_filter(col("m"),
+          (_, v) => v * 5 >= col("total"))))).as("big_keys"))
+      .orderBy(col("region_key"))
+  }
 }

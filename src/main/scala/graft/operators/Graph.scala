@@ -565,23 +565,15 @@ object Graph {
       .limit(topN)
   }
 
-  /** Closeness and harmonic centrality for a fixed seed set via
-    * multi-source BFS on the undirected trade graph: exact hop
-    * distances from each seed (customers 1..5), closeness =
-    * n_reached / Σdist, harmonic = Σ 1/dist — harmonic being the
-    * variant that stays meaningful on disconnected graphs (Boldi &
-    * Vigna 2014).
-    *
-    * Scale shape: per-round state is (seed × frontier), NEVER
-    * (seed × all-pairs) — the frontier joins the edge list keyed on
-    * node id and a left-anti against the accumulated (seed, node) set
-    * dedupes revisits, so each node enters a seed's state exactly once
-    * (frontier-only BFS, same discipline as [[bfsHops]] with the seed
-    * riding along as a key). Seed count is the multiplier on state
-    * size — a deliberate parameter, not a corpus dimension. */
-  def closenessCentrality(s: SparkSession, dir: String,
-      seedCustkeys: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L),
-      maxHops: Int = 4): DataFrame = {
+  /** Shared multi-source BFS kernel over the undirected bipartite
+    * trade graph (customers at even ids, suppliers at odd): exact hop
+    * distances (seed, node, dist) from each seed customer out to
+    * maxHops. Frontier-only state with a left-anti revisit dedupe and
+    * periodic lineage cuts — the scale discipline documented at
+    * [[closenessCentrality]], which consumes this, as does
+    * [[eccentricity]]. */
+  private def seededBfsDistances(s: SparkSession, dir: String,
+      seedCustkeys: Seq[Long], maxHops: Int): DataFrame = {
     ensureCheckpointDir(s)
     val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
@@ -611,7 +603,44 @@ object Graph {
       frontier = dist.filter(col("dist") === h).select(col("seed"), col("node"))
       h += 1
     }
-    dist.filter(col("dist") > 0)
+    dist
+  }
+
+  /** Horizon-bounded eccentricity per seed: the maximum hop distance
+    * any node sits from the seed within the maxHops BFS horizon, plus
+    * the reached-set size — the per-node counterpart of a diameter
+    * lower bound (max eccentricity over seeds). Same BFS kernel and
+    * scale shape as [[closenessCentrality]]. */
+  def eccentricity(s: SparkSession, dir: String,
+      seedCustkeys: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L),
+      maxHops: Int = 4): DataFrame = {
+    seededBfsDistances(s, dir, seedCustkeys, maxHops)
+      .filter(col("dist") > 0)
+      .groupBy((col("seed") / 2).cast("long").as("seed_custkey"))
+      .agg(count(lit(1)).as("n_reached"),
+        max(col("dist")).cast("long").as("eccentricity"))
+      .orderBy(col("seed_custkey"))
+  }
+
+  /** Closeness and harmonic centrality for a fixed seed set via
+    * multi-source BFS on the undirected trade graph: exact hop
+    * distances from each seed (customers 1..5), closeness =
+    * n_reached / Σdist, harmonic = Σ 1/dist — harmonic being the
+    * variant that stays meaningful on disconnected graphs (Boldi &
+    * Vigna 2014).
+    *
+    * Scale shape: per-round state is (seed × frontier), NEVER
+    * (seed × all-pairs) — the frontier joins the edge list keyed on
+    * node id and a left-anti against the accumulated (seed, node) set
+    * dedupes revisits, so each node enters a seed's state exactly once
+    * (frontier-only BFS, same discipline as [[bfsHops]] with the seed
+    * riding along as a key). Seed count is the multiplier on state
+    * size — a deliberate parameter, not a corpus dimension. */
+  def closenessCentrality(s: SparkSession, dir: String,
+      seedCustkeys: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L),
+      maxHops: Int = 4): DataFrame = {
+    seededBfsDistances(s, dir, seedCustkeys, maxHops)
+      .filter(col("dist") > 0)
       .groupBy((col("seed") / 2).cast("long").as("seed_custkey"))
       .agg(count(lit(1)).as("n_reached"),
         sum(col("dist")).as("sum_dist"),

@@ -2808,4 +2808,55 @@ object Relational {
         round4eps(col("top") / col("tot")).as("top_share"))
       .orderBy(col("region"))
   }
+
+  /** Chained quarterly index via a RECURSIVE CTE (Spark 4's UnionLoop):
+    * index₀ = 100, indexₘ = q6(indexₘ₋₁ · revₘ / revₘ₋₁) — the
+    * per-step 1e-6 quantization makes the chain genuinely
+    * path-dependent (a closed-form 100·revₘ/rev₀ would NOT reproduce
+    * it), so the recursion is semantically necessary, not syntax
+    * demonstration: this is exactly how a chain-linked price index
+    * (Laspeyres-style) is defined. Exercises the engine's recursive
+    * SQL surface end-to-end (analyzer ResolveWithCTE → UnionLoop
+    * execution) against DuckDB's recursive CTE.
+    *
+    * Scale shape: ONE fact-scan aggregation to the ~28-row quarterly
+    * frame, MATERIALIZED to a local relation before the recursion
+    * (UnionLoop re-executes the seed plan every iteration — leaving
+    * the fact aggregation inside the view would rescan the corpus
+    * once per step). The remaining cost is the engine's fixed
+    * ~0.3 s/iteration UnionLoop scheduling overhead, which is why the
+    * chain is QUARTERLY (28 steps), not monthly (84): recursion depth,
+    * not data volume, prices this operator — at 100× the data the
+    * step count is identical. The collect is calendar-bounded
+    * (quarters, loud require). */
+  def recursiveIndex(s: SparkSession, dir: String): DataFrame = {
+    val quarterly = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
+        .as("mi"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+    // 0-based quarter ordinal; the rank window runs over the ~28-row
+    // calendar frame, never the fact table
+    val rows = quarterly.select(
+        (dense_rank().over(Window.orderBy(col("mi"))) - 1).as("rn"),
+        col("rev"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    require(rows.length <= 500,
+      s"recursiveIndex: calendar-bounded quarter frame expected, " +
+        s"got ${rows.length} quarters")
+    import s.implicits._
+    s.createDataset(rows).toDF("rn", "rev")
+      .createOrReplaceTempView("graft_rcte_months")
+    s.sql("""
+      WITH RECURSIVE idx(rn, rev, level) AS (
+        SELECT rn, rev, CAST(100.0 AS DOUBLE)
+        FROM graft_rcte_months WHERE rn = 0
+        UNION ALL
+        SELECT m.rn, m.rev,
+          CAST(floor(i.level * m.rev / i.rev * 1000000 + 0.5
+            + 0.000001) / 1000000 AS DOUBLE)
+        FROM idx i JOIN graft_rcte_months m ON m.rn = i.rn + 1)
+      SELECT CAST(rn AS BIGINT) AS quarter_index, rev,
+        floor(level * 10000 + 0.5 + 0.000001) / 10000 AS chained_index
+      FROM idx ORDER BY quarter_index""")
+  }
 }

@@ -1719,4 +1719,32 @@ object TextAnalysis {
       round4eps((col("sp") / col("ni") - col("pe")) /
         (lit(1.0) - col("pe"))).as("kappa"))
   }
+
+  /** The hashing trick: tokens folded into a fixed 64-bucket signed
+    * feature vector per document — bucket from the low 6 bits of the
+    * shared md5-prefix hash, sign from bit 6, feature = Σsign (the
+    * Weinberger et al. signed feature hash, the fixed-width
+    * featurizer a training pipeline uses when the vocabulary is
+    * unbounded). Gate output restricted to doc_id < 30 to bound the
+    * dump; the featurizer itself is corpus-wide.
+    *
+    * Scale shape: one token explode + one (doc, bucket)-keyed count
+    * aggregation, fully map-side combined; the doc filter pushes to
+    * the parquet scan. Zero-feature buckets are dropped (sparse
+    * representation), exactly what a 100 TB featurizer must emit. */
+  def featureHash(s: SparkSession, dir: String,
+      nBuckets: Int = 64, maxDoc: Long = 30): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .filter(col("doc_id") < maxDoc)
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+    val h = conv(substring(md5(col("token")), 1, 15), 16, 10)
+      .cast("long")
+    tok.select(col("doc_id"),
+        (h % nBuckets).as("bucket"),
+        (shiftright(h, 6) % 2 * 2 - 1).as("sign"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("feat"))
+      .filter(col("feat") =!= 0)
+  }
 }
