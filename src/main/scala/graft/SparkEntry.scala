@@ -1248,6 +1248,11 @@ object SparkEntry {
     "q_feature_hash"     -> ((s, d) => TextAnalysis.featureHash(s, d)),
     "q_eccentricity"     -> ((s, d) =>
       graft.operators.Graph.eccentricity(s, d)),
+    // r11 real-audio path: JDK WAV codec (javax.sound.sampled) over
+    // genuine RIFF/WAVE fixture bytes; oracle replays the documented
+    // sample generator — a wrong decode hash-fails
+    "q_audio_decode"     -> ((s, d) => Multimodal.decodeAudioStats(s, d)),
+    "q_audio_resample"   -> ((s, d) => Multimodal.resampleDecodedWav(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -11588,5 +11593,49 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_reached,
         |  CAST(MAX(dist) AS BIGINT) AS eccentricity
         |FROM md WHERE dist > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_audio_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 50 + 30 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |i AS (SELECT media_id, n,
+        |    unnest(generate_series(0, n - 1)) AS i FROM m),
+        |s AS (SELECT media_id, n, i,
+        |    (media_id*1009 + i*617) % 65536 - 32768 AS v FROM i),
+        |l AS (SELECT media_id, n, i, v,
+        |    lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT media_id, MAX(n) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND v*pv < 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  floor(sqrt(SUM(CAST(v*v AS DOUBLE))/MAX(n))
+        |    *10000 + 0.5 + 0.000001)/10000 AS rms,
+        |  floor(SUM(CAST(v AS DOUBLE))/MAX(n)
+        |    *10000 + 0.5 + 0.000001)/10000 AS mean_amp
+        |FROM l GROUP BY 1""".stripMargin,
+    "q_audio_resample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 50 + 30 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |h AS (SELECT media_id,
+        |    CAST(floor((n + 1)/2.0) AS BIGINT) AS nh FROM m),
+        |i AS (SELECT media_id, nh,
+        |    unnest(generate_series(0, nh - 1)) AS j FROM h),
+        |s AS (SELECT media_id, nh, j,
+        |    (media_id*1009 + (2*j)*617) % 65536 - 32768 AS v FROM i),
+        |l AS (SELECT media_id, nh, j, v,
+        |    lag(v) OVER (PARTITION BY media_id ORDER BY j) AS pv
+        |  FROM s)
+        |SELECT media_id, MAX(nh) AS n_samples,
+        |  CAST(4000 AS BIGINT) AS sample_rate,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND v*pv < 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  floor(sqrt(SUM(CAST(v*v AS DOUBLE))/MAX(nh))
+        |    *10000 + 0.5 + 0.000001)/10000 AS rms,
+        |  floor(SUM(CAST(v AS DOUBLE))/MAX(nh)
+        |    *10000 + 0.5 + 0.000001)/10000 AS mean_amp
+        |FROM l GROUP BY 1""".stripMargin,
   )
 }

@@ -21,12 +21,22 @@ import graft.functions.Rounding.round4eps
   * so a wrong decode (channel order, row stride, premultiplication)
   * hash-fails.
   *
-  * ONLY the wav/mp4 kernels remain DETERMINISTIC STUBS (clearly
-  * marked below) — the JDK has no audio/video codec and the container
-  * ships none. They derive their output from the content bytes alone,
-  * standing in for ffmpeg calls. Everything around them — the
-  * binary+metadata schema, the `mapPartitions` batch shape (one codec
-  * init per partition, not per row), partitioning behavior, and output
+  * AUDIO DECODE IS REAL TOO: the JDK ships a WAV/PCM codec
+  * (`javax.sound.sampled.AudioSystem`), so the audio path synthesizes
+  * genuine RIFF/WAVE bytes (16-bit little-endian mono PCM, sample
+  * values a documented pure function of (media_id, i)) and runs real
+  * container parse + sample decode → amplitude statistics and a
+  * decimate → re-encode → re-decode round trip
+  * ([[wavAudioTable]]/[[decodeAudioStats]]/[[resampleDecodedWav]]).
+  * The oracle replays the sample generator in SQL, so a wrong decode
+  * (endianness, header offset, sign convention) hash-fails.
+  *
+  * ONLY the mp4 kernels remain DETERMINISTIC STUBS (clearly marked
+  * below) — the JDK has no video codec and the container ships none.
+  * They derive their output from the content bytes alone, standing in
+  * for ffmpeg calls. Everything around them — the binary+metadata
+  * schema, the `mapPartitions` batch shape (one codec init per
+  * partition, not per row), partitioning behavior, and output
   * schemas — is the real plumbing a production decode path uses, and
   * is what the tests exercise.
   *
@@ -531,5 +541,158 @@ object Multimodal {
       .select(col("ma").as("media_a"), col("mb").as("media_b"),
         col("hamming"))
       .orderBy(col("media_a"), col("media_b"))
+  }
+
+  // ---------------------------------------------------------------
+  // REAL audio path (JDK WAV codec, javax.sound.sampled — no external
+  // dependency). The fixture samples are a documented pure function
+  // of (media_id, i), so the oracle replays the GENERATOR in SQL
+  // while Spark's side goes content-bytes → real RIFF/WAVE parse →
+  // PCM samples: any decode defect (endianness, header offset, sign,
+  // frame size) breaks the hash match. All kernels are map-side after
+  // the scan — content bytes never shuffle, same as the image path.
+  // ---------------------------------------------------------------
+
+  /** The documented sample generator: signed 16-bit PCM sample i of
+    * clip `id` — ((id·1009 + i·617) mod 65536) − 32768. Coprime
+    * multipliers sweep the full int16 range with no short cycle, so
+    * RMS/peak/zero-crossing statistics vary realistically per clip. */
+  @inline private def wavSample(id: Long, i: Int): Int =
+    (((id * 1009 + i * 617) % 65536) - 32768).toInt
+
+  private val WavRate = 8000f
+
+  /** WAV-encode `samples` as 16-bit LE mono PCM at 8 kHz via the JDK
+    * codec (AudioSystem.write emits the RIFF/WAVE container). */
+  private def wavBytes(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(WavRate, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Genuine-WAV media table over the audio-kind subset (doc_id%3==1,
+    * matching [[mediaTable]]'s kind derivation): content = a REAL WAV
+    * encode of the (media_id%50 + 30)-sample generator clip. Encode is
+    * one writer per row inside mapPartitions — at 100 TB this whole
+    * table is `spark.read.parquet` of stored media; the deterministic
+    * fixture keeps the decode kernels oracle-able. */
+  def wavAudioTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (id % 50 + 30).toInt
+          (id, "audio", "wav", wavBytes(Array.tabulate(n)(wavSample(id, _))))
+        }
+      }.toDF("media_id", "kind", "format", "content")
+  }
+
+  /** REAL parse + decode: RIFF/WAVE container → 16-bit LE samples. */
+  private def decodeWav(content: Array[Byte]): (Float, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"unexpected WAV format: $fmt")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val out = new Array[Int](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+      i += 1
+    }
+    (fmt.getSampleRate, out)
+  }
+
+  /** The driver-side twin of Rounding.round4eps (identical constants)
+    * for statistics computed inside the decode kernel. */
+  @inline private def q4(v: Double): Double =
+    math.floor(v * 10000 + 0.5 + 0.000001) / 10000
+
+  private def wavStats(id: Long, rate: Float, samples: Array[Int])
+      : (Long, Long, Long, Long, Long, Double, Double) = {
+    var sumSq = 0L; var sum = 0L; var peak = 0L; var zc = 0L
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toLong
+      sumSq += v * v; sum += v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && v * samples(i - 1).toLong < 0) zc += 1
+      i += 1
+    }
+    val n = samples.length
+    (id, n.toLong, rate.toLong, peak, zc,
+      q4(math.sqrt(sumSq.toDouble / n)), q4(sum.toDouble / n))
+  }
+
+  /** REAL decode → amplitude statistics: parse each WAV payload with
+    * the JDK codec and report sample count (from the DECODED stream,
+    * not metadata), sample rate, peak amplitude, strict zero
+    * crossings, RMS and mean — proving a real container parse and
+    * sample decode ran. Integer sums are exact; the two divisions are
+    * 4dp-quantized with the round4eps twin. */
+  def decodeAudioStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavAudioTable(s, dir)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          val (rate, samples) = decodeWav(content)
+          wavStats(id, rate, samples)
+        }
+      }
+      .toDF("media_id", "n_samples", "sample_rate", "peak",
+        "zero_crossings", "rms", "mean_amp")
+  }
+
+  /** Decimate-by-2 resample through the FULL codec round trip:
+    * decode → drop every odd sample → RE-ENCODE at half rate →
+    * DECODE THE RE-ENCODED BYTES → statistics. Both codec directions
+    * run on the worker; WAV/PCM is lossless so the oracle replays the
+    * generator at even i. The audio twin of [[resizeDecodedPng]]. */
+  def resampleDecodedWav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavAudioTable(s, dir)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          val (_, samples) = decodeWav(content)
+          val half = Array.tabulate((samples.length + 1) / 2)(j =>
+            samples(2 * j))
+          val pcm = new Array[Byte](half.length * 2)
+          var i = 0
+          while (i < half.length) {
+            pcm(2 * i) = (half(i) & 0xff).toByte
+            pcm(2 * i + 1) = ((half(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(WavRate / 2,
+            16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, half.length.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val (rate2, again) = decodeWav(bos.toByteArray)
+          wavStats(id, rate2, again)
+        }
+      }
+      .toDF("media_id", "n_samples", "sample_rate", "peak",
+        "zero_crossings", "rms", "mean_amp")
   }
 }

@@ -157,6 +157,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.values.forall(h => h.contains('1') && h.contains('0')))
   }
 
+  test("wavAudioTable: content is a genuine RIFF/WAVE container") {
+    val rows = Multimodal.wavAudioTable(spark, dir)
+      .select("media_id", "content").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Array[Byte]]("content")
+      assert(new String(c.take(4), "US-ASCII") == "RIFF")
+      assert(new String(c.slice(8, 12), "US-ASCII") == "WAVE")
+      assert(r.getAs[Long]("media_id") % 3 == 1L)
+    }
+  }
+
+  test("decodeAudioStats: decoded counts match the generator contract") {
+    val rows = Multimodal.decodeAudioStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("n_samples") == id % 50 + 30)
+      assert(r.getAs[Long]("sample_rate") == 8000L)
+      val peak = r.getAs[Long]("peak")
+      assert(peak > 0L && peak <= 32768L)
+      assert(r.getAs[Double]("rms") > 0.0)
+    }
+  }
+
+  test("resampleDecodedWav: half the samples at half the rate") {
+    val full = Multimodal.decodeAudioStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_samples"))
+      .toMap
+    val half = Multimodal.resampleDecodedWav(spark, dir).collect()
+    assert(half.nonEmpty)
+    half.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("n_samples") == (full(id) + 1) / 2)
+      assert(r.getAs[Long]("sample_rate") == 4000L)
+    }
+  }
+
+  test("decodeWav path refuses non-audio bytes loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, "not a wav".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val e = intercept[org.apache.spark.SparkException] {
+      bad.as[(Long, Array[Byte])].mapPartitions { rows =>
+        rows.map { case (_, c) =>
+          javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(c))
+          1
+        }
+      }.collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("decodePng path refuses non-image bytes loudly") {
     import spark.implicits._
     val bad = Seq((1L, "not a png".getBytes("UTF-8")))
