@@ -1253,6 +1253,11 @@ object SparkEntry {
     // sample generator — a wrong decode hash-fails
     "q_audio_decode"     -> ((s, d) => Multimodal.decodeAudioStats(s, d)),
     "q_audio_resample"   -> ((s, d) => Multimodal.resampleDecodedWav(s, d)),
+    // r11: real-execution streaming top-k (append mode, drained) and
+    // the AQP hash-sample self-audit
+    "q_stream_topk"      -> ((s, d) =>
+      graft.streaming.EventStreams.windowedTopKGate(s, d)),
+    "q_aqp_revenue"      -> ((s, d) => Stats.aqpRevenue(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -11637,5 +11642,47 @@ object SparkEntry {
         |  floor(SUM(CAST(v AS DOUBLE))/MAX(nh)
         |    *10000 + 0.5 + 0.000001)/10000 AS mean_amp
         |FROM l GROUP BY 1""".stripMargin,
+    "q_stream_topk" ->
+      """WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+        |c AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT ws, event_type, n_events FROM c, mx
+        |  WHERE ws + INTERVAL 1 HOUR <= mt),
+        |r AS (SELECT ws, event_type, n_events,
+        |    CAST(row_number() OVER (PARTITION BY ws
+        |      ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+        |  FROM f)
+        |SELECT ws AS window_start, event_type, n_events, rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+    "q_aqp_revenue" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS v,
+        |    ((l_orderkey % 1000003) * 2654435761 + l_linenumber * 97)
+        |      % 100 AS h
+        |  FROM lineitem),
+        |g AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(v) AS BIGINT) AS exact_v,
+        |    CAST(SUM(CASE WHEN h < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sampled,
+        |    CAST(SUM(CASE WHEN h < 10 THEN v ELSE 0 END) AS BIGINT)
+        |      AS sv,
+        |    CAST(SUM(CASE WHEN h < 10 THEN v*v ELSE 0 END) AS BIGINT)
+        |      AS svv
+        |  FROM li GROUP BY 1)
+        |SELECT flag, n_rows, n_sampled,
+        |  floor(CAST(exact_v AS DOUBLE)/1000000.0
+        |    *10000 + 0.5 + 0.000001)/10000 AS exact_musd,
+        |  floor(CAST(sv AS DOUBLE)/0.1/1000000.0
+        |    *10000 + 0.5 + 0.000001)/10000 AS est_musd,
+        |  floor(abs(CAST(exact_v AS DOUBLE) - CAST(sv AS DOUBLE)/0.1)
+        |    /CAST(exact_v AS DOUBLE)*10000 + 0.5 + 0.000001)/10000
+        |    AS rel_err,
+        |  floor(sqrt(CAST(svv AS DOUBLE)*((1.0 - 0.1)/(0.1*0.1)))
+        |    /1000000.0*10000 + 0.5 + 0.000001)/10000 AS se_musd,
+        |  abs(CAST(exact_v AS DOUBLE) - CAST(sv AS DOUBLE)/0.1)
+        |    <= 2.0*sqrt(CAST(svv AS DOUBLE)*((1.0 - 0.1)/(0.1*0.1)))
+        |    AS covered
+        |FROM g ORDER BY flag""".stripMargin,
   )
 }

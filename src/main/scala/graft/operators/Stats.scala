@@ -4077,4 +4077,50 @@ object Stats {
         round4eps(col("level")).as("level"),
         round4eps(col("gain")).as("gain"))
   }
+
+  /** Approximate query processing self-audit: per return flag, the
+    * exact revenue total alongside its Horvitz-Thompson estimate from
+    * a deterministic 10% hash sample (inclusion decided by a
+    * replayable modular hash of the row key, so the "sample" is a
+    * stable row property, not an RNG draw), the Bernoulli-sampling
+    * variance estimate V̂ = ((1−p)/p²)·Σₛxᵢ², and whether the ±2se
+    * interval covers the truth. At 100 TB the production form scans
+    * ONLY the sample partition (a 10× scan cut for ~0.3% error on
+    * these margins); this gate computes exact and estimate in one
+    * pass to audit that trade.
+    *
+    * Scale shape: ONE conditional-moment aggregation keyed by flag
+    * (3 groups), fully map-side combined. Whole-dollar integer
+    * measures keep Σx and Σx² exact longs at any SF (cents would
+    * overflow Σx² at sf1). */
+  def aqpRevenue(s: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_extendedprice")).cast("long").as("v"),
+      (((col("l_orderkey") % 1000003L) * 2654435761L +
+        col("l_linenumber") * 97L) % 100L).as("h"))
+    val p = pct / 100.0
+    li.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v")).as("exact_v"),
+        sum(when(col("h") < pct, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("h") < pct, col("v")).otherwise(0L)).as("sv"),
+        sum(when(col("h") < pct, col("v") * col("v")).otherwise(0L))
+          .as("svv"))
+      .select(col("flag"), col("n_rows"), col("n_sampled"),
+        round4eps(col("exact_v").cast("double") / lit(1e6))
+          .as("exact_musd"),
+        round4eps(col("sv").cast("double") / lit(p) / lit(1e6))
+          .as("est_musd"),
+        round4eps(abs(col("exact_v").cast("double") -
+          col("sv").cast("double") / lit(p)) /
+          col("exact_v").cast("double")).as("rel_err"),
+        round4eps(sqrt(col("svv").cast("double") *
+          lit((1.0 - p) / (p * p))) / lit(1e6)).as("se_musd"),
+        (abs(col("exact_v").cast("double") -
+          col("sv").cast("double") / lit(p)) <=
+          lit(2.0) * sqrt(col("svv").cast("double") *
+            lit((1.0 - p) / (p * p)))).as("covered"))
+      .orderBy(col("flag"))
+  }
 }

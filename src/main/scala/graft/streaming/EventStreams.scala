@@ -306,6 +306,44 @@ object EventStreams {
       s.table(sink)
     }
 
+  /** Real-execution windowed TOP-K gate: hourly (window × type) counts
+    * aggregated ON THE STREAM in Append mode with a 0-second
+    * watermark, drained to completion (Trigger.AvailableNow), then
+    * top-k ranked per window in a BATCH pass over the closed-window
+    * sink — the "stream aggregates, batch serves" split (ranking
+    * inside the stream would force Complete mode and unbounded state).
+    *
+    * Append-mode semantics the oracle replays exactly: a window emits
+    * only once the final watermark (max event time − 0 s) passes its
+    * END, so the trailing partial hour never appears — the DuckDB twin
+    * filters `window_end <= max(ts)` for the same cut.
+    *
+    * Scale shape: streaming state = one count row per (open window ×
+    * type), watermark-bounded; the serving rank runs on the
+    * calendar-bounded closed-window table. */
+  def windowedTopKGate(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    withGatePartitions(s) {
+      val sink = s"topk_gate_${System.nanoTime()}"
+      val q = eventsReadStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000L),
+        s"stream gate $sink did not drain within 120 s") finally q.stop()
+      s.table(sink)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("window_start"))
+            .orderBy(col("n_events").desc, col("event_type"))).cast("long"))
+        .filter(col("rk") <= k)
+    }
+
   /** Output row of [[RunningProfileProcessor]]: per (user, type)
     * running event count and integer value checksum (cents — integer
     * sums are order-independent, so the gate hashes deterministically

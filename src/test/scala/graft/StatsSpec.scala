@@ -1060,4 +1060,19 @@ class StatsSpec extends AnyFunSuite {
     val revs = rows.map(_.getAs[Double]("rev"))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("aqpRevenue: HT estimate within a few se of exact, sample ~10%") {
+    val rows = Stats.aqpRevenue(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows").toDouble
+      val ns = r.getAs[Long]("n_sampled").toDouble
+      assert(ns / n > 0.05 && ns / n < 0.15) // deterministic ~10% hash sample
+      val exact = r.getAs[Double]("exact_musd")
+      val est = r.getAs[Double]("est_musd")
+      val se = r.getAs[Double]("se_musd")
+      assert(se > 0.0)
+      assert(math.abs(exact - est) < 6.0 * se) // sanity, not the 2-se gate
+    }
+  }
 }

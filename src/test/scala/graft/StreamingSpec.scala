@@ -281,4 +281,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got((1L, "purchase")) === ((1L, 999L)))
     assert(got((2L, "view")) === ((1L, -75L)))      // floor(-75.0) = -75
   }
+
+  test("windowedTopKGate: <= k per window, ranked by count desc") {
+    val rows = EventStreams.windowedTopKGate(TestSpark.spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byW = rows.groupBy(_.getAs[java.sql.Timestamp]("window_start"))
+    byW.values.foreach { ws =>
+      assert(ws.length <= 3)
+      val ranked = ws.sortBy(_.getAs[Long]("rk"))
+      assert(ranked.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to ranked.length).toSeq)
+      val counts = ranked.map(_.getAs[Long]("n_events"))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
