@@ -455,6 +455,44 @@ object ScaleSmoke {
     run("hausmanTest")(operators.Stats.hausmanTest(spark, dir))
     run("negbinFit")(operators.Inventory.negbinFit(spark, dir))
 
+    // r11 session-2 additions. Agreement kit (bartlett = one region-
+    // keyed moment pass; cochranQ = one customer-keyed flag collapse):
+    // strictly scan-linear, constant final frames. kendallW: 60 exact-
+    // cents cells. Dependence kit: lombScargle sweeps the gappy
+    // calendar ×59 (calendar-bounded); distanceCorr/copulaFit are the
+    // days² pair walks (the siegelSlope contract — replication adds
+    // rows per day, never days, so the pair frame must stay constant
+    // while the scan grows). Panel kit: synthControl/eventStudy are
+    // calendar/month collapses over the 2-way join; fisherExact's
+    // k-explode grows with the TABLE MARGINS (corpus-linear term
+    // count, each term O(1)). Engine batch: recursiveIndex is
+    // iteration-bounded (28 UnionLoop steps at any corpus);
+    // featureHash is the one genuinely token-linear row (explode +
+    // map-side-combined (doc,bucket) count); eccentricity rides the
+    // seeded-BFS kernel (disjoint replicated components → near-flat);
+    // mapFuncs is a 25-cell collapse. Audio: decodeAudioStats is
+    // map-side codec work per media row — linear, content never
+    // shuffles. streamTopK drains the scaled events file through the
+    // append-mode windowed aggregation (state = open windows × types).
+    // aqpRevenue: ONE conditional-moment pass — the 10× scan-cut
+    // self-audit must stay flat-per-row at any factor.
+    run("bartlettTest")(operators.Agreement.bartlettTest(spark, dir))
+    run("cochranQ")(operators.Agreement.cochranQ(spark, dir))
+    run("kendallW")(operators.Agreement.kendallW(spark, dir))
+    run("lombScargle")(operators.Dependence.lombScargle(spark, dir))
+    run("distanceCorr")(operators.Dependence.distanceCorr(spark, dir))
+    run("copulaFit")(operators.Dependence.copulaFit(spark, dir))
+    run("synthControl")(operators.Panel.synthControl(spark, dir))
+    run("eventStudy")(operators.Panel.eventStudy(spark, dir))
+    run("fisherExact")(operators.Panel.fisherExact(spark, dir))
+    run("recursiveIndex")(operators.Relational.recursiveIndex(spark, dir))
+    run("featureHash")(operators.TextAnalysis.featureHash(spark, dir))
+    run("eccentricity")(operators.Graph.eccentricity(spark, dir))
+    run("mapFuncs")(graft.functions.ScalarSuites.mapFuncs(spark, dir))
+    run("audioDecode")(operators.Multimodal.decodeAudioStats(spark, dir))
+    run("streamTopK")(graft.streaming.EventStreams.windowedTopKGate(spark, dir))
+    run("aqpRevenue")(operators.Stats.aqpRevenue(spark, dir))
+
     // r10: V2 mount snapshot pruning at scale (round-9 verdict demand
     // #7) — a warehouse holding the whole replicated events table
     // split across 8 commits; reading snapshot-id=1 must cost ~1/8 of
