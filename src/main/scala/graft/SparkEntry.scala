@@ -1258,6 +1258,12 @@ object SparkEntry {
     "q_stream_topk"      -> ((s, d) =>
       graft.streaming.EventStreams.windowedTopKGate(s, d)),
     "q_aqp_revenue"      -> ((s, d) => Stats.aqpRevenue(s, d)),
+    // r11 eval/text/engine extras: Brier decomposition, tokenizer
+    // fertility, null-semantics suite, embedding hubness audit
+    "q_brier_decomp"     -> ((s, d) => Stats.brierDecomp(s, d)),
+    "q_token_fertility"  -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
+    "q_null_funcs"       -> (graft.functions.ScalarSuites.nullFuncs _),
+    "q_hubness"          -> ((s, d) => Similarity.hubness(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -11684,5 +11690,86 @@ object SparkEntry {
         |    <= 2.0*sqrt(CAST(svv AS DOUBLE)*((1.0 - 0.1)/(0.1*0.1)))
         |    AS covered
         |FROM g ORDER BY flag""".stripMargin,
+    "q_brier_decomp" ->
+      """WITH li AS (SELECT CAST(round(l_discount*100) AS BIGINT) AS bin,
+        |    l_discount AS score,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lineitem),
+        |bins AS (SELECT bin, CAST(COUNT(*) AS DOUBLE) AS nb,
+        |    MAX(score) AS conf, SUM(y) AS sy,
+        |    SUM((score - y)*(score - y)) AS sq
+        |  FROM li GROUP BY 1),
+        |tot AS (SELECT SUM(nb) AS n, SUM(sy) AS sy_all,
+        |    SUM(sq) AS sq_all FROM bins)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |  floor(MAX(sq_all)/MAX(n)*10000 + 0.5 + 0.000001)/10000
+        |    AS brier,
+        |  floor(SUM(nb*(conf - sy/nb)*(conf - sy/nb))/MAX(n)
+        |    *10000 + 0.5 + 0.000001)/10000 AS reliability,
+        |  floor(SUM(nb*(sy/nb - sy_all/n)*(sy/nb - sy_all/n))/MAX(n)
+        |    *10000 + 0.5 + 0.000001)/10000 AS resolution,
+        |  floor(MAX(sy_all/n)*(1.0 - MAX(sy_all/n))
+        |    *10000 + 0.5 + 0.000001)/10000 AS uncertainty,
+        |  floor((MAX(sq_all)/MAX(n)
+        |    - (SUM(nb*(conf - sy/nb)*(conf - sy/nb))/MAX(n)
+        |      - SUM(nb*(sy/nb - sy_all/n)*(sy/nb - sy_all/n))/MAX(n)
+        |      + MAX(sy_all/n)*(1.0 - MAX(sy_all/n))))
+        |    *10000 + 0.5 + 0.000001)/10000 AS identity_gap
+        |FROM bins, tot""".stripMargin,
+    "q_token_fertility" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  floor(CAST(SUM(len(string_split(text, ' ')) + list_sum(
+        |      [CAST(floor((length(x) - 1) / 6) AS INTEGER)
+        |        for x in string_split(text, ' ')])) AS DOUBLE)
+        |    / SUM(len(string_split(text, ' ')))
+        |    *10000 + 0.5 + 0.000001)/10000 AS fertility,
+        |  floor(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+        |    / COUNT(*)*10000 + 0.5 + 0.000001)/10000 AS avg_doc_words
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT event_id,
+        |  value IS NULL AS value_missing,
+        |  COALESCE(value, -1.0) AS v_filled,
+        |  NULLIF(value, 0.0) AS v_nullif_zero,
+        |  CASE WHEN value IS NULL THEN 'missing' ELSE 'present' END
+        |    AS presence,
+        |  value IS NOT DISTINCT FROM 0.0 AS ns_eq_zero,
+        |  COALESCE(NULLIF(event_type, 'view'), 'filtered')
+        |    AS type_or_filtered
+        |FROM events""".stripMargin,
+    "q_hubness" ->
+      """WITH e AS (SELECT vec_id,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings WHERE vec_id < 2000),
+        |p AS (SELECT a.vec_id AS qa, b.vec_id AS nb,
+        |    floor(list_dot_product(a.v, b.v)
+        |      /(sqrt(list_dot_product(a.v, a.v))
+        |        *sqrt(list_dot_product(b.v, b.v)))
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |topk AS (SELECT qa, nb FROM p
+        |  QUALIFY row_number() OVER (PARTITION BY qa
+        |    ORDER BY sim DESC, nb) <= 5),
+        |ko AS (SELECT e.vec_id, COALESCE(c.c, 0) AS c FROM e
+        |  LEFT JOIN (SELECT nb, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM topk GROUP BY 1) c ON e.vec_id = c.nb),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(c) AS DOUBLE) AS s1,
+        |    CAST(SUM(c*c) AS DOUBLE) AS s2,
+        |    CAST(SUM(c*c*c) AS DOUBLE) AS s3, MAX(c) AS mx,
+        |    CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS z
+        |  FROM ko)
+        |SELECT CAST(n AS BIGINT) AS n_vectors, CAST(5 AS BIGINT) AS k,
+        |  mx AS max_kocc,
+        |  floor((s2/n - (s1/n)*(s1/n))*10000 + 0.5 + 0.000001)/10000
+        |    AS var_kocc,
+        |  floor((s3/n - 3.0*(s1/n)*(s2/n)
+        |      + 2.0*(s1/n)*(s1/n)*(s1/n))
+        |    /sqrt((s2/n - (s1/n)*(s1/n))*(s2/n - (s1/n)*(s1/n))
+        |      *(s2/n - (s1/n)*(s1/n)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS skew_kocc,
+        |  floor(z/n*10000 + 0.5 + 0.000001)/10000 AS antihub_share
+        |FROM m""".stripMargin,
   )
 }

@@ -159,6 +159,25 @@ object ScalarSuites {
     * scan (25 cells), then map algebra on a 5-row frame. collect_list
     * order is nondeterministic, but every output is order-insensitive
     * (sorted keys, sums of exact longs). */
+  /** Null-semantics suite over the nullable events columns: IS NULL,
+    * COALESCE fill, NULLIF sentinel-to-null, CASE presence, null-safe
+    * equality (`<=>` ↔ IS NOT DISTINCT FROM), and a COALESCE∘NULLIF
+    * chain — the null-handling surface every engine must get
+    * identically right (three-valued logic is where SQL ports
+    * silently diverge). Pure row-level projections, no arithmetic —
+    * values pass through exactly. */
+  def nullFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      col("value").isNull.as("value_missing"),
+      coalesce(col("value"), lit(-1.0)).as("v_filled"),
+      nullif(col("value"), lit(0.0)).as("v_nullif_zero"),
+      when(col("value").isNull, "missing").otherwise("present")
+        .as("presence"),
+      (col("value") <=> lit(0.0)).as("ns_eq_zero"),
+      coalesce(nullif(col("event_type"), lit("view")), lit("filtered"))
+        .as("type_or_filtered"))
+
   def mapFuncs(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))

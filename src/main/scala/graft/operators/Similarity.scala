@@ -1315,4 +1315,58 @@ object Similarity {
       round4eps(avg(col("ratio"))).as("avg_ratio"),
       round4eps(max(col("ratio"))).as("max_ratio"))
   }
+
+  /** Hubness audit of the embedding space (Radovanović et al. 2010):
+    * the k-occurrence distribution — how often each vector appears in
+    * OTHER vectors' cosine top-k — summarized by its variance,
+    * skewness, max, and the antihub share (k-occurrence 0). High
+    * positive skew means a few "hub" vectors dominate everyone's
+    * neighbor lists, which silently corrupts kNN dedup/retrieval
+    * quality — the go/no-go audit before trusting any ANN stage.
+    *
+    * Scale shape: the k-occurrence graph is audited on a FIXED
+    * 2000-vector panel (the standard practice — hubness is a property
+    * of the space, sampled, not of every row), so the pair frame is a
+    * bounded 4M constant at any corpus size; similarities are
+    * 1e-6-quantized before ranking with a vec_id tie-break (the
+    * matryoshka determinism discipline), and the final skew/variance
+    * come from exact integer count moments. */
+  def hubness(s: SparkSession, dir: String, k: Int = 5,
+      maxId: Long = 2000): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val e = corpus(s, dir).filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"))
+      .persistMemDisk
+    val pairs = e.select(col("vec_id").as("qa"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("nb"), col("embedding").as("vb")),
+        col("qa") =!= col("nb"))
+      .select(col("qa"), col("nb"),
+        q6(cosine(col("va"), col("vb"))).as("sim"))
+    val topk = pairs
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qa"))
+          .orderBy(col("sim").desc, col("nb"))))
+      .filter(col("rk") <= k)
+    val kocc = e.select(col("vec_id"))
+      .join(topk.groupBy(col("nb")).agg(count(lit(1)).as("c")),
+        col("vec_id") === col("nb"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("c"))
+    val mu = col("s1") / col("n")
+    val variance = col("s2") / col("n") - mu * mu
+    kocc.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("c")).cast("double").as("s1"),
+        sum(col("c") * col("c")).cast("double").as("s2"),
+        sum(col("c") * col("c") * col("c")).cast("double").as("s3"),
+        max(col("c")).as("mx"),
+        sum(when(col("c") === 0, 1L).otherwise(0L)).cast("double").as("z"))
+      .select(col("n").cast("long").as("n_vectors"),
+        lit(k.toLong).as("k"),
+        col("mx").as("max_kocc"),
+        round4eps(variance).as("var_kocc"),
+        round4eps((col("s3") / col("n") - lit(3.0) * mu * (col("s2") / col("n")) +
+          lit(2.0) * mu * mu * mu) / sqrt(variance * variance * variance))
+          .as("skew_kocc"),
+        round4eps(col("z") / col("n")).as("antihub_share"))
+  }
 }

@@ -4123,4 +4123,48 @@ object Stats {
             lit((1.0 - p) / (p * p)))).as("covered"))
       .orderBy(col("flag"))
   }
+
+  /** Murphy decomposition of the Brier score over the same
+    * (discount-as-score, returned-as-outcome) panel the calibration
+    * gate reads: Brier = reliability − resolution + uncertainty, with
+    * reliability = Σnᵦ(confᵦ−accᵦ)²/N, resolution = Σnᵦ(accᵦ−ȳ)²/N,
+    * uncertainty = ȳ(1−ȳ). Because the score is constant within each
+    * bin, the identity is EXACT here — the identity_gap column pins
+    * it at 0 as a cross-engine self-check. The decomposition says
+    * WHY a Brier number is bad (miscalibration vs no discrimination),
+    * which the raw score can't.
+    *
+    * Scale shape: one bin-keyed count pass (11 discount levels, a
+    * fixed vocabulary), then scalar algebra on the 11-row frame —
+    * the calibration gate's exact economics. */
+  def brierDecomp(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      round(col("l_discount") * 100).cast("long").as("bin"),
+      col("l_discount").as("score"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+    val bins = li.groupBy(col("bin"))
+      .agg(count(lit(1)).cast("double").as("nb"),
+        max(col("score")).as("conf"),
+        sum(col("y")).as("sy"),
+        sum((col("score") - col("y")) * (col("score") - col("y")))
+          .as("sq"))
+    val tot = bins.agg(sum(col("nb")).as("n"), sum(col("sy")).as("sy_all"),
+      sum(col("sq")).as("sq_all"))
+    val ybar = col("sy_all") / col("n")
+    val acc = col("sy") / col("nb")
+    bins.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n")).cast("long").as("n"),
+        round4eps(max(col("sq_all")) / max(col("n"))).as("brier"),
+        round4eps(sum(col("nb") * (col("conf") - acc) * (col("conf") - acc)) /
+          max(col("n"))).as("reliability"),
+        round4eps(sum(col("nb") * (acc - ybar) * (acc - ybar)) /
+          max(col("n"))).as("resolution"),
+        round4eps(max(ybar) * (lit(1.0) - max(ybar))).as("uncertainty"),
+        round4eps(max(col("sq_all")) / max(col("n")) -
+          (sum(col("nb") * (col("conf") - acc) * (col("conf") - acc)) /
+            max(col("n")) -
+            sum(col("nb") * (acc - ybar) * (acc - ybar)) / max(col("n")) +
+            max(ybar) * (lit(1.0) - max(ybar)))).as("identity_gap"))
+  }
 }

@@ -1732,6 +1732,27 @@ object TextAnalysis {
     * aggregation, fully map-side combined; the doc filter pushes to
     * the parquet scan. Zero-feature buckets are dropped (sparse
     * representation), exactly what a 100 TB featurizer must emit. */
+  /** Tokenizer fertility per (lang, source): subword-to-word ratio
+    * under the BPE-ish length tokenizer (tokenCountBpe) — the
+    * standard "how many tokens does this language cost" readout that
+    * drives mixture budgeting (a high-fertility slice consumes more
+    * sequence length per document than its word count suggests).
+    *
+    * Scale shape: one (lang × source)-keyed count aggregation over
+    * the doc scan (taxonomy-bounded cells), exact integer token
+    * sums. */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("sw"),
+        sum(tokenCountBpe(col("text")).cast("long")).as("sb"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        round4eps(col("sb").cast("double") / col("sw")).as("fertility"),
+        round4eps(col("sw").cast("double") / col("n_docs"))
+          .as("avg_doc_words"))
+      .orderBy(col("lang"), col("source"))
+
   def featureHash(s: SparkSession, dir: String,
       nBuckets: Int = 64, maxDoc: Long = 30): DataFrame = {
     val tok = Tables.documents(s, dir)

@@ -58,4 +58,27 @@ class EngineSurfaceSpec extends AnyFunSuite {
       assert(e >= 1L && e <= 4L)
     }
   }
+
+  test("nullFuncs: three-valued logic columns are mutually consistent") {
+    val rows = graft.functions.ScalarSuites.nullFuncs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val missing = r.getAs[Boolean]("value_missing")
+      assert(missing == (r.getAs[String]("presence") == "missing"))
+      if (missing) {
+        assert(r.getAs[Double]("v_filled") == -1.0)
+        assert(!r.getAs[Boolean]("ns_eq_zero"))
+      }
+      assert(r.getAs[String]("type_or_filtered") != "view")
+    }
+  }
+
+  test("tokenFertility: fertility >= 1 (subwords never fewer than words)") {
+    val rows = graft.operators.TextAnalysis.tokenFertility(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Double]("avg_doc_words") > 0.0)
+    }
+  }
 }

@@ -454,4 +454,16 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("dim"), r.getAs[Double]("variance")))
     assert(got.toSeq == want.toSeq)
   }
+
+  test("hubness: mean k-occurrence is exactly k, shares bounded") {
+    val r = graft.operators.Similarity.hubness(TestSpark.spark, TestSpark.sfDir)
+      .collect().head
+    val n = r.getAs[Long]("n_vectors")
+    assert(n > 0L)
+    // Σ k-occ = n·k by construction, so mean = k; variance >= 0
+    assert(r.getAs[Double]("var_kocc") >= 0.0)
+    assert(r.getAs[Long]("max_kocc") >= r.getAs[Long]("k"))
+    val ah = r.getAs[Double]("antihub_share")
+    assert(ah >= 0.0 && ah < 1.0)
+  }
 }

@@ -1075,4 +1075,14 @@ class StatsSpec extends AnyFunSuite {
       assert(math.abs(exact - est) < 6.0 * se) // sanity, not the 2-se gate
     }
   }
+
+  test("brierDecomp: Murphy identity holds exactly") {
+    val r = Stats.brierDecomp(spark, dir).collect().head
+    assert(math.abs(r.getAs[Double]("identity_gap")) < 1e-9)
+    assert(r.getAs[Double]("brier") >= 0.0)
+    assert(r.getAs[Double]("reliability") >= 0.0)
+    assert(r.getAs[Double]("resolution") >= 0.0)
+    val u = r.getAs[Double]("uncertainty")
+    assert(u >= 0.0 && u <= 0.25 + 1e-9)
+  }
 }
