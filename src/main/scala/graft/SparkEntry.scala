@@ -1264,6 +1264,13 @@ object SparkEntry {
     "q_token_fertility"  -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
     "q_null_funcs"       -> (graft.functions.ScalarSuites.nullFuncs _),
     "q_hubness"          -> ((s, d) => Similarity.hubness(s, d)),
+    // r11: multiple-testing completions, equivalence testing, dedup
+    // capture-recapture, sample-NDV estimation, window-frame semantics
+    "q_holm_by"          -> ((s, d) => Stats.holmByFdr(s, d)),
+    "q_tost"             -> ((s, d) => Stats.tostEquivalence(s, d)),
+    "q_capture_recapture" -> ((s, d) => Dedup.captureRecapture(s, d)),
+    "q_ndv_estimate"     -> ((s, d) => Stats.ndvEstimate(s, d)),
+    "q_window_frames"    -> ((s, d) => Relational.windowFrames(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -11771,5 +11778,183 @@ object SparkEntry {
         |    *10000 + 0.5 + 0.000001)/10000 AS skew_kocc,
         |  floor(z/n*10000 + 0.5 + 0.000001)/10000 AS antihub_share
         |FROM m""".stripMargin,
+    "q_holm_by" ->
+      """WITH g AS (SELECT n_name AS nation, o_totalprice/1000.0 AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey),
+        |per AS (SELECT nation, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(v) AS sv, SUM(v*v) AS svv FROM g GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS gn, SUM(sv) AS gs, SUM(svv) AS gss
+        |  FROM per),
+        |z AS (SELECT nation,
+        |    (sv/n - (gs - sv)/(gn - n)) / sqrt(
+        |      ((svv - sv*sv/n)/(n - 1.0))/n
+        |      + (((gss - svv) - (gs - sv)*(gs - sv)/(gn - n))
+        |         /(gn - n - 1.0))/(gn - n)) AS zv
+        |  FROM per, tot),
+        |p AS (SELECT nation, zv,
+        |    floor(2.0 * exp(-(floor(abs(zv)*1000000 + 0.5 + 0.000001)
+        |        /1000000)
+        |      * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)
+        |      / 2.0) / 2.5066282746310002
+        |      * ((1.0/(1.0 + 0.2316419
+        |          * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |        * (0.319381530
+        |          + (1.0/(1.0 + 0.2316419
+        |             * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |          * (-0.356563782
+        |            + (1.0/(1.0 + 0.2316419
+        |               * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |            * (1.781477937
+        |              + (1.0/(1.0 + 0.2316419
+        |                 * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |              * (-1.821255978
+        |                + (1.0/(1.0 + 0.2316419
+        |                   * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |                * 1.330274429)))))
+        |      * 1000000 + 0.5 + 0.000001)/1000000 AS pv
+        |  FROM z),
+        |mct AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM p),
+        |rk AS (SELECT nation, pv,
+        |    ROW_NUMBER() OVER (ORDER BY pv, nation) AS rank
+        |  FROM p),
+        |hm AS (SELECT SUM(1.0/rank) AS cm FROM rk),
+        |h AS (SELECT nation, rank, pv,
+        |    floor(0.05/(m - rank + 1)*10000 + 0.5 + 0.000001)/10000
+        |      AS holm_crit,
+        |    floor(rank/m/cm*0.1*10000 + 0.5 + 0.000001)/10000
+        |      AS by_crit
+        |  FROM rk, mct, hm),
+        |hb AS (SELECT *,
+        |    CASE WHEN pv <= holm_crit THEN 1 ELSE 0 END AS hbel,
+        |    CASE WHEN pv <= by_crit THEN 1 ELSE 0 END AS bbel FROM h)
+        |SELECT nation, CAST(rank AS INTEGER) AS rank, pv AS p_value,
+        |  holm_crit,
+        |  MIN(hbel) OVER (ORDER BY pv, nation ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) = 1 AS rejected_holm,
+        |  by_crit,
+        |  MAX(bbel) OVER (ORDER BY pv DESC, nation DESC ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS rejected_by
+        |FROM hb ORDER BY rank""".stripMargin,
+    "q_tost" ->
+      """WITH g AS (SELECT c_mktsegment = 'BUILDING' AS grp,
+        |    CAST(round(o_totalprice) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |per AS (SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(v) AS DOUBLE) AS sv, CAST(SUM(v*v) AS DOUBLE)
+        |      AS svv
+        |  FROM g GROUP BY 1),
+        |w AS (SELECT
+        |    SUM(CASE WHEN grp THEN n ELSE 0.0 END) AS n1,
+        |    SUM(CASE WHEN grp THEN sv ELSE 0.0 END) AS s1,
+        |    SUM(CASE WHEN grp THEN svv ELSE 0.0 END) AS ss1,
+        |    SUM(CASE WHEN NOT grp THEN n ELSE 0.0 END) AS n0,
+        |    SUM(CASE WHEN NOT grp THEN sv ELSE 0.0 END) AS s0,
+        |    SUM(CASE WHEN NOT grp THEN svv ELSE 0.0 END) AS ss0
+        |  FROM per),
+        |c AS (SELECT n1, n0,
+        |    s1/n1 - s0/n0 AS diff,
+        |    sqrt(((ss1 - s1*s1/n1)/(n1 - 1))/n1
+        |      + ((ss0 - s0*s0/n0)/(n0 - 1))/n0) AS se,
+        |    0.05*(s1 + s0)/(n1 + n0) AS delta
+        |  FROM w)
+        |SELECT CAST(n1 AS BIGINT) AS n_building,
+        |  CAST(n0 AS BIGINT) AS n_machinery,
+        |  floor(diff*10000 + 0.5 + 0.000001)/10000 AS diff,
+        |  floor(se*10000 + 0.5 + 0.000001)/10000 AS se,
+        |  floor(delta*10000 + 0.5 + 0.000001)/10000 AS delta,
+        |  floor((diff + delta)/se*10000 + 0.5 + 0.000001)/10000
+        |    AS z_lower,
+        |  floor((delta - diff)/se*10000 + 0.5 + 0.000001)/10000
+        |    AS z_upper,
+        |  floor((diff + delta)/se*10000 + 0.5 + 0.000001)/10000 > 1.645
+        |    AND floor((delta - diff)/se*10000 + 0.5
+        |      + 0.000001)/10000 > 1.645 AS equivalent
+        |FROM c""".stripMargin,
+    "q_capture_recapture" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |    for i in range(1, len(w)-1)]) AS sh
+        |  FROM w),
+        |p1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.8),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS t2
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t2), 1, 15))::BIGINT AS h FROM tok),
+        |b AS (SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS sgn
+        |  FROM h CROSS JOIN range(60) t(j) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0
+        |    END) AS BIGINT) AS sig
+        |  FROM b GROUP BY 1),
+        |p2 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+        |  WHERE CAST(bit_count(xor(a.sig, b2.sig)) AS INTEGER) <= 3),
+        |c AS (SELECT
+        |    (SELECT COUNT(*) FROM p1) AS n1,
+        |    (SELECT COUNT(*) FROM p2) AS n2,
+        |    (SELECT COUNT(*) FROM p1 JOIN p2 USING (doc_a, doc_b))
+        |      AS m)
+        |SELECT CAST(n1 AS BIGINT) AS n_jaccard,
+        |  CAST(n2 AS BIGINT) AS n_simhash, CAST(m AS BIGINT) AS n_both,
+        |  floor(((n1+1.0)*(n2+1.0)/(m+1.0) - 1.0)
+        |    *10000 + 0.5 + 0.000001)/10000 AS chapman_est,
+        |  floor(n1/((n1+1.0)*(n2+1.0)/(m+1.0) - 1.0)
+        |    *10000 + 0.5 + 0.000001)/10000 AS jaccard_coverage,
+        |  floor(n2/((n1+1.0)*(n2+1.0)/(m+1.0) - 1.0)
+        |    *10000 + 0.5 + 0.000001)/10000 AS simhash_coverage
+        |FROM c""".stripMargin,
+    "q_ndv_estimate" ->
+      """WITH li AS (SELECT l_partkey,
+        |    ((l_orderkey % 1000003) * 2654435761 + l_linenumber * 97)
+        |      % 100 < 10 AS in_sample
+        |  FROM lineitem),
+        |pk AS (SELECT l_partkey,
+        |    CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cs
+        |  FROM li GROUP BY 1),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_ndv,
+        |    CAST(SUM(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_s,
+        |    CAST(SUM(CASE WHEN cs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(SUM(CASE WHEN cs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2
+        |  FROM pk)
+        |SELECT exact_ndv, d_s AS sample_ndv, f1, f2,
+        |  floor((sqrt(1.0/0.1)*CAST(f1 AS DOUBLE)
+        |    + CAST(d_s - f1 AS DOUBLE))*10000 + 0.5 + 0.000001)/10000
+        |    AS gee_est,
+        |  floor((CAST(d_s AS DOUBLE) + CAST(f1 AS DOUBLE)
+        |    *CAST(f1 AS DOUBLE)/(2.0*CAST(f2 AS DOUBLE)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS chao_est,
+        |  floor(abs(sqrt(1.0/0.1)*CAST(f1 AS DOUBLE)
+        |    + CAST(d_s - f1 AS DOUBLE) - CAST(exact_ndv AS DOUBLE))
+        |    /CAST(exact_ndv AS DOUBLE)*10000 + 0.5 + 0.000001)/10000
+        |    AS rel_err_gee
+        |FROM a""".stripMargin,
+    "q_window_frames" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, prio, d,
+        |  CAST(SUM(cents) OVER (PARTITION BY prio ORDER BY d,
+        |    o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) AS BIGINT) AS cum_rows,
+        |  CAST(SUM(cents) OVER (PARTITION BY prio ORDER BY d
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_range,
+        |  CAST(SUM(cents) OVER (PARTITION BY prio ORDER BY d
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS trail7d
+        |FROM o""".stripMargin,
   )
 }

@@ -839,4 +839,33 @@ object Dedup {
       .select(col("source"), col("doc_a"), col("doc_b"),
         round4eps(col("j")).as("jaccard"))
   }
+
+  /** Capture-recapture audit of dedup completeness: treat the
+    * MinHash-Jaccard pass and the portable-SimHash pass as two
+    * INDEPENDENT "captures" of the same underlying near-dup-pair
+    * population and estimate its true size with the Chapman
+    * estimator N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the Lincoln-Petersen
+    * idea applied to "how many dup pairs does NEITHER detector see",
+    * which no single-detector recall number can answer.
+    *
+    * Scale shape: both detectors are the gated banded pipelines
+    * (never all-pairs); the overlap is one (doc_a, doc_b)-keyed join
+    * of their pair outputs, dwarfed by the detectors themselves. */
+  def captureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val p1 = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .persistMemDisk
+    val p2 = simhashPortablePairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .persistMemDisk
+    val n1 = p1.count().toDouble
+    val n2 = p2.count().toDouble
+    val m = p1.join(p2, Seq("doc_a", "doc_b")).count().toDouble
+    val est = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    def q4(v: Double): Double =
+      math.floor(v * 10000 + 0.5 + 0.000001) / 10000
+    import s.implicits._
+    Seq((n1.toLong, n2.toLong, m.toLong, q4(est),
+      q4(n1 / est), q4(n2 / est)))
+      .toDF("n_jaccard", "n_simhash", "n_both", "chapman_est",
+        "jaccard_coverage", "simhash_coverage")
+  }
 }

@@ -2859,4 +2859,33 @@ object Relational {
         floor(level * 10000 + 0.5 + 0.000001) / 10000 AS chained_index
       FROM idx ORDER BY quarter_index""")
   }
+
+  /** Window-frame semantics suite: the same cumulative revenue under
+    * ROWS (physical rows up to the current one — deterministic ONLY
+    * with the unique orderkey tie-break) vs RANGE (all PEERS of the
+    * current sort value aggregate together) vs a calendar RANGE
+    * (INTERVAL 7 DAYS PRECEDING) — the three frame kinds whose
+    * tie/peer semantics silently diverge across engines if either
+    * gets them wrong. Exact-cents sums, so every frame value is an
+    * exact long.
+    *
+    * Scale shape: priority-keyed windows (5 partitions) over one
+    * sorted pass of the orders scan — the standard windowed-fact
+    * plan, linear at any SF. */
+  def windowFrames(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .selectExpr(
+        "o_orderkey", "prio", "d",
+        """sum(cents) OVER (PARTITION BY prio ORDER BY d, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rows""",
+        """sum(cents) OVER (PARTITION BY prio ORDER BY d
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_range""",
+        """sum(cents) OVER (PARTITION BY prio ORDER BY d
+           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+           AS trail7d""")
 }

@@ -2796,7 +2796,12 @@ object Stats {
     * step-up needs a suffix max, one more window). The multiple-
     * comparisons guard every per-segment metrics dashboard needs;
     * taxonomy-bounded (25 tests) after one fact scan. */
-  def bhFdr(s: SparkSession, dir: String, q: Double = 0.1): DataFrame = {
+  /** The per-nation two-sample z battery shared by the multiple-
+    * testing gates (BH, Holm, BY): each nation's mean order value
+    * against the rest of the world, p-values from [[pTwoSided]].
+    * Returned persisted (25 rows) so callers can count m without
+    * re-running the fact scan. */
+  private def nationZBattery(s: SparkSession, dir: String): DataFrame = {
     val g = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)),
@@ -2808,7 +2813,7 @@ object Stats {
         sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
     val tot = per.agg(sum(col("n")).as("gn"), sum(col("sv")).as("gs"),
       sum(col("svv")).as("gss"))
-    val withZ = per.crossJoin(broadcast(tot))
+    per.crossJoin(broadcast(tot))
       .withColumn("rn", col("gn") - col("n"))
       .withColumn("rs", col("gs") - col("sv"))
       .withColumn("rss", col("gss") - col("svv"))
@@ -2825,6 +2830,10 @@ object Stats {
       // orders⋈customer scan+aggregation would run twice (once for m,
       // once for the ranked output) — the frame is 25 nation rows
       .persistMemDisk
+  }
+
+  def bhFdr(s: SparkSession, dir: String, q: Double = 0.1): DataFrame = {
+    val withZ = nationZBattery(s, dir)
     val m = withZ.count().toDouble
     val wRank = Window.orderBy(col("p"), col("nation"))
     val wSuffix = Window.orderBy(col("p").desc, col("nation").desc)
@@ -4166,5 +4175,131 @@ object Stats {
             max(col("n")) -
             sum(col("nb") * (acc - ybar) * (acc - ybar)) / max(col("n")) +
             max(ybar) * (lit(1.0) - max(ybar)))).as("identity_gap"))
+  }
+
+  /** Holm step-down (FWER) and Benjamini-Yekutieli (FDR under
+    * arbitrary dependence) over the SAME per-nation z battery the BH
+    * gate reads — the two corrections a dashboard adds when BH's
+    * independence assumption is in doubt: Holm rejects while EVERY
+    * smaller p clears α/(m−i+1) (a prefix-min), BY is BH with the
+    * harmonic-number penalty c(m)=Σ1/i (a suffix-max step-up). The
+    * harmonic number is computed FROM the ranked frame (Σ 1/rank), so
+    * both engines derive it from identical integers.
+    *
+    * Scale shape: the battery is one fact scan collapsed to 25 nation
+    * rows (see [[nationZBattery]]); everything here is windows over
+    * that taxonomy-bounded frame. */
+  def holmByFdr(s: SparkSession, dir: String, alpha: Double = 0.05,
+      q: Double = 0.1): DataFrame = {
+    val withZ = nationZBattery(s, dir)
+    val m = withZ.count().toDouble
+    val wRank = Window.orderBy(col("p"), col("nation"))
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrefix = Window.orderBy(col("p"), col("nation"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSuffix = Window.orderBy(col("p").desc, col("nation").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withZ
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("cm", sum(lit(1.0) / col("rank")).over(wAll))
+      .withColumn("holm_crit",
+        round4eps(lit(alpha) / (lit(m) - col("rank") + 1)))
+      .withColumn("holm_below", (col("p") <= col("holm_crit")).cast("int"))
+      .withColumn("rejected_holm", min(col("holm_below")).over(wPrefix) === 1)
+      .withColumn("by_crit",
+        round4eps(col("rank") / lit(m) / col("cm") * lit(q)))
+      .withColumn("by_below", (col("p") <= col("by_crit")).cast("int"))
+      .withColumn("rejected_by", max(col("by_below")).over(wSuffix) === 1)
+      .select(col("nation"), col("rank"), col("p").as("p_value"),
+        col("holm_crit"), col("rejected_holm"),
+        col("by_crit"), col("rejected_by"))
+      .orderBy(col("rank"))
+  }
+
+  /** TOST equivalence test: are BUILDING and MACHINERY mean order
+    * values equivalent within ±5% of the pooled mean? Two one-sided
+    * z tests — BOTH (diff+δ)/se and (δ−diff)/se must clear 1.645 —
+    * the inferential opposite of the difference tests (absence of
+    * evidence ≠ evidence of absence; TOST is how you CLAIM sameness).
+    *
+    * Scale shape: one segment-keyed moment pass (whole-dollar integer
+    * sums — Σv² stays an exact long at any SF), then scalar algebra
+    * on 2 rows. */
+  def tostEquivalence(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select((col("c_mktsegment") === "BUILDING").as("grp"),
+        round(col("o_totalprice")).cast("long").as("v"))
+    val per = g.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("v")).cast("double").as("sv"),
+        sum(col("v") * col("v")).cast("double").as("svv"))
+    val wide = per.agg(
+      sum(when(col("grp"), col("n")).otherwise(0.0)).as("n1"),
+      sum(when(col("grp"), col("sv")).otherwise(0.0)).as("s1"),
+      sum(when(col("grp"), col("svv")).otherwise(0.0)).as("ss1"),
+      sum(when(!col("grp"), col("n")).otherwise(0.0)).as("n0"),
+      sum(when(!col("grp"), col("sv")).otherwise(0.0)).as("s0"),
+      sum(when(!col("grp"), col("svv")).otherwise(0.0)).as("ss0"))
+    val mu1 = col("s1") / col("n1")
+    val mu0 = col("s0") / col("n0")
+    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) /
+      (col("n1") - 1)
+    val v0 = (col("ss0") - col("s0") * col("s0") / col("n0")) /
+      (col("n0") - 1)
+    val se = sqrt(v1 / col("n1") + v0 / col("n0"))
+    val delta = lit(0.05) * (col("s1") + col("s0")) /
+      (col("n1") + col("n0"))
+    val diff = mu1 - mu0
+    wide.select(
+      col("n1").cast("long").as("n_building"),
+      col("n0").cast("long").as("n_machinery"),
+      round4eps(diff).as("diff"),
+      round4eps(se).as("se"),
+      round4eps(delta).as("delta"),
+      round4eps((diff + delta) / se).as("z_lower"),
+      round4eps((delta - diff) / se).as("z_upper"),
+      (round4eps((diff + delta) / se) > 1.645 &&
+        round4eps((delta - diff) / se) > 1.645).as("equivalent"))
+  }
+
+  /** GEE / Chao1 number-of-distinct-values estimation from the SAME
+    * deterministic 10% hash sample the AQP gate reads: the sampled
+    * per-key occurrence profile (d_s distinct, f1 singletons, f2
+    * doubletons) yields GEE D̂ = √(1/q)·f1 + (d_s − f1) and Chao1
+    * D̂ = d_s + f1²/2f2, beside the exact NDV — the cardinality-
+    * estimation trade a 100 TB optimizer makes when it can only
+    * afford a sample scan.
+    *
+    * Scale shape: one partkey-keyed conditional count (map-side
+    * combined), one conditional count over the key frame, exact
+    * integers throughout. */
+  def ndvEstimate(s: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_partkey"),
+      (((col("l_orderkey") % 1000003L) * 2654435761L +
+        col("l_linenumber") * 97L) % 100L < pct).as("in_sample"))
+    val perKey = li.groupBy(col("l_partkey"))
+      .agg(sum(when(col("in_sample"), 1L).otherwise(0L)).as("cs"))
+    perKey.agg(
+        count(lit(1)).as("exact_ndv"),
+        sum(when(col("cs") > 0, 1L).otherwise(0L)).as("d_s"),
+        sum(when(col("cs") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cs") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("exact_ndv"), col("d_s").as("sample_ndv"),
+        col("f1"), col("f2"),
+        round4eps(sqrt(lit(1.0) / lit(pct / 100.0)) *
+          col("f1").cast("double") +
+          (col("d_s") - col("f1")).cast("double")).as("gee_est"),
+        round4eps(col("d_s").cast("double") +
+          col("f1").cast("double") * col("f1").cast("double") /
+            (lit(2.0) * col("f2").cast("double"))).as("chao_est"),
+        round4eps(abs(sqrt(lit(1.0) / lit(pct / 100.0)) *
+          col("f1").cast("double") +
+          (col("d_s") - col("f1")).cast("double") -
+          col("exact_ndv").cast("double")) /
+          col("exact_ndv").cast("double")).as("rel_err_gee"))
   }
 }

@@ -308,4 +308,17 @@ class DedupSpec extends AnyFunSuite {
         r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
     }
   }
+
+  test("captureRecapture: Chapman estimate at least the union lower bound") {
+    val r = graft.operators.Dedup.captureRecapture(TestSpark.spark, TestSpark.sfDir)
+      .collect().head
+    val n1 = r.getAs[Long]("n_jaccard")
+    val n2 = r.getAs[Long]("n_simhash")
+    val m = r.getAs[Long]("n_both")
+    assert(m <= math.min(n1, n2))
+    val est = r.getAs[Double]("chapman_est")
+    assert(est >= math.max(n1, n2).toDouble - 1.0)
+    val c1 = r.getAs[Double]("jaccard_coverage")
+    assert(c1 >= 0.0 && c1 <= 1.0 + 1e-9)
+  }
 }

@@ -81,4 +81,16 @@ class EngineSurfaceSpec extends AnyFunSuite {
       assert(r.getAs[Double]("avg_doc_words") > 0.0)
     }
   }
+
+  test("windowFrames: RANGE >= ROWS cumulative; trailing 7d <= cumulative") {
+    val rows = graft.operators.Relational.windowFrames(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // RANGE includes all date peers, ROWS stops at the current row
+      assert(r.getAs[Long]("cum_range") >= r.getAs[Long]("cum_rows"))
+      assert(r.getAs[Long]("trail7d") <= r.getAs[Long]("cum_range"))
+      assert(r.getAs[Long]("trail7d") > 0L)
+    }
+  }
 }

@@ -1085,4 +1085,40 @@ class StatsSpec extends AnyFunSuite {
     val u = r.getAs[Double]("uncertainty")
     assert(u >= 0.0 && u <= 0.25 + 1e-9)
   }
+
+  test("holmByFdr: Holm is stricter than BH-style BY at every rank") {
+    val rows = Stats.holmByFdr(spark, dir).collect()
+    assert(rows.length == 25)
+    // rejected_holm is a prefix property: once false, never true again
+    val flags = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Boolean]("rejected_holm"))
+    val firstFalse = flags.indexWhere(!_)
+    if (firstFalse >= 0) assert(flags.drop(firstFalse).forall(!_))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("holm_crit") > 0.0)
+      assert(r.getAs[Double]("by_crit") > 0.0)
+    }
+  }
+
+  test("tostEquivalence: z bounds are symmetric around delta") {
+    val r = Stats.tostEquivalence(spark, dir).collect().head
+    val zl = r.getAs[Double]("z_lower")
+    val zu = r.getAs[Double]("z_upper")
+    val d = r.getAs[Double]("diff")
+    val se = r.getAs[Double]("se")
+    val delta = r.getAs[Double]("delta")
+    assert(se > 0.0 && delta > 0.0)
+    // zl + zu = 2*delta/se
+    assert(math.abs((zl + zu) - 2.0 * delta / se) < 1e-2)
+    assert(r.getAs[Boolean]("equivalent") == (zl > 1.645 && zu > 1.645))
+  }
+
+  test("ndvEstimate: estimators bracket sanity") {
+    val r = Stats.ndvEstimate(spark, dir).collect().head
+    val exact = r.getAs[Long]("exact_ndv")
+    val ds = r.getAs[Long]("sample_ndv")
+    assert(ds <= exact)
+    assert(r.getAs[Double]("gee_est") >= ds.toDouble)
+    assert(r.getAs[Double]("chao_est") >= ds.toDouble)
+    assert(r.getAs[Double]("rel_err_gee") >= 0.0)
+  }
 }
