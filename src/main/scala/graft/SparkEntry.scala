@@ -1271,6 +1271,10 @@ object SparkEntry {
     "q_capture_recapture" -> ((s, d) => Dedup.captureRecapture(s, d)),
     "q_ndv_estimate"     -> ((s, d) => Stats.ndvEstimate(s, d)),
     "q_window_frames"    -> ((s, d) => Relational.windowFrames(s, d)),
+    // r11 density family: LOF outliers and DBSCAN over the embedding
+    // audit panel (quantized distances, shared CC primitive)
+    "q_lof"              -> ((s, d) => Similarity.lofScores(s, d)),
+    "q_dbscan"           -> ((s, d) => Similarity.dbscan(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -11956,5 +11960,69 @@ object SparkEntry {
         |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS trail7d
         |FROM o""".stripMargin,
+    "q_lof" ->
+      """WITH e AS (SELECT vec_id,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings WHERE vec_id < 2000),
+        |p AS (SELECT a.vec_id qa, b.vec_id nb,
+        |    floor((1.0 - list_dot_product(a.v, b.v)
+        |      /(sqrt(list_dot_product(a.v, a.v))
+        |        *sqrt(list_dot_product(b.v, b.v))))
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS dist
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |topk AS (SELECT qa, nb, dist FROM p
+        |  QUALIFY row_number() OVER (PARTITION BY qa
+        |    ORDER BY dist, nb) <= 5),
+        |kd AS (SELECT qa AS kq, MAX(dist) AS kd FROM topk GROUP BY 1),
+        |r AS (SELECT t.qa, t.nb, greatest(kd.kd, t.dist) AS reach
+        |  FROM topk t JOIN kd ON t.nb = kd.kq),
+        |lrd AS (SELECT qa,
+        |    floor(1.0/greatest(AVG(reach), 0.000000001)
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS lrd
+        |  FROM r GROUP BY 1),
+        |ln_ AS (SELECT t.qa, AVG(l2.lrd) AS avg_lrd_n
+        |  FROM topk t JOIN lrd l2 ON t.nb = l2.qa GROUP BY 1)
+        |SELECT ln_.qa AS vec_id, lrd.lrd AS lrd,
+        |  floor(ln_.avg_lrd_n/lrd.lrd*10000 + 0.5 + 0.000001)/10000
+        |    AS lof
+        |FROM ln_ JOIN lrd ON ln_.qa = lrd.qa
+        |ORDER BY lof DESC, vec_id LIMIT 20""".stripMargin,
+    "q_dbscan" ->
+      """WITH RECURSIVE e AS (SELECT vec_id,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings WHERE vec_id < 2000),
+        |p AS (SELECT a.vec_id qa, b.vec_id nb,
+        |    floor((1.0 - list_dot_product(a.v, b.v)
+        |      /(sqrt(list_dot_product(a.v, a.v))
+        |        *sqrt(list_dot_product(b.v, b.v))))
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS dist
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |n AS (SELECT qa, nb FROM p WHERE dist <= 0.68),
+        |deg AS (SELECT qa, COUNT(*) AS c FROM n GROUP BY 1),
+        |core AS (SELECT qa AS core_id FROM deg WHERE c >= 4),
+        |ce AS (SELECT n.qa AS a, n.nb AS b FROM n
+        |  JOIN core c1 ON n.qa = c1.core_id
+        |  JOIN core c2 ON n.nb = c2.core_id),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM ce
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN ce e2 ON r.b = e2.a),
+        |lbl AS (SELECT a AS core_id, LEAST(a, MIN(b)) AS cluster
+        |  FROM reach GROUP BY a),
+        |cc AS (SELECT c.core_id, COALESCE(l.cluster, c.core_id)
+        |    AS cluster
+        |  FROM core c LEFT JOIN lbl l ON c.core_id = l.core_id),
+        |bc AS (SELECT n.qa, MIN(cc.cluster) AS cluster
+        |  FROM n JOIN cc ON n.nb = cc.core_id
+        |  WHERE n.qa NOT IN (SELECT core_id FROM core)
+        |  GROUP BY 1)
+        |SELECT e.vec_id,
+        |  CASE WHEN cc.core_id IS NOT NULL THEN 'core'
+        |       WHEN bc.qa IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(cc.cluster, bc.cluster, CAST(-1 AS BIGINT))
+        |    AS cluster
+        |FROM e LEFT JOIN cc ON e.vec_id = cc.core_id
+        |  LEFT JOIN bc ON e.vec_id = bc.qa""".stripMargin,
   )
 }

@@ -1316,6 +1316,122 @@ object Similarity {
       round4eps(max(col("ratio"))).as("max_ratio"))
   }
 
+  /** Shared (qa, nb, dist) cosine-distance pair frame over the fixed
+    * audit panel (vec_id < maxId): distances 1e-6-quantized so every
+    * downstream compare/rank is engine-exact. The panel bound makes
+    * the pair frame a constant at any corpus size (the hubness/LOF/
+    * DBSCAN audits are properties of the space, sampled). */
+  private def panelDistances(s: SparkSession, dir: String,
+      maxId: Long): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val e = corpus(s, dir).filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id").as("qa"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("nb"), col("embedding").as("vb")),
+        col("qa") =!= col("nb"))
+      .select(col("qa"), col("nb"),
+        q6(lit(1.0) - cosine(col("va"), col("vb"))).as("dist"))
+  }
+
+  /** Local Outlier Factor (Breunig et al. 2000) over the embedding
+    * panel: k-distance → reachability distance → local reachability
+    * density → LOF = avg(lrd_neighbor)/lrd_self; scores ≫ 1 mark
+    * points whose neighborhood is much sparser than their neighbors'
+    * — the density-aware outlier detector a global z-score can't
+    * imitate. Top-N scores reported.
+    *
+    * Determinism: distances and lrd are 1e-6-quantized at each stage,
+    * neighbor sets use a vec_id tie-break, and the final rank orders
+    * on the ROUNDED score — the matryoshka discipline applied through
+    * three derivation levels. Panel-bounded (4M pairs) at any SF. */
+  def lofScores(s: SparkSession, dir: String, k: Int = 5,
+      maxId: Long = 2000, topN: Int = 20): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val topk = panelDistances(s, dir, maxId)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qa"))
+          .orderBy(col("dist"), col("nb"))))
+      .filter(col("rk") <= k)
+      .select(col("qa"), col("nb"), col("dist"))
+      .persistMemDisk
+    val kdist = topk.groupBy(col("qa").as("kq"))
+      .agg(max(col("dist")).as("kd"))
+    val reach = topk.join(kdist, col("nb") === col("kq"))
+      .select(col("qa"), col("nb"),
+        greatest(col("kd"), col("dist")).as("reach"))
+    val lrd = reach.groupBy(col("qa"))
+      .agg(q6(lit(1.0) / greatest(avg(col("reach")), lit(1e-9)))
+        .as("lrd"))
+      .persistMemDisk
+    topk
+      .join(lrd.select(col("qa").as("nq"), col("lrd").as("lrd_n")),
+        col("nb") === col("nq"))
+      .groupBy(col("qa"))
+      .agg(avg(col("lrd_n")).as("avg_lrd_n"))
+      .join(lrd, "qa")
+      .select(col("qa").as("vec_id"), col("lrd"),
+        round4eps(col("avg_lrd_n") / col("lrd")).as("lof"))
+      .orderBy(col("lof").desc, col("vec_id"))
+      .limit(topN)
+  }
+
+  /** DBSCAN over the embedding panel (cosine distance, ε = 0.68,
+    * minPts = 4 — ε sits at the measured 0.1% pair-distance quantile,
+    * so the neighbor graph is sparse): core points by neighbor count,
+    * clusters = connected components of the core-core graph (the
+    * shared [[Dedup.componentsOf]] primitive), borders adopt the
+    * minimum cluster among their core neighbors, the rest is noise —
+    * density clustering with no k and a first-class noise label, the
+    * complement of the gated k-means/SemDedup cell family.
+    *
+    * Scale shape: panel-bounded pair frame, component finding on the
+    * ≤|cores|² sparse edge list; per-point roles from two keyed
+    * joins. */
+  def dbscan(s: SparkSession, dir: String, eps: Double = 0.68,
+      minPts: Int = 4, maxId: Long = 2000): DataFrame = {
+    val neigh = panelDistances(s, dir, maxId)
+      .filter(col("dist") <= eps)
+      .select(col("qa"), col("nb"))
+      .persistMemDisk
+    val core = neigh.groupBy(col("qa"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minPts)
+      .select(col("qa").as("core_id"))
+      .persistMemDisk
+    val coreEdges = neigh
+      .join(core.select(col("core_id").as("qa")), "qa")
+      .join(core.select(col("core_id").as("nb")), "nb")
+      .filter(col("qa") < col("nb"))
+      .select(col("qa").as("doc_a"), col("nb").as("doc_b"))
+    val comps = Dedup.componentsOf(s, coreEdges)
+      .select(col("doc_id").as("cid"), col("cluster"))
+    // isolated cores (no core neighbor) are singleton clusters
+    val coreClusters = core
+      .join(comps, col("core_id") === col("cid"), "left")
+      .select(col("core_id"),
+        coalesce(col("cluster"), col("core_id")).as("cluster"))
+      .persistMemDisk
+    val borderClusters = neigh
+      .join(coreClusters.select(col("core_id").as("nb"),
+        col("cluster")), "nb")
+      .join(core.select(col("core_id").as("qa")), Seq("qa"), "left_anti")
+      .groupBy(col("qa"))
+      .agg(min(col("cluster")).as("cluster"))
+    corpus(s, dir).filter(col("vec_id") < maxId).select(col("vec_id"))
+      .join(coreClusters.select(col("core_id").as("vec_id"),
+        col("cluster").as("core_cluster")), Seq("vec_id"), "left")
+      .join(borderClusters.select(col("qa").as("vec_id"),
+        col("cluster").as("border_cluster")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("core_cluster").isNotNull, "core")
+          .when(col("border_cluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cluster"), col("border_cluster"), lit(-1L))
+          .as("cluster"))
+  }
+
   /** Hubness audit of the embedding space (Radovanović et al. 2010):
     * the k-occurrence distribution — how often each vector appears in
     * OTHER vectors' cosine top-k — summarized by its variance,

@@ -466,4 +466,32 @@ class SimilaritySpec extends AnyFunSuite {
     val ah = r.getAs[Double]("antihub_share")
     assert(ah >= 0.0 && ah < 1.0)
   }
+
+  test("lofScores: top-N positive scores, ranked descending") {
+    val rows = graft.operators.Similarity.lofScores(TestSpark.spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.length == 20)
+    val lofs = rows.map(_.getAs[Double]("lof"))
+    assert(lofs.forall(_ > 0.0))
+    assert(lofs.zip(lofs.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getAs[Double]("lrd") > 0.0))
+  }
+
+  test("dbscan: roles partition the panel; clusters only on core/border") {
+    val rows = graft.operators.Similarity.dbscan(TestSpark.spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byRole = rows.groupBy(_.getAs[String]("role"))
+    assert(byRole.keySet.subsetOf(Set("core", "border", "noise")))
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      if (r.getAs[String]("role") == "noise") assert(c == -1L)
+      else assert(c >= 0L)
+    }
+    // every border's cluster must be some core's cluster
+    val coreClusters = rows.filter(_.getAs[String]("role") == "core")
+      .map(_.getAs[Long]("cluster")).toSet
+    rows.filter(_.getAs[String]("role") == "border")
+      .foreach(r => assert(coreClusters.contains(r.getAs[Long]("cluster"))))
+  }
 }
