@@ -1275,6 +1275,11 @@ object SparkEntry {
     // audit panel (quantized distances, shared CC primitive)
     "q_lof"              -> ((s, d) => Similarity.lofScores(s, d)),
     "q_dbscan"           -> ((s, d) => Similarity.dbscan(s, d)),
+    // r11: model-diagnostic and data-quality screens
+    "q_vif"              -> ((s, d) => Stats.vif(s, d)),
+    "q_bitemporal"       -> ((s, d) => TemporalJoins.bitemporalReport(s, d)),
+    "q_missingness"      -> ((s, d) =>
+      graft.operators.Behavior.missingnessProfile(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -12024,5 +12029,99 @@ object SparkEntry {
         |    AS cluster
         |FROM e LEFT JOIN cc ON e.vec_id = cc.core_id
         |  LEFT JOIN bc ON e.vec_id = bc.qa""".stripMargin,
+    "q_vif" ->
+      """WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(l_quantity) AS s1, SUM(l_discount) AS s2,
+        |    SUM(l_tax) AS s3,
+        |    SUM(l_quantity*l_quantity) AS s11,
+        |    SUM(l_discount*l_discount) AS s22,
+        |    SUM(l_tax*l_tax) AS s33,
+        |    SUM(l_quantity*l_discount) AS s12,
+        |    SUM(l_quantity*l_tax) AS s13,
+        |    SUM(l_discount*l_tax) AS s23
+        |  FROM lineitem),
+        |r AS (SELECT n,
+        |    (s12 - s1*s2/n)/sqrt((s11 - s1*s1/n)*(s22 - s2*s2/n))
+        |      AS r12,
+        |    (s13 - s1*s3/n)/sqrt((s11 - s1*s1/n)*(s33 - s3*s3/n))
+        |      AS r13,
+        |    (s23 - s2*s3/n)/sqrt((s22 - s2*s2/n)*(s33 - s3*s3/n))
+        |      AS r23
+        |  FROM m),
+        |d AS (SELECT n, r12, r13, r23,
+        |    1.0 + 2.0*r12*r13*r23 - r12*r12 - r13*r13 - r23*r23
+        |      AS det FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  floor(r12*10000 + 0.5 + 0.000001)/10000 AS r_qty_disc,
+        |  floor(r13*10000 + 0.5 + 0.000001)/10000 AS r_qty_tax,
+        |  floor(r23*10000 + 0.5 + 0.000001)/10000 AS r_disc_tax,
+        |  floor((1.0 - r23*r23)/det*10000 + 0.5 + 0.000001)/10000
+        |    AS vif_quantity,
+        |  floor((1.0 - r13*r13)/det*10000 + 0.5 + 0.000001)/10000
+        |    AS vif_discount,
+        |  floor((1.0 - r12*r12)/det*10000 + 0.5 + 0.000001)/10000
+        |    AS vif_tax,
+        |  floor(det*10000 + 0.5 + 0.000001)/10000 AS det_r
+        |FROM d""".stripMargin,
+    "q_bitemporal" ->
+      """WITH li AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS DATE)
+        |      AS valid_month,
+        |    CAST(l_shipdate AS DATE) AS known_on,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |snaps AS (SELECT MIN(known_on)
+        |    + CAST(floor(date_diff('day', MIN(known_on),
+        |      MAX(known_on))/2.0) AS INTEGER) AS mid,
+        |    MAX(known_on) AS fin FROM li),
+        |snapx AS (SELECT mid AS known_at FROM snaps
+        |  UNION ALL SELECT fin FROM snaps),
+        |g AS (SELECT valid_month, known_at,
+        |    CAST(SUM(CASE WHEN known_on <= known_at THEN cents
+        |      ELSE 0 END) AS BIGINT) AS known_cents,
+        |    CAST(SUM(cents) AS BIGINT) AS final_cents,
+        |    CAST(SUM(CASE WHEN known_on <= known_at THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_lines_known
+        |  FROM li, snapx GROUP BY 1, 2)
+        |SELECT valid_month, known_at, n_lines_known, known_cents,
+        |  floor(CAST(known_cents AS DOUBLE)/final_cents
+        |    *10000 + 0.5 + 0.000001)/10000 AS share_of_final
+        |FROM g ORDER BY 1, 2""".stripMargin,
+    "q_missingness" ->
+      """WITH e AS (SELECT event_type, value IS NULL AS miss,
+        |    CASE WHEN value IS NOT NULL
+        |      THEN CAST(round(value*100) AS BIGINT) ELSE 0 END
+        |      AS cents
+        |  FROM events),
+        |per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nm,
+        |    CAST(SUM(cents) AS BIGINT) AS sc,
+        |    CAST(SUM(cents*cents) AS BIGINT) AS scc
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS gn,
+        |    CAST(SUM(nm) AS DOUBLE) AS gm FROM per),
+        |chi AS (SELECT floor(SUM(
+        |    (nm - n*gm/gn)*(nm - n*gm/gn)/(n*gm/gn)
+        |    + ((n - nm) - n*(gn - gm)/gn)
+        |      *((n - nm) - n*(gn - gm)/gn)/(n*(gn - gm)/gn))
+        |    *10000 + 0.5 + 0.000001)/10000 AS chi2_mcar
+        |  FROM per, tot)
+        |SELECT event_type, n, nm AS n_missing,
+        |  floor(CAST(nm AS DOUBLE)/n*10000 + 0.5 + 0.000001)/10000
+        |    AS missing_rate,
+        |  floor(CAST(sc AS DOUBLE)/CAST(n - nm AS DOUBLE)/100.0
+        |    *10000 + 0.5 + 0.000001)/10000 AS mean_observed,
+        |  floor((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+        |      *CAST(sc AS DOUBLE)/CAST(n - nm AS DOUBLE))
+        |    /(CAST(n - nm AS DOUBLE) - 1)/10000.0
+        |    *10000 + 0.5 + 0.000001)/10000 AS var_observed,
+        |  floor((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+        |      *CAST(sc AS DOUBLE)/CAST(n - nm AS DOUBLE))
+        |    /(CAST(n - nm AS DOUBLE) - 1)*(CAST(n - nm AS DOUBLE) - 1)
+        |    /(n - 1)/10000.0*10000 + 0.5 + 0.000001)/10000
+        |    AS var_imputed,
+        |  chi2_mcar
+        |FROM per, chi ORDER BY event_type""".stripMargin,
   )
 }

@@ -1510,4 +1510,57 @@ object Behavior {
           col("r_ctrl").cast("double") / col("n_ctrl")).as("uplift"))
       .orderBy(col("decile"))
   }
+
+  /** Missingness profile of the nullable `value` column by event
+    * type: per-type missing rates, the observed mean (exact cents),
+    * and the variance DEFLATION a naive mean-impute would cause
+    * (imputed/observed variance ratio = (n_obs−1)/(n−1) analytically;
+    * reported from the actual moments so the identity is checked, not
+    * assumed), plus the missingness-independence chi² across types as
+    * a constant column — MCAR's first falsification test. The screen
+    * that runs BEFORE anyone fills nulls in a training table.
+    *
+    * Scale shape: one type-keyed conditional-moment pass (cents-exact
+    * sums), chi² from the |types|-bounded cell frame broadcast
+    * back. */
+  def missingnessProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      col("value").isNull.as("miss"),
+      when(col("value").isNotNull,
+        round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+    val per = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("miss"), 1L).otherwise(0L)).as("nm"),
+        sum(col("cents")).as("sc"),
+        sum(col("cents") * col("cents")).as("scc"))
+      .persistMemDisk
+    val tot = per.agg(sum(col("n")).cast("double").as("gn"),
+      sum(col("nm")).cast("double").as("gm"))
+    // chi² of missing × type from exact integer cells
+    val chi2 = per.crossJoin(broadcast(tot))
+      .agg(round4eps(sum(
+        (col("nm") - col("n") * col("gm") / col("gn")) *
+          (col("nm") - col("n") * col("gm") / col("gn")) /
+          (col("n") * col("gm") / col("gn")) +
+        ((col("n") - col("nm")) - col("n") * (col("gn") - col("gm")) / col("gn")) *
+          ((col("n") - col("nm")) - col("n") * (col("gn") - col("gm")) / col("gn")) /
+          (col("n") * (col("gn") - col("gm")) / col("gn"))))
+        .as("chi2_mcar"))
+    val nObs = (col("n") - col("nm")).cast("double")
+    val varObs = (col("scc").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") / nObs) /
+      (nObs - 1)
+    per.crossJoin(broadcast(chi2))
+      .select(col("event_type"), col("n"), col("nm").as("n_missing"),
+        round4eps(col("nm").cast("double") / col("n")).as("missing_rate"),
+        round4eps(col("sc").cast("double") / nObs / lit(100.0))
+          .as("mean_observed"),
+        round4eps(varObs / lit(10000.0)).as("var_observed"),
+        // mean-impute keeps Σ(x−x̄)² fixed while n grows, so the
+        // filled column's variance deflates to SS/(n−1)
+        round4eps(varObs * (nObs - 1) / (col("n") - 1) / lit(10000.0))
+          .as("var_imputed"),
+        col("chi2_mcar"))
+      .orderBy(col("event_type"))
+  }
 }

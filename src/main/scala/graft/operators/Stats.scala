@@ -4265,6 +4265,49 @@ object Stats {
         round4eps((delta - diff) / se) > 1.645).as("equivalent"))
   }
 
+  /** Variance inflation factors for the three lineitem predictors
+    * (quantity, discount, tax): VIF_i = [R⁻¹]ᵢᵢ from the 3×3
+    * correlation matrix in closed form (adjugate diagonal / det),
+    * plus det(R) itself — det → 0 flags collinearity the pairwise
+    * correlations (already gated) can hide. The pre-flight every
+    * multi-predictor fit in this library (olsMulti, iv2sls, …)
+    * assumes has been run.
+    *
+    * Scale shape: ONE 9-sum moment aggregation over the fact scan
+    * (map-side combined), then scalar 3×3 algebra. Exact 2-decimal
+    * inputs. */
+  def vif(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_quantity").as("x1"), col("l_discount").as("x2"),
+      col("l_tax").as("x3"))
+    val m = li.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x3")).as("s3"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x3") * col("x3")).as("s33"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x1") * col("x3")).as("s13"),
+      sum(col("x2") * col("x3")).as("s23"))
+    def r(sab: Column, sa: Column, sb: Column, saa: Column,
+        sbb: Column): Column =
+      (sab - sa * sb / col("n")) /
+        sqrt((saa - sa * sa / col("n")) * (sbb - sb * sb / col("n")))
+    val r12 = r(col("s12"), col("s1"), col("s2"), col("s11"), col("s22"))
+    val r13 = r(col("s13"), col("s1"), col("s3"), col("s11"), col("s33"))
+    val r23 = r(col("s23"), col("s2"), col("s3"), col("s22"), col("s33"))
+    val det = lit(1.0) + lit(2.0) * r12 * r13 * r23 -
+      r12 * r12 - r13 * r13 - r23 * r23
+    m.select(col("n").cast("long").as("n"),
+      round4eps(r12).as("r_qty_disc"),
+      round4eps(r13).as("r_qty_tax"),
+      round4eps(r23).as("r_disc_tax"),
+      round4eps((lit(1.0) - r23 * r23) / det).as("vif_quantity"),
+      round4eps((lit(1.0) - r13 * r13) / det).as("vif_discount"),
+      round4eps((lit(1.0) - r12 * r12) / det).as("vif_tax"),
+      round4eps(det).as("det_r"))
+  }
+
   /** GEE / Chao1 number-of-distinct-values estimation from the SAME
     * deterministic 10% hash sample the AQP gate reads: the sampled
     * per-key occurrence profile (d_s distinct, f1 singletons, f2

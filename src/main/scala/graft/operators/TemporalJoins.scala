@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Rounding.round4eps
 
 /** Temporal join operators Spark lacks natively — as-of join and
   * bounded range join — composed from built-in operators so Catalyst
@@ -209,5 +210,46 @@ object TemporalJoins {
         round4eps(avg(col("overlap_days"))).as("avg_overlap_days"),
         max(col("overlap_days")).cast("long").as("max_overlap_days"))
       .orderBy(col("region"))
+  }
+
+  /** Bitemporal monthly-revenue report: VALID time = the order month
+    * a line belongs to, TRANSACTION (knowledge) time = the ship date
+    * the line is recorded on. For each valid month × two knowledge
+    * snapshots (the calendar midpoint and the final date): the
+    * revenue as it was KNOWN at that snapshot and its share of the
+    * final number — "what did March look like in June vs today", the
+    * restatement view a finance mart must answer without rewriting
+    * history (the query-side complement of the lake's snapshot time
+    * travel, which versions FILES; this versions FACTS).
+    *
+    * Scale shape: one conditional-sum aggregation keyed by valid
+    * month (calendar-bounded cells), the two snapshots as a ×2
+    * explode of constants; cents-exact sums. */
+  def bitemporalReport(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .select(trunc(col("o_orderdate"), "month").as("valid_month"),
+        to_date(col("l_shipdate")).as("known_on"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val snaps = li.agg(
+      date_add(min(col("known_on")),
+        (datediff(max(col("known_on")), min(col("known_on"))) / 2)
+          .cast("int")).as("mid"),
+      max(col("known_on")).as("fin"))
+    li.crossJoin(broadcast(snaps))
+      .withColumn("known_at", explode(array(col("mid"), col("fin"))))
+      .groupBy(col("valid_month"), col("known_at"))
+      .agg(
+        sum(when(col("known_on") <= col("known_at"), col("cents"))
+          .otherwise(0L)).as("known_cents"),
+        sum(col("cents")).as("final_cents"),
+        sum(when(col("known_on") <= col("known_at"), 1L).otherwise(0L))
+          .as("n_lines_known"))
+      .select(col("valid_month"), col("known_at"),
+        col("n_lines_known"), col("known_cents"),
+        round4eps(col("known_cents").cast("double") /
+          col("final_cents")).as("share_of_final"))
+      .orderBy(col("valid_month"), col("known_at"))
   }
 }

@@ -282,4 +282,17 @@ class BehaviorSpec extends AnyFunSuite {
         r.getAs[Double]("p_treat") < 1.0) // overlap holds per stratum
     }
   }
+
+  test("missingnessProfile: rates bounded, mean-impute deflates variance") {
+    val rows = graft.operators.Behavior.missingnessProfile(
+      TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("missing_rate")
+      assert(rate >= 0.0 && rate < 1.0)
+      assert(r.getAs[Double]("var_imputed") <=
+        r.getAs[Double]("var_observed") + 1e-9)
+      assert(r.getAs[Double]("chi2_mcar") >= 0.0)
+    }
+  }
 }

@@ -1121,4 +1121,13 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("chao_est") >= ds.toDouble)
     assert(r.getAs[Double]("rel_err_gee") >= 0.0)
   }
+
+  test("vif: VIFs >= 1, det(R) in (0,1]") {
+    val r = Stats.vif(spark, dir).collect().head
+    Seq("vif_quantity", "vif_discount", "vif_tax").foreach { c =>
+      assert(r.getAs[Double](c) >= 1.0 - 1e-3)
+    }
+    val det = r.getAs[Double]("det_r")
+    assert(det > 0.0 && det <= 1.0 + 1e-9)
+  }
 }

@@ -143,4 +143,19 @@ class TemporalJoinsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_overlap_days") <= 10) // spans are <= 10 days
     }
   }
+
+  test("bitemporalReport: knowledge is monotone and bounded by final") {
+    val rows = graft.operators.TemporalJoins.bitemporalReport(
+      TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    val byMonth = rows.groupBy(_.getAs[java.sql.Date]("valid_month"))
+    byMonth.values.foreach { ms =>
+      assert(ms.length == 2) // mid + final snapshot
+      val sorted = ms.sortBy(_.getAs[java.sql.Date]("known_at").getTime)
+      val shares = sorted.map(_.getAs[Double]("share_of_final"))
+      assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-9 })
+      assert(shares.last >= 1.0 - 1e-9) // the final snapshot knows everything
+      sorted.foreach(r => assert(r.getAs[Double]("share_of_final") <= 1.0 + 1e-9))
+    }
+  }
 }
