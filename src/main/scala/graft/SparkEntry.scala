@@ -1280,6 +1280,10 @@ object SparkEntry {
     "q_bitemporal"       -> ((s, d) => TemporalJoins.bitemporalReport(s, d)),
     "q_missingness"      -> ((s, d) =>
       graft.operators.Behavior.missingnessProfile(s, d)),
+    // r11 multivariate-series + trade batch (closed-form moment fits)
+    "q_var_model"        -> ((s, d) => Stats.varModel(s, d)),
+    "q_ecm"              -> ((s, d) => Stats.ecmModel(s, d)),
+    "q_gravity"          -> ((s, d) => Joins.gravityModel(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -12123,5 +12127,145 @@ object SparkEntry {
         |    AS var_imputed,
         |  chi2_mcar
         |FROM per, chi ORDER BY event_type""".stripMargin,
+    "q_var_model" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS x,
+        |    COUNT(*)/1000.0 AS y
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT x, y, lag(x) OVER (ORDER BY d) AS xl,
+        |    lag(y) OVER (ORDER BY d) AS yl FROM daily),
+        |f AS (SELECT * FROM l WHERE xl IS NOT NULL),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(xl) AS s1, SUM(yl) AS s2,
+        |    SUM(xl*xl) AS s11, SUM(xl*yl) AS s12, SUM(yl*yl) AS s22,
+        |    SUM(x) AS sx, SUM(xl*x) AS s1x, SUM(yl*x) AS s2x,
+        |    SUM(y) AS sy, SUM(xl*y) AS s1y, SUM(yl*y) AS s2y
+        |  FROM f),
+        |c AS (SELECT n,
+        |    s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12,
+        |    s22 - s2*s2/n AS c22,
+        |    s1x - s1*sx/n AS c1x, s2x - s2*sx/n AS c2x,
+        |    s1y - s1*sy/n AS c1y, s2y - s2*sy/n AS c2y
+        |  FROM m),
+        |b AS (SELECT n,
+        |    (c1x*c22 - c2x*c12)/(c11*c22 - c12*c12) AS b11,
+        |    (c11*c2x - c12*c1x)/(c11*c22 - c12*c12) AS b12,
+        |    (c1y*c22 - c2y*c12)/(c11*c22 - c12*c12) AS b21,
+        |    (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS b22
+        |  FROM c),
+        |r AS (SELECT n, b11, b12, b21, b22,
+        |    b11 + b22 AS tr, b11*b22 - b12*b21 AS detb,
+        |    (b11 + b22)*(b11 + b22) - 4.0*(b11*b22 - b12*b21) AS disc
+        |  FROM b),
+        |rr AS (SELECT n, b11, b12, b21, b22,
+        |    CASE WHEN disc >= 0 THEN greatest(
+        |        abs((tr + sqrt(disc))/2), abs((tr - sqrt(disc))/2))
+        |      ELSE sqrt(detb) END AS radius
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  floor(b11*10000 + 0.5 + 0.000001)/10000 AS b_rev_rev,
+        |  floor(b12*10000 + 0.5 + 0.000001)/10000 AS b_rev_cnt,
+        |  floor(b21*10000 + 0.5 + 0.000001)/10000 AS b_cnt_rev,
+        |  floor(b22*10000 + 0.5 + 0.000001)/10000 AS b_cnt_cnt,
+        |  floor(radius*10000 + 0.5 + 0.000001)/10000
+        |    AS spectral_radius,
+        |  floor(radius*10000 + 0.5 + 0.000001)/10000 < 1.0 AS stable
+        |FROM rr""".stripMargin,
+    "q_ecm" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CASE WHEN r_name = 'AMERICA' THEN o_totalprice
+        |      ELSE 0.0 END)/1000.0 AS a,
+        |    SUM(CASE WHEN r_name = 'EUROPE' THEN o_totalprice
+        |      ELSE 0.0 END)/1000.0 AS b
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1),
+        |m1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(b) AS sb, SUM(a) AS sa, SUM(b*b) AS sbb,
+        |    SUM(b*a) AS sba FROM daily),
+        |st AS (SELECT
+        |    floor((sba - sb*sa/n)/(sbb - sb*sb/n)*10000 + 0.5
+        |      + 0.000001)/10000 AS beta_s,
+        |    floor((sa/n - (sba - sb*sa/n)/(sbb - sb*sb/n)*sb/n)*10000
+        |      + 0.5 + 0.000001)/10000 AS alpha_s
+        |  FROM m1),
+        |res AS (SELECT d, a, b,
+        |    floor((a - alpha_s - beta_s*b)*10000 + 0.5
+        |      + 0.000001)/10000 AS e
+        |  FROM daily, st),
+        |lagd AS (SELECT lag(e) OVER (ORDER BY d) AS el,
+        |    a - lag(a) OVER (ORDER BY d) AS da,
+        |    b - lag(b) OVER (ORDER BY d) AS db
+        |  FROM res),
+        |f AS (SELECT * FROM lagd WHERE el IS NOT NULL),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(el) AS s1, SUM(db) AS s2, SUM(da) AS sy,
+        |    SUM(el*el) AS s11, SUM(el*db) AS s12, SUM(db*db) AS s22,
+        |    SUM(el*da) AS s1y, SUM(db*da) AS s2y, SUM(da*da) AS syy
+        |  FROM f),
+        |c AS (SELECT n, s1, s2, sy,
+        |    s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12,
+        |    s22 - s2*s2/n AS c22,
+        |    s1y - s1*sy/n AS c1y, s2y - s2*sy/n AS c2y,
+        |    syy - sy*sy/n AS cyy
+        |  FROM m),
+        |g AS (SELECT n, s1, s2, sy, c1y, c2y, cyy,
+        |    (c1y*c22 - c2y*c12)/(c11*c22 - c12*c12) AS gamma,
+        |    (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS beta
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  floor((sy - gamma*s1 - beta*s2)/n*10000 + 0.5
+        |    + 0.000001)/10000 AS alpha,
+        |  floor(gamma*10000 + 0.5 + 0.000001)/10000 AS gamma,
+        |  floor(beta*10000 + 0.5 + 0.000001)/10000 AS beta_dx,
+        |  floor((1.0 - (cyy - gamma*c1y - beta*c2y)/cyy)
+        |    *10000 + 0.5 + 0.000001)/10000 AS r2,
+        |  floor(CASE WHEN gamma > -1 AND gamma < 0
+        |      THEN -0.6931471805599453/ln(1.0 + gamma)
+        |      ELSE -1.0 END*10000 + 0.5 + 0.000001)/10000
+        |    AS half_life_days
+        |FROM g""".stripMargin,
+    "q_gravity" ->
+      """WITH flows AS (SELECT c_nationkey AS cn, s_nationkey AS sn,
+        |    CAST(SUM(CAST(round(l_extendedprice) AS BIGINT))
+        |      AS BIGINT) AS flow
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |mc AS (SELECT cn, CAST(SUM(flow) AS BIGINT) AS mass_c
+        |  FROM flows GROUP BY 1),
+        |ms AS (SELECT sn, CAST(SUM(flow) AS BIGINT) AS mass_s
+        |  FROM flows GROUP BY 1),
+        |cells AS (SELECT ln(CAST(flow AS DOUBLE)) AS y,
+        |    ln(CAST(mass_c AS DOUBLE)) AS x1,
+        |    ln(CAST(mass_s AS DOUBLE)) AS x2
+        |  FROM flows JOIN mc USING (cn) JOIN ms USING (sn)
+        |  WHERE flow > 0),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+        |    SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+        |    SUM(x1*y) AS s1y, SUM(x2*y) AS s2y, SUM(y*y) AS syy
+        |  FROM cells),
+        |c AS (SELECT n, s1, s2, sy,
+        |    s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12,
+        |    s22 - s2*s2/n AS c22,
+        |    s1y - s1*sy/n AS c1y, s2y - s2*sy/n AS c2y,
+        |    syy - sy*sy/n AS cyy
+        |  FROM m),
+        |g AS (SELECT n, s1, s2, sy, c1y, c2y, cyy,
+        |    (c1y*c22 - c2y*c12)/(c11*c22 - c12*c12) AS b1,
+        |    (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS b2
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  floor((sy - b1*s1 - b2*s2)/n*10000 + 0.5 + 0.000001)/10000
+        |    AS intercept,
+        |  floor(b1*10000 + 0.5 + 0.000001)/10000 AS b_customer_mass,
+        |  floor(b2*10000 + 0.5 + 0.000001)/10000 AS b_supplier_mass,
+        |  floor((1.0 - (cyy - b1*c1y - b2*c2y)/cyy)
+        |    *10000 + 0.5 + 0.000001)/10000 AS r2
+        |FROM g""".stripMargin,
   )
 }

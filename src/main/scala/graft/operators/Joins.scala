@@ -1492,4 +1492,64 @@ object Joins {
           .as("jaccard"))
       .orderBy(col("m"))
   }
+
+  /** Trade gravity model over the nation-pair flow matrix:
+    * ln(flowᶜˢ) = a + b₁·ln(Mᶜ) + b₂·ln(Mˢ) fitted by the olsMulti
+    * Cramer solve over the ≤25×25 cells with positive flow (masses =
+    * each nation's total as customer / as supplier) — Tinbergen's
+    * gravity equation, the canonical screen for "does trade scale
+    * with economic mass" on any origin×destination panel. Elasticity
+    * coefficients near 1 mean proportional scaling.
+    *
+    * Scale shape: ONE fact rollup to the taxonomy-bounded pair matrix
+    * (exact whole-dollar flows, map-side combined), then moment OLS
+    * on ≤625 rows. */
+  def gravityModel(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round4eps
+    val flows = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("cn"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("sn"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("cn"), col("sn"))
+      .agg(sum(round(col("l_extendedprice")).cast("long")).as("flow"))
+      .persistMemDisk
+    val mc = flows.groupBy(col("cn"))
+      .agg(sum(col("flow")).as("mass_c"))
+    val ms = flows.groupBy(col("sn"))
+      .agg(sum(col("flow")).as("mass_s"))
+    val cells = flows.filter(col("flow") > 0)
+      .join(broadcast(mc), "cn").join(broadcast(ms), "sn")
+      .select(log(col("flow").cast("double")).as("y"),
+        log(col("mass_c").cast("double")).as("x1"),
+        log(col("mass_s").cast("double")).as("x2"))
+    val m = cells.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y") * col("y")).as("syy"))
+    val c11 = col("s11") - col("s1") * col("s1") / col("n")
+    val c12 = col("s12") - col("s1") * col("s2") / col("n")
+    val c22 = col("s22") - col("s2") * col("s2") / col("n")
+    val c1y = col("s1y") - col("s1") * col("sy") / col("n")
+    val c2y = col("s2y") - col("s2") * col("sy") / col("n")
+    val cyy = col("syy") - col("sy") * col("sy") / col("n")
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    m.select(col("n").cast("long").as("n_pairs"),
+      round4eps((col("sy") - b1 * col("s1") - b2 * col("s2")) / col("n"))
+        .as("intercept"),
+      round4eps(b1).as("b_customer_mass"),
+      round4eps(b2).as("b_supplier_mass"),
+      round4eps(lit(1.0) - (cyy - b1 * c1y - b2 * c2y) / cyy).as("r2"))
+  }
 }

@@ -4265,6 +4265,134 @@ object Stats {
         round4eps((delta - diff) / se) > 1.645).as("equivalent"))
   }
 
+  /** First-order vector autoregression VAR(1) of the daily
+    * (revenue-in-millions, orders-in-thousands) pair: two 2-predictor
+    * OLS equations in closed form (the olsMulti Cramer solve on the
+    * lagged frame), plus the companion-matrix spectral radius —
+    * max |eigenvalue| of B, with the complex-pair case handled as
+    * √det — and the radius < 1 stability verdict. The multivariate
+    * counterpart of the gated AR/ADF family: "do the two series
+    * feed back into each other, and is the system stable".
+    *
+    * Scale shape: calendar-collapsed daily frame, one lag window,
+    * ONE 14-sum moment aggregation, scalar 2×2 algebra. Flat at
+    * 100×. */
+  def varModel(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("x"),
+        (count(lit(1)) / lit(1000.0)).as("y"))
+    val wd = Window.orderBy(col("d"))
+    val lagged = daily
+      .withColumn("xl", lag(col("x"), 1).over(wd))
+      .withColumn("yl", lag(col("y"), 1).over(wd))
+      .filter(col("xl").isNotNull)
+    val m = lagged.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("xl")).as("s1"), sum(col("yl")).as("s2"),
+      sum(col("xl") * col("xl")).as("s11"),
+      sum(col("xl") * col("yl")).as("s12"),
+      sum(col("yl") * col("yl")).as("s22"),
+      sum(col("x")).as("sx"), sum(col("xl") * col("x")).as("s1x"),
+      sum(col("yl") * col("x")).as("s2x"),
+      sum(col("y")).as("sy"), sum(col("xl") * col("y")).as("s1y"),
+      sum(col("yl") * col("y")).as("s2y"))
+    val c11 = col("s11") - col("s1") * col("s1") / col("n")
+    val c12 = col("s12") - col("s1") * col("s2") / col("n")
+    val c22 = col("s22") - col("s2") * col("s2") / col("n")
+    val det = c11 * c22 - c12 * c12
+    def b(c1y: Column, c2y: Column): (Column, Column) = (
+      (c1y * c22 - c2y * c12) / det,
+      (c11 * c2y - c12 * c1y) / det)
+    val c1x = col("s1x") - col("s1") * col("sx") / col("n")
+    val c2x = col("s2x") - col("s2") * col("sx") / col("n")
+    val c1y = col("s1y") - col("s1") * col("sy") / col("n")
+    val c2y = col("s2y") - col("s2") * col("sy") / col("n")
+    val (b11, b12) = b(c1x, c2x)
+    val (b21, b22) = b(c1y, c2y)
+    val tr = b11 + b22
+    val detB = b11 * b22 - b12 * b21
+    val disc = tr * tr - lit(4.0) * detB
+    val radius = when(disc >= 0,
+      greatest(abs((tr + sqrt(disc)) / 2), abs((tr - sqrt(disc)) / 2)))
+      .otherwise(sqrt(detB))
+    m.select(col("n").cast("long").as("n_days"),
+      round4eps(b11).as("b_rev_rev"), round4eps(b12).as("b_rev_cnt"),
+      round4eps(b21).as("b_cnt_rev"), round4eps(b22).as("b_cnt_cnt"),
+      round4eps(radius).as("spectral_radius"),
+      (round4eps(radius) < 1.0).as("stable"))
+  }
+
+  /** Error-correction model on the Engle-Granger pair (AMERICA vs
+    * EUROPE daily revenue, the gated cointegration screen's exact
+    * frame): Δa_t = α + γ·ecm_{t−1} + β·Δb_t with ecm the quantized
+    * static-regression residual — γ < 0 is the correction pull, and
+    * −ln2/ln(1+γ) its half-life in days. The "how fast does the
+    * spread close" readout the EG test motivates but doesn't give.
+    *
+    * Scale shape: same calendar collapse as engleGranger, one lag
+    * window, one 10-sum moment pass, scalar Cramer algebra. */
+  def ecmModel(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(when(col("r_name") === "AMERICA",
+          col("o_totalprice")).otherwise(lit(0.0))).as("ya_raw"),
+        sum(when(col("r_name") === "EUROPE",
+          col("o_totalprice")).otherwise(lit(0.0))).as("yb_raw"))
+      .select(col("d"), (col("ya_raw") / lit(1000.0)).as("a"),
+        (col("yb_raw") / lit(1000.0)).as("b"))
+      .persistMemDisk
+    val m1 = daily.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("b")).as("sb"), sum(col("a")).as("sa"),
+        sum(col("b") * col("b")).as("sbb"),
+        sum(col("b") * col("a")).as("sba"))
+      .withColumn("cbb", col("sbb") - col("sb") * col("sb") / col("n"))
+      .withColumn("beta",
+        (col("sba") - col("sb") * col("sa") / col("n")) / col("cbb"))
+      .withColumn("alpha",
+        col("sa") / col("n") - col("beta") * col("sb") / col("n"))
+      .select(round4eps(col("beta")).as("beta_s"),
+        round4eps(col("alpha")).as("alpha_s"))
+    val wd = Window.orderBy(col("d"))
+    val frame = daily.crossJoin(broadcast(m1))
+      .withColumn("e", round4eps(
+        col("a") - col("alpha_s") - col("beta_s") * col("b")))
+      .withColumn("el", lag(col("e"), 1).over(wd))
+      .withColumn("da", col("a") - lag(col("a"), 1).over(wd))
+      .withColumn("db", col("b") - lag(col("b"), 1).over(wd))
+      .filter(col("el").isNotNull)
+    val m = frame.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("el")).as("s1"), sum(col("db")).as("s2"),
+      sum(col("da")).as("sy"),
+      sum(col("el") * col("el")).as("s11"),
+      sum(col("el") * col("db")).as("s12"),
+      sum(col("db") * col("db")).as("s22"),
+      sum(col("el") * col("da")).as("s1y"),
+      sum(col("db") * col("da")).as("s2y"),
+      sum(col("da") * col("da")).as("syy"))
+    val c11 = col("s11") - col("s1") * col("s1") / col("n")
+    val c12 = col("s12") - col("s1") * col("s2") / col("n")
+    val c22 = col("s22") - col("s2") * col("s2") / col("n")
+    val c1y = col("s1y") - col("s1") * col("sy") / col("n")
+    val c2y = col("s2y") - col("s2") * col("sy") / col("n")
+    val cyy = col("syy") - col("sy") * col("sy") / col("n")
+    val det = c11 * c22 - c12 * c12
+    val gamma = (c1y * c22 - c2y * c12) / det
+    val beta = (c11 * c2y - c12 * c1y) / det
+    val a0 = (col("sy") - gamma * col("s1") - beta * col("s2")) / col("n")
+    m.select(col("n").cast("long").as("n_days"),
+      round4eps(a0).as("alpha"),
+      round4eps(gamma).as("gamma"),
+      round4eps(beta).as("beta_dx"),
+      round4eps(lit(1.0) - (cyy - gamma * c1y - beta * c2y) / cyy)
+        .as("r2"),
+      round4eps(when(gamma > -1 && gamma < 0,
+        lit(-math.log(2.0)) / log(lit(1.0) + gamma))
+        .otherwise(lit(-1.0))).as("half_life_days"))
+  }
+
   /** Variance inflation factors for the three lineitem predictors
     * (quantity, discount, tax): VIF_i = [R⁻¹]ᵢᵢ from the 3×3
     * correlation matrix in closed form (adjugate diagonal / det),

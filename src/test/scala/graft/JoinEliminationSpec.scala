@@ -141,4 +141,14 @@ class JoinEliminationSpec extends AnyFunSuite {
         "cleared constraints must stop the rewrite")
     } finally Constraints.clear()
   }
+
+  test("gravityModel: positive mass elasticities, r2 in [0,1]") {
+    val r = graft.operators.Joins.gravityModel(TestSpark.spark, TestSpark.sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") > 0L)
+    assert(r.getAs[Double]("b_customer_mass") > 0.0)
+    assert(r.getAs[Double]("b_supplier_mass") > 0.0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+  }
 }

@@ -1130,4 +1130,23 @@ class StatsSpec extends AnyFunSuite {
     val det = r.getAs[Double]("det_r")
     assert(det > 0.0 && det <= 1.0 + 1e-9)
   }
+
+  test("varModel: finite coefficients, stability verdict consistent") {
+    val r = Stats.varModel(spark, dir).collect().head
+    Seq("b_rev_rev", "b_rev_cnt", "b_cnt_rev", "b_cnt_cnt").foreach { c =>
+      assert(!r.getAs[Double](c).isNaN)
+    }
+    val rad = r.getAs[Double]("spectral_radius")
+    assert(rad >= 0.0)
+    assert(r.getAs[Boolean]("stable") == (rad < 1.0))
+  }
+
+  test("ecmModel: half-life defined iff gamma is a correction") {
+    val r = Stats.ecmModel(spark, dir).collect().head
+    val g = r.getAs[Double]("gamma")
+    val hl = r.getAs[Double]("half_life_days")
+    if (g > -1.0 && g < 0.0) assert(hl > 0.0) else assert(hl == -1.0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+  }
 }
