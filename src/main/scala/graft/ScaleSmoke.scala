@@ -492,6 +492,37 @@ object ScaleSmoke {
     run("audioDecode")(operators.Multimodal.decodeAudioStats(spark, dir))
     run("streamTopK")(graft.streaming.EventStreams.windowedTopKGate(spark, dir))
     run("aqpRevenue")(operators.Stats.aqpRevenue(spark, dir))
+    // r11 session-2 batch 2. Panel family (hubness/LOF/DBSCAN): the
+    // audit panel is FIXED at 2000 vectors, so the 4M-pair frame is a
+    // constant at any corpus size — only the scan grows. capture-
+    // recapture rides the two banded detectors (their own stress rows
+    // above); replication multiplies dup classes, so BOTH captures and
+    // the overlap grow together. windowFrames/bitemporal: priority-
+    // keyed windows / valid-month conditional rollup — fact-linear.
+    // tokenFertility/brierDecomp/ndv/vif: single map-side-combined
+    // aggregations. gravity/varModel/ecm/holm: taxonomy/calendar
+    // collapses feeding scalar fits.
+    run("hubness")(operators.Similarity.hubness(spark, dir))
+    run("lofScores")(operators.Similarity.lofScores(spark, dir))
+    run("dbscan")(operators.Similarity.dbscan(spark, dir))
+    run("captureRecapture")(operators.Dedup.captureRecapture(spark, dir))
+    // windowFrames is a pure projection — a bare count() would prune
+    // the window columns and time an empty scan; aggregate the frame
+    // outputs so the three window kinds actually execute
+    run("windowFrames")(operators.Relational.windowFrames(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("cum_rows"),
+        org.apache.spark.sql.functions.sum("cum_range"),
+        org.apache.spark.sql.functions.sum("trail7d")))
+    run("bitemporalReport")(operators.TemporalJoins.bitemporalReport(spark, dir))
+    run("tokenFertility")(operators.TextAnalysis.tokenFertility(spark, dir))
+    run("brierDecomp")(operators.Stats.brierDecomp(spark, dir))
+    run("ndvEstimate")(operators.Stats.ndvEstimate(spark, dir))
+    run("vif")(operators.Stats.vif(spark, dir))
+    run("gravityModel")(operators.Joins.gravityModel(spark, dir))
+    run("varModel")(operators.Stats.varModel(spark, dir))
+    run("ecmModel")(operators.Stats.ecmModel(spark, dir))
+    run("holmByFdr")(operators.Stats.holmByFdr(spark, dir))
+    run("missingnessProfile")(operators.Behavior.missingnessProfile(spark, dir))
 
     // r10: V2 mount snapshot pruning at scale (round-9 verdict demand
     // #7) — a warehouse holding the whole replicated events table
