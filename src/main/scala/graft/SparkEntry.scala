@@ -1284,6 +1284,9 @@ object SparkEntry {
     "q_var_model"        -> ((s, d) => Stats.varModel(s, d)),
     "q_ecm"              -> ((s, d) => Stats.ecmModel(s, d)),
     "q_gravity"          -> ((s, d) => Joins.gravityModel(s, d)),
+    // r11: agreement completion + pair-similarity readout
+    "q_krippendorff"     -> ((s, d) => TextAnalysis.krippendorffAlpha(s, d)),
+    "q_rouge"            -> ((s, d) => TextAnalysis.rougePairs(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -12267,5 +12270,121 @@ object SparkEntry {
         |  floor((1.0 - (cyy - b1*c1y - b2*c2y)/cyy)
         |    *10000 + 0.5 + 0.000001)/10000 AS r2
         |FROM g""".stripMargin,
+    "q_krippendorff" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+        |      'g'), ' ') AS w2,
+        |    string_split(regexp_replace(lower(trim(substr(text, 1,
+        |      120))), '\s+', ' ', 'g'), ' ') AS w3
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(w2, x -> x IN ('the','a','of','and','to','in','is','that'))) AS e2,
+        |  len(list_filter(w2, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS d2,
+        |  len(list_filter(w2, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s2,
+        |  len(list_filter(w2, x -> x IN ('le','la','de','et','est','un','une','que'))) AS f2,
+        |  len(list_filter(w2, x -> x IN ('的','是','了','在','我','有','和','不'))) AS z2,
+        |  len(list_filter(w3, x -> x IN ('the','a','of','and','to','in','is','that'))) AS e3,
+        |  len(list_filter(w3, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS d3,
+        |  len(list_filter(w3, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s3,
+        |  len(list_filter(w3, x -> x IN ('le','la','de','et','est','un','une','que'))) AS f3,
+        |  len(list_filter(w3, x -> x IN ('的','是','了','在','我','有','和','不'))) AS z3
+        |  FROM w),
+        |r AS (SELECT doc_id, lang AS r1,
+        |  CASE WHEN greatest(e2,d2,s2,f2,z2) = 0 THEN 'und'
+        |    WHEN e2 = greatest(e2,d2,s2,f2,z2) THEN 'en'
+        |    WHEN d2 = greatest(e2,d2,s2,f2,z2) THEN 'de'
+        |    WHEN s2 = greatest(e2,d2,s2,f2,z2) THEN 'es'
+        |    WHEN f2 = greatest(e2,d2,s2,f2,z2) THEN 'fr'
+        |    ELSE 'zh' END AS r2,
+        |  CASE WHEN greatest(e3,d3,s3,f3,z3) = 0 THEN 'und'
+        |    WHEN e3 = greatest(e3,d3,s3,f3,z3) THEN 'en'
+        |    WHEN d3 = greatest(e3,d3,s3,f3,z3) THEN 'de'
+        |    WHEN s3 = greatest(e3,d3,s3,f3,z3) THEN 'es'
+        |    WHEN f3 = greatest(e3,d3,s3,f3,z3) THEN 'fr'
+        |    ELSE 'zh' END AS r3
+        |  FROM s),
+        |lng AS (SELECT doc_id, unnest([r1, r2, r3]) AS cat FROM r),
+        |nij AS (SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM lng GROUP BY 1, 2),
+        |du AS (SELECT doc_id, CAST(SUM(nij*(3 - nij)) AS BIGINT) AS d
+        |  FROM nij GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(d) AS BIGINT) AS sd FROM du),
+        |nc AS (SELECT cat, CAST(SUM(nij) AS BIGINT) AS n_c
+        |  FROM nij GROUP BY 1),
+        |fin AS (SELECT MAX(n_units) AS n_units, MAX(sd) AS sd,
+        |    CAST(SUM(n_c*(n_units*3 - n_c)) AS BIGINT) AS de_num
+        |  FROM nc, tot)
+        |SELECT n_units, n_units*3 AS n_ratings,
+        |  floor(CAST(sd AS DOUBLE)/CAST(n_units*6 AS DOUBLE)
+        |    *10000 + 0.5 + 0.000001)/10000 AS d_observed,
+        |  floor(CAST(de_num AS DOUBLE)
+        |    /CAST((n_units*3)*(n_units*3 - 1) AS DOUBLE)
+        |    *10000 + 0.5 + 0.000001)/10000 AS d_expected,
+        |  floor((1.0 - (CAST(sd AS DOUBLE)/CAST(n_units*6 AS DOUBLE))
+        |    /(CAST(de_num AS DOUBLE)
+        |      /CAST((n_units*3)*(n_units*3 - 1) AS DOUBLE)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS alpha
+        |FROM fin""".stripMargin,
+    "q_rouge" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS t2
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t2), 1, 15))::BIGINT AS h FROM tok),
+        |b AS (SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS sgn
+        |  FROM h CROSS JOIN range(60) t(j) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0
+        |    END) AS BIGINT) AS sig
+        |  FROM b GROUP BY 1),
+        |p2 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+        |  WHERE CAST(bit_count(xor(a.sig, b2.sig)) AS INTEGER) <= 3),
+        |uni AS (SELECT doc_id, t AS g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents) GROUP BY 1, 2),
+        |bi AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id,
+        |      unnest([w[i]||' '||w[i+1] for i in range(1, len(w))])
+        |        AS g
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |      FROM documents)) GROUP BY 1, 2),
+        |l1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len
+        |  FROM uni GROUP BY 1),
+        |l2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len
+        |  FROM bi GROUP BY 1),
+        |o1 AS (SELECT p.doc_a, p.doc_b,
+        |    CAST(SUM(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM p2 p JOIN uni a ON p.doc_a = a.doc_id
+        |    JOIN uni b ON p.doc_b = b.doc_id AND a.g = b.g
+        |  GROUP BY 1, 2),
+        |o2 AS (SELECT p.doc_a, p.doc_b,
+        |    CAST(SUM(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM p2 p JOIN bi a ON p.doc_a = a.doc_id
+        |    JOIN bi b ON p.doc_b = b.doc_id AND a.g = b.g
+        |  GROUP BY 1, 2),
+        |fin AS (SELECT p.doc_a, p.doc_b,
+        |    COALESCE(o1.ov, 0) AS ov1, COALESCE(o2.ov, 0) AS ov2,
+        |    la.len AS l1a, lb.len AS l1b,
+        |    COALESCE(la2.len, 0) AS l2a, COALESCE(lb2.len, 0) AS l2b
+        |  FROM p2 p JOIN l1 la ON p.doc_a = la.doc_id
+        |    JOIN l1 lb ON p.doc_b = lb.doc_id
+        |    LEFT JOIN l2 la2 ON p.doc_a = la2.doc_id
+        |    LEFT JOIN l2 lb2 ON p.doc_b = lb2.doc_id
+        |    LEFT JOIN o1 ON p.doc_a = o1.doc_a AND p.doc_b = o1.doc_b
+        |    LEFT JOIN o2 ON p.doc_a = o2.doc_a AND p.doc_b = o2.doc_b)
+        |SELECT doc_a, doc_b, ov1, ov2,
+        |  floor(CAST(ov1 AS DOUBLE)/l1b*10000 + 0.5 + 0.000001)/10000
+        |    AS rouge1_p,
+        |  floor(CAST(ov1 AS DOUBLE)/l1a*10000 + 0.5 + 0.000001)/10000
+        |    AS rouge1_r,
+        |  floor(2.0*CAST(ov1 AS DOUBLE)/CAST(l1a + l1b AS DOUBLE)
+        |    *10000 + 0.5 + 0.000001)/10000 AS rouge1_f,
+        |  CASE WHEN l2a + l2b > 0
+        |    THEN floor(2.0*CAST(ov2 AS DOUBLE)
+        |      /CAST(l2a + l2b AS DOUBLE)*10000 + 0.5 + 0.000001)/10000
+        |    ELSE 0.0 END AS rouge2_f
+        |FROM fin ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -1720,18 +1720,114 @@ object TextAnalysis {
         (lit(1.0) - col("pe"))).as("kappa"))
   }
 
-  /** The hashing trick: tokens folded into a fixed 64-bucket signed
-    * feature vector per document — bucket from the low 6 bits of the
-    * shared md5-prefix hash, sign from bit 6, feature = Σsign (the
-    * Weinberger et al. signed feature hash, the fixed-width
-    * featurizer a training pipeline uses when the vocabulary is
-    * unbounded). Gate output restricted to doc_id < 30 to bound the
-    * dump; the featurizer itself is corpus-wide.
+  /** Krippendorff's alpha (nominal, complete data) over the same
+    * three-rater language panel as [[fleissKappa]]: α = 1 − Do/De
+    * with the observed disagreement from per-unit category counts
+    * (d_u = Σc n_uc(m − n_uc) ordered disagreeing pairs) and the
+    * expected disagreement from the finite-sample marginal
+    * coincidences De = Σc n_c(N − n_c)/(N(N−1)) — the
+    * reliability coefficient that (unlike Fleiss) generalizes to
+    * missing data and other metrics, reported beside it so the two
+    * families can be compared on identical ratings.
     *
-    * Scale shape: one token explode + one (doc, bucket)-keyed count
-    * aggregation, fully map-side combined; the doc filter pushes to
-    * the parquet scan. Zero-feature buckets are dropped (sparse
-    * representation), exactly what a 100 TB featurizer must emit. */
+    * Scale shape: identical to fleissKappa — one doc-keyed category
+    * count, then category-bounded algebra; exact integers until the
+    * final ratios. */
+  def krippendorffAlpha(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("r1"),
+        langId(col("text")).as("r2"),
+        langId(substring(col("text"), 1, 120)).as("r3"))
+    val nij = rated
+      .select(col("doc_id"),
+        explode(array(col("r1"), col("r2"), col("r3"))).as("cat"))
+      .groupBy(col("doc_id"), col("cat")).agg(count(lit(1)).as("nij"))
+      .persistMemDisk
+    val du = nij.groupBy(col("doc_id"))
+      .agg(sum(col("nij") * (lit(3L) - col("nij"))).as("d"))
+    val tot = du.agg(count(lit(1)).as("n_units"), sum(col("d")).as("sd"))
+    val nc = nij.groupBy(col("cat"))
+      .agg(sum(col("nij")).as("n_c"))
+    nc.crossJoin(broadcast(tot))
+      .agg(max(col("n_units")).as("n_units"),
+        max(col("sd")).as("sd"),
+        sum(col("n_c") * (col("n_units") * 3 - col("n_c")))
+          .as("de_num"))
+      .withColumn("n_ratings", col("n_units") * 3)
+      .select(col("n_units"), col("n_ratings"),
+        round4eps(col("sd").cast("double") /
+          (col("n_units") * 6).cast("double")).as("d_observed"),
+        round4eps(col("de_num").cast("double") /
+          (col("n_ratings") * (col("n_ratings") - 1)).cast("double"))
+          .as("d_expected"),
+        round4eps(lit(1.0) -
+          (col("sd").cast("double") /
+            (col("n_units") * 6).cast("double")) /
+          (col("de_num").cast("double") /
+            (col("n_ratings") * (col("n_ratings") - 1)).cast("double")))
+          .as("alpha"))
+  }
+
+  /** ROUGE-1 / ROUGE-2 between every portable-SimHash near-dup pair
+    * (doc_a as reference, doc_b as candidate): clipped-count n-gram
+    * overlap → precision, recall, F1 — the summarization-eval metric
+    * repurposed as the similarity READOUT for pairs a hash detector
+    * already surfaced (Hamming distance says "close"; ROUGE says
+    * how, in overlap terms a human can audit).
+    *
+    * Scale shape: candidate pairs come from the banded detector
+    * (never all-pairs); the n-gram count frames are one explode +
+    * (doc, gram) aggregation each, joined pair-keyed. Clipped
+    * overlaps are exact integer sums. */
+  def rougePairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simhashPortablePairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documents(s, dir)
+    val uni = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .persistMemDisk
+    val w = split(col("text"), " ")
+    val bi = docs
+      .select(col("doc_id"), explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (x, y) => concat(x, lit(" "), y))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .persistMemDisk
+    def lens(tok: DataFrame, name: String): DataFrame =
+      tok.groupBy(col("doc_id")).agg(sum(col("c")).as(name))
+    def overlap(tok: DataFrame, name: String): DataFrame =
+      pairs
+        .join(tok.select(col("doc_id").as("doc_a"), col("g"),
+          col("c").as("ca")), Seq("doc_a"))
+        .join(tok.select(col("doc_id").as("doc_b"), col("g"),
+          col("c").as("cb")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(least(col("ca"), col("cb"))).as(name))
+    val out = pairs
+      .join(lens(uni, "len1").select(col("doc_id").as("doc_a"),
+        col("len1").as("l1a")), Seq("doc_a"))
+      .join(lens(uni, "len1").select(col("doc_id").as("doc_b"),
+        col("len1").as("l1b")), Seq("doc_b"))
+      .join(lens(bi, "len2").select(col("doc_id").as("doc_a"),
+        col("len2").as("l2a")), Seq("doc_a"), "left")
+      .join(lens(bi, "len2").select(col("doc_id").as("doc_b"),
+        col("len2").as("l2b")), Seq("doc_b"), "left")
+      .join(overlap(uni, "ov1"), Seq("doc_a", "doc_b"), "left")
+      .join(overlap(bi, "ov2"), Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("ov1", "ov2", "l2a", "l2b"))
+    out.select(col("doc_a"), col("doc_b"), col("ov1"), col("ov2"),
+      round4eps(col("ov1").cast("double") / col("l1b")).as("rouge1_p"),
+      round4eps(col("ov1").cast("double") / col("l1a")).as("rouge1_r"),
+      round4eps(lit(2.0) * col("ov1").cast("double") /
+        (col("l1a") + col("l1b")).cast("double")).as("rouge1_f"),
+      when(col("l2a") + col("l2b") > 0,
+        round4eps(lit(2.0) * col("ov2").cast("double") /
+          (col("l2a") + col("l2b")).cast("double")))
+        .otherwise(lit(0.0)).as("rouge2_f"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Tokenizer fertility per (lang, source): subword-to-word ratio
     * under the BPE-ish length tokenizer (tokenCountBpe) — the
     * standard "how many tokens does this language cost" readout that
@@ -1753,6 +1849,18 @@ object TextAnalysis {
           .as("avg_doc_words"))
       .orderBy(col("lang"), col("source"))
 
+  /** The hashing trick: tokens folded into a fixed 64-bucket signed
+    * feature vector per document — bucket from the low 6 bits of the
+    * shared md5-prefix hash, sign from bit 6, feature = Σsign (the
+    * Weinberger et al. signed feature hash, the fixed-width
+    * featurizer a training pipeline uses when the vocabulary is
+    * unbounded). Gate output restricted to doc_id < 30 to bound the
+    * dump; the featurizer itself is corpus-wide.
+    *
+    * Scale shape: one token explode + one (doc, bucket)-keyed count
+    * aggregation, fully map-side combined; the doc filter pushes to
+    * the parquet scan. Zero-feature buckets are dropped (sparse
+    * representation), exactly what a 100 TB featurizer must emit. */
   def featureHash(s: SparkSession, dir: String,
       nBuckets: Int = 64, maxDoc: Long = 30): DataFrame = {
     val tok = Tables.documents(s, dir)

@@ -584,4 +584,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("kappa") -
       (po - pe) / (1 - pe)) < 1e-3)
   }
+
+  test("krippendorffAlpha: alpha <= 1, disagreements bounded") {
+    val r = graft.operators.TextAnalysis.krippendorffAlpha(
+      TestSpark.spark, TestSpark.sfDir).collect().head
+    assert(r.getAs[Long]("n_ratings") == 3 * r.getAs[Long]("n_units"))
+    val d_o = r.getAs[Double]("d_observed")
+    val d_e = r.getAs[Double]("d_expected")
+    assert(d_o >= 0.0 && d_o <= 1.0 + 1e-9)
+    assert(d_e > 0.0 && d_e <= 1.0 + 1e-9)
+    assert(r.getAs[Double]("alpha") <= 1.0 + 1e-9)
+  }
+
+  test("rougePairs: F1 bounded by min(P,R) geometry, rouge2 <= rouge1") {
+    val rows = graft.operators.TextAnalysis.rougePairs(
+      TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("rouge1_p")
+      val rc = r.getAs[Double]("rouge1_r")
+      val f = r.getAs[Double]("rouge1_f")
+      assert(p >= 0.0 && p <= 1.0 + 1e-9)
+      assert(rc >= 0.0 && rc <= 1.0 + 1e-9)
+      assert(f <= math.max(p, rc) + 1e-3)
+      assert(r.getAs[Double]("rouge2_f") <= f + 0.05) // bigram overlap can't much exceed unigram
+    }
+  }
 }
