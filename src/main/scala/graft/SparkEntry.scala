@@ -1287,6 +1287,12 @@ object SparkEntry {
     // r11: agreement completion + pair-similarity readout
     "q_krippendorff"     -> ((s, d) => TextAnalysis.krippendorffAlpha(s, d)),
     "q_rouge"            -> ((s, d) => TextAnalysis.rougePairs(s, d)),
+    // r11: stylometry, level-3 rules, queueing staffing
+    "q_burrows_delta"    -> ((s, d) => TextAnalysis.burrowsDelta(s, d)),
+    "q_triple_rules"     -> ((s, d) =>
+      graft.operators.Behavior.tripleRules(s, d)),
+    "q_erlang_c"         -> ((s, d) =>
+      graft.operators.Inventory.erlangC(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -12386,5 +12392,90 @@ object SparkEntry {
         |      /CAST(l2a + l2b AS DOUBLE)*10000 + 0.5 + 0.000001)/10000
         |    ELSE 0.0 END AS rouge2_f
         |FROM fin ORDER BY doc_a, doc_b""".stripMargin,
+    "q_burrows_delta" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |top AS (SELECT w FROM (SELECT w, COUNT(*) AS cw FROM tok
+        |  GROUP BY 1 ORDER BY cw DESC, w LIMIT 50)),
+        |totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nt
+        |  FROM tok GROUP BY 1),
+        |counts AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok JOIN top USING (w) GROUP BY 1, 2),
+        |freq AS (SELECT t.source, p.w,
+        |    floor(CAST(COALESCE(c.c, 0) AS DOUBLE)/t.nt*1000
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS f
+        |  FROM totals t CROSS JOIN top p
+        |    LEFT JOIN counts c ON c.source = t.source AND c.w = p.w),
+        |stats AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS k,
+        |    SUM(f) AS sf, SUM(f*f) AS sff FROM freq GROUP BY 1),
+        |st2 AS (SELECT w, sf/k AS mu,
+        |    sqrt(sff/k - (sf/k)*(sf/k)) AS sd
+        |  FROM stats WHERE sqrt(sff/k - (sf/k)*(sf/k)) > 0),
+        |z AS (SELECT source, w,
+        |    floor((f - mu)/sd*1000000 + 0.5 + 0.000001)/1000000 AS z
+        |  FROM freq JOIN st2 USING (w))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  floor(AVG(abs(a.z - b.z))*10000 + 0.5 + 0.000001)/10000
+        |    AS delta
+        |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_triple_rules" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+        |    AS n_orders FROM l),
+        |s AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_one
+        |  FROM l GROUP BY 1),
+        |t AS (SELECT a.p_brand AS ba, b.p_brand AS bb,
+        |    c.p_brand AS bc, CAST(COUNT(*) AS BIGINT) AS n_all3
+        |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey
+        |      AND a.p_brand < b.p_brand
+        |    JOIN l c ON b.l_orderkey = c.l_orderkey
+        |      AND b.p_brand < c.p_brand
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5)
+        |SELECT ba AS brand_a, bb AS brand_b, bc AS brand_c, n_all3,
+        |  floor(CAST(n_all3 AS DOUBLE)/n_orders
+        |    *10000 + 0.5 + 0.000001)/10000 AS support,
+        |  floor(CAST(n_all3 AS DOUBLE)*n_orders*n_orders
+        |    /(sa.n_one*sb.n_one*sc.n_one)
+        |    *10000 + 0.5 + 0.000001)/10000 AS lift3
+        |FROM t JOIN s sa ON t.ba = sa.p_brand
+        |  JOIN s sb ON t.bb = sb.p_brand
+        |  JOIN s sc ON t.bc = sc.p_brand, n
+        |ORDER BY lift3 DESC, brand_a, brand_b, brand_c
+        |LIMIT 20""".stripMargin,
+    "q_erlang_c" ->
+      """WITH base0 AS (SELECT COUNT(*)
+        |    /(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+        |      MAX(CAST(o_orderdate AS DATE))) + 1) AS lam_raw
+        |  FROM orders),
+        |base AS (SELECT
+        |    floor(lam_raw*1000000 + 0.5 + 0.000001)/1000000 AS lam,
+        |    floor(lam_raw/50.0*1000000 + 0.5 + 0.000001)/1000000 AS a
+        |  FROM base0),
+        |kf AS (SELECT k,
+        |    SUM(CASE WHEN k > 0 THEN ln(k) ELSE 0.0 END)
+        |      OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) AS lnf
+        |  FROM (SELECT unnest(generate_series(0,
+        |    CAST(ceil(a) AS INTEGER) + 5)) AS k FROM base)),
+        |kt AS (SELECT k, lnf, exp(k*ln(a) - lnf) AS term
+        |  FROM kf, base),
+        |grid AS (SELECT unnest(generate_series(
+        |    CAST(ceil(a) AS INTEGER) + 1,
+        |    CAST(ceil(a) AS INTEGER) + 5)) AS c FROM base),
+        |g AS (SELECT c, lam, a,
+        |    SUM(CASE WHEN k < c THEN term ELSE 0.0 END) AS s,
+        |    MAX(CASE WHEN k = c THEN term ELSE 0.0 END) AS tc
+        |  FROM grid JOIN kt ON k <= c, base GROUP BY 1, 2, 3),
+        |p AS (SELECT c, lam, a,
+        |    (tc*c/(c - a))/(s + tc*c/(c - a)) AS pw FROM g)
+        |SELECT CAST(c AS BIGINT) AS agents,
+        |  floor(a/c*10000 + 0.5 + 0.000001)/10000 AS rho,
+        |  floor(pw*10000 + 0.5 + 0.000001)/10000 AS p_wait,
+        |  floor(pw/(c*50.0 - lam)*24.0*10000 + 0.5 + 0.000001)/10000
+        |    AS asa_hours
+        |FROM p ORDER BY agents""".stripMargin,
   )
 }

@@ -884,6 +884,60 @@ object Behavior {
       .orderBy(col("lift").desc, col("pa"), col("pb")).limit(topK)
   }
 
+  /** Level-3 association rules: brand triples co-purchased within an
+    * order, with 3-way lift P(abc)/(P(a)P(b)P(c)) — the step past the
+    * gated pair rules (basketRules) where independence-baseline
+    * corrections actually start to matter. Triple enumeration is the
+    * within-basket 3-way self-join: baskets are brand-bounded (≤ ~7
+    * distinct brands per order), so candidates are C(7,3)-per-order
+    * LINEAR in orders — the reason a-priori's candidate pruning is a
+    * no-op at this basket shape and the direct join is the right
+    * plan.
+    *
+    * Scale shape: one distinct (order, brand) projection, the
+    * bounded-fanout triple join keyed on orderkey, one triple-keyed
+    * count — all fact-linear with map-side combine. */
+  def tripleRules(s: SparkSession, dir: String,
+      minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .persistMemDisk
+    val nOrders = l.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val singles = l.groupBy(col("p_brand")).agg(count(lit(1)).as("n_one"))
+    val triples = l.select(col("l_orderkey"), col("p_brand").as("ba"))
+      .join(l.select(col("l_orderkey"), col("p_brand").as("bb")),
+        "l_orderkey")
+      .filter(col("ba") < col("bb"))
+      .join(l.select(col("l_orderkey"), col("p_brand").as("bc")),
+        "l_orderkey")
+      .filter(col("bb") < col("bc"))
+      .groupBy(col("ba"), col("bb"), col("bc"))
+      .agg(count(lit(1)).as("n_all3"))
+      .filter(col("n_all3") >= minCount)
+    triples
+      .join(broadcast(singles.select(col("p_brand").as("ba"),
+        col("n_one").as("n_a"))), "ba")
+      .join(broadcast(singles.select(col("p_brand").as("bb"),
+        col("n_one").as("n_b"))), "bb")
+      .join(broadcast(singles.select(col("p_brand").as("bc"),
+        col("n_one").as("n_c"))), "bc")
+      .crossJoin(broadcast(nOrders))
+      .select(col("ba").as("brand_a"), col("bb").as("brand_b"),
+        col("bc").as("brand_c"), col("n_all3"),
+        round4eps(col("n_all3").cast("double") / col("n_orders"))
+          .as("support"),
+        round4eps(col("n_all3").cast("double") * col("n_orders") *
+          col("n_orders") /
+          (col("n_a") * col("n_b") * col("n_c"))).as("lift3"))
+      .orderBy(col("lift3").desc, col("brand_a"), col("brand_b"),
+        col("brand_c"))
+      .limit(topK)
+  }
+
   /** Multi-touch conversion attribution: each purchase's credit split
     * across the view/click touchpoints the same user produced in the
     * preceding `lookbackSec` window (default 7 days — on this corpus's

@@ -261,4 +261,55 @@ object Inventory {
         (col("v") > col("m")).as("overdispersed"))
       .orderBy(col("p_brand"))
   }
+
+  /** Erlang-C staffing table: with arrival rate λ = orders/day and a
+    * fixed per-agent service rate μ, the wait probability and average
+    * speed of answer for each candidate agent count c — the queueing
+    * sizing readout (the M/M/c companion of the gated Little's-law
+    * identity). P_wait = (aᶜ/c!)·c/(c−a) / (Σ_{k<c} aᵏ/k! + same),
+    * ASA = P_wait/(cμ − λ).
+    *
+    * Scale shape: the fact scan collapses to ONE (λ) scalar; the
+    * k-term table is offered-load-bounded (a ≈ λ/μ, a handful of
+    * terms) with exact ln-factorials from a cumulative-sum window
+    * over that tiny frame. The offered load a is 1e-6-quantized so
+    * every exp/ratio is engine-exact. */
+  def erlangC(s: SparkSession, dir: String,
+      muPerDay: Double = 50.0): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir)
+      .agg((count(lit(1)) /
+        (datediff(max(col("o_orderdate")), min(col("o_orderdate"))) + 1))
+        .as("lam_raw"))
+      .select(q6(col("lam_raw")).as("lam"),
+        q6(col("lam_raw") / lit(muPerDay)).as("a"))
+    val kf = base
+      .withColumn("k", explode(sequence(lit(0),
+        ceil(col("a")).cast("int") + 5)))
+      .withColumn("lnf", sum(when(col("k") > 0, log(col("k")))
+        .otherwise(lit(0.0))).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("term", exp(col("k") * log(col("a")) - col("lnf")))
+    val grid = base.withColumn("c", explode(sequence(
+      ceil(col("a")).cast("int") + 1, ceil(col("a")).cast("int") + 5)))
+    grid.join(kf.select(col("k"), col("lnf"), col("term")),
+        col("k") <= col("c"))
+      .groupBy(col("c"), col("lam"), col("a"))
+      .agg(sum(when(col("k") < col("c"), col("term")).otherwise(lit(0.0)))
+        .as("s"),
+        max(when(col("k") === col("c"), col("term")).otherwise(lit(0.0)))
+          .as("tc"))
+      .withColumn("pw",
+        (col("tc") * col("c") / (col("c") - col("a"))) /
+          (col("s") + col("tc") * col("c") / (col("c") - col("a"))))
+      .select(col("c").cast("long").as("agents"),
+        round4eps(col("a") / col("c")).as("rho"),
+        round4eps(col("pw")).as("p_wait"),
+        round4eps(col("pw") /
+          (col("c") * lit(muPerDay) - col("lam")) * lit(24.0))
+          .as("asa_hours"))
+      .orderBy(col("agents"))
+  }
 }

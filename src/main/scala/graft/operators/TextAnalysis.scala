@@ -1720,6 +1720,59 @@ object TextAnalysis {
         (lit(1.0) - col("pe"))).as("kappa"))
   }
 
+  /** Burrows' Delta between sources — the authorship/stylometry drift
+    * measure: relative frequencies of the corpus top-50 words per
+    * source, z-scored ACROSS sources per word, Delta(a,b) = mean
+    * |z_a − z_b|. The "did this slice's writing style change" screen,
+    * complementing the token-distribution divergences (KL/JS, gated)
+    * with the function-word geometry stylometry actually uses.
+    *
+    * Scale shape: one corpus token count (map-side combined), the
+    * top-50 vocabulary broadcast back, one (source × word) count —
+    * everything after is |sources|×50-bounded. Frequencies are
+    * 1e-6-quantized before the cross-source moments so z-scores are
+    * engine-exact. */
+  def burrowsDelta(s: SparkSession, dir: String, topW: Int = 50): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .persistMemDisk
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(topW)
+      .select(col("w"))
+    val totals = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("nt"))
+    val counts = tok.join(broadcast(top), "w")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    // dense (source × top-word) grid: a top word ABSENT from a source
+    // is frequency 0, not a missing row (Delta's standard treatment)
+    val freq = totals.crossJoin(broadcast(top))
+      .join(counts, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        q6(coalesce(col("c"), lit(0L)).cast("double") /
+          col("nt") * 1000).as("f"))
+    // cross-source mean/std per word (population σ over the fixed
+    // source set); σ = 0 words drop identically on both engines
+    val stats = freq.groupBy(col("w"))
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(col("f")).as("sf"), sum(col("f") * col("f")).as("sff"))
+      .select(col("w"), (col("sf") / col("k")).as("mu"),
+        sqrt(col("sff") / col("k") -
+          (col("sf") / col("k")) * (col("sf") / col("k"))).as("sd"))
+      .filter(col("sd") > 0)
+    val z = freq.join(broadcast(stats), "w")
+      .select(col("source"), col("w"),
+        q6((col("f") - col("mu")) / col("sd")).as("z"))
+    z.as("a").join(z.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_words"),
+        round4eps(avg(abs(col("a.z") - col("b.z")))).as("delta"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Krippendorff's alpha (nominal, complete data) over the same
     * three-rater language panel as [[fleissKappa]]: α = 1 − Do/De
     * with the observed disagreement from per-unit category counts

@@ -295,4 +295,19 @@ class BehaviorSpec extends AnyFunSuite {
       assert(r.getAs[Double]("chi2_mcar") >= 0.0)
     }
   }
+
+  test("tripleRules: support/lift positive, brands strictly ordered") {
+    val rows = graft.operators.Behavior.tripleRules(
+      TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[String]("brand_a") < r.getAs[String]("brand_b"))
+      assert(r.getAs[String]("brand_b") < r.getAs[String]("brand_c"))
+      assert(r.getAs[Long]("n_all3") >= 5L)
+      assert(r.getAs[Double]("support") > 0.0)
+      assert(r.getAs[Double]("lift3") > 0.0)
+    }
+    val lifts = rows.map(_.getAs[Double]("lift3"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
 }

@@ -62,4 +62,19 @@ class ControlChartsSpec extends AnyFunSuite {
     assert(rows.last.getAs[Double]("ucl") === 599.0)
     assert(rows.forall(_.getAs[Int]("breach") === 0))
   }
+
+  test("erlangC: wait probability falls as agents rise, rho < 1") {
+    val rows = graft.operators.Inventory.erlangC(
+      TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val rho = r.getAs[Double]("rho")
+      assert(rho > 0.0 && rho < 1.0)
+      val pw = r.getAs[Double]("p_wait")
+      assert(pw >= 0.0 && pw <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("asa_hours") >= 0.0)
+    }
+    val pws = rows.sortBy(_.getAs[Long]("agents")).map(_.getAs[Double]("p_wait"))
+    assert(pws.zip(pws.tail).forall { case (a, b) => a >= b - 1e-9 })
+  }
 }

@@ -610,4 +610,16 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.getAs[Double]("rouge2_f") <= f + 0.05) // bigram overlap can't much exceed unigram
     }
   }
+
+  test("burrowsDelta: symmetric non-negative pair deltas over shared words") {
+    val rows = graft.operators.TextAnalysis.burrowsDelta(
+      TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("delta") >= 0.0)
+      assert(r.getAs[Long]("n_words") > 0L &&
+        r.getAs[Long]("n_words") <= 50L)
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+  }
 }
