@@ -1293,6 +1293,11 @@ object SparkEntry {
       graft.operators.Behavior.tripleRules(s, d)),
     "q_erlang_c"         -> ((s, d) =>
       graft.operators.Inventory.erlangC(s, d)),
+    // r11: transformation selection, capability, agreement
+    "q_boxcox"           -> ((s, d) => Stats.boxCox(s, d)),
+    "q_cpk"              -> ((s, d) =>
+      graft.operators.ControlCharts.processCapability(s, d)),
+    "q_bland_altman"     -> ((s, d) => Stats.blandAltman(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -12477,5 +12482,71 @@ object SparkEntry {
         |  floor(pw/(c*50.0 - lam)*24.0*10000 + 0.5 + 0.000001)/10000
         |    AS asa_hours
         |FROM p ORDER BY agents""".stripMargin,
+    "q_boxcox" ->
+      """WITH x AS (SELECT floor(o_totalprice/1000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS x FROM orders),
+        |g AS (SELECT x, unnest([-1.0, -0.5, 0.0, 0.5, 1.0]) AS lam
+        |  FROM x),
+        |z AS (SELECT lam, x,
+        |    CASE WHEN lam = 0.0 THEN ln(x)
+        |      ELSE (pow(x, lam) - 1)/lam END AS z FROM g),
+        |m AS (SELECT lam, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(z) AS sz, SUM(z*z) AS szz, SUM(ln(x)) AS slx
+        |  FROM z GROUP BY 1),
+        |ll AS (SELECT lam AS lambda,
+        |    floor((-0.5*n*ln(szz/n - (sz/n)*(sz/n))
+        |      + (lam - 1)*slx)*10000 + 0.5 + 0.000001)/10000
+        |      AS loglik
+        |  FROM m)
+        |SELECT lambda, loglik,
+        |  loglik = MAX(loglik) OVER () AS best
+        |FROM ll ORDER BY lambda""".stripMargin,
+    "q_cpk" ->
+      """WITH li AS (SELECT p_brand, l_quantity AS x
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x) AS sx, SUM(x*x) AS sxx,
+        |    CAST(SUM(CASE WHEN x < 1.0 OR x > 50.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_out
+        |  FROM li GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n,
+        |  floor(sx/n*10000 + 0.5 + 0.000001)/10000 AS mean_qty,
+        |  floor(sqrt((sxx - sx*sx/n)/(n - 1))
+        |    *10000 + 0.5 + 0.000001)/10000 AS sd_qty,
+        |  floor(49.0/(6.0*sqrt((sxx - sx*sx/n)/(n - 1)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS cp,
+        |  floor(least(50.0 - sx/n, sx/n - 1.0)
+        |    /(3.0*sqrt((sxx - sx*sx/n)/(n - 1)))
+        |    *10000 + 0.5 + 0.000001)/10000 AS cpk,
+        |  floor(CAST(n_out AS DOUBLE)/n*10000 + 0.5 + 0.000001)/10000
+        |    AS pct_out_of_spec
+        |FROM m ORDER BY p_brand""".stripMargin,
+    "q_bland_altman" ->
+      """WITH la AS (SELECT l_orderkey,
+        |    SUM(l_extendedprice*(1.0 - l_discount)) AS line_net
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT floor((o_totalprice - line_net)/1000.0
+        |    *10000 + 0.5 + 0.000001)/10000 AS d
+        |  FROM orders JOIN la ON o_orderkey = l_orderkey),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(d) AS sd_,
+        |    SUM(d*d) AS sdd FROM d),
+        |b AS (SELECT n,
+        |    floor(sd_/n*10000 + 0.5 + 0.000001)/10000 AS bias,
+        |    floor(sqrt((sdd - sd_*sd_/n)/(n - 1))
+        |      *10000 + 0.5 + 0.000001)/10000 AS sd_diff
+        |  FROM m),
+        |b2 AS (SELECT n, bias, sd_diff,
+        |    floor((bias - 1.96*sd_diff)*10000 + 0.5 + 0.000001)/10000
+        |      AS loa_low,
+        |    floor((bias + 1.96*sd_diff)*10000 + 0.5 + 0.000001)/10000
+        |      AS loa_high
+        |  FROM b)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_orders, MAX(bias) AS bias,
+        |  MAX(sd_diff) AS sd_diff, MAX(loa_low) AS loa_low,
+        |  MAX(loa_high) AS loa_high,
+        |  floor(CAST(SUM(CASE WHEN d.d < loa_low OR d.d > loa_high
+        |    THEN 1 ELSE 0 END) AS DOUBLE)/MAX(n)
+        |    *10000 + 0.5 + 0.000001)/10000 AS pct_outside
+        |FROM d, b2""".stripMargin,
   )
 }

@@ -112,4 +112,39 @@ object ControlCharts {
         (col("x") < col("lcl") || col("x") > col("ucl")).cast("int"))
       .orderBy(col("d"))
   }
+
+  /** Process capability per brand for the order quantity against the
+    * fixed spec window [1, 50]: Cp = (USL−LSL)/6s (potential),
+    * Cpk = min(USL−μ, μ−LSL)/3s (actual, centering-penalized), and
+    * the EXACT share outside spec — the capability complement of the
+    * control-chart family (charts ask "is it stable", capability
+    * asks "does stable meet spec").
+    *
+    * Scale shape: one brand-keyed integer-moment pass, exact counts;
+    * everything after is 25 rows. */
+  def processCapability(s: SparkSession, dir: String,
+      lsl: Double = 1.0, usl: Double = 50.0): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_quantity").as("x"))
+    val mu = col("sx") / col("n")
+    val sd = sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+      (col("n") - 1))
+    li.groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(when(col("x") < lsl || col("x") > usl, 1L).otherwise(0L))
+          .as("n_out"))
+      .select(col("p_brand"), col("n").cast("long").as("n"),
+        round4eps(mu).as("mean_qty"),
+        round4eps(sd).as("sd_qty"),
+        round4eps(lit(usl - lsl) / (lit(6.0) * sd)).as("cp"),
+        round4eps(least(lit(usl) - mu, mu - lit(lsl)) /
+          (lit(3.0) * sd)).as("cpk"),
+        round4eps(col("n_out").cast("double") / col("n"))
+          .as("pct_out_of_spec"))
+      .orderBy(col("p_brand"))
+  }
 }

@@ -4265,6 +4265,82 @@ object Stats {
         round4eps((delta - diff) / se) > 1.645).as("equivalent"))
   }
 
+  /** Box-Cox transformation selection: profile log-likelihood
+    * ℓ(λ) = −n/2·ln σ²(z_λ) + (λ−1)Σln x over the canonical λ grid
+    * (−1, −½, 0, ½, 1), z_λ = (x^λ−1)/λ (ln x at λ=0) — "which power
+    * transform makes this metric most normal", the pre-flight for
+    * every Gaussian-assuming screen in this library. Reports the
+    * grid with the argmax flagged.
+    *
+    * Scale shape: one ×5 grid explode of the fact scan, one
+    * (λ)-keyed moment pass (map-side combined), scalar algebra on 5
+    * rows. x is 4dp-quantized before pow/ln so both engines
+    * transform identical doubles. */
+  def boxCox(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(s, dir)
+      .select(round4eps(col("o_totalprice") / lit(1000.0)).as("x"))
+    val grid = x.withColumn("lam",
+      explode(array(lit(-1.0), lit(-0.5), lit(0.0), lit(0.5), lit(1.0))))
+      .withColumn("z", when(col("lam") === 0.0, log(col("x")))
+        .otherwise((pow(col("x"), col("lam")) - 1) / col("lam")))
+    val m = grid.groupBy(col("lam"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("z")).as("sz"), sum(col("z") * col("z")).as("szz"),
+        sum(log(col("x"))).as("slx"))
+    val sigma2 = col("szz") / col("n") -
+      (col("sz") / col("n")) * (col("sz") / col("n"))
+    val ll = m.select(col("lam").as("lambda"),
+        round4eps(lit(-0.5) * col("n") * log(sigma2) +
+          (col("lam") - 1) * col("slx")).as("loglik"))
+    ll.withColumn("best",
+        col("loglik") === max(col("loglik")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy(col("lambda"))
+  }
+
+  /** Bland-Altman agreement between the two "measurements" of order
+    * value the schema carries — the header total vs the summed line
+    * net (Σ extprice·(1−disc)) — bias, the SD of the differences,
+    * the 95% limits of agreement, and the share of orders outside
+    * them: the statistical-agreement readout behind every
+    * two-system reconciliation (the gated yearly recon says totals
+    * match; this says how individual records disagree).
+    *
+    * Scale shape: one orderkey-keyed line rollup (the only shuffle),
+    * one moment pass over the order-grain diffs, one bounded
+    * recount against the quantized limits. Diffs are 4dp-quantized
+    * before the moments AND the limit compares, so the outside-count
+    * is engine-exact. */
+  def blandAltman(s: SparkSession, dir: String): DataFrame = {
+    val lineAgg = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("line_net"))
+    val diffs = Tables.orders(s, dir)
+      .join(lineAgg, col("o_orderkey") === col("l_orderkey"))
+      .select(round4eps((col("o_totalprice") - col("line_net")) /
+        lit(1000.0)).as("d"))
+      .persistMemDisk
+    val m = diffs.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("d")).as("sd_"), sum(col("d") * col("d")).as("sdd"))
+      .select(col("n"),
+        round4eps(col("sd_") / col("n")).as("bias"),
+        round4eps(sqrt((col("sdd") - col("sd_") * col("sd_") / col("n")) /
+          (col("n") - 1))).as("sd_diff"))
+      .select(col("n"), col("bias"), col("sd_diff"),
+        round4eps(col("bias") - lit(1.96) * col("sd_diff")).as("loa_low"),
+        round4eps(col("bias") + lit(1.96) * col("sd_diff")).as("loa_high"))
+    diffs.crossJoin(broadcast(m))
+      .agg(max(col("n")).cast("long").as("n_orders"),
+        max(col("bias")).as("bias"),
+        max(col("sd_diff")).as("sd_diff"),
+        max(col("loa_low")).as("loa_low"),
+        max(col("loa_high")).as("loa_high"),
+        round4eps(sum(when(col("d") < col("loa_low") ||
+          col("d") > col("loa_high"), 1L).otherwise(0L))
+          .cast("double") / max(col("n"))).as("pct_outside"))
+  }
+
   /** First-order vector autoregression VAR(1) of the daily
     * (revenue-in-millions, orders-in-thousands) pair: two 2-predictor
     * OLS equations in closed form (the olsMulti Cramer solve on the

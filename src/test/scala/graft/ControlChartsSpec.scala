@@ -77,4 +77,16 @@ class ControlChartsSpec extends AnyFunSuite {
     val pws = rows.sortBy(_.getAs[Long]("agents")).map(_.getAs[Double]("p_wait"))
     assert(pws.zip(pws.tail).forall { case (a, b) => a >= b - 1e-9 })
   }
+
+  test("processCapability: Cpk <= Cp, spec share consistent") {
+    val rows = graft.operators.ControlCharts.processCapability(
+      TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cpk") <= r.getAs[Double]("cp") + 1e-9)
+      assert(r.getAs[Double]("cp") > 0.0)
+      val p = r.getAs[Double]("pct_out_of_spec")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
 }

@@ -1149,4 +1149,23 @@ class StatsSpec extends AnyFunSuite {
     val r2 = r.getAs[Double]("r2")
     assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
   }
+
+  test("boxCox: exactly one best lambda, loglik finite on the grid") {
+    val rows = Stats.boxCox(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.count(_.getAs[Boolean]("best")) >= 1)
+    rows.foreach(r => assert(!r.getAs[Double]("loglik").isNaN))
+    // lambda=1 is a linear shift: its loglik never strictly beats all others
+    val best = rows.filter(_.getAs[Boolean]("best")).map(_.getAs[Double]("loglik")).head
+    rows.foreach(r => assert(r.getAs[Double]("loglik") <= best))
+  }
+
+  test("blandAltman: limits bracket the bias, outside share small") {
+    val r = Stats.blandAltman(spark, dir).collect().head
+    val bias = r.getAs[Double]("bias")
+    assert(r.getAs[Double]("loa_low") <= bias)
+    assert(r.getAs[Double]("loa_high") >= bias)
+    val out = r.getAs[Double]("pct_outside")
+    assert(out >= 0.0 && out < 0.25) // ~5% under normality, generous band
+  }
 }
