@@ -523,6 +523,24 @@ object ScaleSmoke {
     run("ecmModel")(operators.Stats.ecmModel(spark, dir))
     run("holmByFdr")(operators.Stats.holmByFdr(spark, dir))
     run("missingnessProfile")(operators.Behavior.missingnessProfile(spark, dir))
+    // r11 session-2 batch 3. krippendorff rides the fleissKappa panel
+    // (doc-linear rater scoring). rougePairs rides the banded simhash
+    // detector (its stress row above) + two (doc, gram) count joins —
+    // pair volume is the detector's, grams are doc-linear.
+    // burrowsDelta: corpus token count + a |sources|×50 grid.
+    // tripleRules: within-basket 3-way join, C(7,3)-bounded fanout —
+    // fact-linear. erlangC: collapses to ONE scalar, k-table bounded
+    // by offered load. boxCox: ×5 grid explode, one keyed moment
+    // pass. cpk: brand-keyed integer moments. blandAltman: one
+    // orderkey rollup + order-grain moments.
+    run("krippendorff")(operators.TextAnalysis.krippendorffAlpha(spark, dir))
+    run("rougePairs")(operators.TextAnalysis.rougePairs(spark, dir))
+    run("burrowsDelta")(operators.TextAnalysis.burrowsDelta(spark, dir))
+    run("tripleRules")(operators.Behavior.tripleRules(spark, dir))
+    run("erlangC")(operators.Inventory.erlangC(spark, dir))
+    run("boxCox")(operators.Stats.boxCox(spark, dir))
+    run("processCapability")(operators.ControlCharts.processCapability(spark, dir))
+    run("blandAltman")(operators.Stats.blandAltman(spark, dir))
 
     // r10: V2 mount snapshot pruning at scale (round-9 verdict demand
     // #7) — a warehouse holding the whole replicated events table
