@@ -1298,6 +1298,10 @@ object SparkEntry {
     "q_cpk"              -> ((s, d) =>
       graft.operators.ControlCharts.processCapability(s, d)),
     "q_bland_altman"     -> ((s, d) => Stats.blandAltman(s, d)),
+    // r11: forecast harness + marketing-science null model
+    "q_forecast_backtest" -> ((s, d) => Stats.forecastBacktest(s, d)),
+    "q_double_jeopardy"  -> ((s, d) =>
+      graft.operators.Behavior.doubleJeopardy(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -12548,5 +12552,62 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS DOUBLE)/MAX(n)
         |    *10000 + 0.5 + 0.000001)/10000 AS pct_outside
         |FROM d, b2""".stripMargin,
+    "q_forecast_backtest" ->
+      """WITH q AS (SELECT year(o_orderdate)*4 + quarter(o_orderdate)
+        |      AS qi,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS y
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT y, row_number() OVER (ORDER BY qi) AS t,
+        |    lag(y, 1) OVER (ORDER BY qi) AS l1,
+        |    lag(y, 4) OVER (ORDER BY qi) AS l4,
+        |    first_value(y) OVER (ORDER BY qi ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS y0
+        |  FROM q),
+        |f AS (SELECT y, l1 AS naive, l4 AS snaive,
+        |    l1 + (l1 - y0)/(t - 2) AS drift FROM l
+        |  WHERE l4 IS NOT NULL),
+        |e AS (SELECT y, naive, snaive, drift,
+        |    (naive + snaive + drift)/3 AS ensemble FROM f),
+        |lg AS (SELECT y, m.model,
+        |    CASE m.model WHEN '1_naive' THEN naive
+        |      WHEN '2_snaive' THEN snaive
+        |      WHEN '3_drift' THEN drift ELSE ensemble END AS fc
+        |  FROM e CROSS JOIN (SELECT unnest(['1_naive', '2_snaive',
+        |    '3_drift', '4_ensemble']) AS model) m)
+        |SELECT model, CAST(COUNT(*) AS BIGINT) AS n_origins,
+        |  floor(AVG(abs(y - fc))*10000 + 0.5 + 0.000001)/10000 AS mae,
+        |  floor(AVG(y - fc)*10000 + 0.5 + 0.000001)/10000 AS bias
+        |FROM lg GROUP BY 1 ORDER BY model""".stripMargin,
+    "q_double_jeopardy" ->
+      """WITH bo AS (SELECT DISTINCT p_brand, o_custkey, o_orderkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey),
+        |tot AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        |    AS n_cust FROM orders),
+        |pb AS (SELECT p_brand,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS buyers,
+        |    CAST(COUNT(*) AS BIGINT) AS n_brand_orders
+        |  FROM bo GROUP BY 1),
+        |pw AS (SELECT p_brand,
+        |    CAST(buyers AS DOUBLE)/n_cust AS pen,
+        |    CAST(n_brand_orders AS DOUBLE)/buyers AS w
+        |  FROM pb, tot),
+        |fit0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(ln(pen)) AS sx, SUM(w) AS sy,
+        |    SUM(ln(pen)*ln(pen)) AS sxx, SUM(ln(pen)*w) AS sxy
+        |  FROM pw),
+        |fit AS (SELECT
+        |    (sxy - sx*sy/n)/(sxx - sx*sx/n) AS slope,
+        |    sy/n - (sxy - sx*sy/n)/(sxx - sx*sx/n)*(sx/n) AS icept
+        |  FROM fit0)
+        |SELECT p_brand,
+        |  floor(pen*10000 + 0.5 + 0.000001)/10000 AS penetration,
+        |  floor(w*10000 + 0.5 + 0.000001)/10000 AS avg_freq,
+        |  floor((icept + slope*ln(pen))*10000 + 0.5 + 0.000001)/10000
+        |    AS expected_freq,
+        |  floor((w - (icept + slope*ln(pen)))*10000 + 0.5
+        |    + 0.000001)/10000 AS loyalty_gap
+        |FROM pw, fit ORDER BY p_brand""".stripMargin,
   )
 }

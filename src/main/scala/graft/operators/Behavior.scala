@@ -884,6 +884,61 @@ object Behavior {
       .orderBy(col("lift").desc, col("pa"), col("pb")).limit(topK)
   }
 
+  /** Ehrenberg's double-jeopardy screen: per brand, market
+    * penetration (buyer share) and average purchase frequency among
+    * buyers, with frequency regressed on ln(penetration) across
+    * brands — small brands are punished twice (fewer buyers who also
+    * buy less often), so a brand sitting far ABOVE the fitted line is
+    * a genuine loyalty outlier, not just big. The marketing-science
+    * null model every "loyal niche brand" claim must beat.
+    *
+    * Scale shape: one (brand × customer)-keyed rollup (map-side
+    * combined), one 25-row brand frame, closed-form simple OLS on
+    * it. */
+  def doubleJeopardy(s: SparkSession, dir: String): DataFrame = {
+    val bo = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("p_brand"), col("o_custkey"), col("o_orderkey"))
+      .distinct()
+      .persistMemDisk
+    val total = Tables.orders(s, dir)
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+    val perBrand = bo.groupBy(col("p_brand"))
+      .agg(countDistinct(col("o_custkey")).as("buyers"),
+        count(lit(1)).as("n_brand_orders"))
+      .crossJoin(broadcast(total))
+      .select(col("p_brand"),
+        (col("buyers").cast("double") / col("n_cust")).as("pen"),
+        (col("n_brand_orders").cast("double") / col("buyers")).as("w"))
+      .persistMemDisk
+    val fit = perBrand.agg(count(lit(1)).cast("double").as("n"),
+        sum(log(col("pen"))).as("sx"), sum(col("w")).as("sy"),
+        sum(log(col("pen")) * log(col("pen"))).as("sxx"),
+        sum(log(col("pen")) * col("w")).as("sxy"))
+      .select(
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))).as("slope"),
+        (col("sy") / col("n") -
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("sx") / col("n"))).as("icept"))
+    perBrand.crossJoin(broadcast(fit))
+      .select(col("p_brand"),
+        round4eps(col("pen")).as("penetration"),
+        round4eps(col("w")).as("avg_freq"),
+        round4eps(col("icept") + col("slope") * log(col("pen")))
+          .as("expected_freq"),
+        round4eps(col("w") -
+          (col("icept") + col("slope") * log(col("pen"))))
+          .as("loyalty_gap"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Level-3 association rules: brand triples co-purchased within an
     * order, with 3-way lift P(abc)/(P(a)P(b)P(c)) — the step past the
     * gated pair rules (basketRules) where independence-baseline

@@ -4265,6 +4265,50 @@ object Stats {
         round4eps((delta - diff) / se) > 1.645).as("equivalent"))
   }
 
+  /** Rolling-origin forecast backtest over the quarterly revenue
+    * series: at every origin t (all quarters with a full history),
+    * the 1-ahead forecasts of the three classical baselines — naive
+    * (y_{t−1}), seasonal naive (y_{t−4}), drift (y_{t−1} plus the
+    * average historical step) — and their equal-weight ensemble,
+    * scored by MAE and mean error (bias). The honest model-selection
+    * harness: every gated forecaster (Holt, theta, Croston) should
+    * beat these or be deleted; the ensemble row shows the
+    * combination effect.
+    *
+    * Scale shape: one fact collapse to the ~28-row quarterly frame,
+    * lag windows over it, one 4-model explode — all calendar-
+    * bounded. */
+  def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
+        .as("qi"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("y"))
+    val w = Window.orderBy(col("qi"))
+    val withLags = q
+      .withColumn("t", row_number().over(w))
+      .withColumn("l1", lag(col("y"), 1).over(w))
+      .withColumn("l4", lag(col("y"), 4).over(w))
+      .withColumn("y0", first(col("y")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("l4").isNotNull) // full history at every origin
+    val preds = withLags.select(col("y"),
+        col("l1").as("naive"),
+        col("l4").as("snaive"),
+        (col("l1") + (col("l1") - col("y0")) / (col("t") - 2))
+          .as("drift"))
+      .withColumn("ensemble",
+        (col("naive") + col("snaive") + col("drift")) / 3)
+    val long = preds.select(col("y"), explode(map(
+        lit("1_naive"), col("naive"), lit("2_snaive"), col("snaive"),
+        lit("3_drift"), col("drift"), lit("4_ensemble"), col("ensemble")))
+        .as(Seq("model", "fc")))
+    long.groupBy(col("model"))
+      .agg(count(lit(1)).as("n_origins"),
+        round4eps(avg(abs(col("y") - col("fc")))).as("mae"),
+        round4eps(avg(col("y") - col("fc"))).as("bias"))
+      .orderBy(col("model"))
+  }
+
   /** Box-Cox transformation selection: profile log-likelihood
     * ℓ(λ) = −n/2·ln σ²(z_λ) + (λ−1)Σln x over the canonical λ grid
     * (−1, −½, 0, ½, 1), z_λ = (x^λ−1)/λ (ln x at λ=0) — "which power

@@ -310,4 +310,20 @@ class BehaviorSpec extends AnyFunSuite {
     val lifts = rows.map(_.getAs[Double]("lift3"))
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("doubleJeopardy: gaps are fit residuals (sum ~ 0), freq >= 1") {
+    val rows = graft.operators.Behavior.doubleJeopardy(
+      TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val pen = r.getAs[Double]("penetration")
+      assert(pen > 0.0 && pen <= 1.0)
+      assert(r.getAs[Double]("avg_freq") >= 1.0)
+      assert(math.abs(r.getAs[Double]("loyalty_gap") -
+        (r.getAs[Double]("avg_freq") - r.getAs[Double]("expected_freq"))) < 2e-3)
+    }
+    // OLS residuals sum to ~zero across brands
+    val gapSum = rows.map(_.getAs[Double]("loyalty_gap")).sum
+    assert(math.abs(gapSum) < 0.05)
+  }
 }

@@ -1168,4 +1168,14 @@ class StatsSpec extends AnyFunSuite {
     val out = r.getAs[Double]("pct_outside")
     assert(out >= 0.0 && out < 0.25) // ~5% under normality, generous band
   }
+
+  test("forecastBacktest: four models on identical origins, MAE >= |bias|") {
+    val rows = Stats.forecastBacktest(spark, dir).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("n_origins")).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mae") >= math.abs(r.getAs[Double]("bias")) - 1e-3)
+      assert(r.getAs[Double]("mae") >= 0.0)
+    }
+  }
 }
