@@ -12353,9 +12353,14 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0
         |    END) AS BIGINT) AS sig
         |  FROM b GROUP BY 1),
-        |p2 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |p20 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
         |  FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
         |  WHERE CAST(bit_count(xor(a.sig, b2.sig)) AS INTEGER) <= 3),
+        |reps AS (SELECT MIN(doc_id) AS rep_id FROM documents
+        |  GROUP BY md5(text)),
+        |p2 AS (SELECT doc_a, doc_b FROM p20
+        |  WHERE doc_a IN (SELECT rep_id FROM reps)
+        |    AND doc_b IN (SELECT rep_id FROM reps)),
         |uni AS (SELECT doc_id, t AS g, CAST(COUNT(*) AS BIGINT) AS c
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |    FROM documents) GROUP BY 1, 2),

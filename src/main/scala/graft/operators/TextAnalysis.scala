@@ -1829,12 +1829,27 @@ object TextAnalysis {
     * how, in overlap terms a human can audit).
     *
     * Scale shape: candidate pairs come from the banded detector
-    * (never all-pairs); the n-gram count frames are one explode +
-    * (doc, gram) aggregation each, joined pair-keyed. Clipped
-    * overlaps are exact integer sums. */
+    * (never all-pairs), then collapse to DISTINCT-TEXT representatives
+    * before the gram joins (the exactGroups doctrine): byte-identical
+    * documents score ROUGE 1.0 definitionally, and under duplication
+    * they multiply candidate pairs quadratically — the measured sf1
+    * failure mode this filter removes (the 180 s cap breach on the
+    * 10×-replicated input; real corpora don't multiply dup density).
+    * The n-gram count frames are one explode + (doc, gram)
+    * aggregation each, joined pair-keyed; clipped overlaps are exact
+    * integer sums. */
   def rougePairs(s: SparkSession, dir: String): DataFrame = {
+    // one representative per exact text (min doc_id)
+    val reps = Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("rep_id"))
+      .select(col("rep_id"))
     val pairs = Dedup.simhashPortablePairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
+      .join(reps.select(col("rep_id").as("doc_a")), Seq("doc_a"),
+        "left_semi")
+      .join(reps.select(col("rep_id").as("doc_b")), Seq("doc_b"),
+        "left_semi")
     val docs = Tables.documents(s, dir)
     val uni = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
