@@ -1302,6 +1302,9 @@ object SparkEntry {
     "q_forecast_backtest" -> ((s, d) => Stats.forecastBacktest(s, d)),
     "q_double_jeopardy"  -> ((s, d) =>
       graft.operators.Behavior.doubleJeopardy(s, d)),
+    // r11 post-close addendum: diversity unification + EDF normality
+    "q_hill_numbers"     -> ((s, d) => Stats.hillNumbers(s, d)),
+    "q_lilliefors"       -> ((s, d) => Stats.lilliefors(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same tables, same parquet). */
@@ -12614,5 +12617,79 @@ object SparkEntry {
         |  floor((w - (icept + slope*ln(pen)))*10000 + 0.5
         |    + 0.000001)/10000 AS loyalty_gap
         |FROM pw, fit ORDER BY p_brand""".stripMargin,
+    "q_hill_numbers" ->
+      """WITH cells AS (SELECT n_regionkey AS rk, p_brand,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT rk, CAST(SUM(c) AS BIGINT) AS nt
+        |  FROM cells GROUP BY 1),
+        |p AS (SELECT cells.rk, CAST(c AS DOUBLE)/nt AS p
+        |  FROM cells JOIN tot ON cells.rk = tot.rk),
+        |h AS (SELECT rk, CAST(COUNT(*) AS BIGINT) AS q0,
+        |    floor(exp(-1.0*SUM(p*ln(p)))*10000 + 0.5 + 0.000001)/10000
+        |      AS q1,
+        |    floor(1.0/SUM(p*p)*10000 + 0.5 + 0.000001)/10000 AS q2
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(rk AS BIGINT) AS region_key, q0 AS q0_richness,
+        |  q1 AS q1_exp_shannon, q2 AS q2_inv_simpson,
+        |  floor(q1/q0*10000 + 0.5 + 0.000001)/10000 AS evenness
+        |FROM h ORDER BY region_key""".stripMargin,
+    "q_lilliefors" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1000000.0*10000 + 0.5
+        |      + 0.000001)/10000 AS y
+        |  FROM orders GROUP BY 1),
+        |m0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS sy,
+        |    SUM(y*y) AS syy FROM daily),
+        |m AS (SELECT n,
+        |    floor(sy/n*10000 + 0.5 + 0.000001)/10000 AS mu,
+        |    floor(sqrt((syy - sy*sy/n)/(n - 1))*10000 + 0.5
+        |      + 0.000001)/10000 AS sd
+        |  FROM m0),
+        |zt AS (SELECT n, floor((y - mu)/sd*1000000 + 0.5
+        |    + 0.000001)/1000000 AS zv FROM daily, m),
+        |ph AS (SELECT n, zv,
+        |    floor(2.0 * exp(-(floor(abs(zv)*1000000 + 0.5 + 0.000001)
+        |        /1000000)
+        |      * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)
+        |      / 2.0) / 2.5066282746310002
+        |      * ((1.0/(1.0 + 0.2316419
+        |          * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |        * (0.319381530
+        |          + (1.0/(1.0 + 0.2316419
+        |             * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |          * (-0.356563782
+        |            + (1.0/(1.0 + 0.2316419
+        |               * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |            * (1.781477937
+        |              + (1.0/(1.0 + 0.2316419
+        |                 * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |              * (-1.821255978
+        |                + (1.0/(1.0 + 0.2316419
+        |                   * (floor(abs(zv)*1000000 + 0.5 + 0.000001)/1000000)))
+        |                * 1.330274429)))))
+        |      * 1000000 + 0.5 + 0.000001)/1000000 AS p2
+        |  FROM zt),
+        |phi AS (SELECT n, zv,
+        |    CASE WHEN zv >= 0 THEN 1.0 - p2/2 ELSE p2/2 END AS phi
+        |  FROM ph),
+        |r AS (SELECT n, phi, zv,
+        |    ROW_NUMBER() OVER (ORDER BY zv, phi) AS i FROM phi),
+        |a AS (SELECT MAX(n) AS n,
+        |    greatest(MAX(i/n - phi), MAX(phi - (i - 1)/n)) AS d
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  floor(d*10000 + 0.5 + 0.000001)/10000 AS ks_d,
+        |  floor(d*sqrt(n)*10000 + 0.5 + 0.000001)/10000 AS sqrt_n_d,
+        |  floor(0.886/sqrt(n)*10000 + 0.5 + 0.000001)/10000
+        |    AS crit_5pct,
+        |  floor(d*10000 + 0.5 + 0.000001)/10000
+        |    > floor(0.886/sqrt(n)*10000 + 0.5 + 0.000001)/10000
+        |    AS reject_normality
+        |FROM a""".stripMargin,
   )
 }

@@ -4265,6 +4265,95 @@ object Stats {
         round4eps((delta - diff) / se) > 1.645).as("equivalent"))
   }
 
+  /** Hill-number diversity profile of the brand mix per region — the
+    * one parametric family that unifies the gated diversity zoo:
+    * q=0 is richness, q=1 is exp(Shannon entropy), q=2 is inverse
+    * Simpson; read together, the three numbers say whether diversity
+    * is carried by rare brands (q0 ≫ q1) or spread evenly (q0 ≈ q2).
+    * The "effective number of brands" readout ecology standardized on
+    * (Hill 1973) and mixture budgeting should too.
+    *
+    * Scale shape: one (region × brand)-keyed count over the fact
+    * scan, then taxonomy-bounded share algebra (≤25×25 cells).
+    * Shares come from exact integer counts. */
+  def hillNumbers(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("rk"), col("p_brand"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy(col("rk"))
+      .agg(sum(col("c")).as("nt"))
+    cells.join(broadcast(tot), "rk")
+      .select(col("rk"), (col("c").cast("double") / col("nt")).as("p"))
+      .groupBy(col("rk"))
+      .agg(count(lit(1)).as("q0_richness"),
+        round4eps(exp(lit(-1.0) * sum(col("p") * log(col("p")))))
+          .as("q1_exp_shannon"),
+        round4eps(lit(1.0) / sum(col("p") * col("p")))
+          .as("q2_inv_simpson"))
+      .select(col("rk").cast("long").as("region_key"),
+        col("q0_richness"), col("q1_exp_shannon"),
+        col("q2_inv_simpson"),
+        round4eps(col("q1_exp_shannon") / col("q0_richness"))
+          .as("evenness"))
+      .orderBy(col("region_key"))
+  }
+
+  /** Lilliefors-style normality screen on daily revenue: the KS
+    * distance between the empirical CDF of the standardized series
+    * and Φ (the shared A&S 26.2.17 polynomial kernel, engine-exact) —
+    * the EDF-based normality check beside the gated moment-based
+    * Jarque-Bera (each catches departures the other misses). Reports
+    * D, √n·D, and the classic 0.886/√n Lilliefors 5% line.
+    *
+    * Scale shape: calendar collapse, one moment pass for (μ, s), one
+    * rank window over the ~2400-day frame — all calendar-bounded;
+    * z-scores are 1e-6-quantized before Φ. */
+  def lilliefors(s: SparkSession, dir: String): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5) + lit(0.000001)) / lit(1000000.0)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("y"))
+      .persistMemDisk
+    val m = daily.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        round4eps(col("sy") / col("n")).as("mu"),
+        round4eps(sqrt((col("syy") - col("sy") * col("sy") / col("n")) /
+          (col("n") - 1))).as("sd"))
+    val z = daily.crossJoin(broadcast(m))
+      .select(col("n"), q6((col("y") - col("mu")) / col("sd")).as("z"))
+    // Φ via the shared polynomial: Φ(z) = 1 − p/2 for z ≥ 0, p/2 below
+    val p2 = pTwoSided(col("z"))
+    val withPhi = z.select(col("n"),
+      when(col("z") >= 0, lit(1.0) - p2 / 2).otherwise(p2 / 2).as("phi"),
+      col("z"))
+    val ranked = withPhi.withColumn("i",
+      row_number().over(Window.orderBy(col("z"), col("phi"))).cast("double"))
+    ranked.agg(
+        max(col("n")).cast("long").as("n_days"),
+        round4eps(greatest(
+          max(col("i") / col("n") - col("phi")),
+          max(col("phi") - (col("i") - 1) / col("n")))).as("ks_d"),
+        round4eps(greatest(
+          max(col("i") / col("n") - col("phi")),
+          max(col("phi") - (col("i") - 1) / col("n"))) *
+          sqrt(max(col("n")))).as("sqrt_n_d"),
+        round4eps(lit(0.886) / sqrt(max(col("n")))).as("crit_5pct"))
+      .withColumn("reject_normality", col("ks_d") > col("crit_5pct"))
+  }
+
   /** Rolling-origin forecast backtest over the quarterly revenue
     * series: at every origin t (all quarters with a full history),
     * the 1-ahead forecasts of the three classical baselines — naive

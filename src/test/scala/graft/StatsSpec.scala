@@ -1178,4 +1178,27 @@ class StatsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("mae") >= 0.0)
     }
   }
+
+  test("hillNumbers: q0 >= q1 >= q2 (Hill ordering), evenness in (0,1]") {
+    val rows = Stats.hillNumbers(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val q0 = r.getAs[Long]("q0_richness").toDouble
+      val q1 = r.getAs[Double]("q1_exp_shannon")
+      val q2 = r.getAs[Double]("q2_inv_simpson")
+      assert(q0 >= q1 - 1e-9 && q1 >= q2 - 1e-9)
+      val ev = r.getAs[Double]("evenness")
+      assert(ev > 0.0 && ev <= 1.0 + 1e-9)
+    }
+  }
+
+  test("lilliefors: D in (0,1), sqrt-n scaling consistent") {
+    val r = Stats.lilliefors(spark, dir).collect().head
+    val d = r.getAs[Double]("ks_d")
+    assert(d > 0.0 && d < 1.0)
+    val n = r.getAs[Long]("n_days").toDouble
+    assert(math.abs(r.getAs[Double]("sqrt_n_d") - d * math.sqrt(n)) < 2e-2)
+    assert(r.getAs[Boolean]("reject_normality") ==
+      (d > r.getAs[Double]("crit_5pct")))
+  }
 }
