@@ -1844,46 +1844,63 @@ object TextAnalysis {
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("rep_id"))
       .select(col("rep_id"))
+    // persisted: the plan below references `pairs` from the output
+    // base and both overlap joins plus the participant prune — without
+    // the persist the banded SimHash detector re-runs once per
+    // reference (the dominant cost of the un-pruned r11 plan)
     val pairs = Dedup.simhashPortablePairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
       .join(reps.select(col("rep_id").as("doc_a")), Seq("doc_a"),
         "left_semi")
       .join(reps.select(col("rep_id").as("doc_b")), Seq("doc_b"),
         "left_semi")
+      .persistMemDisk
+    // gram frames carry ONLY pair-participating documents: every
+    // downstream consumer (length + overlap joins) is pair-keyed, so
+    // grams of the non-candidate majority were shuffled and persisted
+    // only to be dropped by the joins (r11 verdict "What's wrong #2")
+    val participants = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
     val docs = Tables.documents(s, dir)
-    val uni = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .join(participants, Seq("doc_id"), "left_semi")
+    // Per-doc SORTED gram-count arrays instead of (doc, gram) long
+    // frames: the clipped overlap then evaluates inside the
+    // ClippedOverlap codegen expression (two-pointer merge, O(|a|+|b|)
+    // per pair) after ONE pair-keyed join per side — the r11 plan's
+    // two gram-expanded joins (every pair × every gram of doc_a,
+    // re-shuffled on (doc_b, gram)) drop out entirely; grams now
+    // travel exactly once per participating doc. Array sizes are
+    // bounded by per-document vocabulary, not corpus size.
+    def gramCounts(tok: DataFrame): DataFrame =
+      tok.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("g"), col("c"))))
+          .as("m"), sum(col("c")).as("len"))
+    val uni = gramCounts(docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("g")))
       .persistMemDisk
     val w = split(col("text"), " ")
-    val bi = docs
+    val bi = gramCounts(docs
       .select(col("doc_id"), explode(zip_with(
         slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (x, y) => concat(x, lit(" "), y))).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        (x, y) => concat(x, lit(" "), y))).as("g")))
       .persistMemDisk
-    def lens(tok: DataFrame, name: String): DataFrame =
-      tok.groupBy(col("doc_id")).agg(sum(col("c")).as(name))
-    def overlap(tok: DataFrame, name: String): DataFrame =
-      pairs
-        .join(tok.select(col("doc_id").as("doc_a"), col("g"),
-          col("c").as("ca")), Seq("doc_a"))
-        .join(tok.select(col("doc_id").as("doc_b"), col("g"),
-          col("c").as("cb")), Seq("doc_b", "g"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(sum(least(col("ca"), col("cb"))).as(name))
+    val clipped = graft.functions.GramOverlapFunctions.clippedOverlap _
     val out = pairs
-      .join(lens(uni, "len1").select(col("doc_id").as("doc_a"),
-        col("len1").as("l1a")), Seq("doc_a"))
-      .join(lens(uni, "len1").select(col("doc_id").as("doc_b"),
-        col("len1").as("l1b")), Seq("doc_b"))
-      .join(lens(bi, "len2").select(col("doc_id").as("doc_a"),
-        col("len2").as("l2a")), Seq("doc_a"), "left")
-      .join(lens(bi, "len2").select(col("doc_id").as("doc_b"),
-        col("len2").as("l2b")), Seq("doc_b"), "left")
-      .join(overlap(uni, "ov1"), Seq("doc_a", "doc_b"), "left")
-      .join(overlap(bi, "ov2"), Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("ov1", "ov2", "l2a", "l2b"))
+      .join(uni.select(col("doc_id").as("doc_a"), col("m").as("ma1"),
+        col("len").as("l1a")), Seq("doc_a"))
+      .join(uni.select(col("doc_id").as("doc_b"), col("m").as("mb1"),
+        col("len").as("l1b")), Seq("doc_b"))
+      .join(bi.select(col("doc_id").as("doc_a"), col("m").as("ma2"),
+        col("len").as("l2a")), Seq("doc_a"), "left")
+      .join(bi.select(col("doc_id").as("doc_b"), col("m").as("mb2"),
+        col("len").as("l2b")), Seq("doc_b"), "left")
+      .withColumn("ov1", clipped(col("ma1"), col("mb1")))
+      .withColumn("ov2",
+        when(col("ma2").isNotNull && col("mb2").isNotNull,
+          clipped(col("ma2"), col("mb2"))).otherwise(lit(0L)))
+      .na.fill(0L, Seq("l2a", "l2b"))
     out.select(col("doc_a"), col("doc_b"), col("ov1"), col("ov2"),
       round4eps(col("ov1").cast("double") / col("l1b")).as("rouge1_p"),
       round4eps(col("ov1").cast("double") / col("l1a")).as("rouge1_r"),

@@ -611,6 +611,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("clippedOverlap expression: two-pointer merge clips, skips, handles empties") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    def grams(texts: Seq[String]) = {
+      val df = s.createDataFrame(texts.zipWithIndex.map(_.swap))
+        .toDF("doc_id", "text")
+      df.select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("g"), col("c")))).as("m"))
+    }
+    val g = grams(Seq("a b a c", "a a a b z", "x y")).persist()
+    def ov(i: Int, j: Int): Long = {
+      val a = g.filter(col("doc_id") === i).select(col("m").as("ma"))
+      val b = g.filter(col("doc_id") === j).select(col("m").as("mb"))
+      a.crossJoin(b).select(graft.functions.GramOverlapFunctions
+        .clippedOverlap(col("ma"), col("mb")).as("ov"))
+        .collect().head.getLong(0)
+    }
+    // doc0 = {a:2, b:1, c:1}, doc1 = {a:3, b:1, z:1}: min(2,3)+min(1,1) = 3
+    assert(ov(0, 1) === 3L)
+    assert(ov(1, 0) === 3L) // symmetric
+    assert(ov(0, 2) === 0L) // disjoint vocabularies
+    assert(ov(0, 0) === 4L) // self-overlap = own length
+    g.unpersist()
+  }
+
   test("burrowsDelta: symmetric non-negative pair deltas over shared words") {
     val rows = graft.operators.TextAnalysis.burrowsDelta(
       TestSpark.spark, TestSpark.sfDir).collect()
