@@ -319,6 +319,13 @@ object SparkEntry {
     "q_image_decode"     -> ((s, d) => Multimodal.decodeImageStats(s, d)),
     "q_image_resize"     -> ((s, d) => Multimodal.resizeDecodedPng(s, d)),
     "q_image_ahash"      -> ((s, d) => Multimodal.imageAHash(s, d)),
+    // REAL mp4 (r12): to-spec ISO-BMFF fixture (PNG-codec video track,
+    // full stsd/stts/stsc/stsz/stco sample table) → pure-JVM box walk
+    // for container metadata, and sample-table-driven frame extraction
+    // + ImageIO decode. Oracles replay the documented generator, so a
+    // wrong box offset / endianness / sample slice hash-fails.
+    "q_media_mp4meta"    -> ((s, d) => Multimodal.mp4ContainerMeta(s, d)),
+    "q_media_mp4frames"  -> ((s, d) => Multimodal.mp4FrameStats(s, d)),
     // Streaming transforms (batch-mode plan parity; watermark no-ops)
     "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
                                .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
@@ -3569,6 +3576,39 @@ object SparkEntry {
         |           ORDER BY y, x) AS ahash
         |FROM g JOIN t USING (media_id)
         |GROUP BY g.media_id""".stripMargin,
+    // MP4 box walk: every value parsed FROM the container bytes; the
+    // oracle replays the generator parameters (all pure functions of
+    // doc_id — frames = id%3+2, timescale = 600+(id%4)*200, per-frame
+    // delta = timescale/10, brand isom/0x200, single 'png '-codec trak)
+    "q_media_mp4meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+        |  CAST(512 AS INT) AS minor_version,
+        |  CAST(600 + (doc_id % 4) * 200 AS INT) AS timescale,
+        |  CAST((doc_id % 3 + 2) * ((600 + (doc_id % 4) * 200) // 10)
+        |       AS INT) AS duration,
+        |  CAST((doc_id % 3 + 2) * 100 AS BIGINT) AS duration_ms,
+        |  CAST(1 AS INT) AS n_tracks, 'png' AS codec,
+        |  CAST(doc_id % 3 + 2 AS INT) AS n_samples
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    // frame extraction via the parsed stsz/stco sample table + PNG
+    // decode: per-frame channel means replay the fpx* generator
+    "q_media_mp4frames" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 + 2 AS nf,
+        |         CAST(doc_id % 5 + 4 AS INT) AS w,
+        |         CAST(doc_id % 4 + 3 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |px AS (
+        |  SELECT media_id, f, w, h, x, y
+        |  FROM vids, generate_series(0, 3) gf(f),
+        |       generate_series(0, 7) gx(x), generate_series(0, 5) gy(y)
+        |  WHERE f < nf AND x < w AND y < h)
+        |SELECT media_id, CAST(f AS INT) AS frame_no,
+        |MAX(w) AS width, MAX(h) AS height,
+        |ROUND(AVG(CAST((media_id*37 + f*19 + x*11 + y*7 + x*y*3) % 256 AS DOUBLE)), 4) AS r_mean,
+        |ROUND(AVG(CAST((media_id*53 + f*23 + x*5 + y*3 + x*y*7) % 256 AS DOUBLE)), 4) AS g_mean,
+        |ROUND(AVG(CAST((media_id*71 + f*29 + x*13 + y*17 + x*y*11) % 256 AS DOUBLE)), 4) AS b_mean
+        |FROM px GROUP BY media_id, f""".stripMargin,
     "q_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
         |time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,

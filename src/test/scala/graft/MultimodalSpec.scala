@@ -211,6 +211,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("mp4VideoTable: content is genuine ISO-BMFF (ftyp first, parseable boxes)") {
+    val rows = graft.operators.Multimodal.mp4VideoTable(
+      TestSpark.spark, TestSpark.sfDir).limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Array[Byte]]("content")
+      assert(new String(c, 4, 4, "US-ASCII") === "ftyp")
+      val m = graft.operators.Multimodal.parseMp4(c)
+      assert(m.brand === "isom" && m.codec === "png" && m.nTracks === 1)
+      assert(m.sampleSizes.nonEmpty && m.firstChunkOff > 0)
+    }
+  }
+
+  test("mp4ContainerMeta: parsed values match the generator contract") {
+    val rows = graft.operators.Multimodal.mp4ContainerMeta(
+      TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("timescale") === (600 + (id % 4) * 200).toInt)
+      assert(r.getAs[Int]("n_samples") === (id % 3 + 2).toInt)
+      assert(r.getAs[Long]("duration_ms") === (id % 3 + 2) * 100L)
+    }
+  }
+
+  test("mp4FrameStats: every sample decodes; frame count matches stsz") {
+    val df = graft.operators.Multimodal.mp4FrameStats(
+      TestSpark.spark, TestSpark.sfDir)
+    val counts = df.groupBy("media_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("nf")).collect()
+    assert(counts.nonEmpty)
+    counts.foreach { r =>
+      assert(r.getAs[Long]("nf") === (r.getAs[Long]("media_id") % 3 + 2))
+    }
+  }
+
+  test("parseMp4 tolerates unknown sibling boxes and refuses malformed sizes") {
+    val M = graft.operators.Multimodal
+    val good = M.mp4Bytes(7L)
+    val base = M.parseMp4(good)
+    // a trailing 'free' box (unknown to the walker) must be skipped
+    val withFree = good ++ M.mp4Box("free", Array.fill(8)(0x5a.toByte))
+    val m = M.parseMp4(withFree)
+    assert(m.timescale === base.timescale &&
+      m.duration === base.duration && m.nTracks === base.nTracks &&
+      java.util.Arrays.equals(m.sampleSizes, base.sampleSizes))
+    // a box whose declared size overruns the buffer must fail loudly
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - 4)
+    intercept[IllegalArgumentException] { M.parseMp4(truncated) }
+  }
+
   test("decodePng path refuses non-image bytes loudly") {
     import spark.implicits._
     val bad = Seq((1L, "not a png".getBytes("UTF-8")))
