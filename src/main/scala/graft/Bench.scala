@@ -180,6 +180,8 @@ object Bench {
       // r11: forks the dbt-over-Thrift probe JVM (a fixture build —
       // ~20 s of JVM+metastore startup, zero sfDir work)
       "q_pipeline_thriftdbt",
+      // r12: forks the multi-session isolation probe JVM (same kind)
+      "q_pipeline_thriftmulti",
       // r10: the incremental-MV LIFECYCLE gate (build→delta→refresh —
       // its cost is the rebuild); the serve path is benched as
       // q_mv_inc_query against the once-per-JVM refreshed fixture

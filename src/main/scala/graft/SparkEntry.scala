@@ -108,9 +108,21 @@ object SparkEntry {
   private val thriftDbtCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def thriftDbtWarehouse(): String =
-    thriftDbtCache.computeIfAbsent("wh", { _ =>
+    forkedProbeWarehouse("thriftdbt", "graft.pipeline.ThriftDbtProbe",
+      "THRIFT_DBT_OK")
+  /** The multi-session isolation/visibility receipt warehouse —
+    * ThriftMultiProbe forked ONCE per JVM (two concurrent external
+    * JDBC sessions: writer CTAS vs reader holding a same-named temp
+    * view; every assertion lands in `raw.multi_receipt`, which the
+    * gate hash-compares). Memoized + bench-excluded like thriftdbt. */
+  private def thriftMultiWarehouse(): String =
+    forkedProbeWarehouse("thriftmulti", "graft.pipeline.ThriftMultiProbe",
+      "THRIFT_MULTI_OK")
+  private def forkedProbeWarehouse(key: String, mainClass: String,
+      okMarker: String): String =
+    thriftDbtCache.computeIfAbsent(key, { _ =>
       val wh = java.nio.file.Files
-        .createTempDirectory("graft-thriftdbt-wh").toString
+        .createTempDirectory(s"graft-$key-wh").toString
       val addOpens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
         "java.base/java.lang.reflect", "java.base/java.io",
@@ -124,16 +136,16 @@ object SparkEntry {
         .getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
       val cmd = Seq("java", "-Xmx3g", "-cp",
         s"/opt/spark/jars/*:$classes") ++ addOpens ++
-        Seq("graft.pipeline.ThriftDbtProbe", wh)
-      val outFile = java.io.File.createTempFile("graft-thriftdbt", ".log")
+        Seq(mainClass, wh)
+      val outFile = java.io.File.createTempFile(s"graft-$key", ".log")
       val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
         .redirectOutput(outFile).start()
       val done = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
       def out = new String(
         java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
       if (!done) proc.destroyForcibly()
-      require(done && proc.exitValue() == 0 && out.contains("THRIFT_DBT_OK"),
-        s"thrift-dbt probe failed:\n${out.takeRight(2000)}")
+      require(done && proc.exitValue() == 0 && out.contains(okMarker),
+        s"$key probe failed:\n${out.takeRight(2000)}")
       wh
     })
 
@@ -457,6 +469,19 @@ object SparkEntry {
         .select(col("extraction_date"), col("data_source"),
           col("crypto_symbol"), col("min_price_usd"),
           col("max_price_usd"), col("avg_price_usd"), col("records"))
+    }),
+    // Multi-session Thrift isolation + snapshot visibility as a GATE
+    // (r11 verdict Next #5): two concurrent external JDBC sessions in
+    // a forked multi-session endpoint JVM — writer CTAS commits the
+    // mart while the reader holds a same-named temp view; the probe's
+    // assertions (committed-snapshot visibility, per-connection view
+    // isolation, decoy intact) land as receipt rows this gate
+    // hash-compares.
+    "q_pipeline_thriftmulti" -> ((s, _) => {
+      val wh = thriftMultiWarehouse()
+      import org.apache.spark.sql.functions.col
+      s.read.format("graft").load(s"$wh/raw/multi_receipt")
+        .select(col("check_name"), col("val"))
     }),
     "q_pipeline_snapshots" -> ((s, _) => gatePipeline(s).snapshots
                                .select(org.apache.spark.sql.functions.col("snapshot_id"),
@@ -2168,6 +2193,17 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT), CAST(30.0 AS DOUBLE), 'eur'),
         |  (CAST(4 AS BIGINT), CAST(40.0 AS DOUBLE), 'usd'))
         |  AS t(id, price, currency)""".stripMargin,
+    // the multi-session probe's receipt rows: committed-snapshot
+    // visibility and per-connection temp-view isolation, verbatim
+    "q_pipeline_thriftmulti" ->
+      """SELECT * FROM (VALUES
+        |  ('mart_rows', CAST(3 AS BIGINT)),
+        |  ('mart_lo_x100', CAST(4999275 AS BIGINT)),
+        |  ('mart_hi_x100', CAST(5026250 AS BIGINT)),
+        |  ('reader_sees_committed', CAST(1 AS BIGINT)),
+        |  ('temp_view_isolated', CAST(1 AS BIGINT)),
+        |  ('decoy_shadow_intact', CAST(1 AS BIGINT)))
+        |  AS t(check_name, val)""".stripMargin,
     // the externally-built (JDBC → Thrift → V2 catalog) mart must
     // equal the fixture-replay mart oracle
     "q_pipeline_thriftdbt" ->

@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import java.sql.DriverManager
+
+/** Forked-JVM receipt for MULTI-SESSION Thrift isolation + snapshot
+  * visibility against the V2 catalog (round-11 verdict Next #5 —
+  * promoting SqlEndpointSpec's temp-view isolation from spec to gate):
+  *
+  * Two CONCURRENT external JDBC sessions against one endpoint
+  * (multiSession = true, each connection a cloned session):
+  *  - connection B (reader) first creates a TEMPORARY VIEW named
+  *    `fct_multi_mart` — the SAME unqualified name as the table the
+  *    writer is about to build — holding a decoy row;
+  *  - connection A (writer) then materializes the reference mart via
+  *    CTAS: `CREATE OR REPLACE TABLE graft.raw.fct_multi_mart AS …`
+  *    over the seeded `graft.raw.bitcoin_prices` (the q_pipeline_mart
+  *    fixture rows);
+  *  - connection B reads the COMMITTED snapshot through the qualified
+  *    name (visibility: 3 mart rows, min 49992.75 / max 50262.50),
+  *    while its unqualified `fct_multi_mart` still resolves to the
+  *    decoy temp view (the view is not clobbered by the committed
+  *    table, nor does it block qualified access);
+  *  - connection A must NOT see B's temp view (unqualified name on A
+  *    is TABLE_OR_VIEW_NOT_FOUND — per-connection isolation).
+  *
+  * Every assertion lands as a row of `graft.raw.multi_receipt`
+  * (check_name, val) which the q_pipeline_thriftmulti gate reads and
+  * hash-compares against a VALUES oracle — isolation and visibility
+  * are IN the gate result, not just this probe's exit code.
+  *
+  * args(0) = warehouse directory. Prints THRIFT_MULTI_OK on success.
+  */
+object ThriftMultiProbe {
+  def main(args: Array[String]): Unit = {
+    val wh = args(0)
+    // multiSession needs singleSession=false — a STATIC conf, hence
+    // this dedicated JVM (Sessions.build pins it true for the library
+    // surface; see MultiSessionProbe for the original derivation)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-thriftmulti-probe")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.hive.thriftServer.singleSession", "false")
+      // catalog confs MUST ride the builder (SparkConf): multi-session
+      // mode hands each connection a fresh `newSession()`, which does
+      // NOT inherit runtime `conf.set` values — only build-time ones
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", wh)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      // seed the raw layer with the gate fixture's three hourly ticks
+      val p = new Pipeline(spark, wh)
+      (1 to 3).foreach { h =>
+        p.runOnceIncremental(Some(
+          java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")))
+      }
+
+      val port = {
+        val ss = new java.net.ServerSocket(0)
+        try ss.getLocalPort finally ss.close()
+      }
+      val h = SqlEndpoint.start(spark, port, multiSession = true)
+      try {
+        Class.forName("org.apache.hive.jdbc.HiveDriver")
+        def connect(): java.sql.Connection = {
+          var c: java.sql.Connection = null
+          var n = 0
+          while (c == null && n < 40) {
+            try c = DriverManager.getConnection(
+              s"jdbc:hive2://localhost:$port/default", "anonymous", "")
+            catch { case _: Exception => n += 1; Thread.sleep(500) }
+          }
+          require(c != null, "could not connect to the thrift endpoint")
+          c
+        }
+        val writer = connect()
+        val reader = connect()
+        try {
+          // B holds a decoy temp view under the mart's unqualified name
+          reader.createStatement().execute(
+            "CREATE TEMPORARY VIEW fct_multi_mart AS SELECT 'decoy' AS tag")
+          // A commits the mart via CTAS through the V2 catalog
+          writer.createStatement().execute(
+            """CREATE OR REPLACE TABLE graft.raw.fct_multi_mart AS
+              |SELECT CAST(extracted_at AS DATE) AS extraction_date,
+              |       source AS data_source, symbol AS crypto_symbol,
+              |       MIN(price_usd) AS min_price_usd,
+              |       MAX(price_usd) AS max_price_usd,
+              |       AVG(price_usd) AS avg_price_usd,
+              |       COUNT(*) AS records
+              |FROM graft.raw.bitcoin_prices
+              |GROUP BY 1, 2, 3""".stripMargin)
+          // B sees the committed snapshot through the qualified name
+          val rs = reader.createStatement().executeQuery(
+            """SELECT COUNT(*) AS n, MIN(min_price_usd) AS lo,
+              |       MAX(max_price_usd) AS hi
+              |FROM graft.raw.fct_multi_mart""".stripMargin)
+          require(rs.next(), "reader: empty mart read-back")
+          val (nRows, lo, hi) = (rs.getLong(1), rs.getDouble(2), rs.getDouble(3))
+          // ... while its unqualified name still resolves to the decoy
+          val rd = reader.createStatement().executeQuery(
+            "SELECT tag FROM fct_multi_mart")
+          val decoyIntact = rd.next() && rd.getString(1) == "decoy"
+          // ... and A cannot see B's temp view
+          val isolated =
+            try {
+              writer.createStatement()
+                .executeQuery("SELECT tag FROM fct_multi_mart")
+              false
+            } catch { case _: java.sql.SQLException => true }
+          import spark.implicits._
+          Seq(
+            ("mart_rows", nRows),
+            ("mart_lo_x100", math.round(lo * 100)),
+            ("mart_hi_x100", math.round(hi * 100)),
+            ("reader_sees_committed",
+              if (nRows == 3L && lo == 49992.75 && hi == 50262.5) 1L else 0L),
+            ("temp_view_isolated", if (isolated) 1L else 0L),
+            ("decoy_shadow_intact", if (decoyIntact) 1L else 0L)
+          ).toDF("check_name", "val")
+            .createOrReplaceTempView("multi_receipt_rows")
+          spark.sql(
+            """CREATE OR REPLACE TABLE graft.raw.multi_receipt AS
+              |SELECT check_name, val FROM multi_receipt_rows""".stripMargin)
+          require(nRows == 3L && isolated && decoyIntact,
+            s"multi-session contract violated: n=$nRows isolated=$isolated" +
+              s" decoy=$decoyIntact")
+        } finally { writer.close(); reader.close() }
+        println("THRIFT_MULTI_OK")
+      } finally h.stop()
+    } finally spark.stop()
+    sys.exit(0)
+  }
+}
