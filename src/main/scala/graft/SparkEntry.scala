@@ -72,7 +72,18 @@ object SparkEntry {
   private val mvIncFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def mvIncFixture(s: SparkSession, d: String): String =
-    mvIncFixtureCache.computeIfAbsent(d, { _ =>
+    mvIncFixtureCache.computeIfAbsent(d, { _ => mvIncFixtureBuild(s, d) })
+
+  /** Fixture-path suffix: input-content hash + THIS JVM's pid (the
+    * r11 ADVICE fix — concurrent bench+verify processes on one sfDir
+    * get disjoint paths by construction; spec'd in
+    * AdviceRegressionSpec). */
+  private[graft] def fixtureTag(d: String, src: java.io.File): String =
+    java.lang.Integer.toHexString(
+      (d + "#" + src.lastModified + "#" + src.length).hashCode) +
+      "_p" + ProcessHandle.current().pid() + "_fix"
+
+  private def mvIncFixtureBuild(s: SparkSession, d: String): String = {
       import graft.plans.MatView
       import org.apache.spark.sql.functions._
       val tmp = System.getProperty("java.io.tmpdir")
@@ -81,9 +92,7 @@ object SparkEntry {
       // (bench + verify running simultaneously) must build DISJOINT
       // fixture paths, never race a half-written shared one. Orphan
       // dirs from dead JVMs are tmpdir scratch, reaped by the OS.
-      val tag = java.lang.Integer.toHexString(
-        (d + "#" + src.lastModified + "#" + src.length).hashCode) +
-        "_p" + ProcessHandle.current().pid() + "_fix"
+      val tag = fixtureTag(d, src)
       val basePath = s"$tmp/graft_mvi_base_$tag"
       val mvPath = s"$tmp/graft_mvi_sum_$tag"
       val all = s.read.parquet(s"$d/lineitem.parquet")
@@ -97,7 +106,7 @@ object SparkEntry {
       delta.write.mode("append").parquet(basePath)
       MatView.refresh(s, basePath, delta)
       basePath
-    })
+  }
 
   /** The externally-built dbt-over-Thrift warehouse — ThriftDbtProbe
     * forked ONCE per JVM (the full composed reference transform path:
