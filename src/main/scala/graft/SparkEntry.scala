@@ -347,6 +347,25 @@ object SparkEntry {
     // wrong box offset / endianness / sample slice hash-fails.
     "q_media_mp4meta"    -> ((s, d) => Multimodal.mp4ContainerMeta(s, d)),
     "q_media_mp4frames"  -> ((s, d) => Multimodal.mp4FrameStats(s, d)),
+    // r12 batch: block-design trend tests, circular/variance-ratio
+    // screens, robust two-sample tests, distribution fits, queueing,
+    // ROUGE-L, char-LM cross-entropy, edge support, stratified AQP
+    "q_page_trend"       -> ((s, d) => Stats.pageTrend(s, d)),
+    "q_quade"            -> ((s, d) => Stats.quadeTest(s, d)),
+    "q_jonckheere"       -> ((s, d) => Stats.jonckheere(s, d)),
+    "q_rayleigh"         -> ((s, d) => Stats.rayleighHours(s, d)),
+    "q_variance_ratio"   -> ((s, d) => Stats.varianceRatio(s, d)),
+    "q_brunner_munzel"   -> ((s, d) => graft.operators.Behavior.brunnerMunzel(s, d)),
+    "q_ansari_bradley"   -> ((s, d) => graft.operators.Behavior.ansariBradley(s, d)),
+    "q_gamma_fit"        -> ((s, d) => Stats.gammaFit(s, d)),
+    "q_lognormal_fit"    -> ((s, d) => Stats.lognormalFit(s, d)),
+    "q_dagostino_k2"     -> ((s, d) => Stats.dagostinoK2(s, d)),
+    "q_erlang_b"         -> ((s, d) => graft.operators.Inventory.erlangB(s, d)),
+    "q_mg1_wait"         -> ((s, d) => graft.operators.Inventory.mg1Wait(s, d)),
+    "q_rouge_l"          -> ((s, d) => graft.operators.TextAnalysis.rougeLPairs(s, d)),
+    "q_char_xent"        -> ((s, d) => graft.operators.TextAnalysis.charCrossEntropy(s, d)),
+    "q_edge_support"     -> ((s, d) => graft.operators.Graph.edgeSupport(s, d)),
+    "q_aqp_stratified"   -> ((s, d) => Stats.aqpStratified(s, d)),
     // Streaming transforms (batch-mode plan parity; watermark no-ops)
     "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
                                .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
@@ -3167,8 +3186,10 @@ object SparkEntry {
     // also near (Hamming <= 24 on 60 bits, vs E[d]=30 for unrelated)
     // under the independent md5 family.
     "q_dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-        |             FROM documents),
+      """WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |             GROUP BY md5(text)),
+        |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |        FROM documents SEMI JOIN reps USING (doc_id)),
         |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
         |b AS (SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS s
         |      FROM h CROSS JOIN range(60) t(j) GROUP BY 1, 2),
@@ -3186,8 +3207,10 @@ object SparkEntry {
     // ('0x'||substr(md5,1,15))::BIGINT), so signature construction and
     // Hamming verification replay exactly in DuckDB.
     "q_dedup_simhash_md5" ->
-      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-        |             FROM documents),
+      """WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |             GROUP BY md5(text)),
+        |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |        FROM documents SEMI JOIN reps USING (doc_id)),
         |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
         |b AS (SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS s
         |      FROM h CROSS JOIN range(60) t(j) GROUP BY 1, 2),
@@ -3633,6 +3656,8 @@ object SparkEntry {
         |       AS INT) AS duration,
         |  CAST((doc_id % 3 + 2) * 100 AS BIGINT) AS duration_ms,
         |  CAST(1 AS INT) AS n_tracks, 'png' AS codec,
+        |  CAST(doc_id % 5 + 4 AS INT) AS disp_w,
+        |  CAST(doc_id % 4 + 3 AS INT) AS disp_h,
         |  CAST(doc_id % 3 + 2 AS INT) AS n_samples
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     // frame extraction via the parsed stsz/stco sample table + PNG
@@ -3654,6 +3679,447 @@ object SparkEntry {
         |ROUND(AVG(CAST((media_id*53 + f*23 + x*5 + y*3 + x*y*7) % 256 AS DOUBLE)), 4) AS g_mean,
         |ROUND(AVG(CAST((media_id*71 + f*29 + x*13 + y*17 + x*y*11) % 256 AS DOUBLE)), 4) AS b_mean
         |FROM px GROUP BY media_id, f""".stripMargin,
+    "q_page_trend" ->
+      """WITH cells AS (
+        |  SELECT r_name AS region,
+        |    CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT region, q, ROW_NUMBER() OVER
+        |    (PARTITION BY region ORDER BY rev, q) AS r FROM cells),
+        |s AS (SELECT COUNT(DISTINCT region)::DOUBLE AS b,
+        |    COUNT(DISTINCT q)::DOUBLE AS k, SUM(q*r) AS l FROM rk)
+        |SELECT CAST(b AS BIGINT) AS n_blocks,
+        |  CAST(k AS BIGINT) AS k_treatments, CAST(l AS BIGINT) AS l_stat,
+        |  floor((l - b*k*(k+1)*(k+1)/4.0) /
+        |    sqrt(b*k*k*(k+1)*(k*k-1)/144.0)
+        |    *10000 + 0.5 + 0.000001)/10000 AS z_stat
+        |FROM s""".stripMargin,
+    "q_quade" ->
+      """WITH cells AS (
+        |  SELECT r_name AS region,
+        |    CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT region, q,
+        |    ROW_NUMBER() OVER (PARTITION BY region ORDER BY rev, q) AS r,
+        |    MAX(rev) OVER (PARTITION BY region)
+        |      - MIN(rev) OVER (PARTITION BY region) AS rng,
+        |    COUNT(*) OVER (PARTITION BY region)::DOUBLE AS kk
+        |  FROM cells),
+        |wt AS (SELECT q, qw*(r - (kk+1)/2.0) AS s FROM
+        |  (SELECT *, DENSE_RANK() OVER (ORDER BY rng, region) AS qw
+        |   FROM rk)),
+        |perT AS (SELECT q, SUM(s) AS sj, SUM(s*s) AS aj, COUNT(*) AS b
+        |  FROM wt GROUP BY 1),
+        |f AS (SELECT SUM(aj) AS a, SUM(sj*sj) AS b2,
+        |    MAX(b)::DOUBLE AS b, COUNT(*)::DOUBLE AS k FROM perT)
+        |SELECT CAST(b AS BIGINT) AS n_blocks,
+        |  CAST(k AS BIGINT) AS k_treatments,
+        |  floor(a*10000 + 0.5 + 0.000001)/10000 AS a_stat,
+        |  floor(b2/b*10000 + 0.5 + 0.000001)/10000 AS b_stat,
+        |  floor((b-1)*(b2/b)/(a - b2/b)*10000 + 0.5 + 0.000001)/10000
+        |    AS f_stat
+        |FROM f""".stripMargin,
+    "q_jonckheere" ->
+      """WITH g AS (SELECT CAST(floor(o_totalprice/100) AS BIGINT) AS bucket,
+        |    CAST(substr(o_orderpriority, 1, 1) AS INT) AS grp FROM orders),
+        |c AS (SELECT bucket,
+        |    SUM(CASE WHEN grp=1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN grp=2 THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN grp=3 THEN 1 ELSE 0 END) AS n3,
+        |    SUM(CASE WHEN grp=4 THEN 1 ELSE 0 END) AS n4,
+        |    SUM(CASE WHEN grp=5 THEN 1 ELSE 0 END) AS n5
+        |  FROM g GROUP BY 1),
+        |cum AS (SELECT *,
+        |    COALESCE(SUM(n1) OVER w, 0) AS c1,
+        |    COALESCE(SUM(n2) OVER w, 0) AS c2,
+        |    COALESCE(SUM(n3) OVER w, 0) AS c3,
+        |    COALESCE(SUM(n4) OVER w, 0) AS c4
+        |  FROM c WINDOW w AS (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (SELECT
+        |    SUM(n2*(c1+n1/2.0) + n3*(c1+n1/2.0) + n4*(c1+n1/2.0)
+        |      + n5*(c1+n1/2.0)
+        |      + n3*(c2+n2/2.0) + n4*(c2+n2/2.0) + n5*(c2+n2/2.0)
+        |      + n4*(c3+n3/2.0) + n5*(c3+n3/2.0)
+        |      + n5*(c4+n4/2.0)) AS j,
+        |    SUM(n1) AS t1, SUM(n2) AS t2, SUM(n3) AS t3,
+        |    SUM(n4) AS t4, SUM(n5) AS t5 FROM cum),
+        |z AS (SELECT j, t1+t2+t3+t4+t5 AS n,
+        |    t1*t1+t2*t2+t3*t3+t4*t4+t5*t5 AS ssq,
+        |    t1*t1*(2.0*t1+3) + t2*t2*(2.0*t2+3) + t3*t3*(2.0*t3+3)
+        |      + t4*t4*(2.0*t4+3) + t5*t5*(2.0*t5+3) AS sv FROM s)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  floor(j*10000 + 0.5 + 0.000001)/10000 AS j_stat,
+        |  floor((j - (n*n - ssq)/4.0) /
+        |    sqrt((n*n*(2.0*n+3) - sv)/72.0)
+        |    *10000 + 0.5 + 0.000001)/10000 AS z_stat
+        |FROM z""".stripMargin,
+    "q_rayleigh" ->
+      """WITH t AS (SELECT event_type,
+        |    (epoch(ts) % 86400) / 86400.0 * 2 * pi() AS th FROM events),
+        |a AS (SELECT event_type, COUNT(*)::DOUBLE AS n,
+        |    SUM(cos(th)) AS cs, SUM(sin(th)) AS sn FROM t GROUP BY 1),
+        |qq AS (SELECT event_type, n,
+        |    floor(cs/n*1000000 + 0.5 + 0.000001)/1000000 AS cb,
+        |    floor(sn/n*1000000 + 0.5 + 0.000001)/1000000 AS sb FROM a),
+        |h AS (SELECT event_type, n, sqrt(cb*cb + sb*sb) AS rbar,
+        |    atan2(sb, cb)/(2*pi())*24 AS hh FROM qq)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  floor(rbar*10000 + 0.5 + 0.000001)/10000 AS r_bar,
+        |  floor(n*rbar*rbar*10000 + 0.5 + 0.000001)/10000 AS rayleigh_z,
+        |  floor((CASE WHEN hh < 0 THEN hh + 24 ELSE hh END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS mean_hour
+        |FROM h ORDER BY event_type""".stripMargin,
+    "q_variance_ratio" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |rets AS (SELECT d, floor(ln(rev / lag(rev) OVER (ORDER BY d))
+        |    *1000000 + 0.5 + 0.000001)/1000000 AS r
+        |  FROM daily QUALIFY r IS NOT NULL),
+        |sums AS (SELECT d, r,
+        |    SUM(r) OVER w AS rq, COUNT(r) OVER w AS nq
+        |  FROM rets WINDOW w AS (ORDER BY d
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |mu AS (SELECT AVG(r) AS mu, COUNT(*)::DOUBLE AS n FROM sums),
+        |st AS (SELECT MAX(n) AS n,
+        |    SUM((r-mu)*(r-mu))/MAX(n) AS v1,
+        |    SUM(CASE WHEN nq = 5 THEN (rq-5.0*mu)*(rq-5.0*mu) END) AS sq,
+        |    SUM(CASE WHEN nq = 5 THEN 1 ELSE 0 END)::DOUBLE AS nqc
+        |  FROM sums, mu)
+        |SELECT CAST(n AS BIGINT) AS n_returns, CAST(5 AS INT) AS q,
+        |  floor(sq/nqc/(5.0*v1)*10000 + 0.5 + 0.000001)/10000 AS vr,
+        |  floor((sq/nqc/(5.0*v1) - 1) /
+        |    sqrt((2.0*9*4/15.0)/n)*10000 + 0.5 + 0.000001)/10000 AS z_stat
+        |FROM st""".stripMargin,
+    "q_brunner_munzel" ->
+      """WITH two AS (SELECT value, event_type FROM events
+        |  WHERE event_type IN ('purchase','click')),
+        |g AS (SELECT value,
+        |    SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n2
+        |  FROM two GROUP BY 1),
+        |r AS (SELECT value, n1, n2, n1+n2 AS t,
+        |    COALESCE(SUM(n1+n2) OVER w, 0) AS cb,
+        |    COALESCE(SUM(n1) OVER w, 0) AS cb1,
+        |    COALESCE(SUM(n2) OVER w, 0) AS cb2
+        |  FROM g WINDOW w AS (ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |mid AS (SELECT n1, n2,
+        |    cb + (t+1)/2.0 AS rmid,
+        |    cb1 + (n1+1)/2.0 AS r1mid, cb2 + (n2+1)/2.0 AS r2mid FROM r),
+        |tot AS (SELECT SUM(n1)::DOUBLE AS m1, SUM(n2)::DOUBLE AS m2,
+        |    SUM(n1*rmid)/SUM(n1) AS rb1, SUM(n2*rmid)/SUM(n2) AS rb2
+        |  FROM mid),
+        |v AS (SELECT MAX(m1) AS m1, MAX(m2) AS m2,
+        |    MAX(rb1) AS rb1, MAX(rb2) AS rb2,
+        |    SUM(n1*(rmid-r1mid-rb1+(m1+1)/2)*(rmid-r1mid-rb1+(m1+1)/2))
+        |      /(MAX(m1)-1) AS s1sq,
+        |    SUM(n2*(rmid-r2mid-rb2+(m2+1)/2)*(rmid-r2mid-rb2+(m2+1)/2))
+        |      /(MAX(m2)-1) AS s2sq
+        |  FROM mid, tot)
+        |SELECT CAST(m1 AS BIGINT) AS n1, CAST(m2 AS BIGINT) AS n2,
+        |  floor((rb2-(m2+1)/2)/m1*10000 + 0.5 + 0.000001)/10000 AS p_hat,
+        |  floor(m1*m2*(rb2-rb1)/((m1+m2)*sqrt(m1*s1sq+m2*s2sq))
+        |    *10000 + 0.5 + 0.000001)/10000 AS bm_stat,
+        |  floor(pow(m1*s1sq+m2*s2sq,2) /
+        |    (pow(m1*s1sq,2)/(m1-1) + pow(m2*s2sq,2)/(m2-1))
+        |    *10000 + 0.5 + 0.000001)/10000 AS df
+        |FROM v""".stripMargin,
+    "q_ansari_bradley" ->
+      """WITH two AS (SELECT value, event_type FROM events
+        |  WHERE event_type IN ('purchase','click')),
+        |g AS (SELECT value,
+        |    SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n2
+        |  FROM two GROUP BY 1),
+        |nn AS (SELECT SUM(n1+n2) AS nn FROM g),
+        |b AS (SELECT n1, n2, n1+n2 AS t, nn,
+        |    COALESCE(SUM(n1+n2) OVER w, 0) + 1 AS a,
+        |    COALESCE(SUM(n1+n2) OVER w, 0) + n1 + n2 AS bb
+        |  FROM g, nn WINDOW w AS (ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT n1, n2, t, nn,
+        |    LEAST(bb, (nn+1)//2) AS c, a, bb FROM b),
+        |sc2 AS (SELECT n1, n2, t, nn,
+        |    CASE WHEN c >= a THEN (a+c)*(c-a+1)/2.0 ELSE 0 END AS part1,
+        |    GREATEST(a, c+1) AS lo, bb, c FROM sc),
+        |sc3 AS (SELECT n1, n2, t, nn, part1,
+        |    CASE WHEN bb >= lo THEN (nn+1.0)*(bb-lo+1)
+        |      - (lo+bb)*(bb-lo+1)/2.0 ELSE 0 END AS part2 FROM sc2),
+        |agg AS (SELECT SUM(n1)::DOUBLE AS m1, SUM(n2)::DOUBLE AS m2,
+        |    MAX(nn)::DOUBLE AS nd,
+        |    SUM(n1*(part1+part2)/t) AS ab FROM sc3)
+        |SELECT CAST(m1 AS BIGINT) AS n1, CAST(m2 AS BIGINT) AS n2,
+        |  floor(ab*10000 + 0.5 + 0.000001)/10000 AS ab_stat,
+        |  floor((ab - CASE WHEN nd % 2 = 0 THEN m1*(nd+2)/4
+        |      ELSE m1*(nd+1)*(nd+1)/(nd*4) END) /
+        |    sqrt(CASE WHEN nd % 2 = 0
+        |      THEN m1*m2*(nd+2)*(nd-2)/((nd-1)*48)
+        |      ELSE m1*m2*(nd+1)*(nd*nd+3)/(nd*nd*48) END)
+        |    *10000 + 0.5 + 0.000001)/10000 AS z_stat
+        |FROM agg""".stripMargin,
+    "q_gamma_fit" ->
+      """WITH x AS (SELECT c_mktsegment AS seg, o_totalprice/1000.0 AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT seg, COUNT(*)::DOUBLE AS n, SUM(x) AS sx,
+        |    SUM(x*x) AS sxx, SUM(ln(x)) AS slx FROM x GROUP BY 1),
+        |f AS (SELECT seg, n, sx/n AS m,
+        |    (sxx - sx*sx/n)/(n-1) AS v,
+        |    floor((ln(sx/n) - slx/n)*1000000 + 0.5 + 0.000001)/1000000
+        |      AS s FROM m)
+        |SELECT seg, CAST(n AS BIGINT) AS n,
+        |  floor(m*10000 + 0.5 + 0.000001)/10000 AS mean_k,
+        |  floor(v*10000 + 0.5 + 0.000001)/10000 AS var_k,
+        |  floor(m*m/v*10000 + 0.5 + 0.000001)/10000 AS shape_mom,
+        |  floor(v/m*10000 + 0.5 + 0.000001)/10000 AS scale_mom,
+        |  floor((3 - s + sqrt((s-3)*(s-3) + 24*s))/(12*s)
+        |    *10000 + 0.5 + 0.000001)/10000 AS shape_mle
+        |FROM f ORDER BY seg""".stripMargin,
+    "q_lognormal_fit" ->
+      """WITH x AS (SELECT c_mktsegment AS seg, o_totalprice AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT seg, COUNT(*)::DOUBLE AS n, SUM(x) AS sx,
+        |    SUM(ln(x)) AS sl, SUM(ln(x)*ln(x)) AS sll FROM x GROUP BY 1),
+        |f AS (SELECT seg, n, sx,
+        |    floor(sl/n*1000000 + 0.5 + 0.000001)/1000000 AS mu,
+        |    floor((sll - sl*sl/n)/(n-1)*1000000 + 0.5 + 0.000001)/1000000
+        |      AS sig2 FROM m)
+        |SELECT seg, CAST(n AS BIGINT) AS n,
+        |  floor(mu*10000 + 0.5 + 0.000001)/10000 AS mu_log,
+        |  floor(sqrt(sig2)*10000 + 0.5 + 0.000001)/10000 AS sigma_log,
+        |  floor(exp(mu)*10000 + 0.5 + 0.000001)/10000 AS median_fit,
+        |  floor(exp(mu + sig2/2)*10000 + 0.5 + 0.000001)/10000 AS mean_fit,
+        |  floor(exp(mu + sig2/2)/(sx/n)*10000 + 0.5 + 0.000001)/10000
+        |    AS mean_ratio
+        |FROM f ORDER BY seg""".stripMargin,
+    "q_dagostino_k2" ->
+      """WITH x AS (SELECT c_mktsegment AS seg, o_totalprice/100000.0 AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT seg, COUNT(*)::DOUBLE AS n, SUM(x) AS s1,
+        |    SUM(x*x) AS s2, SUM(x*x*x) AS s3, SUM(x*x*x*x) AS s4
+        |  FROM x GROUP BY 1),
+        |c AS (SELECT seg, n, s1/n AS mu,
+        |    s2/n - (s1/n)*(s1/n) AS m2,
+        |    s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+        |    s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
+        |      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4 FROM m),
+        |gq AS (SELECT seg, n,
+        |    floor(m3/sqrt(m2*m2*m2)*1000000 + 0.5 + 0.000001)/1000000
+        |      AS g1,
+        |    floor(m4/(m2*m2)*1000000 + 0.5 + 0.000001)/1000000 AS b2
+        |  FROM c),
+        |t1 AS (SELECT seg, n, g1, b2,
+        |    g1*sqrt((n+1)*(n+3)/((n-2)*6)) AS y,
+        |    3.0*(n*n + 27*n - 70)*(n+1)*(n+3)
+        |      /((n-2)*(n+5)*(n+7)*(n+9)) AS beta2 FROM gq),
+        |t2 AS (SELECT *, sqrt(2*(beta2-1)) - 1 AS w2 FROM t1),
+        |t3 AS (SELECT *, 1.0/sqrt(ln(sqrt(w2))) AS delta,
+        |    sqrt(2.0/(w2-1)) AS alpha FROM t2),
+        |t4 AS (SELECT seg, n, g1, b2,
+        |    delta*ln(y/alpha + sqrt(y*y/(alpha*alpha) + 1)) AS z1,
+        |    3.0*(n-1)/(n+1) AS eb2,
+        |    24.0*n*(n-2)*(n-3)/((n+1)*(n+1)*(n+3)*(n+5)) AS vb2,
+        |    6.0*(n*n - 5*n + 2)/((n+7)*(n+9))
+        |      * sqrt(6.0*(n+3)*(n+5)/(n*(n-2)*(n-3))) AS sb FROM t3),
+        |t5 AS (SELECT *, (b2-eb2)/sqrt(vb2) AS xx,
+        |    6.0 + 8.0/sb*(2.0/sb + sqrt(1.0 + 4.0/(sb*sb))) AS aa
+        |  FROM t4),
+        |t6 AS (SELECT seg, n, g1, b2, z1,
+        |    ((1 - 2.0/(9*aa)) - cbrt((1 - 2.0/aa)/(1 + xx*sqrt(2.0/(aa-4)))))
+        |      / sqrt(2.0/(9*aa)) AS z2 FROM t5)
+        |SELECT seg, CAST(n AS BIGINT) AS n,
+        |  floor(g1*10000 + 0.5 + 0.000001)/10000 AS skewness,
+        |  floor(b2*10000 + 0.5 + 0.000001)/10000 AS kurtosis,
+        |  floor(z1*10000 + 0.5 + 0.000001)/10000 AS z_skew,
+        |  floor(z2*10000 + 0.5 + 0.000001)/10000 AS z_kurt,
+        |  floor((z1*z1 + z2*z2)*10000 + 0.5 + 0.000001)/10000 AS k2_stat
+        |FROM t6 ORDER BY seg""".stripMargin,
+    "q_erlang_b" ->
+      """WITH base0 AS (SELECT COUNT(*)
+        |    /(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+        |      MAX(CAST(o_orderdate AS DATE))) + 1) AS lam_raw
+        |  FROM orders),
+        |base AS (SELECT
+        |    floor(lam_raw*1000000 + 0.5 + 0.000001)/1000000 AS lam,
+        |    floor(lam_raw/50.0*1000000 + 0.5 + 0.000001)/1000000 AS a
+        |  FROM base0),
+        |kf AS (SELECT k,
+        |    SUM(CASE WHEN k > 0 THEN ln(k) ELSE 0.0 END)
+        |      OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) AS lnf
+        |  FROM (SELECT unnest(generate_series(0,
+        |    CAST(ceil(a) AS INTEGER) + 5)) AS k FROM base)),
+        |kt AS (SELECT k, exp(k*ln(a) - lnf) AS term FROM kf, base),
+        |grid AS (SELECT unnest(generate_series(1,
+        |    CAST(ceil(a) AS INTEGER) + 5)) AS c FROM base),
+        |g AS (SELECT c, a, SUM(term) AS s,
+        |    MAX(CASE WHEN k = c THEN term ELSE 0.0 END) AS tc
+        |  FROM grid JOIN kt ON k <= c, base GROUP BY 1, 2)
+        |SELECT CAST(c AS BIGINT) AS servers,
+        |  floor(a*10000 + 0.5 + 0.000001)/10000 AS offered_load,
+        |  floor(tc/s*10000 + 0.5 + 0.000001)/10000 AS p_block,
+        |  floor(a*(1 - tc/s)*10000 + 0.5 + 0.000001)/10000
+        |    AS carried_load
+        |FROM g ORDER BY servers""".stripMargin,
+    "q_mg1_wait" ->
+      """WITH per AS (SELECT l_orderkey, COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |lam AS (SELECT floor(COUNT(*)
+        |    /(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+        |      MAX(CAST(o_orderdate AS DATE))) + 1)
+        |    *1000000 + 0.5 + 0.000001)/1000000 AS lam FROM orders),
+        |m AS (SELECT COUNT(*)::DOUBLE AS n, SUM(n_lines) AS sl,
+        |    SUM(n_lines*n_lines) AS sll FROM per),
+        |f AS (SELECT n, lam,
+        |    floor(sl/n/100.0*1000000 + 0.5 + 0.000001)/1000000 AS es,
+        |    floor(sll/n/10000.0*1000000 + 0.5 + 0.000001)/1000000 AS es2
+        |  FROM m, lam),
+        |g AS (SELECT n, lam, es, es2, lam*es AS rho,
+        |    lam*es2/(2.0*(1 - lam*es)) AS wq FROM f)
+        |SELECT CAST(n AS BIGINT) AS n_orders, lam AS lambda_day,
+        |  floor(es*10000 + 0.5 + 0.000001)/10000 AS es_days,
+        |  floor(es2*10000 + 0.5 + 0.000001)/10000 AS es2_days2,
+        |  floor(rho*10000 + 0.5 + 0.000001)/10000 AS rho,
+        |  floor(wq*10000 + 0.5 + 0.000001)/10000 AS wq_days,
+        |  floor(lam*wq*10000 + 0.5 + 0.000001)/10000 AS lq_orders,
+        |  floor((wq+es)*10000 + 0.5 + 0.000001)/10000 AS w_days
+        |FROM g""".stripMargin,
+    // same SimHash detector + representative collapse as q_rouge; the
+    // LCS DP walks cell-by-cell in a recursive CTE (the DTW pattern)
+    // over the leading 24-token windows
+    "q_rouge_l" ->
+      """WITH RECURSIVE tok0 AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS t2
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t2), 1, 15))::BIGINT AS h FROM tok0),
+        |b AS (SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS sgn
+        |  FROM h CROSS JOIN range(60) t(j) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0
+        |    END) AS BIGINT) AS sig
+        |  FROM b GROUP BY 1),
+        |p20 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+        |  WHERE CAST(bit_count(xor(a.sig, b2.sig)) AS INTEGER) <= 3),
+        |reps AS (SELECT MIN(doc_id) AS rep_id FROM documents
+        |  GROUP BY md5(text)),
+        |p2 AS (SELECT doc_a, doc_b FROM p20
+        |  WHERE doc_a IN (SELECT rep_id FROM reps)
+        |    AND doc_b IN (SELECT rep_id FROM reps)),
+        |w AS (SELECT doc_id, string_split(text, ' ')[1:24] AS w
+        |  FROM documents),
+        |pw AS (SELECT p.doc_a, p.doc_b, a.w AS wa, b2.w AS wb
+        |  FROM p2 p JOIN w a ON p.doc_a = a.doc_id
+        |    JOIN w b2 ON p.doc_b = b2.doc_id),
+        |dp AS (
+        |  SELECT doc_a, doc_b, wa, wb, 1 AS i, 0 AS j,
+        |    list_transform(generate_series(0, len(wb)), x -> 0) AS prev,
+        |    [0] AS cur
+        |  FROM pw
+        |  UNION ALL
+        |  SELECT doc_a, doc_b, wa, wb,
+        |    CASE WHEN j = len(wb) THEN i + 1 ELSE i END,
+        |    CASE WHEN j = len(wb) THEN 0 ELSE j + 1 END,
+        |    CASE WHEN j = len(wb) THEN cur ELSE prev END,
+        |    CASE WHEN j = len(wb) THEN [0]
+        |         ELSE list_append(cur,
+        |           CASE WHEN wa[i] = wb[j+1] THEN prev[j+1] + 1
+        |                ELSE GREATEST(prev[j+2], cur[j+1]) END) END
+        |  FROM dp WHERE NOT (i = len(wa) AND j = len(wb))
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(cur[len(wb)+1] AS BIGINT) AS lcs,
+        |  CAST(len(wa) AS BIGINT) AS len_a,
+        |  CAST(len(wb) AS BIGINT) AS len_b,
+        |  floor(cur[len(wb)+1]*1.0/len(wb)*10000 + 0.5 + 0.000001)/10000
+        |    AS rougel_p,
+        |  floor(cur[len(wb)+1]*1.0/len(wa)*10000 + 0.5 + 0.000001)/10000
+        |    AS rougel_r,
+        |  floor(2.0*cur[len(wb)+1]/(len(wa)+len(wb))
+        |    *10000 + 0.5 + 0.000001)/10000 AS rougel_f
+        |FROM dp WHERE i = len(wa) AND j = len(wb)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_char_xent" ->
+      """WITH bg AS (SELECT source, substr(text, i, 2) AS g
+        |  FROM documents, generate_series(1, 1000) t(i)
+        |  WHERE i <= len(text) - 1),
+        |bysrc AS (SELECT source, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |gl AS (SELECT g, SUM(c) AS cg FROM bysrc GROUP BY 1),
+        |tot AS (SELECT SUM(cg) AS ng, COUNT(*) AS v FROM gl),
+        |sc AS (SELECT source, c,
+        |    -log2((cg+1)*1.0/(ng+v)) AS nll
+        |  FROM bysrc JOIN gl USING (g), tot),
+        |agg AS (SELECT source, SUM(c) AS n_bigrams, MAX(t.v) AS vocab,
+        |    floor(SUM(c*nll)/SUM(c)*10000 + 0.5 + 0.000001)/10000
+        |      AS xent_bits
+        |  FROM sc, tot t GROUP BY 1)
+        |SELECT source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(vocab AS BIGINT) AS vocab, xent_bits,
+        |  floor(pow(2.0, xent_bits)*10000 + 0.5 + 0.000001)/10000 AS ppl
+        |FROM agg ORDER BY source""".stripMargin,
+    "q_edge_support" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_quantity >= 48),
+        |e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM ps x JOIN ps y ON x.l_partkey = y.l_partkey
+        |  WHERE x.l_suppkey < y.l_suppkey),
+        |tri AS (SELECT ab.a AS ta, ab.b AS tb, bc.b AS tc
+        |  FROM e ab JOIN e bc ON ab.b = bc.a
+        |    JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        |cr AS (SELECT ta AS a, tb AS b FROM tri
+        |  UNION ALL SELECT ta, tc FROM tri
+        |  UNION ALL SELECT tb, tc FROM tri),
+        |sup AS (SELECT a, b, COUNT(*) AS support FROM cr GROUP BY 1, 2)
+        |SELECT e.a AS supp_a, e.b AS supp_b,
+        |  CAST(COALESCE(sup.support, 0) AS BIGINT) AS support,
+        |  COALESCE(sup.support, 0) >= 1 AS in_3truss,
+        |  COALESCE(sup.support, 0) >= 2 AS in_4truss
+        |FROM e LEFT JOIN sup ON e.a = sup.a AND e.b = sup.b
+        |ORDER BY supp_a, supp_b""".stripMargin,
+    "q_aqp_stratified" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS v,
+        |    ((l_orderkey % 1000003) * 2654435761 + l_linenumber * 97)
+        |      % 100 AS h,
+        |    CASE WHEN l_returnflag = 'A' THEN 5
+        |         WHEN l_returnflag = 'N' THEN 10 ELSE 20 END AS pct
+        |  FROM lineitem),
+        |per AS (SELECT flag, pct, COUNT(*) AS n_rows,
+        |    SUM(v) AS exact_v,
+        |    SUM(CASE WHEN h < pct THEN 1 ELSE 0 END) AS n_sampled,
+        |    SUM(CASE WHEN h < pct THEN v ELSE 0 END) AS sv,
+        |    SUM(CASE WHEN h < pct THEN v*v ELSE 0 END) AS svv
+        |  FROM li GROUP BY 1, 2),
+        |est AS (SELECT flag, n_rows, n_sampled, exact_v,
+        |    sv/(pct/100.0) AS est,
+        |    svv*(1 - pct/100.0)/((pct/100.0)*(pct/100.0)) AS vhat
+        |  FROM per),
+        |comb AS (SELECT SUM(exact_v) AS texact, SUM(est) AS test,
+        |    SUM(vhat) AS tvar FROM est)
+        |SELECT flag, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_sampled AS BIGINT) AS n_sampled,
+        |  floor(exact_v/1e6*10000 + 0.5 + 0.000001)/10000 AS exact_musd,
+        |  floor(est/1e6*10000 + 0.5 + 0.000001)/10000 AS est_musd,
+        |  floor(sqrt(vhat)/1e6*10000 + 0.5 + 0.000001)/10000 AS se_musd,
+        |  floor(test/1e6*10000 + 0.5 + 0.000001)/10000
+        |    AS combined_est_musd,
+        |  floor(sqrt(tvar)/1e6*10000 + 0.5 + 0.000001)/10000
+        |    AS combined_se_musd,
+        |  floor(abs(test - texact)/texact*10000 + 0.5 + 0.000001)/10000
+        |    AS combined_rel_err
+        |FROM est, comb ORDER BY flag""".stripMargin,
     "q_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
         |time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,

@@ -74,9 +74,70 @@ case class ClippedOverlap(left: Expression, right: Expression)
       l: Expression, r: Expression): ClippedOverlap = copy(left = l, right = r)
 }
 
+/** Longest-common-subsequence length between two token arrays — the
+  * ROUGE-L kernel. Classic two-row DP, O(|a|·|b|) time / O(|b|) space
+  * per pair; callers bound the arrays to a fixed leading window so the
+  * quadratic term is over a CONSTANT, never document length (let alone
+  * corpus size). Runs inside whole-stage codegen like [[ClippedOverlap]]. */
+object LcsKernel {
+  def lcs(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      val ai = a.getUTF8String(i - 1)
+      var j = 1
+      while (j <= m) {
+        cur(j) =
+          if (ai.equals(b.getUTF8String(j - 1))) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    prev(m).toLong
+  }
+}
+
+/** lcs_length(a, b) over two array<string> token sequences. */
+case class LcsLength(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"LcsLength expects two array<string> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    LcsKernel.lcs(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LcsKernel.lcs($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LcsLength = copy(left = l, right = r)
+}
+
 object GramOverlapFunctions {
   import org.apache.spark.sql.GraftSql
   def clippedOverlap(a: Column, b: Column): Column =
     GraftSql.column(ClippedOverlap(
+      GraftSql.catalystExpression(a), GraftSql.catalystExpression(b)))
+  def lcsLength(a: Column, b: Column): Column =
+    GraftSql.column(LcsLength(
       GraftSql.catalystExpression(a), GraftSql.catalystExpression(b)))
 }

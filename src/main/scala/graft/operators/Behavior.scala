@@ -1672,4 +1672,115 @@ object Behavior {
         col("chi2_mcar"))
       .orderBy(col("event_type"))
   }
+
+  /** Brunner-Munzel rank test (purchase vs click on value) — the
+    * heteroscedasticity-robust replacement for [[mannWhitney]]: no
+    * equal-variance assumption, so it stays valid when the two event
+    * types' value distributions differ in shape, not just location.
+    * Computed entirely on the NDV-bounded distinct-value frame:
+    * overall and within-group midranks from cumulative counts,
+    * placements P = R − R_within, p̂ = P(X<Y)+½P(X=Y) =
+    * (R̄₂−(n₂+1)/2)/n₁, the studentized statistic with the
+    * Satterthwaite df. Midranks are exact .5-rationals, so every
+    * intermediate is engine-exact until the final √. */
+  def brunnerMunzel(s: SparkSession, dir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("n2"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g
+      .withColumn("t", col("n1") + col("n2"))
+      .withColumn("cb", coalesce(sum(col("n1") + col("n2")).over(w), lit(0L)))
+      .withColumn("cb1", coalesce(sum(col("n1")).over(w), lit(0L)))
+      .withColumn("cb2", coalesce(sum(col("n2")).over(w), lit(0L)))
+      .withColumn("rmid", col("cb") + (col("t") + 1) / lit(2.0))
+      .withColumn("r1mid", col("cb1") + (col("n1") + 1) / lit(2.0))
+      .withColumn("r2mid", col("cb2") + (col("n2") + 1) / lit(2.0))
+      .persistMemDisk
+    val tot = ranked.agg(sum(col("n1")).cast("double").as("m1"),
+      sum(col("n2")).cast("double").as("m2"),
+      (sum(col("n1") * col("rmid")) / sum(col("n1"))).as("rb1"),
+      (sum(col("n2") * col("rmid")) / sum(col("n2"))).as("rb2"))
+    val vars = ranked.crossJoin(broadcast(tot)).agg(
+      max(col("m1")).as("m1"), max(col("m2")).as("m2"),
+      max(col("rb1")).as("rb1"), max(col("rb2")).as("rb2"),
+      (sum(col("n1") *
+        (col("rmid") - col("r1mid") - col("rb1") + (col("m1") + 1) / 2) *
+        (col("rmid") - col("r1mid") - col("rb1") + (col("m1") + 1) / 2)) /
+        (max(col("m1")) - 1)).as("s1sq"),
+      (sum(col("n2") *
+        (col("rmid") - col("r2mid") - col("rb2") + (col("m2") + 1) / 2) *
+        (col("rmid") - col("r2mid") - col("rb2") + (col("m2") + 1) / 2)) /
+        (max(col("m2")) - 1)).as("s2sq"))
+    vars.select(
+      col("m1").cast("long").as("n1"), col("m2").cast("long").as("n2"),
+      round4eps((col("rb2") - (col("m2") + 1) / 2) / col("m1")).as("p_hat"),
+      round4eps(col("m1") * col("m2") * (col("rb2") - col("rb1")) /
+        ((col("m1") + col("m2")) *
+          sqrt(col("m1") * col("s1sq") + col("m2") * col("s2sq"))))
+        .as("bm_stat"),
+      round4eps(pow(col("m1") * col("s1sq") + col("m2") * col("s2sq"), 2) /
+        (pow(col("m1") * col("s1sq"), 2) / (col("m1") - 1) +
+          pow(col("m2") * col("s2sq"), 2) / (col("m2") - 1))).as("df"))
+  }
+
+  /** Ansari-Bradley scale test (purchase vs click on value): AB
+    * scores min(rank, N+1−rank) with exact tied-block averages —
+    * computed in closed form per distinct-value block from integer
+    * position sums, so scores are exact rationals — summed over the
+    * first sample; z against the classical untied mean/variance
+    * (parity-split formulas). The dispersion-alternative companion of
+    * [[mannWhitney]] (equal centers assumed, as these synthetic
+    * values have by construction). */
+  def ansariBradley(s: SparkSession, dir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("n2"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = g.agg(sum(col("n1") + col("n2")).as("nn"))
+    val blocks = g.crossJoin(broadcast(tot))
+      .withColumn("t", col("n1") + col("n2"))
+      .withColumn("cb", coalesce(sum(col("n1") + col("n2")).over(w), lit(0L)))
+      .withColumn("a", col("cb") + 1)
+      .withColumn("b", col("cb") + col("t"))
+      // Σ_{p=a..b} min(p, N+1−p), split at the fold point (N+1)/2
+      // (N+1)/2 must be INTEGER division (Spark `/` on longs is
+      // double); exact for any feasible N, truncation = floor here
+      .withColumn("c", least(col("b"), ((col("nn") + 1) / 2).cast("long")))
+      .withColumn("part1", when(col("c") >= col("a"),
+        (col("a") + col("c")) * (col("c") - col("a") + 1) / lit(2.0))
+        .otherwise(lit(0.0)))
+      .withColumn("lo", greatest(col("a"), col("c") + 1))
+      .withColumn("part2", when(col("b") >= col("lo"),
+        (col("nn") + lit(1.0)) * (col("b") - col("lo") + 1) -
+          (col("lo") + col("b")) * (col("b") - col("lo") + 1) / lit(2.0))
+        .otherwise(lit(0.0)))
+      .withColumn("score", (col("part1") + col("part2")) / col("t"))
+    val agg = blocks.agg(
+      sum(col("n1")).cast("double").as("m1"),
+      sum(col("n2")).cast("double").as("m2"),
+      max(col("nn")).cast("double").as("nd"),
+      sum(col("n1") * col("score")).as("ab"))
+    val nD = col("nd")
+    val mean = when(col("nd") % 2 === 0, col("m1") * (nD + 2) / 4)
+      .otherwise(col("m1") * (nD + 1) * (nD + 1) / (nD * 4))
+    val vr = when(col("nd") % 2 === 0,
+        col("m1") * col("m2") * (nD + 2) * (nD - 2) / ((nD - 1) * 48))
+      .otherwise(col("m1") * col("m2") * (nD + 1) * (nD * nD + 3) /
+        (nD * nD * 48))
+    agg.select(col("m1").cast("long").as("n1"),
+      col("m2").cast("long").as("n2"),
+      round4eps(col("ab")).as("ab_stat"),
+      round4eps((col("ab") - mean) / sqrt(vr)).as("z_stat"))
+  }
 }

@@ -355,8 +355,29 @@ object Dedup {
     * Hamming distance. Same LSH join shape as minhashPairs. */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
     simhashBandPairs(
-      Tables.documents(s, dir).select(col("doc_id"), simhash64(col("text")).as("sig")),
+      repDocs(s, dir).select(col("doc_id"), simhash64(col("text")).as("sig")),
       nChunks = 4, chunkBits = 16, maxHamming = maxHamming)
+
+  /** Distinct-text representatives (min doc_id per exact text) — the
+    * exactGroups doctrine applied AT the detector (r12, the composed
+    * ×100 bench's q_dedup_simhash cap breach fixed at source):
+    * byte-identical documents produce byte-identical signatures, so
+    * the banded join emits C(g,2) Hamming-0 pairs per exact-dup group
+    * of size g — quadratic in dup density, and REDUNDANT by
+    * construction: identical-text duplicates are [[exactGroups]]'s
+    * output (every production pipeline collapses exact dups before
+    * near-dup detection). SimHash's contract is near-dup pairs among
+    * DISTINCT texts. On a corpus with no byte-identical texts (e.g.
+    * the sf0.01 oracle corpus) this is a no-op; on the ×100-replicated
+    * bench input it removes the detector's only super-linear term
+    * (distinct texts stay ~constant under replication). Precedent:
+    * the r9 collapseIdentical default on embeddingNearDups. */
+  private def repDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.join(d.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+  }
 
   /** Portable SimHash pairs — same semantics as simhashPairs but the
     * token hash is the first 15 hex chars of md5 (a 60-bit value any
@@ -378,7 +399,7 @@ object Dedup {
   /** The md5-derived 60-bit signatures of [[simhashPortablePairs]],
     * (doc_id, sig) — shared by the pairs path and the agreement gate. */
   def portableSigs(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = repDocs(s, dir)
       .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
       .select(col("doc_id"),
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))

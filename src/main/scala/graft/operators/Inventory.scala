@@ -312,4 +312,87 @@ object Inventory {
           .as("asa_hours"))
       .orderBy(col("agents"))
   }
+
+  /** Erlang-B blocking table — the LOSS-system companion of
+    * [[erlangC]] (no queue: a blocked arrival is lost, the trunk/
+    * connection-pool sizing model): B(c, a) = (aᶜ/c!)/Σ_{k≤c}aᵏ/k!,
+    * plus the carried load a·(1−B). Same machinery as Erlang-C — one
+    * λ collapse, a bounded ln-factorial term table — evaluated from
+    * c = 1 so the sizing curve shows the steep small-c region too. */
+  def erlangB(s: SparkSession, dir: String,
+      muPerDay: Double = 50.0): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir)
+      .agg((count(lit(1)) /
+        (datediff(max(col("o_orderdate")), min(col("o_orderdate"))) + 1))
+        .as("lam_raw"))
+      .select(q6(col("lam_raw")).as("lam"),
+        q6(col("lam_raw") / lit(muPerDay)).as("a"))
+    val kf = base
+      .withColumn("k", explode(sequence(lit(0),
+        ceil(col("a")).cast("int") + 5)))
+      .withColumn("lnf", sum(when(col("k") > 0, log(col("k")))
+        .otherwise(lit(0.0))).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("term", exp(col("k") * log(col("a")) - col("lnf")))
+    val grid = base.withColumn("c", explode(sequence(lit(1),
+      ceil(col("a")).cast("int") + 5)))
+    grid.join(kf.select(col("k"), col("term")), col("k") <= col("c"))
+      .groupBy(col("c"), col("lam"), col("a"))
+      .agg(sum(col("term")).as("s"),
+        max(when(col("k") === col("c"), col("term")).otherwise(lit(0.0)))
+          .as("tc"))
+      .select(col("c").cast("long").as("servers"),
+        round4eps(col("a")).as("offered_load"),
+        round4eps(col("tc") / col("s")).as("p_block"),
+        round4eps(col("a") * (lit(1.0) - col("tc") / col("s")))
+          .as("carried_load"))
+      .orderBy(col("servers"))
+  }
+
+  /** M/G/1 waiting time via Pollaczek-Khinchine — the single-server
+    * queue with a GENERAL service distribution, which is exactly what
+    * the order stream provides: service time = line count / μ (the
+    * documented synthetic service model), so E[S] and E[S²] come from
+    * the REAL per-order size distribution rather than an exponential
+    * assumption. Wq = λE[S²]/(2(1−ρ)); the P-K formula is the whole
+    * point — only two service moments matter, not the shape.
+    *
+    * Scale shape: one order-grain line-count collapse (the only
+    * shuffle), then a single moment aggregation; λ and the moments
+    * are 1e-6-quantized before the closed form. */
+  def mg1Wait(s: SparkSession, dir: String,
+      muPerDay: Double = 100.0): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    val lam = Tables.orders(s, dir)
+      .agg((count(lit(1)) /
+        (datediff(max(col("o_orderdate")), min(col("o_orderdate"))) + 1))
+        .as("lam_raw"))
+      .select(q6(col("lam_raw")).as("lam"))
+    perOrder
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("n_lines")).as("sl"),
+        sum(col("n_lines") * col("n_lines")).as("sll"))
+      .crossJoin(broadcast(lam))
+      .withColumn("es", q6(col("sl") / col("n") / lit(muPerDay)))
+      .withColumn("es2", q6(col("sll") / col("n") /
+        lit(muPerDay * muPerDay)))
+      .withColumn("rho", col("lam") * col("es"))
+      .withColumn("wq", col("lam") * col("es2") /
+        (lit(2.0) * (lit(1.0) - col("rho"))))
+      .select(col("n").cast("long").as("n_orders"),
+        col("lam").as("lambda_day"),
+        round4eps(col("es")).as("es_days"),
+        round4eps(col("es2")).as("es2_days2"),
+        round4eps(col("rho")).as("rho"),
+        round4eps(col("wq")).as("wq_days"),
+        round4eps(col("lam") * col("wq")).as("lq_orders"),
+        round4eps(col("wq") + col("es")).as("w_days"))
+  }
 }

@@ -834,7 +834,7 @@ object Multimodal {
 
   private[graft] final case class Mp4Info(brand: String, minorVersion: Int,
       timescale: Int, duration: Int, nTracks: Int, codec: String,
-      sampleSizes: Array[Int], firstChunkOff: Int)
+      dispW: Int, dispH: Int, sampleSizes: Array[Int], firstChunkOff: Int)
 
   /** Pure-JVM ISO-BMFF box walk: (size, fourcc) iteration, recursing
     * into the container types, reading full-box fields at their spec
@@ -845,7 +845,7 @@ object Multimodal {
     val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
     def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
     var brand = ""; var minor = 0; var timescale = 0; var duration = 0
-    var nTracks = 0; var codec = ""
+    var nTracks = 0; var codec = ""; var dispW = 0; var dispH = 0
     var sizes = Array.emptyIntArray; var chunkOff = 0
     def walk(start: Int, end: Int): Unit = {
       var p = start
@@ -862,8 +862,12 @@ object Multimodal {
             // v0 full box: vf(4) creation(4) modification(4) ts dur
             timescale = bb.getInt(p + 20); duration = bb.getInt(p + 24)
           case "stsd" =>
-            // vf(4) entry_count(4), first entry: size(4) format(4)
+            // vf(4) entry_count(4), first entry: size(4) format(4);
+            // VisualSampleEntry: width/height u16 at entry offsets
+            // 32/34 (after 6 reserved + dref idx + 16 pre_defined)
             codec = fourcc(p + 20).trim
+            dispW = bb.getShort(p + 48) & 0xffff
+            dispH = bb.getShort(p + 50) & 0xffff
           case "stsz" =>
             val n = bb.getInt(p + 16)
             sizes = Array.tabulate(n)(i => bb.getInt(p + 20 + i * 4))
@@ -875,7 +879,7 @@ object Multimodal {
     }
     walk(0, bytes.length)
     Mp4Info(brand, minor, timescale, duration, nTracks, codec,
-      sizes, chunkOff)
+      dispW, dispH, sizes, chunkOff)
   }
 
   /** REAL container-metadata scan: parse each MP4's boxes and report
@@ -893,10 +897,11 @@ object Multimodal {
           val m = parseMp4(content)
           (id, m.brand, m.minorVersion, m.timescale, m.duration,
             m.duration.toLong * 1000L / m.timescale, m.nTracks,
-            m.codec, m.sampleSizes.length)
+            m.codec, m.dispW, m.dispH, m.sampleSizes.length)
         }
       }.toDF("media_id", "brand", "minor_version", "timescale",
-        "duration", "duration_ms", "n_tracks", "codec", "n_samples")
+        "duration", "duration_ms", "n_tracks", "codec",
+        "disp_w", "disp_h", "n_samples")
   }
 
   /** REAL frame extraction + decode: sample table (stsz sizes + stco

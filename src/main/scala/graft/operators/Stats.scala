@@ -4682,4 +4682,366 @@ object Stats {
           col("exact_ndv").cast("double")) /
           col("exact_ndv").cast("double")).as("rel_err_gee"))
   }
+
+  /** Shared (region × 1995-quarter) revenue cells for the
+    * randomized-block trend tests ([[pageTrend]], [[quadeTest]]):
+    * blocks = the 5 regions, ordered treatments = the 4 quarters of
+    * 1995, cell = 4dp-quantized revenue. One taxonomy-bounded
+    * aggregation (20 cells) off the pushed-down year filter. */
+  private def regionQuarterCells(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"),
+        quarter(col("o_orderdate")).as("q"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+
+  /** Page's L trend test for an ORDERED alternative across the 1995
+    * quarters within region blocks: within-block ranks r_ij (revenue
+    * ascending, quarter tie-break), L = Σ_j j·R_j with R_j the rank
+    * sum of quarter j, z = (L − bk(k+1)²/4) / √(bk²(k+1)(k²−1)/144).
+    * The monotone-trend companion of Friedman (which only asks "any
+    * difference"). Scale shape: the corpus collapses to the 20-cell
+    * block frame; everything after is scalar algebra. */
+  def pageTrend(s: SparkSession, dir: String): DataFrame = {
+    val cells = regionQuarterCells(s, dir)
+    val ranked = cells.withColumn("r", row_number().over(
+      Window.partitionBy(col("region")).orderBy(col("rev"), col("q"))))
+    ranked.agg(
+        countDistinct(col("region")).cast("double").as("b"),
+        countDistinct(col("q")).cast("double").as("k"),
+        sum(col("q") * col("r")).as("l_stat"))
+      .select(col("b").cast("long").as("n_blocks"),
+        col("k").cast("long").as("k_treatments"),
+        col("l_stat").cast("long").as("l_stat"),
+        round4eps((col("l_stat") -
+          col("b") * col("k") * (col("k") + 1) * (col("k") + 1) / lit(4.0)) /
+          sqrt(col("b") * col("k") * col("k") * (col("k") + 1) *
+            (col("k") * col("k") - 1) / lit(144.0))).as("z_stat"))
+  }
+
+  /** Quade test over the same block frame: within-block ranks r_ij,
+    * block weights Q_i = rank of the block's revenue RANGE (blocks
+    * with more spread count more — the power upgrade over Friedman
+    * for heterogeneous blocks), S_ij = Q_i·(r_ij − (k+1)/2),
+    * F = (b−1)·B/(A−B) with A = ΣS², B = ΣS_j²/b. */
+  def quadeTest(s: SparkSession, dir: String): DataFrame = {
+    val cells = regionQuarterCells(s, dir)
+    val ranked = cells
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("region")).orderBy(col("rev"), col("q"))))
+      .withColumn("rng",
+        max(col("rev")).over(Window.partitionBy(col("region"))) -
+          min(col("rev")).over(Window.partitionBy(col("region"))))
+    val weighted = ranked.withColumn("qw", dense_rank().over(
+        Window.orderBy(col("rng"), col("region"))))
+      .withColumn("kk", count(lit(1)).over(
+        Window.partitionBy(col("region"))).cast("double"))
+      .withColumn("sij", col("qw") * (col("r") - (col("kk") + 1) / 2))
+    val perT = weighted.groupBy(col("q"))
+      .agg(sum(col("sij")).as("sj"), sum(col("sij") * col("sij")).as("aj"),
+        count(lit(1)).as("b"))
+    perT.agg(sum(col("aj")).as("a"),
+        sum(col("sj") * col("sj")).as("b2"),
+        max(col("b")).cast("double").as("b"),
+        count(lit(1)).cast("double").as("k"))
+      .select(col("b").cast("long").as("n_blocks"),
+        col("k").cast("long").as("k_treatments"),
+        round4eps(col("a")).as("a_stat"),
+        round4eps(col("b2") / col("b")).as("b_stat"),
+        round4eps((col("b") - 1) * (col("b2") / col("b")) /
+          (col("a") - col("b2") / col("b"))).as("f_stat"))
+  }
+
+  /** Jonckheere-Terpstra test for an ordered alternative across the
+    * five order priorities (1-URGENT < … < 5-LOW) on total price:
+    * J = Σ_{i<j} U_ij counted on the NDV-bounded $100 price-bucket
+    * frame (within-bucket cross-group pairs get half credit — the
+    * midrank convention), z against the untied mean/variance
+    * (N²−Σnᵢ²)/4 and (N²(2N+3)−Σnᵢ²(2nᵢ+3))/72, the standard
+    * approximation under light ties. Scale shape: one bucket-keyed
+    * count aggregation, cumulative sums over the bounded bucket
+    * frame, scalar algebra after. */
+  def jonckheere(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / 100).cast("long").as("bucket"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("grp"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+        (2 to 5).map(i =>
+          sum(when(col("grp") === i, 1L).otherwise(0L)).as(s"n$i")): _*)
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = (1 to 5).foldLeft(g) { (df, i) =>
+      df.withColumn(s"c$i", coalesce(sum(col(s"n$i")).over(w), lit(0L)))
+    }
+    val jTerms = (for { i <- 1 to 5; j <- (i + 1) to 5 } yield
+      col(s"n$j") * (col(s"c$i") + col(s"n$i") / lit(2.0))).reduce(_ + _)
+    val agg = cum.agg(sum(jTerms).as("j_stat"),
+      (1 to 5).map(i => sum(col(s"n$i")).as(s"t$i")): _*)
+    val nTot = (1 to 5).map(i => col(s"t$i")).reduce(_ + _)
+    val sumSq = (1 to 5).map(i => col(s"t$i") * col(s"t$i")).reduce(_ + _)
+    val sumV = (1 to 5).map(i =>
+      col(s"t$i") * col(s"t$i") * (lit(2.0) * col(s"t$i") + 3)).reduce(_ + _)
+    agg.select(nTot.cast("long").as("n"),
+        round4eps(col("j_stat")).as("j_stat"),
+        round4eps((col("j_stat") -
+          (nTot * nTot - sumSq) / lit(4.0)) /
+          sqrt((nTot * nTot * (lit(2.0) * nTot + 3) - sumV) / lit(72.0)))
+          .as("z_stat"))
+  }
+
+  /** Rayleigh uniformity test on event time-of-day, per event type:
+    * each event's clock time maps to an angle θ = 2π·s/86400, the
+    * mean resultant length R̄ = ‖(ΣcosΘ, ΣsinΘ)‖/n says how
+    * concentrated the daily rhythm is, z = n·R̄² is Rayleigh's
+    * uniformity statistic, and the circular mean hour locates the
+    * peak. THE diurnal-pattern screen for event streams (an arrival
+    * model that assumes uniform hours is wrong whenever z is large).
+    *
+    * Parity: C̄ and S̄ are 1e-6-quantized before the atan2/√ so ulp
+    * drift in the trig sums cannot reach the 4dp outputs. Scale
+    * shape: one type-keyed moment aggregation, map-side combined. */
+  def rayleighHours(s: SparkSession, dir: String): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    // FRACTIONAL epoch seconds on both engines (cast-to-double here ≡
+    // DuckDB epoch(); the events fixture is entirely sub-second, so
+    // truncating unix_timestamp would silently drop the micros)
+    val theta = Tables.events(s, dir)
+      .select(col("event_type"),
+        (pmod(col("ts").cast("double"), lit(86400.0)) /
+          lit(86400.0) * lit(2.0 * math.Pi)).as("th"))
+    theta.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(cos(col("th"))).as("cs"), sum(sin(col("th"))).as("sn"))
+      .withColumn("cb", q6(col("cs") / col("n")))
+      .withColumn("sb", q6(col("sn") / col("n")))
+      .withColumn("rbar", sqrt(col("cb") * col("cb") + col("sb") * col("sb")))
+      .withColumn("h",
+        atan2(col("sb"), col("cb")) / lit(2.0 * math.Pi) * lit(24.0))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        round4eps(col("rbar")).as("r_bar"),
+        round4eps(col("n") * col("rbar") * col("rbar")).as("rayleigh_z"),
+        round4eps(when(col("h") < 0, col("h") + 24).otherwise(col("h")))
+          .as("mean_hour"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Lo-MacKinlay variance-ratio test on daily revenue log returns:
+    * VR(q) = V̂ar(q-day overlapping sums)/(q·V̂ar(1-day)), z under
+    * the homoscedastic null (random walk ⇒ VR = 1). VR < 1 flags
+    * mean reversion, VR > 1 momentum — the market-efficiency screen
+    * repurposed as a demand-series memory readout. Returns are
+    * 1e-6-quantized; both variances use population denominators over
+    * their own sample counts (mirrored exactly in the oracle).
+    * Scale shape: calendar-bounded daily collapse + one window. */
+  def varianceRatio(s: SparkSession, dir: String, q: Int = 5): DataFrame = {
+    def q6(c: Column): Column =
+      floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("d"))
+    val rets = daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("r", q6(log(col("rev") / col("prev"))))
+      .filter(col("r").isNotNull)
+    val wq = Window.orderBy(col("d")).rowsBetween(-(q - 1), 0)
+    val sums = rets
+      .withColumn("rq", sum(col("r")).over(wq))
+      .withColumn("nq", count(col("r")).over(wq))
+      .persistMemDisk
+    val mu = sums.agg(avg(col("r")).as("mu"),
+      count(lit(1)).cast("double").as("n"))
+    val stats = sums.crossJoin(broadcast(mu)).agg(
+      max(col("n")).as("n"),
+      (sum((col("r") - col("mu")) * (col("r") - col("mu"))) /
+        max(col("n"))).as("v1"),
+      sum(when(col("nq") === q,
+        (col("rq") - lit(q.toDouble) * col("mu")) *
+          (col("rq") - lit(q.toDouble) * col("mu"))))
+        .as("sq"),
+      sum(when(col("nq") === q, 1L).otherwise(0L)).cast("double").as("nqc"))
+    stats.select(col("n").cast("long").as("n_returns"),
+        lit(q).as("q"),
+        round4eps(col("sq") / col("nqc") / (lit(q.toDouble) * col("v1")))
+          .as("vr"),
+        round4eps((col("sq") / col("nqc") / (lit(q.toDouble) * col("v1")) -
+          1) / sqrt(lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)) / col("n")))
+          .as("z_stat"))
+  }
+
+  private def q6c(c: Column): Column =
+    floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+
+  /** Gamma fit of order value (k$) per market segment: the
+    * method-of-moments pair (k̂ = m²/v, θ̂ = v/m) beside the
+    * closed-form MLE approximation k̂ ≈ (3−s+√((s−3)²+24s))/(12s)
+    * with s = ln m − mean(ln x) (Minka's iteration-free seed — no
+    * digamma needed). The heavier-than-exponential order-size model
+    * the newsvendor/inventory gates consume. s is 1e-6-quantized
+    * before the closed form so log-sum ulp drift cannot reach the
+    * 4dp outputs. One segment-keyed moment pass. */
+  def gammaFit(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_totalprice") / lit(1000.0)).as("x"))
+    x.groupBy(col("seg"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(log(col("x"))).as("slx"))
+      .withColumn("m", col("sx") / col("n"))
+      .withColumn("v", (col("sxx") - col("sx") * col("sx") / col("n")) /
+        (col("n") - 1))
+      .withColumn("s", q6c(log(col("m")) - col("slx") / col("n")))
+      .select(col("seg"), col("n").cast("long").as("n"),
+        round4eps(col("m")).as("mean_k"),
+        round4eps(col("v")).as("var_k"),
+        round4eps(col("m") * col("m") / col("v")).as("shape_mom"),
+        round4eps(col("v") / col("m")).as("scale_mom"),
+        round4eps((lit(3.0) - col("s") +
+          sqrt((col("s") - 3) * (col("s") - 3) + lit(24.0) * col("s"))) /
+          (lit(12.0) * col("s"))).as("shape_mle"))
+      .orderBy(col("seg"))
+  }
+
+  /** Lognormal fit of order value per market segment: μ̂/σ̂ on the
+    * log scale, the implied median e^μ̂ and mean e^(μ̂+σ̂²/2), and
+    * the implied-vs-actual mean ratio — the right-skew model audit
+    * (ratio ≈ 1 ⇒ lognormal explains the tail; ratio ≪ 1 ⇒ the tail
+    * is heavier than lognormal). Same one-pass moment shape. */
+  def lognormalFit(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("x"))
+    x.groupBy(col("seg"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"),
+        sum(log(col("x"))).as("sl"),
+        sum(log(col("x")) * log(col("x"))).as("sll"))
+      .withColumn("mu", q6c(col("sl") / col("n")))
+      .withColumn("sig2", q6c((col("sll") - col("sl") * col("sl") / col("n")) /
+        (col("n") - 1)))
+      .select(col("seg"), col("n").cast("long").as("n"),
+        round4eps(col("mu")).as("mu_log"),
+        round4eps(sqrt(col("sig2"))).as("sigma_log"),
+        round4eps(exp(col("mu"))).as("median_fit"),
+        round4eps(exp(col("mu") + col("sig2") / 2)).as("mean_fit"),
+        round4eps(exp(col("mu") + col("sig2") / 2) /
+          (col("sx") / col("n"))).as("mean_ratio"))
+      .orderBy(col("seg"))
+  }
+
+  /** D'Agostino K² omnibus normality test per market segment on
+    * order value: the skewness z (Johnson S_U transform) and
+    * kurtosis z (Anscombe-Glynn cube-root transform) combined as
+    * K² = z₁² + z₂² — the moment-based omnibus beside Jarque-Bera
+    * (whose χ² calibration is poor at these n) and the EDF screens
+    * (Lilliefors/Anderson-Darling). g1 and b2 are 1e-6-quantized
+    * before the transforms. One segment-keyed moment pass; the
+    * transforms are scalar algebra on the 5-row frame. */
+  def dagostinoK2(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_totalprice") / lit(100000.0)).as("x"))
+    val m = x.groupBy(col("seg"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .withColumn("mu", col("s1") / col("n"))
+    val mu = col("mu"); val n = col("n")
+    val m2 = col("s2") / n - mu * mu
+    val m3 = col("s3") / n - lit(3.0) * mu * col("s2") / n +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / n - lit(4.0) * mu * col("s3") / n +
+      lit(6.0) * mu * mu * col("s2") / n - lit(3.0) * mu * mu * mu * mu
+    val t = m
+      .withColumn("g1", q6c(m3 / sqrt(m2 * m2 * m2)))
+      .withColumn("b2", q6c(m4 / (m2 * m2)))
+      // Johnson S_U for skewness
+      .withColumn("y", col("g1") * sqrt((n + 1) * (n + 3) / ((n - 2) * 6)))
+      .withColumn("beta2", lit(3.0) * (n * n + lit(27.0) * n - 70) *
+        (n + 1) * (n + 3) / ((n - 2) * (n + 5) * (n + 7) * (n + 9)))
+      .withColumn("w2", sqrt(lit(2.0) * (col("beta2") - 1)) - 1)
+      .withColumn("delta", lit(1.0) / sqrt(log(sqrt(col("w2")))))
+      .withColumn("alpha", sqrt(lit(2.0) / (col("w2") - 1)))
+      .withColumn("z1", col("delta") * log(col("y") / col("alpha") +
+        sqrt(col("y") * col("y") / (col("alpha") * col("alpha")) + 1)))
+      // Anscombe-Glynn for kurtosis
+      .withColumn("eb2", lit(3.0) * (n - 1) / (n + 1))
+      .withColumn("vb2", lit(24.0) * n * (n - 2) * (n - 3) /
+        ((n + 1) * (n + 1) * (n + 3) * (n + 5)))
+      .withColumn("xx", (col("b2") - col("eb2")) / sqrt(col("vb2")))
+      .withColumn("sb", lit(6.0) * (n * n - lit(5.0) * n + 2) /
+        ((n + 7) * (n + 9)) *
+        sqrt(lit(6.0) * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))
+      .withColumn("aa", lit(6.0) + lit(8.0) / col("sb") *
+        (lit(2.0) / col("sb") +
+          sqrt(lit(1.0) + lit(4.0) / (col("sb") * col("sb")))))
+      .withColumn("z2", ((lit(1.0) - lit(2.0) / (lit(9.0) * col("aa"))) -
+        cbrt((lit(1.0) - lit(2.0) / col("aa")) /
+          (lit(1.0) + col("xx") *
+            sqrt(lit(2.0) / (col("aa") - 4))))) /
+        sqrt(lit(2.0) / (lit(9.0) * col("aa"))))
+    t.select(col("seg"), n.cast("long").as("n"),
+        round4eps(col("g1")).as("skewness"),
+        round4eps(col("b2")).as("kurtosis"),
+        round4eps(col("z1")).as("z_skew"),
+        round4eps(col("z2")).as("z_kurt"),
+        round4eps(col("z1") * col("z1") + col("z2") * col("z2")).as("k2_stat"))
+      .orderBy(col("seg"))
+  }
+
+  /** Stratified-sampling AQP with HETEROGENEOUS per-stratum rates
+    * (A 5% / N 10% / R 20% — the rate a real system would tune to
+    * stratum variance) — the allocation-aware upgrade of
+    * [[aqpRevenue]]'s uniform Bernoulli: per return flag, the exact
+    * total beside its per-stratum Horvitz-Thompson estimate and
+    * variance, plus the COMBINED estimate's standard error (stratum
+    * variances add — the property that makes stratified AQP beat
+    * uniform sampling at equal budget). Inclusion is the same
+    * replayable modular row hash, so the sample is a stable row
+    * property. One flag-keyed conditional-moment pass. */
+  def aqpStratified(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_extendedprice")).cast("long").as("v"),
+      (((col("l_orderkey") % 1000003L) * 2654435761L +
+        col("l_linenumber") * 97L) % 100L).as("h"))
+    val withP = li.withColumn("pct",
+      when(col("flag") === "A", 5).when(col("flag") === "N", 10)
+        .otherwise(20))
+    val per = withP.groupBy(col("flag"), col("pct"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v")).as("exact_v"),
+        sum(when(col("h") < col("pct"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("h") < col("pct"), col("v")).otherwise(0L)).as("sv"),
+        sum(when(col("h") < col("pct"), col("v") * col("v")).otherwise(0L))
+          .as("svv"))
+      .withColumn("p", col("pct") / lit(100.0))
+      .withColumn("est", col("sv") / col("p"))
+      .withColumn("vhat", col("svv") * (lit(1.0) - col("p")) /
+        (col("p") * col("p")))
+      .persistMemDisk
+    val comb = per.agg(sum(col("exact_v")).as("texact"),
+      sum(col("est")).as("test"), sum(col("vhat")).as("tvar"))
+    per.crossJoin(broadcast(comb))
+      .select(col("flag"), col("n_rows"), col("n_sampled"),
+        round4eps(col("exact_v") / lit(1e6)).as("exact_musd"),
+        round4eps(col("est") / lit(1e6)).as("est_musd"),
+        round4eps(sqrt(col("vhat")) / lit(1e6)).as("se_musd"),
+        round4eps(col("test") / lit(1e6)).as("combined_est_musd"),
+        round4eps(sqrt(col("tvar")) / lit(1e6)).as("combined_se_musd"),
+        round4eps(abs(col("test") - col("texact")) / col("texact"))
+          .as("combined_rel_err"))
+      .orderBy(col("flag"))
+  }
 }

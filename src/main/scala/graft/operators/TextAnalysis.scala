@@ -1838,23 +1838,28 @@ object TextAnalysis {
     * The n-gram count frames are one explode + (doc, gram)
     * aggregation each, joined pair-keyed; clipped overlaps are exact
     * integer sums. */
-  def rougePairs(s: SparkSession, dir: String): DataFrame = {
-    // one representative per exact text (min doc_id)
+  /** Shared detector-pair frame for the ROUGE readouts: portable
+    * SimHash near-dup pairs collapsed to DISTINCT-TEXT representatives
+    * (min doc_id per exact text — the exactGroups doctrine). Persisted:
+    * every consumer references it from multiple join sides, and
+    * without the persist the banded detector re-runs once per
+    * reference (the dominant cost of the un-pruned r11 plan). */
+  private def detectorRepPairs(s: SparkSession, dir: String): DataFrame = {
     val reps = Tables.documents(s, dir)
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("rep_id"))
       .select(col("rep_id"))
-    // persisted: the plan below references `pairs` from the output
-    // base and both overlap joins plus the participant prune — without
-    // the persist the banded SimHash detector re-runs once per
-    // reference (the dominant cost of the un-pruned r11 plan)
-    val pairs = Dedup.simhashPortablePairs(s, dir)
+    Dedup.simhashPortablePairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
       .join(reps.select(col("rep_id").as("doc_a")), Seq("doc_a"),
         "left_semi")
       .join(reps.select(col("rep_id").as("doc_b")), Seq("doc_b"),
         "left_semi")
       .persistMemDisk
+  }
+
+  def rougePairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = detectorRepPairs(s, dir)
     // gram frames carry ONLY pair-participating documents: every
     // downstream consumer (length + overlap joins) is pair-keyed, so
     // grams of the non-candidate majority were shuffled and persisted
@@ -1960,5 +1965,74 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sum(col("sign")).as("feat"))
       .filter(col("feat") =!= 0)
+  }
+
+  /** ROUGE-L between the SAME detector-representative pairs as
+    * [[rougePairs]]: longest-common-subsequence F over the leading
+    * `window` tokens (the production truncation — LCS is quadratic in
+    * sequence length, so the kernel runs on a FIXED window, making
+    * the per-pair cost a constant at any corpus scale). The
+    * subsequence complement of the n-gram overlap readout: ROUGE-1/2
+    * reward shared vocabulary, ROUGE-L rewards shared ORDER.
+    *
+    * The DP runs inside the LcsLength codegen expression (two-row
+    * O(n·m) per pair) after one pair-keyed join per side; the oracle
+    * walks the identical DP cell-by-cell in a recursive CTE. */
+  def rougeLPairs(s: SparkSession, dir: String, window: Int = 24): DataFrame = {
+    val pairs = detectorRepPairs(s, dir)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        slice(split(col("text"), " "), 1, window).as("w"))
+      .withColumn("len", size(col("w")))
+    pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("w").as("wa"),
+        col("len").as("la")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("w").as("wb"),
+        col("len").as("lb")), Seq("doc_b"))
+      .withColumn("lcs",
+        graft.functions.GramOverlapFunctions.lcsLength(col("wa"), col("wb")))
+      .select(col("doc_a"), col("doc_b"), col("lcs"),
+        col("la").cast("long").as("len_a"),
+        col("lb").cast("long").as("len_b"),
+        round4eps(col("lcs").cast("double") / col("lb")).as("rougel_p"),
+        round4eps(col("lcs").cast("double") / col("la")).as("rougel_r"),
+        round4eps(lit(2.0) * col("lcs").cast("double") /
+          (col("la") + col("lb"))).as("rougel_f"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Character-bigram cross-entropy of each source against the
+    * GLOBAL bigram model (add-1 smoothed): how many bits/bigram a
+    * corpus-wide character LM pays on each slice — the domain-shift
+    * readout at the character level (a source whose orthography
+    * diverges from the pool prices high), the compression-based twin
+    * of the word-level KL gate. Perplexity = 2^xent alongside.
+    *
+    * Scale shape: one (source × bigram) count aggregation (explode
+    * over positions is map-side), a bounded-vocabulary global rollup,
+    * one broadcast join back; weighted log sums are exact-count
+    * weighted, 4dp-rounded once. */
+  def charCrossEntropy(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
+        col("text"))
+      .select(col("source"), expr("substring(text, i, 2)").as("g"))
+    val bySrc = bg.groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("c")).persistMemDisk
+    val glob = bySrc.groupBy(col("g")).agg(sum(col("c")).as("cg"))
+    val tot = glob.agg(sum(col("cg")).as("ng"),
+      count(lit(1)).as("v"))
+    val scored = bySrc.join(glob, Seq("g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nll",
+        -log2((col("cg") + 1).cast("double") / (col("ng") + col("v"))))
+    scored.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        max(col("v")).as("vocab"),
+        round4eps(sum(col("c") * col("nll")) / sum(col("c")))
+          .as("xent_bits"))
+      .withColumn("ppl", round4eps(pow(lit(2.0), col("xent_bits"))))
+      .orderBy(col("source"))
   }
 }
