@@ -3069,7 +3069,10 @@ object SparkEntry {
         |   ORDER BY doc_id) AS rn FROM documents)
         |WHERE rn = 1""".stripMargin,
     "q_dedup_minhash" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(text)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents SEMI JOIN reps USING (doc_id)),
         |s AS (SELECT doc_id,
         |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
         |  FROM w),

@@ -125,7 +125,15 @@ object Dedup {
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Shingle-less docs (<3 words) form no pairs (oracle parity) and
     // would otherwise all collide into one degenerate bucket.
+    // Distinct-text representatives only (the r12 exactGroups-at-the-
+    // detector doctrine, same as the simhash family): byte-identical
+    // documents share every band, so exact-dup groups of size g emit
+    // C(g,2) Jaccard-1 pairs — quadratic in dup density and exact
+    // dedup's job, not the near-dup detector's. [[nearDupClusters]] /
+    // [[nearDupSurvivors]] re-attach exact-dup members via
+    // [[exactDupEdges]], so THEIR outputs are unchanged on any corpus.
     val docs = hashShingled(s, dir).filter(size(col("hs")) > 0)
+      .join(repIds(s, dir), Seq("doc_id"), "left_semi")
       .withColumn("sig", minhashSig(col("hs")))
     val bands = docs.select(
       col("doc_id"),
@@ -180,7 +188,12 @@ object Dedup {
     * greater side of any near-dup pair) — exact for pair clusters,
     * a fixpoint/connected-components pass is the general-graph path. */
   def nearDupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val dups = minhashPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    // greater sides of rep-level near-dup pairs, plus every exact-dup
+    // non-representative (eliminated by its Jaccard-1 edge to the rep
+    // before the r12 rep collapse; output unchanged on any corpus)
+    val dups = minhashPairs(s, dir).select(col("doc_b").as("doc_id"))
+      .unionByName(exactDupEdges(s, dir).select(col("doc_b").as("doc_id")))
+      .distinct()
     Tables.documents(s, dir)
       .join(dups, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -215,7 +228,8 @@ object Dedup {
     *    round with localCheckpoint so the plan stays constant-size; the
     *    driver reads back ONE scalar per round (the change count). */
   def nearDupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
-    componentsOf(s, minhashPairs(s, dir), maxIters)
+    componentsOf(s, minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .unionByName(exactDupEdges(s, dir)), maxIters)
 
   /** Duplicate-cluster size distribution — the one-page report a dedup
     * run is judged by (how much of the corpus sits in 2-clusters vs a
@@ -372,11 +386,33 @@ object Dedup {
     * bench input it removes the detector's only super-linear term
     * (distinct texts stay ~constant under replication). Precedent:
     * the r9 collapseIdentical default on embeddingNearDups. */
-  private def repDocs(s: SparkSession, dir: String): DataFrame = {
+  private def repDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).join(repIds(s, dir), Seq("doc_id"), "left_semi")
+
+  /** Ids of the distinct-text representatives (min doc_id per exact
+    * text). One fingerprint-keyed aggregation — the exact-dedup
+    * shuffle the detectors now share. */
+  private def repIds(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+
+  /** (rep, member) edges inside each exact-duplicate group — the
+    * linear re-attachment that makes rep-level clustering equal
+    * full-corpus clustering: an exact copy is connected to its
+    * representative by definition (Jaccard 1), and the rep carries
+    * every near-dup edge the copy would have carried (identical text
+    * ⇒ identical shingles). */
+  private def exactDupEdges(s: SparkSession, dir: String): DataFrame = {
+    // shingle-bearing texts only: a shingle-less (<3-word) doc never
+    // banded, so the pre-collapse detector never paired its copies —
+    // synthesizing edges for them would CHANGE cluster/survivor output
     val d = Tables.documents(s, dir)
-    d.join(d.groupBy(md5(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+      .filter(size(words(col("text"))) >= 3)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val reps = d.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    d.join(reps, Seq("fp")).filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
   }
 
   /** Portable SimHash pairs — same semantics as simhashPairs but the
@@ -807,15 +843,48 @@ object Dedup {
     * id-keyed joins of the (small) pair set against the doc→source map
     * and one #sources²-bounded aggregate. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    minhashPairs(s, dir)
-      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
-      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+    // Exact reconstruction over the rep-collapsed detector (r12): the
+    // pre-collapse output enumerated every member pair; identical text
+    // ⇒ identical shingle set, so a rep pair (A, B, j) stands for
+    // n_A(src₁)·n_B(src₂) member pairs at the SAME jaccard, and each
+    // exact-dup group contributes its internal n_s·n_t / C(n,2) pairs
+    // at jaccard 1.0 (shingle-bearing texts only — shingle-less docs
+    // never banded, hence never paired). Counts come from
+    // per-(group, source) aggregates — combinatorial weights, no pair
+    // enumeration, so the reconstruction is LINEAR while reproducing
+    // the quadratic pair counts exactly (spec'd on a dup-bearing
+    // fixture; sf0.1's 8 dup texts pass the unchanged all-pairs
+    // oracle).
+    val d = Tables.documents(s, dir)
+      .filter(size(words(col("text"))) >= 3)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val reps = d.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val gsr = d.groupBy(col("fp"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .join(reps, Seq("fp"))
+      .persistMemDisk
+    val withinOff = gsr.as("x").join(gsr.as("y"), Seq("fp"))
+      .filter(col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        (col("x.n") * col("y.n")).as("w"), lit(1.0).as("j"))
+    val withinDiag = gsr.filter(col("n") >= 2)
+      .select(col("source").as("source_a"), col("source").as("source_b"),
+        (col("n") * (col("n") - 1) / 2).cast("long").as("w"),
+        lit(1.0).as("j"))
+    val ga = gsr.select(col("rep").as("doc_a"), col("source").as("src_a"),
+      col("n").as("na"))
+    val gb = gsr.select(col("rep").as("doc_b"), col("source").as("src_b"),
+      col("n").as("nb"))
+    val cross = minhashPairs(s, dir)
+      .join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
       .select(least(col("src_a"), col("src_b")).as("source_a"),
-        greatest(col("src_a"), col("src_b")).as("source_b"), col("jaccard"))
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        (col("na") * col("nb")).as("w"), col("jaccard").as("j"))
+    withinOff.unionByName(withinDiag).unionByName(cross)
       .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_dup_pairs"),
-        round4eps(avg(col("jaccard"))).as("avg_jaccard"))
+      .agg(sum(col("w")).as("n_dup_pairs"),
+        round4eps(sum(col("w") * col("j")) / sum(col("w")))
+          .as("avg_jaccard"))
   }
 
   /** Document-frequency cap on shingle postings, ON BY DEFAULT — the

@@ -40,16 +40,21 @@ class DedupSpec extends AnyFunSuite {
     assert(ids === Set(1L, 3L, 4L))
   }
 
-  test("minhashPairs finds identical and near duplicates, nothing else") {
+  test("minhashPairs emits rep-level near-dups; byte-identical docs collapse") {
+    // r12 contract: doc 5 (byte-identical copy of 1) folds into rep 1
+    // BEFORE banding — identical-text duplicates are exact dedup's
+    // output, so the detector emits only the distinct-text pair (1,3)
     val rows = Dedup.minhashPairs(spark, dir).collect()
     val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    assert(pairs === Set((1L, 3L), (1L, 5L), (3L, 5L)))
-    val j15 = rows.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 5L)
-      .get.getAs[Double]("jaccard")
-    assert(j15 === 1.0)
+    assert(pairs === Set((1L, 3L)))
     val j13 = rows.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 3L)
       .get.getAs[Double]("jaccard")
     assert(j13 === math.floor(37.0 / 39.0 * 10000 + 0.5) / 10000)
+    // ... and the cluster/survivor layer re-attaches the exact copy,
+    // so downstream outputs are what they were before the collapse
+    val clusters = Dedup.nearDupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(clusters === Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
 
   test("sourceOverlap localizes duplication to the right source-pair cell") {
@@ -123,20 +128,21 @@ class DedupSpec extends AnyFunSuite {
     assert(uf === labels)
   }
 
-  test("simhashPairs flags the identical pair at hamming 0") {
+  test("simhashPairs collapses byte-identical docs before banding") {
+    // r12 contract: no pair may touch the non-representative copy
     val rows = Dedup.simhashPairs(spark, dir).collect()
-    val exact = rows.find(r =>
-      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 5L)
-    assert(exact.isDefined)
-    assert(exact.get.getAs[Long]("hamming") === 0L)
+    assert(rows.forall(r => r.getAs[Long]("doc_a") != 5L &&
+      r.getAs[Long]("doc_b") != 5L))
+    // exact dedup still owns the identical group
+    val g = Dedup.exactGroups(spark, dir).collect()
+      .filter(_.getAs[Long]("copies") >= 2L)
+    assert(g.exists(_.getAs[Long]("keep_id") == 1L))
   }
 
-  test("simhashPortablePairs matches the fast variant on identical docs") {
+  test("simhashPortablePairs applies the same rep collapse as the fast variant") {
     val rows = Dedup.simhashPortablePairs(spark, dir).collect()
-    val exact = rows.filter(_.getAs[Int]("hamming") == 0)
-      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    assert(exact.contains((1L, 5L))) // byte-identical pair
-    // signature is 60-bit: any reported hamming is within [0, 60]
+    assert(rows.forall(r => r.getAs[Long]("doc_a") != 5L &&
+      r.getAs[Long]("doc_b") != 5L))
     assert(rows.forall(r => r.getAs[Int]("hamming") >= 0 &&
       r.getAs[Int]("hamming") <= 3))
   }
@@ -171,12 +177,16 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhashPairs finds every pair of a cluster larger than MaxBucket") {
-    // 70 byte-identical docs: all land in the same bucket in all 16
-    // bands (size > MaxBucket=64); the oversized-bucket path must
-    // still emit all C(70,2) pairs at jaccard 1.0 rather than drop it.
+    // 70 DISTINCT texts with identical shingle SETS (the same 3-word
+    // pattern repeated a varying number of times): every doc lands in
+    // the same bucket in all 16 bands (size > MaxBucket=64), and the
+    // rep collapse cannot fold them (texts differ byte-wise). The
+    // oversized-bucket path must still emit all C(70,2) pairs at
+    // jaccard 1.0 rather than drop the bucket.
     val n = 70
     val bigDir = TestSpark.documentsFixture(
-      (1 to n).map(i => (i.toLong, base, "en", "web")))
+      (1 to n).map(i => (i.toLong,
+        List.fill(i + 2)("a b c").mkString(" "), "en", "web")))
     val pairs = Dedup.minhashPairs(spark, bigDir).collect()
     assert(pairs.length === n * (n - 1) / 2)
     assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
