@@ -366,6 +366,8 @@ object SparkEntry {
     "q_char_xent"        -> ((s, d) => graft.operators.TextAnalysis.charCrossEntropy(s, d)),
     "q_edge_support"     -> ((s, d) => graft.operators.Graph.edgeSupport(s, d)),
     "q_aqp_stratified"   -> ((s, d) => Stats.aqpStratified(s, d)),
+    "q_filter_funnel"    -> ((s, d) => graft.operators.TextAnalysis.filterFunnel(s, d)),
+    "q_lateral_topn"     -> ((s, d) => Relational.lateralTopN(s, d)),
     // Streaming transforms (batch-mode plan parity; watermark no-ops)
     "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
                                .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
@@ -4091,6 +4093,85 @@ object SparkEntry {
         |  COALESCE(sup.support, 0) >= 2 AS in_4truss
         |FROM e LEFT JOIN sup ON e.a = sup.a AND e.b = sup.b
         |ORDER BY supp_a, supp_b""".stripMargin,
+    // composed curation funnel: every stage's filter replays in SQL
+    // (langId argmax, normalized-md5 exact survivors, r12 rep-level
+    // near-dup survivors, the 4dp-rounded quality floor)
+    "q_filter_funnel" ->
+      """WITH w AS (SELECT doc_id, lang, text,
+        |    string_split(text, ' ') AS w FROM documents),
+        |ln0 AS (SELECT doc_id, lang,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w2
+        |  FROM documents),
+        |ln1 AS (SELECT doc_id, lang,
+        |  len(list_filter(w2, x -> x IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+        |  len(list_filter(w2, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |  len(list_filter(w2, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+        |  len(list_filter(w2, x -> x IN ('le','la','de','et','est','un','une','que'))) AS s_fr,
+        |  len(list_filter(w2, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |  FROM ln0),
+        |langp AS (SELECT doc_id,
+        |  (CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+        |       WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+        |       WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+        |       ELSE 'zh' END) = lang AS f_lang FROM ln1),
+        |ex AS (SELECT MIN(doc_id) AS m FROM documents
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |reps AS (SELECT MIN(doc_id) AS rid FROM documents GROUP BY md5(text)),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS sh
+        |  FROM w WHERE len(w) >= 3 AND doc_id IN (SELECT rid FROM reps)),
+        |rp AS (SELECT b.doc_id AS doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.8),
+        |nonrep AS (SELECT doc_id FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |    AND doc_id NOT IN (SELECT rid FROM reps)),
+        |elim AS (SELECT doc_id FROM rp UNION SELECT doc_id FROM nonrep),
+        |qual AS (SELECT doc_id,
+        |  floor(greatest(0.0, least(1.0,
+        |    least(CAST(length(text) AS DOUBLE)/400.0, 1.0)*0.5
+        |    + least(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS DOUBLE)
+        |        / len(string_split(text,' '))*5.0, 1.0)*0.5
+        |    - (CAST(length(text) - length(regexp_replace(text,'[.,!?;:]','','g')) AS DOUBLE)
+        |        / length(text))*2.0
+        |    - CAST(length(text) - length(regexp_replace(text,'[A-Z]','','g')) AS DOUBLE)
+        |        / length(text))) * 10000 + 0.5)/10000 AS quality
+        |  FROM documents),
+        |flags AS (SELECT b.doc_id, len(b.w) AS toks, lp.f_lang,
+        |    (len(b.w) BETWEEN 20 AND 80) AS f_len,
+        |    (b.doc_id IN (SELECT m FROM ex)) AS f_exact,
+        |    (b.doc_id NOT IN (SELECT doc_id FROM elim)) AS f_near,
+        |    (q.quality >= 0.5) AS f_qual
+        |  FROM w b JOIN langp lp USING (doc_id) JOIN qual q USING (doc_id)),
+        |stg AS (
+        |  SELECT 0 AS stage_no, 'all' AS stage, true AS keep, toks FROM flags
+        |  UNION ALL SELECT 1, 'lang_match', f_lang, toks FROM flags
+        |  UNION ALL SELECT 2, 'length_band', f_lang AND f_len, toks FROM flags
+        |  UNION ALL SELECT 3, 'exact_survivor',
+        |    f_lang AND f_len AND f_exact, toks FROM flags
+        |  UNION ALL SELECT 4, 'neardup_survivor',
+        |    f_lang AND f_len AND f_exact AND f_near, toks FROM flags
+        |  UNION ALL SELECT 5, 'quality_min',
+        |    f_lang AND f_len AND f_exact AND f_near AND f_qual, toks FROM flags),
+        |tot AS (SELECT COUNT(*)::DOUBLE AS nd,
+        |    SUM(len(w))::DOUBLE AS nt FROM w)
+        |SELECT CAST(stage_no AS INT) AS stage_no, stage,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT) AS n_tokens,
+        |  floor(SUM(CASE WHEN keep THEN 1 ELSE 0 END)/nd
+        |    *10000 + 0.5 + 0.000001)/10000 AS doc_retention,
+        |  floor(SUM(CASE WHEN keep THEN toks ELSE 0 END)/nt
+        |    *10000 + 0.5 + 0.000001)/10000 AS token_retention
+        |FROM stg, tot GROUP BY 1, 2, nd, nt ORDER BY stage_no""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 300""".stripMargin,
     "q_aqp_stratified" ->
       """WITH li AS (SELECT l_returnflag AS flag,
         |    CAST(round(l_extendedprice) AS BIGINT) AS v,

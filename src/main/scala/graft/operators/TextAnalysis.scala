@@ -2035,4 +2035,66 @@ object TextAnalysis {
       .withColumn("ppl", round4eps(pow(lit(2.0), col("xent_bits"))))
       .orderBy(col("source"))
   }
+
+  /** COMPOSED curation funnel — the staged attrition table every
+    * training-data pipeline reads before a run: each stage ANDs one
+    * more filter onto the previous survivors (language-ID agreement →
+    * length band → exact-dedup survivor → near-dup survivor → quality
+    * floor) and reports surviving docs/tokens and retention vs the
+    * raw corpus. [[filterSweep]] sweeps ONE threshold; this composes
+    * HETEROGENEOUS stages in pipeline order, which is where the real
+    * attrition interactions live (a near-dup stage after exact dedup
+    * removes less than either alone suggests).
+    *
+    * Scale shape: per-doc flags are one scan (+ the survivor frames'
+    * own detector costs, all banded/collapsed); the funnel itself is
+    * a 6-way in-row stage explode → stage-keyed count aggregation. */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"),
+        (langId(col("text")) === col("lang")).as("f_lang"),
+        (toks >= 20 && toks <= 80).as("f_len"))
+    val exact = Dedup.exactSurvivors(s, dir)
+      .select(col("doc_id"), lit(true).as("f_exact"))
+    val near = Dedup.nearDupSurvivors(s, dir)
+      .select(col("doc_id"), lit(true).as("f_near"))
+    val qual = qualityScores(s, dir)
+      .select(col("doc_id"), (col("quality") >= 0.5).as("f_qual"))
+    val flags = base
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"), "left")
+      .na.fill(false, Seq("f_exact", "f_near", "f_qual"))
+    val c1 = col("f_lang")
+    val c2 = c1 && col("f_len")
+    val c3 = c2 && col("f_exact")
+    val c4 = c3 && col("f_near")
+    val c5 = c4 && col("f_qual")
+    val staged = flags.select(col("toks"), explode(array(
+      struct(lit(0).as("stage_no"), lit("all").as("stage"),
+        lit(true).as("keep")),
+      struct(lit(1).as("stage_no"), lit("lang_match").as("stage"),
+        c1.as("keep")),
+      struct(lit(2).as("stage_no"), lit("length_band").as("stage"),
+        c2.as("keep")),
+      struct(lit(3).as("stage_no"), lit("exact_survivor").as("stage"),
+        c3.as("keep")),
+      struct(lit(4).as("stage_no"), lit("neardup_survivor").as("stage"),
+        c4.as("keep")),
+      struct(lit(5).as("stage_no"), lit("quality_min").as("stage"),
+        c5.as("keep")))).as("st"))
+    val tot = Tables.documents(s, dir)
+      .agg(count(lit(1)).cast("double").as("nd"),
+        sum(size(split(col("text"), " "))).cast("double").as("nt"))
+    staged
+      .groupBy(col("st.stage_no").as("stage_no"), col("st.stage").as("stage"))
+      .agg(sum(when(col("st.keep"), 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("st.keep"), col("toks")).otherwise(0L)).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("stage_no"), col("stage"), col("n_docs"), col("n_tokens"),
+        round4eps(col("n_docs") / col("nd")).as("doc_retention"),
+        round4eps(col("n_tokens") / col("nt")).as("token_retention"))
+      .orderBy(col("stage_no"))
+  }
 }

@@ -167,6 +167,30 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("filterFunnel: monotone attrition, stage 0 is the whole corpus") {
+    val rows = graft.operators.TextAnalysis.filterFunnel(s, d).collect()
+      .sortBy(_.getAs[Int]("stage_no"))
+    assert(rows.length === 6)
+    assert(rows.head.getAs[String]("stage") === "all")
+    assert(rows.head.getAs[Double]("doc_retention") === 1.0)
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a })
+    assert(docs.head === graft.Tables.documents(s, d).count())
+    // the funnel must actually bite somewhere on the real corpus
+    assert(docs.last < docs.head)
+  }
+
+  test("lateralTopN: at most 2 orders per customer, each customer's own max first") {
+    val rows = graft.operators.Relational.lateralTopN(s, d).collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_.getAs[Long]("c_custkey"))
+    assert(byCust.values.forall(_.length <= 2))
+    byCust.values.foreach { rs =>
+      val prices = rs.map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sorted.reverse.toSeq === prices.sortBy(-_).toSeq)
+    }
+  }
+
   test("aqpStratified: combined estimate equals the stratum sum") {
     val rows = graft.operators.Stats.aqpStratified(s, d).collect()
     assert(rows.length === 3)
