@@ -367,7 +367,6 @@ object SparkEntry {
     "q_edge_support"     -> ((s, d) => graft.operators.Graph.edgeSupport(s, d)),
     "q_aqp_stratified"   -> ((s, d) => Stats.aqpStratified(s, d)),
     "q_filter_funnel"    -> ((s, d) => graft.operators.TextAnalysis.filterFunnel(s, d)),
-    "q_lateral_topn"     -> ((s, d) => Relational.lateralTopN(s, d)),
     // Streaming transforms (batch-mode plan parity; watermark no-ops)
     "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
                                .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
@@ -4165,13 +4164,6 @@ object SparkEntry {
         |  floor(SUM(CASE WHEN keep THEN toks ELSE 0 END)/nt
         |    *10000 + 0.5 + 0.000001)/10000 AS token_retention
         |FROM stg, tot GROUP BY 1, 2, nd, nt ORDER BY stage_no""".stripMargin,
-    "q_lateral_topn" ->
-      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-        |FROM customer c,
-        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
-        |         WHERE o_custkey = c.c_custkey
-        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-        |WHERE c.c_custkey <= 300""".stripMargin,
     "q_aqp_stratified" ->
       """WITH li AS (SELECT l_returnflag AS flag,
         |    CAST(round(l_extendedprice) AS BIGINT) AS v,

@@ -2888,22 +2888,4 @@ object Relational {
         """sum(cents) OVER (PARTITION BY prio ORDER BY d
            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
            AS trail7d""")
-  /** SQL LATERAL correlated subquery — top-2 orders per customer via
-    * `FROM customer, LATERAL (SELECT ... WHERE o_custkey = c_custkey
-    * ORDER BY ... LIMIT 2)`: the per-row correlated table expression
-    * (dbt models and BI tools emit this shape constantly; Catalyst
-    * rewrites it to a DomainJoin + window, so the declared plan stays
-    * set-based — no per-customer re-execution at any scale). Bounded
-    * to the first 300 customer keys so the gate output is stable. */
-  def lateralTopN(s: SparkSession, dir: String): DataFrame = {
-    Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
-    Tables.orders(s, dir).createOrReplaceTempView("lat_orders")
-    s.sql(
-      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-        |FROM lat_customer c,
-        |LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders
-        |         WHERE o_custkey = c.c_custkey
-        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-        |WHERE c.c_custkey <= 300""".stripMargin)
-  }
 }

@@ -180,17 +180,6 @@ class Round12Spec extends AnyFunSuite {
     assert(docs.last < docs.head)
   }
 
-  test("lateralTopN: at most 2 orders per customer, each customer's own max first") {
-    val rows = graft.operators.Relational.lateralTopN(s, d).collect()
-    assert(rows.nonEmpty)
-    val byCust = rows.groupBy(_.getAs[Long]("c_custkey"))
-    assert(byCust.values.forall(_.length <= 2))
-    byCust.values.foreach { rs =>
-      val prices = rs.map(_.getAs[Double]("o_totalprice"))
-      assert(prices.sorted.reverse.toSeq === prices.sortBy(-_).toSeq)
-    }
-  }
-
   test("aqpStratified: combined estimate equals the stratum sum") {
     val rows = graft.operators.Stats.aqpStratified(s, d).collect()
     assert(rows.length === 3)
