@@ -546,6 +546,39 @@ object ScaleSmoke {
     // countDistinct shuffle is the only fact-scale term.
     run("forecastBacktest")(operators.Stats.forecastBacktest(spark, dir))
     run("doubleJeopardy")(operators.Behavior.doubleJeopardy(spark, dir))
+    // Round-12 additions. pageTrend/quade: the 20-cell block frame is
+    // calendar×taxonomy-bounded — the fact scan is the whole cost.
+    // jonckheere/brunnerMunzel/ansariBradley: NDV-bounded bucket/value
+    // frames; cumulative windows run over hundreds of rows at any SF.
+    // rayleigh: one type-keyed trig-moment aggregation, map-side
+    // combined. varianceRatio: calendar-bounded daily collapse + one
+    // window. Fits (gamma/lognormal/dagostino): single moment passes.
+    // erlangB/mg1Wait: one-scalar collapses + bounded term tables.
+    // rougeL: detector candidates (rep-collapsed) × constant 24-token
+    // DP windows — per-pair cost is a constant. charXent: (source ×
+    // bigram) counts, vocabulary-bounded rollup. edgeSupport: the
+    // triangle join keyed by edge — candidate volume tracks wedge
+    // count (disjoint replicated subgraphs ⇒ factor×, never factor²).
+    // aqpStratified: one conditional-moment pass. filterFunnel: the
+    // detector stacks dominate (both rep-collapsed); the funnel explode
+    // itself is 6× map-side rows.
+    run("pageTrend")(operators.Stats.pageTrend(spark, dir))
+    run("jonckheere")(operators.Stats.jonckheere(spark, dir))
+    run("rayleighHours")(operators.Stats.rayleighHours(spark, dir))
+    run("varianceRatio")(operators.Stats.varianceRatio(spark, dir))
+    run("brunnerMunzel")(operators.Behavior.brunnerMunzel(spark, dir))
+    run("ansariBradley")(operators.Behavior.ansariBradley(spark, dir))
+    run("gammaFit")(operators.Stats.gammaFit(spark, dir))
+    run("dagostinoK2")(operators.Stats.dagostinoK2(spark, dir))
+    run("erlangB")(operators.Inventory.erlangB(spark, dir))
+    run("mg1Wait")(operators.Inventory.mg1Wait(spark, dir))
+    run("rougeL")(operators.TextAnalysis.rougeLPairs(spark, dir))
+    run("charXent")(operators.TextAnalysis.charCrossEntropy(spark, dir))
+    run("edgeSupport")(operators.Graph.edgeSupport(spark, dir))
+    run("aqpStratified")(operators.Stats.aqpStratified(spark, dir))
+    run("filterFunnel")(operators.TextAnalysis.filterFunnel(spark, dir))
+    run("mp4Meta")(operators.Multimodal.mp4ContainerMeta(spark, dir))
+    run("mp4Frames")(operators.Multimodal.mp4FrameStats(spark, dir))
 
     // r10: V2 mount snapshot pruning at scale (round-9 verdict demand
     // #7) — a warehouse holding the whole replicated events table
