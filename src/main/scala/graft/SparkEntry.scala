@@ -367,6 +367,7 @@ object SparkEntry {
     "q_edge_support"     -> ((s, d) => graft.operators.Graph.edgeSupport(s, d)),
     "q_aqp_stratified"   -> ((s, d) => Stats.aqpStratified(s, d)),
     "q_filter_funnel"    -> ((s, d) => graft.operators.TextAnalysis.filterFunnel(s, d)),
+    "q_ordered_agg"      -> ((s, d) => Relational.orderedAgg(s, d)),
     // Streaming transforms (batch-mode plan parity; watermark no-ops)
     "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
                                .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
@@ -4164,6 +4165,22 @@ object SparkEntry {
         |  floor(SUM(CASE WHEN keep THEN toks ELSE 0 END)/nt
         |    *10000 + 0.5 + 0.000001)/10000 AS token_retention
         |FROM stg, tot GROUP BY 1, 2, nd, nt ORDER BY stage_no""".stripMargin,
+    // listagg WITHIN GROUP ↔ string_agg(... ORDER BY); deterministic
+    // mode (lowest on ties) ↔ count-desc/value-asc row_number pick
+    "q_ordered_agg" ->
+      """WITH m AS (SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |pick AS (SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY c DESC, l_quantity ASC) AS rn FROM m)
+        |SELECT l.l_returnflag,
+        |  string_agg(DISTINCT l.l_linestatus, ','
+        |    ORDER BY l.l_linestatus) AS statuses,
+        |  MAX(p.l_quantity) AS qty_mode,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l JOIN pick p ON p.l_returnflag = l.l_returnflag
+        |  AND p.rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_aqp_stratified" ->
       """WITH li AS (SELECT l_returnflag AS flag,
         |    CAST(round(l_extendedprice) AS BIGINT) AS v,

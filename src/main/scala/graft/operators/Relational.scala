@@ -2888,4 +2888,22 @@ object Relational {
         """sum(cents) OVER (PARTITION BY prio ORDER BY d
            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
            AS trail7d""")
+  /** SQL:2023 ordered-set aggregates — `listagg(DISTINCT …, ',')
+    * WITHIN GROUP (ORDER BY …)` and deterministic `mode()` (both new
+    * engine surface in Spark 4): per return flag, the ordered status
+    * roster and the tie-deterministic modal quantity. listagg's
+    * WITHIN GROUP makes string aggregation order-stable across
+    * engines (the nondeterministic collect_list+concat idiom it
+    * replaces); mode's deterministic flag pins tie-breaks to the
+    * lowest value, which is what makes it oracle-able at all. One
+    * flag-keyed aggregation, partial-combined map-side. */
+  def orderedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("listagg(DISTINCT l_linestatus, ',') " +
+          "WITHIN GROUP (ORDER BY l_linestatus)").as("statuses"),
+        expr("mode(l_quantity, true)").as("qty_mode"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
 }
