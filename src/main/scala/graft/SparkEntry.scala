@@ -368,6 +368,7 @@ object SparkEntry {
     "q_aqp_stratified"   -> ((s, d) => Stats.aqpStratified(s, d)),
     "q_filter_funnel"    -> ((s, d) => graft.operators.TextAnalysis.filterFunnel(s, d)),
     "q_ordered_agg"      -> ((s, d) => Relational.orderedAgg(s, d)),
+    "q_welch_anova"      -> ((s, d) => Stats.welchAnova(s, d)),
     // Streaming transforms (batch-mode plan parity; watermark no-ops)
     "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
                                .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
@@ -4165,6 +4166,25 @@ object SparkEntry {
         |  floor(SUM(CASE WHEN keep THEN toks ELSE 0 END)/nt
         |    *10000 + 0.5 + 0.000001)/10000 AS token_retention
         |FROM stg, tot GROUP BY 1, 2, nd, nt ORDER BY stage_no""".stripMargin,
+    "q_welch_anova" ->
+      """WITH x AS (SELECT c_mktsegment AS seg, o_totalprice/1000.0 AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT seg, COUNT(*)::DOUBLE AS n, SUM(x) AS sx,
+        |    SUM(x*x) AS sxx FROM x GROUP BY 1),
+        |w AS (SELECT seg, n, sx/n AS m,
+        |    n / ((sxx - sx*sx/n)/(n-1)) AS w FROM g),
+        |t AS (SELECT SUM(w) AS bw, SUM(w*m) AS bwm,
+        |    COUNT(*)::DOUBLE AS k FROM w),
+        |a AS (SELECT MAX(k) AS k, MAX(bw) AS bw, MAX(bwm) AS bwm,
+        |    SUM(w.w*(m - bwm/bw)*(m - bwm/bw)) AS num,
+        |    SUM((1 - w.w/bw)*(1 - w.w/bw)/(n-1)) AS lam
+        |  FROM w, t)
+        |SELECT CAST(k AS BIGINT) AS k_groups,
+        |  floor(num/(k-1) / (1 + 2.0*(k-2)/(k*k-1)*lam)
+        |    *10000 + 0.5 + 0.000001)/10000 AS f_stat,
+        |  floor((k-1)*10000 + 0.5 + 0.000001)/10000 AS df1,
+        |  floor((k*k-1)/(3.0*lam)*10000 + 0.5 + 0.000001)/10000 AS df2
+        |FROM a""".stripMargin,
     // listagg WITHIN GROUP ↔ string_agg(... ORDER BY); deterministic
     // mode (lowest on ties) ↔ count-desc/value-asc row_number pick
     "q_ordered_agg" ->

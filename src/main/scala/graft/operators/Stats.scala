@@ -5000,6 +5000,46 @@ object Stats {
       .orderBy(col("seg"))
   }
 
+  /** Welch's heteroscedastic one-way ANOVA on order value (k$) across
+    * market segments — the unequal-variance completion of the ANOVA
+    * family ([[Behavior]]'s classical F assumes homoscedasticity;
+    * [[leveneBf]] tests that assumption; this is what to run when it
+    * fails): weights wᵢ = nᵢ/sᵢ², F* = Σwᵢ(mᵢ−m̄w)²/(k−1) over
+    * 1 + 2(k−2)/(k²−1)·Λ with Λ = Σ(1−wᵢ/W)²/(nᵢ−1), and the
+    * Welch-Satterthwaite df₂ = (k²−1)/(3Λ). One segment-keyed moment
+    * pass; everything after is scalar algebra on the 5-row frame. */
+  def welchAnova(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_totalprice") / lit(1000.0)).as("x"))
+    val g = x.groupBy(col("seg"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("m", col("sx") / col("n"))
+      .withColumn("s2", (col("sxx") - col("sx") * col("sx") / col("n")) /
+        (col("n") - 1))
+      .withColumn("w", col("n") / col("s2"))
+      .persistMemDisk
+    val tot = g.agg(sum(col("w")).as("bw"),
+      sum(col("w") * col("m")).as("bwm"),
+      count(lit(1)).cast("double").as("k"))
+    g.crossJoin(broadcast(tot))
+      .agg(max(col("k")).as("k"), max(col("bw")).as("bw"),
+        max(col("bwm")).as("bwm"),
+        sum(col("w") * (col("m") - col("bwm") / col("bw")) *
+          (col("m") - col("bwm") / col("bw"))).as("num"),
+        sum((lit(1.0) - col("w") / col("bw")) *
+          (lit(1.0) - col("w") / col("bw")) / (col("n") - 1)).as("lam"))
+      .select(col("k").cast("long").as("k_groups"),
+        round4eps(col("num") / (col("k") - 1) /
+          (lit(1.0) + lit(2.0) * (col("k") - 2) /
+            (col("k") * col("k") - 1) * col("lam"))).as("f_stat"),
+        round4eps((col("k") - 1)).as("df1"),
+        round4eps((col("k") * col("k") - 1) /
+          (lit(3.0) * col("lam"))).as("df2"))
+  }
+
   /** Stratified-sampling AQP with HETEROGENEOUS per-stratum rates
     * (A 5% / N 10% / R 20% — the rate a real system would tune to
     * stratum variance) — the allocation-aware upgrade of

@@ -180,6 +180,34 @@ class Round12Spec extends AnyFunSuite {
     assert(docs.last < docs.head)
   }
 
+  test("orderedAgg: listagg is sorted+deduped; mode has the max count") {
+    val rows = graft.operators.Relational.orderedAgg(s, d).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val st = r.getAs[String]("statuses").split(",").toSeq
+      assert(st === st.sorted && st.distinct === st)
+      // the deterministic mode must be a maximal-count quantity
+      val flag = r.getAs[String]("l_returnflag")
+      val counts = graft.Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === flag)
+        .groupBy(col("l_quantity")).count().collect()
+        .map(x => x.getAs[Double]("l_quantity") -> x.getAs[Long]("count"))
+        .toMap
+      val m = r.getAs[Double]("qty_mode")
+      assert(counts(m) === counts.values.max)
+    }
+  }
+
+  test("welchAnova: F positive, df2 within group-size bounds") {
+    val r = graft.operators.Stats.welchAnova(s, d).collect().head
+    assert(r.getAs[Long]("k_groups") === 5L)
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+    val df2 = r.getAs[Double]("df2")
+    // Welch df2 is bounded by the total residual df
+    assert(df2 > 0.0 &&
+      df2 <= graft.Tables.orders(s, d).count().toDouble)
+  }
+
   test("aqpStratified: combined estimate equals the stratum sum") {
     val rows = graft.operators.Stats.aqpStratified(s, d).collect()
     assert(rows.length === 3)
