@@ -369,6 +369,7 @@ object SparkEntry {
     "q_filter_funnel"    -> ((s, d) => graft.operators.TextAnalysis.filterFunnel(s, d)),
     "q_ordered_agg"      -> ((s, d) => Relational.orderedAgg(s, d)),
     "q_welch_anova"      -> ((s, d) => Stats.welchAnova(s, d)),
+    "q_cuzick_trend"     -> ((s, d) => Stats.cuzickTrend(s, d)),
     // Streaming transforms (batch-mode plan parity; watermark no-ops)
     "q_windowed_counts"  -> ((s, d) => graft.streaming.EventStreams
                                .windowedTypeCounts(Tables.events(s, d), "1 hour", "2 hours")
@@ -4166,6 +4167,32 @@ object SparkEntry {
         |  floor(SUM(CASE WHEN keep THEN toks ELSE 0 END)/nt
         |    *10000 + 0.5 + 0.000001)/10000 AS token_retention
         |FROM stg, tot GROUP BY 1, 2, nd, nt ORDER BY stage_no""".stripMargin,
+    "q_cuzick_trend" ->
+      """WITH g AS (SELECT CAST(floor(o_totalprice/100) AS BIGINT) AS bucket,
+        |    CAST(substr(o_orderpriority, 1, 1) AS INT) AS grp FROM orders),
+        |c AS (SELECT bucket,
+        |    SUM(CASE WHEN grp=1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN grp=2 THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN grp=3 THEN 1 ELSE 0 END) AS n3,
+        |    SUM(CASE WHEN grp=4 THEN 1 ELSE 0 END) AS n4,
+        |    SUM(CASE WHEN grp=5 THEN 1 ELSE 0 END) AS n5
+        |  FROM g GROUP BY 1),
+        |mid AS (SELECT *,
+        |    COALESCE(SUM(n1+n2+n3+n4+n5) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (n1+n2+n3+n4+n5+1)/2.0 AS r FROM c),
+        |a AS (SELECT
+        |    SUM((n1*1.0 + n2*2.0 + n3*3.0 + n4*4.0 + n5*5.0)*r) AS t,
+        |    SUM(n1) AS m1, SUM(n2) AS m2, SUM(n3) AS m3,
+        |    SUM(n4) AS m4, SUM(n5) AS m5 FROM mid),
+        |z AS (SELECT t, (m1+m2+m3+m4+m5)::DOUBLE AS n,
+        |    (m1*1 + m2*2 + m3*3 + m4*4 + m5*5)::DOUBLE AS l1,
+        |    (m1*1 + m2*4 + m3*9 + m4*16 + m5*25)::DOUBLE AS l2 FROM a)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  floor(t*10000 + 0.5 + 0.000001)/10000 AS t_stat,
+        |  floor((t - (n+1)/2*l1) / sqrt((n+1)/12*(n*l2 - l1*l1))
+        |    *10000 + 0.5 + 0.000001)/10000 AS z_stat
+        |FROM z""".stripMargin,
     "q_welch_anova" ->
       """WITH x AS (SELECT c_mktsegment AS seg, o_totalprice/1000.0 AS x
         |  FROM orders JOIN customer ON o_custkey = c_custkey),

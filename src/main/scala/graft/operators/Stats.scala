@@ -5000,6 +5000,47 @@ object Stats {
       .orderBy(col("seg"))
   }
 
+  /** Cuzick's trend test across the five ORDERED priorities on total
+    * price — the rank-correlation member of the ordered-alternative
+    * family (Jonckheere counts pairwise wins; Cuzick weights pooled
+    * ranks by the group score, the form clinical dose-response
+    * reporting standardized on): T = Σ lⱼ·rⱼ over observations with
+    * group scores l = 1..5 and pooled midranks r,
+    * E[T] = (N+1)/2·L₁, Var[T] = (N+1)/12·(N·L₂ − L₁²) with
+    * Lₖ = Σ nᵢ lᵢᵏ (exchangeable-ranks variance; midranks for ties,
+    * untied variance — the same convention as [[jonckheere]]).
+    *
+    * Scale shape: the same NDV-bounded $100 price-bucket frame as
+    * Jonckheere — one bucket-keyed count aggregation, one cumulative
+    * window over the bounded frame, scalar algebra after. */
+  def cuzickTrend(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / 100).cast("long").as("bucket"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("grp"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+        (2 to 5).map(i =>
+          sum(when(col("grp") === i, 1L).otherwise(0L)).as(s"n$i")): _*)
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("n1") + col("n2") + col("n3") + col("n4") + col("n5")
+    val mid = g
+      .withColumn("cb", coalesce(sum(t).over(w), lit(0L)))
+      .withColumn("r", col("cb") + (t + 1) / lit(2.0))
+    val tSum = (1 to 5).map(i => col(s"n$i") * lit(i.toDouble) * col("r"))
+      .reduce(_ + _)
+    val agg = mid.agg(sum(tSum).as("t_stat"),
+      (1 to 5).map(i => sum(col(s"n$i")).as(s"m$i")): _*)
+    val nTot = (1 to 5).map(i => col(s"m$i")).reduce(_ + _).cast("double")
+    val l1 = (1 to 5).map(i => col(s"m$i") * i).reduce(_ + _).cast("double")
+    val l2 = (1 to 5).map(i => col(s"m$i") * (i * i)).reduce(_ + _)
+      .cast("double")
+    agg.select(nTot.cast("long").as("n"),
+      round4eps(col("t_stat")).as("t_stat"),
+      round4eps((col("t_stat") - (nTot + 1) / 2 * l1) /
+        sqrt((nTot + 1) / 12 * (nTot * l2 - l1 * l1))).as("z_stat"))
+  }
+
   /** Welch's heteroscedastic one-way ANOVA on order value (k$) across
     * market segments — the unequal-variance completion of the ANOVA
     * family ([[Behavior]]'s classical F assumes homoscedasticity;

@@ -208,6 +208,16 @@ class Round12Spec extends AnyFunSuite {
       df2 <= graft.Tables.orders(s, d).count().toDouble)
   }
 
+  test("cuzickTrend: agrees in sign with Jonckheere on the same ordered data") {
+    val cz = graft.operators.Stats.cuzickTrend(s, d).collect().head
+    val jt = graft.operators.Stats.jonckheere(s, d).collect().head
+    assert(cz.getAs[Long]("n") === jt.getAs[Long]("n"))
+    val zc = cz.getAs[Double]("z_stat"); val zj = jt.getAs[Double]("z_stat")
+    // both test the SAME ordered alternative on the same buckets:
+    // they must agree in direction (or both be ~null)
+    assert(zc * zj >= 0.0 || (math.abs(zc) < 0.5 && math.abs(zj) < 0.5))
+  }
+
   test("aqpStratified: combined estimate equals the stratum sum") {
     val rows = graft.operators.Stats.aqpStratified(s, d).collect()
     assert(rows.length === 3)
