@@ -2234,7 +2234,10 @@ object SparkEntry {
         |  ('mart_hi_x100', CAST(5026250 AS BIGINT)),
         |  ('reader_sees_committed', CAST(1 AS BIGINT)),
         |  ('temp_view_isolated', CAST(1 AS BIGINT)),
-        |  ('decoy_shadow_intact', CAST(1 AS BIGINT)))
+        |  ('decoy_shadow_intact', CAST(1 AS BIGINT)),
+        |  ('race_rows', CAST(4 AS BIGINT)),
+        |  ('race_single_writer', CAST(1 AS BIGINT)),
+        |  ('race_not_torn', CAST(1 AS BIGINT)))
         |  AS t(check_name, val)""".stripMargin,
     // the externally-built (JDBC → Thrift → V2 catalog) mart must
     // equal the fixture-replay mart oracle
@@ -4059,9 +4062,8 @@ object SparkEntry {
         |FROM dp WHERE i = len(wa) AND j = len(wb)
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_char_xent" ->
-      """WITH bg AS (SELECT source, substr(text, i, 2) AS g
-        |  FROM documents, generate_series(1, 1000) t(i)
-        |  WHERE i <= len(text) - 1),
+      """WITH bg AS (SELECT source, substr(text, u.i, 2) AS g
+        |  FROM documents, unnest(range(1, len(text))) u(i)),
         |bysrc AS (SELECT source, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
         |gl AS (SELECT g, SUM(c) AS cg FROM bysrc GROUP BY 1),
         |tot AS (SELECT SUM(cg) AS ng, COUNT(*) AS v FROM gl),
@@ -12598,8 +12600,10 @@ object SparkEntry {
         |      + 0.000001)/10000 > 1.645 AS equivalent
         |FROM c""".stripMargin,
     "q_capture_recapture" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
-        |  FROM documents),
+      """WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(text)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents SEMI JOIN reps USING (doc_id)),
         |s AS (SELECT doc_id,
         |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
         |    for i in range(1, len(w)-1)]) AS sh
@@ -12610,7 +12614,7 @@ object SparkEntry {
         |    / len(list_distinct(a.sh || b.sh)) >= 0.8),
         |tok AS (SELECT doc_id,
         |    unnest(list_distinct(string_split(text, ' '))) AS t2
-        |  FROM documents),
+        |  FROM documents SEMI JOIN reps USING (doc_id)),
         |h AS (SELECT doc_id,
         |    ('0x' || substr(md5(t2), 1, 15))::BIGINT AS h FROM tok),
         |b AS (SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS sgn

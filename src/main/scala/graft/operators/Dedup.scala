@@ -938,6 +938,15 @@ object Dedup {
     * idea applied to "how many dup pairs does NEITHER detector see",
     * which no single-detector recall number can answer.
     *
+    * Semantics note (r13): both input detectors are the rep-collapsed
+    * pair streams (byte-identical texts fold to their min-doc_id
+    * representative BEFORE banding), so every count here — n_jaccard,
+    * n_simhash, n_both, and the Chapman estimate — is at REP grain:
+    * an estimate of the distinct-text near-dup-pair population, not
+    * the member-expanded one. The oracle twin carries the same
+    * `reps` prefilter on both captures so the gate verifies exactly
+    * these semantics on dup-bearing corpora too.
+    *
     * Scale shape: both detectors are the gated banded pipelines
     * (never all-pairs); the overlap is one (doc_a, doc_b)-keyed join
     * of their pair outputs, dwarfed by the detectors themselves. */

@@ -2013,7 +2013,12 @@ object TextAnalysis {
     * one broadcast join back; weighted log sums are exact-count
     * weighted, 4dp-rounded once. */
   def charCrossEntropy(s: SparkSession, dir: String): DataFrame = {
+    // length >= 2 guard: Spark's sequence(1, 0) is DESCENDING [1, 0]
+    // (implicit step -1), which would inject two spurious 1-char
+    // "bigrams" for a single-char document; the oracle's
+    // range(1, len) is empty there. Filter, don't clamp.
     val bg = Tables.documents(s, dir)
+      .where(length(col("text")) >= 2)
       .select(col("source"),
         explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
         col("text"))

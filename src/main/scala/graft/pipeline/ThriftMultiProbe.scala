@@ -106,12 +106,53 @@ object ThriftMultiProbe {
             "SELECT tag FROM fct_multi_mart")
           val decoyIntact = rd.next() && rd.getString(1) == "decoy"
           // ... and A cannot see B's temp view
+          // Only a resolution failure proves isolation — a dropped
+          // connection / timeout / unrelated analysis error must NOT
+          // count (it would pass the gate for the wrong reason).
           val isolated =
             try {
               writer.createStatement()
                 .executeQuery("SELECT tag FROM fct_multi_mart")
               false
-            } catch { case _: java.sql.SQLException => true }
+            } catch {
+              case e: java.sql.SQLException
+                  if Option(e.getMessage).exists(m =>
+                    m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+                      m.contains("cannot be found")) => true
+            }
+          // Concurrent-WRITER conflict (r12 verdict Next #6): two
+          // fresh connections race a CTAS on the SAME table name.
+          // The outcome (which writer wins, whether the loser commits
+          // or refuses) is nondeterministic; the INVARIANT is not —
+          // the committed table must be entirely one writer's output
+          // (4 rows, one tag), never a torn mix, and at least one
+          // writer must have committed. Only the invariant lands in
+          // the receipt so the gate's oracle stays deterministic.
+          val raceConns = Array(connect(), connect())
+          val raceOk = new java.util.concurrent.atomic.AtomicInteger(0)
+          val gate = new java.util.concurrent.CyclicBarrier(2)
+          val threads = Array("alpha", "beta").zipWithIndex.map {
+            case (tag, i) =>
+              new Thread(() => {
+                try {
+                  gate.await()
+                  raceConns(i).createStatement().execute(
+                    s"""CREATE OR REPLACE TABLE graft.raw.race_mart AS
+                       |SELECT u.i AS id, '$tag' AS tag
+                       |FROM (SELECT explode(sequence(1, 4)) AS i) u"""
+                      .stripMargin)
+                  raceOk.incrementAndGet()
+                } catch { case _: java.sql.SQLException => () }
+              })
+          }
+          threads.foreach(_.start()); threads.foreach(_.join())
+          raceConns.foreach(_.close())
+          val rr = reader.createStatement().executeQuery(
+            """SELECT COUNT(*) AS n, COUNT(DISTINCT tag) AS t
+              |FROM graft.raw.race_mart""".stripMargin)
+          require(rr.next(), "race: empty read-back")
+          val (raceRows, raceTags) = (rr.getLong(1), rr.getLong(2))
+          val raceCommitted = raceOk.get()
           import spark.implicits._
           Seq(
             ("mart_rows", nRows),
@@ -120,7 +161,12 @@ object ThriftMultiProbe {
             ("reader_sees_committed",
               if (nRows == 3L && lo == 49992.75 && hi == 50262.5) 1L else 0L),
             ("temp_view_isolated", if (isolated) 1L else 0L),
-            ("decoy_shadow_intact", if (decoyIntact) 1L else 0L)
+            ("decoy_shadow_intact", if (decoyIntact) 1L else 0L),
+            ("race_rows", raceRows),
+            ("race_single_writer", if (raceTags == 1L) 1L else 0L),
+            ("race_not_torn",
+              if (raceRows == 4L && raceTags == 1L &&
+                raceCommitted >= 1) 1L else 0L)
           ).toDF("check_name", "val")
             .createOrReplaceTempView("multi_receipt_rows")
           spark.sql(
@@ -129,6 +175,9 @@ object ThriftMultiProbe {
           require(nRows == 3L && isolated && decoyIntact,
             s"multi-session contract violated: n=$nRows isolated=$isolated" +
               s" decoy=$decoyIntact")
+          require(raceRows == 4L && raceTags == 1L && raceCommitted >= 1,
+            s"concurrent-writer race torn: rows=$raceRows tags=$raceTags" +
+              s" committed=$raceCommitted")
         } finally { writer.close(); reader.close() }
         println("THRIFT_MULTI_OK")
       } finally h.stop()

@@ -55,6 +55,7 @@ import graft.pipeline.{LakeCatalog, LakeMeta}
   * the surfaces they delegate to.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
@@ -394,4 +395,128 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally st.close()
     }
+
+  // ---- staged (atomic) CTAS / RTAS -----------------------------------
+  //
+  // Without staging, Spark's non-atomic ReplaceTableAsSelectExec is
+  // drop → create → write: two concurrent CTAS writers on one table
+  // can interleave those steps into a torn mix of both outputs or no
+  // table at all (observed under the multi-session Thrift endpoint).
+  // With StagingTableCatalog, each writer lands its FULL output in a
+  // hidden per-writer staging table (`__stage_<uuid>_<name>`, filtered
+  // from listTables by the `_` prefix) and the swap into place is one
+  // critical section under a per-warehouse commit lock (JVM monitor +
+  // cross-process file lock): last-commit-wins for CREATE OR REPLACE,
+  // explicit TableAlreadyExists refusal for plain CTAS — readers only
+  // ever observe one writer's complete snapshot. This is the
+  // optimistic-concurrency shape of Iceberg's catalog swap (writers
+  // work isolated, the commit is a metadata CAS); at 100 TB the
+  // critical section stays metadata-grain — one directory move plus
+  // three sidecar moves, never a data copy.
+
+  import org.apache.spark.sql.connector.catalog.{StagedTable, TableInfo}
+  import org.apache.spark.sql.connector.catalog.SupportsWrite
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+
+  private sealed trait StageMode
+  private case object StageCreate extends StageMode
+  private case object StageReplace extends StageMode
+  private case object StageCreateOrReplace extends StageMode
+
+  private def stage(ident: Identifier, info: TableInfo,
+      mode: StageMode): StagedTable = {
+    if (mode == StageCreate && tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (mode == StageReplace && !tableExists(ident))
+      throw new NoSuchTableException(ident)
+    val tmp = Identifier.of(ident.namespace,
+      "__stage_" + java.util.UUID.randomUUID().toString.replace("-", "") +
+        "_" + ident.name)
+    createTable(tmp, info.schema(), info.partitions(), info.properties())
+    val delegate = loadTable(tmp).asInstanceOf[Table with SupportsWrite]
+    new StagedTable with SupportsWrite {
+      override def name(): String = s"$catalogName.${fullName(ident)}"
+      override def schema(): StructType = delegate.schema()
+      override def partitioning(): Array[Transform] = delegate.partitioning()
+      override def properties(): java.util.Map[String, String] =
+        delegate.properties()
+      override def capabilities()
+          : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+        delegate.capabilities()
+      override def newWriteBuilder(i: LogicalWriteInfo): WriteBuilder =
+        delegate.newWriteBuilder(i)
+      override def commitStagedChanges(): Unit =
+        commitStaged(ident, tmp, mode)
+      override def abortStagedChanges(): Unit = { dropTable(tmp); () }
+    }
+  }
+
+  /** The atomic swap: one per-warehouse critical section moving the
+    * fully-written staging directory (and its schema/snapshot-log/tag
+    * sidecars) into place. Concurrency contract re-checked INSIDE the
+    * lock: plain CTAS refuses if a rival committed first
+    * (TableAlreadyExists, staging cleaned up); REPLACE requires the
+    * table still exist; CREATE OR REPLACE is last-commit-wins. */
+  private def commitStaged(ident: Identifier, tmp: Identifier,
+      mode: StageMode): Unit =
+    GraftCatalog.withCommitLock(warehouse) {
+      mode match {
+        case StageCreate =>
+          if (tableExists(ident)) {
+            dropTable(tmp)
+            throw new TableAlreadyExistsException(ident)
+          }
+        case StageReplace =>
+          if (!tableExists(ident)) {
+            dropTable(tmp)
+            throw new NoSuchTableException(ident)
+          }
+          dropTable(ident)
+        case StageCreateOrReplace =>
+          if (tableExists(ident)) dropTable(ident)
+      }
+      val (fn, tn) = (fullName(tmp), fullName(ident))
+      Files.move(Paths.get(warehouse, tmp.namespace.head, tmp.name),
+        Paths.get(warehouse, ident.namespace.head, ident.name))
+      Seq(LakeMeta.schemaPath _, LakeMeta.snapshotLogPath _,
+          LakeMeta.tagsPath _).foreach { f =>
+        val (a, b) = (f(warehouse, fn), f(warehouse, tn))
+        if (Files.exists(a)) {
+          Files.createDirectories(b.getParent)
+          Files.move(a, b)
+        }
+      }
+    }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, StageCreate)
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, StageReplace)
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    stage(ident, info, StageCreateOrReplace)
+}
+
+object GraftCatalog {
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-warehouse commit critical section: a JVM monitor (the thrift
+    * endpoint's concurrent sessions share one process) nested around a
+    * cross-process file lock (`.graft_commit.lock` at the warehouse
+    * root) so multi-JVM writers against one warehouse serialize too. */
+  private[sources] def withCommitLock[T](warehouse: String)(body: => T): T = {
+    val key = Paths.get(warehouse).toAbsolutePath.normalize.toString
+    val mon = commitMonitors.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(warehouse, ".graft_commit.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
+  }
 }
