@@ -151,6 +151,42 @@ case class VecL2Dist(left: Expression, right: Expression) extends VecBinaryExpre
     copy(left = l, right = r)
 }
 
+/** SQUARED Euclidean distance: sum_i (a_i - b_i)^2 — the same
+  * left-to-right fold as the `aggregate(zip_with(...))` HOF pair it
+  * replaces (bit-identical result), minus the intermediate array
+  * allocation and the two interpreted lambda passes. Matrix profile's
+  * per-pair kernel (days^2 invocations). */
+case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { val d = get(a, ta, i) - get(b, tb, i); s += d * d; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (ta, tb) = (elemType(left), elemType(right))
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = ${genGet(a, ta, i)} - ${genGet(b, tb, i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2Sq =
+    copy(left = l, right = r)
+}
+
 /** SRP-LSH signature against a fixed plane matrix: bit k = sign of
   * v . planes[k], packed into an int. One fused pass over nPlanes x dim
   * multiply-adds per row — replaces nPlanes separate interpreted dot

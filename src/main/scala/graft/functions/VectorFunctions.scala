@@ -40,6 +40,12 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     GraftSql.column(VecL2Dist(GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** SQUARED L2 distance — the exact left-to-right fold of
+    * `aggregate(zip_with(a, b, (p,q) -> (p-q)^2), 0, +)` as one
+    * codegen loop (no intermediate array). */
+  def l2Sq(a: Column, b: Column): Column =
+    GraftSql.column(VecL2Sq(GraftSql.expression(a), GraftSql.expression(b)))
+
   /** Deterministic random hyperplanes for cosine-LSH signatures:
     * `nPlanes` x `dim` Gaussian-ish components from a fixed seed.
     * Value-equality Seqs so plans embedding the same seed's planes

@@ -3673,7 +3673,18 @@ object Stats {
     * calendar-bounded days² theta join (siegelSlope's band:
     * replication adds rows, never days); window vectors are 6dp
     * z-quantized so both engines difference identical arrays. Flat
-    * windows (σ = 0) are excluded, exclusion zone |Δrn| < 4. */
+    * windows (σ = 0) are excluded, exclusion zone |Δrn| < 4.
+    *
+    * r13 constant cut (the q_rouge treatment): the per-pair kernel is
+    * the VecL2Sq codegen loop — the exact same left-to-right
+    * (p−q)² fold as the old `aggregate(zip_with(...))` HOF pair, minus
+    * the per-pair array allocation and interpreted lambdas — and the
+    * theta join walks only the ordered half (rb − ra ≥ 4), each pair's
+    * distance contributing to BOTH endpoints' minima via one explode.
+    * Same multiset into every min ⇒ output bit-identical; half the
+    * pairs, several-fold cheaper per pair. (The MASS cumulant identity
+    * was rejected: Σa²+Σb²−2ab is not the oracle's fold order, so it
+    * would break hash parity on the 6dp-quantized windows.) */
   def matrixProfile(s: SparkSession, dir: String, m: Int = 7): DataFrame = {
     import graft.functions.Rounding.round6eps
     val w = Window.orderBy(col("d"))
@@ -3696,14 +3707,18 @@ object Stats {
         x => round6eps((x - col("mu")) / col("sd"))))
       .select(col("d"), col("rn"), col("z"))
       .persistMemDisk
-    val a = sub.select(col("d"), col("rn").as("ra"), col("z").as("za"))
-    val b = sub.select(col("rn").as("rb"), col("z").as("zb"))
-    a.join(b, abs(col("ra") - col("rb")) >= 4)
-      .withColumn("dist", round6eps(aggregate(
-        zip_with(col("za"), col("zb"), (p, q) => (p - q) * (p - q)),
-        lit(0.0), (acc, v) => acc + v)))
-      .groupBy(col("d"))
-      .agg(round4eps(min(col("dist"))).as("mp_dist"))
+    val a = sub.select(col("d").as("da"), col("rn").as("ra"),
+      col("z").as("za"))
+    val b = sub.select(col("d").as("db"), col("rn").as("rb"),
+      col("z").as("zb"))
+    a.join(b, col("rb") - col("ra") >= 4)
+      .withColumn("dist", round6eps(
+        graft.functions.VectorFunctions.l2Sq(col("za"), col("zb"))))
+      .select(explode(array(
+        struct(col("da").as("d"), col("dist")),
+        struct(col("db").as("d"), col("dist")))).as("e"))
+      .groupBy(col("e.d").as("d"))
+      .agg(round4eps(min(col("e.dist"))).as("mp_dist"))
       .orderBy(col("d"))
   }
 

@@ -319,6 +319,98 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  // ---- rep-collapse equivalence (r12 verdict Next #3, permanent) ----
+  //
+  // The r12 doctrine collapses byte-identical texts to min-doc_id
+  // representatives BEFORE banding; clusters / survivors / histogram /
+  // sourceOverlap must re-attach members so their outputs equal a
+  // pre-collapse full-corpus computation. This fixture is dup-BEARING
+  // by construction (the sf0.01 verify corpus has no exact dups, so
+  // the oracles alone are no-ops on the re-attachment logic):
+  //
+  //   group A = {1 web, 2 books, 3 web}  — byte-identical 40-word text
+  //   doc 4 (news)                       — near-dup of A (1-word edit,
+  //                                        3-shingle j = 37/39 ≈ .9487)
+  //   group B = {5 web, 6 books}         — byte-identical "hi there"
+  //                                        (<3 words: SHINGLE-LESS — the
+  //                                        pre-collapse detector never
+  //                                        paired it; no edges may be
+  //                                        synthesized)
+  //   group C = {7 news, 8 web}          — byte-identical 40-word text
+  //   doc 9 (books)                      — near-dup of C (same edit shape)
+  //   doc 10 (web)                       — unrelated singleton
+  //
+  // Expected member-level (pre-collapse) pair multiset, derived by
+  // hand: A-internal (1,2)(1,3)(2,3) @ j=1; A×4 (1,4)(2,4)(3,4)
+  // @ .9487; C-internal (7,8) @ 1; C×9 (7,9)(8,9) @ .9487. Nothing
+  // touches B or 10.
+  private object RepCollapse {
+    val tA = (1 to 40).map(i => s"a$i").mkString(" ")
+    val tA2 = (1 to 39).map(i => s"a$i").mkString(" ") + " EDIT"
+    val tC = (1 to 40).map(i => s"c$i").mkString(" ")
+    val tC2 = (1 to 39).map(i => s"c$i").mkString(" ") + " EDIT"
+    val dir = TestSpark.documentsFixture(Seq(
+      (1L, tA, "en", "web"), (2L, tA, "en", "books"), (3L, tA, "en", "web"),
+      (4L, tA2, "en", "news"),
+      (5L, "hi there", "en", "web"), (6L, "hi there", "en", "books"),
+      (7L, tC, "en", "news"), (8L, tC, "en", "web"),
+      (9L, tC2, "en", "books"),
+      (10L, (1 to 40).map(i => s"z$i").mkString(" "), "en", "web")))
+  }
+
+  test("rep-collapse: minhashPairs emits rep-level pairs only") {
+    val pairs = Dedup.minhashPairs(spark, RepCollapse.dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // reps are 1 (group A), 7 (group C); members 2,3,8 never appear
+    assert(pairs === Set((1L, 4L), (7L, 9L)))
+  }
+
+  test("rep-collapse: nearDupClusters equals the full-corpus clustering") {
+    val cl = Dedup.nearDupClusters(spark, RepCollapse.dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    // pre-collapse reference: CC over the hand-derived member pairs
+    assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // the shingle-less guard: group B must NOT be clustered (the old
+    // detector never paired "hi there" copies — synthesized edges
+    // would surface 5/6 here and fail this equality)
+    assert(!cl.contains(5L) && !cl.contains(6L))
+  }
+
+  test("rep-collapse: nearDupSurvivors equals the full-corpus single-hop") {
+    val ids = TestSpark.collectSet[Long](
+      Dedup.nearDupSurvivors(spark, RepCollapse.dir), "doc_id")
+    // greater sides of the member pair multiset: 2,3,4,8,9 — BOTH
+    // shingle-less copies survive (guard), plus the singletons
+    assert(ids === Set(1L, 5L, 6L, 7L, 10L))
+  }
+
+  test("rep-collapse: dupSizeHistogram equals the full-corpus histogram") {
+    val hist = Dedup.dupSizeHistogram(spark, RepCollapse.dir).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    // clusters {1,2,3,4} and {7,8,9}; singletons 5, 6, 10
+    assert(hist === Map(1L -> ((3L, 3L)), 3L -> ((1L, 3L)), 4L -> ((1L, 4L))))
+  }
+
+  test("rep-collapse: sourceOverlap reproduces member-level pair counts") {
+    val j = math.floor(37.0 / 39.0 * 10000 + 0.5 + 0.000001) / 10000 // .9487
+    val got = Dedup.sourceOverlap(spark, RepCollapse.dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_dup_pairs"), r.getAs[Double]("avg_jaccard")))).toMap
+    def q4(v: Double) = math.floor(v * 10000 + 0.5 + 0.000001) / 10000
+    // combinatorial weights must reproduce the hand-derived multiset:
+    // (books,news): (2,4)@j + (7,9)@j                     → 2 pairs
+    // (books,web):  (1,2)@1 + (2,3)@1 + (8,9)@j           → 3 pairs
+    // (news,web):   (1,4)@j + (3,4)@j + (7,8)@1           → 3 pairs
+    // (web,web):    (1,3)@1                               → 1 pair
+    assert(got === Map(
+      ("books", "news") -> ((2L, q4(j))),
+      ("books", "web") -> ((3L, q4((2.0 + j) / 3.0))),
+      ("news", "web") -> ((3L, q4((1.0 + 2.0 * j) / 3.0))),
+      ("web", "web") -> ((1L, 1.0))))
+  }
+
   test("captureRecapture: Chapman estimate at least the union lower bound") {
     val r = graft.operators.Dedup.captureRecapture(TestSpark.spark, TestSpark.sfDir)
       .collect().head
