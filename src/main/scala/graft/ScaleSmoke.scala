@@ -579,6 +579,8 @@ object ScaleSmoke {
     run("filterFunnel")(operators.TextAnalysis.filterFunnel(spark, dir))
     run("mp4Meta")(operators.Multimodal.mp4ContainerMeta(spark, dir))
     run("mp4Frames")(operators.Multimodal.mp4FrameStats(spark, dir))
+    run("decontamSpans")(operators.TextAnalysis.decontamSpans(
+      spark, dir, minSpanTokens = 10))
 
     // r10: V2 mount snapshot pruning at scale (round-9 verdict demand
     // #7) — a warehouse holding the whole replicated events table

@@ -664,6 +664,10 @@ object SparkEntry {
     "q_word_entropy"     -> (TextAnalysis.wordEntropy _),
     "q_repetition"       -> (TextAnalysis.repetitionStats _),
     "q_winnow_fp"        -> (TextAnalysis.winnowFingerprints _),
+    // substring-grain train/test decontamination: every >=10-token
+    // exact overlap between the hash-test split and the rest
+    // (winnowing-candidate pruned, diagonal-run verified)
+    "q_decontam_spans"   -> ((s, d) => TextAnalysis.decontamSpans(s, d, minSpanTokens = 10)),
     "q_shingle_index"    -> (TextAnalysis.shingleIndex _),
     "q_train_split"      -> (TextAnalysis.trainValTestSplit _),
     "q_bm25"             -> ((s, d) => TextAnalysis.bm25Scores(s, d)),
@@ -4564,6 +4568,37 @@ object SparkEntry {
         |m AS (SELECT doc_id, list_distinct(
         |  [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]) AS fps FROM sh)
         |SELECT doc_id, unnest(fps) AS fingerprint FROM m""".stripMargin,
+    // full recompute, no candidate prune (lossless for spans >= 8
+    // tokens by the winnowing guarantee); 0-based positions match
+    // Spark's posexplode; per-SIDE distinct-text reps prefilter (the
+    // r12 rep-collapse doctrine — spans are rep-level)
+    "q_decontam_spans" ->
+      """WITH d0 AS (SELECT doc_id, text,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,6))::BIGINT % 100 AS b
+        |  FROM documents),
+        |reps AS (SELECT MIN(doc_id) AS doc_id
+        |  FROM d0 GROUP BY b >= 90, md5(text)),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w, b
+        |  FROM d0 SEMI JOIN reps USING (doc_id)),
+        |sh AS (SELECT doc_id, b, u.i - 1 AS pos,
+        |    ('0x'||substr(md5(w[u.i]||' '||w[u.i+1]||' '||w[u.i+2]),1,15))::BIGINT AS h
+        |  FROM d, unnest(range(1, greatest(len(w) - 1, 1))) u(i)),
+        |tr AS (SELECT doc_id, pos, h FROM sh WHERE b < 90),
+        |ev AS (SELECT doc_id AS eval_id, pos AS eval_pos, h FROM sh
+        |  WHERE b >= 90),
+        |m AS (SELECT tr.doc_id, ev.eval_id, tr.pos, ev.eval_pos,
+        |    tr.pos - ev.eval_pos AS diag
+        |  FROM tr JOIN ev USING (h)),
+        |r AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY doc_id,
+        |    eval_id, diag ORDER BY pos) AS grp FROM m),
+        |runs AS (SELECT doc_id, eval_id,
+        |    CAST(COUNT(*) + 2 AS BIGINT) AS span_tokens,
+        |    CAST(MIN(pos) AS INTEGER) AS doc_pos,
+        |    CAST(MIN(eval_pos) AS INTEGER) AS eval_pos
+        |  FROM r GROUP BY doc_id, eval_id, diag, grp)
+        |SELECT doc_id, eval_id, span_tokens, doc_pos, eval_pos
+        |FROM runs WHERE span_tokens >= 10
+        |ORDER BY doc_id, eval_id, doc_pos""".stripMargin,
     "q_scd2_types" ->
       """WITH l AS (SELECT user_id, event_id, ts, event_type,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type

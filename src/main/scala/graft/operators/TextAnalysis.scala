@@ -376,20 +376,19 @@ object TextAnalysis {
     * shape an inverted fingerprint index ingests; docs shorter than 6
     * words (< 4 shingles, no full window) are excluded. Map-side only
     * — no shuffle at all. */
-  def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowOf(Tables.documents(s, dir)).select(col("doc_id"), col("fingerprint"))
+      .distinct()
+
+  /** Positional 60-bit shingle hashes: (doc_id, pos, h) — one row per
+    * positional 3-word shingle, md5-derived so any engine derives
+    * bit-identical values. Shared assembly for the winnowing
+    * fingerprint and the decontamination span walk. */
+  private def posHashIdx(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
-    // Row-wise formulation: one posexplode, then shingle assembly (lead)
-    // and the 4-window sliding min as window functions over the same
-    // (doc_id, pos) sort — everything stays codegen'd, versus building
-    // per-document hash arrays with interpreted array lambdas (the
-    // md5+conv chain inside a `transform` runs interpreted per element;
-    // as plain per-row projections it compiles). One shuffle keyed by
-    // doc_id serves both window passes (partitioning and order survive
-    // the intermediate filter), plus the output distinct.
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val next4 = byDoc.rowsBetween(Window.currentRow, 3)
-    Tables.documents(s, dir)
-      .filter(size(w) >= 6)
+    docs
+      .filter(size(w) >= 3)
       .select(col("doc_id"), posexplode(w).as(Seq("pos", "w")))
       // concat (not concat_ws) so trailing positions without 2
       // successors yield NULL, not a truncated shingle
@@ -398,11 +397,101 @@ object TextAnalysis {
         lead(col("w"), 2).over(byDoc)))
       .filter(col("shingle").isNotNull)
       .withColumn("h", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
+      .select(col("doc_id"), col("pos"), col("h"))
+  }
+
+  /** Winnowing core over an arbitrary documents frame: (doc_id,
+    * fingerprint) rows, NOT deduplicated (callers distinct as needed).
+    *
+    * Row-wise formulation: one posexplode, then shingle assembly (lead)
+    * and the 4-window sliding min as window functions over the same
+    * (doc_id, pos) sort — everything stays codegen'd, versus building
+    * per-document hash arrays with interpreted array lambdas (the
+    * md5+conv chain inside a `transform` runs interpreted per element;
+    * as plain per-row projections it compiles). One shuffle keyed by
+    * doc_id serves both window passes (partitioning and order survive
+    * the intermediate filter), plus any caller-side distinct. */
+  private def winnowOf(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val next4 = byDoc.rowsBetween(Window.currentRow, 3)
+    posHashIdx(docs.filter(size(words(col("text"))) >= 6))
       .withColumn("fingerprint", min(col("h")).over(next4))
       .withColumn("win_n", count(col("h")).over(next4))
       .filter(col("win_n") === 4) // complete windows only
       .select(col("doc_id"), col("fingerprint"))
-      .distinct()
+  }
+
+  /** Cross-corpus train/eval DECONTAMINATION at substring grain — the
+    * industry-standard "no long exact overlap with the eval set" rule
+    * (the 50-token convention; threshold parameterized). The eval set
+    * is the hash-stable test split ([[trainValTestSplit]]'s bucket
+    * ≥ 90), the train corpus everything else — so the gate needs no
+    * side fixture and the split can never migrate. Emits every maximal
+    * shared token run of ≥ `minSpanTokens`: (doc_id, eval_id,
+    * span_tokens, doc_pos, eval_pos).
+    *
+    * Mechanics: positional 3-word shingle hashes on both sides; a
+    * shared run of T tokens is T−2 consecutive shingle matches on one
+    * DIAGONAL (pos − eval_pos constant), recovered by the
+    * gaps-and-islands trick (pos − row_number per diagonal) — never a
+    * string alignment.
+    *
+    * 100 TB posture: candidate (doc, eval) pairs come FIRST, from an
+    * equality join of winnowing fingerprints (Schleimer et al.'s
+    * guarantee: any shared run of ≥ 6 shingles = 8 tokens shares a
+    * fingerprint, so for minSpanTokens ≥ 8 the prefilter is LOSSLESS
+    * — enforced). Both positional indexes are then left_semi-pruned to
+    * candidate participants and the shingle-hash equality join runs
+    * over that sliver only — fingerprint-linear work, never all-pairs,
+    * never a full positional self-join; the eval side is the small
+    * split (≈10%) by construction. Each side detects over its
+    * DISTINCT-TEXT representatives (the r12 exactGroups-at-the-
+    * detector doctrine): byte-identical texts share every span, so g
+    * train copies × h eval copies of one overlap would emit g·h
+    * identical span rows — quadratic in dup density and exact dedup's
+    * job. Spans are REP-level (disclosed in the oracle's per-side reps
+    * prefilter); a member expansion is one join against exactGroups if
+    * a consumer needs it. */
+  def decontamSpans(s: SparkSession, dir: String,
+      minSpanTokens: Int = 50): DataFrame = {
+    require(minSpanTokens >= 8,
+      "winnowing candidate completeness holds only for spans >= 8 tokens")
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long") % 100
+    val docs = Tables.documents(s, dir).withColumn("b", bucket)
+      .persistMemDisk
+    def repsOf(d: DataFrame): DataFrame =
+      d.join(d.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val train = repsOf(docs.filter(col("b") < 90))
+    val evalSet = repsOf(docs.filter(col("b") >= 90))
+    val cands = winnowOf(train)
+      .join(winnowOf(evalSet)
+          .select(col("doc_id").as("eval_id"), col("fingerprint")),
+        Seq("fingerprint"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+      .persistMemDisk
+    val trIdx = posHashIdx(train)
+      .join(cands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val evIdx = posHashIdx(evalSet)
+      .select(col("doc_id").as("eval_id"), col("pos").as("eval_pos"), col("h"))
+      .join(cands.select(col("eval_id")).distinct(), Seq("eval_id"), "left_semi")
+    val wDiag = Window.partitionBy(col("doc_id"), col("eval_id"), col("diag"))
+      .orderBy(col("pos"))
+    trIdx.join(evIdx, Seq("h"))
+      .join(cands, Seq("doc_id", "eval_id"), "left_semi")
+      .withColumn("diag", col("pos") - col("eval_pos"))
+      .withColumn("grp", col("pos") - row_number().over(wDiag))
+      .groupBy(col("doc_id"), col("eval_id"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + 2).as("span_tokens"),
+        min(col("pos")).as("doc_pos"),
+        min(col("eval_pos")).as("eval_pos"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_id"), col("eval_id"), col("span_tokens"),
+        col("doc_pos"), col("eval_pos"))
+      .orderBy(col("doc_id"), col("eval_id"), col("doc_pos"))
   }
 
   /** Deterministic train/val/test assignment: bucket = md5(doc_id)

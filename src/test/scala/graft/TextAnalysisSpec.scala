@@ -638,6 +638,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("decontamSpans: finds the exact shared run, drops sub-threshold overlap") {
+    // md5-bucket split: doc_ids 2 and 7 land in the >=90 eval bucket,
+    // 1 and 3 in train (verified constants of the hash split)
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")   // 12 tokens
+    val short = (1 to 5).map(i => s"v$i").mkString(" ")     // 5 tokens
+    val dir = TestSpark.documentsFixture(Seq(
+      (1L, "p1 p2 p3 p4 p5 " + shared + " q1 q2 q3 q4 q5", "en", "web"),
+      (2L, "r1 r2 r3 " + shared + " " + short + " t1", "en", "web"),
+      (3L, "u1 u2 " + short + " u3 u4 u5", "en", "web"),
+      (7L, (1 to 20).map(i => s"z$i").mkString(" "), "en", "web")))
+    val rows = graft.operators.TextAnalysis
+      .decontamSpans(TestSpark.spark, dir, minSpanTokens = 10).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") === 1L)
+    assert(r.getAs[Long]("eval_id") === 2L)
+    assert(r.getAs[Long]("span_tokens") === 12L)
+    assert(r.getAs[Int]("doc_pos") === 5)  // s1 at word index 5 of doc 1
+    assert(r.getAs[Int]("eval_pos") === 3) // s1 at word index 3 of doc 2
+    // the 5-token overlap (doc 3 x doc 2) is below threshold: absent
+    // sub-8-token thresholds would break winnowing completeness: refused
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.decontamSpans(TestSpark.spark, dir, 6)
+    }
+  }
+
   test("burrowsDelta: symmetric non-negative pair deltas over shared words") {
     val rows = graft.operators.TextAnalysis.burrowsDelta(
       TestSpark.spark, TestSpark.sfDir).collect()
