@@ -581,6 +581,11 @@ object ScaleSmoke {
     run("mp4Frames")(operators.Multimodal.mp4FrameStats(spark, dir))
     run("decontamSpans")(operators.TextAnalysis.decontamSpans(
       spark, dir, minSpanTokens = 10))
+    run("sampleEntropy")(operators.Stats.sampleEntropy(spark, dir))
+    run("watsonU2")(operators.Stats.watsonU2(spark, dir))
+    run("bwsTest")(operators.Behavior.bwsTest(spark, dir))
+    run("katzCentrality")(operators.Graph.katzCentrality(spark, dir))
+    run("mmdDrift")(operators.Similarity.mmdDrift(spark, dir))
 
     // r10: V2 mount snapshot pruning at scale (round-9 verdict demand
     // #7) — a warehouse holding the whole replicated events table

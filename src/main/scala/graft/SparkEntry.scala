@@ -355,6 +355,16 @@ object SparkEntry {
     "q_jonckheere"       -> ((s, d) => Stats.jonckheere(s, d)),
     "q_rayleigh"         -> ((s, d) => Stats.rayleighHours(s, d)),
     "q_variance_ratio"   -> ((s, d) => Stats.varianceRatio(s, d)),
+    // r13 batch: regularity/complexity/EDF/scale/centrality additions
+    "q_sample_entropy"   -> ((s, d) => Stats.sampleEntropy(s, d)),
+    "q_perm_entropy"     -> ((s, d) => Stats.permEntropy(s, d)),
+    "q_watson_u2"        -> ((s, d) => Stats.watsonU2(s, d)),
+    "q_siegel_tukey"     -> ((s, d) => graft.operators.Behavior.siegelTukey(s, d)),
+    "q_cucconi"          -> ((s, d) => graft.operators.Behavior.cucconiTest(s, d)),
+    "q_bws_test"         -> ((s, d) => graft.operators.Behavior.bwsTest(s, d)),
+    "q_yule_k"           -> (TextAnalysis.yuleK _),
+    "q_katz_centrality"  -> ((s, d) => graft.operators.Graph.katzCentrality(s, d)),
+    "q_mmd_drift"        -> ((s, d) => Similarity.mmdDrift(s, d)),
     "q_brunner_munzel"   -> ((s, d) => graft.operators.Behavior.brunnerMunzel(s, d)),
     "q_ansari_bradley"   -> ((s, d) => graft.operators.Behavior.ansariBradley(s, d)),
     "q_gamma_fit"        -> ((s, d) => Stats.gammaFit(s, d)),
@@ -3794,6 +3804,247 @@ object SparkEntry {
         |  floor((CASE WHEN hh < 0 THEN hh + 24 ELSE hh END)
         |    *10000 + 0.5 + 0.000001)/10000 AS mean_hour
         |FROM h ORDER BY event_type""".stripMargin,
+    // exact-integer threshold: 25·Δ²·n² <= n·Σv² − (Σv)² in HUGEINT
+    // (Spark side uses decimal(38,0) — both exact, no σ rounding seam)
+    "q_sample_entropy" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(floor(SUM(o_totalprice)/1e6*10000 + 0.5 + 0.000001)
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, SUM(v) AS sv, SUM(v*v) AS svv
+        |  FROM daily),
+        |tpl AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, v AS v1,
+        |    lead(v, 1) OVER (ORDER BY d) AS v2,
+        |    lead(v, 2) OVER (ORDER BY d) AS v3
+        |  FROM daily QUALIFY v2 IS NOT NULL),
+        |p AS (SELECT x.v1 AS a1, x.v2 AS a2, x.v3 AS a3,
+        |    y.v1 AS b1, y.v2 AS b2, y.v3 AS b3
+        |  FROM tpl x JOIN tpl y ON x.rn < y.rn),
+        |c AS (SELECT MAX(t.n) AS n_days,
+        |    SUM(CASE WHEN 25::HUGEINT
+        |        * GREATEST(abs(a1-b1), abs(a2-b2))
+        |        * GREATEST(abs(a1-b1), abs(a2-b2)) * t.n * t.n
+        |      <= t.n::HUGEINT * t.svv - t.sv::HUGEINT * t.sv
+        |      THEN 1 ELSE 0 END) AS b_count,
+        |    SUM(CASE WHEN a3 IS NOT NULL AND b3 IS NOT NULL
+        |      AND 25::HUGEINT
+        |        * GREATEST(abs(a1-b1), abs(a2-b2), abs(a3-b3))
+        |        * GREATEST(abs(a1-b1), abs(a2-b2), abs(a3-b3)) * t.n * t.n
+        |      <= t.n::HUGEINT * t.svv - t.sv::HUGEINT * t.sv
+        |      THEN 1 ELSE 0 END) AS a_count
+        |  FROM p, tot t)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(b_count AS BIGINT) AS b_count,
+        |  CAST(a_count AS BIGINT) AS a_count,
+        |  floor(-floor(ln(a_count*1.0/b_count)*1000000 + 0.5 + 0.000001)
+        |    /1000000*10000 + 0.5 + 0.000001)/10000 AS sampen
+        |FROM c""".stripMargin,
+    "q_perm_entropy" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(floor(SUM(o_totalprice)/1e6*10000 + 0.5 + 0.000001)
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |tri AS (SELECT v AS v1, lead(v, 1) OVER (ORDER BY d) AS v2,
+        |    lead(v, 2) OVER (ORDER BY d) AS v3
+        |  FROM daily QUALIFY v3 IS NOT NULL),
+        |pat AS (SELECT
+        |  (1 + CASE WHEN v2 < v1 THEN 1 ELSE 0 END
+        |     + CASE WHEN v3 < v1 THEN 1 ELSE 0 END) * 100
+        |  + (1 + CASE WHEN v1 <= v2 THEN 1 ELSE 0 END
+        |     + CASE WHEN v3 < v2 THEN 1 ELSE 0 END) * 10
+        |  + (1 + CASE WHEN v1 <= v3 THEN 1 ELSE 0 END
+        |     + CASE WHEN v2 <= v3 THEN 1 ELSE 0 END) AS pattern FROM tri),
+        |c AS (SELECT pattern, COUNT(*) AS c FROM pat GROUP BY 1),
+        |t AS (SELECT SUM(c) AS nw FROM c),
+        |top AS (SELECT pattern AS tp, c AS tc FROM c
+        |  ORDER BY c DESC, pattern ASC LIMIT 1),
+        |h AS (SELECT MAX(t.nw) AS n_windows, COUNT(*) AS n_patterns,
+        |    SUM(-(c.c*1.0/t.nw)
+        |      * floor(ln(c.c*1.0/t.nw)*1000000 + 0.5 + 0.000001)/1000000)
+        |      AS hh
+        |  FROM c, t)
+        |SELECT CAST(n_windows AS BIGINT) AS n_windows,
+        |  CAST(n_patterns AS BIGINT) AS n_patterns,
+        |  floor(hh*10000 + 0.5 + 0.000001)/10000 AS entropy,
+        |  floor(hh/(floor(ln(6.0)*1000000 + 0.5 + 0.000001)/1000000)
+        |    *10000 + 0.5 + 0.000001)/10000 AS norm_entropy,
+        |  CAST(top.tp AS INTEGER) AS top_pattern,
+        |  floor(top.tc*1.0/n_windows*10000 + 0.5 + 0.000001)/10000 AS top_p
+        |FROM h, top""".stripMargin,
+    "q_watson_u2" ->
+      """WITH t AS (SELECT event_type, event_id,
+        |    (epoch(ts) % 86400) / 86400.0 AS u FROM events),
+        |r AS (SELECT event_type, u,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY u, event_id) AS i,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nn FROM t),
+        |a AS (SELECT event_type, COUNT(*)::DOUBLE AS n, AVG(u) AS ub,
+        |    SUM((u - (2.0*i - 1)/(2.0*nn)) * (u - (2.0*i - 1)/(2.0*nn)))
+        |      AS ss
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  floor(ub*10000 + 0.5 + 0.000001)/10000 AS mean_frac,
+        |  floor((ss - n*(ub - 0.5)*(ub - 0.5) + 1.0/(12.0*n))
+        |    *10000 + 0.5 + 0.000001)/10000 AS u2_stat
+        |FROM a ORDER BY event_type""".stripMargin,
+    // blockwise closed-form Siegel-Tukey rank sums (bottom half
+    // Σ2p − #odd, top half via q = N+1−p: Σ2q − #even), midranked
+    "q_siegel_tukey" ->
+      """WITH g AS (SELECT value,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(n1 + n2) AS nn FROM g),
+        |b0 AS (SELECT n1, n2, n1 + n2 AS t, t.nn,
+        |    COALESCE(SUM(n1 + n2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g, tot t),
+        |s AS (SELECT n1, n2, t, nn, cb + 1 AS a, cb + t AS b2,
+        |    (nn + 1) // 2 AS c FROM b0),
+        |s2 AS (SELECT *, LEAST(b2, c) AS bhi,
+        |    nn + 1 - b2 AS qlo, nn + 1 - GREATEST(a, c + 1) AS qhi FROM s),
+        |s3 AS (SELECT *,
+        |    CASE WHEN bhi >= a THEN (a + bhi)*(bhi - a + 1)
+        |      - ((bhi + 1) // 2 - a // 2) ELSE 0 END AS sumBot,
+        |    CASE WHEN qhi >= qlo THEN (qlo + qhi)*(qhi - qlo + 1)
+        |      - (qhi // 2 - (qlo - 1) // 2) ELSE 0 END AS sumTop FROM s2),
+        |blocks AS (SELECT n1, n2, t, nn,
+        |    (sumBot + sumTop)*1.0/t AS sbar FROM s3),
+        |agg AS (SELECT SUM(n1)::DOUBLE AS m1, SUM(n2)::DOUBLE AS m2,
+        |    MAX(nn)::DOUBLE AS nd, SUM(n1*sbar) AS w,
+        |    SUM(t*t*t - t)::DOUBLE AS tc FROM blocks)
+        |SELECT CAST(m1 AS BIGINT) AS n1, CAST(m2 AS BIGINT) AS n2,
+        |  floor(w*10000 + 0.5 + 0.000001)/10000 AS w_stat,
+        |  floor((w - m1*(nd + 1)/2)
+        |    /sqrt(m1*m2/12.0*((nd + 1) - tc/(nd*(nd - 1))))
+        |    *10000 + 0.5 + 0.000001)/10000 AS z_stat
+        |FROM agg""".stripMargin,
+    "q_cucconi" ->
+      """WITH g AS (SELECT value,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |b AS (SELECT n1, n2, n1 + n2 AS t,
+        |    COALESCE(SUM(n1 + n2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (n1 + n2 + 1)/2.0 AS r
+        |  FROM g),
+        |agg AS (SELECT SUM(n1)::DOUBLE AS m1, SUM(n2)::DOUBLE AS m2,
+        |    SUM(t)::DOUBLE AS n, SUM(n1*r) AS sr1, SUM(n1*r*r) AS sr2
+        |  FROM b),
+        |c AS (SELECT m1, m2, n, sr2,
+        |    m1*(n+1)*(n+1) - 2.0*(n+1)*sr1 + sr2 AS ss2,
+        |    sqrt(m1*m2*(n+1)*(2.0*n+1)*(8.0*n+11)/5.0) AS den,
+        |    2.0*(n*n - 4)/((2.0*n+1)*(8.0*n+11)) - 1 AS rho
+        |  FROM agg),
+        |uv AS (SELECT m1, m2, rho,
+        |    (6.0*sr2 - m1*(n+1)*(2.0*n+1))/den AS u,
+        |    (6.0*ss2 - m1*(n+1)*(2.0*n+1))/den AS v
+        |  FROM c)
+        |SELECT CAST(m1 AS BIGINT) AS n1, CAST(m2 AS BIGINT) AS n2,
+        |  floor(u*10000 + 0.5 + 0.000001)/10000 AS u_stat,
+        |  floor(v*10000 + 0.5 + 0.000001)/10000 AS v_stat,
+        |  floor(rho*10000 + 0.5 + 0.000001)/10000 AS rho,
+        |  floor((u*u + v*v - 2.0*rho*u*v)/(2.0*(1.0 - rho*rho))
+        |    *10000 + 0.5 + 0.000001)/10000 AS c_stat
+        |FROM uv""".stripMargin,
+    "q_bws_test" ->
+      """WITH ev AS (SELECT event_type, value, event_id FROM events
+        |  WHERE event_type IN ('purchase', 'click')),
+        |byv AS (SELECT value, COUNT(*) AS t FROM ev GROUP BY 1),
+        |rk AS (SELECT value,
+        |    COALESCE(SUM(t) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (t + 1)/2.0 AS r
+        |  FROM byv),
+        |sz AS (SELECT event_type, COUNT(*) AS g FROM ev GROUP BY 1),
+        |tt AS (SELECT SUM(g) AS nn FROM sz),
+        |r0 AS (SELECT e.event_type, rk.r,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY e.event_type
+        |      ORDER BY e.value, e.event_id) AS DOUBLE) AS i,
+        |    sz.g, tt.nn
+        |  FROM ev e JOIN rk ON e.value = rk.value
+        |  JOIN sz ON e.event_type = sz.event_type, tt),
+        |terms AS (SELECT event_type, MAX(g)::DOUBLE AS gd,
+        |    AVG( (r - nn/(g*1.0)*i)*(r - nn/(g*1.0)*i)
+        |      / ( i/(g + 1.0)*(1.0 - i/(g + 1.0))
+        |          * ((nn - g)*1.0*nn/g) ) ) AS bg
+        |  FROM r0 GROUP BY 1),
+        |piv AS (SELECT
+        |    SUM(CASE WHEN event_type = 'purchase' THEN gd END) AS n1,
+        |    SUM(CASE WHEN event_type = 'click' THEN gd END) AS n2,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN bg END) AS bx,
+        |    SUM(CASE WHEN event_type = 'click' THEN bg END) AS by
+        |  FROM terms)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  floor(bx*10000 + 0.5 + 0.000001)/10000 AS b_x,
+        |  floor(by*10000 + 0.5 + 0.000001)/10000 AS b_y,
+        |  floor((bx + by)/2*10000 + 0.5 + 0.000001)/10000 AS bws_stat
+        |FROM piv""".stripMargin,
+    "q_yule_k" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (SELECT source, w, COUNT(*) AS f FROM w GROUP BY 1, 2),
+        |a AS (SELECT source, SUM(f) AS n_tokens, COUNT(*) AS vocab,
+        |    SUM(f*f) AS m2 FROM f GROUP BY 1)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(vocab AS BIGINT) AS vocab,
+        |  floor(10000.0*(m2 - n_tokens)/(n_tokens*1.0*n_tokens)
+        |    *10000 + 0.5 + 0.000001)/10000 AS yule_k
+        |FROM a ORDER BY source""".stripMargin,
+    "q_katz_centrality" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT a, b FROM cs UNION ALL SELECT b, a FROM cs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |x0 AS (SELECT node, CAST(1 AS DOUBLE) AS x FROM nodes),
+        |c1 AS (SELECT e.b, SUM(x.x) AS mass FROM edges e
+        |  JOIN x0 x ON e.a = x.node GROUP BY e.b),
+        |x1 AS (SELECT node, 1 + CAST(0.05 AS DOUBLE)
+        |    * COALESCE(c1.mass, CAST(0 AS DOUBLE)) AS x
+        |  FROM nodes LEFT JOIN c1 ON node = c1.b),
+        |c2 AS (SELECT e.b, SUM(x.x) AS mass FROM edges e
+        |  JOIN x1 x ON e.a = x.node GROUP BY e.b),
+        |x2 AS (SELECT node, 1 + CAST(0.05 AS DOUBLE)
+        |    * COALESCE(c2.mass, CAST(0 AS DOUBLE)) AS x
+        |  FROM nodes LEFT JOIN c2 ON node = c2.b),
+        |c3 AS (SELECT e.b, SUM(x.x) AS mass FROM edges e
+        |  JOIN x2 x ON e.a = x.node GROUP BY e.b),
+        |x3 AS (SELECT node, 1 + CAST(0.05 AS DOUBLE)
+        |    * COALESCE(c3.mass, CAST(0 AS DOUBLE)) AS x
+        |  FROM nodes LEFT JOIN c3 ON node = c3.b)
+        |SELECT node, floor(x*10000 + 0.5 + 0.000001)/10000 AS katz
+        |FROM x3""".stripMargin,
+    "q_mmd_drift" ->
+      """WITH e AS (SELECT vec_id,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v,
+        |    label = 0 AS ga
+        |  FROM embeddings),
+        |p AS (SELECT a.ga AS sa, b.ga AS sb,
+        |    floor(exp(-floor(list_sum(list_transform(
+        |        range(1, len(a.v) + 1),
+        |        i -> (a.v[i] - b.v[i])*(a.v[i] - b.v[i])))
+        |      *1000000 + 0.5 + 0.000001)/1000000 / len(a.v))
+        |      *1000000 + 0.5 + 0.000001)/1000000 AS k
+        |  FROM e a CROSS JOIN e b),
+        |agg AS (SELECT
+        |    SUM(CASE WHEN sa AND sb THEN 1 ELSE 0 END) AS naa,
+        |    SUM(CASE WHEN NOT sa AND NOT sb THEN 1 ELSE 0 END) AS nbb,
+        |    SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS nab,
+        |    SUM(CASE WHEN sa AND sb THEN k ELSE 0 END) AS saa,
+        |    SUM(CASE WHEN NOT sa AND NOT sb THEN k ELSE 0 END) AS sbb,
+        |    SUM(CASE WHEN sa <> sb THEN k ELSE 0 END) AS sab
+        |  FROM p)
+        |SELECT CAST(sqrt(naa) AS BIGINT) AS n_a,
+        |  CAST(sqrt(nbb) AS BIGINT) AS n_b,
+        |  floor(saa/naa*10000 + 0.5 + 0.000001)/10000 AS mean_k_aa,
+        |  floor(sbb/nbb*10000 + 0.5 + 0.000001)/10000 AS mean_k_bb,
+        |  floor(sab/nab*10000 + 0.5 + 0.000001)/10000 AS mean_k_ab,
+        |  floor((saa/naa + sbb/nbb - 2.0*sab/nab)
+        |    *10000 + 0.5 + 0.000001)/10000 AS mmd2
+        |FROM agg""".stripMargin,
     "q_variance_ratio" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    floor(SUM(o_totalprice)*10000 + 0.5 + 0.000001)/10000 AS rev

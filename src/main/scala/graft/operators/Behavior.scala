@@ -1783,4 +1783,165 @@ object Behavior {
       round4eps(col("ab")).as("ab_stat"),
       round4eps((col("ab") - mean) / sqrt(vr)).as("z_stat"))
   }
+
+  /** Siegel-Tukey scale test: pool both samples, assign ranks
+    * ALTERNATING from the extremes inward (1 to the smallest, 2-3 to
+    * the two largest, 4-5 to the next two smallest, …), then run a
+    * Wilcoxon on those ranks — scale differences push one group's
+    * ranks low. Ansari-Bradley's folded-rank cousin with an exact
+    * Wilcoxon null (tie-corrected variance).
+    *
+    * Value-collapsed closed form: a tied block occupies contiguous
+    * sorted positions [a..b]; the Siegel-Tukey ranks of a position run
+    * are summed arithmetically per half (bottom half: Σ2p − #odd; top
+    * half via q = N+1−p: Σ2q − #even) so no rank is ever enumerated —
+    * one value-grain aggregation + a prefix window, the
+    * ansariBradley/pettitt doctrine. Midranking (block average) makes
+    * the statistic tie-order free. */
+  def siegelTukey(s: SparkSession, dir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def idiv2(c: org.apache.spark.sql.Column) =
+      floor(c / lit(2.0)).cast("long")
+    val g = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("n2"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = g.agg(sum(col("n1") + col("n2")).as("nn"))
+    val blocks = g.crossJoin(broadcast(tot))
+      .withColumn("t", col("n1") + col("n2"))
+      .withColumn("cb", coalesce(sum(col("n1") + col("n2")).over(w), lit(0L)))
+      .withColumn("a", col("cb") + 1)
+      .withColumn("b", col("cb") + col("t"))
+      .withColumn("c", idiv2(col("nn") + 1)) // ceil(N/2)
+      // bottom half [a .. min(b,c)]: ranks 2p−1 (p odd) / 2p (p even)
+      .withColumn("bhi", least(col("b"), col("c")))
+      .withColumn("sumBot", when(col("bhi") >= col("a"),
+        (col("a") + col("bhi")) * (col("bhi") - col("a") + 1) -
+          (idiv2(col("bhi") + 1) - idiv2(col("a")))).otherwise(lit(0L)))
+      // top half, q = N+1−p ∈ [N+1−b .. N+1−max(a,c+1)]: 2q (q odd) /
+      // 2q−1 (q even)
+      .withColumn("qlo", col("nn") + 1 - col("b"))
+      .withColumn("qhi", col("nn") + 1 - greatest(col("a"), col("c") + 1))
+      .withColumn("sumTop", when(col("qhi") >= col("qlo"),
+        (col("qlo") + col("qhi")) * (col("qhi") - col("qlo") + 1) -
+          (idiv2(col("qhi")) - idiv2(col("qlo") - 1))).otherwise(lit(0L)))
+      .withColumn("sbar",
+        (col("sumBot") + col("sumTop")).cast("double") / col("t"))
+    val agg = blocks.agg(
+      sum(col("n1")).cast("double").as("m1"),
+      sum(col("n2")).cast("double").as("m2"),
+      max(col("nn")).cast("double").as("nd"),
+      sum(col("n1") * col("sbar")).as("wstat"),
+      sum(col("t") * col("t") * col("t") - col("t")).cast("double").as("tc"))
+    agg.select(col("m1").cast("long").as("n1"),
+      col("m2").cast("long").as("n2"),
+      round4eps(col("wstat")).as("w_stat"),
+      round4eps((col("wstat") - col("m1") * (col("nd") + 1) / 2) /
+        sqrt(col("m1") * col("m2") / 12.0 *
+          ((col("nd") + 1) - col("tc") / (col("nd") * (col("nd") - 1)))))
+        .as("z_stat"))
+  }
+
+  /** Cucconi test (1968): the JOINT location-scale two-sample test —
+    * U standardizes Σ R² and V standardizes Σ (N+1−R)² of sample A
+    * (midranks under ties), C = (U² + V² − 2ρUV)/(2(1−ρ²)) with the
+    * exact exchangeability correlation ρ = 2(N²−4)/((2N+1)(8N+11)) − 1.
+    * Detects location AND scale shifts in one statistic (vs running
+    * Mann-Whitney + Ansari-Bradley separately and Bonferroni-ing).
+    * Same value-collapsed rank algebra as the rest of the family. */
+  def cucconiTest(s: SparkSession, dir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("n2"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = g
+      .withColumn("t", col("n1") + col("n2"))
+      .withColumn("cb", coalesce(sum(col("n1") + col("n2")).over(w), lit(0L)))
+      .withColumn("r", col("cb") + (col("t") + 1) / lit(2.0))
+    val agg = blocks.agg(
+      sum(col("n1")).cast("double").as("m1"),
+      sum(col("n2")).cast("double").as("m2"),
+      sum(col("t")).cast("double").as("nd"),
+      sum(col("n1") * col("r")).as("sr1"),
+      sum(col("n1") * col("r") * col("r")).as("sr2"))
+    val n = col("nd")
+    // Σ(N+1−R)² = n₁(N+1)² − 2(N+1)ΣR + ΣR²
+    val ss2 = col("m1") * (n + 1) * (n + 1) -
+      lit(2.0) * (n + 1) * col("sr1") + col("sr2")
+    val den = sqrt(col("m1") * col("m2") * (n + 1) * (lit(2.0) * n + 1) *
+      (lit(8.0) * n + 11) / 5.0)
+    val uS = (lit(6.0) * col("sr2") - col("m1") * (n + 1) *
+      (lit(2.0) * n + 1)) / den
+    val vS = (lit(6.0) * ss2 - col("m1") * (n + 1) *
+      (lit(2.0) * n + 1)) / den
+    val rho = lit(2.0) * (n * n - 4) /
+      ((lit(2.0) * n + 1) * (lit(8.0) * n + 11)) - 1
+    agg.select(col("m1").cast("long").as("n1"),
+      col("m2").cast("long").as("n2"),
+      round4eps(uS).as("u_stat"),
+      round4eps(vS).as("v_stat"),
+      round4eps(rho).as("rho"),
+      round4eps((uS * uS + vS * vS - lit(2.0) * rho * uS * vS) /
+        (lit(2.0) * (lit(1.0) - rho * rho))).as("c_stat"))
+  }
+
+  /** Baumgartner-Weiß-Schindler (BWS, 1998) two-sample test: a
+    * weighted Cramér-von-Mises on pooled ranks, B = (B_X + B_Y)/2 with
+    * B_X = n⁻¹ Σᵢ (Rᵢ − (m+n)i/n)² / [ (i/(n+1))(1−i/(n+1)) ·
+    * m(m+n)/n ] — the variance weighting makes it sensitive in the
+    * TAILS where Wilcoxon and KS lose power. Midranks under ties;
+    * within-group index i via one per-group sort (tie-order invariant:
+    * tied members share R, their i's are a fixed consecutive run).
+    * Per-group sorts + one value-keyed midrank join — the same
+    * order-statistics cost as every EDF gate. */
+  def bwsTest(s: SparkSession, dir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), col("value"), col("event_id"))
+    val byV = ev.groupBy(col("value")).agg(count(lit(1)).as("t"))
+    val wV = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = byV
+      .withColumn("cb", coalesce(sum(col("t")).over(wV), lit(0L)))
+      .select(col("value"), (col("cb") + (col("t") + 1) / lit(2.0)).as("r"))
+    val wI = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val sizes = ev.groupBy(col("event_type")).agg(count(lit(1)).as("g"))
+    val tot = sizes.agg(sum(col("g")).as("nn"))
+    val terms = ev.join(ranks, "value")
+      .withColumn("i", row_number().over(wI).cast("double"))
+      .join(broadcast(sizes), "event_type")
+      .crossJoin(broadcast(tot))
+      .withColumn("o", (col("nn") - col("g")).cast("double"))
+      .withColumn("gd", col("g").cast("double"))
+      .withColumn("num",
+        (col("r") - col("nn") / col("gd") * col("i")) *
+          (col("r") - col("nn") / col("gd") * col("i")))
+      .withColumn("den",
+        col("i") / (col("gd") + 1) * (lit(1.0) - col("i") / (col("gd") + 1)) *
+          (col("o") * col("nn") / col("gd")))
+      .groupBy(col("event_type"))
+      .agg(max(col("gd")).as("gd"), avg(col("num") / col("den")).as("bg"))
+    val piv = terms.agg(
+      sum(when(col("event_type") === typeA, col("gd"))).as("n1"),
+      sum(when(col("event_type") === typeB, col("gd"))).as("n2"),
+      sum(when(col("event_type") === typeA, col("bg"))).as("bx"),
+      sum(when(col("event_type") === typeB, col("bg"))).as("by"))
+    piv.select(col("n1").cast("long").as("n1"),
+      col("n2").cast("long").as("n2"),
+      round4eps(col("bx")).as("b_x"),
+      round4eps(col("by")).as("b_y"),
+      round4eps((col("bx") + col("by")) / 2).as("bws_stat"))
+  }
 }

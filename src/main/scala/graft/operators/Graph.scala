@@ -922,4 +922,50 @@ object Graph {
         (col("support") >= 2).as("in_4truss"))
       .orderBy(col("supp_a"), col("supp_b"))
   }
+  /** Katz centrality (Katz 1953) over the co-purchase bipartite graph
+    * (customers x suppliers, the [[pageRank]] graph): x ← β + α·Aᵀx,
+    * fixed 3 iterations from x₀ = β = 1 with α = 0.05 — the truncated
+    * path-counting centrality (Σ_k αᵏ·#paths of length k) that, unlike
+    * PageRank, does NOT divide by out-degree: a high-degree neighbor
+    * passes its full influence to everyone. The alpha is far below
+    * 1/λ_max for this graph, so the truncation is a controlled
+    * geometric tail, not an artifact.
+    *
+    * Same per-round economics as [[pageRank]]: the node vector
+    * broadcasts while it fits (edges stream with no shuffle), else the
+    * edge list is pre-partitioned once and only the vector shuffles;
+    * lineage cut on the same cadence. */
+  def katzCentrality(s: SparkSession, dir: String,
+      iters: Int = 3, alpha: Double = 0.05): DataFrame = {
+    ensureCheckpointDir(s)
+    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
+      .persistMemDisk
+    val nodes = edges.select(col("a").as("node")).distinct().persistMemDisk
+    val nNodes = nodes.count()
+    val small = nNodes <= broadcastMaxNodes(s)
+    val iterEdges = if (small) edges
+      else edges.repartition(col("a")).persistMemDisk
+    var x = nodes.select(col("node"), lit(1.0).as("x"))
+    var prevRound: DataFrame = null
+    for (i <- 1 to iters) {
+      val contrib = iterEdges.join(hintSmall(x, small), col("a") === col("node"))
+        .groupBy(col("b")).agg(sum(col("x")).as("mass"))
+      x = nodes
+        .join(hintSmall(contrib, small), col("node") === col("b"), "left")
+        .select(col("node"),
+          (lit(1.0) + lit(alpha) * coalesce(col("mass"), lit(0.0))).as("x"))
+      if (i % 2 == 0 && i < iters) {
+        x = cutLineage(s, x)
+        if (prevRound != null) prevRound.unpersist(blocking = false)
+        prevRound = x
+      }
+    }
+    x.select(col("node"), round4eps(col("x")).as("katz"))
+  }
 }

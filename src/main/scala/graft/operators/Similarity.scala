@@ -1485,4 +1485,46 @@ object Similarity {
           .as("skew_kocc"),
         round4eps(col("z") / col("n")).as("antihub_share"))
   }
+  /** Kernel maximum mean discrepancy (Gretton et al. 2012, biased
+    * V-statistic) between two embedding populations — label 0 vs the
+    * rest, the "did the new batch drift in DISTRIBUTION" test that
+    * mean-vector drift (embeddingDrift) cannot answer (two clouds can
+    * share a centroid and differ everywhere else): MMD² = E[k(a,a′)]
+    * + E[k(b,b′)] − 2E[k(a,b)] with the RBF kernel
+    * k = exp(−‖x−y‖²/d) (γ = 1/d, d = embedding dim). Squared
+    * distances ride the VecL2Sq codegen kernel and are 6dp-quantized
+    * before exp (the libm-parity idiom), kernel values 6dp after.
+    *
+    * Scale shape: group-pair kernel sums are |A|·|B| — MMD is run on
+    * SAMPLES by construction (the estimator's variance, not Spark, is
+    * why nobody feeds it 10⁹ points); both sides broadcast at sample
+    * size, all work map-side, one scalar rollup. */
+  def mmdDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), (col("label") === 0).as("ga"))
+      .persistMemDisk
+    val dim = size(col("va")).cast("double")
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"),
+        col("ga").as("sa"))
+      .crossJoin(broadcast(e.select(col("vec_id").as("ib"),
+        col("embedding").as("vb"), col("ga").as("sb"))))
+      .withColumn("k", round6eps(exp(-round6eps(
+        graft.functions.VectorFunctions.l2Sq(col("va"), col("vb"))) / dim)))
+    pairs.agg(
+      sum(when(col("sa") && col("sb"), 1L).otherwise(0L)).as("naa"),
+      sum(when(!col("sa") && !col("sb"), 1L).otherwise(0L)).as("nbb"),
+      sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("nab"),
+      sum(when(col("sa") && col("sb"), col("k")).otherwise(lit(0.0))).as("saa"),
+      sum(when(!col("sa") && !col("sb"), col("k")).otherwise(lit(0.0))).as("sbb"),
+      sum(when(col("sa") =!= col("sb"), col("k")).otherwise(lit(0.0))).as("sab"))
+      .select(
+        sqrt(col("naa")).cast("long").as("n_a"),
+        sqrt(col("nbb")).cast("long").as("n_b"),
+        round4eps(col("saa") / col("naa")).as("mean_k_aa"),
+        round4eps(col("sbb") / col("nbb")).as("mean_k_bb"),
+        round4eps(col("sab") / col("nab")).as("mean_k_ab"),
+        round4eps(col("saa") / col("naa") + col("sbb") / col("nbb") -
+          lit(2.0) * col("sab") / col("nab")).as("mmd2"))
+  }
 }

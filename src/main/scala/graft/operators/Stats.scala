@@ -5140,4 +5140,138 @@ object Stats {
           .as("combined_rel_err"))
       .orderBy(col("flag"))
   }
+
+  /** Sample entropy (Richman & Moorman 2000) of daily revenue,
+    * m = 2, r = 0.2σ: −ln(A/B) where B counts ordered template pairs
+    * whose 2-day windows stay within Chebyshev distance r and A the
+    * same for 3-day windows — the regularity readout (low SampEn =
+    * repetitive dynamics) complementing the matrix-profile motif view.
+    *
+    * Exact-integer threshold algebra: daily revenue is collapsed to
+    * integral 4dp units v, so Δ ≤ 0.2σ becomes
+    * 25·Δ²·n² ≤ n·Σv² − (Σv)² — every comparison is BIGINT-exact on
+    * both engines (no σ rounding seam). Templates come from one
+    * lead-window pass; the pair walk is the same calendar-bounded
+    * days² theta join as matrixProfile (both template lengths ride ONE
+    * join). ln quantized at 6dp (libm-parity idiom). */
+  def sampleEntropy(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val w = Window.orderBy(col("d"))
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+      .select(col("d"),
+        round(col("rev") * 10000).cast("long").as("v"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      sum(col("v") * col("v")).as("svv"))
+    val tpl = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("v2", lead(col("v"), 1).over(w))
+      .withColumn("v3", lead(col("v"), 2).over(w))
+      .filter(col("v2").isNotNull)
+      .select(col("rn"), col("v").as("v1"), col("v2"), col("v3"))
+      .persistMemDisk
+    val a = tpl.select(col("rn").as("ra"), col("v1").as("a1"),
+      col("v2").as("a2"), col("v3").as("a3"))
+    val b = tpl.select(col("rn").as("rb"), col("v1").as("b1"),
+      col("v2").as("b2"), col("v3").as("b3"))
+    val cheb2 = greatest(abs(col("a1") - col("b1")), abs(col("a2") - col("b2")))
+    val cheb3 = greatest(abs(col("a1") - col("b1")),
+      abs(col("a2") - col("b2")), abs(col("a3") - col("b3")))
+    // 25·Δ²·n² ≤ n·Σv² − (Σv)²  ⇔  Δ ≤ 0.2σ (population σ). Exact
+    // decimal(38,0) arithmetic (the oracle's HUGEINT twin): the LHS
+    // can pass 2⁶³ at bench scale, where a silent non-ANSI long wrap
+    // would flip comparisons.
+    val dec = "decimal(38,0)"
+    def within(d2: org.apache.spark.sql.Column) =
+      lit(25L).cast(dec) * d2.cast(dec) * d2.cast(dec) *
+        col("n").cast(dec) * col("n").cast(dec) <=
+        col("n").cast(dec) * col("svv").cast(dec) -
+          col("sv").cast(dec) * col("sv").cast(dec)
+    a.join(b, col("ra") < col("rb"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_days"),
+        sum(when(within(cheb2), 1L).otherwise(0L)).as("b_count"),
+        sum(when(col("a3").isNotNull && col("b3").isNotNull &&
+          within(cheb3), 1L).otherwise(0L)).as("a_count"))
+      .select(col("n_days"), col("b_count"), col("a_count"),
+        round4eps(-round6eps(log(col("a_count").cast("double") /
+          col("b_count")))).as("sampen"))
+  }
+
+  /** Permutation entropy (Bandt & Pompe 2002), order 3, of daily
+    * revenue: each consecutive 3-day window maps to its ordinal
+    * pattern (ranks with the stable-argsort tie rule: earlier position
+    * wins ties), H = −Σ p ln p over the ≤6 pattern frequencies,
+    * normalized by ln 6 — the complexity screen that is invariant to
+    * any monotone transform of revenue (pure windows + one bounded
+    * aggregate; patterns are integer-exact on both engines). */
+  def permEntropy(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val w = Window.orderBy(col("d"))
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
+      .select(col("d"), round(col("rev") * 10000).cast("long").as("v"))
+    val pat = daily
+      .withColumn("v2", lead(col("v"), 1).over(w))
+      .withColumn("v3", lead(col("v"), 2).over(w))
+      .filter(col("v3").isNotNull)
+      // stable argsort ranks: position i beats later ties
+      .withColumn("r1", lit(1) +
+        when(col("v2") < col("v"), 1).otherwise(0) +
+        when(col("v3") < col("v"), 1).otherwise(0))
+      .withColumn("r2", lit(1) +
+        when(col("v") <= col("v2"), 1).otherwise(0) +
+        when(col("v3") < col("v2"), 1).otherwise(0))
+      .withColumn("r3", lit(1) +
+        when(col("v") <= col("v3"), 1).otherwise(0) +
+        when(col("v2") <= col("v3"), 1).otherwise(0))
+      .select((col("r1") * 100 + col("r2") * 10 + col("r3")).as("pattern"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("c"))
+      .persistMemDisk
+    val tot = pat.agg(sum(col("c")).as("nw"))
+    val h = pat.crossJoin(broadcast(tot))
+      .withColumn("p", col("c").cast("double") / col("nw"))
+      .agg(max(col("nw")).as("n_windows"),
+        count(lit(1)).as("n_patterns"),
+        sum(-col("p") * round6eps(log(col("p")))).as("h"),
+        max(struct(col("c").as("c"), (-col("pattern")).as("np"))).as("m"))
+    h.select(col("n_windows"), col("n_patterns"),
+      round4eps(col("h")).as("entropy"),
+      round4eps(col("h") / round6eps(log(lit(6.0)))).as("norm_entropy"),
+      (-col("m.np")).as("top_pattern"),
+      round4eps(col("m.c").cast("double") / col("n_windows")).as("top_p"))
+  }
+
+  /** Watson's U² circular uniformity test of event times-of-day, per
+    * event type — the rotation-invariant cousin of the Rayleigh gate
+    * (Rayleigh misses bimodal clumping at opposite hours; U² does
+    * not): U² = Σ(uᵢ − (2i−1)/2n)² − n(ū − ½)² + 1/(12n) over sorted
+    * day fractions. One per-type sort (range-partitioned sort at
+    * scale, the order-statistics cost every EDF test pays); the sum is
+    * tie-order invariant (equal u across consecutive i contribute a
+    * fixed multiset). Fractional epoch seconds (the rayleighHours
+    * idiom). */
+  def watsonU2(s: SparkSession, dir: String): DataFrame = {
+    val u = pmod(col("ts").cast("double"), lit(86400.0)) / lit(86400.0)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("u"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), u.as("u"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("nn", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+      .withColumn("t",
+        col("u") - (lit(2.0) * col("i") - 1) / (lit(2.0) * col("nn")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("u")).as("ub"),
+        sum(col("t") * col("t")).as("ss"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        round4eps(col("ub")).as("mean_frac"),
+        round4eps(col("ss") - col("n") * (col("ub") - 0.5) *
+          (col("ub") - 0.5) + lit(1.0) / (lit(12.0) * col("n"))).as("u2_stat"))
+      .orderBy(col("event_type"))
+  }
 }

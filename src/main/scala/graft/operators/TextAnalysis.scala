@@ -2191,4 +2191,27 @@ object TextAnalysis {
         round4eps(col("n_tokens") / col("nt")).as("token_retention"))
       .orderBy(col("stage_no"))
   }
+  /** Yule's characteristic K per source — the classic repeat-rate
+    * vocabulary-richness constant (K = 10⁴·(Σ_w f_w² − N)/N², the
+    * scaled second factorial moment of word frequencies): low K means
+    * a diverse vocabulary, high K heavy word reuse — stable in N where
+    * a raw type/token ratio is not (the Heaps-law gate measures the
+    * growth CURVE; K is the point statistic corpora get compared by).
+    * One (source, word) count aggregation + one source rollup —
+    * map-side partial aggregation, fact-linear. */
+  def yuleK(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("f") * col("f")).as("m2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round4eps(lit(10000.0) *
+          (col("m2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens"))).as("yule_k"))
+      .orderBy(col("source"))
+  }
 }
