@@ -182,6 +182,9 @@ object Bench {
       "q_pipeline_thriftdbt",
       // r12: forks the multi-session isolation probe JVM (same kind)
       "q_pipeline_thriftmulti",
+      // r13: write-audit-publish fixture (builds its own warehouse,
+      // publishes one clean batch and refuses one dirty batch)
+      "q_pipeline_wap",
       // r10: the incremental-MV LIFECYCLE gate (build→delta→refresh —
       // its cost is the rebuild); the serve path is benched as
       // q_mv_inc_query against the once-per-JVM refreshed fixture

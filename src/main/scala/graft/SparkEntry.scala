@@ -626,6 +626,41 @@ object SparkEntry {
           lit(catRefused).as("cat_refused"))
         .orderBy(col("id"))
     }),
+    // Write-audit-publish as a GATE (the Iceberg WAP pattern,
+    // LakeCatalog.writeAuditPublish): a clean batch stages, audits via
+    // observed row checks + a uniqueness re-read, and publishes
+    // atomically (one snapshot, op append_wap); a dirty batch (negative
+    // id, duplicate key) is REFUSED with zero trace —
+    // the production answer to the reference's test-after-load DAG
+    // (dag.py:30-37 can only alarm; this prevents). Receipt rows
+    // hash-compared against a VALUES oracle.
+    "q_pipeline_wap" -> ((s, _) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-wap-wh").toString
+      val cat = new graft.pipeline.LakeCatalog(s, wh)
+      val checks = Seq(graft.pipeline.Checks.notNull("name"),
+        graft.pipeline.Checks.nonNegative("id"))
+      cat.createNamespace("raw")
+      val ok = cat.writeAuditPublish("raw.t",
+        Seq((1L, "a"), (2L, "b")).toDF("id", "name"), checks, Seq("id"))
+      val rowsAfterClean = cat.table("raw.t").count()
+      val bad = cat.writeAuditPublish("raw.t",
+        Seq((-3L, "c"), (4L, "d"), (4L, "e")).toDF("id", "name"),
+        checks, Seq("id"))
+      val failedChecks = bad.left.toOption.map(_.collect()
+        .count(!_.getAs[Boolean]("passed")).toLong).getOrElse(-1L)
+      val rowsAfterDirty = cat.table("raw.t").count()
+      val snaps = cat.snapshots("raw.t").collect()
+      Seq(
+        ("published_snapshot", ok.toOption.getOrElse(-1L)),
+        ("rows_after_clean", rowsAfterClean),
+        ("rows_after_dirty", rowsAfterDirty),
+        ("failed_checks", failedChecks),
+        ("n_snapshots", snaps.length.toLong),
+        ("op_is_wap", if (snaps.headOption.exists(
+          _.getAs[String]("operation") == "append_wap")) 1L else 0L)
+      ).toDF("check_name", "val")
+    }),
     // MERGE-style keyed upsert: correct one source's hour-2 row, then
     // the raw rollup must show the corrected price (replace) plus the
     // untouched rows — exercised on its OWN fixture like rollback.
@@ -2239,6 +2274,18 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT), CAST(30.0 AS DOUBLE), 'eur'),
         |  (CAST(4 AS BIGINT), CAST(40.0 AS DOUBLE), 'usd'))
         |  AS t(id, price, currency)""".stripMargin,
+    // WAP receipt: clean batch published as snapshot 1 (2 rows), dirty
+    // batch refused with 2 failing checks (non-negative, unique-id) and
+    // zero table mutation
+    "q_pipeline_wap" ->
+      """SELECT * FROM (VALUES
+        |  ('published_snapshot', CAST(1 AS BIGINT)),
+        |  ('rows_after_clean', CAST(2 AS BIGINT)),
+        |  ('rows_after_dirty', CAST(2 AS BIGINT)),
+        |  ('failed_checks', CAST(2 AS BIGINT)),
+        |  ('n_snapshots', CAST(1 AS BIGINT)),
+        |  ('op_is_wap', CAST(1 AS BIGINT)))
+        |  AS t(check_name, val)""".stripMargin,
     // the multi-session probe's receipt rows: committed-snapshot
     // visibility and per-connection temp-view isolation, verbatim
     "q_pipeline_thriftmulti" ->
