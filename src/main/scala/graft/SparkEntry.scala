@@ -338,6 +338,8 @@ object SparkEntry {
     // hash. The oracle replays the documented pixel GENERATOR in SQL,
     // so any decode defect (channel order, stride, gamma) hash-fails.
     "q_image_decode"     -> ((s, d) => Multimodal.decodeImageStats(s, d)),
+    // metadata-grain chunk walk (CRC-verified, no pixel inflated)
+    "q_png_chunks"       -> ((s, d) => Multimodal.pngChunkInventory(s, d)),
     "q_image_resize"     -> ((s, d) => Multimodal.resizeDecodedPng(s, d)),
     "q_image_ahash"      -> ((s, d) => Multimodal.imageAHash(s, d)),
     // REAL mp4 (r12): to-spec ISO-BMFF fixture (PNG-codec video track,
@@ -3660,6 +3662,19 @@ object SparkEntry {
     // b=(id*71+x*13+y*17)%256 over the (id%6+4)×(id%5+3) grid.
     // Channel sums are exact small integers, so the single double
     // division matches bit-identically.
+    // fixture-replay oracle: IHDR dims and the injected tEXt/pHYs
+    // values follow the documented generator; CRC validity and the
+    // ancillary count are structural invariants of the splice
+    "q_png_chunks" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 6 + 4 AS INTEGER) AS width,
+        |  CAST(doc_id % 5 + 3 AS INTEGER) AS height,
+        |  'doc_' || doc_id AS text_val,
+        |  CAST(2835 AS BIGINT) AS ppu_x,
+        |  CAST(2 AS BIGINT) AS n_ancillary,
+        |  true AS all_crc_ok
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin,
     "q_image_decode" ->
       """WITH imgs AS (
         |  SELECT doc_id AS media_id,

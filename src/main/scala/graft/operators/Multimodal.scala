@@ -339,6 +339,90 @@ object Multimodal {
     img
   }
 
+  /** One raw PNG chunk: 4-byte big-endian length, 4-byte type, data,
+    * CRC32 over type+data (the spec's layout, verbatim). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** The generator PNG with REAL ancillary metadata chunks spliced in
+    * before IEND: a `tEXt` ("source" → "doc_<id>") and a `pHYs`
+    * (2835 ppm square ≈ 72 dpi) — the metadata a real asset pipeline
+    * stamps at ingest. Pure byte-level splice (ImageIO cannot write
+    * ancillary chunks); the payload stays a fully valid PNG
+    * (decodePng re-reads it unchanged). */
+  private[graft] def pngBytesWithMeta(id: Long): Array[Byte] = {
+    val base = pngBytes(id, editLastRow = false)
+    val text = pngChunk("tEXt",
+      "source".getBytes("US-ASCII") ++ Array(0.toByte) ++
+        s"doc_$id".getBytes("US-ASCII"))
+    val phys = pngChunk("pHYs", be32(2835) ++ be32(2835) ++ Array(1.toByte))
+    // IEND is always the last 12 bytes (0-length chunk)
+    val cut = base.length - 12
+    base.take(cut) ++ text ++ phys ++ base.drop(cut)
+  }
+
+  /** Metadata-grain PNG CHUNK INVENTORY — parse width/height, the
+    * tEXt payload, and pixel density straight from the container
+    * bytes, CRC32-verifying EVERY chunk, without ever inflating a
+    * pixel: the asset-catalog pass a media lake runs at ingest (a
+    * full decode for metadata is the classic 100× waste at 100 TB —
+    * this walk touches only chunk headers + the KB-scale ancillary
+    * payloads). One row per image: dimensions from IHDR (not the
+    * decoder), the injected tEXt value, pHYs ppu, the ancillary chunk
+    * count, and an all-chunks-CRC-valid flag. Map-side only; the
+    * binary column never shuffles. */
+  def pngChunkInventory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val b = pngBytesWithMeta(id)
+          val bb = java.nio.ByteBuffer.wrap(b)
+          bb.position(8) // PNG signature
+          var (w, h) = (0, 0)
+          var textVal = ""
+          var ppuX = 0L
+          var nAncillary = 0L
+          var allCrcOk = true
+          var done = false
+          while (!done && bb.remaining() >= 12) {
+            val len = bb.getInt
+            val tb = new Array[Byte](4); bb.get(tb)
+            val typ = new String(tb, "US-ASCII")
+            val data = new Array[Byte](len); bb.get(data)
+            val crcStored = bb.getInt
+            val crc = new java.util.zip.CRC32()
+            crc.update(tb); crc.update(data)
+            if (crc.getValue.toInt != crcStored) allCrcOk = false
+            // ancillary = lowercase first letter (PNG spec bit 5)
+            if ((tb(0) & 0x20) != 0) nAncillary += 1
+            typ match {
+              case "IHDR" =>
+                val db = java.nio.ByteBuffer.wrap(data)
+                w = db.getInt; h = db.getInt
+              case "tEXt" =>
+                val z = data.indexOf(0.toByte)
+                textVal = new String(data, z + 1, data.length - z - 1,
+                  "US-ASCII")
+              case "pHYs" =>
+                ppuX = java.nio.ByteBuffer.wrap(data).getInt.toLong
+              case "IEND" => done = true
+              case _ => ()
+            }
+          }
+          (id, w, h, textVal, ppuX, nAncillary, allCrcOk)
+        }
+      }.toDF("media_id", "width", "height", "text_val", "ppu_x",
+        "n_ancillary", "all_crc_ok")
+      .orderBy(col("media_id"))
+  }
+
   /** REAL decode → per-channel pixel statistics: ImageIO-decode each
     * PNG payload and report the decoded dimensions and channel means.
     * Width/height come FROM THE DECODED IMAGE (not metadata), so the

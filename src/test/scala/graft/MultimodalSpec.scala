@@ -278,4 +278,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+  test("pngBytesWithMeta: splice keeps a valid decodable PNG, CRC damage is caught") {
+    val b = graft.operators.Multimodal.pngBytesWithMeta(6L)
+    // still a valid PNG after the ancillary splice: decodes to the
+    // generator dimensions (6 % 6 + 4 = 4 wide, 6 % 5 + 3 = 4 tall)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    assert(img != null && img.getWidth === 4 && img.getHeight === 4)
+    // the walker sees the injected metadata and verifies every CRC
+    val dir = TestSpark.documentsFixture(Seq(
+      (3L, "three words here", "en", "web"),
+      (6L, "six words here too yes ok", "en", "web")))
+    val rows = graft.operators.Multimodal.pngChunkInventory(TestSpark.spark, dir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("media_id")).toSeq === Seq(3L, 6L))
+    rows.foreach { r =>
+      assert(r.getAs[String]("text_val") === "doc_" + r.getAs[Long]("media_id"))
+      assert(r.getAs[Long]("ppu_x") === 2835L)
+      assert(r.getAs[Long]("n_ancillary") === 2L)
+      assert(r.getAs[Boolean]("all_crc_ok"))
+    }
+    // flip one byte inside the tEXt payload (not its stored CRC):
+    // the walker's CRC32 re-check must flag it
+    val idx = {
+      val sig = "tEXt".getBytes("US-ASCII")
+      b.indexOfSlice(sig) + 4 + 2 // a couple bytes into the key
+    }
+    val damaged = b.clone(); damaged(idx) = (damaged(idx) ^ 0x01).toByte
+    val bb = java.nio.ByteBuffer.wrap(damaged)
+    bb.position(8)
+    var anyBad = false
+    while (bb.remaining() >= 12) {
+      val len = bb.getInt
+      val tb = new Array[Byte](4); bb.get(tb)
+      val data = new Array[Byte](len); bb.get(data)
+      val stored = bb.getInt
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      if (crc.getValue.toInt != stored) anyBad = true
+    }
+    assert(anyBad)
+  }
 }
