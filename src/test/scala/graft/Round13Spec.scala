@@ -116,6 +116,55 @@ class Round13Spec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Double]("katz") > 1.0))
   }
 
+  test("bleuPairs: same pair set as ROUGE, bounded by BP and precisions") {
+    val bleu = graft.operators.TextAnalysis.bleuPairs(s, d).collect()
+    val rouge = graft.operators.TextAnalysis.rougePairs(s, d).count()
+    assert(bleu.length.toLong === rouge)
+    bleu.foreach { r =>
+      val bp = r.getAs[Double]("brevity_penalty")
+      val b2 = r.getAs[Double]("bleu2")
+      assert(bp > 0.0 && bp <= 1.0)
+      assert(b2 >= 0.0 && b2 <= bp + 1e-9)
+      val p1 = r.getAs[Double]("p1"); val p2 = r.getAs[Double]("p2")
+      // geometric-mean bound (4dp slack for the independent roundings)
+      if (b2 > 0) assert(b2 <= math.sqrt(p1 * p2) + 2e-4)
+    }
+  }
+
+  test("hoeffdingD: revenue and order count are dependent (D > 0), D bounded") {
+    val r = graft.operators.Dependence.hoeffdingD(s, d).collect().head
+    val hd = r.getAs[Double]("hoeffding_d")
+    assert(hd > 0.0)            // daily revenue tracks daily order count
+    // 1/30 is the no-ties maximum; the tied y-axis (integer counts)
+    // inflates the tie-convention D, so only the loose bound holds
+    assert(hd < 1.0)
+    assert(r.getAs[Long]("n_days") > 100L)
+  }
+
+  test("skellamFit: moment identities mu_up - mu_down = mean, sum = var") {
+    val r = graft.operators.Stats.skellamFit(s, d).collect().head
+    val mu1 = r.getAs[Double]("mu_up"); val mu2 = r.getAs[Double]("mu_down")
+    assert(math.abs(mu1 - mu2 - r.getAs[Double]("mean_delta")) < 2e-4)
+    assert(math.abs(mu1 + mu2 - r.getAs[Double]("var_delta")) < 2e-4)
+    val zf = r.getAs[Double]("obs_zero_frac")
+    assert(zf >= 0.0 && zf <= 1.0)
+    assert(r.getAs[Double]("fit_log10_p0") < 0.0) // a probability
+  }
+
+  test("centroidClassifier: synthetic clusters separate by their means") {
+    val rows = graft.operators.Similarity.centroidClassifier(s, d).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === 500L)
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n"))
+    }
+    // the label clusters overlap heavily by construction (the kNN gate
+    // scores 0.14); centroids must still beat 10-class chance clearly
+    val overall = rows.map(r => r.getAs[Long]("n_correct")).sum.toDouble / 500
+    assert(overall > 0.25)
+  }
+
   test("mmdDrift: zero for identical populations, positive under separation") {
     def vec(x: Float) = Array(x, 0f, 0f, 0f)
     val same = TestSpark.embeddingsFixture(
