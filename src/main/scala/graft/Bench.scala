@@ -183,8 +183,9 @@ object Bench {
       // r12: forks the multi-session isolation probe JVM (same kind)
       "q_pipeline_thriftmulti",
       // r13: write-audit-publish fixture (builds its own warehouse,
-      // publishes one clean batch and refuses one dirty batch)
-      "q_pipeline_wap",
+      // publishes one clean batch and refuses one dirty batch) + the
+      // CDC change-feed read of the shared gate fixture
+      "q_pipeline_wap", "q_pipeline_since",
       // r10: the incremental-MV LIFECYCLE gate (build→delta→refresh —
       // its cost is the rebuild); the serve path is benched as
       // q_mv_inc_query against the once-per-JVM refreshed fixture

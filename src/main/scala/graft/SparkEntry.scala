@@ -182,6 +182,8 @@ object SparkEntry {
     "q_covar_agg"        -> (Relational.covarAgg _),
     // rank-error gate: see Relational.approxQuantilesGate
     "q_approx_quantiles" -> ((s, d) => Relational.approxQuantilesGate(s, d)),
+    // same rank-band contract over the CUSTOM t-digest aggregate
+    "q_tdigest"          -> ((s, d) => Relational.tdigestQuantilesGate(s, d)),
     "q_user_types"       -> (Relational.userTypeProfile _),
     "q_cross_small"      -> (Relational.regionNationCross _),
     "q_promo_revenue"    -> (Joins.promoRevenue _),
@@ -530,6 +532,16 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       s.read.format("graft").load(s"$wh/raw/multi_receipt")
         .select(col("check_name"), col("val"))
+    }),
+    // CDC change feed: the table restricted to commits AFTER snapshot
+    // 1 (tableSince — the incremental-transform input); commit-pruned
+    // like tableAsOf, verified against the hour-2/3 fixture rows
+    "q_pipeline_since" -> ((s, _) => {
+      import org.apache.spark.sql.functions.col
+      gatePipeline(s).catalog.tableSince("raw.bitcoin_prices", 1L)
+        .select(col("source"), col("symbol"),
+          col("price_usd"), col("extracted_at"))
+        .orderBy(col("extracted_at"), col("source"))
     }),
     "q_pipeline_snapshots" -> ((s, _) => gatePipeline(s).snapshots
                                .select(org.apache.spark.sql.functions.col("snapshot_id"),
@@ -2280,6 +2292,17 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT), CAST(30.0 AS DOUBLE), 'eur'),
         |  (CAST(4 AS BIGINT), CAST(40.0 AS DOUBLE), 'usd'))
         |  AS t(id, price, currency)""".stripMargin,
+    // the change feed since snapshot 1 = exactly the hour-2/3 batches
+    "q_pipeline_since" ->
+      """SELECT * FROM (VALUES
+        |  ('blockchain_info', 'BTC', CAST(50117.75 AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coincap', 'BTC', CAST(50137.5 AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('coingecko', 'BTC', CAST(50125.0 AS DOUBLE), TIMESTAMP '2026-01-01 02:00:00'),
+        |  ('blockchain_info', 'BTC', CAST(50242.75 AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('coincap', 'BTC', CAST(50262.5 AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'),
+        |  ('coingecko', 'BTC', CAST(50250.0 AS DOUBLE), TIMESTAMP '2026-01-01 03:00:00'))
+        |  AS t(source, symbol, price_usd, extracted_at)
+        |ORDER BY extracted_at, source""".stripMargin,
     // WAP receipt: clean batch published as snapshot 1 (2 rows), dirty
     // batch refused with 2 failing checks (non-negative, unique-id) and
     // zero table mutation
@@ -3567,6 +3590,10 @@ object SparkEntry {
         |true AS users_err_ok, true AS types_err_ok
         |FROM events""".stripMargin,
     "q_approx_quantiles" ->
+      """SELECT event_type, COUNT(value) AS n_valued,
+        |true AS ok50, true AS ok90, true AS ok99
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_tdigest" ->
       """SELECT event_type, COUNT(value) AS n_valued,
         |true AS ok50, true AS ok90, true AS ok99
         |FROM events GROUP BY 1""".stripMargin,

@@ -418,6 +418,34 @@ object Relational {
         col("ap90").between(col("lo90"), col("hi90")).as("ok90"),
         col("ap99").between(col("lo99"), col("hi99")).as("ok99"))
 
+  /** Error-bound gate for the CUSTOM t-digest quantile sketch
+    * (functions/TDigest.scala — the engine's own mergeable quantile
+    * aggregate, vs approxQuantilesGate's builtin approx_percentile):
+    * each estimated quantile must land inside a ±0.02 rank band of
+    * the exact percentile — far looser than the sketch's theoretical
+    * q(1−q)·4/δ rank error at δ = 100, so the gate is deterministic
+    * under any partial-merge order while still failing a broken
+    * estimator. */
+  def tdigestQuantilesGate(s: SparkSession, dir: String): DataFrame = {
+    val td = graft.functions.TDigestFunctions
+      .tdigestQuantiles(col("value"), Seq(0.5, 0.9, 0.99))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("value")).as("n_valued"),
+        td.as("tq"),
+        expr("percentile(value, 0.48)").as("lo50"),
+        expr("percentile(value, 0.52)").as("hi50"),
+        expr("percentile(value, 0.88)").as("lo90"),
+        expr("percentile(value, 0.92)").as("hi90"),
+        expr("percentile(value, 0.97)").as("lo99"),
+        expr("percentile(value, 1.0)").as("hi99"))
+      .select(col("event_type"), col("n_valued"),
+        element_at(col("tq"), 1).between(col("lo50"), col("hi50")).as("ok50"),
+        element_at(col("tq"), 2).between(col("lo90"), col("hi90")).as("ok90"),
+        element_at(col("tq"), 3).between(col("lo99"), col("hi99")).as("ok99"))
+  }
+
   /** Collecting aggregates: per-user distinct event types as a SORTED
     * csv (collect_set is unordered — sort before joining so output is
     * deterministic and portable), plus min_by (the value at the minimal

@@ -165,6 +165,33 @@ class Round13Spec extends AnyFunSuite {
     assert(overall > 0.25)
   }
 
+  test("tdigestQuantiles: exact median on uncompressed data, tight ranks at scale") {
+    val sp = s
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // 1..101 — far below the compression budget: every point its own
+    // centroid, so the midpoint-rule estimate is the exact median
+    val tiny = (1 to 101).map(_.toDouble).toDF("v")
+    val q = tiny.agg(graft.functions.TDigestFunctions
+        .tdigestQuantiles(col("v"), Seq(0.5)).as("tq"))
+      .collect().head.getSeq[Double](0)
+    assert(math.abs(q.head - 51.0) < 1e-9)
+    // 100k skewed values across partitions: rank error of the p50/p99
+    // estimates must stay inside the sketch's band
+    val big = sp.range(1, 100001).select(
+      (col("id") % 1000 * col("id") % 997).cast("double").as("v"))
+      .repartition(8)
+    val r = big.agg(graft.functions.TDigestFunctions
+        .tdigestQuantiles(col("v"), Seq(0.5, 0.99)).as("tq"),
+      expr("percentile(v, 0.47)").as("lo50"),
+      expr("percentile(v, 0.53)").as("hi50"),
+      expr("percentile(v, 0.985)").as("lo99"),
+      expr("percentile(v, 0.995)").as("hi99")).collect().head
+    val tq = r.getSeq[Double](r.fieldIndex("tq"))
+    assert(tq(0) >= r.getAs[Double]("lo50") && tq(0) <= r.getAs[Double]("hi50"))
+    assert(tq(1) >= r.getAs[Double]("lo99") && tq(1) <= r.getAs[Double]("hi99"))
+  }
+
   test("mmdDrift: zero for identical populations, positive under separation") {
     def vec(x: Float) = Array(x, 0f, 0f, 0f)
     val same = TestSpark.embeddingsFixture(
