@@ -585,7 +585,12 @@ object ScaleSmoke {
     run("watsonU2")(operators.Stats.watsonU2(spark, dir))
     run("bwsTest")(operators.Behavior.bwsTest(spark, dir))
     run("katzCentrality")(operators.Graph.katzCentrality(spark, dir))
-    run("mmdDrift")(operators.Similarity.mmdDrift(spark, dir))
+    // mmdDrift is deliberately NOT here: its |A|·|B| kernel matrix is
+    // sample-bounded by doctrine (the estimator's variance, not Spark,
+    // caps the input), and run()'s count() would prune the kernel
+    // expressions anyway — a replicated-corpus row would measure a
+    // row-counting plan, not the operator. The sf0.1 bench (full
+    // evaluation, 1.5 s over 2 M pairs) is its measured anchor.
 
     // r10: V2 mount snapshot pruning at scale (round-9 verdict demand
     // #7) — a warehouse holding the whole replicated events table
