@@ -342,6 +342,8 @@ object SparkEntry {
     "q_image_decode"     -> ((s, d) => Multimodal.decodeImageStats(s, d)),
     // metadata-grain chunk walk (CRC-verified, no pixel inflated)
     "q_png_chunks"       -> ((s, d) => Multimodal.pngChunkInventory(s, d)),
+    // frame-diff cut detection over the real mp4 decode
+    "q_media_shots"      -> ((s, d) => Multimodal.mp4ShotDetection(s, d)),
     "q_image_resize"     -> ((s, d) => Multimodal.resizeDecodedPng(s, d)),
     "q_image_ahash"      -> ((s, d) => Multimodal.imageAHash(s, d)),
     // REAL mp4 (r12): to-spec ISO-BMFF fixture (PNG-codec video track,
@@ -3796,6 +3798,32 @@ object SparkEntry {
         |ROUND(AVG(CAST((media_id*53 + f*23 + x*5 + y*3 + x*y*7) % 256 AS DOUBLE)), 4) AS g_mean,
         |ROUND(AVG(CAST((media_id*71 + f*29 + x*13 + y*17 + x*y*11) % 256 AS DOUBLE)), 4) AS b_mean
         |FROM px GROUP BY media_id, f""".stripMargin,
+    // frame-transition SAD replayed from the documented frame pixel
+    // generator (|Δ| per channel between f and f−1, exact integers)
+    "q_media_shots" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 + 2 AS nf,
+        |         CAST(doc_id % 5 + 4 AS INT) AS w,
+        |         CAST(doc_id % 4 + 3 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |px AS (
+        |  SELECT media_id, f, w, h, x, y,
+        |    ABS(CAST((media_id*37 + f*19 + x*11 + y*7 + x*y*3) % 256 AS BIGINT)
+        |      - CAST((media_id*37 + (f-1)*19 + x*11 + y*7 + x*y*3) % 256 AS BIGINT))
+        |    + ABS(CAST((media_id*53 + f*23 + x*5 + y*3 + x*y*7) % 256 AS BIGINT)
+        |      - CAST((media_id*53 + (f-1)*23 + x*5 + y*3 + x*y*7) % 256 AS BIGINT))
+        |    + ABS(CAST((media_id*71 + f*29 + x*13 + y*17 + x*y*11) % 256 AS BIGINT)
+        |      - CAST((media_id*71 + (f-1)*29 + x*13 + y*17 + x*y*11) % 256 AS BIGINT))
+        |      AS sad
+        |  FROM vids, generate_series(1, 3) gf(f),
+        |       generate_series(0, 7) gx(x), generate_series(0, 5) gy(y)
+        |  WHERE f < nf AND x < w AND y < h),
+        |m AS (SELECT media_id, CAST(f AS INT) AS frame_no,
+        |    floor(SUM(sad)/(3.0*COUNT(*))*10000 + 0.5 + 0.000001)/10000
+        |      AS mad
+        |  FROM px GROUP BY 1, 2)
+        |SELECT media_id, frame_no, mad, mad > 60.0 AS is_cut
+        |FROM m ORDER BY media_id, frame_no""".stripMargin,
     "q_page_trend" ->
       """WITH cells AS (
         |  SELECT r_name AS region,

@@ -1026,4 +1026,57 @@ object Multimodal {
       }.toDF("media_id", "frame_no", "width", "height",
         "r_mean", "g_mean", "b_mean")
   }
+
+  /** Shot/scene detection over the REAL mp4 decode: mean absolute
+    * per-pixel channel difference between consecutive decoded frames
+    * (the classic cut detector a frame-sampling pipeline runs so it
+    * samples per SHOT, not per uniform stride — uniform sampling
+    * over-represents long static scenes). One row per frame
+    * transition: mad = Σ(|Δr|+|Δg|+|Δb|) / (3·pixels), cut flag at
+    * `threshold`. Frames decode sequentially inside mapPartitions
+    * (the previous frame's pixel array is per-video kernel state) —
+    * linear map-side codec work, zero shuffle, like every media
+    * kernel here. */
+  def mp4ShotDetection(s: SparkSession, dir: String,
+      threshold: Double = 60.0): DataFrame = {
+    import s.implicits._
+    mp4VideoTable(s, dir)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, content) =>
+          val m = parseMp4(content)
+          var off = m.firstChunkOff
+          var prev: Array[Int] = null
+          m.sampleSizes.zipWithIndex.flatMap { case (sz, f) =>
+            val img = decodePng(
+              java.util.Arrays.copyOfRange(content, off, off + sz))
+            off += sz
+            val (w, h) = (img.getWidth, img.getHeight)
+            val px = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { px(y * w + x) = img.getRGB(x, y); x += 1 }
+              y += 1
+            }
+            val out = if (prev == null) None else {
+              var sad = 0L
+              var i = 0
+              while (i < px.length) {
+                val a = px(i); val b = prev(i)
+                sad += math.abs(((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) +
+                  math.abs(((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) +
+                  math.abs((a & 0xFF) - (b & 0xFF))
+                i += 1
+              }
+              val mad = q4(sad.toDouble / (3.0 * px.length))
+              Some((id, f, mad, mad > threshold))
+            }
+            prev = px
+            out
+          }
+        }
+      }.toDF("media_id", "frame_no", "mad", "is_cut")
+      .orderBy(col("media_id"), col("frame_no"))
+  }
 }

@@ -317,4 +317,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(anyBad)
   }
+  test("mp4ShotDetection: transitions start at frame 1, flag matches threshold") {
+    val rows = graft.operators.Multimodal
+      .mp4ShotDetection(TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("frame_no") >= 1) // frame 0 has no predecessor
+      val mad = r.getAs[Double]("mad")
+      assert(mad >= 0.0 && mad <= 255.0)
+      assert(r.getAs[Boolean]("is_cut") === (mad > 60.0))
+    }
+    // per video: transitions = frames - 1 (id%3+2 frames for id%3==2)
+    val perVid = rows.groupBy(_.getAs[Long]("media_id")).view.mapValues(_.length)
+    perVid.foreach { case (id, n) => assert(n === (id % 3 + 2 - 1).toInt) }
+  }
 }
