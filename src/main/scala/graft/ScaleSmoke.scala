@@ -579,6 +579,8 @@ object ScaleSmoke {
     run("filterFunnel")(operators.TextAnalysis.filterFunnel(spark, dir))
     run("mp4Meta")(operators.Multimodal.mp4ContainerMeta(spark, dir))
     run("mp4Frames")(operators.Multimodal.mp4FrameStats(spark, dir))
+    run("mp4Shots")(operators.Multimodal.mp4ShotDetection(spark, dir))
+    run("pngChunks")(operators.Multimodal.pngChunkInventory(spark, dir))
     run("decontamSpans")(operators.TextAnalysis.decontamSpans(
       spark, dir, minSpanTokens = 10))
     run("sampleEntropy")(operators.Stats.sampleEntropy(spark, dir))
