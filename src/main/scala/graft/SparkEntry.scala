@@ -344,6 +344,8 @@ object SparkEntry {
     "q_png_chunks"       -> ((s, d) => Multimodal.pngChunkInventory(s, d)),
     // frame-diff cut detection over the real mp4 decode
     "q_media_shots"      -> ((s, d) => Multimodal.mp4ShotDetection(s, d)),
+    // RIFF chunk walk (fmt/data/LIST-INFO) — no sample decoded
+    "q_wav_chunks"       -> ((s, d) => Multimodal.wavChunkInventory(s, d)),
     "q_image_resize"     -> ((s, d) => Multimodal.resizeDecodedPng(s, d)),
     "q_image_ahash"      -> ((s, d) => Multimodal.imageAHash(s, d)),
     // REAL mp4 (r12): to-spec ISO-BMFF fixture (PNG-codec video track,
@@ -3798,6 +3800,18 @@ object SparkEntry {
         |ROUND(AVG(CAST((media_id*53 + f*23 + x*5 + y*3 + x*y*7) % 256 AS DOUBLE)), 4) AS g_mean,
         |ROUND(AVG(CAST((media_id*71 + f*29 + x*13 + y*17 + x*y*11) % 256 AS DOUBLE)), 4) AS b_mean
         |FROM px GROUP BY media_id, f""".stripMargin,
+    // fixture-replay oracle: fmt fields and the data-chunk sample
+    // count follow the documented generator; the INAM tag follows the
+    // splice; 3 top-level chunks (fmt, data, LIST)
+    "q_wav_chunks" ->
+      """SELECT doc_id AS media_id, CAST(3 AS BIGINT) AS n_chunks,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(doc_id % 50 + 30 AS BIGINT) AS n_samples,
+        |  'doc_' || doc_id AS inam
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY media_id""".stripMargin,
     // frame-transition SAD replayed from the documented frame pixel
     // generator (|Δ| per channel between f and f−1, exact integers)
     "q_media_shots" ->

@@ -697,6 +697,92 @@ object Multimodal {
       }.toDF("media_id", "kind", "format", "content")
   }
 
+  @inline private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** The generator WAV with a REAL `LIST`/`INFO` metadata chunk
+    * appended (INAM = "doc_<id>", zero-terminated, even-padded — the
+    * RIFF tagging convention): AudioSystem cannot write INFO chunks,
+    * so the splice is byte-level, with the RIFF master size patched.
+    * The payload stays a fully valid WAV (decodeWav ignores the
+    * trailing chunk). */
+  private[graft] def wavBytesWithMeta(id: Long): Array[Byte] = {
+    val n = (id % 50 + 30).toInt
+    val base = wavBytes(Array.tabulate(n)(wavSample(id, _)))
+    val name = s"doc_$id".getBytes("US-ASCII") :+ 0.toByte
+    val padded = if (name.length % 2 == 1) name :+ 0.toByte else name
+    val inam = "INAM".getBytes("US-ASCII") ++ le32(name.length) ++ padded
+    val listData = "INFO".getBytes("US-ASCII") ++ inam
+    val list = "LIST".getBytes("US-ASCII") ++ le32(listData.length) ++ listData
+    val out = base ++ list
+    val riffSz = le32(out.length - 8) // patch the RIFF master size
+    out(4) = riffSz(0); out(5) = riffSz(1); out(6) = riffSz(2); out(7) = riffSz(3)
+    out
+  }
+
+  /** Metadata-grain RIFF CHUNK INVENTORY — the WAV face of the
+    * container-walk family (pngChunkInventory / mp4ContainerMeta):
+    * fmt fields (channels, rate, bits), sample count from the `data`
+    * chunk SIZE (no sample decoded), and the spliced LIST/INFO INAM
+    * tag, all straight from chunk headers. Map-side only; the binary
+    * column never shuffles; at 100 TB this is the catalog pass that
+    * replaces a full decode for ingest metadata. */
+  def wavChunkInventory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val b = wavBytesWithMeta(id)
+          def u8(i: Int) = b(i) & 0xff
+          def rdLe32(i: Int) =
+            u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+          def rdLe16(i: Int) = u8(i) | (u8(i + 1) << 8)
+          def fourcc(i: Int) = new String(b, i, 4, "US-ASCII")
+          require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE",
+            "not a RIFF/WAVE payload")
+          var pos = 12
+          var nChunks = 0L
+          var channels = 0; var rate = 0; var bits = 0
+          var nSamples = 0L
+          var inam = ""
+          while (pos + 8 <= b.length) {
+            val cid = fourcc(pos)
+            val csz = rdLe32(pos + 4)
+            nChunks += 1
+            cid match {
+              case "fmt " =>
+                channels = rdLe16(pos + 10)
+                rate = rdLe32(pos + 12)
+                bits = rdLe16(pos + 22)
+              case "data" =>
+                nSamples = csz / 2L // 16-bit mono
+              case "LIST" if fourcc(pos + 8) == "INFO" =>
+                var p = pos + 12
+                while (p + 8 <= pos + 8 + csz) {
+                  val sid = fourcc(p)
+                  val ssz = rdLe32(p + 4)
+                  if (sid == "INAM") {
+                    val z = (0 until ssz)
+                      .indexWhere(k => b(p + 8 + k) == 0)
+                    inam = new String(b, p + 8,
+                      if (z >= 0) z else ssz, "US-ASCII")
+                  }
+                  p += 8 + ssz + (ssz & 1)
+                }
+              case _ => ()
+            }
+            pos += 8 + csz + (csz & 1)
+          }
+          (id, nChunks, channels, rate, bits, nSamples, inam)
+        }
+      }.toDF("media_id", "n_chunks", "channels", "sample_rate",
+        "bits", "n_samples", "inam")
+      .orderBy(col("media_id"))
+  }
+
   /** REAL parse + decode: RIFF/WAVE container → 16-bit LE samples. */
   private def decodeWav(content: Array[Byte]): (Float, Array[Int]) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(

@@ -331,4 +331,27 @@ class MultimodalSpec extends AnyFunSuite {
     val perVid = rows.groupBy(_.getAs[Long]("media_id")).view.mapValues(_.length)
     perVid.foreach { case (id, n) => assert(n === (id % 3 + 2 - 1).toInt) }
   }
+  test("wavBytesWithMeta: splice keeps a decodable WAV, walker reads the tag") {
+    val b = graft.operators.Multimodal.wavBytesWithMeta(7L)
+    // still decodable by the JDK codec after the LIST/INFO splice
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    assert(ais.getFormat.getSampleRate === 8000f)
+    assert(ais.getFrameLength === (7 % 50 + 30))
+    val dir = TestSpark.documentsFixture(Seq(
+      (1L, "one words here", "en", "web"),
+      (7L, "seven words here too", "en", "web")))
+    val rows = graft.operators.Multimodal
+      .wavChunkInventory(TestSpark.spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("media_id")).toSeq === Seq(1L, 7L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") === 3L)
+      assert(r.getAs[Int]("channels") === 1)
+      assert(r.getAs[Int]("sample_rate") === 8000)
+      assert(r.getAs[Int]("bits") === 16)
+      assert(r.getAs[Long]("n_samples") ===
+        r.getAs[Long]("media_id") % 50 + 30)
+      assert(r.getAs[String]("inam") === "doc_" + r.getAs[Long]("media_id"))
+    }
+  }
 }
