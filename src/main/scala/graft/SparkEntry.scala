@@ -375,6 +375,8 @@ object SparkEntry {
     "q_hoeffding_d"      -> ((s, d) => graft.operators.Dependence.hoeffdingD(s, d)),
     "q_skellam_fit"      -> ((s, d) => Stats.skellamFit(s, d)),
     "q_centroid_class"   -> ((s, d) => Similarity.centroidClassifier(s, d)),
+    "q_cliffs_delta"     -> ((s, d) => graft.operators.Behavior.cliffsDelta(s, d)),
+    "q_seasonal_kendall" -> ((s, d) => Stats.seasonalKendall(s, d)),
     "q_katz_centrality"  -> ((s, d) => graft.operators.Graph.katzCentrality(s, d)),
     "q_mmd_drift"        -> ((s, d) => Similarity.mmdDrift(s, d)),
     "q_brunner_munzel"   -> ((s, d) => graft.operators.Behavior.brunnerMunzel(s, d)),
@@ -4118,6 +4120,58 @@ object SparkEntry {
         |  floor(by*10000 + 0.5 + 0.000001)/10000 AS b_y,
         |  floor((bx + by)/2*10000 + 0.5 + 0.000001)/10000 AS bws_stat
         |FROM piv""".stripMargin,
+    "q_cliffs_delta" ->
+      """WITH g AS (SELECT value,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |b AS (SELECT n1, n2,
+        |    COALESCE(SUM(n2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum2,
+        |    COALESCE(SUM(n1) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum1
+        |  FROM g),
+        |agg AS (SELECT SUM(n1) AS m1, SUM(n2) AS m2,
+        |    SUM(n1*cum2) AS gt, SUM(n2*cum1) AS lt FROM b),
+        |d AS (SELECT m1, m2, gt, lt,
+        |    (gt - lt)*1.0/(m1*m2) AS delta FROM agg)
+        |SELECT CAST(m1 AS BIGINT) AS n1, CAST(m2 AS BIGINT) AS n2,
+        |  CAST(gt AS BIGINT) AS pairs_gt, CAST(lt AS BIGINT) AS pairs_lt,
+        |  floor(delta*10000 + 0.5 + 0.000001)/10000 AS cliffs_delta,
+        |  CASE WHEN ABS(delta) < 0.147 THEN 'negligible'
+        |    WHEN ABS(delta) < 0.33 THEN 'small'
+        |    WHEN ABS(delta) < 0.474 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM d""".stripMargin,
+    "q_seasonal_kendall" ->
+      """WITH cells AS (SELECT EXTRACT(year FROM o_orderdate) AS y,
+        |    EXTRACT(month FROM o_orderdate) AS m,
+        |    CAST(floor(SUM(o_totalprice)/1e6*10000 + 0.5 + 0.000001)
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |sm AS (SELECT a.m,
+        |    CAST(SUM(CASE WHEN b.v > a.v THEN 1
+        |      WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS sm
+        |  FROM cells a JOIN cells b ON a.m = b.m AND a.y < b.y
+        |  GROUP BY 1),
+        |ties AS (SELECT m, COUNT(*) AS nv, SUM(t) AS nm,
+        |    SUM(t*(t - 1)*(2*t + 5)) AS tadj
+        |  FROM (SELECT m, v, COUNT(*) AS t FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |perm AS (SELECT sm.m, sm.sm, ties.nm,
+        |    (ties.nm*(ties.nm - 1)*(2*ties.nm + 5) - ties.tadj)
+        |      /18.0 AS varm
+        |  FROM sm JOIN ties ON sm.m = ties.m),
+        |agg AS (SELECT COUNT(*) AS n_seasons,
+        |    CAST(SUM(sm) AS BIGINT) AS s_stat,
+        |    SUM(varm) AS variance FROM perm)
+        |SELECT CAST(n_seasons AS BIGINT) AS n_seasons, s_stat,
+        |  floor(variance*10000 + 0.5 + 0.000001)/10000 AS variance,
+        |  floor((s_stat - CASE WHEN s_stat > 0 THEN 1.0
+        |      WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END)
+        |    /sqrt(variance)*10000 + 0.5 + 0.000001)/10000 AS z_stat
+        |FROM agg""".stripMargin,
     "q_yule_k" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

@@ -1894,6 +1894,42 @@ object Behavior {
         (lit(2.0) * (lit(1.0) - rho * rho))).as("c_stat"))
   }
 
+  /** Cliff's delta — the nonparametric effect SIZE the two-sample
+    * tests in this family report significance without:
+    * δ = (#{a > b} − #{a < b}) / (n₁n₂) ∈ [−1, 1], with the standard
+    * |δ| magnitude bins (negligible < .147 ≤ small < .33 ≤ medium
+    * < .474 ≤ large — Romano et al.). Dominance counts come EXACTLY
+    * from the value-collapsed frame (one prefix window: pairs above =
+    * n1_v · cum-n2-below, ties contribute zero) — never a pair
+    * enumeration. */
+  def cliffsDelta(s: SparkSession, dir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("n2"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = g
+      .withColumn("cum2", coalesce(sum(col("n2")).over(w), lit(0L)))
+      .withColumn("cum1", coalesce(sum(col("n1")).over(w), lit(0L)))
+    val agg = blocks.agg(
+      sum(col("n1")).as("m1"), sum(col("n2")).as("m2"),
+      sum(col("n1") * col("cum2")).as("gt"), // a strictly above b
+      sum(col("n2") * col("cum1")).as("lt")) // a strictly below b
+    val delta = (col("gt") - col("lt")).cast("double") /
+      (col("m1") * col("m2")).cast("double")
+    agg.select(col("m1").as("n1"), col("m2").as("n2"),
+      col("gt").as("pairs_gt"), col("lt").as("pairs_lt"),
+      round4eps(delta).as("cliffs_delta"),
+      when(abs(delta) < 0.147, "negligible")
+        .when(abs(delta) < 0.33, "small")
+        .when(abs(delta) < 0.474, "medium")
+        .otherwise("large").as("magnitude"))
+  }
+
   /** Baumgartner-Weiß-Schindler (BWS, 1998) two-sample test: a
     * weighted Cramér-von-Mises on pooled ranks, B = (B_X + B_Y)/2 with
     * B_X = n⁻¹ Σᵢ (Rᵢ − (m+n)i/n)² / [ (i/(n+1))(1−i/(n+1)) ·

@@ -5199,6 +5199,48 @@ object Stats {
           col("b_count")))).as("sampen"))
   }
 
+  /** Seasonal Mann-Kendall (Hirsch & Slack 1984): the monotone-trend
+    * test immune to SEASONALITY — the plain Mann-Kendall gate compares
+    * every pair of days, so a strong weekly/annual cycle masquerades
+    * as (or masks) a trend; the seasonal variant compares each
+    * calendar month ONLY with the same month of other years,
+    * S = Σₘ Sₘ, Var = Σₘ nₘ(nₘ−1)(2nₘ+5)/18 (tie-corrected),
+    * Z = (S − sgn S)/√Var. Monthly cells are integral 4dp revenue
+    * units, so every sign and tie is engine-exact; the cross-year
+    * pair frame is calendar-bounded (12 × C(years, 2) rows). */
+  def seasonalKendall(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(round(round4eps(sum(col("o_totalprice")) / lit(1e6)) *
+        10000).cast("long").as("v"))
+      .persistMemDisk
+    val a = cells.select(col("m"), col("y").as("ya"), col("v").as("va"))
+    val b = cells.select(col("m"), col("y").as("yb"), col("v").as("vb"))
+    val sM = a.join(b, Seq("m")).filter(col("ya") < col("yb"))
+      .groupBy(col("m"))
+      .agg(sum(signum((col("vb") - col("va")).cast("double")))
+        .cast("long").as("sm"))
+    val tiesM = cells.groupBy(col("m"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("nv"),
+        sum(col("t")).as("nm"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tadj"))
+    val perM = sM.join(tiesM, Seq("m"))
+      .select(col("m"), col("sm"), col("nm"),
+        ((col("nm") * (col("nm") - 1) * (lit(2) * col("nm") + 5) - col("tadj"))
+          .cast("double") / 18.0).as("varm"))
+    perM.agg(count(lit(1)).as("n_seasons"),
+      sum(col("sm")).as("s_stat"),
+      sum(col("varm")).as("variance"))
+      .select(col("n_seasons"), col("s_stat"),
+        round4eps(col("variance")).as("variance"),
+        round4eps((col("s_stat") -
+          signum(col("s_stat").cast("double"))).cast("double") /
+          sqrt(col("variance"))).as("z_stat"))
+  }
+
   /** Skellam fit of day-over-day order-count CHANGES: Δₜ = nₜ − nₜ₋₁
     * is the difference of two Poisson-ish arrival streams, so the
     * moment fit μ̂₁ = (s² + Δ̄)/2, μ̂₂ = (s² − Δ̄)/2 recovers the

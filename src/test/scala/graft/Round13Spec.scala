@@ -165,6 +165,40 @@ class Round13Spec extends AnyFunSuite {
     assert(overall > 0.25)
   }
 
+  test("cliffsDelta: full separation scores ±1, identical samples 0") {
+    val up = TestSpark.eventsFixture(
+      (1 to 5).map(i => (i.toLong, 1L, "click",
+        java.lang.Double.valueOf(i.toDouble), 1000L + i)) ++
+      (6 to 10).map(i => (i.toLong, 1L, "purchase",
+        java.lang.Double.valueOf(100.0 + i), 1000L + i)))
+    val r = graft.operators.Behavior.cliffsDelta(s, up).collect().head
+    assert(r.getAs[Double]("cliffs_delta") === 1.0)
+    assert(r.getAs[String]("magnitude") === "large")
+    val same = TestSpark.eventsFixture(
+      (1 to 5).map(i => (i.toLong, 1L, "click",
+        java.lang.Double.valueOf(i.toDouble), 1000L + i)) ++
+      (6 to 10).map(i => (i.toLong, 1L, "purchase",
+        java.lang.Double.valueOf((i - 5).toDouble), 1000L + i)))
+    val r0 = graft.operators.Behavior.cliffsDelta(s, same).collect().head
+    assert(r0.getAs[Double]("cliffs_delta") === 0.0)
+    assert(r0.getAs[String]("magnitude") === "negligible")
+  }
+
+  test("seasonalKendall: exact S and variance on a crafted monotone panel") {
+    // 3 years x 12 months, revenue strictly increasing by year within
+    // every month (y-2019 orders per cell at fixed price): S_m = 3 per
+    // month, var_m = 3*2*11/18, no ties
+    val rows = for {
+      y <- 2020 to 2022; m <- 1 to 12; k <- 1 to (y - 2019)
+    } yield (1L, f"$y-$m%02d-15")
+    val dir = TestSpark.ordersFixture(rows)
+    val r = graft.operators.Stats.seasonalKendall(s, dir).collect().head
+    assert(r.getAs[Long]("n_seasons") === 12L)
+    assert(r.getAs[Long]("s_stat") === 36L)
+    assert(math.abs(r.getAs[Double]("variance") - 12 * 3 * 2 * 11 / 18.0) < 1e-6)
+    assert(r.getAs[Double]("z_stat") > 5.0)
+  }
+
   test("tdigestQuantiles: exact median on uncompressed data, tight ranks at scale") {
     val sp = s
     import sp.implicits._
