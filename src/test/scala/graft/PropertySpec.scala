@@ -236,4 +236,20 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+  test("VecL2Sq is BIT-identical to the aggregate(zip_with) HOF fold it replaced") {
+    import org.apache.spark.sql.functions._
+    val gen: Gen[Seq[Double]] =
+      Gen.listOfN(7, Gen.choose(-1e6, 1e6)).map(_.toSeq)
+    val rows = sample(Gen.zip(gen, gen), 200, 20260816L)
+    val df = rows.toDF("a", "b")
+      .withColumn("kernel",
+        graft.functions.VectorFunctions.l2Sq(col("a"), col("b")))
+      .withColumn("hof", aggregate(
+        zip_with(col("a"), col("b"), (p, q) => (p - q) * (p - q)),
+        lit(0.0), (acc, v) => acc + v))
+    // exact equality, not tolerance: the matrix-profile hash-parity
+    // claim rests on the kernel reproducing the HOF's fold order
+    val bad = df.filter(col("kernel") =!= col("hof")).count()
+    assert(bad === 0L)
+  }
 }
