@@ -377,6 +377,7 @@ object SparkEntry {
     "q_centroid_class"   -> ((s, d) => Similarity.centroidClassifier(s, d)),
     "q_cliffs_delta"     -> ((s, d) => graft.operators.Behavior.cliffsDelta(s, d)),
     "q_seasonal_kendall" -> ((s, d) => Stats.seasonalKendall(s, d)),
+    "q_seasonal_sen"     -> ((s, d) => Stats.seasonalSenSlope(s, d)),
     "q_katz_centrality"  -> ((s, d) => graft.operators.Graph.katzCentrality(s, d)),
     "q_mmd_drift"        -> ((s, d) => Similarity.mmdDrift(s, d)),
     "q_brunner_munzel"   -> ((s, d) => graft.operators.Behavior.brunnerMunzel(s, d)),
@@ -4172,6 +4173,28 @@ object SparkEntry {
         |      WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END)
         |    /sqrt(variance)*10000 + 0.5 + 0.000001)/10000 AS z_stat
         |FROM agg""".stripMargin,
+    "q_seasonal_sen" ->
+      """WITH cells AS (SELECT EXTRACT(year FROM o_orderdate) AS y,
+        |    EXTRACT(month FROM o_orderdate) AS m,
+        |    floor(SUM(o_totalprice)/1e6*10000 + 0.5 + 0.000001)/10000
+        |      AS v
+        |  FROM orders GROUP BY 1, 2),
+        |slopes AS (SELECT a.m,
+        |    floor((b.v - a.v)/(b.y - a.y)*10000 + 0.5 + 0.000001)/10000
+        |      AS sl
+        |  FROM cells a JOIN cells b ON a.m = b.m AND a.y < b.y),
+        |ov AS (SELECT sl, ROW_NUMBER() OVER (ORDER BY sl) AS rn,
+        |    COUNT(*) OVER () AS nn FROM slopes),
+        |med AS (SELECT CAST(nn AS BIGINT) AS n_slopes, sl AS sen_slope
+        |  FROM ov WHERE rn = (nn + 1) // 2),
+        |pm AS (SELECT m, sl, ROW_NUMBER() OVER (PARTITION BY m
+        |      ORDER BY sl) AS rn,
+        |    COUNT(*) OVER (PARTITION BY m) AS nn FROM slopes),
+        |pmed AS (SELECT MIN(sl) AS min_month_slope,
+        |    MAX(sl) AS max_month_slope
+        |  FROM pm WHERE rn = (nn + 1) // 2)
+        |SELECT n_slopes, sen_slope, min_month_slope, max_month_slope
+        |FROM med, pmed""".stripMargin,
     "q_yule_k" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

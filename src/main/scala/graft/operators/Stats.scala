@@ -5241,6 +5241,45 @@ object Stats {
           sqrt(col("variance"))).as("z_stat"))
   }
 
+  /** Seasonal Sen slope — [[seasonalKendall]]'s magnitude companion
+    * (Hirsch et al.): the MEDIAN of all within-month cross-year slopes
+    * (v_y₂ − v_y₁)/(y₂ − y₁), in $M 4dp-revenue units per year —
+    * robust to outlier years AND immune to the annual cycle (every
+    * slope compares like months). Exact lower-median convention over
+    * the calendar-bounded slope frame (12 × C(years, 2) rows), the
+    * q_exact_median discipline. Also reports the min/max monthly
+    * median slope — which seasons drive the trend. */
+  def seasonalSenSlope(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("v"))
+      .persistMemDisk
+    val a = cells.select(col("m"), col("y").as("ya"), col("v").as("va"))
+    val b = cells.select(col("m"), col("y").as("yb"), col("v").as("vb"))
+    val slopes = a.join(b, Seq("m")).filter(col("ya") < col("yb"))
+      .select(col("m"),
+        round4eps((col("vb") - col("va")) / (col("yb") - col("ya")))
+          .as("sl"))
+      .persistMemDisk
+    // exact lower median: the element at rank ceil(n/2) ascending
+    def lowerMedian(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("sl"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1))
+          .over(Window.partitionBy(keys.map(col): _*)))
+        .filter(col("rn") === ((col("nn") + 1) / 2).cast("int"))
+    }
+    val overall = lowerMedian(slopes.withColumn("g", lit(1)), Seq("g"))
+      .select(col("nn").as("n_slopes"), col("sl").as("sen_slope"))
+    val perMonth = lowerMedian(slopes, Seq("m"))
+      .agg(min(col("sl")).as("min_month_slope"),
+        max(col("sl")).as("max_month_slope"))
+    overall.crossJoin(perMonth)
+      .select(col("n_slopes"), col("sen_slope"),
+        col("min_month_slope"), col("max_month_slope"))
+  }
+
   /** Skellam fit of day-over-day order-count CHANGES: Δₜ = nₜ − nₜ₋₁
     * is the difference of two Poisson-ish arrival streams, so the
     * moment fit μ̂₁ = (s² + Δ̄)/2, μ̂₂ = (s² − Δ̄)/2 recovers the

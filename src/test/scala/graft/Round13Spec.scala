@@ -199,6 +199,22 @@ class Round13Spec extends AnyFunSuite {
     assert(r.getAs[Double]("z_stat") > 5.0)
   }
 
+  test("seasonalSenSlope: exact median slope on the crafted monotone panel") {
+    // same panel as the Kendall spec: revenue per (y,m) cell is
+    // price(100)·(y−2019)/1e6 $M, so every within-month slope is one
+    // of 0.0001 (1-year gaps, 24 of them at 4dp = 100/1e6) or 0.0001
+    // (2-year gap: 200/2 = 100) — all slopes equal, median exact
+    val rows = for {
+      y <- 2020 to 2022; m <- 1 to 12; k <- 1 to (y - 2019)
+    } yield (1L, f"$y-$m%02d-15")
+    val dir = TestSpark.ordersFixture(rows)
+    val r = graft.operators.Stats.seasonalSenSlope(s, dir).collect().head
+    assert(r.getAs[Long]("n_slopes") === 36L) // 12 months x C(3,2)
+    assert(r.getAs[Double]("sen_slope") === 0.0001)
+    assert(r.getAs[Double]("min_month_slope") === 0.0001)
+    assert(r.getAs[Double]("max_month_slope") === 0.0001)
+  }
+
   test("tdigestQuantiles: exact median on uncompressed data, tight ranks at scale") {
     val sp = s
     import sp.implicits._
