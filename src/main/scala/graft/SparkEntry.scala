@@ -40,8 +40,47 @@ object SparkEntry {
         p.runOnceIncremental(Some(java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")))
       }
       graft.pipeline.Transform.run(s2, p.catalog)
+      deleteOnExit(wh)
       p
     })
+
+  /** Session-lifetime fixture warehouses (gatePipeline, the forked
+    * thrift probes) are deleted when the JVM exits — they're read
+    * lazily for the whole run, so an eager delete would break later
+    * gate queries. */
+  private def deleteOnExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteTreeQuietly(java.nio.file.Paths.get(dir))
+      catch { case _: Throwable => () }))
+
+  private def deleteTreeQuietly(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val st = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally st.close()
+    }
+
+  /** Per-invocation fixture scope: build a throwaway warehouse, run
+    * `body`, MATERIALIZE the bounded receipt frame (every caller
+    * returns a fixture-sized result — tens of rows), then delete the
+    * warehouse in finally so repeated verify/bench runs don't
+    * accumulate orphan temp directories (r13 ADVICE). Materializing
+    * first is what makes the delete safe: the returned frame must not
+    * lazily re-read files the finally just removed. */
+  private def withTempWarehouse(s: SparkSession, prefix: String)(
+      body: String => DataFrame): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory(prefix)
+    try {
+      val out = body(wh.toString)
+      // bounded collect: fixture receipt rows only (<100), never data
+      val rows = out.collect().toIndexedSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, out.schema)
+    } finally deleteTreeQuietly(wh)
+  }
 
   /** Register (once per session) the V2 TableCatalog plugin over the
     * gate fixture warehouse and return its catalog name — the
@@ -155,6 +194,7 @@ object SparkEntry {
       if (!done) proc.destroyForcibly()
       require(done && proc.exitValue() == 0 && out.contains(okMarker),
         s"$key probe failed:\n${out.takeRight(2000)}")
+      deleteOnExit(wh)
       wh
     })
 
@@ -579,9 +619,8 @@ object SparkEntry {
     // leave EXACTLY the tableAsOf(2) contents (same VALUES oracle as
     // q_pipeline_asof). Builds its OWN fixture — rollback mutates the
     // warehouse, and the shared gate fixture must stay pristine.
-    "q_pipeline_rollback" -> ((s, _) => {
+    "q_pipeline_rollback" -> ((s, _) => withTempWarehouse(s, "graft-rb-wh") { wh =>
       import org.apache.spark.sql.functions._
-      val wh = java.nio.file.Files.createTempDirectory("graft-rb-wh").toString
       val p = new graft.pipeline.Pipeline(s, wh)
       (1 to 3).foreach { h =>
         p.runOnceIncremental(Some(
@@ -598,10 +637,9 @@ object SparkEntry {
     // r6; this pins the observable read semantics): commit 1 lacks the
     // column, commit 2 carries it — the evolved read shows NULLs for
     // pre-evolution rows, values after.
-    "q_pipeline_evolution" -> ((s, _) => {
+    "q_pipeline_evolution" -> ((s, _) => withTempWarehouse(s, "graft-ev-wh") { wh =>
       import org.apache.spark.sql.functions._
       import s.implicits._
-      val wh = java.nio.file.Files.createTempDirectory("graft-ev-wh").toString
       val cat = new graft.pipeline.LakeCatalog(s, wh)
       cat.createNamespace("raw")
       cat.append("raw.ev", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"))
@@ -620,10 +658,9 @@ object SparkEntry {
     // partial table; LakeCatalog.recoverDeletes then rolls the protocol
     // state forward and the same reads serve green. The refusal flags
     // ride the output columns so the oracle pins all three behaviors.
-    "q_pipeline_crashguard" -> ((s, _) => {
+    "q_pipeline_crashguard" -> ((s, _) => withTempWarehouse(s, "graft-crash-wh") { wh =>
       import org.apache.spark.sql.functions._
       import s.implicits._
-      val wh = java.nio.file.Files.createTempDirectory("graft-crash-wh").toString
       val cat = new graft.pipeline.LakeCatalog(s, wh)
       cat.createNamespace("raw")
       cat.append("raw.guarded", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "px"))
@@ -659,9 +696,8 @@ object SparkEntry {
     // the production answer to the reference's test-after-load DAG
     // (dag.py:30-37 can only alarm; this prevents). Receipt rows
     // hash-compared against a VALUES oracle.
-    "q_pipeline_wap" -> ((s, _) => {
+    "q_pipeline_wap" -> ((s, _) => withTempWarehouse(s, "graft-wap-wh") { wh =>
       import s.implicits._
-      val wh = java.nio.file.Files.createTempDirectory("graft-wap-wh").toString
       val cat = new graft.pipeline.LakeCatalog(s, wh)
       val checks = Seq(graft.pipeline.Checks.notNull("name"),
         graft.pipeline.Checks.nonNegative("id"))
@@ -689,9 +725,8 @@ object SparkEntry {
     // MERGE-style keyed upsert: correct one source's hour-2 row, then
     // the raw rollup must show the corrected price (replace) plus the
     // untouched rows — exercised on its OWN fixture like rollback.
-    "q_pipeline_upsert" -> ((s, _) => {
+    "q_pipeline_upsert" -> ((s, _) => withTempWarehouse(s, "graft-up-wh") { wh =>
       import org.apache.spark.sql.functions._
-      val wh = java.nio.file.Files.createTempDirectory("graft-up-wh").toString
       val p = new graft.pipeline.Pipeline(s, wh)
       (1 to 3).foreach { h =>
         p.runOnceIncremental(Some(

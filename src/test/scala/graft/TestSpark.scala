@@ -41,8 +41,21 @@ object TestSpark {
     * fails fast on a mismatch). */
   val endpointPort = 10123
 
-  def tempDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  // deleted at JVM exit — test fixtures are read lazily for the whole
+  // suite run, so an eager per-test delete would be unsafe
+  def tempDir(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val st = Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        } finally st.close()
+      } catch { case _: Throwable => () }))
+    dir.toString
+  }
 
   /** Write a documents.parquet fixture into a fresh dir; returns dir. */
   def documentsFixture(rows: Seq[(Long, String, String, String)]): String = {
