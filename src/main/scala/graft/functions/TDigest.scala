@@ -30,6 +30,10 @@ final class TDigestBuf(
     var tail: Int,       // unsorted entries appended after `n`
     var lo: Double,
     var hi: Double) {
+  // set by compress(); a compacted buffer with an empty tail skips the
+  // re-sort + re-merge pass entirely (eval over k probs used to pay
+  // O(n log n) k times on an unchanged buffer)
+  var compacted: Boolean = false
   def total: Double = {
     var s = 0.0; var i = 0
     while (i < n + tail) { s += weights(i); i += 1 }
@@ -48,6 +52,18 @@ case class TDigestQuantiles(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // whitelist at ANALYSIS time: a non-numeric column fails the plan
+  // with a clear message instead of a per-row NumberFormatException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: NumericType | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tdigest_quantiles requires a numeric column, got ${other.catalogString}")
+    }
 
   private val cap = 8 * compression // append budget before a compress
 
@@ -72,7 +88,7 @@ case class TDigestQuantiles(
     * merged weight stays under the k1-ish bound 4·W·q(1−q)/δ. */
   private def compress(b: TDigestBuf): Unit = {
     val m = b.n + b.tail
-    if (m == 0) return
+    if (m == 0 || (b.tail == 0 && b.compacted)) return
     // sort (mean, weight) pairs by mean — index sort to keep pairs
     val idx = (0 until m).sortBy(b.means)
     val sm = idx.map(b.means).toArray
@@ -99,6 +115,7 @@ case class TDigestQuantiles(
     b.means(out) = curM; b.weights(out) = curW; out += 1
     b.n = out
     b.tail = 0
+    b.compacted = true
   }
 
   override def update(buf: TDigestBuf, input: InternalRow): TDigestBuf = {
@@ -109,7 +126,12 @@ case class TDigestQuantiles(
         case DoubleType => v.asInstanceOf[Double]
         case IntegerType => v.asInstanceOf[Int].toDouble
         case LongType => v.asInstanceOf[Long].toDouble
-        case _ => v.toString.toDouble
+        case ShortType => v.asInstanceOf[Short].toDouble
+        case ByteType => v.asInstanceOf[Byte].toDouble
+        case _: DecimalType => v.asInstanceOf[Decimal].toDouble
+        case other => throw new IllegalStateException(
+          s"tdigest_quantiles: unsupported input type ${other.catalogString}" +
+            " (checkInputDataTypes should have rejected this plan)")
       }
       append(buf, d, 1.0)
     }
@@ -127,7 +149,6 @@ case class TDigestQuantiles(
   /** Midpoint-rule interpolation over the compressed centroids with
     * exact min/max clamping at the tails (the reference estimator). */
   private def quantile(b: TDigestBuf, q: Double): Double = {
-    compress(b)
     val m = b.n
     if (m == 0) return Double.NaN
     if (m == 1) return b.means(0)
@@ -162,7 +183,10 @@ case class TDigestQuantiles(
 
   override def eval(buf: TDigestBuf): Any =
     if (buf.n + buf.tail == 0) null
-    else new GenericArrayData(probs.map(quantile(buf, _)).toArray)
+    else {
+      compress(buf) // once — quantile() reads the compacted centroids
+      new GenericArrayData(probs.map(quantile(buf, _)).toArray)
+    }
 
   override def serialize(buf: TDigestBuf): Array[Byte] = {
     compress(buf)
@@ -187,6 +211,7 @@ case class TDigestQuantiles(
     var i = 0
     while (i < n) { b.means(i) = bb.getDouble; b.weights(i) = bb.getDouble; i += 1 }
     b.n = n
+    b.compacted = true // serialize() always compresses first
     b
   }
 
