@@ -3989,7 +3989,7 @@ object SparkEntry {
         |tpl AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, v AS v1,
         |    lead(v, 1) OVER (ORDER BY d) AS v2,
         |    lead(v, 2) OVER (ORDER BY d) AS v3
-        |  FROM daily QUALIFY v2 IS NOT NULL),
+        |  FROM daily QUALIFY v3 IS NOT NULL),
         |p AS (SELECT x.v1 AS a1, x.v2 AS a2, x.v3 AS a3,
         |    y.v1 AS b1, y.v2 AS b2, y.v3 AS b3
         |  FROM tpl x JOIN tpl y ON x.rn < y.rn),
@@ -3999,8 +3999,7 @@ object SparkEntry {
         |        * GREATEST(abs(a1-b1), abs(a2-b2)) * t.n * t.n
         |      <= t.n::HUGEINT * t.svv - t.sv::HUGEINT * t.sv
         |      THEN 1 ELSE 0 END) AS b_count,
-        |    SUM(CASE WHEN a3 IS NOT NULL AND b3 IS NOT NULL
-        |      AND 25::HUGEINT
+        |    SUM(CASE WHEN 25::HUGEINT
         |        * GREATEST(abs(a1-b1), abs(a2-b2), abs(a3-b3))
         |        * GREATEST(abs(a1-b1), abs(a2-b2), abs(a3-b3)) * t.n * t.n
         |      <= t.n::HUGEINT * t.svv - t.sv::HUGEINT * t.sv

@@ -5146,6 +5146,10 @@ object Stats {
     * whose 2-day windows stay within Chebyshev distance r and A the
     * same for 3-day windows — the regularity readout (low SampEn =
     * repetitive dynamics) complementing the matrix-profile motif view.
+    * Standard N−m convention: BOTH counts range over the first N−m
+    * templates (those with a full 3-day window), so A and B are
+    * comparable per the cited definition — the final 2-day-only
+    * template is excluded from B as well (r13 ADVICE).
     *
     * Exact-integer threshold algebra: daily revenue is collapsed to
     * integral 4dp units v, so Δ ≤ 0.2σ becomes
@@ -5168,7 +5172,7 @@ object Stats {
       .withColumn("rn", row_number().over(w))
       .withColumn("v2", lead(col("v"), 1).over(w))
       .withColumn("v3", lead(col("v"), 2).over(w))
-      .filter(col("v2").isNotNull)
+      .filter(col("v3").isNotNull) // N−m templates: both counts comparable
       .select(col("rn"), col("v").as("v1"), col("v2"), col("v3"))
       .persistMemDisk
     val a = tpl.select(col("rn").as("ra"), col("v1").as("a1"),
@@ -5192,8 +5196,7 @@ object Stats {
       .crossJoin(broadcast(tot))
       .agg(max(col("n")).as("n_days"),
         sum(when(within(cheb2), 1L).otherwise(0L)).as("b_count"),
-        sum(when(col("a3").isNotNull && col("b3").isNotNull &&
-          within(cheb3), 1L).otherwise(0L)).as("a_count"))
+        sum(when(within(cheb3), 1L).otherwise(0L)).as("a_count"))
       .select(col("n_days"), col("b_count"), col("a_count"),
         round4eps(-round6eps(log(col("a_count").cast("double") /
           col("b_count")))).as("sampen"))
