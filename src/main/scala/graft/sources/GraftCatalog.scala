@@ -102,9 +102,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(t => Identifier.of(namespace, t)).toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.length == 1 &&
-      Files.isDirectory(Paths.get(warehouse, ident.namespace.head, ident.name))
+  override def tableExists(ident: Identifier): Boolean = {
+    if (ident.namespace.length != 1) return false
+    // a crashed staged commit left a journal → roll it forward first,
+    // so existence reflects the committed generation
+    graft.pipeline.TableCommit.recoverIfPending(warehouse,
+      ident.namespace.head, ident.name)
+    Files.isDirectory(Paths.get(warehouse, ident.namespace.head, ident.name))
+  }
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -193,32 +198,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
-    val name = fullName(ident)
+    // sidecars live inside the table directory — one recursive delete
     deleteRecursive(Paths.get(warehouse, ident.namespace.head, ident.name))
-    Files.deleteIfExists(LakeMeta.schemaPath(warehouse, name))
-    Files.deleteIfExists(LakeMeta.snapshotLogPath(warehouse, name))
-    Files.deleteIfExists(LakeMeta.tagsPath(warehouse, name))
     true
   }
 
-  /** Metadata-only rename within the warehouse: one directory move +
-    * three sidecar moves. */
+  /** Metadata-only rename within the warehouse: ONE directory move —
+    * the collocated sidecars travel with the directory. */
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
     if (!namespaceExists(to.namespace)) throw new NoSuchNamespaceException(
       (catalogName +: to.namespace.toSeq).toArray)
-    val (fn, tn) = (fullName(from), fullName(to))
     Files.move(Paths.get(warehouse, from.namespace.head, from.name),
       Paths.get(warehouse, to.namespace.head, to.name))
-    Seq(LakeMeta.schemaPath _, LakeMeta.snapshotLogPath _,
-        LakeMeta.tagsPath _).foreach { f =>
-      val (a, b) = (f(warehouse, fn), f(warehouse, tn))
-      if (Files.exists(a)) {
-        Files.createDirectories(b.getParent)
-        Files.move(a, b)
-      }
-    }
   }
 
   // ---- procedures (Iceberg's CALL surface) --------------------------
@@ -404,15 +397,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   // table at all (observed under the multi-session Thrift endpoint).
   // With StagingTableCatalog, each writer lands its FULL output in a
   // hidden per-writer staging table (`__stage_<uuid>_<name>`, filtered
-  // from listTables by the `_` prefix) and the swap into place is one
+  // from listTables by the `_` prefix) — a complete self-describing
+  // generation, since the schema/snapshot-log/tag sidecars are
+  // collocated inside the directory — and the swap into place is one
   // critical section under a per-warehouse commit lock (JVM monitor +
   // cross-process file lock): last-commit-wins for CREATE OR REPLACE,
-  // explicit TableAlreadyExists refusal for plain CTAS — readers only
-  // ever observe one writer's complete snapshot. This is the
-  // optimistic-concurrency shape of Iceberg's catalog swap (writers
-  // work isolated, the commit is a metadata CAS); at 100 TB the
-  // critical section stays metadata-grain — one directory move plus
-  // three sidecar moves, never a data copy.
+  // explicit TableAlreadyExists refusal for plain CTAS. The swap
+  // itself is TableCommit's journaled roll-forward protocol, so a
+  // crash mid-commit recovers to fully-old or fully-new with matching
+  // sidecars (never a torn table, never half-moved metadata); see
+  // TableCommit's scaladoc for the reader-visibility caveat — the
+  // two-rename replace window — which is the one non-guarantee left.
+  // This is the optimistic-concurrency shape of Iceberg's catalog
+  // swap (writers work isolated, the commit is a metadata CAS); at
+  // 100 TB the critical section stays metadata-grain — one journal
+  // file plus two directory renames, never a data copy.
 
   import org.apache.spark.sql.connector.catalog.{StagedTable, TableInfo}
   import org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -451,15 +450,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** The atomic swap: one per-warehouse critical section moving the
-    * fully-written staging directory (and its schema/snapshot-log/tag
-    * sidecars) into place. Concurrency contract re-checked INSIDE the
-    * lock: plain CTAS refuses if a rival committed first
-    * (TableAlreadyExists, staging cleaned up); REPLACE requires the
-    * table still exist; CREATE OR REPLACE is last-commit-wins. */
+  /** The atomic swap: one per-warehouse critical section handing the
+    * fully-written staging directory (sidecars inside) to
+    * [[graft.pipeline.TableCommit.swapDirs]] — the journaled,
+    * crash-recoverable rename protocol. Concurrency contract
+    * re-checked INSIDE the lock: plain CTAS refuses if a rival
+    * committed first (TableAlreadyExists, staging cleaned up);
+    * REPLACE requires the table still exist; CREATE OR REPLACE is
+    * last-commit-wins. */
   private def commitStaged(ident: Identifier, tmp: Identifier,
       mode: StageMode): Unit =
-    GraftCatalog.withCommitLock(warehouse) {
+    graft.pipeline.TableCommit.withCommitLock(warehouse) {
       mode match {
         case StageCreate =>
           if (tableExists(ident)) {
@@ -471,21 +472,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             dropTable(tmp)
             throw new NoSuchTableException(ident)
           }
-          dropTable(ident)
-        case StageCreateOrReplace =>
-          if (tableExists(ident)) dropTable(ident)
+        case StageCreateOrReplace => ()
       }
-      val (fn, tn) = (fullName(tmp), fullName(ident))
-      Files.move(Paths.get(warehouse, tmp.namespace.head, tmp.name),
-        Paths.get(warehouse, ident.namespace.head, ident.name))
-      Seq(LakeMeta.schemaPath _, LakeMeta.snapshotLogPath _,
-          LakeMeta.tagsPath _).foreach { f =>
-        val (a, b) = (f(warehouse, fn), f(warehouse, tn))
-        if (Files.exists(a)) {
-          Files.createDirectories(b.getParent)
-          Files.move(a, b)
-        }
-      }
+      graft.pipeline.TableCommit.swapDirs(warehouse, ident.namespace.head,
+        ident.name, Paths.get(warehouse, tmp.namespace.head, tmp.name))
     }
 
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
@@ -497,26 +487,3 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     stage(ident, info, StageCreateOrReplace)
 }
 
-object GraftCatalog {
-  private val commitMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Per-warehouse commit critical section: a JVM monitor (the thrift
-    * endpoint's concurrent sessions share one process) nested around a
-    * cross-process file lock (`.graft_commit.lock` at the warehouse
-    * root) so multi-JVM writers against one warehouse serialize too. */
-  private[sources] def withCommitLock[T](warehouse: String)(body: => T): T = {
-    val key = Paths.get(warehouse).toAbsolutePath.normalize.toString
-    val mon = commitMonitors.computeIfAbsent(key, _ => new Object)
-    mon.synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        Paths.get(warehouse, ".graft_commit.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val l = ch.lock()
-        try body finally l.release()
-      } finally ch.close()
-    }
-  }
-}

@@ -92,7 +92,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
     // TIMESTAMP AS OF at snapshot 3's commit instant (from the log)
     val log = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(s"$wh/_snapshots/raw_bitcoin_prices.jsonl"))
+      graft.pipeline.LakeMeta.snapshotLogPath(wh, "raw.bitcoin_prices"))
     val ts3 = """"committed_at":"([^"]+)"""".r
       .findFirstMatchIn(log.get(2)).get.group(1)
     // micros truncate the log's nanosecond commit instant — step 1 ms
@@ -163,14 +163,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE $cat.raw.mart RENAME TO raw.mart2")
     assert(spark.table(s"$cat.raw.mart2").count() === before)
     assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$wh/_schemas/raw_mart2.json")))
+      graft.pipeline.LakeMeta.schemaPath(wh, "raw.mart2")))
     val e2 = intercept[Exception] { spark.sql(s"DROP NAMESPACE $cat.raw") }
     assert(e2.getMessage.contains("SCHEMA_NOT_EMPTY")
       || e2.getMessage.toLowerCase.contains("contains objects"))
     spark.sql(s"DROP TABLE $cat.raw.mart2")
     assert(!spark.catalog.tableExists(s"$cat.raw.mart2"))
     assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$wh/_schemas/raw_mart2.json")))
+      graft.pipeline.LakeMeta.schemaPath(wh, "raw.mart2")))
   }
 
   test("catalog CREATE TABLE + first append lands commit=1 with the " +

@@ -103,7 +103,7 @@ class GraftLakeSourceSpec extends AnyFunSuite {
   test("as-of-timestamp resolves against the snapshot log " +
       "(ISO and epoch-millis forms)") {
     val log = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(s"$wh/_snapshots/probe_t.jsonl"))
+      graft.pipeline.LakeMeta.snapshotLogPath(wh, "probe.t"))
     val line2 = log.get(1) // snapshot 2's commit record
     val ts2 = """"committed_at":"([^"]+)"""".r
       .findFirstMatchIn(line2).get.group(1)
