@@ -2369,7 +2369,11 @@ object SparkEntry {
         |  ('decoy_shadow_intact', CAST(1 AS BIGINT)),
         |  ('race_rows', CAST(4 AS BIGINT)),
         |  ('race_single_writer', CAST(1 AS BIGINT)),
-        |  ('race_not_torn', CAST(1 AS BIGINT)))
+        |  ('race_not_torn', CAST(1 AS BIGINT)),
+        |  ('xproc_race_rows', CAST(4 AS BIGINT)),
+        |  ('xproc_single_writer', CAST(1 AS BIGINT)),
+        |  ('xproc_not_torn', CAST(1 AS BIGINT)),
+        |  ('xproc_no_residue', CAST(1 AS BIGINT)))
         |  AS t(check_name, val)""".stripMargin,
     // the externally-built (JDBC → Thrift → V2 catalog) mart must
     // equal the fixture-replay mart oracle

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import java.sql.DriverManager
+import scala.jdk.CollectionConverters._
 
 /** Forked-JVM receipt for MULTI-SESSION Thrift isolation + snapshot
   * visibility against the V2 catalog (round-11 verdict Next #5 —
@@ -153,6 +154,54 @@ object ThriftMultiProbe {
           require(rr.next(), "race: empty read-back")
           val (raceRows, raceTags) = (rr.getLong(1), rr.getLong(2))
           val raceCommitted = raceOk.get()
+          // CROSS-PROCESS writer race (r13 verdict Next #4): the
+          // in-process race above only proves the JVM-monitor half of
+          // the commit lock; this one forks a SECOND JVM
+          // (XprocCtasProbe: facade CoR CTAS loop on raw.race_xp)
+          // and races it against THIS process's V2 staged CTAS loop
+          // on the same table, so serialization can only come from
+          // the `.graft_commit.lock` FILE lock. Invariant (as above):
+          // the final table is entirely one writer's generation —
+          // 4 rows, one tag — with zero swap residue (no aside dirs,
+          // no staging leftovers, no pending commit journal).
+          val xprocCmd = Seq("java", "-Xmx2g", "-cp",
+            sys.props("java.class.path")) ++
+            java.lang.management.ManagementFactory.getRuntimeMXBean
+              .getInputArguments.asScala.filter(_.startsWith("--add-opens")) ++
+            Seq("graft.pipeline.XprocCtasProbe", wh, "xproc", "12")
+          val xprocOut = java.io.File.createTempFile("graft-xproc", ".log")
+          val xproc = new ProcessBuilder(xprocCmd: _*)
+            .redirectErrorStream(true).redirectOutput(xprocOut).start()
+          var probeCommits = 0
+          while (xproc.isAlive) {
+            writer.createStatement().execute(
+              """CREATE OR REPLACE TABLE graft.raw.race_xp AS
+                |SELECT u.i AS id, 'probe' AS tag
+                |FROM (SELECT explode(sequence(1, 4)) AS i) u""".stripMargin)
+            probeCommits += 1
+          }
+          val xprocDone = xproc.waitFor(120,
+            java.util.concurrent.TimeUnit.SECONDS)
+          val xprocLog = new String(
+            java.nio.file.Files.readAllBytes(xprocOut.toPath), "UTF-8")
+          require(xprocDone && xproc.exitValue() == 0 &&
+            xprocLog.contains("XPROC_OK"),
+            s"xproc CTAS probe failed:\n${xprocLog.takeRight(2000)}")
+          val xr = reader.createStatement().executeQuery(
+            """SELECT COUNT(*) AS n, COUNT(DISTINCT tag) AS t
+              |FROM graft.raw.race_xp""".stripMargin)
+          require(xr.next(), "xproc race: empty read-back")
+          val (xRows, xTags) = (xr.getLong(1), xr.getLong(2))
+          val nsDir = java.nio.file.Paths.get(wh, "raw")
+          val residue = {
+            val st = java.nio.file.Files.list(nsDir)
+            try st.iterator().asScala.map(_.getFileName.toString)
+              .count(n => n.startsWith(".__old_") ||
+                n.startsWith(".__ctas_tmp_") || n.startsWith("__stage_"))
+            finally st.close()
+          }
+          val journalPending = java.nio.file.Files.exists(
+            java.nio.file.Paths.get(wh, "_commits", "raw__race_xp.json"))
           import spark.implicits._
           Seq(
             ("mart_rows", nRows),
@@ -166,7 +215,14 @@ object ThriftMultiProbe {
             ("race_single_writer", if (raceTags == 1L) 1L else 0L),
             ("race_not_torn",
               if (raceRows == 4L && raceTags == 1L &&
-                raceCommitted >= 1) 1L else 0L)
+                raceCommitted >= 1) 1L else 0L),
+            ("xproc_race_rows", xRows),
+            ("xproc_single_writer", if (xTags == 1L) 1L else 0L),
+            ("xproc_not_torn",
+              if (xRows == 4L && xTags == 1L && probeCommits >= 1) 1L
+              else 0L),
+            ("xproc_no_residue",
+              if (residue == 0 && !journalPending) 1L else 0L)
           ).toDF("check_name", "val")
             .createOrReplaceTempView("multi_receipt_rows")
           spark.sql(
@@ -178,6 +234,10 @@ object ThriftMultiProbe {
           require(raceRows == 4L && raceTags == 1L && raceCommitted >= 1,
             s"concurrent-writer race torn: rows=$raceRows tags=$raceTags" +
               s" committed=$raceCommitted")
+          require(xRows == 4L && xTags == 1L && residue == 0 &&
+            !journalPending,
+            s"cross-process race torn: rows=$xRows tags=$xTags " +
+              s"residue=$residue journal=$journalPending")
         } finally { writer.close(); reader.close() }
         println("THRIFT_MULTI_OK")
       } finally h.stop()
