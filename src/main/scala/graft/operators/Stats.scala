@@ -3012,7 +3012,19 @@ object Stats {
     * walk is DAYS² (calendar-bounded: replication adds rows, never
     * days); slopes are 1e-6-quantized before the medians and both
     * medians are exact LOWER medians by rank arithmetic, so the
-    * nested-median pipeline is engine-exact. */
+    * nested-median pipeline is engine-exact.
+    *
+    * Constant-cut (r13 verdict Next #2, the matrixProfile treatment):
+    * the old plan materialized all days² (day, slope) rows through a
+    * theta join + full window sort. The daily series is calendar-
+    * bounded (~2.4k rows at ANY data scale), so it is packed once
+    * into a broadcast array and each day's slope multiset + exact
+    * lower median is computed INSIDE one projection (array HOFs:
+    * slopes to all other days, array_sort, rank pick) — no days²-row
+    * shuffle, no window sort, no object aggregation. Slope values are
+    * bit-identical to the join formulation (negating both numerator
+    * and denominator is exact in IEEE), so the q6-quantized medians
+    * hash-match the oracle unchanged. */
   def siegelSlope(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
@@ -3023,27 +3035,21 @@ object Stats {
             Window.unboundedFollowing))).cast("double"))
       .select(col("t"), col("y"))
       .persistMemDisk
-    def q6(c: Column): Column =
-      floor(c * lit(1000000.0) + lit(0.5) + lit(0.000001)) / lit(1000000.0)
-    val slopes = daily.as("a").join(daily.as("b"),
-        col("a.t") =!= col("b.t"))
-      .select(col("a.t").as("ti"),
-        q6((col("a.y") - col("b.y")) / (col("a.t") - col("b.t")))
-          .as("slope"))
-    val wRank = Window.partitionBy(col("ti")).orderBy(col("slope"))
-    val perDay = slopes
-      .withColumn("r", row_number().over(wRank))
-      .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("ti"))))
-      .filter(col("r") === ceil(col("nn").cast("double") / 2.0).cast("int"))
-      .select(col("ti"), col("slope").as("med_i"))
-    val wAll = Window.orderBy(col("med_i"), col("ti"))
-    perDay
-      .withColumn("r", row_number().over(wAll))
-      .withColumn("nn", count(lit(1)).over(
-        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      .filter(col("r") === ceil(col("nn").cast("double") / 2.0).cast("int"))
-      .select(col("nn").as("n_days"), col("med_i").as("siegel_slope"))
+    val packed = daily.agg(
+      collect_list(struct(col("t"), col("y"))).as("all"))
+    // exact lower median = element ceil(n/2) of the sorted multiset —
+    // value-identical to the old rank-filter (ties carry equal
+    // values); the whole per-day pass runs in one compiled kernel
+    // (an interpreted-HOF formulation measured SLOWER than the theta
+    // join it was meant to replace — the r12 ROUGE lesson repeats)
+    val perDay = daily.crossJoin(broadcast(packed))
+      .select(graft.functions.SeriesFunctions
+        .siegelDayMedian(col("all"), col("t"), col("y")).as("med_i"))
+    perDay.agg(
+      count(lit(1)).as("n_days"),
+      element_at(array_sort(collect_list(col("med_i"))),
+        ceil(count(lit(1)).cast("double") / 2.0).cast("int"))
+        .as("siegel_slope"))
   }
 
   /** Periodogram sweep: single-frequency DFT power at every candidate
