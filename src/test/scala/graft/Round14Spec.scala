@@ -48,6 +48,38 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("watsonU2 value-collapsed blocks: exact agreement with the " +
+      "per-row rank formula on a TIE-HEAVY fixture") {
+    // duplicate times-of-day exercise the c>1 closed form the sf
+    // testdata (all-unique micros) never reaches
+    val rnd = new scala.util.Random(41)
+    val hours = Seq(0L, 3600L, 3600L, 3600L, 7200L, 7200L, 43200L,
+      43200L, 43200L, 43200L, 80000L) ++
+      (1 to 40).map(_ => (rnd.nextInt(24) * 3600).toLong)
+    val rows = hours.zipWithIndex.map { case (sec, i) =>
+      (i.toLong, (i % 5).toLong, "click", Double.box(1.0),
+        (86400L * (i % 7) + sec) * 1000000000L) // epoch nanos
+    }
+    val dir = TestSpark.eventsFixture(rows)
+    val out = graft.operators.Stats.watsonU2(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // per-row reference: sorted day-fractions, U² = Σ(uᵢ−(2i−1)/2n)²
+    // − n(ū−½)² + 1/12n
+    val us = hours.map(_ % 86400L).map(_.toDouble / 86400.0).sorted
+    val n = us.size
+    val ub = us.sum / n
+    val ss = us.zipWithIndex.map { case (u, i0) =>
+      val d = u - (2.0 * (i0 + 1) - 1) / (2.0 * n); d * d
+    }.sum
+    val u2 = ss - n * (ub - 0.5) * (ub - 0.5) + 1.0 / (12.0 * n)
+    assert(r.getLong(1) === n.toLong)
+    assert(math.abs(r.getDouble(2) - ub) < 5e-5,
+      s"mean_frac ${r.getDouble(2)} != $ub")
+    assert(math.abs(r.getDouble(3) - u2) < 5e-5,
+      s"u2_stat ${r.getDouble(3)} != $u2")
+  }
+
   test("siegelSlope end-to-end: kernel plan matches the operator " +
       "output shape and is deterministic across runs") {
     val d = "/root/testdata/sf0.001"
