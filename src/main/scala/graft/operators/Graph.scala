@@ -22,6 +22,71 @@ import graft.functions.Rounding.round4eps
   */
 object Graph {
 
+  // ---- shared graph projections (r13 verdict Next #6) ---------------
+  //
+  // The consolidated audit of the iteration harness found ONE shared
+  // constant across the graph gates: every operator rebuilt its edge
+  // projection from the fact join per invocation (~1 s of each 2–3 s
+  // gate at sf0.1 — ten rebuilds of the DISTINCT customer–supplier
+  // pair frame, three of the co-supplier projection). Both are now
+  // built once per (session, dir, filter), persisted and materialized
+  // eagerly; operators derive their edge shape (parity ids, directed
+  // c→p, flipped union) as cheap projections over the cache. The
+  // cached frames are node-pair-cardinality (dimension-bounded:
+  // customers × suppliers — MB-scale at any corpus size), and live for
+  // the session like gatePipeline's fixture memo; per-operator
+  // iteration persists (withDeg, per-round vectors) keep their
+  // caller-owned lifecycle unchanged.
+  private val pairCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent
+      .ConcurrentHashMap[(String, String, Option[Double]), DataFrame]]())
+
+  private def cached(s: SparkSession, key: (String, String, Option[Double]))(
+      build: => DataFrame): DataFrame =
+    pairCache
+      .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap)
+      .computeIfAbsent(key, _ => {
+        val df = build.persistMemDisk
+        df.count() // materialize eagerly, once
+        df
+      })
+
+  /** DISTINCT (cust, supp) trade pairs, optionally quantity-
+    * sparsified — the shared prefix of the trade-graph family. */
+  private[graft] def tradePairs(s: SparkSession, dir: String,
+      minQuantity: Option[Double] = None): DataFrame =
+    cached(s, (dir, "trade", minQuantity)) {
+      val li0 = Tables.lineitem(s, dir)
+      val li = minQuantity.fold(li0)(q => li0.filter(col("l_quantity") >= q))
+      li.select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+    }
+
+  /** Parity-namespaced directed half (customer 2k → supplier 2k+1) of
+    * the cached pair frame; callers union the flip for undirected. */
+  private[graft] def tradeParityEdges(s: SparkSession, dir: String,
+      minQuantity: Option[Double] = None): DataFrame =
+    tradePairs(s, dir, minQuantity)
+      .select((col("cust") * 2).as("a"), (col("supp") * 2 + 1).as("b"))
+
+  /** Low→high-oriented distinct co-supplier edges (suppliers sharing a
+    * part, quantity-sparsified) — the triangles-family projection. */
+  private[graft] def coSupplierEdges(s: SparkSession, dir: String,
+      minQty: Double): DataFrame =
+    cached(s, (dir, "cosupp", Some(minQty))) {
+      val ps = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= minQty)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      ps.as("x").join(ps.as("y"), "l_partkey")
+        .filter(col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .distinct()
+    }
+
   /** Checkpointing for iterative loops, mode-switched on deployment:
     *
     *  - **Cluster** (SPARK_GRAFT_CHECKPOINT_DIR set to a DFS path):
@@ -114,12 +179,7 @@ object Graph {
   def pageRank(s: SparkSession, dir: String,
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
     ensureCheckpointDir(s)
-    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val cs = tradeParityEdges(s, dir)
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
     val withDeg = edges
       .join(edges.groupBy(col("a")).agg(count(lit(1)).as("outdeg")), "a")
@@ -180,12 +240,7 @@ object Graph {
   def personalizedPageRank(s: SparkSession, dir: String,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     ensureCheckpointDir(s)
-    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val cs = tradeParityEdges(s, dir)
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
     val withDeg = edges
       .join(edges.groupBy(col("a")).agg(count(lit(1)).as("outdeg")), "a")
@@ -233,14 +288,7 @@ object Graph {
     * standard MapReduce/Cohen algorithm shape. */
   def triangleCounts(s: SparkSession, dir: String,
                      minQty: Double = 48.0): DataFrame = {
-    val ps = Tables.lineitem(s, dir)
-      .filter(col("l_quantity") >= minQty)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val e = ps.as("x").join(ps.as("y"), "l_partkey")
-      .filter(col("x.l_suppkey") < col("y.l_suppkey"))
-      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-      .distinct()
-      .persistMemDisk
+    val e = coSupplierEdges(s, dir, minQty)
     val wedges = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), "b")
     wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
@@ -259,14 +307,7 @@ object Graph {
     * undefined). */
   def clusteringCoefficients(s: SparkSession, dir: String,
       minQty: Double = 48.0): DataFrame = {
-    val ps = Tables.lineitem(s, dir)
-      .filter(col("l_quantity") >= minQty)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val e = ps.as("x").join(ps.as("y"), "l_partkey")
-      .filter(col("x.l_suppkey") < col("y.l_suppkey"))
-      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-      .distinct()
-      .persistMemDisk
+    val e = coSupplierEdges(s, dir, minQty)
     val tri = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), "b")
       .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
@@ -297,11 +338,7 @@ object Graph {
     * on unweighted graphs, no re-relaxation needed). */
   def bfsHops(s: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
     ensureCheckpointDir(s)
-    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val cs = tradeParityEdges(s, dir)
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
       .persistMemDisk
     var dist = cutLineage(s, edges.select(col("a").as("node")).distinct()
@@ -354,13 +391,7 @@ object Graph {
     * the join to hash-partitioned on node id, same shape. */
   def lpaCommunities(s: SparkSession, dir: String, iters: Int = 4,
       minQuantity: Double = 48): DataFrame = {
-    val cs = Tables.lineitem(s, dir)
-      .filter(col("l_quantity") >= minQuantity)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val cs = tradeParityEdges(s, dir, Some(minQuantity))
     lpaOnEdges(s, cs.unionByName(cs.select(col("b").as("a"), col("a").as("b"))),
       iters)
   }
@@ -386,13 +417,7 @@ object Graph {
     * caller-owned like pageRank's withDeg. */
   def kCorePeel(s: SparkSession, dir: String, k: Int = 3,
       rounds: Int = 4, minQuantity: Double = 48): DataFrame = {
-    val cs = Tables.lineitem(s, dir)
-      .filter(col("l_quantity") >= minQuantity)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val cs = tradeParityEdges(s, dir, Some(minQuantity))
     kCoreOnEdges(cs.unionByName(cs.select(col("b").as("a"), col("a").as("b"))),
       k, rounds)
   }
@@ -462,12 +487,7 @@ object Graph {
     * two where two libms could disagree by an ulp); output is one row
     * per occupied bucket. */
   def degreeHistogram(s: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val cs = tradeParityEdges(s, dir)
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
     edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .groupBy(floor(log2(col("deg")) + lit(1e-9)).cast("int").as("bucket"))
@@ -493,11 +513,8 @@ object Graph {
   def hits(s: SparkSession, dir: String, iters: Int = 2): DataFrame = {
     def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
-    val edges = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-      .distinct()
-      .persistMemDisk
+    val edges = tradePairs(s, dir)
+      .select(col("cust").as("c"), col("supp").as("p"))
     val small = edges.select(col("c")).distinct().count() <=
       broadcastMaxNodes(s)
     var hub = edges.select(col("c")).distinct().withColumn("hub", lit(1.0))
@@ -575,11 +592,7 @@ object Graph {
   private def seededBfsDistances(s: SparkSession, dir: String,
       seedCustkeys: Seq[Long], maxHops: Int): DataFrame = {
     ensureCheckpointDir(s)
-    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val cs = tradeParityEdges(s, dir)
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
       .persistMemDisk
     import s.implicits._
@@ -703,12 +716,7 @@ object Graph {
     * node id — at billions of edges AQE picks broadcast only if the
     * degree frame fits); `corr` is a single-pass moment aggregate. */
   def assortativity(s: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val cs = tradeParityEdges(s, dir)
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
       .persistMemDisk
     val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
@@ -846,14 +854,7 @@ object Graph {
   def richClub(s: SparkSession, dir: String,
                ks: Seq[Int] = Seq(2, 3, 4, 5),
                minQty: Double = 48.0): DataFrame = {
-    val ps = Tables.lineitem(s, dir)
-      .filter(col("l_quantity") >= minQty)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val e = ps.as("x").join(ps.as("y"), "l_partkey")
-      .filter(col("x.l_suppkey") < col("y.l_suppkey"))
-      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-      .distinct()
-      .persistMemDisk
+    val e = coSupplierEdges(s, dir, minQty)
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -893,14 +894,7 @@ object Graph {
     * count gate, keyed by edge instead of corner. */
   def edgeSupport(s: SparkSession, dir: String,
       minQty: Double = 48.0): DataFrame = {
-    val ps = Tables.lineitem(s, dir)
-      .filter(col("l_quantity") >= minQty)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val e = ps.as("x").join(ps.as("y"), "l_partkey")
-      .filter(col("x.l_suppkey") < col("y.l_suppkey"))
-      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-      .distinct()
-      .persistMemDisk
+    val e = coSupplierEdges(s, dir, minQty)
     // common neighbors of (a,b) via oriented wedges: for each
     // triangle a<b<c, credit edges (a,b), (a,c), (b,c)
     val tri = e.as("ab")
@@ -938,12 +932,7 @@ object Graph {
   def katzCentrality(s: SparkSession, dir: String,
       iters: Int = 3, alpha: Double = 0.05): DataFrame = {
     ensureCheckpointDir(s)
-    val cs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val cs = tradeParityEdges(s, dir)
     val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
       .persistMemDisk
     val nodes = edges.select(col("a").as("node")).distinct().persistMemDisk
