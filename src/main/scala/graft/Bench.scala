@@ -186,6 +186,9 @@ object Bench {
       // publishes one clean batch and refuses one dirty batch) + the
       // CDC change-feed read of the shared gate fixture
       "q_pipeline_wap", "q_pipeline_since",
+      // r14: crash-injection fixture (builds + crashes + recovers its
+      // own warehouse; zero sfDir work)
+      "q_pipeline_ctasatomic",
       // r10: the incremental-MV LIFECYCLE gate (build→delta→refresh —
       // its cost is the rebuild); the serve path is benched as
       // q_mv_inc_query against the once-per-JVM refreshed fixture
