@@ -134,6 +134,40 @@ private[graft] object TableCommit {
     if (Files.exists(journalPath(warehouse, ns, table)))
       withCommitLock(warehouse) { recoverLocked(warehouse, ns, table) }
 
+  /** Warehouse-wide sweep: roll forward EVERY pending journal — run at
+    * catalog initialization so a crashed commit on a table nobody
+    * reads again still resolves (per-table lazy recovery only fires on
+    * that table's next access). One directory listing when `_commits`
+    * is absent/empty — free on the no-crash path. */
+  def recoverAll(warehouse: String): Unit = {
+    val dir = Paths.get(warehouse, "_commits")
+    if (!Files.isDirectory(dir)) return
+    val pending = {
+      val st = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".json")).toList
+      } finally st.close()
+    }
+    if (pending.isEmpty) return
+    withCommitLock(warehouse) {
+      pending.foreach { f =>
+        // ns/table come from the journal CONTENT (the filename's
+        // `ns__table` join is ambiguous when a name contains "__")
+        val p = dir.resolve(f)
+        if (Files.exists(p)) {
+          val txt = new String(Files.readAllBytes(p), "UTF-8")
+          val re = """"(ns|table)":"([^"]+)"""".r
+          val fields = re.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2)).toMap
+          for (ns <- fields.get("ns"); t <- fields.get("table"))
+            recoverLocked(warehouse, ns, t)
+        }
+      }
+    }
+  }
+
   /** Idempotent roll-forward from the journal; caller holds the lock.
     * The journal write is the commit point, so recovery always drives
     * toward staged-becomes-live; the defensive aside-restore covers a

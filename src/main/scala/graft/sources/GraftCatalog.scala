@@ -68,6 +68,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.warehouse"))
     Files.createDirectories(Paths.get(warehouse))
+    // resolve every crash-pending commit once per catalog instance —
+    // lazy per-table recovery only fires on that table's next access
+    graft.pipeline.TableCommit.recoverAll(warehouse)
   }
 
   override def name(): String = catalogName

@@ -128,6 +128,19 @@ class CommitAtomicitySpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(wh, "_commits", "raw__t.json")))
   }
 
+  test("recoverAll sweeps a pending journal at catalog init — a table " +
+      "nobody reads again still resolves") {
+    val (cat, wh) = freshTable()
+    crashAt("post-aside") {
+      cat.createOrReplace("raw.t", Seq((9L, "new")).toDF("id", "gen"))
+    }
+    assert(Files.exists(Paths.get(wh, "_commits", "raw__t.json")))
+    // no read of raw.t — the sweep alone must resolve it
+    TableCommit.recoverAll(wh)
+    assert(!Files.exists(Paths.get(wh, "_commits", "raw__t.json")))
+    assert(generation(cat, wh) === Set("new"))
+  }
+
   test("replace preserves table history: snapshot log accumulates and " +
       "tags survive across CTAS generations") {
     val (cat, wh) = freshTable()
