@@ -1459,11 +1459,11 @@ object Similarity {
         col("qa") =!= col("nb"))
       .select(col("qa"), col("nb"),
         q6(cosine(col("va"), col("vb"))).as("sim"))
-    val topk = pairs
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("qa"))
-          .orderBy(col("sim").desc, col("nb"))))
-      .filter(col("rk") <= k)
+    // bounded per-partition heaps instead of the 4M-row window sort
+    // (the knnBrute reduction; same (sim desc, nb) order ⇒ identical
+    // top-k set and hash)
+    val topk = graft.plans.TopKPerGroup(pairs,
+      Seq(col("qa")), Seq(col("sim").desc, col("nb")), k)
     val kocc = e.select(col("vec_id"))
       .join(topk.groupBy(col("nb")).agg(count(lit(1)).as("c")),
         col("vec_id") === col("nb"), "left")
