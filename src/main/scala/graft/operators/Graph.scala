@@ -42,14 +42,23 @@ object Graph {
       .ConcurrentHashMap[(String, String, Option[Double]), DataFrame]]())
 
   private def cached(s: SparkSession, key: (String, String, Option[Double]))(
-      build: => DataFrame): DataFrame =
-    pairCache
+      build: => DataFrame): DataFrame = {
+    val df = pairCache
       .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap)
-      .computeIfAbsent(key, _ => {
-        val df = build.persistMemDisk
-        df.count() // materialize eagerly, once
-        df
-      })
+      .computeIfAbsent(key, _ => build)
+    // RE-ARM on every call: the harness (and any hygiene-minded
+    // caller) clearCache()s between queries, which silently strips the
+    // memoized frame's persist registration — without this check every
+    // later graph gate recomputed the fact join uncached in BOTH its
+    // warmup and measured runs (caught at ×100: bfs 13.8 s solo →
+    // 50-57 s after another graph gate, cascading to stage-
+    // materialization failures under memory churn).
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persistMemDisk
+      df.count() // materialize eagerly, once per re-arm
+    }
+    df
+  }
 
   /** DISTINCT (cust, supp) trade pairs, optionally quantity-
     * sparsified — the shared prefix of the trade-graph family. */
