@@ -34,12 +34,20 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * the table-existence checks both catalogs route through (one
   * `Files.exists` on the journal path when nothing is pending).
   *
-  * Readers are NOT serialized against the swap: between steps 2 and 3
-  * a concurrent reader can observe the table briefly missing (two
-  * renames wide). Eliminating that window needs pointer indirection
-  * the directory-per-table layout can't express; writer-vs-writer
-  * tearing and crash loss — the failure modes with durable
-  * consequences — are what this protocol closes.
+  * Reader visibility: a CATALOG-ROUTED reader (LakeCatalog.table /
+  * GraftCatalog.loadTable — both call recoverIfPending) that arrives
+  * while the journal exists BLOCKS on the commit lock and then serves
+  * the complete new generation, so for those paths there is no
+  * missing-table window (receipt: CommitAtomicitySpec's mid-swap
+  * reader test). What remains is (a) the check-then-read race — a
+  * reader that passed the journal check just before the journal was
+  * written can still list the directory mid-rename — and (b) RAW
+  * path reads (spark.read.parquet of the table dir) that bypass the
+  * catalog entirely; both see a window two renames wide. Eliminating
+  * those needs pointer indirection the directory-per-table layout
+  * can't express; writer-vs-writer tearing and crash loss — the
+  * failure modes with durable consequences — are what this protocol
+  * closes.
   *
   * 100 TB posture: the critical section is metadata-grain (one journal
   * file + two directory renames, never a data copy), exactly like an

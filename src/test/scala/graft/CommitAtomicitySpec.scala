@@ -128,6 +128,37 @@ class CommitAtomicitySpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(wh, "_commits", "raw__t.json")))
   }
 
+  test("a catalog-routed reader arriving mid-swap BLOCKS on the commit " +
+      "lock and serves the complete new generation — no missing-table " +
+      "window for facade reads") {
+    val (cat, wh) = freshTable()
+    val windowOpen = new java.util.concurrent.CountDownLatch(1)
+    // hold the swap open mid-window (live moved aside, staged pending)
+    TableCommit.crashHook = p =>
+      if (p == "post-aside") { windowOpen.countDown(); Thread.sleep(1200) }
+    val writer = new Thread(() =>
+      cat.createOrReplace("raw.t", Seq((9L, "new")).toDF("id", "gen")))
+    var readerResult: Either[Throwable, (Long, Set[String])] = null
+    val reader = new Thread(() => {
+      readerResult =
+        try {
+          windowOpen.await() // the journal exists from here on
+          val df = cat.table("raw.t") // recoverIfPending blocks on the lock
+          Right((df.count(),
+            df.select("gen").distinct().as[String].collect().toSet))
+        } catch { case t: Throwable => Left(t) }
+    })
+    try {
+      writer.start(); reader.start()
+      writer.join(30000); reader.join(30000)
+    } finally TableCommit.crashHook = _ => ()
+    assert(readerResult != null && readerResult.isRight,
+      s"mid-swap read failed: $readerResult")
+    val (n, gens) = readerResult.toOption.get
+    assert(n === 1L && gens === Set("new"),
+      s"mid-swap read saw a torn/old state: n=$n gens=$gens")
+  }
+
   test("recoverAll sweeps a pending journal at catalog init — a table " +
       "nobody reads again still resolves") {
     val (cat, wh) = freshTable()
