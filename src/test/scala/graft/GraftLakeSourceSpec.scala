@@ -15,8 +15,7 @@ class GraftLakeSourceSpec extends AnyFunSuite {
 
   /** Warehouse built once by LakeWriteProbe in its own JVM+session. */
   private lazy val wh: String = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-v2-wh").toString
+    val dir = TestSpark.tempDir("graft-v2-wh")
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",

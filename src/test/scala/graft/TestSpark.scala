@@ -42,17 +42,28 @@ object TestSpark {
   val endpointPort = 10123
 
   // deleted at JVM exit — test fixtures are read lazily for the whole
-  // suite run, so an eager per-test delete would be unsafe
+  // suite run, so an eager per-test delete would be unsafe. The hook
+  // also sweeps `<dir>_v<n>` SIBLINGS: MatViewRewrite's refresh writes
+  // versioned generations beside the root (the temp name's random
+  // suffix makes the prefix match unambiguous).
   def tempDir(prefix: String): String = {
     val dir = Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
-        val st = Files.walk(dir)
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.toSeq.reverse
+        import scala.jdk.CollectionConverters._
+        def rm(root: java.nio.file.Path): Unit = {
+          val st = Files.walk(root)
+          try st.iterator().asScala.toSeq.reverse
             .foreach(p => Files.deleteIfExists(p))
-        } finally st.close()
+          finally st.close()
+        }
+        val name = dir.getFileName.toString
+        val sib = Files.list(dir.getParent)
+        try sib.iterator().asScala.toList
+          .filter(_.getFileName.toString.startsWith(name + "_v"))
+          .foreach(rm)
+        finally sib.close()
+        rm(dir)
       } catch { case _: Throwable => () }))
     dir.toString
   }
