@@ -666,8 +666,9 @@ object SparkEntry {
       cat.append("raw.guarded", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "px"))
       cat.append("raw.guarded", Seq((3L, 30.0)).toDF("id", "px"))
       val tableDir = cat.tablePath("raw.guarded")
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(tableDir, ".delete_tmp_2"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        graft.pipeline.LakeMeta.dataPath(wh, "raw.guarded"),
+        ".delete_tmp_2"))
       def refused(read: => Array[org.apache.spark.sql.Row]): Boolean =
         try { read; false }
         catch { case e: Throwable =>
@@ -696,15 +697,18 @@ object SparkEntry {
     // the production answer to the reference's test-after-load DAG
     // (dag.py:30-37 can only alarm; this prevents). Receipt rows
     // hash-compared against a VALUES oracle.
-    // Crash-atomic CTAS commit as a GATE (r13 verdict Next #1, made
-    // oracle-visible like q_pipeline_wap): a crash is INJECTED between
-    // the swap's two renames (the exact window the r13 judge flagged —
-    // live moved aside, staged not yet in place), then the next read
-    // must roll the journaled commit FORWARD to the complete new
-    // generation with matching sidecars and zero residue. Receipt rows
-    // hash-compared against a VALUES oracle; the full protocol matrix
-    // (all four crash points, both write surfaces) lives in
-    // CommitAtomicitySpec.
+    // Crash-atomic CTAS commit as a GATE (r13 Next #1, r14 Next #1 —
+    // now the GENERATION-POINTER protocol): a crash is INJECTED after
+    // the staged generation lands in the container but BEFORE the
+    // pointer swap (the commit point). The table must keep serving the
+    // complete OLD generation (no roll-forward needed — the pointer
+    // never moved), the orphaned generation must stay invisible, and a
+    // clean RETRY must publish the new generation with carried tags, a
+    // linear history (its own replace line folded in pre-swap), and —
+    // with the retention grace zeroed — GC down to exactly one
+    // generation. Receipt rows hash-compared against a VALUES oracle;
+    // the full protocol matrix (all four crash points, both write
+    // surfaces, concurrent-reader hammer) lives in CommitAtomicitySpec.
     "q_pipeline_ctasatomic" -> ((s, _) =>
         withTempWarehouse(s, "graft-atomic-wh") { wh =>
       import s.implicits._
@@ -715,7 +719,7 @@ object SparkEntry {
         Seq((1L, "old"), (2L, "old")).toDF("id", "gen"))
       cat.tagSnapshot("raw.t", "v1", 1L)
       graft.pipeline.TableCommit.crashHook = p =>
-        if (p == "post-aside")
+        if (p == "post-publish")
           throw new RuntimeException("injected crash at " + p)
       val crashed =
         try {
@@ -725,38 +729,53 @@ object SparkEntry {
         } catch { case e: RuntimeException =>
           e.getMessage.contains("injected crash")
         } finally graft.pipeline.TableCommit.crashHook = _ => ()
-      val journalBefore = java.nio.file.Files.exists(
-        java.nio.file.Paths.get(wh, "_commits", "raw__t.json"))
-      // first read AFTER the crash: recovery rolls the commit forward
+      def genDirs(): Long = {
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(wh, "raw", "t"))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString)
+            .count(_.startsWith(graft.pipeline.LakeMeta.GenPrefix))
+        } finally st.close()
+      }
+      // after the crash: the pointer never moved, so the table serves
+      // the complete OLD generation; the orphan gen is invisible
+      val afterCrash = cat.table("raw.t")
+      val oldServed = afterCrash.count() == 2L &&
+        afterCrash.select("gen").distinct()
+          .as[String].collect().toSeq == Seq("old")
+      val orphanRetained = genDirs() == 2L
+      // clean retry with zero retention grace: publish + immediate GC
+      val oldGrace = graft.pipeline.TableCommit.retireGraceMs
+      graft.pipeline.TableCommit.retireGraceMs = -1000L
+      try cat.createOrReplace("raw.t",
+        Seq((9L, "new"), (10L, "new"), (11L, "new")).toDF("id", "gen"))
+      finally graft.pipeline.TableCommit.retireGraceMs = oldGrace
       val rows = cat.table("raw.t")
       val gens = rows.select("gen").distinct()
         .as[String].collect().sorted.mkString(",")
-      val n = rows.count()
       val schemaMatches = graft.pipeline.LakeMeta
         .savedSchema(wh, "raw.t").exists(sc =>
           rows.columns.toSet.subsetOf(sc.fieldNames.toSet))
       val tagsIntact = cat.tags("raw.t") == Map("v1" -> 1L)
-      val residue = {
-        val st = java.nio.file.Files.list(
-          java.nio.file.Paths.get(wh, "raw"))
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.map(_.getFileName.toString)
-            .count(nm => nm.startsWith(".__old_") ||
-              nm.startsWith(".__ctas_tmp_"))
-        } finally st.close()
-      }
-      val journalAfter = java.nio.file.Files.exists(
-        java.nio.file.Paths.get(wh, "_commits", "raw__t.json"))
+      val ops = cat.snapshots("raw.t")
+        .orderBy(col("snapshot_id")).select("operation")
+        .as[String].collect().toSeq
       Seq(
         ("crash_injected", if (crashed) 1L else 0L),
-        ("journal_present_at_crash", if (journalBefore) 1L else 0L),
-        ("rows_after_recovery", n),
+        ("old_served_after_crash", if (oldServed) 1L else 0L),
+        ("orphan_retained_invisible", if (orphanRetained) 1L else 0L),
+        ("rows_after_retry", rows.count()),
         ("generation", if (gens == "new") 1L else 0L),
         ("sidecar_schema_matches", if (schemaMatches) 1L else 0L),
         ("tags_carried", if (tagsIntact) 1L else 0L),
-        ("swap_residue", residue.toLong),
-        ("journal_cleared", if (!journalAfter) 1L else 0L)
+        ("history_linear",
+          if (ops == Seq("replace", "replace")) 1L else 0L),
+        ("gens_after_gc", genDirs()),
+        ("pointer_present",
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(
+            wh, "raw", "t", graft.pipeline.LakeMeta.PointerName))) 1L
+          else 0L)
       ).toDF("check_name", "val")
     }),
     "q_pipeline_wap" -> ((s, _) => withTempWarehouse(s, "graft-wap-wh") { wh =>
@@ -2411,18 +2430,23 @@ object SparkEntry {
     // WAP receipt: clean batch published as snapshot 1 (2 rows), dirty
     // batch refused with 2 failing checks (non-negative, unique-id) and
     // zero table mutation
-    // crash injected between the renames; recovery rolls forward to
-    // the complete 3-row new generation, sidecars matching, no residue
+    // crash injected between generation-publish and pointer swap: the
+    // old generation keeps serving (commit point never reached), the
+    // orphan stays invisible, and a clean retry publishes the 3-row
+    // new generation with carried tags, linear history and GC'd
+    // residue (one generation left at zero grace)
     "q_pipeline_ctasatomic" ->
       """SELECT * FROM (VALUES
         |  ('crash_injected', CAST(1 AS BIGINT)),
-        |  ('journal_present_at_crash', CAST(1 AS BIGINT)),
-        |  ('rows_after_recovery', CAST(3 AS BIGINT)),
+        |  ('old_served_after_crash', CAST(1 AS BIGINT)),
+        |  ('orphan_retained_invisible', CAST(1 AS BIGINT)),
+        |  ('rows_after_retry', CAST(3 AS BIGINT)),
         |  ('generation', CAST(1 AS BIGINT)),
         |  ('sidecar_schema_matches', CAST(1 AS BIGINT)),
         |  ('tags_carried', CAST(1 AS BIGINT)),
-        |  ('swap_residue', CAST(0 AS BIGINT)),
-        |  ('journal_cleared', CAST(1 AS BIGINT)))
+        |  ('history_linear', CAST(1 AS BIGINT)),
+        |  ('gens_after_gc', CAST(1 AS BIGINT)),
+        |  ('pointer_present', CAST(1 AS BIGINT)))
         |  AS t(check_name, val)""".stripMargin,
     "q_pipeline_wap" ->
       """SELECT * FROM (VALUES

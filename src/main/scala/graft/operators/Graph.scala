@@ -37,15 +37,51 @@ object Graph {
   // the session like gatePipeline's fixture memo; per-operator
   // iteration persists (withDeg, per-round vectors) keep their
   // caller-owned lifecycle unchanged.
-  private val pairCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent
-      .ConcurrentHashMap[(String, String, Option[Double]), DataFrame]]())
+  // Keyed by sessionUUID (a String — no strong reference to the
+  // SparkSession through the KEY) in a bounded LRU across sessions:
+  // the cached DataFrame VALUES strongly reference their session, so a
+  // WeakHashMap keyed by the session itself could never collect an
+  // entry, and under the Thrift endpoint's per-connection clones the
+  // cache grew one pinned session graph per dead connection (r14
+  // ADVICE). Evicting the eldest session unpersists its frames, making
+  // the dead session's lineage collectible; an ACTIVE session that
+  // gets evicted under pressure merely re-arms (persist + count) on
+  // its next graph-gate call, the same path as post-clearCache.
+  private val MaxCachedSessions = 8
+  private type PairMap = java.util.concurrent.ConcurrentHashMap[
+    (String, String, Option[Double]), DataFrame]
+  private val pairCache =
+    new java.util.LinkedHashMap[String, PairMap](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, PairMap]): Boolean = {
+        val evict = size() > MaxCachedSessions
+        if (evict) e.getValue.values().forEach { df =>
+          try { df.unpersist(blocking = false); () }
+          catch { case _: Throwable => () } // session may be stopped
+        }
+        evict
+      }
+    }
+
+  /** Test hook: number of sessions currently holding cached graph
+    * projections (bounded by MaxCachedSessions). */
+  private[graft] def cachedSessionCount: Int =
+    pairCache.synchronized(pairCache.size())
+
+  // sessionUUID is Scala-private[sql] but public at the bytecode level
+  // (the stable per-clone identity the Thrift endpoint hands each
+  // connection); reflection reads it without depending on the
+  // classic-session internal API surface
+  private def sessionKey(s: SparkSession): String =
+    try s.getClass.getMethod("sessionUUID").invoke(s).asInstanceOf[String]
+    catch { case _: Throwable => "session-id-" + System.identityHashCode(s) }
 
   private def cached(s: SparkSession, key: (String, String, Option[Double]))(
       build: => DataFrame): DataFrame = {
-    val df = pairCache
-      .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap)
-      .computeIfAbsent(key, _ => build)
+    val inner = pairCache.synchronized {
+      pairCache.computeIfAbsent(sessionKey(s), _ => new PairMap)
+    }
+    val df = inner.computeIfAbsent(key, _ => build)
     // RE-ARM on every call: the harness (and any hygiene-minded
     // caller) clearCache()s between queries, which silently strips the
     // memoized frame's persist registration — without this check every
@@ -432,8 +468,58 @@ object Graph {
   }
 
   /** Peel core over an already-undirected (a, b) edge frame — the spec
-    * drives crafted graphs through the identical iteration. */
+    * drives crafted graphs through the identical iteration.
+    *
+    * Size-gated execution (the same split as Dedup.componentsOf, and
+    * the r14 Next #4 fix for q_kcore's 4.5 s stage-floor cost): up to
+    * [[Dedup.SmallGraphEdges]] edges the whole peel runs as ONE
+    * executor task (O(rounds × E) in a mapPartitions — a 16 k-node
+    * graph pays microseconds of compute but ~40 AQE stages × the
+    * 0.15–0.24 s local scheduling floor in the iterative plan; the
+    * single task removes the floor entirely). Above the gate, the
+    * distributed degree-filter iteration (Montresor et al. 2013) in
+    * [[kCoreDistributed]] — the 100 TB path — takes over. Both paths
+    * implement the identical fixed-round simultaneous-removal
+    * semantics, asserted equal in GraphSpec. */
   private[graft] def kCoreOnEdges(undirected: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val s = undirected.sparkSession
+    import s.implicits._
+    val edges = undirected.persistMemDisk
+    val out =
+      if (edges.count() <= Dedup.SmallGraphEdges) {
+        val peeled = edges
+          .select(col("a").cast("long"), col("b").cast("long"))
+          .as[(Long, Long)]
+          .coalesce(1)
+          .mapPartitions { it =>
+            var es = it.toArray
+            val deg = scala.collection.mutable.LongMap.empty[Long]
+            def degrees(): Unit = {
+              deg.clear()
+              es.foreach { case (a, _) => deg(a) = deg.getOrElse(a, 0L) + 1L }
+            }
+            for (_ <- 1 to rounds) {
+              degrees()
+              // simultaneous removal: this round's survivor set is
+              // decided entirely from the round-entry degrees
+              es = es.filter { case (a, b) =>
+                deg.getOrElse(a, 0L) >= k && deg.getOrElse(b, 0L) >= k }
+            }
+            degrees()
+            deg.iterator.map { case (n, d) => (n, d) }
+          }
+          .toDF("node", "core_deg")
+        cutLineage(s, peeled) // node-cardinality result; drop edge lineage
+      } else kCoreDistributed(edges, k, rounds)
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** Distributed peel round: one degree aggregate + a two-sided
+    * survivor semi-filter per round, edges streamed never self-joined
+    * — the shape that scales to corpus-sized graphs. */
+  private[graft] def kCoreDistributed(undirected: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     var alive = undirected.persistMemDisk
     // size-conditional survivor-set hint: measured ONCE on the initial

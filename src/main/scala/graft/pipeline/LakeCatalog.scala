@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -46,6 +46,22 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   // implementation so the two read paths can never drift.
   private[graft] def tablePath(name: String): String =
     LakeMeta.tablePath(warehouseDir, name)
+
+  /** The current generation's data directory (pointer-resolved) —
+    * where data files actually live; [[tablePath]] is the container.
+    * Callers that capture this path read a snapshot-isolated
+    * generation (see [[TableCommit]]). */
+  private[graft] def dataPath(name: String): String =
+    LakeMeta.dataPath(warehouseDir, name)
+
+  /** Ensure the table exists in generation layout (creating an empty
+    * first generation / migrating a legacy dir) and return its data
+    * directory. Every write path funnels through this. */
+  private def ensureTable(name: String): Path = {
+    val parts = name.split('.')
+    require(parts.length == 2, s"expected namespace.table, got $name")
+    TableCommit.ensureTable(warehouseDir, parts(0), parts(1))
+  }
 
   private def snapshotLogPath(name: String) =
     LakeMeta.snapshotLogPath(warehouseDir, name)
@@ -98,14 +114,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     Files.createDirectories(Paths.get(s"$warehouseDir/$ns"))
   }
 
-  private def recoverIfPending(name: String): Unit = {
-    val parts = name.split('.')
-    if (parts.length == 2)
-      TableCommit.recoverIfPending(warehouseDir, parts(0), parts(1))
-  }
-
   def tableExists(name: String): Boolean = {
-    recoverIfPending(name) // crashed swap → roll the commit forward
     val p = Paths.get(tablePath(name))
     if (!Files.exists(p)) return false
     val stream = Files.list(p)
@@ -120,22 +129,58 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * directory, which is what makes snapshot reads (`tableAsOf`) a
     * partition-pruned filter instead of a file-level manifest. */
   def append(name: String, df: DataFrame, partitionTs: Option[String] = None): Unit = {
+    appendCommit(name, df, partitionTs, batchId = None)
+    ()
+  }
+
+  /** EXACTLY-ONCE append keyed by an external `batchId` (the
+    * Structured Streaming foreachBatch epoch): foreachBatch delivers
+    * at least once, so a replayed micro-batch must not land a second
+    * snapshot. The batch id rides the snapshot-log line; a replay
+    * whose id is already logged is a no-op, and a crash AFTER the
+    * commit-dir rename but BEFORE the log line leaves an unlogged
+    * orphan dir that the retry deletes and rewrites (the log line is
+    * the append's commit point). Returns true iff this call applied
+    * the batch. See [[graft.streaming.EventStreams.priceStreamToLake]]
+    * — the streaming sink this closes the r14 Next #6 gap for. */
+  def appendExactlyOnce(name: String, df: DataFrame, batchId: Long,
+      partitionTs: Option[String] = None): Boolean = {
+    if (LakeMeta.batchApplied(warehouseDir, name, batchId)) return false
+    appendCommit(name, df, partitionTs, batchId = Some(batchId))
+    true
+  }
+
+  /** Shared append body: stage the commit's files into a dot-prefixed
+    * sibling, promote with ONE atomic directory rename, then log. A
+    * crash mid-write leaves invisible staging residue; a crash between
+    * rename and log leaves an unlogged `commit=N` dir that the next
+    * append for the same id (the log line count is unchanged) deletes
+    * before promoting its own — so a commit is visible to snapshot
+    * queries exactly when its log line exists. */
+  private def appendCommit(name: String, df: DataFrame,
+      partitionTs: Option[String], batchId: Option[Long]): Unit = {
+    val dataRoot = ensureTable(name)
     val id = nextSnapshotId(name)
-    val commitPath = s"${tablePath(name)}/$commitCol=$id"
+    val commitPath = dataRoot.resolve(s"$commitCol=$id")
+    val stage = dataRoot.resolve(
+      s".append_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val writer = partitionTs match {
       case Some(ts) =>
         df.withColumn(partitionColFor(ts), to_date(col(ts)))
           .write.partitionBy(partitionColFor(ts))
       case None => df.write
     }
-    writer.mode(SaveMode.Append).parquet(commitPath)
+    writer.mode(SaveMode.Overwrite).parquet(stage.toString)
+    if (Files.exists(commitPath)) deleteRecursive(commitPath)
+    Files.move(stage, commitPath)
     // Fold this commit's schema into the sidecar (add-column evolution
     // happens HERE, once, driver-side — not on every read).
     saveSchema(name, appendReadSchema(name, df.schema, partitionTs))
     // Row count for the snapshot log comes from the WRITTEN parquet
     // footers (a driver-side metadata read) — counting the input df
     // would execute its whole plan a second time per commit.
-    logSnapshot(name, "append", parquetRowCount(commitPath), id)
+    logSnapshot(name, "append", parquetRowCount(commitPath.toString), id,
+      batchId)
   }
 
   /** The read schema after an append of `incoming` data columns:
@@ -178,36 +223,32 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
 
   /** W4 — full-refresh CTAS (`CREATE OR REPLACE TABLE ... AS SELECT`),
     * the dbt `materialized='table'` strategy (reference README.md:370,388).
-    * Materializes to a temp dir first so a mid-write failure never leaves
-    * the table truncated, then swaps atomically (rename). */
+    * Materializes a complete new GENERATION (data + schema sidecar) in
+    * an invisible staged dir, then publishes it through
+    * [[TableCommit.commitGeneration]] — which, INSIDE the commit lock,
+    * folds the live snapshot log + tags into the staged meta and
+    * appends this replace's own log line BEFORE the atomic pointer
+    * swap, so the committed generation is fully self-describing
+    * (including its own history entry) and a crash at any point leaves
+    * fully-old or fully-new, never a mix. */
   def createOrReplace(name: String, df: DataFrame): Unit = {
     val path = Paths.get(tablePath(name))
-    // dot-prefixed sibling: invisible to listings AND to parquet scans
-    // while being written; a complete self-describing generation
-    // (data + collocated sidecars) before the swap
+    // dot-prefixed namespace-level sibling: invisible to listings AND
+    // to parquet scans while being written
     val tmp = path.resolveSibling(
       ".__ctas_tmp_" + java.util.UUID.randomUUID().toString.replace("-", "") +
         "_" + path.getFileName)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // footer metadata count of the written files, not a second plan run
     val rows = parquetRowCount(tmp.toString)
-    // Build the new generation's sidecars INSIDE the staged dir before
-    // the swap: fresh schema; snapshot log and tags carried over from
-    // the live generation (a replace extends a table's history — the
-    // "replace" snapshot appends AFTER the swap, under the new id).
     val meta = tmp.resolve(LakeMeta.MetaDirName)
     Files.createDirectories(meta)
     Files.write(meta.resolve("schema.json"),
       StructType(df.schema.fields.map(_.copy(nullable = true)))
         .json.getBytes("UTF-8"))
-    Seq(snapshotLogPath(name), tagsPath(name)).foreach { old =>
-      if (Files.exists(old)) Files.copy(old, meta.resolve(old.getFileName))
-    }
-    TableCommit.withCommitLock(warehouseDir) {
-      val parts = name.split('.')
-      TableCommit.swapDirs(warehouseDir, parts(0), parts(1), tmp)
-    }
-    logSnapshot(name, "replace", rows)
+    val parts = name.split('.')
+    TableCommit.commitGeneration(warehouseDir, parts(0), parts(1), tmp,
+      logEntry = Some(("replace", rows)))
   }
 
   /** S5 — table scan by multi-part name. The physical partition
@@ -223,16 +264,16 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * warehouse with no sidecar (e.g. produced by an older build); its
     * result is then saved so the cost is paid at most once. */
   private def readTable(name: String): DataFrame = {
-    recoverIfPending(name)
-    readTable0(name)
-  }
-
-  private def readTable0(name: String): DataFrame = savedSchema(name) match {
-    case Some(sc) => spark.read.schema(sc).parquet(tablePath(name))
-    case None =>
-      val df = spark.read.option("mergeSchema", "true").parquet(tablePath(name))
-      saveSchema(name, df.schema)
-      df
+    // resolve the generation pointer ONCE: every path this frame scans
+    // belongs to one generation — snapshot-isolated, no rename window
+    val data = dataPath(name)
+    savedSchema(name) match {
+      case Some(sc) => spark.read.schema(sc).parquet(data)
+      case None =>
+        val df = spark.read.option("mergeSchema", "true").parquet(data)
+        saveSchema(name, df.schema)
+        df
+    }
   }
 
   def table(name: String): DataFrame = {
@@ -324,7 +365,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
         s"(rewrite snapshot ${rewriteFloor(name)}) — its files were folded away")
     // sweep retired dirs from a previously-crashed rollback
     import scala.jdk.CollectionConverters._
-    val root = Paths.get(tablePath(name))
+    val root = Paths.get(dataPath(name))
     val st0 = Files.list(root)
     try st0.iterator().asScala.toList
       .filter(_.getFileName.toString.startsWith(".rollback_old_"))
@@ -344,7 +385,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     doomed.foreach { commitDir =>
       removed += parquetRowCount(commitDir.toString)
       val retired = Paths.get(
-        s"${tablePath(name)}/.rollback_old_${commitDir.getFileName}")
+        s"${dataPath(name)}/.rollback_old_${commitDir.getFileName}")
       Files.move(commitDir, retired) // atomic retire — readers skip dot-dirs
       deleteRecursive(retired)       // purge
     }
@@ -368,13 +409,16 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   def cloneTable(src: String, dst: String): Long = {
     require(tableExists(src), s"clone source $src does not exist")
     require(src != dst, "clone source and destination must differ")
-    val srcRoot = Paths.get(tablePath(src))
-    val dstRoot = Paths.get(tablePath(dst))
-    if (Files.exists(dstRoot)) deleteRecursive(dstRoot)
-    Files.deleteIfExists(snapshotLogPath(dst))
-    Files.deleteIfExists(schemaPath(dst))
-    Files.deleteIfExists(tagsPath(dst))
-    Files.createDirectories(dstRoot.getParent)
+    val srcRoot = Paths.get(dataPath(src))
+    val dstContainer = Paths.get(tablePath(dst))
+    if (Files.exists(dstContainer)) deleteRecursive(dstContainer)
+    // the clone is built as a complete hidden GENERATION; the pointer
+    // write at the end is its commit point (a crash mid-clone leaves
+    // an unpointed container the next clone attempt replaces)
+    val genName = LakeMeta.GenPrefix +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val dstRoot = dstContainer.resolve(genName)
+    Files.createDirectories(dstRoot)
     var linked = 0L
     val stream = Files.walk(srcRoot)
     try stream.forEach { p =>
@@ -397,14 +441,12 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
         }
       }
     } finally stream.close()
-    Seq((snapshotLogPath(src), snapshotLogPath(dst)),
-        (schemaPath(src), schemaPath(dst)),
-        (tagsPath(src), tagsPath(dst))).foreach { case (a, b) =>
-      if (Files.exists(a)) {
-        Files.createDirectories(b.getParent)
-        Files.copy(a, b)
-      }
+    val dstMeta = dstRoot.resolve(LakeMeta.MetaDirName)
+    Files.createDirectories(dstMeta)
+    Seq(snapshotLogPath(src), schemaPath(src), tagsPath(src)).foreach { a =>
+      if (Files.exists(a)) Files.copy(a, dstMeta.resolve(a.getFileName))
     }
+    TableCommit.publishPointer(dstContainer, genName)
     linked
   }
 
@@ -524,7 +566,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     // append() would corrupt — so MERGE is restricted to CTAS tables,
     // mirroring the tableAsOf guard in the opposite direction.
     val rawCols = savedSchema(name).map(_.fieldNames.toSeq)
-      .getOrElse(spark.read.parquet(tablePath(name)).columns.toSeq)
+      .getOrElse(spark.read.parquet(dataPath(name)).columns.toSeq)
     require(!rawCols.contains(commitCol),
       s"mergeInto target $name has append/commit history; MERGE is " +
       "copy-on-write over CTAS tables only (append history would be lost)")
@@ -558,7 +600,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     val doomed = coalesce(predicate, lit(false))
     val keep = !doomed
     val rawCols = savedSchema(name).map(_.fieldNames.toSeq)
-      .getOrElse(spark.read.parquet(tablePath(name)).columns.toSeq)
+      .getOrElse(spark.read.parquet(dataPath(name)).columns.toSeq)
     if (!rawCols.contains(commitCol)) {
       val nDel = current.filter(doomed).count()
       if (nDel == 0L) return 0L
@@ -589,11 +631,11 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       // never loses its kept rows.
       var remaining = 0L
       affected.foreach { cid =>
-        val commitDir = Paths.get(s"${tablePath(name)}/$commitCol=$cid")
+        val commitDir = Paths.get(s"${dataPath(name)}/$commitCol=$cid")
         val kept = raw.filter(col(commitCol) === cid).filter(keep)
           .drop(commitCol)
-        val tmp = Paths.get(s"${tablePath(name)}/.delete_tmp_$cid")
-        val retired = Paths.get(s"${tablePath(name)}/.delete_old_$cid")
+        val tmp = Paths.get(s"${dataPath(name)}/.delete_tmp_$cid")
+        val retired = Paths.get(s"${dataPath(name)}/.delete_old_$cid")
         val writer = if (partCols.nonEmpty) kept.write.partitionBy(partCols: _*)
           else kept.write
         writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -621,7 +663,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * Idempotent; called at the head of [[deleteWhere]] and safe to run
     * any time under the same single-writer discipline as append. */
   def recoverDeletes(name: String): Unit = {
-    val root = Paths.get(tablePath(name))
+    val root = Paths.get(dataPath(name))
     if (!Files.exists(root)) return
     import scala.jdk.CollectionConverters._
     val entries = Files.list(root)
@@ -672,7 +714,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * directory walk + parquet footers, no executor job, no data read
     * — the same budget class as the snapshot log. */
   def files(name: String): DataFrame = {
-    val root = Paths.get(tablePath(name))
+    val root = Paths.get(dataPath(name))
     val schema = StructType(Seq(
       StructField("file_path", StringType),
       StructField("commit", LongType),
@@ -823,7 +865,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * next compact would fold again — acceptable for the emulation
     * (real Iceberg gets atomicity from its metadata swap). */
   def compact(name: String): Unit = {
-    val path = tablePath(name)
+    val path = dataPath(name)
     val raw = readTable(name)
     require(raw.columns.contains(commitCol),
       s"$name has no commit history (compact applies to append tables)")
@@ -859,7 +901,7 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
     * (the mart's own grain column), unlike the hidden day-partitions of
     * append tables. One snapshot logged per call. */
   def overwritePartitions(name: String, df: DataFrame, partitionCol: String): Unit = {
-    val path = tablePath(name)
+    val path = ensureTable(name).toString
     df.write
       .partitionBy(partitionCol)
       .option("partitionOverwriteMode", "dynamic")
@@ -967,9 +1009,9 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
       Left(spark.createDataFrame(
         java.util.Arrays.asList(reportRows: _*), reportSchema))
     } else {
+      val dataRoot = ensureTable(name)
       val id = nextSnapshotId(name)
-      Files.createDirectories(Paths.get(tablePath(name)))
-      val commitPath = Paths.get(s"${tablePath(name)}/$commitCol=$id")
+      val commitPath = dataRoot.resolve(s"$commitCol=$id")
       Files.move(staging, commitPath)
       saveSchema(name, appendReadSchema(name, df.schema, partitionTs))
       logSnapshot(name, "append_wap", parquetRowCount(commitPath.toString), id)
@@ -978,13 +1020,15 @@ final class LakeCatalog(spark: SparkSession, warehouseDir: String) {
   }
 
   private def logSnapshot(name: String, op: String, rows: Long,
-                          snapshotId: Long = -1L): Unit = {
+                          snapshotId: Long = -1L,
+                          batchId: Option[Long] = None): Unit = {
     val p = snapshotLogPath(name)
     Files.createDirectories(p.getParent)
     val id = if (snapshotId > 0) snapshotId else nextSnapshotId(name)
     val ts = java.time.Instant.now().toString
+    val batchField = batchId.map(b => s""","batch_id":$b""").getOrElse("")
     val line =
-      s"""{"committed_at":"$ts","snapshot_id":$id,"operation":"$op","added_records":$rows}\n"""
+      s"""{"committed_at":"$ts","snapshot_id":$id,"operation":"$op","added_records":$rows$batchField}\n"""
     Files.write(p, line.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }

@@ -162,8 +162,8 @@ object ThriftMultiProbe {
           // on the same table, so serialization can only come from
           // the `.graft_commit.lock` FILE lock. Invariant (as above):
           // the final table is entirely one writer's generation —
-          // 4 rows, one tag — with zero swap residue (no aside dirs,
-          // no staging leftovers, no pending commit journal).
+          // 4 rows, one tag — with zero staging residue and a pointer
+          // naming a complete generation.
           val xprocCmd = Seq("java", "-Xmx2g", "-cp",
             sys.props("java.class.path")) ++
             java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -173,13 +173,19 @@ object ThriftMultiProbe {
           val xproc = new ProcessBuilder(xprocCmd: _*)
             .redirectErrorStream(true).redirectOutput(xprocOut).start()
           var probeCommits = 0
-          while (xproc.isAlive) {
+          // wall-clock deadline on the race loop: a hung forked JVM
+          // (Spark startup stall) must fail the probe with its log,
+          // not spin CREATE OR REPLACE forever and hang the verify run
+          val raceDeadline = System.currentTimeMillis() + 120000L
+          while (xproc.isAlive &&
+              System.currentTimeMillis() < raceDeadline) {
             writer.createStatement().execute(
               """CREATE OR REPLACE TABLE graft.raw.race_xp AS
                 |SELECT u.i AS id, 'probe' AS tag
                 |FROM (SELECT explode(sequence(1, 4)) AS i) u""".stripMargin)
             probeCommits += 1
           }
+          if (xproc.isAlive) xproc.destroyForcibly()
           val xprocDone = xproc.waitFor(120,
             java.util.concurrent.TimeUnit.SECONDS)
           val xprocLog = new String(
@@ -196,12 +202,17 @@ object ThriftMultiProbe {
           val residue = {
             val st = java.nio.file.Files.list(nsDir)
             try st.iterator().asScala.map(_.getFileName.toString)
-              .count(n => n.startsWith(".__old_") ||
-                n.startsWith(".__ctas_tmp_") || n.startsWith("__stage_"))
+              .count(n => n.startsWith(".__ctas_tmp_") ||
+                n.startsWith("__stage_"))
             finally st.close()
           }
-          val journalPending = java.nio.file.Files.exists(
-            java.nio.file.Paths.get(wh, "_commits", "raw__race_xp.json"))
+          // pointer-commit health: the raced table must have a pointer
+          // naming an existing, complete generation (data + meta)
+          val xpContainer = java.nio.file.Paths.get(wh, "raw", "race_xp")
+          val brokenPointer = !TableCommit.currentGen(xpContainer)
+            .exists(g => java.nio.file.Files.isDirectory(
+              xpContainer.resolve(g).resolve(
+                graft.pipeline.LakeMeta.MetaDirName)))
           import spark.implicits._
           Seq(
             ("mart_rows", nRows),
@@ -222,7 +233,7 @@ object ThriftMultiProbe {
               if (xRows == 4L && xTags == 1L && probeCommits >= 1) 1L
               else 0L),
             ("xproc_no_residue",
-              if (residue == 0 && !journalPending) 1L else 0L)
+              if (residue == 0 && !brokenPointer) 1L else 0L)
           ).toDF("check_name", "val")
             .createOrReplaceTempView("multi_receipt_rows")
           spark.sql(
@@ -235,9 +246,9 @@ object ThriftMultiProbe {
             s"concurrent-writer race torn: rows=$raceRows tags=$raceTags" +
               s" committed=$raceCommitted")
           require(xRows == 4L && xTags == 1L && residue == 0 &&
-            !journalPending,
+            !brokenPointer,
             s"cross-process race torn: rows=$xRows tags=$xTags " +
-              s"residue=$residue journal=$journalPending")
+              s"residue=$residue brokenPointer=$brokenPointer")
         } finally { writer.close(); reader.close() }
         println("THRIFT_MULTI_OK")
       } finally h.stop()

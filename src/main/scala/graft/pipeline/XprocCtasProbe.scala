@@ -5,10 +5,11 @@ package graft.pipeline
   * `raw.race_xp` in its own SparkSession while the spawning JVM
   * (ThriftMultiProbe) races V2 staged CTAS commits on the same table
   * through the same warehouse. Both surfaces funnel into
-  * [[TableCommit.swapDirs]], so the race exercises the FILE-LOCK half
-  * of `withCommitLock` — the JVM monitor cannot serialize two
-  * processes. The invariant asserted by the spawner: the final table
-  * is entirely one writer's generation with zero swap residue.
+  * [[TableCommit.commitGeneration]], so the race exercises the
+  * FILE-LOCK half of `withCommitLock` — the JVM monitor cannot
+  * serialize two processes. The invariant asserted by the spawner:
+  * the final table is entirely one writer's generation behind a
+  * healthy pointer, with zero staging residue.
   *
   * args: warehouse dir, tag, iterations. Prints XPROC_OK on success.
   */

@@ -68,9 +68,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.warehouse"))
     Files.createDirectories(Paths.get(warehouse))
-    // resolve every crash-pending commit once per catalog instance —
-    // lazy per-table recovery only fires on that table's next access
-    graft.pipeline.TableCommit.recoverAll(warehouse)
+    // pointer commits need no roll-forward; this sweeps aged-out
+    // retired/orphaned generations and abandoned staging residue,
+    // and finishes any interrupted legacy-layout migration
+    graft.pipeline.TableCommit.sweep(warehouse)
   }
 
   override def name(): String = catalogName
@@ -107,10 +108,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def tableExists(ident: Identifier): Boolean = {
     if (ident.namespace.length != 1) return false
-    // a crashed staged commit left a journal → roll it forward first,
-    // so existence reflects the committed generation
-    graft.pipeline.TableCommit.recoverIfPending(warehouse,
-      ident.namespace.head, ident.name)
+    // the pointer commit needs no read-side recovery: existence is the
+    // container directory, currency is whatever the pointer names
     Files.isDirectory(Paths.get(warehouse, ident.namespace.head, ident.name))
   }
 
@@ -186,8 +185,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val hidden = StructField(LakeMeta.CommitCol, LongType) +:
       partTs.map(ts => StructField(
         graft.plans.HiddenPartitionPruning.Prefix + ts, DateType)).toSeq
-    Files.createDirectories(Paths.get(warehouse, ident.namespace.head,
-      ident.name))
+    // an empty first generation + pointer, schema sidecar inside it —
+    // the declared schema commits as part of generation zero
+    graft.pipeline.TableCommit.ensureTable(warehouse,
+      ident.namespace.head, ident.name)
     val p = LakeMeta.schemaPath(warehouse, name)
     Files.createDirectories(p.getParent)
     Files.write(p, StructType(data ++ hidden).json.getBytes("UTF-8"))
@@ -402,19 +403,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   // hidden per-writer staging table (`__stage_<uuid>_<name>`, filtered
   // from listTables by the `_` prefix) — a complete self-describing
   // generation, since the schema/snapshot-log/tag sidecars are
-  // collocated inside the directory — and the swap into place is one
-  // critical section under a per-warehouse commit lock (JVM monitor +
-  // cross-process file lock): last-commit-wins for CREATE OR REPLACE,
-  // explicit TableAlreadyExists refusal for plain CTAS. The swap
-  // itself is TableCommit's journaled roll-forward protocol, so a
-  // crash mid-commit recovers to fully-old or fully-new with matching
-  // sidecars (never a torn table, never half-moved metadata); see
-  // TableCommit's scaladoc for the reader-visibility caveat — the
-  // two-rename replace window — which is the one non-guarantee left.
-  // This is the optimistic-concurrency shape of Iceberg's catalog
-  // swap (writers work isolated, the commit is a metadata CAS); at
-  // 100 TB the critical section stays metadata-grain — one journal
-  // file plus two directory renames, never a data copy.
+  // collocated inside its generation directory — and the publish is
+  // one critical section under a per-warehouse commit lock (JVM
+  // monitor + cross-process file lock): last-commit-wins for CREATE
+  // OR REPLACE, explicit TableAlreadyExists refusal for plain CTAS.
+  // The publish itself is TableCommit's generation-pointer commit
+  // (the staging table's generation moves into the target container,
+  // then ONE atomic pointer-file replace) — a crash at any point
+  // leaves fully-old or fully-new with matching sidecars, readers
+  // resolve the pointer and never observe a rename window, and
+  // residue GCs by age. This is the optimistic-concurrency shape of
+  // Iceberg's catalog swap (writers work isolated, the commit is a
+  // metadata CAS); at 100 TB the critical section stays metadata-
+  // grain — one directory rename plus one pointer replace, never a
+  // data copy.
 
   import org.apache.spark.sql.connector.catalog.{StagedTable, TableInfo}
   import org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -453,14 +455,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** The atomic swap: one per-warehouse critical section handing the
-    * fully-written staging directory (sidecars inside) to
-    * [[graft.pipeline.TableCommit.swapDirs]] — the journaled,
-    * crash-recoverable rename protocol. Concurrency contract
-    * re-checked INSIDE the lock: plain CTAS refuses if a rival
-    * committed first (TableAlreadyExists, staging cleaned up);
-    * REPLACE requires the table still exist; CREATE OR REPLACE is
-    * last-commit-wins. */
+  /** The atomic publish: one per-warehouse critical section handing
+    * the staging table's fully-written GENERATION directory (sidecars
+    * inside) to [[graft.pipeline.TableCommit.commitGeneration]] — the
+    * pointer-swap commit. Concurrency contract re-checked INSIDE the
+    * lock: plain CTAS refuses if a rival committed first
+    * (TableAlreadyExists, staging cleaned up); REPLACE requires the
+    * table still exist; CREATE OR REPLACE is last-commit-wins. The
+    * staged meta publishes as-is (its own write already logged one
+    * snapshot line), so `logEntry = None`. */
   private def commitStaged(ident: Identifier, tmp: Identifier,
       mode: StageMode): Unit =
     graft.pipeline.TableCommit.withCommitLock(warehouse) {
@@ -477,8 +480,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
         case StageCreateOrReplace => ()
       }
-      graft.pipeline.TableCommit.swapDirs(warehouse, ident.namespace.head,
-        ident.name, Paths.get(warehouse, tmp.namespace.head, tmp.name))
+      val tmpContainer = Paths.get(warehouse, tmp.namespace.head, tmp.name)
+      val gen = graft.pipeline.TableCommit.currentGen(tmpContainer)
+        .getOrElse(throw new IllegalStateException(
+          s"staging table ${tmp.name} has no committed generation"))
+      graft.pipeline.TableCommit.commitGeneration(warehouse,
+        ident.namespace.head, ident.name, tmpContainer.resolve(gen),
+        logEntry = None)
+      deleteRecursive(tmpContainer) // staging container residue
     }
 
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =

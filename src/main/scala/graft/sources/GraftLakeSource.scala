@@ -118,9 +118,15 @@ private[graft] object GraftLakeSource {
   def mkTable(warehouse: String, name: String, snapshotId: Option[Long],
       options: CaseInsensitiveStringMap, writable: Boolean): GraftLakeTable = {
     val spark = SparkSession.active
-    val dir = Paths.get(LakeMeta.tablePath(warehouse, name))
+    require(Files.isDirectory(
+      Paths.get(LakeMeta.tablePath(warehouse, name))),
+      s"no such table directory: ${LakeMeta.tablePath(warehouse, name)}")
+    // resolve the generation pointer ONCE: the scan reads exactly one
+    // complete generation, snapshot-isolated against concurrent
+    // commits (see TableCommit) — no rename window to observe
+    val dir = Paths.get(LakeMeta.dataPath(warehouse, name))
       .toAbsolutePath.normalize()
-    require(Files.isDirectory(dir), s"no such table directory: $dir")
+    require(Files.isDirectory(dir), s"no such table data directory: $dir")
 
     // Refuse to serve a table left in a recoverable-but-unrecovered
     // crash state: a deleteWhere/upsert/rollback interrupted between

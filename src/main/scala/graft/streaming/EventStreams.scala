@@ -482,16 +482,24 @@ object EventStreams {
     * of raw price rows into the LakeCatalog via foreachBatch — the
     * Trigger.AvailableNow file-stream mapping of SURVEY §2.9. Each
     * micro-batch commits one snapshot, exactly like the hourly Airflow
-    * tick. */
+    * tick — through [[graft.pipeline.LakeCatalog.appendExactlyOnce]],
+    * so the at-least-once epoch delivery of foreachBatch lands each
+    * batch as EXACTLY one snapshot: a replayed epoch whose batch id is
+    * already in the snapshot log is a no-op, and a crash between the
+    * commit-dir rename and the log line is healed by the retry (the
+    * log line is the append's commit point). This is the r14 Next #6
+    * closure: the streaming sink rides the same commit discipline as
+    * every batch write surface. */
   def priceStreamToLake(prices: DataFrame, catalog: graft.pipeline.LakeCatalog,
                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     prices.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          catalog.append(graft.pipeline.Ingest.RawTable, batch,
-            partitionTs = Some("extracted_at"))
+          catalog.appendExactlyOnce(graft.pipeline.Ingest.RawTable, batch,
+            batchId, partitionTs = Some("extracted_at"))
+        ()
       }
       .start()
 

@@ -91,4 +91,20 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(tag === SparkEntry.fixtureTag(TestSpark.sfDir, src))
     assert(tag !== SparkEntry.fixtureTag("/some/other/dir", src))
   }
+
+  test("Graph projection cache is bounded across sessions (r14 ADVICE: " +
+      "per-connection Thrift clones must not pin dead sessions forever)") {
+    // churn more cloned sessions through the cache than its bound;
+    // eviction unpersists the eldest's frames so dead session graphs
+    // become collectible, and the map can never exceed the cap
+    (1 to 12).foreach { _ =>
+      val clone = TestSpark.spark.newSession()
+      graft.operators.Graph.tradePairs(clone, TestSpark.sfDir).count()
+    }
+    assert(graft.operators.Graph.cachedSessionCount <= 8,
+      s"cache grew past its bound: ${graft.operators.Graph.cachedSessionCount}")
+    // the primary session still works after evictions (re-arm path)
+    assert(graft.operators.Graph
+      .tradePairs(TestSpark.spark, TestSpark.sfDir).count() > 0L)
+  }
 }

@@ -144,7 +144,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(facade.table("raw.bitcoin_prices").count() === 5L)
     // the append landed day-partitioned like every facade commit
     assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
-      s"$wh/raw/bitcoin_prices/commit=5/graft_days_extracted_at=2026-01-05")))
+      graft.pipeline.LakeMeta.dataPath(wh, "raw.bitcoin_prices"),
+      "commit=5/graft_days_extracted_at=2026-01-05")))
 
     spark.sql(s"INSERT OVERWRITE $cat.raw.mart " +
       "SELECT id, price_usd FROM VALUES (9L, 9.0) AS t(id, price_usd)")
@@ -182,7 +183,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     Seq((1L, java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
       .toDF("k", "ts").writeTo(s"$cat.raw.fresh").append()
     assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
-      s"$wh/raw/fresh/commit=1/graft_days_ts=2026-02-01")))
+      graft.pipeline.LakeMeta.dataPath(wh, "raw.fresh"),
+      "commit=1/graft_days_ts=2026-02-01")))
     assert(spark.table(s"$cat.raw.fresh").columns.toSeq === Seq("k", "ts"))
     spark.sql(s"DROP TABLE $cat.raw.fresh")
   }
@@ -202,7 +204,8 @@ class GraftCatalogSpec extends AnyFunSuite {
   test("crash-state refusal: an unrecovered .delete_tmp_* dir makes " +
       "catalog and path-mount reads fail loudly, not drop rows") {
     val marker = java.nio.file.Paths.get(
-      s"$wh/raw/bitcoin_prices/.delete_tmp_99")
+      graft.pipeline.LakeMeta.dataPath(wh, "raw.bitcoin_prices"),
+      ".delete_tmp_99")
     java.nio.file.Files.createDirectories(marker)
     try {
       val e = intercept[Exception] {

@@ -67,6 +67,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kCore: the single-task peel and the distributed iteration " +
+      "agree exactly (same fixed-round simultaneous-removal semantics)") {
+    val s = spark
+    import s.implicits._
+    // K4 core + pendant chain + a triangle that survives k=2 only
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val extra = Seq((4L, 5L), (5L, 6L), (7L, 8L), (8L, 9L), (9L, 7L))
+    val und = (k4 ++ extra)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("a", "b")
+    for ((k, rounds) <- Seq((2, 1), (2, 3), (3, 2), (3, 4))) {
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+      assert(m(Graph.kCoreOnEdges(und, k, rounds)) ===
+        m(Graph.kCoreDistributed(und, k, rounds)),
+        s"paths diverge at k=$k rounds=$rounds")
+    }
+  }
+
   test("kCoreOnEdges: a chain fully peels to the empty core") {
     val s = spark
     import s.implicits._

@@ -425,7 +425,7 @@ class LakeCatalogSpec extends AnyFunSuite {
     // simulate a crashed earlier rollback: a leftover retired dir must
     // be invisible to readers and swept on the next rollback
     val junk = java.nio.file.Paths.get(
-      cat.tablePath("raw.r"), ".rollback_old_junk")
+      cat.dataPath("raw.r"), ".rollback_old_junk")
     java.nio.file.Files.createDirectories(junk)
     assert(cat.rollbackTo("raw.r", 2L) === 1L)
     assert(!java.nio.file.Files.exists(junk))
@@ -506,11 +506,11 @@ class LakeCatalogSpec extends AnyFunSuite {
       cat.currentSnapshotId("raw.src"))
     // zero-copy: a data file in the clone shares its inode with the src
     val srcFile = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(cat.tablePath("raw.src")))
+        java.nio.file.Paths.get(cat.dataPath("raw.src")))
       .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-    val rel = java.nio.file.Paths.get(cat.tablePath("raw.src"))
+    val rel = java.nio.file.Paths.get(cat.dataPath("raw.src"))
       .relativize(srcFile)
-    val dstFile = java.nio.file.Paths.get(cat.tablePath("raw.dst"))
+    val dstFile = java.nio.file.Paths.get(cat.dataPath("raw.dst"))
       .resolve(rel)
     assert(java.nio.file.Files.isSameFile(srcFile, dstFile) ||
       java.nio.file.Files.getAttribute(srcFile, "unix:ino") ==

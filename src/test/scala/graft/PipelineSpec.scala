@@ -82,7 +82,8 @@ class PipelineSpec extends AnyFunSuite {
     p.runOnceIncremental(Some(dayTs(10, 1)))
     p.runOnceIncremental(Some(dayTs(11, 1)))
     val day10Dir = java.nio.file.Paths.get(
-      s"$wh/raw/fct_bitcoin_daily_inc/extraction_date=2026-08-10")
+      graft.pipeline.LakeMeta.dataPath(wh, "raw.fct_bitcoin_daily_inc"),
+      "extraction_date=2026-08-10")
     import scala.jdk.CollectionConverters._
     def listing = {
       val s = java.nio.file.Files.list(day10Dir)

@@ -89,6 +89,33 @@ else:
         print(f"PASS bench-exclusions: all {len(excl)} fixture gates exist "
               "in the registry")
 
+    # 3b. Exclusion-receipt table (r14 verdict Next #7): every excluded
+    #     gate must carry a one-line justification in BASELINE.md's
+    #     "Bench-exclusion receipts" table, and the table must not list
+    #     gates that are no longer excluded — the exclusion list cannot
+    #     silently grow (or rot) without a receipt.
+    baseline = open(os.path.join(REPO, "BASELINE.md")).read()
+    mark = "### Bench-exclusion receipts"
+    if mark not in baseline:
+        print("FAIL bench-exclusion-receipts: table missing from BASELINE.md")
+        fail = 1
+    else:
+        sect = baseline.split(mark, 1)[1]
+        nxt = sect.find("\n## ")
+        nxt2 = sect.find("\n### ")
+        end = min(x for x in (nxt, nxt2, len(sect)) if x >= 0)
+        receipts = {m for m in re.findall(r"^\| (q_[a-z0-9_]+) \|",
+                                          sect[:end], re.M)}
+        missing = excl - receipts
+        stale = receipts - excl
+        if missing or stale:
+            print(f"FAIL bench-exclusion-receipts: missing={sorted(missing)} "
+                  f"stale={sorted(stale)}")
+            fail = 1
+        else:
+            print(f"PASS bench-exclusion-receipts: {len(receipts)} receipt "
+                  "lines, exact match with notQueries")
+
 # 4. orphan-operator check: public defs in operators/ must be reachable
 #    from a gate (SparkEntry) or a spec (src/test). Names referenced
 #    only from other main-source files (e.g. ScaleSmoke) do NOT count —
