@@ -50,10 +50,17 @@ object Explain {
         // (one partial-merged aggregate, no per-group sort), and the
         // bounded-side-broadcast non-equi joins (spine must BuildLeft)
         "q_naive_bayes", "q_sample_quantiles", "q_stickiness")
+    // r15: FORMATTED is the audit mode (numbered operators, per-node
+    // details incl. PushedFilters/ReadSchema); SIMPLE remains available
+    // via SPARK_GRAFT_EXPLAIN_MODE=simple for the legacy flagship sweep.
+    val mode =
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN_MODE").contains("simple"))
+        org.apache.spark.sql.execution.SimpleMode
+      else org.apache.spark.sql.execution.FormattedMode
     for (n <- names) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+        mode))
     }
     spark.stop()
   }

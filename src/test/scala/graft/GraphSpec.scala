@@ -145,21 +145,33 @@ class GraphSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val lpaH = Graph.lpaOnEdges(spark, und, iters = 4)
+      // r15: the small-graph gate routes these public entry points
+      // through the single-task kernels, so the hash-path plan-shape
+      // checks must drive the Distributed implementations directly —
+      // which also asserts kernel ≡ distributed-hash equality.
+      val lpaH = Graph.lpaDistributed(spark, und, iters = 4)
       assert(!lpaH.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"),
         "label-vector join must not force a broadcast past the ceiling")
       assert(lpaH.collect()
         .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("community"))
         .toMap === lpaB)
-      val coreH = Graph.kCoreOnEdges(und, k = 2, rounds = 3)
+      val coreH = Graph.kCoreDistributed(und, k = 2, rounds = 3)
       assert(!coreH.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"),
         "survivor-set joins must not force a broadcast past the ceiling")
       assert(coreH.collect()
         .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg"))
         .toMap === coreB)
-      assert(ranks() === prB, "pageRank hash path must match broadcast path")
+      import org.apache.spark.sql.functions.col
+      val cs = Graph.tradeParityEdges(spark, TestSpark.sfDir)
+      val sfEdges = cs.unionByName(
+        cs.select(col("b").as("a"), col("a").as("b")))
+      val prH = Graph.pageRankDistributed(spark, sfEdges, 3, 0.85)
+        .collect().map(r => r.getAs[Long]("node") ->
+          (math.floor(r.getAs[Double]("rank") * 10000 + 0.5 + 1e-6) / 10000))
+        .toMap
+      assert(prH === prB, "pageRank hash path must match the kernel path")
     } finally {
       spark.conf.unset("spark.graft.graph.broadcastMaxNodes")
       spark.conf.unset("spark.sql.adaptive.enabled")
@@ -176,6 +188,61 @@ class GraphSpec extends AnyFunSuite {
     assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
     val nodes = a.map(_._1).toSet
     assert(a.forall { case (_, label) => nodes(label) })
+  }
+
+  test("r15 single-task kernels ≡ distributed iterations on the " +
+      "sf0.001 trade graph (every fixed-point family)") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    val dir = TestSpark.sfDir
+    val cs = Graph.tradeParityEdges(s, dir)
+    val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
+    def dm(df: org.apache.spark.sql.DataFrame, k: String, v: String) =
+      df.collect().map(r => r.getAs[Long](k) -> r.getAs[Double](v)).toMap
+    def close(a: Map[Long, Double], b: Map[Long, Double], what: String,
+        tol: Double = 1e-9): Unit = {
+      assert(a.keySet === b.keySet, s"$what: node sets diverge")
+      a.foreach { case (n, va) =>
+        assert(math.abs(va - b(n)) <= tol, s"$what: node $n $va vs ${b(n)}")
+      }
+    }
+    // pagerank / ppr / katz: raw vectors within FP-reorder tolerance
+    close(dm(Graph.prKernel(edges, 3, 0.85, personalized = false),
+        "node", "rank"),
+      dm(Graph.pageRankDistributed(s, edges, 3, 0.85), "node", "rank"),
+      "pageRank")
+    close(dm(Graph.prKernel(edges, 3, 0.85, personalized = true),
+        "node", "rank"),
+      dm(Graph.pprDistributed(s, edges, 3, 0.85), "node", "rank"),
+      "personalized pageRank")
+    close(dm(Graph.katzKernel(edges, 3, 0.05), "node", "x"),
+      dm(Graph.katzDistributed(s, edges, 3, 0.05), "node", "x"), "katz")
+    // hits: per-iteration q6 quantization → at most one 1e-6 grid step
+    val he = Graph.tradePairs(s, dir)
+      .select(col("cust").as("c"), col("supp").as("p"))
+    def hm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("key")) ->
+        r.getAs[Double]("score")).toMap
+    val (hK, hD) = (hm(Graph.hitsKernel(he, 2)), hm(Graph.hitsDistributed(s, he, 2)))
+    assert(hK.keySet === hD.keySet)
+    hK.foreach { case (k, v) =>
+      assert(math.abs(v - hD(k)) <= 1.1e-6, s"hits $k: $v vs ${hD(k)}") }
+    // integer families: exact equality
+    def im(df: org.apache.spark.sql.DataFrame, k: String, v: String) =
+      df.collect().map(r => r.getAs[Long](k) -> r.getAs[Int](v)).toMap
+    assert(im(Graph.bfsKernel(edges, 3), "node", "dist") ===
+      im(Graph.bfsHopsDistributed(s, edges, 3), "node", "dist"), "bfsHops")
+    def sm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Long]("node")) ->
+        r.getAs[Int]("dist")).toMap
+    val seeds = Seq(1L, 2L, 3L, 4L, 5L).map(_ * 2)
+    assert(sm(Graph.seededBfsKernel(edges, seeds, 4)) ===
+      sm(Graph.seededBfsDistributed(s, edges, seeds, 4)), "seededBfs")
+    assert(Graph.lpaKernel(edges, 4).collect()
+        .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("community")).toMap
+      === Graph.lpaDistributed(s, edges, 4).collect()
+        .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("community")).toMap,
+      "lpa")
   }
 
   test("triangleCounts equals the brute-force 3-clique enumeration") {
