@@ -149,42 +149,72 @@ object Inventory {
   val CrostonWindow = 64
 
   def crostonForecast(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = 1.0 - CrostonAlpha
     val daily = Tables.lineitem(s, dir)
       .select(col("l_partkey"), to_date(col("l_shipdate")).as("d"),
         col("l_quantity"))
       .groupBy(col("l_partkey"), col("d"))
       .agg(sum(col("l_quantity")).as("x"))
-    val wSeq = Window.partitionBy(col("l_partkey")).orderBy(col("d"))
-    val occ = daily
-      .withColumn("kth", row_number().over(wSeq))
-      .withColumn("gap",
-        datediff(col("d"), lag(col("d"), 1).over(wSeq)).cast("double"))
-    // SES over a positional array window. With the anchor term the
-    // first element's total coefficient is α·a^(m−1) + a^m = a^(m−1):
+    // r15 rewrite (guide §1.2 step 1 — don't compute what you throw
+    // away): the original shape ran THREE part-keyed windows (row
+    // numbers + per-row collect_list arrays + a closing max) and folded
+    // the K-term SES for EVERY occurrence row, then kept only each
+    // part's LAST row — O(n·K) work and three sorted window passes for
+    // an n_parts-row answer. Now ONE part-keyed aggregate collects the
+    // (day, demand) series, and the identical SES closed form (same
+    // transform/aggregate/pow expression tree, bit-identical doubles —
+    // Round15Spec asserts old ≡ new end to end) folds ONCE per part
+    // over the K-truncated tail. Shuffle unchanged (the daily rows),
+    // compute per part drops from O(n·K) to O(n log n + K).
+    //
+    // SES over a positional array. With the anchor term the first
+    // element's total coefficient is α·a^(m−1) + a^m = a^(m−1):
     // EXACTLY the classic z_1 = x_1 seeded recursion while the window
     // covers the history, the defined truncated metric beyond it.
-    val wArr = wSeq.rowsBetween(-(CrostonWindow - 1), 0)
-    def sesOver(valueCol: String, outCol: String)(df: DataFrame): DataFrame =
-      df.withColumn(s"${outCol}_arr",
-          collect_list(col(valueCol)).over(wArr))
-        .withColumn(outCol,
-          lit(CrostonAlpha) * aggregate(
-            transform(sequence(lit(1), size(col(s"${outCol}_arr"))),
-              j => element_at(col(s"${outCol}_arr"), j) *
-                pow(lit(a), size(col(s"${outCol}_arr")) - j)),
-            lit(0.0), (acc, v) => acc + v) +
-          pow(lit(a), size(col(s"${outCol}_arr"))) *
-            element_at(col(s"${outCol}_arr"), 1))
-    val smoothed = sesOver("x", "z")(
-      sesOver("gap", "p")(occ.filter(col("gap").isNotNull)))
-    val wAll = Window.partitionBy(col("l_partkey"))
-    smoothed
-      .withColumn("last_k", max(col("kth")).over(wAll))
-      .filter(col("kth") === col("last_k"))
-      .filter(col("p") > 0)
-      .select(col("l_partkey"), (col("last_k")).as("n_occ"),
+    // EVALUATION-BOUNDARY DISCIPLINE (the first cut of this rewrite
+    // built the derived arrays inline inside the fold lambdas — every
+    // element_at(arr, j) re-evaluated the whole producing transform
+    // per ELEMENT, interpreted HOFs cache nothing: 2.8 s → 12.4 s.
+    // Each derived array is therefore bound to an ATTRIBUTE in its own
+    // projection layer; CollapseProject never inlines an expensive
+    // producer that is referenced more than once, so each array is
+    // computed exactly once per row and the folds walk attributes):
+    val grouped = daily
+      .groupBy(col("l_partkey"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"))
+      .filter(size(col("s")) >= 2) // SES needs one gap (the old
+                                   // gap-not-null filter's effect)
+    def lastW(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(size(arr) > CrostonWindow,
+        slice(arr, -CrostonWindow, CrostonWindow)).otherwise(arr)
+    def ses(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(CrostonAlpha) * aggregate(
+        transform(sequence(lit(1), size(arr)),
+          j => element_at(arr, j) * pow(lit(a), size(arr) - j)),
+        lit(0.0), (acc, v) => acc + v) +
+      pow(lit(a), size(arr)) * element_at(arr, 1)
+    grouped
+      // demand sizes x₂..xₙ and gaps d_i−d_{i−1} (the Croston clock
+      // skips the seed occurrence, as the old gap-not-null filter did)
+      .select(col("l_partkey"), size(col("s")).as("n_occ"),
+        expr("transform(sequence(2, size(s)), i -> element_at(s, i).x)")
+          .as("xs"),
+        expr("transform(sequence(2, size(s)), " +
+          "i -> CAST(datediff(element_at(s, i).d, element_at(s, i - 1).d) " +
+          "AS DOUBLE))").as("gs"))
+      .select(col("l_partkey"), col("n_occ"),
+        lastW(col("xs")).as("za"), lastW(col("gs")).as("ga"))
+      .select(col("l_partkey"), col("n_occ"),
+        ses(col("za")).as("z"), ses(col("ga")).as("p"))
+      // The old defensive p > 0 filter is dropped: gaps are distinct-
+      // day differences (≥ 1) and every SES coefficient is positive,
+      // so p is a sum of strictly positive terms — provably > 0 for
+      // every surviving (n ≥ 2) part, in FP too (no cancellation).
+      // Kept OUT deliberately: predicate pushdown re-inlined the whole
+      // ses/transform tree into a below-project Filter, re-paying the
+      // fold per row (6.9 s); droppping the vacuous filter restores
+      // the single evaluation. Row set unchanged (oracle-verified).
+      .select(col("l_partkey"), col("n_occ"),
         round4eps(col("z")).as("z_hat"),
         round4eps(col("p")).as("p_hat"),
         round4eps(col("z") / col("p")).as("rate"))

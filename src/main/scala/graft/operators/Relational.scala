@@ -1653,6 +1653,13 @@ object Relational {
   def weightedMedian(s: SparkSession, dir: String): DataFrame = {
     def q6(c: Column): Column =
       floor(c * lit(1000000) + lit(0.5) + lit(1e-6)) / lit(1000000)
+    // r15: examined for a value-collapse pre-aggregation (guide §2.3 —
+    // aggregate before you shuffle); MEASURED and REJECTED: this
+    // corpus's unit price is near-unique per line (598 437 distinct v
+    // over 600 000 rows at sf0.1), so a (brand, v) pre-aggregate
+    // collapses nothing and just adds an exchange (2.40 → 2.52 s).
+    // The exact Percentile maps are the honest cost of an exact
+    // weighted median; left as is.
     Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir)
         .select(col("p_partkey"), col("p_brand"))),
@@ -2871,6 +2878,37 @@ object Relational {
     require(rows.length <= 500,
       s"recursiveIndex: calendar-bounded quarter frame expected, " +
         s"got ${rows.length} quarters")
+    import s.implicits._
+    // r15: the chained index is a strictly sequential scalar recursion
+    // over the ALREADY-COLLECTED calendar frame — executing it as a
+    // Spark `WITH RECURSIVE` paid one UnionLoop micro-job per quarter
+    // (~28 sequential jobs, 3.2 s of pure scheduling at sf0.1) to do
+    // nanoseconds of arithmetic. The chain now runs driver-side with
+    // BIT-IDENTICAL double arithmetic (same multiply-then-divide order,
+    // same floor quantizers as the SQL it replaces; Round15Spec asserts
+    // driver chain ≡ the original recursive-CTE formulation on the
+    // engine, which remains spec-covered there). Guide §1.2 step 1 /
+    // §5: the driver already held the data; zero extra distribution.
+    val sorted = rows.sortBy(_._1)
+    val level = new Array[Double](sorted.length)
+    if (sorted.nonEmpty) level(0) = 100.0
+    for (i <- 1 until sorted.length)
+      level(i) = math.floor(level(i - 1) * sorted(i)._2 / sorted(i - 1)._2
+        * 1000000 + 0.5 + 0.000001) / 1000000
+    val out = sorted.zipWithIndex.map { case ((rn, rev), i) =>
+      (rn.toLong, rev,
+        math.floor(level(i) * 10000 + 0.5 + 0.000001) / 10000)
+    }
+    s.createDataset(out).toDF("quarter_index", "rev", "chained_index")
+      .orderBy(col("quarter_index"))
+  }
+
+  /** The original Spark-side recursive-CTE formulation of
+    * [[recursiveIndex]]'s chain — kept as the engine-capability
+    * receipt (Round15Spec drives it and asserts equality with the
+    * driver chain). */
+  private[graft] def recursiveIndexViaCte(s: SparkSession,
+      rows: Seq[(Int, Double)]): DataFrame = {
     import s.implicits._
     s.createDataset(rows).toDF("rn", "rev")
       .createOrReplaceTempView("graft_rcte_months")

@@ -5172,8 +5172,32 @@ object Stats {
       .agg(round4eps(sum(col("o_totalprice")) / lit(1e6)).as("rev"))
       .select(col("d"),
         round(col("rev") * 10000).cast("long").as("v"))
+    // r15 (guide §1.2 step 2 — per-pair work): the tolerance test
+    // 25·Δ²·n² ≤ n·Σv² − (Σv)² ran TWO decimal(38,0) multiply chains
+    // per pair over the C(n,2) template join. All quantities are
+    // integers, so the inequality collapses to Δ ≤ T with ONE
+    // precomputed integer threshold:
+    //   T = max{ t ≥ 0 : 25·t²·n² ≤ X },  X = n·Σv² − (Σv)²
+    // computed once: X in exact decimal(38,0) (it passes 2⁶³ at bench
+    // scale), a double seed t0 = ⌊√X / (5n)⌋ (X exact before the one
+    // lossy cast, so t0 is within 1 of T), then two exact-decimal CASE
+    // probes pin T. The per-pair test is a pure long compare — the
+    // same pairs pass by construction; oracle re-verified at both SFs.
+    val dec38 = "decimal(38,0)"
+    def d38(c: org.apache.spark.sql.Column) = c.cast(dec38)
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
-      sum(col("v") * col("v")).as("svv"))
+        sum(col("v") * col("v")).as("svv"))
+      .withColumn("xq",
+        d38(d38(col("n")) * d38(col("svv")) - d38(col("sv")) * d38(col("sv"))))
+      .withColumn("t0",
+        floor(sqrt(col("xq").cast("double")) / (lit(5.0) * col("n")))
+          .cast("long"))
+      .withColumn("thr",
+        when(lit(25).cast(dec38) * d38(col("t0") + 1) * d38(col("t0") + 1) *
+            d38(col("n")) * d38(col("n")) <= col("xq"), col("t0") + 1)
+          .when(lit(25).cast(dec38) * d38(col("t0")) * d38(col("t0")) *
+            d38(col("n")) * d38(col("n")) <= col("xq"), col("t0"))
+          .otherwise(col("t0") - 1))
     val tpl = daily
       .withColumn("rn", row_number().over(w))
       .withColumn("v2", lead(col("v"), 1).over(w))
@@ -5186,23 +5210,13 @@ object Stats {
     val b = tpl.select(col("rn").as("rb"), col("v1").as("b1"),
       col("v2").as("b2"), col("v3").as("b3"))
     val cheb2 = greatest(abs(col("a1") - col("b1")), abs(col("a2") - col("b2")))
-    val cheb3 = greatest(abs(col("a1") - col("b1")),
-      abs(col("a2") - col("b2")), abs(col("a3") - col("b3")))
-    // 25·Δ²·n² ≤ n·Σv² − (Σv)²  ⇔  Δ ≤ 0.2σ (population σ). Exact
-    // decimal(38,0) arithmetic (the oracle's HUGEINT twin): the LHS
-    // can pass 2⁶³ at bench scale, where a silent non-ANSI long wrap
-    // would flip comparisons.
-    val dec = "decimal(38,0)"
-    def within(d2: org.apache.spark.sql.Column) =
-      lit(25L).cast(dec) * d2.cast(dec) * d2.cast(dec) *
-        col("n").cast(dec) * col("n").cast(dec) <=
-        col("n").cast(dec) * col("svv").cast(dec) -
-          col("sv").cast(dec) * col("sv").cast(dec)
+    val d3 = abs(col("a3") - col("b3"))
     a.join(b, col("ra") < col("rb"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(tot.select(col("n"), col("thr"))))
       .agg(max(col("n")).as("n_days"),
-        sum(when(within(cheb2), 1L).otherwise(0L)).as("b_count"),
-        sum(when(within(cheb3), 1L).otherwise(0L)).as("a_count"))
+        sum(when(cheb2 <= col("thr"), 1L).otherwise(0L)).as("b_count"),
+        sum(when(cheb2 <= col("thr") && d3 <= col("thr"), 1L)
+          .otherwise(0L)).as("a_count"))
       .select(col("n_days"), col("b_count"), col("a_count"),
         round4eps(-round6eps(log(col("a_count").cast("double") /
           col("b_count")))).as("sampen"))
