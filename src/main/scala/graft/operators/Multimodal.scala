@@ -275,7 +275,14 @@ object Multimodal {
   // decode defect (channel order, row stride, palette, gamma) breaks
   // the hash match. All kernels are map-side after the scan — content
   // bytes never shuffle, exactly like the stub path.
+  //
+  // r15 perf: ImageIO's default stream cache is FILE-backed — every
+  // read/write of these KB-scale payloads created and deleted a temp
+  // file. Memory-backed cache streams produce the identical bytes
+  // (executor-wide, thread-safe registry flag; set once at class
+  // load of this object, which every media kernel closure references).
   // ---------------------------------------------------------------
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** The documented pixel generator: channel values of pixel (x, y)
     * of image `id`. Small coprime multipliers make every channel, row
