@@ -31,23 +31,33 @@ object TextFunctions {
     * matching the oracle's list comprehension which yields [] for
     * them (a whole-text fallback shingle would make short docs
     * pairable in Spark but not in the oracle). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val w = words(text)
-    when(size(w) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(w) - lit(k)),
-        i => concat_ws(" ", slice(w, i + lit(1), lit(k))))))
-      .otherwise(typedlit(Seq.empty[String]))
-  }
+  /** Let-bind `v` to a lambda variable so the consuming expression
+    * references an EVALUATED value instead of re-evaluating the
+    * producing tree at every occurrence. Interpreted expressions (all
+    * higher-order functions) cache nothing: a producer referenced
+    * inside a lambda is otherwise recomputed per ELEMENT — wordShingles
+    * re-tokenized the document once per shingle (O(tokens²)) before
+    * r15. Pure expression rewrite; values unchanged. */
+  private def bind(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
+  def wordShingles(text: Column, k: Int): Column =
+    bind(words(text)) { w =>
+      when(size(w) >= k,
+        array_distinct(transform(
+          sequence(lit(0), size(w) - lit(k)),
+          i => concat_ws(" ", slice(w, i + lit(1), lit(k))))))
+        .otherwise(typedlit(Seq.empty[String]))
+    }
 
   /** Character n-grams of the lowercased text (language-ID features). */
-  def charNGrams(text: Column, n: Int): Column = {
-    val t = lower(text)
-    when(length(t) >= n,
-      transform(sequence(lit(1), length(t) - lit(n - 1)),
-        i => t.substr(i, lit(n))))
-      .otherwise(array(t))
-  }
+  def charNGrams(text: Column, n: Int): Column =
+    bind(lower(text)) { t =>
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - lit(n - 1)),
+          i => t.substr(i, lit(n))))
+        .otherwise(array(t))
+    }
 
   /** Jaccard similarity of two string arrays (exact, double). */
   def jaccard(a: Column, b: Column): Column =
@@ -115,16 +125,24 @@ object TextFunctions {
   /** Language-ID: argmax of per-language stopword hit counts; 'und'
     * (undetermined) when nothing matches. Pure column expression —
     * a 5-way greatest/when cascade, no shuffle, no UDF. */
-  def langId(text: Column): Column = {
-    val w = words(normalize(text))
-    val scores = langProfiles.map { case (lang, stops) =>
-      lang -> size(filter(w, x => x.isin(stops: _*)))
+  def langId(text: Column): Column =
+    // r15: the un-bound form re-evaluated normalize+split+filter up to
+    // ~30× per row (each `when` arm re-derived both its score and the
+    // 5-way `best`). Bind the token array, then bind the 5-score
+    // array; the cascade then reads O(1) lambda variables. Same
+    // scores, same first-match-in-profile-order tie rule.
+    bind(words(normalize(text))) { w =>
+      bind(array(langProfiles.map { case (_, stops) =>
+        size(filter(w, x => x.isin(stops: _*)))
+      }: _*)) { ss =>
+        val best = array_max(ss)
+        langProfiles.map(_._1).zipWithIndex
+          .foldRight(lit("und"): Column) { case ((lang, i), acc) =>
+            when(element_at(ss, i + 1) === best && best > 0, lit(lang))
+              .otherwise(acc)
+          }
+      }
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(acc)
-    }
-  }
 
   /** 64-bit SimHash over word unigrams: for each bit b the signature
     * bit is the majority vote of the words' xxhash64 bit b. Word

@@ -768,20 +768,32 @@ object Relational {
     * The wide 1-row result is then unpivoted driver-free via `stack`. */
   def analyzeStats(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = cols.flatMap { c =>
+    // r15 (guide §2.3): FOUR countDistinct aggregates in one Aggregate
+    // forced the multi-distinct Expand rewrite — every fact row
+    // duplicated 5× into the shuffle. Split instead into one
+    // distinct-free pass for the moment stats plus one SINGLE-distinct
+    // aggregate per column (each plans as a two-phase distinct with
+    // NDV-bounded shuffle, no Expand), recombined with 1-row broadcast
+    // cross joins. Same values, same output schema; Expand gone from
+    // the plan (plans/r15/q_analyze_stats_{before,after}.txt).
+    val momentAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}_n"),
         (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_ndv"),
         round4eps(min(col(c))).as(s"${c}_min"),
         round4eps(max(col(c))).as(s"${c}_max"),
         round4eps(avg(col(c))).as(s"${c}_mean"))
     }
+    val basic = Tables.lineitem(s, dir).agg(momentAggs.head,
+      momentAggs.tail: _*)
+    val withNdv = cols.foldLeft(basic) { (df, c) =>
+      df.crossJoin(broadcast(Tables.lineitem(s, dir)
+        .agg(countDistinct(col(c)).as(s"${c}_ndv"))))
+    }
     val stackArgs = cols.map(c =>
       s"'$c', ${c}_n, ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max, ${c}_mean")
       .mkString(", ")
-    Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, n_values, n_nulls, ndv, min_val, max_val, mean_val)")
+    withNdv.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+      "(col_name, n_values, n_nulls, ndv, min_val, max_val, mean_val)")
   }
 
   /** Equi-depth histogram of order totals — the other half of CBO

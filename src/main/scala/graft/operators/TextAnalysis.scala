@@ -310,16 +310,30 @@ object TextAnalysis {
     * back was 2.4× slower at sf0.1, a (doc,shingle)-keyed pre-count
     * was 2× slower at the 100× ScaleSmoke point.) */
   def noveltyScores(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    Tables.documents(s, dir)
+    // r15 (guide §2.3/§2.4): the shingle-partitioned window shuffled
+    // every (doc, shingle) row AND sorted it per shingle just to tag
+    // each row with min(doc_id). The same statistic needs two partial-
+    // aggregated rollups: per-doc shingle counts (doc-bounded shuffle)
+    // and per-shingle first-doc owners re-counted per doc (vocab- then
+    // doc-bounded) — no sort, map-side combining on both paths.
+    // wordShingles is array_distinct per doc, so (doc, sh) rows are
+    // already unique: "novel instances" per doc == number of shingles
+    // this doc introduced. Oracle re-verified at both SFs.
+    val inst = Tables.documents(s, dir)
       .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sh"))
-      .withColumn("first_doc", min(col("doc_id")).over(w))
+      .persistMemDisk
+    val perDoc = inst.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val novel = inst.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+      .agg(count(lit(1)).as("n_novel"))
+    val out = perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         round4eps(col("n_novel").cast("double") / col("n_shingles")))
+    out
   }
 
   /** Weighted sampling without replacement (Efraimidis–Spirtes,
@@ -1718,11 +1732,18 @@ object TextAnalysis {
     * pattern), while shingle types keep a live Zipf tail at every sf
     * (the same reason heapsLaw measures shingles). */
   private def shingleFreqs(s: SparkSession, dir: String): DataFrame =
+    // r15: split(text) was inlined THREE times in the shingle CASE —
+    // interpreted expressions re-evaluate every occurrence, so each
+    // document was tokenized three times per row. Bind the token array
+    // to an attribute in its own projection layer (same evaluation-
+    // boundary discipline as crostonForecast); the shingle values and
+    // counts are unchanged.
     Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("toks"))
       .select(explode(expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
-          "transform(sequence(0, size(split(text, ' ')) - 3), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) " +
+        "CASE WHEN size(toks) >= 3 THEN " +
+          "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 3))) " +
           "ELSE array() END")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("r"))
 
